@@ -1,0 +1,38 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit dump: `explain("formatted")` of every SparkEntry query to
+  * one file per query, for reviewing scan pushdown / join strategy /
+  * codegen spans without executing anything. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    // streaming replays + ML fits execute eagerly inside the builder —
+    // exclude them from a pure plan dump
+    val skip = Set("q33_events_hourly_streaming", "q34_events_session_streaming",
+      "q70_kmeans_selection", "q71_kmeans_e2e", "q72_als_e2e", "q73_als_cv_grid",
+      "q74_sse_parity", "q62_ann_lsh_topk", "q53_minhash_lsh_ml")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        } catch { case e: Throwable =>
+          System.err.println(s"[explain] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

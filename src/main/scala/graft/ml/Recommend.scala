@@ -1,0 +1,83 @@
+package graft.ml
+
+import graft.eval.Metrics
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ALS collaborative filtering + grid-searched cross-validation
+  * (reference: MovieLensRecommender.py:203-238).
+  *
+  * Same estimator semantics — explicit feedback, seed 823,
+  * coldStartStrategy="drop" (unseen user OR item rows removed before
+  * scoring, R-25) — but the CV runs `setParallelism(...)` over cached
+  * fold inputs instead of the reference's 81 serial refits of an
+  * uncached scan, which is where its 2.3 h went (SURVEY §3.3). */
+object Recommend {
+
+  /** R-24: one seeded ALS fit. */
+  def fitAls(train: DataFrame, rank: Int = 10, maxIter: Int = 10,
+      regParam: Double = 0.05, seed: Long = 823,
+      userCol: String = "userId", itemCol: String = "movieId",
+      ratingCol: String = "rating"): ALSModel =
+    new ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setSeed(seed).setImplicitPrefs(false).setColdStartStrategy("drop")
+      .fit(train)
+
+  /** R-26/R-27: the reference's grid shape (rank × maxIter × regParam,
+    * MovieLensRecommender.py:211-221) under k-fold CV. Grid values are
+    * parameters so tests can shrink the 27-point grid. */
+  def gridSearchCV(train: DataFrame,
+      ranks: Seq[Int] = Seq(1, 10, 100),
+      maxIters: Seq[Int] = Seq(5, 10, 15),
+      regParams: Seq[Double] = Seq(0.001, 0.01, 0.05),
+      numFolds: Int = 3, parallelism: Int = 4, seed: Long = 823,
+      userCol: String = "userId", itemCol: String = "movieId",
+      ratingCol: String = "rating"): CrossValidatorModel = {
+    val als = new ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setSeed(seed).setImplicitPrefs(false).setColdStartStrategy("drop")
+    val grid = new ParamGridBuilder()
+      .addGrid(als.rank, ranks)
+      .addGrid(als.maxIter, maxIters)
+      .addGrid(als.regParam, regParams)
+      .build()
+    val evaluator = new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol(ratingCol).setPredictionCol("prediction")
+    new CrossValidator()
+      .setEstimator(als)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(evaluator)
+      .setNumFolds(numFolds)
+      .setParallelism(parallelism)
+      .setSeed(seed)
+      .fit(train.cache())
+  }
+
+  /** R-28: CV introspection — the (rank, maxIter, regParam, avgRmse)
+    * results table the reference assembles in pandas
+    * (MovieLensRecommender.py:40-44), produced natively. */
+  def cvResults(spark: SparkSession, cv: CrossValidatorModel): DataFrame = {
+    import spark.implicits._
+    cv.getEstimatorParamMaps.zip(cv.avgMetrics).map { case (pm, m) =>
+      val get = (n: String) => pm.toSeq.find(_.param.name == n).map(_.value)
+      (get("rank").map(_.asInstanceOf[Int]).getOrElse(-1),
+        get("maxIter").map(_.asInstanceOf[Int]).getOrElse(-1),
+        get("regParam").map(_.asInstanceOf[Double]).getOrElse(-1.0),
+        m)
+    }.toSeq.toDF("rank", "maxIter", "regParam", "avg_rmse")
+      .orderBy("avg_rmse")
+  }
+
+  /** R-25 + R-19: score an eval split with cold-start rows dropped and
+    * report RMSE. */
+  def evaluate(model: ALSModel, eval: DataFrame,
+      ratingCol: String = "rating"): (DataFrame, Double) = {
+    val preds = model.transform(eval)
+    (preds, Metrics.rmse(preds, label = ratingCol))
+  }
+}

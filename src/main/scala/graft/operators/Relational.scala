@@ -1,0 +1,351 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface (SURVEY.md §2.1 R-13..R-17, R-22/R-23
+  * and §2.3 E-02..E-10) expressed as declarative DataFrame plans over the
+  * fixture tables, so Catalyst keeps full freedom: predicate pushdown and
+  * column pruning reach the Parquet scans, join strategies are chosen by
+  * size (with explicit `broadcast` hints on the dimension tables that are
+  * guaranteed small at any scale factor — region 5 rows, nation 25), and
+  * AQE re-plans shuffles at runtime.
+  *
+  * Every query here is deterministic (explicit ORDER BY on a key, no
+  * sampling) so the driver can hash-compare it against a DuckDB oracle.
+  * Float-valued aggregates are rounded (2–4 dp) in BOTH engines so the
+  * comparison is insensitive to summation-order last-bit drift.
+  */
+object Relational {
+
+  /** E-02 + scan pushdown: selective filter + narrow projection. The plan
+    * must show PushedFilters on l_quantity/l_discount and a 5-column
+    * ReadSchema — verified in RelationalSpec. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 48 && col("l_discount") >= 0.07)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** R-16-style hash aggregate, TPC-H Q1 shape: grouped sums/avgs/counts
+    * with map-side partial aggregation (HashAggregateExec partial+final). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** R-14: inner equi join (fact ⋈ fact on orderkey) + grouped agg + top-k.
+    * Shuffle-hash/sort-merge on the fact side is correct at 100 TB: both
+    * sides are huge, co-partitioned on the join key by the shuffle. */
+  def joinRevenueTopK(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** E-03 left outer join: orders that may lack big lineitems; null-safe
+    * aggregates with coalesce so the oracle compare sees no NULL floats. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(
+        count(col("l_orderkey")).as("n_big_items"),
+        round(coalesce(sum("l_quantity"), lit(0.0)), 2).as("big_qty"))
+      .filter(col("o_orderkey") % 7 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** E-03 right outer join (same semantics as left, written from the
+    * other side to exercise the plan shape). */
+  def joinRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_discount") >= 0.09)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"), "right")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(col("l_orderkey")).as("n_discounted"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** E-03 full outer join: customer set vs ordering-customer set; both
+    * sides contribute unmatched keys. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("?")).as("segment"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"))
+      .orderBy("custkey")
+  }
+
+  /** E-03 left semi join (EXISTS): customers having at least one F order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** E-03 left anti join (NOT EXISTS): customers with no high-value
+    * orders (every customer has SOME order in the fixtures, so the
+    * predicate keeps the result non-trivial). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 250000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** R-15-style multi-hop dimension join with explicit broadcast hints:
+    * region (5 rows) and nation (25 rows) are broadcast at ANY scale
+    * factor, so the only shuffle is the customer-side aggregation. */
+  def joinBroadcastDims(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** E-04 global sort + limit (top-k by value, key tiebreak). */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** E-04/E-07 per-group top-k via row_number window — the scalable
+    * pattern (no global sort; one shuffle on the partition key). */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** E-07 lag window: per-customer order-value delta over time. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("delta", round(col("o_totalprice") - coalesce(col("prev_price"), lit(0.0)), 2))
+      .filter(col("o_custkey") % 100 === 0)
+      .select("o_custkey", "o_orderkey", "delta")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E-07 running frame: cumulative quantity per supplier, rows frame
+    * UNBOUNDED PRECEDING..CURRENT ROW over a fully-keyed order. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+      .filter(col("l_suppkey") <= 3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** E-05 set operations: INTERSECT ∪ EXCEPT composition over custkey
+    * sets (all distinct-set semantics, matching SQL). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich   = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000).select("c_custkey")
+    val poor   = Tables.customer(spark, dir).filter(col("c_acctbal") < 0).select("c_custkey")
+    val active = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    rich.intersect(active).union(poor.except(active)).distinct()
+      .orderBy("c_custkey")
+  }
+
+  /** E-06 rollup over the region→nation hierarchy; group-null levels are
+    * folded to 'ALL' so the oracle compare never sees NULL sort order. */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    // The rollup itself goes through SQL over a temp view: referencing a
+    // rollup grouping column after .agg() on a post-join frame trips
+    // Spark 4.1's ambiguous-self-join detector (the Expand duplicates
+    // join-tagged attributes), while the identical SQL plan resolves
+    // cleanly — same physical Expand+HashAggregate either way.
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rname"), col("n_name").as("nname"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_cust_geo")
+    spark.sql("""
+      SELECT coalesce(rname, 'ALL') AS region,
+             coalesce(nname, 'ALL') AS nation,
+             count(1) AS n_customers,
+             round(sum(c_acctbal), 2) AS sum_bal
+      FROM graft_cust_geo
+      GROUP BY ROLLUP (rname, nname)
+      ORDER BY region, nation""")
+  }
+
+  /** E-06 cube over two independent order dimensions. */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** E-06 explicit GROUPING SETS via SQL. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(1) AS n, round(sum(l_quantity), 2) AS qty
+      FROM graft_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")
+  }
+
+  /** E-08 distinct + grouped count-distinct. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** E-08 approx_count_distinct (HLL++) next to the exact count —
+    * sketch output is engine-specific, so this entry is checked
+    * rows-only (no DuckDB hash compare) plus an error-bound ScalaTest. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** E-09 scalar string functions over part. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        lower(col("p_type")).as("type_lc"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("tag"))
+      .filter(col("p_partkey") % 17 === 0)
+      .orderBy("p_partkey")
+
+  /** E-09 scalar math functions. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .select(
+        col("s_suppkey"),
+        round(abs(col("s_acctbal")), 2).as("abs_bal"),
+        ceil(col("s_acctbal")).as("ceil_bal"),
+        floor(col("s_acctbal")).as("floor_bal"),
+        round(sqrt(abs(col("s_acctbal"))), 4).as("sqrt_bal"),
+        (col("s_suppkey") % 7).as("mod7"))
+      .orderBy("s_suppkey")
+
+  /** E-09 date functions: order volume by calendar month. */
+  def dateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("yr", "mo")
+
+  /** E-09 JSON extraction from the events.props string column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** R-07 one-hot widen as an explicit-vocabulary pivot (the scalable
+    * form of the reference's driver-side pandas genre widening,
+    * MovieLensRecommender.py:13-24): vocabulary is passed explicitly so
+    * no implicit driver collect happens. */
+  def pivotOneHot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("A" -> "n_a", "N" -> "n_n", "R" -> "n_r"))
+      .orderBy("l_linestatus")
+
+  /** SURVEY §7.2 flagship slice — the cluster-average rating predictor
+    * re-expressed over fixtures (reference: MovieLensRecommender.py:72-83,
+    * 131-151). lineitem plays ratings (user=suppkey, item=partkey,
+    * rating=quantity); clusters are a deterministic partkey hash; the
+    * 70/30 split is the deterministic predicate variant (SURVEY §7.4 #5).
+    * Exercises scan → project → split → join → grouped avg → join → RMSE. */
+  def clusterAvgPredictor(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.lineitem(spark, dir).select(
+      col("l_suppkey").as("user_id"),
+      col("l_partkey").as("item_id"),
+      col("l_quantity").as("rating"),
+      (col("l_orderkey") % 10).as("bucket"))
+    val clusters = Tables.part(spark, dir).select(
+      col("p_partkey").as("item_id"),
+      (col("p_partkey") % 5).as("cluster"))
+    val train = ratings.filter(col("bucket") < 7)
+    val test  = ratings.filter(col("bucket") >= 7)
+
+    val ucr = train
+      .join(clusters, "item_id")
+      .groupBy("user_id", "cluster")
+      .agg(avg("rating").as("prediction"))
+
+    test
+      .join(clusters, "item_id")
+      .join(ucr, Seq("user_id", "cluster"))
+      .agg(
+        round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("rmse"),
+        count(lit(1)).as("n_scored"))
+  }
+}

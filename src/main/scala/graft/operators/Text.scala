@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.3
+  * "Text analysis"): token counting, quality scoring, language-ID and
+  * document fingerprinting. All are narrow per-row transforms — no
+  * shuffle except the final reporting aggregations — so they scale
+  * linearly with input splits at 100 TB.
+  *
+  * Everything is expressed with codegen'd built-ins and higher-order
+  * array functions (`transform`/`filter`/`aggregate`), never Scala UDFs,
+  * so whole-stage codegen spans the full pipeline.
+  */
+object Text {
+
+  /** Tokenize on single spaces (the fixture corpus is space-separated;
+    * a BPE-ish fallback regex handles arbitrary text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenization for arbitrary text: letter runs, digit runs,
+    * and single punctuation marks each become tokens. */
+  def tokensRegex(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Token trigrams as a SINGLE array pass: bigrams via zip_with(toks,
+    * toks[2..]), trigrams via zip_with(bigrams, toks[3..]), then slice to
+    * the n−2 full windows. Never `element_at(split(text), i)` inside a
+    * lambda — that re-splits the whole document per element and turns a
+    * linear scan into an O(n²·len) one (observed: a single sf0.01 task
+    * pinned for 10+ minutes). Docs shorter than 3 tokens fall back to one
+    * whole-text gram. */
+  def trigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val g2 = zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val g3 = zip_with(g2, slice(toks, lit(3), greatest(n - 2, lit(0))),
+      (ab, c) => concat_ws(" ", ab, c))
+    when(n < 3, array(text)).otherwise(slice(g3, lit(1), greatest(n - 2, lit(1))))
+  }
+
+  /** Deterministic per-token hash from cheap features (length, first and
+    * last code points). Chosen to be expressible identically in any ANSI
+    * SQL engine (the DuckDB oracle) — the production-strength path for
+    * near-dup detection uses xxhash64 (Dedup.scala) instead. */
+  def tokenHash(t: Column): Column =
+    (length(t) * lit(1000003L)
+      + ascii(t) * lit(65599L)
+      + ascii(substring(t, -1, 1)) * lit(31L)) % lit(1000000007L)
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fp = fold(tokens, 0, (acc, t) => (acc*31 + hash(t)) mod p).
+    * Order-sensitive, so re-ordered documents fingerprint differently. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => tokenHash(t)),
+      lit(0L),
+      (acc, h) => (acc * 31L + h) % lit(1000000007L))
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document token statistics: token count, distinct-token count,
+    * average token length, stopword ratio. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        round(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(toks), 4).as("avg_token_len"),
+        size(filter(toks, t => t.isin(StopWords.map(lit(_)): _*)))
+          .cast("long").as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score in [0,1]: penalizes very short docs, low vocabulary
+    * diversity and stopword-free (unnatural) text. Deterministic rational
+    * arithmetic so it is oracle-checkable. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isin(StopWords.map(lit(_)): _*)))
+      .cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0)).otherwise(col("n_chars") / 100.0)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(nTok, 2).as("n_tokens"),
+        round(diversity, 4).as("diversity"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round((lengthOk * 0.4 + diversity * 0.4
+          + least(stopRatio * lit(5.0), lit(1.0)) * 0.2), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram-heuristic language ID: score each candidate language by its
+    * marker-token hit rate and pick the argmax (ties broken by fixed
+    * language order). The fixture corpus is synthetic so markers are
+    * frequency-based, but the operator shape — per-row scoring against a
+    * broadcast-sized marker table, no shuffle — is the 100 TB shape. */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "of"),
+      "es" -> Seq("el", "la", "de"),
+      "fr" -> Seq("le", "la", "et"),
+      "de" -> Seq("der", "die", "und"))
+    val toks = tokens(col("text"))
+    val scored = markers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(toks, t => t.isin(ws.map(lit(_)): _*))))
+    }
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.tail.foldLeft(
+      struct(col(s"score_${langs.head}").as("s"), lit(langs.head).as("l"))) {
+      (acc, lang) =>
+        when(col(s"score_$lang") > acc.getField("s"),
+          struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored
+      .select(col("doc_id"), col("lang").as("labelled_lang"),
+        best.getField("l").as("detected_lang"),
+        best.getField("s").as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash fingerprint per document + duplicate-fingerprint audit. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

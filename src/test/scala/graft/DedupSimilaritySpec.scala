@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the near-dup and similarity operators (SURVEY
+  * §5.2): candidate generation must be bucket-bounded (≪ n²), LSH/IVF
+  * results must agree with brute force on what they do return. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exactByContent counts are consistent") {
+    val r = Dedup.exactByContent(spark, sfDir).head()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(r.getAs[Long]("n_total") == total)
+    assert(r.getAs[Long]("n_unique") <= total)
+  }
+
+  test("minhash candidate pairs are far fewer than all-pairs") {
+    val n = Tables.documents(spark, sfDir).count()
+    val pairs = Dedup.minhashNearDupPairs(spark, sfDir).count()
+    assert(pairs < n * (n - 1) / 4, s"pairs=$pairs vs n=$n — bucketing not pruning")
+  }
+
+  test("minhash signature is stable and per-doc") {
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 16).as("sig"))
+    val a = sigs.orderBy("doc_id").collect()
+    val b = sigs.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.head.getAs[scala.collection.Seq[Long]]("sig").length == 16)
+  }
+
+  test("identical texts share simhash and minhash buckets") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    val mh = df.select(col("doc_id"), Dedup.minhashSignature(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mh(1L) == mh(2L))
+    assert(mh(1L) != mh(3L))
+  }
+
+  test("embedding near-dups only reports pairs above the cosine floor") {
+    Dedup.embeddingNearDups(spark, sfDir, minCosine = 0.9).collect().foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.9)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    }
+  }
+
+  test("brute-force cosine top-k is ordered and bounded") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir, queryId = 0, k = 10).collect()
+    assert(rows.length <= 10)
+    val cs = rows.map(_.getAs[Double]("cosine"))
+    assert(cs.sameElements(cs.sortBy(-(_: Double))))
+    assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("IVF top-k results all come from the query's probe list and match brute-force cosines") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir, queryId = 0, k = 50)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val ivf = Similarity.ivfTopK(spark, sfDir, queryId = 0, k = 10).collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit that brute force also saw has the same cosine value
+    ivf.foreach { r =>
+      bf.get(r.getAs[Long]("vec_id")).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-3)
+      }
+    }
+  }
+
+  test("codegen cosineSim agrees with the higher-order-function cosine") {
+    import graft.functions.VectorFunctions
+    val df = Tables.embeddings(spark, sfDir).limit(50)
+      .select(
+        VectorFunctions.cosineSim(col("embedding"), col("embedding")).as("self"),
+        (VectorFunctions.cosineHof(col("embedding"), col("embedding"))
+          - VectorFunctions.cosineSim(col("embedding"), col("embedding"))).as("delta"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("delta")) < 1e-9)
+    }
+  }
+}

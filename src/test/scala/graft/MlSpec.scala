@@ -1,0 +1,75 @@
+package graft
+
+import graft.eval.Metrics
+import graft.ml.{Clustering, Recommend}
+import org.apache.spark.sql.functions._
+
+/** ML semantics the DuckDB oracle can't check (SURVEY §5.2 "Golden ML
+  * tests"): cold-start drop, k-selection argmin, RMSE parity, CV
+  * introspection shape. Runs on tiny synthetic frames for speed. */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ratings = Seq(
+    (1, 10, 5.0f), (1, 11, 3.0f), (1, 12, 4.0f),
+    (2, 10, 4.0f), (2, 11, 2.0f), (2, 13, 5.0f),
+    (3, 12, 1.0f), (3, 13, 2.0f), (3, 10, 3.0f),
+    (4, 11, 4.0f), (4, 12, 5.0f), (4, 13, 3.0f)
+  ).toDF("userId", "movieId", "rating")
+
+  test("RMSE SQL form matches RegressionEvaluator (R-19)") {
+    val preds = Seq((5.0, 4.0), (3.0, 3.5), (4.0, 4.5))
+      .toDF("rating", "prediction")
+    val a = Metrics.rmse(preds)
+    val b = Metrics.rmseEvaluator(preds)
+    assert(math.abs(a - b) < 1e-12)
+    assert(a >= 0.0)
+  }
+
+  test("ALS cold-start 'drop' removes exactly the unseen-key rows (R-25)") {
+    val model = Recommend.fitAls(ratings, rank = 4, maxIter = 5)
+    val eval = ratings.union(
+      Seq((99, 10, 3.0f), (1, 99, 3.0f)).toDF("userId", "movieId", "rating"))
+    val preds = model.transform(eval)
+    assert(preds.count() == ratings.count()) // the 2 unseen-key rows dropped
+    assert(preds.filter(col("userId") === 99 || col("movieId") === 99).count() == 0)
+    assert(preds.filter(col("prediction").isNaN).count() == 0)
+  }
+
+  test("cluster-average predictor = per-(user,cluster) train mean (R-14..R-17)") {
+    val clusters = Seq((10, 0), (11, 0), (12, 1), (13, 1)).toDF("movieId", "cluster")
+    val preds = Clustering.clusterAvgPredictions(ratings, ratings, clusters)
+    // user 1 in cluster 0 rated 10→5, 11→3: prediction must be 4.0
+    val p = preds.filter(col("userId") === 1 && col("cluster") === 0)
+      .select("prediction").distinct().collect()
+    assert(p.length == 1 && math.abs(p.head.getDouble(0) - 4.0) < 1e-12)
+  }
+
+  test("selectK flags the most-negative SSE drop as best (R-22/R-23)") {
+    // well-separated 1-D clusters: SSE collapses at the true k
+    val feats = (0 until 30).map { i =>
+      val c = i % 3
+      (i, org.apache.spark.ml.linalg.Vectors.dense(c * 10.0 + (i % 5) * 0.1))
+    }.toDF("movieId", "features")
+    val train = (0 until 30).map(i => (i % 4, i, 3.0f)).toDF("userId", "movieId", "rating")
+    val sel = Clustering.selectK(spark, feats, train, ks = 2 to 5)
+    val rows = sel.collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(2, 3, 4, 5))
+    val bestRows = rows.filter(_.getAs[Boolean]("best"))
+    assert(bestRows.nonEmpty)
+    val minDiff = rows.map(_.getAs[Double]("sse_diff")).min
+    assert(bestRows.forall(_.getAs[Double]("sse_diff") == minDiff))
+    // first row's diff is 0 by definition
+    assert(rows.find(_.getAs[Int]("k") == 2).get.getAs[Double]("sse_diff") == 0.0)
+  }
+
+  test("cvResults exposes the full grid with finite avg metrics (R-28)") {
+    val cv = Recommend.gridSearchCV(ratings,
+      ranks = Seq(2, 4), maxIters = Seq(3), regParams = Seq(0.1),
+      numFolds = 2, parallelism = 2)
+    val res = Recommend.cvResults(spark, cv).collect()
+    assert(res.length == 2) // 2×1×1 grid
+    assert(res.forall(r => r.getAs[Double]("avg_rmse") > 0))
+    assert(res.map(_.getAs[Int]("rank")).toSet == Set(2, 4))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Correctness + plan-shape tests for the relational surface. Plan
+  * assertions check the properties that matter at 100 TB: filters and
+  * projections reach the Parquet scan, dimension joins broadcast. */
+class RelationalSpec extends SparkSpec {
+
+  test("filterProject pushes filters and prunes columns at the scan") {
+    val df = Relational.filterProject(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity"), s"l_quantity filter not pushed:\n$plan")
+    // pruned read schema: exactly the 5 selected columns reach the scan
+    assert(!plan.contains("l_shipdate"), "unprojected column read from parquet")
+  }
+
+  test("joinBroadcastDims broadcasts both dimension tables") {
+    val plan = Relational.joinBroadcastDims(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected 2 broadcast joins:\n$plan")
+  }
+
+  test("pricingSummary groups to the 4 flag/status combinations") {
+    val rows = Relational.pricingSummary(spark, sfDir).collect()
+    assert(rows.length >= 3 && rows.length <= 6)
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
+    assert(qty > 0)
+  }
+
+  test("full outer join keeps unmatched keys from both sides") {
+    val df = Relational.joinFullOuter(spark, sfDir)
+    val n = df.count()
+    val lhsOnly = df.filter(col("segment") === "?").count()
+    val rhsOnly = df.filter(col("n_big_orders") === 0).count()
+    assert(n > 0); assert(lhsOnly > 0 || rhsOnly > 0)
+  }
+
+  test("semi + anti partition the customer set") {
+    val semi = Relational.joinSemi(spark, sfDir).count()
+    val withO = Tables.orders(spark, sfDir).select("o_custkey").distinct()
+    val semiUpper = Tables.customer(spark, sfDir)
+      .join(withO, col("c_custkey") === col("o_custkey")).count()
+    assert(semi <= semiUpper)
+    // anti complements the semi of the same predicate (o_totalprice > 250k)
+    val bigO = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 250000).select("o_custkey").distinct()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    assert(anti == Tables.customer(spark, sfDir).count() -
+      Tables.customer(spark, sfDir)
+        .join(bigO, col("c_custkey") === col("o_custkey"), "left_semi").count())
+  }
+
+  test("topKPerGroup returns at most k rows per group, correctly ranked") {
+    val rows = Relational.topKPerGroup(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val bals = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("c_acctbal"))
+      assert(bals.sameElements(bals.sortBy(-(_: Double))))
+    }
+  }
+
+  test("rollup emits per-nation, per-region and grand-total levels") {
+    val rows = Relational.rollupRegionNation(spark, sfDir).collect()
+    val grand = rows.filter(r => r.getAs[String]("region") == "ALL")
+    assert(grand.length == 1)
+    val regionLevel = rows.filter(r =>
+      r.getAs[String]("region") != "ALL" && r.getAs[String]("nation") == "ALL")
+    val nationLevel = rows.filter(r => r.getAs[String]("nation") != "ALL")
+    assert(regionLevel.nonEmpty && nationLevel.nonEmpty)
+    assert(grand.head.getAs[Long]("n_customers") ==
+      nationLevel.map(_.getAs[Long]("n_customers")).sum)
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    Relational.approxDistinct(spark, sfDir).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("clusterAvgPredictor yields a finite rmse over a nonempty test set") {
+    val r = Relational.clusterAvgPredictor(spark, sfDir).head()
+    assert(r.getAs[Long]("n_scored") > 0)
+    assert(r.getAs[Double]("rmse") >= 0.0)
+  }
+}

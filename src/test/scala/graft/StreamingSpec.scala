@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+
+/** Streaming parity: the Structured Streaming forms replayed through
+  * MemoryStream must agree with their deterministic batch equivalents
+  * (SURVEY §5.2 "Streaming tests"). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg equals batch hourly agg on in-order replay") {
+    val batch = Events.hourlyAgg(spark, sfDir).collect().map(_.toSeq).toSet
+    val stream = Events.hourlyAggStreaming(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("streaming sessionization closes sessions at the 30-min gap") {
+    val sessions = Events.sessionizeStreaming(spark, sfDir).collect()
+    // emitted (closed) sessions must respect the gap invariant:
+    // end - start sums n-1 gaps each ≤ 30 min
+    sessions.foreach { r =>
+      val n = r.getAs[Int]("n_events")
+      val span = r.getAs[Long]("end_us") - r.getAs[Long]("start_us")
+      assert(span <= (n - 1).max(0).toLong * 30L * 60 * 1000000,
+        s"session spans $span us over $n events — gap rule violated")
+    }
+    // closed sessions are a subset of the batch sessionization's sessions
+    val batch = Events.sessionize(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sessions.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Int]("n_events").toLong)
+      assert(batch.contains(key), s"streamed session $key not found in batch result")
+    }
+  }
+
+  test("session_window agrees with the window-function sessionization") {
+    val a = Events.sessionWindowAgg(spark, sfDir)
+      .select("user_id", "start_us", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val b = Events.sessionize(spark, sfDir)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("late rows beyond the watermark are dropped (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = stream.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum("value").as("s"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_wm_test").start()
+    def t(min: Int) = new java.sql.Timestamp(3600L * 1000 * 24 + min * 60000L)
+    try {
+      stream.addData((t(0), 1.0), (t(5), 1.0)); q.processAllAvailable()
+      stream.addData((t(40), 1.0)); q.processAllAvailable() // advances watermark past win0
+      stream.addData((t(1), 100.0)); q.processAllAvailable() // late: dropped
+      stream.addData((t(60), 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("graft_wm_test")
+      .filter(unix_timestamp(col("window.start")) % 86400 === 0)
+      .select("s").collect()
+    assert(w0.length == 1 && w0.head.getDouble(0) == 2.0,
+      s"late row leaked into closed window: ${w0.mkString}")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Multimodal, Text}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + multimodal plumbing specs. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokensRegex splits letters/digits/punctuation BPE-ishly") {
+    val out = Seq("ab12 cd, ef!").toDF("t")
+      .select(Text.tokensRegex(col("t")).as("toks"))
+      .head().getSeq[String](0)
+    assert(out == Seq("ab", "12", "cd", ",", "ef", "!"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("tokenStats counts match a hand computation") {
+    val r = Seq((1L, "en", "the cat and the hat"))
+      .toDF("doc_id", "lang", "text")
+    val row = r.sparkSession.emptyDataFrame
+    val out = Text.tokenStats(spark, sfDir).limit(0) // schema probe
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "n_tokens", "n_distinct", "avg_token_len", "n_stopwords"))
+    val stats = r.select(
+      size(Text.tokens(col("text"))).as("n"),
+      size(array_distinct(Text.tokens(col("text")))).as("d"),
+      size(filter(Text.tokens(col("text")),
+        t => t.isin(Text.StopWords.map(lit(_)): _*))).as("s")).head()
+    assert(stats.getInt(0) == 5)
+    assert(stats.getInt(1) == 4) // 'the' twice
+    assert(stats.getInt(2) == 3) // the, and, the
+  }
+
+  test("languageId picks the language with most marker hits") {
+    import spark.implicits._
+    // schema-compatible with documents: needs doc_id, lang, text
+    val out = Text.languageId(spark, sfDir).limit(5).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => Set("en", "es", "fr", "de")
+      .contains(r.getAs[String]("detected_lang"))))
+  }
+
+  test("media decode stub preserves byte counts and is deterministic") {
+    val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(feats.length == nDocs)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.width >= 16 && f.width < 80)
+    }
+    val again = Multimodal.decodeFeatures(spark, sfDir).collect()
+    assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
+  }
+
+  test("frame sampling emits ceil(len/64) frames per doc") {
+    val frames = Multimodal.sampleFrames(spark, sfDir)
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      sum("frame_len").as("total"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val joined = perDoc.join(docs, "doc_id").collect()
+    joined.foreach { r =>
+      val len = r.getAs[Int]("len"); val n = r.getAs[Long]("n")
+      assert(n == (len + 63) / 64, s"doc ${r.getAs[Long]("doc_id")}: $n frames for $len bytes")
+      assert(r.getAs[Long]("total") == len)
+    }
+  }
+}

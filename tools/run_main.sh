@@ -1,0 +1,24 @@
+#!/bin/bash
+# Run a graft main class directly with java (bypasses sbt startup).
+# Usage: tools/run_main.sh <mainClass> [args...]
+# Env: GRAFT_MEM (default 12g), classpath cached at /tmp/graft_cp.txt
+# (regenerate with: sbt -batch "export Runtime/fullClasspath").
+set -e
+CP=$(cat /tmp/graft_cp.txt)
+MAIN=$1; shift
+exec java -Xmx${GRAFT_MEM:-12g} \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$MAIN" "$@"
