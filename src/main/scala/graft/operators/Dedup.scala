@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,20 +49,26 @@ object Dedup {
   /** Word-shingle MinHash signatures with `numHashes` permutations of
     * the form h_i(x) = (a_i·x + b_i) mod p over xxhash64 token-shingle
     * hashes. Pure expression work — no UDF, no driver state. */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val p = 1000000007L // prime; (p-1)·a + b stays far below Long.MaxValue
-    // trigram shingles built in one array pass (Text.trigrams), hashed
-    // once; each of the k permutations is then a linear fold over the
-    // hash array.
-    val shingles = transform(Text.trigrams(text), g => abs(xxhash64(g)))
-    val hashes = (1 to numHashes).map { k =>
+  private val P = 1000000007L // prime; (P-1)·a + b stays far below Long.MaxValue
+
+  /** Hashed trigram shingles — one array pass (Text.trigrams → xxhash64). */
+  def shingleHashes(text: Column): Column =
+    transform(Text.trigrams(text), g => abs(xxhash64(g)))
+
+  /** k permutation minima over an ALREADY MATERIALIZED shingle-hash array
+    * column. Project `shingleHashes` into its own column first: the k
+    * folds reference it k times, which stops CollapseProject from
+    * inlining (and so re-tokenizing) the document k times. */
+  def minhashFromHashes(h: Column, numHashes: Int): Column =
+    array((1 to numHashes).map { k =>
       val a = 1000003L * k + 12345L
-      val b = 998244353L % p * k + 7L
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, ((s % p) * a + b) % p))
-    }
-    array(hashes: _*)
-  }
+      val b = 998244353L % P * k + 7L
+      aggregate(h, lit(Long.MaxValue),
+        (acc, s) => least(acc, ((s % P) * a + b) % P))
+    }: _*)
+
+  def minhashSignature(text: Column, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(text), numHashes)
 
   /** MinHash+LSH banded near-dup pairs, hand-rolled from expressions:
     * signature → bands → explode(band) → shuffle on (band_idx, band_hash)
@@ -71,14 +77,24 @@ object Dedup {
   def minhashNearDupPairs(spark: SparkSession, dir: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // repartition: one parquet file would otherwise mean ONE task doing
+    // every signature; at 100 TB the input arrives pre-split, locally
+    // this spreads the per-doc work across all cores. Signatures are
+    // computed in two projection steps (tokenize once, then fold) and
+    // the banded table is cached because BOTH sides of the self-join
+    // consume it — without the cache the whole signature pipeline runs
+    // twice.
     val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(col("text"), numHashes).as("sig"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+      .select(col("doc_id"), minhashFromHashes(col("h"), numHashes).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .cache()
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band") === col("r.band") &&
@@ -89,16 +105,26 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** spark.ml MinHashLSH variant (production path): HashingTF term sets →
-    * MinHash OR-amplified similarity self-join under a Jaccard-distance
-    * threshold. */
+  /** spark.ml MinHashLSH variant (production path): trigram-shingle sets
+    * → HashingTF → MinHash OR-amplified similarity self-join under a
+    * Jaccard-distance threshold.
+    *
+    * Shingles, not unigram tokens, are load-bearing at scale: spark.ml's
+    * approxSimilarityJoin OR-amplifies single hash values, so candidate
+    * probability for a random pair ≈ 1-(1-J)^tables. Over a shared
+    * unigram vocabulary J≈0.05 makes ~1/3 of ALL n² pairs candidates
+    * (observed: a single sf0.1 join task pinned for minutes); over
+    * trigram shingles random-pair J≈0 and candidates are the actual
+    * near-dups. */
   def minhashLshJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tok = new Tokenizer().setInputCol("text").setOutputCol("toks")
+      .repartition(spark.sparkContext.defaultParallelism)
     val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
       .setNumFeatures(1 << 18).setBinary(true)
-    val featurized = tf.transform(tok.transform(docs)).select("doc_id", "tf")
+    val featurized = tf.transform(
+        docs.select(col("doc_id"), Text.trigrams(col("text")).as("toks")))
+      .select("doc_id", "tf")
     val lsh = new MinHashLSH().setInputCol("tf").setOutputCol("mh")
       .setNumHashTables(8).setSeed(823)
     val model = lsh.fit(featurized)
@@ -131,6 +157,7 @@ object Dedup {
   /** SimHash dedup audit: signature per doc + bucket sizes. */
   def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
       .groupBy("simhash").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
       .filter(col("n_docs") > 0)
@@ -144,6 +171,7 @@ object Dedup {
     * pairing here is fixed so DuckDB can replay it). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(Text.trigrams(col("text"))).as("grams"))
     val a = d.as("a"); val b = d.as("b")
     a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
@@ -163,6 +191,7 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, dir: String,
       minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val dim = 64
     // deterministic pseudo-random hyperplanes: sign pattern from xxhash64
     val sketch = (0 until nBits).map { b =>

@@ -103,13 +103,21 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     val qname = "graft_hourly_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // stateful-operator partition count is fixed from shuffle.partitions
+    // at query start; 8 is plenty for the replay and saves 4× on
+    // per-microbatch state-store overhead vs a 32-core batch default
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(qname).start()
     try {
       batch.grouped(math.max(1, batch.length / 8)).foreach { chunk =>
         stream.addData(chunk.toSeq); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(qname)
       .select(
         unix_micros(col("win.start")).as("hour_us"),
@@ -166,13 +174,18 @@ object Events {
           closed.result().iterator
       }
     val qname = "graft_sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = out.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qname).start()
     try {
       batch.grouped(math.max(1, batch.length / 4)).foreach { chunk =>
         stream.addData(chunk.toSeq); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(qname).orderBy("user_id", "start_us")
   }
 }

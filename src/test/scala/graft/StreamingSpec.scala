@@ -45,6 +45,28 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dropDuplicatesWithinWatermark dedups replayed event ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = stream.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_dedup_stream").start()
+    def t(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    try {
+      stream.addData((1L, t(0), 1.0), (2L, t(1), 1.0)); q.processAllAvailable()
+      // exact replay of event 1 (at-least-once delivery) within watermark
+      stream.addData((1L, t(0), 1.0), (3L, t(2), 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val n = spark.table("graft_dedup_stream").select("n").collect().map(_.getLong(0)).sum
+    assert(n == 3, s"expected 3 distinct events after dedup, got $n")
+  }
+
   test("late rows beyond the watermark are dropped (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
