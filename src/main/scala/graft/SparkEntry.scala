@@ -50,6 +50,7 @@ object SparkEntry {
     "q23_pivot_onehot"      -> (Relational.pivotOneHot _),
     "q24_cluster_avg_rmse"  -> (Relational.clusterAvgPredictor _),
     "q25_approx_distinct"   -> (Relational.approxDistinct _),
+    "q26_json_struct"       -> (Relational.jsonStruct _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "q41_quality_score"     -> (Text.qualityScore _),
     "q42_language_id"       -> (Text.languageId _),
     "q43_fingerprints"      -> (Text.fingerprints _),
+    "q44_tfidf_top_terms"   -> ((s: SparkSession, d: String) => Text.tfIdfTopTerms(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
     "q51_dedup_exact_content" -> (Dedup.exactByContent _),
@@ -296,6 +298,27 @@ object SparkEntry {
       FROM test t
       JOIN clusters c ON t.item_id = c.item_id
       JOIN ucr u ON t.user_id = u.user_id AND c.cluster = u.cluster""",
+    "q26_json_struct" -> """
+      SELECT event_id,
+             CAST(props ->> '$.k' AS INTEGER) AS k_struct,
+             CAST(props ->> '$.k' AS INTEGER) AS k_map
+      FROM events
+      WHERE event_id % 101 = 0
+      ORDER BY event_id""",
+    "q31_events_sliding" -> """
+      WITH b AS (
+        SELECT event_type, value,
+               (epoch_us(ts) // 900000000) * 900000000 AS w1
+        FROM events),
+      w AS (
+        SELECT event_type, value,
+               unnest([w1, w1 - 900000000]) AS win_start_us
+        FROM b)
+      SELECT win_start_us, event_type,
+             count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM w
+      GROUP BY win_start_us, event_type
+      ORDER BY win_start_us, event_type""",
     "q30_events_hourly" -> """
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
              count(1) AS n, round(sum(value), 2) AS sum_value
@@ -401,6 +424,27 @@ object SparkEntry {
                (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
       FROM documents
       ORDER BY doc_id""",
+    "q44_tfidf_top_terms" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY doc_id, term),
+      df AS (
+        SELECT term, count(1) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, tf, df, tfidf
+      FROM ranked
+      WHERE rk <= 3
+      ORDER BY doc_id, rk""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

