@@ -75,6 +75,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BucketedRandomProjectionLSH achieves recall ≥ 0.5 vs brute force at k=10") {
+    val bf = Similarity.bruteForceTopK(spark, sfDir, queryId = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.annLshTopK(spark, sfDir, queryId = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall@10 = $recall (bf=$bf lsh=$lsh)")
+  }
+
   test("codegen cosineSim agrees with the higher-order-function cosine") {
     import graft.functions.VectorFunctions
     val df = Tables.embeddings(spark, sfDir).limit(50)

@@ -1,0 +1,83 @@
+package graft
+
+import graft.etl.MovieLens
+import graft.operators.{Dedup, Text}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.2): algebraic laws that must hold for any
+  * input, checked over generated data on small local frames. The
+  * scalatest↔scalacheck bridge isn't on the offline classpath, so
+  * generators are sampled directly with fixed seeds (reproducible). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int = 20)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val token: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "the", "of", "x1", "y2")
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  test("trigram count is max(n-2, 1) for any document") {
+    forSamples(doc) { text =>
+      val n = text.split(" ").length
+      val grams = Seq(text).toDF("text")
+        .select(Text.trigrams(col("text")).as("g")).head().getSeq[String](0)
+      assert(grams.length == math.max(n - 2, 1))
+    }
+  }
+
+  test("pivot ∘ explode reconstructs the genre multiset for any movie set") {
+    val genres = Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E")).map(_.distinct)
+    forSamples(Gen.nonEmptyListOf(genres), 10) { rows =>
+      val movies = rows.zipWithIndex
+        .map { case (gs, i) => (i, s"t$i", gs.mkString("|")) }
+        .toDF("movieId", "title", "genres")
+      val vocab = MovieLens.genreVocabulary(movies)
+      val oh = MovieLens.oneHotGenres(movies, vocab)
+      val back = oh.collect().map { r =>
+        r.getAs[Int]("movieId") -> vocab.filter(g => r.getAs[Int](g) == 1).toSet
+      }.toMap
+      rows.zipWithIndex.foreach { case (gs, i) => assert(back(i) == gs.toSet) }
+    }
+  }
+
+  test("RMSE is non-negative and zero iff predictions equal labels") {
+    val pair = for {
+      a <- Gen.chooseNum(0.5, 5.0)
+      d <- Gen.chooseNum(-1.0, 1.0)
+    } yield (a, a + d)
+    forSamples(Gen.nonEmptyListOf(pair), 10) { ps =>
+      val df = ps.toDF("rating", "prediction")
+      val rmse = graft.eval.Metrics.rmse(df)
+      assert(rmse >= 0.0)
+      val perfect = ps.map { case (a, _) => (a, a) }.toDF("rating", "prediction")
+      assert(graft.eval.Metrics.rmse(perfect) == 0.0)
+    }
+  }
+
+  test("minhash similarity estimate is monotone in true overlap") {
+    // doc pairs with increasing token overlap must not DECREASE in
+    // matching-minhash fraction (checked on fixed constructed cases)
+    val base = (1 to 30).map(i => s"tok$i")
+    def overlapDoc(k: Int) =
+      (base.take(k) ++ (1 to (30 - k)).map(i => s"other${i}_$k")).mkString(" ")
+    val df = Seq(0, 10, 20, 30).map(k => (k.toLong, overlapDoc(k)))
+      .toDF("doc_id", "text")
+    val ref = base.mkString(" ")
+    val sigs = df.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val refSig = Seq((99L, ref)).toDF("doc_id", "text")
+      .select(Dedup.minhashSignature(col("text"), 32)).head().getSeq[Long](0)
+    val match30 = sigs(30L).zip(refSig).count { case (a, b) => a == b }
+    val match0 = sigs(0L).zip(refSig).count { case (a, b) => a == b }
+    assert(match30 == 32) // identical docs → identical signatures
+    assert(match0 <= match30)
+  }
+}
