@@ -19,6 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JVM/codegen/shuffle-infra first-use costs land
+    // here instead of inside whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id) s", "avg(id) a")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
