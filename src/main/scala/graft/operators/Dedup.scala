@@ -192,7 +192,10 @@ object Dedup {
       minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val dim = 64
+    // vector dim probed from one row (schema alone can't know it); the
+    // deterministic hyperplane literals below are sized to it
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
     // deterministic pseudo-random hyperplanes: sign pattern from xxhash64
     val sketch = (0 until nBits).map { b =>
       val proj = aggregate(

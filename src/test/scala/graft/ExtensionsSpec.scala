@@ -21,6 +21,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 25.0) < 1e-12)
   }
 
+  test("VectorSimplification folds squared_l2(x, x) to 0.0 but preserves null semantics") {
+    import graft.functions.VectorFunctions
+    import graft.plans.VectorSimplification
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions._
+    val v = array(lit(1.0), lit(2.0), lit(3.0)) // non-nullable array
+    val df = spark.range(1).select(VectorFunctions.squaredL2(v, v).as("d"))
+    val folded = VectorSimplification(df.queryExecution.analyzed)
+    assert(folded.expressions.exists(_.exists {
+      case Literal(0.0, _) => true
+      case _ => false
+    }), s"rule did not fold:\n$folded")
+    // nullable input must NOT fold (null in → null out)
+    import spark.implicits._
+    val nullable = Seq(Some(Seq(1.0)), None).toDF("v")
+      .select(VectorFunctions.squaredL2(col("v"), col("v")).as("d"))
+    val kept = VectorSimplification(nullable.queryExecution.analyzed)
+    assert(!kept.expressions.exists(_.exists {
+      case Literal(0.0, _) => true
+      case _ => false
+    }))
+    assert(nullable.collect().map(r => r.isNullAt(0)).toSeq == Seq(false, true))
+  }
+
   test("report comparison orders models by test RMSE (R-29)") {
     val df = Report.comparison(spark, Seq(
       Report.ModelResult("kmeans_cluster_avg", 1.003455, 1.033066),
