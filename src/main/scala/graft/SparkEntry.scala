@@ -51,6 +51,7 @@ object SparkEntry {
     "q24_cluster_avg_rmse"  -> (Relational.clusterAvgPredictor _),
     "q25_approx_distinct"   -> (Relational.approxDistinct _),
     "q26_json_struct"       -> (Relational.jsonStruct _),
+    "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -305,6 +306,13 @@ object SparkEntry {
       FROM events
       WHERE event_id % 101 = 0
       ORDER BY event_id""",
+    "q27_join_skew_salted" -> """
+      SELECT s_suppkey, s_name,
+             count(1) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey""",
     "q31_events_sliding" -> """
       WITH b AS (
         SELECT event_type, value,

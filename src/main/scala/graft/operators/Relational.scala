@@ -305,6 +305,27 @@ object Relational {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Skew-resistant equi join via key salting: the fact side tags each
+    * row with a random-free deterministic salt (hash-derived, so the
+    * oracle can replay it) and the dimension side is exploded once per
+    * salt value, turning one hot shuffle partition per heavy key into
+    * `saltFactor` cooler ones. Result set is IDENTICAL to the unsalted
+    * join (asserted in RelationalSpec); AQE's skew-join handles the
+    * same problem adaptively — this is the explicit form for when the
+    * skew is known ahead of time. */
+  def joinSkewSalted(spark: SparkSession, dir: String, saltFactor: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltFactor)))
+    val supp = Tables.supplier(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
+    li.join(supp, col("l_suppkey") === col("s_suppkey") && li("salt") === supp("salt"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** E-09 schema-full JSON parsing: `from_json` into a typed struct (the
     * planner-visible alternative to per-path `get_json_object`), plus a
     * map-type projection — exercises JsonToStructs + GetStructField +
