@@ -53,7 +53,11 @@ object Clustering {
       ks: Seq[Int] = 2 to 10, seed: Long = 823,
       parallelism: Int = 4): DataFrame = {
     import spark.implicits._
-    movies.cache(); ratingsTrain.cache()
+    // materialize BOTH caches before fanning out: concurrent fits racing
+    // to compute the same un-materialized InMemoryRelation duplicate the
+    // featurization work under storage-lock contention (observed 10×
+    // run-to-run variance on the k-selection query)
+    movies.cache().count(); ratingsTrain.cache().count()
     // daemon pool, shut down on exit — a plain fixed pool would hold the
     // JVM open after main returns (observed as a Verify hang)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
