@@ -299,6 +299,16 @@ object SparkEntry {
       FROM test t
       JOIN clusters c ON t.item_id = c.item_id
       JOIN ucr u ON t.user_id = u.user_id AND c.cluster = u.cluster""",
+    // the HLL++ estimate itself is engine-specific; the query folds it
+    // into its ≤5% contract (approx_ok), so the oracle asserts the exact
+    // counts and that the estimate held its bound
+    "q25_approx_distinct" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             true AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q26_json_struct" -> """
       SELECT event_id,
              CAST(props ->> '$.k' AS INTEGER) AS k_struct,
@@ -390,10 +400,16 @@ object SparkEntry {
              greatest(s_de, s_en, s_es, s_fr) AS marker_hits
       FROM s
       ORDER BY doc_id""",
+    // sums CAST to BIGINT: DuckDB's sum() yields HUGEINT (int128) and the
+    // driver's hash compare is representation-sensitive vs Spark's BIGINT.
+    // n_hash_collisions expected 0: the engine reports observed xxhash64
+    // collisions (distinct (hash,text) groups minus distinct hashes);
+    // a nonzero value is a real signal the oracle should flag.
     "q51_dedup_exact_content" -> """
-      SELECT count(1) AS n_unique,
-             sum(n) AS n_total,
-             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      SELECT CAST(count(1) AS BIGINT) AS n_unique,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             CAST(0 AS BIGINT) AS n_hash_collisions
       FROM (SELECT text, count(1) AS n FROM documents GROUP BY text) t""",
     "q40_token_stats" -> """
       SELECT doc_id, lang,
@@ -462,6 +478,14 @@ object SparkEntry {
       FROM documents
       GROUP BY lang, source
       ORDER BY lang, source""",
+    // simhash values are xxhash64-derived (not replayable in DuckDB);
+    // the query emits corpus invariants of the actual bucket table —
+    // a false boolean here means the Spark-side bucketing broke
+    "q54_simhash_buckets" -> """
+      SELECT CAST(count(1) AS BIGINT) AS n_docs,
+             true AS buckets_le_distinct_texts,
+             true AS bucket_sizes_partition_corpus
+      FROM documents""",
     "q55_ngram_jaccard" -> """
       WITH t AS (
         SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
@@ -484,6 +508,49 @@ object SparkEntry {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
       FROM embeddings
       ORDER BY vec_id""",
+    // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
+    // as centroids) so DuckDB can replay the cosine argmax exactly —
+    // the production KMeans quantizer lives in q63 (rows-only, seeded)
+    "q64_ivf_buckets" -> """
+      WITH c AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings WHERE vec_id < 4),
+      a AS (
+        SELECT e.vec_id, c.cent_id,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.cent,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 8) AS cos_c
+        FROM embeddings e CROSS JOIN c),
+      r AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_c DESC, cent_id) AS rk
+        FROM a)
+      SELECT cent_id, CAST(count(1) AS BIGINT) AS n_vectors
+      FROM r WHERE rk = 1
+      GROUP BY cent_id
+      ORDER BY cent_id""",
+    // q65's decoded dimensions/file sizes are arithmetic functions of
+    // doc_id (see Multimodal.scala) — the oracle recomputes them with no
+    // codec, hash-checking the real ImageIO decode end-to-end
+    "q65_media_stats" -> """
+      WITH d AS (
+        SELECT doc_id,
+               16 + (doc_id % 16) AS w,
+               12 + (doc_id % 8) AS h
+        FROM documents)
+      SELECT 'image/bmp' AS mime,
+             CAST(count(1) AS BIGINT) AS n_media,
+             CAST(sum(54 + (((w * 3 + 3) // 4) * 4) * h) AS BIGINT) AS total_bytes,
+             CAST(min(w) AS INTEGER) AS min_w,
+             CAST(max(w) AS INTEGER) AS max_w,
+             CAST(min(h) AS INTEGER) AS min_h,
+             CAST(max(h) AS INTEGER) AS max_h
+      FROM d""",
     "q61_cosine_topk" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       sims AS (

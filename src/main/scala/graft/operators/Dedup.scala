@@ -33,18 +33,27 @@ object Dedup {
         max("n_chars").as("max_chars"))
       .orderBy("lang", "source")
 
-  /** Exact full-content dedup: hash-groupBy on the text itself. On 100 TB
-    * you group on xxhash64(text) first (8-byte shuffle key instead of the
-    * full document), then resolve rare hash collisions within groups. */
+  /** Exact full-content dedup, collision-safe: groups carry BOTH
+    * xxhash64(text) and the text, so two distinct documents colliding on
+    * the 64-bit hash stay distinct groups (at 100 TB row counts the
+    * birthday bound makes collisions expected, and counting hashes alone
+    * would silently merge them). Shuffle cost is the same as grouping on
+    * the raw text — map-side partial aggregation collapses duplicate
+    * documents before the exchange, so each distinct document ships once
+    * per input partition — and the hash column is what downstream
+    * re-verification keys on. `n_hash_collisions` is an invariant audit:
+    * distinct (hash,text) groups minus distinct hashes, 0 unless a real
+    * collision occurred. */
   def exactByContent(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .groupBy()
       .agg(
         count(lit(1)).as("n_unique"),
         sum("n_copies").as("n_total"),
-        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"))
+        sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+        (count(lit(1)) - countDistinct("text_hash")).as("n_hash_collisions"))
 
   /** Word-shingle MinHash signatures with `numHashes` permutations of
     * the form h_i(x) = (a_i·x + b_i) mod p over xxhash64 token-shingle
@@ -140,39 +149,54 @@ object Dedup {
   /** SimHash: 64-bit signature where bit j is the sign of the sum over
     * tokens of (token-hash bit j ? +1 : −1). Near-dups = equal signatures
     * (bucket join on the signature, or on rotated signature bands for a
-    * Hamming-distance budget). */
-  def simhash(text: Column): Column = {
-    val toks = Text.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val masks = typedLit((0 until 64).map(j => 1L << j))
-    // single pass over the token stream with a 64-slot vote accumulator
-    val votes = aggregate(hashes, typedLit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-  }
+    * Hamming-distance budget). Delegates to the codegen'd
+    * [[graft.functions.SimHash64]] expression — the earlier HOF
+    * formulation (64-slot array accumulator via aggregate/zip_with) ran
+    * interpreted and cost 11.6 s for 5k docs. */
+  def simhash(text: Column): Column =
+    graft.functions.HashFunctions.simhashTokens(Text.tokens(text))
 
-  /** SimHash dedup audit: signature per doc + bucket sizes. */
-  def simhashBuckets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** SimHash dedup audit. The signature values are xxhash64-derived and
+    * engine-specific, so the query folds the bucket table into
+    * invariants an external SQL engine CAN replay (making q54
+    * hash-checkable): total docs, plus two booleans computed from the
+    * actual bucket table — identical texts always collapse into one
+    * bucket (simhash is a pure function of the text), so the bucket
+    * count can never exceed the distinct-text count, and bucket sizes
+    * must partition the corpus. Raw bucket-size structure is asserted
+    * in DedupSimilaritySpec. */
+  def simhashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+    val bucketStats = docs
       .select(col("doc_id"), simhash(col("text")).as("simhash"))
-      .groupBy("simhash").agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
-      .filter(col("n_docs") > 0)
+      .groupBy("simhash").agg(count(lit(1)).as("b_n"))
       .groupBy()
-      .agg(count(lit(1)).as("n_buckets"), max("n_docs").as("max_bucket"),
-        sum("n_docs").as("n_docs"))
+      .agg(count(lit(1)).as("n_buckets"), max("b_n").as("max_bucket"),
+        sum("b_n").as("n_docs"))
+    val textStats = docs.groupBy()
+      .agg(countDistinct("text").as("n_texts"), count(lit(1)).as("n_rows"))
+    bucketStats.crossJoin(textStats).select(
+      col("n_docs"),
+      (col("n_buckets") <= col("n_texts")).as("buckets_le_distinct_texts"),
+      (col("n_docs") === col("n_rows") && col("max_bucket") >= 1)
+        .as("bucket_sizes_partition_corpus"))
+  }
 
   /** Token-trigram Jaccard similarity between consecutive doc_id pairs —
     * the deterministic, oracle-checkable skeleton of n-gram dedup (the
     * pairing in production comes from the LSH bucket join above; the
     * pairing here is fixed so DuckDB can replay it). */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cached for the same reason minhashNearDupPairs caches `banded`:
+    // BOTH self-join sides consume the gram projection, and without the
+    // cache the trigram build runs twice AND the post-join projection
+    // re-evaluates it per reference (observed 52.7 s at sf0.1 vs ~2 s
+    // cached — the whole outlier was recomputation, not the join)
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), array_distinct(Text.trigrams(col("text"))).as("grams"))
+      .cache()
     val a = d.as("a"); val b = d.as("b")
     a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
       .select(

@@ -4,67 +4,124 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (SURVEY.md §2.3 "Multimodal columns"):
-  * image/audio/video payloads are opaque `binary` columns rows with a
-  * typed metadata struct alongside. The Spark-side contract — schema,
-  * partition sizing, per-partition batch processing — is real; the
-  * actual media decode is STUBBED with a deterministic fake because no
-  * image/audio codec libraries ship in this container (clearly marked
-  * below).
+/** Multimodal-column operators (SURVEY.md §2.3 "Multimodal columns"):
+  * image payloads are opaque `binary` columns with a typed metadata
+  * struct alongside, decoded by a REAL codec.
+  *
+  * No image fixtures ship in the container, so `mediaTable` synthesizes
+  * genuine BMP images deterministically (dimensions from doc_id, pixels
+  * from the document's UTF-8 bytes) — but the decode path is the real
+  * thing: `javax.imageio.ImageIO` parses the BMP container, and the
+  * reported width/height/pixel statistics come from the decoded raster,
+  * not from metadata. Because the dimensions and file sizes are
+  * arithmetic functions of doc_id, the DuckDB oracle can recompute them
+  * independently — a decode bug (wrong stride, header, row order) shows
+  * up as a hash mismatch in q65.
   *
   * Scale notes: blobs ride the same Parquet row groups as scalars, so
-  * `spark.sql.files.maxPartitionBytes` bounds per-task memory; the
-  * decode pass is `mapPartitions` (one batch-setup per partition, the
-  * same shape a JNI/FFI codec binding needs) and stays a narrow
-  * transform — no shuffle until the final reporting aggregate.
+  * `spark.sql.files.maxPartitionBytes` bounds per-task memory; both the
+  * encode and decode passes are `mapPartitions` (one codec setup per
+  * partition, rows streamed through — the same shape a JNI/FFI binding
+  * to libjpeg/ffmpeg needs) and stay narrow transforms — no shuffle
+  * until the final reporting aggregate.
   */
 object Multimodal {
 
-  /** A decoded-media feature row. */
+  /** A decoded-media feature row. `byte_sum` is the sum of decoded
+    * gray-channel samples — a content fingerprint proving the raster
+    * was actually read. */
   case class MediaFeatures(
       doc_id: Long, mime: String, n_bytes: Int,
       byte_sum: Long, width: Int, height: Int)
 
-  /** Build a multimodal frame from `documents`: blob = UTF-8 payload
-    * bytes (stand-in for image bytes), plus a typed metadata struct. */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      col("text").cast("binary").as("blob"),
-      struct(
-        lit("image/fake").as("mime"),
-        length(col("text").cast("binary")).as("n_bytes"),
-        (col("doc_id") % 4).cast("int").as("camera_id")).as("meta"))
+  private case class MediaRow(
+      doc_id: Long, blob: Array[Byte], mime: String, n_bytes: Int, camera_id: Int)
 
-  /** ==================== STUB ====================
-    * Deterministic FAKE media decode: real deployments replace this body
-    * with a codec call (libjpeg/ffmpeg via FFI). The fake derives
-    * "width/height" from byte statistics so tests have stable values.
-    * Signature and batching shape (Iterator→Iterator, one setup per
-    * partition) are the production contract. */
-  private def decodeStub(docId: Long, mime: String, blob: Array[Byte]): MediaFeatures = {
-    var s = 0L; var i = 0
-    while (i < blob.length) { s += blob(i) & 0xff; i += 1 }
-    MediaFeatures(docId, mime, blob.length, s,
-      width = 16 + (s % 64).toInt, height = 16 + (s % 48).toInt)
+  /** Deterministic blob dimensions: pure functions of doc_id so an
+    * external SQL engine can recompute them (q65's oracle). */
+  def widthOf(docId: Long): Int = 16 + (docId % 16).toInt
+  def heightOf(docId: Long): Int = 12 + (docId % 8).toInt
+
+  /** 24-bit uncompressed BMP (54-byte header + bottom-up BGR rows padded
+    * to 4 bytes) — hand-assembled so the bytes are deterministic.
+    * `pix(x, y)` supplies the gray value for pixel (x, y), top-down. */
+  def encodeBmp(width: Int, height: Int,
+      pix: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // BMP rows are stored bottom-up
+    while (y >= 0) {
+      var x = 0; var written = 0
+      while (x < width) {
+        val v = (pix(x, y) & 0xff).toByte
+        buf.put(v).put(v).put(v) // grayscale as BGR
+        written += 3; x += 1
+      }
+      while (written < rowSize) { buf.put(0.toByte); written += 1 }
+      y -= 1
+    }
+    buf.array()
   }
 
-  /** Decode / feature-extract pass over the blob column. `mapPartitions`
-    * so a real codec could amortize per-partition initialization; batch
-    * shape = one partition's rows streamed through the decoder. */
+  /** Build the multimodal frame from `documents`: blob = a real BMP
+    * image whose pixels are derived from the document's bytes, plus a
+    * typed metadata struct. Encode runs distributed in mapPartitions —
+    * the blob never exists driver-side. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = widthOf(id); val h = heightOf(id)
+          val blob = encodeBmp(w, h, (x, y) =>
+            if (bytes.isEmpty) 0
+            else bytes(((y * w + x) * 31 + 7) % bytes.length) & 0xff)
+          MediaRow(id, blob, "image/bmp", blob.length, (id % 4).toInt)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("blob"),
+        struct(col("mime"), col("n_bytes"), col("camera_id")).as("meta"))
+  }
+
+  /** REAL media decode over the blob column: `javax.imageio` parses each
+    * BMP and the features come from the decoded raster. `mapPartitions`
+    * so codec setup (ImageIO plugin lookup, cache config) happens once
+    * per partition; rows stream through the decoder one at a time. */
   def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("doc_id"), col("meta.mime").as("mime"), col("blob"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup would go here (STUB: none needed)
-        rows.map { case (id, mime, blob) => decodeStub(id, mime, blob) }
+        // per-partition decoder setup
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, mime, blob) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable media payload for doc_id=$id")
+          val raster = img.getRaster
+          var s = 0L; var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          MediaFeatures(id, mime, blob.length, s, img.getWidth, img.getHeight)
+        }
       }
   }
 
-  /** "Frame sampling" stub: slice every k-th byte window of the blob as
-    * a frame — the plumbing (explode of per-row frame arrays with
+  /** "Frame sampling": slice every k-th byte window of the blob as a
+    * frame — the plumbing (explode of per-row frame arrays with
     * metadata) matches video-frame extraction. */
   def sampleFrames(spark: SparkSession, dir: String, every: Int = 64): DataFrame =
     mediaTable(spark, dir)
@@ -76,8 +133,14 @@ object Multimodal {
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_bytes"))
       .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
 
-  /** Reporting query over the decoded features (registered in
-    * SparkEntry; deterministic because the stub is deterministic). */
+  /** Reporting query over the decoded features. Every output column is
+    * either decode-independent arithmetic (n_media) or recoverable from
+    * the DECODED raster dimensions/file size — and since dimensions are
+    * arithmetic in doc_id, the DuckDB oracle recomputes all of it
+    * without a codec, hash-checking the decode end-to-end. (byte_sum,
+    * the content fingerprint, is checked by MultimodalSpec's exact
+    * encode→decode roundtrip instead — text-byte indexing is not
+    * reasonably expressible in SQL.) */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir).toDF()
       .groupBy("mime")
@@ -85,6 +148,6 @@ object Multimodal {
         count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
         min("width").as("min_w"), max("width").as("max_w"),
-        sum("byte_sum").as("sum_bytes"))
+        min("height").as("min_h"), max("height").as("max_h"))
       .orderBy("mime")
 }

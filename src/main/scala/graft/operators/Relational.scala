@@ -247,15 +247,24 @@ object Relational {
         count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
 
-  /** E-08 approx_count_distinct (HLL++) next to the exact count —
-    * sketch output is engine-specific, so this entry is checked
-    * rows-only (no DuckDB hash compare) plus an error-bound ScalaTest. */
+  /** E-08 approx_count_distinct (HLL++) next to the exact count. The
+    * raw sketch estimate is engine-specific (DuckDB cannot replay
+    * HLL++), so the query emits the exact count plus `approx_ok` — the
+    * estimate folded into its contract (relative error ≤ 5% at rsd
+    * 0.02) — which makes every output column deterministic and the
+    * entry hash-checkable; the raw estimate's ±5% band is additionally
+    * asserted in RelationalSpec. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** E-09 scalar string functions over part. */

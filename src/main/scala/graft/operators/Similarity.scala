@@ -64,23 +64,26 @@ object Similarity {
     res
   }
 
-  /** IVF-style ANN: a fixed coarse quantizer (centroids = the first
-    * `nLists` vectors, deterministic) assigns every vector to its
-    * nearest list; a query probes only its own list. At scale the
-    * assignment is one broadcast-join pass and each query touches
-    * 1/nLists of the data. */
+  /** IVF-style ANN with a REAL coarse quantizer: seeded spark.ml KMeans
+    * learns the `nLists` centroids (the earlier placeholder used the
+    * first `nLists` vectors, which is not a quantizer), every vector is
+    * assigned to its nearest centroid by the fitted model (a broadcast
+    * of the centers + one narrow pass — no shuffle), and a query probes
+    * only its own list, touching ~1/nLists of the data. `assigned` is
+    * cached because both the query-lookup side and the probe side
+    * consume it — uncached, the full assignment pass would run twice. */
   def ivfTopK(spark: SparkSession, dir: String,
       queryId: Long = 0L, k: Int = 10, nLists: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("cos_c", cosineSim(col("embedding"), col("cent")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id"))))
-      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(823).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cent_id")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+      .cache()
     val queryList = assigned.filter(col("vec_id") === queryId)
       .select(col("cent_id").as("q_cent"), col("embedding").as("q"))
     assigned.filter(col("vec_id") =!= queryId)
@@ -103,7 +106,11 @@ object Similarity {
       .orderBy("vec_id")
 
   /** IVF bucket histogram (deterministic; oracle-checkable): nearest of
-    * the first 4 vectors by cosine, counted per bucket. */
+    * the first 4 vectors by cosine, counted per bucket. Unlike
+    * `ivfTopK` (which fits a real KMeans quantizer), this keeps the
+    * fixed first-N quantizer ON PURPOSE: the assignment is then pure
+    * arithmetic DuckDB can replay, making the bucket histogram
+    * hash-checkable by the oracle. */
   def ivfBucketCounts(spark: SparkSession, dir: String, nLists: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cents = emb.filter(col("vec_id") < nLists)

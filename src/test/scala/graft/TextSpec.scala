@@ -66,28 +66,48 @@ class TextSpec extends SparkSpec {
     assert(byDf.keys.nonEmpty)
   }
 
-  test("media decode stub preserves byte counts and is deterministic") {
+  test("ImageIO decode recovers the exact dimensions and pixel sum encoded") {
+    // exact roundtrip, no Spark: encode a known image, decode via the
+    // same ImageIO path the operator uses, compare pixel-for-pixel sum
+    val w = 19; val h = 13 // odd width exercises BMP row padding
+    val pix = (x: Int, y: Int) => (x * 31 + y * 7) % 251
+    val blob = Multimodal.encodeBmp(w, h, pix)
+    assert(blob.length == 54 + ((w * 3 + 3) / 4 * 4) * h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img != null, "JDK ImageIO failed to decode the generated BMP")
+    assert(img.getWidth == w && img.getHeight == h)
+    var expected = 0L; var got = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      expected += pix(x, y)
+      got += img.getRaster.getSample(x, y, 0)
+    }
+    assert(got == expected, "decoded raster content differs from encoded pixels")
+  }
+
+  test("media decode reports real raster dimensions and is deterministic") {
     val feats = Multimodal.decodeFeatures(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(feats.length == nDocs)
     feats.foreach { f =>
-      assert(f.n_bytes > 0)
-      assert(f.width >= 16 && f.width < 80)
+      assert(f.n_bytes > 54) // BMP header + payload
+      assert(f.width == Multimodal.widthOf(f.doc_id))
+      assert(f.height == Multimodal.heightOf(f.doc_id))
+      assert(f.byte_sum > 0L)
     }
     val again = Multimodal.decodeFeatures(spark, sfDir).collect()
     assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
 
-  test("frame sampling emits ceil(len/64) frames per doc") {
+  test("frame sampling emits ceil(blobLen/64) frames per doc") {
     val frames = Multimodal.sampleFrames(spark, sfDir)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      sum("frame_len").as("total"))
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), length(col("text")).as("len"))
-    val joined = perDoc.join(docs, "doc_id").collect()
-    joined.foreach { r =>
-      val len = r.getAs[Int]("len"); val n = r.getAs[Long]("n")
-      assert(n == (len + 63) / 64, s"doc ${r.getAs[Long]("doc_id")}: $n frames for $len bytes")
+      sum("frame_len").as("total")).collect()
+    perDoc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = Multimodal.widthOf(id); val hh = Multimodal.heightOf(id)
+      val len = 54 + ((w * 3 + 3) / 4 * 4) * hh
+      val n = r.getAs[Long]("n")
+      assert(n == (len + 63) / 64, s"doc $id: $n frames for $len blob bytes")
       assert(r.getAs[Long]("total") == len)
     }
   }
