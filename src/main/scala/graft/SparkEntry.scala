@@ -508,6 +508,35 @@ object SparkEntry {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
       FROM embeddings
       ORDER BY vec_id""",
+    // full DuckDB replay of the deterministic hyperplane sketch: bit b
+    // of a vector's bucket = sign of Σ_i emb[i]·w(i,b) with
+    // w(i,b) = ((i·2654435761 + b·40503) >> 13) % 2 == 0 ? +1 : −1 —
+    // identical arithmetic to Dedup.embeddingNearDupPairs. The fixture
+    // embeddings are random (max in-bucket cosine ≈ 0.46), so BOTH
+    // engines must emit zero pairs at the 0.95 floor; a Spark-side
+    // bucketing or cosine bug that emits false positives fails the hash
+    "q56_embedding_neardup" -> """
+      WITH p AS (
+        SELECT vec_id, embedding, b.b,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN (((i - 1) * 2654435761 + b.b * 40503) // 8192) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))) AS proj
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+      buck AS (
+        SELECT vec_id, any_value(embedding) AS embedding,
+               CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        FROM p GROUP BY vec_id),
+      pairs AS (
+        SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+               list_sum(list_transform(range(1, len(l.embedding) + 1),
+                 i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM buck l JOIN buck r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      SELECT vec_a, vec_b, round(cos, 4) AS cosine
+      FROM pairs WHERE cos >= 0.95
+      ORDER BY vec_a, vec_b""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

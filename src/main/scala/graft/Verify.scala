@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // same cache policy as Bench: keep caches within a query group
+    // (q70-q74 share ML lineage), clear at group boundaries so the
+    // dedup/similarity caches don't accumulate over the 57-query run
+    var prevGroup = ""
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val group = name.take(2)
+      if (prevGroup.nonEmpty && group != prevGroup) spark.catalog.clearCache()
+      prevGroup = group
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

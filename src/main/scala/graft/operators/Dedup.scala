@@ -220,7 +220,18 @@ object Dedup {
     // deterministic hyperplane literals below are sized to it
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).head().getInt(0)
-    // deterministic pseudo-random hyperplanes: sign pattern from xxhash64
+    embeddingNearDupPairs(emb, dim, minCosine, nBits)
+  }
+
+  /** Core of the embedding near-dup: takes any (vec_id, embedding)
+    * frame so specs can plant actual near-duplicates (the fixture
+    * embeddings are random — max pairwise cosine ≈ 0.46 — so the
+    * registered q56 correctly returns zero pairs; the pair-EMISSION
+    * path is exercised by DedupSimilaritySpec's planted corpus). */
+  def embeddingNearDupPairs(emb: DataFrame, dim: Int,
+      minCosine: Double, nBits: Int): DataFrame = {
+    // deterministic pseudo-random hyperplanes: sign pattern from a
+    // multiplicative hash of (dimension index, bit index)
     val sketch = (0 until nBits).map { b =>
       val proj = aggregate(
         zip_with(col("embedding"),

@@ -54,6 +54,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dups EMITS planted near-duplicate pairs") {
+    // the fixture embeddings are random (max cosine ≈ 0.46), so the
+    // emission path needs a planted corpus: 20 random bases, each with a
+    // near-copy at id+100 (perturbation 1e-4 → cosine ≈ 1.0, same
+    // hyperplane bucket with overwhelming probability)
+    val rng = new scala.util.Random(823)
+    val dim = 32
+    val bases = (0L until 20L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = bases.flatMap { case (i, v) =>
+      val near = v.map(x => x + 1e-4f * (if (i % 2 == 0) 1 else -1))
+      Seq((i, v.toSeq), (i + 100L, near.toSeq))
+    }
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, dim, minCosine = 0.99, nBits = 8)
+      .collect()
+    val found = pairs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // every planted (i, i+100) pair must be found with cosine ≈ 1
+    (0L until 20L).foreach { i =>
+      assert(found.contains((i, i + 100L)), s"missing planted pair ($i, ${i + 100})")
+    }
+    pairs.foreach(r => assert(r.getAs[Double]("cosine") >= 0.99))
+  }
+
   test("brute-force cosine top-k is ordered and bounded") {
     val rows = Similarity.bruteForceTopK(spark, sfDir, queryId = 0, k = 10).collect()
     assert(rows.length <= 10)
