@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8 concurrent ALS fits at sf0.1 GC-thrash below ~16g (observed
+  // 60s-vs-250s bench variance on q73, and q70 at 219s vs 14s);
+  // the box has 128 GiB — size the single local[32] JVM accordingly
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

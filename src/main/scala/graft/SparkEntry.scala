@@ -59,6 +59,8 @@ object SparkEntry {
     "q33_events_hourly_streaming" -> (StreamEvents.hourlyAggStreaming _),
     "q34_events_session_streaming" -> (StreamEvents.sessionizeStreaming _),
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
+    "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
+    "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
     "q41_quality_score"     -> (Text.qualityScore _),
@@ -384,6 +386,35 @@ object SparkEntry {
       FROM sessed
       GROUP BY user_id, session_id
       ORDER BY user_id, start_us""",
+    // Spark-side: union + carry-forward window (one shuffle, no
+    // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
+    // two entirely different algorithms, same point-in-time semantics
+    "q36_asof_join" -> """
+      WITH c AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts, epoch_us(ts) AS p_us, value AS p_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+             p.p_us AS purchase_us, round(p.p_value, 2) AS purchase_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.user_id, click_id""",
+    // Spark-side: bin-quantized equi join + exact range filter (never
+    // n·m candidates); DuckDB replays the naive non-equi left join
+    "q37_range_join_binned" -> """
+      WITH c AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, epoch_us(ts) AS p_us, value AS p_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, c.click_id, c.click_us,
+             CAST(count(p.p_us) AS BIGINT) AS n_purchases_1h,
+             coalesce(round(sum(p.p_value), 2), 0.0) AS sum_purchase_value
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
+        AND p.p_us <= c.click_us AND p.p_us > c.click_us - 3600000000
+      GROUP BY c.user_id, c.click_id, c.click_us
+      ORDER BY c.user_id, c.click_id""",
     "q42_language_id" -> """
       WITH s AS (
         SELECT doc_id, lang,

@@ -55,6 +55,13 @@ object Recommend {
       .build()
     val evaluator = new RegressionEvaluator()
       .setMetricName("rmse").setLabelCol(ratingCol).setPredictionCol("prediction")
+    // materialize the cache BEFORE the parallel fold fits fan out:
+    // `parallelism` concurrent fits racing an unmaterialized cache
+    // duplicate the scan under storage locks (same failure mode as the
+    // concurrent KMeans fits — observed as 60s-vs-250s bench variance
+    // on this query)
+    val cached = train.cache()
+    cached.count()
     new CrossValidator()
       .setEstimator(als)
       .setEstimatorParamMaps(grid)
@@ -62,7 +69,7 @@ object Recommend {
       .setNumFolds(numFolds)
       .setParallelism(parallelism)
       .setSeed(seed)
-      .fit(train.cache())
+      .fit(cached)
   }
 
   /** R-28: CV introspection — the (rank, maxIter, regParam, avgRmse)

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed joins for training-data pipelines — as-of (point-in-time)
+  * join and interval/range join. Spark has no native ASOF/RANGE join
+  * operator, and the naive formulations are non-equi joins that plan as
+  * broadcast-nested-loop (O(n·m) — a scale killer), so both are
+  * re-expressed as equi-shaped plans:
+  *
+  *  - as-of: union both sides with a tag, ONE shuffle+sort per
+  *    partition key, then a `last(..., ignoreNulls)` carry-forward
+  *    window — each row is touched once, state is one row per key;
+  *  - range: quantize time into bins sized to the range width, explode
+  *    the right side into the (at most 2) bins it can match, equi-join
+  *    on (key, bin), then apply the exact range predicate — candidate
+  *    pairs are bounded by bin co-residency, never n·m.
+  *
+  * Both are exactly replayable by an external SQL engine (DuckDB's
+  * native ASOF JOIN / a plain non-equi join), which is the oracle for
+  * q36/q37.
+  */
+object TimeJoin {
+
+  /** Generic as-of join core: for each left row, the most recent right
+    * row with `right.ts <= left.ts` within the same `key`. `rightCols`
+    * are the right-side payload columns carried forward. Both inputs
+    * must have columns `key` and `ts`. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String]): DataFrame = {
+    // right rows sort BEFORE left rows at equal ts (tag 0 < 1), so an
+    // exactly-simultaneous right row is visible to the left row — the
+    // same >= semantics as SQL ASOF JOIN
+    val taggedLeft = left.withColumn("__tag", lit(1))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+    val taggedRight = rightCols.foldLeft(
+        right.select((key +: ts +: rightCols).map(col): _*).withColumn("__tag", lit(0))) {
+      (df, c) => df.withColumnRenamed(c, s"__r_$c")
+    }
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight, allowMissingColumns = true)) {
+      (df, c) => df.withColumn(s"__asof_$c", last(s"__r_$c", ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .drop("__tag" +: rightCols.map(c => s"__r_$c"): _*)
+  }
+
+  /** q36: point-in-time join over `events` — each click annotated with
+    * the user's most recent purchase at-or-before the click. One
+    * shuffle on user_id, one in-partition sort, one window pass. */
+  def asofClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    asofJoin(clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("__asof_p_us").as("purchase_us"),
+        round(col("__asof_p_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+
+  /** q37: interval join via time binning — purchases within 1 hour
+    * before each click, counted per click. The right side explodes into
+    * its bin and the next (a 1-hour range spans at most 2 one-hour
+    * bins), the join is pure equi on (user_id, bin), and the exact
+    * range predicate filters inside the matched bins. LEFT semantics:
+    * clicks with no purchase in range keep n=0. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 3600L * 1000000 // bin width = range width (1 hour)
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .withColumn("bin", floor(col("click_us") / binUs))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"),
+        col("value").as("p_value"))
+      // a purchase can only serve clicks in its own bin or the next one
+      .withColumn("bin", explode(array(
+        floor(col("p_us") / binUs), floor(col("p_us") / binUs) + 1)))
+    val matched = clicks
+      .join(purchases,
+        clicks("user_id") === purchases("p_user") && clicks("bin") === purchases("bin"),
+        "left")
+      .withColumn("in_range",
+        col("p_us").isNotNull &&
+        col("p_us") <= col("click_us") && col("p_us") > col("click_us") - binUs)
+    matched.groupBy("user_id", "click_id", "click_us")
+      .agg(
+        sum(when(col("in_range"), 1L).otherwise(0L)).as("n_purchases_1h"),
+        round(sum(when(col("in_range"), col("p_value")).otherwise(0.0)), 2)
+          .as("sum_purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+}

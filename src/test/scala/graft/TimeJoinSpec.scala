@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TimeJoin
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** As-of / range join semantics on a hand-built corpus where every
+  * answer is known: no-prior-row → null, exact-tie → matched (>=
+  * semantics), multiple candidates → latest wins, keys never cross. */
+class TimeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asofJoin picks the latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts(100), "c1"), // before any right row → null
+      (1L, ts(200), "c2"), // exact tie with r@200 → matched
+      (1L, ts(350), "c3"), // r@200 and r@300 prior → r@300 wins
+      (2L, ts(250), "c4")  // key 2 has r@240 only — no cross-key leak
+    ).toDF("key", "ts", "name")
+    val right = Seq(
+      (1L, ts(200), 20.0),
+      (1L, ts(300), 30.0),
+      (2L, ts(240), 99.0),
+      (2L, ts(260), 11.0) // after c4 → must not match
+    ).toDF("key", "ts", "rv")
+
+    val out = TimeJoin.asofJoin(left, right, "key", "ts", Seq("rv"))
+      .select(col("name"), col("__asof_rv"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1").isEmpty)
+    assert(out("c2").contains(20.0))
+    assert(out("c3").contains(30.0))
+    assert(out("c4").contains(99.0))
+  }
+
+  test("fixture asof join: purchase never later than click, nulls only before first purchase") {
+    val rows = TimeJoin.asofClickPurchase(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("purchase_us"))) {
+        assert(r.getAs[Long]("purchase_us") <= r.getAs[Long]("click_us"))
+      }
+    }
+  }
+
+  test("range join counts exactly the purchases in (click-1h, click]") {
+    val rows = TimeJoin.rangeJoinBinned(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation with a plain (non-scalable) non-equi join
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us"))
+    val naive = c.join(p,
+        c("user_id") === col("pu") &&
+        col("p_us") <= col("click_us") && col("p_us") > col("click_us") - 3600000000L,
+        "left")
+      .groupBy("click_id").agg(count(col("p_us")).as("n"))
+      .collect().map(r => r.getAs[Long]("click_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases_1h") == naive(r.getAs[Long]("click_id")),
+        s"click ${r.getAs[Long]("click_id")}")
+    }
+  }
+}

@@ -6,7 +6,7 @@
 set -e
 CP=$(cat /tmp/graft_cp.txt)
 MAIN=$1; shift
-exec java -Xmx${GRAFT_MEM:-12g} \
+exec java -Xmx${GRAFT_MEM:-24g} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
