@@ -80,4 +80,30 @@ class PropertySpec extends SparkSpec {
     assert(match30 == 32) // identical docs → identical signatures
     assert(match0 <= match30)
   }
+
+  test("simhash is bag-invariant: reordering tokens preserves it, editing a token changes it") {
+    // simhash sums per-token votes, so it must ignore token ORDER (bag
+    // semantics) — and a single token edit on a small doc should flip
+    // at least one of the 64 bits
+    val tokGen = Gen.zip(
+      Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "tok1", "tok2")),
+      Gen.choose(0L, Long.MaxValue))
+    forSamples(tokGen, n = 10) { case (toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      val df = Seq(
+        (1L, toks.mkString(" ")),
+        (2L, shuffled.mkString(" "))).toDF("doc_id", "text")
+      val sh = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sh(1L) == sh(2L), "reorder changed simhash")
+    }
+    // sensitivity is NOT universal (an edit flips a bit only if some
+    // vote sits at the sign boundary), so check it on one fixed case
+    val fixed = Seq(
+      (1L, "alpha beta gamma delta tok1 tok2"),
+      (2L, "alpha beta gamma delta tok1 EDITED")).toDF("doc_id", "text")
+    val fs = fixed.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fs(1L) != fs(2L), "fixed token edit did not change simhash")
+  }
 }
