@@ -386,6 +386,42 @@ object SparkEntry {
       FROM sessed
       GROUP BY user_id, session_id
       ORDER BY user_id, start_us""",
+    // the streaming replay runs in Complete mode over the whole fixture,
+    // so its final table must equal the BATCH hourly aggregation — the
+    // oracle is q30's SQL verbatim
+    "q33_events_hourly_streaming" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY hour_us, event_type
+      ORDER BY hour_us, event_type""",
+    // append-mode sessionization emits CLOSED sessions only: the batch
+    // session table minus each user's final (still-open-at-end) session
+    "q34_events_session_streaming" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessed AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, session_id,
+               CAST(count(1) AS INTEGER) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               epoch_us(min(ts)) AS start_us,
+               epoch_us(max(ts)) AS end_us
+        FROM sessed
+        GROUP BY user_id, session_id)
+      SELECT user_id, n_events, sum_value, start_us, end_us
+      FROM sessions
+      QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
+      ORDER BY user_id, start_us""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics

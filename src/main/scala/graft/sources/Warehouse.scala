@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse-layout sources/sinks: how this engine's tables live on
+  * disk at scale, and the interchange formats a training-data pipeline
+  * speaks (SURVEY §2.3 sources/sinks).
+  *
+  * The 100 TB layout contract: a table is a DIRECTORY of parquet,
+  * hive-partitioned on its natural pruning key (typically a date or
+  * category column). Readers that filter on the partition key never
+  * open the pruned directories — `PartitionFilters` in the scan node,
+  * asserted in SourcesSpec — and bucketed tables additionally join
+  * without a shuffle (BucketingSpec). Everything here is plain
+  * `DataFrameReader`/`Writer` so Catalyst's pruning, pushdown, and AQE
+  * apply untouched.
+  */
+object Warehouse {
+
+  /** Sink: hive-partitioned parquet. At scale, `partitionCols` is the
+    * pruning key (e.g. ingest date); low-cardinality keys only —
+    * every distinct value becomes a directory. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
+  /** Source for a partitioned table. Filters on partition columns
+    * become directory pruning, not data reads. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Sink: JSON-lines (the lingua franca of LLM training-data
+    * interchange). One JSON object per line, gzip-splittable parquet is
+    * still preferred at rest — JSONL is for pipeline boundaries. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Source: JSON-lines with an EXPLICIT schema — never schema
+    * inference at scale (inference scans the data twice and types
+    * drift run-to-run). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Source: delimiter-separated text (the reference's `.dat` shape is
+    * the `::` case, parsed in etl/MovieLens.scala; this is the generic
+    * CSV path with explicit schema + malformed-row policy). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ",", header: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("delimiter", delimiter)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+}
