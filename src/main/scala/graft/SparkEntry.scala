@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_simhash_buckets"   -> (Dedup.simhashBuckets _),
     "q55_ngram_jaccard"     -> (Dedup.ngramJaccardPairs _),
     "q56_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
+    "q57_dup_components"    -> ((s: SparkSession, d: String) => Dedup.duplicateComponents(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -604,6 +605,39 @@ object SparkEntry {
       SELECT vec_a, vec_b, round(cos, 4) AS cosine
       FROM pairs WHERE cos >= 0.95
       ORDER BY vec_a, vec_b""",
+    // connected components reached by a recursive CTE (label
+    // propagation to fixpoint) — the Spark side uses iterative
+    // min-propagation + pointer jumping; both must land on the same
+    // per-component (min-id representative, size) table
+    "q57_dup_components" -> """
+      WITH RECURSIVE p AS (
+        SELECT vec_id, embedding, b.b,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN (((i - 1) * 2654435761 + b.b * 40503) // 8192) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))) AS proj
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+      buck AS (
+        SELECT vec_id, any_value(embedding) AS embedding,
+               CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        FROM p GROUP BY vec_id),
+      pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b2
+        FROM buck l JOIN buck r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE list_sum(list_transform(range(1, len(l.embedding) + 1),
+                i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.25),
+      edges AS (SELECT a AS src, b2 AS dst FROM pairs
+                UNION ALL SELECT b2, a FROM pairs),
+      reach(v, r) AS (
+        SELECT vec_id, vec_id FROM buck
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.v = e.src),
+      comp AS (SELECT v, min(r) AS rep FROM reach GROUP BY v)
+      SELECT rep AS component_rep, CAST(count(1) AS BIGINT) AS n_members
+      FROM comp GROUP BY rep ORDER BY rep""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -208,6 +208,79 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  /** Connected components over a near-dup pair graph — the step a real
+    * dedup pipeline runs AFTER pair generation: transitive closure of
+    * "is a near-dup of", one representative (min id) per duplicate
+    * group. Iterative DataFrame algorithm, no GraphX:
+    * each round does (1) a neighbor-min step — every vertex adopts the
+    * smallest representative among itself and its neighbors (one
+    * shuffle join on dst + one aggregate) — and (2) a POINTER-JUMP —
+    * rep(v) := rep(rep(v)) — which halves representative-chain lengths,
+    * so convergence is O(log diameter) rounds, not O(diameter) (the
+    * same doubling idea as Kiveris et al.'s star operations). Progress
+    * is monotone (representatives only decrease), so an unchanged
+    * Σrep detects the fixpoint with one cheap aggregate per round.
+    * `vertices` needs column `id`; `edges` columns `src`/`dst`. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 15): DataFrame = {
+    // no distinct: duplicate edges are harmless under min-aggregation,
+    // and deduping would cost a full shuffle of the edge set
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    sym.count()
+    var rep = vertices.select(col("id"), col("id").as("rep")).cache()
+    var prevSum = rep.agg(sum("rep")).head().getLong(0)
+    var it = 0; var done = false
+    while (!done && it < maxIter) {
+      val nbr = sym.join(rep.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy("src").agg(min("rep").as("nmin"))
+      val stepped = rep.join(nbr, rep("id") === nbr("src"), "left")
+        .select(rep("id").as("id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+      val lookup = stepped.select(col("id").as("jid"), col("rep").as("jrep"))
+      // localCheckpoint TRUNCATES LINEAGE — without it each iteration's
+      // logical plan embeds the previous one ~4× (rep appears in both
+      // join inputs, stepped self-joins for the jump), so analysis cost
+      // grows 4^rounds and round ~10 hangs the driver. Checkpointing
+      // makes every round start from a materialized scan.
+      val jumped = stepped.join(lookup, stepped("rep") === col("jid"))
+        .select(stepped("id").as("id"), col("jrep").as("rep"))
+        .localCheckpoint(true)
+      val s = jumped.agg(sum("rep")).head().getLong(0)
+      rep.unpersist()
+      rep = jumped
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    sym.unpersist()
+    rep
+  }
+
+  /** q57: duplicate-group assignment over the embedding near-dup graph
+    * (hyperplane-bucket candidate pairs at `minCosine`), one row per
+    * component with its min-id representative and size. Deterministic
+    * end-to-end, so the DuckDB oracle replays it with a recursive CTE —
+    * a completely different algorithm reaching the same fixpoint. */
+  def duplicateComponents(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25, nBits: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    // rawPairs: same candidate generation as q56 but WITHOUT its
+    // presentation sort — edges feeding an iterative join don't need a
+    // global order
+    val pairs = rawNearDupPairs(emb, dim, minCosine, nBits)
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    connectedComponents(verts,
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      .groupBy(col("rep").as("component_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component_rep")
+  }
+
   /** Embedding-cosine near-dup via random-hyperplane bucketing: vectors
     * agreeing on `nBits` hyperplane signs land in one bucket; exact
     * cosine is computed only within buckets. Deterministic hyperplanes
@@ -229,6 +302,15 @@ object Dedup {
     * registered q56 correctly returns zero pairs; the pair-EMISSION
     * path is exercised by DedupSimilaritySpec's planted corpus). */
   def embeddingNearDupPairs(emb: DataFrame, dim: Int,
+      minCosine: Double, nBits: Int): DataFrame =
+    rawNearDupPairs(emb, dim, minCosine, nBits)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+
+  /** Candidate pairs with raw cosine, unsorted — the form consumed by
+    * iterative algorithms (connected components) that don't want the
+    * presentation sort. */
+  def rawNearDupPairs(emb: DataFrame, dim: Int,
       minCosine: Double, nBits: Int): DataFrame = {
     // deterministic pseudo-random hyperplanes: sign pattern from a
     // multiplicative hash of (dimension index, bit index)
@@ -248,7 +330,5 @@ object Dedup {
         col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         VectorFunctions.cosineSim(col("l.embedding"), col("r.embedding")).as("cos"))
       .filter(col("cos") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
-      .orderBy("vec_a", "vec_b")
   }
 }

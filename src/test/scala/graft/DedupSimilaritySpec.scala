@@ -54,6 +54,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("connected components: cliques, long paths, singletons all resolve to min-id reps") {
+    import spark.implicits._
+    // component A: clique {0,1,2}; component B: a 12-vertex PATH
+    // 10-11-...-21 (diameter 11 > maxIter would fail without pointer
+    // jumping); singleton 99
+    val pathEdges = (10L until 21L).map(i => (i, i + 1))
+    val edges = (Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++ pathEdges).toDF("src", "dst")
+    val verts = ((0L to 2L) ++ (10L to 21L) ++ Seq(99L)).toDF("id")
+    val rep = Dedup.connectedComponents(verts, edges, maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 2L).foreach(v => assert(rep(v) == 0L, s"vertex $v"))
+    (10L to 21L).foreach(v => assert(rep(v) == 10L, s"vertex $v"))
+    assert(rep(99L) == 99L)
+  }
+
+  test("duplicateComponents partitions all vectors and sizes sum to the corpus") {
+    val comps = Dedup.duplicateComponents(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(comps.map(_.getAs[Long]("n_members")).sum == n,
+      "components must partition the vector set")
+    // representative is a member: rep ids are distinct and within range
+    val reps = comps.map(_.getAs[Long]("component_rep"))
+    assert(reps.distinct.length == reps.length)
+  }
+
   test("embedding near-dups EMITS planted near-duplicate pairs") {
     // the fixture embeddings are random (max cosine ≈ 0.46), so the
     // emission path needs a planted corpus: 20 random bases, each with a
