@@ -67,6 +67,7 @@ object SparkEntry {
     "q42_language_id"       -> (Text.languageId _),
     "q43_fingerprints"      -> (Text.fingerprints _),
     "q44_tfidf_top_terms"   -> ((s: SparkSession, d: String) => Text.tfIdfTopTerms(s, d)),
+    "q45_pii_redaction"     -> (Text.piiRedaction _),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
     "q51_dedup_exact_content" -> (Dedup.exactByContent _),
@@ -537,6 +538,26 @@ object SparkEntry {
       FROM ranked
       WHERE rk <= 3
       ORDER BY doc_id, rk""",
+    // identical regexes, identical synthesized PII input — DuckDB must
+    // reproduce the redacted text byte-for-byte ('g' = replace all,
+    // matching Spark's regexp_replace semantics)
+    "q45_pii_redaction" -> """
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.com from 10.0.'
+                    || (doc_id % 256) || '.7 tel 555-' || ((doc_id % 9000) + 1000) AS txt
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+      FROM t
+      ORDER BY doc_id""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

@@ -162,4 +162,47 @@ object Text {
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** PII patterns shared by the redactor and its counters. Kept to the
+    * regex subset Java and RE2 (DuckDB) interpret identically — char
+    * classes, bounded quantifiers, `\b` — so the oracle replays the
+    * redaction byte-for-byte. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Scrub emails, IPv4 addresses, and phone-shaped numbers — the
+    * standard pre-training privacy pass. Order matters: emails first
+    * (their dotted domains must not be half-eaten by the IP rule),
+    * then IPs, then phones. Pure codegen'd `regexp_replace`, narrow,
+    * no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** q45: redaction over documents. The fixture corpus carries no PII,
+    * so each document gets a DETERMINISTIC synthetic contact suffix
+    * (derived from doc_id — the oracle rebuilds the identical input),
+    * and the query emits the redacted text plus per-kind match counts.
+    * A wrong pattern, wrong replacement order, or engine-dialect
+    * divergence shows up as a hash mismatch. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.com from 10.0."),
+        col("doc_id") % 256, lit(".7 tel 555-"),
+        (col("doc_id") % 9000) + 1000).as("txt"))
+    withPii.select(
+      col("doc_id"),
+      redactPii(col("txt")).as("redacted"),
+      regexp_count(col("txt"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("txt"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col("txt"), lit(PhoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
 }

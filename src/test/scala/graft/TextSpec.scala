@@ -66,6 +66,23 @@ class TextSpec extends SparkSpec {
     assert(byDf.keys.nonEmpty)
   }
 
+  test("PII redaction removes every email/IP/phone and is idempotent") {
+    val rows = Text.piiRedaction(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@"), s"email survived: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+      assert(r.getAs[Long]("n_emails") >= 1L && r.getAs[Long]("n_ips") >= 1L)
+    }
+    // idempotence: redacting already-redacted text changes nothing
+    val once = Seq(("a email bob@x.com ip 10.0.0.1 tel 555-1234"))
+      .toDF("t").select(Text.redactPii(col("t")).as("r1"))
+      .select(col("r1"), Text.redactPii(col("r1")).as("r2")).head()
+    assert(once.getString(0) == once.getString(1))
+    assert(once.getString(0) == "a email <EMAIL> ip <IP> tel <PHONE>")
+  }
+
   test("ImageIO decode recovers the exact dimensions and pixel sum encoded") {
     // exact roundtrip, no Spark: encode a known image, decode via the
     // same ImageIO path the operator uses, compare pixel-for-pixel sum
