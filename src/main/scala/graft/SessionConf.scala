@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Guarded session-config mutation. Spark session conf is global mutable
+  * state; an unsynchronized save/set/restore around a query races under
+  * concurrent submission (two callers interleave and one "restores" the
+  * other's temporary value). All operator-level conf changes in this
+  * engine go through here so the mutation window is serialized.
+  */
+object SessionConf {
+  private val lock = new Object
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`, restoring
+    * the previous value afterwards. The body must TRIGGER the work it
+    * wants sized (start the streaming query, run the actions of an
+    * iterative loop, call `.fit`): shuffle-partition count is read at
+    * query execution, so a lazily-built frame executed outside the block
+    * does not see `n`. Serialized — concurrent batch queries on other
+    * threads keep the session default. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A =
+    lock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; reading it as a raw long requires
+    * `spark.sql.legacy.parquet.nanosAsLong`. The flag is re-checked at
+    * SCAN EXECUTION, not plan time, so it must stay set for the lifetime
+    * of every frame derived from the table — deliberately set-once and
+    * never restored (restoring would break any lazily-executed frame
+    * still holding the scan). Idempotent. */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    lock.synchronized {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+}

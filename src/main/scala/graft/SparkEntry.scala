@@ -52,6 +52,7 @@ object SparkEntry {
     "q25_approx_distinct"   -> (Relational.approxDistinct _),
     "q26_json_struct"       -> (Relational.jsonStruct _),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
+    "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q34_events_session_streaming" -> (StreamEvents.sessionizeStreaming _),
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
+    "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -80,8 +82,11 @@ object SparkEntry {
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
-    "q62_ann_lsh_topk"      -> ((s: SparkSession, d: String) => Similarity.annLshTopK(s, d)),
-    "q63_ivf_topk"          -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // q62/q63 emit the folded recall contract (ANN top-k ∩ exact top-k
+    // ≥ floor), not the raw candidate lists — the candidates are seeded-
+    // stochastic; the contract row is deterministic and oracle-checkable
+    "q62_ann_lsh_topk"      -> ((s: SparkSession, d: String) => Similarity.annLshRecall(s, d)),
+    "q63_ivf_topk"          -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
@@ -327,6 +332,19 @@ object SparkEntry {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_suppkey, s_name
       ORDER BY s_suppkey""",
+    // the round trip must lose nothing: the oracle aggregates the SOURCE
+    // orders table; the engine aggregates the partitioned re-read.
+    // partition_pruned is plan evidence folded into the graded row
+    // (PartitionFilters present on the o_year scan)
+    "q28_warehouse_roundtrip" -> """
+      SELECT o_orderpriority,
+             count(1) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price,
+             true AS partition_pruned
+      FROM orders
+      WHERE year(o_orderdate) = 1995
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q31_events_sliding" -> """
       WITH b AS (
         SELECT event_type, value,
@@ -424,6 +442,18 @@ object SparkEntry {
       FROM sessions
       QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)
       ORDER BY user_id, start_us""",
+    // append + watermark emits exactly the FINALIZED windows: those whose
+    // end the final watermark (max event time − 1 h) has passed; the
+    // still-open tail stays in state, as it would on an unbounded source.
+    // The oracle replays that subset rule over the batch aggregate.
+    "q38_events_hourly_append" -> """
+      WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM events, m
+      GROUP BY hour_us, event_type, m.mx
+      HAVING hour_us + 3600000000 <= m.mx - 3600000000
+      ORDER BY hour_us, event_type""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics
@@ -717,5 +747,49 @@ object SparkEntry {
       FROM sims
       ORDER BY cosine DESC, vec_id
       LIMIT 10""",
+    // q62/q63: the ANN candidate lists are seeded-stochastic (spark.ml
+    // LSH / KMeans internals), so the graded row is the DETERMINISTIC
+    // part — the exact top-k's size and min cosine (replayed arithmetic,
+    // same CTE as q61) — plus the recall_ok contract boolean: a degraded
+    // index emits false and fails the hash. The ≥0.5 (LSH) / ≥0.3 (IVF
+    // 1-of-4-lists probe) floors mirror DedupSimilaritySpec.
+    "q62_ann_lsh_topk" -> """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0),
+      topk AS (
+        SELECT vec_id, round(cos, 4) AS cosine
+        FROM sims ORDER BY cosine DESC, vec_id LIMIT 10)
+      SELECT CAST(10 AS BIGINT) AS k,
+             CAST(count(1) AS BIGINT) AS n_exact,
+             round(min(cosine), 4) AS bf_min_cosine,
+             true AS recall_ok
+      FROM topk""",
+    "q63_ivf_topk" -> """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0),
+      topk AS (
+        SELECT vec_id, round(cos, 4) AS cosine
+        FROM sims ORDER BY cosine DESC, vec_id LIMIT 10)
+      SELECT CAST(10 AS BIGINT) AS k,
+             CAST(count(1) AS BIGINT) AS n_exact,
+             round(min(cosine), 4) AS bf_min_cosine,
+             true AS recall_ok
+      FROM topk""",
   )
 }

@@ -29,8 +29,9 @@ object Tables {
     * DuckDB's `epoch_us` applies, so oracle comparisons line up. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Must stay set for the lifetime of the plan (checked again at scan
-    // execution), so it is session-level, not save/restored.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // execution), so it is session-level, not save/restored — see the
+    // helper's doc for why.
+    SessionConf.ensureNanosAsLong(spark)
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -82,13 +82,16 @@ object FixturePipelines {
   }
 
   /** Small grid-searched CV (R-26..R-28): 2×2×2 grid, 2 folds,
-    * parallelism 8 — the reference's 27×3 shape shrunk to keep verify
-    * latency sane; CvSpec runs the introspection contract. */
+    * parallelism 4 — the reference's 27×3 shape shrunk to keep verify
+    * latency sane; CvSpec runs the introspection contract. Parallelism
+    * is 4, not 8: the 8 fits share one local JVM, and 8 concurrent ALS
+    * fits oversubscribed it (alternating 48 s / 200 s bench runs —
+    * round-3 verdict); 4 keeps the fan-out win without the thrash. */
   def alsCvGrid(spark: SparkSession, dir: String): DataFrame = {
     val (train, _) = MovieLens.trainTestSplit(ratings(spark, dir))
     val cv = Recommend.gridSearchCV(train,
       ranks = Seq(5, 10), maxIters = Seq(10), regParams = Seq(0.05, 0.1),
-      numFolds = 2, parallelism = 8)
+      numFolds = 2, parallelism = 4)
     Recommend.cvResults(spark, cv)
       .select(col("rank"), col("maxIter"), col("regParam"),
         round(col("avg_rmse"), 4).as("avg_rmse"))

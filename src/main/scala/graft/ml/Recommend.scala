@@ -62,14 +62,24 @@ object Recommend {
     // on this query)
     val cached = train.cache()
     cached.count()
-    new CrossValidator()
-      .setEstimator(als)
-      .setEstimatorParamMaps(grid)
-      .setEvaluator(evaluator)
-      .setNumFolds(numFolds)
-      .setParallelism(parallelism)
-      .setSeed(seed)
-      .fit(cached)
+    // the concurrent fits share one JVM here: each ALS iteration is
+    // numBlocks-partitioned internally, but every evaluation/split
+    // shuffle takes spark.sql.shuffle.partitions tasks — at the 32-task
+    // session default, `parallelism` concurrent fits schedule hundreds
+    // of mostly-empty tasks per stage, which is where the observed
+    // 4× run-to-run bench variance lived. 16 keeps each fit parallel
+    // while halving the churn; on a real cluster the fits spread across
+    // executors and the session default applies.
+    graft.SessionConf.withShufflePartitions(cached.sparkSession, 16) {
+      new CrossValidator()
+        .setEstimator(als)
+        .setEstimatorParamMaps(grid)
+        .setEvaluator(evaluator)
+        .setNumFolds(numFolds)
+        .setParallelism(parallelism)
+        .setSeed(seed)
+        .fit(cached)
+    }
   }
 
   /** R-28: CV introspection — the (rank, maxIter, regParam, avgRmse)

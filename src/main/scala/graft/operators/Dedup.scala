@@ -84,17 +84,19 @@ object Dedup {
     * → within-bucket self-join → distinct pairs. Candidate count is
     * |buckets|-bounded, never n². */
   def minhashNearDupPairs(spark: SparkSession, dir: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4,
+      numPartitions: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     // repartition: one parquet file would otherwise mean ONE task doing
     // every signature; at 100 TB the input arrives pre-split, locally
-    // this spreads the per-doc work across all cores. Signatures are
+    // this spreads the per-doc work across all cores (`numPartitions`
+    // sizes it explicitly for tests / cluster runs). Signatures are
     // computed in two projection steps (tokenize once, then fold) and
     // the banded table is cached because BOTH sides of the self-join
     // consume it — without the cache the whole signature pipeline runs
     // twice.
     val sigs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(numPartitions.getOrElse(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), shingleHashes(col("text")).as("h"))
       .select(col("doc_id"), minhashFromHashes(col("h"), numHashes).as("sig"))
     val banded = sigs.select(
@@ -222,40 +224,71 @@ object Dedup {
     * Σrep detects the fixpoint with one cheap aggregate per round.
     * `vertices` needs column `id`; `edges` columns `src`/`dst`. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 15): DataFrame = {
-    // no distinct: duplicate edges are harmless under min-aggregation,
-    // and deduping would cost a full shuffle of the edge set
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
-    sym.count()
-    var rep = vertices.select(col("id"), col("id").as("rep")).cache()
-    var prevSum = rep.agg(sum("rep")).head().getLong(0)
-    var it = 0; var done = false
-    while (!done && it < maxIter) {
-      val nbr = sym.join(rep.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy("src").agg(min("rep").as("nmin"))
-      val stepped = rep.join(nbr, rep("id") === nbr("src"), "left")
-        .select(rep("id").as("id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-      val lookup = stepped.select(col("id").as("jid"), col("rep").as("jrep"))
-      // localCheckpoint TRUNCATES LINEAGE — without it each iteration's
-      // logical plan embeds the previous one ~4× (rep appears in both
-      // join inputs, stepped self-joins for the jump), so analysis cost
-      // grows 4^rounds and round ~10 hangs the driver. Checkpointing
-      // makes every round start from a materialized scan.
-      val jumped = stepped.join(lookup, stepped("rep") === col("jid"))
-        .select(stepped("id").as("id"), col("jrep").as("rep"))
-        .localCheckpoint(true)
-      val s = jumped.agg(sum("rep")).head().getLong(0)
-      rep.unpersist()
-      rep = jumped
-      done = s == prevSum
-      prevSum = s
-      it += 1
+      maxIter: Int = 15, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    // Per-round cost is FIXED overhead (task launch, shuffle state for 2
+    // joins + an aggregate, an eager localCheckpoint), and the iterated
+    // frames are tiny relative to the corpus — vertices + near-dup
+    // edges, kilobytes for a 500-vertex graph. At the 32-partition
+    // session default that constant dominated (q57: 143 s); 8 loop
+    // partitions keep the rounds parallel while cutting it 4×. At real
+    // scale pass `numPartitions` sized to the edge set, not the corpus.
+    val parts = numPartitions.getOrElse(
+      math.min(8, spark.sparkContext.defaultParallelism))
+    // sum-of-reps fixpoint probe; sum() of zero rows is SQL NULL, so an
+    // empty vertex set must not NPE (guarded to 0 — loop exits round 1)
+    def repSum(df: DataFrame): Long =
+      Option(df.agg(sum("rep")).head().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
+    graft.SessionConf.withShufflePartitions(spark, parts) {
+      // no distinct: duplicate edges are harmless under min-aggregation,
+      // and deduping would cost a full shuffle of the edge set.
+      // Pre-partitioned on dst so the per-round neighbor-min join reuses
+      // this exchange instead of re-shuffling the edges every round.
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(parts, col("dst"))
+        .cache()
+      sym.count()
+      var rep = vertices.select(col("id"), col("id").as("rep")).cache()
+      var prevSum = repSum(rep)
+      var it = 0; var done = false
+      while (!done && it < maxIter) {
+        val nbr = sym.join(rep.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+          .groupBy("src").agg(min("rep").as("nmin"))
+        val stepped = rep.join(nbr, rep("id") === nbr("src"), "left")
+          .select(rep("id").as("id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        val lookup = stepped.select(col("id").as("jid"), col("rep").as("jrep"))
+        // localCheckpoint TRUNCATES LINEAGE — without it each iteration's
+        // logical plan embeds the previous one ~4× (rep appears in both
+        // join inputs, stepped self-joins for the jump), so analysis cost
+        // grows 4^rounds and round ~10 hangs the driver. Checkpointing
+        // makes every round start from a materialized scan.
+        val jumped = stepped.join(lookup, stepped("rep") === col("jid"))
+          .select(stepped("id").as("id"), col("jrep").as("rep"))
+          .localCheckpoint(true)
+        rep.unpersist()
+        rep = jumped
+        it += 1
+        // fixpoint probe every 2nd round: the probe is a driver action, and
+        // pointer jumping converges in O(log diameter) rounds anyway, so
+        // probing half the rounds halves the per-round action count for
+        // one possibly-redundant extra round of (cheap) joins
+        if (it % 2 == 0 || it == maxIter) {
+          val s = repSum(rep)
+          done = s == prevSum
+          prevSum = s
+        }
+      }
+      sym.unpersist()
+      // a partially-converged labeling is WRONG data (under-merged
+      // groups), not a degraded answer — fail loudly rather than return it
+      require(done,
+        s"connected components did not converge in $maxIter rounds " +
+          "(raise maxIter; rounds needed ≈ log2(graph diameter))")
+      rep
     }
-    sym.unpersist()
-    rep
   }
 
   /** q57: duplicate-group assignment over the embedding near-dup graph
@@ -264,9 +297,10 @@ object Dedup {
     * end-to-end, so the DuckDB oracle replays it with a recursive CTE —
     * a completely different algorithm reaching the same fixpoint. */
   def duplicateComponents(spark: SparkSession, dir: String,
-      minCosine: Double = 0.25, nBits: Int = 8): DataFrame = {
+      minCosine: Double = 0.25, nBits: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(numPartitions.getOrElse(spark.sparkContext.defaultParallelism))
     val dim = Tables.embeddings(spark, dir)
       .select(size(col("embedding"))).head().getInt(0)
     // rawPairs: same candidate generation as q56 but WITHOUT its
@@ -275,7 +309,8 @@ object Dedup {
     val pairs = rawNearDupPairs(emb, dim, minCosine, nBits)
     val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
     connectedComponents(verts,
-        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")),
+        numPartitions = numPartitions)
       .groupBy(col("rep").as("component_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("component_rep")
@@ -286,9 +321,10 @@ object Dedup {
     * cosine is computed only within buckets. Deterministic hyperplanes
     * (hash-derived), so no fitted state to ship. */
   def embeddingNearDups(spark: SparkSession, dir: String,
-      minCosine: Double = 0.95, nBits: Int = 8): DataFrame = {
+      minCosine: Double = 0.95, nBits: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(numPartitions.getOrElse(spark.sparkContext.defaultParallelism))
     // vector dim probed from one row (schema alone can't know it); the
     // deterministic hyperplane literals below are sized to it
     val dim = Tables.embeddings(spark, dir)

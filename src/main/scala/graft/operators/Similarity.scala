@@ -68,12 +68,21 @@ object Similarity {
     * learns the `nLists` centroids (the earlier placeholder used the
     * first `nLists` vectors, which is not a quantizer), every vector is
     * assigned to its nearest centroid by the fitted model (a broadcast
-    * of the centers + one narrow pass — no shuffle), and a query probes
-    * only its own list, touching ~1/nLists of the data. `assigned` is
-    * cached because both the query-lookup side and the probe side
-    * consume it — uncached, the full assignment pass would run twice. */
+    * of the centers + one narrow pass — no shuffle), and a query is
+    * MULTI-PROBE: it searches the `nProbe` lists whose centroids are
+    * nearest the query vector, touching ~nProbe/nLists of the data.
+    * Single-probe recall collapses when true neighbors quantize into an
+    * adjacent cell (with weakly-clustered embeddings each neighbor lands
+    * in the query's own list with probability ≈ 1/nLists); nProbe = 2 is
+    * the standard recall/latency knob, same role as FAISS's `nprobe`.
+    * Probe-list selection ranks the nLists fitted centroids against the
+    * query — a driver-side O(nLists·dim) step on already-driver-resident
+    * model state, not a data collect. `assigned` is cached because both
+    * the query-lookup side and the probe side consume it — uncached, the
+    * full assignment pass would run twice. */
   def ivfTopK(spark: SparkSession, dir: String,
-      queryId: Long = 0L, k: Int = 10, nLists: Int = 4): DataFrame = {
+      queryId: Long = 0L, k: Int = 10, nLists: Int = 4,
+      nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
@@ -84,14 +93,72 @@ object Similarity {
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
       .cache()
-    val queryList = assigned.filter(col("vec_id") === queryId)
-      .select(col("cent_id").as("q_cent"), col("embedding").as("q"))
-    assigned.filter(col("vec_id") =!= queryId)
-      .join(broadcast(queryList), col("cent_id") === col("q_cent"))
+    // rank the fitted centroids (nLists rows of driver-resident model
+    // state) by cosine against the query vector; the query row itself is
+    // a bounded 1-row probe
+    val qVec = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> cos(qVec, c.toArray) }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nProbe).map(_._1.toLong)
+    val query = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    assigned
+      .filter(col("vec_id") =!= queryId && col("cent_id").isin(probeLists: _*))
+      .join(broadcast(query))
       .select(col("vec_id"), col("label"),
         round(cosineSim(col("embedding"), col("q")), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** q62 graded form: the ANN-vs-exact recall contract folded INTO the
+    * query so it is hash-checkable (the q25/q54 pattern — the LSH
+    * candidate set itself is seeded-stochastic and engine-specific, so
+    * emitting ids/ranks would be oracle-fragile; the deterministic
+    * invariant columns are what an external engine can replay). One row:
+    * the exact top-k's size and min cosine (pure arithmetic, DuckDB
+    * replays it) plus `recall_ok` — ANN∩exact ≥ ceil(k·minRecall), the
+    * same ≥0.5 contract DedupSimilaritySpec asserts. A false here means
+    * the ANN index degraded, and the oracle hash flags it. */
+  def annLshRecall(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, minRecall: Double = 0.5): DataFrame =
+    recallContract(annLshTopK(spark, dir, queryId, k),
+      bruteForceTopK(spark, dir, queryId, k), k, minRecall)
+
+  /** q63 graded form: same folded contract for the IVF path. A 1-of-4
+    * probe can miss true neighbors whose vectors quantized into another
+    * list, so the floor is the weaker ≥0.3 — still far above chance
+    * (random k of n would overlap ~k²/n ≈ 0.2 vectors at sf0.01) and
+    * tight enough that a broken quantizer or probe join fails it. */
+  def ivfRecall(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, minRecall: Double = 0.3): DataFrame =
+    recallContract(ivfTopK(spark, dir, queryId, k),
+      bruteForceTopK(spark, dir, queryId, k), k, minRecall)
+
+  /** Shared recall-contract shape: one row of deterministic columns.
+    * Distributed end-to-end — the overlap is a join + count, never a
+    * driver-side set intersection. */
+  private def recallContract(approx: DataFrame, exact: DataFrame,
+      k: Int, minRecall: Double): DataFrame = {
+    val hits = approx.select(col("vec_id"))
+      .join(exact.select(col("vec_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val bf = exact.agg(
+      count(lit(1)).as("n_exact"),
+      min(col("cosine")).as("bf_min_cosine"))
+    bf.join(broadcast(hits))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_exact"),
+        round(col("bf_min_cosine"), 4).as("bf_min_cosine"),
+        (col("n_overlap") >= math.ceil(k * minRecall).toLong).as("recall_ok"))
   }
 
   /** Per-vector L2 norms + dimensionality — the sanity/oracle query for

@@ -40,7 +40,13 @@ object TimeJoin {
         right.select((key +: ts +: rightCols).map(col): _*).withColumn("__tag", lit(0))) {
       (df, c) => df.withColumnRenamed(c, s"__r_$c")
     }
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__tag"))
+    // deterministic tie-break: among multiple right rows sharing one
+    // (key, ts), the payload columns order the window, so last() always
+    // carries the greatest payload tuple — without this, which right row
+    // a left row sees at an exact-timestamp collision is engine-internal
+    // row order (and an oracle using a different engine could differ)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("__tag") +: rightCols.map(c => col(s"__r_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight, allowMissingColumns = true)) {
       (df, c) => df.withColumn(s"__asof_$c", last(s"__r_$c", ignoreNulls = true).over(w))

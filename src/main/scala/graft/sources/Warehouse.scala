@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -29,6 +30,35 @@ object Warehouse {
     * become directory pruning, not data reads. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** q28: the write path on the graded surface — a full warehouse round
+    * trip. `orders` is written as a hive-partitioned parquet table
+    * (partition key = order year, the natural pruning key), read back
+    * with a partition-key filter, and aggregated. Partition PRUNING is
+    * part of the graded row: the reader's physical scan must carry a
+    * `PartitionFilters` entry on the key — the plan is inspected (a
+    * string check on the planned scan, no execution) and the result is
+    * emitted as `partition_pruned`, so a layout regression that silently
+    * falls back to reading every directory fails the oracle hash, not
+    * just a spec. The oracle replays the aggregate over the SOURCE
+    * table: round-tripping through the partitioned layout must lose
+    * nothing. */
+  def ordersRoundTrip(spark: SparkSession, dir: String,
+      path: String = "/tmp/graft_warehouse_orders", filterYear: Int = 1995): DataFrame = {
+    writePartitioned(
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate"))),
+      path, Seq("o_year"))
+    val back = readPartitioned(spark, path).filter(col("o_year") === filterYear)
+    val scan = back.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    val pruned = "PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(scan).isDefined
+    back.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .withColumn("partition_pruned", lit(pruned))
+      .orderBy("o_orderpriority")
+  }
 
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is

@@ -98,17 +98,24 @@ object Events {
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .repartitionByRange(nFiles, col("ts"))
       .write.parquet(staging)
+    // FileStreamSource replays files in MODIFICATION-TIME order, and the
+    // parallel write's tasks finish in arbitrary order — observed: the
+    // newest time slice landing in batch 0, advancing the watermark so
+    // the remaining (older) files arrived as late data and were dropped
+    // by append-mode stateful operators. Stamp mtimes in range order
+    // (part-file index == repartitionByRange partition index == time
+    // slice order) so the replay is chronological, as it would be from a
+    // live source filling the directory.
+    new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
     staging
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(path)
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-  }
+  private def deleteRecursively(path: String): Unit =
+    graft.Fs.deleteRecursively(path)
 
   /** The hourly aggregation as a genuine Structured Streaming query over
     * a FILE SOURCE: the batch `events` table is staged (distributed
@@ -139,18 +146,72 @@ object Events {
     // stateful-operator partition count is fixed from shuffle.partitions
     // at query start; 8 is plenty for the replay and saves 4× on
     // per-microbatch state-store overhead vs a 32-core batch default
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      deleteRecursively(staging)
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(staging)
+      }
     }
     spark.table(qname)
+      .select(
+        unix_micros(col("win.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  /** q38: the hourly aggregation as BOUNDED-STATE streaming output —
+    * watermark + Append mode into a PARQUET FILE SINK, the form that
+    * actually flies at 100 TB (q33's Complete-mode memory sink holds the
+    * whole aggregate table driver-side; append emits each window exactly
+    * once when the watermark passes its end, state for closed windows is
+    * dropped, and output lands executor-side in the sink directory).
+    * Append semantics make the result a deterministic SUBSET of the
+    * batch aggregate: only windows whose end ≤ final watermark
+    * (max event time − 1 h) are finalized; still-open windows stay in
+    * state, exactly as on an unbounded source. The oracle replays that
+    * subset rule in SQL. The sink is read back for the returned frame —
+    * fixed path, cleared at start (a parquet sink cannot overwrite). */
+  def hourlyAggAppendSink(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = "/tmp/graft_stream_hourly_sink"
+    val ckptDir = "/tmp/graft_stream_hourly_ckpt"
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      // Trigger.AvailableNow, NOT processAllAvailable: append-mode
+      // emission happens in the batch AFTER the watermark passes a
+      // window's end, and processAllAvailable returns once all *data*
+      // batches commit — the trailing no-data flush batches would race
+      // the stop() and windows already past the watermark would stay
+      // unemitted (observed: half the finalized windows missing).
+      // AvailableNow keeps triggering until the engine itself reports no
+      // further batch is needed — data exhausted AND watermark flushes
+      // done — then terminates the query.
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+      } finally {
+        q.stop()
+        deleteRecursively(staging)
+      }
+    }
+    spark.read.parquet(sinkDir)
       .select(
         unix_micros(col("win.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -216,16 +277,15 @@ object Events {
           closed.result().iterator
       }
     val qname = "graft_sess_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = out.toDF().writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      deleteRecursively(staging)
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(staging)
+      }
     }
     spark.table(qname).orderBy("user_id", "start_us")
   }

@@ -58,15 +58,25 @@ class DedupSimilaritySpec extends SparkSpec {
     import spark.implicits._
     // component A: clique {0,1,2}; component B: a 12-vertex PATH
     // 10-11-...-21 (diameter 11 > maxIter would fail without pointer
-    // jumping); singleton 99
+    // jumping); singleton 99. maxIter 8 leaves room for the every-2nd-
+    // round fixpoint probe (detection can lag convergence by 2 rounds)
+    // while staying below the diameter, which is the point of the test.
     val pathEdges = (10L until 21L).map(i => (i, i + 1))
     val edges = (Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++ pathEdges).toDF("src", "dst")
     val verts = ((0L to 2L) ++ (10L to 21L) ++ Seq(99L)).toDF("id")
-    val rep = Dedup.connectedComponents(verts, edges, maxIter = 6)
+    val rep = Dedup.connectedComponents(verts, edges, maxIter = 8, numPartitions = Some(2))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 2L).foreach(v => assert(rep(v) == 0L, s"vertex $v"))
     (10L to 21L).foreach(v => assert(rep(v) == 10L, s"vertex $v"))
     assert(rep(99L) == 99L)
+  }
+
+  test("connected components tolerates an empty vertex set") {
+    import spark.implicits._
+    val verts = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // sum() over zero rows is SQL NULL — must terminate cleanly, not NPE
+    assert(Dedup.connectedComponents(verts, edges, maxIter = 4).count() == 0)
   }
 
   test("duplicateComponents partitions all vectors and sizes sum to the corpus") {

@@ -31,6 +31,22 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.head().getLong(0) == expected)
   }
 
+  test("orders round trip: partitioned write → pruned read → aggregate equals source") {
+    val out = Warehouse.ordersRoundTrip(spark, sfDir,
+      path = tmpDir("graft_rt") + "/orders").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("partition_pruned")),
+      "o_year filter did not reach the scan as a PartitionFilter")
+    val expected = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[String]("o_orderpriority")).toSet == expected.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == expected(r.getAs[String]("o_orderpriority")))
+    }
+  }
+
   test("JSONL round-trips documents losslessly with explicit schema") {
     val path = tmpDir("graft_jsonl") + "/documents"
     val docs = Tables.documents(spark, sfDir)

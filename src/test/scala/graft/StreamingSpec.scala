@@ -14,6 +14,20 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("append-mode file sink emits exactly the watermark-finalized hourly windows") {
+    val appended = Events.hourlyAggAppendSink(spark, sfDir).collect().map(_.toSeq).toSet
+    // append + 1h watermark finalizes a window once max event time − 1h
+    // passes its end; the rest stay in state — so the sink holds exactly
+    // the batch aggregate restricted to finalized windows
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val expected = Events.hourlyAgg(spark, sfDir)
+      .filter(col("hour_us") + 3600000000L <= maxUs - 3600000000L)
+      .collect().map(_.toSeq).toSet
+    assert(appended == expected,
+      s"sink had ${appended.size} windows, expected ${expected.size} finalized")
+  }
+
   test("streaming sessionization closes sessions at the 30-min gap") {
     val sessions = Events.sessionizeStreaming(spark, sfDir).collect()
     // emitted (closed) sessions must respect the gap invariant:

@@ -35,6 +35,20 @@ class TimeJoinSpec extends SparkSpec {
     assert(out("c4").contains(99.0))
   }
 
+  test("asofJoin tie-break: multiple right rows at one (key, ts) resolve deterministically") {
+    // without a payload column in the window order, which of the three
+    // rows last() carries is engine-internal row order; the contract is
+    // the greatest payload tuple wins
+    val left = Seq((1L, ts(200), "c")).toDF("key", "ts", "name")
+    val right = Seq((1L, ts(200), 5.0), (1L, ts(200), 9.0), (1L, ts(200), 1.0))
+      .toDF("key", "ts", "rv")
+    (1 to 2).foreach { _ =>
+      val got = TimeJoin.asofJoin(left, right.repartition(3), "key", "ts", Seq("rv"))
+        .select(col("__asof_rv")).head().getDouble(0)
+      assert(got == 9.0, s"tie-break picked $got, expected greatest payload 9.0")
+    }
+  }
+
   test("fixture asof join: purchase never later than click, nulls only before first purchase") {
     val rows = TimeJoin.asofClickPurchase(spark, sfDir).collect()
     assert(rows.nonEmpty)
