@@ -53,6 +53,7 @@ object SparkEntry {
     "q26_json_struct"       -> (Relational.jsonStruct _),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
+    "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -345,6 +346,16 @@ object SparkEntry {
       WHERE year(o_orderdate) = 1995
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // JSONL round trip must be lossless: sums CAST to BIGINT (DuckDB
+    // sum() yields HUGEINT; the driver hash is representation-sensitive)
+    "q29_jsonl_roundtrip" -> """
+      SELECT lang,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
     "q31_events_sliding" -> """
       WITH b AS (
         SELECT event_type, value,

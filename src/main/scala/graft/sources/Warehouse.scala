@@ -60,6 +60,27 @@ object Warehouse {
       .orderBy("o_orderpriority")
   }
 
+  /** q29: the JSONL interchange path on the graded surface — documents
+    * written as JSON-lines (the format LLM training-data pipelines trade
+    * in), read back with the EXPLICIT schema, and aggregated including a
+    * content checksum (sum of text lengths). The oracle aggregates the
+    * source table: a round trip that mangles one character of one
+    * document — an escaping bug, a truncation, a dropped row — shifts
+    * the checksum and fails the hash. */
+  def documentsJsonlRoundTrip(spark: SparkSession, dir: String,
+      path: String = "/tmp/graft_warehouse_docs_jsonl"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    writeJsonl(docs, path)
+    readJsonl(spark, path, docs.schema)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .orderBy("lang")
+  }
+
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is
     * still preferred at rest — JSONL is for pipeline boundaries. */
