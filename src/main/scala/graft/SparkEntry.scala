@@ -71,6 +71,9 @@ object SparkEntry {
     "q43_fingerprints"      -> (Text.fingerprints _),
     "q44_tfidf_top_terms"   -> ((s: SparkSession, d: String) => Text.tfIdfTopTerms(s, d)),
     "q45_pii_redaction"     -> (Text.piiRedaction _),
+    // —— dataset curation (sampling / mixture / packing) ——
+    "q46_weighted_sample"   -> ((s: SparkSession, d: String) => Curation.weightedSample(s, d)),
+    "q47_sequence_packing"  -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
     "q51_dedup_exact_content" -> (Dedup.exactByContent _),
@@ -599,6 +602,47 @@ object SparkEntry {
              CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
       FROM t
       ORDER BY doc_id""",
+    // membership is pure arithmetic on (doc_id, lang) — the Lehmer gate
+    // u = (doc_id·48271 mod 2^31−1)/(2^31−1) — so DuckDB replays the
+    // exact sample, not a statistical approximation of it
+    "q46_weighted_sample" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST((((doc_id % 2147483647) * 48271 % 2147483647) * 48271)
+                 % 2147483647 AS DOUBLE) / 2147483647 AS u,
+               CAST(CASE lang WHEN 'de' THEN 0.05 WHEN 'en' THEN 0.20
+                              WHEN 'es' THEN 0.10 WHEN 'fr' THEN 0.15
+                              ELSE 0.0 END AS DOUBLE) AS rate
+        FROM documents)
+      SELECT lang,
+             CAST(count(1) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             round(any_value(rate), 2) AS target_rate,
+             round(CAST(sum(CASE WHEN u < rate THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+               / count(1), 4) AS realized_rate
+      FROM d GROUP BY lang ORDER BY lang""",
+    // offset-based packing replayed with the same per-(lang, shard)
+    // running sum; integer bin arithmetic is identical in both engines
+    "q47_sequence_packing" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               doc_id % 8 AS shard
+        FROM documents),
+      c AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM d),
+      b AS (SELECT *, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM c)
+      SELECT lang, shard, bin,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             CAST(sum(CASE WHEN cum - (bin + 1) * 4096 > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overflow
+      FROM b
+      GROUP BY lang, shard, bin
+      ORDER BY lang, shard, bin""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

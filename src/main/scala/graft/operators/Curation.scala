@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators — the selection/composition steps a
+  * training-data pipeline runs after cleaning and dedup: deterministic
+  * sampling, weighted mixture construction, and sequence packing.
+  *
+  * Scale design: everything here is STATELESS PER ROW (hash-based
+  * sampling — no RNG state, no driver coordination, resample-stable
+  * under repartitioning) or a per-shard window (packing), so the plans
+  * are a narrow projection + one bounded shuffle. Spark's own
+  * `sample()`/`randomSplit` are partition-order-sensitive; a 100 TB
+  * pipeline wants membership decided by the ROW, not by where it
+  * happens to sit — the same reason the reference's seeded randomSplit
+  * (MovieLensRecommender.py:88) is replaced by hash-gating here.
+  */
+object Curation {
+
+  /** Deterministic per-row uniform in [0, 1): TWO Lehmer / Park-Miller
+    * LCG steps on the id — u = (id·48271² mod (2^31−1)) / (2^31−1),
+    * computed as two sequential multiplications. One step is NOT enough:
+    * it is monotone for id < m/48271 ≈ 44k, so small-id corpora would
+    * sample the low end wholesale instead of uniformly. Operands are
+    * reduced mod 2^31−1 before each multiply so every intermediate stays
+    * ≤ ~1e14, far inside BIGINT in every engine (a 2654435761-style
+    * 32-bit multiplier would overflow 64-bit at 100 TB id ranges, and
+    * engines disagree on overflow semantics — Spark wraps, DuckDB
+    * promotes/errors). */
+  val LehmerM = 2147483647L // 2^31 − 1, prime
+  def hashUniform(id: Column): Column = {
+    val step1 = pmod(id, lit(LehmerM)) * lit(48271L) % lit(LehmerM)
+    (step1 * lit(48271L) % lit(LehmerM)).cast("double") / lit(LehmerM.toDouble)
+  }
+
+  /** Weighted mixture sampling: each source stratum (here: language)
+    * keeps rows at its own rate — how a training mixture is actually
+    * composed (e.g. upsample low-resource languages, downsample crawl
+    * bulk). Membership is pure arithmetic on (doc_id, lang), so the
+    * sample is reproducible across runs, partitionings, and engines.
+    * Emits per-stratum totals, sampled counts, and the realized rate
+    * next to the target rate. */
+  def weightedSample(spark: SparkSession, dir: String,
+      weights: Map[String, Double] = Map(
+        "de" -> 0.05, "en" -> 0.20, "es" -> 0.10, "fr" -> 0.15)): DataFrame = {
+    val rate = weights.foldLeft(lit(0.0)) { case (acc, (lang, w)) =>
+      when(col("lang") === lang, lit(w)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (hashUniform(col("doc_id")) < rate).as("keep"), rate.as("rate"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        round(first(col("rate")), 2).as("target_rate"),
+        round(sum(when(col("keep"), 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("realized_rate"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic train/val/test split by hash gate — same u per row
+    * drives disjoint threshold bands, so splits are exhaustive,
+    * non-overlapping, and stable under any repartitioning (none of
+    * which `randomSplit` guarantees across engines/layouts). */
+  def hashSplit(docs: DataFrame, id: String = "doc_id",
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val u = hashUniform(col(id))
+    docs.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget context
+    * windows ("bins") by cumulative token offset — the pretraining step
+    * that concatenates documents into model-context-length rows. A
+    * document starts in the bin its running token offset falls in
+    * (offset-based packing; long documents spill into the next bin,
+    * counted by `n_overflow`).
+    *
+    * Scale: packing is per (stratum, shard) — the window partitions on
+    * (lang, doc_id mod numShards), so parallelism is numShards per
+    * stratum instead of one sequential scan per language (a single
+    * global cumulative sum cannot be parallelized; sharding is how real
+    * packers scale, at the cost of at most one underfilled final bin
+    * per shard). Deterministic: shard and order are functions of
+    * doc_id. Output: one row per (lang, shard, bin) with fill stats. */
+  def packSequences(spark: SparkSession, dir: String,
+      binTokens: Int = 4096, numShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(numShards.toLong)).as("shard"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / binTokens))
+      .groupBy("lang", "shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        sum(when(col("cum") - (col("bin") + 1) * binTokens > 0, 1L).otherwise(0L))
+          .as("n_overflow"))
+      .orderBy("lang", "shard", "bin")
+  }
+}

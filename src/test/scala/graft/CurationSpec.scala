@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation invariants: hash-gated sampling must be exactly
+  * reproducible (it is arithmetic, not randomness), splits must
+  * partition the corpus independent of physical layout, and packing
+  * must conserve documents and tokens. */
+class CurationSpec extends SparkSpec {
+
+  test("weightedSample matches an independent scala replay of the hash gate") {
+    val rows = Curation.weightedSample(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val weights = Map("de" -> 0.05, "en" -> 0.20, "es" -> 0.10, "fr" -> 0.15)
+    val expected = docs.groupBy(_._2).map { case (lang, ds) =>
+      val rate = weights.getOrElse(lang, 0.0)
+      val sampled = ds.count { case (id, _) =>
+        val s1 = (id % 2147483647L) * 48271L % 2147483647L
+        (s1 * 48271L % 2147483647L).toDouble / 2147483647L < rate
+      }
+      lang -> (ds.length.toLong, sampled.toLong)
+    }
+    rows.foreach { r =>
+      val (total, sampled) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_total") == total)
+      assert(r.getAs[Long]("n_sampled") == sampled,
+        s"lang ${r.getAs[String]("lang")}: engine ${r.getAs[Long]("n_sampled")} vs replay $sampled")
+    }
+  }
+
+  test("hashSplit partitions the corpus and is stable under repartitioning") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val a = Curation.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val b = Curation.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(a == b, "split assignment changed with physical layout")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == docs.count())
+    // 80/10/10 gate: train should dominate
+    val n = a.size.toDouble
+    assert(a.values.count(_ == "train") / n > 0.6)
+  }
+
+  test("packSequences conserves documents and tokens, bins are contiguous") {
+    val bins = Curation.packSequences(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+    val totalDocs = docs.count()
+    val totalTokens = docs.agg(sum("t")).head().getLong(0)
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+      "every document must land in exactly one bin")
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == totalTokens,
+      "token mass must be conserved")
+    // per (lang, shard): bins numbered 0..max without gaps
+    bins.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case ((lang, shard), rs) =>
+        val ids = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+        assert(ids == (0L until ids.length),
+          s"($lang, $shard) bins not contiguous: ${ids.mkString(",")}")
+      }
+  }
+}
