@@ -63,6 +63,7 @@ object SparkEntry {
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
+    "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -468,6 +469,16 @@ object SparkEntry {
       GROUP BY hour_us, event_type, m.mx
       HAVING hour_us + 3600000000 <= m.mx - 3600000000
       ORDER BY hour_us, event_type""",
+    // every row is ingested TWICE (two unioned file sources); the
+    // watermark-bounded streaming dedup must restore exactly-once, so
+    // the sink aggregate equals the plain batch aggregate of the source
+    "q39_stream_dedup" -> """
+      SELECT event_type,
+             count(1) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics

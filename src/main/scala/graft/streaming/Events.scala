@@ -105,7 +105,7 @@ object Events {
     val staging = "/tmp/graft_replay_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     Tables.events(spark, dir)
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .repartitionByRange(nFiles, col("ts"))
       .write.parquet(staging)
     // FileStreamSource replays files in MODIFICATION-TIME order, and the
@@ -224,6 +224,53 @@ object Events {
         unix_micros(col("win.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_us", "event_type")
+  }
+
+  /** q39: STREAMING DEDUP on the graded surface — the ingestion-time
+    * form of exact dedup (E-10), the first stage of a live training-data
+    * pipeline. The staged replay is mounted as TWO file sources and
+    * unioned, modeling a pipeline re-ingesting overlapping shards (every
+    * row arrives twice); `dropDuplicatesWithinWatermark` on the event
+    * key restores exactly-once, with state bounded by the 1-hour
+    * watermark instead of growing with the corpus — the property that
+    * matters at 100 TB (an unbounded `dropDuplicates` would hold every
+    * key ever seen). Deduped rows land in a parquet sink; the returned
+    * frame aggregates the sink, and the oracle runs the same aggregate
+    * over the SOURCE table — any duplicate that survives, or any row
+    * falsely dropped, shifts the counts. Deterministic because the
+    * chronological replay keeps every row ahead of the watermark (time
+    * slices are contiguous and the 1 h delay exceeds the slice gap), so
+    * no true row is ever late-dropped. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = "/tmp/graft_stream_dedup_sink"
+    val ckptDir = "/tmp/graft_stream_dedup_ckpt"
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    // 2 files/trigger (per source) = 2 incremental batches: still a
+    // multi-batch dedup, half the fixed state-store round-trips of the
+    // 1-file replay used where batch-count itself is under test (q33/q38)
+    def source() = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val deduped = source().unionByName(source())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = deduped.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(sinkDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
   }
 
   case class SessionOut(
