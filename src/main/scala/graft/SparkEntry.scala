@@ -94,6 +94,7 @@ object SparkEntry {
     "q63_ivf_topk"          -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
+    "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
     "q70_kmeans_selection"  -> ((s: SparkSession, d: String) => FixturePipelines.kmeansSelection(s, d)),
     "q71_kmeans_e2e"        -> (FixturePipelines.kmeansE2E _),
@@ -798,6 +799,29 @@ object SparkEntry {
              CAST(min(h) AS INTEGER) AS min_h,
              CAST(max(h) AS INTEGER) AS max_h
       FROM d""",
+    // element-for-element replay of the per-vector int8 quantize →
+    // dequantize round trip; bound_ok asserts the scale/2 error contract
+    "q66_embedding_quantize" -> """
+      WITH p AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               (CAST(list_max(embedding) AS DOUBLE)
+                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        FROM embeddings),
+      e AS (
+        SELECT p.vec_id, p.scale,
+               CASE WHEN p.scale = 0 THEN 0.0 ELSE
+                 list_max(list_transform(emb.embedding,
+                   x -> abs(round((CAST(x AS DOUBLE) - p.vmin) / p.scale)
+                            * p.scale + p.vmin - CAST(x AS DOUBLE))))
+               END AS err
+        FROM p JOIN embeddings emb ON p.vec_id = emb.vec_id)
+      SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+             round(avg(err), 4) AS avg_max_err,
+             round(max(err), 4) AS worst_err,
+             CAST(sum(CASE WHEN err > scale / 2 + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) = 0
+               AS bound_ok
+      FROM e""",
     "q61_cosine_topk" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       sims AS (

@@ -172,6 +172,38 @@ object Similarity {
         round(normHof(col("embedding")), 4).as("l2_norm"))
       .orderBy("vec_id")
 
+  /** q66: int8 scalar quantization audit — the storage-compression step
+    * a 100 TB embedding store runs before ANN (4× smaller than float32).
+    * PER-VECTOR min-max quantization: each vector carries its own
+    * (vmin, scale) and codes round((x−vmin)/scale) ∈ [0,255] — stateless
+    * per row, so the whole operator is a narrow projection with NO
+    * shuffle and no fitted state to ship (a per-dimension scheme would
+    * need a corpus-wide reduce; per-vector is what FAISS SQ8-style
+    * stores use when vectors are row-normalized anyway). The query emits
+    * the corpus-level round-trip error audit: dequantization error is
+    * bounded by scale/2 per element, and `bound_ok` folds that contract
+    * into the graded row. Pure arithmetic — the oracle replays it
+    * element-for-element. */
+  def quantizationStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vmin = array_min(col("embedding")).cast("double")
+    val vmax = array_max(col("embedding")).cast("double")
+    val scale = (vmax - vmin) / 255.0
+    // max over elements of |dequant(quant(x)) − x|; a constant vector
+    // (scale 0) quantizes losslessly to code 0
+    val err = when(scale === 0.0, lit(0.0)).otherwise(
+      aggregate(col("embedding"), lit(0.0), (acc, x) =>
+        greatest(acc, abs(
+          round((x.cast("double") - vmin) / scale) * scale + vmin - x.cast("double")))))
+    emb.select(col("vec_id"), scale.as("scale"), err.as("err"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg("err"), 4).as("avg_max_err"),
+        round(max("err"), 4).as("worst_err"),
+        (sum(when(col("err") > col("scale") / 2 + 1e-9, 1L).otherwise(0L)) === 0)
+          .as("bound_ok"))
+  }
+
   /** IVF bucket histogram (deterministic; oracle-checkable): nearest of
     * the first 4 vectors by cosine, counted per bucket. Unlike
     * `ivfTopK` (which fits a real KMeans quantizer), this keeps the

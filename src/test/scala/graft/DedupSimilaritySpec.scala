@@ -143,6 +143,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@10 = $recall (bf=$bf lsh=$lsh)")
   }
 
+  test("int8 quantization audit: error bound holds, degenerate vectors lossless") {
+    val r = Similarity.quantizationStats(spark, sfDir).head()
+    assert(r.getAs[Long]("n_vectors") == Tables.embeddings(spark, sfDir).count())
+    assert(r.getAs[Boolean]("bound_ok"), "dequant error exceeded scale/2 somewhere")
+    assert(r.getAs[Double]("worst_err") >= r.getAs[Double]("avg_max_err"))
+  }
+
   test("codegen cosineSim agrees with the higher-order-function cosine") {
     import graft.functions.VectorFunctions
     val df = Tables.embeddings(spark, sfDir).limit(50)
