@@ -75,6 +75,8 @@ object SparkEntry {
     // —— dataset curation (sampling / mixture / packing) ——
     "q46_weighted_sample"   -> ((s: SparkSession, d: String) => Curation.weightedSample(s, d)),
     "q47_sequence_packing"  -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
+    "q48_repetition_filter" -> (Text.repetitionStats _),
+    "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
     "q51_dedup_exact_content" -> (Dedup.exactByContent _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q55_ngram_jaccard"     -> (Dedup.ngramJaccardPairs _),
     "q56_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
     "q57_dup_components"    -> ((s: SparkSession, d: String) => Dedup.duplicateComponents(s, d)),
+    "q58_quantile_sketch"   -> (Relational.quantileSketch _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -655,6 +658,69 @@ object SparkEntry {
       FROM b
       GROUP BY lang, shard, bin
       ORDER BY lang, shard, bin""",
+    // the narrow sorted-scan repetition stats replayed relationally:
+    // unnest n-grams, GROUP BY, max count / distinct count per doc —
+    // same numbers, different (shuffle-heavy) algorithm, which is the
+    // point of the check
+    "q48_repetition_filter" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, len(toks) AS n,
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]) AS bi,
+               list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+        FROM t),
+      bc AS (
+        SELECT doc_id, gram, count(1) AS c
+        FROM (SELECT doc_id, unnest(bi) AS gram FROM g)
+        GROUP BY 1, 2),
+      bs AS (
+        SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac,
+               CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM bc GROUP BY 1),
+      ts AS (
+        SELECT doc_id,
+               round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(1), 4)
+                 AS dup_trigram_frac
+        FROM (SELECT doc_id, unnest(tri) AS gram FROM g)
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+             (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.05) AS repetitive
+      FROM bs JOIN ts USING (doc_id)
+      ORDER BY doc_id""",
+    // eval set rebuilt arithmetically (doc_id % 50 = 0); 5-gram overlap
+    // via unnest + join — the broadcast side of the Spark plan
+    "q49_decontamination" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks)-3),
+                 i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+        FROM t),
+      ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0)
+      SELECT tr.doc_id AS doc_id,
+             CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+             CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+      FROM tr JOIN ev ON tr.gram = ev.gram
+      GROUP BY 1
+      ORDER BY 1""",
+    // exact interpolated quantiles (quantile_cont = Spark percentile's
+    // lower + frac*(upper-lower)); sketch_ok is the folded contract —
+    // TRUE here, computed in Spark as approx within the p±0.001 band
+    "q58_quantile_sketch" -> """
+      SELECT l_returnflag,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+             TRUE AS sketch_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional prefix filter (dev only — the driver always runs all):
+    // tools/run_main.sh graft.Verify <sf> <out> q48 q58
+    val wanted = args.drop(2)
+    def selected(name: String) = wanted.isEmpty || wanted.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,7 @@ object Verify {
     // (q70-q74 share ML lineage), clear at group boundaries so the
     // dedup/similarity caches don't accumulate over the 57-query run
     var prevGroup = ""
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
       val group = name.take(2)
       if (prevGroup.nonEmpty && group != prevGroup) spark.catalog.clearCache()
       prevGroup = group

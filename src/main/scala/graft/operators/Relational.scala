@@ -267,6 +267,43 @@ object Relational {
           <= col("exact_parts") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** q58: exact percentiles next to the t-digest-class sketch
+    * (`percentile_approx`, Greenwald-Khanna in Spark), following the q25
+    * contract-fold pattern: the sketch estimate itself is
+    * engine-specific, so the graded columns are the EXACT interpolated
+    * quantiles (DuckDB `quantile_cont` uses the identical
+    * lower + frac·(upper−lower) interpolation) plus `sketch_ok`, which
+    * asserts each approximate quantile lands inside the exact quantile
+    * band at p ± 0.001 — 10× the sketch's 1/accuracy = 1e-4 rank-error
+    * guarantee. At 100 TB the sketch is the point: one pass, fixed
+    * memory, mergeable partials — while exact percentiles need a full
+    * sort; running both here is what makes the contract checkable. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val eps = 0.001
+    def parr(vs: Seq[Double]) = array(vs.map(lit(_)): _*)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile(col("l_extendedprice"), parr(ps)).as("exact"),
+        percentile(col("l_extendedprice"), parr(ps.map(_ - eps))).as("band_lo"),
+        percentile(col("l_extendedprice"), parr(ps.map(_ + eps))).as("band_hi"),
+        percentile_approx(col("l_extendedprice"), parr(ps), lit(10000)).as("approx"))
+      .select(
+        col("l_returnflag"),
+        col("n_rows"),
+        round(element_at(col("exact"), 1), 2).as("p25"),
+        round(element_at(col("exact"), 2), 2).as("p50"),
+        round(element_at(col("exact"), 3), 2).as("p75"),
+        ps.indices.map { i =>
+          element_at(col("approx"), i + 1)
+            .between(element_at(col("band_lo"), i + 1),
+              element_at(col("band_hi"), i + 1))
+        }.reduce(_ && _).as("sketch_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** E-09 scalar string functions over part. */
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)

@@ -42,6 +42,71 @@ object Text {
     when(n < 3, array(text)).otherwise(slice(g3, lit(1), greatest(n - 2, lit(1))))
   }
 
+  /** Token n-grams (n ≥ 2) by the same zip_with chaining as [[trigrams]]:
+    * level k joins the running (k−1)-grams with the tokens shifted by
+    * k−1, so the whole construction is n−1 linear array passes — never a
+    * per-element `slice`, which would be O(len²) per document. Returns
+    * the len−n+1 full windows (empty array for shorter docs). */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngrams needs n >= 2, got $n")
+    val nTok = size(toks)
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), greatest(nTok - (k - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    slice(joined, lit(1), greatest(nTok - (n - 1), lit(0)))
+  }
+
+  /** One-pass run-length scan over a SORTED array: returns
+    * struct(max_run, n_distinct) — i.e. the count of the most frequent
+    * element and the distinct-element count — without any shuffle or
+    * explode. The per-document repetition statistics (q48) ride on this:
+    * sort the gram array, scan once. */
+  def runLengthScan(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("max_run"), lit(0L).as("n_distinct")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("max_run"), run).as("max_run"),
+          when(same, acc.getField("n_distinct"))
+            .otherwise(acc.getField("n_distinct") + 1L).as("n_distinct"))
+      },
+      acc => struct(acc.getField("max_run").as("max_run"),
+        acc.getField("n_distinct").as("n_distinct")))
+
+  /** q48: Gopher-style repetition filters (Rae et al. 2021 §A1.1 "repeated
+    * n-grams") — fraction of bigrams occupied by the single most frequent
+    * bigram, and fraction of duplicated trigrams. Both are computed
+    * per-document as array_sort + one [[runLengthScan]] pass: a NARROW
+    * projection with zero shuffles, so at 100 TB the filter runs entirely
+    * inside the parquet scan stage (contrast the oracle, which replays it
+    * relationally via unnest + GROUP BY). The `repetitive` flag applies
+    * the thresholds to the ROUNDED fractions so the boolean is replayable
+    * bit-for-bit. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val withGrams = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bstat", runLengthScan(array_sort(ngrams(col("toks"), 2))))
+      .withColumn("tstat", runLengthScan(array_sort(ngrams(col("toks"), 3))))
+    withGrams
+      .withColumn("n_bigrams", (size(col("toks")) - 1).cast("long"))
+      .withColumn("n_trigrams", (size(col("toks")) - 2).cast("long"))
+      .withColumn("top_bigram_frac",
+        round(col("bstat.max_run").cast("double") / col("n_bigrams"), 4))
+      .withColumn("dup_trigram_frac",
+        round(lit(1.0) - col("tstat.n_distinct").cast("double") / col("n_trigrams"), 4))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        col("top_bigram_frac"), col("dup_trigram_frac"),
+        (col("top_bigram_frac") > 0.18 || col("dup_trigram_frac") > 0.05)
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic per-token hash from cheap features (length, first and
     * last code points). Chosen to be expressible identically in any ANSI
     * SQL engine (the DuckDB oracle) — the production-strength path for

