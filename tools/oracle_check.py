@@ -3,7 +3,7 @@
 entry in DuckDB over the fixture parquet tables and compare against the
 Spark result parquet dumped by graft.Verify.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [qPrefix...]
 
 Comparison mirrors the driver: columns sorted by name, rows sorted by
 all columns, values stringified (floats via repr of round-tripped
@@ -36,7 +36,7 @@ def canon(rows):
     return sorted(out)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefixes=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -44,6 +44,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -80,9 +82,9 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} oracle-checked")
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_pass + n_fail} oracle-checked")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
