@@ -64,6 +64,7 @@ object SparkEntry {
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
+    "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -483,6 +484,27 @@ object SparkEntry {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // the streamed inner interval join emits each (click, purchase)
+    // pair exactly once; the oracle is the identical join run as plain
+    // batch SQL over the source table — a pair lost to state eviction
+    // or double-emitted by the replay shifts the per-hour counts
+    "q3a_stream_stream_join" -> """
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT epoch_us(date_trunc('hour', p.p_ts)) AS hour_us,
+             CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT p.purchase_id) AS BIGINT) AS n_purchases,
+             CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+             round(sum(p.p_value), 2) AS sum_value
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_ts >= c.c_ts
+        AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+      GROUP BY 1
+      ORDER BY 1""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Tables
 import graft.streaming.Events
 import org.apache.spark.sql.functions._
 
@@ -79,6 +80,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val n = spark.table("graft_dedup_stream").select("n").collect().map(_.getLong(0)).sum
     assert(n == 3, s"expected 3 distinct events after dedup, got $n")
+  }
+
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val streamed = Events.streamStreamJoin(spark, sfDir).collect().map(_.toSeq).toSet
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val batch = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(unix_micros(date_trunc("hour", col("p_ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("purchase_id").as("n_purchases"),
+        countDistinct("c_user").as("n_users"),
+        round(sum("p_value"), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture produced no click->purchase pairs")
+    assert(streamed == batch)
   }
 
   test("late rows beyond the watermark are dropped (append mode)") {
