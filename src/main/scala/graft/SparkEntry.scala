@@ -54,6 +54,7 @@ object SparkEntry {
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
+    "q2a_compaction"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.compactionRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -355,6 +356,17 @@ object SparkEntry {
       WHERE year(o_orderdate) = 1995
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // file counts are pure arithmetic on the row count (64 explicit
+    // shards in; ceil(n/15000) out), so the oracle replays the layout
+    // change, and the aggregate proves the rewrite lost no rows
+    "q2a_compaction" -> """
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
+             CAST(64 AS BIGINT) AS files_before,
+             CAST(ceil(count(1) / 15000.0) AS BIGINT) AS files_after,
+             TRUE AS layout_ok
+      FROM orders""",
     // JSONL round trip must be lossless: sums CAST to BIGINT (DuckDB
     // sum() yields HUGEINT; the driver hash is representation-sensitive)
     "q29_jsonl_roundtrip" -> """

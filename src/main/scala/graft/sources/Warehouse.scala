@@ -81,6 +81,53 @@ object Warehouse {
       .orderBy("lang")
   }
 
+  /** Small-file COMPACTION — the maintenance pass every long-lived
+    * 100 TB table needs: streaming sinks, incremental ingests and
+    * over-parallel writers leave directories of kilobyte files whose
+    * per-file open/footer/list costs dominate scans (and crush the
+    * driver's file index at millions of files). Rewrite to
+    * `ceil(rows / targetRecordsPerFile)` files via repartition — a full
+    * shuffle, which is the honest cost of re-clustering; run it
+    * per-partition-directory in production so only fresh partitions pay
+    * it. Returns the compacted file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): Int = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** q2a: compaction on the graded surface. `orders` is deliberately
+    * fragmented (64 shards — a streaming-sink-like layout), compacted to
+    * ~15k records/file, and the compacted table is aggregated next to
+    * the file-count arithmetic. Every output column is deterministic:
+    * the before/after file counts are pure functions of the row count,
+    * so the oracle replays them arithmetically, and the aggregate proves
+    * the rewrite lost nothing. */
+  def compactionRoundTrip(spark: SparkSession, dir: String,
+      base: String = "/tmp/graft_warehouse_compact"): DataFrame = {
+    val fragmented = s"$base/fragmented"
+    val compacted = s"$base/compacted"
+    Tables.orders(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(fragmented)
+    val nAfter = compact(spark, fragmented, compacted, targetRecordsPerFile = 15000)
+    val filesBefore = new java.io.File(fragmented).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val filesAfter = new java.io.File(compacted).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    spark.read.parquet(compacted)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("o_orderkey").as("n_keys"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .withColumn("files_before", lit(filesBefore).cast("long"))
+      .withColumn("files_after", lit(filesAfter).cast("long"))
+      .withColumn("layout_ok",
+        lit(filesAfter == nAfter && filesAfter < filesBefore))
+  }
+
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is
     * still preferred at rest — JSONL is for pipeline boundaries. */

@@ -47,6 +47,16 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compaction rewrites 64 shards to ceil(n/target) files, losing nothing") {
+    val out = Warehouse.compactionRoundTrip(spark, sfDir,
+      base = tmpDir("graft_compact")).head()
+    val n = Tables.orders(spark, sfDir).count()
+    assert(out.getAs[Long]("n_rows") == n)
+    assert(out.getAs[Long]("files_before") == 64L)
+    assert(out.getAs[Long]("files_after") == (n + 14999) / 15000)
+    assert(out.getAs[Boolean]("layout_ok"))
+  }
+
   test("JSONL round-trips documents losslessly with explicit schema") {
     val path = tmpDir("graft_jsonl") + "/documents"
     val docs = Tables.documents(spark, sfDir)
