@@ -55,6 +55,7 @@ object SparkEntry {
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
     "q2a_compaction"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.compactionRoundTrip(s, d)),
+    "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -356,6 +357,25 @@ object SparkEntry {
       WHERE year(o_orderdate) = 1995
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    // the same statement Spark runs through spark.sql — the engines'
+    // subquery decorrelations must agree on semantics, nulls included
+    "q1a_sql_subqueries" -> """
+      WITH spend AS (
+        SELECT o_custkey,
+               CAST(count(1) AS BIGINT) AS n_orders,
+               round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend
+        FROM orders GROUP BY o_custkey)
+      SELECT c.c_custkey, c.c_mktsegment, s.n_orders, s.total_spend,
+             (SELECT round(avg(o2.o_totalprice), 2) FROM orders o2
+               WHERE o2.o_custkey = c.c_custkey) AS avg_order_price
+      FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND c.c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation WHERE n_name = 'FRANCE')
+      ORDER BY s.total_spend DESC, c.c_custkey
+      LIMIT 20""",
     // file counts are pure arithmetic on the row count (64 explicit
     // shards in; ceil(n/15000) out), so the oracle replays the layout
     // change, and the aggregate proves the rewrite lost no rows

@@ -267,6 +267,39 @@ object Relational {
           <= col("exact_parts") * 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** q1a: the SQL-TEXT entry path (`spark.sql`) with semantics only the
+    * SQL planner surfaces — a CTE, a correlated EXISTS, a NOT IN, and a
+    * correlated scalar subquery in one statement. Catalyst decorrelates
+    * all three subqueries into joins (RewritePredicateSubquery → left
+    * semi / null-aware anti join; RewriteCorrelatedScalarSubquery → left
+    * outer join over the pre-aggregated subquery), so the executed plan
+    * is the same shuffle-join shape as the DataFrame queries — there is
+    * no per-row subquery execution to die at scale. The DuckDB oracle
+    * runs the same statement, so the decorrelation must be
+    * semantics-preserving, null cases included. */
+  def sqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql("""
+      WITH spend AS (
+        SELECT o_custkey,
+               count(1) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey)
+      SELECT c.c_custkey, c.c_mktsegment, s.n_orders, s.total_spend,
+             (SELECT round(avg(o2.o_totalprice), 2) FROM orders o2
+               WHERE o2.o_custkey = c.c_custkey) AS avg_order_price
+      FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND c.c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation WHERE n_name = 'FRANCE')
+      ORDER BY s.total_spend DESC, c.c_custkey
+      LIMIT 20""")
+  }
+
   /** q58: exact percentiles next to the t-digest-class sketch
     * (`percentile_approx`, Greenwald-Khanna in Spark), following the q25
     * contract-fold pattern: the sketch estimate itself is

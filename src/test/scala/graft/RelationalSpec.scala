@@ -94,6 +94,31 @@ class RelationalSpec extends SparkSpec {
       }
   }
 
+  test("SQL subqueries decorrelate to joins and keep EXISTS/NOT IN semantics") {
+    val df = Relational.sqlSubqueries(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the correlated subqueries must become joins, not per-row execution
+    assert(plan.contains("Join"), plan.take(500))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    def asLong(r: org.apache.spark.sql.Row, i: Int) =
+      r.getAs[Number](i).longValue()
+    val urgentCusts = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(asLong(_, 0)).toSet
+    val france = Tables.nation(spark, sfDir)
+      .filter(col("n_name") === "FRANCE")
+      .select("n_nationkey").collect().map(asLong(_, 0)).toSet
+    val custNation = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => asLong(r, 0) -> asLong(r, 1)).toMap
+    rows.foreach { r =>
+      val ck = asLong(r, 0)
+      assert(urgentCusts.contains(ck), s"customer $ck has no urgent order")
+      assert(!france.contains(custNation(ck)), s"customer $ck is in FRANCE")
+    }
+  }
+
   test("quantile sketch lands inside the exact p±0.001 band, quartiles ordered") {
     val rows = Relational.quantileSketch(spark, sfDir).collect()
     assert(rows.nonEmpty)
