@@ -67,6 +67,7 @@ object SparkEntry {
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
+    "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -537,6 +538,19 @@ object SparkEntry {
         AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
       GROUP BY 1
       ORDER BY 1""",
+    // stream-static enrichment then watermark+append: the oracle is the
+    // batch join + the q38 finalized-window subset rule
+    "q3b_stream_static_join" -> """
+      WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      j AS (
+        SELECT e.ts, e.value, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, c_mktsegment,
+             count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM j, m
+      GROUP BY hour_us, c_mktsegment, m.mx
+      HAVING hour_us + 3600000000 <= m.mx - 3600000000
+      ORDER BY hour_us, c_mktsegment""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics

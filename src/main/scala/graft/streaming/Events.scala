@@ -349,6 +349,50 @@ object Events {
       .orderBy("hour_us")
   }
 
+  /** q3b: STREAM-STATIC JOIN — the stateless enrichment join, the other
+    * join class Structured Streaming runs (vs q3a's stateful
+    * stream-stream join): each microbatch of the event stream joins the
+    * static `customer` dimension with a plain broadcast-hash join, no
+    * state store at all. That statelessness is the 100 TB property —
+    * dimension enrichment costs the same per batch forever, and the dim
+    * is re-broadcast only when its snapshot changes. Downstream, the
+    * enriched stream feeds the standard watermark + append windowed
+    * aggregate into a parquet sink (one stateful op), so the graded rows
+    * are the watermark-FINALIZED per-(hour, segment) spend — the q38
+    * subset rule, replayed by the oracle over a batch join. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = "/tmp/graft_stream_enrich_sink"
+    val ckptDir = "/tmp/graft_stream_enrich_ckpt"
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = stream
+      .join(dim, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = enriched.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(sinkDir)
+      .select(
+        unix_micros(col("win.start")).as("hour_us"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+      .orderBy("hour_us", "c_mktsegment")
+  }
+
   case class SessionOut(
       user_id: Long, n_events: Int, sum_value: Double, start_us: Long, end_us: Long)
 

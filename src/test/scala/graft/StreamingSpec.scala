@@ -104,6 +104,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static join emits the finalized windows of the batch join") {
+    val streamed = Events.streamStaticJoin(spark, sfDir).collect().map(_.toSeq).toSet
+    val dim = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("hour_us") + 3600000000L <= maxUs - 3600000000L)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("late rows beyond the watermark are dropped (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
