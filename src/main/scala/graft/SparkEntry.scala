@@ -68,6 +68,7 @@ object SparkEntry {
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
+    "q3c_foreach_batch"     -> (StreamEvents.foreachBatchPartials _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -552,6 +553,16 @@ object SparkEntry {
       GROUP BY hour_us, c_mktsegment, m.mx
       HAVING hour_us + 3600000000 <= m.mx - 3600000000
       ORDER BY hour_us, c_mktsegment""",
+    // per-microbatch PARTIAL aggregates appended via foreachBatch, then
+    // merged: associativity makes the total independent of batch
+    // boundaries, so the plain batch aggregate replays it
+    "q3c_foreach_batch" -> """
+      SELECT user_id,
+             CAST(count(1) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
     // Spark-side: union + carry-forward window (one shuffle, no
     // non-equi join); DuckDB replays it with its NATIVE ASOF JOIN —
     // two entirely different algorithms, same point-in-time semantics

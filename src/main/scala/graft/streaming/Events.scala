@@ -393,6 +393,52 @@ object Events {
       .orderBy("hour_us", "c_mktsegment")
   }
 
+  /** q3c: `foreachBatch` — the escape hatch that gives a streaming query
+    * an arbitrary batch sink, demonstrated as the INCREMENTAL
+    * PARTIAL-AGGREGATE pattern: each microbatch appends its per-user
+    * partial (count, sum) to a parquet dir — append-only, so no
+    * read-modify-write race with concurrent readers — and the final
+    * table is the merge (sum of partials). Associativity makes the
+    * result independent of how the replay happened to batch the data,
+    * which is exactly why warehouses checkpoint partials rather than
+    * materialized totals. Batch-id goes into the rows for exactly-once
+    * bookkeeping (a restarted batch overwrites its own id's partition in
+    * a real deployment). The oracle is the plain batch aggregate. */
+  def foreachBatchPartials(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = "/tmp/graft_stream_partials_sink"
+    val ckptDir = "/tmp/graft_stream_partials_ckpt"
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    // 2 files/trigger = 2 partial-writing batches — enough to prove the
+    // merge is batch-boundary-independent without q33's 4-batch cost
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sinkDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(sinkDir)
+      .groupBy("user_id")
+      .agg(
+        sum("n").as("n_events"),
+        round(sum("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   case class SessionOut(
       user_id: Long, n_events: Int, sum_value: Double, start_us: Long, end_us: Long)
 

@@ -120,6 +120,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch partial aggregates merge to the batch aggregate") {
+    val streamed = Events.foreachBatchPartials(spark, sfDir).collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("late rows beyond the watermark are dropped (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
