@@ -104,6 +104,7 @@ object SparkEntry {
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
+    "q67_media_resize"      -> (Multimodal.resizeStats _),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
     "q70_kmeans_selection"  -> ((s: SparkSession, d: String) => FixturePipelines.kmeansSelection(s, d)),
     "q71_kmeans_e2e"        -> (FixturePipelines.kmeansE2E _),
@@ -960,6 +961,27 @@ object SparkEntry {
              CAST(min(h) AS INTEGER) AS min_h,
              CAST(max(h) AS INTEGER) AS max_h
       FROM d""",
+    // the encoded pixel at (x,y) is text_byte[((y*w+x)*31+7) mod len]
+    // (ASCII corpus, so ascii(substr(...)) IS the byte) — the oracle
+    // recomputes the factor-2 nearest-neighbor resample per document
+    // with no codec, pixel-checking the real ImageIO decode + resize
+    "q67_media_resize" -> """
+      WITH d AS (
+        SELECT doc_id, text,
+               16 + (doc_id % 16) AS w,
+               (16 + (doc_id % 16)) // 2 AS ow,
+               (12 + (doc_id % 8)) // 2 AS oh,
+               length(text) AS len
+        FROM documents)
+      SELECT doc_id,
+             CAST(ow AS INTEGER) AS out_w,
+             CAST(oh AS INTEGER) AS out_h,
+             CAST(list_sum(list_transform(range(0, ow * oh),
+               i -> ascii(substr(text,
+                 1 + (((i // ow) * 2 * w + (i % ow) * 2) * 31 + 7) % len,
+                 1)))) AS BIGINT) AS resampled_sum
+      FROM d
+      ORDER BY doc_id""",
     // element-for-element replay of the per-vector int8 quantize →
     // dequantize round trip; bound_ok asserts the scale/2 error contract
     "q66_embedding_quantize" -> """

@@ -127,6 +127,41 @@ object Multimodal {
       }
   }
 
+  /** q67: RESIZE — nearest-neighbor factor-2 downsample of the DECODED
+    * raster, the standard thumbnail/feature-prep step. Same mapPartitions
+    * codec shape as [[decodeFeatures]] (ImageIO setup once per
+    * partition, rows streamed through); the resample reads every (2x,2y)
+    * sample of the true decoded image, so the emitted checksum proves
+    * decode AND resample touched the real pixels. Because the encoded
+    * pixel at (x,y) is `text_bytes[((y·w+x)·31+7) mod len]`
+    * (see [[Multimodal.mediaTable]]), the oracle recomputes the
+    * resampled sum from the text column with pure arithmetic — no codec
+    * in DuckDB, yet a per-document end-to-end pixel check. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable media payload for doc_id=$id")
+          val ow = img.getWidth / 2
+          val oh = img.getHeight / 2
+          val raster = img.getRaster
+          var s = 0L; var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) { s += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+            y += 1
+          }
+          (id, ow, oh, s)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "resampled_sum")
+      .orderBy("doc_id")
+  }
+
   /** "Frame sampling": slice every k-th byte window of the blob as a
     * frame — the plumbing (explode of per-row frame arrays with
     * metadata) matches video-frame extraction. */

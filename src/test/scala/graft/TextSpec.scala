@@ -163,6 +163,19 @@ class TextSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
 
+  test("resize halves decoded dimensions and reads true raster samples") {
+    val full = Multimodal.decodeFeatures(spark, sfDir).collect()
+      .map(f => f.doc_id -> f).toMap
+    Multimodal.resizeStats(spark, sfDir).collect().foreach { r =>
+      val f = full(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("out_w") == f.width / 2)
+      assert(r.getAs[Int]("out_h") == f.height / 2)
+      // resampled sum reads a strict subset of the full raster's samples
+      assert(r.getAs[Long]("resampled_sum") <= f.byte_sum)
+      assert(r.getAs[Long]("resampled_sum") > 0L)
+    }
+  }
+
   test("frame sampling emits ceil(blobLen/64) frames per doc") {
     val frames = Multimodal.sampleFrames(spark, sfDir)
     val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"),
