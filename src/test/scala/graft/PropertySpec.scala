@@ -32,6 +32,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ngrams(n) equals the naive sliding window for any document and n") {
+    forSamples(Gen.zip(doc, Gen.chooseNum(2, 5))) { case (text, n) =>
+      val toks = text.split(" ").toSeq
+      val expected = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val got = Seq(text).toDF("text")
+        .select(Text.ngrams(split(col("text"), " "), n).as("g"))
+        .head().getSeq[String](0)
+      assert(got == expected, s"n=$n text='$text'")
+    }
+  }
+
+  test("runLengthScan equals groupBy max-count/distinct for any gram bag") {
+    forSamples(Gen.chooseNum(1, 25).flatMap(k => Gen.listOfN(k, token))) { bag =>
+      val expectedMax = bag.groupBy(identity).values.map(_.size).max.toLong
+      val expectedDistinct = bag.distinct.size.toLong
+      val r = Seq(bag).toDF("bag")
+        .select(Text.runLengthScan(array_sort(col("bag"))).as("s"))
+        .head().getStruct(0)
+      assert(r.getAs[Long]("max_run") == expectedMax)
+      assert(r.getAs[Long]("n_distinct") == expectedDistinct)
+    }
+  }
+
   test("pivot ∘ explode reconstructs the genre multiset for any movie set") {
     val genres = Gen.nonEmptyListOf(Gen.oneOf("A", "B", "C", "D", "E")).map(_.distinct)
     forSamples(Gen.nonEmptyListOf(genres), 10) { rows =>
