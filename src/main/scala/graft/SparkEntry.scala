@@ -767,10 +767,16 @@ object SparkEntry {
                  AS dup_trigram_frac
         FROM (SELECT doc_id, unnest(tri) AS gram FROM g)
         GROUP BY 1)
-      SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
-             (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.05) AS repetitive
-      FROM bs JOIN ts USING (doc_id)
-      ORDER BY doc_id""",
+      SELECT t.doc_id,
+             COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+             COALESCE(bs.top_bigram_frac, 0.0) AS top_bigram_frac,
+             COALESCE(ts.dup_trigram_frac, 0.0) AS dup_trigram_frac,
+             (COALESCE(bs.top_bigram_frac, 0.0) > 0.18
+               OR COALESCE(ts.dup_trigram_frac, 0.0) > 0.05) AS repetitive
+      FROM t
+      LEFT JOIN bs ON t.doc_id = bs.doc_id
+      LEFT JOIN ts ON t.doc_id = ts.doc_id
+      ORDER BY t.doc_id""",
     // eval set rebuilt arithmetically (doc_id % 50 = 0); 5-gram overlap
     // via unnest + join — the broadcast side of the Spark plan
     "q49_decontamination" -> """

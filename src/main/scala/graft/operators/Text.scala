@@ -65,12 +65,15 @@ object Text {
   def runLengthScan(sorted: Column): Column =
     aggregate(
       sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"),
+      // `started` flags whether prev holds a real element — a string
+      // sentinel like "" would silently merge with a genuine leading
+      // empty-string element and undercount n_distinct
+      struct(lit(false).as("started"), lit("").as("prev"), lit(0L).as("run"),
         lit(0L).as("max_run"), lit(0L).as("n_distinct")),
       (acc, x) => {
-        val same = x === acc.getField("prev")
+        val same = acc.getField("started") && x === acc.getField("prev")
         val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
+        struct(lit(true).as("started"), x.as("prev"), run.as("run"),
           greatest(acc.getField("max_run"), run).as("max_run"),
           when(same, acc.getField("n_distinct"))
             .otherwise(acc.getField("n_distinct") + 1L).as("n_distinct"))
@@ -93,12 +96,18 @@ object Text {
       .withColumn("bstat", runLengthScan(array_sort(ngrams(col("toks"), 2))))
       .withColumn("tstat", runLengthScan(array_sort(ngrams(col("toks"), 3))))
     withGrams
-      .withColumn("n_bigrams", (size(col("toks")) - 1).cast("long"))
-      .withColumn("n_trigrams", (size(col("toks")) - 2).cast("long"))
+      .withColumn("n_bigrams",
+        greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+      .withColumn("n_trigrams",
+        greatest(size(col("toks")) - 2, lit(0)).cast("long"))
+      // docs too short to have grams score 0.0, not NULL — keeps the
+      // row set identical to the oracle's (which LEFT-JOINs + COALESCEs)
       .withColumn("top_bigram_frac",
-        round(col("bstat.max_run").cast("double") / col("n_bigrams"), 4))
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+          round(col("bstat.max_run").cast("double") / col("n_bigrams"), 4)))
       .withColumn("dup_trigram_frac",
-        round(lit(1.0) - col("tstat.n_distinct").cast("double") / col("n_trigrams"), 4))
+        when(col("n_trigrams") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("tstat.n_distinct").cast("double") / col("n_trigrams"), 4)))
       .select(
         col("doc_id"), col("n_bigrams"),
         col("top_bigram_frac"), col("dup_trigram_frac"),
@@ -242,7 +251,9 @@ object Text {
       threshold: Double = -3.41): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // vocab-sized; cached so deriving the total reads the table instead
+    // of re-running the corpus tokenize+count lineage a second time
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).cache()
     val tot = freq.agg(sum("cnt").as("total"))
     toks.join(broadcast(freq), "tok")
       .join(broadcast(tot))

@@ -371,9 +371,13 @@ object Events {
       .parquet(staging)
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")))
+    // watermark on the RAW stream, before the join: computed after an
+    // inner join it would track only dim-matched rows, so events whose
+    // user_id lacks a customer row could hold back window finalization
+    // and diverge from the oracle's max(ts)-over-all-events cutoff
     val enriched = stream
-      .join(dim, col("user_id") === col("c_custkey"))
       .withWatermark("ts", "1 hour")
+      .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     graft.SessionConf.withShufflePartitions(spark, 8) {

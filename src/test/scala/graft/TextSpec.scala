@@ -78,10 +78,15 @@ class TextSpec extends SparkSpec {
       (1L, "spam ham " * 20 + "end", "en", "x", 83L),      // one bigram dominates
       (2L, (1 to 40).map("w" + _).mkString(" "), "en", "x", 120L) // all distinct
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    df.createOrReplaceTempView("ignored")
-    val out = Text.repetitionStats(spark, sfDir) // corpus path exercised below
-    assert(out.columns.toSeq ==
-      Seq("doc_id", "n_bigrams", "top_bigram_frac", "dup_trigram_frac", "repetitive"))
+    val out = Text.repetitionStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // corpus rows: fractions well-formed and the flag consistent with them
+    out.foreach { r =>
+      val (tb, dt) = (r.getAs[Double]("top_bigram_frac"),
+        r.getAs[Double]("dup_trigram_frac"))
+      assert(tb >= 0.0 && tb <= 1.0 && dt >= 0.0 && dt <= 1.0, r.toString)
+      assert(r.getAs[Boolean]("repetitive") == (tb > 0.18 || dt > 0.05), r.toString)
+    }
     // hand-check the scan on the planted frame via the same expressions
     val stats = df.withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),
@@ -91,6 +96,19 @@ class TextSpec extends SparkSpec {
     assert(stats(1L).getAs[Long]("max_run") == 20L)
     assert(stats(2L).getAs[Long]("max_run") == 1L)
     assert(stats(2L).getAs[Long]("n_distinct") == 39L)
+  }
+
+  test("runLengthScan: empty array scans to zeros, leading empty string counts") {
+    val r = Seq((Seq.empty[String], Seq("", "a")))
+      .toDF("empty", "leadingEmpty")
+      .select(
+        Text.runLengthScan(col("empty")).as("e"),
+        Text.runLengthScan(array_sort(col("leadingEmpty"))).as("l"))
+      .head()
+    assert(r.getStruct(0).getAs[Long]("max_run") == 0L)
+    assert(r.getStruct(0).getAs[Long]("n_distinct") == 0L)
+    // "" is a genuine element, not the scan's initial state
+    assert(r.getStruct(1).getAs[Long]("n_distinct") == 2L)
   }
 
   test("decontamination finds planted eval overlap and only that") {
