@@ -48,16 +48,21 @@ object Bench {
         if (!ok) None // a failed query doesn't retry — it's in "failed"
         else {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed += name
             ok = false
+            // a failed rep's time-to-failure is NOT a measurement — a
+            // 0.3s crash after a 48s success must not win the min
+            None
           }
-          Some((System.nanoTime() - t0) / 1e9)
         }
       }
-      val dt = times.min
+      // all reps failed → report the failure marker, not a phantom time
+      val dt = if (times.nonEmpty) times.min else -1.0
       System.err.println(
         f"[bench] $name $dt%.2fs (min of ${times.length}: " +
           times.map(t => f"$t%.1f").mkString(",") + ")" + (if (ok) "" else " FAILED"))

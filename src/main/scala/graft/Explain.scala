@@ -22,6 +22,7 @@ object Explain {
     val skip = Set("q33_events_hourly_streaming", "q34_events_session_streaming",
       "q38_events_hourly_append", "q39_stream_dedup", "q3a_stream_stream_join",
       "q3b_stream_static_join", "q3c_foreach_batch", "q2a_compaction",
+      "q28_warehouse_roundtrip", "q29_jsonl_roundtrip",
       "q70_kmeans_selection", "q71_kmeans_e2e", "q72_als_e2e", "q73_als_cv_grid",
       "q74_sse_parity", "q62_ann_lsh_topk", "q63_ivf_topk", "q53_minhash_lsh_ml")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -4,10 +4,24 @@ package graft
   * streaming replays and warehouse round-trips use under /tmp. */
 object Fs {
 
-  /** Best-effort recursive delete. The walk stream is closed explicitly
-    * (it holds an OS directory handle until GC otherwise) and per-file
-    * failures are tolerated — cleanup runs on finally paths where a
-    * throw would mask the original exception. */
+  /** Per-JVM scratch path: stable within a JVM (sinks are written then
+    * read back, and staging memoization keys on the path) but unique
+    * across concurrent JVMs — a spec run and a bench run otherwise share
+    * literal /tmp names and delete each other's in-flight sinks and
+    * checkpoints. */
+  private val jvmTag: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .takeWhile(_ != '@')
+  def scratch(name: String): String = s"/tmp/${name}_$jvmTag"
+
+  /** Recursive delete that VERIFIES the target is gone. Every caller
+    * uses this as a precondition — clearing a sink/checkpoint dir before
+    * a streaming run whose results are read back from it — so a silently
+    * failed delete would leave stale part-files to be aggregated into
+    * the new result with no error anywhere. Individual delete races are
+    * tolerated during the walk (another cleaner may win), but if the
+    * root still exists afterwards this throws rather than letting the
+    * caller run against a dirty directory. */
   def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
     val p = Paths.get(path)
@@ -19,6 +33,9 @@ object Fs {
           catch { case _: java.io.IOException => () }
         }
       finally walk.close()
+      if (Files.exists(p))
+        throw new java.io.IOException(
+          s"deleteRecursively left $path in place — refusing to run against a dirty dir")
     }
   }
 }

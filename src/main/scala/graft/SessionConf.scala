@@ -16,8 +16,12 @@ object SessionConf {
     * wants sized (start the streaming query, run the actions of an
     * iterative loop, call `.fit`): shuffle-partition count is read at
     * query execution, so a lazily-built frame executed outside the block
-    * does not see `n`. Serialized — concurrent batch queries on other
-    * threads keep the session default. */
+    * does not see `n`. NOTE the guarantee is only that SessionConf
+    * callers are serialized against each other — the conf value itself is
+    * session-global, so an unrelated query planned on another thread
+    * DURING the block observes the temporary `n`. Fine in this harness
+    * (Verify/Bench/specs submit queries one at a time); a multi-tenant
+    * deployment would give each workload its own SparkSession instead. */
   def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A =
     lock.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -571,8 +571,13 @@ object SparkEntry {
       WITH c AS (
         SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
       p AS (
-        SELECT user_id, ts, epoch_us(ts) AS p_us, value AS p_value
-        FROM events WHERE event_type = 'purchase')
+        -- one row per (user_id, ts), keeping max(value): DuckDB's native
+        -- ASOF JOIN picks an UNSPECIFIED row among exact-ts ties, while
+        -- the Spark side deterministically carries the greatest payload
+        -- tuple — pre-aggregating pins the oracle to the same tie rule
+        SELECT user_id, ts, epoch_us(ts) AS p_us, max(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts)
       SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
              p.p_us AS purchase_us, round(p.p_value, 2) AS purchase_value
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts

@@ -253,7 +253,12 @@ object Dedup {
       var rep = vertices.select(col("id"), col("id").as("rep")).cache()
       var prevSum = repSum(rep)
       var it = 0; var done = false
-      while (!done && it < maxIter) {
+      // every-2nd-round probing detects convergence up to ~3 rounds after
+      // it happens; a labeling that converges just under maxIter would be
+      // declared failed despite being correct. Grace rounds (probed every
+      // round) close that window — they run only in the near-limit case.
+      val graceRounds = 3
+      while (!done && it < maxIter + graceRounds) {
         val nbr = sym.join(rep.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
           .groupBy("src").agg(min("rep").as("nmin"))
         val stepped = rep.join(nbr, rep("id") === nbr("src"), "left")
@@ -275,7 +280,7 @@ object Dedup {
         // pointer jumping converges in O(log diameter) rounds anyway, so
         // probing half the rounds halves the per-round action count for
         // one possibly-redundant extra round of (cheap) joins
-        if (it % 2 == 0 || it == maxIter) {
+        if (it % 2 == 0 || it >= maxIter) {
           val s = repSum(rep)
           done = s == prevSum
           prevSum = s

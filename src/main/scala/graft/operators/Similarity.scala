@@ -147,10 +147,14 @@ object Similarity {
     * driver-side set intersection. */
   private def recallContract(approx: DataFrame, exact: DataFrame,
       k: Int, minRecall: Double): DataFrame = {
+    // the exact side is a full brute-force scan consumed by BOTH the
+    // overlap join and the stats aggregate — cache the k-row result so
+    // the scan runs once, not twice
+    val exactCached = exact.cache()
     val hits = approx.select(col("vec_id"))
-      .join(exact.select(col("vec_id")), Seq("vec_id"))
+      .join(exactCached.select(col("vec_id")), Seq("vec_id"))
       .agg(count(lit(1)).as("n_overlap"))
-    val bf = exact.agg(
+    val bf = exactCached.agg(
       count(lit(1)).as("n_exact"),
       min(col("cosine")).as("bf_min_cosine"))
     bf.join(broadcast(hits))

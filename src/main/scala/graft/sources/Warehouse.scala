@@ -44,7 +44,7 @@ object Warehouse {
     * table: round-tripping through the partitioned layout must lose
     * nothing. */
   def ordersRoundTrip(spark: SparkSession, dir: String,
-      path: String = "/tmp/graft_warehouse_orders", filterYear: Int = 1995): DataFrame = {
+      path: String = graft.Fs.scratch("graft_warehouse_orders"), filterYear: Int = 1995): DataFrame = {
     writePartitioned(
       Tables.orders(spark, dir)
         .withColumn("o_year", year(col("o_orderdate"))),
@@ -68,7 +68,7 @@ object Warehouse {
     * document — an escaping bug, a truncation, a dropped row — shifts
     * the checksum and fails the hash. */
   def documentsJsonlRoundTrip(spark: SparkSession, dir: String,
-      path: String = "/tmp/graft_warehouse_docs_jsonl"): DataFrame = {
+      path: String = graft.Fs.scratch("graft_warehouse_docs_jsonl")): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
     writeJsonl(docs, path)
@@ -107,7 +107,7 @@ object Warehouse {
     * so the oracle replays them arithmetically, and the aggregate proves
     * the rewrite lost nothing. */
   def compactionRoundTrip(spark: SparkSession, dir: String,
-      base: String = "/tmp/graft_warehouse_compact"): DataFrame = {
+      base: String = graft.Fs.scratch("graft_warehouse_compact")): DataFrame = {
     val fragmented = s"$base/fragmented"
     val compacted = s"$base/compacted"
     Tables.orders(spark, dir).repartition(64)

@@ -98,7 +98,7 @@ object Events {
   private val stagedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
-  private def stageReplayFiles(spark: SparkSession, dir: String, nFiles: Int): String =
+  private[graft] def stageReplayFiles(spark: SparkSession, dir: String, nFiles: Int): String =
     stagedCache.getOrElseUpdate((dir, nFiles), stageReplayFilesUncached(spark, dir, nFiles))
 
   private def stageReplayFilesUncached(spark: SparkSession, dir: String, nFiles: Int): String = {
@@ -185,8 +185,8 @@ object Events {
     * subset rule in SQL. The sink is read back for the returned frame —
     * fixed path, cleared at start (a parquet sink cannot overwrite). */
   def hourlyAggAppendSink(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = "/tmp/graft_stream_hourly_sink"
-    val ckptDir = "/tmp/graft_stream_hourly_ckpt"
+    val sinkDir = graft.Fs.scratch("graft_stream_hourly_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_hourly_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     val stream = spark.readStream
@@ -242,8 +242,8 @@ object Events {
     * slices are contiguous and the 1 h delay exceeds the slice gap), so
     * no true row is ever late-dropped. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = "/tmp/graft_stream_dedup_sink"
-    val ckptDir = "/tmp/graft_stream_dedup_ckpt"
+    val sinkDir = graft.Fs.scratch("graft_stream_dedup_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_dedup_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     // 2 files/trigger (per source) = 2 incremental batches: still a
@@ -297,8 +297,8 @@ object Events {
     * One data batch (maxFilesPerTrigger = nFiles); the multi-microbatch
     * incremental replay shape is already exercised by q33/q38/q39. */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = "/tmp/graft_stream_ssjoin_sink"
-    val ckptDir = "/tmp/graft_stream_ssjoin_ckpt"
+    val sinkDir = graft.Fs.scratch("graft_stream_ssjoin_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_ssjoin_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     def source(eventType: String) = spark.readStream
@@ -361,8 +361,8 @@ object Events {
     * are the watermark-FINALIZED per-(hour, segment) spend — the q38
     * subset rule, replayed by the oracle over a batch join. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = "/tmp/graft_stream_enrich_sink"
-    val ckptDir = "/tmp/graft_stream_enrich_ckpt"
+    val sinkDir = graft.Fs.scratch("graft_stream_enrich_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_enrich_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     val stream = spark.readStream
@@ -409,8 +409,8 @@ object Events {
     * bookkeeping (a restarted batch overwrites its own id's partition in
     * a real deployment). The oracle is the plain batch aggregate. */
   def foreachBatchPartials(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = "/tmp/graft_stream_partials_sink"
-    val ckptDir = "/tmp/graft_stream_partials_ckpt"
+    val sinkDir = graft.Fs.scratch("graft_stream_partials_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_partials_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     // 2 files/trigger = 2 partial-writing batches — enough to prove the

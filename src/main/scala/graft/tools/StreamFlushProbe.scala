@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -17,19 +16,12 @@ object StreamFlushProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val staging = "/tmp/graft_probe_staging"
-    val sink = "/tmp/graft_probe_sink"
-    val ckpt = "/tmp/graft_probe_ckpt"
-    Seq(staging, sink, ckpt).foreach(graft.Fs.deleteRecursively)
-    Tables.events(spark, dir)
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .repartitionByRange(4, col("ts"))
-      .write.parquet(staging)
-    new java.io.File(staging).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
-      }
+    val sink = graft.Fs.scratch("graft_probe_sink")
+    val ckpt = graft.Fs.scratch("graft_probe_ckpt")
+    Seq(sink, ckpt).foreach(graft.Fs.deleteRecursively)
+    // reuse the canonical staging helper so the probe replays exactly
+    // what the graded queries replay (an inline copy had already drifted)
+    val staging = graft.streaming.Events.stageReplayFiles(spark, dir, nFiles = 4)
     val stream = spark.readStream
       .schema(spark.read.parquet(staging).schema)
       .option("maxFilesPerTrigger", 1)
