@@ -61,8 +61,9 @@ object Bench {
           }
         }
       }
-      // all reps failed → report the failure marker, not a phantom time
-      val dt = if (times.nonEmpty) times.min else -1.0
+      // ANY failed rep marks the query failed (-1.0), even if another rep
+      // succeeded — a query can't be both "failed" and carry a valid time
+      val dt = if (ok && times.nonEmpty) times.min else -1.0
       System.err.println(
         f"[bench] $name $dt%.2fs (min of ${times.length}: " +
           times.map(t => f"$t%.1f").mkString(",") + ")" + (if (ok) "" else " FAILED"))
@@ -71,7 +72,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val failedArr = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed queries (dt == -1.0 marker) must not deflate the aggregate —
+    // the total reflects successful measurements only; failures are
+    // visible via "failed" + the nonzero exit
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // a failed query must be machine-distinguishable from a fast success:
     // listed in "failed" AND the process exits nonzero
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failedArr,"sf":"$sfDir"}""")

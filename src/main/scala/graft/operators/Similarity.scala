@@ -77,9 +77,16 @@ object Similarity {
     * the standard recall/latency knob, same role as FAISS's `nprobe`.
     * Probe-list selection ranks the nLists fitted centroids against the
     * query — a driver-side O(nLists·dim) step on already-driver-resident
-    * model state, not a data collect. `assigned` is cached because both
-    * the query-lookup side and the probe side consume it — uncached, the
-    * full assignment pass would run twice. */
+    * model state, not a data collect — by EUCLIDEAN distance, the same
+    * metric the KMeans quantizer assigns with: ranking by cosine here
+    * would not guarantee the query's own assigned list is among the
+    * probes for unnormalized vectors (its nearest-by-L2 centroid can
+    * rank below an angularly-closer one), silently losing the one list
+    * certain to hold near neighbors. Nearest-by-L2 centroid == the
+    * assigned centroid by definition, so the own list is always probed.
+    * `assigned` is cached because both the query-lookup side and the
+    * probe side consume it — uncached, the full assignment pass would
+    * run twice. */
   def ivfTopK(spark: SparkSession, dir: String,
       queryId: Long = 0L, k: Int = 10, nLists: Int = 4,
       nProbe: Int = 2): DataFrame = {
@@ -94,18 +101,18 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
       .cache()
     // rank the fitted centroids (nLists rows of driver-resident model
-    // state) by cosine against the query vector; the query row itself is
-    // a bounded 1-row probe
+    // state) by the quantizer's own metric — squared L2 — against the
+    // query vector; the query row itself is a bounded 1-row probe
     val qVec = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
     val probeLists = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => i -> cos(qVec, c.toArray) }
-      .sortBy { case (i, c) => (-c, i) }
+      .map { case (c, i) => i -> sqDist(qVec, c.toArray) }
+      .sortBy { case (i, d) => (d, i) }
       .take(nProbe).map(_._1.toLong)
     val query = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"))

@@ -119,7 +119,14 @@ object Events {
     new java.io.File(staging).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       .zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
+        // the chronological-replay guarantee rests entirely on these
+        // mtimes; on a filesystem where the stamp silently fails, the
+        // append/watermark queries would late-drop older slices with no
+        // error — fail loudly instead
+        val mtime = 1700000000000L + i * 60000L
+        require(f.setLastModified(mtime) && f.lastModified() == mtime,
+          s"stageReplayFiles: cannot stamp mtime on $f — " +
+            "chronological replay would be violated")
       }
     staging
   }
@@ -219,7 +226,10 @@ object Events {
         q.stop()
       }
     }
-    spark.read.parquet(sinkDir)
+    // explicit schema (statically known from the streaming plan): a
+    // fixture spanning < 2 h finalizes zero windows, leaving a file-less
+    // sink — schema inference would throw where "no rows" is the answer
+    spark.read.schema(agg.schema).parquet(sinkDir)
       .select(
         unix_micros(col("win.start")).as("hour_us"),
         col("event_type"), col("n"), col("sum_value"))
@@ -267,7 +277,7 @@ object Events {
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(sinkDir)
+    spark.read.schema(deduped.schema).parquet(sinkDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
@@ -339,7 +349,7 @@ object Events {
         q.stop()
       }
     }
-    spark.read.parquet(sinkDir)
+    spark.read.schema(joined.schema).parquet(sinkDir)
       .groupBy(unix_micros(date_trunc("hour", col("p_ts"))).as("hour_us"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -390,7 +400,7 @@ object Events {
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(sinkDir)
+    spark.read.schema(enriched.schema).parquet(sinkDir)
       .select(
         unix_micros(col("win.start")).as("hour_us"),
         col("c_mktsegment"), col("n"), col("sum_value"))
@@ -405,13 +415,19 @@ object Events {
     * table is the merge (sum of partials). Associativity makes the
     * result independent of how the replay happened to batch the data,
     * which is exactly why warehouses checkpoint partials rather than
-    * materialized totals. Batch-id goes into the rows for exactly-once
-    * bookkeeping (a restarted batch overwrites its own id's partition in
-    * a real deployment). The oracle is the plain batch aggregate. */
+    * materialized totals. Each batch's partial lands in its own
+    * `batch_id=N` partition directory with OVERWRITE mode, so a
+    * failed-then-retried microbatch replaces its own partial instead of
+    * double-counting it — the exactly-once contract foreachBatch leaves
+    * to the sink. The oracle is the plain batch aggregate. */
   def foreachBatchPartials(spark: SparkSession, dir: String): DataFrame = {
     val sinkDir = graft.Fs.scratch("graft_stream_partials_sink")
     val ckptDir = graft.Fs.scratch("graft_stream_partials_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    // unlike the file-sink queries (whose sink dir the engine creates at
+    // start), foreachBatch only writes per-batch subdirs — pre-create the
+    // root so a zero-batch run reads as empty rather than path-not-found
+    new java.io.File(sinkDir).mkdirs()
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
     // 2 files/trigger = 2 partial-writing batches — enough to prove the
     // merge is batch-boundary-independent without q33's 4-batch cost
@@ -424,10 +440,11 @@ object Events {
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batch_id-keyed overwrite: a retried microbatch rewrites its
+          // own partition, never appends a second copy of its partial
           batch.groupBy("user_id")
             .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sinkDir)
+            .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -435,7 +452,13 @@ object Events {
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(sinkDir)
+    // explicit schema (partials are statically shaped; batch_id is the
+    // partition column) — a zero-batch run degrades to zero rows
+    val partialsSchema = spark.read.schema(stream.schema).parquet(staging)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .schema.add("batch_id", org.apache.spark.sql.types.LongType)
+    spark.read.schema(partialsSchema).parquet(sinkDir)
       .groupBy("user_id")
       .agg(
         sum("n").as("n_events"),
