@@ -55,6 +55,8 @@ object SparkEntry {
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
     "q2a_compaction"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.compactionRoundTrip(s, d)),
+    "q2b_orc_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.lineitemOrcRoundTrip(s, d)),
+    "q2c_merge_upsert"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.mergeRoundTrip(s, d)),
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
@@ -391,6 +393,35 @@ object SparkEntry {
              CAST(ceil(count(1) / 15000.0) AS BIGINT) AS files_after,
              TRUE AS layout_ok
       FROM orders""",
+    // the ORC hop must be lossless — the oracle aggregates the parquet
+    // SOURCE; any format-conversion drift shifts the hash
+    "q2b_orc_roundtrip" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    // the merge replayed relationally: updates as CASE on the matched
+    // keys, inserts as UNION ALL under negated (unoccupied) keys
+    "q2c_merge_upsert" -> """
+      WITH merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT -o_orderkey - 1, 42.0 FROM orders WHERE o_orderkey % 101 = 0)
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+             CAST(sum(CASE WHEN o_orderkey > 0 AND o_orderkey % 7 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM merged""",
     // JSONL round trip must be lossless: sums CAST to BIGINT (DuckDB
     // sum() yields HUGEINT; the driver hash is representation-sensitive)
     "q29_jsonl_roundtrip" -> """

@@ -128,6 +128,82 @@ object Warehouse {
         lit(filesAfter == nAfter && filesAfter < filesBefore))
   }
 
+  /** q2b: ORC round trip — the other columnar format a warehouse
+    * speaks (Hive-ecosystem tables arrive as ORC; a migration engine
+    * must read AND write it without loss). Same contract as the
+    * parquet/JSONL round trips: write `lineitem` as ORC, read it back
+    * with the EXPLICIT schema (never inference at scale), aggregate,
+    * and let the oracle run the identical aggregate over the parquet
+    * source — any type coercion or row loss in the format hop shifts
+    * the hash. ORC inherits the same scan machinery (vectorized reader,
+    * pushdown, pruning), so the plan shape matches the parquet path. */
+  def lineitemOrcRoundTrip(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_orc")): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+    li.write.mode("overwrite").orc(path)
+    spark.read.schema(li.schema).orc(path)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Batch MERGE / upsert without a table format: `updates` rows win
+    * wholesale on key match, base rows survive otherwise, unmatched
+    * updates are inserts — the maintenance primitive behind CDC apply,
+    * dimension refresh and GDPR rewrite jobs. One shuffle join on the
+    * key (AQE broadcasts the update side when it is small, the common
+    * CDC case); the row-wins rule is decided by update-key presence,
+    * NOT per-column coalesce — a legitimately-NULL updated column must
+    * not resurrect the base value. */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.map { c =>
+      when(col(s"u.$key").isNotNull, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
+    }
+    base.alias("b")
+      .join(updates.alias("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
+      .select(cols.toSeq: _*)
+  }
+
+  /** q2c: the merge on the graded surface. A deterministic CDC batch is
+    * derived from `orders` itself — every key ≡ 0 (mod 7) gets a +10.00
+    * price update (an additive bump: IEEE addition is identically
+    * rounded in every engine, where a per-row `round(x*1.1, 2)` hits
+    * half-cent boundaries that Spark and DuckDB round apart), and every key ≡ 0 (mod 101) also arrives as a fresh
+    * insert under the (unoccupied) strictly-negative key −k−1 — keys
+    * start at 0, so plain negation would collide 0 with itself — then
+    * merged, written,
+    * and read back. The aggregate separates surviving / updated /
+    * inserted rows so a merge that drops, duplicates, or misroutes any
+    * class fails the oracle hash; the oracle replays the merge
+    * relationally (updates as CASE, inserts as UNION ALL). */
+  def mergeRoundTrip(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_merge")): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+    val updated = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    val inserted = base.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey") - 1)
+      .withColumn("o_totalprice", lit(42.0))
+    val merged = mergeUpsert(base, updated.unionByName(inserted), "o_orderkey")
+    merged.write.mode("overwrite").parquet(path)
+    spark.read.schema(merged.schema).parquet(path)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey") < 0, 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("o_orderkey") > 0 && col("o_orderkey") % 7 === 0, 1L)
+          .otherwise(0L)).as("n_updated"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        countDistinct("o_orderkey").as("n_keys"))
+  }
+
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is
     * still preferred at rest — JSONL is for pipeline boundaries. */

@@ -69,6 +69,38 @@ class SourcesSpec extends SparkSpec {
     assert(a.zip(b).forall { case (x, y) => x == y }, "JSONL round-trip diverged")
   }
 
+  test("ORC round trip preserves rows, types and values exactly") {
+    val path = tmpDir("graft_orc") + "/li"
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .limit(1000)
+    li.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(li.schema).orc(path)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    val a = li.orderBy("l_orderkey", "l_quantity").collect().map(_.toSeq)
+    val b = back.orderBy("l_orderkey", "l_quantity").collect().map(_.toSeq)
+    assert(a.zip(b).forall { case (x, y) => x == y }, "ORC round-trip diverged")
+  }
+
+  test("mergeUpsert: update wins wholesale (NULLs included), inserts land, others survive") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "price")
+    // update for k=2 carries a NULL tag — the update row must win
+    // WHOLESALE (null tag kept), not per-column-coalesce back to "b"
+    val updates = Seq((2L, null.asInstanceOf[String], 99.0), (4L, "new", 40.0))
+      .toDF("k", "tag", "price")
+    val merged = Warehouse.mergeUpsert(base, updates, "k")
+      .orderBy("k").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byK = merged.map(r => r.getLong(0) -> r).toMap
+    assert(byK(1L).getString(1) == "a" && byK(1L).getDouble(2) == 10.0)
+    assert(byK(2L).isNullAt(1) && byK(2L).getDouble(2) == 99.0,
+      "matched update must win wholesale, including its NULL columns")
+    assert(byK(4L).getString(1) == "new" && byK(4L).getDouble(2) == 40.0)
+  }
+
   test("CSV source reads with explicit schema and delimiter") {
     val dir = tmpDir("graft_csv")
     val f = java.nio.file.Paths.get(dir, "r.csv")
