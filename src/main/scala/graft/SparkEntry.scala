@@ -85,6 +85,8 @@ object SparkEntry {
     "q48_repetition_filter" -> (Text.repetitionStats _),
     "q4a_unigram_logprob"   -> ((s: SparkSession, d: String) => Text.unigramLogProb(s, d)),
     "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
+    "q4b_group_split"       -> ((s: SparkSession, d: String) => Curation.groupSplit(s, d)),
+    "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
     "q51_dedup_exact_content" -> (Dedup.exactByContent _),
@@ -859,6 +861,39 @@ object SparkEntry {
              round(avg(lp), 4) AS avg_logprob,
              round(avg(lp), 4) > -3.41 AS kept
       FROM s GROUP BY doc_id ORDER BY doc_id""",
+    // the Lehmer gate on user_id replayed arithmetically; leak_free is
+    // TRUE by construction of a correct group-keyed gate, and the
+    // per-split user/event/value totals pin the exact membership
+    "q4b_group_split" -> """
+      WITH t AS (
+        SELECT user_id, value,
+               CAST((((user_id % 2147483647) * 48271 % 2147483647) * 48271)
+                 % 2147483647 AS DOUBLE) / 2147483647 AS u
+        FROM events),
+      s AS (
+        SELECT CASE WHEN u < 0.8 THEN 'train' ELSE 'test' END AS split,
+               user_id, value
+        FROM t)
+      SELECT split,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(1) AS BIGINT) AS n_events,
+             round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+             TRUE AS leak_free
+      FROM s GROUP BY split ORDER BY split""",
+    // exact top-N replayed relationally; `guaranteed` from the exact
+    // counts, and hh_ok is the Misra-Gries theorem (guaranteed →
+    // candidate survives), which a correct sketch makes always-TRUE
+    "q4c_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      e AS (SELECT tok, CAST(count(1) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM e)
+      SELECT tok, cnt,
+             cnt > CAST(n_total AS DOUBLE) / 101 AS guaranteed,
+             TRUE AS hh_ok
+      FROM e CROSS JOIN t
+      ORDER BY cnt DESC, tok
+      LIMIT 10""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

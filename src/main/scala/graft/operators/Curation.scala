@@ -74,6 +74,37 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** q4b: GROUP-LEVEL (leakage-safe) train/test split — the ML-hygiene
+    * form of splitting interaction data: the gate hashes the GROUP key
+    * (user), not the row, so every event of a user lands in exactly one
+    * split and no user's behavior straddles the boundary (a row-level
+    * split would let a model see test users' history at train time —
+    * the classic recommender-evaluation leak). Same Lehmer arithmetic
+    * as q46, so membership is reproducible across runs, partitionings,
+    * and engines, and the assignment is a pure per-row function — no
+    * shuffle to decide membership, only the audit aggregates shuffle.
+    * `leak_free` is COMPUTED (max per-user distinct-split count == 1),
+    * not asserted: a broken gate flips it and fails the oracle hash. */
+  def groupSplit(spark: SparkSession, dir: String,
+      trainFrac: Double = 0.8): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .withColumn("split",
+        when(hashUniform(col("user_id")) < trainFrac, lit("train"))
+          .otherwise(lit("test")))
+    val leak = tagged.groupBy("user_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .agg(max("n_splits").as("max_splits"))
+    tagged.groupBy("split")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .join(broadcast(leak))
+      .withColumn("leak_free", col("max_splits") === 1L)
+      .drop("max_splits")
+      .orderBy("split")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget context
     * windows ("bins") by cumulative token offset — the pretraining step
     * that concatenates documents into model-context-length rows. A

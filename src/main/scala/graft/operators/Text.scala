@@ -266,6 +266,67 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** One Misra-Gries pass over a partition's tokens with k bounded
+    * counters: a non-resident token either claims a free counter or
+    * decrements all k. Classic guarantee: any token with partition
+    * frequency > n_p/(k+1) still holds a counter at the end. The
+    * decrement-all here is O(k) per eviction — fine for audit-sized k;
+    * production implementations amortize it with count-grouped buckets,
+    * which changes nothing about the survivors. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters(t) = c + 1
+        case None if counters.size < k => counters(t) = 1L
+        case None =>
+          val dead = List.newBuilder[String]
+          counters.foreach { case (key, c) =>
+            if (c == 1L) dead += key else counters(key) = c - 1
+          }
+          dead.result().foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** q4c: HEAVY HITTERS with a bounded-memory sketch — the streaming
+    * top-token question a 100 TB corpus can't answer with a full
+    * groupBy (the token-count table itself is huge; the sketch holds
+    * k counters per partition, full stop). Two passes, the standard
+    * scale shape: (1) per-partition Misra-Gries → candidate union
+    * (≤ k·numPartitions ids — broadcastable by construction; a
+    * globally-heavy token is locally heavy in ≥1 partition by
+    * pigeonhole, so the union keeps every token with global count
+    * > n/(k+1)); (2) exact recount of candidates only. The graded
+    * output folds the MG theorem into each row the q62/q63 way:
+    * `hh_ok` = guaranteed → surviving, which a correct implementation
+    * makes TRUE regardless of how the input happened to be
+    * partitioned (raw candidate membership for NON-guaranteed tokens
+    * is partitioning-dependent, so only the implication is emitted).
+    * The exact top-N side is the audit harness for the oracle — the
+    * operator under test is the sketch. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      k: Int = 100, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val cands = toks.as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, k))(Encoders.STRING)
+      .toDF("tok").distinct()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = exact.agg(sum("cnt").as("n_total"))
+    exact.orderBy(col("cnt").desc, col("tok")).limit(topN)
+      .join(broadcast(cands.withColumn("is_cand", lit(true))), Seq("tok"), "left")
+      .join(broadcast(total))
+      .withColumn("guaranteed",
+        col("cnt") > col("n_total").cast("double") / (k + 1))
+      .select(
+        col("tok"), col("cnt"), col("guaranteed"),
+        (!col("guaranteed") || coalesce(col("is_cand"), lit(false))).as("hh_ok"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** PII patterns shared by the redactor and its counters. Kept to the
     * regex subset Java and RE2 (DuckDB) interpret identically — char
     * classes, bounded quantifiers, `\b` — so the oracle replays the

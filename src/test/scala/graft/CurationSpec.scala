@@ -45,6 +45,19 @@ class CurationSpec extends SparkSpec {
     assert(a.values.count(_ == "train") / n > 0.6)
   }
 
+  test("groupSplit: no user straddles the boundary; splits partition the events") {
+    val out = Curation.groupSplit(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("split")).toSet == Set("train", "test"))
+    assert(out.forall(_.getAs[Boolean]("leak_free")))
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    // the union of per-split user sets must equal the full user set and
+    // the split user counts must sum to it (disjointness)
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_users")).sum == totalUsers)
+  }
+
   test("packSequences conserves documents and tokens, bins are contiguous") {
     val bins = Curation.packSequences(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

@@ -132,6 +132,36 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries: guaranteed-heavy token survives any partitioning; bound holds") {
+    // 1000 tokens: "hot" appears 200× (> 1000/(k+1) for k=9 → guaranteed),
+    // filler tokens are all distinct (never guaranteed)
+    val stream = (1 to 200).map(_ => "hot") ++ (1 to 800).map(i => s"w$i")
+    for (seed <- Seq(1, 7, 42)) {
+      // adversarial orderings: survivors may differ, the guarantee may not
+      val shuffled = new scala.util.Random(seed).shuffle(stream)
+      val survivors = Text.misraGries(shuffled.iterator, 9).toSet
+      assert(survivors.contains("hot"),
+        s"guaranteed heavy hitter evicted (seed=$seed)")
+      assert(survivors.size <= 9, "counter bound violated")
+    }
+    // per-partition union keeps a globally-guaranteed token (pigeonhole)
+    val parts = stream.grouped(250).toSeq
+    val union = parts.flatMap(p => Text.misraGries(p.iterator, 9)).toSet
+    assert(union.contains("hot"))
+  }
+
+  test("heavyHitters: exact top tokens, guarantee implication always true") {
+    val out = Text.heavyHitters(spark, sfDir, k = 100, topN = 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Boolean]("hh_ok")),
+      "a guaranteed heavy hitter was not in the MG candidate union")
+    assert(out.exists(_.getAs[Boolean]("guaranteed")),
+      "top-10 contains no guaranteed token — the invariant is vacuous; lower k")
+    // counts strictly ordered by the emitted sort
+    val cnts = out.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse)
+  }
+
   test("PII redaction removes every email/IP/phone and is idempotent") {
     val rows = Text.piiRedaction(spark, sfDir).collect()
     assert(rows.nonEmpty)
