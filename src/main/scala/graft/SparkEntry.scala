@@ -97,6 +97,7 @@ object SparkEntry {
     "q56_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
     "q57_dup_components"    -> ((s: SparkSession, d: String) => Dedup.duplicateComponents(s, d)),
     "q58_quantile_sketch"   -> (Relational.quantileSketch _),
+    "q59_canonical_dedup"   -> ((s: SparkSession, d: String) => Dedup.canonicalDedup(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -995,6 +996,49 @@ object SparkEntry {
       comp AS (SELECT v, min(r) AS rep FROM reach GROUP BY v)
       SELECT rep AS component_rep, CAST(count(1) AS BIGINT) AS n_members
       FROM comp GROUP BY rep ORDER BY rep""",
+    // q59 = the q57 component fixpoint + a quality-ranked representative
+    // pick per cluster, replayed with the same recursive CTE
+    "q59_canonical_dedup" -> """
+      WITH RECURSIVE p AS (
+        SELECT vec_id, embedding, b.b,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                      (CASE WHEN (((i - 1) * 2654435761 + b.b * 40503) // 8192) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))) AS proj
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+      buck AS (
+        SELECT vec_id, any_value(embedding) AS embedding,
+               CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        FROM p GROUP BY vec_id),
+      pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b2
+        FROM buck l JOIN buck r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE list_sum(list_transform(range(1, len(l.embedding) + 1),
+                i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              >= 0.25),
+      edges AS (SELECT a AS src, b2 AS dst FROM pairs
+                UNION ALL SELECT b2, a FROM pairs),
+      reach(v, r) AS (
+        SELECT vec_id, vec_id FROM buck
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.v = e.src),
+      comp AS (SELECT v, min(r) AS rep FROM reach GROUP BY v),
+      j AS (
+        SELECT c.v, c.rep, d.n_chars
+        FROM comp c JOIN documents d ON c.v = d.doc_id),
+      rk AS (
+        SELECT v, rep, n_chars,
+               row_number() OVER (PARTITION BY rep
+                                  ORDER BY n_chars DESC, v) AS rk
+        FROM j)
+      SELECT rep AS component_rep,
+             CAST(count(1) AS BIGINT) AS n_members,
+             CAST(max(CASE WHEN rk = 1 THEN v END) AS BIGINT) AS canonical_id,
+             CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+             CAST(sum(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+      FROM rk GROUP BY rep ORDER BY rep""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -321,6 +321,45 @@ object Dedup {
       .orderBy("component_rep")
   }
 
+  /** q59: CANONICALIZATION — what a curation pipeline actually does
+    * with duplicate clusters: keep the highest-quality member of each,
+    * drop the rest. Composes the q57 machinery (hyperplane-bucket
+    * near-dup pairs → connected components) with a per-cluster
+    * representative pick: a row_number window over (quality desc, id)
+    * — here quality = document length, the usual first proxy — so
+    * exactly one canonical doc survives per cluster, deterministically
+    * tie-broken. The window partitions on the cluster rep (one shuffle
+    * keyed by cluster — clusters are near-dup groups, inherently small,
+    * so no skew pathology), and the graded rows carry both the pick and
+    * the kept/dropped char mass, so a wrong representative OR a wrong
+    * cluster shifts the hash. The oracle replays it on top of the q57
+    * recursive-CTE components. */
+  def canonicalDedup(spark: SparkSession, dir: String,
+      minCosine: Double = 0.25, nBits: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(numPartitions.getOrElse(spark.sparkContext.defaultParallelism))
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val pairs = rawNearDupPairs(emb, dim, minCosine, nBits)
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    val assign = connectedComponents(verts,
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")),
+      numPartitions = numPartitions)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("rep").orderBy(col("n_chars").desc, col("doc_id"))
+    assign.join(docs, col("id") === col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("rep").as("component_rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("canonical_chars"),
+        sum(when(col("rk") =!= 1, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .orderBy("component_rep")
+  }
+
   /** Embedding-cosine near-dup via random-hyperplane bucketing: vectors
     * agreeing on `nBits` hyperplane signs land in one bucket; exact
     * cosine is computed only within buckets. Deterministic hyperplanes

@@ -89,6 +89,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(reps.distinct.length == reps.length)
   }
 
+  test("canonicalDedup agrees with duplicateComponents and picks max-quality reps") {
+    val canon = Dedup.canonicalDedup(spark, sfDir).collect()
+    val comps = Dedup.duplicateComponents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("component_rep") -> r.getAs[Long]("n_members")).toMap
+    // same clusters, same sizes as the q57 components
+    assert(canon.map(r =>
+      r.getAs[Long]("component_rep") -> r.getAs[Long]("n_members")).toMap == comps)
+    val chars = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon.foreach { r =>
+      val rep = r.getAs[Long]("component_rep")
+      if (r.getAs[Long]("n_members") == 1L) {
+        // a singleton's canonical member IS its representative, nothing dropped
+        assert(r.getAs[Long]("canonical_id") == rep)
+        assert(r.getAs[Long]("dropped_chars") == 0L)
+      }
+      assert(r.getAs[Long]("canonical_chars") == chars(r.getAs[Long]("canonical_id")))
+    }
+  }
+
   test("embedding near-dups EMITS planted near-duplicate pairs") {
     // the fixture embeddings are random (max cosine ≈ 0.46), so the
     // emission path needs a planted corpus: 20 random bases, each with a
