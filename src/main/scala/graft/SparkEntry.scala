@@ -110,6 +110,8 @@ object SparkEntry {
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     "q67_media_resize"      -> (Multimodal.resizeStats _),
+    "q68_pq_audit"          -> ((s: SparkSession, d: String) => Similarity.pqAudit(s, d)),
+    "q69_audio_frames"      -> ((s: SparkSession, d: String) => Multimodal.audioFrameStats(s, d)),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
     "q70_kmeans_selection"  -> ((s: SparkSession, d: String) => FixturePipelines.kmeansSelection(s, d)),
     "q71_kmeans_e2e"        -> (FixturePipelines.kmeansE2E _),
@@ -1126,6 +1128,67 @@ object SparkEntry {
              CAST(sum(CASE WHEN err > scale / 2 + 1e-9 THEN 1 ELSE 0 END) AS BIGINT) = 0
                AS bound_ok
       FROM e""",
+    // q68's codebook is deliberately fixed (first-8 vectors' subvectors)
+    // so the per-subspace nearest-code argmin is pure arithmetic; the
+    // inner fold is element-ordered in both engines, and per-vector /
+    // corpus rounding absorbs aggregation-order ulp
+    "q68_pq_audit" -> """
+      WITH cb AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, s.j, c.cid,
+               list_sum(list_transform(range(1, (len(e.embedding) // 4) + 1),
+                 t -> (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))
+                    * (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))))
+                 AS dist
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS j) s
+        CROSS JOIN cb c),
+      mn AS (SELECT vec_id, j, min(dist) AS min_dist FROM d GROUP BY vec_id, j),
+      v AS (SELECT vec_id, round(sum(min_dist), 4) AS err FROM mn GROUP BY vec_id)
+      SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+             round(avg(err), 4) AS avg_err,
+             round(max(err), 4) AS worst_err,
+             CAST((SELECT len(embedding) * 4 FROM embeddings LIMIT 1) AS BIGINT)
+               AS orig_bytes,
+             CAST(4 AS BIGINT) AS code_bytes
+      FROM v""",
+    // the PCM waveform is closed-form in (doc_id, i), so the oracle
+    // regenerates it and replays decode + framing in exact integers
+    "q69_audio_frames" -> """
+      WITH d AS (
+        SELECT doc_id, 768 + (doc_id % 5) * 128 AS n FROM documents),
+      s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      v AS (
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 17) % 2003) - 1001 AS x
+        FROM s),
+      zc AS (
+        SELECT doc_id,
+               CAST(max(abs(x)) AS BIGINT) AS max_abs,
+               CAST(sum(CASE WHEN i > 0 AND ((x >= 0) <>
+                    ((((doc_id * 31 + (i - 1) * 17) % 2003) - 1001) >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        FROM v GROUP BY doc_id),
+      f AS (
+        SELECT doc_id, n, unnest(range(0, (n - 256) // 128 + 1)) AS fr
+        FROM d),
+      fe AS (
+        SELECT f.doc_id,
+               ((f.doc_id * 31 + (fr * 128 + o.o) * 17) % 2003) - 1001 AS x
+        FROM f CROSS JOIN (SELECT unnest(range(0, 256)) AS o) o),
+      en AS (
+        SELECT doc_id,
+               CAST(count(1) // 256 AS BIGINT) AS n_frames,
+               CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS frame_energy
+        FROM fe GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples, en.n_frames,
+             zc.max_abs, zc.n_zero_cross, en.frame_energy
+      FROM d JOIN zc USING (doc_id) JOIN en USING (doc_id)
+      ORDER BY doc_id""",
     "q61_cosine_topk" -> """
       WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       sims AS (

@@ -175,6 +175,83 @@ object Multimodal {
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_bytes"))
       .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
 
+  /** AUDIO leg of the multimodal surface: synthesize a deterministic
+    * 16-bit little-endian PCM clip per document (sample i of doc d is
+    * `((d·31 + i·17) mod 2003) − 1001` — pure integer arithmetic, so an
+    * external engine can regenerate the waveform), carried as an opaque
+    * `binary` column with a typed metadata struct — the same
+    * blob-plus-metadata contract as the image leg. Encode runs
+    * distributed in mapPartitions; the clip never exists driver-side. */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 768 + (id % 5).toInt * 128
+          val buf = java.nio.ByteBuffer.allocate(2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            buf.putShort((((id * 31 + i * 17) % 2003) - 1001).toShort)
+            i += 1
+          }
+          (id, buf.array(), 16000, n)
+        }
+      }
+      .toDF("doc_id", "pcm", "sample_rate", "n_samples")
+      .select(col("doc_id"), col("pcm"),
+        struct(col("sample_rate"), col("n_samples")).as("meta"))
+  }
+
+  /** q69: audio decode + FRAME SAMPLING — the speech-pipeline
+    * feature-prep step (frame size 256, hop 128, the standard 50%
+    * overlap). The decode is a REAL byte-level PCM parse (ByteBuffer,
+    * little-endian int16) of the blob column inside mapPartitions —
+    * same codec shape as the ImageIO leg — and every emitted feature
+    * (peak amplitude, zero crossings, summed per-frame energy) is
+    * computed from the DECODED samples, all in exact integer
+    * arithmetic so the oracle regenerates the waveform closed-form and
+    * replays the numbers bit-for-bit. A wrong endianness, stride, or
+    * frame boundary shifts every checksum. */
+  def audioFrameStats(spark: SparkSession, dir: String,
+      frameSize: Int = 256, hop: Int = 128): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir)
+      .select(col("doc_id"), col("pcm")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, blob) =>
+          val bb = java.nio.ByteBuffer.wrap(blob)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = blob.length / 2
+          val xs = new Array[Int](n)
+          var i = 0
+          while (i < n) { xs(i) = bb.getShort().toInt; i += 1 }
+          var maxAbs = 0L; var zc = 0L
+          i = 0
+          while (i < n) {
+            val a = math.abs(xs(i)).toLong
+            if (a > maxAbs) maxAbs = a
+            if (i > 0 && ((xs(i) >= 0) != (xs(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val nFrames = if (n >= frameSize) (n - frameSize) / hop + 1 else 0
+          var e = 0L; var fr = 0
+          while (fr < nFrames) {
+            var o = 0
+            while (o < frameSize) {
+              val x = xs(fr * hop + o).toLong; e += x * x; o += 1
+            }
+            fr += 1
+          }
+          (id, n.toLong, nFrames.toLong, maxAbs, zc, e)
+        }
+      }
+      .toDF("doc_id", "n_samples", "n_frames", "max_abs", "n_zero_cross",
+        "frame_energy")
+      .orderBy("doc_id")
+  }
+
   /** Reporting query over the decoded features. Every output column is
     * either decode-independent arithmetic (n_media) or recoverable from
     * the DECODED raster dimensions/file size — and since dimensions are

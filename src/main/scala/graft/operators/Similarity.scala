@@ -215,6 +215,61 @@ object Similarity {
           .as("bound_ok"))
   }
 
+  /** q68: PRODUCT QUANTIZATION audit — the other half of a production
+    * ANN store next to q66's scalar quantization: split each vector
+    * into `m` subspaces, code each subvector as its nearest of `k`
+    * codebook entries, store m small codes per vector (here m·1 byte
+    * vs dim·4 for float32 — a 16× shrink at dim=16). Like q64's fixed
+    * IVF quantizer, the codebook is DELIBERATELY deterministic (the
+    * first `k` vectors' subvectors) so the nearest-code argmin is pure
+    * arithmetic the DuckDB oracle replays — the seeded-KMeans-trained
+    * flavor belongs to q63's rows-only regime. The plan is
+    * broadcast-codebook × narrow per-row work + two partial-agg
+    * shuffles of (vec, subspace) keys: candidate work is k·m per
+    * vector, never corpus². Emits the corpus reconstruction-error
+    * audit (PQ's figure of merit — ADC distance error is bounded by
+    * reconstruction error) plus the storage arithmetic. */
+  def pqAudit(spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    pqErrors(emb, dim, m, k)
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg("err"), 4).as("avg_err"),
+        round(max("err"), 4).as("worst_err"))
+      .withColumn("orig_bytes", lit(dim * 4L))
+      .withColumn("code_bytes", lit(m.toLong))
+  }
+
+  /** Per-vector PQ reconstruction error (the body of [[pqAudit]],
+    * exposed so specs can assert pointwise invariants — e.g. a
+    * codebook member reconstructs itself losslessly). */
+  private[graft] def pqErrors(emb: DataFrame, dim: Int,
+      m: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // squared L2 between subvector j of the row and of the candidate:
+    // a sequential fold over the subspace's elements (deterministic
+    // summation order — the oracle's list_sum folds the same way)
+    val dist = aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, t) => {
+      val idx = (col("j") * sub + t).cast("int")
+      val d = element_at(col("embedding"), idx).cast("double") -
+        element_at(col("cvec"), idx).cast("double")
+      acc + d * d
+    })
+    emb.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(broadcast(cb))
+      .withColumn("dist", dist)
+      .groupBy("vec_id", "j")
+      .agg(min("dist").as("min_dist"))
+      .groupBy("vec_id")
+      .agg(round(sum("min_dist"), 4).as("err"))
+  }
+
   /** IVF bucket histogram (deterministic; oracle-checkable): nearest of
     * the first 4 vectors by cosine, counted per bucket. Unlike
     * `ivfTopK` (which fits a real KMeans quantizer), this keeps the

@@ -171,6 +171,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("worst_err") >= r.getAs[Double]("avg_max_err"))
   }
 
+  test("PQ: codebook members reconstruct losslessly; errors nonneg; audit shape") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val errs = operators.Similarity.pqErrors(emb, dim, m = 4, k = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("err")).toMap
+    assert(errs.size == emb.count())
+    // the first-8 vectors ARE the codebook: each subvector's nearest
+    // code is itself → exact reconstruction
+    (0L until 8L).foreach(id => assert(errs(id) == 0.0,
+      s"codebook member $id must reconstruct losslessly, got ${errs(id)}"))
+    assert(errs.values.forall(_ >= 0.0))
+    val audit = operators.Similarity.pqAudit(spark, sfDir).head()
+    assert(audit.getAs[Double]("worst_err") >= audit.getAs[Double]("avg_err"))
+    assert(audit.getAs[Long]("orig_bytes") == dim * 4L)
+  }
+
+  test("audio decode: frame stats match an independent recompute of the waveform") {
+    val out = operators.Multimodal.audioFrameStats(spark, sfDir).collect()
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    // independent scalar replay for a handful of docs
+    out.filter(r => Seq(0L, 3L, 4L, 7L).contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 768 + (id % 5).toInt * 128
+      val xs = Array.tabulate(n)(i => (((id * 31 + i * 17) % 2003) - 1001).toInt)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      val nFrames = (n - 256) / 128 + 1
+      assert(r.getAs[Long]("n_frames") == nFrames.toLong)
+      assert(r.getAs[Long]("max_abs") == xs.map(x => math.abs(x).toLong).max)
+      val zc = (1 until n).count(i => (xs(i) >= 0) != (xs(i - 1) >= 0))
+      assert(r.getAs[Long]("n_zero_cross") == zc.toLong)
+      val e = (0 until nFrames).map(fr =>
+        (0 until 256).map(o => { val x = xs(fr * 128 + o).toLong; x * x }).sum).sum
+      assert(r.getAs[Long]("frame_energy") == e)
+    }
+  }
+
   test("codegen cosineSim agrees with the higher-order-function cosine") {
     import graft.functions.VectorFunctions
     val df = Tables.embeddings(spark, sfDir).limit(50)
