@@ -86,6 +86,7 @@ object SparkEntry {
     "q4a_unigram_logprob"   -> ((s: SparkSession, d: String) => Text.unigramLogProb(s, d)),
     "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q4b_group_split"       -> ((s: SparkSession, d: String) => Curation.groupSplit(s, d)),
+    "q4d_chunking"          -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -884,6 +885,31 @@ object SparkEntry {
              round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
              TRUE AS leak_free
       FROM s GROUP BY split ORDER BY split""",
+    // the chunk windows replayed with the same ceil/stride arithmetic;
+    // chunk_chars re-slices the token list per chunk, pinning the
+    // engine's array-slice semantics (1-based, length-bounded) exactly
+    "q4d_chunking" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      d AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+               greatest(CAST(1 AS BIGINT),
+                 CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT)) AS n_chunks
+        FROM t),
+      c AS (
+        SELECT doc_id, toks, n_tokens,
+               unnest(range(0, n_chunks)) AS chunk_id
+        FROM d)
+      SELECT doc_id, chunk_id,
+             chunk_id * 48 AS start_tok,
+             least(CAST(64 AS BIGINT), n_tokens - chunk_id * 48) AS n_chunk_tokens,
+             CAST(length(array_to_string(
+               toks[CAST(chunk_id * 48 + 1 AS INTEGER) :
+                    CAST(chunk_id * 48
+                         + least(CAST(64 AS BIGINT), n_tokens - chunk_id * 48)
+                      AS INTEGER)], ' ')) AS BIGINT) AS chunk_chars
+      FROM c
+      ORDER BY doc_id, chunk_id""",
     // exact top-N replayed relationally; `guaranteed` from the exact
     // counts, and hh_ok is the Misra-Gries theorem (guaranteed →
     // candidate survives), which a correct sketch makes always-TRUE

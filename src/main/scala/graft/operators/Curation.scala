@@ -105,6 +105,48 @@ object Curation {
       .orderBy("split")
   }
 
+  /** q4d: fixed-budget CHUNKING with overlap — the context-window prep
+    * step for RAG indexing and long-document pretraining: each document
+    * is cut into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlap`, so consecutive chunks share `overlap`
+    * tokens of context. The last window keeps whatever remains (short
+    * docs yield exactly one chunk).
+    *
+    * Scale: a NARROW generator — tokenize once, `explode` a per-row
+    * `sequence(0, n_chunks−1)`, slice the cached token array per chunk.
+    * No shuffle anywhere (the final orderBy is presentation for the
+    * oracle); at 100 TB this runs entirely inside the scan stage and
+    * output volume is input·(1 + overlap/stride). Emits per-chunk
+    * arithmetic (start offset, token count) plus `chunk_chars`, the
+    * reassembled chunk's character length — a value only obtainable by
+    * actually slicing the token array, which is what pins the oracle
+    * replay to the real slice semantics. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // ceil((n − overlap) / stride) windows, min 1: the last window
+      // starts while > overlap tokens remain, so no chunk is pure overlap
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          ceil((col("n_tokens") - overlap).cast("double") / stride).cast("long")))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("start_tok")))
+      .withColumn("chunk_chars",
+        length(concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1).cast("int"),
+          col("n_chunk_tokens").cast("int")))).cast("long"))
+      .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens", "chunk_chars")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget context
     * windows ("bins") by cumulative token offset — the pretraining step
     * that concatenates documents into model-context-length rows. A

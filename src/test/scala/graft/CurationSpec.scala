@@ -58,6 +58,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_users")).sum == totalUsers)
   }
 
+  test("chunkDocuments: windows tile each document with exact overlap arithmetic") {
+    val chunks = Curation.chunkDocuments(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every document must produce chunks")
+    byDoc.foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val n = toks.length.toLong
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq == (0L until sorted.length),
+        s"doc $id: chunk ids not contiguous")
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_chunk_tokens") == n,
+        s"doc $id: last chunk must end at the last token")
+      // stride 48 / window 64: every adjacent pair shares exactly 16
+      // tokens, so chunk token mass = n + (k−1)·overlap
+      assert(sorted.map(_.getAs[Long]("n_chunk_tokens")).sum ==
+        n + (sorted.length - 1) * 16L,
+        s"doc $id: overlap arithmetic broken")
+      sorted.foreach { c =>
+        val s = c.getAs[Long]("start_tok").toInt
+        val len = c.getAs[Long]("n_chunk_tokens").toInt
+        assert(c.getAs[Long]("chunk_chars") ==
+          toks.slice(s, s + len).mkString(" ").length.toLong,
+          s"doc $id chunk ${c.getAs[Long]("chunk_id")}: slice mismatch")
+      }
+    }
+  }
+
   test("packSequences conserves documents and tokens, bins are contiguous") {
     val bins = Curation.packSequences(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
