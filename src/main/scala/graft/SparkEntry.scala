@@ -87,6 +87,7 @@ object SparkEntry {
     "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q4b_group_split"       -> ((s: SparkSession, d: String) => Curation.groupSplit(s, d)),
     "q4d_chunking"          -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
+    "q4f_normalized_dedup"  -> (Dedup.normalizedDedup _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -924,6 +925,23 @@ object SparkEntry {
       FROM e CROSS JOIN t
       ORDER BY cnt DESC, tok
       LIMIT 10""",
+    // identical normalization chain (lower → punct→space → collapse →
+    // trim) in both engines; norm_chars pins it byte-for-byte. The
+    // (xxhash64, norm) grouping key is engine-internal and dropped —
+    // only its collision-safe group COUNTS surface
+    "q4f_normalized_dedup" -> """
+      WITH n AS (
+        SELECT lang,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents),
+      g AS (SELECT lang, norm, count(1) AS n FROM n GROUP BY lang, norm)
+      SELECT lang,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(1) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+             CAST(sum(length(norm) * n) AS BIGINT) AS norm_chars
+      FROM g GROUP BY lang ORDER BY lang""",
     "q50_dedup_exact_key" -> """
       SELECT lang, source,
              min(doc_id) AS keep_doc_id,

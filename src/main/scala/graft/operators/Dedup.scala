@@ -55,6 +55,40 @@ object Dedup {
         sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
         (count(lit(1)) - countDistinct("text_hash")).as("n_hash_collisions"))
 
+  /** q4f: NORMALIZED exact dedup — the fuzzy-exact middle ground every
+    * crawl pipeline runs before near-dup: casefold, strip punctuation,
+    * collapse whitespace, THEN group by content. Catches the
+    * "same doc, different capitalization/markup" duplicates exact dedup
+    * misses at a fraction of MinHash's cost. Normalization is a narrow
+    * codegen projection (lower + two regexp_replace + trim, no UDF);
+    * the grouping follows [[exactByContent]]'s collision-safe
+    * (xxhash64, text) key shape, and map-side partial aggregation
+    * collapses duplicates before the exchange. Per-language output: doc
+    * counts, distinct normalized texts, redundant copies, and the
+    * normalized char mass — the last pins the normalization
+    * byte-for-byte against the oracle's replay. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, dir))
+
+  /** Normalization chain exposed for planted-corpus specs. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  def normalizedDedupOf(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("lang"), normalizeText(col("text")).as("norm"))
+      .groupBy(col("lang"), xxhash64(col("norm")).as("h"), col("norm"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant"),
+        sum(length(col("norm")).cast("long") * col("n")).as("norm_chars"))
+      .orderBy("lang")
+  }
+
   /** Word-shingle MinHash signatures with `numHashes` permutations of
     * the form h_i(x) = (a_i·x + b_i) mod p over xxhash64 token-shingle
     * hashes. Pure expression work — no UDF, no driver state. */

@@ -15,6 +15,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_unique") <= total)
   }
 
+  test("normalizedDedup merges case/punct/whitespace variants, not distinct docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "Hello, World!"),
+      (2L, "en", "hello   world"),
+      (3L, "en", "HELLO WORLD."),
+      (4L, "en", "goodbye world"),
+      (5L, "de", "Hello, World!") // same text, other stratum: separate group
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.normalizedDedupOf(df).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("en").getAs[Long]("n_docs") == 4)
+    assert(out("en").getAs[Long]("n_unique") == 2, "three variants must merge")
+    assert(out("en").getAs[Long]("n_redundant") == 2)
+    // "hello world" ×3 + "goodbye world" ×1
+    assert(out("en").getAs[Long]("norm_chars") == 3 * 11 + 13)
+    assert(out("de").getAs[Long]("n_unique") == 1)
+  }
+
   test("minhash candidate pairs are far fewer than all-pairs") {
     val n = Tables.documents(spark, sfDir).count()
     val pairs = Dedup.minhashNearDupPairs(spark, sfDir).count()
