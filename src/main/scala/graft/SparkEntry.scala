@@ -87,6 +87,7 @@ object SparkEntry {
     "q49_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontaminate(s, d)),
     "q4b_group_split"       -> ((s: SparkSession, d: String) => Curation.groupSplit(s, d)),
     "q4d_chunking"          -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
+    "q4e_curation_funnel"   -> ((s: SparkSession, d: String) => Curation.curationFunnel(s, d)),
     "q4f_normalized_dedup"  -> (Dedup.normalizedDedup _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
@@ -925,6 +926,55 @@ object SparkEntry {
       FROM e CROSS JOIN t
       ORDER BY cnt DESC, tok
       LIMIT 10""",
+    // the funnel's cumulative-conjunction counts replayed over the same
+    // rounded per-doc scores and the same normalization chain; every
+    // stage must be ≤ the previous by construction in both engines
+    "q4e_curation_funnel" -> """
+      WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               string_split(text, ' ') AS toks,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang, n_chars, norm,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS diversity,
+               round(CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                 / len(toks), 4) AS stop_ratio,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 AS first_of_norm
+        FROM d),
+      g AS (
+        SELECT count(1) AS s0,
+               sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS s1,
+               sum(CASE WHEN n_chars >= 100
+                         AND lang IN ('de','en','es','fr')
+                    THEN 1 ELSE 0 END) AS s2,
+               sum(CASE WHEN n_chars >= 100
+                         AND lang IN ('de','en','es','fr')
+                         AND diversity >= 0.35
+                    THEN 1 ELSE 0 END) AS s3,
+               sum(CASE WHEN n_chars >= 100
+                         AND lang IN ('de','en','es','fr')
+                         AND diversity >= 0.35
+                         AND stop_ratio <= 0.15
+                    THEN 1 ELSE 0 END) AS s4,
+               sum(CASE WHEN n_chars >= 100
+                         AND lang IN ('de','en','es','fr')
+                         AND diversity >= 0.35
+                         AND stop_ratio <= 0.15
+                         AND first_of_norm
+                    THEN 1 ELSE 0 END) AS s5
+        FROM f)
+      SELECT * FROM (
+        SELECT 0 AS stage, 'all' AS gate,
+               CAST(s0 AS BIGINT) AS n_docs, round(s0/s0, 4) AS retained FROM g
+        UNION ALL SELECT 1, 'min_length', CAST(s1 AS BIGINT), round(s1/s0, 4) FROM g
+        UNION ALL SELECT 2, 'lang_known', CAST(s2 AS BIGINT), round(s2/s0, 4) FROM g
+        UNION ALL SELECT 3, 'diverse', CAST(s3 AS BIGINT), round(s3/s0, 4) FROM g
+        UNION ALL SELECT 4, 'stopword_ok', CAST(s4 AS BIGINT), round(s4/s0, 4) FROM g
+        UNION ALL SELECT 5, 'canonical', CAST(s5 AS BIGINT), round(s5/s0, 4) FROM g)
+      ORDER BY stage""",
     // identical normalization chain (lower → punct→space → collapse →
     // trim) in both engines; norm_chars pins it byte-for-byte. The
     // (xxhash64, norm) grouping key is engine-internal and dropped —

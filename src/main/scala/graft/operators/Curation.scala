@@ -147,6 +147,62 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q4e: the CURATION FUNNEL — the composed end-to-end shape of a
+    * training-data cleaning pipeline (C4/Gopher/FineWeb-style): each
+    * document passes a cascade of gates, and the graded output is the
+    * per-stage retention table — exactly the artifact a data-curation
+    * run reports. Gates, in order: minimum length, known language,
+    * token diversity, stopword-ratio cap, first-occurrence per
+    * NORMALIZED text (the [[Dedup.normalizeText]] chain).
+    *
+    * Scale: gates 1–4 are narrow per-row codegen predicates computed in
+    * one projection pass; only the canonical gate shuffles (one window
+    * over the normalized text, the same exchange exact dedup pays), and
+    * the funnel aggregate is a scalar map-side-combined fold. Stage
+    * counts are CUMULATIVE conjunctions, so the table reads as a
+    * funnel: every stage ≤ the previous. Thresholds compare ROUNDED
+    * scores so the booleans replay bit-for-bit in the oracle. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("diversity",
+        round(size(array_distinct(col("toks"))) / col("n_tokens"), 4))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "to", "in"))) / col("n_tokens"), 4))
+      .withColumn("norm", Dedup.normalizeText(col("text")))
+      .withColumn("first_of_norm",
+        row_number().over(Window.partitionBy("norm").orderBy("doc_id")) === 1)
+    val g1 = col("n_chars") >= 100
+    val g2 = col("lang").isin("de", "en", "es", "fr")
+    val g3 = col("diversity") >= 0.35
+    val g4 = col("stop_ratio") <= 0.15
+    val g5 = col("first_of_norm")
+    def surv(gates: Column*): Column =
+      sum(when(gates.reduce(_ && _), 1L).otherwise(0L))
+    docs
+      .agg(
+        count(lit(1)).as("s0"),
+        surv(g1).as("s1"),
+        surv(g1, g2).as("s2"),
+        surv(g1, g2, g3).as("s3"),
+        surv(g1, g2, g3, g4).as("s4"),
+        surv(g1, g2, g3, g4, g5).as("s5"))
+      .selectExpr(
+        "stack(6, " +
+          "0, 'all', s0, round(s0/s0, 4), " +
+          "1, 'min_length', s1, round(s1/s0, 4), " +
+          "2, 'lang_known', s2, round(s2/s0, 4), " +
+          "3, 'diverse', s3, round(s3/s0, 4), " +
+          "4, 'stopword_ok', s4, round(s4/s0, 4), " +
+          "5, 'canonical', s5, round(s5/s0, 4)" +
+          ") as (stage, gate, n_docs, retained)")
+      .orderBy("stage")
+  }
+
   /** Sequence packing: assign documents to fixed token-budget context
     * windows ("bins") by cumulative token offset — the pretraining step
     * that concatenates documents into model-context-length rows. A

@@ -88,6 +88,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curationFunnel: monotone retention, full corpus at stage 0") {
+    val rows = Curation.curationFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == (0 until 6))
+    assert(rows.head.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfDir).count())
+    val counts = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(counts == counts.sorted.reverse, s"funnel not monotone: $counts")
+    assert(counts.last > 0, "cascade must not empty the corpus")
+    assert(rows.head.getAs[Double]("retained") == 1.0)
+  }
+
   test("packSequences conserves documents and tokens, bins are contiguous") {
     val bins = Curation.packSequences(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
