@@ -57,6 +57,7 @@ object SparkEntry {
     "q2a_compaction"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.compactionRoundTrip(s, d)),
     "q2b_orc_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.lineitemOrcRoundTrip(s, d)),
     "q2c_merge_upsert"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.mergeRoundTrip(s, d)),
+    "q2d_scd2_dimension"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2Customers(s, d)),
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
@@ -431,6 +432,30 @@ object SparkEntry {
              round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
       FROM merged""",
+    // SCD2 replayed with the same lag-filter-lead windows; the year-3000
+    // high-water mark closes open versions identically in both engines
+    "q2d_scd2_dimension" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        FROM o WHERE prev IS NULL OR prev <> o_orderpriority),
+      v AS (
+        SELECT o_custkey, o_orderpriority AS priority,
+               epoch_us(o_orderdate) AS effective_from_us,
+               epoch_us(lead(o_orderdate) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                 AS next_from_us
+        FROM c)
+      SELECT o_custkey, priority, effective_from_us,
+             coalesce(next_from_us, CAST(32503680000000000 AS BIGINT))
+               AS effective_to_us,
+             next_from_us IS NULL AS is_current
+      FROM v
+      ORDER BY o_custkey, effective_from_us""",
     // JSONL round trip must be lossless: sums CAST to BIGINT (DuckDB
     // sum() yields HUGEINT; the driver hash is representation-sensitive)
     "q29_jsonl_roundtrip" -> """

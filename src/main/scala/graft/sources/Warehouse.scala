@@ -204,6 +204,39 @@ object Warehouse {
         countDistinct("o_orderkey").as("n_keys"))
   }
 
+  /** q2d: SCD TYPE-2 dimension build — the warehouse pattern for
+    * tracking attribute history: each customer's order-priority stream
+    * becomes versioned rows with [effective_from, effective_to) ranges
+    * and an `is_current` flag. Change detection via lag (a version
+    * opens only when the attribute actually changes), range closing via
+    * lead OVER the change rows. Two windows over the same
+    * (key, time, tiebreak) ordering = ONE shuffle + one sort, reused by
+    * both window functions — the scale-correct SCD2 plan (a 100 TB
+    * history table shuffles once on the dimension key; no self-join).
+    * Open versions carry the conventional year-3000 high-water mark so
+    * range predicates (`from <= t < to`) work without NULL cases. */
+  val Scd2OpenEndUs = 32503680000000000L // 3000-01-01T00:00:00Z in µs
+  def scd2Customers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val changes = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag("o_orderpriority", 1).over(byTime))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+    changes
+      .withColumn("next_from", lead("o_orderdate", 1).over(byTime))
+      .select(
+        col("o_custkey"),
+        col("o_orderpriority").as("priority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("effective_from_us"),
+        coalesce(unix_micros(col("next_from").cast("timestamp")), lit(Scd2OpenEndUs))
+          .as("effective_to_us"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy("o_custkey", "effective_from_us")
+  }
+
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is
     * still preferred at rest — JSONL is for pipeline boundaries. */
