@@ -102,6 +102,7 @@ object SparkEntry {
     "q57_dup_components"    -> ((s: SparkSession, d: String) => Dedup.duplicateComponents(s, d)),
     "q58_quantile_sketch"   -> (Relational.quantileSketch _),
     "q59_canonical_dedup"   -> ((s: SparkSession, d: String) => Dedup.canonicalDedup(s, d)),
+    "q5a_semantic_dedup"    -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -1161,6 +1162,54 @@ object SparkEntry {
              CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
              CAST(sum(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
       FROM rk GROUP BY rep ORDER BY rep""",
+    // SemDeDup replayed in full: fixed-centroid assignment (the q64
+    // arithmetic), within-cluster pair cosines, the paper's
+    // keep-least-centroid-similar rule, and the kept-id checksum
+    "q5a_semantic_dedup" -> """
+      WITH c AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings WHERE vec_id < 4),
+      a0 AS (
+        SELECT e.vec_id, c.cent_id, e.embedding,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.cent,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 8) AS cos_c
+        FROM embeddings e CROSS JOIN c),
+      a AS (
+        SELECT vec_id, cent_id, embedding, cos_c AS cos_cent
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos_c DESC, cent_id) AS rk
+              FROM a0)
+        WHERE rk = 1),
+      dropped AS (
+        SELECT DISTINCT x.cent_id, x.vec_id
+        FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id
+        WHERE round(
+                list_sum(list_transform(range(1, len(x.embedding) + 1),
+                  i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(x.embedding,
+                     xx -> CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(y.embedding,
+                       yy -> CAST(yy AS DOUBLE) * CAST(yy AS DOUBLE))))), 8) >= 0.25
+          AND (y.cos_cent < x.cos_cent
+               OR (y.cos_cent = x.cos_cent AND y.vec_id < x.vec_id))),
+      j AS (
+        SELECT a.cent_id, a.vec_id, a.cos_cent,
+               d.vec_id IS NOT NULL AS is_dropped
+        FROM a LEFT JOIN dropped d
+          ON a.cent_id = d.cent_id AND a.vec_id = d.vec_id)
+      SELECT cent_id,
+             CAST(count(1) AS BIGINT) AS n_vectors,
+             CAST(sum(CASE WHEN is_dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN is_dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN is_dropped THEN NULL ELSE vec_id END) AS BIGINT)
+               AS sum_kept_ids,
+             round(avg(cos_cent), 4) AS avg_cent_cos
+      FROM j GROUP BY cent_id ORDER BY cent_id""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -89,6 +89,61 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** q5a: SEMANTIC dedup, cluster-scoped (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): assign embeddings to coarse clusters, compare
+    * pairs ONLY within a cluster, and drop every vector that has a
+    * higher-priority semantic near-neighbor (cosine ≥ threshold). The
+    * keep rule follows the paper: prefer the vector LEAST similar to
+    * its centroid (most informative), tie-broken by id.
+    *
+    * Scale: this is the SemDeDup cost model — per-cluster all-pairs,
+    * O(n²/k) total for k balanced clusters (production sets k ~ √n so
+    * the per-cluster quadratic stays bounded; corpus-wide all-pairs is
+    * structurally absent). One broadcast of the k-row centroid table,
+    * one narrow assignment pass, one shuffle on cent_id for the
+    * within-cluster join. Like q64/q68, the quantizer is DELIBERATELY
+    * the fixed first-`nLists` vectors so assignment, pair cosines, and
+    * the drop set are pure arithmetic the DuckDB oracle replays — the
+    * seeded-KMeans flavor of the same shape lives in q63's rows-only
+    * regime. `sum_kept_ids` pins the exact kept MEMBERSHIP, not just
+    * counts, into the graded row. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      nLists: Int = 4, threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("cos_c", round(VectorFunctions.cosineHof(col("embedding"), col("cent")), 8))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cos_c").as("cos_cent"),
+        col("embedding"))
+      .cache() // both pair-join sides + the final aggregate consume it
+    val other = assigned.select(col("cent_id"), col("vec_id").as("b_id"),
+      col("cos_cent").as("b_cos_cent"), col("embedding").as("b_emb"))
+    val dropped = assigned.join(other, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("b_id"))
+      .filter(round(VectorFunctions.cosineHof(col("embedding"), col("b_emb")), 8)
+        >= threshold)
+      // paper's keep rule: the near-neighbor with the lower
+      // (centroid-cosine, id) survives; this row is dropped
+      .filter(col("b_cos_cent") < col("cos_cent") ||
+        (col("b_cos_cent") === col("cos_cent") && col("b_id") < col("vec_id")))
+      .select(col("cent_id"), col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("cent_id", "vec_id"), "left")
+      .groupBy("cent_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dropped").isNull, col("vec_id"))).as("sum_kept_ids"),
+        round(avg("cos_cent"), 4).as("avg_cent_cos"))
+      .orderBy("cent_id")
+  }
+
   /** Word-shingle MinHash signatures with `numHashes` permutations of
     * the form h_i(x) = (a_i·x + b_i) mod p over xxhash64 token-shingle
     * hashes. Pure expression work — no UDF, no driver state. */

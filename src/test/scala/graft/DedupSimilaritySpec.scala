@@ -34,6 +34,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out("de").getAs[Long]("n_unique") == 1)
   }
 
+  test("semanticDedup: clusters partition the corpus, drops only with a kept witness") {
+    val out = Dedup.semanticDedup(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_vectors")).sum == n,
+      "every vector must land in exactly one cluster")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_vectors"))
+      // at least one survivor per non-empty cluster: the globally
+      // lowest-priority vector of a cluster has no higher-priority
+      // neighbor, so it can never be dropped
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+    // threshold 0.25 on the random fixture must actually fire (the q57
+    // component fixture found hundreds of such pairs) — a dedup that
+    // drops nothing is not exercising the pair join
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "no semantic dups found — pair join inert")
+  }
+
   test("minhash candidate pairs are far fewer than all-pairs") {
     val n = Tables.documents(spark, sfDir).count()
     val pairs = Dedup.minhashNearDupPairs(spark, sfDir).count()
