@@ -30,6 +30,31 @@ object SessionConf {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** Run `body` with runtime bloom-filter injection enabled and sized
+    * for fixture scale, restoring previous values afterwards. Production
+    * defaults gate the rewrite on a ≥10 GB application-side scan — right
+    * for a cluster, never reachable in a test fixture — so the threshold
+    * drops to 0 inside the block. Broadcast joins are disabled within
+    * the block: the bloom rewrite targets the shuffle-join regime (a
+    * broadcast join already prunes at the probe side). Like
+    * [[withShufflePartitions]], the body must EXECUTE the plan it wants
+    * filtered (the optimizer injects the filter at planning time). */
+  def withRuntimeBloomFilter[A](spark: SparkSession)(body: => A): A =
+    lock.synchronized {
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
   /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; reading it as a raw long requires
     * `spark.sql.legacy.parquet.nanosAsLong`. The flag is re-checked at

@@ -51,6 +51,7 @@ object SparkEntry {
     "q24_cluster_avg_rmse"  -> (Relational.clusterAvgPredictor _),
     "q25_approx_distinct"   -> (Relational.approxDistinct _),
     "q26_json_struct"       -> (Relational.jsonStruct _),
+    "q0a_bloom_join"        -> (Relational.joinBloomReduced _),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
@@ -354,6 +355,18 @@ object SparkEntry {
       FROM events
       WHERE event_id % 101 = 0
       ORDER BY event_id""",
+    // bloom filters have no false negatives, so the runtime-filtered
+    // join must equal the plain join; bloom_pushed is plan evidence
+    // (might_contain in the optimized plan) folded into the graded row
+    "q0a_bloom_join" -> """
+      SELECT s_suppkey, s_name,
+             count(1) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             TRUE AS bloom_pushed
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_acctbal > 9000
+      GROUP BY s_suppkey, s_name
+      ORDER BY s_suppkey""",
     "q27_join_skew_salted" -> """
       SELECT s_suppkey, s_name,
              count(1) AS n_items,

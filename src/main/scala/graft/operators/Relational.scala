@@ -438,6 +438,41 @@ object Relational {
     * join (asserted in RelationalSpec); AQE's skew-join handles the
     * same problem adaptively — this is the explicit form for when the
     * skew is known ahead of time. */
+  /** q0a: runtime BLOOM-FILTER semi-join reduction — the scale
+    * technique for a big-probe/selective-build shuffle join: Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered dim's
+    * join keys (one small aggregate) and pushes `might_contain` into
+    * the fact scan, so probe rows that cannot match are dropped BEFORE
+    * the shuffle — at 100 TB that is the difference between shuffling
+    * the whole fact table and shuffling the ~matching fraction. The
+    * rewrite is gated on production size thresholds, so the operator
+    * runs inside [[SessionConf.withRuntimeBloomFilter]] and executes
+    * its plan within that window (localCheckpoint — the checkpoint also
+    * makes the returned frame independent of the restored conf). Bloom
+    * filters have NO false negatives, so the result is exactly the
+    * plain join's — which is what the oracle replays — and
+    * `bloom_pushed` folds the plan evidence into the graded row, the
+    * q28 PartitionFilters pattern. */
+  def joinBloomReduced(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionConf.withRuntimeBloomFilter(spark) {
+      val sup = Tables.supplier(spark, dir)
+        .filter(col("s_acctbal") > 9000)
+        .select(col("s_suppkey"), col("s_name"))
+      val joined = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+      val hasBloom = joined.queryExecution.optimizedPlan.toString
+        .contains("might_contain")
+      joined.withColumn("bloom_pushed", lit(hasBloom))
+        .orderBy("s_suppkey")
+        .localCheckpoint()
+    }
+
   def joinSkewSalted(spark: SparkSession, dir: String, saltFactor: Int = 8): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltFactor)))

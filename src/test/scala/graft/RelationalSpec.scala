@@ -24,6 +24,28 @@ class RelationalSpec extends SparkSpec {
       s"expected 2 broadcast joins:\n$plan")
   }
 
+  test("bloom join: runtime filter injected, conf restored, result = plain join") {
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val rows = Relational.joinBloomReduced(spark, sfDir).collect()
+    // the graded evidence boolean must really have observed might_contain
+    assert(rows.forall(_.getAs[Boolean]("bloom_pushed")),
+      "runtime bloom filter was not injected")
+    // the conf window must not leak
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") == before)
+    // no false negatives: same result as the plain (unfiltered-plan) join
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 9000),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.length == plain.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_items") ==
+        plain((r.getAs[Long]("s_suppkey"), r.getAs[String]("s_name"))))
+    }
+  }
+
   test("pricingSummary groups to the 4 flag/status combinations") {
     val rows = Relational.pricingSummary(spark, sfDir).collect()
     assert(rows.length >= 3 && rows.length <= 6)
