@@ -40,14 +40,20 @@ object SessionConf {
     * [[withShufflePartitions]], the body must EXECUTE the plan it wants
     * filtered (the optimizer injects the filter at planning time). */
   def withRuntimeBloomFilter[A](spark: SparkSession)(body: => A): A =
+    withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")(body)
+
+  /** Generic guarded save/set/restore for a set of session confs. Same
+    * serialization guarantee (and the same caveat) as
+    * [[withShufflePartitions]]: the body must execute the work it wants
+    * to see the confs. */
+  def withConfs[A](spark: SparkSession, confs: (String, String)*)(body: => A): A =
     lock.synchronized {
-      val keys = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try body
       finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

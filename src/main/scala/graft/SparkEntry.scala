@@ -73,6 +73,7 @@ object SparkEntry {
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
     "q3c_foreach_batch"     -> (StreamEvents.foreachBatchPartials _),
+    "q3d_transform_with_state" -> (StreamEvents.transformWithStateTotals _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -637,6 +638,16 @@ object SparkEntry {
     // merged: associativity makes the total independent of batch
     // boundaries, so the plain batch aggregate replays it
     "q3c_foreach_batch" -> """
+      SELECT user_id,
+             CAST(count(1) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+    // transformWithState running totals: each user's LAST emission (the
+    // argmax-by-n_events row — n is strictly monotone per user) equals
+    // the plain batch aggregate regardless of microbatch boundaries
+    "q3d_transform_with_state" -> """
       SELECT user_id,
              CAST(count(1) AS BIGINT) AS n_events,
              round(sum(value), 2) AS sum_value

@@ -466,6 +466,61 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q3d: `transformWithState` — the Spark-4 arbitrary-state v2 API
+    * (StatefulProcessor + typed state handles over the RocksDB state
+    * store), demonstrated as per-user RUNNING TOTALS: each microbatch
+    * updates a ValueState per user and emits the running (count, sum).
+    * This is the API that replaces mapGroupsWithState at scale — state
+    * lives in per-partition RocksDB instances (spillable, incrementally
+    * checkpointed) instead of JVM-heap HDFSBackedStateStore maps, which
+    * is what makes 100 TB keyed state operable. Emissions land in a
+    * parquet file sink (append, AvailableNow); the graded result takes
+    * each user's LAST emission — n_events is strictly monotone across a
+    * user's emissions, so argmax-by-n is batch-boundary-independent and
+    * equals the plain batch aggregate, which is the oracle. */
+  def transformWithStateTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sinkDir = graft.Fs.scratch("graft_stream_tws_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_tws_ckpt")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+      .select(col("user_id"), col("value"))
+    val out = stream.as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "8",
+      // transformWithState requires the RocksDB provider — also the
+      // point: state scales with disk, not executor heap
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[TwsTotals].schema)
+      .parquet(sinkDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   case class SessionOut(
       user_id: Long, n_events: Int, sum_value: Double, start_us: Long, end_us: Long)
 
@@ -535,5 +590,42 @@ object Events {
       }
     }
     spark.table(qname).orderBy("user_id", "start_us")
+  }
+}
+
+/** q3d input/output rows. TOP-LEVEL on purpose: Janino cannot compile
+  * encoder serializer calls on `Outer$Inner` accessors and silently
+  * falls back to interpreted projections (see the verify skill note). */
+case class TwsEvent(user_id: Long, value: Double)
+case class TwsTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+/** q3d processor: per-user running totals in a ValueState — the
+  * arbitrary-state v2 shape (init creates named typed state on the
+  * handle; handleInputRows folds the batch's rows into it and emits the
+  * running aggregate). TimeMode.None: no timers — expiry/TTL belongs to
+  * TTLConfig, exercised spec-side. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsTotals] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+
+  @transient private var totals: ValueState[TwsTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[TwsTotals]("totals",
+      org.apache.spark.sql.Encoders.product[TwsTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timerValues: TimerValues): Iterator[TwsTotals] = {
+    var n = 0L
+    var s = 0.0
+    if (totals.exists()) {
+      val t = totals.get()
+      n = t.n_events
+      s = t.sum_value
+    }
+    rows.foreach { e => n += 1; s += e.value }
+    val out = TwsTotals(key, n, s)
+    totals.update(out)
+    Iterator.single(out)
   }
 }

@@ -15,6 +15,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("transformWithState: running totals persist across microbatches, final = batch") {
+    val out = Events.transformWithStateTotals(spark, sfDir).collect()
+    val batch = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.length == batch.size, "one final row per user")
+    out.foreach { r =>
+      val (n, s) = batch(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(math.abs(r.getAs[Double]("sum_value") - s) < 1e-6)
+    }
+    // the raw sink holds one emission per (user, batch-with-input): more
+    // rows than users proves the ValueState actually carried running
+    // totals across microbatches (4 staged files / 2 per trigger)
+    val raw = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[graft.streaming.TwsTotals].schema)
+      .parquet(graft.Fs.scratch("graft_stream_tws_sink"))
+    assert(raw.count() > out.length,
+      "expected multiple emissions per user across microbatches")
+  }
+
   test("append-mode file sink emits exactly the watermark-finalized hourly windows") {
     val appended = Events.hourlyAggAppendSink(spark, sfDir).collect().map(_.toSeq).toSet
     // append + 1h watermark finalizes a window once max event time − 1h
