@@ -105,6 +105,7 @@ object SparkEntry {
     "q58_quantile_sketch"   -> (Relational.quantileSketch _),
     "q59_canonical_dedup"   -> ((s: SparkSession, d: String) => Dedup.canonicalDedup(s, d)),
     "q5a_semantic_dedup"    -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
+    "q5b_pagerank"          -> (Graph.linkPageRank _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -1234,6 +1235,43 @@ object SparkEntry {
                AS sum_kept_ids,
              round(avg(cos_cent), 4) AS avg_cent_cos
       FROM j GROUP BY cent_id ORDER BY cent_id""",
+    // 3 PageRank iterations unrolled as CTE stages over the same
+    // arithmetically-rebuilt link graph; every double derives from the
+    // same IEEE ops ((1 − 0.85) subtracted, not a folded 0.15 literal —
+    // and CASTs keep DuckDB's decimal literals out of the arithmetic)
+    "q5b_pagerank" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+      e0 AS (
+        SELECT doc_id AS src,
+               unnest([(doc_id * 31 + 7) % n,
+                       (doc_id * 17 + 3) % n,
+                       (doc_id * 13 + 11) % n]) AS dst
+        FROM d CROSS JOIN nn),
+      deg AS (SELECT src, CAST(count(1) AS BIGINT) AS out_deg
+              FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+      r0 AS (SELECT doc_id AS id, 1.0 / n AS pr FROM d CROSS JOIN nn),
+      c1 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+             FROM e JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+      r1 AS (SELECT d.doc_id AS id,
+                    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0.0) AS pr
+             FROM d CROSS JOIN nn LEFT JOIN c1 ON d.doc_id = c1.dst),
+      c2 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+             FROM e JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+      r2 AS (SELECT d.doc_id AS id,
+                    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0.0) AS pr
+             FROM d CROSS JOIN nn LEFT JOIN c2 ON d.doc_id = c2.dst),
+      c3 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+             FROM e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+      r3 AS (SELECT d.doc_id AS id,
+                    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0.0) AS pr
+             FROM d CROSS JOIN nn LEFT JOIN c3 ON d.doc_id = c3.dst)
+      SELECT id AS doc_id, round(pr, 8) AS pr
+      FROM r3 ORDER BY doc_id""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -34,6 +34,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out("de").getAs[Long]("n_unique") == 1)
   }
 
+  test("pageRank: mass conserved, uniform on a symmetric cycle, correct on a star") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 4-cycle: perfectly symmetric → uniform ranks at every iteration
+    val cyc = Graph.pageRank(
+      (0L to 3L).toDF("id"),
+      (0L to 3L).map(i => (i, (i + 1) % 4)).toDF("src", "dst"),
+      iterations = 5).collect()
+    cyc.foreach(r => assert(math.abs(r.getAs[Double]("pr") - 0.25) < 1e-12))
+    // star 1,2,3 → 0; 0 → 1: hub accumulates, spokes split the floor.
+    // After 1 iter: pr(0) = 0.15/4 + 0.85·(3·(1/4)) ; pr(1) = 0.15/4 +
+    // 0.85/4 ; pr(2) = pr(3) = 0.15/4
+    val star = Graph.pageRank(
+      (0L to 3L).toDF("id"),
+      Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst"),
+      iterations = 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("pr")).toMap
+    assert(math.abs(star(0L) - (0.15 / 4 + 0.85 * 0.75)) < 1e-12)
+    assert(math.abs(star(1L) - (0.15 / 4 + 0.85 * 0.25)) < 1e-12)
+    assert(math.abs(star(2L) - 0.15 / 4) < 1e-12)
+    // graded fixture query: total mass stays 1 (no dangling leakage —
+    // every doc has out-edges by construction)
+    val pr = Graph.linkPageRank(spark, sfDir).collect()
+    assert(math.abs(pr.map(_.getAs[Double]("pr")).sum - 1.0) < 1e-6)
+    assert(pr.length == Tables.documents(spark, sfDir).count())
+  }
+
   test("semanticDedup: clusters partition the corpus, drops only with a kept witness") {
     val out = Dedup.semanticDedup(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
