@@ -60,6 +60,7 @@ object SparkEntry {
     "q2c_merge_upsert"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.mergeRoundTrip(s, d)),
     "q2d_scd2_dimension"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2Customers(s, d)),
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
+    "q1b_stats_moments"     -> (Relational.statsMoments _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -74,6 +75,8 @@ object SparkEntry {
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
     "q3c_foreach_batch"     -> (StreamEvents.foreachBatchPartials _),
     "q3d_transform_with_state" -> (StreamEvents.transformWithStateTotals _),
+    "q3e_gap_fill"          -> (StreamEvents.gapFillHourly _),
+    "q3f_rolling_time_window" -> (StreamEvents.rollingTimeWindow _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -448,6 +451,50 @@ object SparkEntry {
              round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
       FROM merged""",
+    // single-pass Welford-mergeable moments; rounding absorbs the
+    // engines' different merge orders (corr/covar/stddev/var are
+    // bias-convention-stable across engines, skewness/kurtosis are not
+    // and stay off the graded surface)
+    "q1b_stats_moments" -> """
+      SELECT l_returnflag,
+             CAST(count(1) AS BIGINT) AS n,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+             round(var_samp(l_quantity), 4) AS var_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    // the dense (hour × type) spine rebuilt with range(); silent hours
+    // must surface as explicit zero rows flagged gap_filled
+    "q3e_gap_fill" -> """
+      WITH h AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               CAST(count(1) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM h),
+      spine AS (
+        SELECT unnest(range(lo, hi + 1, 3600000000)) AS hour_us FROM b),
+      t AS (SELECT DISTINCT event_type FROM h)
+      SELECT s.hour_us, t.event_type,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+             coalesce(h.sum_value, 0.0) AS sum_value,
+             h.n IS NULL AS gap_filled
+      FROM spine s CROSS JOIN t
+      LEFT JOIN h ON s.hour_us = h.hour_us AND t.event_type = h.event_type
+      ORDER BY 1, 2""",
+    // RANGE frame on event-time micros: ties are peers in both engines,
+    // so the frame content is order-insensitive and replayable
+    "q3f_rolling_time_window" -> """
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(count(1) OVER w AS BIGINT) AS n_1h,
+             round(avg(value) OVER w, 4) AS avg_1h
+      FROM events
+      WHERE user_id % 25 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_us, event_id""",
     // SCD2 replayed with the same lag-filter-lead windows; the year-3000
     // high-water mark closes open versions identically in both engines
     "q2d_scd2_dimension" -> """

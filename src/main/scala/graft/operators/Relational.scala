@@ -438,6 +438,26 @@ object Relational {
     * join (asserted in RelationalSpec); AQE's skew-join handles the
     * same problem adaptively — this is the explicit form for when the
     * skew is known ahead of time. */
+  /** q1b: multi-moment statistical aggregates — correlation, sample
+    * covariance, sample stddev/variance per group, the profiling
+    * surface every feature-engineering pass runs. All are single-pass
+    * partially-aggregable (Welford-style merge states), so the plan is
+    * one map-side-combined hash aggregate — no second scan, no window.
+    * Only the bias-correction-stable moments are graded (corr, covar,
+    * stddev, var); skewness/kurtosis definitions differ across engines
+    * (sample vs population corrections), so grading them would test the
+    * engines' conventions, not this code. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+        round(stddev_samp("l_extendedprice"), 2).as("stddev_price"),
+        round(var_samp("l_quantity"), 4).as("var_qty"))
+      .orderBy("l_returnflag")
+
   /** q0a: runtime BLOOM-FILTER semi-join reduction — the scale
     * technique for a big-probe/selective-build shuffle join: Catalyst's
     * InjectRuntimeFilter builds a bloom filter over the filtered dim's

@@ -82,6 +82,56 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** q3e: time-series GAP FILL (densification) — the resample step
+    * before any rolling-feature or forecasting job: the sparse hourly
+    * aggregate is left-joined onto a dense (hour × event_type) spine so
+    * silent hours surface as explicit zero rows. The spine is built
+    * executor-side (`sequence` + explode over the min/max bounds — a
+    * 1-row aggregate, not a driver loop) and the type dimension is
+    * broadcast; at 100 TB the spine length is hours-of-history, always
+    * tiny next to the data. `gap_filled` marks synthesized rows. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .cache() // bounds probe + type dim + the outer join all consume it
+    val bounds = hourly.agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+    val types = hourly.select("event_type").distinct()
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour_us", "event_type"), "left")
+      .select(
+        col("hour_us"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        col("n").isNull.as("gap_filled"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  /** q3f: time-RANGE rolling window — trailing 1-hour count/average per
+    * user over raw events via `rangeBetween` on event-time micros (the
+    * TIME-based frame; q13's running sum is the ROWS-based one). This
+    * is the standard rolling-feature shape: one shuffle on the
+    * partition key, one sort, frames computed by a sliding range scan —
+    * no self-join, no explode-per-window. The user filter is on the
+    * PARTITION key, so pre-filtering loses no frame rows. */
+  def rollingTimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 25 === 0)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("avg_1h", round(avg("value").over(w), 4))
+      .select("user_id", "event_id", "ts_us", "n_1h", "avg_1h")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
   /** Stage a multi-file, time-range-partitioned copy of `events` for

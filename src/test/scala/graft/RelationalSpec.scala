@@ -24,6 +24,18 @@ class RelationalSpec extends SparkSpec {
       s"expected 2 broadcast joins:\n$plan")
   }
 
+  test("statsMoments: correlation bounded, counts partition lineitem") {
+    val rows = Relational.statsMoments(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+      assert(r.getAs[Double]("var_qty") >= 0.0)
+      assert(r.getAs[Double]("stddev_price") >= 0.0)
+    }
+  }
+
   test("bloom join: runtime filter injected, conf restored, result = plain join") {
     val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val rows = Relational.joinBloomReduced(spark, sfDir).collect()

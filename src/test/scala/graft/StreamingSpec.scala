@@ -15,6 +15,50 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("gapFillHourly: dense spine, sparse rows preserved, gaps are explicit zeros") {
+    val filled = Events.gapFillHourly(spark, sfDir).collect()
+    val sparse = Events.hourlyAgg(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    // every sparse row survives unchanged; every other (hour, type) cell
+    // is an explicit zero marked gap_filled
+    filled.foreach { r =>
+      val k = (r.getAs[Long]("hour_us"), r.getAs[String]("event_type"))
+      sparse.get(k) match {
+        case Some((n, s)) =>
+          assert(r.getAs[Long]("n") == n && r.getAs[Double]("sum_value") == s)
+          assert(!r.getAs[Boolean]("gap_filled"))
+        case None =>
+          assert(r.getAs[Long]("n") == 0L && r.getAs[Boolean]("gap_filled"))
+      }
+    }
+    // dense: hours × types, contiguous hourly steps
+    val hours = filled.map(_.getAs[Long]("hour_us")).distinct.sorted
+    val types = filled.map(_.getAs[String]("event_type")).distinct
+    assert(filled.length == hours.length * types.length)
+    hours.sliding(2).foreach {
+      case Array(a, b) => assert(b - a == 3600000000L, "spine not contiguous")
+      case _ =>
+    }
+  }
+
+  test("rollingTimeWindow: frames match a per-row brute-force replay") {
+    val out = Events.rollingTimeWindow(spark, sfDir).collect()
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val (uid, ts) = (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"))
+      val frame = evs(uid).filter(e => e._2 >= ts - 3600000000L && e._2 <= ts)
+      assert(r.getAs[Long]("n_1h") == frame.length,
+        s"user $uid @ $ts: frame size ${r.getAs[Long]("n_1h")} vs ${frame.length}")
+      assert(math.abs(r.getAs[Double]("avg_1h") -
+        frame.map(_._3).sum / frame.length) < 1e-3)
+    }
+  }
+
   test("transformWithState: running totals persist across microbatches, final = batch") {
     val out = Events.transformWithStateTotals(spark, sfDir).collect()
     val batch = Tables.events(spark, sfDir).groupBy("user_id")
