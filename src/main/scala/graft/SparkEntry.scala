@@ -59,6 +59,7 @@ object SparkEntry {
     "q2b_orc_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.lineitemOrcRoundTrip(s, d)),
     "q2c_merge_upsert"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.mergeRoundTrip(s, d)),
     "q2d_scd2_dimension"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2Customers(s, d)),
+    "q2e_schema_evolution"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.schemaEvolutionRoundTrip(s, d)),
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     "q1b_stats_moments"     -> (Relational.statsMoments _),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
@@ -95,6 +96,7 @@ object SparkEntry {
     "q4d_chunking"          -> ((s: SparkSession, d: String) => Curation.chunkDocuments(s, d)),
     "q4e_curation_funnel"   -> ((s: SparkSession, d: String) => Curation.curationFunnel(s, d)),
     "q4f_normalized_dedup"  -> (Dedup.normalizedDedup _),
+    "q4g_temperature_mixture" -> ((s: SparkSession, d: String) => Curation.temperatureMixture(s, d)),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -124,6 +126,7 @@ object SparkEntry {
     "q68_pq_audit"          -> ((s: SparkSession, d: String) => Similarity.pqAudit(s, d)),
     "q69_audio_frames"      -> ((s: SparkSession, d: String) => Multimodal.audioFrameStats(s, d)),
     "q6a_pq_adc_topk"       -> ((s: SparkSession, d: String) => Similarity.pqAdcTopK(s, d)),
+    "q6b_matryoshka_audit"  -> ((s: SparkSession, d: String) => Similarity.truncationAudit(s, d)),
     // —— the reference ML pipeline on fixtures (R-01..R-28; rows-only) ——
     "q70_kmeans_selection"  -> ((s: SparkSession, d: String) => FixturePipelines.kmeansSelection(s, d)),
     "q71_kmeans_e2e"        -> (FixturePipelines.kmeansE2E _),
@@ -519,6 +522,21 @@ object SparkEntry {
              next_from_us IS NULL AS is_current
       FROM v
       ORDER BY o_custkey, effective_from_us""",
+    // the merged-schema read replayed arithmetically: even keys are the
+    // legacy batch (no channel column → NULL → 'legacy'), odd keys
+    // carry the derived channel; widening must lose no rows
+    "q2e_schema_evolution" -> """
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                    WHEN o_orderkey % 3 = 0 THEN 'web'
+                    ELSE 'store' END AS channel
+        FROM orders)
+      SELECT channel,
+             CAST(count(1) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+      FROM t GROUP BY channel ORDER BY channel""",
     // JSONL round trip must be lossless: sums CAST to BIGINT (DuckDB
     // sum() yields HUGEINT; the driver hash is representation-sensitive)
     "q29_jsonl_roundtrip" -> """
@@ -985,6 +1003,34 @@ object SparkEntry {
              round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
              TRUE AS leak_free
       FROM s GROUP BY split ORDER BY split""",
+    // α=0.5 temperature mixture: sqrt is correctly rounded IEEE in both
+    // engines (pow(x,0.5) would not be), and the gate rate is rounded
+    // to 6 decimals before comparing, so membership replays exactly
+    "q4g_temperature_mixture" -> """
+      WITH c AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_l
+                 FROM documents GROUP BY lang),
+      z AS (SELECT sum(sqrt(CAST(n_l AS DOUBLE))) AS z,
+                   CAST(sum(n_l) AS BIGINT) AS n_total FROM c),
+      r AS (
+        SELECT c.lang, c.n_l, z.n_total,
+               sqrt(CAST(c.n_l AS DOUBLE)) / z.z AS p_temp,
+               round(least(CAST(1.0 AS DOUBLE),
+                 CAST(0.3 AS DOUBLE) * z.n_total
+                   * (sqrt(CAST(c.n_l AS DOUBLE)) / z.z) / c.n_l), 6) AS rate
+        FROM c CROSS JOIN z),
+      d AS (
+        SELECT doc_id, lang,
+               CAST((((doc_id % 2147483647) * 48271 % 2147483647) * 48271)
+                 % 2147483647 AS DOUBLE) / 2147483647 AS u
+        FROM documents)
+      SELECT r.lang,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             round(any_value(r.p_temp), 6) AS p_temp,
+             round(any_value(r.rate), 6) AS rate,
+             CAST(sum(CASE WHEN d.u < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled
+      FROM d JOIN r ON d.lang = r.lang
+      GROUP BY r.lang ORDER BY r.lang""",
     // the chunk windows replayed with the same ceil/stride arithmetic;
     // chunk_chars re-slices the token list per chunk, pinning the
     // engine's array-slice semantics (1-based, length-bounded) exactly
@@ -1473,6 +1519,28 @@ object SparkEntry {
       SELECT vec_id, adc FROM v
       ORDER BY adc, vec_id
       LIMIT 10""",
+    // prefix-energy retention replayed with the same element-ordered
+    // fold; a zero vector retains 1.0 by convention in both engines
+    "q6b_matryoshka_audit" -> """
+      WITH e AS (
+        SELECT vec_id, len(embedding) AS dim,
+               list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS total,
+               list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS kept
+        FROM embeddings),
+      r AS (
+        SELECT vec_id, dim,
+               CASE WHEN total = 0 THEN 1.0 ELSE kept / total END AS retained
+        FROM e)
+      SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+             CAST(any_value(dim) AS BIGINT) AS orig_dim,
+             CAST(8 AS BIGINT) AS kept_dim,
+             round(avg(retained), 4) AS avg_retained,
+             round(min(retained), 4) AS min_retained,
+             CAST(sum(CASE WHEN retained >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_quarter
+      FROM r""",
     // the PCM waveform is closed-form in (doc_id, i), so the oracle
     // regenerates it and replays decode + framing in exact integers
     "q69_audio_frames" -> """

@@ -147,6 +147,48 @@ object Curation {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** q4g: TEMPERATURE-SCALED mixture sampling — the multilingual
+    * balancing rule LLM corpora use (the α-smoothed multinomial from
+    * XLM-R / mT5): sampling probability p_l ∝ (n_l/N)^α flattens the
+    * language distribution, upweighting low-resource strata. α = 0.5
+    * DELIBERATELY, computed as sqrt: IEEE sqrt is correctly rounded in
+    * every engine while pow(x, 0.5) need not be — the oracle replays
+    * the same arithmetic bit-for-bit. The per-stratum keep rate
+    * r_l = min(1, S·p_l/n_l) (S = target corpus size) is ROUNDED to 6
+    * decimals before gating so the u < r comparison cannot flip on a
+    * ulp; membership then rides the same stateless Lehmer gate as q46.
+    * Plan: one tiny aggregate (per-lang counts → rates, broadcast
+    * back) + one narrow gated pass — no data shuffle at 100 TB beyond
+    * the count. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      targetFraction: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    // Σ_l sqrt(n_l) and N as a 1-row frame. Summation order over the
+    // handful of strata may differ between engines by ulps; every
+    // value derived from it is rounded to 6 decimals before use
+    // (gating) or emission, which absorbs that
+    val norm = counts.agg(
+      sum(sqrt(col("n_l"))).as("z"),
+      sum(col("n_l")).as("n_total"))
+    val rates = counts.join(broadcast(norm))
+      .select(col("lang"), col("n_l"), col("n_total"),
+        (sqrt(col("n_l")) / col("z")).as("p_temp"))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          lit(targetFraction) * col("n_total") * col("p_temp") / col("n_l")), 6))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), "lang")
+      .withColumn("keep", hashUniform(col("doc_id")) < col("rate"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(first(col("p_temp")), 6).as("p_temp"),
+        round(first(col("rate")), 6).as("rate"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** q4e: the CURATION FUNNEL — the composed end-to-end shape of a
     * training-data cleaning pipeline (C4/Gopher/FineWeb-style): each
     * document passes a cascade of gates, and the graded output is the

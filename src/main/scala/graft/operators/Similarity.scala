@@ -319,6 +319,33 @@ object Similarity {
       .agg(round(sum("min_dist"), 4).as("err"))
   }
 
+  /** q6b: MATRYOSHKA truncation audit — MRL-style (Kusupati et al.
+    * 2022, arXiv:2205.13147) embedding stores keep only a PREFIX of
+    * each vector for the cheap first-pass search tier; the operational
+    * question is how much of the corpus' energy the prefix retains.
+    * Per vector: retained = Σ first-k squares / Σ all squares (1.0 for
+    * a zero vector — nothing to lose). A narrow zero-shuffle projection
+    * + one scalar aggregate; the fold is element-ordered, so the
+    * DuckDB replay sums the same way. Emits corpus retention stats next
+    * to the storage arithmetic (dim·4 → k·4 bytes). */
+  def truncationAudit(spark: SparkSession, dir: String,
+      keepDims: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sq = (x: Column) => x.cast("double") * x.cast("double")
+    val total = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + sq(x))
+    val kept = aggregate(slice(col("embedding"), 1, keepDims), lit(0.0),
+      (acc, x) => acc + sq(x))
+    emb.select(col("vec_id"), size(col("embedding")).as("dim"),
+        when(total === 0.0, lit(1.0)).otherwise(kept / total).as("retained"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        first(col("dim")).cast("long").as("orig_dim"),
+        lit(keepDims.toLong).as("kept_dim"),
+        round(avg("retained"), 4).as("avg_retained"),
+        round(min("retained"), 4).as("min_retained"),
+        sum(when(col("retained") >= 0.25, 1L).otherwise(0L)).as("n_above_quarter"))
+  }
+
   /** IVF bucket histogram (deterministic; oracle-checkable): nearest of
     * the first 4 vectors by cosine, counted per bucket. Unlike
     * `ivfTopK` (which fits a real KMeans quantizer), this keeps the

@@ -204,6 +204,38 @@ object Warehouse {
         countDistinct("o_orderkey").as("n_keys"))
   }
 
+  /** q2e: SCHEMA EVOLUTION read — the other maintenance reality of a
+    * long-lived table: an upstream producer adds a column, and the
+    * table directory now mixes old-schema and new-schema files. The
+    * reader must widen (`mergeSchema`) instead of failing or silently
+    * dropping the column, with old rows surfacing NULL for the new
+    * field. Written as two batch directories (the second carrying a new
+    * `o_channel` column derived deterministically), read back merged,
+    * and aggregated per channel with legacy rows bucketed explicitly —
+    * the oracle replays the channel derivation arithmetically.
+    * mergeSchema costs a footer read per file (not a data scan); at
+    * 100 TB you pin the merged schema in a catalog instead, but the
+    * widening semantics are the same. */
+  def schemaEvolutionRoundTrip(spark: SparkSession, dir: String,
+      base: String = graft.Fs.scratch("graft_warehouse_evolution")): DataFrame = {
+    graft.Fs.deleteRecursively(base)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.parquet(s"$base/batch=0")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 3 === 0, "web").otherwise("store"))
+      .write.parquet(s"$base/batch=1")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct("o_orderkey").as("n_keys"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("channel")
+  }
+
   /** q2d: SCD TYPE-2 dimension build — the warehouse pattern for
     * tracking attribute history: each customer's order-priority stream
     * becomes versioned rows with [effective_from, effective_to) ranges

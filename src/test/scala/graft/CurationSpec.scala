@@ -88,6 +88,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture: α=0.5 flattens the stratum distribution") {
+    val rows = Curation.temperatureMixture(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(math.abs(rows.map(_.getAs[Double]("p_temp")).sum - 1.0) < 1e-4,
+      "temperature probabilities must normalize")
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("n_docs") / total
+      val p = r.getAs[Double]("p_temp")
+      // flattening: below-average strata gain probability, above lose
+      if (raw < 1.0 / rows.length) assert(p > raw, s"${r.getAs[String]("lang")}: low-resource stratum not upweighted")
+      if (raw > 1.0 / rows.length) assert(p < raw, s"${r.getAs[String]("lang")}: bulk stratum not downweighted")
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("curationFunnel: monotone retention, full corpus at stage 0") {
     val rows = Curation.curationFunnel(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("stage")).toSeq == (0 until 6))

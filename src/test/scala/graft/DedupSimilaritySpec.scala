@@ -34,6 +34,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out("de").getAs[Long]("n_unique") == 1)
   }
 
+  test("truncationAudit: retention bounded and exact on planted vectors") {
+    val r = Similarity.truncationAudit(spark, sfDir).head()
+    assert(r.getAs[Double]("avg_retained") > 0.0 &&
+      r.getAs[Double]("avg_retained") <= 1.0)
+    assert(r.getAs[Double]("min_retained") >= 0.0)
+    assert(r.getAs[Long]("n_vectors") ==
+      Tables.embeddings(spark, sfDir).count())
+    // planted: energy only in the prefix → retained exactly 1.0;
+    // energy only in the tail → exactly 0.0 (replayed through the same
+    // column expressions the operator uses)
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Array.fill(8)(1.0f) ++ Array.fill(8)(0.0f)),
+      (2L, Array.fill(8)(0.0f) ++ Array.fill(8)(2.0f))
+    ).toDF("vec_id", "embedding")
+    val sq = (x: org.apache.spark.sql.Column) => x.cast("double") * x.cast("double")
+    val total = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + sq(x))
+    val kept = aggregate(slice(col("embedding"), 1, 8), lit(0.0), (acc, x) => acc + sq(x))
+    val rr = planted.select(col("vec_id"),
+      when(total === 0.0, lit(1.0)).otherwise(kept / total).as("ret"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getDouble(1)).toMap
+    assert(rr(1L) == 1.0 && rr(2L) == 0.0)
+  }
+
   test("pageRank: mass conserved, uniform on a symmetric cycle, correct on a star") {
     import spark.implicits._
     import graft.operators.Graph

@@ -101,6 +101,19 @@ class SourcesSpec extends SparkSpec {
     assert(byK(4L).getString(1) == "new" && byK(4L).getDouble(2) == 40.0)
   }
 
+  test("schema evolution: merged read widens, legacy rows surface as NULL channel") {
+    val rows = Warehouse.schemaEvolutionRoundTrip(spark, sfDir).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows.keySet == Set("legacy", "store", "web"))
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    assert(rows.values.map(_.getAs[Long]("n_orders")).sum == orders.length,
+      "widening must lose no rows")
+    assert(rows("legacy").getAs[Long]("n_orders") == orders.count(_ % 2 == 0))
+    assert(rows("web").getAs[Long]("n_orders") ==
+      orders.count(k => k % 2 != 0 && k % 3 == 0))
+  }
+
   test("scd2: versions chain per key, one current, change rows only") {
     val versions = Warehouse.scd2Customers(spark, sfDir).collect()
     versions.groupBy(_.getAs[Long]("o_custkey")).foreach { case (k, vs) =>
