@@ -52,6 +52,8 @@ object SparkEntry {
     "q25_approx_distinct"   -> (Relational.approxDistinct _),
     "q26_json_struct"       -> (Relational.jsonStruct _),
     "q0a_bloom_join"        -> (Relational.joinBloomReduced _),
+    "q0b_bucketed_join"     -> ((s: SparkSession, d: String) => Relational.joinBucketedColocated(s, d)),
+    "q0c_join_hint"         -> (Relational.joinHintShuffleHash _),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
@@ -375,6 +377,25 @@ object SparkEntry {
       WHERE s_acctbal > 9000
       GROUP BY s_suppkey, s_name
       ORDER BY s_suppkey""",
+    // the bucketed join must equal the plain join bit-for-bit;
+    // bucketed_no_shuffle is the promoted BucketingSpec plan assertion
+    "q0b_bucketed_join" -> """
+      SELECT o_orderstatus,
+             count(1) AS n_items,
+             round(sum(l_quantity), 2) AS sum_qty,
+             TRUE AS bucketed_no_shuffle
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+    // a join-strategy hint steers the plan, never the result
+    "q0c_join_hint" -> """
+      SELECT s_nationkey,
+             count(1) AS n_items,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             TRUE AS hint_respected
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
     "q27_join_skew_salted" -> """
       SELECT s_suppkey, s_name,
              count(1) AS n_items,

@@ -493,6 +493,73 @@ object Relational {
         .localCheckpoint()
     }
 
+  /** q0b: BUCKETED co-located join on the graded surface (the
+    * BucketingSpec plan assertion, promoted to a hash-checked query the
+    * q28/q0a way): both sides are written bucketed+sorted on the join
+    * key, so the join consumes the bucket layout directly — NO exchange
+    * on either side; at 100 TB this is THE strategy for a recurring
+    * fact-fact join, paying the shuffle once at write time and never
+    * again per query. `bucketed_no_shuffle` folds the plan evidence
+    * (no hashpartitioning exchange below the join) into the graded row;
+    * the oracle replays the plain join, which the bucketed one must
+    * equal exactly. Tables are session-catalog-managed and dropped in
+    * `finally`; the result is localCheckpointed first so the returned
+    * frame outlives the drop. */
+  def joinBucketedColocated(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    Tables.orders(spark, dir)
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_orders")
+    Tables.lineitem(spark, dir)
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_b_lineitem")
+    try {
+      val joined = spark.table("graft_b_lineitem")
+        .join(spark.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+      // below the partial aggregate, the join must consume bucketed
+      // scans directly — any hashpartitioning exchange on a join key
+      // means the bucket layout was not used
+      val joinPart = joined.queryExecution.executedPlan.toString
+        .split("HashAggregate").last
+      val noShuffle = !joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinPart.contains("Exchange hashpartitioning(o_orderkey")
+      joined.withColumn("bucketed_no_shuffle", lit(noShuffle))
+        .orderBy("o_orderstatus")
+        .localCheckpoint()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
+  /** q0c: JOIN-STRATEGY HINT control — the optimizer-steering API a
+    * user reaches for when statistics mislead: the dim side would
+    * normally broadcast; the SHUFFLE_HASH hint forces a shuffled hash
+    * join instead (the right call when the "small" side is too big for
+    * driver memory but still far smaller than the probe side — it
+    * builds per-partition hash maps and skips the sort-merge sort).
+    * `hint_respected` folds the plan evidence (ShuffledHashJoin
+    * operator present) into the graded row; the hint must not change
+    * the RESULT, which is what the oracle replays. */
+  def joinHintShuffleHash(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+    val respected = joined.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin")
+    joined.withColumn("hint_respected", lit(respected))
+      .orderBy("s_nationkey")
+  }
+
   def joinSkewSalted(spark: SparkSession, dir: String, saltFactor: Int = 8): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltFactor)))

@@ -24,6 +24,18 @@ class RelationalSpec extends SparkSpec {
       s"expected 2 broadcast joins:\n$plan")
   }
 
+  test("join hint: SHUFFLE_HASH respected in plan, result unchanged") {
+    val rows = Relational.joinHintShuffleHash(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Boolean]("hint_respected")),
+      "SHUFFLE_HASH hint was not respected")
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_items") ==
+      plain(r.getAs[Number]("s_nationkey").longValue)))
+  }
+
   test("statsMoments: correlation bounded, counts partition lineitem") {
     val rows = Relational.statsMoments(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("n")).sum ==
