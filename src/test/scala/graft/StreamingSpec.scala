@@ -147,6 +147,45 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3, s"expected 3 distinct events after dedup, got $n")
   }
 
+  test("transformWithState: ListState and MapState handles work across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[graft.streaming.TwsEvent]
+    val out = stream.toDS()
+      .groupByKey(_.user_id)
+      .transformWithState(new BufferStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val qname = "graft_tws_buffer_stream"
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(qname).start()
+      try {
+        stream.addData(
+          graft.streaming.TwsEvent(1L, 1.2), graft.streaming.TwsEvent(1L, 1.7),
+          graft.streaming.TwsEvent(2L, 5.5))
+        q.processAllAvailable()
+        stream.addData(
+          graft.streaming.TwsEvent(1L, 3.1), graft.streaming.TwsEvent(2L, 5.9))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // last emission per user: user 1 buffered 3 values in bins {1,3};
+    // user 2 buffered 2 values, both in bin 5 — ListState grew across
+    // batches, MapState counted per-bin across batches
+    val last = spark.table(qname).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (k, rs) => k -> rs.maxBy(_.getAs[Long]("n_buffered")) }
+    assert(last(1L).getAs[Long]("n_buffered") == 3)
+    assert(last(1L).getAs[Long]("n_bins") == 2)
+    assert(last(2L).getAs[Long]("n_buffered") == 2)
+    assert(last(2L).getAs[Long]("n_bins") == 1)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val streamed = Events.streamStreamJoin(spark, sfDir).collect().map(_.toSeq).toSet
     val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
@@ -220,3 +259,40 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into closed window: ${w0.mkString}")
   }
 }
+
+/** Spec-side transformWithState processor exercising the OTHER typed
+  * state handles (ListState buffer + MapState histogram) — top-level
+  * for the Janino encoder constraint. Emits running
+  * (buffer size, distinct bins) per key per batch. */
+class BufferStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, graft.streaming.TwsEvent, TwsBufferStats] {
+  import org.apache.spark.sql.streaming.{ListState, MapState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoders => E}
+
+  @transient private var buf: ListState[java.lang.Double] = _
+  @transient private var bins: MapState[java.lang.Long, java.lang.Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[java.lang.Double]("buf",
+      E.DOUBLE.asInstanceOf[org.apache.spark.sql.Encoder[java.lang.Double]], TTLConfig.NONE)
+    bins = getHandle.getMapState[java.lang.Long, java.lang.Long]("bins",
+      E.LONG.asInstanceOf[org.apache.spark.sql.Encoder[java.lang.Long]],
+      E.LONG.asInstanceOf[org.apache.spark.sql.Encoder[java.lang.Long]], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[graft.streaming.TwsEvent],
+      timerValues: TimerValues): Iterator[TwsBufferStats] = {
+    rows.foreach { e =>
+      buf.appendValue(e.value)
+      val bin = java.lang.Long.valueOf(math.floor(e.value).toLong)
+      val prev = if (bins.containsKey(bin)) bins.getValue(bin).longValue else 0L
+      bins.updateValue(bin, prev + 1L)
+    }
+    Iterator.single(TwsBufferStats(key,
+      buf.get().size.toLong, bins.keys().size.toLong))
+  }
+}
+
+case class TwsBufferStats(user_id: Long, n_buffered: Long, n_bins: Long)
