@@ -64,6 +64,7 @@ object SparkEntry {
     "q2e_schema_evolution"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.schemaEvolutionRoundTrip(s, d)),
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     "q1b_stats_moments"     -> (Relational.statsMoments _),
+    "q1c_histogram"         -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -475,6 +476,20 @@ object SparkEntry {
              round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
       FROM merged""",
+    // DuckDB has no width_bucket; the replay is Spark's documented
+    // formula — floor((v − lo) / ((hi − lo)/n)) + 1, clamped — with
+    // exact-integer edges so assignment is FP-identical
+    "q1c_histogram" -> """
+      WITH b AS (
+        SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                    WHEN l_extendedprice >= 80000.0 THEN 17
+                    ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) + 1
+               END AS bucket
+        FROM lineitem)
+      SELECT bucket,
+             CAST(count(1) AS BIGINT) AS n,
+             round((bucket - 1) * CAST(5000.0 AS DOUBLE), 2) AS bucket_lo
+      FROM b GROUP BY bucket ORDER BY bucket""",
     // single-pass Welford-mergeable moments; rounding absorbs the
     // engines' different merge orders (corr/covar/stddev/var are
     // bias-convention-stable across engines, skewness/kurtosis are not

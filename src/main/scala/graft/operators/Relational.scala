@@ -458,6 +458,23 @@ object Relational {
         round(var_samp("l_quantity"), 4).as("var_qty"))
       .orderBy("l_returnflag")
 
+  /** q1c: fixed-width HISTOGRAM via `width_bucket` — the numeric
+    * profiling pass (data-quality dashboards, drift monitors) as one
+    * map-side-combined aggregate: bucket assignment is a narrow
+    * per-row expression, so the plan is scan → partial agg → one
+    * exchange of ≤nBuckets+2 rows per partition. Bucket edges are
+    * exact integers, so assignment replays identically. */
+  def histogram(spark: SparkSession, dir: String,
+      lo: Double = 0.0, hi: Double = 80000.0, nBuckets: Int = 16): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(width_bucket(col("l_extendedprice"), lit(lo), lit(hi), lit(nBuckets))
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo",
+        round(lit(lo) + (col("bucket") - 1) * ((hi - lo) / nBuckets), 2))
+      .orderBy("bucket")
+
   /** q0a: runtime BLOOM-FILTER semi-join reduction — the scale
     * technique for a big-probe/selective-build shuffle join: Catalyst's
     * InjectRuntimeFilter builds a bloom filter over the filtered dim's
