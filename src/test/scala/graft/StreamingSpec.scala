@@ -186,6 +186,53 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L).getAs[Long]("n_bins") == 1)
   }
 
+  test("transformWithState: event-time timers fire when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[TwsTimedEvent]
+    val out = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerCountProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    val qname = "graft_tws_timer_stream"
+    def t(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val q = out.toDF().writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(qname).start()
+      try {
+        // batch 1: watermark is still at its initial floor, so both
+        // keys register timers just past it
+        stream.addData(TwsTimedEvent(t(0), 1L, 1.0), TwsTimedEvent(t(0), 2L, 2.0))
+        q.processAllAvailable()
+        // batch 2: event time advances the watermark far past the
+        // registered timers -> both keys' timers fire
+        stream.addData(TwsTimedEvent(t(60), 1L, 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val rows = spark.table(qname).collect()
+    val closed = rows.filter(_.getAs[Boolean]("closed"))
+    // both keys' timers fired. Observed engine order: expired timers
+    // run BEFORE the batch's input rows, so key 1's batch-2 event lands
+    // AFTER its first close, opens a fresh account + timer, and the
+    // trailing watermark-flush batch closes that one too — key 1 closes
+    // twice, each covering one event
+    assert(closed.map(_.getAs[Long]("user_id")).toSet == Set(1L, 2L),
+      s"every key must be timer-closed, got: ${closed.mkString(", ")}")
+    val u2 = closed.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length == 1 && u2.head.getAs[Long]("n") == 1L,
+      "key 2: exactly one close covering its single event")
+    // closure conservation: every input event is covered by exactly one
+    // timer close (state cleared at each close)
+    assert(closed.map(_.getAs[Long]("n")).sum == 3L)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val streamed = Events.streamStreamJoin(spark, sfDir).collect().map(_.toSeq).toSet
     val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
@@ -296,3 +343,42 @@ class BufferStatsProcessor extends org.apache.spark.sql.streaming.StatefulProces
 }
 
 case class TwsBufferStats(user_id: Long, n_buffered: Long, n_bins: Long)
+
+/** Spec-side transformWithState processor exercising EVENT-TIME TIMERS:
+  * counts per key, registers a timer just past the current watermark on
+  * first sight, and when the watermark overtakes it, emits a CLOSED row
+  * and clears state — the session/account-closure shape. */
+class TimerCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, TwsTimedEvent, TwsClosed] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var cnt: ValueState[java.lang.Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: TimeMode): Unit =
+    cnt = getHandle.getValueState[java.lang.Long]("cnt",
+      org.apache.spark.sql.Encoders.LONG
+        .asInstanceOf[org.apache.spark.sql.Encoder[java.lang.Long]], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsTimedEvent],
+      timerValues: TimerValues): Iterator[TwsClosed] = {
+    val prev = if (cnt.exists()) cnt.get().longValue
+    else {
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      0L
+    }
+    val n = prev + rows.size
+    cnt.update(java.lang.Long.valueOf(n))
+    Iterator.single(TwsClosed(key, n, closed = false))
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsClosed] = {
+    val n = if (cnt.exists()) cnt.get().longValue else 0L
+    cnt.clear()
+    Iterator.single(TwsClosed(key, n, closed = true))
+  }
+}
+
+case class TwsTimedEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class TwsClosed(user_id: Long, n: Long, closed: Boolean)
