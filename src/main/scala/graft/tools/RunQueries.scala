@@ -17,6 +17,7 @@ object RunQueries {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.Fs.scratch("graft_spark_warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same warm-up as Bench so first-query numbers are comparable

@@ -13,6 +13,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.Fs.scratch("graft_spark_warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
