@@ -6,6 +6,19 @@ import java.nio.file.{Files, Paths}
   * one file per query, for reviewing scan pushdown / join strategy /
   * codegen spans without executing anything. */
 object Explain {
+  /** Queries whose BUILDER executes work (streaming replays, ML fits,
+    * sink round-trips, plan-evidence checkpoints) — excluded from pure
+    * plan dumps and from the plan-invariant sweep. */
+  val eager: Set[String] = Set(
+    "q33_events_hourly_streaming", "q34_events_session_streaming",
+    "q38_events_hourly_append", "q39_stream_dedup", "q3a_stream_stream_join",
+    "q3b_stream_static_join", "q3c_foreach_batch", "q2a_compaction",
+    "q28_warehouse_roundtrip", "q29_jsonl_roundtrip", "q2b_orc_roundtrip",
+    "q2c_merge_upsert", "q2e_schema_evolution",
+    "q3d_transform_with_state", "q0a_bloom_join", "q0b_bucketed_join",
+    "q70_kmeans_selection", "q71_kmeans_e2e", "q72_als_e2e", "q73_als_cv_grid",
+    "q74_sse_parity", "q62_ann_lsh_topk", "q63_ivf_topk", "q53_minhash_lsh_ml")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
@@ -18,17 +31,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    // streaming replays + ML fits execute eagerly inside the builder —
-    // exclude them from a pure plan dump
-    val skip = Set("q33_events_hourly_streaming", "q34_events_session_streaming",
-      "q38_events_hourly_append", "q39_stream_dedup", "q3a_stream_stream_join",
-      "q3b_stream_static_join", "q3c_foreach_batch", "q2a_compaction",
-      "q28_warehouse_roundtrip", "q29_jsonl_roundtrip",
-      "q3d_transform_with_state", "q0a_bloom_join", "q0b_bucketed_join",
-      "q70_kmeans_selection", "q71_kmeans_e2e", "q72_als_e2e", "q73_als_cv_grid",
-      "q74_sse_parity", "q62_ann_lsh_topk", "q63_ivf_topk", "q53_minhash_lsh_ml")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!skip(name)) {
+      if (!eager(name)) {
         try {
           val plan = fn(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)

@@ -1,0 +1,62 @@
+package graft
+
+/** Global plan-shape invariants swept across the WHOLE lazy query
+  * surface — the anti-patterns that sink a 100 TB run, asserted once
+  * for every registered query rather than per-operator:
+  *
+  *  - `CartesianProduct` (the unbounded non-broadcast n×m join) must
+  *    never appear. Every intentional "join everything against X" in
+  *    this engine goes through `broadcast()` of a provably bounded X.
+  *  - `BroadcastNestedLoopJoin` may appear ONLY in queries that join
+  *    against a bounded probe (1-row query vectors / scalar aggregates)
+  *    or a bounded dimension (centroid/codebook tables, the distinct
+  *    event-type spine) — whitelisted here with their justification.
+  *
+  * New queries that legitimately broadcast a bounded side must be
+  * added to the whitelist consciously; anything else failing this spec
+  * is a plan regression, caught before it ships.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  // query -> why its BroadcastNestedLoopJoin side is bounded
+  private val bnljBounded: Map[String, String] = Map(
+    "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
+    "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
+    "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",
+    "q46_weighted_sample"  -> "1-row rate table",
+    "q48_repetition_filter" -> "1-row corpus stats probe",
+    "q49_decontamination"  -> "broadcast of the (small) eval-set gram table",
+    "q4a_unigram_logprob"  -> "1-row token-total aggregate",
+    "q4b_group_split"      -> "1-row leak-audit aggregate",
+    "q4c_heavy_hitters"    -> "1-row total-count aggregate",
+    "q4g_temperature_mixture" -> "1-row normalization aggregate + per-stratum rate dim",
+    "q54_simhash_buckets"  -> "1-row corpus-invariant aggregates",
+    "q55_ngram_jaccard"    -> "1-row × 1-row contract probe",
+    "q56_embedding_neardup" -> "1-row hyperplane-contract probe",
+    "q57_dup_components"   -> "1-row fixpoint probe",
+    "q59_canonical_dedup"  -> "1-row fixpoint probe",
+    "q5a_semantic_dedup"   -> "broadcast(first-nLists centroid table), 4 rows",
+    "q61_cosine_topk"      -> "broadcast(1-row query vector)",
+    "q64_ivf_buckets"      -> "broadcast(first-nLists centroid table), 4 rows",
+    "q68_pq_audit"         -> "broadcast(k-row codebook), 8 rows",
+    "q6a_pq_adc_topk"      -> "broadcast(codebook + 1-row query)",
+    "q25_approx_distinct"  -> "1-row sketch-contract probe",
+    "q58_quantile_sketch"  -> "1-row sketch-contract probe")
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!Explain.eager(name)) {
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljBounded.contains(name))
+          offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"plan invariants violated:\n${bad.mkString("\n")}")
+  }
+}
