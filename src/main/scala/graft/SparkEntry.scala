@@ -65,6 +65,9 @@ object SparkEntry {
     "q1a_sql_subqueries"    -> (Relational.sqlSubqueries _),
     "q1b_stats_moments"     -> (Relational.statsMoments _),
     "q1c_histogram"         -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
+    "q1d_data_profile"      -> (Quality.dataProfile _),
+    "q1e_distribution_drift" -> (Quality.distributionDrift _),
+    "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
@@ -76,6 +79,7 @@ object SparkEntry {
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
+    "q3g_stream_outer_join" -> (StreamEvents.streamStreamLeftOuterJoin _),
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
     "q3c_foreach_batch"     -> (StreamEvents.foreachBatchPartials _),
     "q3d_transform_with_state" -> (StreamEvents.transformWithStateTotals _),
@@ -100,6 +104,8 @@ object SparkEntry {
     "q4e_curation_funnel"   -> ((s: SparkSession, d: String) => Curation.curationFunnel(s, d)),
     "q4f_normalized_dedup"  -> (Dedup.normalizedDedup _),
     "q4g_temperature_mixture" -> ((s: SparkSession, d: String) => Curation.temperatureMixture(s, d)),
+    "q4h_frequent_pairs"    -> ((s: SparkSession, d: String) => Curation.frequentPairs(s, d)),
+    "q4i_stratified_sample" -> (Curation.stratifiedSample _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -114,6 +120,8 @@ object SparkEntry {
     "q59_canonical_dedup"   -> ((s: SparkSession, d: String) => Dedup.canonicalDedup(s, d)),
     "q5a_semantic_dedup"    -> ((s: SparkSession, d: String) => Dedup.semanticDedup(s, d)),
     "q5b_pagerank"          -> (Graph.linkPageRank _),
+    "q5c_entity_resolution" -> (Entity.partDuplicates _),
+    "q5d_triangle_count"    -> (Graph.linkTriangles _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -490,6 +498,14 @@ object SparkEntry {
              CAST(count(1) AS BIGINT) AS n,
              round((bucket - 1) * CAST(5000.0 AS DOUBLE), 2) AS bucket_lo
       FROM b GROUP BY bucket ORDER BY bucket""",
+    // one-pass profile / PSI drift / z-order layout: oracle SQL lives
+    // next to the operator (generated per-column / per-bit there)
+    "q1d_data_profile" -> Quality.dataProfileOracle,
+    "q1e_distribution_drift" -> Quality.distributionDriftOracle,
+    "q2f_zorder_layout" -> graft.sources.Warehouse.zorderOracle,
+    "q4h_frequent_pairs" -> Curation.frequentPairsOracle,
+    "q4i_stratified_sample" -> Curation.stratifiedSampleOracle,
+    "q5c_entity_resolution" -> Entity.partDuplicatesOracle,
     // single-pass Welford-mergeable moments; rounding absorbs the
     // engines' different merge orders (corr/covar/stddev/var are
     // bias-convention-stable across engines, skewness/kurtosis are not
@@ -719,6 +735,26 @@ object SparkEntry {
              CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
              round(sum(p.p_value), 2) AS sum_value
       FROM c JOIN p ON c.user_id = p.user_id
+        AND p.p_ts >= c.c_ts
+        AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+      GROUP BY 1
+      ORDER BY 1""",
+    // left-outer stream-stream join: the sentinel slice flushes all
+    // real state, so the streaming result IS the batch left join
+    "q3g_stream_outer_join" -> """
+      WITH c AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase')
+      SELECT epoch_us(date_trunc('hour', c.c_ts)) AS hour_us,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN p.purchase_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unmatched,
+             CAST(count(DISTINCT c.click_id) AS BIGINT) AS n_clicks,
+             round(sum(coalesce(p.p_value, 0.0)), 2) AS sum_value
+      FROM c LEFT JOIN p ON c.user_id = p.user_id
         AND p.p_ts >= c.c_ts
         AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
       GROUP BY 1
@@ -1401,6 +1437,39 @@ object SparkEntry {
              FROM d CROSS JOIN nn LEFT JOIN c3 ON d.doc_id = c3.dst)
       SELECT id AS doc_id, round(pr, 8) AS pr
       FROM r3 ORDER BY doc_id""",
+    // triangle count: same low→high orientation + 3-way join over the
+    // same arithmetically-rebuilt near-neighbor graph. Edges are built
+    // with UNION ALL, not unnest: DuckDB 1.0's binder raises an
+    // INTERNAL error on an unnest alias referenced through a
+    // DISTINCT+WHERE CTE (q5b's plain unnest is unaffected)
+    "q5d_triangle_count" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+      raw AS (
+        SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 3) % n FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn),
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pv AS (
+        SELECT v AS doc_id, CAST(count(1) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS v FROM tri UNION ALL
+              SELECT y FROM tri UNION ALL
+              SELECT z FROM tri)
+        GROUP BY v)
+      SELECT doc_id, n_triangles,
+             CAST(sum(n_triangles) OVER () // 3 AS BIGINT) AS total_triangles
+      FROM pv ORDER BY doc_id""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -279,4 +279,88 @@ object Curation {
           .as("n_overflow"))
       .orderBy("lang", "shard", "bin")
   }
+
+  /** q4i: deterministic STRATIFIED SAMPLING to a balanced corpus — every
+    * language downsampled to the size of the smallest stratum. The
+    * membership gate is `doc_id mod 1000 < floor(1000·target/|stratum|)`
+    * — decided by the row alone (resample-stable, no RNG state, no
+    * `sampleBy`'s partition-order sensitivity), and the per-stratum
+    * fractions come from a WINDOW over the stratum counts, not a
+    * driver-side collect: the whole operator is two aggregates and a
+    * broadcast-sized join at any scale. The audit row per stratum
+    * (total, target, achieved) is the operator's contract — achieved
+    * tracks target only as well as ids are equidistributed mod 1000,
+    * which the output makes visible instead of assuming. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withTarget = counts.withColumn("target", min(col("n_total")).over(all))
+      .withColumn("gate", floor(lit(1000.0) * col("target") / col("n_total")))
+    val sampled = docs.join(broadcast(withTarget), "lang")
+      .where(pmod(col("doc_id"), lit(1000L)) < col("gate"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    withTarget.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("target"), col("gate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  def stratifiedSampleOracle: String = """
+    WITH counts AS (
+      SELECT lang, count(1) AS n_total FROM documents GROUP BY lang),
+    gated AS (
+      SELECT lang, n_total, min(n_total) OVER () AS target,
+             CAST(floor(1000.0 * min(n_total) OVER () / n_total) AS BIGINT) AS gate
+      FROM counts),
+    sampled AS (
+      SELECT d.lang, count(1) AS n_sampled
+      FROM documents d JOIN gated g ON d.lang = g.lang
+      WHERE d.doc_id % 1000 < g.gate
+      GROUP BY d.lang)
+    SELECT g.lang, g.n_total, g.target, g.gate,
+           coalesce(s.n_sampled, 0) AS n_sampled
+    FROM gated g LEFT JOIN sampled s ON g.lang = s.lang
+    ORDER BY g.lang"""
+
+  /** q4h: FREQUENT TOKEN PAIRS — co-occurrence mining (the Apriori/
+    * market-basket 2-itemset pass) over the documents table: tokens
+    * distinct-ed per document, paired within the document (canonical
+    * a < b order), support-counted, thresholded.
+    *
+    * Scale shape: the pair fan-out is Σ(tokens-per-doc choose 2), which
+    * a length cap per document bounds (the classic Apriori guard; here
+    * the fixture's docs are short). At 100 TB the 2-stage refinement is
+    * to first count 1-item support and keep only frequent tokens before
+    * pairing (downward closure) — that is one extra aggregate + semi
+    * join in this same plan shape. The tokenizer is the shared
+    * `[^a-z]+` split so the DuckDB oracle tokenizes identically. */
+  def frequentPairs(spark: SparkSession, dir: String,
+      minSupport: Long = 50L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .where(length(col("t")) >= 3)
+      .distinct()
+    toks.as("t1").join(toks.as("t2"),
+        col("t1.doc_id") === col("t2.doc_id") && col("t1.t") < col("t2.t"))
+      .groupBy(col("t1.t").as("tok_a"), col("t2.t").as("tok_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(desc("support"), col("tok_a"), col("tok_b"))
+  }
+
+  def frequentPairsOracle: String = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+      WHERE length(t) >= 3)
+    SELECT t1.t AS tok_a, t2.t AS tok_b, count(1) AS support
+    FROM toks t1 JOIN toks t2
+      ON t1.doc_id = t2.doc_id AND t1.t < t2.t
+    GROUP BY 1, 2
+    HAVING count(1) >= 50
+    ORDER BY support DESC, tok_a, tok_b"""
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over DataFrames — the join-iteration form (no GraphX
@@ -68,6 +69,54 @@ object Graph {
         pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
     pageRank(docs.select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), round(col("pr"), 8).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  /** Triangle count over an undirected edge list (`a < b` canonical
+    * form, already deduplicated). The standard distributed formulation:
+    * orient every edge low→high, then count length-2 paths that close —
+    * two self-joins. Orienting by id (a degree-based orientation at
+    * 100 TB — by (degree, id) — is the skew-proof refinement) means each
+    * triangle is generated exactly once, and the join fan-out per vertex
+    * is out-degree², i.e. bounded by the orientation instead of the raw
+    * degree. Both joins shuffle on a vertex key; at scale the edge list
+    * would be bucketed on `a` so the first join is co-located. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).where(col("a") < col("b"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges.join(e.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(col("x"), col("y"), col("z"))
+  }
+
+  /** q5d: per-vertex triangle counts + global total on a deterministic
+    * near-neighbor link graph (doc i links to i+1, i+2, i+3 mod n — a
+    * ring-lattice with 3n/1-per-wedge closure structure — plus one
+    * affine long-range edge per node for irregular degrees, the
+    * small-world shape). The DuckDB oracle rebuilds the same graph and
+    * counts via the same low→high 3-way join. */
+  def linkTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val raw = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") + 3, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)))).as("dst"))
+    val und = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tris = triangleCount(und)
+    // per-vertex count = triangles touching the vertex in any corner
+    val perVertex = tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    val total = Window.partitionBy()
+    perVertex
+      .select(col("doc_id"), col("n_triangles"),
+        sum(col("n_triangles")).over(total).divide(3).cast("long").as("total_triangles"))
       .orderBy("doc_id")
   }
 }

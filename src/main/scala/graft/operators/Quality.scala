@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: one-pass column profiling and distribution
+  * drift — the monitoring layer every production training-data pipeline
+  * runs before a snapshot is admitted (the Deequ/TFDV shape, rebuilt on
+  * plain Catalyst aggregates).
+  *
+  * Scale design: both operators are single-scan. The profile computes
+  * every column's metrics in ONE grouped-less aggregate (Spark fuses all
+  * the agg expressions into a single partial+final hash-agg pass, so a
+  * 100 TB table is read exactly once, map-side-combined to one row); the
+  * per-column narrow rows are then exploded from that one row on the
+  * driver-free path (stack over a 1-row frame — no collect). Drift bins
+  * both periods in the same scan with conditional aggregation, so
+  * comparing two snapshots of a 100 TB table costs one pass, not two.
+  */
+object Quality {
+
+  /** q1d: one-pass DATA PROFILE of `lineitem` — per-column row count,
+    * null count, exact distinct, completeness, min/max. Numeric columns
+    * report numeric min/max (rounded; string slots null), string/date
+    * columns report string min/max (numeric slots null) — a uniform
+    * narrow schema so downstream rules (`completeness >= 0.99`,
+    * `n_distinct > 0`) are data, not code.
+    *
+    * The multi-`count(distinct)` aggregate is the expensive part at
+    * scale: Spark plans it as EXPAND (one replicated stream per distinct
+    * column) + two-phase agg, still one scan of the source. For columns
+    * where exactness isn't contractual, [[Relational.approxDistinct]]'s
+    * HLL path (q25) is the 100 TB variant; here the oracle demands exact.
+    */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val stringy = Seq("l_returnflag", "l_linestatus")
+    def metrics(c: String, isNum: Boolean): Seq[Column] = Seq(
+      count(lit(1)).as(s"${c}__rows"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      (if (isNum) round(min(col(c)).cast("double"), 4) else lit(null).cast("double")).as(s"${c}__min_num"),
+      (if (isNum) round(max(col(c)).cast("double"), 4) else lit(null).cast("double")).as(s"${c}__max_num"),
+      (if (isNum) lit(null).cast("string") else min(col(c)).cast("string")).as(s"${c}__min_str"),
+      (if (isNum) lit(null).cast("string") else max(col(c)).cast("string")).as(s"${c}__max_str"))
+    val aggs = numeric.flatMap(metrics(_, isNum = true)) ++
+      stringy.flatMap(metrics(_, isNum = false))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // unpivot the 1-row wide aggregate into narrow per-column rows;
+    // stack() runs executor-side on the single row — no collect
+    val cols = (numeric ++ stringy)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, " +
+        s"`${c}__min_num`, `${c}__max_num`, `${c}__min_str`, `${c}__max_str`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+      .withColumn("completeness",
+        round((col("n_rows") - col("n_nulls")).cast("double") / col("n_rows"), 6))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct", "completeness",
+        "min_num", "max_num", "min_str", "max_str")
+      .orderBy("column_name")
+  }
+
+  def dataProfileOracle: String = {
+    val numeric = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val stringy = Seq("l_returnflag", "l_linestatus")
+    val selects = numeric.map { c =>
+      s"""SELECT '$c' AS column_name, count(1) AS n_rows,
+         count(1) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         round(CAST(count($c) AS DOUBLE) / count(1), 6) AS completeness,
+         round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+         round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         FROM lineitem"""
+    } ++ stringy.map { c =>
+      s"""SELECT '$c', count(1), count(1) - count($c), count(DISTINCT $c),
+         round(CAST(count($c) AS DOUBLE) / count(1), 6),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(min($c) AS VARCHAR), CAST(max($c) AS VARCHAR)
+         FROM lineitem"""
+    }
+    selects.mkString("\n UNION ALL \n") + "\n ORDER BY column_name"
+  }
+
+  /** q1e: DISTRIBUTION DRIFT between two time slices of `lineitem` —
+    * the Population Stability Index over fixed-width price bins,
+    * baseline = shipdate < 1997-01-01 vs current = the rest. Fixed bin
+    * edges (not quantiles) keep the metric deterministic and make the
+    * two periods' binning identical by construction; both periods are
+    * binned in ONE scan via conditional counts. `psi_total` > 0.2 is
+    * the classic retrain/alert threshold; it is replicated on every row
+    * (window sum) so the output is self-contained.
+    *
+    * Laplace smoothing (+1 per bin) bounds the log ratio when a bin is
+    * empty on one side — the standard PSI guard, and it keeps the
+    * arithmetic oracle-replayable (no infinities). */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val binned = li.select(
+      least(floor(col("l_extendedprice") / 11000.0), lit(9L)).as("bin"),
+      (col("l_shipdate") < cut).as("is_base"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+    val tot = Window.partitionBy()
+    val sm = counts.select(
+      col("bin"), col("n_base"), col("n_curr"),
+      ((col("n_base") + 1.0) / (sum(col("n_base")).over(tot) + 10.0)).as("p_base"),
+      ((col("n_curr") + 1.0) / (sum(col("n_curr")).over(tot) + 10.0)).as("p_curr"))
+    sm.select(
+      col("bin"), col("n_base"), col("n_curr"),
+      round(col("p_base"), 6).as("share_base"),
+      round(col("p_curr"), 6).as("share_curr"),
+      round(((col("p_curr") - col("p_base")) * log(col("p_curr") / col("p_base"))), 6)
+        .as("psi_term"),
+      round(sum((col("p_curr") - col("p_base")) * log(col("p_curr") / col("p_base")))
+        .over(tot), 6).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  def distributionDriftOracle: String = """
+    WITH binned AS (
+      SELECT least(CAST(floor(l_extendedprice / 11000.0) AS BIGINT), 9) AS bin,
+             l_shipdate < TIMESTAMP '1997-01-01' AS is_base
+      FROM lineitem),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+      FROM binned GROUP BY bin),
+    sm AS (
+      SELECT bin, n_base, n_curr,
+             (n_base + 1.0) / (sum(n_base) OVER () + 10.0) AS p_base,
+             (n_curr + 1.0) / (sum(n_curr) OVER () + 10.0) AS p_curr
+      FROM counts)
+    SELECT bin, n_base, n_curr,
+           round(p_base, 6) AS share_base,
+           round(p_curr, 6) AS share_curr,
+           round((p_curr - p_base) * ln(p_curr / p_base), 6) AS psi_term,
+           round(sum((p_curr - p_base) * ln(p_curr / p_base)) OVER (), 6) AS psi_total
+    FROM sm ORDER BY bin"""
+}

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -291,4 +291,56 @@ object Warehouse {
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
+
+  /** Z-ORDER value: interleave the low 16 bits of two keys (bit i of
+    * `right` → position 2i, bit i of `left` → position 2i+1). Built as
+    * a closed-form column expression (a fold over the 16 bit positions
+    * of shifts/masks), so it compiles to one codegen'd arithmetic
+    * expression — no UDF. */
+  def zorder2(left: Column, right: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        (shiftright(left.cast("bigint"), i) % 2) * lit(1L << (2 * i + 1)) +
+        (shiftright(right.cast("bigint"), i) % 2) * lit(1L << (2 * i))
+    }
+
+  /** q2f: Z-ORDER LAYOUT of `lineitem` on (l_partkey, l_suppkey) — the
+    * multi-dimensional clustering that makes min/max data skipping work
+    * for BOTH keys at once. Sorting by a single key clusters only that
+    * key; interleaving the bits gives every file a tight range on each
+    * dimension, so a 100 TB scan filtered on either key prunes most
+    * files from footer stats alone. Here the table is z-valued,
+    * range-partitioned + sorted by zval (exactly the write path a real
+    * OPTIMIZE ZORDER runs), round-tripped through parquet, and the
+    * graded output is the leading z-ordered slice — the oracle replays
+    * the interleave arithmetic bit-for-bit. */
+  def zorderRoundTrip(spark: SparkSession, dir: String,
+      outBase: String = graft.Fs.scratch("graft_wh_zorder")): DataFrame = {
+    val path = s"$outBase/lineitem_z"
+    val z = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      .withColumn("zval", zorder2(col("l_partkey"), col("l_suppkey")))
+    z.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("zval"))
+  }
+
+  def zorderOracle: String = {
+    val terms = (0 until 16).map { i =>
+      s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ($terms) AS zval
+    FROM lineitem
+    ORDER BY zval, l_orderkey, l_linenumber
+    LIMIT 200"""
+  }
 }

@@ -409,6 +409,97 @@ object Events {
       .orderBy("hour_us")
   }
 
+  /** q3g: STREAM-STREAM **LEFT OUTER** JOIN — the watermark semantics
+    * q3a's inner join never exercises: a click with no purchase in its
+    * 1-hour window is held in state until the watermark proves no match
+    * can still arrive, then emitted null-extended. That eviction-edge
+    * emission is the part of the streaming model where correctness
+    * depends entirely on watermark bookkeeping, so it is graded against
+    * the batch left join.
+    *
+    * Determinism: outer rows for the trailing hour would normally still
+    * sit in state when a finite replay ends (the generic "final windows
+    * never finalize" problem, q38's subset rule). Here the staging
+    * appends a SENTINEL slice — one click + one purchase on disjoint
+    * negative user ids, 10 h past the corpus max — so both sides'
+    * watermarks advance past every real click's match window, the
+    * no-data cleanup batch flushes ALL real state, and the sink holds
+    * the complete left-outer result. The sentinel rows themselves are
+    * dropped on read-back (negative user id). At scale this is exactly
+    * the heartbeat/punctuation pattern used to close out watermarks on
+    * quiet Kafka partitions — per-partition idle-timeout heartbeats,
+    * not a data mutation. */
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_ssloj_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_ssloj_ckpt")
+    val stageDir = graft.Fs.scratch("graft_stream_ssloj_stage")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir); deleteRecursively(stageDir)
+    val base = stageReplayFiles(spark, dir, nFiles = 4)
+    require(new java.io.File(stageDir).mkdirs(), s"cannot create $stageDir")
+    def stamp(f: java.io.File, mtime: Long): Unit =
+      require(f.setLastModified(mtime) && f.lastModified() == mtime,
+        s"streamStreamLeftOuterJoin: cannot stamp mtime on $f")
+    new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(stageDir, f.getName)
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        stamp(dst, 1700000000000L + i * 60000L)
+      }
+    val maxTs = Tables.events(spark, dir).agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    import spark.implicits._
+    val sentTmp = stageDir + "_sent"
+    Seq((-1L, sentinelTs, -901L, "click", 0.0),
+        (-2L, sentinelTs, -902L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(sentTmp)
+    val sentPart = new java.io.File(sentTmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val sentDst = new java.io.File(stageDir, "part-zz-sentinel.parquet")
+    java.nio.file.Files.move(sentPart.toPath, sentDst.toPath)
+    stamp(sentDst, 1700000000000L + 100 * 60000L) // replays strictly last
+    deleteRecursively(sentTmp)
+    def source(eventType: String) = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", 4) // real slices batch 0, sentinel batch 1
+      .parquet(stageDir)
+      .filter(col("event_type") === eventType)
+    val clicks = source("click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = source("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    // 4 partitions for the same 4-state-stores-per-partition reason as q3a
+    graft.SessionConf.withShufflePartitions(spark, 4) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.schema(joined.schema).parquet(sinkDir)
+      .where(col("c_user") >= 0) // drop the sentinel's own outer row
+      .groupBy(unix_micros(date_trunc("hour", col("c_ts"))).as("hour_us"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct("click_id").as("n_clicks"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("sum_value"))
+      .orderBy("hour_us")
+  }
+
   /** q3b: STREAM-STATIC JOIN — the stateless enrichment join, the other
     * join class Structured Streaming runs (vs q3a's stateful
     * stream-stream join): each microbatch of the event stream joins the

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Curation, Entity, Graph, Quality}
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch-2 operators: profiling, drift, z-order, frequent
+  * pairs, stratified sampling, entity resolution, triangles. Each test
+  * checks the operator against an independent small-scale replay (scala
+  * brute force or hand arithmetic), not against itself. */
+class QualitySpec extends SparkSpec {
+
+  test("dataProfile: metrics agree with direct per-column recomputation") {
+    val rows = Quality.dataProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    assert(rows.keySet == Set("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_linestatus"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == 0L) // fixture has no nulls
+      assert(r.getAs[Double]("completeness") == 1.0)
+    }
+    val distinctFlags = li.select("l_returnflag").distinct().count()
+    assert(rows("l_returnflag").getAs[Long]("n_distinct") == distinctFlags)
+    val qtyMin = li.agg(min("l_quantity")).head().getDouble(0)
+    assert(rows("l_quantity").getAs[Double]("min_num") == qtyMin)
+    // string columns carry string min/max, numeric slots null
+    assert(rows("l_returnflag").isNullAt(rows("l_returnflag").fieldIndex("min_num")))
+    assert(rows("l_returnflag").getAs[String]("min_str") != null)
+  }
+
+  test("distributionDrift: shares sum to 1 and PSI total is the term sum") {
+    val rows = Quality.distributionDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sumBase = rows.map(_.getAs[Double]("share_base")).sum
+    val sumCurr = rows.map(_.getAs[Double]("share_curr")).sum
+    // smoothed shares over observed bins sum to ≤1 (missing bins hold
+    // the remainder); with all 10 bins present they sum to ~1
+    assert(sumBase <= 1.0 + 1e-6 && sumBase > 0.8)
+    assert(sumCurr <= 1.0 + 1e-6 && sumCurr > 0.8)
+    val termSum = rows.map(_.getAs[Double]("psi_term")).sum
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(math.abs(termSum - total) < 1e-4)
+    assert(rows.forall(_.getAs[Double]("psi_total") == total))
+    assert(total >= 0.0) // PSI is a sum of (p-q)ln(p/q) ≥ 0 terms
+  }
+
+  test("zorder2 interleaves bits exactly") {
+    val df = spark.range(1).select(
+      Warehouse.zorder2(lit(0L), lit(0L)).as("z00"),
+      Warehouse.zorder2(lit(1L), lit(0L)).as("z10"),
+      Warehouse.zorder2(lit(0L), lit(1L)).as("z01"),
+      Warehouse.zorder2(lit(3L), lit(5L)).as("z35"),
+      Warehouse.zorder2(lit(65535L), lit(65535L)).as("zmax"))
+    val r = df.head()
+    assert(r.getAs[Long]("z00") == 0L)
+    assert(r.getAs[Long]("z10") == 2L) // left bit 0 → position 1
+    assert(r.getAs[Long]("z01") == 1L) // right bit 0 → position 0
+    // 3=0b011, 5=0b101 → interleave(left=011, right=101) =
+    // pos5..0: l2 r2 l1 r1 l0 r0 = 0 1 1 0 1 1 = 0b011011 = 27
+    assert(r.getAs[Long]("z35") == 27L)
+    assert(r.getAs[Long]("zmax") == (1L << 32) - 1)
+  }
+
+  test("zorderRoundTrip: output is the true z-order prefix") {
+    val out = Warehouse.zorderRoundTrip(spark, sfDir).collect()
+    assert(out.length == 200)
+    val zs = out.map(_.getAs[Long]("zval"))
+    assert(zs.sameElements(zs.sorted), "not sorted by zval")
+    // spot-check the interleave against a scala replay on the output rows
+    out.take(20).foreach { r =>
+      val pk = r.getAs[Long]("l_partkey"); val sk = r.getAs[Long]("l_suppkey")
+      val expect = (0 until 16).map { i =>
+        (((pk >> i) & 1L) << (2 * i + 1)) + (((sk >> i) & 1L) << (2 * i))
+      }.sum
+      assert(r.getAs[Long]("zval") == expect)
+    }
+  }
+
+  test("frequentPairs agrees with a scala brute-force on the fixture") {
+    val out = Curation.frequentPairs(spark, sfDir, minSupport = 5L).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        r.getAs[Long]("support")).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    val brute = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("[^a-z]+")
+        .filter(_.length >= 3).distinct.sorted
+      for (i <- toks.indices; j <- i + 1 until toks.length)
+        brute((toks(i), toks(j))) = brute.getOrElse((toks(i), toks(j)), 0L) + 1L
+    }
+    val expected = brute.filter(_._2 >= 5L).toMap
+    assert(out == expected,
+      s"engine ${out.size} pairs vs brute ${expected.size}")
+  }
+
+  test("stratifiedSample: every stratum hits its gate exactly") {
+    val rows = Curation.stratifiedSample(spark, sfDir).collect()
+    val target = rows.head.getAs[Long]("target")
+    assert(rows.map(_.getAs[Long]("n_total")).min == target)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val gate = r.getAs[Long]("gate")
+      val replay = docs.count { case (id, l) => l == lang && id % 1000 < gate }
+      assert(r.getAs[Long]("n_sampled") == replay)
+      assert(r.getAs[Long]("target") == target)
+    }
+  }
+
+  test("blockedFuzzyPairs finds planted near-duplicate names only within blocks") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "B1", "red widget"), (2L, "B1", "red widget"), // dist 0
+      (3L, "B1", "red widgit"), // dist 1 to 1,2
+      (4L, "B2", "red widget"), // same name, different block → no pair
+      (5L, "B1", "blue cable"), // far from everything
+      (6L, "B2", "blu cable") // cross-block near-dup of 5 → no pair
+    ).toDF("id", "brand", "name")
+    val pairs = Entity.blockedFuzzyPairs(recs, "id", "brand", "name", maxDist = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleCount matches brute force on a planted graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 (no new triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val tris = Graph.triangleCount(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("linkTriangles: total is consistent and per-vertex counts sum to 3×total") {
+    val rows = Graph.linkTriangles(spark, sfDir).collect()
+    val total = rows.head.getAs[Long]("total_triangles")
+    assert(total > 0, "near-neighbor lattice must close triangles")
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
+  }
+}
