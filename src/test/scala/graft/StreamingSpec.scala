@@ -255,6 +255,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join equals the batch left join (sentinel flush)") {
+    val streamed = Events.streamStreamLeftOuterJoin(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val c = Tables.events(spark, sfDir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val batch = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy(unix_micros(date_trunc("hour", col("c_ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct("click_id").as("n_clicks"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.exists(_(2).asInstanceOf[Long] > 0L),
+      "fixture must contain unmatched clicks or the outer path is untested")
+    assert(streamed == batch)
+  }
+
   test("stream-static join emits the finalized windows of the batch join") {
     val streamed = Events.streamStaticJoin(spark, sfDir).collect().map(_.toSeq).toSet
     val dim = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment"))
