@@ -67,6 +67,7 @@ object SparkEntry {
     "q1c_histogram"         -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q1d_data_profile"      -> (Quality.dataProfile _),
     "q1e_distribution_drift" -> (Quality.distributionDrift _),
+    "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
     "q30_events_hourly"     -> (StreamEvents.hourlyAgg _),
@@ -85,6 +86,8 @@ object SparkEntry {
     "q3d_transform_with_state" -> (StreamEvents.transformWithStateTotals _),
     "q3e_gap_fill"          -> (StreamEvents.gapFillHourly _),
     "q3f_rolling_time_window" -> (StreamEvents.rollingTimeWindow _),
+    "q3h_ohlc_bars"         -> (StreamEvents.ohlcBars _),
+    "q3i_funnel_conversion" -> (StreamEvents.funnelConversion _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -502,6 +505,53 @@ object SparkEntry {
     // next to the operator (generated per-column / per-bit there)
     "q1d_data_profile" -> Quality.dataProfileOracle,
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
+    "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
+    // OHLC bars: shared (ts, event_id) tie-break ordering both ways,
+    // open/close folded into the same hash aggregate as high/low
+    "q3h_ohlc_bars" -> """
+      WITH r AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               value,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT hour_us, event_type,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             round(max(value), 2) AS high,
+             round(min(value), 2) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             CAST(count(1) AS BIGINT) AS n,
+             round(sum(value), 2) AS volume
+      FROM r GROUP BY hour_us, event_type
+      ORDER BY hour_us, event_type""",
+    // first-touch funnel: conditional-min stage timestamps, strict
+    // ordering between stages, 3-row narrow output + lag conversion
+    "q3i_funnel_conversion" -> """
+      WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id),
+      staged AS (
+        SELECT
+          CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+          CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+            AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        FROM firsts),
+      narrow AS (
+        SELECT 1 AS stage, 'view' AS path, n_view AS n_users FROM staged
+        UNION ALL SELECT 2, 'view>click', n_click FROM staged
+        UNION ALL SELECT 3, 'view>click>purchase', n_purchase FROM staged)
+      SELECT stage, path, n_users,
+             round(CAST(n_users AS DOUBLE) /
+                   lag(n_users) OVER (ORDER BY stage), 4) AS conv_prev
+      FROM narrow ORDER BY stage""",
     "q2f_zorder_layout" -> graft.sources.Warehouse.zorderOracle,
     "q4h_frequent_pairs" -> Curation.frequentPairsOracle,
     "q4i_stratified_sample" -> Curation.stratifiedSampleOracle,

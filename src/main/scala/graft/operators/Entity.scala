@@ -26,11 +26,23 @@ object Entity {
     * once (`idCol` low < high). */
   def blockedFuzzyPairs(records: DataFrame, idCol: String, blockKey: String,
       nameCol: String, maxDist: Int): DataFrame = {
+    // The probe side must be spread BEFORE the join: a dimension-sized
+    // input arrives in 1-2 parquet partitions, and a broadcast join
+    // preserves the streamed side's partitioning — without this the
+    // Σ|block|² levenshtein evaluations all run in one task (observed
+    // 28 s → ~3 s at sf0.1). Round-robin is fine: broadcast joins need
+    // no co-partitioning.
     val a = records.select(col(idCol).as("a_id"), col(blockKey).as("block"),
       col(nameCol).as("a_name"))
+      .repartition(records.sparkSession.sessionState.conf.numShufflePartitions)
     val b = records.select(col(idCol).as("b_id"), col(blockKey).as("b_block"),
       col(nameCol).as("b_name"))
-    a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id"))
+    a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id") &&
+        // length band: |len(a)−len(b)| > d ⇒ edit distance > d. A
+        // codegen'd integer check that prunes most pairs before the
+        // O(len²) levenshtein runs — evaluated inside the join, so
+        // pruned pairs are never materialized.
+        abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .where(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("block"), col("a_name"),

@@ -124,6 +124,61 @@ object Quality {
       .orderBy("bin")
   }
 
+  /** q1f: WINSORIZED ROBUST STATS — outlier-clipped per-group summary:
+    * within each return flag, prices are clipped to the exact
+    * [p05, p95] interpolated percentiles and re-aggregated next to the
+    * raw mean, so the output carries both the robust and raw views plus
+    * the clip bounds and clip counts.
+    *
+    * Two passes by necessity (the bounds must exist before clipping),
+    * but both are plain hash aggregates on the same grouping key — the
+    * percentile pass uses Spark's exact `percentile` (the
+    * interpolation-identical twin of DuckDB's `quantile_cont`), and the
+    * bounds table is broadcast back, so nothing reshuffles the fact
+    * table twice. At 100 TB the exact percentile pass becomes
+    * `approx_percentile` (q58's sketch contract) — same plan shape. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("p"))
+      .select(col("l_returnflag"), col("p").getItem(0).as("lo"),
+        col("p").getItem(1).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("clipped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 4).as("mean_raw"),
+        round(avg("clipped"), 4).as("mean_winsorized"),
+        round(max("lo"), 4).as("p05"),
+        round(max("hi"), 4).as("p95"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  def winsorizedStatsOracle: String = """
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT li.l_returnflag,
+           count(1) AS n,
+           round(avg(li.l_extendedprice), 4) AS mean_raw,
+           round(avg(least(greatest(li.l_extendedprice, b.lo), b.hi)), 4)
+             AS mean_winsorized,
+           round(max(b.lo), 4) AS p05,
+           round(max(b.hi), 4) AS p95,
+           CAST(sum(CASE WHEN li.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN li.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clipped_hi
+    FROM lineitem li JOIN bounds b ON li.l_returnflag = b.l_returnflag
+    GROUP BY li.l_returnflag
+    ORDER BY li.l_returnflag"""
+
   def distributionDriftOracle: String = """
     WITH binned AS (
       SELECT least(CAST(floor(l_extendedprice / 11000.0) AS BIGINT), 9) AS bin,

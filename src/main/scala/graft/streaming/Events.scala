@@ -65,6 +65,71 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** q3h: OHLC TIME BARS — the downsampling aggregate every
+    * time-series store exposes (candlesticks / `date_bin` rollups):
+    * per (hour, event_type), the chronologically first value (open),
+    * max (high), min (low), chronologically last value (close), count
+    * and volume. Open/close are selected with ONE row_number pass each
+    * way over a shared (ts, event_id) ordering — ties broken by
+    * event_id so both engines pick the same row — then folded into the
+    * same hash aggregate as high/low (max(when rn=1)): one shuffle for
+    * the windows, one for the aggregate, no self-join back to the
+    * extremes. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bar = Window.partitionBy("hour_us", "event_type")
+    val rows = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(bar.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn_d", row_number().over(bar.orderBy(col("ts").desc, col("event_id").desc)))
+    rows.groupBy("hour_us", "event_type")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        round(max("value"), 2).as("high"),
+        round(min("value"), 2).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("volume"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  /** q3i: FUNNEL CONVERSION — ordered-stage path analysis (the product
+    * analytics "did view → click → purchase, in that order" query).
+    * Stage timestamps are first-occurrence aggregates per user
+    * (min(ts) conditional on type — one hash aggregate, no joins, no
+    * sequence explosion), and a stage counts only if it happened
+    * STRICTLY AFTER the previous stage's first occurrence — the
+    * standard first-touch funnel semantics. Output is one row per
+    * stage with reached-user counts and conversion vs the previous
+    * stage; the oracle replays the same conditional-min arithmetic. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val staged = firsts.select(
+      when(col("t_view").isNotNull, 1L).otherwise(0L).as("s1"),
+      when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1L)
+        .otherwise(0L).as("s2"),
+      when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L).as("s3"))
+      .agg(sum("s1").as("n_view"), sum("s2").as("n_click"),
+        sum("s3").as("n_purchase"))
+    val narrow = staged.selectExpr(
+      "stack(3, 1L, 'view', n_view, 2L, 'view>click', n_click, " +
+        "3L, 'view>click>purchase', n_purchase) AS (stage, path, n_users)")
+    val w = Window.orderBy("stage")
+    narrow
+      .withColumn("conv_prev",
+        round(col("n_users").cast("double") /
+          lag("n_users", 1).over(w).cast("double"), 4))
+      .orderBy("stage")
+  }
+
   /** Built-in gap sessionization (`session_window`, 30-min gap) —
     * the declarative form of `sessionize` above. Start times and
     * per-session aggregates must agree with the window-function form

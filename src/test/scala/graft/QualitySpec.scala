@@ -47,6 +47,23 @@ class QualitySpec extends SparkSpec {
     assert(total >= 0.0) // PSI is a sum of (p-q)ln(p/q) ≥ 0 terms
   }
 
+  test("winsorizedStats: clipping narrows the mean toward the body, bounds ordered") {
+    val rows = Quality.winsorizedStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p05 = r.getAs[Double]("p05"); val p95 = r.getAs[Double]("p95")
+      assert(p05 < p95)
+      val mw = r.getAs[Double]("mean_winsorized")
+      assert(mw >= p05 && mw <= p95, "winsorized mean must lie inside the clip bounds")
+      val n = r.getAs[Long]("n")
+      val nLo = r.getAs[Long]("n_clipped_lo"); val nHi = r.getAs[Long]("n_clipped_hi")
+      // ~5% clipped each side for a continuous column (interpolated
+      // percentile ⇒ at most ceil(5%) strictly outside each bound)
+      assert(nLo <= n * 6 / 100 + 1 && nHi <= n * 6 / 100 + 1)
+      assert(nLo > 0 && nHi > 0, "fixture is continuous; both tails should clip")
+    }
+  }
+
   test("zorder2 interleaves bits exactly") {
     val df = spark.range(1).select(
       Warehouse.zorder2(lit(0L), lit(0L)).as("z00"),

@@ -255,6 +255,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("ohlcBars: open/close are the chronological extremes, high≥low") {
+    val bars = Events.ohlcBars(spark, sfDir).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      assert(b.getAs[Double]("high") >= b.getAs[Double]("low"))
+      assert(b.getAs[Double]("open") <= b.getAs[Double]("high") + 0.01)
+      assert(b.getAs[Double]("close") >= b.getAs[Double]("low") - 0.01)
+    }
+    // replay one bar chronologically from the raw table
+    val first = bars.head
+    val hourUs = first.getAs[Long]("hour_us")
+    val et = first.getAs[String]("event_type")
+    val raw = Tables.events(spark, sfDir)
+      .where(unix_micros(date_trunc("hour", col("ts"))) === hourUs &&
+        col("event_type") === et)
+      .select("ts", "event_id", "value").collect()
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    assert(first.getAs[Double]("open") == raw.head.getDouble(2))
+    assert(first.getAs[Double]("close") == raw.last.getDouble(2))
+    assert(first.getAs[Long]("n") == raw.length)
+  }
+
+  test("funnelConversion: monotone stage counts, conversions in (0,1]") {
+    val rows = Events.funnelConversion(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("stage")) sameElements Array(1L, 2L, 3L))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel must be monotone non-increasing")
+    assert(ns(0) > 0, "fixture has views")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("conv_prev")))
+    rows.drop(1).foreach { r =>
+      val c = r.getAs[Double]("conv_prev")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("stream-stream LEFT OUTER join equals the batch left join (sentinel flush)") {
     val streamed = Events.streamStreamLeftOuterJoin(spark, sfDir)
       .collect().map(_.toSeq).toSet
