@@ -54,6 +54,9 @@ object SparkEntry {
     "q0a_bloom_join"        -> (Relational.joinBloomReduced _),
     "q0b_bucketed_join"     -> ((s: SparkSession, d: String) => Relational.joinBucketedColocated(s, d)),
     "q0c_join_hint"         -> (Relational.joinHintShuffleHash _),
+    "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
+    "q1g_window_distribution" -> (Relational.windowDistribution _),
+    "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
@@ -506,6 +509,43 @@ object SparkEntry {
     "q1d_data_profile" -> Quality.dataProfileOracle,
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
+    "q2g_snapshot_cdc" -> graft.sources.Warehouse.snapshotCdcOracle,
+    // TPC-H Q5 shape: 6-table star join, same-nation constraint as an
+    // extra join key, region filter applied before the dimension hop
+    "q0d_star_join_revenue" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+    // distribution window family (ntile / percent_rank / cume_dist):
+    // identical SQL-standard definitions in both engines, one shared
+    // window ordering with c_custkey tiebreak so ranks replay exactly
+    "q1g_window_distribution" -> """
+      WITH w AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER win AS quartile,
+               percent_rank() OVER win AS pr,
+               cume_dist() OVER win AS cd
+        FROM customer
+        WINDOW win AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey))
+      SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+             CAST(count(1) AS BIGINT) AS n,
+             round(min(c_acctbal), 2) AS lo_bal,
+             round(max(c_acctbal), 2) AS hi_bal,
+             round(max(pr), 6) AS max_percent_rank,
+             round(max(cd), 6) AS max_cume_dist
+      FROM w GROUP BY c_mktsegment, quartile
+      ORDER BY c_mktsegment, quartile""",
     // OHLC bars: shared (ts, event_id) tie-break ordering both ways,
     // open/close folded into the same hash aggregate as high/low
     "q3h_ohlc_bars" -> """

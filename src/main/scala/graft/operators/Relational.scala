@@ -136,6 +136,62 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** q0d: the 6-TABLE STAR JOIN (TPC-H Q5 shape) — the canonical
+    * join-ordering workload: two fact tables (orders⋈lineitem) joined
+    * through customer to supplier with a same-nation constraint, and
+    * two broadcast dimension hops (nation→region) applying a region
+    * filter that prunes 4/5 of the join tree's output. What matters at
+    * 100 TB: the date filter is pushed into the orders scan, region is
+    * filtered BEFORE broadcasting so the nation broadcast carries only
+    * the surviving region's rows, and Catalyst/AQE order the fact
+    * joins by the filtered sizes rather than the declared order. The
+    * same-nation predicate rides the supplier join as an extra equi
+    * key, not a post-filter — so no customer×supplier blowup ever
+    * materializes. */
+  def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA"))
+    val n = broadcast(Tables.nation(spark, dir)
+      .join(r, col("n_regionkey") === col("r_regionkey")))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** q1g: DISTRIBUTION WINDOW FUNCTIONS — ntile/percent_rank/cume_dist,
+    * the ranking family q11–q13 doesn't cover, folded into a per-
+    * (segment, quartile) summary. One shuffle on the partition key;
+    * the three functions share a single window ordering so Spark
+    * evaluates them in one WindowExec pass. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("lo_bal"),
+        round(max("c_acctbal"), 2).as("hi_bal"),
+        round(max("pr"), 6).as("max_percent_rank"),
+        round(max("cd"), 6).as("max_cume_dist"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
   /** E-04 global sort + limit (top-k by value, key tiebreak). */
   def topKOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

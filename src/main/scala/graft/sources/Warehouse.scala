@@ -292,6 +292,75 @@ object Warehouse {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** q2g: CDC SNAPSHOT DIFF — given two versions of a table, emit the
+    * change set (inserts / updates / deletes / unchanged) the way a
+    * change-data-capture or table-format time-travel diff would. The
+    * new snapshot is derived deterministically from `orders` (keys
+    * ≡3 mod 10 repriced +500.00 — an exact double addition, so no
+    * per-row rounding that the engines could tie-break differently —
+    * keys ≡7 mod 10 dropped, one new key per
+    * surviving old key ≡1 mod 10 at +1e9) so the oracle rebuilds both
+    * versions arithmetically.
+    *
+    * The diff itself is ONE full-outer join on the key plus a
+    * presence/equality classification — the only scalable formulation
+    * (no per-row lookups, no driver state). At 100 TB both snapshots
+    * would be bucketed on the key so the join is co-located, and the
+    * value-equality check compares a content hash per side rather than
+    * every column — here the price column stands in for the hash. */
+  def snapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    val oldSnap = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val newSnap = oldSnap
+      .where(pmod(col("key"), lit(10L)) =!= 7L)
+      .select(col("key"),
+        when(pmod(col("key"), lit(10L)) === 3L, col("price") + 500.0)
+          .otherwise(col("price")).as("price"))
+      .unionByName(
+        oldSnap.where(pmod(col("key"), lit(10L)) === 1L)
+          .select((col("key") + 1000000000L).as("key"), col("price")))
+    val diff = oldSnap.as("o").join(newSnap.as("n"),
+        col("o.key") === col("n.key"), "full_outer")
+      .select(
+        coalesce(col("o.key"), col("n.key")).as("key"),
+        when(col("o.key").isNull, "insert")
+          .when(col("n.key").isNull, "delete")
+          .when(col("o.price") =!= col("n.price"), "update")
+          .otherwise("unchanged").as("op"),
+        col("o.price").as("old_price"), col("n.price").as("new_price"))
+    diff.groupBy("op")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(coalesce(col("new_price"), lit(0.0)) -
+          coalesce(col("old_price"), lit(0.0))), 2).as("price_delta"),
+        sum(pmod(col("key"), lit(97L))).as("key_checksum"))
+      .orderBy("op")
+  }
+
+  def snapshotCdcOracle: String = """
+    WITH old_snap AS (
+      SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+    new_snap AS (
+      SELECT key,
+             CASE WHEN key % 10 = 3 THEN price + 500.0
+                  ELSE price END AS price
+      FROM old_snap WHERE key % 10 <> 7
+      UNION ALL
+      SELECT key + 1000000000, price FROM old_snap WHERE key % 10 = 1),
+    diff AS (
+      SELECT coalesce(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'insert'
+                  WHEN n.key IS NULL THEN 'delete'
+                  WHEN o.price <> n.price THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             o.price AS old_price, n.price AS new_price
+      FROM old_snap o FULL JOIN new_snap n ON o.key = n.key)
+    SELECT op, CAST(count(1) AS BIGINT) AS n,
+           round(sum(coalesce(new_price, 0.0) - coalesce(old_price, 0.0)), 2)
+             AS price_delta,
+           CAST(sum(key % 97) AS BIGINT) AS key_checksum
+    FROM diff GROUP BY op ORDER BY op"""
+
   /** Z-ORDER value: interleave the low 16 bits of two keys (bit i of
     * `right` → position 2i, bit i of `left` → position 2i+1). Built as
     * a closed-form column expression (a fold over the 16 bit positions

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Entity, Graph, Quality}
+import graft.operators.{Curation, Entity, Graph, Quality, Relational}
 import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,59 @@ class QualitySpec extends SparkSpec {
       assert(nLo <= n * 6 / 100 + 1 && nHi <= n * 6 / 100 + 1)
       assert(nLo > 0 && nHi > 0, "fixture is continuous; both tails should clip")
     }
+  }
+
+  test("starJoinRevenue: same-nation constraint holds and region filter prunes") {
+    val rows = Relational.starJoinRevenue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every output nation must belong to ASIA
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("n_name")).toSet.subsetOf(asiaNations))
+    // revenue strictly ordered descending (tie-broken by name)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("windowDistribution: quartiles partition each segment, ranks bounded") {
+    val rows = Relational.windowDistribution(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    val segSizes = Tables.customer(spark, sfDir).groupBy("c_mktsegment")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySeg.foreach { case (seg, qs) =>
+      assert(qs.map(_.getAs[Int]("quartile")).sorted.toSeq ==
+        (1 to qs.length).toSeq)
+      assert(qs.map(_.getAs[Long]("n")).sum == segSizes(seg))
+      // ntile balance: sizes differ by at most 1
+      val sizes = qs.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1)
+      // quartile value ranges must be non-overlapping and ordered
+      val ordered = qs.sortBy(_.getAs[Int]("quartile"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("hi_bal") <= b.getAs[Double]("lo_bal") + 0.01)
+      }
+      assert(ordered.last.getAs[Double]("max_percent_rank") == 1.0)
+      assert(ordered.last.getAs[Double]("max_cume_dist") == 1.0)
+    }
+  }
+
+  test("snapshotCdc: op classes conserve rows and the planted rates") {
+    val rows = graft.sources.Warehouse.snapshotCdc(spark, sfDir).collect()
+      .map(r => r.getAs[String]("op") -> r).toMap
+    assert(rows.keySet == Set("insert", "update", "delete", "unchanged"))
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val ins = rows("insert").getAs[Long]("n"); val del = rows("delete").getAs[Long]("n")
+    val upd = rows("update").getAs[Long]("n"); val unch = rows("unchanged").getAs[Long]("n")
+    assert(del + upd + unch == nOrders, "old rows partition into delete/update/unchanged")
+    // planted rates: ~10% each for update/delete/insert
+    assert(math.abs(upd - nOrders / 10.0) < nOrders * 0.05)
+    assert(math.abs(del - nOrders / 10.0) < nOrders * 0.05)
+    assert(math.abs(ins - nOrders / 10.0) < nOrders * 0.05)
+    // every update adds exactly +500.00
+    assert(rows("update").getAs[Double]("price_delta") == upd * 500.0)
+    assert(rows("unchanged").getAs[Double]("price_delta") == 0.0)
   }
 
   test("zorder2 interleaves bits exactly") {
