@@ -56,6 +56,7 @@ object SparkEntry {
     "q0c_join_hint"         -> (Relational.joinHintShuffleHash _),
     "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
+    "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
@@ -546,6 +547,22 @@ object SparkEntry {
              round(max(cd), 6) AS max_cume_dist
       FROM w GROUP BY c_mktsegment, quartile
       ORDER BY c_mktsegment, quartile""",
+    // array HOFs: array_agg ORDER BY (ts, event_id) gives DuckDB the
+    // same fold order as Spark's array_sort(struct) — the normalized
+    // FP sum is then bit-identical left-to-right in both engines
+    "q1h_array_hof" -> """
+      WITH u AS (
+        SELECT user_id,
+               array_agg(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id)
+      SELECT user_id,
+             CAST(len(vals) AS INTEGER) AS n_events,
+             CAST(len(list_filter(vals, v -> v > 100.0)) AS INTEGER) AS n_big,
+             round(list_sum(list_transform(vals, v -> v / list_max(vals))), 4)
+               AS norm_sum,
+             round(vals[1], 2) AS first_value,
+             round(vals[-1], 2) AS last_value
+      FROM u ORDER BY user_id""",
     // OHLC bars: shared (ts, event_id) tie-break ordering both ways,
     // open/close folded into the same hash aggregate as high/low
     "q3h_ohlc_bars" -> """

