@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over DataFrames — the join-iteration form (no GraphX
@@ -109,14 +108,17 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val tris = triangleCount(und)
+    val tris = triangleCount(und).cache() // consumed twice: per-vertex + total
     // per-vertex count = triangles touching the vertex in any corner
     val perVertex = tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
-    val total = Window.partitionBy()
-    perVertex
-      .select(col("doc_id"), col("n_triangles"),
-        sum(col("n_triangles")).over(total).divide(3).cast("long").as("total_triangles"))
+    // global total as a 1-ROW aggregate broadcast back (bounded
+    // BroadcastNestedLoopJoin), not an unpartitioned window — a window
+    // over all |V| rows funnels the whole output through one task at
+    // scale; the 1-row cross join costs nothing at any |V|
+    val total = tris.agg(count(lit(1)).as("total_triangles"))
+    perVertex.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_triangles"), col("total_triangles"))
       .orderBy("doc_id")
   }
 }

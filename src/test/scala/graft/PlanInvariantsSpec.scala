@@ -41,7 +41,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q68_pq_audit"         -> "broadcast(k-row codebook), 8 rows",
     "q6a_pq_adc_topk"      -> "broadcast(codebook + 1-row query)",
     "q25_approx_distinct"  -> "1-row sketch-contract probe",
-    "q58_quantile_sketch"  -> "1-row sketch-contract probe")
+    "q58_quantile_sketch"  -> "1-row sketch-contract probe",
+    "q5d_triangle_count"   -> "1-row global-total aggregate broadcast back")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
