@@ -129,6 +129,7 @@ object SparkEntry {
     "q5b_pagerank"          -> (Graph.linkPageRank _),
     "q5c_entity_resolution" -> (Entity.partDuplicates _),
     "q5d_triangle_count"    -> (Graph.linkTriangles _),
+    "q5e_bfs_hops"          -> (Graph.linkBfsHops _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -1577,6 +1578,42 @@ object SparkEntry {
       SELECT doc_id, n_triangles,
              CAST(sum(n_triangles) OVER () // 3 AS BIGINT) AS total_triangles
       FROM pv ORDER BY doc_id""",
+    // BFS: 3 unrolled Bellman-Ford relaxation rounds over the same
+    // (undirected) near-neighbor graph; unreached nodes report hop −1
+    "q5e_bfs_hops" -> """
+      WITH d AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+      fwd AS (
+        SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 3) % n FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn),
+      fwd2 AS (SELECT src, dst FROM fwd WHERE src <> dst),
+      e AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM fwd2 UNION ALL SELECT dst, src FROM fwd2)),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop),
+      r1 AS (SELECT id, min(hop) AS hop FROM (
+        SELECT id, hop FROM r0
+        UNION ALL
+        SELECT e.dst, r0.hop + 1 FROM e JOIN r0 ON e.src = r0.id)
+        GROUP BY id),
+      r2 AS (SELECT id, min(hop) AS hop FROM (
+        SELECT id, hop FROM r1
+        UNION ALL
+        SELECT e.dst, r1.hop + 1 FROM e JOIN r1 ON e.src = r1.id)
+        GROUP BY id),
+      r3 AS (SELECT id, min(hop) AS hop FROM (
+        SELECT id, hop FROM r2
+        UNION ALL
+        SELECT e.dst, r2.hop + 1 FROM e JOIN r2 ON e.src = r2.id)
+        GROUP BY id)
+      SELECT coalesce(r3.hop, -1) AS hop,
+             CAST(count(1) AS BIGINT) AS n_nodes
+      FROM d LEFT JOIN r3 ON d.doc_id = r3.id
+      GROUP BY 1 ORDER BY 1""",
     // q64's quantizer is deliberately fixed arithmetic (first-4 vectors
     // as centroids) so DuckDB can replay the cosine argmax exactly —
     // the production KMeans quantizer lives in q63 (rows-only, seeded)

@@ -71,6 +71,53 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Single-source BFS shortest hop counts, `rounds` relaxation
+    * iterations — the frontier-expansion class of graph algorithm
+    * (vs PageRank's fixed-iteration mass flow and the components
+    * fixpoint loop). One round = one join (reached ⋈ edges) + one
+    * min-aggregate — the textbook distributed Bellman-Ford relaxation
+    * restricted to unit weights. `dist` stays (id, hop) narrow; at
+    * 100 TB the frontier join is the only growing cost and is bounded
+    * by the reached set, which is why BFS rounds (not Floyd-Warshall
+    * style all-pairs) is the only formulation that scales. */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, sourceId: Long,
+      rounds: Int): DataFrame = {
+    val ids = nodes.select(col("id"))
+    var dist = ids.select(col("id"),
+      when(col("id") === sourceId, 0L).as("hop")) // null = unreached
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist.where(col("hop").isNotNull),
+          col("src") === col("id"))
+        .select(col("dst").as("id"), (col("hop") + 1L).as("hop"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("hop").as("hop"))
+    }
+    dist
+  }
+
+  /** q5e: BFS hop distances from doc 0 over the same undirected
+    * near-neighbor graph as q5d, 3 relaxation rounds, summarized as a
+    * hop histogram (hop → node count) with unreached nodes as hop −1.
+    * The oracle unrolls the same 3 rounds as CTE stages. */
+  def linkBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val fwd = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") + 3, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)))).as("dst"))
+      .where(col("src") =!= col("dst"))
+    // undirected: traverse both directions
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    bfsHops(docs.select(col("doc_id").as("id")), edges, sourceId = 0L, rounds = 3)
+      .select(coalesce(col("hop"), lit(-1L)).as("hop"))
+      .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+  }
+
   /** Triangle count over an undirected edge list (`a < b` canonical
     * form, already deduplicated). The standard distributed formulation:
     * orient every edge low→high, then count length-2 paths that close —

@@ -224,6 +224,26 @@ class QualitySpec extends SparkSpec {
     assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("bfsHops matches hand-computed hops on a planted path + branch") {
+    import spark.implicits._
+    // 1→2→3→4 chain plus branch 2→5; source 1, 2 rounds
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val hops = Graph.bfsHops(nodes, edges, sourceId = 1L, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> 2L))
+  }
+
+  test("linkBfsHops: histogram covers all docs, frontier grows then truncates") {
+    val rows = Graph.linkBfsHops(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.values.sum == nDocs, "histogram must cover every node")
+    assert(rows(0L) == 1L, "exactly the source at hop 0")
+    assert(rows.getOrElse(1L, 0L) >= 3L, "source has >= 3 distinct neighbors")
+  }
+
   test("linkTriangles: total is consistent and per-vertex counts sum to 3×total") {
     val rows = Graph.linkTriangles(spark, sfDir).collect()
     val total = rows.head.getAs[Long]("total_triangles")
