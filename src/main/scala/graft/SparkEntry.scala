@@ -92,6 +92,7 @@ object SparkEntry {
     "q3f_rolling_time_window" -> (StreamEvents.rollingTimeWindow _),
     "q3h_ohlc_bars"         -> (StreamEvents.ohlcBars _),
     "q3i_funnel_conversion" -> (StreamEvents.funnelConversion _),
+    "q3j_cohort_retention"  -> (StreamEvents.cohortRetention _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -610,6 +611,33 @@ object SparkEntry {
              round(CAST(n_users AS DOUBLE) /
                    lag(n_users) OVER (ORDER BY stage), 4) AS conv_prev
       FROM narrow ORDER BY stage""",
+    // cohort retention: fixed 7-day buckets from the 1995-01-02 Monday
+    // anchor (engine-independent week arithmetic, no date_trunc('week'))
+    "q3j_cohort_retention" -> """
+      WITH wk AS (
+        SELECT user_id, ts, event_type,
+               CAST(floor((epoch_us(ts) -
+                 epoch_us(TIMESTAMP '1995-01-02 00:00:00'))
+                 / (7.0 * 24 * 3600 * 1000000)) AS BIGINT) AS week
+        FROM events),
+      cohorts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN week END) AS cohort_week
+        FROM wk GROUP BY user_id HAVING cohort_week IS NOT NULL),
+      sizes AS (
+        SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY cohort_week),
+      active AS (SELECT DISTINCT user_id, week FROM wk),
+      ret AS (
+        SELECT c.cohort_week, a.week - c.cohort_week AS offset_weeks,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+        FROM cohorts c JOIN active a ON c.user_id = a.user_id
+        WHERE a.week >= c.cohort_week
+        GROUP BY 1, 2)
+      SELECT r.cohort_week, r.offset_weeks, r.n_active, s.cohort_size,
+             round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+      FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+      ORDER BY r.cohort_week, r.offset_weeks""",
     "q2f_zorder_layout" -> graft.sources.Warehouse.zorderOracle,
     "q4h_frequent_pairs" -> Curation.frequentPairsOracle,
     "q4i_stratified_sample" -> Curation.stratifiedSampleOracle,

@@ -130,6 +130,42 @@ object Events {
       .orderBy("stage")
   }
 
+  /** q3j: COHORT RETENTION — the signup-cohort × week-offset activity
+    * matrix (the other canonical product-analytics workload next to
+    * q3i's funnel). Each user's cohort is the week of their first
+    * `signup` event; a cohort counts a user at offset k if they have
+    * ANY event in cohort_week + k. Two aggregates and one join, all on
+    * user_id / (cohort, offset) keys: per-user cohort (conditional min
+    * + trunc), then distinct (user, week) activity joined back to the
+    * cohort table. The join is user-keyed — co-partitioned with the
+    * first aggregate's shuffle, and AQE coalesces the tiny cohort side.
+    * Weeks are fixed 7-day buckets from a Monday epoch anchor
+    * (1995-01-02), not `date_trunc('week')`, so the bucket arithmetic
+    * replays in any engine regardless of week-start conventions. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("1995-01-02 00:00:00").cast("timestamp")
+    def weekOf(ts: org.apache.spark.sql.Column) =
+      floor((unix_micros(ts) - unix_micros(anchor)) / (7L * 24 * 3600 * 1000000L))
+    val ev = Tables.events(spark, dir)
+    val cohorts = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("first_signup"))
+      .where(col("first_signup").isNotNull)
+      .select(col("user_id"), weekOf(col("first_signup")).as("cohort_week"))
+    val active = ev.select(col("user_id"), weekOf(col("ts")).as("week")).distinct()
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("cohort_size"))
+    cohorts.join(active, "user_id")
+      .where(col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("offset_weeks"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   /** Built-in gap sessionization (`session_window`, 30-min gap) —
     * the declarative form of `sessionize` above. Start times and
     * per-session aggregates must agree with the window-function form

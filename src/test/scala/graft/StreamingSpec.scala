@@ -277,6 +277,29 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == raw.length)
   }
 
+  test("cohortRetention: offset-0 covers the cohort, retention bounded") {
+    val rows = Events.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, cs) =>
+      val byOff = cs.map(r => r.getAs[Long]("offset_weeks") -> r).toMap
+      // a user's signup week is an active week, so offset 0 = full cohort
+      assert(byOff.contains(0L))
+      assert(byOff(0L).getAs[Double]("retention") == 1.0)
+      cs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+        val ret = r.getAs[Double]("retention")
+        assert(ret > 0.0 && ret <= 1.0)
+      }
+    }
+    // cohort sizes must sum to the number of signed-up users
+    val signup = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    val sizes = rows.groupBy(_.getAs[Long]("cohort_week"))
+      .map(_._2.head.getAs[Long]("cohort_size")).sum
+    assert(sizes == signup)
+  }
+
   test("funnelConversion: monotone stage counts, conversions in (0,1]") {
     val rows = Events.funnelConversion(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("stage")) sameElements Array(1L, 2L, 3L))
