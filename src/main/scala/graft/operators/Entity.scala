@@ -37,7 +37,14 @@ object Entity {
       .repartition(records.sparkSession.sessionState.conf.numShufflePartitions)
     val b = records.select(col(idCol).as("b_id"), col(blockKey).as("b_block"),
       col(nameCol).as("b_name"))
-    a.join(b, col("block") === col("b_block") && col("a_id") < col("b_id") &&
+    // broadcast(b) is PINNED, not left to stats: both sides derive from
+    // the same table with equal size estimates, and if the planner's
+    // tie-break ever flipped the build side, the repartitioned side
+    // would become the build and the 1-partition scan the probe —
+    // reverting the single-task regression with no result change for
+    // any test to catch
+    a.join(broadcast(b),
+        col("block") === col("b_block") && col("a_id") < col("b_id") &&
         // length band: |len(a)−len(b)| > d ⇒ edit distance > d. A
         // codegen'd integer check that prunes most pairs before the
         // O(len²) levenshtein runs — evaluated inside the join, so

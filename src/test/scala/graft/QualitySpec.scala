@@ -105,7 +105,11 @@ class QualitySpec extends SparkSpec {
       .map(r => r.getAs[Long]("user_id") -> r).toMap
     val events = Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "value").collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant // micros precision, not getTime's ms
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getLong(2), r.getDouble(3))
+      }
     events.groupBy(_._1).foreach { case (uid, evs) =>
       val vals = evs.sortBy(e => (e._2, e._3)).map(_._4)
       val r = rows(uid)

@@ -271,7 +271,10 @@ class StreamingSpec extends SparkSpec {
       .where(unix_micros(date_trunc("hour", col("ts"))) === hourUs &&
         col("event_type") === et)
       .select("ts", "event_id", "value").collect()
-      .sortBy(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy { r => // micros precision: getTime truncates to ms
+        val i = r.getTimestamp(0).toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L, r.getLong(1))
+      }
     assert(first.getAs[Double]("open") == raw.head.getDouble(2))
     assert(first.getAs[Double]("close") == raw.last.getDouble(2))
     assert(first.getAs[Long]("n") == raw.length)
