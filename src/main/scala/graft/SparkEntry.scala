@@ -114,6 +114,7 @@ object SparkEntry {
     "q4g_temperature_mixture" -> ((s: SparkSession, d: String) => Curation.temperatureMixture(s, d)),
     "q4h_frequent_pairs"    -> ((s: SparkSession, d: String) => Curation.frequentPairs(s, d)),
     "q4i_stratified_sample" -> (Curation.stratifiedSample _),
+    "q4j_bigram_score"      -> (Text.bigramScore _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
     "q50_dedup_exact_key"   -> (Dedup.exactByKey _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q62_ann_lsh_topk"      -> ((s: SparkSession, d: String) => Similarity.annLshRecall(s, d)),
     "q63_ivf_topk"          -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
+    "q6c_knn_join"          -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     "q67_media_resize"      -> (Multimodal.resizeStats _),
@@ -1192,6 +1194,38 @@ object SparkEntry {
              round(avg(lp), 4) AS avg_logprob,
              round(avg(lp), 4) > -3.41 AS kept
       FROM s GROUP BY doc_id ORDER BY doc_id""",
+    // bigram LM: adjacency pairs built with list_transform over the
+    // index range (DuckDB 1.0 rejects a LATERAL range(len(l))) — same
+    // pairs as Spark's sequence+struct transform; add-one smoothing
+    // keeps every log finite
+    "q4j_bigram_score" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      plist AS (
+        SELECT doc_id,
+               list_transform(range(1, len(l)), i -> [l[i], l[i + 1]]) AS ps
+        FROM toks),
+      pairs AS (
+        SELECT doc_id, p[1] AS a, p[2] AS b
+        FROM (SELECT doc_id, unnest(ps) AS p FROM plist)),
+      uni AS (
+        SELECT a, count(1) AS c_a FROM (
+          SELECT unnest(l) AS a FROM toks) GROUP BY a),
+      v AS (SELECT CAST(count(1) AS DOUBLE) AS v FROM uni),
+      big AS (SELECT a, b, count(1) AS c_ab FROM pairs GROUP BY a, b),
+      s AS (
+        SELECT p.doc_id,
+               ln((big.c_ab + 1.0) / (uni.c_a + v.v)) AS lp
+        FROM pairs p
+        JOIN big ON p.a = big.a AND p.b = big.b
+        JOIN uni ON p.a = uni.a
+        CROSS JOIN v)
+      SELECT doc_id,
+             CAST(count(1) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 4) AS avg_logprob,
+             round(exp(-avg(lp)), 2) AS perplexity
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
     // the Lehmer gate on user_id replayed arithmetically; leak_free is
     // TRUE by construction of a correct group-keyed gate, and the
     // per-split user/event/value totals pin the exact membership
@@ -1668,6 +1702,31 @@ object SparkEntry {
       FROM r WHERE rk = 1
       GROUP BY cent_id
       ORDER BY cent_id""",
+    // kNN JOIN: query set = first 8 vectors, corpus = the rest; same
+    // HOF-parity cosine arithmetic as q61/q64, per-query top-5 window
+    "q6c_knn_join" -> """
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8),
+      a AS (
+        SELECT q.q_id, e.vec_id,
+               round(
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 8) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id >= 8),
+      r AS (
+        SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM a)
+      SELECT q_id, rk, vec_id, cosine
+      FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
     // q65's decoded dimensions/file sizes are arithmetic functions of
     // doc_id (see Multimodal.scala) — the oracle recomputes them with no
     // codec, hash-checking the real ImageIO decode end-to-end

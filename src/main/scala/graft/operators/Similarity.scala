@@ -366,4 +366,30 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("cent_id")
   }
+
+  /** q6c: k-NN JOIN — top-k neighbors for a query SET, not q61's single
+    * probe vector: the batch retrieval shape (embed a batch of queries,
+    * join each against the corpus). The query block is broadcast once
+    * and every corpus partition scores all queries locally — corpus ×
+    * |Q| work split across corpus partitions, then one shuffle on q_id
+    * for the per-query top-k window. At 100 TB the corpus side stays
+    * partition-parallel no matter how big it is; |Q| is the broadcast
+    * budget, and a larger query batch tiles into |Q|-sized chunks of
+    * this same plan (or flips to the IVF path, q63, per chunk). */
+  def knnJoin(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = emb.where(col("vec_id") >= nQueries)
+      .join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineHof(col("embedding"), col("qv")), 8).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy("q_id", "rk")
+  }
 }

@@ -266,6 +266,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q4j: BIGRAM LM SCORING — the CCNet/perplexity-filter shape one
+    * level up from q4a's unigram model: a bigram language model with
+    * add-one smoothing is fit on the corpus IN the same job, then every
+    * document is scored by its average bigram log-probability and
+    * perplexity. Low-probability documents are what a quality filter
+    * drops; emitting the score (not the verdict) keeps thresholding a
+    * downstream policy choice.
+    *
+    * Plan shape: bigrams are built per row with an array transform
+    * (sequence + struct lambda — zero shuffle, the q4d/trigram rule:
+    * never element_at(split) inside a lambda), counts are two hash
+    * aggregates, and scoring joins the bigram stream back to the count
+    * tables on their natural keys — plain equi joins Catalyst/AQE can
+    * broadcast while they fit (they do here) and shuffle when a 100 TB
+    * corpus grows the n-gram tables past the broadcast budget; only V
+    * rides an always-1-row broadcast. P(b|a) = (c(a,b)+1)/(c(a)+V). */
+  def bigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2) // sequence(0, size-2) needs ≥2 tokens
+    val pairs = docs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = docs.select(explode(col("toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("c_a")).cache()
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(big, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .join(broadcast(vocab))
+      .withColumn("lp", log((col("c_ab") + 1.0) / (col("c_a") + col("v"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg("lp"), 4).as("avg_logprob"),
+        round(exp(-avg(col("lp"))), 2).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** One Misra-Gries pass over a partition's tokens with k bounded
     * counters: a non-resident token either claims a free counter or
     * decrements all k. Classic guarantee: any token with partition

@@ -42,7 +42,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q6a_pq_adc_topk"      -> "broadcast(codebook + 1-row query)",
     "q25_approx_distinct"  -> "1-row sketch-contract probe",
     "q58_quantile_sketch"  -> "1-row sketch-contract probe",
-    "q5d_triangle_count"   -> "1-row global-total aggregate broadcast back")
+    "q5d_triangle_count"   -> "1-row global-total aggregate broadcast back",
+    "q4j_bigram_score"     -> "1-row vocabulary-size aggregate",
+    "q6c_knn_join"         -> "broadcast(8-row query block)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

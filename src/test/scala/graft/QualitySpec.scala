@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Entity, Graph, Quality, Relational}
+import graft.operators.{Curation, Entity, Graph, Quality, Relational, Similarity}
 import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,53 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Double]("first_value") ==
         math.round(vals.head * 100.0) / 100.0)
     }
+  }
+
+  test("bigramScore matches a scala add-one bigram LM on the fixture") {
+    val out = graft.operators.Text.bigramScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .filter(_._2.length >= 2)
+    val uni = scala.collection.mutable.Map[String, Long]()
+    val big = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (_, toks) =>
+      toks.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      toks.sliding(2).foreach { w =>
+        big((w(0), w(1))) = big.getOrElse((w(0), w(1)), 0L) + 1 }
+    }
+    val v = uni.size.toDouble
+    docs.foreach { case (id, toks) =>
+      val lps = toks.sliding(2).map { w =>
+        math.log((big((w(0), w(1))) + 1.0) / (uni(w(0)) + v))
+      }.toArray
+      val r = out(id)
+      assert(r.getAs[Long]("n_bigrams") == lps.length)
+      assert(math.abs(r.getAs[Double]("avg_logprob") - lps.sum / lps.length) < 1e-3)
+    }
+    assert(out.keySet == docs.map(_._1).toSet)
+  }
+
+  test("knnJoin: per-query top-k equals brute force for a sampled query") {
+    val out = Similarity.knnJoin(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val qIds = out.map(_.getAs[Long]("q_id")).distinct
+    assert(qIds.forall(_ < 8))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = qIds.head
+    val brute = emb.filter(_._1 >= 8)
+      .map { case (id, vec) =>
+        (id, BigDecimal(cos(emb(q), vec)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val engine = out.filter(_.getAs[Long]("q_id") == q)
+      .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(engine == brute, s"query $q: engine $engine vs brute $brute")
   }
 
   test("snapshotCdc: op classes conserve rows and the planted rates") {
