@@ -78,6 +78,17 @@ class QualitySpec extends SparkSpec {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("starJoinRevenue plan: date range pushed to the orders scan, region filter pushed") {
+    val plan = Relational.starJoinRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "date lower bound must reach the parquet scan")
+    assert(plan.contains("LessThan(o_orderdate"),
+      "date upper bound must reach the parquet scan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the region scan, not run post-join")
+  }
+
   test("windowDistribution: quartiles partition each segment, ranks bounded") {
     val rows = Relational.windowDistribution(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
