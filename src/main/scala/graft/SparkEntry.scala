@@ -55,6 +55,8 @@ object SparkEntry {
     "q0b_bucketed_join"     -> ((s: SparkSession, d: String) => Relational.joinBucketedColocated(s, d)),
     "q0c_join_hint"         -> (Relational.joinHintShuffleHash _),
     "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
+    "q0e_join_null_safe"    -> (Relational.joinNullSafe _),
+    "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -531,6 +533,35 @@ object SparkEntry {
         AND o_orderdate < TIMESTAMP '1999-01-01'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""",
+    // null-safe join: IS NOT DISTINCT FROM keeps the planted NULL key
+    // group alive (reported as -1)
+    "q0e_join_null_safe" -> """
+      WITH c AS (
+        SELECT c_custkey, nullif(c_nationkey, 13) AS nk FROM customer),
+      s AS (
+        SELECT s_suppkey, nullif(s_nationkey, 13) AS snk FROM supplier)
+      SELECT coalesce(c.nk, -1) AS nk_group,
+             CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+             CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(count(1) AS BIGINT) AS n_pairs
+      FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.snk
+      GROUP BY 1 ORDER BY 1""",
+    // Spearman via row_number ranks with a deterministic tiebreak
+    // (identical rank assignment in both engines; average-rank ties
+    // are the documented deviation) then Pearson corr of the ranks
+    "q1i_spearman_corr" -> """
+      WITH r AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber) AS DOUBLE) AS rq,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS DOUBLE) AS rp
+        FROM lineitem)
+      SELECT l_returnflag,
+             CAST(count(1) AS BIGINT) AS n,
+             round(corr(rq, rp), 6) AS spearman_rho,
+             round(corr(l_quantity, l_extendedprice), 6) AS pearson_r
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
     // distribution window family (ntile / percent_rank / cume_dist):
     // identical SQL-standard definitions in both engines, one shared
     // window ordering with c_custkey tiebreak so ranks replay exactly

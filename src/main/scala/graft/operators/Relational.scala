@@ -169,6 +169,53 @@ object Relational {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** q0e: NULL-SAFE EQUI JOIN (`<=>` / IS NOT DISTINCT FROM) — the
+    * join semantic plain `=` can't express: NULL keys match each
+    * other instead of vanishing. Exercised by NULLing out one planted
+    * nation key on both sides; the null group must survive the join
+    * (labelled −1 in the output). `<=>` is a first-class equi-join key
+    * for Spark's hash joins — same shuffle/broadcast plan shapes as
+    * `=`, no fallback to a nested-loop predicate. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), expr("nullif(c_nationkey, 13)").as("nk"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), expr("nullif(s_nationkey, 13)").as("snk"))
+    cust.join(supp, col("nk") <=> col("snk"))
+      .groupBy(coalesce(col("nk"), lit(-1)).as("nk_group"))
+      .agg(
+        countDistinct("c_custkey").as("n_customers"),
+        countDistinct("s_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("nk_group")
+  }
+
+  /** q1i: SPEARMAN RANK CORRELATION per group — the robust
+    * (monotone-relationship) correlation next to q1b's Pearson
+    * moments: rank both variables within the group, then Pearson-corr
+    * the ranks. Ranks are `row_number` with a deterministic key
+    * tiebreak rather than average-rank ties, so both engines assign
+    * identical ranks and the statistic replays exactly (the documented
+    * convention; average-rank Spearman differs only on ties). Two
+    * window passes share the one shuffle on the group key. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val wq = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val wp = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rq", row_number().over(wq).cast("double"))
+      .withColumn("rp", row_number().over(wp).cast("double"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("rq"), col("rp")), 6).as("spearman_rho"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("pearson_r"))
+      .orderBy("l_returnflag")
+  }
+
   /** q1g: DISTRIBUTION WINDOW FUNCTIONS — ntile/percent_rank/cume_dist,
     * the ranking family q11–q13 doesn't cover, folded into a per-
     * (segment, quartile) summary. One shuffle on the partition key;

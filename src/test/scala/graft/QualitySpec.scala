@@ -89,6 +89,48 @@ class QualitySpec extends SparkSpec {
       "region filter must reach the region scan, not run post-join")
   }
 
+  test("joinNullSafe: the NULL key group survives; plain equality would drop it") {
+    val rows = Relational.joinNullSafe(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("nk_group") -> r).toMap
+    val nullCust = Tables.customer(spark, sfDir)
+      .where(col("c_nationkey") === 13).count()
+    val nullSupp = Tables.supplier(spark, sfDir)
+      .where(col("s_nationkey") === 13).count()
+    assert(nullCust > 0 && nullSupp > 0, "fixture must have nation-13 rows on both sides")
+    assert(rows.contains(-1), "null-safe join must keep the NULL group")
+    assert(rows(-1).getAs[Long]("n_customers") == nullCust)
+    assert(rows(-1).getAs[Long]("n_suppliers") == nullSupp)
+    assert(rows(-1).getAs[Long]("n_pairs") == nullCust * nullSupp)
+    // non-null groups behave exactly like a plain equi join
+    rows.filterKeys(_ != -1).values.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") ==
+        r.getAs[Long]("n_customers") * r.getAs[Long]("n_suppliers"))
+    }
+  }
+
+  test("spearmanCorr: rho in [-1,1]; rho=1 on a planted monotone frame") {
+    val rows = Relational.spearmanCorr(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+    // planted: y = exp(x) is monotone → Spearman 1 even though Pearson < 1
+    import spark.implicits._
+    val planted = Seq.tabulate(50)(i => ("g", i.toDouble, math.exp(i / 5.0), i.toLong, i))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber")
+    planted.createOrReplaceTempView("planted_mono")
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val rho = planted
+      .withColumn("rq", row_number().over(wq).cast("double"))
+      .withColumn("rp", row_number().over(wp).cast("double"))
+      .agg(corr(col("rq"), col("rp"))).head().getDouble(0)
+    assert(math.abs(rho - 1.0) < 1e-12)
+  }
+
   test("windowDistribution: quartiles partition each segment, ranks bounded") {
     val rows = Relational.windowDistribution(spark, sfDir).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
