@@ -57,6 +57,8 @@ object SparkEntry {
     "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
     "q0e_join_null_safe"    -> (Relational.joinNullSafe _),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
+    "q1j_regression_agg"    -> (Relational.regressionAgg _),
+    "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -562,6 +564,40 @@ object SparkEntry {
              round(corr(rq, rp), 6) AS spearman_rho,
              round(corr(l_quantity, l_extendedprice), 6) AS pearson_r
       FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // regr_* closed-form OLS: identical SQL-standard definitions in
+    // both engines; rounding absorbs merge-order ULPs (q1b's rule)
+    "q1j_regression_agg" -> """
+      SELECT l_returnflag,
+             CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+             round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+    // containment: same 3-gram construction as q49's replay, pairs via
+    // the shared-gram join, normalized by the SMALLER gram set
+    "q4k_containment_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+        FROM t),
+      sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+      p AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
+        FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2)
+      SELECT p.a, p.b, p.n_shared,
+             sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+             round(CAST(p.n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6)
+               AS containment
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+      WHERE CAST(p.n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams) >= 0.2
+      ORDER BY p.a, p.b""",
     // distribution window family (ntile / percent_rank / cume_dist):
     // identical SQL-standard definitions in both engines, one shared
     // window ordering with c_custkey tiebreak so ranks replay exactly

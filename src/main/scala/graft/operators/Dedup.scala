@@ -536,4 +536,40 @@ object Dedup {
         countDistinct("eval_id").as("n_eval_docs"))
       .orderBy("doc_id")
   }
+
+  /** q4k: CONTAINMENT near-superset detection — the asymmetric cousin
+    * of q55's symmetric Jaccard: containment(A,B) = |grams(A) ∩
+    * grams(B)| / min(|grams(A)|, |grams(B)|) is high when one document
+    * EMBEDS another (quote, chunk, concatenation) even though their
+    * Jaccard is low — exactly the pairs a chunk-level training-data
+    * dedup must catch that whole-doc Jaccard misses.
+    *
+    * Same scale shape as every near-dup op here: distinct n-grams per
+    * doc, candidate pairs ONLY through the shared-gram equi join
+    * (bucket-bounded, never n²), sizes joined back, threshold filter.
+    * At 100 TB the gram join rides the q52 refinement set: drop
+    * ubiquitous grams (document-frequency cap) before pairing, which
+    * bounds each gram's fan-out. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.ngrams(col("toks"), n))).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("g1").join(grams.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("n_grams_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_grams").as("n_grams_b")), "b")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") /
+          least(col("n_grams_a"), col("n_grams_b")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("n_grams_a"),
+        col("n_grams_b"), col("containment"))
+      .orderBy("a", "b")
+  }
 }

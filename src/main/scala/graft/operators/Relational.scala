@@ -216,6 +216,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q1j: SQL REGRESSION AGGREGATES — the regr_* family (slope,
+    * intercept, R², count, means): closed-form per-group OLS as ONE
+    * hash aggregate, the SQL-standard way to fit y = a·x + b at any
+    * scale without an ML pass. All five statistics are
+    * Welford-mergeable (they reduce to the same co-moment sums as
+    * q1b), so the plan is a single map-side-combined aggregate —
+    * 100 TB costs one scan. */
+  def regressionAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avg_x"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avg_y"))
+      .orderBy("l_returnflag")
+
   /** q1g: DISTRIBUTION WINDOW FUNCTIONS — ntile/percent_rank/cume_dist,
     * the ranking family q11–q13 doesn't cover, folded into a per-
     * (segment, quartile) summary. One shuffle on the partition key;

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Entity, Graph, Quality, Relational, Similarity}
+import graft.operators.{Curation, Dedup, Entity, Graph, Quality, Relational, Similarity}
 import graft.sources.Warehouse
 import org.apache.spark.sql.functions._
 
@@ -221,6 +221,49 @@ class QualitySpec extends SparkSpec {
     val engine = out.filter(_.getAs[Long]("q_id") == q)
       .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toSeq
     assert(engine == brute, s"query $q: engine $engine vs brute $brute")
+  }
+
+  test("regressionAgg matches closed-form OLS computed in scala") {
+    val rows = Relational.regressionAgg(spark, sfDir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val x = xs.map(_._2); val y = xs.map(_._3); val n = x.length
+      val mx = x.sum / n; val my = y.sum / n
+      val sxy = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val sxx = x.map(a => (a - mx) * (a - mx)).sum
+      val slope = sxy / sxx
+      val r = rows(flag)
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3)
+      assert(math.abs(r.getAs[Double]("intercept") - (my - slope * mx)) < 1e-1)
+      assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0)
+    }
+  }
+
+  test("containmentPairs: brute-force parity for the top pair; bounds hold") {
+    val pairs = Dedup.containmentPairs(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "fixture's planted duplicates must produce pairs")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("n_shared") <=
+        math.min(p.getAs[Long]("n_grams_a"), p.getAs[Long]("n_grams_b")))
+      val c = p.getAs[Double]("containment")
+      assert(c >= 0.2 && c <= 1.0)
+    }
+    // brute-force the highest-containment pair
+    val top = pairs.maxBy(_.getAs[Double]("containment"))
+    val ids = Seq(top.getAs[Long]("a"), top.getAs[Long]("b"))
+    val texts = Tables.documents(spark, sfDir)
+      .where(col("doc_id").isin(ids: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val ga = grams(texts(ids.head)); val gb = grams(texts(ids(1)))
+    val expect = ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size)
+    assert(math.abs(top.getAs[Double]("containment") - expect) < 1e-6)
+    assert(top.getAs[Long]("n_shared") == ga.intersect(gb).size)
   }
 
   test("snapshotCdc: op classes conserve rows and the planted rates") {
