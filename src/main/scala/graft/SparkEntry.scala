@@ -58,6 +58,8 @@ object SparkEntry {
     "q0e_join_null_safe"    -> (Relational.joinNullSafe _),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
+    "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
+    "q2h_scd2_point_in_time" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2PointInTime(s, d)),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
@@ -518,7 +520,47 @@ object SparkEntry {
     "q1d_data_profile" -> Quality.dataProfileOracle,
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
+    "q1k_chi_square" -> Quality.chiSquareOracle,
     "q2g_snapshot_cdc" -> graft.sources.Warehouse.snapshotCdcOracle,
+    // point-in-time SCD2 lookup: the q2d dimension build replayed, then
+    // the temporal join (equi key + validity-range residual) + the
+    // exactly-one-version audit
+    "q2h_scd2_point_in_time" -> """
+      WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        FROM o WHERE prev IS NULL OR prev <> o_orderpriority),
+      v AS (
+        SELECT o_custkey AS d_custkey, o_orderpriority AS priority,
+               epoch_us(o_orderdate) AS effective_from_us,
+               coalesce(epoch_us(lead(o_orderdate) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+                 CAST(32503680000000000 AS BIGINT)) AS effective_to_us
+        FROM c),
+      f AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               epoch_us(o_orderdate) AS order_us
+        FROM orders),
+      j AS (
+        SELECT f.*, v.priority, v.d_custkey, v.effective_from_us
+        FROM f JOIN v ON f.o_custkey = v.d_custkey
+          AND f.order_us >= v.effective_from_us
+          AND f.order_us < v.effective_to_us),
+      audit AS (
+        SELECT (SELECT count(1) FROM j) = (SELECT count(1) FROM f) AS complete)
+      SELECT priority,
+             CAST(count(1) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT (d_custkey, effective_from_us)) AS BIGINT)
+               AS n_versions_used,
+             round(sum(o_totalprice), 2) AS sum_price,
+             audit.complete
+      FROM j CROSS JOIN audit
+      GROUP BY priority, audit.complete
+      ORDER BY priority""",
     // TPC-H Q5 shape: 6-table star join, same-nation constraint as an
     // extra join key, region filter applied before the dimension hop
     "q0d_star_join_revenue" -> """

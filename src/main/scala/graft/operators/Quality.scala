@@ -179,6 +179,63 @@ object Quality {
     GROUP BY li.l_returnflag
     ORDER BY li.l_returnflag"""
 
+  /** q1k: CHI-SQUARE INDEPENDENCE TEST of two categorical columns —
+    * the classic contingency-table statistic (is return flag
+    * independent of line status?): χ² = Σ (obs − exp)²/exp with
+    * exp = row·col/n. ONE aggregate pass builds the table; the
+    * marginals/total are windows over the ≤|flags|·|statuses| cell
+    * rows — post-aggregate cardinality, so the unpartitioned windows
+    * cost nothing at any input scale (the q1e rule). Emitting per-cell
+    * terms + the replicated total keeps the whole computation
+    * hash-checkable; the significance lookup is a downstream policy
+    * table, not engine work. */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).cast("double").as("obs"))
+    val all = Window.partitionBy()
+    val wf = Window.partitionBy("l_returnflag")
+    val ws = Window.partitionBy("l_linestatus")
+    counts
+      .withColumn("row_total", sum("obs").over(wf))
+      .withColumn("col_total", sum("obs").over(ws))
+      .withColumn("n", sum("obs").over(all))
+      .withColumn("expected", col("row_total") * col("col_total") / col("n"))
+      .withColumn("term",
+        (col("obs") - col("expected")) * (col("obs") - col("expected")) / col("expected"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("obs").cast("long").as("observed"),
+        round(col("expected"), 4).as("expected"),
+        round(col("term"), 6).as("chi2_term"),
+        round(sum(col("term")).over(all), 6).as("chi2_total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def chiSquareOracle: String = """
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(1) AS DOUBLE) AS obs
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    m AS (
+      SELECT l_returnflag, l_linestatus, obs,
+             sum(obs) OVER (PARTITION BY l_returnflag) AS row_total,
+             sum(obs) OVER (PARTITION BY l_linestatus) AS col_total,
+             sum(obs) OVER () AS n
+      FROM counts),
+    e AS (
+      SELECT *, row_total * col_total / n AS expected,
+             (obs - row_total * col_total / n)
+               * (obs - row_total * col_total / n)
+               / (row_total * col_total / n) AS term
+      FROM m)
+    SELECT l_returnflag, l_linestatus,
+           CAST(obs AS BIGINT) AS observed,
+           round(expected, 4) AS expected,
+           round(term, 6) AS chi2_term,
+           round(sum(term) OVER (), 6) AS chi2_total
+    FROM e ORDER BY l_returnflag, l_linestatus"""
+
   def distributionDriftOracle: String = """
     WITH binned AS (
       SELECT least(CAST(floor(l_extendedprice / 11000.0) AS BIGINT), 9) AS bin,

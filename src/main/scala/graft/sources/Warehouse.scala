@@ -269,6 +269,41 @@ object Warehouse {
       .orderBy("o_custkey", "effective_from_us")
   }
 
+  /** q2h: POINT-IN-TIME DIMENSION LOOKUP — the temporal join that makes
+    * an SCD2 dimension useful: each fact row joins the dimension
+    * version VALID AT its event time (`from ≤ t < to`), never the
+    * current one. The plan is an equi hash join on the dimension key
+    * with the validity range as a join-level residual — NOT a non-equi
+    * join: Catalyst keys the shuffle/broadcast on `o_custkey` and
+    * evaluates the range inside the join, so the shape scales exactly
+    * like any dimensional enrichment. By SCD2 construction every fact
+    * matches exactly ONE version; `n_facts == n_matched` is emitted as
+    * the audit column instead of being assumed. */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Customers(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("effective_from_us"), col("effective_to_us"))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+    val joined = facts.join(dim,
+      col("o_custkey") === col("d_custkey") &&
+        col("order_us") >= col("effective_from_us") &&
+        col("order_us") < col("effective_to_us"))
+    // every order must land in exactly one validity window (SCD2
+    // invariant) — emitted, not asserted, so the oracle hash checks it
+    val audit = joined.agg(count(lit(1)).as("n_matched"))
+      .crossJoin(facts.agg(count(lit(1)).as("n_facts")))
+      .select((col("n_matched") === col("n_facts")).as("complete"))
+    joined.groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct("d_custkey", "effective_from_us").as("n_versions_used"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .crossJoin(broadcast(audit))
+      .orderBy("priority")
+  }
+
   /** Sink: JSON-lines (the lingua franca of LLM training-data
     * interchange). One JSON object per line, gzip-splittable parquet is
     * still preferred at rest — JSONL is for pipeline boundaries. */

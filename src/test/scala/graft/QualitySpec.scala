@@ -266,6 +266,44 @@ class QualitySpec extends SparkSpec {
     assert(top.getAs[Long]("n_shared") == ga.intersect(gb).size)
   }
 
+  test("chiSquareIndependence matches a scala contingency replay") {
+    val rows = Quality.chiSquareIndependence(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = li.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val n = li.length.toDouble
+    val rowT = li.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val colT = li.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val chi2 = cells.map { case ((f, s), obs) =>
+      val exp = rowT(f) * colT(s) / n
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    assert(rows.length == cells.size)
+    assert(math.abs(rows.head.getAs[Double]("chi2_total") - chi2) < 1e-3)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+      assert(r.getAs[Long]("observed") == cells(key).toLong)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+  }
+
+  test("scd2PointInTime: every order matches exactly one dimension version") {
+    val rows = graft.sources.Warehouse.scd2PointInTime(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("complete")),
+      "SCD2 invariant: n_matched == n_facts must hold")
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total,
+      "per-priority partition must cover every order exactly once")
+    // the dimension records priority CHANGES, so each joined order's
+    // version priority equals the order's own priority
+    val joinedPriorities = rows.map(_.getAs[String]("priority")).toSet
+    val orderPriorities = Tables.orders(spark, sfDir)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
+    assert(joinedPriorities == orderPriorities)
+  }
+
   test("snapshotCdc: op classes conserve rows and the planted rates") {
     val rows = graft.sources.Warehouse.snapshotCdc(spark, sfDir).collect()
       .map(r => r.getAs[String]("op") -> r).toMap
