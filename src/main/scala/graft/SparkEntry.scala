@@ -148,6 +148,7 @@ object SparkEntry {
     "q63_ivf_topk"          -> ((s: SparkSession, d: String) => Similarity.ivfRecall(s, d)),
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
     "q6c_knn_join"          -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
+    "q6d_hamming_topk"      -> ((s: SparkSession, d: String) => Similarity.hammingTopK(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     "q67_media_resize"      -> (Multimodal.resizeStats _),
@@ -1835,6 +1836,33 @@ object SparkEntry {
         FROM a)
       SELECT q_id, rk, vec_id, cosine
       FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""",
+    // binary quantization: the same two 32-bit sign-words rebuilt with
+    // exact powers of two, Hamming via xor + bit_count in both engines
+    "q6d_hamming_topk" -> """
+      WITH packed AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN embedding[i + 1] > 0
+                      THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS w0,
+               list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN embedding[i + 33] > 0
+                      THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)) AS w1
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1
+            FROM packed WHERE vec_id < 4),
+      s AS (
+        SELECT q.q_id, p.vec_id,
+               bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1))
+                 AS hamming
+        FROM packed p CROSS JOIN q WHERE p.vec_id >= 4),
+      r AS (
+        SELECT q_id, vec_id, hamming,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, vec_id) AS rk
+        FROM s)
+      SELECT q_id, rk, vec_id, CAST(hamming AS BIGINT) AS hamming
+      FROM r WHERE rk <= 10
       ORDER BY q_id, rk""",
     // q65's decoded dimensions/file sizes are arithmetic functions of
     // doc_id (see Multimodal.scala) — the oracle recomputes them with no

@@ -376,6 +376,39 @@ object Similarity {
     * partition-parallel no matter how big it is; |Q| is the broadcast
     * budget, and a larger query batch tiles into |Q|-sized chunks of
     * this same plan (or flips to the IVF path, q63, per chunk). */
+  /** q6d: BINARY QUANTIZATION + HAMMING SEARCH — the 1-bit-per-dim
+    * compression every large vector store offers (32× smaller than
+    * fp32): keep only each dimension's SIGN, packed into two 32-bit
+    * words, and search by Hamming distance (`bit_count(xor)` — a
+    * handful of instructions per comparison vs d multiplies for
+    * cosine). For random-hyperplane-ish embeddings the Hamming
+    * distance is a monotone estimator of angular distance (the q56
+    * sketch argument), so binary search is the coarse pass that a
+    * cosine re-rank of the survivors refines — here the coarse pass
+    * itself is graded, bit-for-bit. Packing is a codegen'd fold (no
+    * UDF); the search is the q6c broadcast-query-block plan over 8-byte
+    * codes instead of 256-byte vectors. */
+  def hammingTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 4, k: Int = 10): DataFrame = {
+    def word(lo: Int): org.apache.spark.sql.Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + $lo + 1) > 0, shiftleft(1L, i), 0L))")
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), word(0).as("w0"), word(32).as("w1"))
+    val queries = packed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = packed.where(col("vec_id") >= nQueries)
+      .join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        (expr("bit_count(w0 ^ qw0)") + expr("bit_count(w1 ^ qw1)")).as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("hamming"))
+      .orderBy("q_id", "rk")
+  }
+
   def knnJoin(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -45,6 +45,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q5d_triangle_count"   -> "1-row global-total aggregate broadcast back",
     "q4j_bigram_score"     -> "1-row vocabulary-size aggregate",
     "q6c_knn_join"         -> "broadcast(8-row query block)",
+    "q6d_hamming_topk"     -> "broadcast(4-row packed query block)",
     "q2h_scd2_point_in_time" -> "1-row completeness audit")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {

@@ -201,6 +201,30 @@ class QualitySpec extends SparkSpec {
     assert(out.keySet == docs.map(_._1).toSet)
   }
 
+  test("hammingTopK matches a scala sign-pack + popcount brute force") {
+    val out = Similarity.hammingTopK(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L
+      for (i <- 0 until 32) if (v(i) > 0) w0 |= (1L << i)
+      for (i <- 0 until 32) if (v(i + 32) > 0) w1 |= (1L << i)
+      (w0, w1)
+    }
+    val q = out.head.getAs[Long]("q_id")
+    val (qw0, qw1) = pack(emb(q))
+    val brute = emb.filter(_._1 >= 4).map { case (id, v) =>
+      val (w0, w1) = pack(v)
+      (id, java.lang.Long.bitCount(w0 ^ qw0) + java.lang.Long.bitCount(w1 ^ qw1))
+    }.toSeq.sortBy { case (id, h) => (h, id) }.take(10)
+    val engine = out.filter(_.getAs[Long]("q_id") == q)
+      .sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("hamming"))).toSeq
+    assert(engine == brute, s"query $q: engine $engine vs brute $brute")
+  }
+
   test("knnJoin: per-query top-k equals brute force for a sampled query") {
     val out = Similarity.knnJoin(spark, sfDir).collect()
     assert(out.nonEmpty)
