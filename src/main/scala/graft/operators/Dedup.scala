@@ -552,10 +552,13 @@ object Dedup {
     * bounds each gram's fan-out. */
   def containmentPairs(spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    // cached: consumed by both self-join sides AND the size table — the
+    // q55 lesson (its 52.7 s outlier was exactly this recomputation)
     val grams = Tables.documents(spark, dir)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(Text.ngrams(col("toks"), n))).as("gram"))
+      .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("g1").join(grams.as("g2"),
         col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
@@ -564,12 +567,14 @@ object Dedup {
     shared
       .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("n_grams_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n_grams").as("n_grams_b")), "b")
-      .withColumn("containment",
-        round(col("n_shared").cast("double") /
-          least(col("n_grams_a"), col("n_grams_b")), 6))
-      .where(col("containment") >= threshold)
+      .withColumn("containment_raw",
+        col("n_shared").cast("double") / least(col("n_grams_a"), col("n_grams_b")))
+      // threshold on the RAW ratio — the oracle filters before rounding,
+      // and a ratio rounding UP across the threshold must not admit a
+      // row the oracle rejects
+      .where(col("containment_raw") >= threshold)
       .select(col("a"), col("b"), col("n_shared"), col("n_grams_a"),
-        col("n_grams_b"), col("containment"))
+        col("n_grams_b"), round(col("containment_raw"), 6).as("containment"))
       .orderBy("a", "b")
   }
 }

@@ -119,7 +119,6 @@ class QualitySpec extends SparkSpec {
     import spark.implicits._
     val planted = Seq.tabulate(50)(i => ("g", i.toDouble, math.exp(i / 5.0), i.toLong, i))
       .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber")
-    planted.createOrReplaceTempView("planted_mono")
     val wq = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
       .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
     val wp = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
