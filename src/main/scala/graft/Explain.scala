@@ -15,7 +15,7 @@ object Explain {
     "q3b_stream_static_join", "q3c_foreach_batch", "q2a_compaction",
     "q28_warehouse_roundtrip", "q29_jsonl_roundtrip", "q2b_orc_roundtrip",
     "q2c_merge_upsert", "q2e_schema_evolution", "q2f_zorder_layout",
-    "q3g_stream_outer_join",
+    "q3g_stream_outer_join", "q3k_partitioned_sink",
     "q3d_transform_with_state", "q0a_bloom_join", "q0b_bucketed_join",
     "q70_kmeans_selection", "q71_kmeans_e2e", "q72_als_e2e", "q73_als_cv_grid",
     "q74_sse_parity", "q62_ann_lsh_topk", "q63_ivf_topk", "q53_minhash_lsh_ml")

@@ -99,6 +99,7 @@ object SparkEntry {
     "q3h_ohlc_bars"         -> (StreamEvents.ohlcBars _),
     "q3i_funnel_conversion" -> (StreamEvents.funnelConversion _),
     "q3j_cohort_retention"  -> (StreamEvents.cohortRetention _),
+    "q3k_partitioned_sink"  -> (StreamEvents.hourlyAggPartitionedSink _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -953,6 +954,18 @@ object SparkEntry {
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
              count(1) AS n, round(sum(value), 2) AS sum_value
       FROM events, m
+      GROUP BY hour_us, event_type, m.mx
+      HAVING hour_us + 3600000000 <= m.mx - 3600000000
+      ORDER BY hour_us, event_type""",
+    // q38's finalized-window rule restricted to the partition filter;
+    // partition_pruned is plan evidence folded into every row
+    "q3k_partitioned_sink" -> """
+      WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(1) AS n, round(sum(value), 2) AS sum_value,
+             TRUE AS partition_pruned
+      FROM events, m
+      WHERE event_type IN ('click', 'purchase')
       GROUP BY hour_us, event_type, m.mx
       HAVING hour_us + 3600000000 <= m.mx - 3600000000
       ORDER BY hour_us, event_type""",

@@ -387,6 +387,58 @@ object Events {
       .orderBy("hour_us", "event_type")
   }
 
+  /** q3k: PARTITIONED STREAMING SINK — q38's watermark+append pipeline
+    * writing a HIVE-PARTITIONED table (`writeStream.partitionBy` on the
+    * event-type column), then read back with a partition filter whose
+    * directory pruning is folded into the graded row (`partition_pruned`,
+    * the q28 rule). This is how a streaming pipeline lands a queryable
+    * warehouse table at scale: each microbatch appends only to the
+    * directories it touches, downstream readers prune by partition key
+    * without touching the stream, and compaction (q2a) runs
+    * per-partition behind it. Window finalization semantics are exactly
+    * q38's — the oracle replays the finalized-window subset rule
+    * restricted to the partition filter. */
+  def hourlyAggPartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_part_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_part_ckpt")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .partitionBy("event_type")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    // partition-filtered read-back: event_type must prune directories.
+    // Schema WITHOUT the partition column's physical slot: partitionBy
+    // moves event_type out of the files and into the directory names,
+    // and Spark re-derives it — so project the read schema explicitly.
+    val back = spark.read
+      .schema("win STRUCT<start: TIMESTAMP, end: TIMESTAMP>, n BIGINT, sum_value DOUBLE, event_type STRING")
+      .parquet(sinkDir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val scan = back.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    val pruned = "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(scan).isDefined
+    back
+      .select(unix_micros(col("win.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .withColumn("partition_pruned", lit(pruned))
+      .orderBy("hour_us", "event_type")
+  }
+
   /** q39: STREAMING DEDUP on the graded surface — the ingestion-time
     * form of exact dedup (E-10), the first stage of a live training-data
     * pipeline. The staged replay is mounted as TWO file sources and

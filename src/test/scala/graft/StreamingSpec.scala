@@ -280,6 +280,24 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == raw.length)
   }
 
+  test("partitioned streaming sink equals the flat sink restricted to the filter") {
+    val part = Events.hourlyAggPartitionedSink(spark, sfDir).collect()
+    assert(part.nonEmpty)
+    assert(part.forall(_.getAs[Boolean]("partition_pruned")),
+      "partition filter must prune directories, not scan them all")
+    assert(part.map(_.getAs[String]("event_type")).toSet
+      .subsetOf(Set("click", "purchase")))
+    val flat = Events.hourlyAggAppendSink(spark, sfDir).collect()
+      .filter(r => Set("click", "purchase")(r.getAs[String]("event_type")))
+      .map(r => (r.getAs[Long]("hour_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    val partSet = part.map(r => (r.getAs[Long]("hour_us"),
+      r.getAs[String]("event_type"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))).toSet
+    assert(partSet == flat,
+      "partitioning the sink must not change the finalized-window content")
+  }
+
   test("cohortRetention: offset-0 covers the cohort, retention bounded") {
     val rows = Events.cohortRetention(spark, sfDir).collect()
     assert(rows.nonEmpty)
