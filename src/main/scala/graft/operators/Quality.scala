@@ -98,7 +98,18 @@ object Quality {
     *
     * Laplace smoothing (+1 per bin) bounds the log ratio when a bin is
     * empty on one side — the standard PSI guard, and it keeps the
-    * arithmetic oracle-replayable (no infinities). */
+    * arithmetic oracle-replayable (no infinities).
+    *
+    * Output encoding — exact integers, not rounded doubles. Round 5's
+    * only red oracle row was this query: `round(x, 6)` on values within
+    * an ulp of a decimal boundary depends on each engine's double→decimal
+    * conversion, so the 6-dp share/psi columns were a coin flip. The fix:
+    * shares are emitted as parts-per-million via `floor(p*1e6 + 0.5)` —
+    * pure IEEE double multiply/add/floor that every engine evaluates
+    * bit-identically — and the PSI term is recomputed FROM those integer
+    * shares (identical doubles into `ln` on both sides), emitted ×1e9 as
+    * an integer; the total is an exact integer window sum, so it is also
+    * order-independent. */
   def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val cut = lit("1997-01-01").cast("timestamp")
@@ -111,16 +122,19 @@ object Quality {
     val tot = Window.partitionBy()
     val sm = counts.select(
       col("bin"), col("n_base"), col("n_curr"),
-      ((col("n_base") + 1.0) / (sum(col("n_base")).over(tot) + 10.0)).as("p_base"),
-      ((col("n_curr") + 1.0) / (sum(col("n_curr")).over(tot) + 10.0)).as("p_curr"))
+      floor((col("n_base") + 1.0) / (sum(col("n_base")).over(tot) + 10.0) * 1e6 + 0.5)
+        .as("share_base_ppm"),
+      floor((col("n_curr") + 1.0) / (sum(col("n_curr")).over(tot) + 10.0) * 1e6 + 0.5)
+        .as("share_curr_ppm"))
+    // greatest(·, 1) guards ln(0) for corpora large enough that a
+    // smoothed share underflows 1 ppm (≥ ~2M rows with an empty bin)
+    val pb = greatest(col("share_base_ppm"), lit(1L)).cast("double") / 1e6
+    val pc = greatest(col("share_curr_ppm"), lit(1L)).cast("double") / 1e6
     sm.select(
       col("bin"), col("n_base"), col("n_curr"),
-      round(col("p_base"), 6).as("share_base"),
-      round(col("p_curr"), 6).as("share_curr"),
-      round(((col("p_curr") - col("p_base")) * log(col("p_curr") / col("p_base"))), 6)
-        .as("psi_term"),
-      round(sum((col("p_curr") - col("p_base")) * log(col("p_curr") / col("p_base")))
-        .over(tot), 6).as("psi_total"))
+      col("share_base_ppm"), col("share_curr_ppm"),
+      floor((pc - pb) * log(pc / pb) * 1e9 + 0.5).as("psi_term_e9"))
+      .withColumn("psi_total_e9", sum(col("psi_term_e9")).over(tot))
       .orderBy("bin")
   }
 
@@ -248,13 +262,21 @@ object Quality {
       FROM binned GROUP BY bin),
     sm AS (
       SELECT bin, n_base, n_curr,
-             (n_base + 1.0) / (sum(n_base) OVER () + 10.0) AS p_base,
-             (n_curr + 1.0) / (sum(n_curr) OVER () + 10.0) AS p_curr
-      FROM counts)
-    SELECT bin, n_base, n_curr,
-           round(p_base, 6) AS share_base,
-           round(p_curr, 6) AS share_curr,
-           round((p_curr - p_base) * ln(p_curr / p_base), 6) AS psi_term,
-           round(sum((p_curr - p_base) * ln(p_curr / p_base)) OVER (), 6) AS psi_total
-    FROM sm ORDER BY bin"""
+             CAST(floor((n_base + 1.0) / (sum(n_base) OVER () + 10.0) * 1e6 + 0.5)
+               AS BIGINT) AS share_base_ppm,
+             CAST(floor((n_curr + 1.0) / (sum(n_curr) OVER () + 10.0) * 1e6 + 0.5)
+               AS BIGINT) AS share_curr_ppm
+      FROM counts),
+    t AS (
+      SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm,
+             CAST(floor(
+               (CAST(greatest(share_curr_ppm, 1) AS DOUBLE) / 1e6
+                  - CAST(greatest(share_base_ppm, 1) AS DOUBLE) / 1e6)
+               * ln((CAST(greatest(share_curr_ppm, 1) AS DOUBLE) / 1e6)
+                    / (CAST(greatest(share_base_ppm, 1) AS DOUBLE) / 1e6))
+               * 1e9 + 0.5) AS BIGINT) AS psi_term_e9
+      FROM sm)
+    SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm, psi_term_e9,
+           sum(psi_term_e9) OVER () AS psi_total_e9
+    FROM t ORDER BY bin"""
 }

@@ -31,20 +31,29 @@ class QualitySpec extends SparkSpec {
     assert(rows("l_returnflag").getAs[String]("min_str") != null)
   }
 
-  test("distributionDrift: shares sum to 1 and PSI total is the term sum") {
+  test("distributionDrift: shares sum to 1 and PSI total is the exact term sum") {
     val rows = Quality.distributionDrift(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
-    val sumBase = rows.map(_.getAs[Double]("share_base")).sum
-    val sumCurr = rows.map(_.getAs[Double]("share_curr")).sum
-    // smoothed shares over observed bins sum to ≤1 (missing bins hold
-    // the remainder); with all 10 bins present they sum to ~1
-    assert(sumBase <= 1.0 + 1e-6 && sumBase > 0.8)
-    assert(sumCurr <= 1.0 + 1e-6 && sumCurr > 0.8)
-    val termSum = rows.map(_.getAs[Double]("psi_term")).sum
-    val total = rows.head.getAs[Double]("psi_total")
-    assert(math.abs(termSum - total) < 1e-4)
-    assert(rows.forall(_.getAs[Double]("psi_total") == total))
-    assert(total >= 0.0) // PSI is a sum of (p-q)ln(p/q) ≥ 0 terms
+    val sumBase = rows.map(_.getAs[Long]("share_base_ppm")).sum
+    val sumCurr = rows.map(_.getAs[Long]("share_curr_ppm")).sum
+    // smoothed ppm shares over observed bins sum to ≤1e6 (missing bins
+    // hold the remainder, rounding adds ≤0.5 ppm per bin); with all 10
+    // bins present they sum to ~1e6
+    assert(sumBase <= 1000005L && sumBase > 800000L)
+    assert(sumCurr <= 1000005L && sumCurr > 800000L)
+    // integer encoding: total is the EXACT sum of the integer terms
+    val termSum = rows.map(_.getAs[Long]("psi_term_e9")).sum
+    val total = rows.head.getAs[Long]("psi_total_e9")
+    assert(termSum == total)
+    assert(rows.forall(_.getAs[Long]("psi_total_e9") == total))
+    assert(total >= 0L) // PSI is a sum of (p-q)ln(p/q) ≥ 0 terms
+    // replay the psi arithmetic from the emitted integer shares
+    rows.foreach { r =>
+      val pb = math.max(r.getAs[Long]("share_base_ppm"), 1L).toDouble / 1e6
+      val pc = math.max(r.getAs[Long]("share_curr_ppm"), 1L).toDouble / 1e6
+      val expect = math.floor((pc - pb) * math.log(pc / pb) * 1e9 + 0.5).toLong
+      assert(r.getAs[Long]("psi_term_e9") == expect)
+    }
   }
 
   test("winsorizedStats: clipping narrows the mean toward the body, bounds ordered") {
