@@ -111,6 +111,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs < n * (n - 1) / 4, s"pairs=$pairs vs n=$n — bucketing not pruning")
   }
 
+  test("minhashPairsContract: recall/boundedness hold and the truth set is pinned") {
+    val rows = Dedup.minhashPairsContract(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_true_pairs") > 0, "fixture must plant J>=0.7 pairs")
+    assert(r.getAs[Long]("sum_true_ids") > 0)
+    assert(r.getAs[Boolean]("recall_ok"), "banded join lost >20% of the truth set")
+    assert(r.getAs[Boolean]("candidates_bounded"), "candidate set superlinear")
+  }
+
+  test("minhashLshContract: recall/precision hold against the exact truth") {
+    val rows = Dedup.minhashLshContract(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_true_pairs") > 0)
+    assert(r.getAs[Boolean]("recall_ok"))
+    assert(r.getAs[Boolean]("precision_ok"),
+      "an emitted pair failed exact-Jaccard re-verification")
+  }
+
+  test("minhashNearDupPairsOf: bucket cap drops a planted degenerate bucket") {
+    import spark.implicits._
+    // 30 identical docs: every band collides → one bucket of 30 per band
+    // → 435 pairs uncapped. Exact dedup should have removed these
+    // upstream; the cap keeps the join linear if it didn't.
+    val dup = (1 to 30).map(i => (i.toLong, "aaa bbb ccc ddd eee fff ggg hhh"))
+    val docs = dup.toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDupPairsOf(docs).collect()
+    assert(uncapped.length == 435)
+    val capped = Dedup.minhashNearDupPairsOf(docs, bucketCap = 8L).collect()
+    assert(capped.isEmpty, "capped degenerate bucket must emit no pairs")
+  }
+
   test("minhash signature is stable and per-doc") {
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), Dedup.minhashSignature(col("text"), 16).as("sig"))

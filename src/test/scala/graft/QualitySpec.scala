@@ -298,6 +298,31 @@ class QualitySpec extends SparkSpec {
     assert(top.getAs[Long]("n_shared") == ga.intersect(gb).size)
   }
 
+  test("containmentPairsOf: df cap bounds a planted ubiquitous gram's fan-out") {
+    import spark.implicits._
+    // 20 filler docs all sharing the ubiquitous trigram "the same header"
+    // (df=20) and nothing else; plus one genuine near-superset pair whose
+    // shared grams have df=2
+    val filler = (1 to 20).map(i => (i.toLong, s"the same header a$i"))
+    val planted = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val docs = (filler ++ planted).toDF("doc_id", "text")
+    // without the cap the ubiquitous gram alone makes 20·19/2 = 190 pairs
+    val uncapped = Dedup.containmentPairsOf(docs, dfCap = Long.MaxValue).collect()
+    assert(uncapped.length == 191)
+    // with the cap the fan-out bomb is gone; only the genuine pair survives
+    val capped = Dedup.containmentPairsOf(docs, dfCap = 3L).collect()
+    assert(capped.length == 1)
+    val p = capped.head
+    assert((p.getAs[Long]("a"), p.getAs[Long]("b")) == (100L, 101L))
+    assert(p.getAs[Double]("containment") == 1.0) // 4 shared of min(4, 8)
+    assert(p.getAs[Long]("n_shared") == 4L && p.getAs[Long]("n_grams_a") == 4L)
+    assert(p.getAs[Long]("n_capped_grams") == 1L, "exactly the planted ubiquitous gram")
+    // fixture surface: the default cap (64) is live but drops nothing
+    assert(uncapped.head.getAs[Long]("n_capped_grams") == 0L)
+  }
+
   test("chiSquareIndependence matches a scala contingency replay") {
     val rows = Quality.chiSquareIndependence(spark, sfDir).collect()
     val li = Tables.lineitem(spark, sfDir)
