@@ -100,6 +100,7 @@ object SparkEntry {
     "q3i_funnel_conversion" -> (StreamEvents.funnelConversion _),
     "q3j_cohort_retention"  -> (StreamEvents.cohortRetention _),
     "q3k_partitioned_sink"  -> (StreamEvents.hourlyAggPartitionedSink _),
+    "q3l_checkpoint_recovery" -> (StreamEvents.hourlyAggCheckpointRecovery _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
@@ -961,6 +962,18 @@ object SparkEntry {
     // still-open tail stays in state, as it would on an unbounded source.
     // The oracle replays that subset rule over the batch aggregate.
     "q38_events_hourly_append" -> """
+      WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             count(1) AS n, round(sum(value), 2) AS sum_value
+      FROM events, m
+      GROUP BY hour_us, event_type, m.mx
+      HAVING hour_us + 3600000000 <= m.mx - 3600000000
+      ORDER BY hour_us, event_type""",
+    // q3l: a run killed after 2 of 4 replay files and resumed from its
+    // checkpoint must land exactly the q38 result — same finalized-
+    // window subset rule; any offset/state/watermark/sink-log recovery
+    // fault shows up as missing, duplicate, or split rows
+    "q3l_checkpoint_recovery" -> """
       WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
              count(1) AS n, round(sum(value), 2) AS sum_value

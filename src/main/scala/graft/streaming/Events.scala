@@ -387,6 +387,75 @@ object Events {
       .orderBy("hour_us", "event_type")
   }
 
+  /** q3l: CHECKPOINT RECOVERY — the exactly-once restart semantics q38's
+    * pipeline promises but a single uninterrupted run never exercises.
+    * The staged replay is delivered in two halves through the SAME
+    * checkpoint + sink: a first query drains files 1–2 and terminates
+    * (the "crash" — its state store holds the still-open windows, its
+    * commit log the watermark, its sink metadata the files already
+    * written), then files 3–4 arrive and a NEW query object resumes from
+    * that checkpoint. Recovery must restore source offsets (files 1–2
+    * are not re-read), stateful-operator state (windows straddling the
+    * cut finalize with rows from BOTH halves), the watermark (no
+    * re-emission of windows the first run already appended), and the
+    * file-sink transaction log (no duplicate parquet output). The final
+    * sink therefore equals the uninterrupted q38 run row-for-row — the
+    * oracle replays the same finalized-window subset rule, and
+    * StreamingSpec asserts equality against [[hourlyAggAppendSink]]
+    * directly. This is the production property at 100 TB: a 1000-executor
+    * streaming job WILL be preempted mid-run, and correctness rests on
+    * the checkpoint protocol, not on never failing. */
+  def hourlyAggCheckpointRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_recovery_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_recovery_ckpt")
+    val replayDir = graft.Fs.scratch("graft_stream_recovery_src")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir); deleteRecursively(replayDir)
+    require(new java.io.File(replayDir).mkdirs(), s"cannot create $replayDir")
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val staged = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val schema = spark.read.parquet(staging).schema // schema probe, no data read
+    // files "arrive" by copy, preserving the chronological mtime stamps
+    // the staged replay relies on
+    def arrive(files: Array[java.io.File]): Unit = files.foreach { f =>
+      val dst = new java.io.File(replayDir, f.getName)
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      require(dst.setLastModified(f.lastModified), s"cannot stamp mtime on $dst")
+    }
+    // one drain = one query lifetime; a fresh query object each call, so
+    // the second drain genuinely reconstructs everything from ckptDir.
+    // Returns the aggregate schema for the file-less-sink read (q38 rule).
+    def drain(): org.apache.spark.sql.types.StructType = {
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replayDir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      graft.SessionConf.withShufflePartitions(spark, 8) {
+        val q = agg.writeStream.outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      agg.schema
+    }
+    arrive(staged.take(2))
+    drain() // run 1: files 1-2, then "crash" (terminate)
+    arrive(staged.drop(2))
+    val sinkSchema = drain() // run 2: resumes from the checkpoint, drains files 3-4
+    spark.read.schema(sinkSchema).parquet(sinkDir)
+      .select(
+        unix_micros(col("win.start")).as("hour_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
   /** q3k: PARTITIONED STREAMING SINK — q38's watermark+append pipeline
     * writing a HIVE-PARTITIONED table (`writeStream.partitionBy` on the
     * event-type column), then read back with a partition filter whose

@@ -80,6 +80,21 @@ class StreamingSpec extends SparkSpec {
       "expected multiple emissions per user across microbatches")
   }
 
+  test("checkpoint recovery: a killed-and-resumed run equals the uninterrupted run") {
+    // q3l delivers the 4 replay files as 2 then 2, with a full query
+    // shutdown and a fresh query object resuming from the same
+    // checkpoint in between; exactly-once restart means the sink must be
+    // indistinguishable from q38's single uninterrupted run
+    val recovered = Events.hourlyAggCheckpointRecovery(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val uninterrupted = Events.hourlyAggAppendSink(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(recovered.nonEmpty, "recovery run finalized no windows")
+    assert(recovered == uninterrupted,
+      s"recovered sink diverged: only-recovered=${recovered -- uninterrupted} " +
+        s"only-uninterrupted=${uninterrupted -- recovered}")
+  }
+
   test("append-mode file sink emits exactly the watermark-finalized hourly windows") {
     val appended = Events.hourlyAggAppendSink(spark, sfDir).collect().map(_.toSeq).toSet
     // append + 1h watermark finalizes a window once max event time − 1h
