@@ -134,7 +134,7 @@ object SparkEntry {
     "q53_minhash_lsh_ml"    -> ((s: SparkSession, d: String) => Dedup.minhashLshContract(s, d)),
     "q54_simhash_buckets"   -> (Dedup.simhashBuckets _),
     "q55_ngram_jaccard"     -> (Dedup.ngramJaccardPairs _),
-    "q56_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
+    "q56_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDupsGraded(s, d)),
     "q57_dup_components"    -> ((s: SparkSession, d: String) => Dedup.duplicateComponents(s, d)),
     "q58_quantile_sketch"   -> (Relational.quantileSketch _),
     "q59_canonical_dedup"   -> ((s: SparkSession, d: String) => Dedup.canonicalDedup(s, d)),
@@ -1567,18 +1567,29 @@ object SparkEntry {
     // full DuckDB replay of the deterministic hyperplane sketch: bit b
     // of a vector's bucket = sign of Σ_i emb[i]·w(i,b) with
     // w(i,b) = ((i·2654435761 + b·40503) >> 13) % 2 == 0 ? +1 : −1 —
-    // identical arithmetic to Dedup.embeddingNearDupPairs. The fixture
-    // embeddings are random (max in-bucket cosine ≈ 0.46), so BOTH
-    // engines must emit zero pairs at the 0.95 floor; a Spark-side
-    // bucketing or cosine bug that emits false positives fails the hash
+    // identical arithmetic to Dedup.embeddingNearDupPairs, over the
+    // fixture AUGMENTED with the planted ×2/×4 parallel twins (exact
+    // power-of-two float scaling, so both engines reconstruct identical
+    // vectors and exact 1.0 cosines). The graded surface now exercises
+    // a NON-EMPTY emission: the 8 twin pairs must appear (missing ⇒
+    // bucketing/cosine bug), and nothing else may (random fixture
+    // ceiling ≈ 0.46 vs the 0.95 floor ⇒ false positives fail the hash)
     "q56_embedding_neardup" -> """
-      WITH p AS (
+      WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding,
+                 x -> CAST(x * CAST(2 + 2 * (vec_id % 2) AS FLOAT) AS FLOAT))
+                 AS embedding
+        FROM embeddings WHERE vec_id < 8),
+      p AS (
         SELECT vec_id, embedding, b.b,
                list_sum(list_transform(range(1, len(embedding) + 1),
                  i -> CAST(embedding[i] AS DOUBLE) *
                       (CASE WHEN (((i - 1) * 2654435761 + b.b * 40503) // 8192) % 2 = 0
                             THEN 1.0 ELSE -1.0 END))) AS proj
-        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+        FROM aug CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
       buck AS (
         SELECT vec_id, any_value(embedding) AS embedding,
                CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket

@@ -586,11 +586,44 @@ object Dedup {
     embeddingNearDupPairs(emb, dim, minCosine, nBits)
   }
 
+  /** q56 graded form: the hyperplane-bucket near-dup over the fixture
+    * AUGMENTED with arithmetically-derived near-duplicates, so the
+    * graded surface exercises a non-empty pair emission (the raw fixture
+    * is random — max pairwise cosine ≈ 0.46 — and a 0-row hash-match
+    * proved only the absence path). For each `vec_id < nTwins` a twin at
+    * `vec_id + idOffset` carries the SAME embedding scaled by 2 or 4 —
+    * powers of two, so the float scaling, the double cosine arithmetic,
+    * and therefore the exact 1.0 result are bit-identical in any IEEE
+    * engine, and DuckDB replays the twins from the base table alone.
+    * Positive scaling preserves every hyperplane-projection sign, so
+    * twin pairs are structurally guaranteed to share a bucket — the
+    * emission path, bucket join included, runs for real. No other pair
+    * can reach the 0.95 floor (random fixture ceiling 0.46), so the
+    * output is exactly the planted pairs with their replayed cosines. */
+  def embeddingNearDupsGraded(spark: SparkSession, dir: String,
+      minCosine: Double = 0.95, nBits: Int = 8,
+      nTwins: Int = 8, idOffset: Long = 100000L): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
+    val twins = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < nTwins)
+      .select(
+        (col("vec_id") + idOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(2.0f) + lit(2.0f) * (col("vec_id") % 2).cast("float")))
+          .as("embedding"))
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    embeddingNearDupPairs(base.unionByName(twins), dim, minCosine, nBits)
+  }
+
   /** Core of the embedding near-dup: takes any (vec_id, embedding)
     * frame so specs can plant actual near-duplicates (the fixture
-    * embeddings are random — max pairwise cosine ≈ 0.46 — so the
-    * registered q56 correctly returns zero pairs; the pair-EMISSION
-    * path is exercised by DedupSimilaritySpec's planted corpus). */
+    * embeddings are random — max pairwise cosine ≈ 0.46 — so
+    * [[embeddingNearDups]] over the raw fixture correctly returns zero
+    * pairs; the graded q56 runs [[embeddingNearDupsGraded]]'s planted
+    * variant, and DedupSimilaritySpec covers both). */
   def embeddingNearDupPairs(emb: DataFrame, dim: Int,
       minCosine: Double, nBits: Int): DataFrame =
     rawNearDupPairs(emb, dim, minCosine, nBits)

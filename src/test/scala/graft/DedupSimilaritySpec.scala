@@ -111,6 +111,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs < n * (n - 1) / 4, s"pairs=$pairs vs n=$n — bucketing not pruning")
   }
 
+  test("embeddingNearDupsGraded: exactly the planted twin pairs, cosine exactly 1.0") {
+    val rows = Dedup.embeddingNearDupsGraded(spark, sfDir).collect()
+    assert(rows.length == 8, s"expected the 8 planted twin pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      assert(a < 8 && b == a + 100000L, s"unexpected pair ($a,$b)")
+      // power-of-two scaling: cosine is EXACTLY 1.0, not approximately
+      assert(r.getAs[Double]("cosine") == 1.0)
+    }
+  }
+
   test("minhashPairsContract: recall/boundedness hold and the truth set is pinned") {
     val rows = Dedup.minhashPairsContract(spark, sfDir).collect()
     assert(rows.length == 1)
