@@ -143,6 +143,7 @@ object SparkEntry {
     "q5c_entity_resolution" -> (Entity.partDuplicates _),
     "q5d_triangle_count"    -> (Graph.linkTriangles _),
     "q5e_bfs_hops"          -> (Graph.linkBfsHops _),
+    "q5f_pagerank_converged" -> (Graph.linkPageRankConverged _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -1728,6 +1729,20 @@ object SparkEntry {
                AS sum_kept_ids,
              round(avg(cos_cent), 4) AS avg_cent_cos
       FROM j GROUP BY cent_id ORDER BY cent_id""",
+    // q5f: converged dangling-mass PageRank. Rank values at a
+    // data-dependent convergence point aren't replayable by a
+    // non-iterating oracle, so the graded row is replayable graph facts
+    // (node/planted-sink counts) + contract booleans: mass_ok (total
+    // rank within 1e-9 of exactly 1 — the invariant dangling
+    // redistribution preserves; a leak fails the hash) and converged
+    // (enforced by require in pageRankConverged)
+    "q5f_pagerank_converged" -> """
+      SELECT CAST(count(1) AS BIGINT) AS n_nodes,
+             (SELECT CAST(count(1) AS BIGINT) FROM documents
+              WHERE doc_id % 10 = 7) AS n_sinks,
+             true AS mass_ok,
+             true AS converged
+      FROM documents""",
     // 3 PageRank iterations unrolled as CTE stages over the same
     // arithmetically-rebuilt link graph; every double derives from the
     // same IEEE ops ((1 − 0.85) subtracted, not a folded 0.15 literal —

@@ -71,6 +71,111 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Damped PageRank with DANGLING-MASS redistribution and
+    * convergence-driven termination — the production form of
+    * [[pageRank]] (which requires every node to have an out-edge and
+    * runs a fixed unrolled iteration count). Each round: (1) one bounded
+    * scalar probe sums the rank mass sitting on dangling nodes (no
+    * out-edges — the web-graph norm, where a crawl frontier's leaves
+    * dominate); that mass is redistributed uniformly, so total rank is
+    * conserved at exactly 1 every round instead of leaking; (2) the
+    * standard contribution join + aggregate; (3) an L1-delta probe
+    * drives termination, with the CC loop's machinery — eager
+    * localCheckpoint per round truncates the lineage that would
+    * otherwise grow 2^rounds, and `require(converged)` fails loudly
+    * rather than returning a half-converged ranking. Per-round cost is
+    * the same one shuffle join + aggregate as [[pageRank]] plus two
+    * 1-row probes; the edge table with degrees is built once and
+    * cached. */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, tol: Double = 1e-4,
+      maxIter: Int = 100): DataFrame = {
+    val spark = nodes.sparkSession
+    val n = nodes.count()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val parts = math.min(8, spark.sparkContext.defaultParallelism)
+    graft.SessionConf.withShufflePartitions(spark, parts) {
+      val e = edges.join(outDeg, "src")
+        .repartition(parts, col("src")).cache()
+      e.count()
+      // ranks carry a dangling flag so the per-round dangling mass is a
+      // 1-row aggregate INSIDE the dataflow (broadcast back), not a
+      // driver probe — rounds run with zero driver actions beyond the
+      // localCheckpoint materialization and the every-4th-round
+      // convergence probe
+      val ids = nodes.select(col("id"))
+        .join(outDeg.select(col("src").as("id"), lit(false).as("dang")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("dang"), lit(true)).as("dang"))
+        .repartition(parts, col("id")).cache()
+      ids.count()
+      var ranks = ids.select(col("id"), col("dang"), lit(1.0 / n).as("pr"))
+        .localCheckpoint(true)
+      var it = 0; var done = false
+      while (!done && it < maxIter) {
+        val dm = ranks.where(col("dang")).groupBy()
+          .agg(coalesce(sum("pr"), lit(0.0)).as("dmass"))
+        val contribs = e.join(ranks.select(col("id").as("rid"), col("pr")),
+            col("src") === col("rid"))
+          .select(col("dst"), (col("pr") / col("out_deg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("in_mass"))
+        val next = ids.join(contribs, col("id") === col("dst"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("id"), col("dang"),
+            (lit(1.0 - damping) / n +
+              lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + col("dmass") / n))
+              .as("pr"))
+          .localCheckpoint(true)
+        it += 1
+        // power iteration contracts the error by ~damping per round, so
+        // probing every 4th round costs at most 3 redundant (cheap)
+        // rounds while cutting the per-round action count
+        if (it % 4 == 0 || it >= maxIter) {
+          val delta = next.join(ranks.select(col("id"), col("pr").as("prev")), "id")
+            .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
+          done = delta < tol
+        }
+        ranks = next
+      }
+      e.unpersist(); ids.unpersist()
+      require(done, s"PageRank did not converge in $maxIter rounds (tol=$tol)")
+      ranks.select(col("id"), col("pr"))
+    }
+  }
+
+  /** q5f: converged dangling-mass PageRank on the graded surface. The
+    * link graph is the q5b synthesis with PLANTED SINKS — every doc with
+    * id ≡ 7 (mod 10) emits no links — so the dangling path runs for
+    * real. Rank values at a data-dependent convergence point are not
+    * replayable by a non-iterating oracle, so the graded row is the
+    * contract fold (q52's pattern): replayable graph facts (node/sink
+    * counts) plus `mass_ok` — total rank within 1e-9 of exactly 1, the
+    * invariant dangling redistribution exists to preserve — and
+    * `converged`, which [[pageRankConverged]] enforces with `require`.
+    * DedupSimilaritySpec-style rank assertions live in QualitySpec. */
+  def linkPageRankConverged(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.where(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 7, lit(n)),
+          pmod(col("doc_id") * 17 + 3, lit(n)),
+          pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
+    val ranks = pageRankConverged(docs.select(col("doc_id").as("id")), edges)
+    ranks.groupBy()
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum("pr").as("total_pr"))
+      .crossJoin(broadcast(
+        docs.where(col("doc_id") % 10 === 7)
+          .groupBy().agg(count(lit(1)).as("n_sinks"))))
+      .select(
+        col("n_nodes"), col("n_sinks"),
+        (abs(col("total_pr") - 1.0) < 1e-9).as("mass_ok"),
+        lit(true).as("converged"))
+  }
+
   /** Single-source BFS shortest hop counts, `rounds` relaxation
     * iterations — the frontier-expansion class of graph algorithm
     * (vs PageRank's fixed-iteration mass flow and the components
@@ -120,20 +225,42 @@ object Graph {
 
   /** Triangle count over an undirected edge list (`a < b` canonical
     * form, already deduplicated). The standard distributed formulation:
-    * orient every edge low→high, then count length-2 paths that close —
-    * two self-joins. Orienting by id (a degree-based orientation at
-    * 100 TB — by (degree, id) — is the skew-proof refinement) means each
-    * triangle is generated exactly once, and the join fan-out per vertex
-    * is out-degree², i.e. bounded by the orientation instead of the raw
-    * degree. Both joins shuffle on a vertex key; at scale the edge list
-    * would be bucketed on `a` so the first join is co-located. */
+    * orient every edge, then count length-2 paths that close — two
+    * self-joins, each triangle generated exactly once because the
+    * orientation is a total order.
+    *
+    * Orientation is by (degree, id) — the Suri–Vassilvitskii skew
+    * guard, not plain id order: every edge points at its higher-degree
+    * endpoint, so a degree-d hub emits NO wedges of its own (its
+    * neighbors, almost all lower-degree, point INTO it) and per-vertex
+    * wedge fan-out is bounded by the graph's arboricity (~√m) instead
+    * of d². Under id orientation one celebrity vertex with 10⁸
+    * followers would alone generate ~10¹⁶ wedges at 100 TB; under
+    * degree orientation the same hub contributes none. Costs one extra
+    * degree aggregate + broadcast-size join before the wedge join —
+    * constant work per edge. Output triples are id-sorted, so the
+    * result is orientation-invariant. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).where(col("a") < col("b"))
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    wedges.join(e.as("e3"),
-      col("x") === col("e3.a") && col("z") === col("e3.b"))
-      .select(col("x"), col("y"), col("z"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+    // endpoints as (d, v) structs: struct ordering IS the (degree, id)
+    // total order, and the closing-edge join keys on the struct directly
+    val sa = struct(col("dega").as("d"), col("a").as("v"))
+    val sb = struct(col("degb").as("d"), col("b").as("v"))
+    val o = withDeg.select(
+      when(sa < sb, sa).otherwise(sb).as("u"),
+      when(sa < sb, sb).otherwise(sa).as("w"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("p"), col("e1.w").as("q"), col("e2.w").as("r"))
+    wedges.join(o.as("e3"),
+        col("q") === col("e3.u") && col("r") === col("e3.w"))
+      .select(array_sort(array(col("p.v"), col("q.v"), col("r.v"))).as("t"))
+      .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
   }
 
   /** q5d: per-vertex triangle counts + global total on a deterministic

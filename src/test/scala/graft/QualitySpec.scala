@@ -466,6 +466,39 @@ class QualitySpec extends SparkSpec {
     assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("triangleCount: degree orientation handles a planted high-degree hub") {
+    import spark.implicits._
+    // star: hub 0 → leaves 1..20 (hub degree 20, leaves degree ≤2), plus
+    // closing edge (1,2) ⇒ exactly one triangle. Under id orientation the
+    // hub would generate 190 wedges; degree orientation points every
+    // leaf-hub edge INTO the hub, so the hub generates none and the
+    // count is still exact.
+    val star = (1 to 20).map(i => (0L, i.toLong)) :+ ((1L, 2L))
+    val tris = Graph.triangleCount(star.toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.toSeq == Seq((0L, 1L, 2L)))
+  }
+
+  test("pageRankConverged: mass conserved to 1 with a planted sink node") {
+    import spark.implicits._
+    // cycle-ish core 1→{2,3}, 2→{3,4}, 3→1 with 4 a SINK (no
+    // out-edges): without dangling redistribution its rank mass leaks
+    // every round. 3 receives two streams while the sink receives one,
+    // so the sink ranks strictly last (a single shared split would tie)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRankConverged(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"rank mass leaked: total=${pr.values.sum}")
+    assert(pr.values.forall(_ > 0.0))
+    // the cycle members receive recirculated mass; the sink only
+    // receives from node 1's split — it must rank below every cycle node
+    assert(pr(4L) < pr(1L) && pr(4L) < pr(2L) && pr(4L) < pr(3L))
+  }
+
   test("bfsHops matches hand-computed hops on a planted path + branch") {
     import spark.implicits._
     // 1→2→3→4 chain plus branch 2→5; source 1, 2 rounds
