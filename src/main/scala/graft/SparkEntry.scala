@@ -77,6 +77,7 @@ object SparkEntry {
     "q1c_histogram"         -> ((s: SparkSession, d: String) => Relational.histogram(s, d)),
     "q1d_data_profile"      -> (Quality.dataProfile _),
     "q1e_distribution_drift" -> (Quality.distributionDrift _),
+    "q1l_data_profile_approx" -> (Quality.dataProfileApprox _),
     "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
@@ -526,6 +527,7 @@ object SparkEntry {
     // next to the operator (generated per-column / per-bit there)
     "q1d_data_profile" -> Quality.dataProfileOracle,
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
+    "q1l_data_profile_approx" -> Quality.dataProfileApproxOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,
     "q2g_snapshot_cdc" -> graft.sources.Warehouse.snapshotCdcOracle,

@@ -87,6 +87,56 @@ object Quality {
     selects.mkString("\n UNION ALL \n") + "\n ORDER BY column_name"
   }
 
+  /** q1l: the APPROXIMATE twin of q1d — the 100 TB form the q1d
+    * scaladoc promises. Distinct counts come from HLL++
+    * (`approx_count_distinct`, rsd 0.02): each sketch is an ordinary
+    * aggregation buffer, so the whole profile is ONE single-pass
+    * hash-agg with NO EXPAND replication — q1d's exact multi-distinct
+    * plans EXPAND×7 (7 replicated streams of the scan; its dominant
+    * cost, 9.2 s at sf0.1). The sketch estimate itself is
+    * engine-specific, so the graded row is the q25 fold: the exact
+    * count (replayable) plus `approx_ok` — the estimate within ±5% of
+    * exact. The exact arm rides along here only to grade the contract;
+    * at real scale you run the approx arm alone, which is the point. */
+  def dataProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_linestatus")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__approx"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, `${c}__approx`"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, n_approx)")
+      .select(
+        col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        round((col("n_rows") - col("n_nulls")).cast("double") / col("n_rows"), 6)
+          .as("completeness"),
+        (abs(col("n_approx") - col("n_distinct"))
+          <= col("n_distinct").cast("double") * 0.05).as("approx_ok"))
+      .orderBy("column_name")
+  }
+
+  def dataProfileApproxOracle: String = {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_linestatus")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(1) AS n_rows,
+         count(1) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         round(CAST(count($c) AS DOUBLE) / count(1), 6) AS completeness,
+         true AS approx_ok
+         FROM lineitem"""
+    }.mkString("\n UNION ALL \n") + "\n ORDER BY column_name"
+  }
+
   /** q1e: DISTRIBUTION DRIFT between two time slices of `lineitem` —
     * the Population Stability Index over fixed-width price bins,
     * baseline = shipdate < 1997-01-01 vs current = the rest. Fixed bin

@@ -31,6 +31,31 @@ class QualitySpec extends SparkSpec {
     assert(rows("l_returnflag").getAs[String]("min_str") != null)
   }
 
+  test("dataProfileApprox: sketch within ±5% everywhere; approx-only plan has no EXPAND") {
+    val rows = Quality.dataProfileApprox(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")),
+      "HLL++ estimate left the ±5% band")
+    // the exact q1d must agree on the deterministic columns
+    val exact = Quality.dataProfile(spark, sfDir).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") == exact(r.getAs[String]("column_name")))
+    }
+    // the 100 TB claim: an approx-ONLY profile is a single pass with no
+    // EXPAND replication (q1d's exact multi-distinct plans EXPAND×7)
+    val li = Tables.lineitem(spark, sfDir)
+    val approxOnly = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02),
+      approx_count_distinct(col("l_quantity"), 0.02),
+      approx_count_distinct(col("l_returnflag"), 0.02))
+    assert(!approxOnly.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx-only profile must not replicate the scan")
+    assert(Quality.dataProfile(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct is expected to EXPAND — the cost q1l avoids")
+  }
+
   test("distributionDrift: shares sum to 1 and PSI total is the exact term sum") {
     val rows = Quality.distributionDrift(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
