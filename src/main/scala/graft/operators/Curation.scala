@@ -282,26 +282,31 @@ object Curation {
 
   /** q4i: deterministic STRATIFIED SAMPLING to a balanced corpus — every
     * language downsampled to the size of the smallest stratum. The
-    * membership gate is `doc_id mod 1000 < floor(1000·target/|stratum|)`
-    * — decided by the row alone (resample-stable, no RNG state, no
-    * `sampleBy`'s partition-order sensitivity), and the per-stratum
-    * fractions come from a WINDOW over the stratum counts, not a
-    * driver-side collect: the whole operator is two aggregates and a
-    * broadcast-sized join at any scale. The audit row per stratum
-    * (total, target, achieved) is the operator's contract — achieved
-    * tracks target only as well as ids are equidistributed mod 1000,
-    * which the output makes visible instead of assuming. */
+    * membership gate is the shared Lehmer hash
+    * `hashUniform(doc_id) < target/|stratum|` — decided by the row alone
+    * (resample-stable, no RNG state, no `sampleBy` partition-order
+    * sensitivity), equidistributed whatever the id range, and
+    * double-precision-granular (an earlier `mod 1000` gate floored to 0
+    * for any stratum >1000× the smallest, silently sampling nothing —
+    * the hash gate has no such floor). The per-stratum fractions come
+    * from a WINDOW over the stratum counts, not a driver-side collect:
+    * the whole operator is two aggregates and a broadcast-sized join at
+    * any scale. The audit row per stratum (total, target, achieved) is
+    * the operator's contract — achieved tracks target only as well as
+    * the hash equidistributes, which the output makes visible instead
+    * of assuming. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val withTarget = counts.withColumn("target", min(col("n_total")).over(all))
-      .withColumn("gate", floor(lit(1000.0) * col("target") / col("n_total")))
+      .withColumn("frac", col("target").cast("double") / col("n_total"))
     val sampled = docs.join(broadcast(withTarget), "lang")
-      .where(pmod(col("doc_id"), lit(1000L)) < col("gate"))
+      .where(hashUniform(col("doc_id")) < col("frac"))
       .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
     withTarget.join(sampled, Seq("lang"), "left")
-      .select(col("lang"), col("n_total"), col("target"), col("gate"),
+      .select(col("lang"), col("n_total"), col("target"),
+        round(col("frac"), 8).as("target_frac"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy("lang")
   }
@@ -311,14 +316,16 @@ object Curation {
       SELECT lang, count(1) AS n_total FROM documents GROUP BY lang),
     gated AS (
       SELECT lang, n_total, min(n_total) OVER () AS target,
-             CAST(floor(1000.0 * min(n_total) OVER () / n_total) AS BIGINT) AS gate
+             CAST(min(n_total) OVER () AS DOUBLE) / n_total AS frac
       FROM counts),
     sampled AS (
       SELECT d.lang, count(1) AS n_sampled
       FROM documents d JOIN gated g ON d.lang = g.lang
-      WHERE d.doc_id % 1000 < g.gate
+      WHERE CAST((((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271)
+              % 2147483647 AS DOUBLE) / 2147483647 < g.frac
       GROUP BY d.lang)
-    SELECT g.lang, g.n_total, g.target, g.gate,
+    SELECT g.lang, g.n_total, g.target,
+           round(g.frac, 8) AS target_frac,
            coalesce(s.n_sampled, 0) AS n_sampled
     FROM gated g LEFT JOIN sampled s ON g.lang = s.lang
     ORDER BY g.lang"""

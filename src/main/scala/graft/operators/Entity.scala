@@ -23,9 +23,18 @@ object Entity {
 
   /** Generic blocked fuzzy self-join: pairs of records sharing
     * `blockKey` whose `nameCol` edit distance is ≤ `maxDist`, each pair
-    * once (`idCol` low < high). */
+    * once (`idCol` low < high).
+    *
+    * `broadcastBuild` pins the build-side broadcast and is ONLY valid
+    * for dimension-sized inputs (the q5c `part` table) — it ships the
+    * whole record set to every executor, so a fact-scale input would
+    * blow the broadcast/driver budget. Pass `broadcastBuild = false`
+    * for large inputs: the same block equi-join runs as a plain
+    * shuffled join (both sides hashed on the block key, Σ|block|² work
+    * spread across shuffle partitions), identical output. */
   def blockedFuzzyPairs(records: DataFrame, idCol: String, blockKey: String,
-      nameCol: String, maxDist: Int): DataFrame = {
+      nameCol: String, maxDist: Int,
+      broadcastBuild: Boolean = true): DataFrame = {
     // The probe side must be spread BEFORE the join: a dimension-sized
     // input arrives in 1-2 parquet partitions, and a broadcast join
     // preserves the streamed side's partitioning — without this the
@@ -42,8 +51,9 @@ object Entity {
     // tie-break ever flipped the build side, the repartitioned side
     // would become the build and the 1-partition scan the probe —
     // reverting the single-task regression with no result change for
-    // any test to catch
-    a.join(broadcast(b),
+    // any test to catch. (Dimension-sized inputs only — see scaladoc.)
+    val build = if (broadcastBuild) broadcast(b) else b
+    a.join(build,
         col("block") === col("b_block") && col("a_id") < col("b_id") &&
         // length band: |len(a)−len(b)| > d ⇒ edit distance > d. A
         // codegen'd integer check that prunes most pairs before the

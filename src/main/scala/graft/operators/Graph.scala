@@ -282,7 +282,10 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val tris = triangleCount(und).cache() // consumed twice: per-vertex + total
+    // consumed twice (per-vertex + total); session-scoped cache by the
+    // repo's accepted pattern — both consumers sit in the ONE returned
+    // plan, so unpersisting any earlier would re-run the wedge joins
+    val tris = triangleCount(und).cache()
     // per-vertex count = triangles touching the vertex in any corner
     val perVertex = tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))

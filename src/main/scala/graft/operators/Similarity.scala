@@ -367,24 +367,6 @@ object Similarity {
       .orderBy("cent_id")
   }
 
-  /** q6c: k-NN JOIN — top-k neighbors for a query SET, not q61's single
-    * probe vector: the batch retrieval shape (embed a batch of queries,
-    * join each against the corpus). The query block is broadcast once
-    * and every corpus partition scores all queries locally — corpus ×
-    * |Q| work split across corpus partitions, then one shuffle on q_id
-    * for the per-query top-k window. At 100 TB the corpus side stays
-    * partition-parallel no matter how big it is; |Q| is the broadcast
-    * budget, and a larger query batch tiles into |Q|-sized chunks of
-    * this same plan (or flips to the IVF path, q63, per chunk). */
-  /** q6c: k-NN JOIN — top-k neighbors for a query SET, not q61's single
-    * probe vector: the batch retrieval shape (embed a batch of queries,
-    * join each against the corpus). The query block is broadcast once
-    * and every corpus partition scores all queries locally — corpus ×
-    * |Q| work split across corpus partitions, then one shuffle on q_id
-    * for the per-query top-k window. At 100 TB the corpus side stays
-    * partition-parallel no matter how big it is; |Q| is the broadcast
-    * budget, and a larger query batch tiles into |Q|-sized chunks of
-    * this same plan (or flips to the IVF path, q63, per chunk). */
   /** q6d: BINARY QUANTIZATION + HAMMING SEARCH — the 1-bit-per-dim
     * compression every large vector store offers (32× smaller than
     * fp32): keep only each dimension's SIGN, packed into two 32-bit
@@ -418,6 +400,15 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** q6c: k-NN JOIN — top-k neighbors for a query SET, not q61's single
+    * probe vector: the batch retrieval shape (embed a batch of queries,
+    * join each against the corpus). The query block is broadcast once
+    * and every corpus partition scores all queries locally — corpus ×
+    * |Q| work split across corpus partitions, then one shuffle on q_id
+    * for the per-query top-k window. At 100 TB the corpus side stays
+    * partition-parallel no matter how big it is; |Q| is the broadcast
+    * budget, and a larger query batch tiles into |Q|-sized chunks of
+    * this same plan (or flips to the IVF path, q63, per chunk). */
   def knnJoin(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

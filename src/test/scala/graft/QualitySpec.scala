@@ -452,18 +452,25 @@ class QualitySpec extends SparkSpec {
       s"engine ${out.size} pairs vs brute ${expected.size}")
   }
 
-  test("stratifiedSample: every stratum hits its gate exactly") {
+  test("stratifiedSample: every stratum hits its hash gate exactly") {
     val rows = Curation.stratifiedSample(spark, sfDir).collect()
     val target = rows.head.getAs[Long]("target")
     assert(rows.map(_.getAs[Long]("n_total")).min == target)
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    def u(id: Long): Double = {
+      val s1 = (id % 2147483647L) * 48271L % 2147483647L
+      (s1 * 48271L % 2147483647L).toDouble / 2147483647L
+    }
     rows.foreach { r =>
       val lang = r.getAs[String]("lang")
-      val gate = r.getAs[Long]("gate")
-      val replay = docs.count { case (id, l) => l == lang && id % 1000 < gate }
+      val frac = target.toDouble / r.getAs[Long]("n_total")
+      val replay = docs.count { case (id, l) => l == lang && u(id) < frac }
       assert(r.getAs[Long]("n_sampled") == replay)
       assert(r.getAs[Long]("target") == target)
+      // the hash gate has no granularity floor: a nonzero target always
+      // admits a nonzero sampling fraction
+      assert(frac > 0.0 && r.getAs[Double]("target_frac") > 0.0)
     }
   }
 
