@@ -46,7 +46,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q4j_bigram_score"     -> "1-row vocabulary-size aggregate",
     "q6c_knn_join"         -> "broadcast(8-row query block)",
     "q6d_hamming_topk"     -> "broadcast(4-row packed query block)",
-    "q2h_scd2_point_in_time" -> "1-row completeness audit")
+    "q2h_scd2_point_in_time" -> "1-row completeness audit",
+    "q4k_containment_dedup" -> "1-row capped-gram-count aggregate folded onto every graded row",
+    "q52_minhash_pairs"     -> "1-row recall-contract probes (truth/found/candidate aggregates)",
+    "q5f_pagerank_converged" -> "1-row dangling-mass aggregate redistributed each iteration")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
