@@ -103,6 +103,7 @@ object SparkEntry {
     "q3k_partitioned_sink"  -> (StreamEvents.hourlyAggPartitionedSink _),
     "q3l_checkpoint_recovery" -> (StreamEvents.hourlyAggCheckpointRecovery _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
+    "q75_asof_join_native"  -> (TimeJoin.asofClickPurchaseNative _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
     "q41_quality_score"     -> (Text.qualityScore _),
@@ -1091,6 +1092,20 @@ object SparkEntry {
         -- ASOF JOIN picks an UNSPECIFIED row among exact-ts ties, while
         -- the Spark side deterministically carries the greatest payload
         -- tuple — pre-aggregating pins the oracle to the same tie rule
+        SELECT user_id, ts, epoch_us(ts) AS p_us, max(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts)
+      SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+             p.p_us AS purchase_us, round(p.p_value, 2) AS purchase_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.user_id, click_id""",
+    // q75 is q36 served by the native AsofJoinExec operator — the
+    // oracle is deliberately the identical ASOF LEFT JOIN: one truth,
+    // two plans (composed union+window vs custom sorted-merge exec)
+    "q75_asof_join_native" -> """
+      WITH c AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      p AS (
         SELECT user_id, ts, epoch_us(ts) AS p_us, max(value) AS p_value
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id, ts)

@@ -31,11 +31,22 @@ object GraftExtensions {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+
+  /** Runtime twin of `injectPlannerStrategy` for the engine's custom
+    * operators (as-of join): `ExperimentalMethods` is the public,
+    * documented seam for post-construction strategy registration.
+    * Idempotent — safe to call from every operator invocation. */
+  def registerStrategies(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.AsofJoinStrategy
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorSimplification)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -76,6 +76,66 @@ object TimeJoin {
       .orderBy("user_id", "click_id")
   }
 
+  /** Native as-of join core: the same contract as [[asofJoin]], served
+    * by the engine's custom operator ([[graft.plans.AsofJoinPlan]] →
+    * `AsofJoinExec`) instead of the union+window composition. `right`
+    * must contain `key`, `ts`, and `rightCols`; `rightCols` names must
+    * not collide with left columns (same caller contract as the
+    * composed form). See `AsofJoinExec`'s scaladoc for the plan-shape
+    * comparison; `TimeJoinSpec` asserts both forms agree row-for-row.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.functions.GraftExtensions
+    import graft.plans.AsofJoinPlan
+    val spark = left.sparkSession
+    GraftExtensions.registerStrategies(spark)
+    val lPlan = left.queryExecution.analyzed
+    // narrow the right side to what the operator consumes, and mint
+    // fresh exprIds behind an Alias projection: both sides typically
+    // derive from one base table, and duplicate attribute ids across a
+    // binary node would corrupt downstream column binding
+    val rNarrow = right.select((key +: ts +: rightCols).map(col): _*)
+      .queryExecution.analyzed
+    val rFresh = Project(rNarrow.output.map(a => Alias(a, a.name)()), rNarrow)
+    val rOut = rFresh.projectList.map(_.toAttribute)
+    val rByName = rOut.map(a => a.name -> a).toMap
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left side has no column '$n'"))
+    require(lAttr(key).dataType == rByName(key).dataType &&
+      lAttr(ts).dataType == rByName(ts).dataType,
+      s"as-of join key/time types must align across sides")
+    GraftSqlBridge.ofRows(spark, AsofJoinPlan(
+      lPlan, rFresh,
+      leftKeys = Seq(lAttr(key)), rightKeys = Seq(rByName(key)),
+      leftTime = lAttr(ts), rightTime = rByName(ts),
+      rightPayload = rightCols.map(rByName)))
+  }
+
+  /** q75: q36's point-in-time query served by the native operator —
+    * same inputs, same tie rule, same oracle SQL; the result must be
+    * indistinguishable from [[asofClickPurchase]]. */
+  def asofClickPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    asofJoinNative(clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("p_us").as("purchase_us"),
+        round(col("p_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** q37: interval join via time binning — purchases within 1 hour
     * before each click, counted per click. The right side explodes into
     * its bin and the next (a 1-hour range spans at most 2 one-hour

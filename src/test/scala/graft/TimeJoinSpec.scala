@@ -59,6 +59,66 @@ class TimeJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNative: planted semantics (null before first, >= tie, latest wins, no cross-key leak)") {
+    val left = Seq(
+      (1L, ts(100), "c1"), // before any right row → null
+      (1L, ts(200), "c2"), // exact tie with r@200 → matched
+      (1L, ts(350), "c3"), // r@200 and r@300 prior → r@300 wins
+      (2L, ts(250), "c4"), // key 2 has r@240 only — no cross-key leak
+      (3L, ts(999), "c5")  // key 3 has no right rows at all → null
+    ).toDF("key", "ts", "name")
+    val right = Seq(
+      (1L, ts(200), 20.0),
+      (1L, ts(300), 30.0),
+      (2L, ts(240), 99.0),
+      (2L, ts(260), 11.0) // after c4 → must not match
+    ).toDF("key", "ts", "rv")
+    val out = TimeJoin.asofJoinNative(left, right, "key", "ts", Seq("rv"))
+      .select(col("name"), col("rv"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1").isEmpty)
+    assert(out("c2").contains(20.0))
+    assert(out("c3").contains(30.0))
+    assert(out("c4").contains(99.0))
+    assert(out("c5").isEmpty)
+  }
+
+  test("asofJoinNative: exact-(key,ts) ties resolve to the greatest payload tuple, like the composed form") {
+    val left = Seq((1L, ts(200), "c")).toDF("key", "ts", "name")
+    val right = Seq((1L, ts(200), 5.0), (1L, ts(200), 9.0), (1L, ts(200), 1.0))
+      .toDF("key", "ts", "rv")
+    (1 to 2).foreach { _ =>
+      val got = TimeJoin.asofJoinNative(left, right.repartition(3), "key", "ts", Seq("rv"))
+        .select(col("rv")).head().getDouble(0)
+      assert(got == 9.0, s"tie-break picked $got, expected greatest payload 9.0")
+    }
+  }
+
+  test("asofJoinNative ≡ composed union+window form on the events fixture, and plans AsofJoinExec") {
+    val native = TimeJoin.asofClickPurchaseNative(spark, sfDir)
+    assert(native.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "custom strategy did not plan AsofJoinExec")
+    val composed = TimeJoin.asofClickPurchase(spark, sfDir).collect().toSeq
+    val rows = native.collect().toSeq
+    assert(rows.nonEmpty && rows == composed,
+      s"native (${rows.size} rows) != composed (${composed.size} rows)")
+  }
+
+  test("asofJoinNative preserves partitioning: downstream groupBy(key) adds no exchange") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("p_value"))
+    val agg = TimeJoin.asofJoinNative(clicks, purchases, "user_id", "ts", Seq("p_value"))
+      .groupBy("user_id").agg(sum("p_value").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange per join side, none for the groupBy — the operator's
+    // declared outputPartitioning carries through
+    assert(exchanges == 2, s"expected 2 exchanges (join inputs only), got $exchanges in:\n$plan")
+  }
+
   test("range join counts exactly the purchases in (click-1h, click]") {
     val rows = TimeJoin.rangeJoinBinned(spark, sfDir).collect()
     assert(rows.nonEmpty)
