@@ -78,6 +78,8 @@ object SparkEntry {
     "q1d_data_profile"      -> (Quality.dataProfile _),
     "q1e_distribution_drift" -> (Quality.distributionDrift _),
     "q1l_data_profile_approx" -> (Quality.dataProfileApprox _),
+    "q1m_ks_drift"          -> (Quality.ksDrift _),
+    "q1n_entropy_drift"     -> (Quality.entropyDrift _),
     "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
@@ -529,6 +531,8 @@ object SparkEntry {
     "q1d_data_profile" -> Quality.dataProfileOracle,
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
     "q1l_data_profile_approx" -> Quality.dataProfileApproxOracle,
+    "q1m_ks_drift"          -> Quality.ksDriftOracle,
+    "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,
     "q2g_snapshot_cdc" -> graft.sources.Warehouse.snapshotCdcOracle,

@@ -329,4 +329,141 @@ object Quality {
     SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm, psi_term_e9,
            sum(psi_term_e9) OVER () AS psi_total_e9
     FROM t ORDER BY bin"""
+
+  /** q1m: KOLMOGOROV–SMIRNOV two-sample drift — the companion to q1e's
+    * PSI: D = max |ECDF_base − ECDF_curr| over the binned price axis,
+    * same base/current shipdate split. PSI weights mass ratios (sensitive
+    * to tail shifts); KS reads the worst cumulative gap (sensitive to
+    * location shifts) — a drift monitor wants both.
+    *
+    * Discretized onto the same fixed-edge bins as q1e (20 here): exact
+    * per-row KS needs a global sort by value, which at 100 TB is the one
+    * thing a drift monitor must not do; binned KS under-estimates D by at
+    * most the largest single-bin mass, is deterministic by construction,
+    * and reduces to ONE scan + a 20-row cumulative window. ECDFs are
+    * emitted as exact ppm integers (q1e's encoding — floor(p·1e6 + 0.5)
+    * is bit-identical across engines), so D inherits integer exactness
+    * and the window max is order-independent. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val binned = li.select(
+      least(floor(col("l_extendedprice") / 5500.0), lit(19L)).as("bin"),
+      (col("l_shipdate") < cut).as("is_base"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+    val tot = Window.partitionBy()
+    // post-aggregation windows run over ≤20 rows — the single-partition
+    // window is on the reduced side, never the fact table (q1e rule)
+    val cum = Window.partitionBy().orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.select(
+      col("bin"), col("n_base"), col("n_curr"),
+      floor(sum(col("n_base")).over(cum).cast("double")
+        / sum(col("n_base")).over(tot) * 1e6 + 0.5).as("ecdf_base_ppm"),
+      floor(sum(col("n_curr")).over(cum).cast("double")
+        / sum(col("n_curr")).over(tot) * 1e6 + 0.5).as("ecdf_curr_ppm"))
+      .withColumn("gap_ppm", abs(col("ecdf_base_ppm") - col("ecdf_curr_ppm")))
+      .withColumn("ks_ppm", max(col("gap_ppm")).over(tot))
+      .orderBy("bin")
+  }
+
+  def ksDriftOracle: String = """
+    WITH binned AS (
+      SELECT least(CAST(floor(l_extendedprice / 5500.0) AS BIGINT), 19) AS bin,
+             l_shipdate < TIMESTAMP '1997-01-01' AS is_base
+      FROM lineitem),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+      FROM binned GROUP BY bin),
+    e AS (
+      SELECT bin, n_base, n_curr,
+             CAST(floor(CAST(sum(n_base) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(n_base) OVER () * 1e6 + 0.5) AS BIGINT) AS ecdf_base_ppm,
+             CAST(floor(CAST(sum(n_curr) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(n_curr) OVER () * 1e6 + 0.5) AS BIGINT) AS ecdf_curr_ppm
+      FROM counts),
+    g AS (
+      SELECT *, abs(ecdf_base_ppm - ecdf_curr_ppm) AS gap_ppm FROM e)
+    SELECT bin, n_base, n_curr, ecdf_base_ppm, ecdf_curr_ppm, gap_ppm,
+           max(gap_ppm) OVER () AS ks_ppm
+    FROM g ORDER BY bin"""
+
+  /** q1n: ENTROPY / KL-DIVERGENCE DRIFT of a categorical column —
+    * Shannon entropy of `o_orderpriority` in each half of the order
+    * history plus KL(base‖current), the information-theoretic drift
+    * reading (PSI is the symmetrized cousin; KL is what a
+    * language-model data pipeline monitors for label/category shift).
+    * Laplace-smoothed (+1 per category, denominator + n_categories with
+    * n_categories read from the same aggregate — no hardcoded arity),
+    * shares in exact ppm, terms recomputed FROM the integer shares and
+    * emitted ×1e9 (q1e's encoding), totals as order-independent integer
+    * window sums. ONE scan over orders; everything after is 5 rows. */
+  def entropyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cut = lit("1996-01-01").cast("date")
+    val counts = o.groupBy("o_orderpriority").agg(
+      sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_curr"))
+    val tot = Window.partitionBy()
+    val nCat = count(lit(1)).over(tot)
+    val sm = counts.select(
+      col("o_orderpriority"), col("n_base"), col("n_curr"),
+      floor((col("n_base") + 1.0) / (sum(col("n_base")).over(tot) + nCat) * 1e6 + 0.5)
+        .as("p_base_ppm"),
+      floor((col("n_curr") + 1.0) / (sum(col("n_curr")).over(tot) + nCat) * 1e6 + 0.5)
+        .as("p_curr_ppm"))
+    val pb = greatest(col("p_base_ppm"), lit(1L)).cast("double") / 1e6
+    val pc = greatest(col("p_curr_ppm"), lit(1L)).cast("double") / 1e6
+    sm.select(
+      col("o_orderpriority"), col("n_base"), col("n_curr"),
+      col("p_base_ppm"), col("p_curr_ppm"),
+      floor(-pb * log(pb) * 1e9 + 0.5).as("h_base_term_e9"),
+      floor(-pc * log(pc) * 1e9 + 0.5).as("h_curr_term_e9"),
+      floor(pb * log(pb / pc) * 1e9 + 0.5).as("kl_term_e9"))
+      .withColumn("h_base_e9", sum(col("h_base_term_e9")).over(tot))
+      .withColumn("h_curr_e9", sum(col("h_curr_term_e9")).over(tot))
+      .withColumn("kl_e9", sum(col("kl_term_e9")).over(tot))
+      .orderBy("o_orderpriority")
+  }
+
+  def entropyDriftOracle: String = """
+    WITH counts AS (
+      SELECT o_orderpriority,
+             sum(CASE WHEN o_orderdate <  DATE '1996-01-01' THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS n_curr
+      FROM orders GROUP BY o_orderpriority),
+    sm AS (
+      SELECT o_orderpriority, n_base, n_curr,
+             CAST(floor((n_base + 1.0)
+                 / (sum(n_base) OVER () + count(1) OVER ()) * 1e6 + 0.5)
+               AS BIGINT) AS p_base_ppm,
+             CAST(floor((n_curr + 1.0)
+                 / (sum(n_curr) OVER () + count(1) OVER ()) * 1e6 + 0.5)
+               AS BIGINT) AS p_curr_ppm
+      FROM counts),
+    t AS (
+      SELECT o_orderpriority, n_base, n_curr, p_base_ppm, p_curr_ppm,
+             CAST(floor(-(CAST(greatest(p_base_ppm, 1) AS DOUBLE) / 1e6)
+               * ln(CAST(greatest(p_base_ppm, 1) AS DOUBLE) / 1e6)
+               * 1e9 + 0.5) AS BIGINT) AS h_base_term_e9,
+             CAST(floor(-(CAST(greatest(p_curr_ppm, 1) AS DOUBLE) / 1e6)
+               * ln(CAST(greatest(p_curr_ppm, 1) AS DOUBLE) / 1e6)
+               * 1e9 + 0.5) AS BIGINT) AS h_curr_term_e9,
+             CAST(floor((CAST(greatest(p_base_ppm, 1) AS DOUBLE) / 1e6)
+               * ln((CAST(greatest(p_base_ppm, 1) AS DOUBLE) / 1e6)
+                    / (CAST(greatest(p_curr_ppm, 1) AS DOUBLE) / 1e6))
+               * 1e9 + 0.5) AS BIGINT) AS kl_term_e9
+      FROM sm)
+    SELECT o_orderpriority, n_base, n_curr, p_base_ppm, p_curr_ppm,
+           h_base_term_e9, h_curr_term_e9, kl_term_e9,
+           sum(h_base_term_e9) OVER () AS h_base_e9,
+           sum(h_curr_term_e9) OVER () AS h_curr_e9,
+           sum(kl_term_e9) OVER () AS kl_e9
+    FROM t ORDER BY o_orderpriority"""
 }

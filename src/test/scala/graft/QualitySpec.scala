@@ -557,4 +557,34 @@ class QualitySpec extends SparkSpec {
     assert(total > 0, "near-neighbor lattice must close triangles")
     assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
   }
+
+  test("ksDrift: ECDFs are monotone, terminate at exactly 1e6 ppm, and ks is the max gap") {
+    val rows = Quality.ksDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val last = rows.last
+    assert(last.getAs[Long]("ecdf_base_ppm") == 1000000L)
+    assert(last.getAs[Long]("ecdf_curr_ppm") == 1000000L)
+    def monotone(c: String) = rows.map(_.getAs[Long](c)).toSeq
+      .sliding(2).forall(p => p.head <= p.last)
+    assert(monotone("ecdf_base_ppm") && monotone("ecdf_curr_ppm"))
+    val ks = last.getAs[Long]("ks_ppm")
+    assert(rows.map(_.getAs[Long]("gap_ppm")).max == ks)
+    assert(rows.forall(_.getAs[Long]("ks_ppm") == ks), "ks replicated on every row")
+  }
+
+  test("entropyDrift: shares sum to ~1e6, KL >= 0 within rounding, entropy bounded by ln(k)") {
+    val rows = Quality.entropyDrift(spark, sfDir).collect()
+    val k = rows.length
+    assert(k >= 2)
+    def shareSum(c: String) = rows.map(_.getAs[Long](c)).sum
+    // each share rounds within 0.5 ppm of truth → total within k/2 + 1
+    assert(math.abs(shareSum("p_base_ppm") - 1000000L) <= k / 2 + 1)
+    assert(math.abs(shareSum("p_curr_ppm") - 1000000L) <= k / 2 + 1)
+    // Gibbs: true KL >= 0; integer rounding can dent each term by <= 1e-9
+    assert(rows.head.getAs[Long]("kl_e9") >= -k)
+    val maxEnt = (math.log(k) * 1e9).toLong + k // ln(k) is the entropy cap
+    assert(rows.head.getAs[Long]("h_base_e9") <= maxEnt)
+    assert(rows.head.getAs[Long]("h_curr_e9") <= maxEnt)
+    assert(rows.head.getAs[Long]("h_base_e9") > 0)
+  }
 }
