@@ -106,6 +106,8 @@ object SparkEntry {
     "q3l_checkpoint_recovery" -> (StreamEvents.hourlyAggCheckpointRecovery _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     "q75_asof_join_native"  -> (TimeJoin.asofClickPurchaseNative _),
+    "q3m_ewma_hourly"       -> (TimeSeries.ewmaHourly _),
+    "q3n_event_transitions" -> (TimeSeries.eventTransitions _),
     // —— text analysis (E-13) ——
     "q40_token_stats"       -> (Text.tokenStats _),
     "q41_quality_score"     -> (Text.qualityScore _),
@@ -532,6 +534,8 @@ object SparkEntry {
     "q1e_distribution_drift" -> Quality.distributionDriftOracle,
     "q1l_data_profile_approx" -> Quality.dataProfileApproxOracle,
     "q1m_ks_drift"          -> Quality.ksDriftOracle,
+    "q3m_ewma_hourly"       -> TimeSeries.ewmaHourlyOracle,
+    "q3n_event_transitions" -> TimeSeries.eventTransitionsOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

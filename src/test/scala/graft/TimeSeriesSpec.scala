@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** EWMA / transition-matrix semantics, checked against a driver-side
+  * hand replay of the same integer arithmetic on the fixture. */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ewmaHourly: exact hand-replay of the dyadic weighting for one event type") {
+    val rows = TimeSeries.ewmaHourly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val tpe = rows.head.getAs[String]("event_type")
+    val hourly = rows.filter(_.getAs[String]("event_type") == tpe)
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("n")).toMap
+    rows.filter(_.getAs[String]("event_type") == tpe).foreach { r =>
+      val h = r.getAs[Long]("h")
+      val terms = (0 to 11).flatMap { d =>
+        hourly.get(h - d).map(pn => (pn * (1L << (11 - d)), 1L << (11 - d)))
+      }
+      val (num, den) = (terms.map(_._1).sum, terms.map(_._2).sum)
+      assert(r.getAs[Long]("num") == num && r.getAs[Long]("den") == den,
+        s"h=$h: got (${r.getAs[Long]("num")}, ${r.getAs[Long]("den")}), expected ($num, $den)")
+      assert(r.getAs[Long]("ewma_milli") ==
+        math.floor(num.toDouble / den * 1000.0 + 0.5).toLong)
+    }
+  }
+
+  test("ewmaHourly: weight budget bounds (den in [2048, 4095]) and ewma within the count range") {
+    val rows = TimeSeries.ewmaHourly(spark, sfDir).collect()
+    rows.foreach { r =>
+      val den = r.getAs[Long]("den")
+      // delta=0 always matches itself (2^11); a full 12-hour window is 2^12-1
+      assert(den >= 2048 && den <= 4095, s"den=$den out of range")
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val ns = rs.map(_.getAs[Long]("n"))
+      val (lo, hi) = (ns.min * 1000, ns.max * 1000)
+      rs.foreach { r =>
+        val e = r.getAs[Long]("ewma_milli")
+        assert(e >= lo - 500 && e <= hi + 500, s"ewma $e outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("eventTransitions: rows normalize to ~1e6 ppm and transitions count = events - users") {
+    val rows = TimeSeries.eventTransitions(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25, "at most 5x5 transition cells")
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val s = rs.map(_.getAs[Long]("p_ppm")).sum
+      assert(math.abs(s - 1000000L) <= rs.length / 2 + 1, s"$ft ppm sum $s")
+    }
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "every event except each user's last contributes one transition")
+  }
+}
