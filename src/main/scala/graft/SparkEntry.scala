@@ -60,7 +60,10 @@ object SparkEntry {
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
     "q2h_scd2_point_in_time" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2PointInTime(s, d)),
+    "q2i_rfm_segments"      -> (Relational.rfmSegments _),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q4l_cms_heavy_hitters" -> (Quality.cmsHeavyHitters _),
+    "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -536,6 +539,9 @@ object SparkEntry {
     "q1m_ks_drift"          -> Quality.ksDriftOracle,
     "q3m_ewma_hourly"       -> TimeSeries.ewmaHourlyOracle,
     "q3n_event_transitions" -> TimeSeries.eventTransitionsOracle,
+    "q2i_rfm_segments"      -> Relational.rfmSegmentsOracle,
+    "q4l_cms_heavy_hitters" -> Quality.cmsHeavyHittersOracle,
+    "q6e_pca_audit"         -> Similarity.pcaAuditOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -466,4 +466,48 @@ object Quality {
            sum(h_curr_term_e9) OVER () AS h_curr_e9,
            sum(kl_term_e9) OVER () AS kl_e9
     FROM t ORDER BY o_orderpriority"""
+
+  /** q4l: COUNT-MIN SKETCH heavy-hitter contract — the streaming-sketch
+    * sibling of q4c's Misra-Gries: a seeded CMS (ε=0.005, δ=0.01,
+    * ~5×544 counters, ≈20 KB) is built over `events.user_id` in one
+    * distributed aggregate, then probed for the exact top-10 users. The
+    * graded row folds the sketch guarantee the q25/q62 way: a CMS never
+    * under-counts, and over-counts by ≤ ε·N w.h.p. — with the seed
+    * pinned the estimate is a deterministic function of the multiset,
+    * so `cms_within_bound` is reproducible and the oracle replays the
+    * exact side plus literal `true`.
+    *
+    * Driver-side state is the q25-class bounded probe set: the ≈20 KB
+    * sketch (`stat.countMinSketch` is a treeAggregate), one scalar
+    * count, one 10-row exact top-k — each independent of corpus size.
+    * At 100 TB nothing changes: the sketch size is fixed by (ε, δ),
+    * not by N. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.005
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev.stat.countMinSketch("user_id", eps, 0.99, seed = 42)
+    val n = ev.count()
+    val slack = math.ceil(eps * n).toLong
+    val top = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(10).collect() // bounded 10-row probe (q25 pattern)
+    top.toSeq.map { r =>
+        val uid = r.getLong(0); val exact = r.getLong(1)
+        val est = sketch.estimateCount(uid)
+        (uid, exact, est >= exact && est <= exact + slack)
+      }
+      .toDF("user_id", "exact_n", "cms_within_bound")
+      .orderBy("user_id")
+  }
+
+  def cmsHeavyHittersOracle: String = """
+    WITH top10 AS (
+      SELECT user_id, count(1) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10)
+    SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           true AS cms_within_bound
+    FROM top10 ORDER BY user_id"""
 }

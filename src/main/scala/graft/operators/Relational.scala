@@ -803,4 +803,67 @@ object Relational {
         round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("rmse"),
         count(lit(1)).as("n_scored"))
   }
+
+  /** q2i: RFM SEGMENTATION — the classic warehouse customer cube:
+    * recency (last order date), frequency (order count), monetary
+    * (lifetime spend), each quintiled, then the 5×5×5 segment summary.
+    *
+    * Determinism is engineered the q1e way: monetary is quantized to
+    * exact integer CENTS per order row (`floor(p·100 + 0.5)` on the
+    * identical parquet double is bit-identical in every engine) BEFORE
+    * summing, so the per-customer totals the ntile orders on are exact
+    * integers — a raw double sum could flip adjacent near-tied
+    * customers across engines. All ntile orderings carry the custkey
+    * tiebreak, segment metrics are integer sums / floored ratios.
+    *
+    * Plan: one orders scan → per-customer hash aggregate; the three
+    * ntile windows run over the REDUCED per-customer side (|customers|
+    * ≪ |orders|). They are global-sort windows — the standard
+    * segmentation plan; at billions of customers the swap is
+    * `approx_percentile` cut points (q58's sketch) applied as plain
+    * comparisons, same downstream shape. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(spark, dir).groupBy("o_custkey").agg(
+      max("o_orderdate").as("last_order"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("o_totalprice") * 100 + 0.5)).as("monetary_cents"))
+    val rTile = ntile(5).over(Window.orderBy(col("last_order").desc, col("o_custkey")))
+    val fTile = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+    val mTile = ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey")))
+    cust.select(
+        col("frequency"), col("monetary_cents"),
+        rTile.cast("long").as("r_tile"),
+        fTile.cast("long").as("f_tile"),
+        mTile.cast("long").as("m_tile"))
+      .groupBy("r_tile", "f_tile", "m_tile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("monetary_cents").as("total_monetary_cents"),
+        floor(sum("frequency").cast("double") / count(lit(1)) * 1000 + 0.5)
+          .as("avg_frequency_milli"))
+      .orderBy("r_tile", "f_tile", "m_tile")
+  }
+
+  def rfmSegmentsOracle: String = """
+    WITH cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(1) AS frequency,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    t AS (
+      SELECT frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_tile,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_tile
+      FROM cust)
+    SELECT CAST(r_tile AS BIGINT) AS r_tile,
+           CAST(f_tile AS BIGINT) AS f_tile,
+           CAST(m_tile AS BIGINT) AS m_tile,
+           CAST(count(1) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents,
+           CAST(floor(CAST(sum(frequency) AS DOUBLE) / count(1) * 1000 + 0.5)
+             AS BIGINT) AS avg_frequency_milli
+    FROM t GROUP BY r_tile, f_tile, m_tile
+    ORDER BY r_tile, f_tile, m_tile"""
 }

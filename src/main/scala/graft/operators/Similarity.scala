@@ -117,7 +117,7 @@ object Similarity {
     val query = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"))
     assigned
-      .filter(col("vec_id") =!= queryId && col("cent_id").isin(probeLists: _*))
+      .filter(col("vec_id") =!= queryId && col("cent_id").isin(probeLists.toIndexedSeq: _*))
       .join(broadcast(query))
       .select(col("vec_id"), col("label"),
         round(cosineSim(col("embedding"), col("q")), 4).as("cosine"))
@@ -366,6 +366,53 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("cent_id")
   }
+
+  /** q6e: PCA EXPLAINED-VARIANCE AUDIT — fits spark.ml PCA (k=8) over
+    * the embedding corpus and grades the spectrum through mathematical
+    * invariants, the q6b/q25 contract pattern: explained-variance
+    * ratios must be non-increasing (eigenvalues sorted), each in
+    * [0, 1], their total ≤ 1 + ulp slack, and — the pigeonhole fact
+    * that holds for ANY spectrum — the top-k of d components retain at
+    * least k/d of the variance. PCA itself is seedless, deterministic
+    * dense linear algebra (covariance + eigendecomposition), but its
+    * raw loadings are BLAS/sign dependent across builds, so only the
+    * invariant booleans and exact corpus facts are graded; the oracle
+    * replays the exact side plus literal `true`s.
+    *
+    * Scale: `PCA.fit` is one treeAggregate building the d×d Gramian
+    * (d=64 → 32 KB per partition) + an O(d³) driver eigensolve — the
+    * textbook distributed-PCA shape; n never materializes anywhere. */
+  def pcaAudit(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val dimProbe = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0) // bounded 1-row probe
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(k)
+      .fit(emb)
+    val evr = model.explainedVariance.toArray
+    val nVec = emb.count()
+    Seq((
+        nVec, dimProbe.toLong, k.toLong,
+        evr.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12),
+        evr.forall(v => v >= 0.0 && v <= 1.0 + 1e-12),
+        evr.sum <= 1.0 + 1e-9,
+        evr.sum >= k.toDouble / dimProbe - 1e-9))
+      .toDF("n_vectors", "dim", "k", "evr_monotone", "evr_in_unit",
+        "evr_sum_le_1", "evr_sum_ge_uniform")
+  }
+
+  def pcaAuditOracle: String = """
+    SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+           CAST(max(len(embedding)) AS BIGINT) AS dim,
+           CAST(8 AS BIGINT) AS k,
+           true AS evr_monotone,
+           true AS evr_in_unit,
+           true AS evr_sum_le_1,
+           true AS evr_sum_ge_uniform
+    FROM embeddings"""
 
   /** q6d: BINARY QUANTIZATION + HAMMING SEARCH — the 1-bit-per-dim
     * compression every large vector store offers (32× smaller than

@@ -362,4 +362,12 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("delta")) < 1e-9)
     }
   }
+
+  test("pcaAudit: spectrum invariants hold and corpus facts match the table") {
+    val r = Similarity.pcaAudit(spark, sfDir).head()
+    assert(r.getAs[Long]("n_vectors") == Tables.embeddings(spark, sfDir).count())
+    assert(r.getAs[Long]("dim") == 64L && r.getAs[Long]("k") == 8L)
+    Seq("evr_monotone", "evr_in_unit", "evr_sum_le_1", "evr_sum_ge_uniform")
+      .foreach(c => assert(r.getAs[Boolean](c), c))
+  }
 }

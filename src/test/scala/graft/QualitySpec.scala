@@ -558,6 +558,17 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
   }
 
+  test("cmsHeavyHitters: sketch honors the (eps, delta) bound on every probed heavy hitter") {
+    val rows = Quality.cmsHeavyHitters(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getAs[Boolean]("cms_within_bound"), r.toString))
+    // probes are the true top-10: exact counts dominate the rest of the table
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(_.getAs[Long]("count")).sorted(Ordering[Long].reverse)
+    val floor10 = counts.take(10).min
+    assert(rows.forall(_.getAs[Long]("exact_n") >= floor10))
+  }
+
   test("ksDrift: ECDFs are monotone, terminate at exactly 1e6 ppm, and ks is the max gap") {
     val rows = Quality.ksDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

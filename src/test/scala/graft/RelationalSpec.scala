@@ -181,4 +181,22 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_scored") > 0)
     assert(r.getAs[Double]("rmse") >= 0.0)
   }
+
+  test("rfmSegments: quintiles balance, totals reconcile against the orders table") {
+    val rows = Relational.rfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val o = Tables.orders(spark, sfDir)
+    val nCust = o.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // each dimension's quintiles partition customers into near-equal fifths
+    Seq("r_tile", "f_tile", "m_tile").foreach { dim =>
+      val byTile = rows.groupBy(_.getAs[Long](dim))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(byTile.keySet == (1L to 5L).toSet, s"$dim: ${byTile.keySet}")
+      assert(byTile.values.max - byTile.values.min <= 1, s"$dim unbalanced: $byTile")
+    }
+    val totalCents = o.select(
+      sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("total_monetary_cents")).sum == totalCents)
+  }
 }
