@@ -83,6 +83,9 @@ object SparkEntry {
     "q1l_data_profile_approx" -> (Quality.dataProfileApprox _),
     "q1m_ks_drift"          -> (Quality.ksDrift _),
     "q1n_entropy_drift"     -> (Quality.entropyDrift _),
+    "q1o_benford_audit"     -> (Quality.benfordAudit _),
+    "q1p_key_skew_profile"  -> (Quality.keySkewProfile _),
+    "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
@@ -542,6 +545,9 @@ object SparkEntry {
     "q2i_rfm_segments"      -> Relational.rfmSegmentsOracle,
     "q4l_cms_heavy_hitters" -> Quality.cmsHeavyHittersOracle,
     "q6e_pca_audit"         -> Similarity.pcaAuditOracle,
+    "q1o_benford_audit"     -> Quality.benfordAuditOracle,
+    "q1p_key_skew_profile"  -> Quality.keySkewProfileOracle,
+    "q3o_volume_anomalies"  -> TimeSeries.volumeAnomaliesOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -510,4 +510,116 @@ object Quality {
     SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
            true AS cms_within_bound
     FROM top10 ORDER BY user_id"""
+
+  /** q1o: BENFORD FIRST-DIGIT AUDIT — the forensic-accounting screen
+    * for fabricated or truncated numeric columns: observed leading-digit
+    * shares of order totals vs the Benford expectation log10(1 + 1/d).
+    *
+    * The digit is extracted from the exact integer CENTS (q2i's
+    * quantization), cast to string — integer-to-string is identical in
+    * every engine, where double-to-string shortest-round-trip
+    * formatting is not. Shares are ppm integers from integer counts;
+    * the expected shares go through the same floor(·1e6 + 0.5) grid, so
+    * deviation and its max are pure integer arithmetic. One scan, 9
+    * output rows. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir).select(
+      substring(floor(col("o_totalprice") * 100 + 0.5).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = Window.partitionBy()
+    digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      .select(
+        col("digit"), col("n"),
+        floor(col("n").cast("double") / sum(col("n")).over(tot) * 1e6 + 0.5)
+          .as("share_ppm"),
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6 + 0.5)
+          .as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .withColumn("max_dev_ppm", max(col("dev_ppm")).over(tot))
+      .orderBy("digit")
+  }
+
+  def benfordAuditOracle: String = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders),
+    c AS (SELECT digit, count(1) AS n FROM d GROUP BY digit),
+    s AS (
+      SELECT digit, CAST(n AS BIGINT) AS n,
+             CAST(floor(CAST(n AS DOUBLE) / sum(n) OVER () * 1e6 + 0.5)
+               AS BIGINT) AS share_ppm,
+             CAST(floor(log10(1.0 + 1.0 / digit) * 1e6 + 0.5)
+               AS BIGINT) AS benford_ppm
+      FROM c)
+    SELECT digit, n, share_ppm, benford_ppm,
+           abs(share_ppm - benford_ppm) AS dev_ppm,
+           max(abs(share_ppm - benford_ppm)) OVER () AS max_dev_ppm
+    FROM s ORDER BY digit"""
+
+  /** q1p: KEY-SKEW PROFILE — the pre-flight check for any keyed
+    * shuffle: how concentrated is traffic across `events.user_id`?
+    * Emits the exact Gini coefficient of the per-key count
+    * distribution plus top-1/top-10 key shares — the numbers that
+    * decide whether a join needs salting (q27) before it runs.
+    *
+    * Gini = (2·Σᵢ i·xᵢ) / (k·Σxᵢ) − (k+1)/k over counts sorted
+    * ascending with rank i: every sum is an exact integer over the
+    * REDUCED per-key aggregate (ties rank-pinned by key), so the one
+    * float division lands on identical doubles in both engines. The
+    * rank window sorts |keys| rows, not facts; at billions of keys the
+    * swap is the q58 quantile sketch over the count distribution —
+    * same output contract. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.orderBy(col("n"), col("user_id"))
+    val tot = Window.partitionBy()
+    val ranked = perKey
+      .withColumn("i", row_number().over(rk).cast("long"))
+      .withColumn("k", count(lit(1)).over(tot))
+      .withColumn("rev", col("k") - col("i") + 1L) // 1 = heaviest
+    ranked.agg(
+        max(col("k")).as("n_keys"),
+        sum(col("n")).as("total"),
+        sum(col("i") * col("n")).as("weighted_rank_sum"),
+        sum(when(col("rev") === 1L, col("n")).otherwise(0L)).as("top1_n"),
+        sum(when(col("rev") <= 10L, col("n")).otherwise(0L)).as("top10_n"))
+      .select(
+        col("n_keys"), col("total"), col("weighted_rank_sum"),
+        floor((col("weighted_rank_sum") * 2.0
+            / (col("n_keys").cast("double") * col("total"))
+            - (col("n_keys") + 1.0) / col("n_keys")) * 1e6 + 0.5)
+          .as("gini_e6"),
+        floor(col("top1_n").cast("double") / col("total") * 1e6 + 0.5)
+          .as("top1_share_ppm"),
+        floor(col("top10_n").cast("double") / col("total") * 1e6 + 0.5)
+          .as("top10_share_ppm"))
+  }
+
+  def keySkewProfileOracle: String = """
+    WITH perkey AS (
+      SELECT user_id, count(1) AS n FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n, user_id) AS i,
+             count(1) OVER () AS k
+      FROM perkey),
+    a AS (
+      SELECT max(k) AS n_keys, sum(n) AS total,
+             sum(i * n) AS weighted_rank_sum,
+             sum(CASE WHEN k - i + 1 = 1  THEN n ELSE 0 END) AS top1_n,
+             sum(CASE WHEN k - i + 1 <= 10 THEN n ELSE 0 END) AS top10_n
+      FROM ranked)
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total AS BIGINT) AS total,
+           CAST(weighted_rank_sum AS BIGINT) AS weighted_rank_sum,
+           CAST(floor((CAST(weighted_rank_sum AS DOUBLE) * 2.0
+               / (CAST(n_keys AS DOUBLE) * total)
+               - (n_keys + 1.0) / n_keys) * 1e6 + 0.5) AS BIGINT) AS gini_e6,
+           CAST(floor(CAST(top1_n AS DOUBLE) / total * 1e6 + 0.5)
+             AS BIGINT) AS top1_share_ppm,
+           CAST(floor(CAST(top10_n AS DOUBLE) / total * 1e6 + 0.5)
+             AS BIGINT) AS top10_share_ppm
+    FROM a"""
 }

@@ -105,4 +105,55 @@ object TimeSeries {
            CAST(floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
              * 1e6 + 0.5) AS BIGINT) AS p_ppm
     FROM counts ORDER BY from_type, to_type"""
+
+  /** q3o: HOURLY VOLUME ANOMALIES — the alerting read over q3m's
+    * series: hours whose event count sits more than 3 population
+    * standard deviations from that type's mean.
+    *
+    * Mean and variance come from the exact integer moments (Σn, Σn²)
+    * of the hourly counts: `var = Σn²/k − (Σn/k)²` evaluates the same
+    * doubles in every engine because the inputs are integers and
+    * division/sqrt are correctly-rounded IEEE ops — so the z-scores
+    * and the ±3σ cut are deterministic, no q1e-style boundary risk.
+    * The anomaly filter runs on the INTEGER milli-z (|z| ≥ 3000),
+    * and each row carries its type's anomaly count (window) so the
+    * output is self-contained. One scan → hourly aggregate → per-type
+    * window over ≤|types|·|hours| rows. */
+  def volumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val k = count(lit(1)).over(byType).cast("double")
+    val mean = sum(col("n")).over(byType) / k
+    val varPop = sum(col("n") * col("n")).over(byType) / k - mean * mean
+    val z = hourly
+      .withColumn("z_milli",
+        floor((col("n") - mean) / sqrt(varPop) * 1000 + 0.5))
+      .filter(abs(col("z_milli")) >= 3000)
+    z.withColumn("n_anomalies", count(lit(1)).over(byType))
+      .select("event_type", "h", "n", "z_milli", "n_anomalies")
+      .orderBy("event_type", "h")
+  }
+
+  def volumeAnomaliesOracle: String = """
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             count(1) AS n
+      FROM events GROUP BY 1, 2),
+    z AS (
+      SELECT event_type, h, CAST(n AS BIGINT) AS n,
+             CAST(floor((n - sum(n) OVER w / CAST(count(1) OVER w AS DOUBLE))
+               / sqrt(sum(n * n) OVER w / CAST(count(1) OVER w AS DOUBLE)
+                 - (sum(n) OVER w / CAST(count(1) OVER w AS DOUBLE))
+                   * (sum(n) OVER w / CAST(count(1) OVER w AS DOUBLE)))
+               * 1000 + 0.5) AS BIGINT) AS z_milli
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type)),
+    f AS (SELECT * FROM z WHERE abs(z_milli) >= 3000)
+    SELECT event_type, h, n, z_milli,
+           count(1) OVER (PARTITION BY event_type) AS n_anomalies
+    FROM f ORDER BY event_type, h"""
 }

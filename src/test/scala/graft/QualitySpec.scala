@@ -558,6 +558,40 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
   }
 
+  test("benfordAudit: digits 1-9 covered, shares sum to ~1e6, expectations match closed form") {
+    val rows = Quality.benfordAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet == (1L to 9L).toSet)
+    val s = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(math.abs(s - 1000000L) <= 5)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit").toDouble
+      val expected = math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("benford_ppm") == expected)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("share_ppm") - expected))
+    }
+    val maxDev = rows.map(_.getAs[Long]("dev_ppm")).max
+    assert(rows.forall(_.getAs[Long]("max_dev_ppm") == maxDev))
+  }
+
+  test("keySkewProfile: exact hand-replay of the Gini over per-key counts") {
+    val r = Quality.keySkewProfile(spark, sfDir).head()
+    val counts = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("count"))
+      .sortBy { case (uid, n) => (n, uid) }.map(_._2)
+    val k = counts.length.toLong
+    val tot = counts.sum
+    val wrs = counts.zipWithIndex.map { case (n, i) => (i + 1) * n }.sum
+    assert(r.getAs[Long]("n_keys") == k && r.getAs[Long]("total") == tot)
+    assert(r.getAs[Long]("weighted_rank_sum") == wrs)
+    val gini = math.floor((wrs * 2.0 / (k.toDouble * tot) - (k + 1.0) / k) * 1e6 + 0.5).toLong
+    assert(r.getAs[Long]("gini_e6") == gini)
+    assert(gini >= 0 && gini < 1000000L, "Gini must sit in [0, 1)")
+    val top10 = counts.takeRight(10).sum
+    assert(r.getAs[Long]("top10_share_ppm") ==
+      math.floor(top10.toDouble / tot * 1e6 + 0.5).toLong)
+  }
+
   test("cmsHeavyHitters: sketch honors the (eps, delta) bound on every probed heavy hitter") {
     val rows = Quality.cmsHeavyHitters(spark, sfDir).collect()
     assert(rows.length == 10)

@@ -43,6 +43,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("volumeAnomalies: hand-replay of z from exact integer moments; all rows pass the 3-sigma cut") {
+    val rows = TimeSeries.volumeAnomalies(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture should surface at least one >=3-sigma hour")
+    // rebuild the hourly series and per-type moments driver-side
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("h"), r.getAs[Long]("n")))
+    val byType = hourly.groupBy(_._1)
+    rows.foreach { r =>
+      val (tpe, h, n) = (r.getAs[String]("event_type"), r.getAs[Long]("h"), r.getAs[Long]("n"))
+      val series = byType(tpe)
+      val k = series.length.toDouble
+      val mean = series.map(_._3).sum / k
+      val varPop = series.map(x => x._3 * x._3).sum / k - mean * mean
+      val zMilli = math.floor((n - mean) / math.sqrt(varPop) * 1000 + 0.5).toLong
+      assert(r.getAs[Long]("z_milli") == zMilli, s"($tpe, $h)")
+      assert(math.abs(zMilli) >= 3000)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.forall(_.getAs[Long]("n_anomalies") == rs.length))
+    }
+  }
+
   test("eventTransitions: rows normalize to ~1e6 ppm and transitions count = events - users") {
     val rows = TimeSeries.eventTransitions(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 25, "at most 5x5 transition cells")
