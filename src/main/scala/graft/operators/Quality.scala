@@ -102,14 +102,23 @@ object Quality {
     val li = Tables.lineitem(spark, dir)
     val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
       "l_discount", "l_returnflag", "l_linestatus")
-    val aggs = cols.flatMap { c =>
+    // TWO ARMS, deliberately separate plans. The sketch arm is the
+    // 100 TB plan being demonstrated: no distinct aggregate anywhere,
+    // so NO EXPAND — one true single-pass hash-agg. The exact arm
+    // exists only to grade the ±5% contract and carries q1d's
+    // inherent EXPAND cost. Fusing them into one agg (round 5's form)
+    // dragged the 6 HLL buffers through the 6-way EXPAND replication
+    // and cost 5.9× q1d (56.7 s vs 9.6 s at sf0.1); split, the sketch
+    // arm is ~0.5 s and the total is the exact arm's unavoidable cost.
+    val approxAggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         approx_count_distinct(col(c), 0.02).as(s"${c}__approx"))
     }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+    val one = li.agg(approxAggs.head, approxAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*)))
     val stackArgs = cols.map { c =>
       s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, `${c}__approx`"
     }.mkString(", ")

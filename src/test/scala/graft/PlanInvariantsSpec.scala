@@ -49,7 +49,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q2h_scd2_point_in_time" -> "1-row completeness audit",
     "q4k_containment_dedup" -> "1-row capped-gram-count aggregate folded onto every graded row",
     "q52_minhash_pairs"     -> "1-row recall-contract probes (truth/found/candidate aggregates)",
-    "q5f_pagerank_converged" -> "1-row dangling-mass aggregate redistributed each iteration")
+    "q5f_pagerank_converged" -> "1-row dangling-mass aggregate redistributed each iteration",
+    "q1l_data_profile_approx" -> "1-row exact-distinct contract arm broadcast onto the 1-row sketch arm")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
