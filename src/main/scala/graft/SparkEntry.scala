@@ -63,6 +63,8 @@ object SparkEntry {
     "q2i_rfm_segments"      -> (Relational.rfmSegments _),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q4l_cms_heavy_hitters" -> (Quality.cmsHeavyHitters _),
+    "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
+    "q4n_vocab_coverage"    -> ((s: SparkSession, d: String) => Text.vocabCoverage(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
@@ -156,6 +158,7 @@ object SparkEntry {
     "q5d_triangle_count"    -> (Graph.linkTriangles _),
     "q5e_bfs_hops"          -> (Graph.linkBfsHops _),
     "q5f_pagerank_converged" -> (Graph.linkPageRankConverged _),
+    "q5g_label_propagation" -> (Graph.linkLabelPropagation _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -548,6 +551,9 @@ object SparkEntry {
     "q1o_benford_audit"     -> Quality.benfordAuditOracle,
     "q1p_key_skew_profile"  -> Quality.keySkewProfileOracle,
     "q3o_volume_anomalies"  -> TimeSeries.volumeAnomaliesOracle,
+    "q5g_label_propagation" -> Graph.linkLabelPropagationOracle,
+    "q4m_padding_audit"     -> Curation.paddingAuditOracle,
+    "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -370,4 +370,62 @@ object Curation {
     GROUP BY 1, 2
     HAVING count(1) >= 50
     ORDER BY support DESC, tok_a, tok_b"""
+
+  /** q4m: PADDING-EFFICIENCY AUDIT for length-bucketed batching — the
+    * arithmetic behind every fixed-shape training batcher: docs are
+    * assigned to 64-token buckets, each bucket's batch shape pads to
+    * the bucket cap, and the audit prices the waste. Per bucket:
+    * docs, real tokens, padded tokens (n·cap), waste in ppm; every row
+    * also carries the UNBUCKETED waste (pad everything to the global
+    * cap — what naive batching costs) so the table reads as the
+    * bucketing win. All quantities are exact integers off one scan +
+    * one tiny aggregate; the two global scalars ride a 1-row window. */
+  def paddingAudit(spark: SparkSession, dir: String,
+      bucketWidth: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(
+      size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val tot = Window.partitionBy()
+    docs.withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("cap", (col("bucket") + 1) * bucketWidth)
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("waste_ppm",
+        floor((col("padded_tokens") - col("total_tokens")).cast("double")
+          / col("padded_tokens") * 1e6 + 0.5))
+      .withColumn("global_waste_ppm",
+        floor((sum(col("n_docs")).over(tot) * max(col("cap")).over(tot)
+            - sum(col("total_tokens")).over(tot)).cast("double")
+          / (sum(col("n_docs")).over(tot) * max(col("cap")).over(tot))
+          * 1e6 + 0.5))
+      .select("bucket", "n_docs", "total_tokens", "cap", "padded_tokens",
+        "waste_ppm", "global_waste_ppm")
+      .orderBy("bucket")
+  }
+
+  def paddingAuditOracle: String = """
+    WITH docs AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+    b AS (
+      SELECT n_tokens // 64 AS bucket, count(1) AS n_docs,
+             sum(n_tokens) AS total_tokens
+      FROM docs GROUP BY 1),
+    e AS (
+      SELECT bucket, n_docs, total_tokens,
+             (bucket + 1) * 64 AS cap,
+             n_docs * (bucket + 1) * 64 AS padded_tokens
+      FROM b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(cap AS BIGINT) AS cap,
+           CAST(padded_tokens AS BIGINT) AS padded_tokens,
+           CAST(floor(CAST(padded_tokens - total_tokens AS DOUBLE)
+             / padded_tokens * 1e6 + 0.5) AS BIGINT) AS waste_ppm,
+           CAST(floor(CAST(sum(n_docs) OVER () * max(cap) OVER ()
+               - sum(total_tokens) OVER () AS DOUBLE)
+             / (sum(n_docs) OVER () * max(cap) OVER ())
+             * 1e6 + 0.5) AS BIGINT) AS global_waste_ppm
+    FROM e ORDER BY bucket"""
 }

@@ -298,4 +298,80 @@ object Graph {
       .select(col("doc_id"), col("n_triangles"), col("total_triangles"))
       .orderBy("doc_id")
   }
+
+  /** Generic SYNCHRONOUS MIN-LABEL PROPAGATION — the community/
+    * partition detector between per-round-cheap PageRank and
+    * run-to-fixpoint connected components: every vertex starts
+    * labelled with its own id, and each round adopts the minimum label
+    * in its closed neighborhood (symmetrized edges). A fixed small
+    * round count is the deliberate contract (the q5b/q5e pattern: the
+    * oracle replays every round as a CTE stage); run to graph diameter
+    * it converges to [[Dedup.duplicateComponents]]' answer, and a
+    * convergence-driven run would reuse that loop's localCheckpoint +
+    * fixpoint-probe machinery. Per round: one shuffle join
+    * (labels ⋈ undirected edges) + one min-aggregate — the PageRank
+    * cost shape, on a symmetrized edge table cached once. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy("src").agg(min("lab").as("nbr_lab"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+    }
+    labels
+  }
+
+  /** q5g: 3-round label propagation over the deterministic affine link
+    * graph (q5b's edges, symmetrized) — emits the community-size
+    * histogram with the community count replicated per row. */
+  def linkLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * 31 + 7, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)),
+        pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
+    labelPropagation(docs.select(col("doc_id").as("id")), edges)
+      .groupBy("lab").agg(count(lit(1)).as("n_members"))
+      .withColumn("n_communities", count(lit(1)).over(Window.partitionBy()))
+      .select(col("lab").as("community"), col("n_members"), col("n_communities"))
+      .orderBy("community")
+  }
+
+  def linkLabelPropagationOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e0 AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 31 + 7) % n,
+                     (doc_id * 17 + 3) % n,
+                     (doc_id * 13 + 11) % n]) AS dst
+      FROM d CROSS JOIN nn),
+    und AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+    l0 AS (SELECT doc_id AS id, doc_id AS lab FROM d),
+    m1 AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l0 l ON und.dst = l.id GROUP BY und.src),
+    l1 AS (SELECT l0.id, least(l0.lab, coalesce(m1.nbr, l0.lab)) AS lab
+           FROM l0 LEFT JOIN m1 ON l0.id = m1.id),
+    m2 AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l1 l ON und.dst = l.id GROUP BY und.src),
+    l2 AS (SELECT l1.id, least(l1.lab, coalesce(m2.nbr, l1.lab)) AS lab
+           FROM l1 LEFT JOIN m2 ON l1.id = m2.id),
+    m3 AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l2 l ON und.dst = l.id GROUP BY und.src),
+    l3 AS (SELECT l2.id, least(l2.lab, coalesce(m3.nbr, l2.lab)) AS lab
+           FROM l2 LEFT JOIN m3 ON l2.id = m3.id),
+    g AS (SELECT lab, count(1) AS n_members FROM l3 GROUP BY lab)
+    SELECT lab AS community, CAST(n_members AS BIGINT) AS n_members,
+           count(1) OVER () AS n_communities
+    FROM g ORDER BY community"""
 }

@@ -414,4 +414,45 @@ object Text {
       regexp_count(col("txt"), lit(PhoneRe)).cast("long").as("n_phones"))
       .orderBy("doc_id")
   }
+
+  /** q4n: VOCABULARY COVERAGE / OOV-RATE AUDIT — the tokenizer-fit
+    * check run before committing a vocab: fit the top-100 tokens
+    * in-job (frequency desc, token asc — the boundary tie is pinned),
+    * then measure each language's out-of-vocabulary token rate against
+    * it. The vocab is a 100-row broadcast (at any corpus size — the
+    * vocab is fixed by construction); the corpus side is one explode +
+    * one broadcast-hash left join + one hash aggregate. Counts are
+    * integers; the rate is one floored ppm division. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 100): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_ppm",
+        floor(col("oov_tokens").cast("double") / col("total_tokens") * 1e6 + 0.5))
+      .orderBy("lang")
+  }
+
+  def vocabCoverageOracle: String = """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(1) AS cnt FROM tok GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 100)),
+    j AS (
+      SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+    SELECT lang, CAST(count(1) AS BIGINT) AS total_tokens,
+           CAST(sum(oov) AS BIGINT) AS oov_tokens,
+           CAST(floor(CAST(sum(oov) AS DOUBLE) / count(1) * 1e6 + 0.5)
+             AS BIGINT) AS oov_ppm
+    FROM j GROUP BY lang ORDER BY lang"""
 }

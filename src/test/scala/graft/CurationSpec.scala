@@ -134,4 +134,26 @@ class CurationSpec extends SparkSpec {
           s"($lang, $shard) bins not contiguous: ${ids.mkString(",")}")
       }
   }
+
+  test("paddingAudit: token conservation, waste identities, bucketing beats naive padding") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.paddingAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val corpusTokens = Tables.documents(spark, sfDir)
+      .select(sum(size(graft.operators.Text.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum == corpusTokens)
+    rows.foreach { r =>
+      val (cap, nd, tt, pt) = (r.getAs[Long]("cap"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("padded_tokens"))
+      assert(pt == nd * cap && tt <= pt, r.toString)
+      assert(r.getAs[Long]("waste_ppm") ==
+        math.floor((pt - tt).toDouble / pt * 1e6 + 0.5).toLong)
+    }
+    // total bucketed waste strictly beats padding everything to the global cap
+    val bucketedPadded = rows.map(_.getAs[Long]("padded_tokens")).sum
+    val globalCap = rows.map(_.getAs[Long]("cap")).max
+    val naivePadded = rows.map(_.getAs[Long]("n_docs")).sum * globalCap
+    assert(rows.length == 1 || bucketedPadded < naivePadded)
+  }
 }

@@ -603,6 +603,33 @@ class QualitySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("exact_n") >= floor10))
   }
 
+  test("labelPropagation: planted components collapse to their min label; isolated vertex keeps its own") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // two triangles {1,2,3} and {4,5,6}; 7 isolated; a 2-hop path 4-5-6
+    // checks multi-round flooding (give the second component NO direct
+    // edge 4-6 so label 4 needs 2 rounds to reach 6)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val after1 = Graph.labelPropagation(nodes, edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1(6L) == 5L, "label 4 cannot reach 6 in one round")
+    val after2 = Graph.labelPropagation(nodes, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(after2(_) == 1L))
+    assert(Seq(4L, 5L, 6L).forall(after2(_) == 4L))
+    assert(after2(7L) == 7L, "isolated vertex keeps its own label")
+  }
+
+  test("linkLabelPropagation: members sum to all docs, labels are community minima") {
+    val rows = Graph.linkLabelPropagation(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nDocs)
+    val nComm = rows.length.toLong
+    assert(rows.forall(_.getAs[Long]("n_communities") == nComm))
+    assert(nComm < nDocs, "3 rounds must merge something on the affine graph")
+  }
+
   test("ksDrift: ECDFs are monotone, terminate at exactly 1e6 ppm, and ks is the max gap") {
     val rows = Quality.ksDrift(spark, sfDir).collect()
     assert(rows.nonEmpty)

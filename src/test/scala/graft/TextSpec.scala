@@ -237,4 +237,27 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("total") == len)
     }
   }
+
+  test("vocabCoverage: hand-replay of the top-100 vocab and per-lang OOV rates") {
+    val rows = Text.vocabCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rebuild the vocab and rates driver-side from the raw corpus
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).map(_._1).toSet
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2)
+      val oov = toks.count(!vocab(_))
+      lang -> ((toks.size.toLong, oov.toLong,
+        math.floor(oov.toDouble / toks.size * 1e6 + 0.5).toLong))
+    }
+    rows.foreach { r =>
+      val (tt, ov, ppm) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("total_tokens") == tt, r.toString)
+      assert(r.getAs[Long]("oov_tokens") == ov, r.toString)
+      assert(r.getAs[Long]("oov_ppm") == ppm, r.toString)
+    }
+  }
 }
