@@ -28,8 +28,9 @@ object Graph {
     * The driver-side `count()` is a bounded scalar probe (the rank
     * floor needs |V|). */
   def pageRank(nodes: DataFrame, edges: DataFrame,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
-    val n = nodes.count()
+      iterations: Int = 3, damping: Double = 0.85,
+      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(nodes.count())
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // cached once with out-degree attached: consumed by every iteration
     val e = edges.join(outDeg, "src").cache()
@@ -58,15 +59,23 @@ object Graph {
     * joins, degree normalization, and damping are exactly a web-graph
     * run — while letting the DuckDB oracle rebuild the same graph and
     * replay all 3 unrolled iterations to the same doubles. */
-  def linkPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val n = docs.count()
-    val edges = docs.select(col("doc_id").as("src"),
+  /** The deterministic 3-out-edge affine link graph shared by
+    * q5b/q5f/q5g — ONE definition so the three operators and their
+    * arithmetic-replaying oracles can never drift apart. `srcDocs` is
+    * the (possibly filtered — q5f drops every 10th node to plant
+    * dangling mass) source side; `n` the FULL node count. */
+  private def affineLinkEdges(srcDocs: DataFrame, n: Long): DataFrame =
+    srcDocs.select(col("doc_id").as("src"),
       explode(array(
         pmod(col("doc_id") * 31 + 7, lit(n)),
         pmod(col("doc_id") * 17 + 3, lit(n)),
         pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
-    pageRank(docs.select(col("doc_id").as("id")), edges)
+
+  def linkPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    pageRank(docs.select(col("doc_id").as("id")), affineLinkEdges(docs, n),
+        knownN = Some(n))
       .select(col("id").as("doc_id"), round(col("pr"), 8).as("pr"))
       .orderBy("doc_id")
   }
@@ -89,9 +98,9 @@ object Graph {
     * cached. */
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
       damping: Double = 0.85, tol: Double = 1e-4,
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100, knownN: Option[Long] = None): DataFrame = {
     val spark = nodes.sparkSession
-    val n = nodes.count()
+    val n = knownN.getOrElse(nodes.count())
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val parts = math.min(8, spark.sparkContext.defaultParallelism)
     graft.SessionConf.withShufflePartitions(spark, parts) {
@@ -156,13 +165,9 @@ object Graph {
   def linkPageRankConverged(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count()
-    val edges = docs.where(col("doc_id") % 10 =!= 7)
-      .select(col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 7, lit(n)),
-          pmod(col("doc_id") * 17 + 3, lit(n)),
-          pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
-    val ranks = pageRankConverged(docs.select(col("doc_id").as("id")), edges)
+    val edges = affineLinkEdges(docs.where(col("doc_id") % 10 =!= 7), n)
+    val ranks = pageRankConverged(docs.select(col("doc_id").as("id")), edges,
+      knownN = Some(n))
     ranks.groupBy()
       .agg(
         count(lit(1)).as("n_nodes"),
@@ -334,12 +339,7 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.count()
-    val edges = docs.select(col("doc_id").as("src"),
-      explode(array(
-        pmod(col("doc_id") * 31 + 7, lit(n)),
-        pmod(col("doc_id") * 17 + 3, lit(n)),
-        pmod(col("doc_id") * 13 + 11, lit(n)))).as("dst"))
-    labelPropagation(docs.select(col("doc_id").as("id")), edges)
+    labelPropagation(docs.select(col("doc_id").as("id")), affineLinkEdges(docs, n))
       .groupBy("lab").agg(count(lit(1)).as("n_members"))
       .withColumn("n_communities", count(lit(1)).over(Window.partitionBy()))
       .select(col("lab").as("community"), col("n_members"), col("n_communities"))

@@ -496,8 +496,8 @@ object Quality {
     val eps = 0.005
     val ev = Tables.events(spark, dir).select(col("user_id"))
     val sketch = ev.stat.countMinSketch("user_id", eps, 0.99, seed = 42)
-    val n = ev.count()
-    val slack = math.ceil(eps * n).toLong
+    // the sketch already carries the stream length — no second scan
+    val slack = math.ceil(eps * sketch.totalCount()).toLong
     val top = Tables.events(spark, dir).groupBy("user_id")
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id"))

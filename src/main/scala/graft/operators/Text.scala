@@ -425,16 +425,22 @@ object Text {
     * integers; the rate is one floored ppm division. */
   def vocabCoverage(spark: SparkSession, dir: String,
       vocabSize: Int = 100): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    // ONE pass over the corpus: explode once into per-(lang, token)
+    // counts, cache the reduced table, and derive both the vocab fit
+    // and the coverage join from it — without the cache the two
+    // consumers would each re-run the corpus explode
+    val tokCounts = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .cache()
+    val vocab = tokCounts.groupBy("tok").agg(sum("n").as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("tok"), "left")
+    tokCounts.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("lang")
       .agg(
-        count(lit(1)).as("total_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+        sum("n").as("total_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("oov_tokens"))
       .withColumn("oov_ppm",
         floor(col("oov_tokens").cast("double") / col("total_tokens") * 1e6 + 0.5))
       .orderBy("lang")

@@ -108,6 +108,14 @@ object TimeJoin {
     require(lAttr(key).dataType == rByName(key).dataType &&
       lAttr(ts).dataType == rByName(ts).dataType,
       s"as-of join key/time types must align across sides")
+    // payload columns enter the right child's required sort order (the
+    // deterministic tie rule) — reject unorderable types (maps) here
+    // with a readable message instead of a planner error downstream
+    rightCols.foreach { c =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(rByName(c).dataType),
+        s"as-of payload column '$c' has unorderable type ${rByName(c).dataType}")
+    }
     GraftSqlBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rFresh,
       leftKeys = Seq(lAttr(key)), rightKeys = Seq(rByName(key)),

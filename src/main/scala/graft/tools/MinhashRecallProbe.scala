@@ -17,20 +17,9 @@ object MinhashRecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // exact truth: distinct-trigram Jaccard over all sharing pairs
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(Text.trigrams(col("text")))).as("gram"))
-      .cache()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val truth = grams.as("g1").join(grams.as("g2"),
-        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
-      .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jac", col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")))
-      .cache()
+    // exact truth: THE contract truth definition, not a re-derivation —
+    // the probe must measure exactly what q52/q53 certify against
+    val truth = Dedup.gramJaccardAllPairs(Tables.documents(spark, dir)).cache()
     for (t <- Seq(0.5, 0.7, 0.9)) {
       println(s"truth J>=$t: ${truth.where(col("jac") >= t).count()}")
     }
