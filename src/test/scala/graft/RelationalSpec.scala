@@ -109,6 +109,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup plans WindowGroupLimit: the rank filter is pushed below the full window sort") {
+    // Spark's WindowGroupLimit optimization keeps at most k rows per
+    // group BEFORE WindowExec materializes frames — the reason the
+    // row_number pattern survives a 100 TB group: state per partition
+    // is a k-row heap, not the whole group
+    val plan = Relational.topKPerGroup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing from plan:\n$plan")
+  }
+
   test("rollup emits per-nation, per-region and grand-total levels") {
     val rows = Relational.rollupRegionNation(spark, sfDir).collect()
     val grand = rows.filter(r => r.getAs[String]("region") == "ALL")

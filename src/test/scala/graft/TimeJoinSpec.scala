@@ -119,6 +119,22 @@ class TimeJoinSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges (join inputs only), got $exchanges in:\n$plan")
   }
 
+  test("asofJoinNative: a hot key (90% of rows) merges correctly — per-partition state is O(1), not per-key") {
+    // one key owns 900 left rows and 50 right rows; two cold keys check isolation
+    val left = ((1 to 900).map(i => (1L, ts(i * 10), i.toLong)) ++
+      Seq((2L, ts(5000), 9001L), (3L, ts(1), 9002L))).toDF("key", "ts", "row_id")
+    val right = ((1 to 50).map(i => (1L, ts(i * 100), i * 1.0)) ++
+      Seq((2L, ts(4000), 777.0))).toDF("key", "ts", "rv")
+    val out = TimeJoin.asofJoinNative(left, right, "key", "ts", Seq("rv"))
+      .collect().map(r => r.getAs[Long]("row_id") ->
+        (if (r.isNullAt(r.fieldIndex("rv"))) None else Some(r.getDouble(r.fieldIndex("rv"))))).toMap
+    (1 to 900).foreach { i =>
+      val expected = { val k = (i * 10) / 100; if (k >= 1) Some(math.min(k, 50) * 1.0) else None }
+      assert(out(i.toLong) == expected, s"left row at ts=${i * 10}")
+    }
+    assert(out(9001L).contains(777.0) && out(9002L).isEmpty)
+  }
+
   test("range join counts exactly the purchases in (click-1h, click]") {
     val rows = TimeJoin.rangeJoinBinned(spark, sfDir).collect()
     assert(rows.nonEmpty)
