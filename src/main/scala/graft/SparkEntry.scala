@@ -61,6 +61,7 @@ object SparkEntry {
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
     "q2h_scd2_point_in_time" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2PointInTime(s, d)),
     "q2i_rfm_segments"      -> (Relational.rfmSegments _),
+    "q2j_incremental_agg"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.incrementalAggMaintenance(s, d)),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q4l_cms_heavy_hitters" -> (Quality.cmsHeavyHitters _),
     "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
@@ -554,6 +555,7 @@ object SparkEntry {
     "q5g_label_propagation" -> Graph.linkLabelPropagationOracle,
     "q4m_padding_audit"     -> Curation.paddingAuditOracle,
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
+    "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -447,4 +447,48 @@ object Warehouse {
     ORDER BY zval, l_orderkey, l_linenumber
     LIMIT 200"""
   }
+
+  /** q2j: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    * refresh contract: a base aggregate (orders before the cutoff) is
+    * merged with a delta-batch aggregate (the rest) by partial-state
+    * union + re-aggregation, and the GRADED TRUTH is the from-scratch
+    * full recompute — the oracle literally aggregates the whole table,
+    * so a hash match proves the incremental merge is exact, which is
+    * the associativity property every incremental pipeline rests on.
+    * Monetary is exact integer cents (q2i's quantization), counts are
+    * integers; `n_from_delta` audits how much the delta contributed.
+    * At scale the base aggregate is a stored table and only the delta
+    * scans — this query keeps both arms in-plan so the contract stays
+    * self-contained. */
+  def incrementalAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"), col("o_orderdate"),
+      floor(col("o_totalprice") * 100 + 0.5).as("cents"))
+    val cut = lit("1997-06-01").cast("date")
+    def agg(df: DataFrame): DataFrame = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val base  = agg(o.filter(col("o_orderdate") < cut))
+    val delta = agg(o.filter(col("o_orderdate") >= cut))
+    base.select(col("o_orderpriority"), col("n"), col("cents"),
+        lit(0L).as("is_delta"))
+      .union(delta.select(col("o_orderpriority"), col("n"), col("cents"),
+        lit(1L).as("is_delta")))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("n").as("n_orders"),
+        sum("cents").as("total_cents"),
+        sum(when(col("is_delta") === 1L, col("n")).otherwise(0L))
+          .as("n_from_delta"))
+      .orderBy("o_orderpriority")
+  }
+
+  def incrementalAggOracle: String = """
+    SELECT o_orderpriority,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN o_orderdate >= DATE '1997-06-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
 }

@@ -160,4 +160,21 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alpha")
     assert(rows(1).getDouble(2) == 4.0)
   }
+
+  test("incrementalAggMaintenance: base+delta merge equals the from-scratch aggregate exactly") {
+    import org.apache.spark.sql.functions._
+    val merged = Warehouse.incrementalAggMaintenance(spark, sfDir).collect()
+    val full = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged.nonEmpty)
+    merged.foreach { r =>
+      val (n, cents) = full(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_orders") == n && r.getAs[Long]("total_cents") == cents, r.toString)
+      val d = r.getAs[Long]("n_from_delta")
+      assert(d >= 0 && d <= n)
+    }
+  }
 }
