@@ -129,4 +129,31 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fs(1L) != fs(2L), "fixed token edit did not change simhash")
   }
+
+  test("native as-of join ≡ composed union+window form for any generated table pair") {
+    import graft.operators.TimeJoin
+    import java.sql.Timestamp
+    // small key/time domains force collisions: exact-ts ties, empty
+    // keys, keys on one side only — every edge the merge must handle
+    val row = Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 20L),
+      Gen.chooseNum(0, 99))
+    val table = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, row))
+    forSamples(Gen.zip(table, table), n = 15) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t, v), i) => (k, new Timestamp(t * 1000), i.toLong) }
+        .toDF("key", "ts", "row_id")
+      val right = rRows
+        .map { case (k, t, v) => (k, new Timestamp(t * 1000), v.toDouble) }
+        .toDF("key", "ts", "rv")
+      def canon(df: org.apache.spark.sql.DataFrame, rvCol: String) =
+        df.select(col("row_id"), col(rvCol)).collect()
+          .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val native = canon(
+        TimeJoin.asofJoinNative(left, right, "key", "ts", Seq("rv")), "rv")
+      val composed = canon(
+        TimeJoin.asofJoin(left, right, "key", "ts", Seq("rv")), "__asof_rv")
+      assert(native == composed,
+        s"native=$native\ncomposed=$composed\nleft=$lRows\nright=$rRows")
+    }
+  }
 }
