@@ -56,6 +56,7 @@ object SparkEntry {
     "q0c_join_hint"         -> (Relational.joinHintShuffleHash _),
     "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
     "q0e_join_null_safe"    -> (Relational.joinNullSafe _),
+    "q0f_dynamic_partition_pruning" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionPruning(s, d)),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
@@ -556,6 +557,7 @@ object SparkEntry {
     "q4m_padding_audit"     -> Curation.paddingAuditOracle,
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
+    "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -60,6 +60,50 @@ object Warehouse {
       .orderBy("o_orderpriority")
   }
 
+  /** q0f: DYNAMIC PARTITION PRUNING on the graded surface — the
+    * runtime companion to q28's static pruning and q0a's bloom
+    * reduction, and the single biggest scan-saver on a partitioned
+    * 100 TB fact table: the fact side is a hive-partitioned orders
+    * copy, the dim side is a year spine whose selective predicate is
+    * NOT statically foldable into the fact scan (it filters a derived
+    * aggregate), so the only way the scan avoids reading every
+    * partition is the DPP subquery Spark plants in PartitionFilters at
+    * planning time from the joined dim. The plan evidence
+    * (`dynamicpruning` in the fact scan's partition filters) is folded
+    * into every graded row, q0a-style; the oracle replays the join
+    * relationally. */
+  def dynamicPartitionPruning(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_orders_dpp")): DataFrame = {
+    writePartitioned(
+      Tables.orders(spark, dir)
+        .withColumn("o_year", year(col("o_orderdate"))),
+      path, Seq("o_year"))
+    val fact = readPartitioned(spark, path)
+    val dim = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .filter(col("d_year") % 3 === 0)
+    val joined = fact.join(dim, fact("o_year") === dim("d_year"))
+    val dpp = joined.queryExecution.executedPlan.toString.contains("dynamicpruning")
+    joined.groupBy("o_year")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("total_cents"))
+      .withColumn("dpp_pruned", lit(dpp))
+      .orderBy("o_year")
+  }
+
+  def dynamicPartitionPruningOracle: String = """
+    WITH dim AS (
+      SELECT DISTINCT year(o_orderdate) AS d_year FROM orders),
+    sel AS (SELECT d_year FROM dim WHERE d_year % 3 = 0)
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS total_cents,
+           true AS dpp_pruned
+    FROM orders o JOIN sel ON year(o.o_orderdate) = sel.d_year
+    GROUP BY 1 ORDER BY 1"""
+
   /** q29: the JSONL interchange path on the graded surface — documents
     * written as JSON-lines (the format LLM training-data pipelines trade
     * in), read back with the EXPLICIT schema, and aggregated including a

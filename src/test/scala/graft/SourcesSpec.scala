@@ -161,6 +161,27 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getDouble(2) == 4.0)
   }
 
+  test("dynamicPartitionPruning: DPP plans into the fact scan and the join result is exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Warehouse.dynamicPartitionPruning(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("dpp_pruned")),
+      "dynamicpruning expression missing from the partitioned scan")
+    // exactness vs the direct unpartitioned join
+    val direct = Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .filter(col("o_year") % 3 === 0)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (n, cents) = direct(r.getAs[Int]("o_year"))
+      assert(r.getAs[Long]("n_orders") == n &&
+        r.getAs[Long]("total_cents") == cents, r.toString)
+    }
+  }
+
   test("incrementalAggMaintenance: base+delta merge equals the from-scratch aggregate exactly") {
     import org.apache.spark.sql.functions._
     val merged = Warehouse.incrementalAggMaintenance(spark, sfDir).collect()
