@@ -68,6 +68,7 @@ object SparkEntry {
     "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
     "q4n_vocab_coverage"    -> ((s: SparkSession, d: String) => Text.vocabCoverage(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
+    "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -558,6 +559,7 @@ object SparkEntry {
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
+    "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -414,6 +414,62 @@ object Similarity {
            true AS evr_sum_ge_uniform
     FROM embeddings"""
 
+  /** q6f: CENTROID COHERENCE per label — how tightly does each label's
+    * embedding cluster point one way? The statistic is
+    * `n·‖mean‖² / Σ‖v‖²  =  (Σᵢⱼ⟨vᵢ,vⱼ⟩) / (n·Σ‖v‖²)` ∈ [0, 1]
+    * (1 ⇔ all vectors identical; ≈1/n for isotropic noise) — the
+    * number that tells a SemDeDup-style pipeline (q5a) whether a
+    * cluster is worth deduplicating within. Unlike a naive float
+    * implementation, every aggregate here is EXACT: elements are
+    * quantized to milli integers per row (`floor(x·1000+0.5)` on the
+    * identical parquet float — bit-identical in both engines), so
+    * per-position sums S and squares Q are order-independent integer
+    * sums, `centroid_norm2 = Σ S²` and `sum_norm2 = Σ Q` are exact,
+    * and the one float op is the final ppm division. One explode + two
+    * hash aggregates; no vector ever materializes on the driver. */
+  def centroidCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val perPos = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .withColumn("em", floor(col("e").cast("double") * 1000 + 0.5))
+      .groupBy("label", "pos")
+      .agg(sum(col("em")).as("s"), sum(col("em") * col("em")).as("q"),
+        count(lit(1)).as("n"))
+    perPos.groupBy("label")
+      .agg(
+        max("n").as("n_vectors"), // every position counts every vector
+        count(lit(1)).as("dim"),
+        sum("q").as("sum_norm2"),
+        sum(col("s") * col("s")).as("centroid_norm2"))
+      .withColumn("coherence_ppm",
+        floor(col("centroid_norm2").cast("double")
+          / (col("n_vectors") * col("sum_norm2")) * 1e6 + 0.5))
+      .orderBy("label")
+  }
+
+  def centroidCoherenceOracle: String = """
+    WITH x AS (
+      -- unnest + generate_subscripts expand in lockstep (range() cannot
+      -- take lateral column parameters in DuckDB)
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS em
+      FROM embeddings),
+    p AS (
+      SELECT label, i, sum(em) AS s, sum(em * em) AS q, count(1) AS n
+      FROM x GROUP BY label, i),
+    a AS (
+      SELECT label, max(n) AS n_vectors, count(1) AS dim,
+             sum(q) AS sum_norm2, sum(s * s) AS centroid_norm2
+      FROM p GROUP BY label)
+    SELECT label,
+           CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(sum_norm2 AS BIGINT) AS sum_norm2,
+           CAST(centroid_norm2 AS BIGINT) AS centroid_norm2,
+           CAST(floor(CAST(centroid_norm2 AS DOUBLE)
+             / (n_vectors * sum_norm2) * 1e6 + 0.5) AS BIGINT) AS coherence_ppm
+    FROM a ORDER BY label"""
+
   /** q6d: BINARY QUANTIZATION + HAMMING SEARCH — the 1-bit-per-dim
     * compression every large vector store offers (32× smaller than
     * fp32): keep only each dimension's SIGN, packed into two 32-bit

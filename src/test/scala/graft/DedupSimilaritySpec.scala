@@ -363,6 +363,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidCoherence: Cauchy–Schwarz bound holds exactly; label 0 hand-replays") {
+    val rows = Similarity.centroidCoherence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s2, c2) = (r.getAs[Long]("n_vectors"),
+        r.getAs[Long]("sum_norm2"), r.getAs[Long]("centroid_norm2"))
+      // Σ S² ≤ n · Σ Q is Cauchy–Schwarz on the EXACT quantized integers
+      assert(c2 >= 0 && c2 <= n * s2, r.toString)
+      val ppm = r.getAs[Long]("coherence_ppm")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // full driver-side replay of one label from the raw floats
+    val tgt = rows.head.getAs[Int]("label")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === tgt).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+    val dim = vecs.head.length
+    val s = Array.tabulate(dim)(p => vecs.map(_(p)).sum)
+    val q = vecs.map(v => v.map(x => x * x).sum).sum
+    val c2 = s.map(x => x * x).sum
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_vectors") == vecs.length)
+    assert(r0.getAs[Long]("sum_norm2") == q && r0.getAs[Long]("centroid_norm2") == c2)
+    assert(r0.getAs[Long]("coherence_ppm") ==
+      math.floor(c2.toDouble / (vecs.length * q) * 1e6 + 0.5).toLong)
+  }
+
   test("pcaAudit: spectrum invariants hold and corpus facts match the table") {
     val r = Similarity.pcaAudit(spark, sfDir).head()
     assert(r.getAs[Long]("n_vectors") == Tables.embeddings(spark, sfDir).count())
