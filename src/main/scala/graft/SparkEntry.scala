@@ -67,6 +67,8 @@ object SparkEntry {
     "q4l_cms_heavy_hitters" -> (Quality.cmsHeavyHitters _),
     "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
     "q4n_vocab_coverage"    -> ((s: SparkSession, d: String) => Text.vocabCoverage(s, d)),
+    "q4o_pmi_pairs"         -> ((s: SparkSession, d: String) => Curation.pmiPairs(s, d)),
+    "q4p_lang_confusion"    -> (Text.langConfusion _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
@@ -560,6 +562,8 @@ object SparkEntry {
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
+    "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
+    "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

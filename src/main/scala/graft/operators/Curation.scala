@@ -371,6 +371,65 @@ object Curation {
     HAVING count(1) >= 50
     ORDER BY support DESC, tok_a, tok_b"""
 
+  /** q4o: POINTWISE MUTUAL INFORMATION over q4h's co-occurring pairs —
+    * support alone conflates "associated" with "both common"; PMI
+    * `ln(P(a,b) / P(a)P(b))` is the association score a phrase-mining /
+    * tokenizer-merge pipeline actually ranks by. Document frequencies
+    * and supports are exact integers off the SAME cached per-doc
+    * distinct-token projection (one corpus pass feeds the df aggregate
+    * and the pair join); the PMI argument `support·N / (df_a·df_b)` is
+    * an exact integer ratio, so both engines hand `ln` the identical
+    * double — the q1n integer-input encoding. N rides a broadcast
+    * 1-row aggregate (allowlisted bounded side). */
+  def pmiPairs(spark: SparkSession, dir: String,
+      minSupport: Long = 50L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("t"))
+      .where(length(col("t")) >= 3)
+      .distinct().cache()
+    val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    toks.as("t1").join(toks.as("t2"),
+        col("t1.doc_id") === col("t2.doc_id") && col("t1.t") < col("t2.t"))
+      .groupBy(col("t1.t").as("tok_a"), col("t2.t").as("tok_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .join(df.select(col("t").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(df.select(col("t").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_e6",
+        floor(log(col("support").cast("double") * col("n_docs")
+          / (col("df_a") * col("df_b"))) * 1e6 + 0.5))
+      .select("tok_a", "tok_b", "support", "df_a", "df_b", "n_docs", "pmi_e6")
+      .orderBy("tok_a", "tok_b")
+  }
+
+  def pmiPairsOracle: String = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+      WHERE length(t) >= 3),
+    nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    df AS (SELECT t, count(1) AS df FROM toks GROUP BY t),
+    p AS (
+      SELECT t1.t AS tok_a, t2.t AS tok_b, count(1) AS support
+      FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.t < t2.t
+      GROUP BY 1, 2 HAVING count(1) >= 50)
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.support AS BIGINT) AS support,
+           CAST(da.df AS BIGINT) AS df_a,
+           CAST(db.df AS BIGINT) AS df_b,
+           CAST(nn.n_docs AS BIGINT) AS n_docs,
+           CAST(floor(ln(CAST(p.support AS DOUBLE) * nn.n_docs
+             / (da.df * db.df)) * 1e6 + 0.5) AS BIGINT) AS pmi_e6
+    FROM p JOIN df da ON p.tok_a = da.t
+           JOIN df db ON p.tok_b = db.t
+           CROSS JOIN nn
+    ORDER BY p.tok_a, p.tok_b"""
+
   /** q4m: PADDING-EFFICIENCY AUDIT for length-bucketed batching — the
     * arithmetic behind every fixed-shape training batcher: docs are
     * assigned to 64-token buckets, each bucket's batch shape pads to

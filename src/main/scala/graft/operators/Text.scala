@@ -415,6 +415,56 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q4p: LANGUAGE-ID CONFUSION MATRIX — the evaluation read over
+    * q42's marker detector: (labelled, detected) cell counts, each
+    * cell's share of its labelled row, and the global accuracy
+    * replicated per row. Labels outside the detector's 4-language
+    * marker set can never be detected correctly — the matrix shows
+    * exactly where that mass lands, which is the point of the audit.
+    * Integer counts + ppm floors; one q42 pass + a ≤|langs|² aggregate.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val det = languageId(spark, dir)
+    val byLabel = Window.partitionBy("labelled_lang")
+    val tot = Window.partitionBy()
+    det.groupBy("labelled_lang", "detected_lang").agg(count(lit(1)).as("n"))
+      .withColumn("row_share_ppm",
+        floor(col("n").cast("double") / sum(col("n")).over(byLabel) * 1e6 + 0.5))
+      .withColumn("accuracy_ppm",
+        floor(sum(when(col("labelled_lang") === col("detected_lang"), col("n"))
+            .otherwise(0L)).over(tot).cast("double")
+          / sum(col("n")).over(tot) * 1e6 + 0.5))
+      .orderBy("labelled_lang", "detected_lang")
+  }
+
+  def langConfusionOracle: String = """
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+        len(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))    AS s_en,
+        len(list_filter(string_split(text,' '), t -> t IN ('el','la','de')))    AS s_es,
+        len(list_filter(string_split(text,' '), t -> t IN ('le','la','et')))    AS s_fr
+      FROM documents),
+    d AS (
+      SELECT lang AS labelled_lang,
+             CASE WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+                  WHEN s_es > greatest(s_de, s_en)       THEN 'es'
+                  WHEN s_en > s_de                       THEN 'en'
+                  ELSE 'de' END AS detected_lang
+      FROM s),
+    m AS (
+      SELECT labelled_lang, detected_lang, count(1) AS n
+      FROM d GROUP BY 1, 2)
+    SELECT labelled_lang, detected_lang, CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY labelled_lang) * 1e6 + 0.5)
+             AS BIGINT) AS row_share_ppm,
+           CAST(floor(CAST(sum(CASE WHEN labelled_lang = detected_lang
+               THEN n ELSE 0 END) OVER () AS DOUBLE)
+             / sum(n) OVER () * 1e6 + 0.5) AS BIGINT) AS accuracy_ppm
+    FROM m ORDER BY labelled_lang, detected_lang"""
+
   /** q4n: VOCABULARY COVERAGE / OOV-RATE AUDIT — the tokenizer-fit
     * check run before committing a vocab: fit the top-100 tokens
     * in-job (frequency desc, token asc — the boundary tie is pinned),

@@ -135,6 +135,21 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("pmiPairs: support bounded by min df, PMI replays from the row's own integers") {
+    val rows = Curation.pmiPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, da, db, n) = (r.getAs[Long]("support"), r.getAs[Long]("df_a"),
+        r.getAs[Long]("df_b"), r.getAs[Long]("n_docs"))
+      assert(s <= math.min(da, db), r.toString)
+      assert(da <= n && db <= n)
+      val pmi = math.floor(math.log(s.toDouble * n / (da * db)) * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("pmi_e6") == pmi, r.toString)
+      // independence bound: P(a,b) <= min(P(a), P(b)) caps PMI at -ln(max df share)
+      assert(pmi <= math.floor(math.log(n.toDouble / math.max(da, db)) * 1e6 + 0.5).toLong + 1)
+    }
+  }
+
   test("paddingAudit: token conservation, waste identities, bucketing beats naive padding") {
     import org.apache.spark.sql.functions._
     val rows = Curation.paddingAudit(spark, sfDir).collect()

@@ -50,7 +50,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q4k_containment_dedup" -> "1-row capped-gram-count aggregate folded onto every graded row",
     "q52_minhash_pairs"     -> "1-row recall-contract probes (truth/found/candidate aggregates)",
     "q5f_pagerank_converged" -> "1-row dangling-mass aggregate redistributed each iteration",
-    "q1l_data_profile_approx" -> "1-row exact-distinct contract arm broadcast onto the 1-row sketch arm")
+    "q1l_data_profile_approx" -> "1-row exact-distinct contract arm broadcast onto the 1-row sketch arm",
+    "q4o_pmi_pairs" -> "1-row corpus-size aggregate broadcast onto the pair table")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

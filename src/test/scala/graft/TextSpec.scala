@@ -238,6 +238,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("langConfusion: cells cover all docs, row shares normalize, accuracy equals the diagonal mass") {
+    val rows = Text.langConfusion(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("labelled_lang")).foreach { case (l, rs) =>
+      val s = rs.map(_.getAs[Long]("row_share_ppm")).sum
+      assert(math.abs(s - 1000000L) <= rs.length / 2 + 1, s"$l shares sum $s")
+    }
+    val diag = rows.filter(r =>
+        r.getAs[String]("labelled_lang") == r.getAs[String]("detected_lang"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = math.floor(diag.toDouble / nDocs * 1e6 + 0.5).toLong
+    assert(rows.forall(_.getAs[Long]("accuracy_ppm") == acc))
+    assert(diag > 0, "the marker detector must get something right")
+  }
+
   test("vocabCoverage: hand-replay of the top-100 vocab and per-lang OOV rates") {
     val rows = Text.vocabCoverage(spark, sfDir).collect()
     assert(rows.nonEmpty)
