@@ -342,20 +342,28 @@ object Curation {
     * pairing (downward closure) — that is one extra aggregate + semi
     * join in this same plan shape. The tokenizer is the shared
     * `[^a-z]+` split so the DuckDB oracle tokenizes identically. */
-  def frequentPairs(spark: SparkSession, dir: String,
-      minSupport: Long = 50L): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  /** The q4h/q4o candidate pipeline, defined ONCE (the affineLinkEdges
+    * rule: two graded queries built on "the same pairs" must share the
+    * definition or they silently drift): per-doc DISTINCT alpha tokens
+    * (≥3 chars) and the canonical a<b co-occurrence supports. */
+  private[operators] def docDistinctTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("t"))
       .where(length(col("t")) >= 3)
       .distinct()
+
+  private[operators] def pairSupports(toks: DataFrame, minSupport: Long): DataFrame =
     toks.as("t1").join(toks.as("t2"),
         col("t1.doc_id") === col("t2.doc_id") && col("t1.t") < col("t2.t"))
       .groupBy(col("t1.t").as("tok_a"), col("t2.t").as("tok_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+
+  def frequentPairs(spark: SparkSession, dir: String,
+      minSupport: Long = 50L): DataFrame =
+    pairSupports(docDistinctTokens(spark, dir), minSupport)
       .orderBy(desc("support"), col("tok_a"), col("tok_b"))
-  }
 
   def frequentPairsOracle: String = """
     WITH toks AS (
@@ -383,18 +391,10 @@ object Curation {
     * 1-row aggregate (allowlisted bounded side). */
   def pmiPairs(spark: SparkSession, dir: String,
       minSupport: Long = 50L): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("t"))
-      .where(length(col("t")) >= 3)
-      .distinct().cache()
+    val toks = docDistinctTokens(spark, dir).cache() // feeds df, N, and pairs
     val df = toks.groupBy("t").agg(count(lit(1)).as("df"))
     val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
-    toks.as("t1").join(toks.as("t2"),
-        col("t1.doc_id") === col("t2.doc_id") && col("t1.t") < col("t2.t"))
-      .groupBy(col("t1.t").as("tok_a"), col("t2.t").as("tok_b"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
+    pairSupports(toks, minSupport)
       .join(df.select(col("t").as("tok_a"), col("df").as("df_a")), "tok_a")
       .join(df.select(col("t").as("tok_b"), col("df").as("df_b")), "tok_b")
       .crossJoin(broadcast(nDocs))

@@ -496,7 +496,11 @@ object Quality {
     val eps = 0.005
     val ev = Tables.events(spark, dir).select(col("user_id"))
     val sketch = ev.stat.countMinSketch("user_id", eps, 0.99, seed = 42)
-    // the sketch already carries the stream length — no second scan
+    // the sketch already carries the stream length — no second scan.
+    // Note: totalCount() is the NON-NULL item count (the sketch skips
+    // nulls), which is exactly the N the ε·N guarantee is stated over;
+    // on a corpus with null user_ids this is a (deliberately) tighter
+    // slack than a raw row count would give.
     val slack = math.ceil(eps * sketch.totalCount()).toLong
     val top = Tables.events(spark, dir).groupBy("user_id")
       .agg(count(lit(1)).as("exact_n"))

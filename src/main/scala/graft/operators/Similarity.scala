@@ -434,9 +434,17 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(sum(col("em")).as("s"), sum(col("em") * col("em")).as("q"),
         count(lit(1)).as("n"))
+      .cache() // consumed by the rectangularity probe and the aggregate
+    // "every position counts every vector" is load-bearing (it is the
+    // statistic's denominator) — fail LOUDLY on ragged/null-holding
+    // embeddings instead of silently mis-grading. Bounded 1-row probe.
+    require(perPos.groupBy("label")
+        .agg(min("n").as("mn"), max("n").as("mx"))
+        .filter(col("mn") =!= col("mx")).head(1).isEmpty,
+      "ragged or null-holding embeddings: per-position counts diverge")
     perPos.groupBy("label")
       .agg(
-        max("n").as("n_vectors"), // every position counts every vector
+        max("n").as("n_vectors"),
         count(lit(1)).as("dim"),
         sum("q").as("sum_norm2"),
         sum(col("s") * col("s")).as("centroid_norm2"))

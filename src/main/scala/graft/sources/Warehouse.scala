@@ -71,7 +71,13 @@ object Warehouse {
     * planning time from the joined dim. The plan evidence
     * (`dynamicpruning` in the fact scan's partition filters) is folded
     * into every graded row, q0a-style; the oracle replays the join
-    * relationally. */
+    * relationally.
+    *
+    * Evidence integrity: the flag is read from the GRADED aggregate's
+    * own query execution AFTER a bounded count() probe has run it, so
+    * the inspected string is the FINAL adaptive plan of the very query
+    * being graded — not a separately-planned sibling whose initial
+    * plan AQE could later diverge from. */
   def dynamicPartitionPruning(spark: SparkSession, dir: String,
       path: String = graft.Fs.scratch("graft_warehouse_orders_dpp")): DataFrame = {
     writePartitioned(
@@ -82,13 +88,14 @@ object Warehouse {
     val dim = Tables.orders(spark, dir)
       .select(year(col("o_orderdate")).as("d_year")).distinct()
       .filter(col("d_year") % 3 === 0)
-    val joined = fact.join(dim, fact("o_year") === dim("d_year"))
-    val dpp = joined.queryExecution.executedPlan.toString.contains("dynamicpruning")
-    joined.groupBy("o_year")
+    val agg = fact.join(dim, fact("o_year") === dim("d_year"))
+      .groupBy("o_year")
       .agg(
         count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100 + 0.5)).as("total_cents"))
-      .withColumn("dpp_pruned", lit(dpp))
+    agg.count() // bounded probe: finalizes the adaptive plan
+    val dpp = agg.queryExecution.executedPlan.toString.contains("dynamicpruning")
+    agg.withColumn("dpp_pruned", lit(dpp))
       .orderBy("o_year")
   }
 
