@@ -92,6 +92,7 @@ object SparkEntry {
     "q1n_entropy_drift"     -> (Quality.entropyDrift _),
     "q1o_benford_audit"     -> (Quality.benfordAudit _),
     "q1p_key_skew_profile"  -> (Quality.keySkewProfile _),
+    "q1q_corr_matrix"       -> (Quality.corrMatrix _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
@@ -564,6 +565,7 @@ object SparkEntry {
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
+    "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

@@ -524,6 +524,76 @@ object Quality {
            true AS cms_within_bound
     FROM top10 ORDER BY user_id"""
 
+  /** q1q: PAIRWISE CORRELATION MATRIX from EXACT integer moments — the
+    * multi-column companion to q1b's per-pair `corr`: all 6 Pearson
+    * correlations among 4 lineitem measures in ONE aggregate pass.
+    * Where the built-in `corr` accumulates floating co-moments (engine
+    * ulp — q1b survives only behind coarse rounding), here each column
+    * quantizes to exact centi-integers per row, every Σx/Σx²/Σxy is an
+    * exact DECIMAL(38) sum (order-independent under any shuffle; the
+    * biggest term, n·Σprice², is ~1e25 of the 38-digit budget), and
+    * corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) evaluates
+    * identical doubles in both engines — the q6f doctrine at matrix
+    * scale. Emitted ×1e6 as integers. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Seq(
+      "qty"   -> col("l_quantity"),
+      "price" -> col("l_extendedprice"),
+      "disc"  -> col("l_discount"),
+      "tax"   -> col("l_tax"))
+    val names = measures.map(_._1)
+    val pairs = for {
+      (a, i) <- names.zipWithIndex; b <- names.drop(i + 1)
+    } yield (a, b)
+    val q = Tables.lineitem(spark, dir).select(measures.map { case (n, c) =>
+      floor(c * 100 + 0.5).cast("decimal(38,0)").as(n) }: _*)
+    val aggs =
+      names.flatMap(n => Seq(
+        sum(col(n)).as(s"s_$n"),
+        sum(col(n) * col(n)).as(s"ss_$n"))) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") } :+
+      count(lit(1)).cast("decimal(38,0)").as("n")
+    val one = q.agg(aggs.head, aggs.tail: _*)
+    def varOf(x: String) =
+      (col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n"),
+        floor((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double")
+          / (sqrt(varOf(a)) * sqrt(varOf(b))) * 1e6 + 0.5).as("corr_e6"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select("r.*").orderBy("col_a", "col_b")
+  }
+
+  def corrMatrixOracle: String = {
+    val measures = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val names = measures.map(_._1)
+    val pairs = for {
+      (a, i) <- names.zipWithIndex; b <- names.drop(i + 1)
+    } yield (a, b)
+    val quant = measures.map { case (n, c) =>
+      s"CAST(floor($c * 100 + 0.5) AS HUGEINT) AS $n" }.mkString(", ")
+    val sums = (names.flatMap(n =>
+      Seq(s"sum($n) AS s_$n", s"sum($n * $n) AS ss_$n")) ++
+      pairs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" } :+
+      "CAST(count(1) AS HUGEINT) AS n").mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         CAST(floor(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+           / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+              * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS corr_e6
+         FROM m""" }.mkString("\n UNION ALL \n")
+    s"""WITH q AS (SELECT $quant FROM lineitem),
+        m AS (SELECT $sums FROM q)
+        $rows
+        ORDER BY col_a, col_b"""
+  }
+
   /** q1o: BENFORD FIRST-DIGIT AUDIT — the forensic-accounting screen
     * for fabricated or truncated numeric columns: observed leading-digit
     * shares of order totals vs the Benford expectation log10(1 + 1/d).

@@ -558,6 +558,26 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
   }
 
+  test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
+    val rows = Quality.corrMatrix(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byPair = rows.map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+      r.getAs[Long]("corr_e6")).toMap
+    byPair.values.foreach(c => assert(math.abs(c) <= 1000000L))
+    // parity with the float corr at centi-quantization grain, all 6 pairs
+    // (the synthetic fixture's measures are near-independent, so the
+    // check exercises values near 0 — the regime where an arithmetic
+    // slip would show as a sign flip or scale error)
+    val li = Tables.lineitem(spark, sfDir)
+    val src = Map("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    byPair.foreach { case ((a, b), got) =>
+      val builtin = li.select(corr(col(src(a)), col(src(b)))).head().getDouble(0)
+      assert(math.abs(got / 1e6 - builtin) < 2e-3,
+        s"($a,$b): $got vs $builtin")
+    }
+  }
+
   test("benfordAudit: digits 1-9 covered, shares sum to ~1e6, expectations match closed form") {
     val rows = Quality.benfordAudit(spark, sfDir).collect()
     assert(rows.map(_.getAs[Long]("digit")).toSet == (1L to 9L).toSet)
