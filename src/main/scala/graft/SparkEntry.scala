@@ -165,6 +165,7 @@ object SparkEntry {
     "q5e_bfs_hops"          -> (Graph.linkBfsHops _),
     "q5f_pagerank_converged" -> (Graph.linkPageRankConverged _),
     "q5g_label_propagation" -> (Graph.linkLabelPropagation _),
+    "q5h_degree_histogram"  -> (Graph.linkDegreeHistogram _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -566,6 +567,7 @@ object SparkEntry {
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
+    "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

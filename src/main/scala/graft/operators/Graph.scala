@@ -346,6 +346,49 @@ object Graph {
       .orderBy("community")
   }
 
+  /** q5h: DEGREE DISTRIBUTION of the symmetrized link graph — the
+    * first profile run on any new graph (is it skewed? is there a hub
+    * that will dominate the q5d orientation or demand q27 salting?):
+    * per-degree node counts with ppm shares and max degree replicated.
+    * One symmetrize + two tiny aggregates; the histogram windows run
+    * over ≤|distinct degrees| rows. */
+  def linkDegreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = affineLinkEdges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    val tot = Window.partitionBy()
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .withColumn("share_ppm",
+        floor(col("n_nodes").cast("double") / sum(col("n_nodes")).over(tot) * 1e6 + 0.5))
+      .withColumn("max_degree", max(col("degree")).over(tot))
+      .orderBy("degree")
+  }
+
+  def linkDegreeHistogramOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e0 AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 31 + 7) % n,
+                     (doc_id * 17 + 3) % n,
+                     (doc_id * 13 + 11) % n]) AS dst
+      FROM d CROSS JOIN nn),
+    und AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+    deg AS (SELECT src, count(1) AS degree FROM und GROUP BY src),
+    h AS (SELECT degree, count(1) AS n_nodes FROM deg GROUP BY degree)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(floor(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER ()
+             * 1e6 + 0.5) AS BIGINT) AS share_ppm,
+           CAST(max(degree) OVER () AS BIGINT) AS max_degree
+    FROM h ORDER BY degree"""
+
   def linkLabelPropagationOracle: String = """
     WITH d AS (SELECT doc_id FROM documents),
     nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),

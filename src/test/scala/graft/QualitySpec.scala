@@ -641,6 +641,21 @@ class QualitySpec extends SparkSpec {
     assert(after2(7L) == 7L, "isolated vertex keeps its own label")
   }
 
+  test("linkDegreeHistogram: covers all docs, handshake bound holds, shares normalize") {
+    val rows = Graph.linkDegreeHistogram(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nDocs,
+      "every node has >= 1 undirected edge on the affine graph")
+    // each node emits <= 3 out + receives arbitrary in, but total degree
+    // mass = 2 * |und| and per-node out-degree <= 3 bounds nothing above
+    // max_degree, which must be consistent
+    val maxDeg = rows.map(_.getAs[Long]("degree")).max
+    assert(rows.forall(_.getAs[Long]("max_degree") == maxDeg))
+    val s = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(math.abs(s - 1000000L) <= rows.length / 2 + 1)
+    assert(rows.forall(_.getAs[Long]("degree") >= 1))
+  }
+
   test("linkLabelPropagation: members sum to all docs, labels are community minima") {
     val rows = Graph.linkLabelPropagation(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
