@@ -16,6 +16,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's Catalyst extension class, activated the sanctioned
+      // way (at session construction): SQL functions, optimizer rule,
+      // and the as-of join planner strategy
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", graft.Fs.scratch("graft_spark_warehouse"))
       .getOrCreate()
