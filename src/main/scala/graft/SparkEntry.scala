@@ -68,6 +68,7 @@ object SparkEntry {
     "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
     "q4n_vocab_coverage"    -> ((s: SparkSession, d: String) => Text.vocabCoverage(s, d)),
     "q4o_pmi_pairs"         -> ((s: SparkSession, d: String) => Curation.pmiPairs(s, d)),
+    "q4q_fuzzy_decontamination" -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminationContract(s, d)),
     "q4p_lang_confusion"    -> (Text.langConfusion _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
@@ -568,6 +569,33 @@ object SparkEntry {
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
+    // q4q: q52's truth replay restricted to pairs straddling the
+    // train/eval split (q49's doc_id % 50 marker); booleans literal-true
+    "q4q_fuzzy_decontamination" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+        FROM t),
+      sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM g GROUP BY doc_id),
+      p AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS shared
+        FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2),
+      tp AS (
+        SELECT p.a, p.b
+        FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+          AND ((p.a % 50 = 0) != (p.b % 50 = 0)))
+      SELECT (SELECT CAST(count(1) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(count(1) AS BIGINT) FROM documents
+              WHERE doc_id % 50 = 0) AS n_eval_docs,
+             CAST(count(1) AS BIGINT) AS n_true_cross_pairs,
+             CAST(coalesce(sum(a + b), 0) AS BIGINT) AS sum_true_ids,
+             true AS recall_ok,
+             true AS candidates_bounded
+      FROM tp""",
     "q1n_entropy_drift"     -> Quality.entropyDriftOracle,
     "q1f_winsorized_stats" -> Quality.winsorizedStatsOracle,
     "q1k_chi_square" -> Quality.chiSquareOracle,

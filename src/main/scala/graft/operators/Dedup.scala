@@ -270,6 +270,49 @@ object Dedup {
     * the corpus (≤ `candFactor`·n_docs; observed 279 candidates for
     * 5,000 docs) — the quadratic-blowup tripwire the bucket cap exists
     * to keep true. */
+  /** q4q: FUZZY DECONTAMINATION — q49 catches VERBATIM n-gram overlap
+    * between train and eval; paraphrased or lightly-edited benchmark
+    * leakage needs the near-dup machinery pointed ACROSS the split.
+    * Here the q52 banded-MinHash candidates are filtered to pairs that
+    * straddle the train/eval boundary (`doc_id % evalMod == 0` marks
+    * eval, q49's split) and graded exactly like q52: the exact
+    * cross-split trigram-Jaccard truth (count + id-sum membership pin,
+    * DuckDB-replayable — the fixture plants a J≈0.96 cross pair at
+    * sf0.01), a recall floor, and the linear candidate bound. Both the
+    * truth and the candidates come from the SHARED q52 pipelines
+    * (`gramJaccardAllPairs` / `minhashNearDupPairsOf`) so the three
+    * graded queries can never drift; at production scale you band the
+    * two sides separately and join train-buckets against eval-buckets
+    * only — same signatures, strictly smaller join. */
+  def fuzzyDecontaminationContract(spark: SparkSession, dir: String,
+      evalMod: Int = 50, jHi: Double = 0.7, minRecall: Double = 0.8,
+      candFactor: Long = 4L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    def cross(a: Column, b: Column): Column =
+      (a % evalMod === 0) =!= (b % evalMod === 0)
+    val truth = gramJaccardAllPairs(docs)
+      .where(col("jac") >= jHi && cross(col("a"), col("b"))).cache()
+    val cands = minhashNearDupPairsOf(docs)
+      .where(cross(col("doc_a"), col("doc_b")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    val truthStats = truth.groupBy().agg(
+      count(lit(1)).as("n_true_cross_pairs"),
+      coalesce(sum(col("a") + col("b")), lit(0L)).as("sum_true_ids"))
+    val found = cands.join(truth.select("a", "b"), Seq("a", "b"))
+      .groupBy().agg(count(lit(1)).as("n_found"))
+    val candStats = cands.groupBy().agg(count(lit(1)).as("n_cands"))
+    val splits = docs.groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("doc_id") % evalMod === 0, 1L).otherwise(0L)).as("n_eval_docs"))
+    splits.join(broadcast(truthStats)).join(broadcast(found)).join(broadcast(candStats))
+      .select(
+        col("n_docs"), col("n_eval_docs"),
+        col("n_true_cross_pairs"), col("sum_true_ids"),
+        (col("n_found") >= ceil(col("n_true_cross_pairs") * minRecall)).as("recall_ok"),
+        (col("n_cands") <= col("n_docs") * candFactor).as("candidates_bounded"))
+  }
+
   def minhashPairsContract(spark: SparkSession, dir: String,
       jHi: Double = 0.7, minRecall: Double = 0.8,
       candFactor: Long = 4L): DataFrame = {

@@ -363,6 +363,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination: a planted train→eval near-dup crosses the split and is caught") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim
+    val docs = Seq(
+      (100L, base),                 // eval side (100 % 50 == 0)
+      (101L, base + " extra tail"), // train-side near-dup of the eval doc
+      (7L, "completely different text about other things entirely unrelated ok")
+    ).toDF("doc_id", "text")
+    val truth = Dedup.gramJaccardAllPairs(docs).where(col("jac") >= 0.7)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(truth == Set((100L, 101L)), s"truth: $truth")
+    val cands = Dedup.minhashNearDupPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cands.contains((100L, 101L)),
+      s"banded candidates missed the planted cross pair: $cands")
+  }
+
+  test("fuzzyDecontaminationContract: contract booleans hold on the fixture") {
+    val r = Dedup.fuzzyDecontaminationContract(spark, sfDir).head()
+    assert(r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("candidates_bounded"))
+    assert(r.getAs[Long]("n_eval_docs") > 0)
+    assert(r.getAs[Long]("n_true_cross_pairs") >= 0)
+  }
+
   test("centroidCoherence: Cauchy–Schwarz bound holds exactly; label 0 hand-replays") {
     val rows = Similarity.centroidCoherence(spark, sfDir).collect()
     assert(rows.nonEmpty)
