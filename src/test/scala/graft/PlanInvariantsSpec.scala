@@ -51,7 +51,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q52_minhash_pairs"     -> "1-row recall-contract probes (truth/found/candidate aggregates)",
     "q5f_pagerank_converged" -> "1-row dangling-mass aggregate redistributed each iteration",
     "q1l_data_profile_approx" -> "1-row exact-distinct contract arm broadcast onto the 1-row sketch arm",
-    "q4o_pmi_pairs" -> "1-row corpus-size aggregate broadcast onto the pair table")
+    "q4o_pmi_pairs" -> "1-row corpus-size aggregate broadcast onto the pair table",
+    "q4q_fuzzy_decontamination" -> "1-row recall-contract probes (q52 pattern, cross-split)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
