@@ -95,6 +95,8 @@ object SparkEntry {
     "q1p_key_skew_profile"  -> (Quality.keySkewProfile _),
     "q1q_corr_matrix"       -> (Quality.corrMatrix _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
+    "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
+    "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
     "q1f_winsorized_stats"  -> (Quality.winsorizedStats _),
     "q2f_zorder_layout"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.zorderRoundTrip(s, d)),
     // —— events: time series + sessionization (E-09, E-15 batch) ——
@@ -559,6 +561,8 @@ object SparkEntry {
     "q1o_benford_audit"     -> Quality.benfordAuditOracle,
     "q1p_key_skew_profile"  -> Quality.keySkewProfileOracle,
     "q3o_volume_anomalies"  -> TimeSeries.volumeAnomaliesOracle,
+    "q3p_max_concurrency"   -> TimeSeries.maxConcurrencyOracle,
+    "q3q_cusum_changepoint" -> TimeSeries.cusumChangepointOracle,
     "q5g_label_propagation" -> Graph.linkLabelPropagationOracle,
     "q4m_padding_audit"     -> Curation.paddingAuditOracle,
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,

@@ -156,4 +156,157 @@ object TimeSeries {
     SELECT event_type, h, n, z_milli,
            count(1) OVER (PARTITION BY event_type) AS n_anomalies
     FROM f ORDER BY event_type, h"""
+
+  /** q3p: MAX CONCURRENCY — the interval sweep line (how many sessions
+    * are simultaneously open?), the classic "overlapping intervals"
+    * aggregate that has no single-window form. Sessions are q32's gap
+    * sessions (SHARED pipeline — [[graft.streaming.Events.sessionize]] —
+    * so the two graded queries can never drift); each contributes a +1
+    * edge at start_us and a −1 at end_us, closed-interval rule (+1
+    * sorts before −1 at the same instant, via `delta DESC`).
+    *
+    * The naive form — one global ORDER BY over every edge — is the
+    * single-partition-window trap at 100 TB. This is the two-level
+    * decomposition instead: a per-HOUR prefix sum (window partitioned
+    * by hour — bounded partitions, parallel across the cluster) gives
+    * each hour's local running max and net change; then one prefix sum
+    * over the HOURLY aggregate (≤ a few thousand rows for years of
+    * data — the gap-fill-spine exception where a global window is a
+    * bounded dimension, not the fact table) converts local maxima to
+    * global concurrency. Within a tie group (same us, same delta) the
+    * prefix maximum is order-invariant — k tied +1 edges yield prefix
+    * values o+1..o+k in every permutation — so the result is exact
+    * integers, deterministic under any shuffle. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.Events.sessionize(spark, dir)
+      .select(col("start_us"), col("end_us"))
+    val deltas = sessions.select(col("start_us").as("us"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("end_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("h", expr("us div 3600000000"))
+    val byHour = Window.partitionBy("h").orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = deltas
+      .withColumn("run", sum("delta").over(byHour))
+      .groupBy("h")
+      .agg(max("run").as("local_max"), sum("delta").as("net"),
+        count(lit(1)).as("n_edges"))
+    val prevHours = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hourly
+      .withColumn("offset", coalesce(sum("net").over(prevHours), lit(0L)))
+      .select(col("h"),
+        (col("offset") + col("local_max")).as("max_concurrent"),
+        (col("offset") + col("net")).as("end_concurrent"),
+        col("n_edges"))
+      .orderBy("h")
+  }
+
+  /** DuckDB replays the sweep naively (one global ordering) — the
+    * two-level Spark plan is algebraically identical: max(global run)
+    * within an hour = hour offset + max(local run). */
+  def maxConcurrencyOracle: String = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessed AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+      FROM sessed GROUP BY user_id, session_id),
+    deltas AS (
+      SELECT start_us AS us, 1 AS delta FROM sess
+      UNION ALL
+      SELECT end_us AS us, -1 AS delta FROM sess),
+    sweep AS (
+      SELECT us // 3600000000 AS h, delta,
+             sum(delta) OVER (ORDER BY us, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM deltas),
+    hourly AS (
+      SELECT h, max(run) AS max_concurrent, sum(delta) AS net,
+             count(1) AS n_edges
+      FROM sweep GROUP BY h)
+    SELECT CAST(h AS BIGINT) AS h,
+           CAST(max_concurrent AS BIGINT) AS max_concurrent,
+           CAST(sum(net) OVER (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS end_concurrent,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM hourly ORDER BY h"""
+
+  /** q3q: CUSUM CHANGEPOINT — for each event type, the hour where the
+    * cumulative deviation from the series mean peaks (the classic
+    * offline CUSUM level-shift detector: argmax_t |Σ_{i≤t}(n_i − n̄)|).
+    *
+    * Determinism by integer scaling (the q1e lesson, applied forward):
+    * n̄ = total/H is a rational the two engines would round differently
+    * ulp-by-ulp, so the statistic is scaled by H — `H·S_t = H·prefix_t −
+    * t·total` — and every term stays an exact 64-bit integer (|S·H| ≤
+    * H·total ≈ 10⁹ at sf0.1; overflow headroom to 2⁶³ is ~10⁹×). Peak
+    * hour ties break to the earliest hour via the (abs DESC, h ASC)
+    * rank — same rule in both engines.
+    *
+    * Plan: one scan → tiny (type, hour) hash aggregate → two windows
+    * partitioned BY TYPE over ≤|types|·|hours| rows — the fact table is
+    * never windowed. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("h")
+    val cum = hourly
+      .withColumn("t", row_number().over(ordered))
+      .withColumn("prefix", sum("n").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_hours", count(lit(1)).over(byType))
+      .withColumn("total_n", sum("n").over(byType))
+      .withColumn("cusum_scaled",
+        col("n_hours") * col("prefix") - col("t") * col("total_n"))
+    cum
+      .withColumn("rn", row_number().over(
+        byType.orderBy(abs(col("cusum_scaled")).desc, col("h").asc)))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("h").as("h_peak"), col("cusum_scaled"),
+        abs(col("cusum_scaled")).as("abs_scaled"), col("n_hours"),
+        col("total_n"))
+      .orderBy("event_type")
+  }
+
+  def cusumChangepointOracle: String = """
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             count(1) AS n
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             sum(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             count(1) OVER (PARTITION BY event_type) AS n_hours,
+             sum(n) OVER (PARTITION BY event_type) AS total_n
+      FROM hourly),
+    scored AS (
+      SELECT event_type, h,
+             n_hours * prefix - t * total_n AS cusum_scaled,
+             abs(n_hours * prefix - t * total_n) AS abs_scaled,
+             n_hours, total_n,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(n_hours * prefix - t * total_n) DESC, h ASC) AS rn
+      FROM cum)
+    SELECT event_type, h AS h_peak,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(abs_scaled AS BIGINT) AS abs_scaled,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(total_n AS BIGINT) AS total_n
+    FROM scored WHERE rn = 1 ORDER BY event_type"""
 }

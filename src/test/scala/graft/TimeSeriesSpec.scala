@@ -68,6 +68,61 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("maxConcurrency: equals a driver-side naive global sweep over the same sessions") {
+    val rows = TimeSeries.maxConcurrency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sess = graft.streaming.Events.sessionize(spark, sfDir)
+      .select("start_us", "end_us").collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    // naive single-threaded sweep: +1 before -1 at the same instant
+    val edges = sess.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (us, d) => (us, -d) }
+    var run = 0L
+    val perHour = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    edges.foreach { case (us, d) =>
+      run += d
+      val h = us / 3600000000L
+      val (mx, _, cnt) = perHour.getOrElse(h, (Long.MinValue, 0L, 0L))
+      perHour(h) = (math.max(mx, run), run, cnt + 1)
+    }
+    assert(rows.length == perHour.size)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val (mx, last, cnt) = perHour(h)
+      assert(r.getAs[Long]("max_concurrent") == mx, s"h=$h max")
+      assert(r.getAs[Long]("end_concurrent") == last, s"h=$h end")
+      assert(r.getAs[Long]("n_edges") == cnt, s"h=$h edges")
+    }
+    // global sanity: concurrency returns to zero after the last edge
+    assert(rows.maxBy(_.getAs[Long]("h")).getAs[Long]("end_concurrent") == 0L)
+  }
+
+  test("cusumChangepoint: peak matches a driver-side exact-integer replay; ties break earliest") {
+    val rows = TimeSeries.cusumChangepoint(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("h"), r.getAs[Long]("n")))
+    rows.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val series = hourly.filter(_._1 == tpe).sortBy(_._2)
+      val total = series.map(_._3).sum
+      val hCount = series.length.toLong
+      var prefix = 0L
+      val scored = series.zipWithIndex.map { case ((_, h, n), i) =>
+        prefix += n
+        (h, hCount * prefix - (i + 1).toLong * total)
+      }
+      val best = scored.minBy { case (h, s) => (-math.abs(s), h) }
+      assert(r.getAs[Long]("h_peak") == best._1, s"$tpe peak hour")
+      assert(r.getAs[Long]("cusum_scaled") == best._2, s"$tpe peak value")
+      assert(r.getAs[Long]("abs_scaled") == math.abs(best._2))
+      assert(r.getAs[Long]("n_hours") == hCount && r.getAs[Long]("total_n") == total)
+    }
+  }
+
   test("eventTransitions: rows normalize to ~1e6 ppm and transitions count = events - users") {
     val rows = TimeSeries.eventTransitions(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 25, "at most 5x5 transition cells")
