@@ -169,6 +169,7 @@ object SparkEntry {
     "q5f_pagerank_converged" -> (Graph.linkPageRankConverged _),
     "q5g_label_propagation" -> (Graph.linkLabelPropagation _),
     "q5h_degree_histogram"  -> (Graph.linkDegreeHistogram _),
+    "q5i_link_prediction"   -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -573,6 +574,7 @@ object SparkEntry {
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
+    "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     // q4q: q52's truth replay restricted to pairs straddling the
     // train/eval split (q49's doc_id % 50 marker); booleans literal-true
     "q4q_fuzzy_decontamination" -> """

@@ -417,4 +417,110 @@ object Graph {
     SELECT lab AS community, CAST(n_members AS BIGINT) AS n_members,
            count(1) OVER () AS n_communities
     FROM g ORDER BY community"""
+
+  /** q5i: LINK PREDICTION by common-neighbor/Jaccard scoring — the
+    * classic "which edges are missing?" primitive (recommendation
+    * candidate generation, knowledge-graph completion): for every
+    * non-adjacent pair within two hops, the number of shared
+    * neighbors, the neighborhood Jaccard (ppm — floor of a rational of
+    * exact integers), and the preferential-attachment product, top-k
+    * by score with full-column tie-break.
+    *
+    * The pair generator is the WEDGE join (neighbors-of-w × neighbors-
+    * of-w through each center w) — the same shape as q5d's triangle
+    * wedges, and the same hub hazard: a degree-d center emits d²/2
+    * candidate pairs, so one 10⁶-degree hub at crawl scale is a
+    * quadratic bomb. Guarded the q4k way: centers above `degreeCap`
+    * are EXCLUDED from wedge generation (their pairs are unrecoverable
+    * by design — a hub's neighborhood is near-everything, so "shares
+    * the hub" carries no signal; the capped-center count is folded
+    * onto every graded row as `capped_centers` so the drop is visible
+    * in the output, not silent). Existing edges are removed by an
+    * ANTI join; final top-k is TakeOrdered (no global sort). */
+  def linkPrediction(spark: SparkSession, dir: String,
+      degreeCap: Long = 64L, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    linkPredictionOn(affineLinkEdges(docs, n), degreeCap, topK)
+  }
+
+  /** Core scorer over any directed edge list (symmetrized inside);
+    * separated from the fixture wiring so specs can plant graphs. */
+  def linkPredictionOn(e: DataFrame,
+      degreeCap: Long, topK: Int): DataFrame = {
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    val capped = deg.where(col("degree") > degreeCap)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("capped_centers"))
+    val keptCenters = deg.where(col("degree") <= degreeCap)
+      .select(col("src").as("w"))
+    val nbr = und.join(keptCenters, und("src") === keptCenters("w"))
+      .select(col("w"), col("dst").as("v"))
+    val wedges = nbr.as("x").join(nbr.as("y"),
+        col("x.w") === col("y.w") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("common_nbrs"))
+    val existing = und.where(col("src") < col("dst"))
+      .select(col("src").as("ea"), col("dst").as("eb"))
+    val nonEdges = cn.join(existing,
+      col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+    val degA = deg.select(col("src").as("a"), col("degree").as("deg_a"))
+    val degB = deg.select(col("src").as("b"), col("degree").as("deg_b"))
+    nonEdges.join(degA, "a").join(degB, "b")
+      .withColumn("jaccard_ppm",
+        floor(col("common_nbrs").cast("double")
+          / (col("deg_a") + col("deg_b") - col("common_nbrs")) * 1e6 + 0.5))
+      .withColumn("pa_score", col("deg_a") * col("deg_b"))
+      .crossJoin(broadcast(capped))
+      .select(col("a"), col("b"), col("common_nbrs"), col("deg_a"),
+        col("deg_b"), col("jaccard_ppm"), col("pa_score"),
+        col("capped_centers"))
+      .orderBy(col("jaccard_ppm").desc, col("common_nbrs").desc,
+        col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  /** e0 avoids `unnest` (three UNION ALL branches instead): DuckDB
+    * 's binder throws an INTERNAL error when the later `src <> dst`
+    * filter is pushed through DISTINCT into an unnest-bearing union. */
+  def linkPredictionOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 31 + 7) % n AS dst FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 17 + 3) % n AS dst FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 13 + 11) % n AS dst FROM d CROSS JOIN nn),
+    und AS (SELECT DISTINCT u.src, u.dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0) u
+      WHERE u.src <> u.dst),
+    deg AS (SELECT src, count(1) AS degree FROM und GROUP BY src),
+    capped AS (SELECT count(1) AS capped_centers FROM deg WHERE degree > 64),
+    nbr AS (SELECT und.src AS w, und.dst AS v FROM und
+            JOIN deg ON und.src = deg.src WHERE deg.degree <= 64),
+    wedges AS (SELECT x.v AS a, y.v AS b FROM nbr x JOIN nbr y
+               ON x.w = y.w AND x.v < y.v),
+    cn AS (SELECT a, b, count(1) AS common_nbrs FROM wedges GROUP BY a, b),
+    ne AS (SELECT cn.* FROM cn LEFT JOIN und
+           ON cn.a = und.src AND cn.b = und.dst AND und.src < und.dst
+           WHERE und.src IS NULL),
+    scored AS (
+      SELECT ne.a, ne.b, ne.common_nbrs,
+             da.degree AS deg_a, db.degree AS deg_b,
+             CAST(floor(CAST(ne.common_nbrs AS DOUBLE)
+               / (da.degree + db.degree - ne.common_nbrs) * 1e6 + 0.5)
+               AS BIGINT) AS jaccard_ppm,
+             da.degree * db.degree AS pa_score
+      FROM ne JOIN deg da ON ne.a = da.src JOIN deg db ON ne.b = db.src)
+    SELECT a, b, CAST(common_nbrs AS BIGINT) AS common_nbrs,
+           CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+           jaccard_ppm, CAST(pa_score AS BIGINT) AS pa_score,
+           CAST(capped.capped_centers AS BIGINT) AS capped_centers
+    FROM scored CROSS JOIN capped
+    ORDER BY jaccard_ppm DESC, common_nbrs DESC, a ASC, b ASC
+    LIMIT 20"""
 }

@@ -511,6 +511,34 @@ class QualitySpec extends SparkSpec {
     assert(tris.toSeq == Seq((0L, 1L, 2L)))
   }
 
+  test("linkPrediction: C4 square predicts exactly the two diagonals at Jaccard 1.0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rows = Graph.linkPredictionOn(edges, degreeCap = 64L, topK = 20).collect()
+    val got = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("common_nbrs"), r.getAs[Long]("jaccard_ppm"),
+      r.getAs[Long]("pa_score"), r.getAs[Long]("capped_centers"))).toSet
+    // diagonals (1,3) and (2,4): 2 shared neighbors, J = 2/(2+2-2) = 1
+    assert(got == Set((1L, 3L, 2L, 1000000L, 4L, 0L),
+                      (2L, 4L, 2L, 1000000L, 4L, 0L)))
+  }
+
+  test("linkPrediction: degree cap excludes a planted hub center and reports it") {
+    import spark.implicits._
+    // star hub 0 → 20 leaves plus closing edge (1,2). With cap 10 the
+    // hub (degree 20) generates NO wedges; the only leaf-centered
+    // wedge pairs (0,1)/(0,2) are existing edges, so output is empty
+    // but the drop is visible via capped_centers = 1.
+    val star = ((1 to 20).map(i => (0L, i.toLong)) :+ ((1L, 2L)))
+      .toDF("src", "dst")
+    val rows = Graph.linkPredictionOn(star, degreeCap = 10L, topK = 20).collect()
+    assert(rows.isEmpty)
+    val unc = Graph.linkPredictionOn(star, degreeCap = 64L, topK = 300).collect()
+    // uncapped: hub wedges produce all 190 leaf pairs minus the (1,2) edge
+    assert(unc.length == 189)
+    assert(unc.forall(_.getAs[Long]("capped_centers") == 0L))
+  }
+
   test("pageRankConverged: mass conserved to 1 with a planted sink node") {
     import spark.implicits._
     // cycle-ish core 1→{2,3}, 2→{3,4}, 3→1 with 4 a SINK (no
