@@ -94,6 +94,7 @@ object SparkEntry {
     "q1o_benford_audit"     -> (Quality.benfordAudit _),
     "q1p_key_skew_profile"  -> (Quality.keySkewProfile _),
     "q1q_corr_matrix"       -> (Quality.corrMatrix _),
+    "q1r_robust_center"     -> (Quality.robustCenter _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -573,6 +574,7 @@ object SparkEntry {
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
+    "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     // q4q: q52's truth replay restricted to pairs straddling the

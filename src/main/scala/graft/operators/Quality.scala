@@ -252,6 +252,111 @@ object Quality {
     GROUP BY li.l_returnflag
     ORDER BY li.l_returnflag"""
 
+  /** q1r: ROBUST CENTER — exact per-group median, mode, and MAD
+    * (median absolute deviation) of quantity by return flag, computed
+    * WITHOUT Spark's `percentile` aggregate. `percentile` buffers
+    * every value of a group in executor memory — the hidden OOM at
+    * 100 TB; for a discrete domain the scale-safe exact form is the
+    * HISTOGRAM decomposition: one hash aggregate collapses the fact
+    * table to ≤|flags|·|distinct qty| rows, and order statistics
+    * come from cumulative counts over that tiny table (position k
+    * lives in the bucket with cum−c < k ≤ cum). The MAD needs a second
+    * histogram pass over |2q − 2·median| — kept integer by scaling
+    * (med2 = v_lo+v_hi = 2·median, d2 = |2q − med2|, mad_q4 =
+    * d_lo+d_hi = 4·MAD), so every graded number is an exact integer
+    * except the median itself, a dyadic half-integer both engines
+    * compute as the same double. Mode ties break to the smallest
+    * value via one lexicographic max(struct(count, −q)). Windows run
+    * over the histogram only; the fact table is scanned once. */
+  def robustCenter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val byFlag = Window.partitionBy("flag")
+    val cumW = byFlag.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = h.withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(byFlag))
+      .withColumn("lo_pos", expr("(n + 1) div 2"))
+      .withColumn("hi_pos", expr("(n + 2) div 2"))
+    def bucketOf(pos: Column): Column =
+      col("cum") - col("c") < pos && col("cum") >= pos
+    val med = h2.groupBy("flag").agg(
+      max("n").as("n"),
+      min(when(bucketOf(col("lo_pos")), col("q"))).as("v_lo"),
+      min(when(bucketOf(col("hi_pos")), col("q"))).as("v_hi"),
+      max(struct(col("c"), (-col("q")).as("nq"))).as("m"))
+    val medW = med.select(col("flag"), col("n"),
+      (col("v_lo") + col("v_hi")).as("med2"),
+      (-col("m.nq")).as("mode_qty"), col("m.c").as("mode_n"))
+    val dev = h.join(broadcast(medW.select("flag", "med2")), "flag")
+      .withColumn("d2", abs(col("q") * 2 - col("med2")))
+      .groupBy("flag", "d2").agg(sum("c").as("c"))
+    val dcumW = Window.partitionBy("flag").orderBy("d2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d2 = dev.withColumn("cum", sum("c").over(dcumW))
+      .withColumn("n", sum("c").over(Window.partitionBy("flag")))
+      .withColumn("lo_pos", expr("(n + 1) div 2"))
+      .withColumn("hi_pos", expr("(n + 2) div 2"))
+    val mad = d2.groupBy("flag").agg(
+      (min(when(bucketOf(col("lo_pos")), col("d2")))
+        + min(when(bucketOf(col("hi_pos")), col("d2")))).as("mad_q4"))
+    medW.join(broadcast(mad), "flag")
+      .select(col("flag").as("l_returnflag"), col("n"),
+        (col("med2") / 2.0).as("median_qty"),
+        col("mode_qty"), col("mode_n"), col("mad_q4"))
+      .orderBy("l_returnflag")
+  }
+
+  def robustCenterOracle: String = """
+    WITH h AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+             count(1) AS c
+      FROM lineitem GROUP BY 1, 2),
+    h2 AS (
+      SELECT flag, q, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM h),
+    med AS (
+      SELECT flag, max(n) AS n,
+             min(CASE WHEN cum - c < (n+1)//2 AND cum >= (n+1)//2
+                      THEN q END) AS v_lo,
+             min(CASE WHEN cum - c < (n+2)//2 AND cum >= (n+2)//2
+                      THEN q END) AS v_hi
+      FROM h2 GROUP BY flag),
+    md AS (
+      SELECT flag, q AS mode_qty, c AS mode_n FROM (
+        SELECT flag, q, c,
+               row_number() OVER (PARTITION BY flag
+                 ORDER BY c DESC, q ASC) AS rn
+        FROM h) t WHERE rn = 1),
+    dev AS (
+      SELECT h.flag, abs(h.q * 2 - (m.v_lo + m.v_hi)) AS d2, sum(h.c) AS c
+      FROM h JOIN med m ON h.flag = m.flag GROUP BY 1, 2),
+    d2c AS (
+      SELECT flag, d2, c,
+             sum(c) OVER (PARTITION BY flag ORDER BY d2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY flag) AS n
+      FROM dev),
+    mad AS (
+      SELECT flag,
+             min(CASE WHEN cum - c < (n+1)//2 AND cum >= (n+1)//2
+                      THEN d2 END)
+             + min(CASE WHEN cum - c < (n+2)//2 AND cum >= (n+2)//2
+                        THEN d2 END) AS mad_q4
+      FROM d2c GROUP BY flag)
+    SELECT med.flag AS l_returnflag, CAST(med.n AS BIGINT) AS n,
+           (med.v_lo + med.v_hi) / 2.0 AS median_qty,
+           md.mode_qty, CAST(md.mode_n AS BIGINT) AS mode_n,
+           CAST(mad.mad_q4 AS BIGINT) AS mad_q4
+    FROM med JOIN md ON med.flag = md.flag JOIN mad ON med.flag = mad.flag
+    ORDER BY l_returnflag"""
+
   /** q1k: CHI-SQUARE INDEPENDENCE TEST of two categorical columns —
     * the classic contingency-table statistic (is return flag
     * independent of line status?): χ² = Σ (obs − exp)²/exp with

@@ -722,4 +722,33 @@ class QualitySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("h_curr_e9") <= maxEnt)
     assert(rows.head.getAs[Long]("h_base_e9") > 0)
   }
+
+  test("robustCenter: matches a driver-side sort-based median/mode/MAD replay") {
+    val rows = Quality.robustCenter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val qs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(v: Seq[Long]): Double = {
+      val s = v.sorted
+      (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val vals = qs.filter(_._1 == flag).map(_._2).toSeq
+      assert(r.getAs[Long]("n") == vals.length)
+      val med = medianOf(vals)
+      assert(r.getAs[Double]("median_qty") == med, s"$flag median")
+      // mode: max count, ties to smallest value
+      val (modeQ, modeN) = vals.groupBy(identity).view.mapValues(_.length)
+        .toSeq.minBy { case (q, c) => (-c, q) }
+      assert(r.getAs[Long]("mode_qty") == modeQ, s"$flag mode")
+      assert(r.getAs[Long]("mode_n") == modeN.toLong, s"$flag mode count")
+      // MAD via the same integer scaling: d2 = |2q - 2*median|
+      val d2 = vals.map(q => math.abs(2 * q - math.round(2 * med)))
+      val s = d2.sorted
+      val madQ4 = s((s.length - 1) / 2) + s(s.length / 2)
+      assert(r.getAs[Long]("mad_q4") == madQ4, s"$flag mad")
+    }
+  }
 }
