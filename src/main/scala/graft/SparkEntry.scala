@@ -70,6 +70,7 @@ object SparkEntry {
     "q4o_pmi_pairs"         -> ((s: SparkSession, d: String) => Curation.pmiPairs(s, d)),
     "q4q_fuzzy_decontamination" -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminationContract(s, d)),
     "q4p_lang_confusion"    -> (Text.langConfusion _),
+    "q4r_bm25_scoring"      -> ((s: SparkSession, d: String) => Text.bm25TopDocs(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
@@ -573,6 +574,7 @@ object SparkEntry {
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
+    "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,

@@ -231,6 +231,79 @@ object Text {
       .orderBy("doc_id", "rk")
   }
 
+  /** q4r: BM25 RETRIEVAL SCORING — the ranking function behind every
+    * lexical retriever (and the first-stage candidate generator in
+    * RAG pipelines): Lucene-variant BM25 (k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½)), always positive) for a fixed
+    * query term set, top-k documents.
+    *
+    * Determinism: each (doc, term) contribution is ONE rational-plus-
+    * log expression — computed once, quantized to an e6 integer at the
+    * row level — and the per-document score is then an exact INTEGER
+    * sum, immune to float summation order under partial aggregation
+    * (the q1e lesson; `round(sum(double))` would be a shuffle-order
+    * coin flip). Cross-engine log risk at the 1e-6 grain on O(1)
+    * values matches the long-green q44 regime.
+    *
+    * Plan: doc-length aggregate + corpus stats (1 row, broadcast),
+    * query-term postings filtered BEFORE the tf aggregate (the
+    * inverted-index asymmetry: |query| ≪ |vocab|, so the fact-table
+    * shuffle carries only matching postings), df broadcast back,
+    * TakeOrdered top-k — no global sort. */
+  def bm25TopDocs(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.groupBy().agg(
+      sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = terms.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib_e6",
+        floor(col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * 1e6 + 0.5))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), max("dl").as("dl"),
+        sum("contrib_e6").as("score_bm25_e6"))
+      .orderBy(col("score_bm25_e6").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def bm25TopDocsOracle: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, count(1) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT sum(dl) AS sum_dl, count(1) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(1) AS tf FROM terms
+      WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, dl.dl,
+             CAST(floor(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                   / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+               * 1e6 + 0.5) AS BIGINT) AS contrib_e6
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats)
+    SELECT doc_id, CAST(count(1) AS BIGINT) AS n_terms_hit,
+           CAST(max(dl) AS BIGINT) AS dl,
+           CAST(sum(contrib_e6) AS BIGINT) AS score_bm25_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY score_bm25_e6 DESC, doc_id LIMIT 10"""
+
   /** Rolling-hash fingerprint per document + duplicate-fingerprint audit. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

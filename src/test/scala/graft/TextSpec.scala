@@ -276,4 +276,30 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("oov_ppm") == ppm, r.toString)
     }
   }
+
+  test("bm25TopDocs: matches a driver-side Lucene-BM25 replay, same quantization") {
+    val qts = Seq("spark", "join", "window")
+    val rows = Text.bm25TopDocs(spark, sfDir, queryTerms = qts).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val dfm = qts.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.size.toLong
+      val hits = qts.filter(t => toks.contains(t))
+      val score = hits.map { t =>
+        val tf = toks.count(_ == t).toLong
+        val idf = math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+        math.floor(idf * (tf * (1.2 + 1.0))
+          / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 1e6 + 0.5).toLong
+      }.sum
+      (id, hits.size.toLong, dl, score)
+    }.filter(_._2 > 0)
+    val expect = scored.sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+      r.getAs[Long]("dl"), r.getAs[Long]("score_bm25_e6")))
+    assert(got.toSeq == expect.toSeq)
+  }
 }
