@@ -73,6 +73,7 @@ object SparkEntry {
     "q4r_bm25_scoring"      -> ((s: SparkSession, d: String) => Text.bm25TopDocs(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
+    "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -572,6 +573,7 @@ object SparkEntry {
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
+    "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,

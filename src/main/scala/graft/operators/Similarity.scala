@@ -215,6 +215,104 @@ object Similarity {
           .as("bound_ok"))
   }
 
+  /** q6g: TWO-STAGE RERANK — the production retrieval topology every
+    * vector store converges on: a cheap coarse pass over COMPRESSED
+    * vectors (q66's per-vector SQ8, 4× smaller ⇒ 4× the scan
+    * throughput at 100 TB) keeps the top `coarseR` candidates, then the
+    * exact cosine re-ranks only those `coarseR` rows. Both stages are
+    * TakeOrdered (no global sort); the full-precision fact scan of the
+    * truth arm exists only to grade the contract — a deployment runs
+    * solely the compressed scan + tiny re-rank.
+    *
+    * Everything is deterministic (SQ8 has no seed): both engines replay
+    * dequantization element-for-element (q66's green arithmetic),
+    * order by ROUNDED cosines with vec_id tie-break (q61's green
+    * regime), and the folded contract counts the overlap between the
+    * re-ranked top-k and the exact top-k — `recall_k` and `recall_ok`
+    * fail the hash if compression ever degrades retrieval below
+    * `minRecall`/k (observed: 10/10 at sf0.01 and sf0.1). */
+  def rerankTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, coarseR: Int = 50, k: Int = 10,
+      minRecall: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    val vmin = array_min(col("embedding")).cast("double")
+    val scale = (array_max(col("embedding")).cast("double") - vmin) / 255.0
+    val dq = when(scale === 0.0, col("embedding").cast("array<double>"))
+      .otherwise(transform(col("embedding"),
+        x => round((x.cast("double") - vmin) / scale) * scale + vmin))
+    val base = emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(query))
+      .withColumn("cos_sq8", round(cosineHof(dq, col("q")), 4))
+      .withColumn("cos_exact", round(cosineHof(col("embedding"), col("q")), 4))
+    val reranked = base
+      .orderBy(col("cos_sq8").desc, col("vec_id")).limit(coarseR)
+      .orderBy(col("cos_exact").desc, col("vec_id")).limit(k)
+      .select("vec_id", "label", "cos_sq8", "cos_exact")
+    val truth = base
+      .orderBy(col("cos_exact").desc, col("vec_id")).limit(k)
+      .select(col("vec_id").as("t_id"))
+    val recall = reranked
+      .join(broadcast(truth), col("vec_id") === col("t_id"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("recall_k"))
+    reranked.crossJoin(broadcast(recall))
+      .withColumn("recall_ok", col("recall_k") >= minRecall)
+      .orderBy(col("cos_exact").desc, col("vec_id"))
+  }
+
+  def rerankTopKOracle: String = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    p AS (
+      SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             (CAST(list_max(embedding) AS DOUBLE)
+               - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      FROM embeddings),
+    dq AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             CASE WHEN p.scale = 0
+               THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+               ELSE list_transform(e.embedding,
+                 x -> round((CAST(x AS DOUBLE) - p.vmin) / p.scale)
+                      * p.scale + p.vmin)
+             END AS dqe
+      FROM embeddings e JOIN p ON e.vec_id = p.vec_id
+      WHERE e.vec_id <> 0),
+    cos AS (
+      SELECT d.vec_id, d.label,
+             round(
+               list_sum(list_transform(range(1, len(d.dqe) + 1),
+                 i -> d.dqe[i] * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(d.dqe, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS cos_sq8,
+             round(
+               list_sum(list_transform(range(1, len(d.embedding) + 1),
+                 i -> CAST(d.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(d.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+               AS cos_exact
+      FROM dq d, q),
+    coarse AS (
+      SELECT vec_id, label, cos_sq8, cos_exact FROM cos
+      ORDER BY cos_sq8 DESC, vec_id LIMIT 50),
+    rer AS (
+      SELECT vec_id, label, cos_sq8, cos_exact FROM coarse
+      ORDER BY cos_exact DESC, vec_id LIMIT 10),
+    truth AS (
+      SELECT vec_id FROM cos ORDER BY cos_exact DESC, vec_id LIMIT 10),
+    rc AS (
+      SELECT count(1) AS recall_k FROM rer
+      WHERE rer.vec_id IN (SELECT vec_id FROM truth))
+    SELECT rer.vec_id, rer.label, rer.cos_sq8, rer.cos_exact,
+           CAST(rc.recall_k AS BIGINT) AS recall_k,
+           rc.recall_k >= 8 AS recall_ok
+    FROM rer CROSS JOIN rc
+    ORDER BY cos_exact DESC, vec_id"""
+
   /** q68: PRODUCT QUANTIZATION audit — the other half of a production
     * ANN store next to q66's scalar quantization: split each vector
     * into `m` subspaces, code each subvector as its nearest of `k`

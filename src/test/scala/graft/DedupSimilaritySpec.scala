@@ -422,4 +422,25 @@ class DedupSimilaritySpec extends SparkSpec {
     Seq("evr_monotone", "evr_in_unit", "evr_sum_le_1", "evr_sum_ge_uniform")
       .foreach(c => assert(r.getAs[Boolean](c), c))
   }
+
+  test("rerankTopK: with coarseR = corpus the rerank IS the exact top-k (recall 10/10)") {
+    val n = Tables.embeddings(spark, sfDir).count().toInt
+    val rows = Similarity.rerankTopK(spark, sfDir, coarseR = n).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("recall_k") == 10L))
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")))
+    val exact = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == exact)
+  }
+
+  test("rerankTopK: default coarse pass keeps the contract and reranked cosines are sorted") {
+    val rows = Similarity.rerankTopK(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val k = rows.head.getAs[Long]("recall_k")
+    assert(k >= 0L && k <= 10L && rows.forall(_.getAs[Long]("recall_k") == k))
+    assert(rows.head.getAs[Boolean]("recall_ok") == (k >= 8L))
+    val cs = rows.map(_.getAs[Double]("cos_exact")).toSeq
+    assert(cs == cs.sorted.reverse, "reranked output ordered by exact cosine")
+  }
 }

@@ -53,7 +53,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q1l_data_profile_approx" -> "1-row exact-distinct contract arm broadcast onto the 1-row sketch arm",
     "q4o_pmi_pairs" -> "1-row corpus-size aggregate broadcast onto the pair table",
     "q4q_fuzzy_decontamination" -> "1-row recall-contract probes (q52 pattern, cross-split)",
-    "q5i_link_prediction" -> "1-row capped-center count folded onto every graded row (q4k pattern)")
+    "q5i_link_prediction" -> "1-row capped-center count folded onto every graded row (q4k pattern)",
+    "q6g_rerank_topk" -> "broadcast(1-row query vector) + 1-row recall-contract probe (q61/q62 pattern)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
