@@ -71,6 +71,8 @@ object SparkEntry {
     "q4q_fuzzy_decontamination" -> ((s: SparkSession, d: String) => Dedup.fuzzyDecontaminationContract(s, d)),
     "q4p_lang_confusion"    -> (Text.langConfusion _),
     "q4r_bm25_scoring"      -> ((s: SparkSession, d: String) => Text.bm25TopDocs(s, d)),
+    "q4s_ngram_novelty"     -> ((s: SparkSession, d: String) => Text.ngramNovelty(s, d)),
+    "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
@@ -577,6 +579,8 @@ object SparkEntry {
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,
+    "q4s_ngram_novelty"     -> Text.ngramNoveltyOracle,
+    "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,

@@ -304,6 +304,51 @@ object Text {
     FROM scored GROUP BY doc_id
     ORDER BY score_bm25_e6 DESC, doc_id LIMIT 10"""
 
+  /** q4s: N-GRAM NOVELTY — the corpus-diversity audit run before
+    * (and after) dedup on a crawl snapshot: per source, how many of
+    * the token 8-grams are unique vs repeated (high repetition ⇒
+    * boilerplate/template contamination; the same statistic measured
+    * train-vs-train is the memorization denominator for q49's
+    * decontamination). Two-level exact distinct: the fact table
+    * collapses to a (source, gram) histogram in ONE hash aggregate
+    * (map-side combine carries most of the weight), then distinct =
+    * row count and total = Σocc over the histogram — no countDistinct
+    * EXPAND, no second scan. `max_gram_occ` surfaces the worst
+    * single template. Novelty is one correctly-rounded integer
+    * division (ppm). */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"), explode(ngrams(tokens(col("text")), n)).as("gram"))
+    g.groupBy("source", "gram").agg(count(lit(1)).as("occ"))
+      .groupBy("source")
+      .agg(sum("occ").as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("occ").as("max_gram_occ"))
+      .withColumn("novelty_ppm",
+        floor((col("distinct_grams") * 1000000L).cast("double")
+          / col("total_grams") + 0.5))
+      .select("source", "total_grams", "distinct_grams", "novelty_ppm",
+        "max_gram_occ")
+      .orderBy("source")
+  }
+
+  def ngramNoveltyOracle: String = """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks),
+    h AS (SELECT source, gram, count(1) AS occ FROM g GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(occ) AS BIGINT) AS total_grams,
+           CAST(count(1) AS BIGINT) AS distinct_grams,
+           CAST(floor(CAST(count(1) * 1000000 AS DOUBLE) / sum(occ) + 0.5)
+             AS BIGINT) AS novelty_ppm,
+           CAST(max(occ) AS BIGINT) AS max_gram_occ
+    FROM h GROUP BY source ORDER BY source"""
+
   /** Rolling-hash fingerprint per document + duplicate-fingerprint audit. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

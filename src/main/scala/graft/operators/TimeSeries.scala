@@ -157,6 +157,48 @@ object TimeSeries {
            count(1) OVER (PARTITION BY event_type) AS n_anomalies
     FROM f ORDER BY event_type, h"""
 
+  /** q3r: SEASONAL PROFILE — the hour-of-day seasonality index per
+    * event type (the deseasonalization denominator every forecasting /
+    * anomaly pipeline needs before q3o's z-scores mean anything):
+    * index = observed share of an hour-of-day slot vs the uniform 1/24
+    * expectation, in ppm. Exact-integer encoding: `floor(n_hod · 24e6 /
+    * total + 0.5)` is one correctly-rounded division of exact integers
+    * (no float sums anywhere); the per-type peak slot is flagged via a
+    * (count DESC, hod ASC) rank over the ≤|types|·24 profile rows. One
+    * fact-table aggregate; everything downstream is on the tiny
+    * profile. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hod = Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    hod
+      .withColumn("total", sum("n").over(byType))
+      .withColumn("index_ppm",
+        floor((col("n") * 24L * 1000000L).cast("double") / col("total") + 0.5))
+      .withColumn("is_peak",
+        row_number().over(byType.orderBy(col("n").desc, col("hod").asc)) === 1)
+      .select("event_type", "hod", "n", "total", "index_ppm", "is_peak")
+      .orderBy("event_type", "hod")
+  }
+
+  def seasonalProfileOracle: String = """
+    WITH hod AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(1) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, hod, n,
+             sum(n) OVER (PARTITION BY event_type) AS total,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n DESC, hod ASC) AS rn
+      FROM hod)
+    SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+           CAST(total AS BIGINT) AS total,
+           CAST(floor(CAST(n * 24 * 1000000 AS DOUBLE) / total + 0.5)
+             AS BIGINT) AS index_ppm,
+           rn = 1 AS is_peak
+    FROM t ORDER BY event_type, hod"""
+
   /** q3p: MAX CONCURRENCY — the interval sweep line (how many sessions
     * are simultaneously open?), the classic "overlapping intervals"
     * aggregate that has no single-window form. Sessions are q32's gap

@@ -302,4 +302,25 @@ class TextSpec extends SparkSpec {
       r.getAs[Long]("dl"), r.getAs[Long]("score_bm25_e6")))
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("ngramNovelty: matches a driver-side 8-gram histogram replay") {
+    val rows = Text.ngramNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val grams = bySource(src).flatMap(_._2.sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")))
+      val hist = grams.groupBy(identity).view.mapValues(_.size).toMap
+      assert(r.getAs[Long]("total_grams") == grams.size.toLong, s"$src total")
+      assert(r.getAs[Long]("distinct_grams") == hist.size.toLong, s"$src distinct")
+      assert(r.getAs[Long]("max_gram_occ") == hist.values.max.toLong, s"$src max")
+      assert(r.getAs[Long]("novelty_ppm") ==
+        math.floor(hist.size.toLong * 1000000L / grams.size.toDouble + 0.5).toLong)
+    }
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet
+      .filter(s => bySource(s).exists(_._2.length >= 8)))
+  }
 }

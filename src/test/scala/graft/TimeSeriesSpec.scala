@@ -123,6 +123,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalProfile: exact replay per slot; one peak per type; indices average to ~1e6") {
+    val rows = TimeSeries.seasonalProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (tpe, rs) =>
+      val total = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("total") == total, s"$tpe total")
+        val expect = math.floor((r.getAs[Long]("n") * 24L * 1000000L).toDouble
+          / total + 0.5).toLong
+        assert(r.getAs[Long]("index_ppm") == expect, s"$tpe slot ${r.getAs[Long]("hod")}")
+      }
+      assert(rs.count(_.getAs[Boolean]("is_peak")) == 1, s"$tpe peaks")
+      val peak = rs.filter(_.getAs[Boolean]("is_peak")).head
+      assert(peak.getAs[Long]("n") == rs.map(_.getAs[Long]("n")).max)
+      // 24 slots present and mean index ~1e6 (each slot rounds within 0.5 ppm)
+      assert(rs.length == 24)
+      assert(math.abs(rs.map(_.getAs[Long]("index_ppm")).sum - 24000000L) <= 13)
+    }
+  }
+
   test("eventTransitions: rows normalize to ~1e6 ppm and transitions count = events - users") {
     val rows = TimeSeries.eventTransitions(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 25, "at most 5x5 transition cells")
