@@ -128,6 +128,7 @@ object SparkEntry {
     "q3l_checkpoint_recovery" -> (StreamEvents.hourlyAggCheckpointRecovery _),
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     "q75_asof_join_native"  -> (TimeJoin.asofClickPurchaseNative _),
+    "q76_asof_join_forward" -> (TimeJoin.asofClickNextPurchaseNative _),
     "q3m_ewma_hourly"       -> (TimeSeries.ewmaHourly _),
     "q3n_event_transitions" -> (TimeSeries.eventTransitions _),
     // —— text analysis (E-13) ——
@@ -1196,6 +1197,21 @@ object SparkEntry {
       SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
              p.p_us AS purchase_us, round(p.p_value, 2) AS purchase_value
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.user_id, click_id""",
+    // q76 flips the direction: earliest purchase at-or-AFTER each
+    // click; DuckDB's ASOF `<=` picks the nearest following row, and
+    // the min(value) pre-aggregate mirrors the native operator's
+    // smallest-payload-tuple tie rule (q75 uses max for last ≤)
+    "q76_asof_join_forward" -> """
+      WITH c AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, ts, epoch_us(ts) AS p_us, min(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts)
+      SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+             p.p_us AS purchase_us, round(p.p_value, 2) AS purchase_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
       ORDER BY c.user_id, click_id""",
     // Spark-side: bin-quantized equi join + exact range filter (never
     // n·m candidates); DuckDB replays the naive non-equi left join

@@ -85,7 +85,8 @@ object TimeJoin {
     * comparison; `TimeJoinSpec` asserts both forms agree row-for-row.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
-      key: String, ts: String, rightCols: Seq[String]): DataFrame = {
+      key: String, ts: String, rightCols: Seq[String],
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -120,7 +121,33 @@ object TimeJoin {
       lPlan, rFresh,
       leftKeys = Seq(lAttr(key)), rightKeys = Seq(rByName(key)),
       leftTime = lAttr(ts), rightTime = rByName(ts),
-      rightPayload = rightCols.map(rByName)))
+      rightPayload = rightCols.map(rByName), forward = forward))
+  }
+
+  /** Composed FORWARD as-of join (earliest right row with `right.ts >=
+    * left.ts` per key; smallest payload tuple on exact-time ties) — the
+    * window-form twin of the native `forward = true` path, kept for the
+    * same reason the backward pair exists: two independent plans, one
+    * contract, so `TimeJoinSpec`/`PropertySpec` can check them against
+    * each other. Left rows tag 0 so an exactly-simultaneous right row
+    * (tag 1) is inside the [current, ∞) frame — the mirror of the
+    * backward form's tag trick. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rightCols: Seq[String]): DataFrame = {
+    val taggedLeft = left.withColumn("__tag", lit(0))
+      .withColumns(rightCols.map(c => s"__r_$c" -> lit(null)).toMap)
+    val taggedRight = rightCols.foldLeft(
+        right.select((key +: ts +: rightCols).map(col): _*).withColumn("__tag", lit(1))) {
+      (df, c) => df.withColumnRenamed(c, s"__r_$c")
+    }
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts) +: col("__tag") +: rightCols.map(c => col(s"__r_$c")): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight, allowMissingColumns = true)) {
+      (df, c) => df.withColumn(s"__asof_$c", first(s"__r_$c", ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 0)
+      .drop("__tag" +: rightCols.map(c => s"__r_$c"): _*)
   }
 
   /** q75: q36's point-in-time query served by the native operator —
@@ -135,6 +162,32 @@ object TimeJoin {
         unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
     asofJoinNative(clicks, purchases, key = "user_id", ts = "ts",
         rightCols = Seq("p_us", "p_value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("p_us").as("purchase_us"),
+        round(col("p_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+
+  /** q76: the FORWARD point-in-time join served by the native operator
+    * — each click annotated with the user's NEXT purchase at-or-after
+    * the click (the label-attribution direction: "did the click convert,
+    * and when?" — where q36/q75's backward direction is feature
+    * attribution). Same plan shape as q75 (co-partition, two sorts, one
+    * O(n) merge); the tie rule flips to smallest payload tuple, which
+    * the oracle mirrors by pre-aggregating min(value) per (user, ts)
+    * before its ASOF `<=` join. */
+  def asofClickNextPurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    asofJoinNative(clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"), forward = true)
       .select(
         col("user_id"),
         col("event_id").as("click_id"),

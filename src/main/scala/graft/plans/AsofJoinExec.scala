@@ -45,6 +45,13 @@ case class AsofJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightPayload: Seq[Attribute],
+    // forward = match the EARLIEST right row with (key, time) ≥ the
+    // left row's, holding the lookahead instead of consuming it; the
+    // shared ascending (key, time, payload) right sort makes the
+    // forward tie rule "smallest payload tuple" (first ≥) exactly as
+    // it makes the backward rule "greatest" (last ≤) — one sort
+    // requirement serves both directions
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -111,7 +118,33 @@ case class AsofJoinExec(
       var heldKey: UnsafeRow = null
       var heldPayload: UnsafeRow = null
 
-      lIter.map { l =>
+      if (forward) {
+        // forward merge: discard right rows STRICTLY before the left
+        // row, then the lookahead itself is the candidate match (not
+        // consumed — the same right row can serve later left rows).
+        // Discards are safe: left is iterated in the same (key, time)
+        // order, so a right row below the current left row is below
+        // every later one too.
+        lIter.map { l =>
+          val lSort = lSortProj(l)
+          var scanning = true
+          while (scanning) {
+            if (rHead == null && rIter.hasNext) {
+              rHead = rIter.next()
+              // projection buffers are reused; the lookahead must own its bytes
+              rHeadSort = rSortProj(rHead).copy()
+            }
+            if (rHead != null && sortOrd.compare(rHeadSort, lSort) < 0) {
+              rHead = null
+            } else scanning = false
+          }
+          numOutputRows += 1
+          if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKeyProj(l)) == 0)
+            resultProj(joined(l, payloadProj(rHead)))
+          else
+            resultProj(joined(l, nullPayload))
+        }
+      } else lIter.map { l =>
         val lSort = lSortProj(l)
         var scanning = true
         while (scanning) {

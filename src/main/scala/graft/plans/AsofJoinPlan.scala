@@ -34,7 +34,11 @@ case class AsofJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightPayload: Seq[Attribute]) extends BinaryNode {
+    rightPayload: Seq[Attribute],
+    // false = backward (most recent right ≤ leftTime, greatest payload
+    // on ties); true = forward (earliest right ≥ leftTime, smallest
+    // payload on ties) — pandas merge_asof's `direction`
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -50,7 +54,7 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofJoinPlan =>
       AsofJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.rightPayload, planLater(j.left), planLater(j.right)) :: Nil
+        j.rightPayload, j.forward, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

@@ -154,6 +154,13 @@ class PropertySpec extends SparkSpec {
         TimeJoin.asofJoin(left, right, "key", "ts", Seq("rv")), "__asof_rv")
       assert(native == composed,
         s"native=$native\ncomposed=$composed\nleft=$lRows\nright=$rRows")
+      val nativeFwd = canon(
+        TimeJoin.asofJoinNative(left, right, "key", "ts", Seq("rv"),
+          forward = true), "rv")
+      val composedFwd = canon(
+        TimeJoin.asofJoinForward(left, right, "key", "ts", Seq("rv")), "__asof_rv")
+      assert(nativeFwd == composedFwd,
+        s"fwd native=$nativeFwd\nfwd composed=$composedFwd\nleft=$lRows\nright=$rRows")
     }
   }
 }

@@ -94,6 +94,45 @@ class TimeJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNative forward: planted semantics (null after last, >= tie, earliest wins, no cross-key leak)") {
+    val left = Seq(
+      (1L, ts(100), "c1"), // before r@200 → forward matches r@200
+      (1L, ts(200), "c2"), // exact tie with r@200 → matched
+      (1L, ts(250), "c3"), // between r@200 and r@300 → r@300
+      (1L, ts(350), "c4"), // after the last right row → null
+      (2L, ts(250), "c5"), // key 2: only r@260 is at-or-after
+      (3L, ts(1), "c6")    // key 3 has no right rows at all → null
+    ).toDF("key", "ts", "name")
+    val right = Seq(
+      (1L, ts(200), 20.0),
+      (1L, ts(300), 30.0),
+      (2L, ts(240), 99.0), // before c5 → must not match forward
+      (2L, ts(260), 11.0)
+    ).toDF("key", "ts", "rv")
+    val out = TimeJoin.asofJoinNative(left, right, "key", "ts", Seq("rv"),
+        forward = true)
+      .select(col("name"), col("rv"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c1").contains(20.0))
+    assert(out("c2").contains(20.0))
+    assert(out("c3").contains(30.0))
+    assert(out("c4").isEmpty)
+    assert(out("c5").contains(11.0))
+    assert(out("c6").isEmpty)
+  }
+
+  test("asofJoinNative forward: exact-(key,ts) ties resolve to the SMALLEST payload tuple") {
+    val left = Seq((1L, ts(200), "c")).toDF("key", "ts", "name")
+    val right = Seq((1L, ts(200), 5.0), (1L, ts(200), 9.0), (1L, ts(200), 1.0))
+      .toDF("key", "ts", "rv")
+    (1 to 2).foreach { _ =>
+      val got = TimeJoin.asofJoinNative(left, right.repartition(3), "key", "ts",
+          Seq("rv"), forward = true)
+        .select(col("rv")).head().getDouble(0)
+      assert(got == 1.0, s"forward tie-break picked $got, expected smallest payload 1.0")
+    }
+  }
+
   test("asofJoinNative ≡ composed union+window form on the events fixture, and plans AsofJoinExec") {
     val native = TimeJoin.asofClickPurchaseNative(spark, sfDir)
     assert(native.queryExecution.executedPlan.toString.contains("AsofJoin"),
