@@ -99,6 +99,8 @@ object SparkEntry {
     "q1p_key_skew_profile"  -> (Quality.keySkewProfile _),
     "q1q_corr_matrix"       -> (Quality.corrMatrix _),
     "q1r_robust_center"     -> (Quality.robustCenter _),
+    "q1s_referential_integrity" -> (Quality.referentialIntegrity _),
+    "q1t_fd_audit"          -> (Quality.fdAudit _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -584,6 +586,8 @@ object SparkEntry {
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
+    "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,
+    "q1t_fd_audit"          -> Quality.fdAuditOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     // q4q: q52's truth replay restricted to pairs straddling the

@@ -723,6 +723,51 @@ class QualitySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("h_base_e9") > 0)
   }
 
+  test("referentialIntegrity: child counts match the tables; fixture FKs are clean") {
+    val rows = Quality.referentialIntegrity(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val byRel = rows.map(r => r.getAs[String]("relationship") -> r).toMap
+    assert(byRel("customer.c_nationkey->nation").getAs[Long]("n_child")
+      == Tables.customer(spark, sfDir).count())
+    assert(byRel("lineitem.l_orderkey->orders").getAs[Long]("n_child")
+      == Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0L, r.toString)
+      assert(r.getAs[Long]("orphan_ppm") == 0L && r.getAs[Boolean]("fk_ok"))
+    }
+  }
+
+  test("fdAudit: verdicts match a driver-side replay of each candidate") {
+    val rows = Quality.fdAudit(spark, sfDir).collect()
+    assert(rows.length == 5)
+    def replay(df: org.apache.spark.sql.DataFrame, x: String, y: String) = {
+      val pairs = df.select(col(x).cast("string"), col(y).cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val grouped = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      (grouped.size.toLong, grouped.count(_._2 > 1).toLong)
+    }
+    val expect = Map(
+      "customer.c_custkey->c_nationkey" ->
+        replay(Tables.customer(spark, sfDir), "c_custkey", "c_nationkey"),
+      "nation.n_nationkey->n_regionkey" ->
+        replay(Tables.nation(spark, sfDir), "n_nationkey", "n_regionkey"),
+      "lineitem.l_orderkey->l_returnflag" ->
+        replay(Tables.lineitem(spark, sfDir), "l_orderkey", "l_returnflag"),
+      "lineitem.l_partkey->l_suppkey" ->
+        replay(Tables.lineitem(spark, sfDir), "l_partkey", "l_suppkey"),
+      "orders.o_custkey->o_orderpriority" ->
+        replay(Tables.orders(spark, sfDir), "o_custkey", "o_orderpriority"))
+    rows.foreach { r =>
+      val (g, v) = expect(r.getAs[String]("candidate"))
+      assert(r.getAs[Long]("n_groups") == g, r.toString)
+      assert(r.getAs[Long]("n_violating") == v, r.toString)
+      assert(r.getAs[Boolean]("fd_holds") == (v == 0L))
+    }
+    // the candidate set must demonstrate both verdicts
+    assert(rows.exists(_.getAs[Boolean]("fd_holds")))
+    assert(rows.exists(!_.getAs[Boolean]("fd_holds")))
+  }
+
   test("robustCenter: matches a driver-side sort-based median/mode/MAD replay") {
     val rows = Quality.robustCenter(spark, sfDir).collect()
     assert(rows.nonEmpty)
