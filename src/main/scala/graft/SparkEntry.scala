@@ -63,6 +63,8 @@ object SparkEntry {
     "q2h_scd2_point_in_time" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2PointInTime(s, d)),
     "q2i_rfm_segments"      -> (Relational.rfmSegments _),
     "q2j_incremental_agg"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.incrementalAggMaintenance(s, d)),
+    "q2k_unpivot"           -> (Relational.unpivotMeasures _),
+    "q2l_pareto_frontier"   -> (Relational.paretoFrontier _),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
     "q4l_cms_heavy_hitters" -> (Quality.cmsHeavyHitters _),
     "q4m_padding_audit"     -> ((s: SparkSession, d: String) => Curation.paddingAudit(s, d)),
@@ -565,6 +567,8 @@ object SparkEntry {
     "q3m_ewma_hourly"       -> TimeSeries.ewmaHourlyOracle,
     "q3n_event_transitions" -> TimeSeries.eventTransitionsOracle,
     "q2i_rfm_segments"      -> Relational.rfmSegmentsOracle,
+    "q2k_unpivot"           -> Relational.unpivotMeasuresOracle,
+    "q2l_pareto_frontier"   -> Relational.paretoFrontierOracle,
     "q4l_cms_heavy_hitters" -> Quality.cmsHeavyHittersOracle,
     "q6e_pca_audit"         -> Similarity.pcaAuditOracle,
     "q1o_benford_audit"     -> Quality.benfordAuditOracle,

@@ -866,4 +866,111 @@ object Relational {
              AS BIGINT) AS avg_frequency_milli
     FROM t GROUP BY r_tile, f_tile, m_tile
     ORDER BY r_tile, f_tile, m_tile"""
+
+  /** q2k: UNPIVOT (melt) — the inverse of q23's pivot and the other half
+    * of the wide↔long reshaping pair every warehouse needs (SQL UNPIVOT /
+    * pandas melt / dbt unpivot): a wide per-flag measure table melted to
+    * (key, measure, value) rows. Uses `Dataset.unpivot` (Spark ≥3.4),
+    * which plans as a local EXPAND — m output rows per input row, no
+    * shuffle, no join — and because it runs AFTER the aggregation the
+    * expansion touches |groups|·m rows, not |lineitem|·m. Measures are
+    * quantized to exact integers per the engine's oracle doctrine
+    * (cents BEFORE summing), so the long-form values hash identically
+    * in both engines. At 100 TB the plan is one lineitem hash aggregate
+    * plus a constant-factor local expand: nothing new shuffles. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)).as("sum_base_cents"),
+        sum(floor(col("l_discount") * 100 + 0.5)).as("sum_disc_cents"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_base_cents"),
+          col("sum_disc_cents"), col("n_rows")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  def unpivotMeasuresOracle: String = """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_base_cents,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_disc_cents,
+             CAST(count(1) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc_cents', sum_disc_cents FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+    ORDER BY l_returnflag, measure"""
+
+  /** q2l: PARETO FRONTIER (skyline) — the multi-objective "best
+    * trade-off" operator (SQL:2023 has no SKYLINE; engines hand-roll
+    * it): the parts where no other part is simultaneously larger
+    * (p_size ↑) and cheaper (price ↓). A point is dominated iff some
+    * point with strictly larger x has y ≤ its y, or some point with
+    * equal x has strictly smaller y.
+    *
+    * The naive form is an O(n²) dominance self-join; the sort-based
+    * form is a GLOBAL row sort. This plan does neither: a hash
+    * aggregate first collapses n rows to the distinct (x, y) coordinate
+    * grid with counts, a second collapses to per-x minima — both fully
+    * distributed — and only then does a running-min window walk the
+    * |distinct x| rows (p_size has ~50 values; any discretized axis is
+    * similarly tiny). The single-partition window touches a
+    * dimension-sized table, which is the skyline divide-and-conquer
+    * merge step expressed declaratively. Equal-x domination falls out
+    * of the per-x min; cross-x domination is the running min over
+    * strictly-larger x (integer RANGE frame, preceding = larger under
+    * DESC). All values exact integers (cents), hash-stable. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val coords = Tables.part(spark, dir)
+      .select(
+        col("p_size").cast("long").as("size"),
+        floor(col("p_retailprice") * 100 + 0.5).as("price_cents"))
+      .groupBy("size", "price_cents")
+      .agg(count(lit(1)).as("n_parts"))
+    val perX = coords.groupBy("size")
+      .agg(min("price_cents").as("min_price_cents"))
+    val higherX = Window.orderBy(col("size").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("best_above", min("min_price_cents").over(higherX))
+      .filter(col("best_above").isNull ||
+        col("best_above") > col("min_price_cents"))
+      .select(col("size"), col("min_price_cents").as("price_cents"))
+    frontier.join(coords, Seq("size", "price_cents"))
+      .orderBy(col("size").desc)
+      .select("size", "price_cents", "n_parts")
+  }
+
+  def paretoFrontierOracle: String = """
+    WITH coords AS (
+      SELECT CAST(p_size AS BIGINT) AS size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(count(1) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2),
+    perx AS (
+      SELECT size, min(price_cents) AS min_price_cents
+      FROM coords GROUP BY size),
+    fr AS (
+      SELECT size, min_price_cents AS price_cents,
+             min(min_price_cents) OVER (ORDER BY size DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+      FROM perx)
+    SELECT f.size, f.price_cents, c.n_parts
+    FROM fr f JOIN coords c ON f.size = c.size AND f.price_cents = c.price_cents
+    WHERE f.best_above IS NULL OR f.best_above > f.price_cents
+    ORDER BY f.size DESC"""
 }

@@ -210,4 +210,45 @@ class RelationalSpec extends SparkSpec {
       sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")).head().getLong(0)
     assert(rows.map(_.getAs[Long]("total_monetary_cents")).sum == totalCents)
   }
+
+  test("unpivotMeasures: long form carries exactly the wide aggregate's cells") {
+    val rows = Relational.unpivotMeasures(spark, sfDir).collect()
+    val flags = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag").distinct().count()
+    assert(rows.length == flags * 4)
+    // replay one cell end-to-end: n_rows per flag is just the group count
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[String]("measure") == "n_rows").foreach { r =>
+      assert(r.getAs[Long]("value") == counts(r.getAs[String]("l_returnflag")))
+    }
+    // every (flag, measure) cell appears exactly once
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+  }
+
+  test("paretoFrontier: matches a brute-force dominance replay") {
+    val rows = Relational.paretoFrontier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val coords = Tables.part(spark, sfDir)
+      .select(col("p_size").cast("long"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = coords.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = grid.keySet.filter { case (x, y) =>
+      !grid.keySet.exists { case (px, py) =>
+        (px > x && py <= y) || (px == x && py < y)
+      }
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parts") == grid((r.getLong(0), r.getLong(1))))
+    }
+    // frontier is strictly monotone: as size decreases, price must decrease
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    sorted.sliding(2).foreach {
+      case Array((x1, y1), (x2, y2)) => assert(x1 > x2 && y1 > y2)
+      case _ =>
+    }
+  }
 }
