@@ -74,6 +74,7 @@ object SparkEntry {
     "q4p_lang_confusion"    -> (Text.langConfusion _),
     "q4r_bm25_scoring"      -> ((s: SparkSession, d: String) => Text.bm25TopDocs(s, d)),
     "q4s_ngram_novelty"     -> ((s: SparkSession, d: String) => Text.ngramNovelty(s, d)),
+    "q4t_nucleus_vocab"     -> ((s: SparkSession, d: String) => Text.nucleusVocab(s, d)),
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q1r_robust_center"     -> (Quality.robustCenter _),
     "q1s_referential_integrity" -> (Quality.referentialIntegrity _),
     "q1t_fd_audit"          -> (Quality.fdAudit _),
+    "q1u_mann_whitney"      -> (Quality.mannWhitney _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -587,11 +589,13 @@ object SparkEntry {
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,
     "q4s_ngram_novelty"     -> Text.ngramNoveltyOracle,
+    "q4t_nucleus_vocab"     -> Text.nucleusVocabOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,
     "q1t_fd_audit"          -> Quality.fdAuditOracle,
+    "q1u_mann_whitney"      -> Quality.mannWhitneyOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     // q4q: q52's truth replay restricted to pairs straddling the

@@ -950,4 +950,71 @@ object Quality {
            CAST(floor(CAST(top10_n AS DOUBLE) / total * 1e6 + 0.5)
              AS BIGINT) AS top10_share_ppm
     FROM a"""
+
+  /** q1u: MANN-WHITNEY U RANK-SUM TEST — the nonparametric two-sample
+    * location test (does one group's value distribution sit above the
+    * other's?) in its exact-integer form. The textbook computation
+    * sorts all n rows and assigns average ranks — a global row sort.
+    * This plan decomposes by VALUE instead (the q1r histogram trick):
+    * one hash aggregate collapses n rows to the per-value group
+    * histogram (l_quantity has ~50 distinct values), and ranks fall
+    * out arithmetically — the rows tied at value v occupy ranks
+    * cum_before+1 .. cum_before+cnt, so their average rank is
+    * cum_before + (cnt+1)/2, and DOUBLING it keeps everything in exact
+    * integers: 2·R1 = Σ_v n1(v)·(2·cum_before(v) + cnt(v) + 1). The
+    * window runs over the ~50-row value spine, not the data. U, its
+    * null mean (2·mean = n1·n2), and the tie-correction term
+    * Σ(t³−t) are all exact BIGINTs — hash-identical in any engine. */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        when(col("l_linestatus") === "O", 1L).otherwise(0L).as("is1"))
+      .groupBy("v")
+      .agg(sum("is1").as("n1v"),
+        sum(lit(1L) - col("is1")).as("n2v"))
+    val spine = Window.orderBy("v")
+    val cumBefore = coalesce(
+      sum(col("n1v") + col("n2v"))
+        .over(spine.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    hist
+      .withColumn("cnt", col("n1v") + col("n2v"))
+      .withColumn("cum_before", cumBefore)
+      .agg(
+        sum("n1v").as("n1"),
+        sum("n2v").as("n2"),
+        sum(col("n1v") * (lit(2L) * col("cum_before") + col("cnt") + lit(1L)))
+          .as("rank_sum1_x2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      .select(
+        col("n1"), col("n2"), col("rank_sum1_x2"), col("tie_term"),
+        (col("rank_sum1_x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+        (lit(2L) * col("n1") * col("n2")
+          - (col("rank_sum1_x2") - col("n1") * (col("n1") + lit(1L)))).as("u2_x2"),
+        ((col("rank_sum1_x2") - col("n1") * (col("n1") + lit(1L)))
+          > col("n1") * col("n2")).as("u1_gt_mean"))
+  }
+
+  def mannWhitneyOracle: String = """
+    WITH hist AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n1v,
+             sum(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END) AS n2v
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT n1v, n2v, n1v + n2v AS cnt,
+             coalesce(sum(n1v + n2v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM hist),
+    s AS (
+      SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+             CAST(sum(n2v) AS BIGINT) AS n2,
+             CAST(sum(n1v * (2 * cum_before + cnt + 1)) AS BIGINT) AS rank_sum1_x2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM w)
+    SELECT n1, n2, rank_sum1_x2, tie_term,
+           CAST(rank_sum1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (rank_sum1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           (rank_sum1_x2 - n1 * (n1 + 1)) > n1 * n2 AS u1_gt_mean
+    FROM s"""
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.3
@@ -629,4 +630,70 @@ object Text {
            CAST(floor(CAST(sum(oov) AS DOUBLE) / count(1) * 1e6 + 0.5)
              AS BIGINT) AS oov_ppm
     FROM j GROUP BY lang ORDER BY lang"""
+
+  /** q4t: NUCLEUS (top-p) VOCABULARY TRUNCATION — q4n asks "how well
+    * does a FIXED vocab cover the corpus"; this asks the dual tokenizer-
+    * sizing question: what is the SMALLEST per-language vocabulary that
+    * covers ≥90% of token mass? (The top-p/nucleus cut applied to a
+    * frequency table — how BPE vocab budgets get sized per language.)
+    * A token is in the nucleus iff the cumulative mass STRICTLY BEFORE
+    * it is under the threshold, so the boundary token that crosses 90%
+    * is included and the prefix is minimal. The cut is evaluated in
+    * exact integers (cum·100 < total·90 — no division), ordering is
+    * pinned (count desc, token asc), and because selection is a prefix
+    * of the per-language ranked spine, max(cum) over the selected rows
+    * IS the covered mass. Plan: one corpus explode → (lang, tok) hash
+    * aggregate, then per-language windows over the REDUCED frequency
+    * table; at 100 TB the window side is |vocab|-sized, not
+    * |corpus|-sized, and partitions by language. */
+  def nucleusVocab(spark: SparkSession, dir: String,
+      massPct: Int = 90): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val ranked = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("tok"))
+    val perLang = Window.partitionBy("lang")
+    tokCounts
+      .withColumn("cum", sum("n").over(
+        ranked.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n").over(perLang))
+      .withColumn("n_distinct", count(lit(1)).over(perLang))
+      .filter((col("cum") - col("n")) * 100 < col("total") * lit(massPct))
+      .groupBy("lang")
+      .agg(
+        max("total").as("total_tokens"),
+        max("n_distinct").as("distinct_tokens"),
+        count(lit(1)).as("vocab_p90"),
+        max("cum").as("covered_tokens"))
+      .withColumn("coverage_ppm",
+        floor(col("covered_tokens").cast("double") / col("total_tokens") * 1e6 + 0.5))
+      .withColumn("vocab_share_ppm",
+        floor(col("vocab_p90").cast("double") / col("distinct_tokens") * 1e6 + 0.5))
+      .orderBy("lang")
+  }
+
+  def nucleusVocabOracle: String = """
+    WITH tc AS (
+      SELECT lang, tok, count(1) AS n FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok),
+    w AS (
+      SELECT lang, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS total,
+             count(1) OVER (PARTITION BY lang) AS n_distinct
+      FROM tc)
+    SELECT lang,
+           CAST(max(total) AS BIGINT) AS total_tokens,
+           CAST(max(n_distinct) AS BIGINT) AS distinct_tokens,
+           CAST(count(1) AS BIGINT) AS vocab_p90,
+           CAST(max(cum) AS BIGINT) AS covered_tokens,
+           CAST(floor(CAST(max(cum) AS DOUBLE) / max(total) * 1e6 + 0.5)
+             AS BIGINT) AS coverage_ppm,
+           CAST(floor(CAST(count(1) AS DOUBLE) / max(n_distinct) * 1e6 + 0.5)
+             AS BIGINT) AS vocab_share_ppm
+    FROM w WHERE (cum - n) * 100 < total * 90
+    GROUP BY lang ORDER BY lang"""
 }

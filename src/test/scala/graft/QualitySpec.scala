@@ -796,4 +796,29 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("mad_q4") == madQ4, s"$flag mad")
     }
   }
+
+  test("mannWhitney: matches a driver-side average-rank replay") {
+    val r = Quality.mannWhitney(spark, sfDir).head()
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"), col("l_linestatus"))
+      .collect().map(x => (x.getLong(0), x.getString(1) == "O"))
+    // classic form: sort all values, assign average ranks, sum group-1 ranks
+    val sorted = rows.map(_._1).sorted
+    val firstRank = sorted.zipWithIndex.groupBy(_._1)
+      .view.mapValues(_.map(_._2).min + 1).toMap
+    val cntByV = sorted.groupBy(identity).view.mapValues(_.length).toMap
+    def avgRankX2(v: Long): Long = 2L * firstRank(v) + cntByV(v) - 1L
+    val n1 = rows.count(_._2).toLong
+    val n2 = rows.length - n1
+    val rankSum1X2 = rows.filter(_._2).map(x => avgRankX2(x._1)).sum
+    val tieTerm = cntByV.values.map(c => c.toLong * c * c - c).sum
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("rank_sum1_x2") == rankSum1X2)
+    assert(r.getAs[Long]("tie_term") == tieTerm)
+    val u1x2 = rankSum1X2 - n1 * (n1 + 1)
+    assert(r.getAs[Long]("u1_x2") == u1x2)
+    // U1 + U2 = n1*n2 (the rank-sum identity)
+    assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") == 2L * n1 * n2)
+    assert(r.getAs[Boolean]("u1_gt_mean") == (u1x2 > n1 * n2))
+  }
 }

@@ -323,4 +323,33 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet
       .filter(s => bySource(s).exists(_._2.length >= 8)))
   }
+
+  test("nucleusVocab: matches a driver-side minimal-prefix replay per language") {
+    val rows = Text.nucleusVocab(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ", -1))).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val toks = byLang(r.getAs[String]("lang"))
+      val freq = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (t, n) => (-n, t) }
+      val total = toks.length.toLong
+      // minimal prefix: token selected iff mass strictly before it < 90%
+      var cum = 0L; var size = 0L; var covered = 0L
+      freq.foreach { case (_, n) =>
+        if (cum * 100 < total * 90) { size += 1; covered = cum + n }
+        cum += n
+      }
+      assert(r.getAs[Long]("total_tokens") == total, r.toString)
+      assert(r.getAs[Long]("distinct_tokens") == freq.length.toLong)
+      assert(r.getAs[Long]("vocab_p90") == size, r.toString)
+      assert(r.getAs[Long]("covered_tokens") == covered, r.toString)
+      // the cut actually covers >= 90% and the prefix is minimal
+      assert(covered * 100 >= total * 90)
+      assert((covered - freq(size.toInt - 1)._2) * 100 < total * 90)
+    }
+  }
 }
