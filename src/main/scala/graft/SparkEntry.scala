@@ -63,6 +63,7 @@ object SparkEntry {
     "q2h_scd2_point_in_time" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.scd2PointInTime(s, d)),
     "q2i_rfm_segments"      -> (Relational.rfmSegments _),
     "q2j_incremental_agg"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.incrementalAggMaintenance(s, d)),
+    "q2m_sketch_rollup"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.sketchRollup(s, d)),
     "q2k_unpivot"           -> (Relational.unpivotMeasures _),
     "q2l_pareto_frontier"   -> (Relational.paretoFrontier _),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q5g_label_propagation" -> (Graph.linkLabelPropagation _),
     "q5h_degree_histogram"  -> (Graph.linkDegreeHistogram _),
     "q5i_link_prediction"   -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
+    "q5j_shortest_path"     -> ((s: SparkSession, d: String) => Graph.shortestPath(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -582,6 +584,7 @@ object SparkEntry {
     "q4m_padding_audit"     -> Curation.paddingAuditOracle,
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
+    "q2m_sketch_rollup"     -> graft.sources.Warehouse.sketchRollupOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
@@ -598,6 +601,7 @@ object SparkEntry {
     "q1u_mann_whitney"      -> Quality.mannWhitneyOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
+    "q5j_shortest_path"     -> Graph.shortestPathOracle,
     // q4q: q52's truth replay restricted to pairs straddling the
     // train/eval split (q49's doc_id % 50 marker); booleans literal-true
     "q4q_fuzzy_decontamination" -> """

@@ -389,6 +389,73 @@ object Graph {
            CAST(max(degree) OVER () AS BIGINT) AS max_degree
     FROM h ORDER BY degree"""
 
+  /** q5j: BOUNDED WEIGHTED SHORTEST PATH — single-source Bellman-Ford
+    * relaxation over the shared affine link graph with deterministic
+    * integer edge weights (w = 1 + (7·src + 5·dst) mod 10), cut at a
+    * fixed hop budget (the "distance within L hops" semantics used for
+    * bounded reachability and influence radii; exact Dijkstra is
+    * inherently sequential and has no distributed form). Each round is
+    * one equi join (frontier ⋈ edges on src) + one min-aggregate —
+    * exactly the PageRank shuffle shape, and the distance table stays
+    * SPARSE (only reached nodes carry rows), so early rounds move a
+    * frontier, not the graph. Rounds are unrolled (L=4) and the oracle
+    * replays them as chained CTEs; distances are exact integer sums of
+    * integer weights — no float anywhere. Monotone property folded in:
+    * round L distances are a fixpoint-or-shrinking refinement of round
+    * L−1, asserted in the spec; the graded row set is every reached
+    * node's (doc_id, dist). */
+  def shortestPath(spark: SparkSession, dir: String,
+      rounds: Int = 4, seed: Long = 0L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count() // bounded scalar probe (|V| pins the mod)
+    val edges = affineLinkEdges(docs, n)
+      .select(col("src"), col("dst"),
+        (pmod(col("src") * 7 + col("dst") * 5, lit(10L)) + lit(1L)).as("w"))
+      .cache()
+    var dist = docs.filter(col("doc_id") === seed)
+      .select(col("doc_id").as("id"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("src") === dist("id"))
+        .select(edges("dst").as("id"), (dist("dist") + edges("w")).as("dist"))
+      dist = dist.union(relaxed).groupBy("id").agg(min("dist").as("dist"))
+    }
+    dist.select(col("id").as("doc_id"), col("dist")).orderBy("doc_id")
+  }
+
+  def shortestPathOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e AS (
+      SELECT src, dst, 1 + (src * 7 + dst * 5) % 10 AS w FROM (
+        SELECT doc_id AS src,
+               unnest([(doc_id * 31 + 7) % n,
+                       (doc_id * 17 + 3) % n,
+                       (doc_id * 13 + 11) % n]) AS dst
+        FROM d CROSS JOIN nn)),
+    d0 AS (SELECT doc_id AS id, 0 AS dist FROM d WHERE doc_id = 0),
+    d1 AS (SELECT id, min(dist) AS dist FROM (
+      SELECT id, dist FROM d0
+      UNION ALL
+      SELECT e.dst AS id, p.dist + e.w FROM d0 p JOIN e ON e.src = p.id)
+      GROUP BY id),
+    d2 AS (SELECT id, min(dist) AS dist FROM (
+      SELECT id, dist FROM d1
+      UNION ALL
+      SELECT e.dst AS id, p.dist + e.w FROM d1 p JOIN e ON e.src = p.id)
+      GROUP BY id),
+    d3 AS (SELECT id, min(dist) AS dist FROM (
+      SELECT id, dist FROM d2
+      UNION ALL
+      SELECT e.dst AS id, p.dist + e.w FROM d2 p JOIN e ON e.src = p.id)
+      GROUP BY id),
+    d4 AS (SELECT id, min(dist) AS dist FROM (
+      SELECT id, dist FROM d3
+      UNION ALL
+      SELECT e.dst AS id, p.dist + e.w FROM d3 p JOIN e ON e.src = p.id)
+      GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(dist AS BIGINT) AS dist
+    FROM d4 ORDER BY doc_id"""
+
   def linkLabelPropagationOracle: String = """
     WITH d AS (SELECT doc_id FROM documents),
     nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),

@@ -542,4 +542,65 @@ object Warehouse {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
     FROM orders GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
+
+  /** q2m: SKETCH ROLLUP — q2j's incremental-maintenance contract
+    * extended to the one aggregate that is NOT naively re-aggregable:
+    * distinct users. Exact distincts don't merge (Σ per-day distincts
+    * overcounts), which is why production rollup tables persist HLL
+    * SKETCHES as columns and re-aggregate those (Spark ≥3.5 ships the
+    * DataSketches family natively: `hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`). Here: per-day user sketches are unioned
+    * to fixed 7-day weeks, and TWO contracts are folded into the graded
+    * row — the merged estimate sits within ±5% of the exact per-week
+    * distinct (the accuracy bound), and it equals the estimate of a
+    * sketch built directly over the whole week (register-wise max is
+    * lossless under partitioning — the associativity that makes sketch
+    * columns incrementally maintainable at all). The estimates
+    * themselves stay OUT of the row (a foreign engine can't replay
+    * DataSketches internals); the oracle replays the exact distincts
+    * and emits literal `true` for both contract booleans. The exact
+    * arm runs as its OWN aggregate and joins on the 5-row week spine —
+    * never fused with the sketch arm (the q1l EXPAND lesson). At
+    * 100 TB the daily sketch table is what persists (KBs/day), and the
+    * weekly/monthly/any rollup re-aggregates sketches, never raw
+    * events. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("week",
+        floor(datediff(col("day"), lit("1970-01-01").cast("date")) / 7)
+          .cast("long"))
+    val daily = ev.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val merged = daily.groupBy("week")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = ev.groupBy("week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("est_direct"))
+    val exact = ev.groupBy("week")
+      .agg(countDistinct("user_id").as("exact_users"))
+    merged.join(direct, "week").join(exact, "week")
+      .select(
+        col("week"), col("n_days"), col("exact_users"),
+        (abs(col("est_merged") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("merge_within_5pct"),
+        (col("est_merged") === col("est_direct")).as("merge_equals_direct"))
+      .orderBy("week")
+  }
+
+  def sketchRollupOracle: String = """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    w AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day) // 7 AS week
+      FROM ev)
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS merge_within_5pct,
+           true AS merge_equals_direct
+    FROM w GROUP BY week ORDER BY week"""
 }

@@ -570,6 +570,33 @@ class QualitySpec extends SparkSpec {
     assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> 2L))
   }
 
+  test("shortestPath: matches a driver-side Bellman-Ford replay; refines monotonically") {
+    val rows = Graph.shortestPath(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sfDir).count()
+    val edges = (0L until n).flatMap { s =>
+      Seq((s * 31 + 7) % n, (s * 17 + 3) % n, (s * 13 + 11) % n)
+        .map(d => (s, d, 1L + (s * 7 + d * 5) % 10))
+    }
+    def relaxRounds(r: Int): Map[Long, Long] = {
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to r) {
+        val relaxed = edges.flatMap { case (s, d, w) =>
+          dist.get(s).map(x => d -> (x + w))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .view.mapValues(_.map(_._2).min).toMap
+      }
+      dist
+    }
+    assert(rows == relaxRounds(4))
+    // hop budget L dominates L-1: no distance grows, coverage only expands
+    val prev = relaxRounds(3)
+    prev.foreach { case (id, d) => assert(rows(id) <= d) }
+    assert(prev.keySet.subsetOf(rows.keySet))
+    assert(rows(0L) == 0L)
+  }
+
   test("linkBfsHops: histogram covers all docs, frontier grows then truncates") {
     val rows = Graph.linkBfsHops(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap

@@ -198,4 +198,21 @@ class SourcesSpec extends SparkSpec {
       assert(d >= 0 && d <= n)
     }
   }
+
+  test("sketchRollup: exact arm matches a replay; both sketch contracts hold") {
+    val rows = graft.sources.Warehouse.sketchRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1)))
+    val byWeek = ev.groupBy { case (_, d) => d.toLocalDate.toEpochDay / 7 }
+    assert(rows.length == byWeek.size)
+    rows.foreach { r =>
+      val wk = byWeek(r.getAs[Long]("week"))
+      assert(r.getAs[Long]("n_days") == wk.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("exact_users") == wk.map(_._1).distinct.length.toLong)
+      assert(r.getAs[Boolean]("merge_within_5pct"), r.toString)
+      assert(r.getAs[Boolean]("merge_equals_direct"), r.toString)
+    }
+  }
 }
