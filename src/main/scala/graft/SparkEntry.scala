@@ -64,6 +64,7 @@ object SparkEntry {
     "q2i_rfm_segments"      -> (Relational.rfmSegments _),
     "q2j_incremental_agg"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.incrementalAggMaintenance(s, d)),
     "q2m_sketch_rollup"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.sketchRollup(s, d)),
+    "q2n_audience_overlap"  -> (Relational.audienceOverlap _),
     "q2k_unpivot"           -> (Relational.unpivotMeasures _),
     "q2l_pareto_frontier"   -> (Relational.paretoFrontier _),
     "q4k_containment_dedup" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
+    "q6h_silhouette"        -> (Similarity.silhouette _),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -585,9 +587,11 @@ object SparkEntry {
     "q4n_vocab_coverage"    -> Text.vocabCoverageOracle,
     "q2j_incremental_agg"   -> graft.sources.Warehouse.incrementalAggOracle,
     "q2m_sketch_rollup"     -> graft.sources.Warehouse.sketchRollupOracle,
+    "q2n_audience_overlap"  -> Relational.audienceOverlapOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
+    "q6h_silhouette"        -> Similarity.silhouetteOracle,
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,

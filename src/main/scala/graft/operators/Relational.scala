@@ -973,4 +973,57 @@ object Relational {
     FROM fr f JOIN coords c ON f.size = c.size AND f.price_cents = c.price_cents
     WHERE f.best_above IS NULL OR f.best_above > f.price_cents
     ORDER BY f.size DESC"""
+
+  /** q2n: AUDIENCE OVERLAP MATRIX — pairwise distinct-entity
+    * intersections across segments (which ad audiences / cohort
+    * definitions share users?), the workload bitmap-index engines
+    * (roaring / Theta sketch intersections) exist for. The
+    * collect-sets-and-intersect form dies first at scale (a segment's
+    * member set must fit in one task); this plan never materializes a
+    * set: one distinct on (entity, segment), then a SELF-JOIN ON THE
+    * ENTITY KEY — co-membership pairs emerge row-by-row, shuffled on
+    * the entity like any join, and a hash aggregate counts them. Per-
+    * entity fan-out is k·(k−1)/2 with k ≤ |segments| (an enum — 5
+    * priorities ⇒ ≤10 pairs/customer), so the blow-up is bounded by
+    * construction. Segment sizes join in from a second tiny aggregate
+    * to derive exact-integer Jaccard ppm. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val members = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("segment"))
+      .distinct()
+    val sizes = members.groupBy("segment").agg(count(lit(1)).as("n"))
+    val pairs = members.as("a")
+      .join(members.as("b"), Seq("o_custkey"))
+      .filter(col("a.segment") < col("b.segment"))
+      .groupBy(col("a.segment").as("seg_a"), col("b.segment").as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(sizes.select(col("segment").as("seg_a"), col("n").as("n_a")), "seg_a")
+      .join(sizes.select(col("segment").as("seg_b"), col("n").as("n_b")), "seg_b")
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_both"),
+        floor(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")) * 1e6 + 0.5)
+          .as("jaccard_ppm"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  def audienceOverlapOracle: String = """
+    WITH m AS (
+      SELECT DISTINCT o_custkey, o_orderpriority AS segment FROM orders),
+    sizes AS (SELECT segment, count(1) AS n FROM m GROUP BY segment),
+    pairs AS (
+      SELECT a.segment AS seg_a, b.segment AS seg_b, count(1) AS n_both
+      FROM m a JOIN m b ON a.o_custkey = b.o_custkey
+        AND a.segment < b.segment
+      GROUP BY 1, 2)
+    SELECT seg_a, seg_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(floor(CAST(n_both AS DOUBLE)
+             / (sa.n + sb.n - n_both) * 1e6 + 0.5) AS BIGINT) AS jaccard_ppm
+    FROM pairs
+    JOIN sizes sa ON pairs.seg_a = sa.segment
+    JOIN sizes sb ON pairs.seg_b = sb.segment
+    ORDER BY seg_a, seg_b"""
 }

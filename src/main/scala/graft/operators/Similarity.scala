@@ -576,6 +576,82 @@ object Similarity {
              / (n_vectors * sum_norm2) * 1e6 + 0.5) AS BIGINT) AS coherence_ppm
     FROM a ORDER BY label"""
 
+  /** q6h: SIMPLIFIED SILHOUETTE — the cluster-validity score in its
+    * O(n·k) centroid form (Rousseeuw's full silhouette is O(n²)
+    * pairwise and structurally untenable at scale; the simplified
+    * variant — a = d(x, own centroid), b = min over other centroids,
+    * s = (b−a)/max(a,b) — is what spark.ml's evaluator computes too).
+    * Exactness is engineered: per-dim sums are exact integers (q6f's
+    * milli quantization), and the centroid is QUANTIZED by floor(S/n) —
+    * an exact-integer-in, correctly-rounded-double-division operation
+    * both engines replay bit-identically — so every distance is an
+    * exact integer sum of squared integer gaps and a/b comparisons
+    * never touch a float. s is scored on SQUARED distances (monotone in
+    * the classic score, sign-identical) as floored ppm; per-label means
+    * sum those exact integers. Plan: the centroid table is |labels|·dim
+    * rows built by one hash aggregate, broadcast back joined on
+    * position; per-(vector, candidate-label) distances are one more
+    * hash aggregate — n·k work, no pairwise anything. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .withColumn("em", floor(col("e").cast("double") * 1000 + 0.5))
+    val centroids = x.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(floor(sum("em").cast("double") / count(lit(1))).as("c"))
+    val d2 = x.join(broadcast(centroids), Seq("pos"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum((col("em") - col("c")) * (col("em") - col("c"))).as("d2"))
+    val scored = d2.groupBy("vec_id", "label")
+      .agg(
+        sum(when(col("c_label") === col("label"), col("d2"))).as("a2"),
+        min(when(col("c_label") =!= col("label"), col("d2"))).as("b2"))
+      .select(col("vec_id"), col("label"),
+        floor((col("b2") - col("a2")).cast("double")
+          / greatest(col("a2"), col("b2")) * 1e6 + 0.5).as("s_ppm"))
+    scored.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum("s_ppm").as("sum_s_ppm"),
+        sum(when(col("s_ppm") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .withColumn("mean_s_ppm",
+        floor(col("sum_s_ppm").cast("double") / col("n_vectors") + 0.5))
+      .orderBy("label")
+  }
+
+  def silhouetteOracle: String = """
+    WITH x AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS em
+      FROM embeddings),
+    c AS (
+      SELECT label AS c_label, pos,
+             CAST(floor(CAST(sum(em) AS DOUBLE) / count(1)) AS BIGINT) AS c
+      FROM x GROUP BY label, pos),
+    d2 AS (
+      SELECT x.vec_id, x.label, c.c_label,
+             sum((x.em - c.c) * (x.em - c.c)) AS d2
+      FROM x JOIN c ON x.pos = c.pos
+      GROUP BY x.vec_id, x.label, c.c_label),
+    s AS (
+      SELECT vec_id, label,
+             CAST(floor(CAST(b2 - a2 AS DOUBLE)
+               / greatest(a2, b2) * 1e6 + 0.5) AS BIGINT) AS s_ppm
+      FROM (
+        SELECT vec_id, label,
+               sum(CASE WHEN c_label = label THEN d2 END) AS a2,
+               min(CASE WHEN c_label <> label THEN d2 END) AS b2
+        FROM d2 GROUP BY vec_id, label))
+    SELECT label,
+           CAST(count(1) AS BIGINT) AS n_vectors,
+           CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CAST(sum(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(floor(CAST(sum(s_ppm) AS DOUBLE) / count(1) + 0.5)
+             AS BIGINT) AS mean_s_ppm
+    FROM s GROUP BY label ORDER BY label"""
+
   /** q6d: BINARY QUANTIZATION + HAMMING SEARCH — the 1-bit-per-dim
     * compression every large vector store offers (32× smaller than
     * fp32): keep only each dimension's SIGN, packed into two 32-bit

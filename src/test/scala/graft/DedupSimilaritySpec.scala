@@ -443,4 +443,37 @@ class DedupSimilaritySpec extends SparkSpec {
     val cs = rows.map(_.getAs[Double]("cos_exact")).toSeq
     assert(cs == cs.sorted.reverse, "reranked output ordered by exact cosine")
   }
+
+  test("silhouette: matches a driver-side quantized-centroid replay") {
+    val rows = Similarity.silhouette(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(e => math.floor(e.toDouble * 1000 + 0.5).toLong)))
+    val byLabel = vecs.groupBy(_._2)
+    val centroids = byLabel.view.mapValues { vs =>
+      val dim = vs.head._3.length
+      (0 until dim).map { p =>
+        math.floor(vs.map(_._3(p)).sum.toDouble / vs.length).toLong
+      }
+    }.toMap
+    def d2(x: Seq[Long], c: Seq[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val sPpm = vecs.map { case (_, lab, x) =>
+      val a2 = d2(x, centroids(lab))
+      val b2 = centroids.collect { case (l, c) if l != lab => d2(x, c) }.min
+      lab -> math.floor((b2 - a2).toDouble / math.max(a2, b2) * 1e6 + 0.5).toLong
+    }
+    val expect = sPpm.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_.getAs[Int]("label")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val e = expect(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vectors") == e.length.toLong)
+      assert(r.getAs[Long]("sum_s_ppm") == e.sum, r.toString)
+      assert(r.getAs[Long]("n_negative") == e.count(_ < 0L).toLong)
+      assert(r.getAs[Long]("mean_s_ppm") ==
+        math.floor(e.sum.toDouble / e.length + 0.5).toLong)
+    }
+  }
 }

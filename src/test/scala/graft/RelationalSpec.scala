@@ -251,4 +251,29 @@ class RelationalSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("audienceOverlap: matches a driver-side set-intersection replay") {
+    val rows = Relational.audienceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val members = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderpriority").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sets = members.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val segs = sets.keys.toSeq.sorted
+    val expectPairs = for {
+      a <- segs; b <- segs if a < b
+      both = (sets(a) intersect sets(b)).size if both >= 0
+    } yield (a, b) -> both
+    val nonEmpty = expectPairs.filter(_._2 > 0).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == nonEmpty.keySet)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_a") == sets(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == sets(b).size.toLong)
+      assert(r.getAs[Long]("n_both") == nonEmpty((a, b)).toLong)
+      val jac = nonEmpty((a, b)).toDouble /
+        (sets(a).size + sets(b).size - nonEmpty((a, b)))
+      assert(r.getAs[Long]("jaccard_ppm") == math.floor(jac * 1e6 + 0.5).toLong)
+    }
+  }
 }
