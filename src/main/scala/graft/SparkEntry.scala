@@ -77,6 +77,7 @@ object SparkEntry {
     "q4r_bm25_scoring"      -> ((s: SparkSession, d: String) => Text.bm25TopDocs(s, d)),
     "q4s_ngram_novelty"     -> ((s: SparkSession, d: String) => Text.ngramNovelty(s, d)),
     "q4t_nucleus_vocab"     -> ((s: SparkSession, d: String) => Text.nucleusVocab(s, d)),
+    "q4u_frequent_triples"  -> ((s: SparkSession, d: String) => Curation.frequentTriples(s, d)),
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q1s_referential_integrity" -> (Quality.referentialIntegrity _),
     "q1t_fd_audit"          -> (Quality.fdAudit _),
     "q1u_mann_whitney"      -> (Quality.mannWhitney _),
+    "q1v_kendall_tau"       -> (Quality.kendallTau _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -597,12 +599,14 @@ object SparkEntry {
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,
     "q4s_ngram_novelty"     -> Text.ngramNoveltyOracle,
     "q4t_nucleus_vocab"     -> Text.nucleusVocabOracle,
+    "q4u_frequent_triples"  -> Curation.frequentTriplesOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,
     "q1t_fd_audit"          -> Quality.fdAuditOracle,
     "q1u_mann_whitney"      -> Quality.mannWhitneyOracle,
+    "q1v_kendall_tau"       -> Quality.kendallTauOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,

@@ -379,6 +379,89 @@ object Curation {
     HAVING count(1) >= 50
     ORDER BY support DESC, tok_a, tok_b"""
 
+  /** q4u: FREQUENT TRIPLES — the next A-priori level above q4h, and
+    * the level where downward-closure pruning stops being optional:
+    * the raw per-doc 3-way token self-join is k³/6 per document (a
+    * stopword-dense doc detonates it), but any item in a frequent
+    * triple must already sit in a frequent PAIR, so the join runs over
+    * the corpus RESTRICTED to pair-frequent items — the candidate set
+    * the A-priori theorem licenses, shrinking k from "all tokens" to
+    * "pair survivors" before any 3-way fan-out. Both engines apply the
+    * same restriction (it provably drops no result rows; the DuckDB
+    * oracle needs it for tractability exactly the way a 100 TB run
+    * does). Each graded row carries the triple's three SUB-PAIR
+    * supports and the closure verdicts support ≤ min(sub-pairs) — the
+    * downward-closure theorem folded into the hash (q4l pattern). */
+  def frequentTriples(spark: SparkSession, dir: String,
+      minSupport: Long = 40L): DataFrame = {
+    val toks = docDistinctTokens(spark, dir).cache() // feeds pairs + the 3-way join
+    val pairs = pairSupports(toks, minSupport).cache()
+    val items = pairs.select(col("tok_a").as("t"))
+      .union(pairs.select(col("tok_b").as("t"))).distinct()
+    val ftoks = toks.join(broadcast(items), "t")
+      .select(col("doc_id"), col("t"))
+    val triples = ftoks.as("a")
+      .join(ftoks.as("b"), col("a.doc_id") === col("b.doc_id")
+        && col("a.t") < col("b.t"))
+      .join(ftoks.as("c"), col("b.doc_id") === col("c.doc_id")
+        && col("b.t") < col("c.t"))
+      .groupBy(col("a.t").as("tok_a"), col("b.t").as("tok_b"),
+        col("c.t").as("tok_c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    triples
+      .join(broadcast(pairs.select(col("tok_a"), col("tok_b"),
+        col("support").as("sup_ab"))), Seq("tok_a", "tok_b"))
+      .join(broadcast(pairs.select(col("tok_a"), col("tok_b").as("tok_c"),
+        col("support").as("sup_ac"))), Seq("tok_a", "tok_c"))
+      .join(broadcast(pairs.select(col("tok_a").as("tok_b"),
+        col("tok_b").as("tok_c"), col("support").as("sup_bc"))),
+        Seq("tok_b", "tok_c"))
+      .select(col("tok_a"), col("tok_b"), col("tok_c"), col("support"),
+        col("sup_ab"), col("sup_ac"), col("sup_bc"),
+        (col("support") <= least(col("sup_ab"), col("sup_ac"), col("sup_bc")))
+          .as("closure_ok"))
+      .orderBy(desc("support"), col("tok_a"), col("tok_b"), col("tok_c"))
+  }
+
+  def frequentTriplesOracle: String = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents)
+      WHERE length(t) >= 3),
+    pairs AS (
+      SELECT t1.t AS tok_a, t2.t AS tok_b, count(1) AS support
+      FROM toks t1 JOIN toks t2
+        ON t1.doc_id = t2.doc_id AND t1.t < t2.t
+      GROUP BY 1, 2
+      HAVING count(1) >= 40),
+    items AS (
+      SELECT DISTINCT t FROM (
+        SELECT tok_a AS t FROM pairs UNION ALL SELECT tok_b FROM pairs)),
+    ft AS (SELECT toks.doc_id, toks.t FROM toks JOIN items USING (t)),
+    tri AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, c.t AS tok_c,
+             count(1) AS support
+      FROM ft a
+      JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+      JOIN ft c ON b.doc_id = c.doc_id AND b.t < c.t
+      GROUP BY 1, 2, 3
+      HAVING count(1) >= 40)
+    SELECT tri.tok_a, tri.tok_b, tri.tok_c,
+           CAST(tri.support AS BIGINT) AS support,
+           CAST(ab.support AS BIGINT) AS sup_ab,
+           CAST(ac.support AS BIGINT) AS sup_ac,
+           CAST(bc.support AS BIGINT) AS sup_bc,
+           tri.support <= least(ab.support, ac.support, bc.support)
+             AS closure_ok
+    FROM tri
+    JOIN pairs ab ON tri.tok_a = ab.tok_a AND tri.tok_b = ab.tok_b
+    JOIN pairs ac ON tri.tok_a = ac.tok_a AND tri.tok_c = ac.tok_b
+    JOIN pairs bc ON tri.tok_b = bc.tok_a AND tri.tok_c = bc.tok_b
+    ORDER BY 4 DESC, 1, 2, 3"""
+
   /** q4o: POINTWISE MUTUAL INFORMATION over q4h's co-occurring pairs —
     * support alone conflates "associated" with "both common"; PMI
     * `ln(P(a,b) / P(a)P(b))` is the association score a phrase-mining /

@@ -1017,4 +1017,80 @@ object Quality {
            CAST(2 * n1 * n2 - (rank_sum1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
            (rank_sum1_x2 - n1 * (n1 + 1)) > n1 * n2 AS u1_gt_mean
     FROM s"""
+
+  /** q1v: KENDALL'S TAU-B — the rank-correlation complement to q1i's
+    * Spearman, in the form that survives scale: the naive statistic
+    * compares all n(n−1)/2 row pairs (quadratic, dead at 100 TB), but
+    * over DISCRETE domains every pair's concordance is determined by
+    * its cell pair in the (x, y) contingency table, so one hash
+    * aggregate collapses n rows to ≤|X|·|Y| cells (50 quantities × 11
+    * discount steps = 550) and the pair sums run over broadcast cell
+    * pairs — n-independent work after the scan. Concordant/discordant
+    * counts are exact integer products of cell frequencies; tie pairs
+    * come from the marginals (t·(t−1)/2 is always even — exact integer
+    * division); and tau-b's denominator is evaluated as
+    * sqrt(n0−n1)·sqrt(n0−n2) — two correctly-rounded sqrts of exact
+    * integers (their direct product n0²-scale would overflow BIGINT at
+    * sf≥0.1; the split form never leaves safe range and both engines
+    * replay it bit-identically). */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("x"),
+        floor(col("l_discount") * 100 + 0.5).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("f"))
+      .cache() // feeds the pair join and both marginals
+    val b = cells.select(col("x").as("bx"), col("y").as("by"),
+      col("f").as("bf"))
+    val pairCounts = cells.join(broadcast(b), col("bx") > col("x"))
+      .agg(
+        sum(when(col("by") > col("y"), col("f") * col("bf")).otherwise(0L))
+          .as("c_pairs"),
+        sum(when(col("by") < col("y"), col("f") * col("bf")).otherwise(0L))
+          .as("d_pairs"))
+    // t·(t−1) is always even: halve AFTER the integer sum (Spark's `/`
+    // on integral types returns double — `div` keeps it an exact long)
+    val tiesX = cells.groupBy("x").agg(sum("f").as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("s2"))
+      .select(expr("s2 div 2").as("ties_x_pairs"))
+    val tiesY = cells.groupBy("y").agg(sum("f").as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("s2"))
+      .select(expr("s2 div 2").as("ties_y_pairs"))
+    val total = cells.agg(sum("f").as("n"))
+    pairCounts
+      .crossJoin(broadcast(tiesX))
+      .crossJoin(broadcast(tiesY))
+      .crossJoin(broadcast(total))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(
+        col("n"), col("c_pairs"), col("d_pairs"),
+        col("ties_x_pairs"), col("ties_y_pairs"),
+        floor((col("c_pairs") - col("d_pairs")).cast("double")
+          / (sqrt((col("n0") - col("ties_x_pairs")).cast("double"))
+            * sqrt((col("n0") - col("ties_y_pairs")).cast("double")))
+          * 1e6 + 0.5).as("tau_b_e6"))
+  }
+
+  def kendallTauOracle: String = """
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+             count(1) AS f
+      FROM lineitem GROUP BY 1, 2),
+    pc AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN a.f * b.f ELSE 0 END)
+               AS BIGINT) AS c_pairs,
+             CAST(sum(CASE WHEN b.y < a.y THEN a.f * b.f ELSE 0 END)
+               AS BIGINT) AS d_pairs
+      FROM cells a JOIN cells b ON b.x > a.x),
+    tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_x_pairs
+           FROM (SELECT sum(f) AS t FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_y_pairs
+           FROM (SELECT sum(f) AS t FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells)
+    SELECT n, c_pairs, d_pairs, ties_x_pairs, ties_y_pairs,
+           CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
+             / (sqrt(CAST(n * (n - 1) // 2 - ties_x_pairs AS DOUBLE))
+               * sqrt(CAST(n * (n - 1) // 2 - ties_y_pairs AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
+    FROM pc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
 }

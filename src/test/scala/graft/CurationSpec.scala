@@ -171,4 +171,40 @@ class CurationSpec extends SparkSpec {
     val naivePadded = rows.map(_.getAs[Long]("n_docs")).sum * globalCap
     assert(rows.length == 1 || bucketedPadded < naivePadded)
   }
+
+  test("frequentTriples: matches a driver-side A-priori replay") {
+    val minSup = 5L // sf0.001 corpus is small — grade at a spec-sized support
+    val rows = Curation.frequentTriples(spark, sfDir, minSupport = minSup).collect()
+    val docToks = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z]+").filter(_.length >= 3).toSet)
+      .toMap
+    val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+    docToks.values.foreach { ts =>
+      val s = ts.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length)
+        pairCnt((s(i), s(j))) = pairCnt.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val fPairs = pairCnt.filter(_._2 >= minSup)
+    val items = fPairs.keySet.flatMap { case (a, b) => Set(a, b) }
+    val triCnt = collection.mutable.Map.empty[(String, String, String), Long]
+    docToks.values.foreach { ts =>
+      val s = (ts intersect items).toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length; k <- (j + 1) until s.length)
+        triCnt((s(i), s(j), s(k))) =
+          triCnt.getOrElse((s(i), s(j), s(k)), 0L) + 1
+    }
+    val fTris = triCnt.filter(_._2 >= minSup)
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      == fTris.keySet)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getAs[Long]("support") == fTris(key), r.toString)
+      assert(r.getAs[Long]("sup_ab") == fPairs((key._1, key._2)))
+      assert(r.getAs[Long]("sup_ac") == fPairs((key._1, key._3)))
+      assert(r.getAs[Long]("sup_bc") == fPairs((key._2, key._3)))
+      assert(r.getAs[Boolean]("closure_ok"), "downward closure violated")
+    }
+  }
 }

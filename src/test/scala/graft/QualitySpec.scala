@@ -848,4 +848,32 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") == 2L * n1 * n2)
     assert(r.getAs[Boolean]("u1_gt_mean") == (u1x2 > n1 * n2))
   }
+
+  test("kendallTau: matches a driver-side all-pairs replay") {
+    val r = Quality.kendallTau(spark, sfDir).head()
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_discount") * 100 + 0.5).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      if (x1 == x2) tx += 1
+      else if (y1 == y2) () // y-tie only (x differs): counted below
+      else if ((x1 < x2) == (y1 < y2)) c += 1
+      else d += 1
+      if (y1 == y2) ty += 1
+    }
+    // tx above counts ALL same-x pairs (incl. same-y); ties_y likewise
+    val n = pts.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("c_pairs") == c, s"c: ${r.getAs[Long]("c_pairs")} vs $c")
+    assert(r.getAs[Long]("d_pairs") == d)
+    assert(r.getAs[Long]("ties_x_pairs") == tx)
+    assert(r.getAs[Long]("ties_y_pairs") == ty)
+    val n0 = n * (n - 1) / 2
+    val tau = (c - d).toDouble / (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+    assert(r.getAs[Long]("tau_b_e6") == math.floor(tau * 1e6 + 0.5).toLong)
+    assert(math.abs(r.getAs[Long]("tau_b_e6")) <= 1000000L)
+  }
 }
