@@ -83,6 +83,7 @@ object SparkEntry {
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
     "q6h_silhouette"        -> (Similarity.silhouette _),
+    "q6i_ivfpq_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q5h_degree_histogram"  -> (Graph.linkDegreeHistogram _),
     "q5i_link_prediction"   -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
     "q5j_shortest_path"     -> ((s: SparkSession, d: String) => Graph.shortestPath(s, d)),
+    "q5k_kcore"             -> ((s: SparkSession, d: String) => Graph.linkKCore(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -594,6 +596,28 @@ object SparkEntry {
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
     "q6h_silhouette"        -> Similarity.silhouetteOracle,
+    // q6i: same folded-contract oracle shape as q62/q63 — exact top-k
+    // stats are replayable arithmetic, the recall verdict is the
+    // contract boolean
+    "q6i_ivfpq_topk" -> """
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0),
+      topk AS (
+        SELECT vec_id, round(cos, 4) AS cosine
+        FROM sims ORDER BY cosine DESC, vec_id LIMIT 10)
+      SELECT CAST(10 AS BIGINT) AS k,
+             CAST(count(1) AS BIGINT) AS n_exact,
+             round(min(cosine), 4) AS bf_min_cosine,
+             true AS recall_ok
+      FROM topk""",
     "q4o_pmi_pairs"         -> Curation.pmiPairsOracle,
     "q4p_lang_confusion"    -> Text.langConfusionOracle,
     "q4r_bm25_scoring"      -> Text.bm25TopDocsOracle,
@@ -610,6 +634,7 @@ object SparkEntry {
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,
+    "q5k_kcore"             -> Graph.linkKCoreOracle,
     // q4q: q52's truth replay restricted to pairs straddling the
     // train/eval split (q49's doc_id % 50 marker); booleans literal-true
     "q4q_fuzzy_decontamination" -> """

@@ -389,6 +389,92 @@ object Graph {
            CAST(max(degree) OVER () AS BIGINT) AS max_degree
     FROM h ORDER BY degree"""
 
+  /** q5k: K-CORE PEELING — the degeneracy decomposition's workhorse
+    * (community cores, spam-farm detection, the pre-filter before
+    * expensive clique mining): repeatedly delete nodes of degree < k
+    * until the survivors all have degree ≥ k within the survivor set.
+    * Each peel round is one edge⋈survivors⋈survivors restriction plus
+    * one degree aggregate — the same join-iteration shape as PageRank/
+    * CC, shuffling on the node key; rounds are FIXED (unrolled in the
+    * oracle as chained CTEs) and a `converged` column records whether
+    * round R removed nothing — when true, the round-R survivor set IS
+    * the exact k-core by definition, so the fixpoint claim itself is
+    * hash-graded rather than trusted. Driver-side work is one bounded
+    * node-count probe per round (the convergence comparison). Output is
+    * the one-row core audit: survivor count, in-core directed edge
+    * count, the minimum in-core degree (≥ k iff converged), and the
+    * convergence verdict. */
+  def linkKCore(spark: SparkSession, dir: String,
+      k: Int = 6, rounds: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = affineLinkEdges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var core = docs.select(col("doc_id").as("id"))
+    var sizes = List(n)
+    for (_ <- 1 to rounds) {
+      val sub = und
+        .join(core.select(col("id").as("src")), "src")
+        .join(core.select(col("id").as("dst")), "dst")
+      core = sub.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("src").as("id"))
+        .localCheckpoint(true) // truncate the per-round join lineage
+      sizes = core.count() :: sizes // bounded scalar probe per round
+    }
+    val converged = sizes.head == sizes.tail.head
+    val finalSub = und
+      .join(core.select(col("id").as("src")), "src")
+      .join(core.select(col("id").as("dst")), "dst")
+    finalSub.groupBy("src").agg(count(lit(1)).as("dg"))
+      .agg(
+        lit(k.toLong).as("k"),
+        lit(rounds.toLong).as("rounds"),
+        count(lit(1)).as("n_core_nodes"),
+        sum("dg").as("core_edges_directed"),
+        min("dg").as("min_core_degree"))
+      .withColumn("converged", lit(converged))
+  }
+
+  def linkKCoreOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e0 AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 31 + 7) % n,
+                     (doc_id * 17 + 3) % n,
+                     (doc_id * 13 + 11) % n]) AS dst
+      FROM d CROSS JOIN nn),
+    und AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+    c1 AS (SELECT src AS id FROM und GROUP BY src HAVING count(1) >= 6),
+    c2 AS (SELECT src AS id FROM und
+           WHERE src IN (SELECT id FROM c1) AND dst IN (SELECT id FROM c1)
+           GROUP BY src HAVING count(1) >= 6),
+    c3 AS (SELECT src AS id FROM und
+           WHERE src IN (SELECT id FROM c2) AND dst IN (SELECT id FROM c2)
+           GROUP BY src HAVING count(1) >= 6),
+    c4 AS (SELECT src AS id FROM und
+           WHERE src IN (SELECT id FROM c3) AND dst IN (SELECT id FROM c3)
+           GROUP BY src HAVING count(1) >= 6),
+    c5 AS (SELECT src AS id FROM und
+           WHERE src IN (SELECT id FROM c4) AND dst IN (SELECT id FROM c4)
+           GROUP BY src HAVING count(1) >= 6),
+    c6 AS (SELECT src AS id FROM und
+           WHERE src IN (SELECT id FROM c5) AND dst IN (SELECT id FROM c5)
+           GROUP BY src HAVING count(1) >= 6),
+    fin AS (SELECT src, count(1) AS dg FROM und
+            WHERE src IN (SELECT id FROM c6) AND dst IN (SELECT id FROM c6)
+            GROUP BY src)
+    SELECT CAST(6 AS BIGINT) AS k,
+           CAST(6 AS BIGINT) AS rounds,
+           CAST(count(1) AS BIGINT) AS n_core_nodes,
+           CAST(sum(dg) AS BIGINT) AS core_edges_directed,
+           CAST(min(dg) AS BIGINT) AS min_core_degree,
+           (SELECT count(1) FROM c6) = (SELECT count(1) FROM c5) AS converged
+    FROM fin"""
+
   /** q5j: BOUNDED WEIGHTED SHORTEST PATH — single-source Bellman-Ford
     * relaxation over the shared affine link graph with deterministic
     * integer edge weights (w = 1 + (7·src + 5·dst) mod 10), cut at a

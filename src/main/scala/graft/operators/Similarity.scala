@@ -356,6 +356,20 @@ object Similarity {
   def pqAdcTopK(spark: SparkSession, dir: String,
       queryId: Long = 0L, topK: Int = 10, m: Int = 4, k: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    adcTopK(emb, emb.filter(col("vec_id") =!= queryId), queryId, topK, m, k)
+  }
+
+  /** The ADC scoring core shared by [[pqAdcTopK]] (full-corpus
+    * candidates) and [[ivfPqTopK]] (IVF-probed candidates): per
+    * (candidate, subspace) the assigned codeword is the argmin of the
+    * assignment distance, and the query-to-codeword distance for that
+    * codeword is the ADC term — one broadcast of the k-row codebook +
+    * 1-row query, k·m work per candidate. `candidates` must carry
+    * (vec_id, embedding); the codebook always comes from the FULL
+    * corpus (first k vectors) so probing never changes the code
+    * assignments. */
+  private def adcTopK(emb: DataFrame, candidates: DataFrame,
+      queryId: Long, topK: Int, m: Int, k: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -363,9 +377,6 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))
-    // per (vector, subspace): assignment distance to each codeword and
-    // the ADC distance from the query's subvector to the same codeword —
-    // one broadcast of the k-row codebook + 1-row query, k·m work/vector
     def subSqDist(a: Column, b: Column): Column =
       aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, t) => {
         val idx = (col("j") * sub + t).cast("int")
@@ -374,7 +385,7 @@ object Similarity {
       })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "j").orderBy(col("assign_dist"), col("cid"))
-    emb.filter(col("vec_id") =!= queryId)
+    candidates
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(m - 1))).as("j"))
       .join(broadcast(cb))
@@ -388,6 +399,77 @@ object Similarity {
       .orderBy(col("adc"), col("vec_id"))
       .limit(topK)
   }
+
+  /** q6i: IVF-PQ — the two index structures composed the way FAISS's
+    * IVFPQ (Jégou et al., TPAMI 2011) deploys them at billion-vector
+    * scale: the IVF coarse quantizer (q63's seeded KMeans, nProbe
+    * lists) bounds WHICH candidates are touched, and PQ-ADC scoring
+    * (q6a's codebook) bounds the WORK PER CANDIDATE — k·m codeword
+    * lookups instead of a d-dim float scan. (PQ here codes raw vectors,
+    * not residuals — the residual refinement is a per-list codebook
+    * away and changes no plan shape.) Both index structures broadcast
+    * (centroids: nLists rows of fitted model state; codebook: k rows);
+    * the corpus side is one filtered scan. Graded via the q62/q63
+    * folded recall contract against the exact cosine top-k — the floor
+    * compounds BOTH approximation stages, so it sits at the IVF tier
+    * (probing dominates the loss; ADC only reorders within the probed
+    * candidates). */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, topK: Int = 10, nLists: Int = 4, nProbe: Int = 2,
+      m: Int = 4, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(823).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cent_id")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .cache()
+    val qVec = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probeLists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> sqDist(qVec, c.toArray) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nProbe).map(_._1.toLong)
+    val candidates = assigned
+      .filter(col("vec_id") =!= queryId
+        && col("cent_id").isin(probeLists.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+    // ADC is a SHORTLIST builder, not the final ranking (8 codewords ×
+    // 4 subspaces is deliberately coarse — alone it ranks ~1 true
+    // neighbor into the top-10 on this corpus): take 3k by ADC, then
+    // exact-rerank the shortlist — the full FAISS search pipeline
+    // (coarse probe → ADC scan → refine), with the expensive exact
+    // metric touching only 3k rows
+    val raw = Tables.embeddings(spark, dir)
+    val shortlist = adcTopK(raw, candidates, queryId, 3 * topK, m, k)
+    val query = raw.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    shortlist.select(col("vec_id"))
+      .join(raw.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("q")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** q6i graded form: ADC distances don't map onto cosine, so the
+    * contract joins the IVF-PQ id set against the exact cosine top-k
+    * (the overlap is metric-free). Floor 0.2: IVF probing alone is
+    * contracted at 0.3 (q63) and ADC reordering within the probed set
+    * can push at most a few true neighbors out of the top-k. */
+  def ivfPqRecall(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, minRecall: Double = 0.2): DataFrame =
+    recallContract(ivfPqTopK(spark, dir, queryId, k),
+      bruteForceTopK(spark, dir, queryId, k), k, minRecall)
 
   /** Per-vector PQ reconstruction error (the body of [[pqAudit]],
     * exposed so specs can assert pointwise invariants — e.g. a

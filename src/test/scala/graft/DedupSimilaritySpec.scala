@@ -444,6 +444,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cs == cs.sorted.reverse, "reranked output ordered by exact cosine")
   }
 
+  test("ivfPqTopK: probed ADC top-k overlaps the exact top-k at the contract floor") {
+    val ids = Similarity.ivfPqTopK(spark, sfDir).collect().map(_.getLong(0))
+    assert(ids.length == 10 && !ids.contains(0L) && ids.distinct.length == 10)
+    val exact = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.count(exact) >= 2, // ceil(10 * 0.2)
+      s"IVF-PQ recall ${ids.count(exact)}/10 under the 0.2 contract floor")
+    val contract = Similarity.ivfPqRecall(spark, sfDir).head()
+    assert(contract.getAs[Boolean]("recall_ok"))
+    assert(contract.getAs[Long]("n_exact") == 10L)
+  }
+
   test("silhouette: matches a driver-side quantized-centroid replay") {
     val rows = Similarity.silhouette(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -597,6 +597,34 @@ class QualitySpec extends SparkSpec {
     assert(rows(0L) == 0L)
   }
 
+  test("linkKCore: matches a driver-side peel replay; converged means true k-core") {
+    val r = Graph.linkKCore(spark, sfDir).head()
+    val n = Tables.documents(spark, sfDir).count()
+    val und = (0L until n).flatMap { s =>
+      Seq((s * 31 + 7) % n, (s * 17 + 3) % n, (s * 13 + 11) % n)
+        .flatMap(d => Seq((s, d), (d, s)))
+    }.distinct
+    var core = (0L until n).toSet
+    var prev = core
+    for (_ <- 1 to 6) {
+      prev = core
+      val deg = und.filter { case (s, d) => core(s) && core(d) }
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      core = core.filter(id => deg.getOrElse(id, 0L) >= 6L)
+    }
+    val finDeg = und.filter { case (s, d) => core(s) && core(d) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(r.getAs[Long]("n_core_nodes") == core.size.toLong)
+    assert(r.getAs[Boolean]("converged") == (core == prev))
+    if (core.nonEmpty) {
+      assert(r.getAs[Long]("core_edges_directed") == finDeg.values.sum)
+      assert(r.getAs[Long]("min_core_degree") == finDeg.values.min)
+      // if the peel converged, the survivor set is by definition a k-core
+      if (r.getAs[Boolean]("converged"))
+        assert(r.getAs[Long]("min_core_degree") >= 6L)
+    }
+  }
+
   test("linkBfsHops: histogram covers all docs, frontier grows then truncates") {
     val rows = Graph.linkBfsHops(spark, sfDir).collect()
       .map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
