@@ -78,7 +78,9 @@ object SparkEntry {
     "q4s_ngram_novelty"     -> ((s: SparkSession, d: String) => Text.ngramNovelty(s, d)),
     "q4t_nucleus_vocab"     -> ((s: SparkSession, d: String) => Text.nucleusVocab(s, d)),
     "q4u_frequent_triples"  -> ((s: SparkSession, d: String) => Curation.frequentTriples(s, d)),
+    "q4v_zipf_slope"        -> ((s: SparkSession, d: String) => Text.zipfSlope(s, d)),
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
+    "q3s_volume_acf"        -> ((s: SparkSession, d: String) => TimeSeries.volumeAcf(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
@@ -624,7 +626,9 @@ object SparkEntry {
     "q4s_ngram_novelty"     -> Text.ngramNoveltyOracle,
     "q4t_nucleus_vocab"     -> Text.nucleusVocabOracle,
     "q4u_frequent_triples"  -> Curation.frequentTriplesOracle,
+    "q4v_zipf_slope"        -> Text.zipfSlopeOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
+    "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,

@@ -696,4 +696,64 @@ object Text {
              AS BIGINT) AS vocab_share_ppm
     FROM w WHERE (cum - n) * 100 < total * 90
     GROUP BY lang ORDER BY lang"""
+
+  /** q4v: ZIPF SLOPE — does the corpus obey the rank-frequency power
+    * law (slope ≈ −1 on log-log axes)? The canary for synthetic /
+    * machine-generated / template-heavy text, whose frequency curves
+    * flatten or step. Fit is OLS over the TOP-1000 ranks (Zipf is a
+    * head law, and the cap also bounds every moment sum below bigint
+    * range). Determinism: rank is a pinned-tie window (count desc,
+    * token asc) over the vocab-sized frequency table; ln() is applied
+    * to exact integers (the q4o/q1n integer-input encoding) and
+    * quantized to e4 PER TERM, so the regression moments are
+    * order-free exact integer sums — the slope's one division is
+    * correctly rounded. Plan: one corpus explode + hash aggregate; the
+    * window and regression run over ≤1000 rows. */
+  def zipfSlope(spark: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok"))))
+      .filter(col("rank") <= topN)
+      .select(
+        floor(log(col("rank").cast("double")) * 1e4 + 0.5).as("x"),
+        floor(log(col("n").cast("double")) * 1e4 + 0.5).as("y"))
+    ranked.agg(
+        count(lit(1)).as("n_terms"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_terms"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        floor((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")) * 1e6 + 0.5)
+          .as("slope_e6"))
+      .withColumn("is_decreasing", col("slope_e6") < 0L)
+  }
+
+  def zipfSlopeOracle: String = """
+    WITH freq AS (
+      SELECT tok, count(1) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS y
+      FROM (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+            FROM freq)
+      WHERE rank <= 1000),
+    m AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_terms,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ranked)
+    SELECT n_terms, sx, sy, sxx, sxy,
+           CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / (n_terms * sxx - sx * sx) * 1e6 + 0.5) AS BIGINT) AS slope_e6,
+           CAST(floor(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / (n_terms * sxx - sx * sx) * 1e6 + 0.5) AS BIGINT) < 0
+             AS is_decreasing
+    FROM m"""
 }

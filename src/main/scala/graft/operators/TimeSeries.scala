@@ -157,6 +157,65 @@ object TimeSeries {
            count(1) OVER (PARTITION BY event_type) AS n_anomalies
     FROM f ORDER BY event_type, h"""
 
+  /** q3s: AUTOCORRELATION FUNCTION of the hourly volume series — the
+    * first diagnostic a forecaster runs (is there memory? is there a
+    * daily cycle? → is lag-24 the dominant coefficient?). The textbook
+    * estimator needs deviations from the mean — a rational number — so
+    * the engine computes with deviations SCALED BY k (d_t = k·n_t − S,
+    * exact integers): r_L = Σ d_t·d_{t−L} / Σ d_t², with the k² factor
+    * cancelling exactly. Lag alignment is a self-JOIN on h−L, not a
+    * window lag — the spine may have empty hours, and a row-offset lag
+    * would silently pair non-adjacent hours across gaps; the join pairs
+    * exactly the (t, t−L) that both exist. All sums are exact integers;
+    * the single division per lag is correctly rounded. The series is
+    * pre-aggregated (720 rows at any corpus scale), so every stage past
+    * the first aggregate is spine-sized. */
+  def volumeAcf(spark: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 2, 3, 24)): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.agg(sum("n").as("s"), count(lit(1)).as("k"))
+    val d = hourly.crossJoin(broadcast(tot))
+      .select(col("h"), (col("n") * col("k") - col("s")).as("d"))
+      .cache() // feeds the denominator and every lag join
+    val den = d.agg(sum(col("d") * col("d")).as("den"))
+    val lagDim = lags.toDF("lag")
+    d.crossJoin(broadcast(lagDim))
+      .withColumn("h_prev", col("h") - col("lag"))
+      .join(d.select(col("h").as("h_prev"), col("d").as("d_prev")), "h_prev")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d") * col("d_prev")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        col("num"), col("den"),
+        floor(col("num").cast("double") / col("den") * 1e6 + 0.5).as("acf_e6"))
+      .orderBy("lag")
+  }
+
+  def volumeAcfOracle: String = """
+    WITH hourly AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             count(1) AS n
+      FROM events GROUP BY 1),
+    tot AS (SELECT sum(n) AS s, count(1) AS k FROM hourly),
+    d AS (SELECT h, n * k - s AS d FROM hourly CROSS JOIN tot),
+    den AS (SELECT sum(d * d) AS den FROM d),
+    lags AS (SELECT unnest([1, 2, 3, 24]) AS lag),
+    p AS (
+      SELECT l.lag, count(1) AS n_pairs, sum(a.d * b.d) AS num
+      FROM d a CROSS JOIN lags l JOIN d b ON b.h = a.h - l.lag
+      GROUP BY l.lag)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS num,
+           CAST(den.den AS BIGINT) AS den,
+           CAST(floor(CAST(num AS DOUBLE) / den.den * 1e6 + 0.5) AS BIGINT)
+             AS acf_e6
+    FROM p CROSS JOIN den ORDER BY lag"""
+
   /** q3r: SEASONAL PROFILE — the hour-of-day seasonality index per
     * event type (the deseasonalization denominator every forecasting /
     * anomaly pipeline needs before q3o's z-scores mean anything):

@@ -56,7 +56,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q5i_link_prediction" -> "1-row capped-center count folded onto every graded row (q4k pattern)",
     "q6g_rerank_topk" -> "broadcast(1-row query vector) + 1-row recall-contract probe (q61/q62 pattern)",
     "q4r_bm25_scoring" -> "1-row corpus-stats aggregate (sum_dl, n_docs) broadcast onto the postings",
-    "q1v_kendall_tau" -> "broadcast(contingency table bounded by the value domain, <=|qty|x|disc| rows) + 1-row marginal aggregates")
+    "q1v_kendall_tau" -> "broadcast(contingency table bounded by the value domain, <=|qty|x|disc| rows) + 1-row marginal aggregates",
+    "q3s_volume_acf" -> "1-row total/denominator aggregates + 4-row lag dimension, all broadcast onto the 720-row hourly spine")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

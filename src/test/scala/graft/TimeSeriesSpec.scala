@@ -155,4 +155,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == expected,
       "every event except each user's last contributes one transition")
   }
+
+  test("volumeAcf: matches a driver-side scaled-deviation replay") {
+    val rows = TimeSeries.volumeAcf(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == Seq(1L, 2L, 3L, 24L))
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = hourly.size.toLong
+    val s = hourly.values.sum
+    val d = hourly.view.mapValues(n => n * k - s).toMap
+    val den = d.values.map(x => x * x).sum
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag")
+      val pairs = d.keys.filter(h => d.contains(h - lag)).toSeq
+      val num = pairs.map(h => d(h) * d(h - lag)).sum
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, r.toString)
+      assert(r.getAs[Long]("num") == num)
+      assert(r.getAs[Long]("den") == den)
+      assert(r.getAs[Long]("acf_e6") ==
+        math.floor(num.toDouble / den * 1e6 + 0.5).toLong)
+      // an ACF coefficient is bounded by 1 in magnitude
+      assert(math.abs(r.getAs[Long]("acf_e6")) <= 1000000L)
+    }
+  }
+
+  test("zipfSlope: matches a driver-side OLS replay over the ranked head") {
+    val r = graft.operators.Text.zipfSlope(spark, sfDir).head()
+    val freq = Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+      .take(1000)
+    val xy = freq.zipWithIndex.map { case ((_, n), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e4 + 0.5).toLong,
+        math.floor(math.log(n.toDouble) * 1e4 + 0.5).toLong)
+    }
+    val k = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    assert(r.getAs[Long]("n_terms") == k)
+    assert(r.getAs[Long]("sx") == sx && r.getAs[Long]("sy") == sy)
+    assert(r.getAs[Long]("sxx") == sxx && r.getAs[Long]("sxy") == sxy)
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx)
+    assert(r.getAs[Long]("slope_e6") == math.floor(slope * 1e6 + 0.5).toLong)
+    // token frequencies fall with rank, so the fitted slope must too
+    assert(r.getAs[Boolean]("is_decreasing"))
+  }
 }
