@@ -86,6 +86,7 @@ object SparkEntry {
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
     "q6h_silhouette"        -> (Similarity.silhouette _),
     "q6i_ivfpq_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
+    "q6j_pq_trained_audit"  -> ((s: SparkSession, d: String) => Similarity.trainedPqAudit(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q37_range_join_binned" -> (TimeJoin.rangeJoinBinned _),
     "q75_asof_join_native"  -> (TimeJoin.asofClickPurchaseNative _),
     "q76_asof_join_forward" -> (TimeJoin.asofClickNextPurchaseNative _),
+    "q77_asof_tolerance"    -> ((s: SparkSession, d: String) => TimeJoin.asofClickPurchaseTolerance(s, d)),
     "q3m_ewma_hourly"       -> (TimeSeries.ewmaHourly _),
     "q3n_event_transitions" -> (TimeSeries.eventTransitions _),
     // —— text analysis (E-13) ——
@@ -639,6 +641,33 @@ object SparkEntry {
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,
     "q5k_kcore"             -> Graph.linkKCoreOracle,
+    "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
+    // q6j: q68's replayable fixed-codebook arithmetic + the training
+    // contract as a literal (the trained centroids are seeded model
+    // state an external engine cannot replay)
+    "q6j_pq_trained_audit" -> """
+      WITH cb AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      d AS (
+        SELECT e.vec_id, s.j, c.cid,
+               list_sum(list_transform(range(1, (len(e.embedding) // 4) + 1),
+                 t -> (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))
+                    * (CAST(e.embedding[s.j * (len(e.embedding) // 4) + t] AS DOUBLE)
+                       - CAST(c.cvec[s.j * (len(e.embedding) // 4) + t] AS DOUBLE))))
+                 AS dist
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS j) s
+        CROSS JOIN cb c),
+      mn AS (SELECT vec_id, j, min(dist) AS min_dist FROM d GROUP BY vec_id, j),
+      v AS (SELECT vec_id, round(sum(min_dist), 4) AS err FROM mn GROUP BY vec_id)
+      SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+             round(avg(err), 4) AS avg_err_fixed,
+             CAST(4 AS BIGINT) AS m,
+             CAST(8 AS BIGINT) AS k,
+             true AS trained_le_fixed
+      FROM v""",
     // q4q: q52's truth replay restricted to pairs straddling the
     // train/eval split (q49's doc_id % 50 marker); booleans literal-true
     "q4q_fuzzy_decontamination" -> """

