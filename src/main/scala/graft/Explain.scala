@@ -21,7 +21,8 @@ object Explain {
     "q74_sse_parity", "q62_ann_lsh_topk", "q63_ivf_topk", "q53_minhash_lsh_ml",
     "q4l_cms_heavy_hitters", "q6e_pca_audit", "q3l_checkpoint_recovery",
     "q0f_dynamic_partition_pruning", "q6f_centroid_coherence",
-    "q6i_ivfpq_topk", "q5k_kcore", "q6j_pq_trained_audit")
+    "q6i_ivfpq_topk", "q5k_kcore", "q6j_pq_trained_audit",
+    "q4w_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

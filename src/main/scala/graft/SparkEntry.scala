@@ -79,6 +79,7 @@ object SparkEntry {
     "q4t_nucleus_vocab"     -> ((s: SparkSession, d: String) => Text.nucleusVocab(s, d)),
     "q4u_frequent_triples"  -> ((s: SparkSession, d: String) => Curation.frequentTriples(s, d)),
     "q4v_zipf_slope"        -> ((s: SparkSession, d: String) => Text.zipfSlope(s, d)),
+    "q4w_quality_classifier" -> ((s: SparkSession, d: String) => graft.ml.QualityFilter.qualityClassifier(s, d)),
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q3s_volume_acf"        -> ((s: SparkSession, d: String) => TimeSeries.volumeAcf(s, d)),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
@@ -629,6 +630,7 @@ object SparkEntry {
     "q4t_nucleus_vocab"     -> Text.nucleusVocabOracle,
     "q4u_frequent_triples"  -> Curation.frequentTriplesOracle,
     "q4v_zipf_slope"        -> Text.zipfSlopeOracle,
+    "q4w_quality_classifier" -> graft.ml.QualityFilter.qualityClassifierOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,

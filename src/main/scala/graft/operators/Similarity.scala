@@ -356,19 +356,36 @@ object Similarity {
     * the corpus-side work stays one pass per fit. */
   def trainedPqAudit(spark: SparkSession, dir: String,
       m: Int = 4, k: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    // materialize the cache BEFORE the parallel fits (racing futures
+    // duplicate the un-materialized relation under storage locks), then
+    // fit the m independent subspace quantizers concurrently — each fit
+    // is ~a dozen tiny jobs, so wall time is job-launch overhead, not
+    // compute, and the fan-out collapses it to ~one fit's worth
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .cache()
+    emb.count()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val trainedTotal = (0 until m).map { j =>
-      val sv = emb.select(array_to_vector(
-        slice(col("embedding"), j * sub + 1, sub).cast("array<double>"))
-        .as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(k).setSeed(823 + j).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("c")
-        .fit(sv).summary.trainingCost
-    }.sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      m, (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val trainedTotal =
+      try {
+        val futs = (0 until m).map { j => scala.concurrent.Future {
+          val sv = emb.select(array_to_vector(
+            slice(col("embedding"), j * sub + 1, sub).cast("array<double>"))
+            .as("features"))
+          new org.apache.spark.ml.clustering.KMeans()
+            .setK(k).setSeed(823 + j).setMaxIter(10)
+            .setFeaturesCol("features").setPredictionCol("c")
+            .fit(sv).summary.trainingCost
+        }}
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).sum
+      } finally pool.shutdown()
     val errs = pqErrors(emb, dim, m, k).cache() // fixed-side probe + graded agg
     val fixedTotal = errs.agg(sum("err")).head().getDouble(0)
     errs.agg(

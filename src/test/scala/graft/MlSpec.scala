@@ -87,4 +87,21 @@ class MlSpec extends SparkSpec {
     assert(res.forall(r => r.getAs[Double]("avg_rmse") > 0))
     assert(res.map(_.getAs[Int]("rank")).toSet == Set(2, 4))
   }
+
+  test("qualityClassifier: label counts replay exactly and the AUC contract holds (q4w)") {
+    val row = graft.ml.QualityFilter.qualityClassifier(spark, sfDir).head()
+    // driver-side integer replay of the weak label over the fixture
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("text").as[String].collect()
+    val expectedPos = docs.count { t =>
+      val toks = t.split(" ", -1)
+      toks.distinct.length * 2 >= toks.length
+    }
+    assert(row.getAs[Long]("n_docs") == docs.length)
+    assert(row.getAs[Long]("n_pos") == expectedPos)
+    // nontrivial split — AUC is meaningless on a one-class corpus
+    assert(row.getAs[Long]("n_pos") > 0 && row.getAs[Long]("n_pos") < docs.length)
+    assert(row.getAs[Boolean]("auc_ge_090"))
+    assert(row.getAs[Boolean]("weights_finite"))
+  }
 }
