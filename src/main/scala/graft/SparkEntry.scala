@@ -88,6 +88,7 @@ object SparkEntry {
     "q6h_silhouette"        -> (Similarity.silhouette _),
     "q6i_ivfpq_topk"        -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
     "q6j_pq_trained_audit"  -> ((s: SparkSession, d: String) => Similarity.trainedPqAudit(s, d)),
+    "q6k_phash_dedup"       -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -631,6 +632,7 @@ object SparkEntry {
     "q4u_frequent_triples"  -> Curation.frequentTriplesOracle,
     "q4v_zipf_slope"        -> Text.zipfSlopeOracle,
     "q4w_quality_classifier" -> graft.ml.QualityFilter.qualityClassifierOracle,
+    "q6k_phash_dedup"        -> Multimodal.phashDedupOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,

@@ -162,6 +162,123 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q6k: PERCEPTUAL-HASH image dedup — dHash (difference hash,
+    * Krawetz): sample the decoded raster on a 9×8 nearest-neighbor
+    * grid, emit one bit per horizontally-adjacent sample pair
+    * (`right > left`), group the corpus by the 64-bit hash. Exact
+    * byte-level dedup (q50/q51) misses re-encoded copies of the same
+    * picture; dHash is invariant to any strictly-order-preserving
+    * pixel transform, so a brightness-shifted re-encode lands in the
+    * same bucket while its container bytes (and content hash) differ
+    * everywhere. The fixture plants exactly that: every doc_id % 50
+    * image re-enters as a +10-brightness re-encode under id+1_000_000
+    * (ASCII-derived pixels are ≤126, so +10 never saturates and the
+    * order of every sample pair is preserved — the invariance is
+    * exact, not approximate).
+    *
+    * Scale shape: decode + hash is one narrow `mapPartitions` pass
+    * (codec per partition); the only shuffle is a groupBy on the
+    * 64-bit hash — near-Hamming variants would band these bits the
+    * q54 SimHash way, never all-pairs. The oracle replays the grid
+    * arithmetic from the text bytes (the q67 technique) with NO
+    * brightness term — both comparison sides shift equally, which is
+    * precisely the invariance being graded. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val copies = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = widthOf(id); val h = heightOf(id)
+          val blob = encodeBmp(w, h, (x, y) =>
+            (if (bytes.isEmpty) 0
+             else bytes(((y * w + x) * 31 + 7) % bytes.length) & 0xff) + 10)
+          MediaRow(id + 1000000L, blob, "image/bmp", blob.length, (id % 4).toInt)
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("blob"),
+        struct(col("mime"), col("n_bytes"), col("camera_id")).as("meta"))
+    val hashes = mediaTable(spark, dir).unionByName(copies)
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, blob) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable media payload for doc_id=$id")
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          var hi = 0L; var lo = 0L; var b = 0
+          while (b < 64) {
+            val gx = b % 8; val sy = (b / 8) * h / 8
+            val s0 = raster.getSample(gx * w / 9, sy, 0)
+            val s1 = raster.getSample((gx + 1) * w / 9, sy, 0)
+            if (s1 > s0) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    hashes.groupBy("hash_hi", "hash_lo")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L)).as("n_planted"))
+      .filter(col("n_members") > 1)
+      .orderBy("hash_hi", "hash_lo")
+  }
+
+  val phashDedupOracle: String = """
+    WITH base AS (
+      SELECT doc_id, text,
+             16 + (doc_id % 16) AS w,
+             12 + (doc_id % 8) AS h,
+             length(text) AS len
+      FROM documents),
+    all_imgs AS (
+      SELECT doc_id, text, w, h, len FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text, w, h, len
+      FROM base WHERE doc_id % 50 = 0),
+    hashes AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 32), b ->
+          (CASE WHEN ascii(substr(text,
+                  1 + (((((b // 8) * h // 8) * w + ((b % 8) + 1) * w // 9)
+                        * 31 + 7) % len), 1))
+                > ascii(substr(text,
+                  1 + (((((b // 8) * h // 8) * w + (b % 8) * w // 9)
+                        * 31 + 7) % len), 1))
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << b))
+          AS BIGINT) AS hash_lo,
+        CAST(list_sum(list_transform(range(32, 64), b ->
+          (CASE WHEN ascii(substr(text,
+                  1 + (((((b // 8) * h // 8) * w + ((b % 8) + 1) * w // 9)
+                        * 31 + 7) % len), 1))
+                > ascii(substr(text,
+                  1 + (((((b // 8) * h // 8) * w + (b % 8) * w // 9)
+                        * 31 + 7) % len), 1))
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << (b - 32)))
+          AS BIGINT) AS hash_hi
+      FROM all_imgs)
+    SELECT hash_hi, hash_lo,
+           CAST(count(1) AS BIGINT) AS n_members,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_planted
+    FROM hashes
+    GROUP BY hash_hi, hash_lo
+    HAVING count(1) > 1
+    ORDER BY hash_hi, hash_lo"""
+
   /** "Frame sampling": slice every k-th byte window of the blob as a
     * frame — the plumbing (explode of per-row frame arrays with
     * metadata) matches video-frame extraction. */

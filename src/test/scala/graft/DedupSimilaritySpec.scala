@@ -498,4 +498,40 @@ class DedupSimilaritySpec extends SparkSpec {
         math.floor(e.sum.toDouble / e.length + 0.5).toLong)
     }
   }
+
+  private def dhashOf(blob: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    var hi = 0L; var lo = 0L; var b = 0
+    while (b < 64) {
+      val gx = b % 8; val sy = (b / 8) * h / 8
+      if (raster.getSample((gx + 1) * w / 9, sy, 0) >
+          raster.getSample(gx * w / 9, sy, 0)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  test("phashDedup: dHash is exactly invariant to a brightness shift; bytes are not") {
+    val pix = (x: Int, y: Int) => (x * 31 + y * 17 + 7) % 120
+    val orig = operators.Multimodal.encodeBmp(20, 14, pix)
+    val bright = operators.Multimodal.encodeBmp(20, 14, (x, y) => pix(x, y) + 10)
+    assert(!java.util.Arrays.equals(orig, bright))
+    assert(dhashOf(orig) == dhashOf(bright))
+  }
+
+  test("phashDedup: every planted re-encode groups with its source image (q6k)") {
+    val groups = operators.Multimodal.phashDedup(spark, sfDir).collect()
+    val planted = groups.filter(_.getAs[Long]("n_planted") > 0)
+    val nSources = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0).count()
+    assert(planted.length == nSources)
+    planted.foreach { g =>
+      assert(g.getAs[Long]("n_members") == 2L)
+      assert(g.getAs[Long]("max_id") == g.getAs[Long]("min_id") + 1000000L)
+    }
+  }
 }
