@@ -147,6 +147,7 @@ object SparkEntry {
     "q75_asof_join_native"  -> (TimeJoin.asofClickPurchaseNative _),
     "q76_asof_join_forward" -> (TimeJoin.asofClickNextPurchaseNative _),
     "q77_asof_tolerance"    -> ((s: SparkSession, d: String) => TimeJoin.asofClickPurchaseTolerance(s, d)),
+    "q78_asof_nearest"      -> (TimeJoin.asofClickPurchaseNearest _),
     "q3m_ewma_hourly"       -> (TimeSeries.ewmaHourly _),
     "q3n_event_transitions" -> (TimeSeries.eventTransitions _),
     // —— text analysis (E-13) ——
@@ -169,6 +170,7 @@ object SparkEntry {
     "q4g_temperature_mixture" -> ((s: SparkSession, d: String) => Curation.temperatureMixture(s, d)),
     "q4h_frequent_pairs"    -> ((s: SparkSession, d: String) => Curation.frequentPairs(s, d)),
     "q4i_stratified_sample" -> (Curation.stratifiedSample _),
+    "q4x_exact_k_sample"    -> ((s: SparkSession, d: String) => Curation.exactKSample(s, d)),
     "q4j_bigram_score"      -> (Text.bigramScore _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
@@ -646,6 +648,8 @@ object SparkEntry {
     "q5j_shortest_path"     -> Graph.shortestPathOracle,
     "q5k_kcore"             -> Graph.linkKCoreOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
+    "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
+    "q4x_exact_k_sample"    -> Curation.exactKSampleOracle,
     // q6j: q68's replayable fixed-codebook arithmetic + the training
     // contract as a literal (the trained centroids are seeded model
     // state an external engine cannot replay)

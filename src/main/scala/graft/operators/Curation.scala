@@ -330,6 +330,45 @@ object Curation {
     FROM gated g LEFT JOIN sampled s ON g.lang = s.lang
     ORDER BY g.lang"""
 
+  /** q4x: EXACT-k per-stratum sample — the rate-based gates (q46/q4i)
+    * hit their targets only in EXPECTATION; eval-set construction
+    * contracts "exactly k docs per language". Rank every row by the
+    * SAME double-step Lehmer permutation as [[hashUniform]] kept in
+    * exact integers (no double division, so no rounding seam), take
+    * `row_number() <= k` per stratum with doc_id as the total-order
+    * tie-break. The rank filter is the form Catalyst rewrites with
+    * WindowGroupLimit (asserted in CurationSpec): each map task prunes
+    * to its LOCAL top-k per stratum before the exchange, so the
+    * shuffle carries O(k · strata · tasks) rows, not the corpus — the
+    * distributed replacement for driver-side reservoir sampling. The
+    * rank rides along in the output: the graded row pins WHY each doc
+    * was chosen, not just which. */
+  def exactKSample(spark: SparkSession, dir: String, k: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = pmod(col("doc_id"), lit(LehmerM)) * lit(48271L) % lit(LehmerM) *
+      lit(48271L) % lit(LehmerM)
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), rank.as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"), col("rk"))
+      .orderBy("lang", "rn")
+  }
+
+  def exactKSampleOracle: String = """
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             (doc_id % 2147483647) * 48271 % 2147483647 * 48271
+               % 2147483647 AS rk
+      FROM documents),
+    n AS (
+      SELECT lang, doc_id, n_chars, rk,
+             row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+      FROM r)
+    SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars, rk
+    FROM n WHERE rn <= 7 ORDER BY lang, rn"""
+
   /** q4h: FREQUENT TOKEN PAIRS — co-occurrence mining (the Apriori/
     * market-basket 2-itemset pass) over the documents table: tokens
     * distinct-ed per document, paired within the document (canonical

@@ -128,6 +128,86 @@ object TimeJoin {
              AS stale_dropped
     FROM a ORDER BY user_id, click_id"""
 
+  /** q78: NEAREST-direction as-of join — pandas `merge_asof(direction=
+    * 'nearest')`: each click takes whichever purchase is closer in
+    * time, behind or ahead, with ties (equal distance) resolved to the
+    * BACKWARD match (the only side that exists in a live pipeline; the
+    * forward match is only knowable in backfill). Composed as the
+    * backward native as-of join CHAINED into the forward one — the
+    * second join takes the first's output as its left side, so the
+    * operator also exercises AsofJoinExec-over-AsofJoinExec composition
+    * (both shuffles hash the same key, and the second join's
+    * EnsureRequirements reuses the first's partitioning — no third
+    * exchange). The distance arithmetic and direction pick are a pure
+    * post-projection. `direction`/`dist_us` make the pick itself
+    * hash-graded, not just the picked payload. */
+  def asofClickPurchaseNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    val back = asofJoinNative(clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"))
+      .withColumnRenamed("p_us", "b_us")
+      .withColumnRenamed("p_value", "b_value")
+    val both = asofJoinNative(back, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("p_us", "p_value"), forward = true)
+      .withColumnRenamed("p_us", "f_us")
+      .withColumnRenamed("p_value", "f_value")
+    val cUs = unix_micros(col("ts"))
+    val dBack = cUs - col("b_us")
+    val dFwd = col("f_us") - cUs
+    val takeBack = col("b_us").isNotNull &&
+      (col("f_us").isNull || dBack <= dFwd)
+    both.select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        cUs.as("click_us"),
+        when(takeBack, col("b_us")).otherwise(col("f_us")).as("purchase_us"),
+        round(when(takeBack, col("b_value")).otherwise(col("f_value")), 2)
+          .as("purchase_value"),
+        when(takeBack, lit("backward"))
+          .when(col("f_us").isNotNull, lit("forward"))
+          .otherwise(lit("none")).as("direction"),
+        when(takeBack, dBack)
+          .when(col("f_us").isNotNull, dFwd).as("dist_us"))
+      .orderBy("user_id", "click_id")
+  }
+
+  def asofClickPurchaseNearestOracle: String = """
+    WITH c AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts, epoch_us(ts) AS p_us,
+             max(value) AS bmax, min(value) AS fmin
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    b AS (
+      SELECT c.user_id, c.event_id, c.c_us, p.p_us AS b_us, p.bmax AS b_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+    f AS (
+      SELECT c.user_id, c.event_id, p.p_us AS f_us, p.fmin AS f_value
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts),
+    j AS (
+      SELECT b.user_id, b.event_id, b.c_us, b.b_us, b.b_value,
+             f.f_us, f.f_value,
+             (b.b_us IS NOT NULL AND (f.f_us IS NULL
+                OR b.c_us - b.b_us <= f.f_us - b.c_us)) AS take_back
+      FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id)
+    SELECT user_id, event_id AS click_id, c_us AS click_us,
+           CASE WHEN take_back THEN b_us ELSE f_us END AS purchase_us,
+           round(CASE WHEN take_back THEN b_value ELSE f_value END, 2)
+             AS purchase_value,
+           CASE WHEN take_back THEN 'backward'
+                WHEN f_us IS NOT NULL THEN 'forward'
+                ELSE 'none' END AS direction,
+           CASE WHEN take_back THEN c_us - b_us
+                WHEN f_us IS NOT NULL THEN f_us - c_us END AS dist_us
+    FROM j ORDER BY user_id, click_id"""
+
   /** Native as-of join core: the same contract as [[asofJoin]], served
     * by the engine's custom operator ([[graft.plans.AsofJoinPlan]] →
     * `AsofJoinExec`) instead of the union+window composition. `right`

@@ -207,4 +207,26 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Boolean]("closure_ok"), "downward closure violated")
     }
   }
+
+  test("exactKSample: exactly min(k, |stratum|) rows per stratum, Lehmer order replayed (q4x)") {
+    val k = 7
+    val df = operators.Curation.exactKSample(spark, sfDir, k)
+    // the rank<=k filter must plan as a window GROUP LIMIT — the map-side
+    // per-stratum prune that keeps the shuffle k-bounded at any corpus size
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank filter did not plan as WindowGroupLimit")
+    val rows = df.collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val m = 2147483647L
+    def rk(id: Long) = id % m * 48271 % m * 48271 % m
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val expect = ds.map(_._1).sortBy(id => (rk(id), id)).take(k)
+      val got = rows.filter(_.getAs[String]("lang") == lang)
+        .sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == expect.toSeq, s"stratum $lang selection diverged")
+    }
+    rows.foreach(r => assert(rk(r.getAs[Long]("doc_id")) == r.getAs[Long]("rk")))
+  }
 }

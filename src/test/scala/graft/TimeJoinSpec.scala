@@ -223,4 +223,38 @@ class TimeJoinSpec extends SparkSpec {
     assert(stale > 0, "no stale matches dropped — tolerance untested")
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("purchase_us"))))
   }
+
+  test("nearest as-of: picks the closer of the backward/forward matches, ties backward") {
+    def us(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    val back = TimeJoin.asofClickPurchase(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("click_id") -> us(r, "purchase_us")).toMap
+    val fwd = TimeJoin.asofClickNextPurchaseNative(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("click_id") -> us(r, "purchase_us")).toMap
+    val rows = TimeJoin.asofClickPurchaseNearest(spark, sfDir).collect()
+    assert(rows.length == back.size)
+    var backN = 0; var fwdN = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("click_id"); val c = r.getAs[Long]("click_us")
+      val (b, f) = (back(id), fwd(id))
+      val expected = (b, f) match {
+        case (None, None) => ("none", None)
+        case (Some(bu), None) => ("backward", Some(bu))
+        case (None, Some(fu)) => ("forward", Some(fu))
+        case (Some(bu), Some(fu)) =>
+          if (c - bu <= fu - c) ("backward", Some(bu)) else ("forward", Some(fu))
+      }
+      assert(r.getAs[String]("direction") == expected._1, r.toString)
+      assert(us(r, "purchase_us") == expected._2, r.toString)
+      expected._1 match {
+        case "backward" =>
+          backN += 1; assert(r.getAs[Long]("dist_us") == c - expected._2.get)
+        case "forward" =>
+          fwdN += 1; assert(r.getAs[Long]("dist_us") == expected._2.get - c)
+        case _ => assert(r.isNullAt(r.fieldIndex("dist_us")))
+      }
+    }
+    // both directions must win somewhere or the pick logic is untested
+    assert(backN > 0 && fwdN > 0, s"one-sided fixture: back=$backN fwd=$fwdN")
+  }
 }
