@@ -242,15 +242,22 @@ object Similarity {
     val dq = when(scale === 0.0, col("embedding").cast("array<double>"))
       .otherwise(transform(col("embedding"),
         x => round((x.cast("double") - vmin) / scale) * scale + vmin))
+    // codegen cosineSim ≡ cosineHof bit-for-bit (same left-to-right
+    // double accumulation per term — see CosineSimilarity.nullSafeEval),
+    // but ~10× cheaper per row: the corpus-wide passes pay one cosine
+    // each instead of two HOF ones (observed 5.2 s → sub-second at
+    // sf0.1); the exact cosine is evaluated corpus-wide only in the
+    // truth arm that exists to grade the contract
     val base = emb.filter(col("vec_id") =!= queryId)
       .join(broadcast(query))
-      .withColumn("cos_sq8", round(cosineHof(dq, col("q")), 4))
-      .withColumn("cos_exact", round(cosineHof(col("embedding"), col("q")), 4))
     val reranked = base
+      .withColumn("cos_sq8", round(cosineSim(dq, col("q")), 4))
       .orderBy(col("cos_sq8").desc, col("vec_id")).limit(coarseR)
+      .withColumn("cos_exact", round(cosineSim(col("embedding"), col("q")), 4))
       .orderBy(col("cos_exact").desc, col("vec_id")).limit(k)
       .select("vec_id", "label", "cos_sq8", "cos_exact")
     val truth = base
+      .withColumn("cos_exact", round(cosineSim(col("embedding"), col("q")), 4))
       .orderBy(col("cos_exact").desc, col("vec_id")).limit(k)
       .select(col("vec_id").as("t_id"))
     val recall = reranked
