@@ -856,5 +856,70 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** q6l: HARD-NEGATIVE MINING — the contrastive-training data op
+    * (FaceNet/SimCSE shape): for each anchor, the top-k most similar
+    * corpus vectors with a DIFFERENT label (the negatives a contrastive
+    * loss learns most from), next to the anchor's least-similar
+    * SAME-label vector (the hardest positive). The per-row flag marks
+    * negatives that score above the hardest positive — the regime where
+    * triplet loss gradients are largest. Same topology as q6c: anchors
+    * broadcast once, every corpus partition scores locally, one shuffle
+    * on a_id for the per-anchor top-k (planned as WindowGroupLimit, so
+    * map tasks prune to local top-k first); the positive arm is a tiny
+    * per-anchor min. Corpus-partition-parallel at any corpus size. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nAnchors: Int = 8, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.where(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("av"))
+    val scored = emb.where(col("vec_id") >= nAnchors)
+      .join(broadcast(anchors))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        round(cosineSim(col("embedding"), col("av")), 8).as("cosine"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cosine").desc, col("vec_id"))
+    val negs = scored.where(col("label") =!= col("a_label"))
+      .withColumn("rk", row_number().over(wNeg))
+      .where(col("rk") <= k)
+    val hardestPos = scored.where(col("label") === col("a_label"))
+      .groupBy("a_id").agg(min("cosine").as("pos_min_cosine"))
+    negs.join(broadcast(hardestPos), Seq("a_id"), "left")
+      .select(col("a_id"), col("rk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("cosine").as("neg_cosine"), col("pos_min_cosine"),
+        (col("cosine") > col("pos_min_cosine"))
+          .as("harder_than_worst_positive"))
+      .orderBy("a_id", "rk")
+  }
+
+  val hardNegativesOracle: String = """
+    WITH a AS (
+      SELECT vec_id AS a_id, label AS a_label, embedding AS av
+      FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT a.a_id, a.a_label, e.vec_id, e.label,
+        round(
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(e.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(a.av,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 8) AS cosine
+      FROM embeddings e CROSS JOIN a WHERE e.vec_id >= 8),
+    n AS (
+      SELECT a_id, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY a_id
+               ORDER BY cosine DESC, vec_id) AS rk
+      FROM s WHERE label <> a_label),
+    p AS (
+      SELECT a_id, min(cosine) AS pos_min_cosine
+      FROM s WHERE label = a_label GROUP BY a_id)
+    SELECT n.a_id, CAST(n.rk AS INTEGER) AS rk,
+           n.vec_id AS neg_id, n.label AS neg_label,
+           n.cosine AS neg_cosine, p.pos_min_cosine,
+           n.cosine > p.pos_min_cosine AS harder_than_worst_positive
+    FROM n LEFT JOIN p ON n.a_id = p.a_id
+    WHERE n.rk <= 3 ORDER BY n.a_id, n.rk"""
 
 }

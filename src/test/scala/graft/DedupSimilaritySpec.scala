@@ -523,6 +523,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dhashOf(orig) == dhashOf(bright))
   }
 
+  test("hardNegatives: driver replay of anchor 0's negatives and hardest positive (q6l)") {
+    val df = operators.Similarity.hardNegatives(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = df.collect()
+    assert(rows.length == 8 * 3)
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (a0, l0, v0) = all.find(_._1 == 0L).get
+    val corpus = all.filter(_._1 >= 8L)
+    val negTop = corpus.filter(_._2 != l0)
+      .map { case (id, l, v) => (id, l, cos(v0, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(3)
+    val posMin = corpus.filter(_._2 == l0).map { case (_, _, v) => cos(v0, v) }.min
+    val got = rows.filter(_.getAs[Long]("a_id") == a0)
+      .sortBy(_.getAs[Int]("rk"))
+    got.zip(negTop).foreach { case (r, (id, l, c)) =>
+      assert(r.getAs[Long]("neg_id") == id)
+      assert(r.getAs[Int]("neg_label") == l)
+      assert(r.getAs[Double]("neg_cosine") == c)
+      assert(r.getAs[Double]("pos_min_cosine") == posMin)
+      assert(r.getAs[Boolean]("harder_than_worst_positive") == (c > posMin))
+    }
+  }
+
   test("phashDedup: every planted re-encode groups with its source image (q6k)") {
     val groups = operators.Multimodal.phashDedup(spark, sfDir).collect()
     val planted = groups.filter(_.getAs[Long]("n_planted") > 0)
