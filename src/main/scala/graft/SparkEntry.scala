@@ -96,6 +96,7 @@ object SparkEntry {
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
+    "q2o_csv_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.customersCsvRoundTrip(s, d)),
     "q2a_compaction"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.compactionRoundTrip(s, d)),
     "q2b_orc_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.lineitemOrcRoundTrip(s, d)),
     "q2c_merge_upsert"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.mergeRoundTrip(s, d)),
@@ -637,6 +638,7 @@ object SparkEntry {
     "q4w_quality_classifier" -> graft.ml.QualityFilter.qualityClassifierOracle,
     "q6k_phash_dedup"        -> Multimodal.phashDedupOracle,
     "q6l_hard_negatives"     -> Similarity.hardNegativesOracle,
+    "q2o_csv_roundtrip"      -> graft.sources.Warehouse.customersCsvRoundTripOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,

@@ -132,6 +132,47 @@ object Warehouse {
       .orderBy("lang")
   }
 
+  /** q2o: CSV interchange roundtrip — the format every upstream vendor
+    * feed and exported spreadsheet still arrives in. CSV dies at
+    * quoting: the fixture's columns are delimiter-free, so the
+    * roundtrip DERIVES a note column with embedded commas AND
+    * double-quotes (`<name>, "seg=<segment>"`) — the write must quote
+    * and escape it, the read must unquote it LOSSLESSLY, and the
+    * explicit schema on the way back is q29's rule (inference
+    * double-scans and drifts). The graded aggregate pins per-byte
+    * content (the note's char count, arithmetically replayable by the
+    * oracle) and exact cents (doubles survive the text hop via
+    * shortest-repr round-tripping; cents quantize BEFORE the sum per
+    * the q2i doctrine), so any quoting or parsing loss breaks the
+    * hash against the parquet-sourced oracle. */
+  def customersCsvRoundTrip(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_cust_csv")): DataFrame = {
+    val src = Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"),
+      concat(col("c_name"), lit(", \"seg="), col("c_mktsegment"), lit("\""))
+        .as("c_note"))
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    readCsv(spark, path, src.schema, header = true)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("acctbal_cents"),
+        sum(length(col("c_note")).cast("long")).as("note_chars"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  val customersCsvRoundTripOracle: String = """
+    SELECT c_mktsegment,
+           CAST(count(1) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents,
+           CAST(sum(length(c_name) + 7 + length(c_mktsegment) + 1) AS BIGINT)
+             AS note_chars,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** Small-file COMPACTION — the maintenance pass every long-lived
     * 100 TB table needs: streaming sinks, incremental ingests and
     * over-parallel writers leave directories of kilobyte files whose

@@ -215,4 +215,22 @@ class SourcesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("merge_equals_direct"), r.toString)
     }
   }
+
+  test("csv roundtrip: quoted note column and doubles survive the text hop row-for-row (q2o)") {
+    import org.apache.spark.sql.functions._
+    val path = graft.Fs.scratch("graft_test_cust_csv")
+    val src = graft.Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"),
+      concat(col("c_name"), lit(", \"seg="), col("c_mktsegment"), lit("\""))
+        .as("c_note"))
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    val back = graft.sources.Warehouse.readCsv(spark, path, src.schema, header = true)
+    // every column byte-identical after the quote/escape/parse cycle
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // the note really contains the delimiter and quote characters
+    val note = back.select("c_note").head().getString(0)
+    assert(note.contains(",") && note.contains("\""))
+  }
 }
