@@ -369,6 +369,77 @@ object Curation {
     SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars, rk
     FROM n WHERE rn <= 7 ORDER BY lang, rn"""
 
+  /** q4y: NEGATIVE SAMPLING for implicit feedback — the construction
+    * every implicit-feedback recommender (ALS-implicit, BPR, two-tower)
+    * trains on: observed (user, item) interactions are the positives,
+    * and k items the user never touched are sampled as negatives. The
+    * scale-critical point is what this operator does NOT do: it never
+    * materializes users × items. Each user gets a bounded TRIAL spine
+    * (explode of `trials` slots); the double-step Lehmer hash of
+    * (user, trial) maps each slot straight to a candidate item id —
+    * legal because partkeys are dense 0..N−1 (asserted in spec) —
+    * positives reject candidates via one left_anti join, colliding
+    * trials collapse to their first slot, and `row_number() <= k` over
+    * trial order keeps the earliest k survivors (planned as
+    * WindowGroupLimit). Work is O(users · trials) with one anti-join
+    * shuffle at any catalog size; the trial spine is the distributed
+    * form of per-row rejection sampling. N arrives as a 1-row
+    * broadcast (PlanInvariants-allowlisted), never a driver collect. */
+  def negativeSampling(spark: SparkSession, dir: String,
+      trials: Int = 40, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positives = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val users = positives.select("custkey").distinct()
+    val nItems = Tables.part(spark, dir).agg(count(lit(1)).as("n_items"))
+    val seed = col("custkey") * lit(1009L) + col("trial")
+    val mixed = pmod(seed, lit(LehmerM)) * lit(48271L) % lit(LehmerM) *
+      lit(48271L) % lit(LehmerM)
+    val cand = users.crossJoin(broadcast(nItems))
+      .withColumn("trial", explode(sequence(lit(0), lit(trials - 1))))
+      .withColumn("partkey", mixed % col("n_items"))
+    val negs = cand.join(positives, Seq("custkey", "partkey"), "left_anti")
+      .groupBy("custkey", "partkey").agg(min("trial").as("trial"))
+    val w = Window.partitionBy("custkey").orderBy("trial")
+    negs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("custkey"), col("rk"), col("partkey"),
+        col("trial").cast("long").as("trial"))
+      .orderBy("custkey", "rk")
+  }
+
+  def negativeSamplingOracle: String = """
+    WITH n AS (SELECT count(1) AS n_items FROM part),
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey % 100 = 0),
+    u AS (SELECT DISTINCT custkey FROM pos),
+    cand AS (
+      SELECT u.custkey, t.trial,
+             (u.custkey * 1009 + t.trial) % 2147483647 * 48271 % 2147483647
+               * 48271 % 2147483647 % n.n_items AS partkey
+      FROM u CROSS JOIN n
+      CROSS JOIN (SELECT unnest(range(0, 40)) AS trial) t),
+    neg AS (
+      SELECT c.custkey, c.partkey, min(c.trial) AS trial
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+        WHERE p.custkey = c.custkey AND p.partkey = c.partkey)
+      GROUP BY c.custkey, c.partkey),
+    r AS (
+      SELECT custkey, partkey, trial,
+             row_number() OVER (PARTITION BY custkey ORDER BY trial) AS rk
+      FROM neg)
+    SELECT custkey, CAST(rk AS INTEGER) AS rk, partkey, trial
+    FROM r WHERE rk <= 5 ORDER BY custkey, rk"""
+
   /** q4h: FREQUENT TOKEN PAIRS — co-occurrence mining (the Apriori/
     * market-basket 2-itemset pass) over the documents table: tokens
     * distinct-ed per document, paired within the document (canonical

@@ -229,4 +229,45 @@ class CurationSpec extends SparkSpec {
     }
     rows.foreach(r => assert(rk(r.getAs[Long]("doc_id")) == r.getAs[Long]("rk")))
   }
+
+  test("negativeSampling: no sampled pair is a positive; per-user k honored; hash replayed (q4y)") {
+    import org.apache.spark.sql.functions._
+    val k = 5; val trials = 40
+    // documented precondition: dense 0..N-1 item ids
+    val pk = graft.Tables.part(spark, sfDir)
+      .agg(min("p_partkey"), max("p_partkey"), count(lit(1))).head()
+    assert(pk.getLong(0) == 0L && pk.getLong(1) == pk.getLong(2) - 1,
+      "partkeys not dense 0..N-1 — the trial->item mapping is invalid")
+    val n = pk.getLong(2)
+    val df = operators.Curation.negativeSampling(spark, sfDir, trials, k)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = df.collect()
+    val positives = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").as("ck"), col("o_orderkey"))
+      .join(graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("ck", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val users = positives.map(_._1)
+    assert(rows.length == users.size * k, "some user came up short of k negatives")
+    rows.foreach { r =>
+      val (c, p) = (r.getAs[Long]("custkey"), r.getAs[Long]("partkey"))
+      assert(!positives.contains((c, p)), s"sampled a positive: ($c, $p)")
+    }
+    // driver replay of one user's full rejection-sampling sequence
+    val m = 2147483647L
+    def item(c: Long, t: Long) = (c * 1009 + t) % m * 48271 % m * 48271 % m % n
+    val c0 = users.min
+    val expect = (0L until trials)
+      .map(t => (item(c0, t), t))
+      .filter { case (p, _) => !positives.contains((c0, p)) }
+      .groupBy(_._1).map { case (p, ts) => (p, ts.map(_._2).min) }
+      .toSeq.sortBy(_._2).take(k)
+    val got = rows.filter(_.getAs[Long]("custkey") == c0)
+      .sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("trial"))).toSeq
+    assert(got == expect, s"user $c0 sequence diverged")
+  }
 }

@@ -57,7 +57,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q6g_rerank_topk" -> "broadcast(1-row query vector) + 1-row recall-contract probe (q61/q62 pattern)",
     "q4r_bm25_scoring" -> "1-row corpus-stats aggregate (sum_dl, n_docs) broadcast onto the postings",
     "q1v_kendall_tau" -> "broadcast(contingency table bounded by the value domain, <=|qty|x|disc| rows) + 1-row marginal aggregates",
-    "q3s_volume_acf" -> "1-row total/denominator aggregates + 4-row lag dimension, all broadcast onto the 720-row hourly spine")
+    "q3s_volume_acf" -> "1-row total/denominator aggregates + 4-row lag dimension, all broadcast onto the 720-row hourly spine",
+    "q4y_negative_sampling" -> "1-row item-count aggregate broadcast onto the bounded user/trial spine",
+    "q6l_hard_negatives" -> "broadcast(8-row anchor block) + per-anchor hardest-positive broadcast (q6c pattern)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
