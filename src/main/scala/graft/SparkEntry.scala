@@ -90,6 +90,7 @@ object SparkEntry {
     "q6j_pq_trained_audit"  -> ((s: SparkSession, d: String) => Similarity.trainedPqAudit(s, d)),
     "q6k_phash_dedup"       -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "q6l_hard_negatives"    -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
+    "q6m_difficulty_pruning" -> ((s: SparkSession, d: String) => Similarity.difficultyPruning(s, d)),
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
@@ -639,6 +640,7 @@ object SparkEntry {
     "q4w_quality_classifier" -> graft.ml.QualityFilter.qualityClassifierOracle,
     "q6k_phash_dedup"        -> Multimodal.phashDedupOracle,
     "q6l_hard_negatives"     -> Similarity.hardNegativesOracle,
+    "q6m_difficulty_pruning" -> Similarity.difficultyPruningOracle,
     "q2o_csv_roundtrip"      -> graft.sources.Warehouse.customersCsvRoundTripOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,

@@ -856,6 +856,85 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** q6m: DIFFICULTY-BASED DATA PRUNING — the data-selection op from
+    * the pruning-scaling-law literature (Sorscher et al. 2022,
+    * arXiv:2206.14486: with abundant data, TRAIN ON THE HARD examples;
+    * prototype distance is the self-supervised difficulty metric): per
+    * label, score every vector by squared distance to its own label
+    * centroid and keep the farthest `keepPct`%. Exactness is q6h's
+    * machinery wholesale — milli-quantized integer coordinates,
+    * floor(S/n) centroids, integer distances — plus an integer keep
+    * rule (rank ≤ n·keepPct/100 under (d2 desc, vec_id)), so the kept
+    * SET is bit-determined and the id-sum pins membership in the hash.
+    * Plan: centroid table broadcast back (|labels|·dim rows), one
+    * hash aggregate for distances, one per-label window for the rank.
+    * The per-label sort is the exact-by-contract cost; at 100 TB the
+    * swap is a percentile sketch for the threshold (q58) + one filter
+    * pass — same output contract, no total order. */
+  def difficultyPruning(spark: SparkSession, dir: String,
+      keepPct: Int = 30): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .withColumn("em", floor(col("e").cast("double") * 1000 + 0.5))
+    val centroids = x.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      .agg(floor(sum("em").cast("double") / count(lit(1))).as("c"))
+    val d2 = x.join(broadcast(centroids),
+        col("pos") === col("c_pos") && col("label") === col("c_label"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("em") - col("c")) * (col("em") - col("c"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("d2").desc, col("vec_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    val ranked = d2
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("kept",
+        col("rank") <= floor(col("n") * lit(keepPct.toLong) / lit(100)))
+    ranked.groupBy("label")
+      .agg(
+        max("n").as("n_vectors"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("d2"))).as("threshold_d2"),
+        sum(when(col("kept"), col("d2"))).as("sum_d2_kept"),
+        sum(when(!col("kept"), col("d2"))).as("sum_d2_dropped"),
+        sum(when(col("kept"), col("vec_id"))).as("kept_id_sum"))
+      .orderBy("label")
+  }
+
+  val difficultyPruningOracle: String = """
+    WITH x AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS em
+      FROM embeddings),
+    c AS (
+      SELECT label AS c_label, pos AS c_pos,
+             CAST(floor(CAST(sum(em) AS DOUBLE) / count(1)) AS BIGINT) AS c
+      FROM x GROUP BY label, pos),
+    d2 AS (
+      SELECT x.vec_id, x.label,
+             sum((x.em - c.c) * (x.em - c.c)) AS d2
+      FROM x JOIN c ON x.pos = c.c_pos AND x.label = c.c_label
+      GROUP BY x.vec_id, x.label),
+    r AS (
+      SELECT vec_id, label, d2,
+             row_number() OVER (PARTITION BY label
+               ORDER BY d2 DESC, vec_id) AS rank,
+             count(1) OVER (PARTITION BY label) AS n
+      FROM d2),
+    k AS (
+      SELECT *, rank <= n * 30 // 100 AS kept FROM r)
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN kept THEN d2 END) AS BIGINT) AS threshold_d2,
+           CAST(sum(CASE WHEN kept THEN d2 END) AS BIGINT) AS sum_d2_kept,
+           CAST(sum(CASE WHEN NOT kept THEN d2 END) AS BIGINT)
+             AS sum_d2_dropped,
+           CAST(sum(CASE WHEN kept THEN vec_id END) AS BIGINT) AS kept_id_sum
+    FROM k GROUP BY label ORDER BY label"""
+
   /** q6l: HARD-NEGATIVE MINING — the contrastive-training data op
     * (FaceNet/SimCSE shape): for each anchor, the top-k most similar
     * corpus vectors with a DIFFERENT label (the negatives a contrastive

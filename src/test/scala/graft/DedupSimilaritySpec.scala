@@ -499,6 +499,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("difficultyPruning: kept set is exactly the farthest 30% per label (q6m)") {
+    val rows = Similarity.difficultyPruning(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(e => math.floor(e.toDouble * 1000 + 0.5).toLong)))
+    val byLabel = vecs.groupBy(_._2)
+    byLabel.foreach { case (lab, vs) =>
+      val dim = vs.head._3.length
+      val c = (0 until dim).map { p =>
+        math.floor(vs.map(_._3(p)).sum.toDouble / vs.length).toLong
+      }
+      val scored = vs.map { case (id, _, x) =>
+        (id, x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (-d, id) }
+      val nKeep = scored.length * 30 / 100
+      val kept = scored.take(nKeep)
+      val r = rows.find(_.getAs[Int]("label") == lab).get
+      assert(r.getAs[Long]("n_vectors") == scored.length.toLong)
+      assert(r.getAs[Long]("n_kept") == nKeep.toLong)
+      assert(r.getAs[Long]("threshold_d2") == kept.map(_._2).min)
+      assert(r.getAs[Long]("kept_id_sum") == kept.map(_._1).sum)
+      assert(r.getAs[Long]("sum_d2_kept") == kept.map(_._2).sum)
+      assert(r.getAs[Long]("sum_d2_dropped") == scored.drop(nKeep).map(_._2).sum)
+    }
+  }
+
   private def dhashOf(blob: Array[Byte]): (Long, Long) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
     val raster = img.getRaster
