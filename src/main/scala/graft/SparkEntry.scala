@@ -175,6 +175,7 @@ object SparkEntry {
     "q4i_stratified_sample" -> (Curation.stratifiedSample _),
     "q4x_exact_k_sample"    -> ((s: SparkSession, d: String) => Curation.exactKSample(s, d)),
     "q4y_negative_sampling" -> ((s: SparkSession, d: String) => Curation.negativeSampling(s, d)),
+    "q4z_tokenizer_fertility" -> (Text.tokenizerFertility _),
     "q4j_bigram_score"      -> (Text.bigramScore _),
     "q4c_heavy_hitters"     -> ((s: SparkSession, d: String) => Text.heavyHitters(s, d)),
     // —— dedup (E-10/E-11) ——
@@ -658,6 +659,7 @@ object SparkEntry {
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q4x_exact_k_sample"    -> Curation.exactKSampleOracle,
     "q4y_negative_sampling" -> Curation.negativeSamplingOracle,
+    "q4z_tokenizer_fertility" -> Text.tokenizerFertilityOracle,
     // q6j: q68's replayable fixed-codebook arithmetic + the training
     // contract as a literal (the trained centroids are seeded model
     // state an external engine cannot replay)

@@ -155,6 +155,57 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q4z: TOKENIZER FERTILITY by language — the multilingual
+    * budget metric (chars consumed per token emitted): a tokenizer
+    * with low fertility on a language burns that language's context
+    * budget faster, and the per-language spread is how tokenizer bias
+    * is actually measured when sizing multilingual mixtures. Two
+    * tokenizations side by side — whitespace and the BPE-ish regex —
+    * per-language totals in exact integers, fertility as
+    * floor(chars·1e6/tokens + 0.5): both engines divide the SAME two
+    * exact integers, so the doubles agree bitwise and the floor can't
+    * straddle. One narrow projection + one hash aggregate — no
+    * shuffle beyond the |langs|-row rollup at any corpus size. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(tokensRegex(col("text"))).cast("long").as("re"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("chars").as("n_chars"),
+        sum("ws").as("ws_tokens"),
+        sum("re").as("re_tokens"))
+      .withColumn("ws_fertility_ppm",
+        floor(col("n_chars").cast("double") / col("ws_tokens") * 1e6 + 0.5))
+      .withColumn("re_fertility_ppm",
+        floor(col("n_chars").cast("double") / col("re_tokens") * 1e6 + 0.5))
+      .orderBy("lang")
+  }
+
+  val tokenizerFertilityOracle: String = """
+    WITH t AS (
+      SELECT lang, length(text) AS chars,
+             len(string_split(text, ' ')) AS ws,
+             len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re
+      FROM documents),
+    a AS (
+      SELECT lang,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(chars) AS BIGINT) AS n_chars,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(re) AS BIGINT) AS re_tokens
+      FROM t GROUP BY lang)
+    SELECT lang, n_docs, n_chars, ws_tokens, re_tokens,
+           CAST(floor(CAST(n_chars AS DOUBLE) / ws_tokens * 1e6 + 0.5)
+             AS BIGINT) AS ws_fertility_ppm,
+           CAST(floor(CAST(n_chars AS DOUBLE) / re_tokens * 1e6 + 0.5)
+             AS BIGINT) AS re_fertility_ppm
+    FROM a ORDER BY lang"""
+
   /** Quality score in [0,1]: penalizes very short docs, low vocabulary
     * diversity and stopword-free (unnatural) text. Deterministic rational
     * arithmetic so it is oracle-checkable. */

@@ -352,4 +352,27 @@ class TextSpec extends SparkSpec {
       assert((covered - freq(size.toInt - 1)._2) * 100 < total * 90)
     }
   }
+
+  test("tokenizerFertility: per-language totals and ppm ratios replay driver-side (q4z)") {
+    val rows = operators.Text.tokenizerFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val chars = ds.map(_._2.length.toLong).sum
+      val ws = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val reN = ds.map(d => re.findAllIn(d._2).length.toLong).sum
+      val r = rows.find(_.getAs[String]("lang") == lang).get
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_chars") == chars)
+      assert(r.getAs[Long]("ws_tokens") == ws)
+      assert(r.getAs[Long]("re_tokens") == reN)
+      assert(r.getAs[Long]("ws_fertility_ppm") ==
+        math.floor(chars.toDouble / ws * 1e6 + 0.5).toLong)
+      assert(r.getAs[Long]("re_fertility_ppm") ==
+        math.floor(chars.toDouble / reN * 1e6 + 0.5).toLong)
+    }
+  }
 }
