@@ -203,6 +203,7 @@ object SparkEntry {
     "q5i_link_prediction"   -> ((s: SparkSession, d: String) => Graph.linkPrediction(s, d)),
     "q5j_shortest_path"     -> ((s: SparkSession, d: String) => Graph.shortestPath(s, d)),
     "q5k_kcore"             -> ((s: SparkSession, d: String) => Graph.linkKCore(s, d)),
+    "q5l_personalized_pagerank" -> ((s: SparkSession, d: String) => Graph.linkPersonalizedPageRank(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -655,6 +656,7 @@ object SparkEntry {
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,
     "q5k_kcore"             -> Graph.linkKCoreOracle,
+    "q5l_personalized_pagerank" -> Graph.linkPersonalizedPageRankOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q4x_exact_k_sample"    -> Curation.exactKSampleOracle,

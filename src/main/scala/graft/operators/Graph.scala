@@ -181,6 +181,87 @@ object Graph {
         lit(true).as("converged"))
   }
 
+  /** q5l: PERSONALIZED PageRank — the candidate-generation form every
+    * graph recommender runs (Pixie/SALSA lineage): teleport mass goes
+    * ONLY to a seed set, so rank localizes around the seeds and the
+    * scores read as "proximity to what this user already likes"
+    * instead of global importance. Same unrolled 3-iteration dataflow
+    * as q5b (one contribution join + one aggregate per round over the
+    * shared [[affineLinkEdges]] graph); the only change is the teleport
+    * term — seed ? (1−d)/|S| : 0 — which is the entire difference
+    * between global and personalized PR. Nodes unreachable from the
+    * seeds in 3 hops hold rank exactly 0 (the locality the operator
+    * exists to produce, visible in the graded rows). Seeds are the
+    * doc_id ≡ 0 (mod 50) documents so the oracle rebuilds the set
+    * arithmetically. */
+  def linkPersonalizedPageRank(spark: SparkSession, dir: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val s = docs.filter(col("doc_id") % 50 === 0).count()
+    val edges = affineLinkEdges(docs, n)
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val e = edges.join(outDeg, "src").cache()
+    val ids = docs.select(col("doc_id").as("id"),
+      (col("doc_id") % 50 === 0).as("seed"))
+    var ranks = ids.select(col("id"), col("seed"),
+      when(col("seed"), lit(1.0 / s)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks.select(col("id"), col("pr")),
+          col("src") === col("id"))
+        .select(col("dst"), (col("pr") / col("out_deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      ranks = ids.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"), col("seed"),
+          (when(col("seed"), lit(1.0 - damping) / s).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("id").as("doc_id"), col("seed").as("is_seed"),
+        round(col("pr"), 8).as("ppr"))
+      .orderBy("doc_id")
+  }
+
+  val linkPersonalizedPageRankOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    ss AS (SELECT CAST(count(1) AS BIGINT) AS s FROM d WHERE doc_id % 50 = 0),
+    e0 AS (
+      SELECT doc_id AS src,
+             unnest([(doc_id * 31 + 7) % n,
+                     (doc_id * 17 + 3) % n,
+                     (doc_id * 13 + 11) % n]) AS dst
+      FROM d CROSS JOIN nn),
+    deg AS (SELECT src, CAST(count(1) AS BIGINT) AS out_deg
+            FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.out_deg FROM e0 JOIN deg USING (src)),
+    r0 AS (SELECT d.doc_id AS id,
+                  CASE WHEN d.doc_id % 50 = 0 THEN 1.0 / ss.s
+                       ELSE 0.0 END AS pr
+           FROM d CROSS JOIN ss),
+    c1 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+           FROM e JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+    r1 AS (SELECT d.doc_id AS id,
+                  CASE WHEN d.doc_id % 50 = 0
+                       THEN (1 - CAST(0.85 AS DOUBLE)) / ss.s ELSE 0.0 END
+                    + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0.0) AS pr
+           FROM d CROSS JOIN ss LEFT JOIN c1 ON d.doc_id = c1.dst),
+    c2 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+           FROM e JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+    r2 AS (SELECT d.doc_id AS id,
+                  CASE WHEN d.doc_id % 50 = 0
+                       THEN (1 - CAST(0.85 AS DOUBLE)) / ss.s ELSE 0.0 END
+                    + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0.0) AS pr
+           FROM d CROSS JOIN ss LEFT JOIN c2 ON d.doc_id = c2.dst),
+    c3 AS (SELECT e.dst, sum(r.pr / e.out_deg) AS m
+           FROM e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+    r3 AS (SELECT d.doc_id AS id,
+                  CASE WHEN d.doc_id % 50 = 0
+                       THEN (1 - CAST(0.85 AS DOUBLE)) / ss.s ELSE 0.0 END
+                    + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0.0) AS pr
+           FROM d CROSS JOIN ss LEFT JOIN c3 ON d.doc_id = c3.dst)
+    SELECT id AS doc_id, (id % 50 = 0) AS is_seed, round(pr, 8) AS ppr
+    FROM r3 ORDER BY doc_id"""
+
   /** Single-source BFS shortest hop counts, `rounds` relaxation
     * iterations — the frontier-expansion class of graph algorithm
     * (vs PageRank's fixed-iteration mass flow and the components

@@ -904,4 +904,29 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("tau_b_e6") == math.floor(tau * 1e6 + 0.5).toLong)
     assert(math.abs(r.getAs[Long]("tau_b_e6")) <= 1000000L)
   }
+
+  test("personalized PageRank: mass conserved, seeds floored, rank localizes to the 3-hop seed reach (q5l)") {
+    val rows = operators.Graph.linkPersonalizedPageRank(spark, sfDir).collect()
+    val n = rows.length.toLong
+    val seeds = rows.filter(_.getAs[Boolean]("is_seed")).map(_.getAs[Long]("doc_id"))
+    assert(seeds.nonEmpty)
+    // every node has out-edges, so teleport + damped flow conserve total mass
+    val total = rows.map(_.getAs[Double]("ppr")).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"mass leaked: $total")
+    // a seed's teleport term alone guarantees (1-d)/|S|
+    val floor = (1.0 - 0.85) / seeds.length - 1e-9
+    rows.filter(_.getAs[Boolean]("is_seed"))
+      .foreach(r => assert(r.getAs[Double]("ppr") >= floor, r.toString))
+    // exact 3-hop reach of the seed set under the arithmetic edge rule:
+    // rank MUST be 0 outside it, > 0 on seeds (integer graph, no FP)
+    def out(v: Long) = Seq((v * 31 + 7) % n, (v * 17 + 3) % n, (v * 13 + 11) % n)
+    var reach = seeds.toSet
+    for (_ <- 1 to 3) reach = reach ++ reach.flatMap(out)
+    rows.foreach { r =>
+      val (id, ppr) = (r.getAs[Long]("doc_id"), r.getAs[Double]("ppr"))
+      if (!reach.contains(id)) assert(ppr == 0.0, s"rank off the seed reach: $r")
+    }
+    assert(rows.exists(r => r.getAs[Double]("ppr") == 0.0) ==
+      (reach.size < n), "locality shape disagrees with the reach set")
+  }
 }
