@@ -151,6 +151,7 @@ object SparkEntry {
     "q76_asof_join_forward" -> (TimeJoin.asofClickNextPurchaseNative _),
     "q77_asof_tolerance"    -> ((s: SparkSession, d: String) => TimeJoin.asofClickPurchaseTolerance(s, d)),
     "q78_asof_nearest"      -> (TimeJoin.asofClickPurchaseNearest _),
+    "q79_asof_same_day"     -> (TimeJoin.asofClickPurchaseSameDay _),
     "q3m_ewma_hourly"       -> (TimeSeries.ewmaHourly _),
     "q3n_event_transitions" -> (TimeSeries.eventTransitions _),
     // —— text analysis (E-13) ——
@@ -659,6 +660,7 @@ object SparkEntry {
     "q5l_personalized_pagerank" -> Graph.linkPersonalizedPageRankOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
+    "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,
     "q4x_exact_k_sample"    -> Curation.exactKSampleOracle,
     "q4y_negative_sampling" -> Curation.negativeSamplingOracle,
     "q4z_tokenizer_fertility" -> Text.tokenizerFertilityOracle,

@@ -218,6 +218,16 @@ object TimeJoin {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
       key: String, ts: String, rightCols: Seq[String],
+      forward: Boolean = false): DataFrame =
+    asofJoinNativeKeys(left, right, Seq(key), ts, rightCols, forward)
+
+  /** Multi-key form of [[asofJoinNative]] — `AsofJoinPlan` declares
+    * equal-arity key SEQUENCES, so composite partition keys (e.g.
+    * (user, day) for matches that must not carry across a boundary)
+    * ride the same operator: the keys all enter the clustered
+    * distribution and the sort prefix, nothing else changes. */
+  def asofJoinNativeKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, rightCols: Seq[String],
       forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.Alias
@@ -231,16 +241,19 @@ object TimeJoin {
     // fresh exprIds behind an Alias projection: both sides typically
     // derive from one base table, and duplicate attribute ids across a
     // binary node would corrupt downstream column binding
-    val rNarrow = right.select((key +: ts +: rightCols).map(col): _*)
+    val rNarrow = right.select((keys ++ (ts +: rightCols)).map(col): _*)
       .queryExecution.analyzed
     val rFresh = Project(rNarrow.output.map(a => Alias(a, a.name)()), rNarrow)
     val rOut = rFresh.projectList.map(_.toAttribute)
     val rByName = rOut.map(a => a.name -> a).toMap
     def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"left side has no column '$n'"))
-    require(lAttr(key).dataType == rByName(key).dataType &&
-      lAttr(ts).dataType == rByName(ts).dataType,
-      s"as-of join key/time types must align across sides")
+    keys.foreach { k =>
+      require(lAttr(k).dataType == rByName(k).dataType,
+        s"as-of join key '$k' types must align across sides")
+    }
+    require(lAttr(ts).dataType == rByName(ts).dataType,
+      s"as-of join time types must align across sides")
     // payload columns enter the right child's required sort order (the
     // deterministic tie rule) — reject unorderable types (maps) here
     // with a readable message instead of a planner error downstream
@@ -251,10 +264,57 @@ object TimeJoin {
     }
     GraftSqlBridge.ofRows(spark, AsofJoinPlan(
       lPlan, rFresh,
-      leftKeys = Seq(lAttr(key)), rightKeys = Seq(rByName(key)),
+      leftKeys = keys.map(lAttr), rightKeys = keys.map(rByName),
       leftTime = lAttr(ts), rightTime = rByName(ts),
       rightPayload = rightCols.map(rByName), forward = forward))
   }
+
+  /** q79: SAME-DAY as-of join — the composite-key form of the
+    * point-in-time match: state must NOT carry across a day boundary
+    * (intraday trading state, daily-reset feature stores, GDPR-style
+    * retention fences). Instead of post-filtering q36's output —
+    * which cannot distinguish "no purchase today" from "yesterday's
+    * purchase leaked through" — the DAY enters the native operator's
+    * key tuple: (user_id, day) both cluster the exchange and prefix
+    * the sort, so the merge's one-held-row state resets at each day
+    * boundary BY CONSTRUCTION and a cross-day match is structurally
+    * impossible, at identical cost to the single-key join. */
+  def asofClickPurchaseSameDay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("d"),
+        col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("p_us"), col("value").as("p_value"))
+    asofJoinNativeKeys(clicks, purchases, keys = Seq("user_id", "d"),
+        ts = "ts", rightCols = Seq("p_us", "p_value"))
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"),
+        col("p_us").as("purchase_us"),
+        round(col("p_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "click_id")
+  }
+
+  def asofClickPurchaseSameDayOracle: String = """
+    WITH c AS (
+      SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts, CAST(ts AS DATE) AS d, epoch_us(ts) AS p_us,
+             max(value) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts),
+    a AS (
+      SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+             p.p_us, p.p_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.d = p.d AND c.ts >= p.ts)
+    SELECT user_id, click_id, click_us,
+           p_us AS purchase_us, round(p_value, 2) AS purchase_value
+    FROM a ORDER BY user_id, click_id"""
 
   /** Composed FORWARD as-of join (earliest right row with `right.ts >=
     * left.ts` per key; smallest payload tuple on exact-time ties) — the

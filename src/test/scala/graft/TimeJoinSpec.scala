@@ -257,4 +257,31 @@ class TimeJoinSpec extends SparkSpec {
     // both directions must win somewhere or the pick logic is untested
     assert(backN > 0 && fwdN > 0, s"one-sided fixture: back=$backN fwd=$fwdN")
   }
+
+  test("same-day as-of: agrees with q36 intraday, structurally drops cross-day matches") {
+    val df = TimeJoin.asofClickPurchaseSameDay(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "composite-key form did not plan through the native operator")
+    def dayUs(us: Long) = us / 86400000000L
+    val base = TimeJoin.asofClickPurchase(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("click_id") -> r).toMap
+    val rows = df.collect()
+    assert(rows.length == base.size)
+    var crossDayDropped = 0
+    rows.foreach { r =>
+      val b = base(r.getAs[Long]("click_id"))
+      val sameDay = !b.isNullAt(b.fieldIndex("purchase_us")) &&
+        dayUs(b.getAs[Long]("purchase_us")) == dayUs(b.getAs[Long]("click_us"))
+      if (sameDay) {
+        // intraday: identical annotation to the single-key join
+        assert(r.getAs[Long]("purchase_us") == b.getAs[Long]("purchase_us"))
+        assert(r.getAs[Double]("purchase_value") == b.getAs[Double]("purchase_value"))
+      } else {
+        // yesterday's state must not leak through the day fence
+        assert(r.isNullAt(r.fieldIndex("purchase_us")), r.toString)
+        if (!b.isNullAt(b.fieldIndex("purchase_us"))) crossDayDropped += 1
+      }
+    }
+    assert(crossDayDropped > 0, "no cross-day matches in fixture — fence untested")
+  }
 }
