@@ -57,6 +57,7 @@ object SparkEntry {
     "q0d_star_join_revenue" -> (Relational.starJoinRevenue _),
     "q0e_join_null_safe"    -> (Relational.joinNullSafe _),
     "q0f_dynamic_partition_pruning" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionPruning(s, d)),
+    "q0g_exchange_reuse"    -> (Relational.exchangeReuse _),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
@@ -608,6 +609,7 @@ object SparkEntry {
     "q2m_sketch_rollup"     -> graft.sources.Warehouse.sketchRollupOracle,
     "q2n_audience_overlap"  -> Relational.audienceOverlapOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
+    "q0g_exchange_reuse"     -> Relational.exchangeReuseOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
     "q6h_silhouette"        -> Similarity.silhouetteOracle,

@@ -169,6 +169,85 @@ object Relational {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** q0g: EXCHANGE REUSE — the plan property that makes multi-output
+    * analytics affordable at 100 TB: two aggregations consuming the
+    * IDENTICAL shuffled join must read ONE exchange, not re-shuffle
+    * the fact table twice. Spark's ReuseExchange rule dedupes
+    * identical exchange subtrees across the plan; here the same
+    * lineitem⋈orders join feeds a revenue rollup and a volume rollup
+    * that meet again on the group key, and the q0f technique (bounded
+    * probe → read the FINAL adaptive plan) folds the `ReusedExchange`
+    * evidence into the graded row — the hash itself certifies the
+    * join's shuffles were paid once. Money is floored to exact cents
+    * per row before summing (q2i doctrine). */
+  def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    // Reuse requires the two consumers' subtrees to CANONICALIZE
+    // identically, so both rollups project the same columns (each also
+    // aggregates min() of the other's group key — differential column
+    // pruning would otherwise specialize the scans apart, which is
+    // exactly why naive multi-output jobs silently re-shuffle). The
+    // conf window pins the shuffle-join regime the property matters
+    // in (a broadcast join has no big exchange to save; at 100 TB the
+    // orders side wouldn't broadcast anyway).
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).as("disc_cents"))
+      val byPriority = base.groupBy("o_orderpriority")
+        .agg(sum("disc_cents").as("cents"), count(lit(1)).as("n_items"),
+          min("o_orderstatus").as("other_min"))
+        .select(lit("priority").as("group_kind"),
+          col("o_orderpriority").as("group_value"),
+          col("cents"), col("n_items"), col("other_min"))
+      val byStatus = base.groupBy("o_orderstatus")
+        .agg(sum("disc_cents").as("cents"), count(lit(1)).as("n_items"),
+          min("o_orderpriority").as("other_min"))
+        .select(lit("status").as("group_kind"),
+          col("o_orderstatus").as("group_value"),
+          col("cents"), col("n_items"), col("other_min"))
+      val out = byPriority.unionByName(byStatus)
+        .orderBy("group_kind", "group_value")
+      // bounded probe (≤ |priorities| + |statuses| rows) EXECUTES the
+      // query itself: AQE stage reuse only exists in the final adaptive
+      // plan of the real job — a side count() plans its own execution
+      // and shows nothing
+      out.collect()
+      val reused = out.queryExecution.executedPlan.toString
+        .contains("ReusedExchange")
+      out.withColumn("exchange_reused", lit(reused))
+    }
+  }
+
+  val exchangeReuseOracle: String = """
+    WITH j AS (
+      SELECT o.o_orderpriority, o.o_orderstatus,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+               + 0.5) AS BIGINT) AS disc_cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    p AS (
+      SELECT 'priority' AS group_kind, o_orderpriority AS group_value,
+             CAST(sum(disc_cents) AS BIGINT) AS cents,
+             CAST(count(1) AS BIGINT) AS n_items,
+             min(o_orderstatus) AS other_min
+      FROM j GROUP BY o_orderpriority),
+    s AS (
+      SELECT 'status' AS group_kind, o_orderstatus AS group_value,
+             CAST(sum(disc_cents) AS BIGINT) AS cents,
+             CAST(count(1) AS BIGINT) AS n_items,
+             min(o_orderpriority) AS other_min
+      FROM j GROUP BY o_orderstatus)
+    SELECT group_kind, group_value, cents, n_items, other_min,
+           true AS exchange_reused
+    FROM (SELECT * FROM p UNION ALL SELECT * FROM s)
+    ORDER BY group_kind, group_value"""
+
   /** q0e: NULL-SAFE EQUI JOIN (`<=>` / IS NOT DISTINCT FROM) — the
     * join semantic plain `=` can't express: NULL keys match each
     * other instead of vanishing. Exercised by NULLing out one planted
