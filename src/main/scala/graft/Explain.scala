@@ -22,7 +22,8 @@ object Explain {
     "q4l_cms_heavy_hitters", "q6e_pca_audit", "q3l_checkpoint_recovery",
     "q0f_dynamic_partition_pruning", "q6f_centroid_coherence",
     "q6i_ivfpq_topk", "q5k_kcore", "q6j_pq_trained_audit",
-    "q4w_quality_classifier", "q2o_csv_roundtrip", "q0g_exchange_reuse")
+    "q4w_quality_classifier", "q2o_csv_roundtrip", "q0g_exchange_reuse",
+    "q3t_stream_approx_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

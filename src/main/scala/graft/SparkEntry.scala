@@ -130,6 +130,7 @@ object SparkEntry {
     "q31_events_sliding"    -> (StreamEvents.slidingAgg _),
     "q32_events_sessionize" -> (StreamEvents.sessionize _),
     "q33_events_hourly_streaming" -> (StreamEvents.hourlyAggStreaming _),
+    "q3t_stream_approx_distinct" -> (StreamEvents.dailyApproxDistinctStreaming _),
     "q34_events_session_streaming" -> (StreamEvents.sessionizeStreaming _),
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
@@ -1119,6 +1120,7 @@ object SparkEntry {
     // the streaming replay runs in Complete mode over the whole fixture,
     // so its final table must equal the BATCH hourly aggregation — the
     // oracle is q30's SQL verbatim
+    "q3t_stream_approx_distinct" -> StreamEvents.dailyApproxDistinctStreamingOracle,
     "q33_events_hourly_streaming" -> """
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
              count(1) AS n, round(sum(value), 2) AS sum_value

@@ -424,6 +424,20 @@ class StreamingSpec extends SparkSpec {
     assert(w0.length == 1 && w0.head.getDouble(0) == 2.0,
       s"late row leaked into closed window: ${w0.mkString}")
   }
+
+  test("streaming daily approx-distinct: every window in the ±5% band, exact side replayed (q3t)") {
+    val rows = graft.streaming.Events
+      .dailyApproxDistinctStreaming(spark, sfDir).collect()
+    val exactByDay = graft.Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == exactByDay.size, "a daily window went missing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_users") == exactByDay(r.getAs[Long]("day_us")))
+      assert(r.getAs[Boolean]("approx_ok"), s"sketch out of band: $r")
+    }
+  }
 }
 
 /** Spec-side transformWithState processor exercising the OTHER typed
