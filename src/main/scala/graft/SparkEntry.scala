@@ -95,6 +95,7 @@ object SparkEntry {
     "q1g_window_distribution" -> (Relational.windowDistribution _),
     "q1h_array_hof"         -> (Relational.arrayHofStats _),
     "q2g_snapshot_cdc"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.snapshotCdc(s, d)),
+    "q2p_cdc_apply"         -> ((s: SparkSession, d: String) => graft.sources.Warehouse.cdcApply(s, d)),
     "q27_join_skew_salted"  -> ((s: SparkSession, d: String) => Relational.joinSkewSalted(s, d)),
     "q28_warehouse_roundtrip" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.ordersRoundTrip(s, d)),
     "q29_jsonl_roundtrip"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsJsonlRoundTrip(s, d)),
@@ -611,6 +612,7 @@ object SparkEntry {
     "q2n_audience_overlap"  -> Relational.audienceOverlapOracle,
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q0g_exchange_reuse"     -> Relational.exchangeReuseOracle,
+    "q2p_cdc_apply"          -> graft.sources.Warehouse.cdcApplyOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,
     "q6h_silhouette"        -> Similarity.silhouetteOracle,

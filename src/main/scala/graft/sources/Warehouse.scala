@@ -464,6 +464,81 @@ object Warehouse {
       .orderBy("op")
   }
 
+  /** q2p: CDC APPLY — the consumer of q2g's change feed, closing the
+    * loop: q2g DIFFS two snapshots into insert/update/delete ops; this
+    * operator APPLIES that feed back onto the old snapshot in ONE
+    * full-outer key join (matched update → delta row wins wholesale,
+    * matched delete → row dropped, unmatched delta → insert, unmatched
+    * base → carried), the only formulation that scales — no per-row
+    * lookups, no driver state, and at 100 TB both sides bucket on the
+    * key so the join co-locates. The graded row folds the theorem the
+    * pair exists to uphold: apply(old, diff(old, new)) == new, proven
+    * by two bounded exceptAll probes and hash-graded as
+    * `apply_is_identity` next to the op counts and the final state's
+    * exact-cents aggregate. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val oldSnap = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val newSnap = oldSnap
+      .where(pmod(col("key"), lit(10L)) =!= 7L)
+      .select(col("key"),
+        when(pmod(col("key"), lit(10L)) === 3L, col("price") + 500.0)
+          .otherwise(col("price")).as("price"))
+      .unionByName(
+        oldSnap.where(pmod(col("key"), lit(10L)) === 1L)
+          .select((col("key") + 1000000000L).as("key"), col("price")))
+    val delta = oldSnap.as("o").join(newSnap.as("n"),
+        col("o.key") === col("n.key"), "full_outer")
+      .select(
+        coalesce(col("o.key"), col("n.key")).as("key"),
+        when(col("o.key").isNull, "insert")
+          .when(col("n.key").isNull, "delete")
+          .when(col("o.price") =!= col("n.price"), "update")
+          .otherwise("unchanged").as("op"),
+        col("n.price").as("price"))
+      .where(col("op") =!= "unchanged")
+    val applied = oldSnap.as("b").join(delta.as("d"),
+        col("b.key") === col("d.key"), "full_outer")
+      .where(coalesce(col("d.op"), lit("keep")) =!= "delete")
+      .select(
+        coalesce(col("d.key"), col("b.key")).as("key"),
+        coalesce(col("d.price"), col("b.price")).as("price"))
+    // bounded identity probes: both directions empty ⇔ exact set equality
+    val identity = newSnap.exceptAll(applied).isEmpty &&
+      applied.exceptAll(newSnap).isEmpty
+    val opCounts = delta.groupBy().agg(
+      sum(when(col("op") === "update", 1L).otherwise(0L)).as("n_updates"),
+      sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"))
+    applied.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("key") >= 1000000000L, 1L).otherwise(0L)).as("n_inserted"),
+        sum(floor(col("price") * 100 + 0.5)).as("total_cents"))
+      .crossJoin(broadcast(opCounts))
+      .withColumn("apply_is_identity", lit(identity))
+  }
+
+  val cdcApplyOracle: String = """
+    WITH old_snap AS (
+      SELECT o_orderkey AS key, o_totalprice AS price FROM orders),
+    new_snap AS (
+      SELECT key,
+             CASE WHEN key % 10 = 3 THEN price + 500.0
+                  ELSE price END AS price
+      FROM old_snap WHERE key % 10 <> 7
+      UNION ALL
+      SELECT key + 1000000000, price FROM old_snap WHERE key % 10 = 1)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN key >= 1000000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inserted,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           (SELECT CAST(count(1) AS BIGINT) FROM old_snap
+             WHERE key % 10 = 3) AS n_updates,
+           (SELECT CAST(count(1) AS BIGINT) FROM old_snap
+             WHERE key % 10 = 7) AS n_deletes,
+           true AS apply_is_identity
+    FROM new_snap"""
+
   def snapshotCdcOracle: String = """
     WITH old_snap AS (
       SELECT o_orderkey AS key, o_totalprice AS price FROM orders),

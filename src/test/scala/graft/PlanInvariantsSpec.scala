@@ -59,7 +59,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q1v_kendall_tau" -> "broadcast(contingency table bounded by the value domain, <=|qty|x|disc| rows) + 1-row marginal aggregates",
     "q3s_volume_acf" -> "1-row total/denominator aggregates + 4-row lag dimension, all broadcast onto the 720-row hourly spine",
     "q4y_negative_sampling" -> "1-row item-count aggregate broadcast onto the bounded user/trial spine",
-    "q6l_hard_negatives" -> "broadcast(8-row anchor block) + per-anchor hardest-positive broadcast (q6c pattern)")
+    "q6l_hard_negatives" -> "broadcast(8-row anchor block) + per-anchor hardest-positive broadcast (q6c pattern)",
+    "q2p_cdc_apply" -> "1-row op-count aggregate broadcast onto the 1-row applied-state aggregate")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -233,4 +233,18 @@ class SourcesSpec extends SparkSpec {
     val note = back.select("c_note").head().getString(0)
     assert(note.contains(",") && note.contains("\""))
   }
+
+  test("cdcApply: apply(old, diff(old,new)) == new; op counts replay from the mod rules (q2p)") {
+    import org.apache.spark.sql.functions._
+    val r = graft.sources.Warehouse.cdcApply(spark, sfDir).head()
+    assert(r.getAs[Boolean]("apply_is_identity"),
+      "applying the change feed did not reproduce the new snapshot")
+    val keys = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(r.getAs[Long]("n_updates") == keys.count(_ % 10 == 3).toLong)
+    assert(r.getAs[Long]("n_deletes") == keys.count(_ % 10 == 7).toLong)
+    assert(r.getAs[Long]("n_inserted") == keys.count(_ % 10 == 1).toLong)
+    assert(r.getAs[Long]("n_rows") ==
+      (keys.length - keys.count(_ % 10 == 7) + keys.count(_ % 10 == 1)).toLong)
+  }
 }
