@@ -427,6 +427,112 @@ object Graph {
       .orderBy("community")
   }
 
+  /** q5m: MODULARITY of the q5g communities — the score that says
+    * whether a partition is COMMUNITIES or noise (Newman–Girvan Q:
+    * intra-community edge fraction minus its degree-preserving random
+    * expectation; Q ≈ 0 ⇒ the partition explains nothing). Everything
+    * is exact integers until one final division: per community,
+    * directed-intra-pair counts e2_c and degree sums D_c; globally
+    * Q = (2m·Σe2_c − ΣD_c²)/(2m)², emitted as floor(·1e6 + 0.5) from
+    * identical integer operands in both engines. Self-loops are
+    * excluded from the edge set (they inflate both terms without
+    * carrying community signal). Plan: the labels table joins the
+    * symmetrized edges twice (src and dst side — both shuffles on the
+    * node key), per-community rollups are |communities|-sized, and the
+    * global sums are windows over those few rows — no extra scan. */
+  def linkModularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e = affineLinkEdges(docs, n)
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .where(col("src") =!= col("dst"))
+      .cache()
+    val lab = labelPropagation(docs.select(col("doc_id").as("id")), e)
+    val members = lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    val degC = deg.join(lab, deg("src") === lab("id"))
+      .groupBy("lab").agg(sum("degree").as("degree_sum"))
+    val lu = lab.select(col("id").as("u"), col("lab").as("cu"))
+    val lv = lab.select(col("id").as("v"), col("lab").as("cv"))
+    val intra = und
+      .join(lu, col("src") === col("u"))
+      .join(lv, col("dst") === col("v"))
+      .where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("lab")).agg(count(lit(1)).as("intra_pairs"))
+    val per = members
+      .join(degC, Seq("lab"), "left")
+      .join(intra, Seq("lab"), "left")
+      .select(col("lab").as("community"), col("n_members"),
+        coalesce(col("intra_pairs"), lit(0L)).as("intra_pairs"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+    val tot = Window.partitionBy()
+    per
+      .withColumn("m2", sum("degree_sum").over(tot))
+      .withColumn("q_e6", floor(
+        (col("m2") * sum("intra_pairs").over(tot)
+          - sum(col("degree_sum") * col("degree_sum")).over(tot))
+          .cast("double") * 1e6
+          / (col("m2").cast("double") * col("m2")) + 0.5))
+      .orderBy("community")
+  }
+
+  // edges via UNION ALL, not unnest: DuckDB's binder raises an INTERNAL
+  // error on an unnest alias referenced through a DISTINCT+WHERE CTE
+  // (the same workaround q5d's oracle documents)
+  def linkModularityOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e0 AS (
+      SELECT doc_id AS src, (doc_id * 31 + 7) % n AS dst FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 11) % n FROM d CROSS JOIN nn),
+    und AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+    l0 AS (SELECT doc_id AS id, doc_id AS lab FROM d),
+    m1 AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l0 l ON und.dst = l.id GROUP BY und.src),
+    l1 AS (SELECT l0.id, least(l0.lab, coalesce(m1.nbr, l0.lab)) AS lab
+           FROM l0 LEFT JOIN m1 ON l0.id = m1.id),
+    m2s AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l1 l ON und.dst = l.id GROUP BY und.src),
+    l2 AS (SELECT l1.id, least(l1.lab, coalesce(m2s.nbr, l1.lab)) AS lab
+           FROM l1 LEFT JOIN m2s ON l1.id = m2s.id),
+    m3 AS (SELECT und.src AS id, min(l.lab) AS nbr
+           FROM und JOIN l2 l ON und.dst = l.id GROUP BY und.src),
+    l3 AS (SELECT l2.id, least(l2.lab, coalesce(m3.nbr, l2.lab)) AS lab
+           FROM l2 LEFT JOIN m3 ON l2.id = m3.id),
+    und2 AS (SELECT src, dst FROM und WHERE src <> dst),
+    deg AS (SELECT src, CAST(count(1) AS BIGINT) AS degree
+            FROM und2 GROUP BY src),
+    members AS (SELECT lab, CAST(count(1) AS BIGINT) AS n_members
+                FROM l3 GROUP BY lab),
+    degc AS (SELECT l.lab, CAST(sum(d2.degree) AS BIGINT) AS degree_sum
+             FROM deg d2 JOIN l3 l ON d2.src = l.id GROUP BY l.lab),
+    intra AS (SELECT lu.lab, CAST(count(1) AS BIGINT) AS intra_pairs
+              FROM und2 e JOIN l3 lu ON e.src = lu.id
+              JOIN l3 lv ON e.dst = lv.id
+              WHERE lu.lab = lv.lab GROUP BY lu.lab),
+    per AS (SELECT m.lab AS community, m.n_members,
+                   CAST(coalesce(i.intra_pairs, 0) AS BIGINT) AS intra_pairs,
+                   CAST(coalesce(dc.degree_sum, 0) AS BIGINT) AS degree_sum
+            FROM members m
+            LEFT JOIN degc dc ON m.lab = dc.lab
+            LEFT JOIN intra i ON m.lab = i.lab),
+    tot AS (SELECT CAST(sum(degree_sum) AS BIGINT) AS m2,
+                   CAST(sum(intra_pairs) AS BIGINT) AS si,
+                   CAST(sum(degree_sum * degree_sum) AS BIGINT) AS sd2
+            FROM per)
+    SELECT per.community, per.n_members, per.intra_pairs, per.degree_sum,
+           tot.m2,
+           CAST(floor(CAST(tot.m2 * tot.si - tot.sd2 AS DOUBLE) * 1e6
+             / (CAST(tot.m2 AS DOUBLE) * tot.m2) + 0.5) AS BIGINT) AS q_e6
+    FROM per CROSS JOIN tot ORDER BY per.community"""
+
   /** q5h: DEGREE DISTRIBUTION of the symmetrized link graph — the
     * first profile run on any new graph (is it skewed? is there a hub
     * that will dominate the q5d orientation or demand q27 salting?):

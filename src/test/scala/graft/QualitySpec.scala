@@ -929,4 +929,47 @@ class QualitySpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Double]("ppr") == 0.0) ==
       (reach.size < n), "locality shape disagrees with the reach set")
   }
+
+  test("modularity: full integer replay — LPA labels, per-community terms, Q (q5m)") {
+    val rows = operators.Graph.linkModularity(spark, sfDir).collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    val ids = (0L until n)
+    val rawEdges = ids.flatMap(v =>
+      Seq((v, (v * 31 + 7) % n), (v, (v * 17 + 3) % n), (v, (v * 13 + 11) % n)))
+    val und = (rawEdges ++ rawEdges.map(_.swap)).distinct
+    // 3 synchronous min-label rounds over the symmetrized graph (self-loops kept)
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = ids.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val next = ids.map { v =>
+        val nb = nbrs.getOrElse(v, Seq.empty).map(lab)
+        v -> (if (nb.isEmpty) lab(v) else math.min(lab(v), nb.min))
+      }.toMap
+      lab = next
+    }
+    // modularity over the self-loop-free edge set
+    val und2 = und.filter { case (a, b) => a != b }
+    val degree = und2.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val comms = ids.groupBy(lab)
+    val m2 = degree.values.sum
+    val per = comms.map { case (c, vs) =>
+      val dSum = vs.map(v => degree.getOrElse(v, 0L)).sum
+      val intra = und2.count { case (a, b) => lab(a) == c && lab(b) == c }.toLong
+      c -> (vs.length.toLong, intra, dSum)
+    }
+    val si = per.values.map(_._2).sum
+    val sd2 = per.values.map(t => t._3 * t._3).sum
+    val qE6 = math.floor((m2 * si - sd2).toDouble * 1e6 / (m2.toDouble * m2) + 0.5).toLong
+    assert(rows.length == per.size)
+    rows.foreach { r =>
+      val (nm, intra, dSum) = per(r.getAs[Long]("community"))
+      assert(r.getAs[Long]("n_members") == nm)
+      assert(r.getAs[Long]("intra_pairs") == intra, r.toString)
+      assert(r.getAs[Long]("degree_sum") == dSum)
+      assert(r.getAs[Long]("m2") == m2)
+      assert(r.getAs[Long]("q_e6") == qE6)
+    }
+    // communities found on this graph must actually explain structure
+    assert(qE6 > 0L, "modularity not positive — LPA partition carries no signal")
+  }
 }
