@@ -385,6 +385,112 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** q5n: CLUSTERING COEFFICIENT — local cc per vertex plus the global
+    * transitivity ratio, the "how cliquish is each neighborhood" number
+    * that separates a small-world graph from a random one (Watts &
+    * Strogatz). local cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)); global
+    * transitivity = 3·triangles / wedges with wedges = Σ_v C(deg v, 2)
+    * — NOT the average of local ccs (the two disagree on skewed
+    * graphs; transitivity is the one a hub can't distort).
+    *
+    * Cost shape: [[triangleCount]]'s degree-oriented wedge join (the
+    * q5d skew guard) + ONE degree aggregate reused for both the local
+    * denominator and the wedge total. Every emitted number is exact
+    * integer arithmetic — the half-up rational rounding
+    * floor(a/b + 1/2) is computed as (2a + b) div (2b) in BOTH
+    * engines, so no double ever forms and the ppm columns replay
+    * bit-for-bit. Degree-1 vertices (no possible wedge) report cc 0
+    * by the CASE guard rather than dividing by zero. */
+  def linkClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val raw = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") + 3, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)))).as("dst"))
+    val und = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    // both consumers (per-vertex + total) sit in the one returned plan
+    val tris = triangleCount(und).cache()
+    val perVertex = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    // exact rational half-up, floor(p/q + 1/2) = (2p + q) div (2q) —
+    // SQL `div` keeps it in integer arithmetic end-to-end; a double
+    // division could land an ulp under an exact-integer quotient and
+    // floor one lower than DuckDB's `//`
+    val local = deg.join(perVertex, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_ppm",
+        when(col("deg") < 2, lit(0L)).otherwise(expr(
+          "(n_triangles * 4000000 + deg * (deg - 1)) div (deg * (deg - 1) * 2)")))
+    // global transitivity as a 1-row broadcast back (q5d pattern: no
+    // unpartitioned window over |V| rows)
+    val wedges = deg.agg(expr("sum(deg * (deg - 1)) div 2 AS wedges"))
+    val total = tris.agg(count(lit(1)).as("total_triangles"))
+    local.crossJoin(broadcast(total)).crossJoin(broadcast(wedges))
+      .select(col("doc_id"), col("deg"), col("n_triangles"), col("cc_ppm"),
+        col("total_triangles"), col("wedges"),
+        expr("(total_triangles * 6000000 + wedges) div (wedges * 2)")
+          .as("transitivity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Same graph rebuild + triangle join as the q5d oracle, extended
+    * with degrees and the identical (2p + q) // (2q) integer rounding. */
+  def linkClusteringCoefficientOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % n FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    deg AS (
+      SELECT v AS doc_id, CAST(count(1) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      GROUP BY v),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pv AS (
+      SELECT v AS doc_id, CAST(count(1) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS v FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri)
+      GROUP BY v),
+    tot AS (
+      SELECT CAST(count(1) AS BIGINT) AS total_triangles FROM tri),
+    wg AS (
+      SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS wedges FROM deg)
+    SELECT deg.doc_id, deg.deg,
+           CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.deg < 2 THEN 0
+                ELSE (coalesce(pv.n_triangles, 0) * 2 * 1000000 * 2
+                      + deg.deg * (deg.deg - 1))
+                     // (deg.deg * (deg.deg - 1) * 2) END AS BIGINT) AS cc_ppm,
+           tot.total_triangles, wg.wedges,
+           CAST((tot.total_triangles * 3 * 1000000 * 2 + wg.wedges)
+                // (wg.wedges * 2) AS BIGINT) AS transitivity_ppm
+    FROM deg LEFT JOIN pv ON deg.doc_id = pv.doc_id
+    CROSS JOIN tot CROSS JOIN wg
+    ORDER BY deg.doc_id"""
+
   /** Generic SYNCHRONOUS MIN-LABEL PROPAGATION — the community/
     * partition detector between per-round-cheap PageRank and
     * run-to-fixpoint connected components: every vertex starts

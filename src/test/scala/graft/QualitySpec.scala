@@ -641,6 +641,30 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum == 3 * total)
   }
 
+  test("linkClusteringCoefficient: exact identities against linkTriangles and bounds") {
+    val rows = Graph.linkClusteringCoefficient(spark, sfDir).collect()
+    val tri = Graph.linkTriangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every vertex of the connected lattice reports")
+    val totalTri = rows.head.getAs[Long]("total_triangles")
+    val wedges = rows.head.getAs[Long]("wedges")
+    // transitivity = 3T/wedges must sit in [0, 1e6] and match the rational
+    assert(rows.head.getAs[Long]("transitivity_ppm") ==
+      (6000000L * totalTri + wedges) / (2L * wedges))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("deg"); val t = r.getAs[Long]("n_triangles")
+      assert(t == tri.getOrElse(r.getAs[Long]("doc_id"), 0L), "per-vertex parity with q5d")
+      assert(t * 2 <= d * (d - 1), "triangles can't exceed neighbor pairs")
+      val cc = r.getAs[Long]("cc_ppm")
+      assert(cc >= 0 && cc <= 1000000L)
+      if (d >= 2) assert(cc == (4000000L * t + d * (d - 1)) / (2 * d * (d - 1)))
+    }
+    // wedge identity: sum of C(deg, 2) over all vertices
+    assert(wedges == rows.map { r =>
+      val d = r.getAs[Long]("deg"); d * (d - 1) / 2 }.sum)
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
