@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Curation
+import graft.operators.{Curation, Recsys}
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation invariants: hash-gated sampling must be exactly
@@ -8,6 +8,54 @@ import org.apache.spark.sql.functions._
   * partition the corpus independent of physical layout, and packing
   * must conserve documents and tokens. */
 class CurationSpec extends SparkSpec {
+
+  test("itemItemCF: cosine identity, symmetry, top-k bound, WindowGroupLimit plan") {
+    val df = Recsys.itemItemCF(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture baskets must share >= minCooc items")
+    rows.foreach { r =>
+      val cooc = r.getAs[Long]("cooc")
+      val ni = r.getAs[Long]("n_item"); val nn = r.getAs[Long]("n_nbr")
+      assert(cooc >= 2L, "min support respected")
+      assert(cooc <= math.min(ni, nn), "co-occurrence bounded by popularity")
+      assert(r.getAs[Long]("cos2_ppm") == cooc * cooc * 1000000L / (ni * nn))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+    }
+    // pair symmetry: (a sees b with cooc c) implies (b sees a with cooc c)
+    // in the pre-rank candidate set; spot-check via the emitted rows that
+    // ranks within an item are strictly ordered by the total order
+    rows.groupBy(_.getAs[Long]("item")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val keys = sorted.map(r => (-r.getAs[Long]("cos2_ppm"),
+        -r.getAs[Long]("cooc"), r.getAs[Long]("nbr")))
+      assert(keys.sameElements(keys.sorted), "neighbor order follows the total order")
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-item top-k must plan as WindowGroupLimit")
+  }
+
+  test("itemItemCF: basket cap binds on a planted mega-basket") {
+    import spark.implicits._
+    // user 1 owns items 0..299 (over the cap of 4 used here); user 2
+    // and 3 share items {0, 1} so a genuine pair survives
+    val basket = ((0 until 300).map(i => (1L, i.toLong)) ++
+      Seq((2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L))).toDF("u", "item")
+    // replicate the operator's capped-pair pipeline at cap=4
+    val capped = basket.withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy("item")))
+      .where(col("rk") <= 4).drop("rk")
+    val co = capped.as("a").join(capped.as("b"),
+        col("a.u") === col("b.u") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cooc"))
+    // without the cap user 1 alone would emit C(300,2) = 44850 pairs;
+    // capped, user 1 emits C(4,2) = 6 and the (0,1) pair reaches cooc 3
+    assert(co.count() == 6L)
+    assert(co.where(col("ia") === 0L && col("ib") === 1L)
+      .head().getAs[Long]("cooc") == 3L)
+  }
 
   test("weightedSample matches an independent scala replay of the hash gate") {
     val rows = Curation.weightedSample(spark, sfDir).collect()
