@@ -211,6 +211,7 @@ object SparkEntry {
     "q5m_modularity"        -> ((s: SparkSession, d: String) => Graph.linkModularity(s, d)),
     "q5n_clustering_coeff"  -> (Graph.linkClusteringCoefficient _),
     "q7a_item_item_cf"      -> ((s: SparkSession, d: String) => Recsys.itemItemCF(s, d)),
+    "q7b_cf_hitrate"        -> ((s: SparkSession, d: String) => Recsys.cfHitRate(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -669,6 +670,7 @@ object SparkEntry {
     "q5m_modularity"         -> Graph.linkModularityOracle,
     "q5n_clustering_coeff"   -> Graph.linkClusteringCoefficientOracle,
     "q7a_item_item_cf"       -> Recsys.itemItemCFOracle,
+    "q7b_cf_hitrate"         -> Recsys.cfHitRateOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -33,31 +33,53 @@ object Recsys {
     * `minCooc`. cosine²(a,b) = cooc²/(n_a·n_b) rides the graded row
     * as an exact integer ppm; ordering is (cos2_ppm desc, cooc desc,
     * neighbor id) — a total order, so row_number is deterministic. */
-  def itemItemCF(spark: SparkSession, dir: String, cap: Int = 128,
-      minCooc: Long = 2L, k: Int = 5): DataFrame = {
-    val basket = Tables.orders(spark, dir)
+  /** Distinct (user, item) pairs from the order history, with the
+    * deterministic basket cap (q4k df-cap doctrine): keep the `cap`
+    * LOWEST item ids per user — a rule both engines replay exactly,
+    * unlike any sampled subset. Fixture baskets max ~105 items so the
+    * cap is inert here; the spec plants a mega-basket to prove it
+    * binds. `ordersFilter` restricts the order rows first (q7b's
+    * temporal split). */
+  private def cappedBasket(spark: SparkSession, dir: String, cap: Int,
+      ordersFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val basket = ordersFilter(Tables.orders(spark, dir))
       .join(Tables.lineitem(spark, dir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
       .distinct()
-    // deterministic basket cap (q4k df-cap doctrine): keep the `cap`
-    // LOWEST item ids per user — a rule both engines replay exactly,
-    // unlike any sampled subset. Fixture baskets max ~105 items so the
-    // cap is inert here; the spec plants a mega-basket to prove it binds.
-    val capped = basket
+    basket
       .withColumn("rk", row_number().over(
         Window.partitionBy("u").orderBy("item")))
       .where(col("rk") <= cap).drop("rk")
+  }
+
+  def itemItemCF(spark: SparkSession, dir: String, cap: Int = 128,
+      minCooc: Long = 2L, k: Int = 5): DataFrame = {
+    val capped = cappedBasket(spark, dir, cap)
     val pop = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
-    // pair generation as the u-key self-join: both sides carry the
-    // window's hash partitioning on u, so the join adds no exchange and
-    // each triangle of a basket is emitted once via item<item. The
-    // array-HOF alternative (collect_list per user + nested transform/
-    // flatten pair explosion) was measured SLOWER at sf0.1 — 16.9 s vs
-    // 7.9 s for the 13M-pair aggregate — nested struct allocation in
-    // the lambda beats no SMJ machinery; the dominant, irreducible cost
-    // is the ~C(basket,2)·|users|-row pair shuffle either way, which is
-    // exactly what the basket cap bounds at scale.
+    val scored = scoredNeighbors(capped, pop, minCooc)
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("item")
+        .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))))
+      .where(col("rank") <= k)
+      .select(col("item"), col("rank"), col("nbr"), col("cooc"),
+        col("n_item"), col("n_nbr"), col("cos2_ppm"))
+      .orderBy("item", "rank")
+  }
+
+  /** Scored symmetric neighbor candidates from capped baskets.
+    *
+    * Pair generation is the u-key self-join: both sides carry the cap
+    * window's hash partitioning on u, so the join adds no exchange and
+    * each unordered pair of a basket is emitted once via item<item. The
+    * array-HOF alternative (collect_list per user + nested transform/
+    * flatten pair explosion) was measured SLOWER at sf0.1 — 16.9 s vs
+    * 7.9 s for the 13M-pair aggregate — nested struct allocation in
+    * the lambda beats no SMJ machinery; the dominant, irreducible cost
+    * is the ~C(basket,2)·|users|-row pair shuffle either way, which is
+    * exactly what the basket cap bounds at scale. */
+  private def scoredNeighbors(capped: DataFrame, pop: DataFrame,
+      minCooc: Long): DataFrame = {
     val co = capped.as("a").join(capped.as("b"),
         col("a.u") === col("b.u") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
@@ -67,19 +89,143 @@ object Recsys {
     // feed the per-item neighbor lists
     val sym = co.select(col("ia").as("item"), col("ib").as("nbr"), col("cooc"))
       .unionByName(co.select(col("ib").as("item"), col("ia").as("nbr"), col("cooc")))
-    val scored = sym
+    sym
       .join(pop, "item")
       .join(pop.select(col("item").as("nbr"), col("n_item").as("n_nbr")), "nbr")
       .withColumn("cos2_ppm",
         expr("(cooc * cooc * 1000000) div (n_item * n_nbr)"))
-    scored
+  }
+
+  /** q7b: HIT-RATE@10 EVALUATION of the q7a recommender under a
+    * TEMPORAL split — the offline metric a production recommender is
+    * actually graded by (and the honest split: train strictly before
+    * `cut`, score on what each user buys after, no leakage by
+    * construction). Neighbor lists (top-5 per item, q7a arithmetic)
+    * are fit on TRAIN baskets only; each user's candidates are the
+    * neighbors of their train items minus the train items themselves,
+    * scored by the SUM of integer cos2_ppm contributions across their
+    * train items (the standard item-kNN scorer, exact integers so the
+    * per-user top-10 is a deterministic total order); a hit is a
+    * recommended item the user really bought in the test period.
+    *
+    * One summary row: users evaluated (≥1 train and ≥1 test item),
+    * recommendations issued, hits, users with ≥1 hit, and the ppm
+    * rates — integer div, replayable. Every stage is the q7a cost
+    * shape plus two bounded joins; nothing new at scale. */
+  def cfHitRate(spark: SparkSession, dir: String, cap: Int = 128,
+      minCooc: Long = 2L, kNbr: Int = 5, kRec: Int = 10,
+      cut: String = "1997-01-01"): DataFrame = {
+    val train = cappedBasket(spark, dir, cap,
+      o => o.where(col("o_orderdate") < lit(cut).cast("date")))
+    val test = cappedBasket(spark, dir, cap,
+      o => o.where(col("o_orderdate") >= lit(cut).cast("date")))
+    val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val nbrs = scoredNeighbors(train, pop, minCooc)
       .withColumn("rank", row_number().over(Window.partitionBy("item")
         .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))))
-      .where(col("rank") <= k)
-      .select(col("item"), col("rank"), col("nbr"), col("cooc"),
-        col("n_item"), col("n_nbr"), col("cos2_ppm"))
-      .orderBy("item", "rank")
+      .where(col("rank") <= kNbr)
+      .select(col("item"), col("nbr"), col("cos2_ppm"))
+    // candidates: neighbors of the user's train items, summed scores
+    val cand = train.join(nbrs, "item")
+      .groupBy(col("u"), col("nbr").as("rec"))
+      .agg(sum(col("cos2_ppm")).as("score"))
+    // drop already-owned items, then per-user top-k by the total order
+    val fresh = cand.join(train.select(col("u"), col("item").as("rec")),
+        Seq("u", "rec"), "left_anti")
+    val recs = fresh
+      .withColumn("rk", row_number().over(Window.partitionBy("u")
+        .orderBy(col("score").desc, col("rec"))))
+      .where(col("rk") <= kRec)
+    val hits = recs.join(test.select(col("u"), col("item").as("rec"))
+        .withColumn("hit", lit(1L)), Seq("u", "rec"), "left")
+      .groupBy("u").agg(
+        count(lit(1)).as("n_recs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    // users with a train basket AND a test basket are the eval set
+    val evalUsers = train.select("u").distinct()
+      .join(test.select("u").distinct(), "u")
+    evalUsers.join(hits, Seq("u"), "left")
+      .agg(
+        count(lit(1)).as("n_users_eval"),
+        sum(coalesce(col("n_recs"), lit(0L))).as("recs_total"),
+        sum(coalesce(col("n_hits"), lit(0L))).as("hits_total"),
+        sum(when(coalesce(col("n_hits"), lit(0L)) > 0L, 1L).otherwise(0L))
+          .as("n_users_hit"))
+      .select(col("n_users_eval"), col("recs_total"), col("hits_total"),
+        col("n_users_hit"),
+        expr("(n_users_hit * 1000000) div n_users_eval").as("hitrate_ppm"),
+        expr("(hits_total * 1000000) div recs_total").as("precision_ppm"))
   }
+
+  def cfHitRateOracle: String = """
+    WITH train_b AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < DATE '1997-01-01'),
+    train AS (
+      SELECT u, item FROM (
+        SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item) AS rk
+        FROM train_b) t WHERE rk <= 128),
+    test_b AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= DATE '1997-01-01'),
+    test AS (
+      SELECT u, item FROM (
+        SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item) AS rk
+        FROM test_b) t WHERE rk <= 128),
+    pop AS (
+      SELECT item, CAST(count(1) AS BIGINT) AS n_item FROM train GROUP BY item),
+    co AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(1) AS BIGINT) AS cooc
+      FROM train a JOIN train b ON a.u = b.u AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(1) >= 2),
+    sym AS (
+      SELECT ia AS item, ib AS nbr, cooc FROM co
+      UNION ALL SELECT ib, ia, cooc FROM co),
+    scored AS (
+      SELECT s.item, s.nbr, s.cooc,
+             CAST((s.cooc * s.cooc * 1000000) // (p1.n_item * p2.n_item)
+               AS BIGINT) AS cos2_ppm
+      FROM sym s JOIN pop p1 ON s.item = p1.item
+      JOIN pop p2 ON s.nbr = p2.item),
+    nbrs AS (
+      SELECT item, nbr, cos2_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+          ORDER BY cos2_ppm DESC, cooc DESC, nbr) AS rank
+        FROM scored) t WHERE rank <= 5),
+    cand AS (
+      SELECT t.u, n.nbr AS rec, CAST(sum(n.cos2_ppm) AS BIGINT) AS score
+      FROM train t JOIN nbrs n ON t.item = n.item
+      GROUP BY 1, 2),
+    fresh AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM train t
+                        WHERE t.u = c.u AND t.item = c.rec)),
+    recs AS (
+      SELECT u, rec FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+          ORDER BY score DESC, rec) AS rk
+        FROM fresh) t WHERE rk <= 10),
+    hits AS (
+      SELECT r.u, count(1) AS n_recs,
+             sum(CASE WHEN te.item IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM recs r LEFT JOIN test te ON te.u = r.u AND te.item = r.rec
+      GROUP BY r.u),
+    ev AS (
+      SELECT tr.u FROM (SELECT DISTINCT u FROM train) tr
+      JOIN (SELECT DISTINCT u FROM test) te ON tr.u = te.u),
+    agg AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_users_eval,
+             CAST(sum(coalesce(h.n_recs, 0)) AS BIGINT) AS recs_total,
+             CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS hits_total,
+             CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_users_hit
+      FROM ev LEFT JOIN hits h ON ev.u = h.u)
+    SELECT n_users_eval, recs_total, hits_total, n_users_hit,
+           (n_users_hit * 1000000) // n_users_eval AS hitrate_ppm,
+           (hits_total * 1000000) // recs_total AS precision_ppm
+    FROM agg"""
 
   def itemItemCFOracle: String = """
     WITH basket AS (

@@ -57,6 +57,20 @@ class CurationSpec extends SparkSpec {
       .head().getAs[Long]("cooc") == 3L)
   }
 
+  test("cfHitRate: summary identities and bounds hold") {
+    val r = Recsys.cfHitRate(spark, sfDir).head()
+    val users = r.getAs[Long]("n_users_eval")
+    val recs = r.getAs[Long]("recs_total")
+    val hits = r.getAs[Long]("hits_total")
+    val usersHit = r.getAs[Long]("n_users_hit")
+    assert(users > 0, "temporal split must leave an eval population")
+    assert(recs <= users * 10, "at most kRec recommendations per eval user")
+    assert(hits <= recs && usersHit <= users)
+    assert(usersHit <= hits, "a hitting user contributes >= 1 hit")
+    assert(r.getAs[Long]("hitrate_ppm") == usersHit * 1000000L / users)
+    assert(r.getAs[Long]("precision_ppm") == hits * 1000000L / recs)
+  }
+
   test("weightedSample matches an independent scala replay of the hash gate") {
     val rows = Curation.weightedSample(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
