@@ -210,6 +210,8 @@ object SparkEntry {
     "q5l_personalized_pagerank" -> ((s: SparkSession, d: String) => Graph.linkPersonalizedPageRank(s, d)),
     "q5m_modularity"        -> ((s: SparkSession, d: String) => Graph.linkModularity(s, d)),
     "q5n_clustering_coeff"  -> (Graph.linkClusteringCoefficient _),
+    "q5o_assortativity"     -> (Graph.linkAssortativity _),
+    "q5p_hits"              -> ((s: SparkSession, d: String) => Graph.linkHits(s, d)),
     "q7a_item_item_cf"      -> ((s: SparkSession, d: String) => Recsys.itemItemCF(s, d)),
     "q7b_cf_hitrate"        -> ((s: SparkSession, d: String) => Recsys.cfHitRate(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
@@ -669,6 +671,8 @@ object SparkEntry {
     "q5l_personalized_pagerank" -> Graph.linkPersonalizedPageRankOracle,
     "q5m_modularity"         -> Graph.linkModularityOracle,
     "q5n_clustering_coeff"   -> Graph.linkClusteringCoefficientOracle,
+    "q5o_assortativity"      -> Graph.linkAssortativityOracle,
+    "q5p_hits"               -> Graph.linkHitsOracle,
     "q7a_item_item_cf"       -> Recsys.itemItemCFOracle,
     "q7b_cf_hitrate"         -> Recsys.cfHitRateOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,

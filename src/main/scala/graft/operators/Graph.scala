@@ -491,6 +491,178 @@ object Graph {
     CROSS JOIN tot CROSS JOIN wg
     ORDER BY deg.doc_id"""
 
+  /** q5o: DEGREE ASSORTATIVITY — the Newman mixing coefficient: Pearson
+    * correlation of (deg(u), deg(v)) over every directed edge-endpoint
+    * pair of the symmetrized q5d lattice. Positive = hubs link to hubs
+    * (social-graph shape), negative = hubs link to leaves (star/web
+    * shape) — the one-number summary that predicts whether q5d's degree
+    * orientation or q27's salting will matter on a real graph.
+    *
+    * The q1q doctrine at graph scale: every moment (Σx, Σx², Σxy over
+    * the 2|E| ordered endpoint pairs) is an exact integer sum —
+    * order-independent under any shuffle — and the single closed-form
+    * double forms at the very end from identical integer operands in
+    * both engines, emitted ×1e6. Cost: one degree aggregate + two
+    * broadcast-size joins + one scan of the edge list. */
+  def linkAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val raw = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") + 3, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)))).as("dst"))
+    val und = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // both orientations: each edge contributes (deg u, deg v) AND
+    // (deg v, deg u), which is what makes Σx = Σy and the coefficient
+    // symmetric — the standard undirected-assortativity convention
+    val pairs = und
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(col("dega").as("x"), col("degb").as("y"))
+    val both = pairs.unionByName(
+      pairs.select(col("y").as("x"), col("x").as("y")))
+    val m = both.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.select(col("n_pairs"), col("sx"), col("sxx"), col("sxy"),
+      floor((col("n_pairs") * col("sxy") - col("sx") * col("sx")).cast("double")
+        / (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * 1e6 + 0.5).cast("long").as("assortativity_e6"))
+  }
+
+  def linkAssortativityOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id + 3) % n FROM d CROSS JOIN nn
+      UNION ALL
+      SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    deg AS (
+      SELECT v, CAST(count(1) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+      GROUP BY v),
+    pairs AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v),
+    bidir AS (
+      SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+    m AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM bidir)
+    SELECT n_pairs, sx, sxx, sxy,
+           CAST(floor(CAST(n_pairs * sxy - sx * sx AS DOUBLE)
+             / CAST(n_pairs * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+             AS BIGINT) AS assortativity_e6
+    FROM m"""
+
+  /** q5p: HITS (hubs & authorities) — Kleinberg's fixed-point pair on
+    * the DIRECTED affine link graph, 3 unrolled rounds from h₀ = 1:
+    * aᵣ(v) = Σ_{u→v} hᵣ₋₁(u), hᵣ(u) = Σ_{u→v} aᵣ(v). The
+    * normalization step is deliberately OMITTED — it only rescales (the
+    * ranking is invariant), and skipping it keeps every score an exact
+    * INTEGER bounded by maxdeg^(2r) (~4⁶ here), so the whole fixed
+    * point replays bit-for-bit as oracle CTE stages with zero FP
+    * anywhere — the q5b/q5e unrolled-iteration contract, minus even
+    * the rounding. Per round: one join + one aggregate over the edge
+    * table (cached once) — the PageRank cost shape. */
+  def linkHits(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)))).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    var hub = docs.select(col("doc_id").as("id"), lit(1L).as("h"))
+    var auth = docs.select(col("doc_id").as("id"), lit(0L).as("a"))
+    for (_ <- 1 to rounds) {
+      auth = edges.join(hub, col("src") === col("id"))
+        .groupBy(col("dst").as("id2")).agg(sum(col("h")).as("a"))
+        .select(col("id2").as("id"), col("a"))
+      auth = docs.select(col("doc_id").as("id"))
+        .join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"))
+      hub = edges.join(auth, col("dst") === col("id"))
+        .groupBy(col("src").as("id2")).agg(sum(col("a")).as("h"))
+        .select(col("id2").as("id"), col("h"))
+      hub = docs.select(col("doc_id").as("id"))
+        .join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+    }
+    hub.join(auth, "id")
+      .select(col("id").as("doc_id"), col("h").as("hub_score"),
+        col("a").as("auth_score"))
+      .orderBy("doc_id")
+  }
+
+  def linkHitsOracle: String = """
+    WITH d AS (SELECT doc_id FROM documents),
+    nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id + 1) % n AS dst FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % n FROM d CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 17 + 3) % n FROM d CROSS JOIN nn)
+      WHERE src <> dst),
+    h0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS h FROM d),
+    a1 AS (SELECT d.doc_id AS id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+           FROM d LEFT JOIN (
+             SELECT e.dst AS id, sum(h0.h) AS a
+             FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst) s
+           ON d.doc_id = s.id),
+    h1 AS (SELECT d.doc_id AS id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+           FROM d LEFT JOIN (
+             SELECT e.src AS id, sum(a1.a) AS h
+             FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src) s
+           ON d.doc_id = s.id),
+    a2 AS (SELECT d.doc_id AS id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+           FROM d LEFT JOIN (
+             SELECT e.dst AS id, sum(h1.h) AS a
+             FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst) s
+           ON d.doc_id = s.id),
+    h2 AS (SELECT d.doc_id AS id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+           FROM d LEFT JOIN (
+             SELECT e.src AS id, sum(a2.a) AS h
+             FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src) s
+           ON d.doc_id = s.id),
+    a3 AS (SELECT d.doc_id AS id, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+           FROM d LEFT JOIN (
+             SELECT e.dst AS id, sum(h2.h) AS a
+             FROM e JOIN h2 ON e.src = h2.id GROUP BY e.dst) s
+           ON d.doc_id = s.id),
+    h3 AS (SELECT d.doc_id AS id, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+           FROM d LEFT JOIN (
+             SELECT e.src AS id, sum(a3.a) AS h
+             FROM e JOIN a3 ON e.dst = a3.id GROUP BY e.src) s
+           ON d.doc_id = s.id)
+    SELECT h3.id AS doc_id, h3.h AS hub_score, a3.a AS auth_score
+    FROM h3 JOIN a3 ON h3.id = a3.id
+    ORDER BY doc_id"""
+
   /** Generic SYNCHRONOUS MIN-LABEL PROPAGATION — the community/
     * partition detector between per-round-cheap PageRank and
     * run-to-fixpoint connected components: every vertex starts

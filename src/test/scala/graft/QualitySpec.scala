@@ -665,6 +665,48 @@ class QualitySpec extends SparkSpec {
       val d = r.getAs[Long]("deg"); d * (d - 1) / 2 }.sum)
   }
 
+  test("linkAssortativity: coefficient bounded, moments match a driver-side replay") {
+    val r = Graph.linkAssortativity(spark, sfDir).head()
+    val a = r.getAs[Long]("assortativity_e6")
+    assert(a >= -1000000L && a <= 1000000L)
+    // independent replay of the moment sums in driver-side integers
+    val n = Tables.documents(spark, sfDir).count()
+    val und = (0L until n).flatMap { i =>
+      Seq((i + 1) % n, (i + 2) % n, (i + 3) % n, (i * 17 + 3) % n)
+        .filter(_ != i).map(j => (math.min(i, j), math.max(i, j)))
+    }.distinct
+    val deg = und.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val xs = und.flatMap { case (u, v) => Seq((deg(u), deg(v)), (deg(v), deg(u))) }
+    assert(r.getAs[Long]("n_pairs") == xs.size.toLong)
+    assert(r.getAs[Long]("sx") == xs.map(_._1).sum)
+    assert(r.getAs[Long]("sxx") == xs.map(p => p._1 * p._1).sum)
+    assert(r.getAs[Long]("sxy") == xs.map(p => p._1 * p._2).sum)
+  }
+
+  test("linkHits: integer fixed-point matches a driver-side replay") {
+    val rows = Graph.linkHits(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    val edges = (0L until n).flatMap { i =>
+      Seq((i + 1) % n, (i + 2) % n, (i * 17 + 3) % n)
+        .filter(_ != i).map(j => (i, j))
+    }.distinct
+    var hub = Map.empty[Long, Long].withDefaultValue(1L)
+    var auth = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 3) {
+      auth = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => hub(e._1)).sum }.withDefaultValue(0L)
+      hub = edges.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(e => auth(e._2)).sum }.withDefaultValue(0L)
+    }
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("hub_score") == hub(id), s"hub mismatch at $id")
+      assert(r.getAs[Long]("auth_score") == auth(id), s"auth mismatch at $id")
+    }
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
