@@ -121,6 +121,7 @@ object SparkEntry {
     "q1t_fd_audit"          -> (Quality.fdAudit _),
     "q1u_mann_whitney"      -> (Quality.mannWhitney _),
     "q1v_kendall_tau"       -> (Quality.kendallTau _),
+    "q1w_ab_ztest"          -> (Quality.abZTest _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -664,6 +665,7 @@ object SparkEntry {
     "q1t_fd_audit"          -> Quality.fdAuditOracle,
     "q1u_mann_whitney"      -> Quality.mannWhitneyOracle,
     "q1v_kendall_tau"       -> Quality.kendallTauOracle,
+    "q1w_ab_ztest"          -> Quality.abZTestOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,

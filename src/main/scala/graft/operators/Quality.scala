@@ -584,6 +584,75 @@ object Quality {
            sum(psi_term_e9) OVER () AS psi_total_e9
     FROM t ORDER BY bin"""
 
+  /** q1w: TWO-PROPORTION Z-TEST — the A/B-test workhorse: is the
+    * URGENT-priority share of orders different between the early and
+    * late halves of the history? z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂))
+    * with the pooled p̂ — the 2×2 special case where z² equals q1k's
+    * χ², kept as its own operator because the one-sided direction and
+    * the per-arm rates are what an experimenter actually reads.
+    *
+    * ONE conditional-aggregation scan produces the four exact integers
+    * (n₁, x₁, n₂, x₂); every emitted rate is integer ppm, and z forms
+    * at the very end from those integers through IEEE-exact ops only
+    * (÷, √ are correctly-rounded in both engines, unlike libm ln —
+    * the q1e lesson), written as the same expression tree on both
+    * sides, so z_e6 replays bit-for-bit. */
+  def abZTest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cut = lit("1996-01-01").cast("date")
+    val m = o.agg(
+      sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("o_orderdate") < cut &&
+        col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x1"),
+      sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("o_orderdate") >= cut &&
+        col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x2"))
+    m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      expr("(x1 * 1000000) div n1").as("p1_ppm"),
+      expr("(x2 * 1000000) div n2").as("p2_ppm"),
+      floor(
+        ((col("x1").cast("double") / col("n1").cast("double"))
+          - (col("x2").cast("double") / col("n2").cast("double")))
+        / sqrt(
+            ((col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) - (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+        * 1e6 + 0.5).cast("long").as("z_e6"))
+      .withColumn("significant_95", abs(col("z_e6")) > 1959963L)
+  }
+
+  def abZTestOracle: String = """
+    WITH m AS (
+      SELECT
+        sum(CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x1,
+        sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x2
+      FROM orders)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           (CAST(x1 AS BIGINT) * 1000000) // CAST(n1 AS BIGINT) AS p1_ppm,
+           (CAST(x2 AS BIGINT) * 1000000) // CAST(n2 AS BIGINT) AS p2_ppm,
+           CAST(floor(
+             ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / sqrt(
+                 (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS z_e6,
+           abs(CAST(floor(
+             ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / sqrt(
+                 (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT)) > 1959963 AS significant_95
+    FROM m"""
+
   /** q1m: KOLMOGOROV–SMIRNOV two-sample drift — the companion to q1e's
     * PSI: D = max |ECDF_base − ECDF_curr| over the binned price axis,
     * same base/current shipdate split. PSI weights mass ratios (sensitive

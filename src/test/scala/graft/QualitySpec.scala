@@ -707,6 +707,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("abZTest: z matches a driver-side replay and chi-square identity z^2 = chi2") {
+    val r = Quality.abZTest(spark, sfDir).head()
+    val (n1, x1) = (r.getAs[Long]("n1"), r.getAs[Long]("x1"))
+    val (n2, x2) = (r.getAs[Long]("n2"), r.getAs[Long]("x2"))
+    assert(n1 > 0 && n2 > 0)
+    val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getAs[Long]("z_e6") == math.floor(z * 1e6 + 0.5).toLong)
+    // 2x2 identity: z^2 equals the Pearson chi-square of the table
+    val chi2 = {
+      val obs = Seq((x1, n1 - x1, n1), (x2, n2 - x2, n2))
+      val tot = (n1 + n2).toDouble
+      val colTot = Seq((x1 + x2).toDouble, (n1 - x1 + n2 - x2).toDouble)
+      obs.flatMap { case (s, f, n) =>
+        Seq((s.toDouble, n * colTot(0) / tot), (f.toDouble, n * colTot(1) / tot))
+      }.map { case (o, e) => (o - e) * (o - e) / e }.sum
+    }
+    assert(math.abs(z * z - chi2) < 1e-9 * chi2)
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
