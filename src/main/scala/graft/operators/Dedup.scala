@@ -798,4 +798,134 @@ object Dedup {
         col("n_capped_grams"))
       .orderBy("a", "b")
   }
+
+  /** q8a: DEDUP RETENTION CURVE — the threshold-tuning table every
+    * near-dup pipeline produces before committing to a cutoff: for a
+    * sweep of Jaccard thresholds, how many pairs qualify, how many
+    * documents the drop-the-higher-id rule removes, and what fraction
+    * of the corpus (docs and char mass) survives. One pair table is
+    * computed ONCE — the q4k shared-gram machinery with the same
+    * document-frequency cap, scored as full Jaccard over the capped
+    * gram space (stop-gram removal before scoring is itself standard) —
+    * then the 5-threshold sweep is a replicate-and-aggregate over that
+    * ≤|pairs| table: the sweep costs 5× a tiny frame, never 5× the
+    * corpus scan. jacc_ppm is exact integer arithmetic
+    * (shared·1e6 div (|A|+|B|−shared)), so qualification at each
+    * threshold replays bit-for-bit; thresholds with zero qualifying
+    * pairs still emit their row (left joins from the threshold spine),
+    * which is what makes the curve a curve. The default sweep is
+    * fixture-calibrated to straddle the planted near-dup mass
+    * (~0.96–0.99 Jaccard): 3404 / 25 / 18 / 11 / 0 pairs at sf0.01 —
+    * the too-loose end, the knee, and a provably-empty too-strict row. */
+  def retentionCurve(spark: SparkSession, dir: String,
+      n: Int = 3, dfCap: Long = 64L,
+      thresholds: Seq[Long] = Seq(10000L, 100000L, 970000L, 980000L, 990000L))
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.ngrams(col("toks"), n))).as("gram"))
+      .cache()
+    val capped = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select("gram")
+    val kept = grams.join(broadcast(capped), Seq("gram"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val pairs = kept.as("g1").join(kept.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("n_grams_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_grams").as("n_grams_b")), "b")
+      .select(col("a"), col("b"), expr(
+        "(n_shared * 1000000) div (n_grams_a + n_grams_b - n_shared)")
+        .as("jacc_ppm"))
+      .cache() // feeds all 5 threshold aggregates; tiny (|near-dup pairs|)
+    val thrArray = array(thresholds.map(lit): _*)
+    val matched = pairs
+      .select(explode(thrArray).as("threshold_ppm"), col("a"), col("b"),
+        col("jacc_ppm"))
+      .where(col("jacc_ppm") >= col("threshold_ppm"))
+    val pairCounts = matched.groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("n_pairs"))
+    val droppedStats = matched.select("threshold_ppm", "b").distinct()
+      .join(docs.select(col("doc_id").as("b"), col("n_chars")), "b")
+      .groupBy("threshold_ppm")
+      .agg(count(lit(1)).as("n_dropped"), sum(col("n_chars")).as("dropped_chars"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"))
+    // threshold spine: every threshold emits a row even with zero pairs
+    val spine = totals.select(explode(thrArray).as("threshold_ppm"),
+      col("n_docs"), col("total_chars"))
+    spine
+      .join(pairCounts, Seq("threshold_ppm"), "left")
+      .join(droppedStats, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_survivors"),
+        (col("total_chars") - coalesce(col("dropped_chars"), lit(0L)))
+          .as("kept_chars"),
+        col("total_chars"))
+      .withColumn("retention_ppm", expr("(n_survivors * 1000000) div (n_survivors + n_dropped)"))
+      .withColumn("kept_chars_ppm", expr("(kept_chars * 1000000) div total_chars"))
+      .orderBy("threshold_ppm")
+  }
+
+  def retentionCurveOracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+      FROM t),
+    capped AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(1) > 64),
+    kept AS (
+      SELECT doc_id, gram FROM g
+      WHERE gram NOT IN (SELECT gram FROM capped)),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams
+           FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
+      FROM kept g1 JOIN kept g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT p.a, p.b,
+             (p.n_shared * 1000000)
+               // (sa.n_grams + sb.n_grams - p.n_shared) AS jacc_ppm
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id),
+    thr AS (SELECT unnest([10000, 100000, 970000, 980000, 990000])
+              AS threshold_ppm),
+    matched AS (
+      SELECT thr.threshold_ppm, pairs.a, pairs.b, pairs.jacc_ppm
+      FROM thr JOIN pairs ON pairs.jacc_ppm >= thr.threshold_ppm),
+    pc AS (
+      SELECT threshold_ppm, CAST(count(1) AS BIGINT) AS n_pairs
+      FROM matched GROUP BY threshold_ppm),
+    ds AS (
+      SELECT threshold_ppm, CAST(count(1) AS BIGINT) AS n_dropped,
+             CAST(sum(n_chars) AS BIGINT) AS dropped_chars
+      FROM (SELECT DISTINCT threshold_ppm, b FROM matched) m
+      JOIN documents d ON m.b = d.doc_id
+      GROUP BY threshold_ppm),
+    tot AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents)
+    SELECT CAST(thr.threshold_ppm AS BIGINT) AS threshold_ppm,
+           CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+           tot.n_docs - coalesce(ds.n_dropped, 0) AS n_survivors,
+           tot.total_chars - coalesce(ds.dropped_chars, 0) AS kept_chars,
+           tot.total_chars,
+           ((tot.n_docs - coalesce(ds.n_dropped, 0)) * 1000000)
+             // tot.n_docs AS retention_ppm,
+           ((tot.total_chars - coalesce(ds.dropped_chars, 0)) * 1000000)
+             // tot.total_chars AS kept_chars_ppm
+    FROM thr
+    LEFT JOIN pc ON thr.threshold_ppm = pc.threshold_ppm
+    LEFT JOIN ds ON thr.threshold_ppm = ds.threshold_ppm
+    CROSS JOIN tot
+    ORDER BY threshold_ppm"""
 }

@@ -8,6 +8,28 @@ import org.apache.spark.sql.functions._
   * results must agree with brute force on what they do return. */
 class DedupSimilaritySpec extends SparkSpec {
 
+  test("retentionCurve: monotone in the threshold, conserves the corpus") {
+    val rows = Dedup.retentionCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_ppm"))
+    assert(rows.length == 5)
+    val total = rows.head.getAs[Long]("total_chars")
+    rows.foreach { r =>
+      val surv = r.getAs[Long]("n_survivors")
+      val drop = r.getAs[Long]("n_dropped")
+      assert(r.getAs[Long]("retention_ppm") == surv * 1000000L / (surv + drop))
+      assert(r.getAs[Long]("kept_chars") <= total)
+      assert(drop <= r.getAs[Long]("n_pairs"),
+        "each dropped doc needs at least one qualifying pair naming it")
+    }
+    // raising the threshold can only shrink the qualifying pair set
+    val pairSeq = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairSeq.zip(pairSeq.tail).forall { case (lo, hi) => lo >= hi },
+      s"pair counts must be non-increasing: ${pairSeq.mkString(",")}")
+    val survSeq = rows.map(_.getAs[Long]("n_survivors"))
+    assert(survSeq.zip(survSeq.tail).forall { case (lo, hi) => lo <= hi },
+      "survivors must be non-decreasing in the threshold")
+  }
+
   test("exactByContent counts are consistent") {
     val r = Dedup.exactByContent(spark, sfDir).head()
     val total = Tables.documents(spark, sfDir).count()
