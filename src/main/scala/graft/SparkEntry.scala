@@ -83,6 +83,7 @@ object SparkEntry {
     "q4w_quality_classifier" -> ((s: SparkSession, d: String) => graft.ml.QualityFilter.qualityClassifier(s, d)),
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q3s_volume_acf"        -> ((s: SparkSession, d: String) => TimeSeries.volumeAcf(s, d)),
+    "q3u_attribution"       -> (TimeSeries.attribution _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
@@ -660,6 +661,7 @@ object SparkEntry {
     "q2o_csv_roundtrip"      -> graft.sources.Warehouse.customersCsvRoundTripOracle,
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
+    "q3u_attribution"       -> TimeSeries.attributionOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,

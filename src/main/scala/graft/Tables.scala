@@ -22,19 +22,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a proper
-    * TimestampType column at microsecond precision — same truncation
-    * DuckDB's `epoch_us` applies, so oracle comparisons line up. */
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects outright — read as a raw nanos long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to micros,
+    * the same truncation DuckDB's `epoch_us` applies) and plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark reads
+    * as TIMESTAMP_NTZ). Dispatch on the SCHEMA actually read, not on
+    * an assumption about the file — the sessions run with UTC session
+    * timezone, so the NTZ→TimestampType cast is value-identical and
+    * every downstream operator keeps seeing one canonical
+    * TimestampType column either way. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Must stay set for the lifetime of the plan (checked again at scan
-    // execution), so it is session-level, not save/restored — see the
-    // helper's doc for why.
+    // Must stay set BEFORE the read for the nanos generation (checked
+    // again at scan execution, so session-level, not save/restored);
+    // harmless for the micros generation.
     SessionConf.ensureNanosAsLong(spark)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -410,4 +410,88 @@ object TimeSeries {
            CAST(n_hours AS BIGINT) AS n_hours,
            CAST(total_n AS BIGINT) AS total_n
     FROM scored WHERE rn = 1 ORDER BY event_type"""
+
+  /** q3u: MULTI-TOUCH LINEAR ATTRIBUTION — the marketing-analytics
+    * counterpart to q36's last-touch as-of join: every `purchase`
+    * splits its value EQUALLY across the user's click/view touches in
+    * the trailing 24 h, and the report rolls credit up by touch type
+    * (plus the unattributed remainder row — purchases no touch
+    * preceded, whose value a last-touch report silently hides).
+    *
+    * The time-window join is DAY-BINNED (the q37 doctrine): each
+    * purchase explodes to its 2 candidate day bins (a 24 h window
+    * spans at most 2 calendar days), the join runs as a plain equi
+    * join on (user, day) — shuffle bounded by keys, never a full
+    * time-range cross product — and the exact integer-microsecond
+    * window test filters after. Money is exact integer cents
+    * (floor(value·100 + 0.5)); the per-touch credit is
+    * (cents·10⁴) div n_touches — micro-dollar integers whose
+    * truncation is deterministic, so every credit column sums exactly
+    * and replays bit-for-bit (no FP division of doubles anywhere).
+    * Per-purchase touch counts come from a window over the joined
+    * frame partitioned by purchase id — post-join cardinality. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("us").as("p_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        explode(expr(s"array(us div $dayUs, us div $dayUs - 1)")).as("day"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("us").as("t_us"), expr(s"us div $dayUs").as("day"))
+    val joined = purchases.join(touches, Seq("user_id", "day"))
+      .where(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - dayUs)
+    val credited = joined
+      .withColumn("n_touches", count(lit(1)).over(Window.partitionBy("pid")))
+      .withColumn("credit_micro", expr("(cents * 10000) div n_touches"))
+    val byType = credited.groupBy("touch_type").agg(
+      count(lit(1)).as("n_touches"),
+      countDistinct(col("pid")).as("n_purchases"),
+      sum(col("credit_micro")).as("credit_micro"))
+    // purchases with NO touch in the window: the unattributed remainder
+    val unattributed = purchases
+      .select(col("user_id"), col("pid"), col("p_us"), col("cents")).distinct()
+      .join(credited.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(lit("(none)").as("touch_type"),
+        lit(0L).as("n_touches"),
+        count(lit(1)).as("n_purchases"),
+        (sum(col("cents")) * 10000L).as("credit_micro"))
+    byType.unionByName(unattributed).orderBy("touch_type")
+  }
+
+  def attributionOracle: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value
+      FROM events),
+    p AS (
+      SELECT user_id, event_id AS pid, us AS p_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM ev WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, event_type AS touch_type, us AS t_us
+      FROM ev WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.pid, p.cents, t.touch_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+    c AS (
+      SELECT pid, touch_type,
+             (cents * 10000) // (count(1) OVER (PARTITION BY pid))
+               AS credit_micro
+      FROM j),
+    byt AS (
+      SELECT touch_type, CAST(count(1) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+             CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+      FROM c GROUP BY touch_type),
+    none_row AS (
+      SELECT '(none)' AS touch_type, CAST(0 AS BIGINT) AS n_touches,
+             CAST(count(1) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) * 10000 AS BIGINT) AS credit_micro
+      FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM j))
+    SELECT * FROM byt UNION ALL SELECT * FROM none_row
+    ORDER BY touch_type"""
 }

@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
   * hand replay of the same integer arithmetic on the fixture. */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("attribution: matches a driver-side replay of the 24h window and integer credit split") {
+    val rows = TimeSeries.attribution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("n_purchases"),
+          r.getAs[Long]("credit_micro"))).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val dayUs = 86400000000L
+    val purchases = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    var agg = Map.empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    var seenPids = Map.empty[String, Set[Long]].withDefaultValue(Set.empty)
+    var unattributed = (0L, 0L)
+    purchases.foreach { case (u, pid, _, pus, v) =>
+      val cents = math.floor(v * 100 + 0.5).toLong
+      val ts = touches.filter(t => t._1 == u && t._4 < pus && t._4 >= pus - dayUs)
+      if (ts.isEmpty) unattributed = (unattributed._1 + 1, unattributed._2 + cents * 10000)
+      else {
+        val credit = cents * 10000 / ts.length
+        ts.foreach { t =>
+          val (nt, np, c) = agg(t._3)
+          agg += t._3 -> (nt + 1, np, c + credit)
+          seenPids += t._3 -> (seenPids(t._3) + pid)
+        }
+      }
+    }
+    Seq("click", "view").foreach { ty =>
+      val (nt, _, c) = agg(ty)
+      assert(rows(ty) == ((nt, seenPids(ty).size.toLong, c)), s"mismatch for $ty")
+    }
+    assert(rows("(none)") == ((0L, unattributed._1, unattributed._2)))
+  }
+
   test("ewmaHourly: exact hand-replay of the dyadic weighting for one event type") {
     val rows = TimeSeries.ewmaHourly(spark, sfDir).collect()
     assert(rows.nonEmpty)
