@@ -225,6 +225,57 @@ object Relational {
     }
   }
 
+  /** q0h: AQE SKEW-JOIN SPLIT on the graded surface — the runtime
+    * defense against UNKNOWN skew, next to q27's explicit salting for
+    * known-skewed keys (AqeSkewSpec's assertion promoted to a
+    * hash-checked query, the q0g pattern). A deliberately skewed join —
+    * one key carrying ~90% of 300k fact rows, the pad column
+    * aggregated so pruning cannot drop its bytes before the shuffle —
+    * runs under test-scale skew thresholds; the bounded 97-row collect
+    * executes the job, `skew_split` is read from the FINAL adaptive
+    * plan (skew handling only exists there) and folded into every
+    * graded row, and the oracle replays the numbers arithmetically
+    * (DuckDB's md5/range agree with Spark's) with literal `true` — so
+    * the optimizer's intervention itself is what the hash certifies.
+    * The synthetic fact table is the point: fixture keys aren't skewed
+    * enough to trip the splitter honestly. */
+  def aqeSkewSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      // a broadcast join has no shuffled partition to skew-split
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.range(300000).select(
+        when(col("id") % 10 === 0, pmod(col("id"), lit(97))).otherwise(lit(0L)).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("pad"))
+      val dim = spark.range(97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val out = fact.join(dim, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"), max(length(col("pad"))).as("pad_len"))
+        .orderBy("name")
+      out.collect() // bounded 97-row probe; evidence only exists in the final adaptive plan
+      val plan = out.queryExecution.executedPlan.toString
+      out.withColumn("skew_split",
+        lit(plan.contains("skew=true") || plan.contains("isSkewJoin=true")))
+    }
+
+  val aqeSkewSplitOracle: String = """
+    WITH fact AS (
+      SELECT CASE WHEN id % 10 = 0 THEN id % 97 ELSE 0 END AS k,
+             md5(CAST(id AS VARCHAR)) || md5(CAST(id + 1 AS VARCHAR)) AS pad
+      FROM range(300000) t(id)),
+    dim AS (SELECT id AS k, 'd' || id AS name FROM range(97) t(id))
+    SELECT name, CAST(count(1) AS BIGINT) AS n,
+           CAST(max(length(pad)) AS INTEGER) AS pad_len,
+           true AS skew_split
+    FROM fact JOIN dim USING (k)
+    GROUP BY name ORDER BY name"""
+
   val exchangeReuseOracle: String = """
     WITH j AS (
       SELECT o.o_orderpriority, o.o_orderstatus,
