@@ -817,11 +817,12 @@ object Dedup {
     * fixture-calibrated to straddle the planted near-dup mass
     * (~0.96–0.99 Jaccard): 3404 / 25 / 18 / 11 / 0 pairs at sf0.01 —
     * the too-loose end, the knee, and a provably-empty too-strict row. */
-  def retentionCurve(spark: SparkSession, dir: String,
-      n: Int = 3, dfCap: Long = 64L,
-      thresholds: Seq[Long] = Seq(10000L, 100000L, 970000L, 980000L, 990000L))
-      : DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Shared-gram exact-Jaccard pair table (a, b, jacc_ppm) over the
+    * df-capped gram space — the q4k candidate machinery scored as full
+    * Jaccard in exact integer ppm. Cached: feeds q8a's 5 threshold
+    * aggregates / q8b's two rollups; tiny (|pairs with ≥1 shared
+    * gram|). */
+  private def jaccardPairs(docs: DataFrame, n: Int, dfCap: Long): DataFrame = {
     val grams = docs
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),
@@ -831,7 +832,7 @@ object Dedup {
       .where(col("df") > dfCap).select("gram")
     val kept = grams.join(broadcast(capped), Seq("gram"), "left_anti")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val pairs = kept.as("g1").join(kept.as("g2"),
+    kept.as("g1").join(kept.as("g2"),
         col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
       .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -840,7 +841,15 @@ object Dedup {
       .select(col("a"), col("b"), expr(
         "(n_shared * 1000000) div (n_grams_a + n_grams_b - n_shared)")
         .as("jacc_ppm"))
-      .cache() // feeds all 5 threshold aggregates; tiny (|near-dup pairs|)
+      .cache()
+  }
+
+  def retentionCurve(spark: SparkSession, dir: String,
+      n: Int = 3, dfCap: Long = 64L,
+      thresholds: Seq[Long] = Seq(10000L, 100000L, 970000L, 980000L, 990000L))
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairs(docs, n, dfCap)
     val thrArray = array(thresholds.map(lit): _*)
     val matched = pairs
       .select(explode(thrArray).as("threshold_ppm"), col("a"), col("b"),
@@ -928,4 +937,74 @@ object Dedup {
     LEFT JOIN ds ON thr.threshold_ppm = ds.threshold_ppm
     CROSS JOIN tot
     ORDER BY threshold_ppm"""
+
+  /** q8b: CROSS-SOURCE DUPLICATION MATRIX — WHO copies from WHOM: the
+    * q8a near-dup pair table rolled up by the (source, source)
+    * ordered pair of each document pair, with per-cell counts at a
+    * loose (≥ 0.5) and a strict (≥ 0.97) Jaccard threshold. This is
+    * the provenance audit a crawl pipeline runs before deciding which
+    * source to drop wholesale: a hot off-diagonal cell means one feed
+    * mirrors another (dedup by source, cheaply), a hot diagonal means
+    * a feed re-posts itself. Source names are ordered lexically per
+    * cell so each unordered source pair lands in ONE cell regardless
+    * of doc-id order. Same single pair-table cost as q8a (shared-gram
+    * join, df-capped); the rollup is |sources|² rows. */
+  def crossSourceMatrix(spark: SparkSession, dir: String,
+      n: Int = 3, dfCap: Long = 64L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairs(docs, n, dfCap).where(col("jacc_ppm") >= 500000L)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), "b")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"),
+        col("jacc_ppm"))
+      .groupBy("source_lo", "source_hi")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jacc_ppm") >= 970000L, 1L).otherwise(0L))
+          .as("n_strict"),
+        max(col("jacc_ppm")).as("max_jacc_ppm"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  def crossSourceMatrixOracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+      FROM t),
+    capped AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(1) > 64),
+    kept AS (
+      SELECT doc_id, gram FROM g
+      WHERE gram NOT IN (SELECT gram FROM capped)),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams
+           FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
+      FROM kept g1 JOIN kept g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT p.a, p.b,
+             (p.n_shared * 1000000)
+               // (sa.n_grams + sb.n_grams - p.n_shared) AS jacc_ppm
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+      WHERE (p.n_shared * 1000000)
+              // (sa.n_grams + sb.n_grams - p.n_shared) >= 500000),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_lo,
+             greatest(da.source, db.source) AS source_hi,
+             pairs.jacc_ppm
+      FROM pairs JOIN documents da ON pairs.a = da.doc_id
+      JOIN documents db ON pairs.b = db.doc_id)
+    SELECT source_lo, source_hi, CAST(count(1) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN jacc_ppm >= 970000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_strict,
+           CAST(max(jacc_ppm) AS BIGINT) AS max_jacc_ppm
+    FROM lab GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi"""
 }

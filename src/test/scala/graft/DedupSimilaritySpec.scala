@@ -30,6 +30,23 @@ class DedupSimilaritySpec extends SparkSpec {
       "survivors must be non-decreasing in the threshold")
   }
 
+  test("crossSourceMatrix: cells bounded by the pair population, strict <= loose") {
+    val rows = Dedup.crossSourceMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty, "planted near-dups must populate at least one cell")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_lo") <= r.getAs[String]("source_hi"),
+        "cell labels must be lexically ordered")
+      assert(r.getAs[Long]("n_strict") <= r.getAs[Long]("n_pairs"))
+      val mx = r.getAs[Long]("max_jacc_ppm")
+      assert(mx >= 500000L && mx <= 1000000L)
+    }
+    // the matrix total equals the >= 0.5 row of the retention curve
+    val curve = Dedup.retentionCurve(spark, sfDir, thresholds = Seq(500000L))
+      .head().getAs[Long]("n_pairs")
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == curve,
+      "every qualifying pair lands in exactly one cell")
+  }
+
   test("exactByContent counts are consistent") {
     val r = Dedup.exactByContent(spark, sfDir).head()
     val total = Tables.documents(spark, sfDir).count()
