@@ -230,6 +230,7 @@ object SparkEntry {
     "q64_ivf_buckets"       -> ((s: SparkSession, d: String) => Similarity.ivfBucketCounts(s, d)),
     "q6c_knn_join"          -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q6d_hamming_topk"      -> ((s: SparkSession, d: String) => Similarity.hammingTopK(s, d)),
+    "q6n_ivf_probe_curve"   -> ((s: SparkSession, d: String) => Similarity.ivfProbeCurve(s, d)),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     "q67_media_resize"      -> (Multimodal.resizeStats _),
@@ -2151,6 +2152,7 @@ object SparkEntry {
       ORDER BY q_id, rk""",
     // binary quantization: the same two 32-bit sign-words rebuilt with
     // exact powers of two, Hamming via xor + bit_count in both engines
+    "q6n_ivf_probe_curve" -> Similarity.ivfProbeCurveOracle,
     "q6d_hamming_topk" -> """
       WITH packed AS (
         SELECT vec_id,

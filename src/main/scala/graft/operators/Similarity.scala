@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.3):
@@ -124,6 +125,106 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** q6n: IVF RECALL-vs-PROBES TUNING CURVE — the recall/latency
+    * tradeoff table that decides FAISS's `nprobe` in production, the
+    * q8a sweep pattern applied to ANN: ONE fitted quantizer + ONE
+    * cached assignment + ONE cached exact top-k, then each probe count
+    * is only a different `isin` filter over the same assignment — the
+    * sweep never refits or rescans. Per row: the replayable exact-side
+    * stats, `recall_ok` against a per-probe floor (q63's folded
+    * contract), and two theorem columns the oracle pins as literal
+    * true — `monotone_ok` (probe sets are nested, so overlap cannot
+    * decrease) and, for nProbe = nLists, the floor 0.999 forces the
+    * exhaustive-probe row to be EXACT (candidate set = whole corpus) —
+    * the anchor that certifies the probe machinery loses nothing when
+    * it searches everything. */
+  def ivfProbeCurve(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, nLists: Int = 4,
+      probes: Seq[Int] = Seq(1, 2, 4),
+      floors: Map[Int, Double] = Map(1 -> 0.1, 2 -> 0.3, 4 -> 0.999))
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(823).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cent_id")
+    val model = km.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .cache()
+    val qVec = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val ranked = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> sqDist(qVec, c.toArray) }
+      .sortBy { case (i, d) => (d, i) }.map(_._1.toLong)
+    val query = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    val exactCached = bruteForceTopK(spark, dir, queryId, k).cache()
+    val bf = exactCached.agg(
+      count(lit(1)).as("n_exact"), min(col("cosine")).as("bf_min_cosine"))
+    val rows = probes.map { p =>
+      val probeLists = ranked.take(p)
+      val topk = assigned
+        .filter(col("vec_id") =!= queryId
+          && col("cent_id").isin(probeLists: _*))
+        .join(broadcast(query))
+        .select(col("vec_id"),
+          round(cosineSim(col("embedding"), col("q")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+      val hits = topk.select(col("vec_id"))
+        .join(exactCached.select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      bf.join(broadcast(hits))
+        .select(lit(p.toLong).as("n_probe"), lit(k.toLong).as("k"),
+          col("n_exact"), round(col("bf_min_cosine"), 4).as("bf_min_cosine"),
+          col("n_overlap"),
+          (col("n_overlap") >= math.ceil(k * floors(p)).toLong).as("recall_ok"))
+    }
+    val curve = rows.reduce(_ unionByName _)
+    curve
+      // 3-row frame: the unpartitioned window is post-aggregate (q1e rule);
+      // first row has no predecessor → vacuously monotone
+      .withColumn("monotone_ok",
+        coalesce(col("n_overlap") >= lag(col("n_overlap"), 1)
+          .over(Window.orderBy("n_probe")), lit(true)))
+      .select(col("n_probe"), col("k"), col("n_exact"), col("bf_min_cosine"),
+        col("recall_ok"), col("monotone_ok"))
+      .orderBy("n_probe")
+  }
+
+  /** Exact side replayed with the identical q61/q63 cosine CTE; the
+    * contract/theorem booleans are literal true. */
+  def ivfProbeCurveOracle: String = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0),
+    topk AS (
+      SELECT vec_id, round(cos, 4) AS cosine
+      FROM sims ORDER BY cosine DESC, vec_id LIMIT 10),
+    bf AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_exact,
+             round(min(cosine), 4) AS bf_min_cosine
+      FROM topk)
+    SELECT CAST(p AS BIGINT) AS n_probe, CAST(10 AS BIGINT) AS k,
+           bf.n_exact, bf.bf_min_cosine,
+           true AS recall_ok, true AS monotone_ok
+    FROM (SELECT unnest([1, 2, 4]) AS p) probes CROSS JOIN bf
+    ORDER BY n_probe"""
 
   /** q62 graded form: the ANN-vs-exact recall contract folded INTO the
     * query so it is hash-checkable (the q25/q54 pattern — the LSH

@@ -30,6 +30,17 @@ class DedupSimilaritySpec extends SparkSpec {
       "survivors must be non-decreasing in the threshold")
   }
 
+  test("ivfProbeCurve: all contracts hold and the exhaustive probe is exact") {
+    val rows = Similarity.ivfProbeCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("n_probe"))
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"recall floor failed at ${r}")
+      assert(r.getAs[Boolean]("monotone_ok"), s"nested probes lost overlap at ${r}")
+      assert(r.getAs[Long]("n_exact") == 10L)
+    }
+  }
+
   test("crossSourceMatrix: cells bounded by the pair population, strict <= loose") {
     val rows = Dedup.crossSourceMatrix(spark, sfDir).collect()
     assert(rows.nonEmpty, "planted near-dups must populate at least one cell")
