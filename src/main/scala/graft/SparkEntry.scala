@@ -59,6 +59,7 @@ object SparkEntry {
     "q0f_dynamic_partition_pruning" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionPruning(s, d)),
     "q0g_exchange_reuse"    -> (Relational.exchangeReuse _),
     "q0h_aqe_skew_split"    -> (Relational.aqeSkewSplit _),
+    "q2q_recursive_cte"     -> (Relational.recursiveHierarchy _),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
@@ -625,6 +626,7 @@ object SparkEntry {
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q0g_exchange_reuse"     -> Relational.exchangeReuseOracle,
     "q0h_aqe_skew_split"     -> Relational.aqeSkewSplitOracle,
+    "q2q_recursive_cte"      -> Relational.recursiveHierarchyOracle,
     "q2p_cdc_apply"          -> graft.sources.Warehouse.cdcApplyOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,

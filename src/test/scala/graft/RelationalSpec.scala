@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   * projections reach the Parquet scan, dimension joins broadcast. */
 class RelationalSpec extends SparkSpec {
 
+  test("recursiveHierarchy: 3-ary tree levels and chain-row identity") {
+    val rows = operators.Relational.recursiveHierarchy(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("depth"))
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n, "every doc has one depth")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("depth")
+      // a full level of the 3-ary tree holds 3^d nodes; the last level
+      // may be truncated by the corpus size
+      assert(r.getAs[Long]("n_nodes") <= math.pow(3, d).toLong)
+      // each depth-d node contributed exactly d+1 ancestor rows
+      assert(r.getAs[Long]("ancestor_rows") ==
+        r.getAs[Long]("n_nodes") * (d + 1))
+    }
+    // levels before the last are exactly full
+    rows.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == math.pow(3, r.getAs[Int]("depth")).toLong)
+    }
+  }
+
   test("filterProject pushes filters and prunes columns at the scan") {
     val df = Relational.filterProject(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
