@@ -60,6 +60,50 @@ object Warehouse {
       .orderBy("o_orderpriority")
   }
 
+  /** q2r: DYNAMIC PARTITION OVERWRITE — the warehouse write mode that
+    * makes partitioned tables incrementally maintainable: with
+    * `partitionOverwriteMode=dynamic`, an overwrite replaces ONLY the
+    * partitions present in the incoming frame and leaves every other
+    * directory untouched (static mode — the default — would truncate
+    * the whole table first, the classic foot-gun this query documents
+    * by contrast). Here the full priority-partitioned orders copy is
+    * laid down, then a corrected URGENT-only restatement (every cent
+    * value +1) is overwritten INTO the same root inside a guarded conf
+    * window; the read-back aggregate grades BOTH properties at once —
+    * the URGENT partition carries exactly the restated sums, the four
+    * other partitions carry their original ones (they survived the
+    * second write). Exact integer cents; the oracle rebuilds the
+    * expected post-state arithmetically from the source table. */
+  def dynamicPartitionOverwrite(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_dyn_overwrite")): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      o.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("cents", col("cents") + 1L)
+        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+      .withColumn("restated", col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderpriority")
+  }
+
+  val dynamicPartitionOverwriteOracle: String = """
+    SELECT o_orderpriority,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             + CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN count(1) ELSE 0 END AS BIGINT) AS cents_sum,
+           o_orderpriority = '1-URGENT' AS restated
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** q0f: DYNAMIC PARTITION PRUNING on the graded surface — the
     * runtime companion to q28's static pruning and q0a's bloom
     * reduction, and the single biggest scan-saver on a partitioned

@@ -9,6 +9,25 @@ import java.nio.file.Files
   * explicit schema, CSV reads with explicit schema. */
 class SourcesSpec extends SparkSpec {
 
+  test("dynamicPartitionOverwrite replaces only the written partition; static mode truncates") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.Warehouse.dynamicPartitionOverwrite(spark, sfDir,
+      tmpDir("dyn_ovr")).collect()
+    assert(rows.length == 5, "all five priority partitions must survive")
+    assert(rows.count(_.getAs[Boolean]("restated")) == 1)
+    // negative control: the DEFAULT static mode truncates the whole table
+    val path = tmpDir("static_ovr")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    o.where(col("o_orderpriority") === "1-URGENT")
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    val left = spark.read.parquet(path)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0))
+    assert(left.toSeq == Seq("1-URGENT"),
+      s"static overwrite must have truncated the other partitions, got ${left.mkString(",")}")
+  }
+
   private def tmpDir(prefix: String): String = {
     val d = Files.createTempDirectory(prefix)
     d.toFile.deleteOnExit()
