@@ -126,6 +126,7 @@ object SparkEntry {
     "q1u_mann_whitney"      -> (Quality.mannWhitney _),
     "q1v_kendall_tau"       -> (Quality.kendallTau _),
     "q1w_ab_ztest"          -> (Quality.abZTest _),
+    "q1x_fdr_segments"      -> (Quality.fdrSegments _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -677,6 +678,7 @@ object SparkEntry {
     "q1u_mann_whitney"      -> Quality.mannWhitneyOracle,
     "q1v_kendall_tau"       -> Quality.kendallTauOracle,
     "q1w_ab_ztest"          -> Quality.abZTestOracle,
+    "q1x_fdr_segments"      -> Quality.fdrSegmentsOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,

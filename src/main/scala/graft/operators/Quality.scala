@@ -653,6 +653,103 @@ object Quality {
              * 1e6 + 0.5) AS BIGINT)) > 1959963 AS significant_95
     FROM m"""
 
+  /** q1x: BENJAMINI–HOCHBERG FDR over a FAMILY of A/B tests — what a
+    * metrics platform actually runs: q1w's two-proportion z-test per
+    * market segment (five hypotheses: did the URGENT share move for
+    * THIS segment?), then the BH step-up correction that controls the
+    * false-discovery rate where five naive α=0.05 tests would inflate
+    * it. The normal inverse never runs in-engine: BH at q=0.05, m=5
+    * compares the rank-i |z| against Φ⁻¹(1−(i·q/m)/2), five CONSTANTS
+    * both engines carry as the same integer-e6 literals
+    * (2575829, 2326348, 2170090, 2053749, 1959964) — so the whole
+    * procedure is integer comparisons over q1w's replayable z_e6.
+    * `pass_raw` is the per-rank comparison; `rejected` is the step-up
+    * rule (every rank ≤ the LARGEST passing rank — BH can reject a
+    * hypothesis whose own comparison failed). One orders⋈customer
+    * shuffle + one conditional aggregate; the 5-row window costs
+    * nothing (q1e rule). */
+  def fdrSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("date")
+    val o = Tables.orders(spark, dir).join(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val m = o.groupBy("c_mktsegment").agg(
+      sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("o_orderdate") < cut &&
+        col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x1"),
+      sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("o_orderdate") >= cut &&
+        col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x2"))
+    val z = m.select(col("c_mktsegment"), col("n1"), col("x1"), col("n2"), col("x2"),
+      floor(
+        ((col("x1").cast("double") / col("n1").cast("double"))
+          - (col("x2").cast("double") / col("n2").cast("double")))
+        / sqrt(
+            ((col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) - (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double"))
+            * (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")))
+        * 1e6 + 0.5).cast("long").as("z_e6"))
+    val tot = Window.partitionBy()
+    val ranked = z
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(abs(col("z_e6")).desc, col("c_mktsegment"))))
+      .withColumn("crit_e6", element_at(
+        array(lit(2575829L), lit(2326348L), lit(2170090L),
+          lit(2053749L), lit(1959964L)), col("rank").cast("int")))
+      .withColumn("pass_raw", abs(col("z_e6")) >= col("crit_e6"))
+    ranked
+      .withColumn("max_pass_rank",
+        max(when(col("pass_raw"), col("rank"))).over(tot))
+      .withColumn("rejected",
+        coalesce(col("rank") <= col("max_pass_rank"), lit(false)))
+      .select(col("c_mktsegment"), col("n1"), col("x1"), col("n2"), col("x2"),
+        col("z_e6"), col("rank"), col("crit_e6"), col("pass_raw"), col("rejected"))
+      .orderBy("rank")
+  }
+
+  def fdrSegmentsOracle: String = """
+    WITH j AS (
+      SELECT c.c_mktsegment, o.o_orderdate, o.o_orderpriority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    m AS (
+      SELECT c_mktsegment,
+        sum(CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x1,
+        sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                  AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x2
+      FROM j GROUP BY c_mktsegment),
+    z AS (
+      SELECT c_mktsegment,
+             CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+             CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+             CAST(floor(
+               ((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 - (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+               / sqrt(
+                   (CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT) AS z_e6
+      FROM m),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY abs(z_e6) DESC, c_mktsegment)
+               AS rank
+      FROM z),
+    c AS (
+      SELECT *,
+             ([2575829, 2326348, 2170090, 2053749, 1959964])[rank] AS crit_e6,
+             abs(z_e6) >= ([2575829, 2326348, 2170090, 2053749, 1959964])[rank]
+               AS pass_raw
+      FROM r)
+    SELECT c_mktsegment, n1, x1, n2, x2, z_e6,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(crit_e6 AS BIGINT) AS crit_e6, pass_raw,
+           coalesce(rank <= max(CASE WHEN pass_raw THEN rank END) OVER (),
+             false) AS rejected
+    FROM c ORDER BY rank"""
+
   /** q1m: KOLMOGOROV–SMIRNOV two-sample drift — the companion to q1e's
     * PSI: D = max |ECDF_base − ECDF_curr| over the binned price axis,
     * same base/current shipdate split. PSI weights mass ratios (sensitive

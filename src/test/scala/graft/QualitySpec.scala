@@ -728,6 +728,34 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(z * z - chi2) < 1e-9 * chi2)
   }
 
+  test("fdrSegments: z replay, descending criticals, step-up consistency") {
+    val rows = Quality.fdrSegments(spark, sfDir).collect().sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 5)
+    // criticals are the fixed BH ladder, strictest first
+    assert(rows.map(_.getAs[Long]("crit_e6")).toSeq ==
+      Seq(2575829L, 2326348L, 2170090L, 2053749L, 1959964L))
+    // |z| non-increasing with rank; z matches the q1w arithmetic per row
+    val zs = rows.map(r => math.abs(r.getAs[Long]("z_e6")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (n1, x1) = (r.getAs[Long]("n1"), r.getAs[Long]("x1"))
+      val (n2, x2) = (r.getAs[Long]("n2"), r.getAs[Long]("x2"))
+      val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+      val p = (x1 + x2).toDouble / (n1 + n2)
+      val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+      assert(r.getAs[Long]("z_e6") == math.floor(z * 1e6 + 0.5).toLong)
+      assert(r.getAs[Boolean]("pass_raw") ==
+        (math.abs(r.getAs[Long]("z_e6")) >= r.getAs[Long]("crit_e6")))
+    }
+    // step-up: rejected exactly for ranks <= max passing rank
+    val maxPass = rows.filter(_.getAs[Boolean]("pass_raw"))
+      .map(_.getAs[Int]("rank")).sorted.lastOption
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") ==
+        maxPass.exists(r.getAs[Int]("rank") <= _))
+    }
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
