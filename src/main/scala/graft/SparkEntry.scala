@@ -140,6 +140,7 @@ object SparkEntry {
     "q3t_stream_approx_distinct" -> (StreamEvents.dailyApproxDistinctStreaming _),
     "q34_events_session_streaming" -> (StreamEvents.sessionizeStreaming _),
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
+    "q3w_session_dynamic_gap" -> (StreamEvents.sessionWindowDynamicGap _),
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
@@ -671,6 +672,7 @@ object SparkEntry {
     "q3r_seasonal_profile"  -> TimeSeries.seasonalProfileOracle,
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q3u_attribution"       -> TimeSeries.attributionOracle,
+    "q3w_session_dynamic_gap" -> StreamEvents.sessionWindowDynamicGapOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,

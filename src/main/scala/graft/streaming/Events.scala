@@ -183,6 +183,69 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** q3w: DYNAMIC-GAP session windows — `session_window` with a
+    * per-event gap EXPRESSION (the Spark 3.2+ form): purchases hold a
+    * session open for 60 minutes, everything else for 15 — the
+    * checkout-flow reading where a buying user is "still here" far
+    * longer than a browsing one. Each event contributes the half-open
+    * interval [ts, ts+gap(event)); a session is a maximal chain of
+    * overlapping intervals, start = min ts, end = max(ts+gap) — which
+    * the oracle replays exactly as the classic island detection with a
+    * RUNNING-MAX end (new session ⟺ ts ≥ max of all previous ends;
+    * integer-microsecond comparisons, no FP anywhere in the
+    * boundaries). Same one-shuffle cost shape as q35; the dynamic gap
+    * changes per-row arithmetic only. */
+  def sessionWindowDynamicGap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("60 minutes"))
+          .otherwise(lit("15 minutes"))), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("n_purchases"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
+  val sessionWindowDynamicGapOracle: String = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 900000000 END AS gap_us
+      FROM events),
+    w AS (
+      SELECT *,
+             max(us + gap_us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM e),
+    s AS (
+      SELECT *,
+             CASE WHEN prev_max_end IS NULL OR us >= prev_max_end
+                  THEN 1 ELSE 0 END AS is_new
+      FROM w),
+    sid AS (
+      SELECT *,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM s)
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us + gap_us) AS BIGINT) AS end_us,
+           CAST(count(1) AS BIGINT) AS n_events,
+           CAST(sum(is_p) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS sum_value
+    FROM sid
+    GROUP BY user_id, session_id
+    ORDER BY user_id, start_us"""
+
   /** q3e: time-series GAP FILL (densification) — the resample step
     * before any rolling-feature or forecasting job: the sparse hourly
     * aggregate is left-joined onto a dense (hour × event_type) spine so

@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dynamic-gap session_window conserves events and merges at least as much as the 15-min static gap") {
+    val dyn = Events.sessionWindowDynamicGap(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(dyn.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "every event lands in exactly one session")
+    dyn.foreach { r =>
+      assert(r.getAs[Long]("end_us") > r.getAs[Long]("start_us"))
+      assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_events"))
+    }
+    // the dynamic gap only ever EXTENDS the 15-min interval (60 for
+    // purchases), so it can merge sessions but never split them:
+    // per-user session counts are <= the all-15-min sessionization's
+    val static15 = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "15 minutes"), col("user_id"))
+      .count().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dynCounts = dyn.groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.length.toLong }
+    dynCounts.foreach { case (u, n) =>
+      assert(n <= static15(u), s"user $u: dynamic gap split a static session")
+    }
+  }
+
   test("session_window agrees with the window-function sessionization") {
     val a = Events.sessionWindowAgg(spark, sfDir)
       .select("user_id", "start_us", "n_events", "sum_value")
