@@ -23,7 +23,9 @@ object Explain {
     "q0f_dynamic_partition_pruning", "q6f_centroid_coherence",
     "q6i_ivfpq_topk", "q5k_kcore", "q6j_pq_trained_audit",
     "q4w_quality_classifier", "q2o_csv_roundtrip", "q0g_exchange_reuse",
-    "q3t_stream_approx_distinct", "q2p_cdc_apply")
+    "q3t_stream_approx_distinct", "q2p_cdc_apply",
+    "q3v_available_now", "q0h_aqe_skew_split", "q2r_dynamic_overwrite",
+    "q6n_ivf_probe_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

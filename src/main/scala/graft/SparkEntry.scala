@@ -141,6 +141,7 @@ object SparkEntry {
     "q34_events_session_streaming" -> (StreamEvents.sessionizeStreaming _),
     "q35_events_session_window" -> (StreamEvents.sessionWindowAgg _),
     "q3w_session_dynamic_gap" -> (StreamEvents.sessionWindowDynamicGap _),
+    "q3v_available_now"     -> (StreamEvents.availableNowBackfill _),
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
@@ -673,6 +674,7 @@ object SparkEntry {
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q3u_attribution"       -> TimeSeries.attributionOracle,
     "q3w_session_dynamic_gap" -> StreamEvents.sessionWindowDynamicGapOracle,
+    "q3v_available_now"      -> StreamEvents.availableNowBackfillOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,
     "q1s_referential_integrity" -> Quality.referentialIntegrityOracle,

@@ -393,6 +393,63 @@ object Events {
       .orderBy("hour_us", "event_type")
   }
 
+  /** q3v: `Trigger.AvailableNow` RATE-LIMITED BACKFILL — the
+    * production catch-up pattern q33's `processAllAvailable` only
+    * simulates: AvailableNow processes everything that exists at start
+    * in MULTIPLE rate-limited microbatches (maxFilesPerTrigger = 1 →
+    * one staged file per batch, bounded state and memory per step,
+    * unlike Trigger.Once's single giant batch) and then TERMINATES
+    * ITSELF — `awaitTermination()` returns without any stop() signal,
+    * which is the property that makes scheduled incremental backfills
+    * cron-able. Graded: the daily per-type aggregate in exact integer
+    * cents must equal the batch replay (file split invisible in the
+    * result), plus `multi_batch` — the executed batch count from the
+    * query's own progress, ≥ the staged file count — certifying the
+    * rate limit actually split the backfill. */
+  def availableNowBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        window(col("ts"), "1 day").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val qname = "graft_avnow_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    var nBatches = 0L
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(qname).start()
+      try {
+        q.awaitTermination() // AvailableNow self-terminates — the point
+        nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      } finally {
+        q.stop()
+      }
+    }
+    spark.table(qname)
+      .select(
+        unix_micros(col("win.start")).as("day_us"),
+        col("event_type"), col("n"), col("cents"))
+      .withColumn("multi_batch", lit(nBatches >= 4L))
+      .orderBy("day_us", "event_type")
+  }
+
+  val availableNowBackfillOracle: String = """
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+           CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS multi_batch
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day_us, event_type"""
+
   /** q3t: streaming DAILY-ACTIVE-USERS via an approx-distinct sketch —
     * the cardinality op that survives unbounded key spaces: exact
     * distinct in streaming state grows with the number of distinct
