@@ -750,6 +750,85 @@ object Quality {
              false) AS rejected
     FROM c ORDER BY rank"""
 
+  /** q1y: POISSON-BOOTSTRAP CONFIDENCE INTERVAL — the resampling CI
+    * that actually runs at 100 TB: classic bootstrap draws n rows per
+    * replicate (a global shuffle per replicate, B shuffles total);
+    * the Poisson approximation gives every row an INDEPENDENT
+    * Poisson(1) weight per replicate, so all B replicates ride ONE
+    * scan (row × replicate explode, map-side combined to B groups)
+    * and no resampling shuffle ever happens — the standard
+    * Chamandy et al. / production-A-B-platform trick.
+    *
+    * Determinism: the Poisson weights are the q46 Lehmer hash-gate
+    * uniform per (row-key, replicate), thresholded at the shared
+    * truncated-Poisson(1) literals (.367879/.735759/.919699 → weights
+    * 0/1/2/3⁺), and the statistic (mean quantity) is exact-integer
+    * cents with an integer-div e4 quantization — every replicate row
+    * and the rank-based 90% CI replay bit-for-bit. Per-replicate rows
+    * are emitted with the CI bounds replicated (rank 2 / rank 31 of
+    * B = 32 via the 5-row-cheap post-aggregate window). */
+  def bootstrapCI(spark: SparkSession, dir: String, b: Int = 32): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_orderkey") * 8L + col("l_linenumber")).as("rk"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+    val reps = li.select(col("rk"), col("qc"),
+      explode(sequence(lit(1), lit(b))).as("rep"))
+      .withColumn("u", Curation.hashUniform(
+        col("rk") * lit(37L) + col("rep") * lit(1000003L)))
+      .withColumn("w",
+        when(col("u") < 0.367879441, 0L)
+          .when(col("u") < 0.735758882, 1L)
+          .when(col("u") < 0.919698603, 2L)
+          .otherwise(3L))
+    val perRep = reps.groupBy("rep").agg(
+      sum(col("w")).as("n_eff"),
+      sum(col("w") * col("qc")).as("sum_wqc"))
+      .select(col("rep"), col("n_eff"),
+        expr("(sum_wqc * 10000) div (n_eff * 100)").as("mean_e4"))
+    val tot = Window.partitionBy()
+    val ranked = perRep.withColumn("mean_rank",
+      row_number().over(Window.partitionBy().orderBy("mean_e4", "rep")))
+    ranked
+      .withColumn("ci_lo_e4",
+        max(when(col("mean_rank") === 2, col("mean_e4"))).over(tot))
+      .withColumn("ci_hi_e4",
+        max(when(col("mean_rank") === b - 1, col("mean_e4"))).over(tot))
+      .select(col("rep"), col("n_eff"), col("mean_e4"),
+        col("ci_lo_e4"), col("ci_hi_e4"))
+      .orderBy("rep")
+  }
+
+  def bootstrapCIOracle: String = """
+    WITH li AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rk,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+      FROM lineitem),
+    reps AS (
+      SELECT rk, qc, rep,
+             CAST((((rk * 37 + rep * 1000003) % 2147483647) * 48271
+               % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+               / 2147483647 AS u
+      FROM li CROSS JOIN (SELECT unnest(range(1, 33)) AS rep) r),
+    w AS (
+      SELECT rep, qc,
+             CASE WHEN u < 0.367879441 THEN 0
+                  WHEN u < 0.735758882 THEN 1
+                  WHEN u < 0.919698603 THEN 2
+                  ELSE 3 END AS w
+      FROM reps),
+    per_rep AS (
+      SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+             (CAST(sum(w * qc) AS BIGINT) * 10000)
+               // (CAST(sum(w) AS BIGINT) * 100) AS mean_e4
+      FROM w GROUP BY rep),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY mean_e4, rep) AS mean_rank
+      FROM per_rep)
+    SELECT CAST(rep AS INTEGER) AS rep, n_eff, mean_e4,
+           max(CASE WHEN mean_rank = 2 THEN mean_e4 END) OVER () AS ci_lo_e4,
+           max(CASE WHEN mean_rank = 31 THEN mean_e4 END) OVER () AS ci_hi_e4
+    FROM ranked ORDER BY rep"""
+
   /** q1m: KOLMOGOROV–SMIRNOV two-sample drift — the companion to q1e's
     * PSI: D = max |ECDF_base − ECDF_curr| over the binned price axis,
     * same base/current shipdate split. PSI weights mass ratios (sensitive

@@ -756,6 +756,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bootstrapCI: replicate means bracket the true mean, CI = ranks 2/31, n_eff ~ n") {
+    val rows = Quality.bootstrapCI(spark, sfDir).collect().sortBy(_.getAs[Int]("rep"))
+    assert(rows.length == 32)
+    val means = rows.map(_.getAs[Long]("mean_e4")).sorted
+    val lo = rows.head.getAs[Long]("ci_lo_e4")
+    val hi = rows.head.getAs[Long]("ci_hi_e4")
+    assert(lo == means(1) && hi == means(30), "CI must be the rank-2/rank-31 order stats")
+    assert(lo <= hi)
+    // the true mean (same e4 quantization) must sit inside the 90% CI —
+    // the fixture is large enough that a miss means broken arithmetic
+    val li = Tables.lineitem(spark, sfDir)
+      .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n")).head()
+    val trueMean = li.getLong(0) * 10000L / (li.getLong(1) * 100L)
+    assert(trueMean >= lo && trueMean <= hi, s"$trueMean outside [$lo, $hi]")
+    // Poisson(1) weights: effective n within 5% of n on every replicate
+    rows.foreach { r =>
+      val ne = r.getAs[Long]("n_eff")
+      assert(math.abs(ne - li.getLong(1)).toDouble / li.getLong(1) < 0.05)
+    }
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
