@@ -61,6 +61,7 @@ object SparkEntry {
     "q0h_aqe_skew_split"    -> (Relational.aqeSkewSplit _),
     "q2q_recursive_cte"     -> (Relational.recursiveHierarchy _),
     "q2r_dynamic_overwrite" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionOverwrite(s, d)),
+    "q2s_cbo_statistics"    -> (graft.sources.Warehouse.cboStatistics _),
     "q1i_spearman_corr"     -> (Relational.spearmanCorr _),
     "q1j_regression_agg"    -> (Relational.regressionAgg _),
     "q1k_chi_square"        -> (Quality.chiSquareIndependence _),
@@ -633,6 +634,7 @@ object SparkEntry {
     "q0h_aqe_skew_split"     -> Relational.aqeSkewSplitOracle,
     "q2q_recursive_cte"      -> Relational.recursiveHierarchyOracle,
     "q2r_dynamic_overwrite"  -> graft.sources.Warehouse.dynamicPartitionOverwriteOracle,
+    "q2s_cbo_statistics"     -> graft.sources.Warehouse.cboStatisticsOracle,
     "q2p_cdc_apply"          -> graft.sources.Warehouse.cdcApplyOracle,
     "q6f_centroid_coherence" -> Similarity.centroidCoherenceOracle,
     "q6g_rerank_topk"       -> Similarity.rerankTopKOracle,

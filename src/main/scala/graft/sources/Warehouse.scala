@@ -104,6 +104,53 @@ object Warehouse {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  /** q2s: CATALOG STATISTICS / CBO EVIDENCE — `ANALYZE TABLE` on the
+    * graded surface: the orders copy is registered as a catalog table,
+    * column+table statistics are computed, and the graded aggregate
+    * carries two evidence booleans read from the optimized plan of the
+    * very query being graded — `rowcount_known` (the optimizer sees a
+    * rowCount at all, which only ANALYZE provides; without it Spark
+    * falls back to sizeInBytes guessing) and `rowcount_exact` (the
+    * optimizer's number equals the actual count — ANALYZE statistics
+    * are exact, not sampled). This is the "let Catalyst optimize"
+    * doctrine made checkable: CBO join reordering and
+    * broadcast-vs-shuffle decisions at 100 TB are only as good as
+    * these statistics, and a regression that silently loses them now
+    * fails the oracle hash rather than just slowing plans down. */
+  def cboStatistics(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .write.saveAsTable("graft_cbo_orders")
+      spark.sql(
+        "ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      val t = spark.table("graft_cbo_orders")
+      val out = t.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+        .orderBy("o_orderpriority")
+      val stats = t.queryExecution.optimizedPlan.stats
+      val actual = t.count()
+      out
+        .withColumn("rowcount_known", lit(stats.rowCount.isDefined))
+        .withColumn("rowcount_exact",
+          lit(stats.rowCount.exists(_.toLong == actual)))
+    }
+
+  val cboStatisticsOracle: String = """
+    SELECT o_orderpriority,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents_sum,
+           true AS rowcount_known,
+           true AS rowcount_exact
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** q0f: DYNAMIC PARTITION PRUNING on the graded surface — the
     * runtime companion to q28's static pruning and q0a's bloom
     * reduction, and the single biggest scan-saver on a partitioned
