@@ -226,6 +226,7 @@ object SparkEntry {
     "q7b_cf_hitrate"        -> ((s: SparkSession, d: String) => Recsys.cfHitRate(s, d)),
     "q8a_retention_curve"   -> ((s: SparkSession, d: String) => Dedup.retentionCurve(s, d)),
     "q8b_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d)),
+    "q8c_source_quality"    -> (Text.sourceQuality _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -700,6 +701,7 @@ object SparkEntry {
     "q7b_cf_hitrate"         -> Recsys.cfHitRateOracle,
     "q8a_retention_curve"    -> Dedup.retentionCurveOracle,
     "q8b_cross_source_matrix" -> Dedup.crossSourceMatrixOracle,
+    "q8c_source_quality"     -> Text.sourceQualityOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

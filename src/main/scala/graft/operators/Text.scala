@@ -227,6 +227,94 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q8c: PER-SOURCE QUALITY COMPARISON — the feed-level filtering
+    * decision built on q41's per-doc score: for each source, the doc
+    * count, exact integer mean, exact MEDIAN (q1r's histogram
+    * decomposition — scores live on the e4 grid, so the order
+    * statistic comes from cumulative counts over a ≤|sources|·|grid|
+    * histogram, never a per-group value buffer), the share of docs
+    * below the 0.5 quality floor, and the drop/keep verdict
+    * (`source_ok` ⟺ low share < 20%). The score is q41's arithmetic
+    * quantized to e4 integers (the same grid q41's round(…, 4)
+    * already grades), so the whole rollup replays exactly. One scan +
+    * one histogram shuffle; windows run over the histogram only. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isin(StopWords.map(lit(_)): _*)))
+      .cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0)).otherwise(col("n_chars") / 100.0)
+    val scored = Tables.documents(spark, dir).select(
+      col("source"),
+      floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long").as("score_e4"))
+    val h = scored.groupBy("source", "score_e4").agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy("source")
+    val cumW = bySrc.orderBy("score_e4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = h.withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(bySrc))
+      .withColumn("lo_pos", expr("(n + 1) div 2"))
+      .withColumn("hi_pos", expr("(n + 2) div 2"))
+    def bucketOf(pos: Column): Column =
+      col("cum") - col("c") < pos && col("cum") >= pos
+    h2.groupBy("source").agg(
+      max("n").as("n_docs"),
+      sum(col("score_e4") * col("c")).as("sum_e4"),
+      (min(when(bucketOf(col("lo_pos")), col("score_e4")))
+        + min(when(bucketOf(col("hi_pos")), col("score_e4")))).as("med2_e4"),
+      sum(when(col("score_e4") < 5000L, col("c")).otherwise(0L)).as("n_low"))
+      .select(col("source"), col("n_docs"),
+        expr("sum_e4 div n_docs").as("mean_e4"),
+        col("med2_e4"), col("n_low"),
+        expr("(n_low * 1000000) div n_docs").as("low_ppm"))
+      .withColumn("source_ok", col("low_ppm") < 200000L)
+      .orderBy("source")
+  }
+
+  def sourceQualityOracle: String = """
+    WITH t AS (
+      SELECT source, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS n_stop
+      FROM documents),
+    s AS (
+      SELECT source,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) AS score_e4
+      FROM t),
+    h AS (SELECT source, score_e4, count(1) AS c FROM s GROUP BY 1, 2),
+    h2 AS (
+      SELECT *,
+             sum(c) OVER (PARTITION BY source ORDER BY score_e4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h),
+    m AS (
+      SELECT source, max(n) AS n_docs,
+             sum(score_e4 * c) AS sum_e4,
+             min(CASE WHEN cum - c < (n+1)//2 AND cum >= (n+1)//2
+                      THEN score_e4 END)
+             + min(CASE WHEN cum - c < (n+2)//2 AND cum >= (n+2)//2
+                        THEN score_e4 END) AS med2_e4,
+             sum(CASE WHEN score_e4 < 5000 THEN c ELSE 0 END) AS n_low
+      FROM h2 GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_e4 // n_docs AS BIGINT) AS mean_e4,
+           CAST(med2_e4 AS BIGINT) AS med2_e4,
+           CAST(n_low AS BIGINT) AS n_low,
+           CAST((n_low * 1000000) // n_docs AS BIGINT) AS low_ppm,
+           (n_low * 1000000) // n_docs < 200000 AS source_ok
+    FROM m ORDER BY source"""
+
   /** n-gram-heuristic language ID: score each candidate language by its
     * marker-token hit rate and pick the argmax (ties broken by fixed
     * language order). The fixture corpus is synthetic so markers are

@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis + multimodal plumbing specs. */
 class TextSpec extends SparkSpec {
+
+  test("sourceQuality: rollup consistent with per-doc q41 scores") {
+    val roll = Text.sourceQuality(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Text.qualityScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
+      .select(col("source"), floor(col("quality") * 1e4 + 0.5).cast("long").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val scores = xs.map(_._2).sorted
+      val r = roll(src)
+      assert(r.getAs[Long]("n_docs") == scores.length.toLong)
+      assert(r.getAs[Long]("mean_e4") == scores.sum / scores.length)
+      val lo = scores((scores.length - 1) / 2); val hi = scores(scores.length / 2)
+      assert(r.getAs[Long]("med2_e4") == lo + hi, s"median mismatch for $src")
+      assert(r.getAs[Long]("n_low") == scores.count(_ < 5000L).toLong)
+    }
+  }
   import spark.implicits._
 
   test("tokensRegex splits letters/digits/punctuation BPE-ishly") {
