@@ -239,6 +239,7 @@ object SparkEntry {
     "q6c_knn_join"          -> ((s: SparkSession, d: String) => Similarity.knnJoin(s, d)),
     "q6d_hamming_topk"      -> ((s: SparkSession, d: String) => Similarity.hammingTopK(s, d)),
     "q6n_ivf_probe_curve"   -> ((s: SparkSession, d: String) => Similarity.ivfProbeCurve(s, d)),
+    "q6o_fisher_separation" -> (Similarity.fisherSeparation _),
     "q65_media_stats"       -> (Multimodal.mediaStats _),
     "q66_embedding_quantize" -> (Similarity.quantizationStats _),
     "q67_media_resize"      -> (Multimodal.resizeStats _),
@@ -2169,6 +2170,7 @@ object SparkEntry {
     // binary quantization: the same two 32-bit sign-words rebuilt with
     // exact powers of two, Hamming via xor + bit_count in both engines
     "q6n_ivf_probe_curve" -> Similarity.ivfProbeCurveOracle,
+    "q6o_fisher_separation" -> Similarity.fisherSeparationOracle,
     "q6d_hamming_topk" -> """
       WITH packed AS (
         SELECT vec_id,

@@ -798,6 +798,94 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q6o: FISHER CLASS-SEPARATION — the LDA criterion per label:
+    * between-class scatter of the label's centroid against the global
+    * mean over its within-class scatter, the "are these labels even
+    * separable in this embedding space" number that decides whether a
+    * linear probe (or q6m's prototype-distance pruning) can work at
+    * all. q6f's exact-integer doctrine extended one level: milli
+    * quantization, per-(label, dim) integer sums, then
+    * within_scaled = n_l·Q_l − ‖S_l‖²  and
+    * B_l = Σ_d (N·S_{l,d} − n_l·S_d)²  — both exact in DECIMAL(38)
+    * (the cross term N·s is ~4e10, squared ~1.6e21, summed ~1e23:
+    * past int64, inside the 38-digit budget; DuckDB replays in
+    * HUGEINT) — and separation_e6 = B_l·n_l / (N²·within_scaled) · 1e6
+    * forms ONE double at the end from identical integer operands.
+    * Cost: one posexplode scan + |labels|·dim aggregate; the global
+    * per-dim sums are a broadcast-sized second aggregate of that. */
+  def fisherSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val perPos = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .withColumn("em", floor(col("e").cast("double") * 1000 + 0.5))
+      .groupBy("label", "pos")
+      .agg(sum(col("em")).as("s"), sum(col("em") * col("em")).as("q"),
+        count(lit(1)).as("n"))
+      .cache()
+    val nTotal = Tables.embeddings(spark, dir).count() // bounded scalar probe
+    val globalPos = perPos.groupBy("pos").agg(sum(col("s")).as("sg"))
+    val bl = perPos.join(broadcast(globalPos), "pos")
+      .select(col("label"),
+        ((col("s") * nTotal - col("n") * col("sg")).cast("decimal(38,0)")
+          * (col("s") * nTotal - col("n") * col("sg")).cast("decimal(38,0)"))
+          .as("t2"))
+      .groupBy("label").agg(sum(col("t2")).as("b_num"))
+    val labelAgg = perPos.groupBy("label").agg(
+      max("n").as("n_vectors"),
+      sum("q").as("sum_norm2"),
+      sum(col("s") * col("s")).as("centroid_norm2"))
+    labelAgg.join(bl, "label")
+      .select(col("label"), col("n_vectors"), lit(nTotal).as("n_total"),
+        (col("n_vectors") * col("sum_norm2") - col("centroid_norm2"))
+          .as("within_scaled"),
+        col("b_num").cast("decimal(38,0)").as("b_raw"))
+      .withColumn("separation_e6",
+        floor(col("b_raw").cast("double") * col("n_vectors").cast("double")
+          / (col("n_total").cast("double") * col("n_total").cast("double")
+             * col("within_scaled").cast("double")) * 1e6 + 0.5).cast("long"))
+      // int128-class value: emitted as a digit string so both engines
+      // stringify identically (parquet decimal vs HUGEINT renderings
+      // would otherwise be comparison-fragile)
+      .withColumn("b_num", col("b_raw").cast("string"))
+      .drop("b_raw")
+      .select(col("label"), col("n_vectors"), col("n_total"),
+        col("within_scaled"), col("b_num"), col("separation_e6"))
+      .orderBy("label")
+  }
+
+  def fisherSeparationOracle: String = """
+    WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS em
+      FROM embeddings),
+    p AS (
+      SELECT label, i, sum(em) AS s, sum(em * em) AS q, count(1) AS n
+      FROM x GROUP BY label, i),
+    nt AS (SELECT CAST(count(1) AS BIGINT) AS n_total FROM embeddings),
+    g AS (SELECT i, sum(s) AS sg FROM p GROUP BY i),
+    b AS (
+      SELECT p.label,
+             sum(CAST(p.s * nt.n_total - p.n * g.sg AS HUGEINT)
+               * CAST(p.s * nt.n_total - p.n * g.sg AS HUGEINT)) AS b_num
+      FROM p JOIN g ON p.i = g.i CROSS JOIN nt
+      GROUP BY p.label),
+    a AS (
+      SELECT label, max(n) AS n_vectors, sum(q) AS sum_norm2,
+             sum(s * s) AS centroid_norm2
+      FROM p GROUP BY label)
+    SELECT a.label,
+           CAST(a.n_vectors AS BIGINT) AS n_vectors,
+           nt.n_total,
+           CAST(a.n_vectors * a.sum_norm2 - a.centroid_norm2 AS BIGINT)
+             AS within_scaled,
+           CAST(b.b_num AS VARCHAR) AS b_num,
+           CAST(floor(CAST(b.b_num AS DOUBLE) * a.n_vectors
+             / (CAST(nt.n_total AS DOUBLE) * nt.n_total
+                * (a.n_vectors * a.sum_norm2 - a.centroid_norm2))
+             * 1e6 + 0.5) AS BIGINT) AS separation_e6
+    FROM a JOIN b ON a.label = b.label CROSS JOIN nt
+    ORDER BY a.label"""
+
   def centroidCoherenceOracle: String = """
     WITH x AS (
       -- unnest + generate_subscripts expand in lockstep (range() cannot

@@ -41,6 +41,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fisherSeparation: within/between decomposition matches a driver-side replay") {
+    val rows = Similarity.fisherSeparation(spark, sfDir).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+    val n = vecs.length.toLong
+    val dim = vecs.head._2.length
+    val gSum = Array.fill(dim)(0L)
+    vecs.foreach { case (_, v) => (0 until dim).foreach(d => gSum(d) += v(d)) }
+    rows.foreach { r =>
+      val lab = r.getAs[Int]("label")
+      val mine = vecs.filter(_._1 == lab)
+      val nl = mine.length.toLong
+      assert(r.getAs[Long]("n_vectors") == nl)
+      val sL = Array.fill(dim)(0L)
+      var q = 0L
+      mine.foreach { case (_, v) =>
+        (0 until dim).foreach { d => sL(d) += v(d); q += v(d) * v(d) } }
+      val s2 = sL.map(x => x * x).sum
+      assert(r.getAs[Long]("within_scaled") == nl * q - s2)
+      val bNum = (0 until dim).map { d =>
+        val t = BigInt(n * sL(d) - nl * gSum(d)); t * t }.sum
+      assert(BigInt(r.getAs[String]("b_num")) == bNum)
+      assert(r.getAs[Long]("separation_e6") >= 0L)
+    }
+  }
+
   test("crossSourceMatrix: cells bounded by the pair population, strict <= loose") {
     val rows = Dedup.crossSourceMatrix(spark, sfDir).collect()
     assert(rows.nonEmpty, "planted near-dups must populate at least one cell")
