@@ -69,6 +69,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("componentSizeHistogram: partitions the corpus, removable identity holds") {
+    val rows = Dedup.componentSizeHistogram(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == n,
+      "histogram must partition every vector")
+    val removable = rows.map(_.getAs[Long]("removable")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") ==
+        r.getAs[Long]("component_size") * r.getAs[Long]("n_components"))
+      assert(r.getAs[Long]("removable") ==
+        (r.getAs[Long]("component_size") - 1) * r.getAs[Long]("n_components"))
+      assert(r.getAs[Long]("total_removable") == removable)
+    }
+    // consistency with q57: same component multiset
+    val comp = Dedup.duplicateComponents(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_members"))
+    assert(comp.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSet ==
+      rows.map(r => (r.getAs[Long]("component_size"),
+        r.getAs[Long]("n_components"))).toSet)
+  }
+
   test("crossSourceMatrix: cells bounded by the pair population, strict <= loose") {
     val rows = Dedup.crossSourceMatrix(spark, sfDir).collect()
     assert(rows.nonEmpty, "planted near-dups must populate at least one cell")
