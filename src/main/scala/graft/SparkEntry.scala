@@ -59,6 +59,7 @@ object SparkEntry {
     "q0f_dynamic_partition_pruning" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionPruning(s, d)),
     "q0g_exchange_reuse"    -> (Relational.exchangeReuse _),
     "q0h_aqe_skew_split"    -> (Relational.aqeSkewSplit _),
+    "q0i_aqe_coalesce"      -> (Relational.aqeCoalesce _),
     "q2q_recursive_cte"     -> (Relational.recursiveHierarchy _),
     "q2r_dynamic_overwrite" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.dynamicPartitionOverwrite(s, d)),
     "q2s_cbo_statistics"    -> (graft.sources.Warehouse.cboStatistics _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q3r_seasonal_profile"  -> (TimeSeries.seasonalProfile _),
     "q3s_volume_acf"        -> ((s: SparkSession, d: String) => TimeSeries.volumeAcf(s, d)),
     "q3u_attribution"       -> (TimeSeries.attribution _),
+    "q3x_forecast_backtest" -> (TimeSeries.forecastBacktest _),
     "q6e_pca_audit"         -> ((s: SparkSession, d: String) => Similarity.pcaAudit(s, d)),
     "q6f_centroid_coherence" -> (Similarity.centroidCoherence _),
     "q6g_rerank_topk"       -> ((s: SparkSession, d: String) => Similarity.rerankTopK(s, d)),
@@ -635,6 +637,7 @@ object SparkEntry {
     "q0f_dynamic_partition_pruning" -> graft.sources.Warehouse.dynamicPartitionPruningOracle,
     "q0g_exchange_reuse"     -> Relational.exchangeReuseOracle,
     "q0h_aqe_skew_split"     -> Relational.aqeSkewSplitOracle,
+    "q0i_aqe_coalesce"       -> Relational.aqeCoalesceOracle,
     "q2q_recursive_cte"      -> Relational.recursiveHierarchyOracle,
     "q2r_dynamic_overwrite"  -> graft.sources.Warehouse.dynamicPartitionOverwriteOracle,
     "q2s_cbo_statistics"     -> graft.sources.Warehouse.cboStatisticsOracle,
@@ -680,6 +683,7 @@ object SparkEntry {
     "q3s_volume_acf"        -> TimeSeries.volumeAcfOracle,
     "q3u_attribution"       -> TimeSeries.attributionOracle,
     "q3w_session_dynamic_gap" -> StreamEvents.sessionWindowDynamicGapOracle,
+    "q3x_forecast_backtest"  -> TimeSeries.forecastBacktestOracle,
     "q3v_available_now"      -> StreamEvents.availableNowBackfillOracle,
     "q1q_corr_matrix"       -> Quality.corrMatrixOracle,
     "q1r_robust_center"     -> Quality.robustCenterOracle,

@@ -264,6 +264,46 @@ object Relational {
         lit(plan.contains("skew=true") || plan.contains("isSkewJoin=true")))
     }
 
+  /** q0i: AQE PARTITION COALESCING — the fourth adaptive-execution
+    * pillar on the graded surface (q0a runtime bloom, q0f DPP, q0g
+    * exchange reuse, q0h skew split): a small aggregate planned at the
+    * session's 32 shuffle partitions would run 32 mostly-empty tasks;
+    * AQE reads the actual map-output sizes and COALESCES the read side
+    * to a handful of partitions at runtime — at 100 TB this is what
+    * keeps the task count proportional to data, not to a static conf,
+    * across every stage of every job. Evidence (`coalesced` /
+    * `AQEShuffleRead` in the FINAL adaptive plan, after the bounded
+    * 5-row in-query collect) is folded into every graded row; the
+    * oracle replays the aggregate arithmetic plus literal true, so the
+    * optimizer's intervention is itself hash-certified (the q0h
+    * pattern). */
+  def aqeCoalesce(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionConf.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "32",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864") {
+      val out = Tables.orders(spark, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+      out.collect() // bounded 5-row probe; evidence lives in the final adaptive plan
+      val plan = out.queryExecution.executedPlan.toString
+      out.withColumn("coalesced",
+        lit(plan.contains("coalesced") || plan.contains("AQEShuffleRead")))
+    }
+
+  val aqeCoalesceOracle: String = """
+    SELECT o_orderpriority,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents,
+           true AS coalesced
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val aqeSkewSplitOracle: String = """
     WITH fact AS (
       SELECT CASE WHEN id % 10 = 0 THEN id % 97 ELSE 0 END AS k,

@@ -411,6 +411,72 @@ object TimeSeries {
            CAST(total_n AS BIGINT) AS total_n
     FROM scored WHERE rn = 1 ORDER BY event_type"""
 
+  /** q3x: FORECAST BACKTEST — the evaluation harness every
+    * volume-forecasting job needs before anyone trusts it: two
+    * zero-parameter baselines (persistence = last hour's count,
+    * seasonal-naive = the count 24 h earlier) replayed over the
+    * hourly event-volume series, scored with exact integer absolute
+    * errors. The verdict column says whether DAILY SEASONALITY is
+    * real in this stream (seasonal-naive beats persistence) — the
+    * go/no-go for bothering with a seasonal model at all. Lag
+    * alignment is the q3s self-join on h−L (spine gaps pair
+    * correctly — a LAG window would silently compare across gaps);
+    * only hours where BOTH baselines have a prediction enter, so the
+    * comparison is paired. One scan to the hourly spine; everything
+    * after is spine-sized. MAE is emitted ×1e6 over the paired-hour
+    * count via integer div. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // 3 self-join sides
+    val j = hourly.as("now")
+      .join(hourly.as("p1"),
+        col("now.event_type") === col("p1.event_type")
+          && col("now.h") - 1 === col("p1.h"))
+      .join(hourly.as("p24"),
+        col("now.event_type") === col("p24.event_type")
+          && col("now.h") - 24 === col("p24.h"))
+      .select(col("now.event_type").as("event_type"),
+        col("now.n").as("actual"),
+        col("p1.n").as("pred_persist"),
+        col("p24.n").as("pred_seasonal"))
+    j.groupBy("event_type").agg(
+      count(lit(1)).as("n_hours"),
+      sum(abs(col("actual") - col("pred_persist"))).as("ae_persist"),
+      sum(abs(col("actual") - col("pred_seasonal"))).as("ae_seasonal"))
+      .select(col("event_type"), col("n_hours"),
+        col("ae_persist"), col("ae_seasonal"),
+        expr("(ae_persist * 1000000) div n_hours").as("mae_persist_e6"),
+        expr("(ae_seasonal * 1000000) div n_hours").as("mae_seasonal_e6"),
+        (col("ae_seasonal") < col("ae_persist")).as("seasonality_wins"))
+      .orderBy("event_type")
+  }
+
+  def forecastBacktestOracle: String = """
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(1) AS n
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT now.event_type, now.n AS actual,
+             p1.n AS pred_persist, p24.n AS pred_seasonal
+      FROM hourly now
+      JOIN hourly p1 ON now.event_type = p1.event_type
+        AND now.h - 1 = p1.h
+      JOIN hourly p24 ON now.event_type = p24.event_type
+        AND now.h - 24 = p24.h)
+    SELECT event_type, CAST(count(1) AS BIGINT) AS n_hours,
+           CAST(sum(abs(actual - pred_persist)) AS BIGINT) AS ae_persist,
+           CAST(sum(abs(actual - pred_seasonal)) AS BIGINT) AS ae_seasonal,
+           CAST((sum(abs(actual - pred_persist)) * 1000000) // count(1)
+             AS BIGINT) AS mae_persist_e6,
+           CAST((sum(abs(actual - pred_seasonal)) * 1000000) // count(1)
+             AS BIGINT) AS mae_seasonal_e6,
+           sum(abs(actual - pred_seasonal)) < sum(abs(actual - pred_persist))
+             AS seasonality_wins
+    FROM j GROUP BY event_type ORDER BY event_type"""
+
   /** q3u: MULTI-TOUCH LINEAR ATTRIBUTION — the marketing-analytics
     * counterpart to q36's last-touch as-of join: every `purchase`
     * splits its value EQUALLY across the user's click/view touches in

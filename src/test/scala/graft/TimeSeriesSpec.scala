@@ -42,6 +42,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows("(none)") == ((0L, unattributed._1, unattributed._2)))
   }
 
+  test("forecastBacktest: matches a driver-side replay of both baselines") {
+    val rows = TimeSeries.forecastBacktest(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val hourly = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (ty, r) =>
+      val paired = hourly.keys.filter(_._1 == ty).map(_._2).filter { h =>
+        hourly.contains((ty, h - 1)) && hourly.contains((ty, h - 24)) }.toSeq
+      assert(r.getAs[Long]("n_hours") == paired.length.toLong)
+      val aeP = paired.map(h => math.abs(hourly((ty, h)) - hourly((ty, h - 1)))).sum
+      val aeS = paired.map(h => math.abs(hourly((ty, h)) - hourly((ty, h - 24)))).sum
+      assert(r.getAs[Long]("ae_persist") == aeP)
+      assert(r.getAs[Long]("ae_seasonal") == aeS)
+      assert(r.getAs[Boolean]("seasonality_wins") == (aeS < aeP))
+    }
+  }
+
   test("ewmaHourly: exact hand-replay of the dyadic weighting for one event type") {
     val rows = TimeSeries.ewmaHourly(spark, sfDir).collect()
     assert(rows.nonEmpty)
