@@ -112,9 +112,12 @@ object Recsys {
     * recommendations issued, hits, users with ≥1 hit, and the ppm
     * rates — integer div, replayable. Every stage is the q7a cost
     * shape plus two bounded joins; nothing new at scale. */
-  def cfHitRate(spark: SparkSession, dir: String, cap: Int = 128,
-      minCooc: Long = 2L, kNbr: Int = 5, kRec: Int = 10,
-      cut: String = "1997-01-01"): DataFrame = {
+  /** The q7b recommendation pipeline up to the per-user top-k list —
+    * shared by the hit-rate eval (q7b) and the beyond-accuracy metrics
+    * (q7c) so the two reports grade the SAME recommender. */
+  private def cfRecsPipeline(spark: SparkSession, dir: String, cap: Int,
+      minCooc: Long, kNbr: Int, kRec: Int, cut: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val train = cappedBasket(spark, dir, cap,
       o => o.where(col("o_orderdate") < lit(cut).cast("date")))
     val test = cappedBasket(spark, dir, cap,
@@ -136,6 +139,14 @@ object Recsys {
       .withColumn("rk", row_number().over(Window.partitionBy("u")
         .orderBy(col("score").desc, col("rec"))))
       .where(col("rk") <= kRec)
+    (train, test, pop, recs)
+  }
+
+  def cfHitRate(spark: SparkSession, dir: String, cap: Int = 128,
+      minCooc: Long = 2L, kNbr: Int = 5, kRec: Int = 10,
+      cut: String = "1997-01-01"): DataFrame = {
+    val (train, test, _, recs) =
+      cfRecsPipeline(spark, dir, cap, minCooc, kNbr, kRec, cut)
     val hits = recs.join(test.select(col("u"), col("item").as("rec"))
         .withColumn("hit", lit(1L)), Seq("u", "rec"), "left")
       .groupBy("u").agg(
@@ -264,4 +275,118 @@ object Recsys {
            cos2_ppm
     FROM ranked WHERE rank <= 5
     ORDER BY item, rank"""
+
+  /** q7c: BEYOND-ACCURACY METRICS for the q7a/q7b recommender — the
+    * numbers that catch a recommender q7b's hit rate can't: CATALOG
+    * COVERAGE (share of train items ever recommended — a popularity
+    * echo chamber scores high accuracy with tiny coverage),
+    * POPULARITY BIAS (mean popularity rank of recommendation
+    * instances; rank 1 = most popular item, so a low mean says the
+    * system mostly re-recommends bestsellers), and CONCENTRATION (the
+    * top-10 most-recommended items' share of all recommendation
+    * slots). Built on the IDENTICAL pipeline as q7b (one shared
+    * helper), all exact integers: ranks from a deterministic
+    * (popularity desc, item) total order, shares in integer-div ppm.
+    * One row; the oracle replays the whole pipeline + rollups. */
+  def cfCoverage(spark: SparkSession, dir: String, cap: Int = 128,
+      minCooc: Long = 2L, kNbr: Int = 5, kRec: Int = 10,
+      cut: String = "1997-01-01"): DataFrame = {
+    val (_, _, pop, recs) =
+      cfRecsPipeline(spark, dir, cap, minCooc, kNbr, kRec, cut)
+    val ranked = pop.withColumn("pop_rank",
+      row_number().over(Window.partitionBy()
+        .orderBy(col("n_item").desc, col("item"))))
+    val recRanked = recs.select(col("u"), col("rec"))
+      .join(ranked.select(col("item").as("rec"), col("pop_rank")), "rec")
+    val perItem = recRanked.groupBy("rec").agg(count(lit(1)).as("n_recs"))
+    val top10 = perItem
+      .withColumn("rk", row_number().over(Window.partitionBy()
+        .orderBy(col("n_recs").desc, col("rec"))))
+      .where(col("rk") <= 10)
+      .agg(sum(col("n_recs")).as("top10_recs"))
+    val catalog = pop.agg(count(lit(1)).as("n_catalog"))
+    val totals = recRanked.agg(
+      count(lit(1)).as("recs_total"),
+      countDistinct(col("u")).as("n_users"),
+      countDistinct(col("rec")).as("n_items_recommended"),
+      sum(col("pop_rank")).as("sum_pop_rank"))
+    totals.crossJoin(broadcast(catalog)).crossJoin(broadcast(top10))
+      .select(col("n_users"), col("recs_total"),
+        col("n_items_recommended"), col("n_catalog"),
+        expr("(n_items_recommended * 1000000) div n_catalog")
+          .as("coverage_ppm"),
+        expr("(sum_pop_rank * 100) div recs_total").as("mean_pop_rank_e2"),
+        expr("(top10_recs * 1000000) div recs_total")
+          .as("top10_share_ppm"))
+  }
+
+  def cfCoverageOracle: String = """
+    WITH train_b AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < DATE '1997-01-01'),
+    train AS (
+      SELECT u, item FROM (
+        SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item) AS rk
+        FROM train_b) t WHERE rk <= 128),
+    pop AS (
+      SELECT item, CAST(count(1) AS BIGINT) AS n_item FROM train GROUP BY item),
+    co AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(1) AS BIGINT) AS cooc
+      FROM train a JOIN train b ON a.u = b.u AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(1) >= 2),
+    sym AS (
+      SELECT ia AS item, ib AS nbr, cooc FROM co
+      UNION ALL SELECT ib, ia, cooc FROM co),
+    scored AS (
+      SELECT s.item, s.nbr, s.cooc,
+             CAST((s.cooc * s.cooc * 1000000) // (p1.n_item * p2.n_item)
+               AS BIGINT) AS cos2_ppm
+      FROM sym s JOIN pop p1 ON s.item = p1.item
+      JOIN pop p2 ON s.nbr = p2.item),
+    nbrs AS (
+      SELECT item, nbr, cos2_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+          ORDER BY cos2_ppm DESC, cooc DESC, nbr) AS rank
+        FROM scored) t WHERE rank <= 5),
+    cand AS (
+      SELECT t.u, n.nbr AS rec, CAST(sum(n.cos2_ppm) AS BIGINT) AS score
+      FROM train t JOIN nbrs n ON t.item = n.item
+      GROUP BY 1, 2),
+    fresh AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM train t
+                        WHERE t.u = c.u AND t.item = c.rec)),
+    recs AS (
+      SELECT u, rec FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+          ORDER BY score DESC, rec) AS rk
+        FROM fresh) t WHERE rk <= 10),
+    ranked AS (
+      SELECT item, row_number() OVER (ORDER BY n_item DESC, item)
+               AS pop_rank
+      FROM pop),
+    rr AS (
+      SELECT r.u, r.rec, k.pop_rank
+      FROM recs r JOIN ranked k ON r.rec = k.item),
+    per_item AS (
+      SELECT rec, CAST(count(1) AS BIGINT) AS n_recs FROM rr GROUP BY rec),
+    t10 AS (
+      SELECT CAST(sum(n_recs) AS BIGINT) AS top10_recs FROM (
+        SELECT n_recs FROM per_item
+        ORDER BY n_recs DESC, rec LIMIT 10) x),
+    cat AS (SELECT CAST(count(1) AS BIGINT) AS n_catalog FROM pop),
+    tot AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+             CAST(count(1) AS BIGINT) AS recs_total,
+             CAST(count(DISTINCT rec) AS BIGINT) AS n_items_recommended,
+             CAST(sum(pop_rank) AS BIGINT) AS sum_pop_rank
+      FROM rr)
+    SELECT tot.n_users, tot.recs_total, tot.n_items_recommended,
+           cat.n_catalog,
+           (tot.n_items_recommended * 1000000) // cat.n_catalog
+             AS coverage_ppm,
+           (tot.sum_pop_rank * 100) // tot.recs_total AS mean_pop_rank_e2,
+           (t10.top10_recs * 1000000) // tot.recs_total AS top10_share_ppm
+    FROM tot CROSS JOIN cat CROSS JOIN t10"""
 }

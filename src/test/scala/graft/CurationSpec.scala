@@ -71,6 +71,19 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_ppm") == hits * 1000000L / recs)
   }
 
+  test("cfCoverage: bounds and identities hold") {
+    val r = Recsys.cfCoverage(spark, sfDir).head()
+    val nItems = r.getAs[Long]("n_items_recommended")
+    val cat = r.getAs[Long]("n_catalog")
+    assert(nItems <= cat)
+    assert(r.getAs[Long]("coverage_ppm") == nItems * 1000000L / cat)
+    assert(r.getAs[Long]("recs_total") >= nItems, "instances >= distinct items")
+    val meanRank = r.getAs[Long]("mean_pop_rank_e2")
+    assert(meanRank >= 100L && meanRank <= cat * 100L,
+      "mean popularity rank must sit inside [1, catalog]")
+    assert(r.getAs[Long]("top10_share_ppm") <= 1000000L)
+  }
+
   test("weightedSample matches an independent scala replay of the hash gate") {
     val rows = Curation.weightedSample(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
