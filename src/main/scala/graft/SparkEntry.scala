@@ -131,6 +131,7 @@ object SparkEntry {
     "q1w_ab_ztest"          -> (Quality.abZTest _),
     "q1x_fdr_segments"      -> (Quality.fdrSegments _),
     "q1y_bootstrap_ci"      -> ((s: SparkSession, d: String) => Quality.bootstrapCI(s, d)),
+    "q1z_cuped"             -> (Quality.cupedVarianceReduction _),
     "q3o_volume_anomalies"  -> (TimeSeries.volumeAnomalies _),
     "q3p_max_concurrency"   -> (TimeSeries.maxConcurrency _),
     "q3q_cusum_changepoint" -> (TimeSeries.cusumChangepoint _),
@@ -695,6 +696,7 @@ object SparkEntry {
     "q1w_ab_ztest"          -> Quality.abZTestOracle,
     "q1x_fdr_segments"      -> Quality.fdrSegmentsOracle,
     "q1y_bootstrap_ci"      -> Quality.bootstrapCIOracle,
+    "q1z_cuped"             -> Quality.cupedOracle,
     "q5h_degree_histogram"  -> Graph.linkDegreeHistogramOracle,
     "q5i_link_prediction"   -> Graph.linkPredictionOracle,
     "q5j_shortest_path"     -> Graph.shortestPathOracle,

@@ -829,6 +829,101 @@ object Quality {
            max(CASE WHEN mean_rank = 31 THEN mean_e4 END) OVER () AS ci_hi_e4
     FROM ranked ORDER BY rep"""
 
+  /** q1z: CUPED VARIANCE REDUCTION — the experimentation-platform op
+    * that makes A/B tests cheaper (Deng et al., "Improving the
+    * Sensitivity of Online Controlled Experiments"): regress each
+    * customer's POST-period spend on their PRE-period spend,
+    * θ = cov(X,Y)/var(X), and the adjusted metric Y−θ(X−X̄) has its
+    * variance cut by exactly ρ² — so `var_reduction_ppm` IS the
+    * squared correlation, and a platform reads it as "how much smaller
+    * my experiments can be". The q1q doctrine end-to-end: per-customer
+    * spends quantized to exact integer cents, every moment an
+    * order-independent DECIMAL(38) sum (n·Σxy at sf1-scale passes
+    * int64 — same budget analysis as q1q), θ and ρ form as single
+    * doubles from identical integer operands, emitted ×1e6. One
+    * orders scan + one per-customer aggregate + one 1-row moment
+    * aggregate. */
+  def cupedVarianceReduction(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("date")
+    val per = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(col("o_orderdate") < cut,
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("o_orderdate") >= cut,
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .otherwise(0L)).as("y"),
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_post"))
+      .where(col("n_pre") > 0 && col("n_post") > 0)
+    val m = per.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    m.select(
+      col("n").cast("long").as("n_customers"),
+      col("sx").cast("long").as("sum_pre_cents"),
+      col("sy").cast("long").as("sum_post_cents"),
+      floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * 1e6 + 0.5).cast("long").as("theta_e6"),
+      floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+           * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        * 1e6 + 0.5).cast("long").as("corr_e6"),
+      floor(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+        / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+           * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+        * 1e6 + 0.5).cast("long").as("var_reduction_ppm"))
+  }
+
+  def cupedOracle: String = """
+    WITH per AS (
+      SELECT o_custkey,
+             sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS x,
+             sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+                 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS y,
+             sum(CASE WHEN o_orderdate < DATE '1996-01-01' THEN 1 ELSE 0 END)
+               AS n_pre,
+             sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END)
+               AS n_post
+      FROM orders GROUP BY o_custkey),
+    f AS (SELECT * FROM per WHERE n_pre > 0 AND n_post > 0),
+    m AS (
+      SELECT CAST(count(1) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM f)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS sum_pre_cents,
+           CAST(sy AS BIGINT) AS sum_post_cents,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+             AS BIGINT) AS theta_e6,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS corr_e6,
+           CAST(floor(
+             (CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS var_reduction_ppm
+    FROM m"""
+
   /** q1m: KOLMOGOROV–SMIRNOV two-sample drift — the companion to q1e's
     * PSI: D = max |ECDF_base − ECDF_curr| over the binned price axis,
     * same base/current shipdate split. PSI weights mass ratios (sensitive

@@ -778,6 +778,30 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("cupedVarianceReduction: theta/rho match built-ins, reduction = rho^2") {
+    val r = Quality.cupedVarianceReduction(spark, sfDir).head()
+    val cut = lit("1996-01-01").cast("date")
+    val per = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(
+        sum(when(col("o_orderdate") < cut,
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("o_orderdate") >= cut,
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")).otherwise(0L)).as("y"),
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("np"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("nq"))
+      .where(col("np") > 0 && col("nq") > 0)
+    val b = per.agg(
+      corr(col("x").cast("double"), col("y").cast("double")).as("rho"),
+      (covar_pop(col("x").cast("double"), col("y").cast("double"))
+        / var_pop(col("x").cast("double"))).as("theta"),
+      count(lit(1)).as("n")).head()
+    assert(r.getAs[Long]("n_customers") == b.getAs[Long]("n"))
+    assert(math.abs(r.getAs[Long]("theta_e6") / 1e6 - b.getAs[Double]("theta")) < 1e-3)
+    val rho = b.getAs[Double]("rho")
+    assert(math.abs(r.getAs[Long]("corr_e6") / 1e6 - rho) < 1e-3)
+    assert(math.abs(r.getAs[Long]("var_reduction_ppm") / 1e6 - rho * rho) < 1e-3)
+  }
+
   test("corrMatrix: |corr| bounded and every pair matches built-in corr within quantization grain") {
     val rows = Quality.corrMatrix(spark, sfDir).collect()
     assert(rows.length == 6)
