@@ -62,7 +62,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q6l_hard_negatives" -> "broadcast(8-row anchor block) + per-anchor hardest-positive broadcast (q6c pattern)",
     "q2p_cdc_apply" -> "1-row op-count aggregate broadcast onto the 1-row applied-state aggregate",
     "q5n_clustering_coeff" -> "1-row triangle-total + 1-row wedge-total aggregates broadcast back (q5d pattern)",
-    "q8d_component_sizes" -> "q57's 1-row fixpoint probe (the histogram rides duplicateComponents)")
+    "q8d_component_sizes" -> "q57's 1-row fixpoint probe (the histogram rides duplicateComponents)",
+    "q7c_cf_coverage" -> "1-row catalog-count + 1-row top10-share aggregates broadcast onto the 1-row totals")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
