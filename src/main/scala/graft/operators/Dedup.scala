@@ -633,9 +633,10 @@ object Dedup {
     SELECT component_size, n_components,
            component_size * n_components AS n_vectors,
            (component_size - 1) * n_components AS removable,
-           (component_size * n_components * 1000000)
-             // (sum(component_size * n_components) OVER ()) AS share_ppm,
-           sum((component_size - 1) * n_components) OVER () AS total_removable
+           CAST((component_size * n_components * 1000000)
+             // (sum(component_size * n_components) OVER ()) AS BIGINT) AS share_ppm,
+           CAST(sum((component_size - 1) * n_components) OVER () AS BIGINT)
+             AS total_removable
     FROM h ORDER BY component_size"""
 
   /** q59: CANONICALIZATION — what a curation pipeline actually does

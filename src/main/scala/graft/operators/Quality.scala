@@ -561,8 +561,8 @@ object Quality {
       FROM lineitem),
     counts AS (
       SELECT bin,
-             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
-             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
       FROM binned GROUP BY bin),
     sm AS (
       SELECT bin, n_base, n_curr,
@@ -581,7 +581,7 @@ object Quality {
                * 1e9 + 0.5) AS BIGINT) AS psi_term_e9
       FROM sm)
     SELECT bin, n_base, n_curr, share_base_ppm, share_curr_ppm, psi_term_e9,
-           sum(psi_term_e9) OVER () AS psi_total_e9
+           CAST(sum(psi_term_e9) OVER () AS BIGINT) AS psi_total_e9
     FROM t ORDER BY bin"""
 
   /** q1w: TWO-PROPORTION Z-TEST — the A/B-test workhorse: is the
@@ -970,8 +970,8 @@ object Quality {
       FROM lineitem),
     counts AS (
       SELECT bin,
-             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
-             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
       FROM binned GROUP BY bin),
     e AS (
       SELECT bin, n_base, n_curr,
@@ -1029,8 +1029,10 @@ object Quality {
   def entropyDriftOracle: String = """
     WITH counts AS (
       SELECT o_orderpriority,
-             sum(CASE WHEN o_orderdate <  DATE '1996-01-01' THEN 1 ELSE 0 END) AS n_base,
-             sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS n_curr
+             CAST(sum(CASE WHEN o_orderdate <  DATE '1996-01-01' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN o_orderdate >= DATE '1996-01-01' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_curr
       FROM orders GROUP BY o_orderpriority),
     sm AS (
       SELECT o_orderpriority, n_base, n_curr,
@@ -1056,9 +1058,9 @@ object Quality {
       FROM sm)
     SELECT o_orderpriority, n_base, n_curr, p_base_ppm, p_curr_ppm,
            h_base_term_e9, h_curr_term_e9, kl_term_e9,
-           sum(h_base_term_e9) OVER () AS h_base_e9,
-           sum(h_curr_term_e9) OVER () AS h_curr_e9,
-           sum(kl_term_e9) OVER () AS kl_e9
+           CAST(sum(h_base_term_e9) OVER () AS BIGINT) AS h_base_e9,
+           CAST(sum(h_curr_term_e9) OVER () AS BIGINT) AS h_curr_e9,
+           CAST(sum(kl_term_e9) OVER () AS BIGINT) AS kl_e9
     FROM t ORDER BY o_orderpriority"""
 
   /** q4l: COUNT-MIN SKETCH heavy-hitter contract — the streaming-sketch

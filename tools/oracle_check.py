@@ -12,6 +12,8 @@ float) and hashed.
 import json, sys, math
 import duckdb
 
+from oracle_lint import lint as lint_types
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -42,9 +44,23 @@ def main(sf_dir, out_dir, prefixes=()):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Output-type lint FIRST: fetchall() below collapses every DuckDB
+    # integer type to Python int, so a HUGEINT output column passes the
+    # value compare here while failing the driver's canonicalization
+    # (the round-6 q1e/q1m/q1n/q8d bug class). A lint hit is a FAIL even
+    # when values match.
+    type_bad = lint_types(con, {k: v for k, v in oracle.items()
+                                if not prefixes
+                                or any(k.startswith(p) for p in prefixes)})
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
+        if name in type_bad:
+            cols = ", ".join(f"{c}:{t}" for c, t in type_bad[name])
+            print(f"FAIL {name}: banned oracle output type ({cols}) — "
+                  f"driver-divergent even if values match below")
+            n_fail += 1
             continue
         try:
             spark_rel = con.execute(
