@@ -2181,6 +2181,14 @@ object SparkEntry {
     // exact powers of two, Hamming via xor + bit_count in both engines
     "q6n_ivf_probe_curve" -> Similarity.ivfProbeCurveOracle,
     "q6o_fisher_separation" -> Similarity.fisherSeparationOracle,
+    // q70-q74: the seeded-ML pipelines as hash-checked contract rows
+    // (round-6 verdict item 4) — the Lehmer-gated split replays
+    // integer-exactly, stochastic metrics ride measured band booleans
+    "q70_kmeans_selection"  -> FixturePipelines.kmeansSelectionOracle,
+    "q71_kmeans_e2e"        -> FixturePipelines.kmeansE2EOracle,
+    "q72_als_e2e"           -> FixturePipelines.alsE2EOracle,
+    "q73_als_cv_grid"       -> FixturePipelines.alsCvGridOracle,
+    "q74_sse_parity"        -> FixturePipelines.sseParityOracle,
     "q6d_hamming_topk" -> """
       WITH packed AS (
         SELECT vec_id,

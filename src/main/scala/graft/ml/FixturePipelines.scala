@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.{Tables => T}
 import graft.etl.MovieLens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's ML workload re-targeted at the driver fixtures, so
@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * movies (genres = p_type tokens).
   *
   * Output is seeded (823 everywhere, like the reference) so each run is
-  * reproducible on the same Spark version; the driver checks these
-  * entries rows-only (seeded-stochastic ops are excluded from the
-  * DuckDB hash oracle per SURVEY §5.2). */
+  * reproducible on the same Spark version. Since round 7 the graded
+  * outputs are CONTRACT ROWS (q0f pattern): the split is a Lehmer
+  * hash gate the oracle replays integer-exactly, structural facts
+  * (argmin k, argmin grid point, cold-start drop counts) are emitted
+  * as exact columns, and the seeded-stochastic metrics ride documented
+  * band booleans — so all five queries hash-check against DuckDB
+  * instead of the old rows-only regime (SURVEY §5.2). */
 object FixturePipelines {
 
   /** ratings-shaped view of lineitem: ~15 ratings per user at sf0.01. */
@@ -24,6 +28,42 @@ object FixturePipelines {
       col("l_suppkey").cast("int").as("userId"),
       col("l_partkey").cast("int").as("movieId"),
       (round(col("l_quantity") / 10.0) / 2.0 + 0.5).cast("float").as("rating"))
+
+  /** ratings + a unique deterministic per-row key: `l_orderkey*8 +
+    * l_linenumber` (linenumber ≤ 7, so the key is injective) — the id
+    * the hash-gated split below gates on. */
+  def ratingsKeyed(spark: SparkSession, dir: String): DataFrame =
+    T.lineitem(spark, dir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+      col("l_suppkey").cast("int").as("userId"),
+      col("l_partkey").cast("int").as("movieId"),
+      (round(col("l_quantity") / 10.0) / 2.0 + 0.5).cast("float").as("rating"))
+
+  /** DETERMINISTIC 70/30 train/test split via the shared Lehmer hash
+    * gate (q46's `Curation.hashUniform`), replacing seeded `randomSplit`
+    * for the GRADED ML queries: randomSplit draws per-partition streams,
+    * so its membership depends on how the scan was partitioned (file
+    * split sizing differs with core count — the driver and a local run
+    * can disagree). The hash gate is a pure row-local function of the
+    * rating key, so train/test membership — and every count derived from
+    * it (n_test, ALS cold-start drops, distinct scored users) — replays
+    * EXACTLY in DuckDB with the same integer arithmetic, which is what
+    * lets q71/q72 carry hash-checked oracle columns instead of
+    * rows-only checks. R-12 (`MovieLens.trainTestSplit`) keeps the
+    * reference's randomSplit semantics; this gate is the engine's
+    * scale-correct alternative (stable under repartitioning). */
+  def hashTrainTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val keyed = ratingsKeyed(spark, dir)
+    val u = graft.operators.Curation.hashUniform(col("rid"))
+    (keyed.filter(u < 0.7).drop("rid"), keyed.filter(u >= 0.7).drop("rid"))
+  }
+
+  /** The DuckDB replay of `hashTrainTest` membership, as a SQL
+    * predicate over a lineitem row (true = train). Shared by the
+    * q71/q72 oracle statements. */
+  val trainGateSql: String =
+    """((((l_orderkey * 8 + l_linenumber) % 2147483647) * 48271
+       |  % 2147483647) * 48271 % 2147483647) / 2147483647.0 < 0.7""".stripMargin
 
   /** movies-shaped view of part: pipe-joined p_type tokens as genres. */
   def movies(spark: SparkSession, dir: String): DataFrame =
@@ -39,23 +79,80 @@ object FixturePipelines {
     (MovieLens.assembleFeatures(MovieLens.oneHotGenres(m, vocab), vocab), vocab)
   }
 
-  /** KMeans k-selection (R-20..R-23) over the featurized parts. */
+  /** CONTRACT BANDS for the seeded-stochastic metrics. The numeric SSE /
+    * RMSE values are deterministic for a fixed seed, Spark version AND
+    * partitioning — but the driver's core count differs from a local
+    * run, and KMeans/ALS init both sample the data partition-wise, so
+    * the exact floats can shift at the 3rd decimal between environments.
+    * What CANNOT shift (measured across local[4]/local[8]/local[32] at
+    * sf0.01 — see the per-query scaladoc) is the structure: which k wins,
+    * which grid point wins, and the metric's order of magnitude. The
+    * graded output therefore carries the structure exactly and the
+    * metrics as in-band booleans, which the DuckDB oracle states as
+    * literals — upgrading q70-q74 from rows-only to hash-checked
+    * (round-6 verdict item 4, the q0f literal-`true` pattern). */
+  // Measured at sf0.01 under local[4]/local[8]/local[32]
+  // (tools/MlContractProbe): trainRmse 0.7426-0.7460, test rmse
+  // 0.7549-0.7565, ALS rmse 0.8738 (bit-identical across core counts),
+  // CV avg_rmse 0.8521-0.9742. NOT stable across core counts: the
+  // KMeans argmin k (observed 6/5/4 — the SSE lag-diffs sit within ~1%
+  // of each other while per-k SSE moves ~4% with partitioning), so the
+  // `best` flag is deliberately NOT part of the hashed contract; the
+  // per-k structure (SSE monotone nonincreasing, exactly zero when k
+  // reaches the distinct-feature-vector count) is.
+  val KmTrainRmseBand: (Double, Double) = (0.70, 0.80)
+  val KmTestRmseBand: (Double, Double) = (0.70, 0.82)
+  val AlsTestRmseBand: (Double, Double) = (0.80, 0.95)
+  val AlsCvRmseBand: (Double, Double) = (0.80, 1.05)
+  val SseParityRelTol: Double = 1e-6
+
+  private def inBand(c: Column, band: (Double, Double)): Column =
+    c > band._1 && c < band._2
+
+  /** KMeans k-selection (R-20..R-23) over the featurized parts.
+    * Contract columns per k: `sse_zero` — true exactly when k reaches
+    * the number of DISTINCT feature vectors (the fixture's parts carry
+    * single-token p_type, so the one-hot space has exactly
+    * count(DISTINCT p_type) points and a seeded fit at that k clusters
+    * them perfectly; the oracle derives the same threshold from `part`,
+    * so this is a data-determined fact, not a magic number) —
+    * `sse_nonincreasing` (the lag diff R-22 grades), and the train-RMSE
+    * band. The argmin flag (R-23) is computed and asserted in MlSpec
+    * but kept OUT of the hashed row: the measured lag-diff margins are
+    * ~1% while per-k SSE moves ~4% with partitioning, so the winning k
+    * flips between core counts (observed 6/5/4). */
   def kmeansSelection(spark: SparkSession, dir: String,
       ks: Seq[Int] = 2 to 6): DataFrame = {
     val (feats, _) = featurizedMovies(spark, dir)
-    val (train, _) = MovieLens.trainTestSplit(ratings(spark, dir))
+    val (train, _) = hashTrainTest(spark, dir)
+    val distinctVecs = movies(spark, dir)
+      .agg(countDistinct("genres").as("n_distinct_vectors"))
     Clustering.selectK(spark, feats, train, ks = ks)
-      .select(col("k"), round(col("sse"), 2).as("sse"),
-        round(col("sse_diff"), 2).as("sse_diff"),
-        round(col("trainRmse"), 4).as("train_rmse"), col("best"))
+      .crossJoin(broadcast(distinctVecs))
+      .select(col("k"),
+        (col("sse") === 0.0).as("sse_zero"),
+        (col("sse_diff") <= 0.0).as("sse_nonincreasing"),
+        inBand(col("trainRmse"), KmTrainRmseBand).as("train_rmse_in_band"),
+        col("n_distinct_vectors"))
+      .orderBy("k")
   }
 
   /** End-to-end reference pipeline (§2.2 items 1-3 + 5): featurize,
     * pick k, fit, score test split with the cluster-average predictor;
-    * one summary row. */
+    * one summary row. Exact columns: n_test (pure hash-gate count) and
+    * n_scored — the cluster-average predictor inner-joins test rows on
+    * (userId, cluster), and with ~420 train ratings per user against
+    * ≤6 clusters every user covers every cluster (P(miss) ≈ (5/6)^420),
+    * so n_scored = n_test deterministically and the oracle replays
+    * both from the gate. The test RMSE rides its band (measured
+    * 0.7549-0.7565 across core counts EVEN as the internally-chosen
+    * best k varied 4..6 — the predictor is insensitive to k here
+    * because the 6 one-hot clusters nest). best_k itself is
+    * partitioning-unstable and deliberately unexported (see
+    * kmeansSelection). */
   def kmeansE2E(spark: SparkSession, dir: String): DataFrame = {
     val (feats, _) = featurizedMovies(spark, dir)
-    val (train, test) = MovieLens.trainTestSplit(ratings(spark, dir))
+    val (train, test) = hashTrainTest(spark, dir)
     train.cache(); feats.cache()
     val selection = Clustering.selectK(spark, feats, train, ks = 2 to 6)
     val k = Clustering.bestK(selection)
@@ -63,22 +160,32 @@ object FixturePipelines {
     val clusters = model.transform(feats)
       .select(col("movieId"), col("prediction").as("cluster"))
     val testPreds = Clustering.clusterAvgPredictions(train, test, clusters)
+    val nTest = test.count()
     testPreds.agg(
-      round(sqrt(avg(pow(col("rating") - col("prediction"), 2))), 4).as("test_rmse"),
+      inBand(sqrt(avg(pow(col("rating") - col("prediction"), 2))), KmTestRmseBand)
+        .as("test_rmse_in_band"),
       count(lit(1)).as("n_scored"))
-      .withColumn("best_k", lit(k))
+      .withColumn("n_test", lit(nTest))
   }
 
-  /** Single seeded ALS fit + test RMSE (R-24/R-25/R-19). */
+  /** Single seeded ALS fit + test RMSE (R-24/R-25/R-19). Cold-start
+    * semantics are graded EXACTLY: coldStartStrategy="drop" removes test
+    * rows whose user OR item was unseen in training — with the hash
+    * split that membership is pure set logic the oracle replays
+    * (n_test/n_scored/n_cold_dropped/n_users all integer-exact); only
+    * the RMSE itself rides a band. */
   def alsE2E(spark: SparkSession, dir: String,
       rank: Int = 10, maxIter: Int = 10): DataFrame = {
-    val (train, test) = MovieLens.trainTestSplit(ratings(spark, dir))
+    val (train, test) = hashTrainTest(spark, dir)
     val model = Recommend.fitAls(train.cache(), rank = rank, maxIter = maxIter)
     val (preds, rmse) = Recommend.evaluate(model, test)
+    val nTest = test.count()
     preds.agg(
-      round(lit(rmse), 4).as("test_rmse"),
+      inBand(lit(rmse), AlsTestRmseBand).as("test_rmse_in_band"),
       count(lit(1)).as("n_scored"),
       countDistinct("userId").as("n_users"))
+      .withColumn("n_test", lit(nTest))
+      .withColumn("n_cold_dropped", lit(nTest) - col("n_scored"))
   }
 
   /** Small grid-searched CV (R-26..R-28): 2×2×2 grid, 2 folds,
@@ -88,19 +195,24 @@ object FixturePipelines {
     * fits oversubscribed it (alternating 48 s / 200 s bench runs —
     * round-3 verdict); 4 keeps the fan-out win without the thrash. */
   def alsCvGrid(spark: SparkSession, dir: String): DataFrame = {
-    val (train, _) = MovieLens.trainTestSplit(ratings(spark, dir))
+    val (train, _) = hashTrainTest(spark, dir)
     val cv = Recommend.gridSearchCV(train,
       ranks = Seq(5, 10), maxIters = Seq(10), regParams = Seq(0.05, 0.1),
       numFolds = 2, parallelism = 4)
-    Recommend.cvResults(spark, cv)
-      .select(col("rank"), col("maxIter"), col("regParam"),
-        round(col("avg_rmse"), 4).as("avg_rmse"))
+    val res = Recommend.cvResults(spark, cv)
+    val bestRmse = min(col("avg_rmse")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    res.select(col("rank"), col("maxIter"), col("regParam"),
+        (col("avg_rmse") === bestRmse).as("is_best"),
+        inBand(col("avg_rmse"), AlsCvRmseBand).as("avg_rmse_in_band"))
+      .orderBy("rank", "maxIter", "regParam")
   }
 
   /** KMeans SSE parity check exposed as a query: trainingCost vs the
     * custom SquaredL2Distance expression over broadcast centers — the
     * reference's Python-lambda SSE (MovieLensRecommender.py:33-37)
-    * as a codegen'd aggregate. */
+    * as a codegen'd aggregate. Contract columns: parity as a relative
+    * tolerance boolean (the two sums differ only in FP reduction
+    * order), n_points exactly (= |part|, oracle-replayable). */
   def sseParity(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val (feats, vocab) = featurizedMovies(spark, dir)
@@ -108,13 +220,74 @@ object FixturePipelines {
     val assigned = model.transform(feats)
     val centers = model.clusterCenters.map(_.toArray.toSeq)
     val centerCol = typedLit(centers.toSeq)
-    val sse = assigned
+    assigned
       .withColumn("farr", org.apache.spark.ml.functions.vector_to_array(col("features")))
       .withColumn("center", element_at(centerCol, col("prediction") + 1))
-      .agg(sum(VectorFunctions.squaredL2(col("farr"), col("center"))).as("sse_expr"))
+      .agg(sum(VectorFunctions.squaredL2(col("farr"), col("center"))).as("sse_expr"),
+        count(lit(1)).as("n_points"))
       .withColumn("sse_training_cost", lit(model.summary.trainingCost))
-      .select(round(col("sse_expr"), 4).as("sse_expr"),
-        round(col("sse_training_cost"), 4).as("sse_training_cost"))
-    sse
+      .select(lit(4).as("k"), col("n_points"),
+        (abs(col("sse_expr") - col("sse_training_cost"))
+          <= lit(SseParityRelTol) * greatest(abs(col("sse_training_cost")), lit(1e-12)))
+          .as("parity_ok"))
   }
+
+  // ---- DuckDB oracles (round-6 verdict item 4: the q0f literal-`true`
+  // contract pattern). Deterministic facts are COMPUTED by the oracle
+  // (split counts from the Lehmer gate, the distinct-vector threshold
+  // from `part`); band booleans and the stable CV argmin are literals.
+
+  /** q70: per-k contract — sse_zero is derived from the data (k =
+    * distinct one-hot vectors), not hardcoded. */
+  def kmeansSelectionOracle: String = """
+    WITH nd AS (SELECT CAST(count(DISTINCT p_type) AS BIGINT) AS n FROM part)
+    SELECT t.k, (CAST(t.k AS BIGINT) = nd.n) AS sse_zero,
+           true AS sse_nonincreasing, true AS train_rmse_in_band,
+           nd.n AS n_distinct_vectors
+    FROM (VALUES (2), (3), (4), (5), (6)) t(k) CROSS JOIN nd
+    ORDER BY t.k"""
+
+  /** q71: the test-split count replayed from the Lehmer gate; every
+    * test row scores (see kmeansE2E scaladoc), so n_scored = n_test. */
+  def kmeansE2EOracle: String = s"""
+    WITH te AS (
+      SELECT CAST(count(1) AS BIGINT) AS n FROM lineitem
+      WHERE NOT ($trainGateSql))
+    SELECT true AS test_rmse_in_band, te.n AS n_scored, te.n AS n_test
+    FROM te"""
+
+  /** q72: cold-start drop semantics replayed exactly — scored rows are
+    * test rows whose user AND item both appear in training. */
+  def alsE2EOracle: String = s"""
+    WITH tr AS (SELECT l_suppkey AS u, l_partkey AS m FROM lineitem
+                WHERE $trainGateSql),
+    te AS (SELECT l_suppkey AS u, l_partkey AS m FROM lineitem
+           WHERE NOT ($trainGateSql)),
+    sc AS (SELECT te.u, te.m FROM te
+           WHERE te.u IN (SELECT u FROM tr) AND te.m IN (SELECT m FROM tr))
+    SELECT true AS test_rmse_in_band,
+           (SELECT CAST(count(1) AS BIGINT) FROM sc) AS n_scored,
+           (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM sc) AS n_users,
+           (SELECT CAST(count(1) AS BIGINT) FROM te) AS n_test,
+           (SELECT CAST(count(1) AS BIGINT) FROM te)
+             - (SELECT CAST(count(1) AS BIGINT) FROM sc) AS n_cold_dropped"""
+
+  /** q73: the grid with its measured-stable argmin — ALS avg_rmse was
+    * bit-identical across local[4]/local[8]/local[32] (numBlocks pins
+    * the internal partitioning), so the winner (5, 10, 0.1) is a safe
+    * literal where the KMeans argmin was not. */
+  def alsCvGridOracle: String = """
+    SELECT t."rank", t."maxIter", t."regParam", t.is_best, t.avg_rmse_in_band
+    FROM (VALUES
+      (5,  10, CAST(0.05 AS DOUBLE), false, true),
+      (5,  10, CAST(0.1  AS DOUBLE), true,  true),
+      (10, 10, CAST(0.05 AS DOUBLE), false, true),
+      (10, 10, CAST(0.1  AS DOUBLE), false, true))
+      t("rank", "maxIter", "regParam", is_best, avg_rmse_in_band)
+    ORDER BY t."rank", t."maxIter", t."regParam""""
+
+  /** q74: parity is the contract; the point count replays from part. */
+  def sseParityOracle: String = """
+    SELECT 4 AS k, CAST(count(1) AS BIGINT) AS n_points, true AS parity_ok
+    FROM part"""
 }
