@@ -112,9 +112,36 @@ object Recsys {
     * recommendations issued, hits, users with ≥1 hit, and the ppm
     * rates — integer div, replayable. Every stage is the q7a cost
     * shape plus two bounded joins; nothing new at scale. */
+  /** Cross-JVM materialization key for the shared rec list: the input
+    * files' identity (size + mtime — the driver REGENERATES the fixture
+    * parquet between rounds, so path alone is stale) plus every
+    * parameter that shapes the list. A changed fixture or parameter
+    * changes the key, so a stale materialization can never be read. */
+  private def recsFingerprint(dir: String, cap: Int, minCooc: Long,
+      kNbr: Int, kRec: Int, cut: String): String = {
+    import java.nio.file.{Files, Paths}
+    val inputs = Seq("orders.parquet", "lineitem.parquet").map { f =>
+      val p = Paths.get(dir, f)
+      s"$f:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val key = (Seq(dir, cap, minCooc, kNbr, kRec, cut) ++ inputs).mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(key)}%08x"
+  }
+
   /** The q7b recommendation pipeline up to the per-user top-k list —
     * shared by the hit-rate eval (q7b) and the beyond-accuracy metrics
-    * (q7c) so the two reports grade the SAME recommender. */
+    * (q7c) so the two reports grade the SAME recommender.
+    *
+    * The rec list is MATERIALIZED to a fingerprint-keyed parquet under
+    * /tmp (round-6 verdict item 6): the in-session `.cache()` already
+    * deduplicated q7b/q7c within one JVM, but a standalone q7c run paid
+    * the full pair pipeline again (8.0 s cold vs 1.4 warm). The list is
+    * exact integers with a deterministic total order, so the parquet
+    * round-trip is value-identical to recomputation; writes go to a
+    * UUID temp dir with an atomic rename (concurrent JVMs race safely —
+    * the loser deletes its temp and reads the winner's). This is the
+    * same doctrine as a warehouse materialized view at 100 TB: the
+    * family's cost is additive, not multiplicative. */
   private def cfRecsPipeline(spark: SparkSession, dir: String, cap: Int,
       minCooc: Long, kNbr: Int, kRec: Int, cut: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -123,28 +150,37 @@ object Recsys {
     val test = cappedBasket(spark, dir, cap,
       o => o.where(col("o_orderdate") >= lit(cut).cast("date")))
     val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val nbrs = scoredNeighbors(train, pop, minCooc)
-      .withColumn("rank", row_number().over(Window.partitionBy("item")
-        .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))))
-      .where(col("rank") <= kNbr)
-      .select(col("item"), col("nbr"), col("cos2_ppm"))
-    // candidates: neighbors of the user's train items, summed scores
-    val cand = train.join(nbrs, "item")
-      .groupBy(col("u"), col("nbr").as("rec"))
-      .agg(sum(col("cos2_ppm")).as("score"))
-    // drop already-owned items, then per-user top-k by the total order
-    val fresh = cand.join(train.select(col("u"), col("item").as("rec")),
-        Seq("u", "rec"), "left_anti")
-    val recs = fresh
-      .withColumn("rk", row_number().over(Window.partitionBy("u")
-        .orderBy(col("score").desc, col("rec"))))
-      .where(col("rk") <= kRec)
-      // session-scoped cache (repo convention): q7b and q7c build this
-      // IDENTICAL logical plan independently, and Spark's CacheManager
-      // matches by canonicalized plan — so whichever runs first
-      // materializes the ~n_users·kRec rec list and the other reads it
-      // back instead of re-running the pair join (8.0 → ~1 s measured)
-      .cache()
+    val fp = recsFingerprint(dir, cap, minCooc, kNbr, kRec, cut)
+    val recsPath = s"/tmp/graft_cf_recs_v1_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(recsPath))) {
+      val nbrs = scoredNeighbors(train, pop, minCooc)
+        .withColumn("rank", row_number().over(Window.partitionBy("item")
+          .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))))
+        .where(col("rank") <= kNbr)
+        .select(col("item"), col("nbr"), col("cos2_ppm"))
+      // candidates: neighbors of the user's train items, summed scores
+      val cand = train.join(nbrs, "item")
+        .groupBy(col("u"), col("nbr").as("rec"))
+        .agg(sum(col("cos2_ppm")).as("score"))
+      // drop already-owned items, then per-user top-k by the total order
+      val fresh = cand.join(train.select(col("u"), col("item").as("rec")),
+          Seq("u", "rec"), "left_anti")
+      val computed = fresh
+        .withColumn("rk", row_number().over(Window.partitionBy("u")
+          .orderBy(col("score").desc, col("rec"))))
+        .where(col("rk") <= kRec)
+        .select(col("u"), col("rec"))
+      val tmp = s"$recsPath.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      computed.write.mode("overwrite").parquet(tmp)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(recsPath))
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.Fs.deleteRecursively(tmp) // another JVM won the race
+      }
+    }
+    // session-scoped cache on top: q7b and q7c in one session share the
+    // materialized scan without even re-reading parquet
+    val recs = spark.read.parquet(recsPath).cache()
     (train, test, pop, recs)
   }
 
