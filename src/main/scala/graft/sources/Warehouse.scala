@@ -121,23 +121,34 @@ object Warehouse {
     graft.SessionConf.withConfs(spark,
       "spark.sql.cbo.enabled" -> "true",
       "spark.sql.cbo.joinReorder.enabled" -> "true") {
-      spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
-      Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .write.saveAsTable("graft_cbo_orders")
-      spark.sql(
-        "ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
-      val t = spark.table("graft_cbo_orders")
-      val out = t.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
-        .orderBy("o_orderpriority")
-      val stats = t.queryExecution.optimizedPlan.stats
-      val actual = t.count()
-      out
-        .withColumn("rowcount_known", lit(stats.rowCount.isDefined))
-        .withColumn("rowcount_exact",
-          lit(stats.rowCount.exists(_.toLong == actual)))
+      // UUID-suffixed table (round-6 advice): a fixed global name made
+      // concurrent sessions sharing one warehouse dir race on
+      // DROP/saveAsTable and left the table + files behind after every
+      // run. The ≤5-row graded result is materialized BEFORE the
+      // finally-drop (the same bounded-probe budget the evidence
+      // booleans already spend), so the returned frame no longer
+      // references the catalog table at all.
+      val tbl = "graft_cbo_orders_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      try {
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+          .write.saveAsTable(tbl)
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+        val t = spark.table(tbl)
+        val stats = t.queryExecution.optimizedPlan.stats
+        val actual = t.count()
+        val full = t.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_sum"))
+          .orderBy("o_orderpriority")
+          .withColumn("rowcount_known", lit(stats.rowCount.isDefined))
+          .withColumn("rowcount_exact",
+            lit(stats.rowCount.exists(_.toLong == actual)))
+        val rows = full.collect() // one row per orderpriority, ≤ a dozen
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), full.schema)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
   val cboStatisticsOracle: String = """
