@@ -149,10 +149,10 @@ object Recsys {
       o => o.where(col("o_orderdate") < lit(cut).cast("date")))
     val test = cappedBasket(spark, dir, cap,
       o => o.where(col("o_orderdate") >= lit(cut).cast("date")))
-    val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
     val fp = recsFingerprint(dir, cap, minCooc, kNbr, kRec, cut)
-    val recsPath = s"/tmp/graft_cf_recs_v1_$fp"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(recsPath))) {
+    val store = s"/tmp/graft_cf_recs_v1_$fp"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store))) {
+      val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
       val nbrs = scoredNeighbors(train, pop, minCooc)
         .withColumn("rank", row_number().over(Window.partitionBy("item")
           .orderBy(col("cos2_ppm").desc, col("cooc").desc, col("nbr"))))
@@ -170,18 +170,24 @@ object Recsys {
           .orderBy(col("score").desc, col("rec"))))
         .where(col("rk") <= kRec)
         .select(col("u"), col("rec"))
-      val tmp = s"$recsPath.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-      computed.write.mode("overwrite").parquet(tmp)
+      // one store dir holding BOTH shared intermediates — the rec list
+      // and the (item, n_item) popularity table q7c ranks by — so a
+      // standalone q7c run needs NO basket join at all; written to a
+      // UUID temp and renamed into place atomically
+      val tmp = s"$store.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      computed.write.parquet(s"$tmp/recs")
+      pop.write.parquet(s"$tmp/pop")
       try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-        java.nio.file.Paths.get(recsPath))
+        java.nio.file.Paths.get(store))
       catch { case _: java.nio.file.FileSystemException =>
         graft.Fs.deleteRecursively(tmp) // another JVM won the race
       }
     }
     // session-scoped cache on top: q7b and q7c in one session share the
-    // materialized scan without even re-reading parquet
-    val recs = spark.read.parquet(recsPath).cache()
-    (train, test, pop, recs)
+    // materialized scans without even re-reading parquet
+    val recs = spark.read.parquet(s"$store/recs").cache()
+    val popStored = spark.read.parquet(s"$store/pop")
+    (train, test, popStored, recs)
   }
 
   def cfHitRate(spark: SparkSession, dir: String, cap: Int = 128,
