@@ -304,6 +304,77 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rep(99L) == 99L)
   }
 
+  test("planted power-law component: pointer jumping stays O(log d) and " +
+      "every heavy stage stays parallel (q57/q8d scale property)") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // The graph one crawl-everything template produces: a GIANT family —
+    // hub 0 with 1500 spokes (the skew: >70% of all edges shared one
+    // dst key) PLUS a 128-vertex path hanging off the hub (the
+    // diameter) — next to a small pair and a singleton. Asserts the two
+    // scale properties of the q57/q8d stack that were previously
+    // evidenced only by construction:
+    //  1. rounds are O(log diameter): diameter ≈ 129, so a one-hop-per-
+    //     round propagation needs ~129 rounds and FAILS the maxIter=12
+    //     budget; pointer jumping lands in ~log2(129)+probe-lag ≈ 9-12.
+    //  2. no heavy stage collapses to a single task: every stage that
+    //     shuffled ≥100 records must have run with ≥2 tasks even though
+    //     the hub key dominates the edge distribution (the neighbor-min
+    //     is partially aggregated map-side; the loop's numPartitions
+    //     plumbing keeps each round parallel).
+    val spokes = (1L to 1500L).map(i => (0L, i))
+    val path = (2000L until 2128L).map(i => (i, i + 1))
+    val edges = (spokes ++ Seq((0L, 2000L)) ++ path ++ Seq((9000L, 9001L)))
+      .toDF("src", "dst")
+    val verts = ((0L to 1500L) ++ (2000L to 2128L) ++ Seq(9000L, 9001L, 9999L))
+      .toDF("id")
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.add((si.stageId, si.numTasks,
+          si.taskMetrics.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE legitimately coalesces these kilobyte shuffles into one
+    // partition AT TOY SCALE (verified: stage reading 1698 records ran
+    // 1 task with coalescing on) — which would mask the property under
+    // test, the OPERATOR'S own partitioning. Disable coalescing only,
+    // keep the rest of AQE as production would run it.
+    val rep =
+      try graft.SessionConf.withConfs(spark,
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+        Dedup.connectedComponents(verts, edges, maxIter = 12,
+            numPartitions = Some(2))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      finally {
+        // stage-completed events are delivered async; give the bus a
+        // beat to drain before unregistering
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var last = -1
+        while (stages.size != last && System.nanoTime() < deadline) {
+          last = stages.size; Thread.sleep(100)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // exact recovery of the planted partition, giant family included
+    (0L to 1500L).foreach(v => assert(rep(v) == 0L, s"vertex $v"))
+    (2000L to 2128L).foreach(v => assert(rep(v) == 0L, s"vertex $v"))
+    assert(rep(9000L) == 9000L && rep(9001L) == 9000L && rep(9999L) == 9999L)
+    assert(rep.size == 1501 + 129 + 3)
+    import scala.jdk.CollectionConverters._
+    val heavy = stages.asScala.toSeq.filter(_._3 >= 100)
+    assert(heavy.nonEmpty, "expected at least one stage shuffling ≥100 records")
+    heavy.foreach { case (id, nTasks, recs) =>
+      assert(nTasks >= 2,
+        s"stage $id shuffled $recs records through a SINGLE task — " +
+          "the skewed family collapsed a round's parallelism")
+    }
+  }
+
   test("connected components tolerates an empty vertex set") {
     import spark.implicits._
     val verts = Seq.empty[Long].toDF("id")
