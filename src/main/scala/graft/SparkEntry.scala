@@ -150,6 +150,7 @@ object SparkEntry {
     "q36_asof_join"         -> (TimeJoin.asofClickPurchase _),
     "q38_events_hourly_append" -> (StreamEvents.hourlyAggAppendSink _),
     "q39_stream_dedup"      -> (StreamEvents.streamingDedup _),
+    "q3y_late_data_drop"    -> (StreamEvents.lateDataDrop _),
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
     "q3g_stream_outer_join" -> (StreamEvents.streamStreamLeftOuterJoin _),
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
@@ -1252,6 +1253,37 @@ object SparkEntry {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    // the first hour arrives AFTER everything else and must be dropped
+    // by the watermark: finalized windows are the q38 subset over the
+    // SURVIVING rows (ts past the first hour); n_late_events replays
+    // the planted raw-event count, and n_late_state_rows_dropped
+    // replays the engine's numRowsDroppedByWatermark metric, which
+    // counts the partial-aggregated (window, event_type) groups of the
+    // single-split late batch = the distinct late group count
+    "q3y_late_data_drop" -> """
+      WITH m AS (
+        SELECT max(epoch_us(ts)) AS mx,
+               epoch_us(date_trunc('hour', min(ts))) + 3600000000 AS h0_end
+        FROM events),
+      late AS (
+        SELECT CAST(count(1) AS BIGINT) AS n_late_events,
+               (SELECT CAST(count(1) AS BIGINT) FROM (
+                  SELECT DISTINCT date_trunc('hour', e2.ts), e2.event_type
+                  FROM events e2, m WHERE epoch_us(e2.ts) < m.h0_end) g)
+                 AS n_late_state_rows
+        FROM events, m WHERE epoch_us(ts) < m.h0_end)
+      SELECT x.hour_us, x.event_type, x.n, x.sum_value,
+             late.n_late_events,
+             late.n_late_state_rows AS n_late_state_rows_dropped
+      FROM (
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               count(1) AS n, round(sum(value), 2) AS sum_value
+        FROM events, m
+        WHERE epoch_us(ts) >= m.h0_end
+        GROUP BY hour_us, event_type, m.mx
+        HAVING hour_us + 3600000000 <= m.mx - 3600000000) x
+      CROSS JOIN late
+      ORDER BY x.hour_us, x.event_type""",
     // the streamed inner interval join emits each (click, purchase)
     // pair exactly once; the oracle is the identical join run as plain
     // batch SQL over the source table — a pair lost to state eviction

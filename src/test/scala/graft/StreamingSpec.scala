@@ -448,6 +448,28 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into closed window: ${w0.mkString}")
   }
 
+  test("q3y late-data plant: first hour arrives last, is dropped, and the metric matches the planted groups") {
+    val out = Events.lateDataDrop(spark, sfDir).collect()
+    assert(out.nonEmpty, "no finalized windows emitted")
+    val ev = Tables.events(spark, sfDir)
+    val h0End = ev.agg(
+      (min(unix_micros(date_trunc("hour", col("ts")))) + 3600000000L))
+      .head().getLong(0)
+    val expectLate = ev.where(unix_micros(col("ts")) < h0End)
+    val expectEvents = expectLate.count()
+    val expectGroups = expectLate
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(expectEvents > 0, "fixture plants no late rows — test is vacuous")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_late_events") == expectEvents)
+      assert(r.getAs[Long]("n_late_state_rows_dropped") == expectGroups,
+        "watermark drop metric diverged from the planted late groups")
+      // the dropped hour must never surface as a finalized window
+      assert(r.getAs[Long]("hour_us") >= h0End,
+        s"late first-hour window leaked into the sink: ${r.mkString(",")}")
+    }
+  }
+
   test("streaming daily approx-distinct: every window in the ±5% band, exact side replayed (q3t)") {
     val rows = graft.streaming.Events
       .dailyApproxDistinctStreaming(spark, sfDir).collect()
