@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   * the honest "compute everything, write nothing" harness. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional prefix filter (dev only — the driver always runs all):
+    // tools/run_main.sh graft.Bench q52 q5a
+    val wanted = args.toSeq
+    def selected(name: String) = wanted.isEmpty || wanted.exists(name.startsWith)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,9 +57,28 @@ object Bench {
     // and recorded a burst-inflated min — 2.0 catches that class, and
     // agreeing reps on a quiet machine still take zero extra samples
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADAPT", "2").toInt.max(0)
+    // committed quiet-floor guard (round-6 verdict item 5): min-of-N +
+    // the ratio test still record an inflated number when a host-noise
+    // burst spans EVERY sample (the reps then agree with each other,
+    // just both slow — five such numbers shipped in BENCH_r06). The
+    // repo carries the last quiet-window per-query mins; when this
+    // run's min is still > 3x that committed floor, the burst likely
+    // outlived the base reps — spend extra samples hoping to land past
+    // it. The floor only ADDS reps, never edits a measurement: a real
+    // 3x regression simply pays maxExtra reps and then records itself.
+    val quietPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET", "tools/bench_quiet.json")
+    val quietFloor: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(quietPath)), java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     var prevGroup = ""
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1)).map { case (name, fn) =>
       val group = name.take(2)
       if (prevGroup.nonEmpty && group != prevGroup) spark.catalog.clearCache()
       prevGroup = group
@@ -82,6 +105,15 @@ object Bench {
           times.max / times.min.max(1e-9) > 2.0) {
         times = times ++ rep()
         extra += 1
+      }
+      // quiet-floor pass: separate budget from the ratio pass, so a
+      // burst that makes the reps AGREE (both inflated) still gets
+      // extra samples
+      var extraQuiet = 0
+      while (ok && extraQuiet < maxExtra && times.nonEmpty &&
+          quietFloor.get(name).exists(q => times.min > 3.0 * q)) {
+        times = times ++ rep()
+        extraQuiet += 1
       }
       // ANY failed rep marks the query failed (-1.0), even if another rep
       // succeeded — a query can't be both "failed" and carry a valid time
