@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators — the selection/composition steps a
@@ -680,4 +681,107 @@ object Curation {
              / (sum(n_docs) OVER () * max(cap) OVER ())
              * 1e6 + 0.5) AS BIGINT) AS global_waste_ppm
     FROM e ORDER BY bucket"""
+
+  /** q8e: DSIR-STYLE IMPORTANCE RESAMPLING — hashed-n-gram importance
+    * weights for data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling": estimate target and
+    * raw distributions over a HASHED feature space, weight each raw
+    * document by the likelihood ratio, sample by weight). Here the
+    * feature space is `tokenHash mod nBuckets` unigram buckets (the
+    * paper's hashed n-grams with n=1), the TARGET is the corpus's
+    * English slice, the RAW pool is everything — "select from the crawl
+    * what looks like the target domain", the selection step that sits
+    * between dedup and training-mixture composition in a real pipeline.
+    *
+    * Exactness doctrine: bucket counts are integers; each bucket's
+    * Laplace-smoothed log-likelihood-ratio forms ONE double from
+    * identical integer operands and is quantized to integer e6 (the
+    * q1e/q1n encoding), so every document weight is an exact integer
+    * SUM of bucket literals and the top-k is a deterministic total
+    * order (weight desc, doc_id) — hash-replayable in DuckDB.
+    *
+    * Scale shape: one explode scan → a ≤nBuckets-row aggregate pair
+    * (map-side combined), the 64-row ratio table broadcast back into a
+    * second narrow pass, and the global top-k planned as
+    * TakeOrderedAndProject (distributed partial top-k per partition,
+    * no single-task global sort — the q10 doctrine; a
+    * Window.partitionBy() row_number here would funnel every document
+    * through one task at 100 TB). */
+  def importanceResampling(spark: SparkSession, dir: String,
+      nBuckets: Int = 64, topK: Int = 20,
+      targetLang: String = "en"): DataFrame = {
+    val bucketed = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("b", pmod(Text.tokenHash(col("t")), lit(nBuckets.toLong)))
+    val raw = bucketed.groupBy("b").agg(count(lit(1)).as("n_raw"))
+    val tgt = bucketed.where(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("n_tgt"))
+    val tot = Window.partitionBy() // ≤nBuckets rows — the q1e rule
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_tgt"))
+      .withColumn("nt", sum("n_tgt").over(tot))
+      .withColumn("nr", sum("n_raw").over(tot))
+      .withColumn("lr_e6", floor(
+        log(((col("n_tgt") + 1L).cast("double") / (col("nt") + nBuckets))
+          / ((col("n_raw") + 1L).cast("double") / (col("nr") + nBuckets)))
+          * 1e6 + 0.5).cast("long"))
+      .select("b", "lr_e6")
+    val weights = bucketed.join(broadcast(lr), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_e6").as("weight_e6"))
+    val docCounts = graft.Tables.documents(spark, dir).agg(
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L))
+        .as("n_target_docs"),
+      count(lit(1)).as("n_raw_docs"))
+    weights
+      .orderBy(col("weight_e6").desc, col("doc_id"))
+      .limit(topK) // TakeOrderedAndProject — distributed top-k
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("weight_e6").desc, col("doc_id")))) // topK rows only
+      .crossJoin(broadcast(docCounts))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("weight_e6"),
+        col("rank"), col("n_target_docs"), col("n_raw_docs"))
+      .orderBy("rank")
+  }
+
+  def importanceResamplingOracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    bk AS (
+      SELECT doc_id, lang,
+             ((length(t) * 1000003 + ascii(t) * 65599
+               + ascii(substring(t, -1, 1)) * 31) % 1000000007) % 64 AS b
+      FROM toks),
+    raw AS (SELECT b, CAST(count(1) AS BIGINT) AS n_raw FROM bk GROUP BY b),
+    tgt AS (SELECT b, CAST(count(1) AS BIGINT) AS n_tgt
+            FROM bk WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+             (SELECT CAST(coalesce(sum(n_tgt), 0) AS BIGINT) FROM tgt) AS nt
+      FROM raw),
+    lr AS (
+      SELECT raw.b,
+             CAST(floor(ln(
+                 ((coalesce(tgt.n_tgt, 0) + 1.0) / (tot.nt + 64.0))
+               / ((raw.n_raw + 1.0) / (tot.nr + 64.0)))
+               * 1e6 + 0.5) AS BIGINT) AS lr_e6
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+    w AS (
+      SELECT bk.doc_id, bk.lang, CAST(count(1) AS BIGINT) AS n_tokens,
+             CAST(sum(lr.lr_e6) AS BIGINT) AS weight_e6
+      FROM bk JOIN lr ON bk.b = lr.b
+      GROUP BY bk.doc_id, bk.lang),
+    dc AS (
+      SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target_docs,
+             CAST(count(1) AS BIGINT) AS n_raw_docs
+      FROM documents),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY weight_e6 DESC, doc_id) AS rank
+      FROM w)
+    SELECT r.doc_id, r.lang, r.n_tokens, r.weight_e6,
+           CAST(r.rank AS INTEGER) AS rank, dc.n_target_docs, dc.n_raw_docs
+    FROM r CROSS JOIN dc WHERE r.rank <= 20 ORDER BY r.rank"""
 }

@@ -345,4 +345,34 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("trial"))).toSeq
     assert(got == expect, s"user $c0 sequence diverged")
   }
+
+  test("q8e importance resampling: target lang over-represented in top-k, " +
+      "distributed top-k plan, exact doc counts") {
+    val df = Curation.importanceResampling(spark, sfDir)
+    // the global top-k must plan as TakeOrderedAndProject (partial
+    // per-partition top-k), NOT an all-partitions window funnel — the
+    // property that keeps the selection scan-shaped at 100 TB
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-k did not plan as TakeOrderedAndProject")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20),
+      "ranks must be the dense 1..20 sequence")
+    val weights = rows.map(_.getAs[Long]("weight_e6")).toSeq
+    assert(weights == weights.sorted.reverse, "weights must be non-increasing")
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val nEn = docs.where(col("lang") === "en").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_raw_docs") == nDocs)
+      assert(r.getAs[Long]("n_target_docs") == nEn)
+    }
+    // the likelihood-ratio weights must pull the target language to the
+    // front: en's share of the top-20 strictly above its corpus share
+    // (hash aliasing at 64 buckets lets some non-en through — that is
+    // the paper's tradeoff, not a bug)
+    val enTop = rows.count(_.getAs[String]("lang") == "en")
+    assert(enTop.toDouble / 20 > nEn.toDouble / nDocs,
+      s"target lang not over-represented: $enTop/20 vs $nEn/$nDocs")
+  }
 }
