@@ -203,19 +203,27 @@ object Dedup {
     * (tokenize once, then fold) and the banded table is cached because
     * the bucket-size table AND both self-join sides consume it — without
     * the cache the whole signature pipeline runs three times. */
-  def minhashNearDupPairsOf(docs: DataFrame, numHashes: Int = 16,
-      bands: Int = 4, bucketCap: Long = 64L): DataFrame = {
+  /** The (doc_id, band, bucket) banded-signature table — the LSH index
+    * row format. Factored out so the batch self-join (q52) and the
+    * incremental probe (q8f) band with IDENTICAL arithmetic: an index
+    * built yesterday stays joinable against today's batch. */
+  def bandedSignatures(docs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = docs
       .select(col("doc_id"), shingleHashes(col("text")).as("h"))
       .select(col("doc_id"), minhashFromHashes(col("h"), numHashes).as("sig"))
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      .cache()
+  }
+
+  def minhashNearDupPairsOf(docs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4, bucketCap: Long = 64L): DataFrame = {
+    val banded = bandedSignatures(docs, numHashes, bands).cache()
     // degenerate buckets out before the self-join; the overfull list is
     // tiny by construction (≤ total-band-rows / cap), so it broadcasts
     val overfull = banded.groupBy("band", "bucket")
@@ -312,6 +320,89 @@ object Dedup {
         (col("n_found") >= ceil(col("n_true_cross_pairs") * minRecall)).as("recall_ok"),
         (col("n_cands") <= col("n_docs") * candFactor).as("candidates_bounded"))
   }
+
+  /** q8f: INCREMENTAL NEAR-DUP against a standing index — the shape a
+    * production pipeline actually runs DAILY: yesterday's corpus is a
+    * banded-signature index (doc_id < `cut` here; in production a
+    * persisted table the q7 store pattern covers), and only the
+    * incoming batch is signed and PROBED against it — index×index never
+    * re-joins, so the per-day cost is ∝ batch size (candidate bound
+    * `n_cands ≤ n_incoming · candFactor`, graded as a boolean), not
+    * corpus size. Same q52 signature arithmetic via the shared
+    * [[bandedSignatures]], same index-side bucket cap (a degenerate
+    * bucket in the standing index would otherwise fan every future
+    * batch out quadratically), same contract fold: the exact
+    * trigram-Jaccard CROSS-boundary truth (DuckDB-replayable, 8 planted
+    * pairs at sf0.01) with a recall floor over the probabilistic
+    * candidates. */
+  def incrementalNearDupContract(spark: SparkSession, dir: String,
+      cut: Long = 400L, jHi: Double = 0.7, minRecall: Double = 0.8,
+      candFactor: Long = 4L, bucketCap: Long = 64L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val isIdx = col("doc_id") < cut
+    def cross(a: Column, b: Column): Column = (a < cut) =!= (b < cut)
+    val truth = gramJaccardAllPairs(docs)
+      .where(col("jac") >= jHi && cross(col("a"), col("b"))).cache()
+    val ib = bandedSignatures(docs.where(isIdx)).cache()
+    val overfull = ib.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") > bucketCap)
+      .select("band", "bucket")
+    val keptIdx = ib.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
+    val cands = bandedSignatures(docs.where(!isIdx))
+      .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+      .join(keptIdx.select(col("band"), col("bucket"),
+        col("doc_id").as("idx_id")), Seq("band", "bucket"))
+      // index ids sit below the cut, so (idx, inc) is already the
+      // truth table's (a < b) orientation
+      .select(col("idx_id").as("a"), col("inc_id").as("b"))
+      .distinct().cache()
+    val splitStats = docs.groupBy().agg(
+      sum(when(isIdx, 1L).otherwise(0L)).as("n_index_docs"),
+      sum(when(isIdx, 0L).otherwise(1L)).as("n_incoming_docs"))
+    val truthStats = truth.groupBy().agg(
+      count(lit(1)).as("n_true_cross_pairs"),
+      coalesce(sum(col("a") + col("b")), lit(0L)).as("sum_true_ids"))
+    val found = cands.join(truth.select("a", "b"), Seq("a", "b"))
+      .groupBy().agg(count(lit(1)).as("n_found"))
+    val candStats = cands.groupBy().agg(count(lit(1)).as("n_cands"))
+    splitStats.join(broadcast(truthStats)).join(broadcast(found))
+      .join(broadcast(candStats))
+      .select(
+        col("n_index_docs"), col("n_incoming_docs"),
+        col("n_true_cross_pairs"), col("sum_true_ids"),
+        (col("n_found") >= ceil(col("n_true_cross_pairs") * minRecall))
+          .as("recall_ok"),
+        (col("n_cands") <= col("n_incoming_docs") * candFactor)
+          .as("candidates_bounded"))
+  }
+
+  def incrementalNearDupOracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+      FROM t),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS shared
+      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    tp AS (
+      SELECT p.a, p.b
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+        AND ((p.a < 400) != (p.b < 400)))
+    SELECT (SELECT CAST(sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM documents) AS n_index_docs,
+           (SELECT CAST(sum(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM documents) AS n_incoming_docs,
+           CAST(count(1) AS BIGINT) AS n_true_cross_pairs,
+           CAST(coalesce(sum(a + b), 0) AS BIGINT) AS sum_true_ids,
+           true AS recall_ok,
+           true AS candidates_bounded
+    FROM tp"""
 
   def minhashPairsContract(spark: SparkSession, dir: String,
       jHi: Double = 0.7, minRecall: Double = 0.8,

@@ -287,6 +287,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q8f incremental near-dup: contract holds and the banded index is probe-stable") {
+    import org.apache.spark.sql.functions.{col => c}
+    val cut = 40L // sf0.001 has 50 docs; keep a 40/10 index/batch split
+    val row = Dedup.incrementalNearDupContract(spark, sfDir, cut = cut).head()
+    val docs = Tables.documents(spark, sfDir)
+    assert(row.getAs[Long]("n_index_docs") + row.getAs[Long]("n_incoming_docs")
+      == docs.count())
+    // scala-side recomputation of the exact cross-boundary truth
+    val truth = Dedup.gramJaccardAllPairs(docs)
+      .where(c("jac") >= 0.7 && ((c("a") < cut) =!= (c("b") < cut))).collect()
+    assert(row.getAs[Long]("n_true_cross_pairs") == truth.length)
+    assert(row.getAs[Boolean]("recall_ok"),
+      "incremental probe missed the recall floor against the exact truth")
+    assert(row.getAs[Boolean]("candidates_bounded"),
+      "candidate count exceeded the batch-proportional bound")
+    // the property that lets a PERSISTED index serve later batches: the
+    // same document banded through the index path and the probe path
+    // lands in identical (band, bucket) cells
+    val once = Dedup.bandedSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val again = Dedup.bandedSignatures(docs.orderBy(c("doc_id").desc)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(once == again, "banded signatures are not row-order stable")
+  }
+
   test("connected components: cliques, long paths, singletons all resolve to min-id reps") {
     import spark.implicits._
     // component A: clique {0,1,2}; component B: a 12-vertex PATH
