@@ -235,6 +235,7 @@ object SparkEntry {
     "q8d_component_sizes"   -> (Dedup.componentSizeHistogram _),
     "q8e_importance_resampling" -> (Curation.importanceResampling(_, _)),
     "q8f_incremental_neardup" -> (Dedup.incrementalNearDupContract(_, _)),
+    "q8g_chunk_dedup"       -> (Dedup.chunkDedup(_, _)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -718,6 +719,7 @@ object SparkEntry {
     "q8d_component_sizes"    -> Dedup.componentSizeHistogramOracle,
     "q8e_importance_resampling" -> Curation.importanceResamplingOracle,
     "q8f_incremental_neardup" -> Dedup.incrementalNearDupOracle,
+    "q8g_chunk_dedup"        -> Dedup.chunkDedupOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorFunctions
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (SURVEY.md §2.3,
@@ -403,6 +404,129 @@ object Dedup {
            true AS recall_ok,
            true AS candidates_bounded
     FROM tp"""
+
+  /** q8g: CONTENT-DEFINED CHUNK DEDUP — partial-overlap detection, the
+    * level between exact whole-doc dedup (q50) and near-dup pairing
+    * (q52): split every document into chunks at CONTENT-DEFINED
+    * boundaries (a token opens a new chunk when tokenHash(t) mod
+    * `boundaryMod` == 0 — the FastCDC/gear idea at token granularity:
+    * boundaries depend only on local content, so a paragraph reused in
+    * another document re-chunks IDENTICALLY regardless of position,
+    * where fixed-width windows would misalign), hash each chunk
+    * (position-weighted sum mod P — sequence-sensitive, engine-exact),
+    * and measure duplicated chunk mass: a chunk whose hash occurs ≥ 2
+    * times anywhere is reused content. Graded rows: the top
+    * `topK` documents by duplicated-token share (exact ppm), with the
+    * corpus totals replicated. What it catches that the others miss:
+    * boilerplate headers, quoted passages, and template reuse inside
+    * otherwise-unique documents.
+    *
+    * Scale shape: one explode scan, two per-doc window passes (both
+    * partitioned on doc_id — parallel across documents, never global),
+    * a chunk-hash aggregate (map-side combined), an AQE-broadcast join
+    * of the ≤|chunks|-row dup table back onto per-doc rollups, and the
+    * top-k planned as TakeOrderedAndProject. */
+  def chunkDedup(spark: SparkSession, dir: String,
+      boundaryMod: Int = 16, topK: Int = 15): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .withColumn("th", pmod(Text.tokenHash(col("t")), lit(P)))
+      .withColumn("boundary", when(col("th") % boundaryMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("boundary")).over(w))
+    val wc = Window.partitionBy("doc_id", "chunk_idx").orderBy("pos")
+    val chunks = toks
+      .withColumn("k", row_number().over(wc).cast("long"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        (sum(col("th") * col("k") % P) % P).as("chunk_hash"),
+        count(lit(1)).as("n_tok"))
+    val occ = chunks.groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occ"))
+    val perDoc = chunks.join(occ, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("n_occ") >= 2, col("n_tok")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_share_ppm",
+        expr("(dup_tokens * 1000000) div n_tokens"))
+    val totals = chunks.join(occ, "chunk_hash").groupBy().agg(
+      count(lit(1)).as("total_chunks"),
+      countDistinct(col("chunk_hash")).as("distinct_chunks"),
+      expr("(sum(CASE WHEN n_occ >= 2 THEN n_tok ELSE 0 END) * 1000000)"
+        + " div sum(n_tok)").as("corpus_dup_token_ppm"))
+    perDoc
+      .orderBy(col("dup_share_ppm").desc, col("doc_id"))
+      .limit(topK) // TakeOrderedAndProject — distributed top-k
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("dup_share_ppm").desc, col("doc_id"))))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("dup_tokens"), col("dup_share_ppm"),
+        col("total_chunks"), col("distinct_chunks"),
+        col("corpus_dup_token_ppm"))
+      .orderBy("rank")
+  }
+
+  def chunkDedupOracle: String = """
+    WITH toks AS (
+      -- generate_subscripts + unnest expand in lockstep (q6f idiom)
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id, pos,
+             ((length(t) * 1000003 + ascii(t) * 65599
+               + ascii(substring(t, -1, 1)) * 31) % 1000000007) AS th
+      FROM toks),
+    ci AS (
+      SELECT doc_id, pos, th,
+             sum(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+      FROM h),
+    ck AS (
+      SELECT doc_id, chunk_idx, th,
+             row_number() OVER (PARTITION BY doc_id, chunk_idx ORDER BY pos)
+               AS k
+      FROM ci),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(sum(th * k % 1000000007) % 1000000007 AS BIGINT)
+               AS chunk_hash,
+             CAST(count(1) AS BIGINT) AS n_tok
+      FROM ck GROUP BY doc_id, chunk_idx),
+    occ AS (
+      SELECT chunk_hash, CAST(count(1) AS BIGINT) AS n_occ
+      FROM chunks GROUP BY chunk_hash),
+    per_doc AS (
+      SELECT c.doc_id, CAST(count(1) AS BIGINT) AS n_chunks,
+             CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN o.n_occ >= 2 THEN c.n_tok ELSE 0 END)
+               AS BIGINT) AS dup_tokens
+      FROM chunks c JOIN occ o ON c.chunk_hash = o.chunk_hash
+      GROUP BY c.doc_id),
+    tot AS (
+      SELECT CAST(count(1) AS BIGINT) AS total_chunks,
+             CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS distinct_chunks,
+             CAST((sum(CASE WHEN o.n_occ >= 2 THEN c.n_tok ELSE 0 END)
+               * 1000000) // sum(c.n_tok) AS BIGINT) AS corpus_dup_token_ppm
+      FROM chunks c JOIN occ o ON c.chunk_hash = o.chunk_hash),
+    r AS (
+      SELECT doc_id, n_chunks, n_tokens, dup_tokens,
+             CAST((dup_tokens * 1000000) // n_tokens AS BIGINT)
+               AS dup_share_ppm
+      FROM per_doc),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY dup_share_ppm DESC, doc_id)
+               AS rank
+      FROM r)
+    SELECT CAST(rk.rank AS INTEGER) AS rank, rk.doc_id, rk.n_chunks,
+           rk.n_tokens, rk.dup_tokens, rk.dup_share_ppm,
+           tot.total_chunks, tot.distinct_chunks, tot.corpus_dup_token_ppm
+    FROM rk CROSS JOIN tot WHERE rk.rank <= 15 ORDER BY rk.rank"""
 
   def minhashPairsContract(spark: SparkSession, dir: String,
       jHi: Double = 0.7, minRecall: Double = 0.8,

@@ -312,6 +312,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(once == again, "banded signatures are not row-order stable")
   }
 
+  test("q8g chunk dedup: dense ranks, bounded shares, exact-dup docs fully covered") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Dedup.chunkDedup(spark, sfDir).collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 15))
+    val shares = rows.map(_.getAs[Long]("dup_share_ppm")).toSeq
+    assert(shares == shares.sorted.reverse, "shares must be non-increasing")
+    shares.foreach(s => assert(s >= 0 && s <= 1000000))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("distinct_chunks") <= r.getAs[Long]("total_chunks"))
+    }
+    // content-defined boundaries make chunking position-independent, so
+    // a document whose full text occurs >= 2 times in the corpus has
+    // EVERY chunk duplicated — share exactly 1e6, and exact-dup docs
+    // must occupy the top ranks ahead of any partial overlap
+    val exactDupDocs = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(countDistinct("doc_id").as("n"),
+        min("doc_id").as("d"))
+      .where(c("n") >= 2).select("d").collect().map(_.getLong(0)).toSet
+    if (exactDupDocs.nonEmpty) {
+      val fullShare = rows.filter(_.getAs[Long]("dup_share_ppm") == 1000000L)
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(exactDupDocs.exists(fullShare.contains) || fullShare.size == 15,
+        "no exact-duplicate doc surfaced with a full duplicated share")
+    }
+  }
+
   test("connected components: cliques, long paths, singletons all resolve to min-id reps") {
     import spark.implicits._
     // component A: clique {0,1,2}; component B: a 12-vertex PATH
