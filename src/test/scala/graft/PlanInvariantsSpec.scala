@@ -63,7 +63,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q2p_cdc_apply" -> "1-row op-count aggregate broadcast onto the 1-row applied-state aggregate",
     "q5n_clustering_coeff" -> "1-row triangle-total + 1-row wedge-total aggregates broadcast back (q5d pattern)",
     "q8d_component_sizes" -> "q57's 1-row fixpoint probe (the histogram rides duplicateComponents)",
-    "q7c_cf_coverage" -> "1-row catalog-count + 1-row top10-share aggregates broadcast onto the 1-row totals")
+    "q7c_cf_coverage" -> "1-row catalog-count + 1-row top10-share aggregates broadcast onto the 1-row totals",
+    "q8e_importance_resampling" -> "1-row doc-count aggregate broadcast onto the topK-row (20) selection",
+    "q8f_incremental_neardup" -> "1-row recall-contract probes (q52 pattern, index-vs-batch split stats)",
+    "q8g_chunk_dedup" -> "1-row corpus-totals aggregate broadcast onto the topK-row (15) selection")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
