@@ -25,7 +25,8 @@ object Explain {
     "q4w_quality_classifier", "q2o_csv_roundtrip", "q0g_exchange_reuse",
     "q3t_stream_approx_distinct", "q2p_cdc_apply",
     "q3v_available_now", "q0h_aqe_skew_split", "q2r_dynamic_overwrite",
-    "q6n_ivf_probe_curve", "q2s_cbo_statistics", "q0i_aqe_coalesce")
+    "q6n_ivf_probe_curve", "q2s_cbo_statistics", "q0i_aqe_coalesce",
+    "q3y_late_data_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

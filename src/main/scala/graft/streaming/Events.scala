@@ -765,10 +765,13 @@ object Events {
     * watermark-bounded); the only additions are a 3-way split write of
     * the staging and a metrics read off the query progress — both
     * fixed-cost. */
-  def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
-    val sinkDir = graft.Fs.scratch("graft_stream_late_sink")
-    val ckptDir = graft.Fs.scratch("graft_stream_late_ckpt")
-    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+  private val lateStagingCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** Stage the q3y anti-chronological 3-file split: bulk history, last
+    * day, then the whole first hour as the planted late slice. Returns
+    * (stagingDir, nLateEvents). */
+  private def stageLateSplit(spark: SparkSession, dir: String): (String, Long) = {
     val staging = "/tmp/graft_late_staging_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ev = Tables.events(spark, dir)
@@ -808,6 +811,20 @@ object Events {
             s"cannot stamp mtime on $moved — replay order would be violated")
         }
     }
+    (staging, nLateEvents)
+  }
+
+  def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_late_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_late_ckpt")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    // per-JVM memo (stageReplayFiles' policy): bench reps re-run the
+    // QUERY but must not re-stage the corpus split every time
+    val (staging, nLateEvents) = lateStagingCache.getOrElseUpdate(dir,
+      stageLateSplit(spark, dir))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
