@@ -110,11 +110,13 @@ object FixturePipelines {
     c > band._1 && c < band._2
 
   /** KMeans k-selection (R-20..R-23) over the featurized parts.
-    * Contract columns per k: `sse_zero` — true exactly when k reaches
-    * the number of DISTINCT feature vectors (the fixture's parts carry
-    * single-token p_type, so the one-hot space has exactly
-    * count(DISTINCT p_type) points and a seeded fit at that k clusters
-    * them perfectly; the oracle derives the same threshold from `part`,
+    * Contract columns per k: `sse_zero` — true exactly when k REACHES
+    * OR EXCEEDS the number of DISTINCT feature vectors (the fixture's
+    * parts carry single-token p_type, so the one-hot space has exactly
+    * count(DISTINCT p_type) points and a seeded fit at any k ≥ that
+    * clusters them perfectly — `>=`, not `=`, so a regenerated fixture
+    * with fewer p_type values keeps the contract true at every
+    * saturated k; the oracle derives the same threshold from `part`,
     * so this is a data-determined fact, not a magic number) —
     * `sse_nonincreasing` (the lag diff R-22 grades), and the train-RMSE
     * band. The argmin flag (R-23) is computed and asserted in MlSpec
@@ -241,7 +243,7 @@ object FixturePipelines {
     * distinct one-hot vectors), not hardcoded. */
   def kmeansSelectionOracle: String = """
     WITH nd AS (SELECT CAST(count(DISTINCT p_type) AS BIGINT) AS n FROM part)
-    SELECT t.k, (CAST(t.k AS BIGINT) = nd.n) AS sse_zero,
+    SELECT t.k, (CAST(t.k AS BIGINT) >= nd.n) AS sse_zero,
            true AS sse_nonincreasing, true AS train_rmse_in_band,
            nd.n AS n_distinct_vectors
     FROM (VALUES (2), (3), (4), (5), (6)) t(k) CROSS JOIN nd

@@ -700,9 +700,12 @@ object Curation {
     * SUM of bucket literals and the top-k is a deterministic total
     * order (weight desc, doc_id) — hash-replayable in DuckDB.
     *
-    * Scale shape: one explode scan → a ≤nBuckets-row aggregate pair
-    * (map-side combined), the 64-row ratio table broadcast back into a
-    * second narrow pass, and the global top-k planned as
+    * Scale shape: one explode pass feeds ONE conditional ≤nBuckets-row
+    * aggregate (both distributions, map-side combined), the 64-row
+    * ratio table broadcast back into a second explode pass for the
+    * per-doc weights (token-level frames are deliberately NOT cached —
+    * at 100 TB the narrow rescan beats materializing an exploded
+    * corpus), and the global top-k planned as
     * TakeOrderedAndProject (distributed partial top-k per partition,
     * no single-task global sort — the q10 doctrine; a
     * Window.partitionBy() row_number here would funnel every document
@@ -714,12 +717,15 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
       .withColumn("b", pmod(Text.tokenHash(col("t")), lit(nBuckets.toLong)))
-    val raw = bucketed.groupBy("b").agg(count(lit(1)).as("n_raw"))
-    val tgt = bucketed.where(col("lang") === targetLang)
-      .groupBy("b").agg(count(lit(1)).as("n_tgt"))
+    // ONE conditional aggregate yields both distributions — a separate
+    // tgt pass + left join would re-run the explode/tokenize scan and
+    // add a join for nothing (raw covers every occurring bucket by
+    // construction, and n_tgt is just the target-gated count)
+    val counts = bucketed.groupBy("b").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
     val tot = Window.partitionBy() // ≤nBuckets rows — the q1e rule
-    val lr = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("n_tgt"))
+    val lr = counts
       .withColumn("nt", sum("n_tgt").over(tot))
       .withColumn("nr", sum("n_raw").over(tot))
       .withColumn("lr_e6", floor(

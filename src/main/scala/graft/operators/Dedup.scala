@@ -443,7 +443,12 @@ object Dedup {
         count(lit(1)).as("n_tok"))
     val occ = chunks.groupBy("chunk_hash")
       .agg(count(lit(1)).as("n_occ"))
-    val perDoc = chunks.join(occ, "chunk_hash")
+    // chunk-level rows (≤ |docs|·chunks-per-doc, far below token level)
+    // feed BOTH the per-doc rollup and the corpus totals — cached, or
+    // the explode + two window passes + chunk aggregate run twice (the
+    // minhash banded-table lesson in this same file)
+    val scored = chunks.join(occ, "chunk_hash").cache()
+    val perDoc = scored
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -452,7 +457,7 @@ object Dedup {
           .as("dup_tokens"))
       .withColumn("dup_share_ppm",
         expr("(dup_tokens * 1000000) div n_tokens"))
-    val totals = chunks.join(occ, "chunk_hash").groupBy().agg(
+    val totals = scored.groupBy().agg(
       count(lit(1)).as("total_chunks"),
       countDistinct(col("chunk_hash")).as("distinct_chunks"),
       expr("(sum(CASE WHEN n_occ >= 2 THEN n_tok ELSE 0 END) * 1000000)"

@@ -289,7 +289,12 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("q8f incremental near-dup: contract holds and the banded index is probe-stable") {
     import org.apache.spark.sql.functions.{col => c}
-    val cut = 40L // sf0.001 has 50 docs; keep a 40/10 index/batch split
+    // 500 docs at this SF (same as sf0.01): 400-doc standing index
+    // probed by a 100-doc batch — the registered query's exact regime,
+    // so the bucket cap and the batch-proportional candidate bound are
+    // tested where they bind (a small-index/large-batch inversion
+    // would make the n_cands <= batch x 4 bound nearly vacuous)
+    val cut = 400L
     val row = Dedup.incrementalNearDupContract(spark, sfDir, cut = cut).head()
     val docs = Tables.documents(spark, sfDir)
     assert(row.getAs[Long]("n_index_docs") + row.getAs[Long]("n_incoming_docs")
