@@ -14,6 +14,24 @@ object Fs {
       .takeWhile(_ != '@')
   def scratch(name: String): String = s"/tmp/${name}_$jvmTag"
 
+  /** Age-gated /tmp garbage collection for the cross-JVM staging and
+    * store directories (replay stagings, the q3y late split, the q7
+    * rec-list store): every fixture regeneration or fresh JVM mints a
+    * new UUID/fingerprint path and would otherwise strand the previous
+    * one forever. The 12 h gate is deliberately wider than a full
+    * round's ~6 h wall clock, so nothing a LIVE session (even a
+    * long-lived one, or a concurrent session on another fixture) still
+    * references can be deleted under it — only prior rounds' leftovers.
+    * Checks the DIRECTORY mtime (creation-time fresh), not the staged
+    * files' mtimes, which replay stagers deliberately backdate. */
+  def gcStale(prefix: String, maxAgeMs: Long = 12L * 3600 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.lastModified() < cutoff)
+      .foreach(f => try deleteRecursively(f.getPath)
+        catch { case _: java.io.IOException => () })
+  }
+
   /** Recursive delete that VERIFIES the target is gone. Every caller
     * uses this as a precondition — clearing a sink/checkpoint dir before
     * a streaming run whose results are read back from it — so a silently

@@ -155,16 +155,11 @@ object Recsys {
       // GC stale stores before building a new one: every fixture
       // regeneration changes the mtime-based fingerprint and would
       // otherwise strand the previous store in /tmp forever (same for
-      // tmp_* dirs of JVMs killed mid-write). Age-gated (> 6 h) so a
-      // CONCURRENT session on a different fixture/SF — whose store is
-      // fresh but fingerprint differs — is never deleted under it.
-      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_cf_recs_v1_")
-          && f.getName != s"graft_cf_recs_v1_$fp"
-          && f.lastModified() < cutoff)
-        .foreach(f => try graft.Fs.deleteRecursively(f.getPath)
-          catch { case _: java.io.IOException => () })
+      // tmp_* dirs of JVMs killed mid-write). Age-gated wider than a
+      // round so a CONCURRENT session on a different fixture/SF —
+      // whose store is fresh but fingerprint differs — is never
+      // deleted under it.
+      graft.Fs.gcStale("graft_cf_recs_v1_")
       val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
       val nbrs = scoredNeighbors(train, pop, minCooc)
         .withColumn("rank", row_number().over(Window.partitionBy("item")

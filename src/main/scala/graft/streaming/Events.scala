@@ -316,6 +316,7 @@ object Events {
     stagedCache.getOrElseUpdate((dir, nFiles), stageReplayFilesUncached(spark, dir, nFiles))
 
   private def stageReplayFilesUncached(spark: SparkSession, dir: String, nFiles: Int): String = {
+    graft.Fs.gcStale("graft_replay_") // prior rounds' stagings
     val staging = "/tmp/graft_replay_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     Tables.events(spark, dir)
@@ -772,6 +773,7 @@ object Events {
     * day, then the whole first hour as the planted late slice. Returns
     * (stagingDir, nLateEvents). */
   private def stageLateSplit(spark: SparkSession, dir: String): (String, Long) = {
+    graft.Fs.gcStale("graft_late_staging_") // prior rounds' stagings
     val staging = "/tmp/graft_late_staging_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val ev = Tables.events(spark, dir)
