@@ -229,6 +229,7 @@ object SparkEntry {
     "q7a_item_item_cf"      -> ((s: SparkSession, d: String) => Recsys.itemItemCF(s, d)),
     "q7b_cf_hitrate"        -> ((s: SparkSession, d: String) => Recsys.cfHitRate(s, d)),
     "q7c_cf_coverage"       -> ((s: SparkSession, d: String) => Recsys.cfCoverage(s, d)),
+    "q7d_cf_ranking_eval"   -> ((s: SparkSession, d: String) => Recsys.cfRankingEval(s, d)),
     "q8a_retention_curve"   -> ((s: SparkSession, d: String) => Dedup.retentionCurve(s, d)),
     "q8b_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d)),
     "q8c_source_quality"    -> (Text.sourceQuality _),
@@ -713,6 +714,7 @@ object SparkEntry {
     "q7a_item_item_cf"       -> Recsys.itemItemCFOracle,
     "q7b_cf_hitrate"         -> Recsys.cfHitRateOracle,
     "q7c_cf_coverage"        -> Recsys.cfCoverageOracle,
+    "q7d_cf_ranking_eval"    -> Recsys.cfRankingEvalOracle,
     "q8a_retention_curve"    -> Dedup.retentionCurveOracle,
     "q8b_cross_source_matrix" -> Dedup.crossSourceMatrixOracle,
     "q8c_source_quality"     -> Text.sourceQualityOracle,

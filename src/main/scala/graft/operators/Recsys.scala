@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,7 +150,9 @@ object Recsys {
     val test = cappedBasket(spark, dir, cap,
       o => o.where(col("o_orderdate") >= lit(cut).cast("date")))
     val fp = recsFingerprint(dir, cap, minCooc, kNbr, kRec, cut)
-    val store = s"/tmp/graft_cf_recs_v1_$fp"
+    // v2: carries the per-user rank so the ranking-aware eval (q7d)
+    // reads positions from the SAME materialized list q7b/q7c grade
+    val store = s"/tmp/graft_cf_recs_v2_$fp"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store))) {
       // GC stale stores before building a new one: every fixture
       // regeneration changes the mtime-based fingerprint and would
@@ -159,7 +161,8 @@ object Recsys {
       // round so a CONCURRENT session on a different fixture/SF —
       // whose store is fresh but fingerprint differs — is never
       // deleted under it.
-      graft.Fs.gcStale("graft_cf_recs_v1_")
+      graft.Fs.gcStale("graft_cf_recs_v1_", maxAgeMs = 0L) // pre-v2 stores: stale by schema
+      graft.Fs.gcStale("graft_cf_recs_v2_")
       val pop = train.groupBy("item").agg(count(lit(1)).as("n_item"))
       val nbrs = scoredNeighbors(train, pop, minCooc)
         .withColumn("rank", row_number().over(Window.partitionBy("item")
@@ -177,7 +180,7 @@ object Recsys {
         .withColumn("rk", row_number().over(Window.partitionBy("u")
           .orderBy(col("score").desc, col("rec"))))
         .where(col("rk") <= kRec)
-        .select(col("u"), col("rec"))
+        .select(col("u"), col("rec"), col("rk"))
       // one store dir holding BOTH shared intermediates — the rec list
       // and the (item, n_item) popularity table q7c ranks by — so a
       // standalone q7c run needs NO basket join at all; written to a
@@ -375,6 +378,142 @@ object Recsys {
         expr("(top10_recs * 1000000) div recs_total")
           .as("top10_share_ppm"))
   }
+
+  /** q7d: RANKING-AWARE EVALUATION of the q7a/q7b recommender — MRR
+    * and NDCG@k, the position-sensitive metrics hit-rate@k (q7b) is
+    * blind to: a system that buries every hit at rank 10 and one that
+    * leads with it have identical hit rates but 10× different MRR.
+    * Same temporal split, same materialized rec list (the store now
+    * carries each rec's rank), all exact integers: reciprocal ranks as
+    * `1e6 div rank`; log₂ discounts as `floor(1e6·ln2/ln(r+1)+0.5)` —
+    * one double formed from identical small-integer operands in both
+    * engines, the q1e doctrine; per-user NDCG as integer-div ppm of
+    * DCG against the ideal DCG over `least(n_test_items, k)` positions;
+    * means as integer division by the eval-user count (zero-hit users
+    * contribute zero to both numerators — they are IN the denominator,
+    * as offline evaluation requires). One summary row; the oracle
+    * replays the entire pipeline plus the metric tail.
+    *
+    * Scale shape: everything rides the q7b machinery plus two bounded
+    * joins (recs⋈test on (u, item); test-size spine explode capped at
+    * k rows per user); nothing new at 100 TB. */
+  def cfRankingEval(spark: SparkSession, dir: String, cap: Int = 128,
+      minCooc: Long = 2L, kNbr: Int = 5, kRec: Int = 10,
+      cut: String = "1997-01-01"): DataFrame = {
+    val (train, test, _, recs) =
+      cfRecsPipeline(spark, dir, cap, minCooc, kNbr, kRec, cut)
+    def disc(r: Column): Column =
+      floor(lit(1e6) * log(lit(2.0)) / log(r.cast("double") + 1) + 0.5)
+        .cast("long")
+    // per-user hit positions → first-hit reciprocal + DCG
+    val hitAgg = recs.join(test.select(col("u"), col("item").as("rec")),
+        Seq("u", "rec"))
+      .groupBy("u").agg(
+        min(col("rk")).as("first_hit"),
+        sum(disc(col("rk"))).as("dcg_e6"))
+    // ideal DCG: the discounts a perfect ranking would collect over
+    // min(n_test_items, kRec) positions
+    val idcg = test.groupBy("u").agg(count(lit(1)).as("n_items"))
+      .select(col("u"),
+        explode(sequence(lit(1), least(col("n_items"), lit(kRec)))).as("r"))
+      .groupBy("u").agg(sum(disc(col("r"))).as("idcg_e6"))
+    val evalUsers = train.select("u").distinct()
+      .join(test.select("u").distinct(), "u")
+    evalUsers
+      .join(hitAgg, Seq("u"), "left")
+      .join(idcg, Seq("u"), "left")
+      .agg(
+        count(lit(1)).as("n_users_eval"),
+        sum(when(col("first_hit").isNotNull, 1L).otherwise(0L))
+          .as("n_users_hit"),
+        sum(coalesce(expr("1000000 div first_hit"), lit(0L))).as("sum_rr_ppm"),
+        sum(coalesce(expr("(dcg_e6 * 1000000) div idcg_e6"), lit(0L)))
+          .as("sum_ndcg_ppm"))
+      .select(col("n_users_eval"), col("n_users_hit"),
+        expr("sum_rr_ppm div n_users_eval").as("mrr_ppm"),
+        expr("sum_ndcg_ppm div n_users_eval").as("mean_ndcg_ppm"))
+  }
+
+  def cfRankingEvalOracle: String = """
+    WITH train_b AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < DATE '1997-01-01'),
+    train AS (
+      SELECT u, item FROM (
+        SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item) AS rk
+        FROM train_b) t WHERE rk <= 128),
+    test_b AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= DATE '1997-01-01'),
+    test AS (
+      SELECT u, item FROM (
+        SELECT u, item, row_number() OVER (PARTITION BY u ORDER BY item) AS rk
+        FROM test_b) t WHERE rk <= 128),
+    pop AS (
+      SELECT item, CAST(count(1) AS BIGINT) AS n_item FROM train GROUP BY item),
+    co AS (
+      SELECT a.item AS ia, b.item AS ib, CAST(count(1) AS BIGINT) AS cooc
+      FROM train a JOIN train b ON a.u = b.u AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(1) >= 2),
+    sym AS (
+      SELECT ia AS item, ib AS nbr, cooc FROM co
+      UNION ALL SELECT ib, ia, cooc FROM co),
+    scored AS (
+      SELECT s.item, s.nbr, s.cooc,
+             CAST((s.cooc * s.cooc * 1000000) // (p1.n_item * p2.n_item)
+               AS BIGINT) AS cos2_ppm
+      FROM sym s JOIN pop p1 ON s.item = p1.item
+      JOIN pop p2 ON s.nbr = p2.item),
+    nbrs AS (
+      SELECT item, nbr, cos2_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+          ORDER BY cos2_ppm DESC, cooc DESC, nbr) AS rank
+        FROM scored) t WHERE rank <= 5),
+    cand AS (
+      SELECT t.u, n.nbr AS rec, CAST(sum(n.cos2_ppm) AS BIGINT) AS score
+      FROM train t JOIN nbrs n ON t.item = n.item
+      GROUP BY 1, 2),
+    fresh AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM train t
+                        WHERE t.u = c.u AND t.item = c.rec)),
+    recs AS (
+      SELECT u, rec, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+          ORDER BY score DESC, rec) AS rk
+        FROM fresh) t WHERE rk <= 10),
+    hitagg AS (
+      SELECT r.u, CAST(min(r.rk) AS BIGINT) AS first_hit,
+             CAST(sum(CAST(floor(1e6 * ln(2) / ln(r.rk + 1) + 0.5)
+               AS BIGINT)) AS BIGINT) AS dcg_e6
+      FROM recs r JOIN test te ON te.u = r.u AND te.item = r.rec
+      GROUP BY r.u),
+    idcg AS (
+      SELECT u, CAST(sum(CAST(floor(1e6 * ln(2) / ln(r + 1) + 0.5)
+               AS BIGINT)) AS BIGINT) AS idcg_e6
+      FROM (
+        SELECT u, unnest(range(1, least(count(1), 10) + 1)) AS r
+        FROM test GROUP BY u) t
+      GROUP BY u),
+    ev AS (
+      SELECT tr.u FROM (SELECT DISTINCT u FROM train) tr
+      JOIN (SELECT DISTINCT u FROM test) te ON tr.u = te.u),
+    agg AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_users_eval,
+             CAST(sum(CASE WHEN h.first_hit IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_users_hit,
+             CAST(sum(coalesce(1000000 // h.first_hit, 0)) AS BIGINT)
+               AS sum_rr_ppm,
+             CAST(sum(coalesce((h.dcg_e6 * 1000000) // i.idcg_e6, 0))
+               AS BIGINT) AS sum_ndcg_ppm
+      FROM ev LEFT JOIN hitagg h ON ev.u = h.u
+      LEFT JOIN idcg i ON ev.u = i.u)
+    SELECT n_users_eval, n_users_hit,
+           sum_rr_ppm // n_users_eval AS mrr_ppm,
+           sum_ndcg_ppm // n_users_eval AS mean_ndcg_ppm
+    FROM agg"""
 
   def cfCoverageOracle: String = """
     WITH train_b AS (

@@ -71,6 +71,25 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_ppm") == hits * 1000000L / recs)
   }
 
+  test("cfRankingEval: consistent with cfHitRate, MRR/NDCG inside their derivable bounds") {
+    val rk = Recsys.cfRankingEval(spark, sfDir).head()
+    val hr = Recsys.cfHitRate(spark, sfDir).head()
+    // both evals grade the SAME recommender on the SAME split
+    assert(rk.getAs[Long]("n_users_eval") == hr.getAs[Long]("n_users_eval"))
+    assert(rk.getAs[Long]("n_users_hit") == hr.getAs[Long]("n_users_hit"))
+    val users = rk.getAs[Long]("n_users_eval")
+    val usersHit = rk.getAs[Long]("n_users_hit")
+    val mrr = rk.getAs[Long]("mrr_ppm")
+    val ndcg = rk.getAs[Long]("mean_ndcg_ppm")
+    // each hitting user contributes rr in [1e6/kRec, 1e6]; zero-hit
+    // users contribute 0 — so the mean is bracketed by the hit rate
+    assert(mrr >= usersHit * 100000L / users && mrr <= usersHit * 1000000L / users,
+      s"MRR $mrr outside the hit-rate bracket")
+    assert(ndcg >= 0L && ndcg <= 1000000L)
+    assert((ndcg > 0L) == (usersHit > 0L),
+      "NDCG must be positive exactly when any user hit")
+  }
+
   test("cfCoverage: bounds and identities hold") {
     val r = Recsys.cfCoverage(spark, sfDir).head()
     val nItems = r.getAs[Long]("n_items_recommended")
