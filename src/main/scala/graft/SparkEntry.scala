@@ -237,6 +237,8 @@ object SparkEntry {
     "q8e_importance_resampling" -> (Curation.importanceResampling(_, _)),
     "q8f_incremental_neardup" -> (Dedup.incrementalNearDupContract(_, _)),
     "q8g_chunk_dedup"       -> (Dedup.chunkDedup(_, _)),
+    "q8h_substring_dup_spans" -> (Dedup.substringDupSpans(_, _)),
+    "q8i_k_anonymity"       -> (Quality.kAnonymityAudit(_, _)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -722,6 +724,8 @@ object SparkEntry {
     "q8e_importance_resampling" -> Curation.importanceResamplingOracle,
     "q8f_incremental_neardup" -> Dedup.incrementalNearDupOracle,
     "q8g_chunk_dedup"        -> Dedup.chunkDedupOracle,
+    "q8h_substring_dup_spans" -> Dedup.substringDupSpansOracle,
+    "q8i_k_anonymity"        -> Quality.kAnonymityAuditOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -533,6 +533,147 @@ object Dedup {
            tot.total_chunks, tot.distinct_chunks, tot.corpus_dup_token_ppm
     FROM rk CROSS JOIN tot WHERE rk.rank <= 15 ORDER BY rk.rank"""
 
+  /** q8h: EXACT-SUBSTRING DUPLICATION SPANS — the ExactSubstr method of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499), re-expressed Spark-first. The paper
+    * builds a corpus-wide suffix array and removes any substring of ≥ 50
+    * tokens that appears twice; the distributed analogue replaces the
+    * suffix array with fixed-width token windows: every run of
+    * `windowTokens` consecutive tokens is a gram, a gram appearing in
+    * ≥ 2 DISTINCT documents marks its span as duplicated, and a token is
+    * inside a duplicated span iff some duplicated gram covers it. The
+    * interval-union step — the part that looks imperative — is a single
+    * window max over the previous `windowTokens-1` positions: token t is
+    * covered iff a duplicated gram STARTS in [t-W+1, t]. Both engines
+    * group on the literal gram text (collision-free; at 100 TB you would
+    * group on xxhash64(gram) and accept the audited birthday bound, the
+    * exactByContent trade documented above).
+    *
+    * What it catches that whole-doc methods miss: a paragraph copied
+    * into an otherwise-unique document contributes exactly its own token
+    * mass, not a whole-doc Jaccard shift. Distinct from q8g (chunk
+    * dedup): CDC chunks are variable-width with content boundaries and
+    * count REUSED CHUNK mass; this measures the union of overlapping
+    * fixed-width duplicated WINDOWS — the paper's span semantics.
+    *
+    * Scale shape: one explode scan; gram assembly is a per-doc window
+    * (parallel across documents); the dup-gram table is an aggregate on
+    * the gram key (map-side combined) filtered to ≥ 2 distinct docs and
+    * joined back (AQE picks broadcast when small); coverage is a second
+    * per-doc window pass; top-k plans as TakeOrderedAndProject. No
+    * suffix array, no all-pairs — cost is O(total tokens) rows through
+    * two doc-partitioned sorts and one gram shuffle. */
+  def substringDupSpans(spark: SparkSession, dir: String,
+      windowTokens: Int = 8, topK: Int = 12): DataFrame =
+    substringDupSpansOf(Tables.documents(spark, dir), windowTokens, topK)
+
+  /** DataFrame form of q8h, for planted-corpus tests. */
+  def substringDupSpansOf(docs: DataFrame,
+      windowTokens: Int = 8, topK: Int = 12): DataFrame = {
+    val wGram = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, windowTokens - 1)
+    val wCover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(windowTokens - 1), 0)
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+    // full-width grams only: the trailing <W tokens of each doc start no gram
+    val grams = toks
+      .withColumn("gram", concat_ws(" ", collect_list(col("t")).over(wGram)))
+      .withColumn("glen", count(lit(1)).over(wGram))
+      .where(col("glen") === windowTokens)
+      .select("doc_id", "pos", "gram")
+      .cache() // feeds BOTH the dup-gram aggregate and the start-marking
+               // join — uncached, the explode + per-doc window sort runs
+               // twice (the chunkDedup lesson in this file)
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs_g"))
+      .where(col("n_docs_g") >= 2)
+      .select("gram")
+    val starts = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1L).as("dup_start"))
+    val cov = toks.select("doc_id", "pos")
+      .join(starts, Seq("doc_id", "pos"), "left")
+      .na.fill(0L, Seq("dup_start"))
+      .withColumn("covered", max(col("dup_start")).over(wCover))
+    val perDoc = cov.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("covered")).as("dup_span_tokens"))
+      .cache() // feeds both the totals row and the ranked top-k
+    val totals = perDoc.groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("dup_span_tokens")).as("total_dup_tokens"),
+      expr("(sum(dup_span_tokens) * 1000000) div sum(n_tokens)")
+        .as("corpus_dup_ppm"),
+      sum(when(col("dup_span_tokens") > 0, 1L).otherwise(0L))
+        .as("n_docs_with_dup"))
+    perDoc
+      .withColumn("dup_ppm", expr("(dup_span_tokens * 1000000) div n_tokens"))
+      .orderBy(col("dup_ppm").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("dup_ppm").desc, col("doc_id"))))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        col("dup_span_tokens"), col("dup_ppm"), col("n_docs"),
+        col("total_tokens"), col("total_dup_tokens"), col("corpus_dup_ppm"),
+        col("n_docs_with_dup"))
+      .orderBy("rank")
+  }
+
+  def substringDupSpansOracle: String = """
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list(t) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), ' ') AS gram,
+             count(1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS glen
+      FROM toks),
+    fg AS (SELECT doc_id, pos, gram FROM grams WHERE glen = 8),
+    dupg AS (
+      SELECT gram FROM fg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (
+      SELECT f.doc_id, f.pos, 1 AS dup_start
+      FROM fg f JOIN dupg d ON f.gram = d.gram),
+    allpos AS (
+      SELECT tk.doc_id, tk.pos, coalesce(m.dup_start, 0) AS dup_start
+      FROM toks tk LEFT JOIN marked m
+        ON tk.doc_id = m.doc_id AND tk.pos = m.pos),
+    cov AS (
+      SELECT doc_id, pos,
+             max(dup_start) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      FROM allpos),
+    per_doc AS (
+      SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tokens,
+             CAST(sum(covered) AS BIGINT) AS dup_span_tokens
+      FROM cov GROUP BY doc_id),
+    tot AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(dup_span_tokens) AS BIGINT) AS total_dup_tokens,
+             CAST((sum(dup_span_tokens) * 1000000) // sum(n_tokens)
+               AS BIGINT) AS corpus_dup_ppm,
+             CAST(sum(CASE WHEN dup_span_tokens > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_with_dup
+      FROM per_doc),
+    r AS (
+      SELECT doc_id, n_tokens, dup_span_tokens,
+             CAST((dup_span_tokens * 1000000) // n_tokens AS BIGINT)
+               AS dup_ppm
+      FROM per_doc),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY dup_ppm DESC, doc_id) AS rank
+      FROM r)
+    SELECT CAST(rk.rank AS INTEGER) AS rank, rk.doc_id, rk.n_tokens,
+           rk.dup_span_tokens, rk.dup_ppm, tot.n_docs, tot.total_tokens,
+           tot.total_dup_tokens, tot.corpus_dup_ppm, tot.n_docs_with_dup
+    FROM rk CROSS JOIN tot WHERE rk.rank <= 12 ORDER BY rk.rank"""
+
   def minhashPairsContract(spark: SparkSession, dir: String,
       jHi: Double = 0.7, minRecall: Double = 0.8,
       candFactor: Long = 4L): DataFrame = {

@@ -1454,4 +1454,91 @@ object Quality {
                * sqrt(CAST(n * (n - 1) // 2 - ties_y_pairs AS DOUBLE)))
              * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
     FROM pc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
+
+  /** q8i: K-ANONYMITY / L-DIVERSITY AUDIT across a generalization
+    * lattice — the privacy gate a dataset passes before release
+    * (Sweeney 2002 k-anonymity; Machanavajjhala et al. 2007
+    * l-diversity), the structural complement to q45's value-level PII
+    * redaction: q45 masks identifiers, this measures whether the
+    * REMAINING quasi-identifiers still single out individuals.
+    *
+    * Quasi-identifier lattice over `customer`, coarsest-last:
+    * L0 = (segment, nation, acctbal-band), L1 = (segment, nation),
+    * L2 = (segment). Sensitive attribute = order priority (via a left
+    * join to `orders`, so customers without orders still count toward
+    * class sizes). Per level: number of equivalence classes, k-anonymity
+    * (min class size in CUSTOMERS, not join rows — countDistinct on the
+    * key), classes below k=5, rows at risk (= the suppression cost of
+    * forcing k=5 at that level), risk ppm, and l-diversity (min distinct
+    * sensitive values among classes that have any).
+    *
+    * Spark-first shape: ONE left join + ONE grouping-sets aggregate
+    * computes every lattice level in a single scan (Catalyst expands the
+    * sets into one Expand + hash-agg — three separate groupBys would
+    * re-read the join three times), then a 3-row per-level rollup. The
+    * level id is derived from which QI columns survived the grouping
+    * null-out, not from grouping_id(), so the oracle does not depend on
+    * matching engine bit layouts. */
+  def kAnonymityAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("band"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderpriority").as("pri")),
+        col("c_custkey") === col("o_custkey"), "left")
+    val classes = base.groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("c_nationkey"), col("band")),
+          Seq(col("c_mktsegment"), col("c_nationkey")),
+          Seq(col("c_mktsegment"))),
+        col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(col("pri")).as("n_pri"))
+      .withColumn("level",
+        when(col("band").isNotNull, 0)
+          .when(col("c_nationkey").isNotNull, 1).otherwise(2))
+    classes.groupBy("level")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("n_cust")).as("k_anonymity"),
+        sum(when(col("n_cust") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
+        sum(when(col("n_cust") < k, col("n_cust")).otherwise(0L))
+          .as("rows_at_risk"),
+        expr(s"(sum(CASE WHEN n_cust < $k THEN n_cust ELSE 0 END) * 1000000)"
+          + " div sum(n_cust)").as("risk_ppm"),
+        min(when(col("n_pri") > 0, col("n_pri"))).as("l_diversity"))
+      .orderBy("level")
+  }
+
+  def kAnonymityAuditOracle: String = """
+    WITH base AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000) AS INTEGER) AS band,
+             o.o_orderpriority AS pri
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey),
+    classes AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, band,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+             CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
+      FROM base
+      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey, band),
+                              (c_mktsegment, c_nationkey),
+                              (c_mktsegment))),
+    lv AS (
+      SELECT CASE WHEN band IS NOT NULL THEN 0
+                  WHEN nat IS NOT NULL THEN 1 ELSE 2 END AS level,
+             n_cust, n_pri
+      FROM classes)
+    SELECT CAST(level AS INTEGER) AS level,
+           CAST(count(1) AS BIGINT) AS n_classes,
+           CAST(min(n_cust) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN n_cust < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(sum(CASE WHEN n_cust < 5 THEN n_cust ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST((sum(CASE WHEN n_cust < 5 THEN n_cust ELSE 0 END) * 1000000)
+             // sum(n_cust) AS BIGINT) AS risk_ppm,
+           CAST(min(CASE WHEN n_pri > 0 THEN n_pri END) AS BIGINT)
+             AS l_diversity
+    FROM lv GROUP BY level ORDER BY level"""
 }

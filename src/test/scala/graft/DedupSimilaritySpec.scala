@@ -317,6 +317,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(once == again, "banded signatures are not row-order stable")
   }
 
+  test("q8h substring dup spans: planted shared run covers exactly its own tokens") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 10-token run (positions 5..14 in doc 1,
+    // 0..9 in doc 2 — DIFFERENT offsets, which fixed-width chunking
+    // would misalign but window grams must not); doc 3 is disjoint.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val d1 = ((0 until 5).map(i => s"a$i") ++ Seq(shared) ++
+      (0 until 5).map(i => s"b$i")).mkString(" ")
+    val d2 = (Seq(shared) ++ (0 until 8).map(i => s"c$i")).mkString(" ")
+    val d3 = (0 until 18).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val rows = Dedup.substringDupSpansOf(docs, windowTokens = 8, topK = 12)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // only windows fully inside the shared run are duplicated (3 start
+    // positions each), and their union is exactly the 10 shared tokens
+    assert(rows(1L).getAs[Long]("dup_span_tokens") == 10L)
+    assert(rows(2L).getAs[Long]("dup_span_tokens") == 10L)
+    assert(rows(3L).getAs[Long]("dup_span_tokens") == 0L)
+    assert(rows(1L).getAs[Long]("n_tokens") == 20L)
+    val tot = rows(1L)
+    assert(tot.getAs[Long]("n_docs") == 3L)
+    assert(tot.getAs[Long]("total_dup_tokens") == 20L)
+    assert(tot.getAs[Long]("n_docs_with_dup") == 2L)
+  }
+
+  test("q8h substring dup spans on the fixture: dense ranks, bounded shares, " +
+      "coverage at least the window mass of any duplicated gram") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Dedup.substringDupSpans(spark, sfDir).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 12))
+    val ppms = rows.map(_.getAs[Long]("dup_ppm")).toSeq
+    assert(ppms == ppms.sorted.reverse, "dup shares must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_span_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("dup_ppm") >= 0 && r.getAs[Long]("dup_ppm") <= 1000000)
+    }
+    val tot = rows.head
+    assert(tot.getAs[Long]("total_dup_tokens") <= tot.getAs[Long]("total_tokens"))
+    // an exact-duplicate doc (same full text twice) must rank with a
+    // full 1e6 span share, same argument as the q8g chunk invariant
+    val exactDup = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(countDistinct("doc_id").as("n"), min("doc_id").as("d"))
+      .where(c("n") >= 2).select("d").collect().map(_.getLong(0)).toSet
+    if (exactDup.nonEmpty) {
+      val full = rows.filter(_.getAs[Long]("dup_ppm") == 1000000L)
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(exactDup.exists(full.contains) || full.size == 12,
+        "no exact-duplicate doc surfaced with a full duplicated share")
+    }
+  }
+
   test("q8g chunk dedup: dense ranks, bounded shares, exact-dup docs fully covered") {
     import org.apache.spark.sql.functions.{col => c}
     val rows = Dedup.chunkDedup(spark, sfDir).collect()

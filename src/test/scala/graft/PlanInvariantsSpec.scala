@@ -66,7 +66,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q7c_cf_coverage" -> "1-row catalog-count + 1-row top10-share aggregates broadcast onto the 1-row totals",
     "q8e_importance_resampling" -> "1-row doc-count aggregate broadcast onto the topK-row (20) selection",
     "q8f_incremental_neardup" -> "1-row recall-contract probes (q52 pattern, index-vs-batch split stats)",
-    "q8g_chunk_dedup" -> "1-row corpus-totals aggregate broadcast onto the topK-row (15) selection")
+    "q8g_chunk_dedup" -> "1-row corpus-totals aggregate broadcast onto the topK-row (15) selection",
+    "q8h_substring_dup_spans" -> "1-row corpus-totals aggregate broadcast onto the topK-row (12) selection")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -1133,4 +1133,32 @@ class QualitySpec extends SparkSpec {
     // communities found on this graph must actually explain structure
     assert(qE6 > 0L, "modularity not positive — LPA partition carries no signal")
   }
+
+  test("kAnonymityAudit: lattice monotonicity, conservation, k-anonymity " +
+      "matches a direct per-level recount") {
+    val rows = Quality.kAnonymityAudit(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("level"))
+    assert(rows.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2))
+    val nCust = Tables.customer(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_at_risk") <= nCust)
+      assert(r.getAs[Long]("risk_ppm") >= 0 && r.getAs[Long]("risk_ppm") <= 1000000)
+      assert(r.getAs[Long]("l_diversity") >= 1)
+    }
+    // generalizing (coarser QI) can only merge classes: k non-decreasing,
+    // class count non-increasing, risk non-increasing up the lattice
+    val ks = rows.map(_.getAs[Long]("k_anonymity"))
+    assert(ks(0) <= ks(1) && ks(1) <= ks(2), s"k not monotone: ${ks.toSeq}")
+    val ncl = rows.map(_.getAs[Long]("n_classes"))
+    assert(ncl(0) >= ncl(1) && ncl(1) >= ncl(2))
+    val risk = rows.map(_.getAs[Long]("rows_at_risk"))
+    assert(risk(0) >= risk(1) && risk(1) >= risk(2))
+    // level-1 k-anonymity recomputed directly from the base relation
+    val direct = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(countDistinct("c_custkey").as("n"))
+      .agg(min("n")).head().getLong(0)
+    assert(rows(1).getAs[Long]("k_anonymity") == direct,
+      "level-1 k must equal the direct two-column recount")
+  }
 }
