@@ -239,6 +239,7 @@ object SparkEntry {
     "q8g_chunk_dedup"       -> (Dedup.chunkDedup(_, _)),
     "q8h_substring_dup_spans" -> (Dedup.substringDupSpans(_, _)),
     "q8i_k_anonymity"       -> (Quality.kAnonymityAudit(_, _)),
+    "q8k_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -726,6 +727,7 @@ object SparkEntry {
     "q8g_chunk_dedup"        -> Dedup.chunkDedupOracle,
     "q8h_substring_dup_spans" -> Dedup.substringDupSpansOracle,
     "q8i_k_anonymity"        -> Quality.kAnonymityAuditOracle,
+    "q8k_mmr_rerank"         -> Similarity.mmrRerankOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -1209,4 +1209,133 @@ object Similarity {
     FROM n LEFT JOIN p ON n.a_id = p.a_id
     WHERE n.rk <= 3 ORDER BY n.a_id, n.rk"""
 
+  /** q8k: MMR DIVERSIFIED RERANK — Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998): greedily build a k-item result where
+    * each step picks argmax over remaining candidates of
+    * `0.7·rel(d) − 0.3·max_{s∈S} sim(d,s)` — relevance to the query
+    * minus redundancy against what is already selected. This is the
+    * standard diversity pass a retrieval-augmented training pipeline
+    * runs after ANN shortlist: q61/q6g return the nearest items, MMR
+    * returns near items that are not copies of each other.
+    *
+    * Spark-first decomposition: the DISTRIBUTED work is the shortlist
+    * (one broadcast-query scan + TakeOrderedAndProject, exactly q61's
+    * plan — this is the part that touches 100 TB) and the pairwise
+    * cosine over the shortlist (a 16-row broadcast self-join). The
+    * greedy selection is INHERENTLY sequential in k, so it is composed
+    * as k-1 lazy DataFrame steps over those two CACHED tiny frames —
+    * each step an anti-join against the picked set, a max-sim
+    * aggregate, and a 1-row TakeOrdered — never a driver-side loop over
+    * collected data; the whole chain stays one declarative plan.
+    *
+    * Engine parity: relevance and pairwise cosines are rounded to 6 dp
+    * (the q61 convention), the 0.7/0.3 literals are written identically
+    * in both engines (never derived as 1−λ, which is not the double
+    * 0.3), and the graded columns are the floor(·1e6+0.5) encodings of
+    * step, relevance, redundancy, and marginal score. */
+  def mmrRerank(spark: SparkSession, dir: String,
+      queryId: Long = 0L, shortlist: Int = 16, k: Int = 6): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val cand = emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qv))
+      .select(col("vec_id"),
+        round(cosineHof(col("embedding"), col("qe")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlist)
+      .cache() // 16 rows; anchor of every greedy step
+    val ce = cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val ca = ce.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val cb = ce.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val sims = ca.join(broadcast(cb), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosineHof(col("ea"), col("eb")), 6).as("sim"))
+      .cache() // shortlist² − shortlist = 240 rows
+    // materialize both anchors ONCE, then TRUNCATE LINEAGE after every
+    // greedy step. Step t's `next` references the running selection
+    // TWICE (the redundancy aggregate and the remaining-set anti-join),
+    // so a lazily-composed chain TRIPLES the analyzed plan per step —
+    // Catalyst re-analysis made k=6 cost 28-45 s on sf0.01, and caching
+    // cannot help because cache substitution runs after analysis.
+    // localCheckpoint (the duplicateComponents fixpoint pattern)
+    // replaces each step's subtree with a LogicalRDD leaf: flat
+    // ~0.3 s/step. The builder therefore executes work: q8k is in
+    // Explain.eager.
+    cand.count(); sims.count()
+    var sel: DataFrame = cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(lit(1).as("step"), col("vec_id"), col("rel"),
+        lit(null).cast("double").as("maxsim"), col("rel").as("score"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val picked = sel.select(col("vec_id"))
+      val ms = sims
+        .join(picked.withColumnRenamed("vec_id", "ib"), Seq("ib"), "left_semi")
+        .groupBy(col("ia")).agg(max(col("sim")).as("ms"))
+      val next = cand
+        .join(picked, Seq("vec_id"), "left_anti")
+        .join(ms, col("vec_id") === col("ia"))
+        .select(lit(t).as("step"), col("vec_id"), col("rel"),
+          col("ms").as("maxsim"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("step"), col("vec_id"),
+        floor(col("rel") * 1e6 + 0.5).cast("long").as("rel_e6"),
+        floor(col("maxsim") * 1e6 + 0.5).cast("long").as("maxsim_e6"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("score_e6"))
+      .orderBy("step")
+  }
+
+  def mmrRerankOracle: String = {
+    val head = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    rel0 AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    cand AS (SELECT * FROM rel0 ORDER BY rel DESC, vec_id LIMIT 16),
+    ce AS (SELECT c.vec_id, c.rel, e.embedding
+           FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, rel, CAST(NULL AS DOUBLE) AS maxsim, rel AS score
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    p1 AS (SELECT vec_id FROM s1)"""
+    val steps = (2 to 6).map { t =>
+      s""",
+    sc$t AS (
+      SELECT c.vec_id, c.rel, m.ms AS maxsim, 0.7*c.rel - 0.3*m.ms AS score
+      FROM cand c JOIN (
+        SELECT ia, max(sim) AS ms FROM sims
+        WHERE ib IN (SELECT vec_id FROM p${t - 1}) GROUP BY ia) m
+        ON c.vec_id = m.ia
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM p${t - 1})),
+    s$t AS (SELECT * FROM sc$t ORDER BY score DESC, vec_id LIMIT 1),
+    p$t AS (SELECT vec_id FROM p${t - 1} UNION ALL SELECT vec_id FROM s$t)"""
+    }.mkString
+    val union = (1 to 6)
+      .map(t => s"SELECT $t AS stp, * FROM s$t").mkString("\n    UNION ALL\n    ")
+    head + steps + s""",
+    sel AS ($union)
+    SELECT CAST(stp AS INTEGER) AS step, vec_id,
+           CAST(floor(rel * 1e6 + 0.5) AS BIGINT) AS rel_e6,
+           CAST(floor(maxsim * 1e6 + 0.5) AS BIGINT) AS maxsim_e6,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+    FROM sel ORDER BY step"""
+  }
 }

@@ -878,4 +878,54 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(g.getAs[Long]("max_id") == g.getAs[Long]("min_id") + 1000000L)
     }
   }
+
+  test("q8k MMR rerank: matches an independent Scala replay of the greedy, " +
+      "marginal scores non-increasing, no duplicate picks") {
+    import org.apache.spark.sql.functions.{broadcast, col => c, round => rnd}
+    import graft.functions.VectorFunctions.cosineHof
+    val got = operators.Similarity.mmrRerank(spark, sfDir).collect()
+    assert(got.length == 6)
+    assert(got.map(_.getAs[Int]("step")).toSeq == (1 to 6))
+    val ids = got.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 6, "a vector was selected twice")
+    val scores = got.map(_.getAs[Long]("score_e6")).toSeq
+    assert(scores == scores.sorted.reverse,
+      s"marginal scores must be non-increasing: $scores")
+    // independent replay: recompute shortlist + pairwise sims with the
+    // same 6-dp arithmetic, then run the greedy in plain Scala
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(c("vec_id") === 0L).select(c("embedding").as("qe"))
+    val cand = emb.filter(c("vec_id") =!= 0L).join(broadcast(qv))
+      .select(c("vec_id"), rnd(cosineHof(c("embedding"), c("qe")), 6).as("rel"))
+      .orderBy(c("rel").desc, c("vec_id")).limit(16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val cs = cand.toMap
+    val ce = emb.filter(c("vec_id").isin(cand.map(_._1): _*))
+      .select(c("vec_id"), c("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var picked = Vector(cand.minBy { case (id, rel) => (-rel, id) }._1)
+    for (_ <- 2 to 6) {
+      val next = cand.filterNot(p => picked.contains(p._1)).map { case (id, rel) =>
+        val ms = picked.map(p => cos(ce(id), ce(p))).max
+        (id, 0.7 * rel - 0.3 * ms)
+      }.minBy { case (id, s) => (-s, id) }._1
+      picked = picked :+ next
+    }
+    assert(ids.toSeq == picked,
+      s"greedy disagreement: engine ${ids.toSeq} vs replay $picked")
+    // step-1 is the pure-relevance argmax: its score IS its relevance
+    assert(got.head.getAs[Long]("rel_e6") == got.head.getAs[Long]("score_e6"))
+    assert(got.head.isNullAt(got.head.fieldIndex("maxsim_e6")))
+    val relMax = math.floor(cs(picked.head) * 1e6 + 0.5).toLong
+    assert(got.head.getAs[Long]("rel_e6") == relMax)
+  }
 }
