@@ -239,6 +239,7 @@ object SparkEntry {
     "q8g_chunk_dedup"       -> (Dedup.chunkDedup(_, _)),
     "q8h_substring_dup_spans" -> (Dedup.substringDupSpans(_, _)),
     "q8i_k_anonymity"       -> (Quality.kAnonymityAudit(_, _)),
+    "q8j_source_divergence" -> (Text.sourceDivergence(_, _)),
     "q8k_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -727,6 +728,7 @@ object SparkEntry {
     "q8g_chunk_dedup"        -> Dedup.chunkDedupOracle,
     "q8h_substring_dup_spans" -> Dedup.substringDupSpansOracle,
     "q8i_k_anonymity"        -> Quality.kAnonymityAuditOracle,
+    "q8j_source_divergence"  -> Text.sourceDivergenceOracle,
     "q8k_mmr_rerank"         -> Similarity.mmrRerankOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -895,4 +895,138 @@ object Text {
              / (n_terms * sxx - sx * sx) * 1e6 + 0.5) AS BIGINT) < 0
              AS is_decreasing
     FROM m"""
+
+  /** q8j: SOURCE DIVERGENCE MATRIX — pairwise Jensen-Shannon divergence
+    * between the unigram distributions of every source pair, the
+    * mixture-design complement to q8b: q8b measures near-dup OVERLAP
+    * across sources (shared content), this measures DISTRIBUTIONAL
+    * distance (different content statistics) — the quantity mixture
+    * tuning (DoReMi-style reweighting, temperature mixing q4g) actually
+    * consumes, since two sources can share zero documents yet be
+    * statistically interchangeable, or vice versa.
+    *
+    * Decomposition that avoids materializing the token×pair outer join:
+    * the inner join on shared tokens carries the p·ln(2p/(p+q)) terms;
+    * the mass each source holds in tokens the OTHER lacks contributes
+    * exactly (missing mass)·ln 2, recovered from per-source totals minus
+    * the shared-token sums — so tokens-only-in-a never produce rows.
+    *
+    * Engine parity: each token's JS term is folded to floor(·1e9+0.5)
+    * BIGINT at the ROW level and summed as integers (the q1n entropy
+    * pattern) — double summation order across partitions can never
+    * reorder, because only the per-row double math is floating point.
+    *
+    * Scale shape: one explode scan → (source, token) count (map-side
+    * combined); the pair join is keyed on TOKEN with both sides bounded
+    * by |vocab|·|sources| rows — never documents — and the final
+    * aggregate is |pairs| rows. At 100 TB the vocab projection would be
+    * capped to top-V tokens per source (the q4c/q4t machinery); source
+    * count is operationally bounded (tens, not millions). */
+  def sourceDivergence(spark: SparkSession, dir: String, topK: Int = 10): DataFrame =
+    sourceDivergenceOf(Tables.documents(spark, dir), topK)
+
+  /** DataFrame form of q8j, for planted-corpus tests. */
+  def sourceDivergenceOf(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+    val c2 = cnt.join(tot, "source").cache() // both sides of the pair join
+    val a = c2.select(col("source").as("sa"), col("t"),
+      col("c").as("ca"), col("n").as("na"))
+    val b = c2.select(col("source").as("sb"), col("t"),
+      col("c").as("cb"), col("n").as("nb"))
+    val j = a.join(b, Seq("t")).where(col("sa") < col("sb"))
+      .withColumn("p", col("ca").cast("double") / col("na"))
+      .withColumn("q", col("cb").cast("double") / col("nb"))
+    val pair = j.groupBy("sa", "sb").agg(
+      count(lit(1)).as("n_shared"),
+      sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+      sum(floor(col("p") * log(lit(2) * col("p") / (col("p") + col("q")))
+        * 1e9 + 0.5).cast("long")).as("tp_e9"),
+      sum(floor(col("q") * log(lit(2) * col("q") / (col("p") + col("q")))
+        * 1e9 + 0.5).cast("long")).as("tq_e9"))
+    // full pair spine from the per-source totals (bounded: |sources|²),
+    // so pairs sharing ZERO tokens still appear — they carry the MAXIMUM
+    // divergence (both missing masses are 1, jsd = ln 2), and an inner
+    // join would silently drop exactly the pairs a mixture designer
+    // most needs to see
+    val spine = tot.select(col("source").as("sa"), col("n").as("na"))
+      .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+        col("sa") < col("sb"))
+    val scored = spine
+      .join(pair, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_shared", "sca", "scb", "tp_e9", "tq_e9"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_shared"),
+        expr("(tp_e9 + CAST(floor((CAST(na - sca AS DOUBLE) / na) * ln(2)"
+          + " * 1e9 + 0.5) AS BIGINT)"
+          + " + tq_e9 + CAST(floor((CAST(nb - scb AS DOUBLE) / nb) * ln(2)"
+          + " * 1e9 + 0.5) AS BIGINT)) div 2").as("jsd_e9"))
+      .cache() // feeds the totals row and the ranked top-k
+    val tots = scored.groupBy().agg(
+      count(lit(1)).as("n_pairs"),
+      min(col("jsd_e9")).as("min_jsd_e9"),
+      max(col("jsd_e9")).as("max_jsd_e9"))
+    scored
+      .orderBy(col("jsd_e9").desc, col("sa"), col("sb"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("jsd_e9").desc, col("sa"), col("sb"))))
+      .crossJoin(broadcast(tots))
+      .select(col("rank"), col("sa").as("src_a"), col("sb").as("src_b"),
+        col("na").as("n_tok_a"), col("nb").as("n_tok_b"), col("n_shared"),
+        col("jsd_e9"), col("n_pairs"), col("min_jsd_e9"), col("max_jsd_e9"))
+      .orderBy("rank")
+  }
+
+  def sourceDivergenceOracle: String = """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    cnt AS (
+      SELECT source, t, CAST(count(1) AS BIGINT) AS c
+      FROM toks GROUP BY source, t),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    c2 AS (
+      SELECT cnt.source, cnt.t, cnt.c, tot.n
+      FROM cnt JOIN tot ON cnt.source = tot.source),
+    j AS (
+      SELECT a.source AS sa, b.source AS sb, a.t,
+             a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb,
+             CAST(a.c AS DOUBLE) / a.n AS p, CAST(b.c AS DOUBLE) / b.n AS q
+      FROM c2 a JOIN c2 b ON a.t = b.t AND a.source < b.source),
+    pair AS (
+      SELECT sa, sb,
+             CAST(count(1) AS BIGINT) AS n_shared,
+             CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+             CAST(sum(CAST(floor(p * ln(2*p/(p+q)) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS tp_e9,
+             CAST(sum(CAST(floor(q * ln(2*q/(p+q)) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS tq_e9
+      FROM j GROUP BY sa, sb),
+    spine AS (
+      SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source),
+    scored AS (
+      SELECT s.sa, s.sb, s.na, s.nb,
+             CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+             CAST((coalesce(p.tp_e9, 0)
+                 + CAST(floor(CAST(s.na - coalesce(p.sca, 0) AS DOUBLE)/s.na
+                     * ln(2) * 1e9 + 0.5) AS BIGINT)
+                 + coalesce(p.tq_e9, 0)
+                 + CAST(floor(CAST(s.nb - coalesce(p.scb, 0) AS DOUBLE)/s.nb
+                     * ln(2) * 1e9 + 0.5) AS BIGINT)) // 2 AS BIGINT)
+               AS jsd_e9
+      FROM spine s LEFT JOIN pair p ON s.sa = p.sa AND s.sb = p.sb),
+    tots AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_pairs,
+             CAST(min(jsd_e9) AS BIGINT) AS min_jsd_e9,
+             CAST(max(jsd_e9) AS BIGINT) AS max_jsd_e9 FROM scored),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY jsd_e9 DESC, sa, sb) AS rank
+      FROM scored)
+    SELECT CAST(rk.rank AS INTEGER) AS rank, rk.sa AS src_a, rk.sb AS src_b,
+           rk.na AS n_tok_a, rk.nb AS n_tok_b, rk.n_shared, rk.jsd_e9,
+           tots.n_pairs, tots.min_jsd_e9, tots.max_jsd_e9
+    FROM rk CROSS JOIN tots WHERE rk.rank <= 10 ORDER BY rk.rank"""
 }

@@ -67,7 +67,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q8e_importance_resampling" -> "1-row doc-count aggregate broadcast onto the topK-row (20) selection",
     "q8f_incremental_neardup" -> "1-row recall-contract probes (q52 pattern, index-vs-batch split stats)",
     "q8g_chunk_dedup" -> "1-row corpus-totals aggregate broadcast onto the topK-row (15) selection",
-    "q8h_substring_dup_spans" -> "1-row corpus-totals aggregate broadcast onto the topK-row (12) selection")
+    "q8h_substring_dup_spans" -> "1-row corpus-totals aggregate broadcast onto the topK-row (12) selection",
+    "q8j_source_divergence" -> "pair spine = broadcast self-join of the |sources|-row totals (non-equi sa<sb) + 1-row matrix-totals aggregate")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

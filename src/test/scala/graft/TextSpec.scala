@@ -393,4 +393,45 @@ class TextSpec extends SparkSpec {
         math.floor(chars.toDouble / reN * 1e6 + 0.5).toLong)
     }
   }
+
+  test("q8j source divergence: identical sources at 0, disjoint sources at " +
+      "ln 2, uniform-overlap pair in between") {
+    import spark.implicits._
+    val ln2e9 = math.floor(math.log(2.0) * 1e9 + 0.5).toLong // 693147181
+    val docs = Seq(
+      (1L, "a b c d", "x"), (2L, "a b c d", "y"),      // identical dists
+      (3L, "e f g h", "z"),                              // disjoint from all
+      (4L, "a b e f", "w")                               // half-overlapping
+    ).toDF("doc_id", "text", "source")
+    val rows = Text.sourceDivergenceOf(docs, topK = 10).collect()
+    val byPair = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b")) -> r).toMap
+    assert(byPair.size == 6, "4 sources must yield C(4,2)=6 pairs")
+    assert(byPair(("x", "y")).getAs[Long]("jsd_e9") == 0L)
+    // zero-shared-token pairs MUST be present, at the ln 2 maximum
+    val xz = byPair(("x", "z"))
+    assert(xz.getAs[Long]("n_shared") == 0L)
+    assert(xz.getAs[Long]("jsd_e9") == ln2e9)
+    val wx = byPair(("w", "x"))
+    assert(wx.getAs[Long]("n_shared") == 2L)
+    assert(wx.getAs[Long]("jsd_e9") > 0L && wx.getAs[Long]("jsd_e9") < ln2e9)
+    // matrix totals ride every row
+    assert(rows.head.getAs[Long]("n_pairs") == 6L)
+    assert(rows.head.getAs[Long]("max_jsd_e9") == ln2e9)
+    assert(rows.head.getAs[Long]("min_jsd_e9") == 0L)
+  }
+
+  test("q8j on the fixture: bounds, spine completeness, ranked ordering") {
+    val rows = Text.sourceDivergence(spark, sfDir).collect()
+    val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.head.getAs[Long]("n_pairs") == nSrc * (nSrc - 1) / 2,
+      "every source pair must appear exactly once")
+    val jsds = rows.map(_.getAs[Long]("jsd_e9")).toSeq
+    assert(jsds == jsds.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("jsd_e9") >= 0L)
+      assert(r.getAs[Long]("jsd_e9") <= 693147181L)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+    }
+  }
 }
