@@ -26,7 +26,7 @@ object Explain {
     "q3t_stream_approx_distinct", "q2p_cdc_apply",
     "q3v_available_now", "q0h_aqe_skew_split", "q2r_dynamic_overwrite",
     "q6n_ivf_probe_curve", "q2s_cbo_statistics", "q0i_aqe_coalesce",
-    "q3y_late_data_drop", "q8k_mmr_rerank",
+    "q3y_late_data_drop", "q8k_mmr_rerank", "q8m_kcenter_coreset",
     // q1x runs a bounded segment-count probe in its builder (the BH
     // ladder arity guard) — a data-dependent require that must not run,
     // or abort the sweep, during pure plan inspection

@@ -240,7 +240,9 @@ object SparkEntry {
     "q8h_substring_dup_spans" -> (Dedup.substringDupSpans(_, _)),
     "q8i_k_anonymity"       -> (Quality.kAnonymityAudit(_, _)),
     "q8j_source_divergence" -> (Text.sourceDivergence(_, _)),
+    "q8l_wasserstein_drift" -> (Quality.wassersteinDrift _),
     "q8k_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    "q8m_kcenter_coreset"   -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -729,7 +731,9 @@ object SparkEntry {
     "q8h_substring_dup_spans" -> Dedup.substringDupSpansOracle,
     "q8i_k_anonymity"        -> Quality.kAnonymityAuditOracle,
     "q8j_source_divergence"  -> Text.sourceDivergenceOracle,
+    "q8l_wasserstein_drift"  -> Quality.wassersteinDriftOracle,
     "q8k_mmr_rerank"         -> Similarity.mmrRerankOracle,
+    "q8m_kcenter_coreset"    -> Similarity.kcenterCoresetOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

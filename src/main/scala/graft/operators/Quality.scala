@@ -1455,6 +1455,74 @@ object Quality {
              * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
     FROM pc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
 
+  /** q8l: WASSERSTEIN-1 (EARTH MOVER) DRIFT over the discrete
+    * `l_quantity` domain — the TRANSPORT reading of distribution shift,
+    * completing the drift family: q1e/PSI reads per-bin mass ratios,
+    * q1m/KS reads the single worst ECDF gap, W1 integrates ALL the gaps
+    * — for a 1-D distribution W1 = Σ_v |F_base(v) − F_curr(v)| · Δv,
+    * the minimum mass·distance to morph one distribution into the
+    * other, in the column's own units. A location shift that KS caps at
+    * D grows W1 linearly with the shift distance, which is why drift
+    * alerting on heavy-tailed columns prefers it. l_quantity is exactly
+    * discrete (50 integer values), so no binning approximation exists:
+    * the signed per-value flow is the mass crossing that value's right
+    * edge (positive = current shifted right of base there).
+    *
+    * Same scale shape as q1m: ONE conditional-aggregation scan bins
+    * both periods, everything after runs over the ≤50-row reduced frame
+    * (the q1e single-partition-window rule). Integer-exact: ECDFs in
+    * ppm, flows and totals as integer window sums. */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val counts = li.select(
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_shipdate") < cut).as("is_base"))
+      .groupBy("qty").agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_curr"))
+    val tot = Window.partitionBy()
+    val cum = Window.partitionBy().orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.select(
+        col("qty"), col("n_base"), col("n_curr"),
+        floor(sum(col("n_base")).over(cum).cast("double")
+          / sum(col("n_base")).over(tot) * 1e6 + 0.5).as("ecdf_base_ppm"),
+        floor(sum(col("n_curr")).over(cum).cast("double")
+          / sum(col("n_curr")).over(tot) * 1e6 + 0.5).as("ecdf_curr_ppm"))
+      .withColumn("flow_ppm", col("ecdf_base_ppm") - col("ecdf_curr_ppm"))
+      .withColumn("w1_ppm_qty", sum(abs(col("flow_ppm"))).over(tot))
+      .withColumn("net_shift_ppm_qty", sum(col("flow_ppm")).over(tot))
+      .orderBy("qty")
+  }
+
+  def wassersteinDriftOracle: String = """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             l_shipdate < TIMESTAMP '1997-01-01' AS is_base
+      FROM lineitem),
+    counts AS (
+      SELECT qty,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+             CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_curr
+      FROM v GROUP BY qty),
+    e AS (
+      SELECT qty, n_base, n_curr,
+             CAST(floor(CAST(sum(n_base) OVER (ORDER BY qty
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(n_base) OVER () * 1e6 + 0.5) AS BIGINT) AS ecdf_base_ppm,
+             CAST(floor(CAST(sum(n_curr) OVER (ORDER BY qty
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(n_curr) OVER () * 1e6 + 0.5) AS BIGINT) AS ecdf_curr_ppm
+      FROM counts),
+    g AS (SELECT *, ecdf_base_ppm - ecdf_curr_ppm AS flow_ppm FROM e)
+    SELECT qty, n_base, n_curr, ecdf_base_ppm, ecdf_curr_ppm, flow_ppm,
+           CAST(sum(abs(flow_ppm)) OVER () AS BIGINT) AS w1_ppm_qty,
+           CAST(sum(flow_ppm) OVER () AS BIGINT) AS net_shift_ppm_qty
+    FROM g ORDER BY qty"""
+
   /** q8i: K-ANONYMITY / L-DIVERSITY AUDIT across a generalization
     * lattice — the privacy gate a dataset passes before release
     * (Sweeney 2002 k-anonymity; Machanavajjhala et al. 2007

@@ -1289,6 +1289,106 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** q8m: K-CENTER GREEDY CORESET — farthest-point sampling (the
+    * 2-approximation to the k-center objective; Sener & Savarese 2018's
+    * coreset construction for active learning / dataset distillation):
+    * starting from the seed vector, repeatedly add the point FARTHEST
+    * from the current selection (maximin squared-L2), then grade the
+    * achieved coverage radius — max over the corpus of the min distance
+    * to the selected set, the quantity the method 2-approximates.
+    * Complements q8k: MMR diversifies a relevance-ranked SHORTLIST,
+    * k-center covers the WHOLE corpus.
+    *
+    * Scale shape: unlike q8k, every step is a genuinely distributed
+    * pass — the selected set (≤ k rows) broadcasts onto the full
+    * embedding scan, min-reduces per vector, and the farthest point is
+    * one TakeOrdered(1); k steps = k broadcast scans, the textbook
+    * distributed form of farthest-point sampling. The selection
+    * accumulator is lineage-truncated per step (the q8k lesson: the
+    * nested plan otherwise triples per step). Distances are
+    * round(·,6) doubles (q61 arithmetic parity), graded as
+    * floor(·1e6+0.5) integers. */
+  def kcenterCoreset(spark: SparkSession, dir: String,
+      seedId: Long = 0L, k: Int = 6): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    emb.count()
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x), 6)
+    var sel: DataFrame = emb.filter(col("vec_id") === seedId)
+      .select(lit(1).as("step"), col("vec_id"),
+        lit(null).cast("double").as("min_d2"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val s = sel.join(emb, "vec_id")
+        .select(col("vec_id").as("sid"), col("embedding").as("se"))
+      val next = emb
+        .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(s))
+        .select(col("vec_id"), d2(col("embedding"), col("se")).as("d"))
+        .groupBy("vec_id").agg(min(col("d")).as("min_d2"))
+        .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
+        .select(lit(t).as("step"), col("vec_id"), col("min_d2"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    // achieved k-center objective: coverage radius of the final set
+    val sFinal = sel.join(emb, "vec_id")
+      .select(col("vec_id").as("sid"), col("embedding").as("se"))
+    val radius = emb
+      .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(broadcast(sFinal))
+      .select(col("vec_id"), d2(col("embedding"), col("se")).as("d"))
+      .groupBy("vec_id").agg(min(col("d")).as("md"))
+      .groupBy().agg(max(col("md")).as("r"))
+      .select(floor(col("r") * 1e6 + 0.5).cast("long").as("cover_radius_e6"))
+    sel
+      .select(col("step"), col("vec_id"),
+        floor(col("min_d2") * 1e6 + 0.5).cast("long").as("min_d2_e6"))
+      .crossJoin(broadcast(radius))
+      .orderBy("step")
+  }
+
+  def kcenterCoresetOracle: String = {
+    val d2 = (a: String, b: String) =>
+      s"""round(list_sum(list_transform(range(1, len($a) + 1),
+               i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+                  * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), 6)"""
+    val head = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s1 AS (SELECT 1 AS stp, vec_id, CAST(NULL AS DOUBLE) AS min_d2
+           FROM e WHERE vec_id = 0),
+    p1 AS (SELECT vec_id FROM s1)"""
+    val steps = (2 to 6).map { t =>
+      s""",
+    m$t AS (
+      SELECT a.vec_id, min(${d2("a.embedding", "b.embedding")}) AS min_d2
+      FROM e a JOIN e b ON b.vec_id IN (SELECT vec_id FROM p${t - 1})
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM p${t - 1})
+      GROUP BY a.vec_id),
+    s$t AS (SELECT $t AS stp, vec_id, min_d2 FROM m$t
+            ORDER BY min_d2 DESC, vec_id LIMIT 1),
+    p$t AS (SELECT vec_id FROM p${t - 1} UNION ALL SELECT vec_id FROM s$t)"""
+    }.mkString
+    val union = (1 to 6)
+      .map(t => s"SELECT * FROM s$t").mkString("\n    UNION ALL\n    ")
+    head + steps + s""",
+    sel AS ($union),
+    rad AS (
+      SELECT CAST(floor(max(md) * 1e6 + 0.5) AS BIGINT) AS cover_radius_e6
+      FROM (
+        SELECT a.vec_id, min(${d2("a.embedding", "b.embedding")}) AS md
+        FROM e a JOIN e b ON b.vec_id IN (SELECT vec_id FROM p6)
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM p6)
+        GROUP BY a.vec_id))
+    SELECT CAST(sel.stp AS INTEGER) AS step, sel.vec_id,
+           CAST(floor(sel.min_d2 * 1e6 + 0.5) AS BIGINT) AS min_d2_e6,
+           rad.cover_radius_e6
+    FROM sel CROSS JOIN rad ORDER BY step"""
+  }
+
   def mmrRerankOracle: String = {
     val head = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -879,6 +879,44 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q8m k-center coreset: matches an independent Scala replay of " +
+      "farthest-point sampling; maximin radii non-increasing; final cover " +
+      "radius bounded by the last pick's radius") {
+    val got = operators.Similarity.kcenterCoreset(spark, sfDir).collect()
+    assert(got.length == 6)
+    assert(got.map(_.getAs[Int]("step")).toSeq == (1 to 6))
+    val radii = got.tail.map(_.getAs[Long]("min_d2_e6")).toSeq
+    assert(radii == radii.sorted.reverse,
+      s"maximin distance must be non-increasing: $radii")
+    val cover = got.head.getAs[Long]("cover_radius_e6")
+    assert(cover <= radii.last,
+      "adding the k-th center can only shrink the coverage radius")
+    // independent replay over the collected embedding matrix
+    val all = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var picked = Vector(0L)
+    for (_ <- 2 to 6) {
+      val next = all.keysIterator.filterNot(picked.contains).map { id =>
+        (id, picked.map(p => d2(all(id), all(p))).min)
+      }.minBy { case (id, d) => (-d, id) }._1
+      picked = picked :+ next
+    }
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == picked,
+      s"farthest-point disagreement: ${got.map(_.getAs[Long]("vec_id")).toSeq} vs $picked")
+    val replayCover = all.keysIterator.filterNot(picked.contains).map { id =>
+      picked.map(p => d2(all(id), all(p))).min
+    }.max
+    assert(cover == math.floor(replayCover * 1e6 + 0.5).toLong)
+  }
+
   test("q8k MMR rerank: matches an independent Scala replay of the greedy, " +
       "marginal scores non-increasing, no duplicate picks") {
     import org.apache.spark.sql.functions.{broadcast, col => c, round => rnd}

@@ -1134,6 +1134,25 @@ class QualitySpec extends SparkSpec {
     assert(qE6 > 0L, "modularity not positive — LPA partition carries no signal")
   }
 
+  test("wassersteinDrift: ECDFs monotone to 1e6, W1 is the exact |flow| sum, " +
+      "and dominates both the net shift and the KS-style max gap") {
+    val rows = Quality.wassersteinDrift(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("qty"))
+    assert(rows.length == 50)
+    val eb = rows.map(_.getAs[Long]("ecdf_base_ppm"))
+    val ec = rows.map(_.getAs[Long]("ecdf_curr_ppm"))
+    assert(eb.zip(eb.tail).forall { case (a, b) => a <= b } && eb.last == 1000000L)
+    assert(ec.zip(ec.tail).forall { case (a, b) => a <= b } && ec.last == 1000000L)
+    val flows = rows.map(_.getAs[Long]("flow_ppm"))
+    val w1 = rows.head.getAs[Long]("w1_ppm_qty")
+    assert(w1 == flows.map(math.abs).sum, "W1 must equal the exact |flow| sum")
+    val net = rows.head.getAs[Long]("net_shift_ppm_qty")
+    assert(net == flows.sum)
+    assert(math.abs(net) <= w1 && flows.map(math.abs).max <= w1)
+    assert(rows.forall(r => r.getAs[Long]("w1_ppm_qty") == w1),
+      "totals must replicate identically onto every row")
+  }
+
   test("kAnonymityAudit: lattice monotonicity, conservation, k-anonymity " +
       "matches a direct per-level recount") {
     val rows = Quality.kAnonymityAudit(spark, sfDir).collect()
