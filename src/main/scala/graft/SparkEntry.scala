@@ -243,6 +243,8 @@ object SparkEntry {
     "q8l_wasserstein_drift" -> (Quality.wassersteinDrift _),
     "q8k_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "q8m_kcenter_coreset"   -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
+    "q8n_distinguishing_terms" -> (Text.distinguishingTerms(_, _)),
+    "q8o_interleaving_audit" -> (Curation.interleavingAudit(_, _)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -734,6 +736,8 @@ object SparkEntry {
     "q8l_wasserstein_drift"  -> Quality.wassersteinDriftOracle,
     "q8k_mmr_rerank"         -> Similarity.mmrRerankOracle,
     "q8m_kcenter_coreset"    -> Similarity.kcenterCoresetOracle,
+    "q8n_distinguishing_terms" -> Text.distinguishingTermsOracle,
+    "q8o_interleaving_audit" -> Curation.interleavingAuditOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -790,4 +790,100 @@ object Curation {
     SELECT r.doc_id, r.lang, r.n_tokens, r.weight_e6,
            CAST(r.rank AS INTEGER) AS rank, dc.n_target_docs, dc.n_raw_docs
     FROM r CROSS JOIN dc WHERE r.rank <= 20 ORDER BY r.rank"""
+
+  /** q8o: TRAINING-ORDER INTERLEAVING AUDIT — grades the SHUFFLE a
+    * corpus gets before training: documents are placed by the shared
+    * Lehmer permutation (the q46 gate's integer key, a bijection — so
+    * the "global shuffle" is stateless arithmetic, not a sort of random
+    * numbers), cut into `nShards` contiguous ranges of the permuted
+    * order (= the files a trainer would stream in sequence), and each
+    * shard is audited for the two failure modes a bad shuffle causes:
+    * COMPOSITION DRIFT (a shard's source mix deviating from the global
+    * mix — max per-source deviation in exact ppm, tolerance folded as a
+    * boolean) and CLUMPING (the longest same-source run inside the
+    * shard, gaps-and-islands as the difference of two row_numbers).
+    * Epoch-order pathologies — curriculum accidents, loss spikes from
+    * correlated batches — trace back to exactly these two numbers.
+    *
+    * Scale shape: placement and sharding are stateless per row; the
+    * mix audit is two hash aggregates; the run analysis windows are
+    * PARTITIONED BY SHARD, so every shard sorts locally in parallel —
+    * no global sort, no single-partition window, at any corpus size. */
+  def interleavingAudit(spark: SparkSession, dir: String,
+      nShards: Int = 8, tolPpm: Long = 100000L): DataFrame =
+    interleavingAuditOf(Tables.documents(spark, dir), nShards, tolPpm)
+
+  /** DataFrame form of q8o, for planted-corpus tests. */
+  def interleavingAuditOf(docs: DataFrame,
+      nShards: Int = 8, tolPpm: Long = 100000L): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("source"),
+        (pmod(col("doc_id"), lit(LehmerM)) * lit(48271L) % lit(LehmerM)
+          * lit(48271L) % lit(LehmerM)).as("pos"))
+      .withColumn("shard", expr(s"pos * $nShards div ${LehmerM}L"))
+      .cache() // feeds the mix aggregates and the run windows
+    val g = sh.groupBy("source").agg(count(lit(1)).as("n_g"))
+    val gt = g.groupBy().agg(sum(col("n_g")).as("n_tot"))
+    val sc = sh.groupBy("shard", "source").agg(count(lit(1)).as("n_s"))
+    val st = sc.groupBy("shard").agg(
+      sum(col("n_s")).as("n_shard"), count(lit(1)).as("n_sources_seen"))
+    val dev = sc.join(st, "shard").join(g, "source").crossJoin(broadcast(gt))
+      .groupBy("shard")
+      .agg(max(abs(expr("n_s * 1000000 div n_shard")
+        - expr("n_g * 1000000 div n_tot"))).as("maxdev_ppm"))
+    val runs = sh.select(col("shard"), col("source"),
+        (row_number().over(Window.partitionBy("shard").orderBy("pos"))
+          - row_number().over(
+            Window.partitionBy("shard", "source").orderBy("pos"))).as("grp"))
+      .groupBy("shard", "source", "grp").agg(count(lit(1)).as("cnt"))
+      .groupBy("shard").agg(max(col("cnt")).as("max_run"))
+    st.join(runs, "shard").join(dev, "shard")
+      .select(col("shard"), col("n_shard"), col("n_sources_seen"),
+        col("max_run"), col("maxdev_ppm"),
+        (col("maxdev_ppm") <= tolPpm).as("balanced_ok"))
+      .orderBy("shard")
+  }
+
+  def interleavingAuditOracle: String = """
+    WITH p AS (
+      SELECT doc_id, source,
+             ((doc_id % 2147483647) * 48271 % 2147483647) * 48271
+               % 2147483647 AS pos
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source, pos,
+             CAST(pos * 8 // 2147483647 AS BIGINT) AS shard
+      FROM p),
+    g AS (SELECT source, CAST(count(1) AS BIGINT) AS n_g
+          FROM sh GROUP BY source),
+    gt AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM g),
+    sc AS (SELECT shard, source, CAST(count(1) AS BIGINT) AS n_s
+           FROM sh GROUP BY shard, source),
+    st AS (SELECT shard, CAST(sum(n_s) AS BIGINT) AS n_shard,
+                  CAST(count(1) AS BIGINT) AS n_sources_seen
+           FROM sc GROUP BY shard),
+    dev AS (
+      SELECT sc.shard,
+             CAST(max(abs(sc.n_s * 1000000 // st.n_shard
+                        - g.n_g * 1000000 // gt.n_tot)) AS BIGINT)
+               AS maxdev_ppm
+      FROM sc JOIN st ON sc.shard = st.shard
+              JOIN g ON sc.source = g.source CROSS JOIN gt
+      GROUP BY sc.shard),
+    runs AS (
+      SELECT shard, source,
+             row_number() OVER (PARTITION BY shard ORDER BY pos)
+           - row_number() OVER (PARTITION BY shard, source ORDER BY pos)
+               AS grp
+      FROM sh),
+    rl AS (
+      SELECT shard, CAST(max(cnt) AS BIGINT) AS max_run
+      FROM (SELECT shard, source, grp, CAST(count(1) AS BIGINT) AS cnt
+            FROM runs GROUP BY shard, source, grp)
+      GROUP BY shard)
+    SELECT st.shard, st.n_shard, st.n_sources_seen, rl.max_run,
+           dev.maxdev_ppm, dev.maxdev_ppm <= 100000 AS balanced_ok
+    FROM st JOIN rl ON st.shard = rl.shard
+            JOIN dev ON st.shard = dev.shard
+    ORDER BY st.shard"""
 }

@@ -896,6 +896,86 @@ object Text {
              AS is_decreasing
     FROM m"""
 
+  /** q8n: DISTINGUISHING TERMS — the "Fightin' Words" log-odds ratio
+    * with an informative Dirichlet prior (Monroe, Colaresi & Quinn
+    * 2008): for each (source, token), the z-scored log-odds of the
+    * token in that source versus the Rest of the corpus, the standard
+    * answer to "what is source X actually made of?" when composing or
+    * debugging a mixture. Where q8j says HOW FAR two sources diverge,
+    * this says WHICH TERMS carry the divergence and in which direction
+    * (positive z = over-represented, negative = under-represented).
+    * Raw count ratios would rank rare tokens first; the +1 Dirichlet
+    * smoothing and the 1/(c+1)+1/(c_rest+1) variance are exactly the
+    * paper's correction.
+    *
+    * Engine parity: every ln/sqrt consumes ratios of EXACT INTEGER
+    * counts (the q4o PMI discipline), so both engines evaluate the
+    * identical closed-form doubles; graded at e6. Scale shape: one
+    * explode scan to (source, token) counts, two bounded rollups
+    * (per-source, per-token), a 1-row global broadcast, and a
+    * TakeOrderedAndProject top-12 on |z|. */
+  def distinguishingTerms(spark: SparkSession, dir: String, topK: Int = 12): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .cache() // feeds both rollups and the scored join
+    val ns = cnt.groupBy("source").agg(sum(col("c")).as("n_i"))
+    val tt = cnt.groupBy("t").agg(sum(col("c")).as("c_tot"))
+    val gl = tt.groupBy().agg(
+      count(lit(1)).as("v"), sum(col("c_tot")).as("n"))
+    val z = cnt.join(ns, "source").join(tt, "t").crossJoin(broadcast(gl))
+      .select(col("source"), col("t"), col("c").as("c_i"), col("n_i"),
+        (col("c_tot") - col("c")).as("c_r"), col("v"), col("n"),
+        ((log((col("c") + 1).cast("double")
+            / (col("n_i") + col("v") - col("c") - 1))
+          - log((col("c_tot") - col("c") + 1).cast("double")
+            / (col("n") - col("n_i") + col("v")
+              - (col("c_tot") - col("c")) - 1)))
+          / sqrt(lit(1.0) / (col("c") + 1)
+            + lit(1.0) / (col("c_tot") - col("c") + 1))).as("zval"))
+      .select(col("source"), col("t"), col("c_i"), col("n_i"), col("c_r"),
+        col("v"), col("n"),
+        floor(col("zval") * 1e6 + 0.5).cast("long").as("z_e6"))
+    z.orderBy(abs(col("z_e6")).desc, col("source"), col("t"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(abs(col("z_e6")).desc, col("source"), col("t"))))
+      .select(col("rank"), col("source"), col("t").as("token"),
+        col("c_i"), col("n_i"), col("c_r"), col("z_e6"), col("v"), col("n"))
+      .orderBy("rank")
+  }
+
+  def distinguishingTermsOracle: String = """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    cnt AS (
+      SELECT source, t, CAST(count(1) AS BIGINT) AS c
+      FROM toks GROUP BY source, t),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_i
+           FROM cnt GROUP BY source),
+    tt AS (SELECT t, CAST(sum(c) AS BIGINT) AS c_tot FROM cnt GROUP BY t),
+    gl AS (SELECT CAST(count(1) AS BIGINT) AS v,
+                  CAST(sum(c_tot) AS BIGINT) AS n FROM tt),
+    z AS (
+      SELECT cnt.source, cnt.t, cnt.c AS c_i, ns.n_i,
+             tt.c_tot - cnt.c AS c_r, gl.v, gl.n,
+             (ln(CAST(cnt.c + 1 AS DOUBLE) / (ns.n_i + gl.v - cnt.c - 1))
+            - ln(CAST(tt.c_tot - cnt.c + 1 AS DOUBLE)
+                / (gl.n - ns.n_i + gl.v - (tt.c_tot - cnt.c) - 1)))
+            / sqrt(1.0/(cnt.c + 1) + 1.0/(tt.c_tot - cnt.c + 1)) AS zval
+      FROM cnt JOIN ns ON cnt.source = ns.source
+               JOIN tt ON cnt.t = tt.t CROSS JOIN gl),
+    e AS (
+      SELECT source, t, c_i, n_i, CAST(c_r AS BIGINT) AS c_r, v, n,
+             CAST(floor(zval * 1e6 + 0.5) AS BIGINT) AS z_e6 FROM z),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY abs(z_e6) DESC, source, t)
+               AS rank
+      FROM e)
+    SELECT CAST(rank AS INTEGER) AS rank, source, t AS token,
+           c_i, n_i, c_r, z_e6, v, n
+    FROM rk WHERE rank <= 12 ORDER BY rank"""
+
   /** q8j: SOURCE DIVERGENCE MATRIX — pairwise Jensen-Shannon divergence
     * between the unigram distributions of every source pair, the
     * mixture-design complement to q8b: q8b measures near-dup OVERLAP

@@ -394,4 +394,48 @@ class CurationSpec extends SparkSpec {
     assert(enTop.toDouble / 20 > nEn.toDouble / nDocs,
       s"target lang not over-represented: $enTop/20 vs $nEn/$nDocs")
   }
+
+  test("q8o interleaving audit: shards partition the corpus; planted " +
+      "contiguous source blocks are broken up by the permutation") {
+    import spark.implicits._
+    val rows = Curation.interleavingAudit(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_shard")).sum == nDocs,
+      "shards must partition the corpus exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_run") >= 1L)
+      assert(r.getAs[Boolean]("balanced_ok") ==
+        (r.getAs[Long]("maxdev_ppm") <= 100000L))
+    }
+    // planted worst case: 200 docs in 4 CONTIGUOUS 50-doc source blocks
+    // (the raw crawl order every pipeline starts from). In doc_id order
+    // the max run is 50; after Lehmer placement every shard must mix
+    // all 4 sources and runs must collapse far below the block length.
+    val docs = (0L until 200L).map(i => (i, s"blk${i / 50}")).toDF("doc_id", "source")
+    val audited = Curation.interleavingAuditOf(docs, nShards = 4).collect()
+    assert(audited.map(_.getAs[Long]("n_shard")).sum == 200L)
+    audited.foreach { r =>
+      assert(r.getAs[Long]("n_sources_seen") == 4L,
+        s"shard ${r.getAs[Long]("shard")} missing a source block")
+      assert(r.getAs[Long]("max_run") <= 10L,
+        s"a 50-doc block survived as a run of ${r.getAs[Long]("max_run")}")
+    }
+    // driver-side replay of the permutation → max run over ALL shards
+    val m = 2147483647L
+    def pos(id: Long) = id % m * 48271 % m * 48271 % m
+    val perShard = (0L until 200L)
+      .map(i => (pos(i) * 4 / m, pos(i), s"blk${i / 50}")).sortBy(x => (x._1, x._2))
+    val maxRun = perShard.groupBy(_._1).values.map { rowsInShard =>
+      val srcs = rowsInShard.sortBy(_._2).map(_._3)
+      var best = 1; var cur = 1
+      for (i <- 1 until srcs.length) {
+        if (srcs(i) == srcs(i - 1)) { cur += 1; best = math.max(best, cur) }
+        else cur = 1
+      }
+      best
+    }.max
+    assert(audited.map(_.getAs[Long]("max_run")).max == maxRun.toLong,
+      "engine max_run must equal the driver replay")
+  }
 }

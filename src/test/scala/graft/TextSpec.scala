@@ -421,6 +421,34 @@ class TextSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("min_jsd_e9") == 0L)
   }
 
+  test("q8n distinguishing terms: rank-1 z replayed driver-side from exact " +
+      "counts; |z| non-increasing; Dirichlet counts consistent") {
+    val rows = Text.distinguishingTerms(spark, sfDir).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 12))
+    val zs = rows.map(r => math.abs(r.getAs[Long]("z_e6"))).toSeq
+    assert(zs == zs.sorted.reverse, "|z| must be non-increasing")
+    val top = rows.head
+    val (src, tok) = (top.getAs[String]("source"), top.getAs[String]("token"))
+    // exact integer counts recomputed independently
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val cI = toks.filter(col("source") === src && col("t") === tok).count()
+    val nI = toks.filter(col("source") === src).count()
+    val cTot = toks.filter(col("t") === tok).count()
+    val n = toks.count()
+    val v = toks.select("t").distinct().count()
+    assert(top.getAs[Long]("c_i") == cI && top.getAs[Long]("n_i") == nI)
+    assert(top.getAs[Long]("c_r") == cTot - cI)
+    assert(top.getAs[Long]("v") == v && top.getAs[Long]("n") == n)
+    val cR = cTot - cI
+    val z = (math.log((cI + 1).toDouble / (nI + v - cI - 1))
+      - math.log((cR + 1).toDouble / (n - nI + v - cR - 1))) /
+      math.sqrt(1.0 / (cI + 1) + 1.0 / (cR + 1))
+    assert(top.getAs[Long]("z_e6") == math.floor(z * 1e6 + 0.5).toLong,
+      "rank-1 z must replay exactly from integer counts")
+  }
+
   test("q8j on the fixture: bounds, spine completeness, ranked ordering") {
     val rows = Text.sourceDivergence(spark, sfDir).collect()
     val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
