@@ -827,7 +827,15 @@ object Curation {
     val sc = sh.groupBy("shard", "source").agg(count(lit(1)).as("n_s"))
     val st = sc.groupBy("shard").agg(
       sum(col("n_s")).as("n_shard"), count(lit(1)).as("n_sources_seen"))
-    val dev = sc.join(st, "shard").join(g, "source").crossJoin(broadcast(gt))
+    // deviation over the FULL shard×source spine: a source entirely
+    // absent from a shard is the worst composition drift there is
+    // (share 0 vs its global share), and a present-sources-only join
+    // would silently skip exactly that case
+    val dev = st.select(col("shard"), col("n_shard"))
+      .crossJoin(broadcast(g))
+      .join(sc, Seq("shard", "source"), "left")
+      .na.fill(0L, Seq("n_s"))
+      .crossJoin(broadcast(gt))
       .groupBy("shard")
       .agg(max(abs(expr("n_s * 1000000 div n_shard")
         - expr("n_g * 1000000 div n_tot"))).as("maxdev_ppm"))
@@ -863,13 +871,14 @@ object Curation {
                   CAST(count(1) AS BIGINT) AS n_sources_seen
            FROM sc GROUP BY shard),
     dev AS (
-      SELECT sc.shard,
-             CAST(max(abs(sc.n_s * 1000000 // st.n_shard
+      SELECT st.shard,
+             CAST(max(abs(coalesce(sc.n_s, 0) * 1000000 // st.n_shard
                         - g.n_g * 1000000 // gt.n_tot)) AS BIGINT)
                AS maxdev_ppm
-      FROM sc JOIN st ON sc.shard = st.shard
-              JOIN g ON sc.source = g.source CROSS JOIN gt
-      GROUP BY sc.shard),
+      FROM st CROSS JOIN g
+           LEFT JOIN sc ON sc.shard = st.shard AND sc.source = g.source
+           CROSS JOIN gt
+      GROUP BY st.shard),
     runs AS (
       SELECT shard, source,
              row_number() OVER (PARTITION BY shard ORDER BY pos)

@@ -460,7 +460,10 @@ object Dedup {
     val totals = scored.groupBy().agg(
       count(lit(1)).as("total_chunks"),
       countDistinct(col("chunk_hash")).as("distinct_chunks"),
-      expr("(sum(CASE WHEN n_occ >= 2 THEN n_tok ELSE 0 END) * 1000000)"
+      // DECIMAL(38) numerator — same int64 ·1e6 overflow headroom
+      // argument as substringDupSpans' corpus_dup_ppm below
+      expr("(CAST(sum(CASE WHEN n_occ >= 2 THEN n_tok ELSE 0 END)"
+        + " AS DECIMAL(38,0)) * 1000000)"
         + " div sum(n_tok)").as("corpus_dup_token_ppm"))
     perDoc
       .orderBy(col("dup_share_ppm").desc, col("doc_id"))
@@ -576,6 +579,8 @@ object Dedup {
       .rowsBetween(-(windowTokens - 1), 0)
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+      .cache() // read by the gram build AND the coverage pass — uncached,
+               // the split + posexplode corpus scan runs twice
     // full-width grams only: the trailing <W tokens of each doc start no gram
     val grams = toks
       .withColumn("gram", concat_ws(" ", collect_list(col("t")).over(wGram)))
@@ -602,8 +607,13 @@ object Dedup {
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),
       sum(col("dup_span_tokens")).as("total_dup_tokens"),
-      expr("(sum(dup_span_tokens) * 1000000) div sum(n_tokens)")
-        .as("corpus_dup_ppm"),
+      // DECIMAL(38) numerator: sum·1e6 in int64 wraps past ~9.2e12
+      // duplicated tokens (a 100 TB corpus holds ~2.5e13) while DuckDB's
+      // HUGEINT sum does not — the engine-overflow divergence this file
+      // documents for exactByContent; `div` on decimals is integral and
+      // returns LONG, matching the oracle's HUGEINT `//`
+      expr("(CAST(sum(dup_span_tokens) AS DECIMAL(38,0)) * 1000000)"
+        + " div sum(n_tokens)").as("corpus_dup_ppm"),
       sum(when(col("dup_span_tokens") > 0, 1L).otherwise(0L))
         .as("n_docs_with_dup"))
     perDoc

@@ -1548,23 +1548,32 @@ object Quality {
     * null-out, not from grouping_id(), so the oracle does not depend on
     * matching engine bit layouts. */
   def kAnonymityAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // QI columns are SENTINEL-COALESCED before grouping: the level id is
+    // recovered from which columns the grouping sets nulled out, so a
+    // GENUINE null QI value (a null acctbal/nation on a dirtier table
+    // than TPC-H) must not be confusable with a grouping null-out — a
+    // null band would otherwise demote an L0 class into level 1 and
+    // corrupt both counts and the lattice monotonicity
     val base = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000).cast("int").as("band"))
+      .select(col("c_custkey"),
+        coalesce(col("c_nationkey"), lit(-999999)).as("nat"),
+        coalesce(col("c_mktsegment"), lit("<null>")).as("seg"),
+        coalesce(floor(col("c_acctbal") / 1000).cast("int"), lit(-999999))
+          .as("band"))
       .join(Tables.orders(spark, dir)
           .select(col("o_custkey"), col("o_orderpriority").as("pri")),
         col("c_custkey") === col("o_custkey"), "left")
     val classes = base.groupingSets(
-        Seq(Seq(col("c_mktsegment"), col("c_nationkey"), col("band")),
-          Seq(col("c_mktsegment"), col("c_nationkey")),
-          Seq(col("c_mktsegment"))),
-        col("c_mktsegment"), col("c_nationkey"), col("band"))
+        Seq(Seq(col("seg"), col("nat"), col("band")),
+          Seq(col("seg"), col("nat")),
+          Seq(col("seg"))),
+        col("seg"), col("nat"), col("band"))
       .agg(
         countDistinct(col("c_custkey")).as("n_cust"),
         countDistinct(col("pri")).as("n_pri"))
       .withColumn("level",
         when(col("band").isNotNull, 0)
-          .when(col("c_nationkey").isNotNull, 1).otherwise(2))
+          .when(col("nat").isNotNull, 1).otherwise(2))
     classes.groupBy("level")
       .agg(
         count(lit(1)).as("n_classes"),
@@ -1580,18 +1589,21 @@ object Quality {
 
   def kAnonymityAuditOracle: String = """
     WITH base AS (
-      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
-             CAST(floor(c.c_acctbal / 1000) AS INTEGER) AS band,
+      SELECT c.c_custkey,
+             coalesce(c.c_nationkey, -999999) AS nat,
+             coalesce(c.c_mktsegment, '<null>') AS seg,
+             coalesce(CAST(floor(c.c_acctbal / 1000) AS INTEGER), -999999)
+               AS band,
              o.o_orderpriority AS pri
       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey),
     classes AS (
-      SELECT c_mktsegment AS seg, c_nationkey AS nat, band,
+      SELECT seg, nat, band,
              CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
              CAST(count(DISTINCT pri) AS BIGINT) AS n_pri
       FROM base
-      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey, band),
-                              (c_mktsegment, c_nationkey),
-                              (c_mktsegment))),
+      GROUP BY GROUPING SETS ((seg, nat, band),
+                              (seg, nat),
+                              (seg))),
     lv AS (
       SELECT CASE WHEN band IS NOT NULL THEN 0
                   WHEN nat IS NOT NULL THEN 1 ELSE 2 END AS level,

@@ -3,9 +3,12 @@ package graft.tools
 import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe: phase-level timing of the q8k MMR pipeline, so the slow
-  * stage (shortlist scan, pairwise sims, greedy steps, final fold) is
-  * measured instead of guessed.
+/** Dev probe: timing of the q8k MMR pipeline AS SHIPPED (cold and
+  * warm), calling the production `Similarity.mmrRerank` so the probe
+  * can never drift from the code it measures. The per-phase replica
+  * that diagnosed the nested-plan blowup lived here temporarily; its
+  * conclusion is recorded in mmrRerank's doc comment and
+  * DedupSimilaritySpec replays the greedy independently.
   * Usage: tools/run_main.sh graft.tools.MmrProbe <sfDir> */
 object MmrProbe {
   def main(args: Array[String]): Unit = {
@@ -19,44 +22,12 @@ object MmrProbe {
     spark.sparkContext.setLogLevel("WARN")
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[mmr] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[mmr] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // warm the JVM/parquet path on an unrelated trivial action first
     timed("warmup")(graft.Tables.embeddings(spark, dir).count())
-    // phase replica of mmrRerank
-    import org.apache.spark.sql.functions._
-    import graft.functions.VectorFunctions._
-    val emb = graft.Tables.embeddings(spark, dir)
-    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-    val cand = emb.filter(col("vec_id") =!= 0L)
-      .join(broadcast(qv))
-      .select(col("vec_id"), round(cosineHof(col("embedding"), col("qe")), 6).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(16).cache()
-    timed("cand")(cand.count())
-    val ce = cand.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-    val ca = ce.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-    val cb = ce.select(col("vec_id").as("ib"), col("embedding").as("eb"))
-    val sims = ca.join(broadcast(cb), col("ia") =!= col("ib"))
-      .select(col("ia"), col("ib"), round(cosineHof(col("ea"), col("eb")), 6).as("sim"))
-      .cache()
-    timed("sims")(sims.count())
-    var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(lit(1).as("step"), col("vec_id"), col("rel"),
-        lit(null).cast("double").as("maxsim"), col("rel").as("score")).cache()
-    timed("s1")(sel.count())
-    for (t <- 2 to 6) {
-      val picked = sel.select(col("vec_id"))
-      val ms = sims.join(picked.withColumnRenamed("vec_id", "ib"), Seq("ib"), "left_semi")
-        .groupBy(col("ia")).agg(max(col("sim")).as("ms"))
-      val next = cand.join(picked, Seq("vec_id"), "left_anti")
-        .join(ms, col("vec_id") === col("ia"))
-        .select(lit(t).as("step"), col("vec_id"), col("rel"),
-          col("ms").as("maxsim"),
-          (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-      sel = timed(s"s$t")(sel.unionByName(next).localCheckpoint())
-    }
+    timed("q8k cold")(Similarity.mmrRerank(spark, dir).collect().foreach(println))
+    timed("q8k warm")(Similarity.mmrRerank(spark, dir).count())
     spark.stop()
   }
 }

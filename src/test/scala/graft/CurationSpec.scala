@@ -437,5 +437,19 @@ class CurationSpec extends SparkSpec {
     }.max
     assert(audited.map(_.getAs[Long]("max_run")).max == maxRun.toLong,
       "engine max_run must equal the driver replay")
+    // absent-source drift: a source with ONE document is necessarily
+    // absent from 3 of 4 shards — those shards must report a deviation
+    // at least that source's global share, not silently skip it
+    val docs2 = ((0L until 99L).map(i => (i, s"blk${i % 3}"))
+      :+ (99L, "rare")).toDF("doc_id", "source")
+    val a2 = Curation.interleavingAuditOf(docs2, nShards = 4).collect()
+    val rareShare = 1000000L / 100L
+    val without = a2.filter(_.getAs[Long]("n_sources_seen") < 4L)
+    assert(without.length == 3, "the 1-doc source fits exactly one shard")
+    without.foreach { r =>
+      assert(r.getAs[Long]("maxdev_ppm") >= rareShare,
+        s"shard ${r.getAs[Long]("shard")} must see the absent source's " +
+          s"global share as drift: ${r.getAs[Long]("maxdev_ppm")}")
+    }
   }
 }
