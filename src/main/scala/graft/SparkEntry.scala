@@ -245,6 +245,7 @@ object SparkEntry {
     "q8m_kcenter_coreset"   -> ((s: SparkSession, d: String) => Similarity.kcenterCoreset(s, d)),
     "q8n_distinguishing_terms" -> (Text.distinguishingTerms(_, _)),
     "q8o_interleaving_audit" -> (Curation.interleavingAudit(_, _)),
+    "q8p_embedding_health"  -> ((s: SparkSession, d: String) => Similarity.embeddingHealth(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -738,6 +739,7 @@ object SparkEntry {
     "q8m_kcenter_coreset"    -> Similarity.kcenterCoresetOracle,
     "q8n_distinguishing_terms" -> Text.distinguishingTermsOracle,
     "q8o_interleaving_audit" -> Curation.interleavingAuditOracle,
+    "q8p_embedding_health"   -> Similarity.embeddingHealthOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -1351,6 +1351,95 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** q8p: EMBEDDING HEALTH AUDIT — the per-dimension QA pass an
+    * embedding pipeline runs before anything downstream trusts the
+    * vectors: per-dim mean/variance/range (a scale-imbalanced or
+    * constant dim silently dominates or wastes every distance
+    * computation), near-zero share with a weak-dim flag (dead
+    * dimensions), and the corpus ANISOTROPY ratio ‖μ‖²/E‖v‖²
+    * (Ethayarajh 2019's degenerate-cone symptom: embeddings that all
+    * point the same way make cosine similarity meaningless — 0 is
+    * isotropic, 1 is a collapsed representation).
+    *
+    * Engine parity: values are quantized to e6 integers AT THE ROW
+    * LEVEL, so every aggregate is an order-free integer sum; the only
+    * doubles are end-stage ratios of identical integer operands.
+    * Second moments are summed as DECIMAL(38): Σxi² per dim reaches
+    * int64's edge at ~7.7e5 vectors (xi ≤ ~3.3e6 e6-units), far below
+    * the corpus sizes this audits — Spark would wrap silently where
+    * DuckDB's HUGEINT does not (the q8g/q8h lesson). Scale shape: one
+    * posexplode scan map-side-combined to |dims| rows; everything
+    * after runs on the 64-row frame. */
+  def embeddingHealth(spark: SparkSession, dir: String,
+      smallE6: Long = 10000L): DataFrame =
+    embeddingHealthOf(Tables.embeddings(spark, dir), smallE6)
+
+  /** DataFrame form of q8p, for planted-corpus tests. */
+  def embeddingHealthOf(emb: DataFrame, smallE6: Long = 10000L): DataFrame = {
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xi"))
+    val d = dims.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"),
+        sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("sxx"),
+        min(col("xi")).as("min_e6"), max(col("xi")).as("max_e6"),
+        sum(when(abs(col("xi")) < smallE6, 1L).otherwise(0L)).as("n_small"))
+      .cache() // feeds the 64-row global fold and the per-dim rows
+    val g = d.groupBy().agg(
+      sum((col("sx") * col("sx")).cast("decimal(38,0)")).as("num"),
+      sum(col("sxx")).as("den"),
+      first(col("n")).as("n"),
+      sum(when(col("n_small") * 2 > col("n"), 1L).otherwise(0L))
+        .as("n_weak_dims"))
+    val gl = g.select(
+      floor(col("num").cast("double")
+        / (col("n") * col("den").cast("double")) * 1e6 + 0.5)
+        .cast("long").as("anisotropy_e6"),
+      col("n_weak_dims"))
+    d.select(col("dim"), col("n"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_e6"),
+        expr("CAST((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) div (n * n)"
+          + " AS BIGINT)").as("var_e12"),
+        col("min_e6"), col("max_e6"), col("n_small"))
+      .crossJoin(broadcast(gl))
+      .orderBy("dim")
+  }
+
+  def embeddingHealthOracle: String = """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS xi
+      FROM embeddings),
+    d AS (
+      SELECT dim, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             sum(CAST(xi AS HUGEINT) * xi) AS sxx,
+             CAST(min(xi) AS BIGINT) AS min_e6,
+             CAST(max(xi) AS BIGINT) AS max_e6,
+             CAST(sum(CASE WHEN abs(xi) < 10000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_small
+      FROM dims GROUP BY dim),
+    g AS (
+      SELECT sum(CAST(sx AS HUGEINT) * sx) AS num,
+             sum(sxx) AS den,
+             CAST(any_value(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN n_small * 2 > n THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_weak_dims
+      FROM d),
+    gl AS (
+      SELECT CAST(floor(CAST(num AS DOUBLE) / (n * CAST(den AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS anisotropy_e6,
+             n_weak_dims
+      FROM g)
+    SELECT d.dim, d.n, CAST(d.sx // d.n AS BIGINT) AS mean_e6,
+           CAST((d.n * d.sxx - CAST(d.sx AS HUGEINT) * d.sx)
+             // (d.n * d.n) AS BIGINT) AS var_e12,
+           d.min_e6, d.max_e6, d.n_small, gl.anisotropy_e6, gl.n_weak_dims
+    FROM d CROSS JOIN gl ORDER BY d.dim"""
+
   def kcenterCoresetOracle: String = {
     val d2 = (a: String, b: String) =>
       s"""round(list_sum(list_transform(range(1, len($a) + 1),

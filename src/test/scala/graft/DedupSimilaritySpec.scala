@@ -879,6 +879,37 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q8p embedding health: planted dead dim flagged, collapsed corpus at " +
+      "anisotropy 1e6, symmetric corpus at 0; fixture moments bounded") {
+    import spark.implicits._
+    // collapsed corpus: 8 identical vectors, dim 2 constant-zero (dead)
+    val vec = Array(1.0f, -0.5f, 0.0f)
+    val collapsed = (0L until 8L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val c = operators.Similarity.embeddingHealthOf(collapsed).collect()
+    assert(c.length == 3)
+    assert(c.head.getAs[Long]("anisotropy_e6") == 1000000L,
+      "identical vectors are the fully collapsed cone")
+    val dead = c.find(_.getAs[Int]("dim") == 2).get
+    assert(dead.getAs[Long]("var_e12") == 0L && dead.getAs[Long]("n_small") == 8L)
+    assert(c.head.getAs[Long]("n_weak_dims") >= 1L)
+    // symmetric corpus: v and -v → zero mean → anisotropy exactly 0
+    val sym = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(-1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val s = operators.Similarity.embeddingHealthOf(sym).collect()
+    assert(s.head.getAs[Long]("anisotropy_e6") == 0L)
+    s.foreach(r => assert(r.getAs[Long]("mean_e6") == 0L))
+    // fixture invariants
+    val rows = operators.Similarity.embeddingHealth(spark, sfDir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("var_e12") >= 0L)
+      assert(r.getAs[Long]("min_e6") <= r.getAs[Long]("mean_e6") + 1)
+      assert(r.getAs[Long]("mean_e6") <= r.getAs[Long]("max_e6") + 1)
+      assert(r.getAs[Long]("anisotropy_e6") >= 0L
+        && r.getAs[Long]("anisotropy_e6") <= 1000000L)
+    }
+  }
+
   test("q8m k-center coreset: matches an independent Scala replay of " +
       "farthest-point sampling; maximin radii non-increasing; final cover " +
       "radius bounded by the last pick's radius") {

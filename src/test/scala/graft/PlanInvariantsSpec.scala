@@ -70,7 +70,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q8h_substring_dup_spans" -> "1-row corpus-totals aggregate broadcast onto the topK-row (12) selection",
     "q8j_source_divergence" -> "pair spine = broadcast self-join of the |sources|-row totals (non-equi sa<sb) + 1-row matrix-totals aggregate",
     "q8n_distinguishing_terms" -> "1-row (V, N) global-totals aggregate broadcast onto the scored counts",
-    "q8o_interleaving_audit" -> "1-row corpus-total aggregate broadcast onto the |shards|x|sources| mix table")
+    "q8o_interleaving_audit" -> "1-row corpus-total aggregate broadcast onto the |shards|x|sources| mix table",
+    "q8p_embedding_health" -> "1-row anisotropy aggregate broadcast onto the |dims|-row (64) stats frame")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
