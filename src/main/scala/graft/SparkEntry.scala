@@ -246,6 +246,8 @@ object SparkEntry {
     "q8n_distinguishing_terms" -> (Text.distinguishingTerms(_, _)),
     "q8o_interleaving_audit" -> (Curation.interleavingAudit(_, _)),
     "q8p_embedding_health"  -> ((s: SparkSession, d: String) => Similarity.embeddingHealth(s, d)),
+    "q8q_corpus_datasheet"  -> (Quality.corpusDatasheet _),
+    "q8r_percolation_curve" -> (Dedup.percolationCurve(_, _)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -740,6 +742,8 @@ object SparkEntry {
     "q8n_distinguishing_terms" -> Text.distinguishingTermsOracle,
     "q8o_interleaving_audit" -> Curation.interleavingAuditOracle,
     "q8p_embedding_health"   -> Similarity.embeddingHealthOracle,
+    "q8q_corpus_datasheet"   -> Quality.corpusDatasheetOracle,
+    "q8r_percolation_curve"  -> Dedup.percolationCurveOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -1374,6 +1374,111 @@ object Dedup {
     CROSS JOIN tot
     ORDER BY threshold_ppm"""
 
+  /** q8r: PERCOLATION CURVE — how the near-dup GRAPH (not just the pair
+    * count, q8a's view) changes as the Jaccard threshold moves: at each
+    * threshold the qualifying pairs are edges, and the graded row
+    * reports edge count, number of multi-member clusters, the LARGEST
+    * cluster, docs inside any cluster, and singletons. This is the
+    * phase-transition reading that actually picks a production
+    * threshold: as the threshold drops, near-dup clusters do not grow
+    * smoothly — they percolate, suddenly fusing into one giant
+    * component that would canonicalize half the corpus away (the q59
+    * keep-one-per-cluster rule makes an under-thresholded run
+    * catastrophic, and `largest_component` is the early-warning
+    * number).
+    *
+    * Scale shape: ONE df-capped shared-gram pair table (the q8a/q4k
+    * machinery, bucket-bounded) feeds every threshold; per threshold a
+    * filter + the q57 pointer-jumping components (O(log d) rounds,
+    * lineage-truncated) + a ≤|components|-row rollup. The oracle
+    * replays all thresholds through one recursive reach CTE carrying
+    * the threshold as a column. */
+  def percolationCurve(spark: SparkSession, dir: String,
+      n: Int = 3, dfCap: Long = 64L,
+      thresholds: Seq[Long] = Seq(10000L, 500000L, 970000L)): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = jaccardPairs(docs, n, dfCap)
+    val verts = docs.select(col("doc_id").as("id"))
+    thresholds.map { t =>
+      val edges = pairs.where(col("jacc_ppm") >= t)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val sizes = connectedComponents(verts, edges)
+        .groupBy("rep").agg(count(lit(1)).as("sz"))
+      val eCount = edges.groupBy().agg(count(lit(1)).as("n_edges"))
+      sizes.groupBy().agg(
+          sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters"),
+          max(col("sz")).as("largest_component"),
+          sum(when(col("sz") >= 2, col("sz")).otherwise(0L))
+            .as("docs_in_clusters"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .crossJoin(broadcast(eCount))
+        .select(lit(t).as("threshold_ppm"), col("n_edges"),
+          col("n_clusters"), col("largest_component"),
+          col("docs_in_clusters"), col("n_singletons"))
+    }.reduce(_ unionByName _).orderBy("threshold_ppm")
+  }
+
+  def percolationCurveOracle: String = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+      FROM t),
+    capped AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(1) > 64),
+    kept AS (
+      SELECT doc_id, gram FROM g
+      WHERE gram NOT IN (SELECT gram FROM capped)),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams
+           FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b,
+             CAST(count(1) AS BIGINT) AS n_shared
+      FROM kept g1 JOIN kept g2
+        ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT p.a, p.b,
+             (p.n_shared * 1000000)
+               // (sa.n_grams + sb.n_grams - p.n_shared) AS jacc_ppm
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id),
+    thr AS (SELECT unnest([10000, 500000, 970000]) AS thr),
+    edges AS (
+      SELECT thr.thr, pairs.a AS src, pairs.b AS dst
+      FROM thr JOIN pairs ON pairs.jacc_ppm >= thr.thr
+      UNION ALL
+      SELECT thr.thr, pairs.b, pairs.a
+      FROM thr JOIN pairs ON pairs.jacc_ppm >= thr.thr),
+    reach(thr, v, r) AS (
+      SELECT thr.thr, d.doc_id, d.doc_id FROM thr CROSS JOIN documents d
+      UNION
+      SELECT e.thr, e.dst, reach.r
+      FROM reach JOIN edges e ON reach.v = e.src AND reach.thr = e.thr),
+    comp AS (SELECT thr, v, min(r) AS rep FROM reach GROUP BY thr, v),
+    sizes AS (SELECT thr, rep, CAST(count(1) AS BIGINT) AS sz
+              FROM comp GROUP BY thr, rep),
+    ec AS (
+      SELECT thr.thr, CAST(count(pairs.a) AS BIGINT) AS n_edges
+      FROM thr LEFT JOIN pairs ON pairs.jacc_ppm >= thr.thr
+      GROUP BY thr.thr),
+    agg AS (
+      SELECT thr,
+             CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clusters,
+             CAST(max(sz) AS BIGINT) AS largest_component,
+             CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+               AS docs_in_clusters,
+             CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons
+      FROM sizes GROUP BY thr)
+    SELECT CAST(agg.thr AS BIGINT) AS threshold_ppm, ec.n_edges,
+           agg.n_clusters, agg.largest_component, agg.docs_in_clusters,
+           agg.n_singletons
+    FROM agg JOIN ec ON agg.thr = ec.thr
+    ORDER BY threshold_ppm"""
+
   /** q8b: CROSS-SOURCE DUPLICATION MATRIX — WHO copies from WHOM: the
     * q8a near-dup pair table rolled up by the (source, source)
     * ordered pair of each document pair, with per-cell counts at a

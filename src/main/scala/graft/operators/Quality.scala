@@ -1455,6 +1455,84 @@ object Quality {
              * 1e6 + 0.5) AS BIGINT) AS tau_b_e6
     FROM pc CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
 
+  /** q8q: CORPUS DATASHEET — the one-row release artifact of
+    * "Datasheets for Datasets" (Gebru et al. 2021): the composition and
+    * volume facts a consumer reads before training on a snapshot, all
+    * exact integers off one pass per table. Documents: doc/char/token
+    * totals, source and language arity, char range, unique-text count
+    * with the exact-duplicate share in ppm (the q51 collision-safe
+    * grouping), chars-per-token (the tokenizer-budget headline,
+    * e3-scaled). Embeddings: vector count and dimensionality. Events:
+    * row count and the covered span in days (date-cast on both sides so
+    * neither engine's timestamp day-boundary convention leaks in).
+    *
+    * Scale shape: four independent 1-row aggregates (one scan each, all
+    * map-side combined) broadcast-crossed into the single datasheet
+    * row. The unique-text aggregate is the only shuffle, keyed on
+    * (xxhash64, text) exactly like q51. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    val u = Tables.documents(spark, dir)
+      .groupBy(xxhash64(col("text")), col("text")).agg(count(lit(1)).as("c"))
+      .groupBy().agg(count(lit(1)).as("n_unique_texts"))
+    val e = Tables.embeddings(spark, dir).groupBy().agg(
+      count(lit(1)).as("n_vectors"),
+      first(size(col("embedding"))).cast("long").as("embedding_dim"))
+    val ev = Tables.events(spark, dir).groupBy().agg(
+      count(lit(1)).as("n_events"),
+      datediff(to_date(max(col("ts"))), to_date(min(col("ts"))))
+        .cast("long").as("event_span_days"))
+    d.crossJoin(broadcast(u)).crossJoin(broadcast(e)).crossJoin(broadcast(ev))
+      .select(col("n_docs"), col("total_chars"), col("n_sources"),
+        col("n_langs"), col("min_chars"), col("max_chars"),
+        col("total_tokens"), col("n_unique_texts"),
+        expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
+          .as("exact_dup_ppm"),
+        expr("(total_chars * 1000) div total_tokens")
+          .as("chars_per_token_e3"),
+        col("n_vectors"), col("embedding_dim"), col("n_events"),
+        col("event_span_days"))
+  }
+
+  def corpusDatasheetOracle: String = """
+    WITH d AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(max(n_chars) AS BIGINT) AS max_chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents),
+    u AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_unique_texts
+      FROM (SELECT text FROM documents GROUP BY text)),
+    e AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_vectors,
+             CAST(any_value(len(embedding)) AS BIGINT) AS embedding_dim
+      FROM embeddings),
+    ev AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_events,
+             CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT)
+               AS event_span_days
+      FROM events)
+    SELECT d.n_docs, d.total_chars, d.n_sources, d.n_langs, d.min_chars,
+           d.max_chars, d.total_tokens, u.n_unique_texts,
+           CAST(((d.n_docs - u.n_unique_texts) * 1000000) // d.n_docs
+             AS BIGINT) AS exact_dup_ppm,
+           CAST((d.total_chars * 1000) // d.total_tokens AS BIGINT)
+             AS chars_per_token_e3,
+           e.n_vectors, e.embedding_dim, ev.n_events, ev.event_span_days
+    FROM d CROSS JOIN u CROSS JOIN e CROSS JOIN ev"""
+
   /** q8l: WASSERSTEIN-1 (EARTH MOVER) DRIFT over the discrete
     * `l_quantity` domain — the TRANSPORT reading of distribution shift,
     * completing the drift family: q1e/PSI reads per-bin mass ratios,

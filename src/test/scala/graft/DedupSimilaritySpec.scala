@@ -879,6 +879,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q8r percolation curve: threshold monotonicity, corpus conservation, " +
+      "largest component bounded by clustered mass") {
+    val rows = Dedup.percolationCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold_ppm"))
+    assert(rows.length == 3)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_in_clusters") + r.getAs[Long]("n_singletons")
+        == nDocs, "clusters + singletons must partition the corpus")
+      assert(r.getAs[Long]("largest_component")
+        <= math.max(1L, r.getAs[Long]("docs_in_clusters")))
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("docs_in_clusters") / 2
+        || r.getAs[Long]("n_clusters") == 0)
+    }
+    def seq(c: String) = rows.map(_.getAs[Long](c)).toSeq
+    // raising the threshold only removes edges: everything graph-side
+    // must move monotonically
+    assert(seq("n_edges") == seq("n_edges").sorted.reverse)
+    assert(seq("largest_component") == seq("largest_component").sorted.reverse)
+    assert(seq("docs_in_clusters") == seq("docs_in_clusters").sorted.reverse)
+    assert(seq("n_singletons") == seq("n_singletons").sorted)
+    // the loose threshold must actually find the planted near-dup mass
+    assert(rows.head.getAs[Long]("n_edges") > 0, "no edges at the loose threshold")
+  }
+
   test("q8p embedding health: planted dead dim flagged, collapsed corpus at " +
       "anisotropy 1e6, symmetric corpus at 0; fixture moments bounded") {
     import spark.implicits._

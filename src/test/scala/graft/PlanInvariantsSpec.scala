@@ -71,7 +71,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q8j_source_divergence" -> "pair spine = broadcast self-join of the |sources|-row totals (non-equi sa<sb) + 1-row matrix-totals aggregate",
     "q8n_distinguishing_terms" -> "1-row (V, N) global-totals aggregate broadcast onto the scored counts",
     "q8o_interleaving_audit" -> "1-row corpus-total aggregate broadcast onto the |shards|x|sources| mix table",
-    "q8p_embedding_health" -> "1-row anisotropy aggregate broadcast onto the |dims|-row (64) stats frame")
+    "q8p_embedding_health" -> "1-row anisotropy aggregate broadcast onto the |dims|-row (64) stats frame",
+    "q8q_corpus_datasheet" -> "four 1-row per-table aggregates broadcast-crossed into the single datasheet row",
+    "q8r_percolation_curve" -> "q57's 1-row fixpoint probe per threshold + 1-row edge-count aggregates broadcast onto 1-row cluster rollups")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -1134,6 +1134,27 @@ class QualitySpec extends SparkSpec {
     assert(qE6 > 0L, "modularity not positive — LPA partition carries no signal")
   }
 
+  test("corpusDatasheet: totals match direct recounts, dup share identity, " +
+      "span non-negative") {
+    val r = Quality.corpusDatasheet(spark, sfDir).head()
+    val docs = Tables.documents(spark, sfDir)
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_unique_texts")
+      == docs.select("text").distinct().count())
+    assert(r.getAs[Long]("exact_dup_ppm") ==
+      (r.getAs[Long]("n_docs") - r.getAs[Long]("n_unique_texts")) * 1000000L /
+        r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("total_chars") ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+    assert(r.getAs[Long]("chars_per_token_e3") ==
+      r.getAs[Long]("total_chars") * 1000L / r.getAs[Long]("total_tokens"))
+    assert(r.getAs[Long]("embedding_dim") == 64L)
+    assert(r.getAs[Long]("event_span_days") >= 0L)
+    assert(r.getAs[Long]("n_events") == Tables.events(spark, sfDir).count())
+  }
+
   test("wassersteinDrift: ECDFs monotone to 1e6, W1 is the exact |flow| sum, " +
       "and dominates both the net shift and the KS-style max gap") {
     val rows = Quality.wassersteinDrift(spark, sfDir).collect()
