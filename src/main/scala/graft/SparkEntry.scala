@@ -248,6 +248,10 @@ object SparkEntry {
     "q8p_embedding_health"  -> ((s: SparkSession, d: String) => Similarity.embeddingHealth(s, d)),
     "q8q_corpus_datasheet"  -> (Quality.corpusDatasheet _),
     "q8r_percolation_curve" -> (Dedup.percolationCurve(_, _)),
+    "q9a_mixture_epochs"    -> (Curation.mixtureEpochs _),
+    "q9b_lm_perplexity"     -> ((s: SparkSession, d: String) => Text.lmPerplexity(s, d)),
+    "q9c_curriculum_phases" -> ((s: SparkSession, d: String) => Curation.curriculumPhases(s, d)),
+    "q9d_filter_ablation"   -> (Curation.filterAblation _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -744,6 +748,10 @@ object SparkEntry {
     "q8p_embedding_health"   -> Similarity.embeddingHealthOracle,
     "q8q_corpus_datasheet"   -> Quality.corpusDatasheetOracle,
     "q8r_percolation_curve"  -> Dedup.percolationCurveOracle,
+    "q9a_mixture_epochs"     -> Curation.mixtureEpochsOracle,
+    "q9b_lm_perplexity"      -> Text.lmPerplexityOracle,
+    "q9c_curriculum_phases"  -> Curation.curriculumPhasesOracle,
+    "q9d_filter_ablation"    -> Curation.filterAblationOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -895,4 +895,285 @@ object Curation {
     FROM st JOIN rl ON st.shard = rl.shard
             JOIN dev ON st.shard = dev.shard
     ORDER BY st.shard"""
+
+  /** q9a: MIXTURE EPOCH SCHEDULE — the TOKEN-mass temperature table
+    * that complements [[temperatureMixture]] (q4g): q4g grades the
+    * document-level α=0.5 KEEP GATE (who survives a subsample); this
+    * operator grades the training SCHEDULE a multilingual trainer ships
+    * (Arivazhagan et al. 2019 §5, p_l ∝ n_l^α over token masses;
+    * UNIMAX, Chung et al. 2023, motivates the epoch-cap column): for
+    * α ∈ {0.3, 0.7}, the per-language sampling weight n_l^α / Σ_k n_k^α
+    * and the EXPECTED EPOCHS each language is replayed for under a
+    * one-total-corpus token budget — α=1 is proportional (head
+    * languages dominate), α→0 uniform (tail languages repeat) — plus
+    * the UNIMAX-style flag for languages pushed past a 3-epoch cap.
+    *
+    * Exactness doctrine: the only aggregate is an integer (lang, docs,
+    * tokens) rollup; each n_l^α forms ONE libm pow from identical
+    * integer operands and is quantized to integer e3 (the q1e/q8e
+    * encoding), so the normalizing sums are INTEGER sums (order-free)
+    * and every emitted ratio is a single IEEE mult+div chain over
+    * integer operands, floor(·+0.5)-quantized — hash-replayable.
+    *
+    * Scale shape: one map-side-combined groupBy(lang) (≤ language-count
+    * rows forever), then window arithmetic over that bounded frame
+    * (Window.partitionBy() on ≤5 rows — the q1e rule). Ratios go
+    * through doubles, NOT `x * 1e6 div total`: per-language token mass
+    * at 100 TB (~2.5e13 tokens) times 1e6 wraps int64, the exact
+    * overflow class round-6 advice flagged in fisherSeparation — the
+    * double path trades 2^-53 relative error (invisible at ppm scale)
+    * for no wrap at any corpus size. */
+  def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir).groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = Window.partitionBy() // ≤ n_languages rows — the q1e rule
+    def powE3(alpha: Double) =
+      floor(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e3 + 0.5)
+        .cast("long")
+    perLang
+      .withColumn("tot_tokens", sum("n_tokens").over(tot))
+      .withColumn("p03_e3", powE3(0.3))
+      .withColumn("p07_e3", powE3(0.7))
+      .withColumn("s03", sum("p03_e3").over(tot))
+      .withColumn("s07", sum("p07_e3").over(tot))
+      .withColumn("share_ppm", floor(
+        col("n_tokens").cast("double") * 1e6 / col("tot_tokens") + 0.5)
+        .cast("long"))
+      .withColumn("w03_ppm", floor(
+        col("p03_e3").cast("double") * 1e6 / col("s03") + 0.5).cast("long"))
+      .withColumn("w07_ppm", floor(
+        col("p07_e3").cast("double") * 1e6 / col("s07") + 0.5).cast("long"))
+      .withColumn("epochs03_e3", floor(
+        col("w03_ppm").cast("double") * col("tot_tokens") / col("n_tokens")
+          / 1000.0 + 0.5).cast("long"))
+      .withColumn("epochs07_e3", floor(
+        col("w07_ppm").cast("double") * col("tot_tokens") / col("n_tokens")
+          / 1000.0 + 0.5).cast("long"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+        col("w03_ppm"), col("w07_ppm"), col("epochs03_e3"), col("epochs07_e3"),
+        (col("epochs03_e3") > 3000L).as("cap3_exceeded"))
+      .orderBy("lang")
+  }
+
+  def mixtureEpochsOracle: String = """
+    WITH pl AS (
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    p AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3) * 1e3 + 0.5)
+               AS BIGINT) AS p03_e3,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1e3 + 0.5)
+               AS BIGINT) AS p07_e3
+      FROM pl),
+    s AS (
+      SELECT *, CAST(sum(p03_e3) OVER () AS BIGINT) AS s03,
+                CAST(sum(p07_e3) OVER () AS BIGINT) AS s07
+      FROM p),
+    w AS (
+      SELECT lang, n_docs, n_tokens, tot_tokens,
+             CAST(floor(CAST(n_tokens AS DOUBLE) * 1e6 / tot_tokens + 0.5)
+               AS BIGINT) AS share_ppm,
+             CAST(floor(CAST(p03_e3 AS DOUBLE) * 1e6 / s03 + 0.5)
+               AS BIGINT) AS w03_ppm,
+             CAST(floor(CAST(p07_e3 AS DOUBLE) * 1e6 / s07 + 0.5)
+               AS BIGINT) AS w07_ppm
+      FROM s)
+    SELECT lang, n_docs, n_tokens, share_ppm, w03_ppm, w07_ppm,
+           CAST(floor(CAST(w03_ppm AS DOUBLE) * tot_tokens / n_tokens
+             / 1000.0 + 0.5) AS BIGINT) AS epochs03_e3,
+           CAST(floor(CAST(w07_ppm AS DOUBLE) * tot_tokens / n_tokens
+             / 1000.0 + 0.5) AS BIGINT) AS epochs07_e3,
+           CAST(floor(CAST(w03_ppm AS DOUBLE) * tot_tokens / n_tokens
+             / 1000.0 + 0.5) AS BIGINT) > 3000 AS cap3_exceeded
+    FROM w ORDER BY lang"""
+
+  /** q9c: SEQUENCE-LENGTH CURRICULUM PHASES — the length-based
+    * curriculum schedule (short-sequences-first warmup, the schedule
+    * T5/GPT-style pretraining uses to cheapen early steps): documents
+    * are ordered by token length and cut into 4 phases of EQUAL TOKEN
+    * MASS, and the graded artifact is the phase table a trainer ships —
+    * per-phase length range, document count, token mass, and cumulative
+    * share. Equal-mass (not equal-count) phases are the operative
+    * choice: each phase represents the same optimizer budget.
+    *
+    * Scale shape: phase boundaries are NOT a global sort — document
+    * lengths are binned into ≤ `maxBucket`+1 fixed-width buckets (one
+    * map-side-combined aggregate), the cumulative mass walk runs on
+    * that bounded histogram (Window over ≤128 rows — the q1e rule), and
+    * phase membership is decided per BUCKET by pure integer
+    * comparisons (4·cum_prev ≥ k·total — no division, no doubles), so
+    * assignment would broadcast back join-free at 100 TB. A
+    * Window.orderBy over raw documents here would funnel the corpus
+    * through one task; the histogram walk is the scale-correct
+    * equivalent with bucket-width resolution.
+    *
+    * Exactness: everything up to the two ppm share columns is integer
+    * arithmetic; the shares are one IEEE mult+div over integer
+    * operands, floor(·+0.5)-quantized — hash-replayable. */
+  def curriculumPhases(spark: SparkSession, dir: String,
+      bucketTokens: Int = 8, maxBucket: Int = 127): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(
+        expr(s"least(size(split(text, ' ')) div $bucketTokens, $maxBucket)")
+          .cast("long").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val ordered = Window.orderBy("bucket") // ≤ maxBucket+1 rows — the q1e rule
+    val phased = hist
+      .withColumn("total", sum("n_tokens").over(Window.partitionBy()))
+      .withColumn("cum_prev", coalesce(
+        sum("n_tokens").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("phase", (lit(1)
+        + when(col("cum_prev") * 4 >= col("total"), 1).otherwise(0)
+        + when(col("cum_prev") * 2 >= col("total"), 1).otherwise(0)
+        + when(col("cum_prev") * 4 >= col("total") * 3, 1).otherwise(0))
+        .cast("int"))
+    phased.groupBy("phase").agg(
+        count(lit(1)).as("n_buckets"),
+        min("bucket").as("bucket_lo"),
+        max("bucket").as("bucket_hi"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        max("total").as("total"))
+      .withColumn("share_ppm", floor(
+        col("n_tokens").cast("double") * 1e6 / col("total") + 0.5).cast("long"))
+      .withColumn("cum_share_ppm", floor(
+        sum("n_tokens").over(Window.orderBy("phase")).cast("double") * 1e6
+          / col("total") + 0.5).cast("long"))
+      .select("phase", "n_buckets", "bucket_lo", "bucket_hi", "n_docs",
+        "n_tokens", "share_ppm", "cum_share_ppm")
+      .orderBy("phase")
+  }
+
+  def curriculumPhasesOracle: String = """
+    WITH d AS (
+      SELECT least(len(string_split(text, ' ')) // 8, 127) AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    h AS (
+      SELECT bucket, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY bucket),
+    c AS (
+      SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM h),
+    p AS (
+      SELECT *, CAST(1 + CASE WHEN cum_prev * 4 >= total THEN 1 ELSE 0 END
+                       + CASE WHEN cum_prev * 2 >= total THEN 1 ELSE 0 END
+                       + CASE WHEN cum_prev * 4 >= total * 3 THEN 1 ELSE 0 END
+               AS INTEGER) AS phase
+      FROM c),
+    g AS (
+      SELECT phase, CAST(count(1) AS BIGINT) AS n_buckets,
+             CAST(min(bucket) AS BIGINT) AS bucket_lo,
+             CAST(max(bucket) AS BIGINT) AS bucket_hi,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(max(total) AS BIGINT) AS total
+      FROM p GROUP BY phase)
+    SELECT phase, n_buckets, bucket_lo, bucket_hi, n_docs, n_tokens,
+           CAST(floor(CAST(n_tokens AS DOUBLE) * 1e6 / total + 0.5)
+             AS BIGINT) AS share_ppm,
+           CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY phase) AS DOUBLE)
+             * 1e6 / total + 0.5) AS BIGINT) AS cum_share_ppm
+    FROM g ORDER BY phase"""
+
+  /** q9d: FILTER ABLATION MATRIX — q4e grades the CASCADE (cumulative
+    * survival through ordered gates); this operator grades the same
+    * gates UN-cascaded, the FineWeb-style ablation a curation team
+    * reads before choosing the cascade at all: every document is placed
+    * in one of 2³ cells by which of the three content gates it passes
+    * (min-length, token-diversity, stopword-cap — the q4e thresholds,
+    * byte-identical), and the matrix shows each gate's marginal and
+    * UNIQUE kill mass — a gate that only ever removes documents another
+    * gate also removes is redundant and can be dropped from the
+    * pipeline without changing the kept set.
+    *
+    * Scale shape: one narrow projection computes all three rounded
+    * scores per row (codegen, zero shuffle), one map-side-combined
+    * aggregate lands in ≤8 cells, and the 0..7 domain is completed via
+    * a `spark.range(8)` left join so empty cells grade as explicit
+    * zeros. Gate scores compare ROUNDED values (the q4e idiom) so the
+    * booleans replay bit-for-bit in the oracle. */
+  def filterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("diversity",
+        round(size(array_distinct(col("toks"))) / col("n_tokens"), 4))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "to", "in"))) / col("n_tokens"), 4))
+    val cell = (when(col("n_chars") >= 100, 4).otherwise(0)
+      + when(col("diversity") >= 0.35, 2).otherwise(0)
+      + when(col("stop_ratio") <= 0.15, 1).otherwise(0)).cast("long")
+    val cells = docs.select(cell.as("cell"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    spark.range(8).toDF("cell")
+      .join(cells, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens"))
+      .withColumn("total_docs", sum("n_docs").over(Window.partitionBy())) // 8 rows
+      .withColumn("pass_len", expr("(cell div 4) % 2 = 1"))
+      .withColumn("pass_div", expr("(cell div 2) % 2 = 1"))
+      .withColumn("pass_stop", expr("cell % 2 = 1"))
+      .withColumn("docs_ppm", floor(
+        col("n_docs").cast("double") * 1e6 / col("total_docs") + 0.5)
+        .cast("long"))
+      .withColumn("kept", col("cell") === 7L)
+      .withColumn("unique_kill", col("cell").isin(3L, 5L, 6L))
+      .select("cell", "pass_len", "pass_div", "pass_stop", "n_docs",
+        "n_tokens", "docs_ppm", "kept", "unique_kill")
+      .orderBy("cell")
+  }
+
+  def filterAblationOracle: String = """
+    WITH d AS (
+      SELECT n_chars, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+               AS diversity,
+             round(CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(toks), 4) AS stop_ratio
+      FROM d),
+    cc AS (
+      SELECT (CASE WHEN n_chars >= 100 THEN 4 ELSE 0 END
+            + CASE WHEN diversity >= 0.35 THEN 2 ELSE 0 END
+            + CASE WHEN stop_ratio <= 0.15 THEN 1 ELSE 0 END) AS cell,
+             n_tok
+      FROM f),
+    g AS (
+      SELECT cell, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM cc GROUP BY cell),
+    dom AS (SELECT CAST(range AS BIGINT) AS cell FROM range(8)),
+    m AS (
+      SELECT dom.cell,
+             CAST(coalesce(g.n_docs, 0) AS BIGINT) AS n_docs,
+             CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM dom LEFT JOIN g ON dom.cell = g.cell),
+    t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS total_docs FROM m)
+    SELECT cell,
+           CAST(cell // 4 % 2 AS INTEGER) = 1 AS pass_len,
+           CAST(cell // 2 % 2 AS INTEGER) = 1 AS pass_div,
+           CAST(cell % 2 AS INTEGER) = 1 AS pass_stop,
+           n_docs, n_tokens,
+           CAST(floor(CAST(n_docs AS DOUBLE) * 1e6 / total_docs + 0.5)
+             AS BIGINT) AS docs_ppm,
+           cell = 7 AS kept,
+           cell IN (3, 5, 6) AS unique_kill
+    FROM t ORDER BY cell"""
 }

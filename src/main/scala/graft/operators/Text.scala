@@ -1109,4 +1109,141 @@ object Text {
            rk.na AS n_tok_a, rk.nb AS n_tok_b, rk.n_shared, rk.jsd_e9,
            tots.n_pairs, tots.min_jsd_e9, tots.max_jsd_e9
     FROM rk CROSS JOIN tots WHERE rk.rank <= 10 ORDER BY rk.rank"""
+
+  /** q9b: IN-DOMAIN LM-PERPLEXITY FILTER — the CCNet selection gate
+    * (Wenzek et al. 2020 §4.3: score every crawled document by the
+    * perplexity of a language model trained on a TRUSTED slice; keep
+    * the low-perplexity head). Three things distinguish this from the
+    * corpus-self-trained scorers already in the surface ([[unigramLogProb]]
+    * q4a, [[bigramScore]] q4j): (1) the model is fit on the `trainLang`
+    * slice only, so the score measures in-domain-ness, not just
+    * fluency — the actual CCNet semantics; (2) the model is a
+    * Laplace-smoothed token-BIGRAM LM over `nBuckets` HASHED buckets
+    * (DSIR's hashed-feature trick), bounding it at `nBuckets` rows no
+    * matter the corpus — broadcastable at 100 TB where q4j's exact
+    * bigram table grows past the broadcast budget and must shuffle;
+    * (3) the graded artifact is the per-LANGUAGE selection report
+    * (mean/min/max cross-entropy + head-retention rate under the
+    * cutoff), the table a curation run reviews before committing the
+    * gate — the trained language must sit at the low-perplexity head.
+    *
+    * Exactness doctrine: bucket counts are integers; each bucket's
+    * smoothed log-prob forms ONE libm ln from identical integer
+    * operands, quantized to integer e6 (the q1e/q8e encoding), so a
+    * document's total log-likelihood is an exact INTEGER sum of bucket
+    * literals (order-free) and every derived ratio is one IEEE division
+    * over integer operands, floor(·+0.5)-quantized — hash-replayable.
+    *
+    * Scale shape: the token stream is scanned twice (train-slice count,
+    * then scoring) and deliberately NOT cached — at 100 TB the narrow
+    * rescan beats materializing an exploded corpus (the q8e doctrine).
+    * The train aggregate is map-side combined into ≤ nBuckets rows,
+    * completed over the 0..nBuckets-1 domain via a `spark.range` left
+    * join (so absent buckets carry the smoothing floor and the scoring
+    * join is a total function), and broadcast back; scoring is then one
+    * explode + broadcast-hash-join + per-doc aggregate — scan-shaped,
+    * no shuffle wider than the final ≤ n_languages reporting rollup. */
+  def lmPerplexity(spark: SparkSession, dir: String, nBuckets: Int = 256,
+      trainLang: String = "en", headCutoffE6: Long = 5400000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    // bigram bucket stream: hash each token pair (h1·131 + h2) mod p
+    // into nBuckets buckets via zip_with over the shifted token array
+    val bigrams = docs
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => ((tokenHash(a) * lit(131L) + tokenHash(b))
+            % lit(1000000007L)) % lit(nBuckets.toLong))).as("b"))
+    val trainCounts = bigrams.where(col("lang") === trainLang)
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val model = spark.range(nBuckets).toDF("b")
+      .join(trainCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("ntr", sum("cnt").over(Window.partitionBy())) // ≤ nBuckets rows
+      .withColumn("logp_e6", floor(
+        log((col("cnt") + 1L).cast("double") / (col("ntr") + nBuckets))
+          * 1e6 + 0.5).cast("long"))
+      .select("b", "logp_e6")
+    val perDoc = bigrams.join(broadcast(model), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("logp_e6").as("tot_logp_e6"))
+      .withColumn("ce_e6", floor(
+        -col("tot_logp_e6").cast("double") / col("n_bigrams") + 0.5)
+        .cast("long"))
+    val langAgg = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_scored"),
+      sum("n_bigrams").as("n_bigrams"),
+      floor(sum("ce_e6").cast("double") / count(lit(1)) + 0.5).cast("long")
+        .as("mean_ce_e6"),
+      min("ce_e6").as("min_ce_e6"),
+      max("ce_e6").as("max_ce_e6"),
+      sum(when(col("ce_e6") <= headCutoffE6, 1L).otherwise(0L)).as("n_head"))
+    val nDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    nDocs.join(broadcast(langAgg), "lang")
+      .withColumn("head_ppm", floor(
+        col("n_head").cast("double") * 1e6 / col("n_scored") + 0.5)
+        .cast("long"))
+      .select(col("lang"), col("n_docs"), col("n_scored"), col("n_bigrams"),
+        col("mean_ce_e6"), col("min_ce_e6"), col("max_ce_e6"), col("n_head"),
+        col("head_ppm"))
+      .orderBy("lang")
+  }
+
+  def lmPerplexityOracle: String = """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS t,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    h AS (
+      SELECT doc_id, lang, ord,
+             (length(t) * 1000003 + ascii(t) * 65599
+              + ascii(substring(t, -1, 1)) * 31) % 1000000007 AS th
+      FROM toks),
+    big AS (
+      SELECT a.doc_id, a.lang,
+             ((a.th * 131 + b.th) % 1000000007) % 256 AS b
+      FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+    tc AS (
+      SELECT b, CAST(count(1) AS BIGINT) AS cnt
+      FROM big WHERE lang = 'en' GROUP BY b),
+    dom AS (SELECT CAST(range AS BIGINT) AS b FROM range(256)),
+    m0 AS (
+      SELECT dom.b, CAST(coalesce(tc.cnt, 0) AS BIGINT) AS cnt
+      FROM dom LEFT JOIN tc ON dom.b = tc.b),
+    m AS (
+      SELECT b, CAST(floor(ln((cnt + 1.0) / (ntr + 256.0)) * 1e6 + 0.5)
+               AS BIGINT) AS logp_e6
+      FROM (SELECT *, CAST(sum(cnt) OVER () AS BIGINT) AS ntr FROM m0)),
+    sc AS (
+      SELECT big.doc_id, big.lang, CAST(count(1) AS BIGINT) AS n_bigrams,
+             CAST(sum(m.logp_e6) AS BIGINT) AS tot_logp_e6
+      FROM big JOIN m ON big.b = m.b
+      GROUP BY big.doc_id, big.lang),
+    ce AS (
+      SELECT *, CAST(floor(-CAST(tot_logp_e6 AS DOUBLE) / n_bigrams + 0.5)
+               AS BIGINT) AS ce_e6
+      FROM sc),
+    la AS (
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_scored,
+             CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+             CAST(floor(CAST(sum(ce_e6) AS DOUBLE) / count(1) + 0.5)
+               AS BIGINT) AS mean_ce_e6,
+             CAST(min(ce_e6) AS BIGINT) AS min_ce_e6,
+             CAST(max(ce_e6) AS BIGINT) AS max_ce_e6,
+             CAST(sum(CASE WHEN ce_e6 <= 5400000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_head
+      FROM ce GROUP BY lang),
+    nd AS (
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang)
+    SELECT nd.lang, nd.n_docs, la.n_scored, la.n_bigrams, la.mean_ce_e6,
+           la.min_ce_e6, la.max_ce_e6, la.n_head,
+           CAST(floor(CAST(la.n_head AS DOUBLE) * 1e6 / la.n_scored + 0.5)
+             AS BIGINT) AS head_ppm
+    FROM nd JOIN la ON nd.lang = la.lang ORDER BY nd.lang"""
 }

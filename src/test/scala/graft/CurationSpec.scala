@@ -395,6 +395,100 @@ class CurationSpec extends SparkSpec {
       s"target lang not over-represented: $enTop/20 vs $nEn/$nDocs")
   }
 
+  test("q9a mixture epochs: weights normalize, temperature flattens " +
+      "monotonically, epoch budget conserves") {
+    val rows = Curation.mixtureEpochs(spark, sfDir).collect()
+    assert(rows.length >= 2, "fixture must carry >= 2 languages")
+    def col(n: String) = rows.map(_.getAs[Long](n))
+    // each weight column normalizes to 1e6 up to per-row rounding
+    for (w <- Seq("share_ppm", "w03_ppm", "w07_ppm")) {
+      val s = col(w).sum
+      assert(math.abs(s - 1000000L) <= rows.length,
+        s"$w sums to $s, not ~1e6")
+    }
+    // temperature flattens: for the largest language the weight must
+    // DECREASE as alpha drops (1 -> 0.7 -> 0.3); for the smallest it
+    // must increase — the defining property of the schedule
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val (small, large) = (byTok.head, byTok.last)
+    assert(large.getAs[Long]("share_ppm") > large.getAs[Long]("w07_ppm"))
+    assert(large.getAs[Long]("w07_ppm") > large.getAs[Long]("w03_ppm"))
+    assert(small.getAs[Long]("share_ppm") < small.getAs[Long]("w07_ppm"))
+    assert(small.getAs[Long]("w07_ppm") < small.getAs[Long]("w03_ppm"))
+    // epochs: the head language trains for < 1 epoch under flattening,
+    // the tail language for > 1 — and weight-ordering inverts into
+    // epoch-ordering (epochs = w * B / n is decreasing in n for fixed w)
+    assert(large.getAs[Long]("epochs03_e3") < 1000L)
+    assert(small.getAs[Long]("epochs03_e3") > 1000L)
+    // budget conservation: sum over languages of (w_l * B) tokens is B,
+    // i.e. sum of epochs weighted by token mass ~ total tokens
+    val b = rows.map(_.getAs[Long]("n_tokens")).sum
+    val spent = rows.map(r => r.getAs[Long]("epochs03_e3") * 1e-3
+      * r.getAs[Long]("n_tokens")).sum
+    assert(math.abs(spent - b) / b < 0.01, s"epoch budget drifted: $spent vs $b")
+  }
+
+  test("q9c curriculum phases: contiguous equal-mass phases conserve the corpus") {
+    val rows = Curation.curriculumPhases(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("phase")).toSeq == (1 to rows.length),
+      "phases must be the dense 1..k sequence")
+    // phases partition the bucket axis monotonically: each phase's range
+    // starts strictly after the previous one ends
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("bucket_lo") > a.getAs[Long]("bucket_hi"),
+        "phase bucket ranges must be disjoint and increasing")
+    }
+    // conservation: docs and tokens sum to the corpus totals
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val nTok = docs.select(org.apache.spark.sql.functions.expr(
+      "sum(size(split(text, ' ')))")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == nTok)
+    assert(rows.last.getAs[Long]("cum_share_ppm") == 1000000L)
+    // equal-mass up to bucket resolution: every phase's share within the
+    // largest single bucket's mass of the 25% target
+    val hist = docs.select(org.apache.spark.sql.functions.expr(
+        "least(size(split(text, ' ')) div 8, 127)").as("b"),
+        org.apache.spark.sql.functions.expr("size(split(text, ' '))").as("n"))
+      .groupBy("b").agg(org.apache.spark.sql.functions.expr("sum(n)").as("m"))
+      .collect()
+    val maxBucketPpm = hist.map(_.getAs[Long]("m")).max * 1000000L / nTok
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("share_ppm") - 250000L) <= maxBucketPpm,
+        s"phase ${r.getAs[Int]("phase")} share off by more than one bucket")
+    }
+  }
+
+  test("q9d filter ablation: cells partition the corpus and marginals " +
+      "replay against direct gate recounts") {
+    import org.apache.spark.sql.functions.{col => c, _}
+    val rows = Curation.filterAblation(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "cells must partition the corpus")
+    // flag columns are pure functions of the cell id
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(r.getAs[Boolean]("pass_len") == ((cell / 4) % 2 == 1))
+      assert(r.getAs[Boolean]("pass_div") == ((cell / 2) % 2 == 1))
+      assert(r.getAs[Boolean]("pass_stop") == (cell % 2 == 1))
+      assert(r.getAs[Boolean]("kept") == (cell == 7))
+      assert(r.getAs[Boolean]("unique_kill") == Set(3L, 5L, 6L).contains(cell))
+    }
+    // marginal recount: the min-length gate's pass count recomputed
+    // directly must equal the sum over cells with the length bit set
+    val lenPass = docs.where(c("n_chars") >= 100).count()
+    assert(rows.filter(_.getAs[Boolean]("pass_len"))
+      .map(_.getAs[Long]("n_docs")).sum == lenPass,
+      "length-gate marginal diverged from direct recount")
+    // at least one gate must have unique kill mass on the fixture —
+    // otherwise the matrix degenerates and the operator grades nothing
+    assert(rows.filter(_.getAs[Boolean]("unique_kill"))
+      .map(_.getAs[Long]("n_docs")).sum > 0L)
+  }
+
   test("q8o interleaving audit: shards partition the corpus; planted " +
       "contiguous source blocks are broken up by the permutation") {
     import spark.implicits._

@@ -449,6 +449,42 @@ class TextSpec extends SparkSpec {
       "rank-1 z must replay exactly from integer counts")
   }
 
+  test("q9b lm perplexity: trained language sits at the low-perplexity " +
+      "head; totals conserve; model is total over its domain") {
+    val df = Text.lmPerplexity(spark, sfDir)
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sfDir)
+    // every fixture doc has >= 2 tokens, so scoring is total
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_scored") == r.getAs[Long]("n_docs"),
+        s"${r.getAs[String]("lang")}: docs dropped from scoring")
+      assert(r.getAs[Long]("min_ce_e6") <= r.getAs[Long]("mean_ce_e6"))
+      assert(r.getAs[Long]("mean_ce_e6") <= r.getAs[Long]("max_ce_e6"))
+      assert(r.getAs[Long]("n_head") <= r.getAs[Long]("n_scored"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // bigram mass conserves: sum over langs == sum over docs of (n_tok - 1)
+    val expectBigrams = docs
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(greatest(size(split(text, ' ')) - 1, 0))")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum == expectBigrams)
+    // the CCNet contract: the language the model was trained on must
+    // have strictly the lowest mean cross-entropy AND strictly the
+    // highest head retention — otherwise the gate selects the wrong mass
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    rows.filter(_.getAs[String]("lang") != "en").foreach { r =>
+      assert(en.getAs[Long]("mean_ce_e6") < r.getAs[Long]("mean_ce_e6"),
+        s"en not lowest-perplexity vs ${r.getAs[String]("lang")}")
+      assert(en.getAs[Long]("head_ppm") > r.getAs[Long]("head_ppm"),
+        s"en not highest head retention vs ${r.getAs[String]("lang")}")
+    }
+    // cutoff binds somewhere: head retention strictly inside (0, 1)
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("head_ppm")
+      assert(ppm > 0L && ppm < 1000000L, "cutoff does not discriminate")
+    }
+  }
+
   test("q8j on the fixture: bounds, spine completeness, ranked ordering") {
     val rows = Text.sourceDivergence(spark, sfDir).collect()
     val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
