@@ -252,6 +252,9 @@ object SparkEntry {
     "q9b_lm_perplexity"     -> ((s: SparkSession, d: String) => Text.lmPerplexity(s, d)),
     "q9c_curriculum_phases" -> ((s: SparkSession, d: String) => Curation.curriculumPhases(s, d)),
     "q9d_filter_ablation"   -> (Curation.filterAblation _),
+    "q9e_class_balance"     -> (Quality.classBalance _),
+    "q9f_bpe_pairs"         -> ((s: SparkSession, d: String) => Text.bpeMergeCandidates(s, d)),
+    "q9g_domain_reweighting" -> ((s: SparkSession, d: String) => Curation.domainReweighting(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -752,6 +755,9 @@ object SparkEntry {
     "q9b_lm_perplexity"      -> Text.lmPerplexityOracle,
     "q9c_curriculum_phases"  -> Curation.curriculumPhasesOracle,
     "q9d_filter_ablation"    -> Curation.filterAblationOracle,
+    "q9e_class_balance"      -> Quality.classBalanceOracle,
+    "q9f_bpe_pairs"          -> Text.bpeMergeCandidatesOracle,
+    "q9g_domain_reweighting" -> Curation.domainReweightingOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

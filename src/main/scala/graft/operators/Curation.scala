@@ -1176,4 +1176,122 @@ object Curation {
            cell = 7 AS kept,
            cell IN (3, 5, 6) AS unique_kill
     FROM t ORDER BY cell"""
+
+  /** q9g: DOMAIN REWEIGHTING — the DoReMi/Group-DRO exponentiated-
+    * gradient step (Xie et al. 2023 "DoReMi", alg. 1): domains whose
+    * EXCESS LOSS is highest get their mixture weight multiplied by
+    * exp(η·excess) and the weights renormalize — "train more where the
+    * model is worst". The per-domain loss here is the deterministic
+    * proxy a data-only engine can grade: each source's mean token
+    * SURPRISAL under a reference model trained on the corpus's `en`
+    * slice (hashed-unigram Laplace-smoothed buckets over the q8e
+    * feature space, which bounds the model at `nBuckets` rows at any
+    * corpus size), so domains whose content sits farthest from the
+    * reference slice carry the highest excess and get upweighted
+    * hardest. Excess = loss − min over domains.
+    * The graded artifact is the reweighting table: proxy loss, excess,
+    * the post-EG weight against the uniform baseline, and the
+    * up/down-weight ratio.
+    *
+    * Exactness doctrine: bucket counts are integers; each bucket's
+    * smoothed log-probability forms ONE libm ln from identical integer
+    * operands quantized to e6, so per-source total surprisal is an
+    * integer sum (order-free); the EG exponential is one libm exp on an
+    * integer-derived double, e6-quantized per domain BEFORE the
+    * normalizing integer sum — hash-replayable.
+    *
+    * Scale shape: the token stream is scanned twice (reference slice,
+    * then scoring) and deliberately not cached (the q8e doctrine); the
+    * bounded model completes its 0..nBuckets-1 domain via `spark.range`
+    * and broadcasts back (always broadcastable, unlike a raw vocabulary —
+    * at 100 TB); everything after the ≤n_sources-row rollup is
+    * window arithmetic on that bounded frame (the q1e rule). */
+  def domainReweighting(spark: SparkSession, dir: String,
+      etaE3: Long = 1000L, nBuckets: Int = 64,
+      refLang: String = "en"): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("b", Text.tokenHash(col("tok")) % lit(nBuckets.toLong))
+    val refCounts = toks.where(col("lang") === refLang)
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val model = spark.range(nBuckets).toDF("b")
+      .join(refCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("nref", sum("cnt").over(Window.partitionBy())) // ≤ nBuckets rows
+      .withColumn("lp_e6", floor(
+        log((col("cnt") + 1L).cast("double") / (col("nref") + nBuckets))
+          * 1e6 + 0.5).cast("long"))
+      .select("b", "lp_e6")
+    val perSrc = toks.join(broadcast(model), "b")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
+    val tot = Window.partitionBy() // ≤ n_sources rows — the q1e rule
+    perSrc
+      .withColumn("loss_e6", floor(
+        -col("sum_lp_e6").cast("double") / col("n_tokens") + 0.5).cast("long"))
+      .withColumn("excess_e6", col("loss_e6") - min("loss_e6").over(tot))
+      .withColumn("w_raw_e6", floor(
+        exp(lit(etaE3.toDouble / 1e3) * (col("excess_e6").cast("double") / 1e6))
+          * 1e6 + 0.5).cast("long"))
+      .withColumn("w_sum_e6", sum("w_raw_e6").over(tot))
+      .withColumn("k", count(lit(1)).over(tot))
+      .withColumn("weight_ppm", floor(
+        col("w_raw_e6").cast("double") * 1e6 / col("w_sum_e6") + 0.5)
+        .cast("long"))
+      .withColumn("baseline_ppm", floor(lit(1e6) / col("k") + 0.5).cast("long"))
+      .withColumn("ratio_e3", floor(
+        col("weight_ppm").cast("double") * 1e3 / col("baseline_ppm") + 0.5)
+        .cast("long"))
+      .select("source", "n_tokens", "loss_e6", "excess_e6", "weight_ppm",
+        "baseline_ppm", "ratio_e3")
+      .orderBy("source")
+  }
+
+  def domainReweightingOracle: String = """
+    WITH toks AS (
+      SELECT source, lang,
+             ((length(t) * 1000003 + ascii(t) * 65599
+               + ascii(substring(t, -1, 1)) * 31) % 1000000007) % 64 AS b
+      FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS t
+            FROM documents)),
+    rc AS (
+      SELECT b, CAST(count(1) AS BIGINT) AS cnt
+      FROM toks WHERE lang = 'en' GROUP BY b),
+    dom AS (SELECT CAST(range AS BIGINT) AS b FROM range(64)),
+    m AS (
+      SELECT b, CAST(floor(ln((cnt + 1.0) / (nref + 64.0)) * 1e6 + 0.5)
+               AS BIGINT) AS lp_e6
+      FROM (SELECT dom.b, CAST(coalesce(rc.cnt, 0) AS BIGINT) AS cnt,
+                   CAST(sum(coalesce(rc.cnt, 0)) OVER () AS BIGINT) AS nref
+            FROM dom LEFT JOIN rc ON dom.b = rc.b)),
+    ps AS (
+      SELECT source, CAST(count(1) AS BIGINT) AS n_tokens,
+             CAST(sum(m.lp_e6) AS BIGINT) AS sum_lp_e6
+      FROM toks JOIN m ON toks.b = m.b
+      GROUP BY source),
+    l AS (
+      SELECT *, CAST(floor(-CAST(sum_lp_e6 AS DOUBLE) / n_tokens + 0.5)
+               AS BIGINT) AS loss_e6
+      FROM ps),
+    x AS (
+      SELECT *, CAST(loss_e6 - min(loss_e6) OVER () AS BIGINT) AS excess_e6
+      FROM l),
+    w AS (
+      SELECT *, CAST(floor(exp(1.0 * (CAST(excess_e6 AS DOUBLE) / 1e6))
+               * 1e6 + 0.5) AS BIGINT) AS w_raw_e6
+      FROM x),
+    s AS (
+      SELECT *, CAST(sum(w_raw_e6) OVER () AS BIGINT) AS w_sum_e6,
+             CAST(count(1) OVER () AS BIGINT) AS k
+      FROM w)
+    SELECT source, n_tokens, loss_e6, excess_e6,
+           CAST(floor(CAST(w_raw_e6 AS DOUBLE) * 1e6 / w_sum_e6 + 0.5)
+             AS BIGINT) AS weight_ppm,
+           CAST(floor(1e6 / k + 0.5) AS BIGINT) AS baseline_ppm,
+           CAST(floor(CAST(CAST(floor(CAST(w_raw_e6 AS DOUBLE) * 1e6
+               / w_sum_e6 + 0.5) AS BIGINT) AS DOUBLE) * 1e3
+             / CAST(floor(1e6 / k + 0.5) AS BIGINT) + 0.5) AS BIGINT)
+             AS ratio_e3
+    FROM s ORDER BY source"""
 }

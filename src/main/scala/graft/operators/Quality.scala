@@ -1699,4 +1699,103 @@ object Quality {
            CAST(min(CASE WHEN n_pri > 0 THEN n_pri END) AS BIGINT)
              AS l_diversity
     FROM lv GROUP BY level ORDER BY level"""
+
+  /** q9e: CLASS-BALANCE AUDIT — the label-distribution check a
+    * supervised/eval dataset passes before a fine-tune or probe run
+    * trains on it: per-class counts and shares, the max/min imbalance
+    * ratio, the EFFECTIVE NUMBER OF CLASSES exp(H) (the exponentiated
+    * Shannon entropy — equals k when perfectly balanced, collapses
+    * toward 1 under skew; the standard diversity-index reading), and a
+    * chi-square statistic against the uniform null with a graded
+    * verdict column. Runs over the `embeddings` table's `label` column
+    * — the corpus's only supervised signal.
+    *
+    * Exactness doctrine: class counts are exact integers; each class's
+    * entropy term and chi-square term forms from identical integer
+    * operands through one libm ln / IEEE square chain and is quantized
+    * to integer e9/e6 (the q1e/q1n encoding) BEFORE the cross-class
+    * sum, so the sums are integer and order-free; exp of the recovered
+    * entropy is one final libm call on an integer-derived double —
+    * hash-replayable. Differences are cast to DOUBLE before squaring
+    * (the round-6 fisherSeparation advisory: n_l·k − N reaches ~1e16 at
+    * 100 TB and its int64 SQUARE wraps; the double square does not).
+    *
+    * Scale shape: one map-side-combined groupBy(label) lands in k rows;
+    * every derived statistic is window arithmetic over that bounded
+    * frame (the q1e rule). */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy() // ≤ n_classes rows — the q1e rule
+    counts
+      .withColumn("n_total", sum("n").over(tot))
+      .withColumn("k", count(lit(1)).over(tot))
+      .withColumn("share_ppm", floor(
+        col("n").cast("double") * 1e6 / col("n_total") + 0.5).cast("long"))
+      // -p ln p per class, e9-quantized before the cross-class sum
+      .withColumn("h_term_e9", floor(
+        -(col("n").cast("double") / col("n_total"))
+          * log(col("n").cast("double") / col("n_total")) * 1e9 + 0.5)
+        .cast("long"))
+      .withColumn("h_e9", sum("h_term_e9").over(tot))
+      .withColumn("eff_classes_e3", floor(
+        exp(col("h_e9").cast("double") / 1e9) * 1e3 + 0.5).cast("long"))
+      .withColumn("imbalance_e3", floor(
+        max("n").over(tot).cast("double") * 1e3 / min("n").over(tot) + 0.5)
+        .cast("long"))
+      // chi-square vs uniform: sum_l (n_l*k - N)^2 / (N*k); the
+      // difference is exact in int64, squared in double
+      .withColumn("chi2_term_e6", floor(
+        (col("n") * col("k") - col("n_total")).cast("double")
+          * (col("n") * col("k") - col("n_total")).cast("double")
+          / (col("n_total").cast("double") * col("k")) * 1e6 + 0.5)
+        .cast("long"))
+      .withColumn("chi2_e6", sum("chi2_term_e6").over(tot))
+      .select(col("label"), col("n"), col("share_ppm"), col("k").cast("long").as("n_classes"),
+        col("eff_classes_e3"), col("imbalance_e3"), col("chi2_e6"),
+        // balanced verdict: effective classes within 5% of k AND no
+        // class more than 2x another
+        (col("eff_classes_e3") * 100 >= col("k") * 95000L
+          && col("imbalance_e3") <= 2000L).as("balanced_ok"))
+      .orderBy("label")
+  }
+
+  def classBalanceOracle: String = """
+    WITH c AS (
+      SELECT label, CAST(count(1) AS BIGINT) AS n
+      FROM embeddings GROUP BY label),
+    t AS (
+      SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+             CAST(count(1) OVER () AS BIGINT) AS k
+      FROM c),
+    e AS (
+      SELECT *,
+             CAST(floor(-(CAST(n AS DOUBLE) / n_total)
+               * ln(CAST(n AS DOUBLE) / n_total) * 1e9 + 0.5)
+               AS BIGINT) AS h_term_e9,
+             CAST(floor(CAST(n * k - n_total AS DOUBLE)
+               * CAST(n * k - n_total AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * k) * 1e6 + 0.5)
+               AS BIGINT) AS chi2_term_e6
+      FROM t),
+    s AS (
+      SELECT *, CAST(sum(h_term_e9) OVER () AS BIGINT) AS h_e9,
+             CAST(sum(chi2_term_e6) OVER () AS BIGINT) AS chi2_e6,
+             CAST(max(n) OVER () AS BIGINT) AS n_max,
+             CAST(min(n) OVER () AS BIGINT) AS n_min
+      FROM e)
+    SELECT label, n,
+           CAST(floor(CAST(n AS DOUBLE) * 1e6 / n_total + 0.5) AS BIGINT)
+             AS share_ppm,
+           k AS n_classes,
+           CAST(floor(exp(CAST(h_e9 AS DOUBLE) / 1e9) * 1e3 + 0.5) AS BIGINT)
+             AS eff_classes_e3,
+           CAST(floor(CAST(n_max AS DOUBLE) * 1e3 / n_min + 0.5) AS BIGINT)
+             AS imbalance_e3,
+           chi2_e6,
+           (CAST(floor(exp(CAST(h_e9 AS DOUBLE) / 1e9) * 1e3 + 0.5) AS BIGINT)
+              * 100 >= k * 95000
+            AND CAST(floor(CAST(n_max AS DOUBLE) * 1e3 / n_min + 0.5)
+              AS BIGINT) <= 2000) AS balanced_ok
+    FROM s ORDER BY label"""
 }

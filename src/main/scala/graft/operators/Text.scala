@@ -1246,4 +1246,74 @@ object Text {
            CAST(floor(CAST(la.n_head AS DOUBLE) * 1e6 / la.n_scored + 0.5)
              AS BIGINT) AS head_ppm
     FROM nd JOIN la ON nd.lang = la.lang ORDER BY nd.lang"""
+
+  /** q9f: BPE MERGE CANDIDATES — the first step of byte-pair-encoding
+    * tokenizer TRAINING (Sennrich et al. 2016 §3.2): count every
+    * adjacent symbol pair across the corpus and rank by frequency; the
+    * top pair is the first merge rule. This grades the counting engine
+    * a BPE trainer is built on — distinct from q4h (token co-occurrence
+    * within documents) and q4j (token-bigram LM): the pairs here are
+    * CHARACTER-level, inside tokens.
+    *
+    * Scale shape: the corpus is first collapsed to its VOCABULARY
+    * (distinct token + occurrence count — one map-side-combined
+    * aggregate; the classic BPE-trainer trick: pair counts are summed
+    * over distinct words weighted by word frequency, never over the raw
+    * corpus), then each vocabulary entry explodes into its ≤len-1
+    * in-token character pairs via a `transform(sequence(...))` of O(1)
+    * `substring` calls (never element_at(split) in a lambda — the q4d
+    * rule), and the weighted pair aggregate + global top-k plans as
+    * TakeOrderedAndProject (the q10 doctrine). At 100 TB the vocabulary
+    * table is the only shuffled frame — millions of rows, not the
+    * corpus. */
+  def bpeMergeCandidates(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val pairs = vocab
+      .where(length(col("tok")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), " +
+          "i -> struct(substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum("cnt").as("n_occ"), count(lit(1)).as("n_types"))
+    val totals = pairs.agg(
+      count(lit(1)).as("n_distinct_pairs"),
+      sum("n_occ").as("total_pair_occ"))
+    pairs
+      .orderBy(col("n_occ").desc, col("a"), col("b"))
+      .limit(topK) // TakeOrderedAndProject — distributed top-k
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("n_occ").desc, col("a"), col("b")))) // topK rows only
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("a"), col("b"), col("n_occ"), col("n_types"),
+        col("n_distinct_pairs"), col("total_pair_occ"))
+      .orderBy("rank")
+  }
+
+  def bpeMergeCandidatesOracle: String = """
+    WITH v AS (
+      SELECT t AS tok, CAST(count(1) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t),
+    pr AS (
+      SELECT substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b, cnt
+      FROM (SELECT tok, cnt, unnest(range(1, length(tok))) AS i
+            FROM v WHERE length(tok) >= 2)),
+    g AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n_occ,
+             CAST(count(1) AS BIGINT) AS n_types
+      FROM pr GROUP BY a, b),
+    tots AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_distinct_pairs,
+             CAST(sum(n_occ) AS BIGINT) AS total_pair_occ
+      FROM g),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY n_occ DESC, a, b) AS rank
+      FROM g)
+    SELECT CAST(rk.rank AS INTEGER) AS rank, rk.a, rk.b, rk.n_occ,
+           rk.n_types, tots.n_distinct_pairs, tots.total_pair_occ
+    FROM rk CROSS JOIN tots WHERE rk.rank <= 20 ORDER BY rk.rank"""
 }

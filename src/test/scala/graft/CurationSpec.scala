@@ -546,4 +546,34 @@ class CurationSpec extends SparkSpec {
           s"global share as drift: ${r.getAs[Long]("maxdev_ppm")}")
     }
   }
+
+  test("q9g domain reweighting: weights normalize, ratio order follows " +
+      "excess order, EG direction is correct") {
+    val rows = Curation.domainReweighting(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    val wSum = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(math.abs(wSum - 1000000L) <= rows.length, s"weights sum to $wSum")
+    assert(rows.map(_.getAs[Long]("excess_e6")).min == 0L,
+      "excess must be anchored at the best-fit domain")
+    // EG direction: the best-fit domain is at-or-below baseline, the
+    // worst-fit strictly above; ratio ordering == excess ordering
+    val byExcess = rows.sortBy(_.getAs[Long]("excess_e6"))
+    assert(byExcess.head.getAs[Long]("ratio_e3") <= 1000L)
+    assert(byExcess.last.getAs[Long]("ratio_e3") > 1000L)
+    val ratios = byExcess.map(_.getAs[Long]("ratio_e3")).toSeq
+    assert(ratios == ratios.sorted, "ratio must be monotone in excess")
+    // the reference slice binds: sources with more en tokens should sit
+    // lower — check the two extremes' en token share directly
+    import org.apache.spark.sql.functions.{col => c, size => sz, split => sp, sum => su, when => wh, lit => lt, explode => ex}
+    val enShare = Tables.documents(spark, sfDir)
+      .select(c("source"), ex(sp(c("text"), " ")).as("t"), c("lang"))
+      .groupBy("source")
+      .agg((su(wh(c("lang") === "en", 1L).otherwise(0L)) * 1000000L
+        / su(lt(1L))).cast("long").as("en_ppm"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("en_ppm")).toMap
+    val best = byExcess.head.getAs[String]("source")
+    val worst = byExcess.last.getAs[String]("source")
+    assert(enShare(best) > enShare(worst),
+      "best-fit domain must carry more reference-language mass than the worst")
+  }
 }

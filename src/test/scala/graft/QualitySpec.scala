@@ -1201,4 +1201,32 @@ class QualitySpec extends SparkSpec {
     assert(rows(1).getAs[Long]("k_anonymity") == direct,
       "level-1 k must equal the direct two-column recount")
   }
+
+  test("q9e class balance: exact replay of entropy/eff-classes from counts; " +
+      "near-uniform fixture grades balanced") {
+    val rows = Quality.classBalance(spark, sfDir).collect()
+    val counts = Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[Long]("n")).sum == counts.values.sum)
+    assert(rows.length == counts.size)
+    val k = counts.size
+    val n = counts.values.sum
+    // replay the fixed-point entropy chain exactly as the operator
+    // quantizes it: per-class e9 floor, integer sum, one exp
+    val hE9 = counts.values.map { c =>
+      val p = c.toDouble / n
+      math.floor(-p * math.log(p) * 1e9 + 0.5).toLong
+    }.sum
+    val eff = math.floor(math.exp(hE9.toDouble / 1e9) * 1e3 + 0.5).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_classes_e3") == eff, "entropy replay diverged")
+      assert(r.getAs[Long]("n_classes") == k)
+      assert(r.getAs[Long]("n") == counts(r.getAs[Int]("label")))
+    }
+    // the fixture labels are near-uniform: the audit must say so
+    assert(rows.forall(_.getAs[Boolean]("balanced_ok")))
+    assert(rows.head.getAs[Long]("imbalance_e3") < 2000L)
+    assert(eff > k * 1000L * 95 / 100)
+  }
 }

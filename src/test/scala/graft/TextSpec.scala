@@ -498,4 +498,33 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
     }
   }
+
+  test("q9f bpe pairs: top-1 merge candidate replays against a driver-side " +
+      "vocabulary walk; ranks and totals are consistent") {
+    val rows = Text.bpeMergeCandidates(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val occs = rows.map(_.getAs[Long]("n_occ")).toSeq
+    assert(occs == occs.sorted.reverse, "candidates must be frequency-ranked")
+    // driver-side replay: vocabulary with counts, then weighted char pairs
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("count"))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    vocab.foreach { case (tok, cnt) =>
+      tok.sliding(2).filter(_.length == 2).foreach { pr =>
+        val key = (pr.substring(0, 1), pr.substring(1, 2))
+        pairCounts(key) = pairCounts.getOrElse(key, 0L) + cnt
+      }
+    }
+    val (bestPair, bestCnt) = pairCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.head
+    val top = rows.head
+    assert((top.getAs[String]("a"), top.getAs[String]("b")) == bestPair,
+      "top merge candidate diverged from the driver replay")
+    assert(top.getAs[Long]("n_occ") == bestCnt)
+    assert(top.getAs[Long]("n_distinct_pairs") == pairCounts.size)
+    assert(top.getAs[Long]("total_pair_occ") == pairCounts.values.sum)
+  }
 }
