@@ -255,6 +255,9 @@ object SparkEntry {
     "q9e_class_balance"     -> (Quality.classBalance _),
     "q9f_bpe_pairs"         -> ((s: SparkSession, d: String) => Text.bpeMergeCandidates(s, d)),
     "q9g_domain_reweighting" -> ((s: SparkSession, d: String) => Curation.domainReweighting(s, d)),
+    "q9h_unimax_allocation" -> ((s: SparkSession, d: String) => Curation.unimaxAllocation(s, d)),
+    "q9i_labeler_agreement" -> (Quality.labelerAgreement _),
+    "q9j_observed_scan"     -> (Relational.observedScanAudit _),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -758,6 +761,9 @@ object SparkEntry {
     "q9e_class_balance"      -> Quality.classBalanceOracle,
     "q9f_bpe_pairs"          -> Text.bpeMergeCandidatesOracle,
     "q9g_domain_reweighting" -> Curation.domainReweightingOracle,
+    "q9h_unimax_allocation"  -> Curation.unimaxAllocationOracle,
+    "q9i_labeler_agreement"  -> Quality.labelerAgreementOracle,
+    "q9j_observed_scan"      -> Relational.observedScanAuditOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

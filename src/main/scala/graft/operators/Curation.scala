@@ -1294,4 +1294,104 @@ object Curation {
              / CAST(floor(1e6 / k + 0.5) AS BIGINT) + 0.5) AS BIGINT)
              AS ratio_e3
     FROM s ORDER BY source"""
+
+  /** q9h: UNIMAX ALLOCATION — the water-filling budget solve that is
+    * UNIMAX's actual algorithm (Chung et al. 2023, alg. 1): distribute
+    * a total training-token budget as UNIFORMLY as possible across
+    * languages, except no language may be repeated past `maxEpochs` —
+    * its CAPACITY n_l·maxEpochs. Walking languages by ascending
+    * capacity: a language caps out iff its capacity is below the
+    * current per-remaining-language fair share; its unused share
+    * redistributes over the rest. This is the constrained counterpart
+    * of q9a's unconstrained temperature table: q9a says what weights a
+    * temperature implies, q9h says what a budget can actually deliver
+    * under an epoch cap.
+    *
+    * Exactness doctrine: capacities and the greedy cap decision are
+    * pure integer arithmetic (c_i·m_i < R_i — no division at all; the
+    * ascending-capacity order makes the greedy condition monotone, so
+    * one window pass decides every language); only the final fair-share
+    * and the two reporting ratios go through one IEEE division each,
+    * floor(·+0.5)-quantized — hash-replayable.
+    *
+    * Scale shape: one map-side-combined groupBy(lang) (bounded rows
+    * forever), then window arithmetic over that frame (the q1e rule).
+    * Ties in capacity break on the language code so the walk order is a
+    * total order. */
+  def unimaxAllocation(spark: SparkSession, dir: String,
+      maxEpochsE3: Long = 1200L): DataFrame = {
+    val perLang = Tables.documents(spark, dir).groupBy("lang").agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = Window.partitionBy() // ≤ n_languages rows — the q1e rule
+    val asc = Window.orderBy("cap", "lang")
+    perLang
+      .withColumn("b_total", sum("n_tokens").over(tot))
+      .withColumn("cap", expr(s"(n_tokens * $maxEpochsE3) div 1000"))
+      .withColumn("rk", row_number().over(asc))
+      .withColumn("k", count(lit(1)).over(tot))
+      .withColumn("cum_prev_cap", coalesce(
+        sum("cap").over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // greedy water-filling: capped iff capacity below the fair share
+      // of the budget remaining once every smaller language capped out
+      .withColumn("capped",
+        col("cap") * (col("k") - col("rk") + 1L)
+          < (col("b_total") - col("cum_prev_cap")))
+      .withColumn("n_capped",
+        sum(when(col("capped"), 1L).otherwise(0L)).over(tot))
+      .withColumn("capped_mass",
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(tot))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap"))
+        .otherwise(floor(
+          (col("b_total") - col("capped_mass")).cast("double")
+            / (col("k") - col("n_capped")) + 0.5).cast("long")))
+      .withColumn("alloc_ppm", floor(
+        col("alloc_tokens").cast("double") * 1e6 / col("b_total") + 0.5)
+        .cast("long"))
+      .withColumn("epochs_e3", floor(
+        col("alloc_tokens").cast("double") * 1e3 / col("n_tokens") + 0.5)
+        .cast("long"))
+      .select("lang", "n_tokens", "cap", "capped", "alloc_tokens",
+        "alloc_ppm", "epochs_e3")
+      .orderBy("lang")
+  }
+
+  def unimaxAllocationOracle: String = """
+    WITH pl AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang),
+    c AS (
+      SELECT lang, n_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS b_total,
+             CAST((n_tokens * 1200) // 1000 AS BIGINT) AS cap,
+             CAST(count(1) OVER () AS BIGINT) AS k
+      FROM pl),
+    r AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS rk,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev_cap
+      FROM c),
+    g AS (
+      SELECT *, cap * (k - rk + 1) < (b_total - cum_prev_cap) AS capped
+      FROM r),
+    s AS (
+      SELECT *,
+             CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+               AS BIGINT) AS n_capped,
+             CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+               AS BIGINT) AS capped_mass
+      FROM g),
+    a AS (
+      SELECT *, CASE WHEN capped THEN cap
+               ELSE CAST(floor(CAST(b_total - capped_mass AS DOUBLE)
+                 / (k - n_capped) + 0.5) AS BIGINT) END AS alloc_tokens
+      FROM s)
+    SELECT lang, n_tokens, cap, capped, alloc_tokens,
+           CAST(floor(CAST(alloc_tokens AS DOUBLE) * 1e6 / b_total + 0.5)
+             AS BIGINT) AS alloc_ppm,
+           CAST(floor(CAST(alloc_tokens AS DOUBLE) * 1e3 / n_tokens + 0.5)
+             AS BIGINT) AS epochs_e3
+    FROM a ORDER BY lang"""
 }

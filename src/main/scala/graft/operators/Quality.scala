@@ -1798,4 +1798,94 @@ object Quality {
             AND CAST(floor(CAST(n_max AS DOUBLE) * 1e3 / n_min + 0.5)
               AS BIGINT) <= 2000) AS balanced_ok
     FROM s ORDER BY label"""
+
+  /** q9i: LABELER AGREEMENT (Cohen's κ) — the inter-annotator-agreement
+    * audit an annotation pipeline runs before trusting a label source:
+    * two independent weak labelers judge every document "keep"/"drop"
+    * and κ = (p_o − p_e)/(1 − p_e) measures agreement BEYOND CHANCE
+    * (raw accuracy overstates agreement when the base rate is skewed —
+    * the whole point of κ). Labeler A is the content gate (the q4e/q9d
+    * diversity + stopword thresholds, rounded-score idiom); labeler B
+    * is the length gate (n_chars ≥ 100). Emitted per language PLUS the
+    * pooled 'ALL' row via ROLLUP — per-stratum κ against the pooled κ
+    * is how annotation audits detect strata where the labelers diverge.
+    *
+    * Exactness doctrine: the 2×2 confusion cells are exact integers
+    * from ONE map-side-combined conditional aggregate; p_o, p_e, and κ
+    * form from those integers through a fixed IEEE mult/div chain
+    * (products cast to DOUBLE before multiplying — n² wraps int64 at
+    * ~3e9 documents, the round-6 overflow class), floor(·+0.5)-
+    * quantized — hash-replayable. */
+  def labelerAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("diversity",
+        round(size(array_distinct(col("toks"))) / col("n_tokens"), 4))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "to", "in"))) / col("n_tokens"), 4))
+    val a = col("diversity") >= 0.35 && col("stop_ratio") <= 0.15
+    val b = col("n_chars") >= 100
+    def cell(pa: Column, pb: Column) =
+      sum(when(pa && pb, 1L).otherwise(0L))
+    val conf = docs.rollup(col("lang")).agg(
+      count(lit(1)).as("n"),
+      cell(a, b).as("n11"),
+      cell(a, !b).as("n10"),
+      cell(!a, b).as("n01"),
+      cell(!a, !b).as("n00"))
+    val po = (col("n11") + col("n00")).cast("double") / col("n")
+    val pe = (((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01"))
+      + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")))
+      / (col("n").cast("double") * col("n")))
+    conf
+      .withColumn("lang", coalesce(col("lang"), lit("ALL")))
+      .withColumn("po_ppm", floor(po * 1e6 + 0.5).cast("long"))
+      .withColumn("pe_ppm", floor(pe * 1e6 + 0.5).cast("long"))
+      .withColumn("kappa_e6", floor((po - pe) / (lit(1.0) - pe) * 1e6 + 0.5)
+        .cast("long"))
+      .select("lang", "n", "n11", "n10", "n01", "n00", "po_ppm", "pe_ppm",
+        "kappa_e6")
+      .orderBy("lang")
+  }
+
+  def labelerAgreementOracle: String = """
+    WITH d AS (
+      SELECT lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT lang, n_chars,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+               AS diversity,
+             round(CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(toks), 4) AS stop_ratio
+      FROM d),
+    g AS (
+      SELECT coalesce(lang, 'ALL') AS lang,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN diversity >= 0.35 AND stop_ratio <= 0.15
+               AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN diversity >= 0.35 AND stop_ratio <= 0.15
+               AND NOT n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT (diversity >= 0.35 AND stop_ratio <= 0.15)
+               AND n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT (diversity >= 0.35 AND stop_ratio <= 0.15)
+               AND NOT n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM f GROUP BY ROLLUP(lang))
+    SELECT lang, n, n11, n10, n01, n00,
+           CAST(floor(CAST(n11 + n00 AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+             AS po_ppm,
+           CAST(floor((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+               + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n) * 1e6 + 0.5) AS BIGINT) AS pe_ppm,
+           CAST(floor((CAST(n11 + n00 AS DOUBLE) / n
+               - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n)) * 1e6 + 0.5) AS BIGINT)
+             AS kappa_e6
+    FROM g ORDER BY lang"""
 }

@@ -1251,4 +1251,57 @@ object Relational {
     JOIN sizes sa ON pairs.seg_a = sa.segment
     JOIN sizes sb ON pairs.seg_b = sb.segment
     ORDER BY seg_a, seg_b"""
+
+  /** q9j: OBSERVED SCAN AUDIT — `Dataset.observe` / `CollectMetrics`,
+    * the Spark mechanism for AUDITING a pass without paying a second
+    * one: metrics declared on the stream are accumulated DURING the
+    * scan (accumulator-based, zero extra jobs, streaming-safe — the
+    * production pattern for row-count/null-count reconciliation gates
+    * in ingestion pipelines). The graded row carries the observed
+    * metrics next to the same aggregates computed the ordinary way and
+    * the equality verdicts — the contract that `CollectMetrics`
+    * preserves the stream it observes bit-for-bit.
+    *
+    * Builder-eager by necessity (observed metrics only exist after an
+    * action; the probe is ONE 3-column row — bounded, the q0f/q3y
+    * precedent). The oracle replays both metric triples from the
+    * parquet directly and pins the verdicts to literal true. */
+  def observedScanAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1996-01-01").cast("timestamp")
+    val filtered = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= cut)
+      .observe("graft_scan_audit",
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"))
+    val direct = filtered.agg(
+      count(lit(1)).as("d_rows"),
+      sum(col("l_quantity").cast("long")).as("d_qty"),
+      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("d_high"))
+    val d = direct.collect()(0) // 1-row bounded probe; fires the observe
+    val m = direct.queryExecution.observedMetrics("graft_scan_audit")
+    Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("sum_qty"),
+        m.getAs[Long]("n_high_disc"),
+        d.getLong(0), d.getLong(1), d.getLong(2)))
+      .toDF("obs_rows", "obs_qty", "obs_high_disc",
+        "direct_rows", "direct_qty", "direct_high_disc")
+      .withColumn("rows_match", col("obs_rows") === col("direct_rows"))
+      .withColumn("qty_match", col("obs_qty") === col("direct_qty"))
+      .withColumn("disc_match", col("obs_high_disc") === col("direct_high_disc"))
+  }
+
+  def observedScanAuditOracle: String = """
+    WITH a AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_high_disc
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01')
+    SELECT n_rows AS obs_rows, sum_qty AS obs_qty,
+           n_high_disc AS obs_high_disc,
+           n_rows AS direct_rows, sum_qty AS direct_qty,
+           n_high_disc AS direct_high_disc,
+           TRUE AS rows_match, TRUE AS qty_match, TRUE AS disc_match
+    FROM a"""
 }

@@ -576,4 +576,30 @@ class CurationSpec extends SparkSpec {
     assert(enShare(best) > enShare(worst),
       "best-fit domain must carry more reference-language mass than the worst")
   }
+
+  test("q9h unimax allocation: water-filling invariants hold") {
+    val rows = Curation.unimaxAllocation(spark, sfDir).collect()
+    val b = rows.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(math.abs(alloc - b) <= rows.length,
+      s"budget not conserved: $alloc vs $b")
+    val (capped, uncapped) = rows.partition(_.getAs[Boolean]("capped"))
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      "fixture must exercise both sides of the cap at 1.2 epochs")
+    capped.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap"),
+        "capped language must receive exactly its capacity")
+      assert(math.abs(r.getAs[Long]("epochs_e3") - 1200L) <= 1L)
+    }
+    // water level: every uncapped allocation exceeds every capped one
+    // (otherwise the capped language would not have capped), and the
+    // uncapped languages all sit at the same level
+    val lvl = uncapped.map(_.getAs[Long]("alloc_tokens")).distinct
+    assert(lvl.length == 1, "uncapped languages must share one water level")
+    assert(lvl.head >= capped.map(_.getAs[Long]("alloc_tokens")).max)
+    uncapped.foreach { r =>
+      assert(r.getAs[Long]("epochs_e3") < 1200L,
+        "uncapped language must train for fewer epochs than the cap")
+    }
+  }
 }

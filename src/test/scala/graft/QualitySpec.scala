@@ -1229,4 +1229,30 @@ class QualitySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("imbalance_e3") < 2000L)
     assert(eff > k * 1000L * 95 / 100)
   }
+
+  test("q9i labeler agreement: ALL row is the cell-wise sum of strata; " +
+      "kappa replays from the confusion cells") {
+    val rows = Quality.labelerAgreement(spark, sfDir).collect()
+    val all = rows.find(_.getAs[String]("lang") == "ALL").get
+    val strata = rows.filter(_.getAs[String]("lang") != "ALL")
+    for (cname <- Seq("n", "n11", "n10", "n01", "n00")) {
+      assert(all.getAs[Long](cname) == strata.map(_.getAs[Long](cname)).sum,
+        s"ALL.$cname must be the stratum sum")
+    }
+    assert(all.getAs[Long]("n") == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val Seq(n, n11, n10, n01, n00) = Seq("n", "n11", "n10", "n01", "n00")
+        .map(r.getAs[Long](_))
+      assert(n == n11 + n10 + n01 + n00, "cells must partition the stratum")
+      val po = (n11 + n00).toDouble / n
+      val pe = ((n11 + n10).toDouble * (n11 + n01)
+        + (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+      assert(r.getAs[Long]("po_ppm") == math.floor(po * 1e6 + 0.5).toLong)
+      assert(r.getAs[Long]("kappa_e6") ==
+        math.floor((po - pe) / (1.0 - pe) * 1e6 + 0.5).toLong,
+        s"kappa replay diverged for ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("kappa_e6") >= -1000000L
+        && r.getAs[Long]("kappa_e6") <= 1000000L)
+    }
+  }
 }

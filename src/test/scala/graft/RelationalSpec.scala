@@ -311,4 +311,27 @@ class RelationalSpec extends SparkSpec {
     assert(totals("priority") == totals("status"))
     assert(counts("priority") == counts("status"))
   }
+
+  test("q9j observed scan: CollectMetrics in the plan; metrics equal the " +
+      "direct recount") {
+    import org.apache.spark.sql.functions.{col => c}
+    val row = Relational.observedScanAudit(spark, sfDir).head()
+    assert(row.getAs[Boolean]("rows_match"))
+    assert(row.getAs[Boolean]("qty_match"))
+    assert(row.getAs[Boolean]("disc_match"))
+    // independent recount of the filter population
+    val n = Tables.lineitem(spark, sfDir)
+      .where(c("l_shipdate") >= org.apache.spark.sql.functions.lit("1996-01-01")
+        .cast("timestamp")).count()
+    assert(row.getAs[Long]("obs_rows") == n,
+      "observed row count diverged from an independent recount")
+    // the observe must plan as a CollectMetrics node on the scanned stream
+    val cut = org.apache.spark.sql.functions.lit("1996-01-01").cast("timestamp")
+    val observed = Tables.lineitem(spark, sfDir)
+      .where(c("l_shipdate") >= cut)
+      .observe("probe", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(observed.queryExecution.analyzed.toString.contains("CollectMetrics"),
+      "observe must introduce a CollectMetrics node")
+  }
 }
