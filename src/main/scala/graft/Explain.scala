@@ -30,7 +30,10 @@ object Explain {
     // q1x runs a bounded segment-count probe in its builder (the BH
     // ladder arity guard) — a data-dependent require that must not run,
     // or abort the sweep, during pure plan inspection
-    "q1x_fdr_segments")
+    "q1x_fdr_segments",
+    // q9j's builder drives the observed pass (metrics only exist after
+    // an action) — builder-eager by construction
+    "q9j_observed_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
