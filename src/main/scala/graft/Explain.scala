@@ -33,7 +33,11 @@ object Explain {
     "q1x_fdr_segments",
     // q9j's builder drives the observed pass (metrics only exist after
     // an action) — builder-eager by construction
-    "q9j_observed_scan")
+    "q9j_observed_scan",
+    // q9z sequences its stage caches and runs the CC fixpoint in the
+    // builder (the q57 machinery composed) — ~20 s of real pipeline
+    // that must not run during pure plan inspection
+    "q9z_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

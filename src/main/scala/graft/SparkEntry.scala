@@ -258,6 +258,8 @@ object SparkEntry {
     "q9h_unimax_allocation" -> ((s: SparkSession, d: String) => Curation.unimaxAllocation(s, d)),
     "q9i_labeler_agreement" -> (Quality.labelerAgreement _),
     "q9j_observed_scan"     -> (Relational.observedScanAudit _),
+    "q9k_constraint_suite"  -> (Quality.constraintSuite _),
+    "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
     "q61_cosine_topk"       -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
@@ -764,6 +766,8 @@ object SparkEntry {
     "q9h_unimax_allocation"  -> Curation.unimaxAllocationOracle,
     "q9i_labeler_agreement"  -> Quality.labelerAgreementOracle,
     "q9j_observed_scan"      -> Relational.observedScanAuditOracle,
+    "q9k_constraint_suite"   -> Quality.constraintSuiteOracle,
+    "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
     "q79_asof_same_day"     -> TimeJoin.asofClickPurchaseSameDayOracle,

@@ -1258,7 +1258,7 @@ object Dedup {
     * Jaccard in exact integer ppm. Cached: feeds q8a's 5 threshold
     * aggregates / q8b's two rollups; tiny (|pairs with ≥1 shared
     * gram|). */
-  private def jaccardPairs(docs: DataFrame, n: Int, dfCap: Long): DataFrame = {
+  private[graft] def jaccardPairs(docs: DataFrame, n: Int, dfCap: Long): DataFrame = {
     val grams = docs
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),

@@ -1888,4 +1888,100 @@ object Quality {
                  / (CAST(n AS DOUBLE) * n)) * 1e6 + 0.5) AS BIGINT)
              AS kappa_e6
     FROM g ORDER BY lang"""
+
+  /** q9k: DATA-CONTRACT CONSTRAINT SUITE — the declarative check set a
+    * production pipeline runs before admitting a snapshot (the Deequ
+    * `Check`/dbt-test shape): each constraint is a graded ROW with its
+    * observed metric, its admissible bounds, and a pass verdict. This
+    * completes the monitoring family: q1d PROFILES (metrics, no
+    * verdicts), q1s/q1t audit cross-table/functional properties; q9k is
+    * the CONTRACT — the artifact with an explicit pass column a CI gate
+    * reads. One constraint (`min_chars_100`) is calibrated to FAIL on
+    * the fixture so the suite provably discriminates; an all-green
+    * contract table is indistinguishable from a broken one.
+    *
+    * Scale shape: ALL eight observed metrics come out of ONE fused
+    * grouped-less aggregate pass (Spark folds the agg expressions into
+    * a single partial+final hash agg — the q1d plan), including one
+    * exact countDistinct (EXPAND; exact-by-contract, the q1d/q1l
+    * pairing); the stack() to constraint rows is a zero-cost local
+    * reshape of the 1-row aggregate. Verdicts compare exact integers. */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val m = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("doc_id")).as("n_id_nonnull"),
+      countDistinct(col("doc_id")).as("n_id_distinct"),
+      sum(when(col("lang").isin(langs.map(l => lit(l)): _*), 1L).otherwise(0L))
+        .as("n_lang_known"),
+      min(col("n_chars")).as("min_chars"),
+      sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+        .as("n_len_consistent"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    m.selectExpr(
+      "n",
+      "CAST(n_id_nonnull * 1000000 div n AS BIGINT) AS c_complete",
+      "CAST(n_id_distinct * 1000000 div n AS BIGINT) AS c_unique",
+      "CAST(n_lang_known * 1000000 div n AS BIGINT) AS c_domain",
+      "CAST(min_chars AS BIGINT) AS c_minchars",
+      "CAST(n_len_consistent * 1000000 div n AS BIGINT) AS c_lencons",
+      "CAST(n_en * 1000000 div n AS BIGINT) AS c_enshare",
+      "CAST((n_tokens * 1000) div n AS BIGINT) AS c_meantok")
+      .selectExpr(
+        "stack(7, " +
+          "'completeness_doc_id', c_complete, 1000000L, 1000000L, " +
+          "'uniqueness_doc_id',   c_unique,   1000000L, 1000000L, " +
+          "'domain_lang',         c_domain,   1000000L, 1000000L, " +
+          "'min_chars_100',       c_minchars, 100L,     9223372036854775807L, " +
+          "'len_consistency',     c_lencons,  1000000L, 1000000L, " +
+          "'en_share_band',       c_enshare,  250000L,  550000L, " +
+          "'mean_tokens_band',    c_meantok,  20000L,   100000L" +
+          ") AS (constraint_name, observed, bound_lo, bound_hi)")
+      .withColumn("pass",
+        col("observed") >= col("bound_lo") && col("observed") <= col("bound_hi"))
+      .orderBy("constraint_name")
+  }
+
+  def constraintSuiteOracle: String = """
+    WITH m AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(count(doc_id) AS BIGINT) AS n_id_nonnull,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_id_distinct,
+             CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_known,
+             CAST(min(n_chars) AS BIGINT) AS min_chars,
+             CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_len_consistent,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_en,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents),
+    rows_ AS (
+      SELECT 'completeness_doc_id' AS constraint_name,
+             CAST(n_id_nonnull * 1000000 // n AS BIGINT) AS observed,
+             CAST(1000000 AS BIGINT) AS bound_lo,
+             CAST(1000000 AS BIGINT) AS bound_hi FROM m
+      UNION ALL SELECT 'uniqueness_doc_id',
+             CAST(n_id_distinct * 1000000 // n AS BIGINT),
+             1000000, 1000000 FROM m
+      UNION ALL SELECT 'domain_lang',
+             CAST(n_lang_known * 1000000 // n AS BIGINT),
+             1000000, 1000000 FROM m
+      UNION ALL SELECT 'min_chars_100', min_chars,
+             100, 9223372036854775807 FROM m
+      UNION ALL SELECT 'len_consistency',
+             CAST(n_len_consistent * 1000000 // n AS BIGINT),
+             1000000, 1000000 FROM m
+      UNION ALL SELECT 'en_share_band',
+             CAST(n_en * 1000000 // n AS BIGINT),
+             250000, 550000 FROM m
+      UNION ALL SELECT 'mean_tokens_band',
+             CAST((n_tokens * 1000) // n AS BIGINT),
+             20000, 100000 FROM m)
+    SELECT constraint_name, observed,
+           CAST(bound_lo AS BIGINT) AS bound_lo,
+           CAST(bound_hi AS BIGINT) AS bound_hi,
+           observed >= bound_lo AND observed <= bound_hi AS pass
+    FROM rows_ ORDER BY constraint_name"""
 }

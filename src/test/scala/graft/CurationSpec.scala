@@ -602,4 +602,31 @@ class CurationSpec extends SparkSpec {
         "uncapped language must train for fewer epochs than the cap")
     }
   }
+
+  test("q9z curation pipeline: per-source funnel is monotone, stages " +
+      "conserve, exact stage replays against a direct distinct-norm count") {
+    val rows = Curation.curationPipeline(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_raw")).sum == docs.count(),
+      "raw stage must cover the corpus")
+    rows.foreach { r =>
+      val Seq(raw, ex, nd, q) = Seq("n_raw", "n_exact", "n_neardup", "n_quality")
+        .map(r.getAs[Long](_))
+      assert(raw >= ex && ex >= nd && nd >= q,
+        s"${r.getAs[String]("source")}: funnel must be monotone ($raw/$ex/$nd/$q)")
+      assert(r.getAs[Long]("retention_ppm") == q * 1000000L / raw)
+      assert(r.getAs[Long]("tok_quality") <= r.getAs[Long]("tok_raw"))
+    }
+    // exact stage == number of distinct normalized texts (first-of-norm
+    // keeps exactly one doc per norm)
+    val distinctNorms = docs.select(
+      graft.operators.Dedup.normalizeText(col("text")).as("n")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_exact")).sum == distinctNorms,
+      "exact survivors must equal the distinct normalized-text count")
+    // the near-dup stage must remove something on the fixture (planted
+    // near-dups survive exact dedup but fall to the 0.97 Jaccard knee)
+    assert(rows.map(_.getAs[Long]("n_neardup")).sum <
+      rows.map(_.getAs[Long]("n_exact")).sum,
+      "near-dup stage removed nothing - threshold not binding")
+  }
 }

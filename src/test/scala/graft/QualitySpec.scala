@@ -1255,4 +1255,28 @@ class QualitySpec extends SparkSpec {
         && r.getAs[Long]("kappa_e6") <= 1000000L)
     }
   }
+
+  test("q9k constraint suite: verdicts are pure functions of observed vs " +
+      "bounds; the planted failing constraint fails and only it") {
+    val rows = Quality.constraintSuite(spark, sfDir).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass") ==
+        (r.getAs[Long]("observed") >= r.getAs[Long]("bound_lo")
+          && r.getAs[Long]("observed") <= r.getAs[Long]("bound_hi")))
+    }
+    val failed = rows.filter(!_.getAs[Boolean]("pass"))
+      .map(_.getAs[String]("constraint_name")).toSeq
+    assert(failed == Seq("min_chars_100"),
+      s"exactly the calibrated constraint must fail, got $failed")
+    // two constraints recomputed directly
+    val docs = Tables.documents(spark, sfDir)
+    val byName = rows.map(r => r.getAs[String]("constraint_name") -> r).toMap
+    assert(byName("min_chars_100").getAs[Long]("observed") ==
+      docs.agg(min(col("n_chars"))).head().getLong(0))
+    val n = docs.count()
+    val distinct = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(byName("uniqueness_doc_id").getAs[Long]("observed") ==
+      distinct * 1000000L / n)
+  }
 }
