@@ -259,6 +259,7 @@ object SparkEntry {
     "q9i_labeler_agreement" -> (Quality.labelerAgreement _),
     "q9j_observed_scan"     -> (Relational.observedScanAudit _),
     "q9k_constraint_suite"  -> (Quality.constraintSuite _),
+    "q9l_media_integrity"   -> (Multimodal.mediaIntegrity _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -767,6 +768,7 @@ object SparkEntry {
     "q9i_labeler_agreement"  -> Quality.labelerAgreementOracle,
     "q9j_observed_scan"      -> Relational.observedScanAuditOracle,
     "q9k_constraint_suite"   -> Quality.constraintSuiteOracle,
+    "q9l_media_integrity"    -> Multimodal.mediaIntegrityOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -386,4 +386,97 @@ object Multimodal {
         min("width").as("min_w"), max("width").as("max_w"),
         min("height").as("min_h"), max("height").as("max_h"))
       .orderBy("mime")
+
+  /** [[mediaTable]] with deterministically PLANTED corruption — the
+    * q9l fixture: every doc_id ≡ 0 (mod 97) blob is truncated to 10
+    * bytes (shorter than any BMP header), every remaining doc_id ≡ 0
+    * (mod 89) gets its 'BM' magic overwritten. Corruption is applied
+    * with codegen'd binary functions (`substring`/`concat` work on
+    * BinaryType), not a second decode pass. */
+  private[operators] def corruptedMediaTable(spark: SparkSession,
+      dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("blob",
+        when(col("doc_id") % 97 === 0, substring(col("blob"), 1, 10))
+          .when(col("doc_id") % 89 === 0,
+            concat(lit(Array[Byte](0x58.toByte, 0x58.toByte)),
+              expr("substring(blob, 3, 1073741823)")))
+          .otherwise(col("blob")))
+
+  /** q9l: MEDIA INTEGRITY QUARANTINE — the malformed-input triage a
+    * 100 TB multimodal ingest MUST run before decode-heavy stages:
+    * corrupt blobs are guaranteed at crawl scale, and an unguarded
+    * decoder either crashes the job or (worse) silently drops
+    * partitions. Every blob is classified in one streaming pass —
+    * header-length check, magic-bytes check, then a REAL guarded
+    * ImageIO decode for the survivors (same mapPartitions codec shape
+    * as [[decodeFeatures]]) — and the graded table is the quarantine
+    * report: per-status blob counts, corpus share, and the pixel
+    * checksum of everything that decoded clean (proving the quarantine
+    * does not corrupt the good path: the checksum replays closed-form
+    * from the [[mediaTable]] pixel arithmetic, the q67 oracle trick).
+    * Corruption is PLANTED deterministically ([[corruptedMediaTable]])
+    * so the oracle classifies by pure doc_id arithmetic — no codec in
+    * DuckDB, yet an end-to-end check of the whole triage path. */
+  def mediaIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val classified = corruptedMediaTable(spark, dir)
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, blob) =>
+          if (blob.length < 54) (id, "truncated", 0L)
+          else if (blob(0) != 'B'.toByte || blob(1) != 'M'.toByte)
+            (id, "bad_magic", 0L)
+          else {
+            val img = try {
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+            } catch { case _: Throwable => null }
+            if (img == null) (id, "undecodable", 0L)
+            else {
+              val raster = img.getRaster
+              var s = 0L; var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              (id, "ok", s)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "status", "checksum")
+    val perStatus = classified.groupBy("status").agg(
+      count(lit(1)).as("n_blobs"),
+      sum("checksum").as("pixel_checksum"))
+    perStatus
+      .withColumn("n_total",
+        sum("n_blobs").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_ppm", floor(
+        col("n_blobs").cast("double") * 1e6 / col("n_total") + 0.5).cast("long"))
+      .select("status", "n_blobs", "pixel_checksum", "share_ppm")
+      .orderBy("status")
+  }
+
+  def mediaIntegrityOracle: String = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len,
+             16 + (doc_id % 16) AS w, 12 + (doc_id % 8) AS h,
+             CASE WHEN doc_id % 97 = 0 THEN 'truncated'
+                  WHEN doc_id % 89 = 0 THEN 'bad_magic'
+                  ELSE 'ok' END AS status
+      FROM documents),
+    s AS (
+      SELECT status, CAST(count(1) AS BIGINT) AS n_blobs,
+             CAST(sum(CASE WHEN status = 'ok' THEN
+               list_sum(list_transform(range(0, w * h),
+                 p -> ascii(substring(text, CAST((p * 31 + 7) % len AS INTEGER) + 1, 1))))
+               ELSE 0 END) AS BIGINT) AS pixel_checksum
+      FROM d GROUP BY status),
+    tot AS (SELECT CAST(sum(n_blobs) AS BIGINT) AS n_total FROM s)
+    SELECT s.status, s.n_blobs, s.pixel_checksum,
+           CAST(floor(CAST(s.n_blobs AS DOUBLE) * 1e6 / tot.n_total + 0.5)
+             AS BIGINT) AS share_ppm
+    FROM s CROSS JOIN tot ORDER BY s.status"""
 }

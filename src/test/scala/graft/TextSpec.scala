@@ -527,4 +527,29 @@ class TextSpec extends SparkSpec {
     assert(top.getAs[Long]("n_distinct_pairs") == pairCounts.size)
     assert(top.getAs[Long]("total_pair_occ") == pairCounts.values.sum)
   }
+
+  test("q9l media integrity: planted corruption is quarantined exactly, " +
+      "clean blobs all decode, checksum proves the good path") {
+    val rows = Multimodal.mediaIntegrity(spark, sfDir).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expTrunc = ids.count(_ % 97 == 0)
+    val expMagic = ids.count(id => id % 97 != 0 && id % 89 == 0)
+    assert(rows("truncated").getAs[Long]("n_blobs") == expTrunc)
+    assert(rows("bad_magic").getAs[Long]("n_blobs") == expMagic)
+    assert(!rows.contains("undecodable"),
+      "well-formed fixture blobs must never reach the undecodable arm")
+    assert(rows("ok").getAs[Long]("n_blobs") == ids.length - expTrunc - expMagic)
+    // quarantined blobs contribute nothing to the checksum; clean ones
+    // reproduce the full decode checksum of the UNCORRUPTED table
+    assert(rows("truncated").getAs[Long]("pixel_checksum") == 0L)
+    assert(rows("bad_magic").getAs[Long]("pixel_checksum") == 0L)
+    val cleanSum = Multimodal.decodeFeatures(spark, sfDir).toDF()
+      .join(Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+      .where(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+      .agg(sum("byte_sum")).head().getLong(0)
+    assert(rows("ok").getAs[Long]("pixel_checksum") == cleanSum,
+      "clean-path checksum must equal the unguarded decoder on the same ids")
+  }
 }
