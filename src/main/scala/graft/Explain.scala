@@ -34,6 +34,8 @@ object Explain {
     // q9j's builder drives the observed pass (metrics only exist after
     // an action) — builder-eager by construction
     "q9j_observed_scan",
+    // q9m replays the stream through foreachBatch in its builder
+    "q9m_stream_contract",
     // q9z sequences its stage caches and runs the CC fixpoint in the
     // builder (the q57 machinery composed) — ~20 s of real pipeline
     // that must not run during pure plan inspection

@@ -260,6 +260,7 @@ object SparkEntry {
     "q9j_observed_scan"     -> (Relational.observedScanAudit _),
     "q9k_constraint_suite"  -> (Quality.constraintSuite _),
     "q9l_media_integrity"   -> (Multimodal.mediaIntegrity _),
+    "q9m_stream_contract"   -> (graft.streaming.Events.streamContract _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -769,6 +770,7 @@ object SparkEntry {
     "q9j_observed_scan"      -> Relational.observedScanAuditOracle,
     "q9k_constraint_suite"   -> Quality.constraintSuiteOracle,
     "q9l_media_integrity"    -> Multimodal.mediaIntegrityOracle,
+    "q9m_stream_contract"    -> graft.streaming.Events.streamContractOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

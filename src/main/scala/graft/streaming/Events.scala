@@ -1257,6 +1257,106 @@ object Events {
     }
     spark.table(qname).orderBy("user_id", "start_us")
   }
+
+  /** q9m: STREAMING DATA CONTRACT — the q9k constraint suite run the
+    * way a production ingest actually runs it: INSIDE the stream, per
+    * micro-batch, with exactly-once violation accounting. Each
+    * foreachBatch computes its per-constraint partials (checked rows,
+    * violations — associative, so the merged verdict is provably
+    * batch-boundary-independent, the q3c doctrine) and lands them in a
+    * `batch_id=N` overwrite partition (a retried batch replaces its own
+    * partial, never double-counts). The graded table is the merged
+    * contract: per-constraint checked/violations/ppm and the pass
+    * verdict — with one constraint (`value_cap_80`) calibrated to FAIL
+    * on the fixture stream (the q9k discrimination rule) — plus the
+    * `multi_batch` evidence column proving the run actually exercised
+    * more than one micro-batch. The oracle is the same suite as one
+    * batch aggregate over the events table. */
+  def streamContract(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_contract_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_contract_ckpt")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    new java.io.File(sinkDir).mkdirs()
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+    val types = Seq("signup", "click", "purchase", "error", "view")
+    def partials(batch: DataFrame): DataFrame =
+      batch.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_complete"),
+        sum(when(!col("event_type").isin(types.map(t => lit(t)): _*), 1L)
+          .otherwise(0L)).as("v_domain"),
+        sum(when(col("value") > 80.0, 1L).otherwise(0L)).as("v_cap"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_nonneg"))
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          partials(batch)
+            .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    val partialsSchema = partials(spark.read.schema(stream.schema).parquet(staging))
+      .schema.add("batch_id", org.apache.spark.sql.types.LongType)
+    val merged = spark.read.schema(partialsSchema).parquet(sinkDir)
+      .agg(
+        sum("checked").as("checked"),
+        sum("v_complete").as("v_complete"),
+        sum("v_domain").as("v_domain"),
+        sum("v_cap").as("v_cap"),
+        sum("v_nonneg").as("v_nonneg"),
+        (countDistinct(col("batch_id")) >= 2).as("multi_batch"))
+    merged.selectExpr(
+        "checked", "multi_batch",
+        "stack(4, " +
+          "'user_id_complete', v_complete, " +
+          "'type_domain',      v_domain, " +
+          "'value_cap_80',     v_cap, " +
+          "'value_nonneg',     v_nonneg" +
+          ") AS (constraint_name, violations)")
+      .withColumn("violation_ppm", floor(
+        col("violations").cast("double") * 1e6 / col("checked") + 0.5)
+        .cast("long"))
+      .withColumn("pass", col("violations") === 0L)
+      .select("constraint_name", "checked", "violations", "violation_ppm",
+        "pass", "multi_batch")
+      .orderBy("constraint_name")
+  }
+
+  def streamContractOracle: String = """
+    WITH m AS (
+      SELECT CAST(count(1) AS BIGINT) AS checked,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_complete,
+             CAST(sum(CASE WHEN event_type NOT IN
+               ('signup','click','purchase','error','view')
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+             CAST(sum(CASE WHEN value > 80.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_cap,
+             CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_nonneg
+      FROM events),
+    rows_ AS (
+      SELECT 'user_id_complete' AS constraint_name, checked,
+             v_complete AS violations FROM m
+      UNION ALL SELECT 'type_domain', checked, v_domain FROM m
+      UNION ALL SELECT 'value_cap_80', checked, v_cap FROM m
+      UNION ALL SELECT 'value_nonneg', checked, v_nonneg FROM m)
+    SELECT constraint_name, checked, violations,
+           CAST(floor(CAST(violations AS DOUBLE) * 1e6 / checked + 0.5)
+             AS BIGINT) AS violation_ppm,
+           violations = 0 AS pass,
+           TRUE AS multi_batch
+    FROM rows_ ORDER BY constraint_name"""
 }
 
 /** q3d input/output rows. TOP-LEVEL on purpose: Janino cannot compile

@@ -483,6 +483,28 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Boolean]("approx_ok"), s"sketch out of band: $r")
     }
   }
+
+  test("q9m stream contract: merged verdicts equal the one-batch suite; " +
+      "the calibrated cap constraint fails; multiple batches ran") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.streaming.Events.streamContract(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val events = Tables.events(spark, sfDir)
+    val n = events.count()
+    val capViolations = events.where(col("value") > 80.0).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("checked") == n,
+        "every constraint must have checked the full stream exactly once")
+      assert(r.getAs[Boolean]("multi_batch"),
+        "the replay must exercise more than one micro-batch")
+      assert(r.getAs[Boolean]("pass") == (r.getAs[Long]("violations") == 0L))
+    }
+    val byName = rows.map(r => r.getAs[String]("constraint_name") -> r).toMap
+    assert(byName("value_cap_80").getAs[Long]("violations") == capViolations)
+    assert(capViolations > 0L, "the cap constraint must bind on the fixture")
+    for (ok <- Seq("user_id_complete", "type_domain", "value_nonneg"))
+      assert(byName(ok).getAs[Long]("violations") == 0L, s"$ok must pass")
+  }
 }
 
 /** Spec-side transformWithState processor exercising the OTHER typed
