@@ -261,6 +261,10 @@ object SparkEntry {
     "q9k_constraint_suite"  -> (Quality.constraintSuite _),
     "q9l_media_integrity"   -> (Multimodal.mediaIntegrity _),
     "q9m_stream_contract"   -> (graft.streaming.Events.streamContract _),
+    "q9n_hybrid_rrf"        -> ((s: SparkSession, d: String) => Similarity.hybridRrfTopK(s, d)),
+    "q9o_modal_alignment"   -> (Quality.modalAlignment _),
+    "q9p_recency_weights"   -> ((s: SparkSession, d: String) => TimeSeries.recencyWeights(s, d)),
+    "q9r_split_manifest"    -> (Curation.splitManifest _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -771,6 +775,10 @@ object SparkEntry {
     "q9k_constraint_suite"   -> Quality.constraintSuiteOracle,
     "q9l_media_integrity"    -> Multimodal.mediaIntegrityOracle,
     "q9m_stream_contract"    -> graft.streaming.Events.streamContractOracle,
+    "q9n_hybrid_rrf"         -> Similarity.hybridRrfTopKOracle,
+    "q9o_modal_alignment"    -> Quality.modalAlignmentOracle,
+    "q9p_recency_weights"    -> TimeSeries.recencyWeightsOracle,
+    "q9r_split_manifest"     -> Curation.splitManifestOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1554,4 +1554,59 @@ object Curation {
     LEFT JOIN ndr ON raw.source = ndr.source
     LEFT JOIN qr ON raw.source = qr.source
     ORDER BY raw.source"""
+
+  /** q9r: SPLIT MANIFEST — the reproducibility artifact a dataset
+    * RELEASE ships next to its card (the q8q datasheet's sibling): for
+    * each train/val/test split of the [[hashSplit]] gate, the exact
+    * document count, token mass, and an ORDER-FREE membership checksum
+    * (sum of each member's Lehmer value mod 1000003 — pure arithmetic,
+    * so any consumer on any engine can re-derive it and verify they
+    * loaded exactly the published membership, the reason manifests
+    * exist). The gate itself is the engine's q46/q4b Lehmer machinery:
+    * stateless per row, stable under any partitioning.
+    *
+    * Exactness: membership and checksum are integer arithmetic; the
+    * mod-1e6 checksum terms keep the int64 sum inside headroom to
+    * ~9e12 documents (the round-6 overflow doctrine, bound documented
+    * rather than wrapped). One narrow scan + a 3-row rollup. */
+  def splitManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val lehmer2 = (pmod(col("doc_id"), lit(LehmerM)) * lit(48271L) % lit(LehmerM))
+      .*(lit(48271L)) % lit(LehmerM)
+    hashSplit(docs)
+      .withColumn("member_term", lehmer2 % lit(1000003L))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("member_term").as("membership_checksum"))
+      .withColumn("share_ppm", floor(
+        col("n_docs").cast("double") * 1e6
+          / sum("n_docs").over(Window.partitionBy()) + 0.5).cast("long"))
+      .select("split", "n_docs", "n_tokens", "membership_checksum", "share_ppm")
+      .orderBy("split")
+  }
+
+  def splitManifestOracle: String = """
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ((doc_id % 2147483647) * 48271 % 2147483647) * 48271
+               % 2147483647 AS l2
+      FROM documents),
+    s AS (
+      SELECT *,
+             CASE WHEN CAST(l2 AS DOUBLE) / 2147483647 < 0.8 THEN 'train'
+                  WHEN CAST(l2 AS DOUBLE) / 2147483647 < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d),
+    g AS (
+      SELECT split, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(l2 % 1000003) AS BIGINT) AS membership_checksum
+      FROM s GROUP BY split)
+    SELECT split, n_docs, n_tokens, membership_checksum,
+           CAST(floor(CAST(n_docs AS DOUBLE) * 1e6
+             / sum(n_docs) OVER () + 0.5) AS BIGINT) AS share_ppm
+    FROM g ORDER BY split"""
 }

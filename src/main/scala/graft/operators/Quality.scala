@@ -1984,4 +1984,61 @@ object Quality {
            CAST(bound_hi AS BIGINT) AS bound_hi,
            observed >= bound_lo AND observed <= bound_hi AS pass
     FROM rows_ ORDER BY constraint_name"""
+
+  /** q9o: CROSS-MODAL ALIGNMENT AUDIT — referential integrity BETWEEN
+    * modalities: the text table and the embedding table of a multimodal
+    * corpus drift apart in practice (re-embeddings lag deletes, backfills
+    * skip shards), and a training join silently drops the mismatch.
+    * q1s audits the relational fixture's FK edges; this is the same
+    * audit across the `documents` ↔ `embeddings` modal pair: matched /
+    * text-only / vector-only counts from ONE full outer join, embedding
+    * dimensionality min/max (a ragged dim column breaks every vector op
+    * downstream), and the verdict columns a pipeline gate reads. All
+    * exact integers — hash-replayable; the scale shape is one shuffle
+    * join on the id plus a 1-row fold. */
+  def modalAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+      .withColumn("has_text", lit(1L))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), size(col("embedding")).as("dim"))
+      .withColumn("has_vec", lit(1L))
+    d.join(e, Seq("id"), "full_outer")
+      .agg(
+        sum(when(col("has_text").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("has_vec").isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+        sum(when(col("has_text").isNotNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("has_text").isNotNull && col("has_vec").isNull, 1L)
+          .otherwise(0L)).as("n_text_only"),
+        sum(when(col("has_text").isNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)).as("n_vec_only"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"))
+      .withColumn("aligned_ok",
+        col("n_text_only") === 0L && col("n_vec_only") === 0L)
+      .withColumn("dim_consistent", col("dim_min") === col("dim_max"))
+  }
+
+  def modalAlignmentOracle: String = """
+    WITH d AS (SELECT doc_id AS id FROM documents),
+    e AS (SELECT vec_id AS id, len(embedding) AS dim FROM embeddings),
+    j AS (
+      SELECT d.id AS tid, e.id AS vid, e.dim
+      FROM d FULL OUTER JOIN e ON d.id = e.id)
+    SELECT CAST(sum(CASE WHEN tid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           CAST(sum(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vecs,
+           CAST(sum(CASE WHEN tid IS NOT NULL AND vid IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN tid IS NOT NULL AND vid IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+           CAST(sum(CASE WHEN tid IS NULL AND vid IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only,
+           CAST(min(dim) AS INTEGER) AS dim_min,
+           CAST(max(dim) AS INTEGER) AS dim_max,
+           sum(CASE WHEN tid IS NOT NULL AND vid IS NULL THEN 1 ELSE 0 END) = 0
+             AND sum(CASE WHEN tid IS NULL AND vid IS NOT NULL
+               THEN 1 ELSE 0 END) = 0 AS aligned_ok,
+           min(dim) = max(dim) AS dim_consistent
+    FROM j"""
 }

@@ -1527,4 +1527,137 @@ object Similarity {
            CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_e6
     FROM sel ORDER BY step"""
   }
+
+  /** q9n: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the fusion
+    * step every production RAG/search stack runs (Cormack et al. 2009
+    * RRF; the default hybrid combiner in OpenSearch/Elastic/Vespa):
+    * a LEXICAL ranking (the q4r BM25 machinery over the `documents`
+    * table) and a VECTOR ranking (the q61 brute-cosine machinery over
+    * `embeddings`, joined on doc_id = vec_id) each retrieve top-`legK`,
+    * and the fused score is Σ 1/(60 + rank) over the legs a document
+    * appears in — rank fusion needs NO score calibration between
+    * incomparable scales, which is exactly why RRF won.
+    *
+    * Exactness doctrine: both leg rankings are total orders the engine
+    * already grades (BM25 scores are integer-e6 sums; cosine is ranked
+    * on its ROUNDED value with vec_id tiebreak — the q61 contract), and
+    * the RRF contribution 1e6 div (60+rank) is pure integer division,
+    * so the fused ordering replays bit-for-bit.
+    *
+    * Scale shape: each leg is a distributed top-k
+    * (TakeOrderedAndProject) over its corpus-shaped scoring plan; only
+    * the two ≤legK-row retrieved lists meet in the fusion join, and the
+    * rank windows run over those bounded frames (the q1e rule) — never
+    * over the corpus. */
+  def hybridRrfTopK(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("spark", "join", "window"),
+      queryId: Long = 0L, legK: Int = 50, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // ---- lexical leg: the q4r BM25 scoring shape, top-legK ----
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.groupBy().agg(
+      sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf = terms.where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val textTop = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib_e6",
+        floor(col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * 1e6 + 0.5))
+      .groupBy("doc_id")
+      .agg(sum("contrib_e6").as("score_text_e6"))
+      .orderBy(col("score_text_e6").desc, col("doc_id"))
+      .limit(legK) // TakeOrderedAndProject — distributed top-k
+      .withColumn("text_rank", row_number().over(Window.partitionBy()
+        .orderBy(col("score_text_e6").desc, col("doc_id")))) // ≤legK rows
+      .select(col("doc_id"), col("text_rank"))
+    // ---- vector leg: the q61 brute-cosine shape, top-legK ----
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    val vecTop = emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(query))
+      .select(col("vec_id").as("doc_id"),
+        round(cosineHof(col("embedding"), col("q")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(legK) // TakeOrderedAndProject
+      .withColumn("vec_rank", row_number().over(Window.partitionBy()
+        .orderBy(col("cosine").desc, col("doc_id")))) // ≤legK rows
+      .select(col("doc_id"), col("vec_rank"))
+    // ---- fusion: RRF over the two bounded retrieved lists ----
+    textTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + text_rank)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("rrf_e6").desc, col("doc_id")))) // topK rows only
+      .select(col("rank"), col("doc_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_e6"))
+      .orderBy("rank")
+  }
+
+  def hybridRrfTopKOracle: String = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, count(1) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT sum(dl) AS sum_dl, count(1) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(1) AS tf FROM terms
+      WHERE term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(floor(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                   / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_text_e6
+      FROM tf JOIN df ON tf.term = df.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    ttop AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY score_text_e6 DESC, doc_id) AS INTEGER) AS text_rank
+      FROM scored
+      QUALIFY text_rank <= 50),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    vtop AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cos DESC, doc_id) AS INTEGER) AS vec_rank
+      FROM sims
+      QUALIFY vec_rank <= 50),
+    fused AS (
+      SELECT coalesce(ttop.doc_id, vtop.doc_id) AS doc_id,
+             ttop.text_rank, vtop.vec_rank,
+             CAST(coalesce(1000000 // (60 + ttop.text_rank), 0)
+               + coalesce(1000000 // (60 + vtop.vec_rank), 0) AS BIGINT)
+               AS rrf_e6
+      FROM ttop FULL OUTER JOIN vtop ON ttop.doc_id = vtop.doc_id),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank
+      FROM fused)
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, text_rank, vec_rank, rrf_e6
+    FROM rk WHERE rank <= 10 ORDER BY rank"""
 }

@@ -560,4 +560,90 @@ object TimeSeries {
       FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM j))
     SELECT * FROM byt UNION ALL SELECT * FROM none_row
     ORDER BY touch_type"""
+
+  /** q9p: RECENCY-WEIGHTED SAMPLING PROFILE — the time-decay weighting
+    * a continually-trained model applies to its event/interaction data
+    * (recent behavior matters more; the standard exp(−ln2·age/halflife)
+    * half-life schedule, here 7 days against the stream's newest
+    * event). The graded table is what a sampling design review reads
+    * per event type: raw count, decayed mass, the EFFECTIVE SAMPLE SIZE
+    * (Σw)²/Σw² — the number that tells you whether decay left enough
+    * statistical power — mean age, and each type's share of the decayed
+    * mass vs its raw share.
+    *
+    * Exactness doctrine: ages are exact integer microsecond diffs
+    * against a broadcast 1-row max; each event's weight forms through
+    * one libm exp from those integers, e6-quantized BEFORE the sums
+    * (order-free integer sums; w² likewise quantized per event), so ESS
+    * and the shares are IEEE chains over integer operands — hash-
+    * replayable. Scale shape: one scan + a ≤n_types-row rollup; the
+    * windows run over that bounded frame (the q1e rule). */
+  def recencyWeights(spark: SparkSession, dir: String,
+      halflifeDays: Double = 7.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val tmax = ev.agg(max("us").as("max_us"))
+    val weighted = ev.join(broadcast(tmax))
+      .withColumn("age_us", col("max_us") - col("us"))
+      .withColumn("w_e6", floor(
+        exp(lit(-math.log(2.0) / halflifeDays)
+          * (col("age_us").cast("double") / lit(86400e6))) * 1e6 + 0.5)
+        .cast("long"))
+    val tot = Window.partitionBy() // ≤ n_types rows — the q1e rule
+    // age and w² sums ride DECIMAL(38): int64 wraps at ~2e11 events
+    // (the round-6 fisherSeparation advisory class); the decimal sums
+    // are exact in both engines (DuckDB promotes to HUGEINT) and only
+    // the final IEEE ratios ever see a double
+    weighted.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("w_e6").as("sum_w_e6"),
+        sum((col("w_e6") * col("w_e6")).cast("decimal(38,0)")).as("sum_w2"),
+        sum(col("age_us").cast("decimal(38,0)")).as("sum_age_us"))
+      .withColumn("mean_age_e3", floor(
+        col("sum_age_us").cast("double") / col("n") / lit(86400e6) * 1e3 + 0.5)
+        .cast("long"))
+      .withColumn("ess_e3", floor(
+        col("sum_w_e6").cast("double") * col("sum_w_e6")
+          / col("sum_w2").cast("double") * 1e3 + 0.5).cast("long"))
+      .withColumn("raw_share_ppm", floor(
+        col("n").cast("double") * 1e6 / sum("n").over(tot) + 0.5).cast("long"))
+      .withColumn("w_share_ppm", floor(
+        col("sum_w_e6").cast("double") * 1e6 / sum("sum_w_e6").over(tot) + 0.5)
+        .cast("long"))
+      .select("event_type", "n", "sum_w_e6", "mean_age_e3", "ess_e3",
+        "raw_share_ppm", "w_share_ppm")
+      .orderBy("event_type")
+  }
+
+  def recencyWeightsOracle: String = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events),
+    t AS (SELECT max(us) AS max_us FROM ev),
+    w AS (
+      SELECT event_type, max_us - us AS age_us,
+             CAST(floor(exp(-0.09902102579427789 *
+               (CAST(max_us - us AS DOUBLE) / 86400e6)) * 1e6 + 0.5)
+               AS BIGINT) AS w_e6
+      FROM ev CROSS JOIN t),
+    g AS (
+      SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(w_e6) AS BIGINT) AS sum_w_e6,
+             sum(w_e6 * w_e6) AS sum_w2,
+             sum(age_us) AS sum_age_us
+      FROM w GROUP BY event_type),
+    s AS (
+      SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+             CAST(sum(sum_w_e6) OVER () AS BIGINT) AS w_tot
+      FROM g)
+    SELECT event_type, n, sum_w_e6,
+           CAST(floor(CAST(sum_age_us AS DOUBLE) / n / 86400e6 * 1e3 + 0.5)
+             AS BIGINT) AS mean_age_e3,
+           CAST(floor(CAST(sum_w_e6 AS DOUBLE) * sum_w_e6
+             / CAST(sum_w2 AS DOUBLE) * 1e3 + 0.5) AS BIGINT) AS ess_e3,
+           CAST(floor(CAST(n AS DOUBLE) * 1e6 / n_tot + 0.5) AS BIGINT)
+             AS raw_share_ppm,
+           CAST(floor(CAST(sum_w_e6 AS DOUBLE) * 1e6 / w_tot + 0.5) AS BIGINT)
+             AS w_share_ppm
+    FROM s ORDER BY event_type"""
 }

@@ -629,4 +629,33 @@ class CurationSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_exact")).sum,
       "near-dup stage removed nothing - threshold not binding")
   }
+
+  test("q9r split manifest: splits partition the corpus, checksums replay " +
+      "driver-side from the Lehmer membership") {
+    val rows = Curation.splitManifest(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == docs.map(_._2).sum)
+    val m = 2147483647L
+    val replay = docs.groupBy { case (id, _) =>
+      val l2 = ((id % m) * 48271L % m) * 48271L % m
+      val u = l2.toDouble / m
+      if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+    }
+    rows.foreach { r =>
+      val members = replay(r.getAs[String]("split"))
+      assert(r.getAs[Long]("n_docs") == members.length)
+      val checksum = members.map { case (id, _) =>
+        (((id % m) * 48271L % m) * 48271L % m) % 1000003L
+      }.sum
+      assert(r.getAs[Long]("membership_checksum") == checksum,
+        s"${r.getAs[String]("split")} checksum replay diverged")
+    }
+    val train = rows.find(_.getAs[String]("split") == "train").get
+    assert(train.getAs[Long]("share_ppm") > 700000L,
+      "train gate must dominate at the 80/10/10 thresholds")
+  }
 }

@@ -1022,4 +1022,35 @@ class DedupSimilaritySpec extends SparkSpec {
     val relMax = math.floor(cs(picked.head) * 1e6 + 0.5).toLong
     assert(got.head.getAs[Long]("rel_e6") == relMax)
   }
+
+  test("q9n hybrid rrf: fused top-10 replays from the two legs computed " +
+      "independently; rrf identity holds per row") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.hybridRrfTopK(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    rows.foreach { r =>
+      val tr = Option(r.getAs[Integer]("text_rank")).map(_.toLong)
+      val vr = Option(r.getAs[Integer]("vec_rank")).map(_.toLong)
+      val exp = tr.map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        vr.map(x => 1000000L / (60L + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_e6") == exp, s"rrf identity broke at $r")
+      assert(tr.nonEmpty || vr.nonEmpty, "a fused doc must come from some leg")
+    }
+    val fused = rows.map(_.getAs[Long]("rrf_e6")).toSeq
+    assert(fused == fused.sorted.reverse)
+    // independent replay: rank the two legs with the sibling operators
+    // (same machinery, different call sites) and re-fuse driver-side
+    val textRanks = Text.bm25TopDocs(spark, sfDir, topK = 50).collect()
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }.toMap
+    val vecRanks = Similarity.bruteForceTopK(spark, sfDir, k = 50).collect()
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("vec_id") -> (i + 1L) }.toMap
+    val replay = (textRanks.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      val s = textRanks.get(id).map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        vecRanks.get(id).map(x => 1000000L / (60L + x)).getOrElse(0L)
+      (id, s)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_e6"))).toSeq
+      == replay, "fusion diverged from the independent two-leg replay")
+  }
 }

@@ -1279,4 +1279,21 @@ class QualitySpec extends SparkSpec {
     assert(byName("uniqueness_doc_id").getAs[Long]("observed") ==
       distinct * 1000000L / n)
   }
+
+  test("q9o modal alignment: fixture tables align perfectly and the " +
+      "verdicts say so") {
+    val r = Quality.modalAlignment(spark, sfDir).head()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_vecs") == nVecs)
+    assert(r.getAs[Long]("n_matched")
+      == r.getAs[Long]("n_docs") - r.getAs[Long]("n_text_only"))
+    assert(r.getAs[Long]("n_matched")
+      == r.getAs[Long]("n_vecs") - r.getAs[Long]("n_vec_only"))
+    assert(r.getAs[Boolean]("aligned_ok") ==
+      (r.getAs[Long]("n_text_only") == 0L && r.getAs[Long]("n_vec_only") == 0L))
+    assert(r.getAs[Boolean]("dim_consistent"))
+    assert(r.getAs[Int]("dim_min") == r.getAs[Int]("dim_max"))
+  }
 }

@@ -258,4 +258,36 @@ class TimeSeriesSpec extends SparkSpec {
     // token frequencies fall with rank, so the fitted slope must too
     assert(r.getAs[Boolean]("is_decreasing"))
   }
+
+  test("q9p recency weights: full driver-side replay of the decay " +
+      "quantization; ESS bounded by n") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val rows = TimeSeries.recencyWeights(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val maxUs = ev.map(_._2).max
+    val replay = ev.groupBy(_._1).map { case (t, xs) =>
+      val ws = xs.map { case (_, us) =>
+        val age = (maxUs - us).toDouble / 86400e6
+        math.floor(math.exp(-math.log(2.0) / 7.0 * age) * 1e6 + 0.5).toLong
+      }
+      val ages = xs.map { case (_, us) => maxUs - us }
+      t -> (xs.length.toLong, ws.sum,
+        math.floor(ages.map(BigInt(_)).sum.toDouble / xs.length / 86400e6 * 1e3
+          + 0.5).toLong,
+        math.floor(ws.sum.toDouble * ws.sum
+          / ws.map(w => BigInt(w) * w).sum.toDouble * 1e3 + 0.5).toLong)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == ev.length)
+    rows.foreach { r =>
+      val (n, sw, meanAge, ess) = replay(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("sum_w_e6") == sw, "decayed mass replay diverged")
+      assert(r.getAs[Long]("mean_age_e3") == meanAge)
+      assert(r.getAs[Long]("ess_e3") == ess, "ESS replay diverged")
+      assert(r.getAs[Long]("ess_e3") <= n * 1000L, "ESS cannot exceed n")
+      assert(r.getAs[Long]("ess_e3") > 0L)
+    }
+  }
 }
