@@ -1041,7 +1041,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fused == fused.sorted.reverse)
     // independent replay: rank the two legs with the sibling operators
     // (same machinery, different call sites) and re-fuse driver-side
-    val textRanks = Text.bm25TopDocs(spark, sfDir, topK = 50).collect()
+    val textRanks = graft.operators.Text.bm25TopDocs(spark, sfDir, topK = 50).collect()
       .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }.toMap
     val vecRanks = Similarity.bruteForceTopK(spark, sfDir, k = 50).collect()
       .zipWithIndex.map { case (r, i) => r.getAs[Long]("vec_id") -> (i + 1L) }.toMap
