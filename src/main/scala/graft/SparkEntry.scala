@@ -265,6 +265,9 @@ object SparkEntry {
     "q9o_modal_alignment"   -> (Quality.modalAlignment _),
     "q9p_recency_weights"   -> ((s: SparkSession, d: String) => TimeSeries.recencyWeights(s, d)),
     "q9r_split_manifest"    -> (Curation.splitManifest _),
+    "q9s_split_leakage"     -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
+    "q9t_score_calibration" -> (Text.scoreCalibration _),
+    "q9v_threshold_sweep"   -> (Curation.thresholdSweep _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -779,6 +782,9 @@ object SparkEntry {
     "q9o_modal_alignment"    -> Quality.modalAlignmentOracle,
     "q9p_recency_weights"    -> TimeSeries.recencyWeightsOracle,
     "q9r_split_manifest"     -> Curation.splitManifestOracle,
+    "q9s_split_leakage"      -> Dedup.splitLeakageOracle,
+    "q9t_score_calibration"  -> Text.scoreCalibrationOracle,
+    "q9v_threshold_sweep"    -> Curation.thresholdSweepOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1609,4 +1609,128 @@ object Curation {
            CAST(floor(CAST(n_docs AS DOUBLE) * 1e6
              / sum(n_docs) OVER () + 0.5) AS BIGINT) AS share_ppm
     FROM g ORDER BY split"""
+
+  /** q9v: FILTER-THRESHOLD OPERATING-CURVE SWEEP — choosing WHERE to
+    * cut a quality score is the real decision a curation pipeline
+    * makes, and the right tool is the precision/recall/F1 curve
+    * against a held-out label (here q9t's repetition label, which the
+    * score's own inputs never see). One corpus scan builds a 21-bucket
+    * score histogram with per-bucket positive counts; the entire sweep
+    * then runs on that histogram — the threshold frame (21 rows, the
+    * e4 grid in steps of 500) range-joins the histogram (bucket >=
+    * threshold, exact because both live on the same 500-grid), so
+    * corpus cost is independent of how many thresholds are swept. At
+    * 100 TB the histogram is still 21 rows.
+    *
+    * All metrics are division-free or integer-div ppm: F1 simplifies
+    * to 2·TP·1e6 div (P + POS) — counts only, no chained rounded
+    * ratios — and the argmax row is flagged via rank over (f1 desc,
+    * threshold asc), so `is_best` is deterministic under ties and the
+    * whole curve replays exactly in DuckDB. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin(Text.StopWords.map(lit(_)): _*))).cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0))
+      .otherwise(col("n_chars") / 100.0)
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"),
+      floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long").as("score_e4"))
+    val rep = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("mx"), sum("c").as("n_tok"))
+    val hist = scored.join(rep, "doc_id")
+      .select(least(expr("score_e4 div 500"), lit(20L)).as("bucket"),
+        when(col("mx") * 10 < col("n_tok"), 1L).otherwise(0L).as("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val thr = spark.range(21).toDF("t")
+    val swept = thr.join(hist, col("bucket") >= col("t"), "left")
+      .groupBy("t")
+      .agg(coalesce(sum("n"), lit(0L)).as("p_pred"),
+        coalesce(sum("n_pos"), lit(0L)).as("tp"))
+    val all = Window.partitionBy() // 21 rows — bounded by construction
+    val rankW = Window.orderBy(col("f1_ppm").desc, col("t"))
+    swept
+      .withColumn("pos_total", max(when(col("t") === 0L, col("tp"))).over(all))
+      .withColumn("fp", col("p_pred") - col("tp"))
+      .withColumn("fn", col("pos_total") - col("tp"))
+      .withColumn("precision_ppm", when(col("p_pred") === 0L, 0L)
+        .otherwise(expr("(tp * 1000000) div p_pred")))
+      .withColumn("recall_ppm", when(col("pos_total") === 0L, 0L)
+        .otherwise(expr("(tp * 1000000) div pos_total")))
+      .withColumn("f1_ppm", when(col("p_pred") + col("pos_total") === 0L, 0L)
+        .otherwise(expr("(2 * tp * 1000000) div (p_pred + pos_total)")))
+      .withColumn("is_best", row_number().over(rankW) === 1)
+      .select((col("t") * 500L).as("threshold_e4"), col("p_pred"), col("tp"),
+        col("fp"), col("fn"), col("precision_ppm"), col("recall_ppm"),
+        col("f1_ppm"), col("is_best"))
+      .orderBy("threshold_e4")
+  }
+
+  def thresholdSweepOracle: String = """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) AS score_e4
+      FROM t),
+    u AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(1) AS c FROM u GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS mx,
+             CAST(sum(c) AS BIGINT) AS n_tok
+      FROM tc GROUP BY doc_id),
+    h AS (
+      SELECT least(s.score_e4 // 500, 20) AS bucket,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rep.mx * 10 < rep.n_tok THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pos
+      FROM s JOIN rep ON s.doc_id = rep.doc_id GROUP BY 1),
+    thr AS (SELECT unnest(range(21)) AS t),
+    swept AS (
+      SELECT thr.t,
+             CAST(coalesce(sum(h.n), 0) AS BIGINT) AS p_pred,
+             CAST(coalesce(sum(h.n_pos), 0) AS BIGINT) AS tp
+      FROM thr LEFT JOIN h ON h.bucket >= thr.t GROUP BY thr.t),
+    m AS (
+      SELECT *,
+             CAST(max(CASE WHEN t = 0 THEN tp END) OVER () AS BIGINT)
+               AS pos_total
+      FROM swept),
+    r AS (
+      SELECT t, p_pred, tp,
+             CAST(p_pred - tp AS BIGINT) AS fp,
+             CAST(pos_total - tp AS BIGINT) AS fn,
+             CAST(CASE WHEN p_pred = 0 THEN 0
+               ELSE (tp * 1000000) // p_pred END AS BIGINT) AS precision_ppm,
+             CAST(CASE WHEN pos_total = 0 THEN 0
+               ELSE (tp * 1000000) // pos_total END AS BIGINT) AS recall_ppm,
+             CAST(CASE WHEN p_pred + pos_total = 0 THEN 0
+               ELSE (2 * tp * 1000000) // (p_pred + pos_total) END AS BIGINT)
+               AS f1_ppm
+      FROM m)
+    SELECT CAST(t * 500 AS BIGINT) AS threshold_e4, p_pred, tp, fp, fn,
+           precision_ppm, recall_ppm, f1_ppm,
+           row_number() OVER (ORDER BY f1_ppm DESC, t) = 1 AS is_best
+    FROM r ORDER BY threshold_e4"""
 }

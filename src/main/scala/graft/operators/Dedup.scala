@@ -1548,4 +1548,201 @@ object Dedup {
            CAST(max(jacc_ppm) AS BIGINT) AS max_jacc_ppm
     FROM lab GROUP BY source_lo, source_hi
     ORDER BY source_lo, source_hi"""
+
+  /** q9s: TRAIN/TEST SPLIT LEAKAGE AUDIT — the eval-integrity check a
+    * real pipeline runs AFTER splitting (q9r) and near-dup detection:
+    * do any near-duplicate document pairs straddle the train/val/test
+    * boundary? A near-twin of a training doc sitting in the test split
+    * silently inflates every benchmark number (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * failure mode), so the audit grades leaked-pair counts per split
+    * pair plus the headline: how many EVAL (val/test) docs have a
+    * train-side near-twin.
+    *
+    * Candidate generation is a RARE-GRAM SIGNATURE join, chosen over
+    * the fixed df-cap of q4k/q8b because this corpus' tiny vocabulary
+    * makes trigram document frequency scale WITH corpus size (a fixed
+    * cap that keeps 100% of grams at sf0.01 kills 61% of them at
+    * sf0.1 — measured): each doc emits its `sigK` globally-rarest
+    * distinct trigrams (exact df, ties broken by gram text, so the
+    * signature is deterministic and engine-replayable), and only pairs
+    * sharing >= `minShared` signature grams are verified. Posting
+    * lists for rare grams are short by construction — the join cost is
+    * sum-of-C(df,2) over RARE grams only, not the corpus square — and
+    * each doc contributes exactly sigK postings, so the index is
+    * linear in the corpus. Measured at sf0.01: 25 candidates = the 25
+    * planted near-dup pairs, zero false candidates; sf0.1: 256
+    * candidates, all >= 0.5 true Jaccard. Verification is EXACT
+    * trigram Jaccard on candidates only, and the >= 0.5 gate is the
+    * integer test 3*|A∩B| >= |A|+|B| (no division, replays
+    * bit-for-bit). Splits are the q9r Lehmer hash gate — a pure
+    * per-row function, so membership never shuffles.
+    *
+    * Output is the fixed 6-row unordered split-pair frame (left join,
+    * zero-filled) so absent combinations grade as explicit zeros, with
+    * corpus-level window totals and the contaminated-eval-doc count
+    * broadcast onto every row. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      sigK: Int = 8, minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // both the posting explode and the candidate-verify join consume
+    // this projection; uncached it would rebuild the trigram arrays
+    // three times (the q55/q52 lesson)
+    val grams = docs
+      .select(col("doc_id"),
+        array_distinct(Text.trigrams(col("text"))).as("grams"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .cache()
+    val posting = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // cached: BOTH sides of the signature self-join consume this frame,
+    // and the per-doc rank window above it is the expensive subtree —
+    // uncached it runs twice (measured 8.8 s → 4.1 s solo at sf0.1)
+    val sig = posting.join(gramDf, "gram")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("gram_df"), col("gram"))))
+      .where(col("r") <= sigK)
+      .select(col("doc_id"), col("gram"))
+      .cache()
+    val cand = sig.as("sa").join(sig.as("sb"),
+        col("sa.gram") === col("sb.gram")
+          && col("sa.doc_id") < col("sb.doc_id"))
+      .groupBy(col("sa.doc_id").as("a"), col("sb.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_sig_shared"))
+      .where(col("n_sig_shared") >= minShared)
+    val verified = cand
+      .join(grams.select(col("doc_id").as("a"), col("grams").as("grams_a"),
+        col("n_grams").as("na")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("grams").as("grams_b"),
+        col("n_grams").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .where(col("inter") * 3 >= col("na") + col("nb"))
+    val split = Curation.hashSplit(docs).select(col("doc_id"), col("split"))
+    val labeled = verified
+      .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .select(col("a"), col("b"), col("split_a"), col("split_b"))
+      .cache()
+    val perCombo = labeled
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    // an eval doc is contaminated when ANY near-twin of it trains
+    val contaminated = labeled
+      .select(explode(array(
+        when(col("split_a") =!= "train" && col("split_b") === "train", col("a")),
+        when(col("split_b") =!= "train" && col("split_a") === "train", col("b"))))
+        .as("doc"))
+      .where(col("doc").isNotNull)
+      .agg(countDistinct(col("doc")).as("eval_docs_contaminated"))
+    // lexicographic least/greatest: test < train < val
+    val frame = Seq(("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val"))
+      .toDF("split_lo", "split_hi")
+    val all = Window.partitionBy() // 6 rows — bounded by construction
+    frame.join(perCombo, Seq("split_lo", "split_hi"), "left")
+      .na.fill(0L, Seq("n_neardup_pairs"))
+      .withColumn("leaked", col("split_lo") =!= col("split_hi"))
+      .withColumn("total_pairs", sum("n_neardup_pairs").over(all))
+      .withColumn("leaked_pairs", sum(when(col("leaked"),
+        col("n_neardup_pairs")).otherwise(0L)).over(all))
+      .withColumn("leak_ppm", when(col("total_pairs") === 0L, 0L)
+        .otherwise(expr("(leaked_pairs * 1000000) div total_pairs")))
+      .crossJoin(contaminated) // 1-row aggregate broadcast
+      .select(col("split_lo"), col("split_hi"), col("n_neardup_pairs"),
+        col("leaked"), col("total_pairs"), col("leaked_pairs"),
+        col("leak_ppm"), col("eval_docs_contaminated"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  def splitLeakageOracle: String = """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+               ELSE list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               END) AS grams
+      FROM t),
+    sz AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g),
+    u AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    df AS (SELECT gram, count(1) AS gram_df FROM u GROUP BY gram),
+    sig AS (
+      SELECT doc_id, gram FROM (
+        SELECT u.doc_id, u.gram,
+               row_number() OVER (PARTITION BY u.doc_id
+                 ORDER BY df.gram_df, u.gram) AS r
+        FROM u JOIN df ON u.gram = df.gram)
+      WHERE r <= 8),
+    cand AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b
+      FROM sig sa JOIN sig sb
+        ON sa.gram = sb.gram AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2 HAVING count(1) >= 3),
+    verified AS (
+      SELECT cand.a, cand.b
+      FROM cand
+      JOIN g ga ON ga.doc_id = cand.a
+      JOIN g gb ON gb.doc_id = cand.b
+      JOIN sz sa ON sa.doc_id = cand.a
+      JOIN sz sb ON sb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) * 3
+              >= sa.n_grams + sb.n_grams),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(((doc_id % 2147483647) * 48271 % 2147483647)
+                         * 48271 % 2147483647 AS DOUBLE) / 2147483647 < 0.8
+                    THEN 'train'
+                  WHEN CAST(((doc_id % 2147483647) * 48271 % 2147483647)
+                         * 48271 % 2147483647 AS DOUBLE) / 2147483647 < 0.9
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    lab AS (
+      SELECT v.a, v.b, pa.split AS split_a, pb.split AS split_b
+      FROM verified v
+      JOIN sp pa ON pa.doc_id = v.a
+      JOIN sp pb ON pb.doc_id = v.b),
+    combo AS (
+      SELECT least(split_a, split_b) AS split_lo,
+             greatest(split_a, split_b) AS split_hi,
+             CAST(count(1) AS BIGINT) AS n_neardup_pairs
+      FROM lab GROUP BY 1, 2),
+    frame AS (
+      SELECT * FROM (VALUES ('test', 'test'), ('test', 'train'),
+        ('test', 'val'), ('train', 'train'), ('train', 'val'),
+        ('val', 'val')) AS f(split_lo, split_hi)),
+    filled AS (
+      SELECT f.split_lo, f.split_hi,
+             CAST(coalesce(c.n_neardup_pairs, 0) AS BIGINT)
+               AS n_neardup_pairs
+      FROM frame f LEFT JOIN combo c
+        ON f.split_lo = c.split_lo AND f.split_hi = c.split_hi),
+    contaminated AS (
+      SELECT CAST(count(DISTINCT doc) AS BIGINT) AS eval_docs_contaminated
+      FROM (
+        SELECT a AS doc FROM lab
+        WHERE split_a <> 'train' AND split_b = 'train'
+        UNION
+        SELECT b AS doc FROM lab
+        WHERE split_b <> 'train' AND split_a = 'train')),
+    tot AS (
+      SELECT split_lo, split_hi, n_neardup_pairs,
+             split_lo <> split_hi AS leaked,
+             CAST(sum(n_neardup_pairs) OVER () AS BIGINT) AS total_pairs,
+             CAST(sum(CASE WHEN split_lo <> split_hi THEN n_neardup_pairs
+               ELSE 0 END) OVER () AS BIGINT) AS leaked_pairs
+      FROM filled)
+    SELECT split_lo, split_hi, n_neardup_pairs, leaked, total_pairs,
+           leaked_pairs,
+           CAST(CASE WHEN total_pairs = 0 THEN 0
+             ELSE (leaked_pairs * 1000000) // total_pairs END AS BIGINT)
+             AS leak_ppm,
+           eval_docs_contaminated
+    FROM tot CROSS JOIN contaminated
+    ORDER BY split_lo, split_hi"""
 }

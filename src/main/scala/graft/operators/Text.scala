@@ -1316,4 +1316,121 @@ object Text {
     SELECT CAST(rk.rank AS INTEGER) AS rank, rk.a, rk.b, rk.n_occ,
            rk.n_types, tots.n_distinct_pairs, tots.total_pair_occ
     FROM rk CROSS JOIN tots WHERE rk.rank <= 20 ORDER BY rk.rank"""
+
+  /** q9t: QUALITY-SCORE CALIBRATION AUDIT (reliability diagram + ECE) —
+    * before a pipeline trusts q41's heuristic score as a keep/drop
+    * probability, it should check the score is CALIBRATED against an
+    * independent signal: here the held-out label is "no single token
+    * exceeds 10% of the document" (max-token-frequency repetition, a
+    * statistic the score never looks at — its inputs are length,
+    * diversity, stopword ratio). The classic reliability-diagram
+    * binning: 10 equal-width score bins, per bin the doc count, mean
+    * score, and empirical positive rate; expected calibration error is
+    * the doc-weighted mean |confidence − accuracy|.
+    *
+    * Everything is exact integer arithmetic on the e4 score grid (q8c's
+    * quantization): the label is the division-free test mx*10 < n_tok,
+    * rates are integer-div ppm, and ECE is a windowed integer sum — so
+    * the whole diagram replays bit-for-bit in any SQL engine. Cost: one
+    * wordcount-shaped explode (the repetition label), one scan for the
+    * score, a 10-group aggregate; linear at any scale. Zero-doc bins
+    * grade as explicit zeros via the fixed range(10) frame. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isin(StopWords.map(lit(_)): _*)))
+      .cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0))
+      .otherwise(col("n_chars") / 100.0)
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"),
+      floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long").as("score_e4"))
+    val rep = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("mx"), sum("c").as("n_tok"))
+    val lab = scored.join(rep, "doc_id")
+      .select(col("score_e4"),
+        when(col("mx") * 10 < col("n_tok"), 1L).otherwise(0L).as("y"))
+    val bins = lab
+      .groupBy(least(expr("score_e4 div 1000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("score_e4").as("sum_e4"))
+    val all = Window.partitionBy() // 10 rows — bounded by construction
+    spark.range(10).toDF("bin")
+      .join(bins, Seq("bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos", "sum_e4"))
+      .withColumn("conf_ppm", when(col("n") === 0L, 0L)
+        .otherwise(expr("(sum_e4 * 100) div n")))
+      .withColumn("pos_ppm", when(col("n") === 0L, 0L)
+        .otherwise(expr("(n_pos * 1000000) div n")))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("pos_ppm")))
+      .withColumn("n_total", sum("n").over(all))
+      .withColumn("ece_ppm",
+        floor(sum(col("n") * col("gap_ppm")).over(all) / col("n_total"))
+          .cast("long"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_ppm"),
+        col("pos_ppm"), col("gap_ppm"), col("n_total"), col("ece_ppm"))
+      .orderBy("bin")
+  }
+
+  def scoreCalibrationOracle: String = """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) AS score_e4
+      FROM t),
+    u AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(1) AS c FROM u GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS mx,
+             CAST(sum(c) AS BIGINT) AS n_tok
+      FROM tc GROUP BY doc_id),
+    lab AS (
+      SELECT s.score_e4,
+             CASE WHEN rep.mx * 10 < rep.n_tok THEN 1 ELSE 0 END AS y
+      FROM s JOIN rep ON s.doc_id = rep.doc_id),
+    b AS (
+      SELECT least(score_e4 // 1000, 9) AS bin,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(score_e4) AS BIGINT) AS sum_e4
+      FROM lab GROUP BY 1),
+    frame AS (SELECT unnest(range(10)) AS bin),
+    f AS (
+      SELECT frame.bin,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+             CAST(coalesce(b.n_pos, 0) AS BIGINT) AS n_pos,
+             CAST(coalesce(b.sum_e4, 0) AS BIGINT) AS sum_e4
+      FROM frame LEFT JOIN b ON frame.bin = b.bin),
+    r AS (
+      SELECT bin, n, n_pos,
+             CAST(CASE WHEN n = 0 THEN 0
+               ELSE (sum_e4 * 100) // n END AS BIGINT) AS conf_ppm,
+             CAST(CASE WHEN n = 0 THEN 0
+               ELSE (n_pos * 1000000) // n END AS BIGINT) AS pos_ppm
+      FROM f)
+    SELECT bin, n, n_pos, conf_ppm, pos_ppm,
+           CAST(abs(conf_ppm - pos_ppm) AS BIGINT) AS gap_ppm,
+           CAST(sum(n) OVER () AS BIGINT) AS n_total,
+           CAST(floor(CAST(sum(n * abs(conf_ppm - pos_ppm)) OVER ()
+             AS DOUBLE) / sum(n) OVER ()) AS BIGINT) AS ece_ppm
+    FROM r ORDER BY bin"""
 }

@@ -658,4 +658,49 @@ class CurationSpec extends SparkSpec {
     assert(train.getAs[Long]("share_ppm") > 700000L,
       "train gate must dominate at the 80/10/10 thresholds")
   }
+
+  test("q9v threshold sweep: curve replays driver-side; recall is monotone " +
+      "non-increasing and exactly one operating point is flagged best") {
+    val rows = Curation.thresholdSweep(spark, sfDir).collect()
+    assert(rows.length == 21, "21-point e4 grid")
+    assert(rows.map(_.getAs[Long]("threshold_e4")).toSeq ==
+      (0L to 10000L by 500L))
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val n = toks.length.toDouble
+        val diversity = toks.distinct.length.toDouble / n
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in")).toDouble / n
+        val lengthOk = if (r.getLong(2) >= 100) 1.0 else r.getLong(2) / 100.0
+        val score = math.floor((lengthOk * 0.4 + diversity * 0.4
+          + math.min(stop * 5.0, 1.0) * 0.2) * 1e4 + 0.5).toLong
+        val mx = toks.groupBy(identity).values.map(_.length).max.toLong
+        (score, if (mx * 10 < toks.length.toLong) 1L else 0L)
+      }
+    val posTotal = docs.map(_._2).sum
+    rows.foreach { r =>
+      val t = r.getAs[Long]("threshold_e4")
+      // bucket grid: score >= t iff min(score div 500, 20) >= t/500
+      val pred = docs.filter(d => math.min(d._1 / 500, 20L) >= t / 500)
+      val tp = pred.map(_._2).sum
+      assert(r.getAs[Long]("p_pred") == pred.length.toLong, s"P at $t")
+      assert(r.getAs[Long]("tp") == tp, s"TP at $t")
+      assert(r.getAs[Long]("fp") == pred.length - tp)
+      assert(r.getAs[Long]("fn") == posTotal - tp)
+      val f1 = if (pred.isEmpty && posTotal == 0) 0L
+        else 2 * tp * 1000000L / (pred.length + posTotal)
+      assert(r.getAs[Long]("f1_ppm") == f1, s"F1 at $t")
+    }
+    val recalls = rows.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(recalls == recalls.sorted.reverse,
+      "recall must be non-increasing in the threshold")
+    assert(rows.count(_.getAs[Boolean]("is_best")) == 1)
+    val bestF1 = rows.map(_.getAs[Long]("f1_ppm")).max
+    val best = rows.filter(_.getAs[Boolean]("is_best")).head
+    assert(best.getAs[Long]("f1_ppm") == bestF1)
+    assert(best.getAs[Long]("threshold_e4") ==
+      rows.filter(_.getAs[Long]("f1_ppm") == bestF1)
+        .map(_.getAs[Long]("threshold_e4")).min,
+      "tie broken toward the smallest threshold")
+  }
 }

@@ -1053,4 +1053,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_e6"))).toSeq
       == replay, "fusion diverged from the independent two-leg replay")
   }
+
+  test("q9s split leakage: per-combo counts equal a brute-force all-pairs " +
+      "Jaccard replay; headline contamination count replays") {
+    val rows = Dedup.splitLeakage(spark, sfDir).collect()
+    assert(rows.length == 6, "fixed 6-row split-pair frame")
+    assert(rows.map(r => (r.getAs[String]("split_lo"),
+      r.getAs[String]("split_hi"))).toSeq == Seq(
+      ("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val")))
+    // brute-force ground truth: ALL C(n,2) pairs at exact trigram
+    // Jaccard >= 0.5 (the signature join is an optimization, not a
+    // semantics change — on this corpus it must achieve full recall
+    // because planted near-dups share nearly all their rare grams)
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Set(text)
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val m = 2147483647L
+    def splitOf(id: Long): String = {
+      val u = ((((id % m) * 48271L % m) * 48271L % m)).toDouble / m
+      if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), grams(r.getString(1))))
+    val dupPairs = for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, ga) = docs(i); (idb, gb) = docs(j)
+      if (ga & gb).size * 3 >= ga.size + gb.size
+    } yield (ida, idb)
+    assert(dupPairs.nonEmpty, "fixture must contain planted near-dups")
+    val comboCounts = dupPairs
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("split_lo"), r.getAs[String]("split_hi"))
+      assert(r.getAs[Long]("n_neardup_pairs") == comboCounts.getOrElse(key, 0L),
+        s"combo $key diverged from brute force")
+    }
+    val leaked = comboCounts.filter { case ((a, b), _) => a != b }.values.sum
+    assert(rows.head.getAs[Long]("leaked_pairs") == leaked)
+    assert(rows.head.getAs[Long]("total_pairs") == dupPairs.length.toLong)
+    val contaminated = dupPairs.flatMap { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      Seq(if (sa != "train" && sb == "train") Some(a) else None,
+        if (sb != "train" && sa == "train") Some(b) else None).flatten
+    }.distinct.size.toLong
+    assert(rows.head.getAs[Long]("eval_docs_contaminated") == contaminated,
+      "contaminated-eval-doc headline diverged from brute force")
+  }
 }

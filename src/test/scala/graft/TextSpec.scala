@@ -552,4 +552,44 @@ class TextSpec extends SparkSpec {
     assert(rows("ok").getAs[Long]("pixel_checksum") == cleanSum,
       "clean-path checksum must equal the unguarded decoder on the same ids")
   }
+
+  test("q9t score calibration: bins, rates and ECE replay driver-side from " +
+      "raw text; both label classes are populated") {
+    val rows = Text.scoreCalibration(spark, sfDir).collect()
+    assert(rows.length == 10, "fixed 10-bin reliability frame")
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    case class D(score: Long, y: Long)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").collect().map { r =>
+        val text = r.getString(1); val nChars = r.getLong(2)
+        val toks = text.split(" ", -1)
+        val n = toks.length.toDouble
+        val diversity = toks.distinct.length.toDouble / n
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in")).toDouble / n
+        val lengthOk = if (nChars >= 100) 1.0 else nChars / 100.0
+        val score = math.floor((lengthOk * 0.4 + diversity * 0.4
+          + math.min(stop * 5.0, 1.0) * 0.2) * 1e4 + 0.5).toLong
+        val mx = toks.groupBy(identity).values.map(_.length).max.toLong
+        D(score, if (mx * 10 < toks.length.toLong) 1L else 0L)
+      }
+    val ys = docs.map(_.y).toSet
+    assert(ys == Set(0L, 1L), "label must be mixed on the fixture")
+    val byBin = docs.groupBy(d => math.min(d.score / 1000, 9L))
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val in = byBin.getOrElse(bin, Array.empty[D])
+      assert(r.getAs[Long]("n") == in.length.toLong, s"bin $bin count")
+      assert(r.getAs[Long]("n_pos") == in.map(_.y).sum, s"bin $bin positives")
+      if (in.nonEmpty) {
+        assert(r.getAs[Long]("conf_ppm") == in.map(_.score).sum * 100 / in.length)
+        assert(r.getAs[Long]("pos_ppm") == in.map(_.y).sum * 1000000L / in.length)
+      } else {
+        assert(r.getAs[Long]("conf_ppm") == 0L && r.getAs[Long]("pos_ppm") == 0L)
+      }
+    }
+    val nTotal = docs.length.toLong
+    val ece = rows.map(r => r.getAs[Long]("n") * r.getAs[Long]("gap_ppm")).sum / nTotal
+    assert(rows.head.getAs[Long]("n_total") == nTotal)
+    assert(rows.head.getAs[Long]("ece_ppm") == ece, "ECE replay diverged")
+  }
 }
