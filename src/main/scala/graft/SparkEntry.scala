@@ -267,7 +267,9 @@ object SparkEntry {
     "q9r_split_manifest"    -> (Curation.splitManifest _),
     "q9s_split_leakage"     -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
     "q9t_score_calibration" -> (Text.scoreCalibration _),
+    "q9u_quantile_norm"     -> ((s: SparkSession, d: String) => Quality.quantileNormalize(s, d)),
     "q9v_threshold_sweep"   -> (Curation.thresholdSweep _),
+    "q9w_source_concentration" -> (Quality.sourceConcentration _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -784,7 +786,9 @@ object SparkEntry {
     "q9r_split_manifest"     -> Curation.splitManifestOracle,
     "q9s_split_leakage"      -> Dedup.splitLeakageOracle,
     "q9t_score_calibration"  -> Text.scoreCalibrationOracle,
+    "q9u_quantile_norm"      -> Quality.quantileNormalizeOracle,
     "q9v_threshold_sweep"    -> Curation.thresholdSweepOracle,
+    "q9w_source_concentration" -> Quality.sourceConcentrationOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2041,4 +2041,219 @@ object Quality {
                THEN 1 ELSE 0 END) = 0 AS aligned_ok,
            min(dim) = max(dim) AS dim_consistent
     FROM j"""
+
+  /** q9u: PER-SOURCE QUANTILE NORMALIZATION — when feeds score on
+    * different scales (one crawler's "0.8" is another's "0.5"), a
+    * mixture weighted by raw scores silently over-samples the
+    * generous feed. The fix is the genomics/LTR standard: map each
+    * doc's WITHIN-SOURCE rank onto the GLOBAL score distribution, so
+    * every source's scores become comparable by construction.
+    *
+    * Exact and scale-shaped: within-source ranks are a per-source
+    * window (parallel across sources); the global distribution is
+    * NEVER ranked per-row — scores live on q8c's e4 grid, so the
+    * global CDF is a <=10001-row histogram with [lo,hi] global-rank
+    * spans (the q1r/q8c histogram-decomposition doctrine), and the
+    * rank->score lookup is the q37 BINNED INTERVAL JOIN: histogram
+    * spans explode into fixed-width rank buckets (width 256), docs
+    * equi-join on their target rank's bucket and filter to the span —
+    * a shuffle-on-bucket plan that scales linearly, where the naive
+    * BroadcastNestedLoop range join would compare every doc against
+    * every histogram row. Target rank g = 1 + (r-1)(N-1) div (n_s-1)
+    * is pure integer arithmetic (a single-doc source maps to the
+    * global minimum by convention). `monotone_ok` asserts the defining
+    * property — normalization never reorders a source's docs — as a
+    * computed window fold, not an assumption. */
+  def quantileNormalize(spark: SparkSession, dir: String,
+      bucketWidth: Int = 256): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin(Text.StopWords.map(lit(_)): _*))).cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0))
+      .otherwise(col("n_chars") / 100.0)
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long").as("score_e4"))
+      .cache() // consumed by the histogram AND the per-doc rank side
+    val hist = scored.groupBy("score_e4").agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum("c").over( // <=10001 rows: histogram doctrine
+        Window.orderBy("score_e4")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+    val binned = hist.withColumn("bucket", explode(sequence(
+        expr(s"lo div $bucketWidth"), expr(s"hi div $bucketWidth"))))
+      .select(col("bucket"), col("lo"), col("hi"),
+        col("score_e4").as("norm_e4"))
+    val bySrc = Window.partitionBy("source")
+    // N comes from the tiny histogram as a 1-row broadcast — a global
+    // count window over the DOC frame would funnel the corpus through
+    // one partition
+    val nTotal = hist.agg(sum("c").as("n_total"))
+    val ranked = scored
+      .withColumn("r", row_number().over(
+        bySrc.orderBy(col("score_e4"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(bySrc))
+      .crossJoin(nTotal)
+      .withColumn("g", lit(1L) + expr(
+        "((r - 1) * (n_total - 1)) div greatest(n_s - 1, 1)"))
+    val normed = ranked
+      .join(binned, expr(s"g div $bucketWidth") === col("bucket")
+        && col("g").between(col("lo"), col("hi")))
+      .select(col("source"), col("r"), col("score_e4"), col("norm_e4"))
+    val byRank = bySrc.orderBy("r")
+    normed
+      .withColumn("prev_norm", lag("norm_e4", 1).over(byRank))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_e4) div count(1)").as("mean_raw_e4"),
+        expr("sum(norm_e4) div count(1)").as("mean_norm_e4"),
+        min("norm_e4").as("min_norm_e4"),
+        max("norm_e4").as("max_norm_e4"),
+        min(coalesce(col("norm_e4") >= col("prev_norm"), lit(true)))
+          .as("monotone_ok"))
+      .withColumn("shift_e4", col("mean_norm_e4") - col("mean_raw_e4"))
+      .orderBy("source")
+  }
+
+  def quantileNormalizeOracle: String = """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) AS score_e4
+      FROM t),
+    h AS (SELECT score_e4, CAST(count(1) AS BIGINT) AS c
+          FROM s GROUP BY score_e4),
+    cdf AS (
+      SELECT score_e4 AS norm_e4, c,
+             CAST(sum(c) OVER (ORDER BY score_e4
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hi
+      FROM h),
+    spans AS (SELECT norm_e4, hi - c + 1 AS lo, hi FROM cdf),
+    binned AS (
+      SELECT norm_e4, lo, hi,
+             unnest(range(lo // 256, hi // 256 + 1)) AS bucket
+      FROM spans),
+    ranked AS (
+      SELECT source, score_e4,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score_e4, doc_id) AS r,
+             count(1) OVER (PARTITION BY source) AS n_s,
+             count(1) OVER () AS n_total
+      FROM s),
+    tg AS (
+      SELECT source, score_e4, r,
+             1 + ((r - 1) * (n_total - 1)) // greatest(n_s - 1, 1) AS g
+      FROM ranked),
+    normed AS (
+      SELECT tg.source, tg.r, tg.score_e4, binned.norm_e4
+      FROM tg JOIN binned
+        ON tg.g // 256 = binned.bucket
+        AND tg.g BETWEEN binned.lo AND binned.hi),
+    w AS (
+      SELECT *, lag(norm_e4) OVER (PARTITION BY source ORDER BY r)
+               AS prev_norm
+      FROM normed)
+    SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(sum(score_e4) // count(1) AS BIGINT) AS mean_raw_e4,
+           CAST(sum(norm_e4) // count(1) AS BIGINT) AS mean_norm_e4,
+           CAST(min(norm_e4) AS BIGINT) AS min_norm_e4,
+           CAST(max(norm_e4) AS BIGINT) AS max_norm_e4,
+           coalesce(bool_and(norm_e4 >= prev_norm OR prev_norm IS NULL),
+             true) AS monotone_ok,
+           CAST(sum(norm_e4) // count(1) - sum(score_e4) // count(1)
+             AS BIGINT) AS shift_e4
+    FROM w GROUP BY source ORDER BY source"""
+
+  /** q9w: SOURCE-CONCENTRATION AUDIT (Gini / HHI / top-3 share) — the
+    * diversity half of the mixture decision q9g/q9h optimize: if three
+    * feeds own 80% of the token mass, the "diverse corpus" is an
+    * illusion and every downstream mixture inherits the skew. Exact
+    * integer Lorenz arithmetic over the per-source token masses: rank
+    * sources ascending by mass (ties by name — deterministic), Gini =
+    * (2·Σ i·m_i − (n+1)·S) / (n·S) with the single final division the
+    * only floating op (exact int64 operands well past 1e12 tokens ×
+    * 20 sources; the division is IEEE-correctly-rounded in both
+    * engines), HHI = Σ share_ppm² div 1e6 and the top-3 share in pure
+    * integers. One wordcount-shaped scan; every window runs over the
+    * |sources|-row rollup, never the corpus. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy() // |sources| rows — bounded rollup
+    val asc = Window.orderBy(col("n_tokens"), col("source"))
+    mass
+      .withColumn("rank_asc", row_number().over(asc).cast("long"))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("share_ppm",
+        expr("(n_tokens * 1000000) div total_tokens"))
+      .withColumn("cum_share_ppm", sum("share_ppm").over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gini_ppm", floor(
+        ((lit(2L) * sum(col("rank_asc") * col("n_tokens")).over(all)
+          - (col("n_sources") + 1L) * col("total_tokens")).cast("double")
+          * 1e6) / (col("n_sources") * col("total_tokens")).cast("double"))
+        .cast("long"))
+      .withColumn("hhi_e6", floor(
+        sum(col("share_ppm") * col("share_ppm")).over(all) / 1e6)
+        .cast("long"))
+      .withColumn("top3_ppm", sum(when(
+        col("rank_asc") > col("n_sources") - 3L, col("share_ppm"))
+        .otherwise(0L)).over(all))
+      .select(col("source"), col("n_tokens"), col("rank_asc"),
+        col("share_ppm"), col("cum_share_ppm"), col("n_sources"),
+        col("gini_ppm"), col("hhi_e6"), col("top3_ppm"))
+      .orderBy("rank_asc")
+  }
+
+  def sourceConcentrationOracle: String = """
+    WITH m AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT)
+               AS rank_asc,
+             CAST(count(1) OVER () AS BIGINT) AS n_sources,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM m),
+    sh AS (
+      SELECT *,
+             CAST((n_tokens * 1000000) // total_tokens AS BIGINT)
+               AS share_ppm
+      FROM r)
+    SELECT source, n_tokens, rank_asc, share_ppm,
+           CAST(sum(share_ppm) OVER (ORDER BY rank_asc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_share_ppm,
+           n_sources,
+           CAST(floor(CAST(2 * sum(rank_asc * n_tokens) OVER ()
+               - (n_sources + 1) * total_tokens AS DOUBLE) * 1e6
+             / CAST(n_sources * total_tokens AS DOUBLE)) AS BIGINT)
+             AS gini_ppm,
+           CAST(floor(CAST(sum(share_ppm * share_ppm) OVER () AS DOUBLE)
+             / 1e6) AS BIGINT) AS hhi_e6,
+           CAST(sum(CASE WHEN rank_asc > n_sources - 3 THEN share_ppm
+             ELSE 0 END) OVER () AS BIGINT) AS top3_ppm
+    FROM sh ORDER BY rank_asc"""
 }

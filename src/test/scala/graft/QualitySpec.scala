@@ -1296,4 +1296,79 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Boolean]("dim_consistent"))
     assert(r.getAs[Int]("dim_min") == r.getAs[Int]("dim_max"))
   }
+
+  private def replayScores(): Array[(Long, String, Long)] =
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text", "n_chars").collect().map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        val n = toks.length.toDouble
+        val diversity = toks.distinct.length.toDouble / n
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in")).toDouble / n
+        val lengthOk = if (r.getLong(3) >= 100) 1.0 else r.getLong(3) / 100.0
+        val score = math.floor((lengthOk * 0.4 + diversity * 0.4
+          + math.min(stop * 5.0, 1.0) * 0.2) * 1e4 + 0.5).toLong
+        (r.getLong(0), r.getString(1), score)
+      }
+
+  test("q9u quantile normalization: per-source aggregates replay from a " +
+      "driver-side global-rank mapping; normalization preserves order") {
+    val rows = Quality.quantileNormalize(spark, sfDir).collect()
+    val docs = replayScores()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    // global distribution sorted ascending; rank g (1-based) -> score
+    val globalSorted = docs.map(_._3).sorted
+    val n = globalSorted.length.toLong
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val in = bySource(src).sortBy(d => (d._3, d._1))
+      val ns = in.length.toLong
+      val normed = in.zipWithIndex.map { case (_, i) =>
+        val g = 1L + i.toLong * (n - 1) / math.max(ns - 1, 1L)
+        globalSorted((g - 1).toInt)
+      }
+      assert(r.getAs[Long]("n_docs") == ns, s"$src count")
+      assert(r.getAs[Long]("mean_raw_e4") == in.map(_._3).sum / ns)
+      assert(r.getAs[Long]("mean_norm_e4") == normed.sum / ns, s"$src mean")
+      assert(r.getAs[Long]("min_norm_e4") == normed.min)
+      assert(r.getAs[Long]("max_norm_e4") == normed.max)
+      assert(r.getAs[Boolean]("monotone_ok"),
+        s"$src normalization must never reorder a source's docs")
+      assert(r.getAs[Long]("shift_e4") ==
+        normed.sum / ns - in.map(_._3).sum / ns)
+    }
+  }
+
+  test("q9w source concentration: Gini/HHI/top-3 replay driver-side; " +
+      "Lorenz curve is monotone and shares conserve") {
+    val rows = Quality.sourceConcentration(spark, sfDir).collect()
+    val masses = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.length == masses.size)
+    val total = masses.values.sum
+    val asc = masses.toSeq.sortBy { case (s, m) => (m, s) }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_tokens") == masses(src))
+      assert(r.getAs[Long]("rank_asc") ==
+        asc.indexWhere(_._1 == src).toLong + 1)
+      assert(r.getAs[Long]("share_ppm") == masses(src) * 1000000L / total)
+    }
+    val cum = rows.sortBy(_.getAs[Long]("rank_asc"))
+      .map(_.getAs[Long]("cum_share_ppm"))
+    assert(cum.toSeq == cum.sorted.toSeq, "Lorenz curve must be monotone")
+    val nS = masses.size.toLong
+    val a = asc.zipWithIndex.map { case ((_, m), i) => (i + 1) * m }.sum
+    val gini = math.floor(
+      (2L * a - (nS + 1) * total).toDouble * 1e6 / (nS * total).toDouble).toLong
+    assert(rows.head.getAs[Long]("gini_ppm") == gini, "Gini replay diverged")
+    val shares = asc.map { case (_, m) => m * 1000000L / total }
+    val hhi = math.floor(shares.map(s => s * s).sum / 1e6).toLong
+    assert(rows.head.getAs[Long]("hhi_e6") == hhi, "HHI replay diverged")
+    assert(rows.head.getAs[Long]("top3_ppm") == shares.takeRight(3).sum)
+    assert(rows.head.getAs[Long]("gini_ppm") >= 0L
+      && rows.head.getAs[Long]("gini_ppm") < 1000000L)
+  }
 }
