@@ -270,6 +270,7 @@ object SparkEntry {
     "q9u_quantile_norm"     -> ((s: SparkSession, d: String) => Quality.quantileNormalize(s, d)),
     "q9v_threshold_sweep"   -> (Curation.thresholdSweep _),
     "q9w_source_concentration" -> (Quality.sourceConcentration _),
+    "q9y_bpe_trainer_loop"  -> ((s: SparkSession, d: String) => Text.bpeTrainerLoop(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -789,6 +790,7 @@ object SparkEntry {
     "q9u_quantile_norm"      -> Quality.quantileNormalizeOracle,
     "q9v_threshold_sweep"    -> Curation.thresholdSweepOracle,
     "q9w_source_concentration" -> Quality.sourceConcentrationOracle,
+    "q9y_bpe_trainer_loop"   -> Text.bpeTrainerLoopOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1317,6 +1317,139 @@ object Text {
            rk.n_types, tots.n_distinct_pairs, tots.total_pair_occ
     FROM rk CROSS JOIN tots WHERE rk.rank <= 20 ORDER BY rk.rank"""
 
+  /** q9y: BPE TRAINER LOOP — tokenizer-training step 2, completing
+    * q9f's single-step pair count: run the actual Sennrich et al.
+    * merge loop for `rounds` rounds. Each round (a) counts adjacent
+    * symbol pairs over the DISTINCT weighted vocabulary (the classic
+    * trainer trick — corpus token frequency enters as a weight, the
+    * pair scan runs over vocab entries only, so the loop cost is
+    * bounded by |vocab|, not the corpus), (b) picks the
+    * max-frequency pair with a deterministic (n_occ desc, a, b)
+    * tie-break, (c) applies the merge to every vocab entry.
+    *
+    * Words are the flat sentinel-spaced symbol string of the original
+    * BPE implementation (" h e l l o "), so applying a merge is plain
+    * string `replace` of " a b " with " ab " — left-to-right
+    * non-overlapping in BOTH engines (identical algorithm, identical
+    * result), iterated 3 passes because a replacement consumes the
+    * separator the next overlapping occurrence needs (a run of k
+    * repeated pairs resolves in ceil(log2 k)+1 passes; 3 covers runs
+    * to 8). `merge_complete` GRADES the fixpoint per round (bool_and
+    * of instr(sym, pat) = 0) rather than assuming it. Each round's
+    * vocab is localCheckpointed — 4 tiny materializations instead of
+    * an exponentially nesting plan (the q8k lesson); the per-round
+    * argmax pair is a 1-row broadcast. */
+  def bpeTrainerLoop(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame = {
+    val chars = expr(
+      "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
+    // the loop iterates a VOCAB-sized frame (kilobytes) ~10 jobs per
+    // round — per-round cost is task-launch overhead, so run the loop
+    // at few partitions (the q57 connected-components doctrine);
+    // at real scale size this to the vocabulary, not the corpus
+    graft.SessionConf.withShufflePartitions(spark,
+      math.min(4, spark.sparkContext.defaultParallelism)) {
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("sym"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val roundRows = (1 to rounds).map { r =>
+      val pairs = vocab
+        .withColumn("syms", split(trim(col("sym")), " "))
+        // single-symbol entries have no pairs — and Spark's
+        // sequence(1, 0) DESCENDS rather than being empty
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("cnt").as("n_occ"), count(lit(1)).as("n_types"))
+      val best = pairs
+        .orderBy(col("n_occ").desc, col("a"), col("b")).limit(1)
+      val applied = vocab.crossJoin(broadcast(best))
+        .withColumn("pat",
+          concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")))
+        .withColumn("rep", concat(lit(" "), col("a"), col("b"), lit(" ")))
+        .withColumn("sym2",
+          expr("replace(replace(replace(sym, pat, rep), pat, rep), pat, rep)"))
+      val newVocab = applied.select(col("sym2").as("sym"), col("cnt"))
+        .localCheckpoint(true)
+      vocab = newVocab
+      // one exploded pass yields BOTH post-merge stats: every symbol
+      // occurrence contributes its word's corpus weight, so the
+      // weighted symbol mass is sum(cnt) over the exploded frame
+      val post = newVocab
+        .select(col("cnt"), explode(split(trim(col("sym")), " ")).as("s"))
+        .agg(sum("cnt").as("total_weighted_symbols"),
+          countDistinct("s").as("distinct_symbols"))
+      val fix = applied.agg(
+        bool_and(expr("instr(sym2, pat) = 0")).as("merge_complete"))
+      best
+        .crossJoin(broadcast(post))
+        .crossJoin(broadcast(fix))
+        .select(lit(r.toLong).as("round"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("n_occ"),
+          col("n_types"), col("total_weighted_symbols"),
+          col("distinct_symbols"), col("merge_complete"))
+        // eager: the round's jobs must run INSIDE the reduced-partition
+        // scope — left lazy they'd execute at write time under the
+        // session default
+        .localCheckpoint(true)
+    }
+    roundRows.reduce(_.unionAll(_)).orderBy("round")
+    }
+  }
+
+  def bpeTrainerLoopOracle: String = {
+    def round(i: Int): String = {
+      val (vin, vout) = (s"v$i", s"v${i + 1}")
+      s"""
+    p$i AS (
+      SELECT syms[i] AS a, syms[i+1] AS b,
+             CAST(sum(cnt) AS BIGINT) AS n_occ,
+             CAST(count(1) AS BIGINT) AS n_types
+      FROM (SELECT cnt, string_split(trim(sym), ' ') AS syms,
+                   unnest(range(1, len(string_split(trim(sym), ' ')))) AS i
+            FROM $vin)
+      GROUP BY 1, 2),
+    b$i AS (SELECT a, b, n_occ, n_types FROM p$i
+            ORDER BY n_occ DESC, a, b LIMIT 1),
+    $vout AS (
+      SELECT replace(replace(replace(sym,
+               ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+               ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+               ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')
+               AS sym, cnt
+      FROM $vin CROSS JOIN b$i b),
+    r$i AS (
+      SELECT CAST($i + 1 AS BIGINT) AS round, b.a, b.b,
+             b.a || b.b AS merged, b.n_occ, b.n_types,
+             (SELECT CAST(sum(cnt * len(string_split(trim(sym), ' ')))
+                AS BIGINT) FROM $vout) AS total_weighted_symbols,
+             (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM
+                (SELECT unnest(string_split(trim(sym), ' ')) AS s
+                 FROM $vout)) AS distinct_symbols,
+             (SELECT bool_and(instr(sym,
+                ' ' || b.a || ' ' || b.b || ' ') = 0) FROM $vout)
+               AS merge_complete
+      FROM b$i b)"""
+    }
+    s"""
+    WITH v0 AS (
+      SELECT ' ' || list_aggregate(list_transform(range(length(tok)),
+               i -> substring(tok, i + 1, 1)), 'string_agg', ' ')
+               || ' ' AS sym,
+             CAST(count(1) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1),
+    ${(0 until 4).map(round).mkString(",")}
+    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+    UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    ORDER BY round"""
+  }
+
   /** q9t: QUALITY-SCORE CALIBRATION AUDIT (reliability diagram + ECE) —
     * before a pipeline trusts q41's heuristic score as a keep/drop
     * probability, it should check the score is CALIBRATED against an

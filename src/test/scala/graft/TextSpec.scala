@@ -553,6 +553,49 @@ class TextSpec extends SparkSpec {
       "clean-path checksum must equal the unguarded decoder on the same ids")
   }
 
+  test("q9y bpe trainer loop: 4 merge rounds replay driver-side (picks, " +
+      "weighted mass, symbol arity); every round reaches merge fixpoint") {
+    val rows = Text.bpeTrainerLoop(spark, sfDir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (1L to 4L))
+    // independent replay: Java String.replace has the same
+    // left-to-right non-overlapping semantics as SQL replace
+    var vocab: Map[String, Long] = Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (tok, occ) =>
+        (" " + tok.toCharArray.mkString(" ") + " ", occ.length.toLong)
+      }
+    rows.foreach { r =>
+      val pairCounts = vocab.toSeq.flatMap { case (sym, cnt) =>
+        val syms = sym.trim.split(" ", -1)
+        syms.zip(syms.drop(1)).map(p => (p, cnt))
+      }
+      val byPair = pairCounts.groupBy(_._1).view
+        .mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+      val ((a, b), (nOcc, nTypes)) = byPair.toSeq
+        .sortBy { case ((x, y), (n, _)) => (-n, x, y) }.head
+      assert(r.getAs[String]("a") == a && r.getAs[String]("b") == b,
+        s"round ${r.getAs[Long]("round")} pick diverged")
+      assert(r.getAs[Long]("n_occ") == nOcc)
+      assert(r.getAs[Long]("n_types") == nTypes)
+      assert(r.getAs[String]("merged") == a + b)
+      val pat = s" $a $b "; val rep = s" $a$b "
+      vocab = vocab.toSeq.map { case (sym, cnt) =>
+        (sym.replace(pat, rep).replace(pat, rep).replace(pat, rep), cnt)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(r.getAs[Boolean]("merge_complete"),
+        s"round ${r.getAs[Long]("round")} did not reach fixpoint in 3 passes")
+      assert(vocab.keys.forall(!_.contains(pat)),
+        "replay disagrees with the operator's fixpoint claim")
+      val mass = vocab.toSeq
+        .map { case (s, c) => s.trim.split(" ", -1).length.toLong * c }.sum
+      assert(r.getAs[Long]("total_weighted_symbols") == mass)
+      val arity = vocab.keys.flatMap(_.trim.split(" ", -1)).toSet.size.toLong
+      assert(r.getAs[Long]("distinct_symbols") == arity)
+    }
+  }
+
   test("q9t score calibration: bins, rates and ECE replay driver-side from " +
       "raw text; both label classes are populated") {
     val rows = Text.scoreCalibration(spark, sfDir).collect()
