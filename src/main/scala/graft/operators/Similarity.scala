@@ -1440,6 +1440,142 @@ object Similarity {
            d.min_e6, d.max_e6, d.n_small, gl.anisotropy_e6, gl.n_weak_dims
     FROM d CROSS JOIN gl ORDER BY d.dim"""
 
+  /** qa0: ROBUST OUTLIER QUARANTINE — the row-level complement to
+    * q8p's moment-based health audit: per-dimension MEDIAN/MAD fences
+    * (the robust statistics a mean/variance audit can't provide — one
+    * corrupted batch of extreme values drags the mean toward itself
+    * and inflates the variance it is judged against, while the median
+    * and MAD ignore it), then quarantine every vector with ANY
+    * dimension outside median ± k·MAD. The embedding-side version of
+    * what q1f's winsorization does for metrics.
+    *
+    * Exact integer end to end: values quantize to the e6 grid
+    * (the q8p convention), per-dim medians come from the q1r/q8c
+    * HISTOGRAM DECOMPOSITION (a (dim, value) count table bounded by
+    * the grid, never a per-group value sort), medians are DOUBLED
+    * (med2 = lo+hi order stats) and MADs QUADRUPLED (mad4 = doubled
+    * median of doubled deviations) so every comparison stays integer:
+    * |x−med| > k·MAD ⟺ 2·dev2 > k·mad4. Zero-MAD dims (constant
+    * columns) are floored to one grid step so they don't quarantine
+    * the corpus. One cached exploded projection feeds all three
+    * passes; the median/MAD tables are |dims|-row broadcasts; windows
+    * partition BY DIM (parallel across dimensions at any corpus
+    * size). */
+  def robustQuarantine(spark: SparkSession, dir: String,
+      k: Long = 6L): DataFrame =
+    robustQuarantineOf(Tables.embeddings(spark, dir), k)
+
+  /** DataFrame form of qa0, for planted-corpus tests. */
+  def robustQuarantineOf(emb: DataFrame, k: Long = 6L): DataFrame = {
+    val dims = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xi"))
+      .cache() // three consumers: value histogram, deviation pass, flags
+    def med2Of(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val h = df.groupBy(col("dim"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val byDim = Window.partitionBy("dim")
+      val cumW = byDim.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h2 = h.withColumn("cum", sum("c").over(cumW))
+        .withColumn("n", sum("c").over(byDim))
+        .withColumn("lo_pos", expr("(n + 1) div 2"))
+        .withColumn("hi_pos", expr("(n + 2) div 2"))
+      def bucketOf(pos: Column): Column =
+        col("cum") - col("c") < pos && col("cum") >= pos
+      h2.groupBy("dim").agg(
+        (min(when(bucketOf(col("lo_pos")), col("v")))
+          + min(when(bucketOf(col("hi_pos")), col("v")))).as(out))
+    }
+    // the |dims|-row median/MAD tables are materialized once — left
+    // lazy, every broadcast consumer re-runs the histogram-window
+    // subtree they sit on (measured 7.4 s -> the re-execution was the
+    // whole cost)
+    val med = med2Of(dims, "xi", "med2_e6").localCheckpoint(true)
+    val dev = dims.join(broadcast(med), "dim")
+      .withColumn("dev2", abs(col("xi") * 2 - col("med2_e6")))
+    val mad = med2Of(dev.select(col("dim"), col("dev2")), "dev2", "mad4_e6")
+      .localCheckpoint(true)
+    val flags = dev.join(broadcast(mad), "dim")
+      .withColumn("out", (col("dev2") * 2
+        > lit(k) * greatest(col("mad4_e6"), lit(1L))).cast("long"))
+      .cache() // consumed by the per-dim rollup AND the row-level fold
+    val perDim = flags.groupBy("dim").agg(
+        count(lit(1)).as("n"), sum("out").as("n_outlier_values"))
+      .join(med, "dim").join(mad, "dim")
+    val quarantined = flags
+      .groupBy("vec_id").agg(max("out").as("bad"))
+      .agg(sum("bad").as("n_quarantined"), count(lit(1)).as("n_vectors"))
+      .select(col("n_quarantined"), col("n_vectors"),
+        expr("(n_quarantined * 1000000) div n_vectors").as("quarantine_ppm"))
+    perDim.crossJoin(broadcast(quarantined))
+      .select(col("dim"), col("n"), col("med2_e6"), col("mad4_e6"),
+        col("n_outlier_values"), col("n_quarantined"), col("n_vectors"),
+        col("quarantine_ppm"))
+      .orderBy("dim")
+  }
+
+  def robustQuarantineOracle: String = """
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS xi
+      FROM embeddings),
+    hv AS (SELECT dim, xi AS v, CAST(count(1) AS BIGINT) AS c
+           FROM dims GROUP BY 1, 2),
+    hv2 AS (
+      SELECT *, sum(c) OVER (PARTITION BY dim ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY dim) AS n
+      FROM hv),
+    med AS (
+      SELECT dim,
+             CAST(min(CASE WHEN cum - c < (n+1)//2 AND cum >= (n+1)//2
+                 THEN v END)
+               + min(CASE WHEN cum - c < (n+2)//2 AND cum >= (n+2)//2
+                 THEN v END) AS BIGINT) AS med2_e6
+      FROM hv2 GROUP BY dim),
+    dev AS (
+      SELECT d.vec_id, d.dim, abs(d.xi * 2 - m.med2_e6) AS dev2
+      FROM dims d JOIN med m ON d.dim = m.dim),
+    hd AS (SELECT dim, dev2 AS v, CAST(count(1) AS BIGINT) AS c
+           FROM dev GROUP BY 1, 2),
+    hd2 AS (
+      SELECT *, sum(c) OVER (PARTITION BY dim ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY dim) AS n
+      FROM hd),
+    mad AS (
+      SELECT dim,
+             CAST(min(CASE WHEN cum - c < (n+1)//2 AND cum >= (n+1)//2
+                 THEN v END)
+               + min(CASE WHEN cum - c < (n+2)//2 AND cum >= (n+2)//2
+                 THEN v END) AS BIGINT) AS mad4_e6
+      FROM hd2 GROUP BY dim),
+    fl AS (
+      SELECT dev.vec_id, dev.dim,
+             CASE WHEN dev.dev2 * 2 > 6 * greatest(ma.mad4_e6, 1)
+               THEN 1 ELSE 0 END AS out
+      FROM dev JOIN mad ma ON dev.dim = ma.dim),
+    perdim AS (
+      SELECT dim, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(out) AS BIGINT) AS n_outlier_values
+      FROM fl GROUP BY dim),
+    q AS (
+      SELECT CAST(sum(bad) AS BIGINT) AS n_quarantined,
+             CAST(count(1) AS BIGINT) AS n_vectors
+      FROM (SELECT vec_id, max(out) AS bad FROM fl GROUP BY vec_id))
+    SELECT p.dim, p.n, med.med2_e6, mad.mad4_e6, p.n_outlier_values,
+           q.n_quarantined, q.n_vectors,
+           CAST((q.n_quarantined * 1000000) // q.n_vectors AS BIGINT)
+             AS quarantine_ppm
+    FROM perdim p
+    JOIN med ON p.dim = med.dim
+    JOIN mad ON p.dim = mad.dim
+    CROSS JOIN q
+    ORDER BY p.dim"""
+
   def kcenterCoresetOracle: String = {
     val d2 = (a: String, b: String) =>
       s"""round(list_sum(list_transform(range(1, len($a) + 1),

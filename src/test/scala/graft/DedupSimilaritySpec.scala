@@ -1107,4 +1107,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("eval_docs_contaminated") == contaminated,
       "contaminated-eval-doc headline diverged from brute force")
   }
+
+  test("qa0 robust quarantine: planted outlier vector is quarantined, a " +
+      "constant dim does not quarantine the corpus, medians replay") {
+    import spark.implicits._
+    // 41 clean vectors on a tight grid + 1 planted outlier in dim 1;
+    // dim 2 is CONSTANT (mad floor must keep it from flagging everyone)
+    val clean = (0 until 41).map { i =>
+      (i.toLong, Array((i % 5).toFloat / 100f, 0.5f, (i % 7).toFloat / 100f))
+    }
+    val planted = Seq((99L, Array(0.01f, 37.5f, 0.03f)))
+    val emb = (clean ++ planted).toDF("vec_id", "embedding")
+    val rows = Similarity.robustQuarantineOf(emb).collect()
+    assert(rows.length == 3)
+    val byDim = rows.map(r => r.getAs[Int]("dim") -> r).toMap
+    // dim 1: 41 values at 0.5 + one at 37.5 -> median 0.5, MAD 0, the
+    // planted deviation is huge -> exactly one outlier value
+    assert(byDim(1).getAs[Long]("med2_e6") == 1000000L)
+    assert(byDim(1).getAs[Long]("mad4_e6") == 0L)
+    assert(byDim(1).getAs[Long]("n_outlier_values") == 1L)
+    // exactly the planted vector is quarantined
+    assert(rows.head.getAs[Long]("n_quarantined") == 1L)
+    assert(rows.head.getAs[Long]("n_vectors") == 42L)
+    // driver-side median/MAD replay on dims 0 and 2
+    Seq(0, 2).foreach { d =>
+      val vals = (clean ++ planted)
+        .map(v => math.floor(v._2(d).toDouble * 1e6 + 0.5).toLong).sorted
+      val n = vals.length
+      val med2 = vals((n - 1) / 2) + vals(n / 2)
+      assert(byDim(d).getAs[Long]("med2_e6") == med2, s"dim $d median")
+      val devs = vals.map(v => math.abs(2 * v - med2)).sorted
+      val mad4 = devs((n - 1) / 2) + devs(n / 2)
+      assert(byDim(d).getAs[Long]("mad4_e6") == mad4, s"dim $d MAD")
+      val nOut = devs.count(x => 2 * x > 6 * math.max(mad4, 1L)).toLong
+      assert(byDim(d).getAs[Long]("n_outlier_values") == nOut, s"dim $d fences")
+    }
+    // fixture sanity: the real corpus quarantines only a small tail
+    val fx = Similarity.robustQuarantine(spark, sfDir).collect()
+    assert(fx.length == fx.map(_.getAs[Int]("dim")).distinct.length)
+    assert(fx.head.getAs[Long]("quarantine_ppm") < 500000L,
+      "a robust fence must not quarantine most of a healthy corpus")
+  }
 }
