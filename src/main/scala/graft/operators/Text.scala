@@ -1340,7 +1340,13 @@ object Text {
     * an exponentially nesting plan (the q8k lesson); the per-round
     * argmax pair is a 1-row broadcast. */
   def bpeTrainerLoop(spark: SparkSession, dir: String,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 4): DataFrame =
+    bpeLoop(spark, dir, rounds)._2.reduce(_.unionAll(_)).orderBy("round")
+
+  /** Shared trainer core for q9y/qa1: runs the merge loop, returns the
+    * FINAL segmented vocabulary and the per-round report rows. */
+  private def bpeLoop(spark: SparkSession, dir: String,
+      rounds: Int): (DataFrame, Seq[DataFrame]) = {
     val chars = expr(
       "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))")
     // the loop iterates a VOCAB-sized frame (kilobytes) ~10 jobs per
@@ -1398,11 +1404,77 @@ object Text {
         // session default
         .localCheckpoint(true)
     }
-    roundRows.reduce(_.unionAll(_)).orderBy("round")
+    (vocab, roundRows)
     }
   }
 
-  def bpeTrainerLoopOracle: String = {
+  /** qa1: BPE ENCODE — tokenizer-training step 3, closing the q9f →
+    * q9y arc: apply the trained segmentation to the WHOLE corpus and
+    * report per-language compression. The trainer trick works in
+    * reverse for encoding too: the corpus never gets re-segmented —
+    * the final vocabulary already carries each word's symbol count,
+    * so encoding is a (lang, token) count table equi-joined to the
+    * |vocab|-row symbol table (broadcastable; a giant vocabulary
+    * degrades gracefully to a shuffle equi-join). The per-language
+    * chars-per-symbol ratio is q4z's fertility metric evaluated on a
+    * TRAINED tokenizer — the number that exposes how a tokenizer
+    * fitted on a skewed mixture taxes the minority languages. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = 4): DataFrame = {
+    val (vocab, _) = bpeLoop(spark, dir, rounds)
+    val wordSyms = vocab.select(
+      expr("replace(trim(sym), ' ', '')").as("tok"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_syms"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("occ"))
+    toks.join(broadcast(wordSyms), "tok")
+      .groupBy("lang").agg(
+        sum("occ").as("n_tokens"),
+        sum(col("occ") * length(col("tok"))).as("n_chars"),
+        sum(col("occ") * col("n_syms")).as("bpe_symbols"))
+      .withColumn("compression_ppm",
+        expr("(bpe_symbols * 1000000) div n_chars"))
+      .withColumn("chars_per_symbol_ppm",
+        expr("(n_chars * 1000000) div bpe_symbols"))
+      .orderBy("lang")
+  }
+
+  def bpeTrainerLoopOracle: String =
+    s"""
+    WITH ${bpeRoundsSql(4)}
+    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+    UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    ORDER BY round"""
+
+  def bpeEncodeOracle: String =
+    s"""
+    WITH ${bpeRoundsSql(4)},
+    ws AS (
+      SELECT replace(trim(sym), ' ', '') AS tok,
+             CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_syms
+      FROM v4),
+    tk AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    g AS (SELECT lang, tok, CAST(count(1) AS BIGINT) AS occ
+          FROM tk GROUP BY 1, 2),
+    enc AS (
+      SELECT g.lang,
+             CAST(sum(g.occ) AS BIGINT) AS n_tokens,
+             CAST(sum(g.occ * length(g.tok)) AS BIGINT) AS n_chars,
+             CAST(sum(g.occ * ws.n_syms) AS BIGINT) AS bpe_symbols
+      FROM g JOIN ws ON g.tok = ws.tok
+      GROUP BY g.lang)
+    SELECT lang, n_tokens, n_chars, bpe_symbols,
+           CAST((bpe_symbols * 1000000) // n_chars AS BIGINT)
+             AS compression_ppm,
+           CAST((n_chars * 1000000) // bpe_symbols AS BIGINT)
+             AS chars_per_symbol_ppm
+    FROM enc ORDER BY lang"""
+
+  /** The v0 vocabulary CTE plus `n` unrolled merge-round CTEs
+    * (p/b/v/r per round), shared by the q9y and qa1 oracles. */
+  private def bpeRoundsSql(n: Int): String = {
     def round(i: Int): String = {
       val (vin, vout) = (s"v$i", s"v${i + 1}")
       s"""
@@ -1436,18 +1508,14 @@ object Text {
                AS merge_complete
       FROM b$i b)"""
     }
-    s"""
-    WITH v0 AS (
+    s"""v0 AS (
       SELECT ' ' || list_aggregate(list_transform(range(length(tok)),
                i -> substring(tok, i + 1, 1)), 'string_agg', ' ')
                || ' ' AS sym,
              CAST(count(1) AS BIGINT) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY 1),
-    ${(0 until 4).map(round).mkString(",")}
-    SELECT * FROM r0 UNION ALL SELECT * FROM r1
-    UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
-    ORDER BY round"""
+    ${(0 until n).map(round).mkString(",")}"""
   }
 
   /** q9t: QUALITY-SCORE CALIBRATION AUDIT (reliability diagram + ECE) —

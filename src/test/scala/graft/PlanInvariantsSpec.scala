@@ -79,7 +79,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q9s_split_leakage" -> "1-row contaminated-eval-docs aggregate broadcast onto the fixed 6-row split-pair frame",
     "q9u_quantile_norm" -> "1-row corpus-count aggregate (from the <=10001-row score histogram) broadcast onto the ranked doc frame",
     "q9y_bpe_trainer_loop" -> "per-round 1-row argmax-pair broadcast onto the distinct-vocabulary frame + 1-row post-merge stat aggregates (4 rounds)",
-    "qa0_robust_quarantine" -> "1-row quarantine-totals aggregate broadcast onto the |dims|-row (64) per-dim frame")
+    "qa0_robust_quarantine" -> "1-row quarantine-totals aggregate broadcast onto the |dims|-row (64) per-dim frame",
+    "qa1_bpe_encode" -> "q9y's per-round 1-row argmax-pair broadcasts (the shared trainer loop) + |vocab|-row symbol-table broadcast")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

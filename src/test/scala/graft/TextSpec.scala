@@ -596,6 +596,49 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("qa1 bpe encode: per-language compression replays from the " +
+      "driver-side trained vocabulary; encoding conserves token counts") {
+    val rows = Text.bpeEncode(spark, sfDir).collect()
+    // replay the 4-round trainer exactly as the q9y spec does
+    var vocab: Map[String, Long] = Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (tok, occ) =>
+        (" " + tok.toCharArray.mkString(" ") + " ", occ.length.toLong)
+      }
+    (1 to 4).foreach { _ =>
+      val byPair = vocab.toSeq.flatMap { case (sym, cnt) =>
+        val syms = sym.trim.split(" ", -1)
+        syms.zip(syms.drop(1)).map(p => (p, cnt))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val (a, b) = byPair.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head._1
+      val pat = s" $a $b "; val rep = s" $a$b "
+      vocab = vocab.map { case (sym, cnt) =>
+        (sym.replace(pat, rep).replace(pat, rep).replace(pat, rep), cnt)
+      }
+    }
+    val symsOf = vocab.keys
+      .map(sym => sym.trim.replace(" ", "") -> sym.trim.split(" ", -1).length.toLong)
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == docs.length.toLong,
+      "every corpus token must be encodable (vocab closure)")
+    docs.groupBy(_._1).foreach { case (lang, toks) =>
+      val r = rows.find(_.getAs[String]("lang") == lang).get
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      val chars = toks.map(_._2.length.toLong).sum
+      val bpe = toks.map(t => symsOf(t._2)).sum
+      assert(r.getAs[Long]("n_chars") == chars, s"$lang chars")
+      assert(r.getAs[Long]("bpe_symbols") == bpe, s"$lang symbols")
+      assert(r.getAs[Long]("compression_ppm") == bpe * 1000000L / chars)
+      // merges only ever shrink: symbols never exceed characters
+      assert(bpe <= chars)
+    }
+  }
+
   test("q9t score calibration: bins, rates and ECE replay driver-side from " +
       "raw text; both label classes are populated") {
     val rows = Text.scoreCalibration(spark, sfDir).collect()
