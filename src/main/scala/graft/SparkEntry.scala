@@ -273,6 +273,7 @@ object SparkEntry {
     "q9y_bpe_trainer_loop"  -> ((s: SparkSession, d: String) => Text.bpeTrainerLoop(s, d)),
     "qa0_robust_quarantine" -> ((s: SparkSession, d: String) => Similarity.robustQuarantine(s, d)),
     "qa1_bpe_encode"        -> ((s: SparkSession, d: String) => Text.bpeEncode(s, d)),
+    "qa2_context_pairs"     -> ((s: SparkSession, d: String) => TimeSeries.contextTrainingPairs(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -795,6 +796,7 @@ object SparkEntry {
     "q9y_bpe_trainer_loop"   -> Text.bpeTrainerLoopOracle,
     "qa0_robust_quarantine"  -> Similarity.robustQuarantineOracle,
     "qa1_bpe_encode"         -> Text.bpeEncodeOracle,
+    "qa2_context_pairs"      -> TimeSeries.contextTrainingPairsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

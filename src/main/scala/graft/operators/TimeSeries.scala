@@ -106,6 +106,92 @@ object TimeSeries {
              * 1e6 + 0.5) AS BIGINT) AS p_ppm
     FROM counts ORDER BY from_type, to_type"""
 
+  /** qa2: CONTEXT-2 TRAINING PAIRS — next-event-prediction dataset
+    * construction, the supervised-example step a behavioral model's
+    * data pipeline runs on raw event logs: (two-event context →
+    * next event) examples with conditional probability and LIFT over
+    * the label's base rate — the second-order extension of q3n's
+    * first-order chain, surfacing sequence structure the 1-step
+    * matrix marginalizes away.
+    *
+    * ONE per-user window pass (two lags ride the same shuffle+sort —
+    * the q32 shape), then everything runs on the ≤|types|³-cell
+    * aggregate: context support, label marginal, and the corpus total
+    * are all windows over that bounded cell table (no second corpus
+    * pass, no joins). p_ppm and lift_ppm form the q3n way — floor of
+    * an IEEE division of exact integer operands, identical expression
+    * tree both engines (operands cast to double BEFORE multiplying so
+    * the arithmetic is engine-identical at any scale). Top-20 by
+    * support with a full deterministic tie order plans as
+    * TakeOrderedAndProject. */
+  def contextTrainingPairs(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("c1", lag("event_type", 1).over(w))
+      .withColumn("c2", lag("event_type", 2).over(w))
+      .where(col("c1").isNotNull && col("c2").isNotNull)
+      .groupBy(col("c2").as("ctx_a"), col("c1").as("ctx_b"),
+        col("event_type").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val byCtx = Window.partitionBy("ctx_a", "ctx_b")
+    val byLabel = Window.partitionBy("label")
+    val all = Window.partitionBy() // <=|types|^3 cells — bounded
+    cells
+      .withColumn("ctx_n", sum("n").over(byCtx))
+      .withColumn("label_n", sum("n").over(byLabel))
+      .withColumn("total", sum("n").over(all))
+      .withColumn("p_ppm", floor(
+        col("n").cast("double") / col("ctx_n") * 1e6 + 0.5).cast("long"))
+      .withColumn("lift_ppm", floor(
+        (col("n").cast("double") * col("total").cast("double"))
+          / (col("ctx_n").cast("double") * col("label_n").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .orderBy(col("n").desc, col("ctx_a"), col("ctx_b"), col("label"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(col("n").desc, col("ctx_a"), col("ctx_b"), col("label"))))
+      .select(col("rank"), col("ctx_a"), col("ctx_b"), col("label"),
+        col("n"), col("ctx_n"), col("label_n"), col("total"),
+        col("p_ppm"), col("lift_ppm"))
+      .orderBy("rank")
+  }
+
+  def contextTrainingPairsOracle: String = """
+    WITH lagged AS (
+      SELECT event_type AS label,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS c1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS c2
+      FROM events),
+    cells AS (
+      SELECT c2 AS ctx_a, c1 AS ctx_b, label,
+             CAST(count(1) AS BIGINT) AS n
+      FROM lagged WHERE c1 IS NOT NULL AND c2 IS NOT NULL
+      GROUP BY 1, 2, 3),
+    m AS (
+      SELECT *,
+             CAST(sum(n) OVER (PARTITION BY ctx_a, ctx_b) AS BIGINT)
+               AS ctx_n,
+             CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS label_n,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM cells),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n DESC, ctx_a, ctx_b, label)
+               AS rank
+      FROM m)
+    SELECT CAST(rank AS INTEGER) AS rank, ctx_a, ctx_b, label, n, ctx_n,
+           label_n, total,
+           CAST(floor(CAST(n AS DOUBLE) / ctx_n * 1e6 + 0.5) AS BIGINT)
+             AS p_ppm,
+           CAST(floor((CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             / (CAST(ctx_n AS DOUBLE) * CAST(label_n AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS lift_ppm
+    FROM r WHERE rank <= 20 ORDER BY rank"""
+
   /** q3o: HOURLY VOLUME ANOMALIES — the alerting read over q3m's
     * series: hours whose event count sits more than 3 population
     * standard deviations from that type's mean.

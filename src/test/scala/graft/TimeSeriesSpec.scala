@@ -290,4 +290,40 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("ess_e3") > 0L)
     }
   }
+
+  test("qa2 context training pairs: top-20 replays from a driver-side " +
+      "trigram walk; probabilities and lift are internally consistent") {
+    val rows = TimeSeries.contextTrainingPairs(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    // driver-side replay: per-user (ts, event_id)-ordered trigrams
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000
+        + r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val tris = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.sliding(3).filter(_.length == 3)
+        .map(s => (s(0), s(1), s(2))).toSeq
+    }.toSeq
+    val byCell = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = tris.length.toLong
+    val ctxN = tris.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val labelN = tris.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = byCell.toSeq
+      .sortBy { case ((a, b, l), n) => (-n, a, b, l) }.take(20)
+    rows.zip(expected).foreach { case (r, ((a, b, l), n)) =>
+      assert(r.getAs[String]("ctx_a") == a && r.getAs[String]("ctx_b") == b
+        && r.getAs[String]("label") == l, s"rank ${r.getAs[Int]("rank")} cell")
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("ctx_n") == ctxN((a, b)))
+      assert(r.getAs[Long]("label_n") == labelN(l))
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("p_ppm") ==
+        math.floor(n.toDouble / ctxN((a, b)) * 1e6 + 0.5).toLong)
+      assert(r.getAs[Long]("lift_ppm") ==
+        math.floor((n.toDouble * total.toDouble)
+          / (ctxN((a, b)).toDouble * labelN(l).toDouble) * 1e6 + 0.5).toLong)
+    }
+  }
 }
