@@ -274,6 +274,9 @@ object SparkEntry {
     "qa0_robust_quarantine" -> ((s: SparkSession, d: String) => Similarity.robustQuarantine(s, d)),
     "qa1_bpe_encode"        -> ((s: SparkSession, d: String) => Text.bpeEncode(s, d)),
     "qa2_context_pairs"     -> ((s: SparkSession, d: String) => TimeSeries.contextTrainingPairs(s, d)),
+    "qa3_sliced_eval"       -> (Quality.slicedEval _),
+    "qa4_partial_corr"      -> (Quality.partialCorrelation _),
+    "qa5_diff_in_diff"      -> (Quality.diffInDiff _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -797,6 +800,9 @@ object SparkEntry {
     "qa0_robust_quarantine"  -> Similarity.robustQuarantineOracle,
     "qa1_bpe_encode"         -> Text.bpeEncodeOracle,
     "qa2_context_pairs"      -> TimeSeries.contextTrainingPairsOracle,
+    "qa3_sliced_eval"        -> Quality.slicedEvalOracle,
+    "qa4_partial_corr"       -> Quality.partialCorrelationOracle,
+    "qa5_diff_in_diff"       -> Quality.diffInDiffOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

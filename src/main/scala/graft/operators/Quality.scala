@@ -928,7 +928,7 @@ object Quality {
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(sx AS BIGINT) AS sum_pre_cents,
            CAST(sy AS BIGINT) AS sum_post_cents,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+           CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
              AS BIGINT) AS theta_e6,
            CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -2180,6 +2180,302 @@ object Quality {
            CAST(sum(norm_e4) // count(1) - sum(score_e4) // count(1)
              AS BIGINT) AS shift_e4
     FROM w GROUP BY source ORDER BY source"""
+
+  /** qa5: DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator
+    * next to q1w's cross-sectional z-test: with users split into a
+    * (pseudo-)treatment and control arm by the q46 Lehmer gate and the
+    * event history split at a fixed calendar cut, the DiD estimate
+    * (T_post − T_pre) − (C_post − C_pre) removes both the stable
+    * between-group difference and the common time trend — the
+    * before/after comparison a naive post-only mean cannot make
+    * honestly. On a gate uncorrelated with outcomes the estimate
+    * should hover near zero; that NULL-calibration reading (an A/A
+    * test in DiD form) is exactly what the graded row pins.
+    *
+    * ONE conditional-aggregation scan to the four exact cells (event
+    * values quantized to integer cents BEFORE summing — the q2i
+    * doctrine), the 2×2 frame and the estimate as windows over it;
+    * the four cell means and the DiD form at the end as identical
+    * IEEE expression trees over exact integer operands, e4-scaled. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val cells = Tables.events(spark, dir)
+      .select(
+        (Curation.hashUniform(col("user_id")) < 0.5).as("treated"),
+        (col("ts") >= cut).as("post"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val all = Window.partitionBy() // exactly 4 cells
+    def cellMean(t: Boolean, p: Boolean) =
+      max(when(col("treated") === t && col("post") === p,
+        col("sum_cents").cast("double") / col("n"))).over(all)
+    cells
+      .withColumn("mean_cents_e4", floor(
+        col("sum_cents").cast("double") / col("n") * 1e4 + 0.5).cast("long"))
+      .withColumn("did_cents_e4", floor(
+        ((cellMean(true, true) - cellMean(true, false))
+          - (cellMean(false, true) - cellMean(false, false)))
+          * 1e4 + 0.5).cast("long"))
+      .select(col("treated"), col("post"), col("n"), col("sum_cents"),
+        col("mean_cents_e4"), col("did_cents_e4"))
+      .orderBy("treated", "post")
+  }
+
+  def diffInDiffOracle: String = """
+    WITH e AS (
+      SELECT CAST(((user_id % 2147483647) * 48271 % 2147483647) * 48271
+               % 2147483647 AS DOUBLE) / 2147483647 < 0.5 AS treated,
+             ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    cells AS (
+      SELECT treated, post, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM e GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+             max(CASE WHEN treated AND post
+               THEN CAST(sum_cents AS DOUBLE) / n END) OVER () AS m11,
+             max(CASE WHEN treated AND NOT post
+               THEN CAST(sum_cents AS DOUBLE) / n END) OVER () AS m10,
+             max(CASE WHEN NOT treated AND post
+               THEN CAST(sum_cents AS DOUBLE) / n END) OVER () AS m01,
+             max(CASE WHEN NOT treated AND NOT post
+               THEN CAST(sum_cents AS DOUBLE) / n END) OVER () AS m00
+      FROM cells)
+    SELECT treated, post, n, sum_cents,
+           CAST(floor(CAST(sum_cents AS DOUBLE) / n * 1e4 + 0.5) AS BIGINT)
+             AS mean_cents_e4,
+           CAST(floor(((m11 - m10) - (m01 - m00)) * 1e4 + 0.5) AS BIGINT)
+             AS did_cents_e4
+    FROM m ORDER BY treated, post"""
+
+  /** qa3: SLICED EVALUATION / WORST-GROUP AUDIT — aggregate accuracy
+    * hides minority-slice failure (the Group-DRO/model-card lesson):
+    * evaluate the q8c keep-gate (score >= 0.5) against q9t's held-out
+    * repetition label PER LANGUAGE, and grade the disaggregated view —
+    * per-slice confusion cells and accuracy, plus the worst-group
+    * floor, the best-worst gap, and a deterministic worst-slice flag
+    * (min accuracy, ties to the lexicographically first language).
+    * One corpus scan (score projection + the q9t wordcount explode
+    * for the label) into a |languages|-row rollup; every comparison
+    * is integer-div ppm over exact cells, windows run over the rollup
+    * only. */
+  def slicedEval(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin(Text.StopWords.map(lit(_)): _*))).cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0))
+      .otherwise(col("n_chars") / 100.0)
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long") >= 5000L).as("pred"))
+    val rep = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("mx"), sum("c").as("n_tok"))
+    val cells = scored.join(rep, "doc_id")
+      .select(col("lang"), col("pred"),
+        (col("mx") * 10 < col("n_tok")).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("y"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("acc_ppm", expr("((tp + tn) * 1000000) div n"))
+    val all = Window.partitionBy() // |languages| rows — bounded rollup
+    cells
+      .withColumn("worst_acc_ppm", min("acc_ppm").over(all))
+      .withColumn("gap_ppm", max("acc_ppm").over(all) - col("worst_acc_ppm"))
+      .withColumn("is_worst", row_number().over(
+        Window.orderBy(col("acc_ppm"), col("lang"))) === 1)
+      .select(col("lang"), col("n"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("acc_ppm"), col("worst_acc_ppm"), col("gap_ppm"),
+        col("is_worst"))
+      .orderBy("lang")
+  }
+
+  def slicedEvalOracle: String = """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) >= 5000 AS pred
+      FROM t),
+    u AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(1) AS c FROM u GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, max(c) * 10 < sum(c) AS y FROM tc GROUP BY doc_id),
+    cells AS (
+      SELECT s.lang,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s.pred AND rep.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s.pred AND NOT rep.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT s.pred AND rep.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT s.pred AND NOT rep.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn
+      FROM s JOIN rep ON s.doc_id = rep.doc_id
+      GROUP BY s.lang),
+    a AS (
+      SELECT *, CAST(((tp + tn) * 1000000) // n AS BIGINT) AS acc_ppm
+      FROM cells)
+    SELECT lang, n, tp, fp, fn, tn, acc_ppm,
+           CAST(min(acc_ppm) OVER () AS BIGINT) AS worst_acc_ppm,
+           CAST(max(acc_ppm) OVER () - min(acc_ppm) OVER () AS BIGINT)
+             AS gap_ppm,
+           row_number() OVER (ORDER BY acc_ppm, lang) = 1 AS is_worst
+    FROM a ORDER BY lang"""
+
+  /** qa4: PARTIAL CORRELATION (confound audit) — q1q reports that the
+    * quality score correlates with the repetition label; this operator
+    * asks the question an analyst must ask next: does the correlation
+    * SURVIVE controlling for document length (the score's own
+    * strongest input)? r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)) — the first-order partial correlation.
+    *
+    * q1z's exactness doctrine one step further: ALL ten moments
+    * (n, Σx, Σy, Σz and the six cross/second moments in DECIMAL(38)/
+    * HUGEINT — order-independent integer sums at any scale) come from
+    * ONE fused aggregate scan; the three Pearson r's and the partial
+    * form at the very end as identical IEEE expression trees over
+    * those exact operands, so the e6 encodings replay bit-for-bit.
+    * The `attenuated` verdict compares the ALREADY-ROUNDED e6
+    * integers, so it cannot ride an ulp. */
+  def partialCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks,
+      t => t.isin(Text.StopWords.map(lit(_)): _*))).cast("double") / nTok
+    val lengthOk = when(col("n_chars") >= 100, lit(1.0))
+      .otherwise(col("n_chars") / 100.0)
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("n_chars").as("z"),
+      floor((lengthOk * 0.4 + diversity * 0.4
+        + least(stopRatio * lit(5.0), lit(1.0)) * 0.2) * 1e4 + 0.5)
+        .cast("long").as("x"))
+    val rep = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(when(max("c") * 10 < sum("c"), 1L).otherwise(0L).as("y"))
+    val m = scored.join(rep, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("z") * col("z")).cast("decimal(38,0)")).as("szz"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("z")).cast("decimal(38,0)")).as("sxz"),
+      sum((col("y") * col("z")).cast("decimal(38,0)")).as("syz"))
+    def r(ab: String, a: String, b: String, aa: String, bb: String) =
+      (col("n") * col(ab) - col(a).cast("decimal(38,0)") * col(b))
+        .cast("double") /
+        (sqrt((col("n") * col(aa) - col(a).cast("decimal(38,0)") * col(a))
+          .cast("double"))
+          * sqrt((col("n") * col(bb) - col(b).cast("decimal(38,0)") * col(b))
+            .cast("double")))
+    val rs = m.select(col("n").cast("long").as("n"),
+      r("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+      r("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+      r("syz", "sy", "sz", "syy", "szz").as("ryz"))
+    rs.select(col("n"),
+        floor(col("rxy") * 1e6 + 0.5).cast("long").as("r_xy_e6"),
+        floor(col("rxz") * 1e6 + 0.5).cast("long").as("r_xz_e6"),
+        floor(col("ryz") * 1e6 + 0.5).cast("long").as("r_yz_e6"),
+        floor((col("rxy") - col("rxz") * col("ryz"))
+          / (sqrt(lit(1.0) - col("rxz") * col("rxz"))
+            * sqrt(lit(1.0) - col("ryz") * col("ryz"))) * 1e6 + 0.5)
+          .cast("long").as("partial_e6"))
+      .withColumn("attenuated", abs(col("partial_e6")) < abs(col("r_xy_e6")))
+  }
+
+  def partialCorrelationOracle: String = """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars AS z,
+             CAST(floor(((CASE WHEN n_chars >= 100 THEN 1.0
+                           ELSE n_chars/100.0 END) * 0.4
+               + (n_distinct / n_tokens) * 0.4
+               + least((n_stop / n_tokens) * 5.0, 1.0) * 0.2) * 1e4 + 0.5)
+               AS BIGINT) AS x
+      FROM t),
+    u AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(1) AS c FROM u GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN max(c) * 10 < sum(c) THEN 1 ELSE 0 END AS y
+      FROM tc GROUP BY doc_id),
+    m AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(z) AS BIGINT) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM s JOIN rep ON s.doc_id = rep.doc_id),
+    rs AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+               AS rxy,
+             CAST(n * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+               / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                 * sqrt(CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)))
+               AS rxz,
+             CAST(n * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+               / (sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                 * sqrt(CAST(n * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)))
+               AS ryz
+      FROM m),
+    f AS (
+      SELECT n,
+             CAST(floor(rxy * 1e6 + 0.5) AS BIGINT) AS r_xy_e6,
+             CAST(floor(rxz * 1e6 + 0.5) AS BIGINT) AS r_xz_e6,
+             CAST(floor(ryz * 1e6 + 0.5) AS BIGINT) AS r_yz_e6,
+             CAST(floor((rxy - rxz * ryz)
+               / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz))
+               * 1e6 + 0.5) AS BIGINT) AS partial_e6
+      FROM rs)
+    SELECT n, r_xy_e6, r_xz_e6, r_yz_e6, partial_e6,
+           abs(partial_e6) < abs(r_xy_e6) AS attenuated
+    FROM f"""
 
   /** q9w: SOURCE-CONCENTRATION AUDIT (Gini / HHI / top-3 share) — the
     * diversity half of the mixture decision q9g/q9h optimize: if three

@@ -80,7 +80,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q9u_quantile_norm" -> "1-row corpus-count aggregate (from the <=10001-row score histogram) broadcast onto the ranked doc frame",
     "q9y_bpe_trainer_loop" -> "per-round 1-row argmax-pair broadcast onto the distinct-vocabulary frame + 1-row post-merge stat aggregates (4 rounds)",
     "qa0_robust_quarantine" -> "1-row quarantine-totals aggregate broadcast onto the |dims|-row (64) per-dim frame",
-    "qa1_bpe_encode" -> "q9y's per-round 1-row argmax-pair broadcasts (the shared trainer loop) + |vocab|-row symbol-table broadcast")
+    "qa1_bpe_encode" -> "q9y's per-round 1-row argmax-pair broadcasts (the shared trainer loop) + |vocab|-row symbol-table broadcast",
+    "q9p_recency_weights" -> "1-row max-timestamp aggregate broadcast onto the event scan",
+    "q9v_threshold_sweep" -> "threshold frame (21 rows) range-joined to the <=21-bucket histogram — both sides bounded by the e4 grid")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -1339,6 +1339,108 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  private def replayScoreLabel(): Array[(Long, String, String, Long, Long, Long)] =
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text", "n_chars").collect().map { r =>
+        val toks = r.getString(3).split(" ", -1)
+        val n = toks.length.toDouble
+        val diversity = toks.distinct.length.toDouble / n
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in")).toDouble / n
+        val lengthOk = if (r.getLong(4) >= 100) 1.0 else r.getLong(4) / 100.0
+        val score = math.floor((lengthOk * 0.4 + diversity * 0.4
+          + math.min(stop * 5.0, 1.0) * 0.2) * 1e4 + 0.5).toLong
+        val mx = toks.groupBy(identity).values.map(_.length).max.toLong
+        val y = if (mx * 10 < toks.length.toLong) 1L else 0L
+        (r.getLong(0), r.getString(1), r.getString(2), score, y, r.getLong(4))
+      }
+
+  test("qa3 sliced eval: per-language confusion cells replay driver-side; " +
+      "worst-group flag and gap are consistent") {
+    val rows = Quality.slicedEval(spark, sfDir).collect()
+    val docs = replayScoreLabel()
+    assert(rows.map(_.getAs[Long]("n")).sum == docs.length.toLong)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val in = docs.filter(_._2 == lang)
+      val tp = in.count(d => d._4 >= 5000 && d._5 == 1L).toLong
+      val fp = in.count(d => d._4 >= 5000 && d._5 == 0L).toLong
+      val fn = in.count(d => d._4 < 5000 && d._5 == 1L).toLong
+      val tn = in.count(d => d._4 < 5000 && d._5 == 0L).toLong
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp
+        && r.getAs[Long]("fn") == fn && r.getAs[Long]("tn") == tn,
+        s"$lang cells")
+      assert(r.getAs[Long]("acc_ppm") == (tp + tn) * 1000000L / in.length)
+    }
+    val accs = rows.map(_.getAs[Long]("acc_ppm"))
+    assert(rows.head.getAs[Long]("worst_acc_ppm") == accs.min)
+    assert(rows.head.getAs[Long]("gap_ppm") == accs.max - accs.min)
+    assert(rows.count(_.getAs[Boolean]("is_worst")) == 1)
+    val worst = rows.filter(_.getAs[Boolean]("is_worst")).head
+    assert(worst.getAs[Long]("acc_ppm") == accs.min)
+  }
+
+  test("qa4 partial correlation: three Pearson r's and the partial replay " +
+      "driver-side from exact moments") {
+    val row = Quality.partialCorrelation(spark, sfDir).collect().head
+    val docs = replayScoreLabel()
+    val n = docs.length.toLong
+    assert(row.getAs[Long]("n") == n)
+    val xs = docs.map(_._4); val ys = docs.map(_._5); val zs = docs.map(_._6)
+    def corr(a: Array[Long], b: Array[Long]): Double = {
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      val saa = a.map(u => u * u).sum; val sbb = b.map(u => u * u).sum
+      (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble)
+          * math.sqrt((n * sbb - sb * sb).toDouble))
+    }
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    def e6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+    assert(row.getAs[Long]("r_xy_e6") == e6(rxy))
+    assert(row.getAs[Long]("r_xz_e6") == e6(rxz))
+    assert(row.getAs[Long]("r_yz_e6") == e6(ryz))
+    val partial = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    assert(row.getAs[Long]("partial_e6") == e6(partial), "partial diverged")
+    assert(row.getAs[Boolean]("attenuated") ==
+      (math.abs(row.getAs[Long]("partial_e6"))
+        < math.abs(row.getAs[Long]("r_xy_e6"))))
+  }
+
+  test("qa5 diff-in-diff: four cells and the estimate replay driver-side " +
+      "from the Lehmer arm gate and the calendar cut") {
+    val rows = Quality.diffInDiff(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val m = 2147483647L
+    val cutMicros = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .toEpochMilli * 1000L
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "value").collect()
+      .map { r =>
+        val treat =
+          (((r.getLong(0) % m) * 48271L % m) * 48271L % m).toDouble / m < 0.5
+        val post = r.getLong(1) >= cutMicros
+        (treat, post, math.floor(r.getDouble(2) * 100 + 0.5).toLong)
+      }
+    val cells = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(v => (v.length.toLong, v.map(_._3).sum)).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Boolean]("treated"), r.getAs[Boolean]("post"))
+      val (cn, cs) = cells(key)
+      assert(r.getAs[Long]("n") == cn, s"$key n")
+      assert(r.getAs[Long]("sum_cents") == cs, s"$key sum")
+      assert(r.getAs[Long]("mean_cents_e4") ==
+        math.floor(cs.toDouble / cn * 1e4 + 0.5).toLong)
+    }
+    def mean(t: Boolean, p: Boolean) = {
+      val (cn, cs) = cells((t, p)); cs.toDouble / cn
+    }
+    val did = (mean(true, true) - mean(true, false)) -
+      (mean(false, true) - mean(false, false))
+    assert(rows.head.getAs[Long]("did_cents_e4") ==
+      math.floor(did * 1e4 + 0.5).toLong, "DiD replay diverged")
+  }
+
   test("q9w source concentration: Gini/HHI/top-3 replay driver-side; " +
       "Lorenz curve is monotone and shares conserve") {
     val rows = Quality.sourceConcentration(spark, sfDir).collect()
