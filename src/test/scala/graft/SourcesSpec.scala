@@ -266,4 +266,40 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") ==
       (keys.length - keys.count(_ % 10 == 7) + keys.count(_ % 10 == 1)).toLong)
   }
+
+  test("qa6 DSv2 connector: deterministic generation, range-filter " +
+      "pushdown with exact narrowing, safe residual filters, pruning") {
+    def synth(rows: Long, parts: Int) = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+    // full scan: exact row count, declared partitioning, Lehmer values
+    val full = synth(1000, 4)
+    assert(full.count() == 1000L)
+    assert(full.rdd.getNumPartitions == 4)
+    val sample = full.where(col("id") === 123L).collect().head
+    assert(sample.getAs[Long]("value_e6") ==
+      graft.sources.SynthSource.lehmer(123L))
+    assert(sample.getAs[String]("bucket") == "b3")
+    // range pushdown: the scan narrows to exactly the requested span
+    val narrowed = synth(1000, 4).where(col("id") >= 100L && col("id") < 200L)
+    assert(narrowed.count() == 100L)
+    assert(narrowed.queryExecution.executedPlan.toString
+      .contains("lo=100, hi=200"), "range filter must reach the source")
+    // a filter the source declines stays residual — still correct
+    val residual = synth(1000, 4)
+      .where(col("id") >= 100L && col("id") < 200L
+        && col("value_e6") % 2 === 0L)
+    val expected = (100L until 200L)
+      .count(i => graft.sources.SynthSource.lehmer(i) % 2 == 0)
+    assert(residual.count() == expected.toLong,
+      "declined filters must apply post-scan")
+    // column pruning reaches the reader
+    val pruned = synth(1000, 2).select("id")
+    assert(pruned.queryExecution.executedPlan.toString.contains("cols=id"),
+      "projection must prune the generated columns")
+    assert(pruned.agg(sum("id")).head().getLong(0) == (0L until 1000L).sum)
+    // contradiction collapses to an empty span, not a negative one
+    assert(synth(1000, 4).where(col("id") >= 900L && col("id") < 100L)
+      .count() == 0L)
+  }
 }
