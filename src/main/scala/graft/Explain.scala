@@ -39,7 +39,10 @@ object Explain {
     // q9z sequences its stage caches and runs the CC fixpoint in the
     // builder (the q57 machinery composed) — ~20 s of real pipeline
     // that must not run during pure plan inspection
-    "q9z_curation_pipeline")
+    "q9z_curation_pipeline",
+    // qa7's builder drives the full V2 write commit protocol — the
+    // graded stats only exist after the write executed
+    "qa7_dsv2_sink")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -302,4 +302,29 @@ class SourcesSpec extends SparkSpec {
     assert(synth(1000, 4).where(col("id") >= 900L && col("id") < 100L)
       .count() == 0L)
   }
+
+  test("qa7 DSv2 sink: per-task commit messages aggregate on the driver; " +
+      "task arity follows the write partitioning; stats are exact") {
+    import graft.sources.SynthSink
+    def writeVia(parts: Int, runId: String): Unit =
+      spark.range(0, 1000).toDF("id")
+        .withColumn("value_e6", col("id") * 7L)
+        .repartition(parts)
+        .write.format("graft.sources.SynthSink")
+        .option("runId", runId).mode("append").save()
+    writeVia(3, "spec-a")
+    val a = SynthSink.committed.remove("spec-a").get
+    assert(a.nTasks == 3L, "one commit message per write task")
+    assert(a.nRows == 1000L)
+    assert(a.sumId == (0L until 1000L).sum)
+    assert(a.sumValue == (0L until 1000L).map(_ * 7L).sum)
+    // same data, different parallelism: identical stats, different arity
+    writeVia(5, "spec-b")
+    val b = SynthSink.committed.remove("spec-b").get
+    assert(b.nTasks == 5L)
+    assert((b.nRows, b.sumId, b.sumValue) == (a.nRows, a.sumId, a.sumValue),
+      "committed statistics must be partitioning-independent")
+    assert(SynthSink.committed.get("spec-a").isEmpty,
+      "consumed commits must not leak in the registry")
+  }
 }
