@@ -42,7 +42,9 @@ object Explain {
     "q9z_curation_pipeline",
     // qa7's builder drives the full V2 write commit protocol — the
     // graded stats only exist after the write executed
-    "qa7_dsv2_sink")
+    "qa7_dsv2_sink",
+    // qa8 replays the custom micro-batch stream to completion
+    "qa8_streaming_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

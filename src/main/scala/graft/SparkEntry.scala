@@ -279,6 +279,7 @@ object SparkEntry {
     "qa5_diff_in_diff"      -> (Quality.diffInDiff _),
     "qa6_pushdown_source"   -> ((s: SparkSession, d: String) => graft.sources.SynthSource.pushdownScan(s, d)),
     "qa7_dsv2_sink"         -> ((s: SparkSession, d: String) => graft.sources.SynthSink.sinkCommitAudit(s, d)),
+    "qa8_streaming_source"  -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingSourceAudit(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -807,6 +808,7 @@ object SparkEntry {
     "qa5_diff_in_diff"       -> Quality.diffInDiffOracle,
     "qa6_pushdown_source"    -> graft.sources.SynthSource.pushdownScanOracle,
     "qa7_dsv2_sink"          -> graft.sources.SynthSink.sinkCommitAuditOracle,
+    "qa8_streaming_source"   -> graft.sources.SynthStream.streamingSourceAuditOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

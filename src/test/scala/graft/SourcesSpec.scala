@@ -327,4 +327,34 @@ class SourcesSpec extends SparkSpec {
     assert(SynthSink.committed.get("spec-a").isEmpty,
       "consumed commits must not leak in the registry")
   }
+
+  test("qa8 DSv2 streaming source: AvailableNow drains in capped batches " +
+      "and self-terminates; replay is deterministic") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def drain(rows: Long, batch: Long): (Map[String, Long], Long, Boolean) = {
+      val qname = "qa8spec_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val agg = spark.readStream.format("graft.sources.SynthStream")
+        .option("rows", rows.toString).option("batch", batch.toString).load()
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(qname).start()
+      try {
+        q.awaitTermination()
+        val progress = q.recentProgress.filter(_.numInputRows > 0)
+        val res = spark.table(qname).collect()
+          .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n")).toMap
+        (res, progress.length.toLong, progress.forall(_.numInputRows <= batch))
+      } finally q.stop()
+    }
+    val (res, nBatches, capped) = drain(1000, 128)
+    assert(res.values.sum == 1000L)
+    assert(res == (0 until 10).map(b => s"b$b" -> 100L).toMap)
+    assert(nBatches == 8L, "1000 rows at cap 128 is 8 admission steps")
+    assert(capped, "admission control must bound every micro-batch")
+    // same space at a different cap: identical final answer
+    val (res2, nBatches2, _) = drain(1000, 300)
+    assert(res2 == res, "batching must not change the answer")
+    assert(nBatches2 == 4L)
+  }
 }
