@@ -44,7 +44,9 @@ object Explain {
     // graded stats only exist after the write executed
     "qa7_dsv2_sink",
     // qa8 replays the custom micro-batch stream to completion
-    "qa8_streaming_source")
+    "qa8_streaming_source",
+    // qa9 fits the seeded ALS model in its builder (q72's shape)
+    "qa9_als_serving")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

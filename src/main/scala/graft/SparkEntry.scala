@@ -280,6 +280,7 @@ object SparkEntry {
     "qa6_pushdown_source"   -> ((s: SparkSession, d: String) => graft.sources.SynthSource.pushdownScan(s, d)),
     "qa7_dsv2_sink"         -> ((s: SparkSession, d: String) => graft.sources.SynthSink.sinkCommitAudit(s, d)),
     "qa8_streaming_source"  -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingSourceAudit(s, d)),
+    "qa9_als_serving"       -> ((s: SparkSession, d: String) => graft.ml.Serving.alsServing(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -809,6 +810,7 @@ object SparkEntry {
     "qa6_pushdown_source"    -> graft.sources.SynthSource.pushdownScanOracle,
     "qa7_dsv2_sink"          -> graft.sources.SynthSink.sinkCommitAuditOracle,
     "qa8_streaming_source"   -> graft.sources.SynthStream.streamingSourceAuditOracle,
+    "qa9_als_serving"        -> graft.ml.Serving.alsServingOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,
