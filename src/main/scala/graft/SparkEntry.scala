@@ -281,6 +281,9 @@ object SparkEntry {
     "qa7_dsv2_sink"         -> ((s: SparkSession, d: String) => graft.sources.SynthSink.sinkCommitAudit(s, d)),
     "qa8_streaming_source"  -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingSourceAudit(s, d)),
     "qa9_als_serving"       -> ((s: SparkSession, d: String) => graft.ml.Serving.alsServing(s, d)),
+    "qaa_tail_index"        -> ((s: SparkSession, d: String) => Quality.hillTailIndex(s, d)),
+    "qab_conformal"         -> (Quality.conformalInterval _),
+    "qac_kaplan_meier"      -> ((s: SparkSession, d: String) => TimeSeries.kaplanMeier(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -811,6 +814,9 @@ object SparkEntry {
     "qa7_dsv2_sink"          -> graft.sources.SynthSink.sinkCommitAuditOracle,
     "qa8_streaming_source"   -> graft.sources.SynthStream.streamingSourceAuditOracle,
     "qa9_als_serving"        -> graft.ml.Serving.alsServingOracle,
+    "qaa_tail_index"         -> Quality.hillTailIndexOracle,
+    "qab_conformal"          -> Quality.conformalIntervalOracle,
+    "qac_kaplan_meier"       -> TimeSeries.kaplanMeierOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2181,6 +2181,151 @@ object Quality {
              AS BIGINT) AS shift_e4
     FROM w GROUP BY source ORDER BY source"""
 
+  /** qaa: HILL TAIL-INDEX ESTIMATOR — the heavy-tail audit for the
+    * length budget: sequence packing (q47), padding waste (q4m) and
+    * shard planning all hinge on whether document length is
+    * heavy-tailed, and the Hill estimator over the top-k order
+    * statistics — ĥ = (1/k)·Σ ln(x_(i)/x_(k+1)), tail index α = 1/ĥ —
+    * is the standard answer. k+1 largest lengths come from a
+    * distributed TakeOrdered (never a global sort); ties make the
+    * VALUE multiset deterministic regardless of which doc wins the
+    * tie, so the estimate is order-stable. ln consumes the exact
+    * integer ratio x_i/x_(k+1) (the q4o discipline) and the mean of k
+    * such terms forms as one final double, e6-floored; a degenerate
+    * flat tail (ĥ = 0) grades as explicit zeros rather than a NaN. */
+  def hillTailIndex(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(col("n_chars"))
+      .orderBy(col("n_chars").desc)
+      .limit(k + 1) // TakeOrderedAndProject — distributed top-k
+    val xk1 = top.agg(min("n_chars").as("x_k1"))
+    val h = top.crossJoin(broadcast(xk1))
+      .where(col("n_chars") > col("x_k1")) // ln(1) terms drop out exactly
+      .agg(sum(log(col("n_chars").cast("double")
+        / col("x_k1").cast("double"))).as("lnsum"))
+      .select(coalesce(col("lnsum"), lit(0.0)).as("lnsum"))
+    h.crossJoin(broadcast(xk1)).select(
+      lit(k.toLong).as("k"),
+      col("x_k1").cast("long").as("x_k1"),
+      floor(col("lnsum") / k * 1e6 + 0.5).cast("long").as("hill_e6"),
+      when(col("lnsum") === 0.0, 0L)
+        .otherwise(floor(lit(k.toDouble) / col("lnsum") * 1e6 + 0.5)
+          .cast("long")).as("alpha_e6"))
+  }
+
+  def hillTailIndexOracle: String = """
+    WITH top AS (
+      SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 101),
+    xk AS (SELECT min(n_chars) AS x_k1 FROM top),
+    h AS (
+      SELECT coalesce(sum(ln(CAST(top.n_chars AS DOUBLE)
+               / CAST(xk.x_k1 AS DOUBLE))), 0.0) AS lnsum
+      FROM top CROSS JOIN xk WHERE top.n_chars > xk.x_k1)
+    SELECT CAST(100 AS BIGINT) AS k,
+           CAST(xk.x_k1 AS BIGINT) AS x_k1,
+           CAST(floor(h.lnsum / 100 * 1e6 + 0.5) AS BIGINT) AS hill_e6,
+           CAST(CASE WHEN h.lnsum = 0.0 THEN 0
+             ELSE floor(100.0 / h.lnsum * 1e6 + 0.5) END AS BIGINT)
+             AS alpha_e6
+    FROM h CROSS JOIN xk"""
+
+  /** qab: SPLIT-CONFORMAL PREDICTION INTERVAL — the
+    * distribution-free uncertainty wrapper modern pipelines put
+    * around any point predictor: fit on a train slice, take the
+    * ceil((n+1)·0.9)-th smallest absolute residual on a CALIBRATION
+    * slice as the interval half-width q̂, and the marginal coverage
+    * guarantee P(|y − ŷ| ≤ q̂) ≥ 0.9 holds for ANY predictor and ANY
+    * distribution (Vovk; Lei et al.). The predictor here is the
+    * deterministic global chars-per-token rate fitted on train only.
+    *
+    * Everything replays exactly: the three slices are Lehmer-gate
+    * bands (membership is a pure row function), the residual order
+    * statistic comes from the q1r HISTOGRAM DECOMPOSITION (cum counts
+    * over the integer residual grid — never a corpus-wide rank
+    * window), and the graded row carries the exact integers (q̂,
+    * counts, realized coverage ppm) rather than a finite-sample
+    * boolean that the guarantee — which holds in expectation over
+    * splits — does not promise for one split. */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("u", Curation.hashUniform(col("doc_id")))
+      .withColumn("slice", when(col("u") < 0.5, "train")
+        .when(col("u") < 0.75, "cal").otherwise("test"))
+      .cache()
+    val rate = docs.where(col("slice") === "train")
+      .agg(sum("n_chars").as("sc"), sum("n_tok").as("st"))
+    val resid = docs.crossJoin(broadcast(rate))
+      .withColumn("hat", floor(col("n_tok").cast("double")
+        * col("sc").cast("double") / col("st").cast("double")).cast("long"))
+      .withColumn("r", abs(col("n_chars") - col("hat")))
+    val cal = resid.where(col("slice") === "cal")
+    // exact order statistic via the residual-grid histogram
+    val hist = cal.groupBy("r").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_cal", sum("c").over(Window.partitionBy()))
+      .withColumn("pos", ceil((col("n_cal") + 1L) * 0.9).cast("long"))
+    val qhat = hist
+      .where(col("cum") - col("c") < col("pos") && col("cum") >= col("pos"))
+      .select(col("r").as("q_hat"), col("n_cal"))
+    val test = resid.where(col("slice") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(first("q_hat").as("q_hat"), first("n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+    test.select(col("q_hat"), col("n_cal"), col("n_test"), col("n_covered"),
+      expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+  }
+
+  def conformalIntervalOracle: String = """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271
+               % 2147483647 AS DOUBLE) / 2147483647 AS u
+      FROM documents),
+    s AS (
+      SELECT *, CASE WHEN u < 0.5 THEN 'train'
+                     WHEN u < 0.75 THEN 'cal' ELSE 'test' END AS slice
+      FROM d),
+    rate AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS sc,
+             CAST(sum(n_tok) AS BIGINT) AS st
+      FROM s WHERE slice = 'train'),
+    resid AS (
+      SELECT s.slice,
+             abs(s.n_chars - CAST(floor(CAST(s.n_tok AS DOUBLE)
+               * CAST(rate.sc AS DOUBLE) / CAST(rate.st AS DOUBLE))
+               AS BIGINT)) AS r
+      FROM s CROSS JOIN rate),
+    hist AS (
+      SELECT r, CAST(count(1) AS BIGINT) AS c
+      FROM resid WHERE slice = 'cal' GROUP BY r),
+    h2 AS (
+      SELECT *, CAST(sum(c) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n_cal
+      FROM hist),
+    q AS (
+      SELECT r AS q_hat, n_cal FROM h2
+      WHERE cum - c < CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+        AND cum >= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)),
+    t AS (
+      SELECT q.q_hat, q.n_cal,
+             CAST(count(1) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN resid.r <= q.q_hat THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered
+      FROM resid CROSS JOIN q WHERE resid.slice = 'test'
+      GROUP BY q.q_hat, q.n_cal)
+    SELECT q_hat, n_cal, n_test, n_covered,
+           CAST((n_covered * 1000000) // n_test AS BIGINT) AS coverage_ppm
+    FROM t"""
+
   /** qa5: DIFFERENCE-IN-DIFFERENCES — the panel-data causal estimator
     * next to q1w's cross-sectional z-test: with users split into a
     * (pseudo-)treatment and control arm by the q46 Lehmer gate and the

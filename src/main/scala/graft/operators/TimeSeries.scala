@@ -106,6 +106,118 @@ object TimeSeries {
              * 1e6 + 0.5) AS BIGINT) AS p_ppm
     FROM counts ORDER BY from_type, to_type"""
 
+  /** qac: KAPLAN–MEIER SURVIVAL — time-to-milestone with RIGHT
+    * CENSORING, the estimator a naive "average days to 5th event"
+    * silently biases by dropping every user who hasn't got there yet:
+    * users reaching their `eventAt`-th event contribute an observed
+    * duration, everyone else is censored at the study end, and
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) weighs both correctly.
+    *
+    * Scale shape: per-user durations ride ONE (user; ts, event_id)
+    * window pass; the KM table itself is a ≤|days| histogram — the
+    * at-risk count n_i is N minus the prior-day cumulative departures
+    * (a window over the histogram, never a days×subjects range join).
+    * The survival product forms as exp(Σ ln(1 − d/n)) over exact
+    * integer ratios — the one libm chain, identical expression tree in
+    * both engines (the q1n precedent); a day that exhausts the risk
+    * set pins the curve at an exact 0 via a cumulative EXTINCTION flag
+    * (ln(0) is engine-divergent: Spark nulls it, DuckDB raises).
+    * Median survival is the first day the curve crosses 0.5, folded
+    * as a window min. */
+  def kaplanMeier(spark: SparkSession, dir: String,
+      eventAt: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+    val perUser = ev.withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(min("us").as("t0"),
+        max(when(col("rn") === eventAt, col("us"))).as("tk"))
+    val end = ev.agg(max("us").as("end_us"))
+    val subj = perUser.crossJoin(broadcast(end))
+      .select(
+        when(col("tk").isNotNull, 1L).otherwise(0L).as("observed"),
+        (lit(1L) + expr("(coalesce(tk, end_us) - t0) div 86400000000"))
+          .as("day"))
+    val histo = subj.groupBy("day").agg(
+      sum("observed").as("d"),
+      sum(lit(1L) - col("observed")).as("c"))
+    val byDay = Window.orderBy("day")
+    val all = Window.partitionBy() // <=|days| rows — bounded histogram
+    histo
+      .withColumn("n_total", sum(col("d") + col("c")).over(all))
+      .withColumn("left_before", coalesce(sum(col("d") + col("c")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("left_before"))
+      // a day that exhausts the risk set pins the curve at an exact 0
+      // from then on — ln(0) is engine-divergent (Spark nulls, DuckDB
+      // raises), so the extinction is a cumulative flag, not a -inf
+      .withColumn("ln_term", when(col("d") > 0L && col("d") < col("n_risk"),
+        log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+        .otherwise(lit(0.0)))
+      .withColumn("extinct", max((col("d") === col("n_risk")).cast("int"))
+        .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("surv_e6", when(col("extinct") === 1, 0L)
+        .otherwise(floor(exp(sum("ln_term").over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          * 1e6 + 0.5).cast("long")))
+      .withColumn("median_day",
+        min(when(col("surv_e6") < 500000L, col("day"))).over(all))
+      .select(col("day"), col("n_risk"), col("d"), col("c"),
+        col("surv_e6"), col("n_total"), col("median_day"))
+      .orderBy("day")
+  }
+
+  def kaplanMeierOracle: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events),
+    pu AS (
+      SELECT user_id, min(us) AS t0,
+             max(CASE WHEN rn = 5 THEN us END) AS tk
+      FROM ev GROUP BY user_id),
+    fin AS (SELECT max(us) AS end_us FROM ev),
+    subj AS (
+      SELECT CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             1 + (coalesce(tk, fin.end_us) - t0) // 86400000000 AS day
+      FROM pu CROSS JOIN fin),
+    h AS (
+      SELECT day, CAST(sum(observed) AS BIGINT) AS d,
+             CAST(sum(1 - observed) AS BIGINT) AS c
+      FROM subj GROUP BY day),
+    km AS (
+      SELECT *,
+             CAST(sum(d + c) OVER () AS BIGINT) AS n_total,
+             CAST(coalesce(sum(d + c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS left_before
+      FROM h),
+    km2 AS (
+      SELECT day, d, c, n_total,
+             n_total - left_before AS n_risk,
+             CASE WHEN d > 0 AND d < n_total - left_before
+               THEN ln(1.0 - CAST(d AS DOUBLE) / (n_total - left_before))
+               ELSE 0.0 END AS ln_term,
+             CASE WHEN d = n_total - left_before THEN 1 ELSE 0 END
+               AS ext0
+      FROM km),
+    km3 AS (
+      SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d, c, n_total,
+             CAST(CASE WHEN max(ext0) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               THEN 0
+               ELSE floor(exp(sum(ln_term) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 1e6 + 0.5) END AS BIGINT) AS surv_e6
+      FROM km2)
+    SELECT day, n_risk, d, c, surv_e6, n_total,
+           CAST(min(CASE WHEN surv_e6 < 500000 THEN day END) OVER ()
+             AS BIGINT) AS median_day
+    FROM km3 ORDER BY day"""
+
   /** qa2: CONTEXT-2 TRAINING PAIRS — next-event-prediction dataset
     * construction, the supervised-example step a behavioral model's
     * data pipeline runs on raw event logs: (two-event context →

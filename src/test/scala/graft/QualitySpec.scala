@@ -1441,6 +1441,52 @@ class QualitySpec extends SparkSpec {
       math.floor(did * 1e4 + 0.5).toLong, "DiD replay diverged")
   }
 
+  test("qaa hill tail index: estimator replays from the driver-side " +
+      "order statistics; tie terms drop out exactly") {
+    val row = Quality.hillTailIndex(spark, sfDir).collect().head
+    val lens = Tables.documents(spark, sfDir)
+      .select("n_chars").collect().map(_.getLong(0)).sorted.reverse
+    val top = lens.take(101)
+    val xk1 = top.min
+    assert(row.getAs[Long]("x_k1") == xk1)
+    val lnsum = top.filter(_ > xk1)
+      .map(x => math.log(x.toDouble / xk1.toDouble)).sum
+    assert(row.getAs[Long]("hill_e6") ==
+      math.floor(lnsum / 100 * 1e6 + 0.5).toLong, "hill replay diverged")
+    if (lnsum != 0.0)
+      assert(row.getAs[Long]("alpha_e6") ==
+        math.floor(100.0 / lnsum * 1e6 + 0.5).toLong)
+    assert(row.getAs[Long]("hill_e6") >= 0L)
+  }
+
+  test("qab conformal interval: q-hat is the exact calibration order " +
+      "statistic; realized test coverage replays driver-side") {
+    val row = Quality.conformalInterval(spark, sfDir).collect().head
+    val m = 2147483647L
+    def u(id: Long) = ((((id % m) * 48271L % m) * 48271L % m)).toDouble / m
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val train = docs.filter(d => u(d._1) < 0.5)
+    val (sc, st) = (train.map(_._2).sum, train.map(_._3).sum)
+    def resid(d: (Long, Long, Long)): Long =
+      math.abs(d._2 - math.floor(d._3.toDouble * sc.toDouble / st.toDouble).toLong)
+    val cal = docs.filter(d => u(d._1) >= 0.5 && u(d._1) < 0.75).map(resid).sorted
+    val pos = math.ceil((cal.length + 1) * 0.9).toLong
+    val qhat = cal((pos - 1).toInt)
+    assert(row.getAs[Long]("n_cal") == cal.length.toLong)
+    assert(row.getAs[Long]("q_hat") == qhat, "order statistic diverged")
+    val test = docs.filter(d => u(d._1) >= 0.75).map(resid)
+    assert(row.getAs[Long]("n_test") == test.length.toLong)
+    val covered = test.count(_ <= qhat).toLong
+    assert(row.getAs[Long]("n_covered") == covered)
+    assert(row.getAs[Long]("coverage_ppm") == covered * 1000000L / test.length)
+    // the conformal construction should land near the nominal level
+    assert(row.getAs[Long]("coverage_ppm") > 800000L,
+      "coverage collapsed far below the nominal 90%")
+  }
+
   test("q9w source concentration: Gini/HHI/top-3 replay driver-side; " +
       "Lorenz curve is monotone and shares conserve") {
     val rows = Quality.sourceConcentration(spark, sfDir).collect()

@@ -291,6 +291,50 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("qac kaplan-meier: curve replays from a driver-side subject walk; " +
+      "monotone non-increasing; risk sets conserve") {
+    val rows = TimeSeries.kaplanMeier(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val endUs = ev.map(_._2).max
+    val subjects = ev.groupBy(_._1).values.map { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val t0 = sorted.head._2
+      val tk = if (sorted.length >= 5) Some(sorted(4)._2) else None
+      (1L + (tk.getOrElse(endUs) - t0) / 86400000000L, tk.isDefined)
+    }.toSeq
+    assert(rows.head.getAs[Long]("n_total") == subjects.length.toLong)
+    // replay with the operator's exact formula (exp of the ln sum, not
+    // a running product — the two can differ in the last ulp)
+    var lnSum = 0.0
+    var extinct = false
+    val byDay = subjects.groupBy(_._1)
+    rows.sortBy(_.getAs[Long]("day")).foreach { r =>
+      val day = r.getAs[Long]("day")
+      val in = byDay(day)
+      val d = in.count(_._2).toLong
+      val c = in.count(!_._2).toLong
+      val nRisk = subjects.count(_._1 >= day).toLong
+      assert(r.getAs[Long]("d") == d && r.getAs[Long]("c") == c,
+        s"day $day events/censored")
+      assert(r.getAs[Long]("n_risk") == nRisk, s"day $day risk set")
+      if (d == nRisk) extinct = true
+      else if (d > 0) lnSum += math.log(1.0 - d.toDouble / nRisk)
+      val expected = if (extinct) 0L
+        else math.floor(math.exp(lnSum) * 1e6 + 0.5).toLong
+      assert(r.getAs[Long]("surv_e6") == expected, s"day $day survival")
+    }
+    val curve = rows.sortBy(_.getAs[Long]("day")).map(_.getAs[Long]("surv_e6"))
+    assert(curve.toSeq == curve.sorted.reverse.toSeq,
+      "survival must be monotone non-increasing")
+    val medianOpt =
+      Option(rows.head.getAs[java.lang.Long]("median_day")).map(_.longValue)
+    val firstBelow = rows.sortBy(_.getAs[Long]("day"))
+      .find(_.getAs[Long]("surv_e6") < 500000L).map(_.getAs[Long]("day"))
+    assert(medianOpt == firstBelow, "median is the first sub-0.5 day")
+  }
+
   test("qa2 context training pairs: top-20 replays from a driver-side " +
       "trigram walk; probabilities and lift are internally consistent") {
     val rows = TimeSeries.contextTrainingPairs(spark, sfDir).collect()
