@@ -2181,6 +2181,105 @@ object Quality {
              AS BIGINT) AS shift_e4
     FROM w GROUP BY source ORDER BY source"""
 
+  /** qad: RANDOMIZATION (PERMUTATION) TEST — the assumption-free
+    * member completing the inference family: q1w's z-test leans on
+    * the normal approximation, q1y's bootstrap on resampling theory;
+    * the randomization test needs NOTHING but the re-randomization
+    * itself. The observed statistic (difference in mean order value
+    * between two customer-level arms) is compared against `b`
+    * re-randomized replicates; the add-one p-value is
+    * (1 + #{|T_b| ≥ |T_obs|}) / (b + 1).
+    *
+    * The q1y machinery verbatim: replicates ride ONE scan via an
+    * exploded rep spine with map-side combine — arm membership per
+    * replicate is a fresh Lehmer gate over (custkey, rep), a pure
+    * row-local function (cluster-randomized at the customer level,
+    * matching the observed assignment's unit). Every count/sum is an
+    * exact integer; the 33 T statistics form as identical IEEE
+    * divisions in both engines, and only their COMPARISONS (plus the
+    * e4-floored T_obs) reach the graded row. Since the real gate is
+    * itself one of the possible re-randomizations, the expected
+    * p-value is ~uniform — the graded A/A reading. */
+  def permutationTest(spark: SparkSession, dir: String,
+      b: Int = 32): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("ck"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val obs = o
+      .withColumn("arm", (Curation.hashUniform(col("ck")) < 0.5).cast("int"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum("cents").as("s"))
+    val reps = o.select(col("ck"), col("cents"),
+        explode(sequence(lit(1), lit(b))).as("rep"))
+      .withColumn("arm", (Curation.hashUniform(
+        col("ck") * lit(37L) + col("rep") * lit(1000003L)) < 0.5).cast("int"))
+      .groupBy("rep").agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1r"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1r"),
+        sum("cents").as("sr"))
+    def t(s1: Column, n1: Column, s: Column, n: Column): Column =
+      s1.cast("double") / n1 - (s - s1).cast("double") / (n - n1)
+    reps.crossJoin(broadcast(obs))
+      .withColumn("t_obs", t(col("s1"), col("n1"), col("s"), col("n")))
+      .withColumn("t_rep", t(col("s1r"), col("n1r"), col("sr"), col("nr")))
+      .withColumn("extreme",
+        (abs(col("t_rep")) >= abs(col("t_obs"))).cast("long"))
+      .agg(first("n").as("n"), first("n1").as("n1"),
+        floor(first("t_obs") * 1e4 + 0.5).cast("long").as("t_obs_cents_e4"),
+        sum("extreme").as("n_extreme"))
+      .withColumn("p_ppm",
+        expr(s"((n_extreme + 1) * 1000000) div ${b + 1}"))
+  }
+
+  def permutationTestOracle: String = """
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    obs AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(((ck % 2147483647) * 48271
+                 % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647
+                 < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN CAST(((ck % 2147483647) * 48271
+                 % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647
+                 < 0.5 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM o),
+    reps AS (
+      SELECT rep,
+             CAST(count(1) AS BIGINT) AS nr,
+             CAST(sum(arm) AS BIGINT) AS n1r,
+             CAST(sum(arm * cents) AS BIGINT) AS s1r,
+             CAST(sum(cents) AS BIGINT) AS sr
+      FROM (
+        SELECT o.cents, r.rep,
+               CASE WHEN CAST((((o.ck * 37 + r.rep * 1000003)
+                   % 2147483647) * 48271 % 2147483647) * 48271
+                   % 2147483647 AS DOUBLE) / 2147483647 < 0.5
+                 THEN 1 ELSE 0 END AS arm
+        FROM o CROSS JOIN (SELECT unnest(range(1, 33)) AS rep) r)
+      GROUP BY rep),
+    j AS (
+      SELECT obs.n, obs.n1,
+             CAST(obs.s1 AS DOUBLE) / obs.n1
+               - CAST(obs.s - obs.s1 AS DOUBLE) / (obs.n - obs.n1) AS t_obs,
+             CAST(reps.s1r AS DOUBLE) / reps.n1r
+               - CAST(reps.sr - reps.s1r AS DOUBLE) / (reps.nr - reps.n1r)
+               AS t_rep
+      FROM reps CROSS JOIN obs)
+    SELECT any_value(n) AS n, any_value(n1) AS n1,
+           CAST(floor(any_value(t_obs) * 1e4 + 0.5) AS BIGINT)
+             AS t_obs_cents_e4,
+           CAST(sum(CASE WHEN abs(t_rep) >= abs(t_obs) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           CAST(((sum(CASE WHEN abs(t_rep) >= abs(t_obs) THEN 1 ELSE 0 END)
+             + 1) * 1000000) // 33 AS BIGINT) AS p_ppm
+    FROM j"""
+
   /** qaa: HILL TAIL-INDEX ESTIMATOR — the heavy-tail audit for the
     * length budget: sequence packing (q47), padding waste (q4m) and
     * shard planning all hinge on whether document length is

@@ -86,7 +86,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qa9_als_serving" -> "broadcast(8-row probe-user block) + broadcast(nLists-row centroid table) — the q6c/q64 patterns over ALS factors",
     "qaa_tail_index" -> "1-row x_(k+1) aggregate + 101-row top block, both broadcast",
     "qab_conformal" -> "1-row train-rate and 1-row q-hat aggregates broadcast onto the doc scan",
-    "qac_kaplan_meier" -> "1-row study-end aggregate broadcast onto the per-user duration frame")
+    "qac_kaplan_meier" -> "1-row study-end aggregate broadcast onto the per-user duration frame",
+    "qad_permutation_test" -> "1-row observed-assignment aggregate broadcast onto the 32-row replicate table")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -1441,6 +1441,33 @@ class QualitySpec extends SparkSpec {
       math.floor(did * 1e4 + 0.5).toLong, "DiD replay diverged")
   }
 
+  test("qad permutation test: observed statistic and all 32 replicates " +
+      "replay driver-side; add-one p-value identity holds") {
+    val row = Quality.permutationTest(spark, sfDir).collect().head
+    val m = 2147483647L
+    def gate(id: Long): Boolean =
+      ((((id % m) * 48271L % m) * 48271L % m)).toDouble / m < 0.5
+    val o = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def tStat(arm: Long => Boolean): Double = {
+      val (a1, a0) = o.partition(x => arm(x._1))
+      a1.map(_._2).sum.toDouble / a1.length -
+        a0.map(_._2).sum.toDouble / a0.length
+    }
+    val tObs = tStat(gate)
+    assert(row.getAs[Long]("n") == o.length.toLong)
+    assert(row.getAs[Long]("n1") == o.count(x => gate(x._1)).toLong)
+    assert(row.getAs[Long]("t_obs_cents_e4") ==
+      math.floor(tObs * 1e4 + 0.5).toLong)
+    val nExtreme = (1 to 32).count { rep =>
+      math.abs(tStat(ck => gate(ck * 37L + rep * 1000003L))) >= math.abs(tObs)
+    }.toLong
+    assert(row.getAs[Long]("n_extreme") == nExtreme,
+      "replicate comparisons diverged")
+    assert(row.getAs[Long]("p_ppm") == (nExtreme + 1) * 1000000L / 33L)
+  }
+
   test("qaa hill tail index: estimator replays from the driver-side " +
       "order statistics; tie terms drop out exactly") {
     val row = Quality.hillTailIndex(spark, sfDir).collect().head
