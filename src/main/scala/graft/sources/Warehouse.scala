@@ -717,6 +717,118 @@ object Warehouse {
     LIMIT 200"""
   }
 
+  /** qae: DATA-LAYOUT ADVISOR — the decision q2f's z-order write
+    * presupposes: WHICH layout should a 100 TB table be clustered by?
+    * For each candidate layout (linear by l_partkey, linear by
+    * l_suppkey, z-order over both) the advisor partitions the table
+    * into `files` value-range buckets of the layout key (a pure
+    * integer function of the key and its max — deterministic and
+    * shuffle-free where a real repartitionByRange samples
+    * nondeterministic quantiles), collects per-file min/max footer
+    * spans for both probe columns, and computes the EXPECTED FILES
+    * TOUCHED by an equality probe — weighted over the `topV` most
+    * frequent probe values (the q4c bounded doctrine; every value
+    * would be the corpus itself at scale).
+    *
+    * Everything is exact integer arithmetic: file id = (key·F) div
+    * (max+1), touched = count of files whose [min,max] covers the
+    * value (a 20-row probe block against a 16-row span table), the
+    * expectation and skip ratio as integer-div e3/ppm. The graded
+    * story is the z-order claim itself, measured: a single-key layout
+    * skips ~nothing on the OTHER key, the interleaved layout skips on
+    * both. */
+  def layoutAdvisor(spark: SparkSession, dir: String,
+      files: Int = 16, topV: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).cache()
+    def fileSpans(layout: String, lcol: Column): DataFrame = {
+      val keyed = li.withColumn("lval", lcol)
+      val mx = keyed.agg(max("lval").as("max_l"))
+      keyed.crossJoin(broadcast(mx))
+        .withColumn("file", expr(s"(lval * $files) div (max_l + 1)"))
+        .groupBy("file")
+        .agg(min("p").as("min_p"), max("p").as("max_p"),
+          min("s").as("min_s"), max("s").as("max_s"))
+        .withColumn("layout", lit(layout))
+    }
+    val spans = fileSpans("partkey", col("p"))
+      .unionAll(fileSpans("suppkey", col("s")))
+      .unionAll(fileSpans("zorder", zorder2(col("p"), col("s"))))
+      .cache()
+    def probeBlock(probe: String, c: Column): DataFrame = li
+      .groupBy(c.as("v")).agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("v")).limit(topV)
+      .withColumn("probe", lit(probe))
+    val probes = probeBlock("partkey", col("p"))
+      .unionAll(probeBlock("suppkey", col("s")))
+    val touched = spans.join(broadcast(probes),
+        (col("probe") === "partkey"
+          && col("v").between(col("min_p"), col("max_p")))
+          || (col("probe") === "suppkey"
+            && col("v").between(col("min_s"), col("max_s"))))
+      .groupBy("layout", "probe", "v", "w")
+      .agg(count(lit(1)).as("n_touched"))
+    touched.groupBy("layout", "probe")
+      .agg(sum(col("w") * col("n_touched")).as("sum_wt"),
+        sum("w").as("sum_w"), count(lit(1)).as("n_probe_values"))
+      .select(col("layout"), col("probe"),
+        lit(files.toLong).as("n_files"), col("n_probe_values"),
+        expr("(sum_wt * 1000) div sum_w").as("expected_files_e3"),
+        expr(s"(($files * sum_w - sum_wt) * 1000000) div ($files * sum_w)")
+          .as("skip_ppm"))
+      .orderBy("layout", "probe")
+  }
+
+  def layoutAdvisorOracle: String = {
+    val zterms = (0 until 16).map { i =>
+      s"((p // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((s // ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""
+    WITH li AS (SELECT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    keyed AS (
+      SELECT p, s, 'partkey' AS layout, p AS lval FROM li
+      UNION ALL
+      SELECT p, s, 'suppkey' AS layout, s AS lval FROM li
+      UNION ALL
+      SELECT p, s, 'zorder' AS layout, ($zterms) AS lval FROM li),
+    mx AS (SELECT layout, max(lval) AS max_l FROM keyed GROUP BY layout),
+    spans AS (
+      SELECT k.layout, (k.lval * 16) // (mx.max_l + 1) AS file,
+             min(k.p) AS min_p, max(k.p) AS max_p,
+             min(k.s) AS min_s, max(k.s) AS max_s
+      FROM keyed k JOIN mx ON k.layout = mx.layout
+      GROUP BY 1, 2),
+    pb AS (
+      SELECT * FROM (
+        SELECT 'partkey' AS probe, p AS v, count(1) AS w,
+               row_number() OVER (ORDER BY count(1) DESC, p) AS r
+        FROM li GROUP BY p) WHERE r <= 20
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'suppkey' AS probe, s AS v, count(1) AS w,
+               row_number() OVER (ORDER BY count(1) DESC, s) AS r
+        FROM li GROUP BY s) WHERE r <= 20),
+    touched AS (
+      SELECT spans.layout, pb.probe, pb.v, pb.w,
+             CAST(count(1) AS BIGINT) AS n_touched
+      FROM spans JOIN pb
+        ON (pb.probe = 'partkey' AND pb.v BETWEEN spans.min_p AND spans.max_p)
+        OR (pb.probe = 'suppkey' AND pb.v BETWEEN spans.min_s AND spans.max_s)
+      GROUP BY 1, 2, 3, 4),
+    agg AS (
+      SELECT layout, probe,
+             CAST(sum(w * n_touched) AS BIGINT) AS sum_wt,
+             CAST(sum(w) AS BIGINT) AS sum_w,
+             CAST(count(1) AS BIGINT) AS n_probe_values
+      FROM touched GROUP BY 1, 2)
+    SELECT layout, probe, CAST(16 AS BIGINT) AS n_files, n_probe_values,
+           CAST((sum_wt * 1000) // sum_w AS BIGINT) AS expected_files_e3,
+           CAST(((16 * sum_w - sum_wt) * 1000000) // (16 * sum_w)
+             AS BIGINT) AS skip_ppm
+    FROM agg ORDER BY layout, probe"""
+  }
+
   /** q2j: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
     * refresh contract: a base aggregate (orders before the cutoff) is
     * merged with a delta-batch aggregate (the rest) by partial-state

@@ -328,6 +328,57 @@ class SourcesSpec extends SparkSpec {
       "consumed commits must not leak in the registry")
   }
 
+  test("qae layout advisor: expected-files replays driver-side; z-order " +
+      "skips on both probe keys where linear layouts skip on one") {
+    val rows = Warehouse.layoutAdvisor(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def z(p: Long, s: Long): Long = (0 until 16).map { i =>
+      ((p >> i) % 2) * (1L << (2 * i + 1)) + ((s >> i) % 2) * (1L << (2 * i))
+    }.sum
+    val layouts = Map[String, ((Long, Long)) => Long](
+      "partkey" -> (_._1), "suppkey" -> (_._2),
+      "zorder" -> (t => z(t._1, t._2)))
+    val probes = Map[String, ((Long, Long)) => Long](
+      "partkey" -> (_._1), "suppkey" -> (_._2))
+    def get(l: String, p: String) = rows.find(r =>
+      r.getAs[String]("layout") == l && r.getAs[String]("probe") == p).get
+    layouts.foreach { case (lname, lf) =>
+      val maxL = li.map(lf).max
+      val spans = li.groupBy(t => lf(t) * 16 / (maxL + 1)).view
+        .mapValues(v => (v.map(_._1).min, v.map(_._1).max,
+          v.map(_._2).min, v.map(_._2).max)).toMap
+      probes.foreach { case (pname, pf) =>
+        val top = li.groupBy(pf).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (v, w) => (-w, v) }.take(20)
+        val sumW = top.map(_._2).sum
+        val sumWt = top.map { case (v, w) =>
+          w * spans.values.count { sp =>
+            if (pname == "partkey") sp._1 <= v && v <= sp._2
+            else sp._3 <= v && v <= sp._4
+          }.toLong
+        }.sum
+        val r = get(lname, pname)
+        assert(r.getAs[Long]("expected_files_e3") == sumWt * 1000 / sumW,
+          s"$lname/$pname expectation")
+        assert(r.getAs[Long]("skip_ppm") ==
+          (16 * sumW - sumWt) * 1000000L / (16 * sumW))
+      }
+    }
+    // the advisor's claim, measured: each linear layout skips nothing
+    // on the other key; z-order skips meaningfully on BOTH
+    assert(get("partkey", "suppkey").getAs[Long]("skip_ppm") <
+      get("zorder", "suppkey").getAs[Long]("skip_ppm"))
+    assert(get("suppkey", "partkey").getAs[Long]("skip_ppm") <
+      get("zorder", "partkey").getAs[Long]("skip_ppm"))
+    Seq("partkey", "suppkey").foreach { p =>
+      assert(get("zorder", p).getAs[Long]("skip_ppm") > 0L,
+        s"z-order must skip on $p")
+    }
+  }
+
   test("qa8 DSv2 streaming source: AvailableNow drains in capped batches " +
       "and self-terminates; replay is deterministic") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
