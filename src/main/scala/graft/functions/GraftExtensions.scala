@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Concat, Expression, ExpressionInfo, Literal, Multiply, Pmod, Remainder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Range => LogicalRange}
+import org.apache.spark.sql.types.StringType
 
 /** Catalyst extension point: registers the engine's native vector
   * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
@@ -41,11 +43,82 @@ object GraftExtensions {
     if (!cur.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies = cur :+ graft.plans.AsofJoinStrategy
   }
+
+  /** qaf: a SQL TABLE-VALUED FUNCTION — the fourth extension seam
+    * (after scalar functions, the optimizer rule, and the planner
+    * strategy): `injectTableFunction` maps `graft_synth(lo, hi)` in a
+    * SQL FROM clause to a LOGICAL PLAN the function builder
+    * constructs — a `Range` with the qa6 connector's deterministic
+    * Lehmer projection on top, so the TVF is the SQL-text twin of the
+    * DSv2 source and shares its oracle arithmetic. Bounds must be
+    * foldable literals (evaluated at plan construction); the plan is
+    * a plain Range + Project, so it splits, prunes, and codegens like
+    * any native scan. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("graft_synth"),
+      info("graft_synth",
+        "graft_synth(lo, hi) - deterministic Lehmer rows for id in [lo, hi)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_synth(lo, hi) takes two literals")
+        def bound(e: Expression): Long = {
+          require(e.foldable, s"graft_synth bounds must be literals: $e")
+          e.eval(null).asInstanceOf[Number].longValue
+        }
+        val range = LogicalRange(bound(args.head), bound(args(1)), 1, None)
+        // raw Catalyst expressions: an injected plan is handed straight
+        // to the analyzer, where Column-built trees stay unresolved
+        val id: Expression = range.output.head
+        val m = Literal(2147483647L); val a = Literal(48271L)
+        val lehmer = Remainder(Multiply(
+          Remainder(Multiply(Pmod(id, m), a), m), a), m)
+        Project(Seq(
+          Alias(id, "id")(),
+          Alias(lehmer, "value_e6")(),
+          Alias(Concat(Seq(Literal("b"),
+            Cast(Remainder(id, Literal(10L)), StringType))), "bucket")()),
+          range)
+      }))
+
+  /** Runtime twin of `injectTableFunction` for already-built sessions.
+    * Idempotent. */
+  def registerTableFunctions(spark: SparkSession): Unit =
+    tableFunctions.foreach { case (id, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, inf, builder)
+    }
+
+  /** qaf graded query: the TVF consumed from SQL TEXT — the whole point
+    * of the seam is that a SQL user can reach engine-native relations
+    * without any DataFrame code. Aggregate shape mirrors qa6 so the
+    * two surfaces are graded by the same arithmetic. */
+  def tvfQuery(spark: SparkSession, dir: String): DataFrame = {
+    registerTableFunctions(spark)
+    spark.sql("""
+      SELECT bucket, count(1) AS n, sum(value_e6) AS sum_lehmer,
+             min(id) AS min_id, max(id) AS max_id
+      FROM graft_synth(25000, 75000)
+      GROUP BY bucket ORDER BY bucket""")
+  }
+
+  val tvfQueryOracle: String = """
+    WITH g AS (
+      SELECT i AS id,
+             ((i % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+               AS value_e6,
+             'b' || CAST(i % 10 AS VARCHAR) AS bucket
+      FROM (SELECT unnest(range(25000, 75000)) AS i))
+    SELECT bucket, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(value_e6) AS BIGINT) AS sum_lehmer,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM g GROUP BY bucket ORDER BY bucket"""
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -53,4 +53,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("als", "kmeans_cluster_avg"))
     assert(rows.head.getDouble(2) == 0.864197)
   }
+
+  test("qaf table-valued function: graft_synth resolves in SQL, matches " +
+      "the DSv2 connector row-for-row, and rejects non-literal bounds") {
+    GraftExtensions.registerTableFunctions(spark)
+    val sqlRows = spark.sql(
+      "SELECT id, value_e6, bucket FROM graft_synth(100, 200)").collect()
+    assert(sqlRows.length == 100)
+    assert(sqlRows.map(_.getAs[Long]("id")).toSeq == (100L until 200L))
+    sqlRows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Long]("value_e6") ==
+        graft.sources.SynthSource.lehmer(id))
+      assert(r.getAs[String]("bucket") == "b" + (id % 10))
+    }
+    // the TVF and the DSv2 connector expose the SAME relation
+    val viaSource = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "200").option("parts", "2").load()
+      .where(org.apache.spark.sql.functions.col("id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(sqlRows.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq == viaSource.toSeq)
+    // bounds must be foldable literals
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_synth(100, rand())").collect()
+    }
+  }
 }
