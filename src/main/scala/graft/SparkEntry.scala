@@ -287,6 +287,7 @@ object SparkEntry {
     "qad_permutation_test"  -> ((s: SparkSession, d: String) => Quality.permutationTest(s, d)),
     "qae_layout_advisor"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.layoutAdvisor(s, d)),
     "qaf_sql_tvf"           -> (graft.functions.GraftExtensions.tvfQuery _),
+    "qag_grouped_ols"       -> (Quality.groupedOls _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -823,6 +824,7 @@ object SparkEntry {
     "qad_permutation_test"   -> Quality.permutationTestOracle,
     "qae_layout_advisor"     -> graft.sources.Warehouse.layoutAdvisorOracle,
     "qaf_sql_tvf"            -> graft.functions.GraftExtensions.tvfQueryOracle,
+    "qag_grouped_ols"        -> Quality.groupedOlsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2181,6 +2181,75 @@ object Quality {
              AS BIGINT) AS shift_e4
     FROM w GROUP BY source ORDER BY source"""
 
+  /** qag: GROUPED CLOSED-FORM OLS — the MANY-MODELS pattern: one
+    * regression per group (here: order-value trend per priority
+    * class, cents/day), fitted simultaneously for every group in ONE
+    * aggregate pass. At 100 TB this is how per-segment models are
+    * actually trained — never a loop of per-group fits, but grouped
+    * exact moments (n, Σx, Σy, Σxx, Σxy, Σyy in DECIMAL(38)/HUGEINT —
+    * order-independent integer sums) with the closed forms
+    * b = (nΣxy−ΣxΣy)/(nΣxx−Σx²), a = (Σy−bΣx)/n and
+    * R² = (nΣxy−ΣxΣy)² / ((nΣxx−Σx²)(nΣyy−Σy²)) evaluated at the very
+    * end as identical IEEE trees over the exact operands (the
+    * q1z/qa4 doctrine). x is centered on a fixed epoch day so Σxx
+    * stays small without losing exactness. */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    val x = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+      .cast("long")
+    val m = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), x.as("x"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val num = (col("n") * col("sxy")
+      - col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx")
+      - col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy")
+      - col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+    val b = num / denX
+    m.select(col("grp"), col("n"),
+        floor(b * 1e6 + 0.5).cast("long").as("slope_e6"),
+        floor((col("sy").cast("double") - b * col("sx")) / col("n") * 100
+          + 0.5).cast("long").as("intercept_cents_e2"),
+        floor(num * num / (denX * denY) * 1e6 + 0.5).cast("long")
+          .as("r2_ppm"))
+      .orderBy("grp")
+  }
+
+  def groupedOlsOracle: String = """
+    WITH o AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS x,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders),
+    m AS (
+      SELECT grp, CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM o GROUP BY grp),
+    f AS (
+      SELECT grp, n,
+             CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+             CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denx,
+             CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS BIGINT) AS sxb
+      FROM m)
+    SELECT grp, n,
+           CAST(floor(num / denx * 1e6 + 0.5) AS BIGINT) AS slope_e6,
+           CAST(floor((syd - (num / denx) * sxb) / n * 100 + 0.5)
+             AS BIGINT) AS intercept_cents_e2,
+           CAST(floor(num * num / (denx * deny) * 1e6 + 0.5) AS BIGINT)
+             AS r2_ppm
+    FROM f ORDER BY grp"""
+
   /** qad: RANDOMIZATION (PERMUTATION) TEST — the assumption-free
     * member completing the inference family: q1w's z-test leans on
     * the normal approximation, q1y's bootstrap on resampling theory;

@@ -1441,6 +1441,40 @@ class QualitySpec extends SparkSpec {
       math.floor(did * 1e4 + 0.5).toLong, "DiD replay diverged")
   }
 
+  test("qag grouped ols: every group's slope/intercept/R2 replays from " +
+      "driver-side exact moments; R2 is a valid ratio") {
+    val rows = Quality.groupedOls(spark, sfDir).collect()
+    val epoch = java.time.LocalDate.parse("1995-01-01")
+    val o = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderpriority", "CAST(o_orderdate AS DATE) AS d",
+        "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        java.time.temporal.ChronoUnit.DAYS.between(
+          epoch, r.getDate(1).toLocalDate),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    assert(rows.length == o.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val in = o.filter(_._1 == r.getAs[String]("grp"))
+      val n = in.length.toLong
+      val (sx, sy) = (in.map(_._2).sum, in.map(_._3).sum)
+      val sxx = in.map(d => BigInt(d._2) * d._2).sum
+      val sxy = in.map(d => BigInt(d._2) * d._3).sum
+      val syy = in.map(d => BigInt(d._3) * d._3).sum
+      val num = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+      val denx = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val deny = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+      val b = num / denx
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("slope_e6") ==
+        math.floor(b * 1e6 + 0.5).toLong, s"${r.getString(0)} slope")
+      assert(r.getAs[Long]("intercept_cents_e2") ==
+        math.floor((sy.toDouble - b * sx) / n * 100 + 0.5).toLong)
+      val r2 = r.getAs[Long]("r2_ppm")
+      assert(r2 == math.floor(num * num / (denx * deny) * 1e6 + 0.5).toLong)
+      assert(r2 >= 0L && r2 <= 1000000L)
+    }
+  }
+
   test("qad permutation test: observed statistic and all 32 replicates " +
       "replay driver-side; add-one p-value identity holds") {
     val row = Quality.permutationTest(spark, sfDir).collect().head
