@@ -288,6 +288,7 @@ object SparkEntry {
     "qae_layout_advisor"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.layoutAdvisor(s, d)),
     "qaf_sql_tvf"           -> (graft.functions.GraftExtensions.tvfQuery _),
     "qag_grouped_ols"       -> (Quality.groupedOls _),
+    "qah_length_debias"     -> ((s: SparkSession, d: String) => Curation.lengthDebias(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -825,6 +826,7 @@ object SparkEntry {
     "qae_layout_advisor"     -> graft.sources.Warehouse.layoutAdvisorOracle,
     "qaf_sql_tvf"            -> graft.functions.GraftExtensions.tvfQueryOracle,
     "qag_grouped_ols"        -> Quality.groupedOlsOracle,
+    "qah_length_debias"      -> Curation.lengthDebiasOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

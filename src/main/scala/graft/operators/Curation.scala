@@ -1610,6 +1610,91 @@ object Curation {
              / sum(n_docs) OVER () + 0.5) AS BIGINT) AS share_ppm
     FROM g ORDER BY split"""
 
+  /** qah: LENGTH-DISTRIBUTION FLATTENING — inverse-density debiasing
+    * over a NUMERIC axis, the sibling of q4i's categorical
+    * stratification: training corpora are length-skewed (web text
+    * piles up in a few length bands), and a model trained on the raw
+    * density under-sees long documents. The flattener buckets by
+    * length, sets each bucket's keep-rate to target/count capped at 1
+    * (target = the uniform per-bucket mass), gates rows with the
+    * Lehmer hash (pure row function — membership stable under any
+    * partitioning), and GRADES the achieved flatness: max/min bucket
+    * share before and after, plus the improvement verdict. The rate
+    * table is a ≤|buckets|-row broadcast back onto the scan; the
+    * gate comparison u < rate/1e6 is written identically in both
+    * engines so membership replays bit-for-bit. */
+  def lengthDebias(spark: SparkSession, dir: String,
+      bucketWidth: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"n_chars div $bucketWidth").as("bucket"))
+    val counts = docs.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy() // <=|buckets| rows — bounded rollup
+    val rates = counts
+      .withColumn("total", sum("n_docs").over(all))
+      .withColumn("n_buckets", count(lit(1)).over(all))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("((total div n_buckets) * 1000000) div n_docs")))
+      .select(col("bucket"), col("n_docs"), col("rate_ppm"))
+    val kept = docs.join(broadcast(rates), "bucket")
+      .where(hashUniform(col("doc_id") * lit(13L) + lit(7L))
+        < col("rate_ppm").cast("double") / 1000000.0)
+      .groupBy("bucket").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn("share_pre_ppm",
+        expr("(n_docs * 1000000) div sum(n_docs) OVER ()"))
+      .withColumn("share_post_ppm", when(sum("n_kept").over(all) === 0L, 0L)
+        .otherwise(expr("(n_kept * 1000000) div sum(n_kept) OVER ()")))
+      .withColumn("flat_pre_x1000",
+        expr("(max(n_docs) OVER () * 1000) div greatest(min(n_docs) OVER (), 1)"))
+      .withColumn("flat_post_x1000",
+        expr("(max(n_kept) OVER () * 1000) div greatest(min(n_kept) OVER (), 1)"))
+      .withColumn("flattened", col("flat_post_x1000") <= col("flat_pre_x1000"))
+      .orderBy("bucket")
+  }
+
+  def lengthDebiasOracle: String = """
+    WITH d AS (
+      SELECT doc_id, n_chars // 50 AS bucket FROM documents),
+    counts AS (
+      SELECT bucket, CAST(count(1) AS BIGINT) AS n_docs
+      FROM d GROUP BY bucket),
+    rates AS (
+      SELECT bucket, n_docs,
+             CAST(least(1000000,
+               ((CAST(sum(n_docs) OVER () AS BIGINT)
+                 // CAST(count(1) OVER () AS BIGINT)) * 1000000)
+                 // n_docs) AS BIGINT) AS rate_ppm
+      FROM counts),
+    kept AS (
+      SELECT d.bucket, CAST(count(1) AS BIGINT) AS n_kept
+      FROM d JOIN rates ON d.bucket = rates.bucket
+      WHERE CAST((((d.doc_id * 13 + 7) % 2147483647) * 48271
+              % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647
+            < CAST(rates.rate_ppm AS DOUBLE) / 1000000.0
+      GROUP BY d.bucket),
+    j AS (
+      SELECT rates.bucket, rates.n_docs, rates.rate_ppm,
+             CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+      FROM rates LEFT JOIN kept ON rates.bucket = kept.bucket)
+    SELECT bucket, n_docs, rate_ppm, n_kept,
+           CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT)
+             AS share_pre_ppm,
+           CAST(CASE WHEN sum(n_kept) OVER () = 0 THEN 0
+             ELSE (n_kept * 1000000) // sum(n_kept) OVER () END AS BIGINT)
+             AS share_post_ppm,
+           CAST((max(n_docs) OVER () * 1000)
+             // greatest(min(n_docs) OVER (), 1) AS BIGINT)
+             AS flat_pre_x1000,
+           CAST((max(n_kept) OVER () * 1000)
+             // greatest(min(n_kept) OVER (), 1) AS BIGINT)
+             AS flat_post_x1000,
+           (max(n_kept) OVER () * 1000) // greatest(min(n_kept) OVER (), 1)
+             <= (max(n_docs) OVER () * 1000)
+               // greatest(min(n_docs) OVER (), 1) AS flattened
+    FROM j ORDER BY bucket"""
+
   /** q9v: FILTER-THRESHOLD OPERATING-CURVE SWEEP — choosing WHERE to
     * cut a quality score is the real decision a curation pipeline
     * makes, and the right tool is the precision/recall/F1 curve

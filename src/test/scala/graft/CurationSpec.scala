@@ -659,6 +659,40 @@ class CurationSpec extends SparkSpec {
       "train gate must dominate at the 80/10/10 thresholds")
   }
 
+  test("qah length debias: rates, gated membership and flatness replay " +
+      "driver-side; flattening never worsens the max/min ratio") {
+    val rows = Curation.lengthDebias(spark, sfDir).collect()
+    val m = 2147483647L
+    def u(id: Long) = (((((id * 13 + 7) % m) * 48271L % m) * 48271L % m))
+      .toDouble / m
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 50))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == counts.size)
+    val total = docs.length.toLong
+    val target = total / counts.size
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val n = counts(b)
+      val rate = math.min(1000000L, target * 1000000L / n)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("rate_ppm") == rate, s"bucket $b rate")
+      val kept = docs.filter(_._2 == b)
+        .count(d => u(d._1) < rate.toDouble / 1000000.0).toLong
+      assert(r.getAs[Long]("n_kept") == kept, s"bucket $b membership")
+    }
+    val preMax = counts.values.max; val preMin = counts.values.min
+    assert(rows.head.getAs[Long]("flat_pre_x1000") ==
+      preMax * 1000 / math.max(preMin, 1L))
+    val keptByB = rows.map(r => r.getAs[Long]("bucket")
+      -> r.getAs[Long]("n_kept")).toMap
+    assert(rows.head.getAs[Long]("flat_post_x1000") ==
+      keptByB.values.max * 1000 / math.max(keptByB.values.min, 1L))
+    assert(rows.head.getAs[Boolean]("flattened"),
+      "inverse-density rates must not worsen flatness on this fixture")
+  }
+
   test("q9v threshold sweep: curve replays driver-side; recall is monotone " +
       "non-increasing and exactly one operating point is flagged best") {
     val rows = Curation.thresholdSweep(spark, sfDir).collect()
