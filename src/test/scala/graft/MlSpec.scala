@@ -128,7 +128,7 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Boolean]("probed_set_pruned"),
         "nProbe < nLists must scan strictly fewer than all items")
       assert(r.getAs[Boolean]("probe_recall_ok"),
-        "documented recall floor (3/10, measured min 4/10) violated")
+        "documented recall floor (2/10, measured min 4/10) violated")
     }
   }
 }
