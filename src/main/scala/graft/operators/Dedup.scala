@@ -1549,6 +1549,111 @@ object Dedup {
     FROM lab GROUP BY source_lo, source_hi
     ORDER BY source_lo, source_hi"""
 
+  /** qai: DEDUP-CORRECTED EFFECTIVE SOURCE MASS — the number the
+    * mixture optimizers (q9g/q9h/q4g) SHOULD weight by: raw token mass
+    * counts a document once per copy, but a near-dup family contributes
+    * one document's worth of signal however many copies exist, so each
+    * doc is down-weighted by 1/|family| (families = q57's connected
+    * components over the df-capped shared-gram pair graph at the loose
+    * 0.5 Jaccard knee). The complement to q9z's survivor counts: q9z
+    * reports what a dedup PASS would keep, this reports what the raw
+    * feed is WORTH — per source: raw vs effective tokens, the family
+    * count it touches, and the dedup discount in ppm (all exact
+    * integers; the per-doc weight is the integer 1e6 div size, summed
+    * exactly). One pair-generation + one O(log d) CC fixpoint; the
+    * rollup is |sources| rows. */
+  def effectiveSourceMass(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.operators.Text.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .cache()
+    val pairs = jaccardPairs(Tables.documents(spark, dir), 3, 64L)
+      .where(col("jacc_ppm") >= thresholdPpm)
+    val comp = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val sizes = comp.groupBy("rep").agg(count(lit(1)).as("fam_size"))
+    val weighted = docs
+      .join(comp.withColumnRenamed("id", "doc_id"), "doc_id")
+      .join(sizes, "rep")
+      .withColumn("w_e6", expr("1000000 div fam_size"))
+    val all = Window.partitionBy() // |sources| rows — bounded rollup
+    weighted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_raw"),
+        countDistinct("rep").as("n_families"),
+        sum(col("n_tok") * col("w_e6")).as("eff_e6"))
+      .withColumn("total_discount_ppm",
+        lit(1000000L) - floor(sum("eff_e6").over(all)
+          / sum("tok_raw").over(all)).cast("long"))
+      .select(col("source"), col("n_docs"), col("tok_raw"),
+        col("n_families"),
+        expr("eff_e6 div 1000000").as("eff_tokens"),
+        (lit(1000000L) - expr("eff_e6 div tok_raw")).as("discount_ppm"),
+        col("total_discount_ppm"))
+      .orderBy("source")
+  }
+
+  def effectiveSourceMassOracle: String = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             string_split(text, ' ') AS toks, text
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+               ELSE list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               END)) AS gram
+      FROM d),
+    capped AS (SELECT gram FROM g GROUP BY gram HAVING count(1) > 64),
+    kept AS (
+      SELECT doc_id, gram FROM g
+      WHERE gram NOT IN (SELECT gram FROM capped)),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams
+           FROM kept GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b,
+             CAST(count(1) AS BIGINT) AS n_shared
+      FROM kept g1 JOIN kept g2
+        ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT p.a, p.b
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+      WHERE (p.n_shared * 1000000)
+              // (sa.n_grams + sb.n_grams - p.n_shared) >= 500000),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach(v, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT eg.dst, reach.r FROM reach JOIN edges eg ON reach.v = eg.src),
+    comp AS (SELECT v, min(r) AS rep FROM reach GROUP BY v),
+    sizes AS (SELECT rep, CAST(count(1) AS BIGINT) AS fam_size
+              FROM comp GROUP BY rep),
+    w AS (
+      SELECT d.source, d.n_tok, comp.rep,
+             1000000 // sizes.fam_size AS w_e6
+      FROM d JOIN comp ON d.doc_id = comp.v
+      JOIN sizes ON comp.rep = sizes.rep),
+    agg AS (
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS tok_raw,
+             CAST(count(DISTINCT rep) AS BIGINT) AS n_families,
+             CAST(sum(n_tok * w_e6) AS BIGINT) AS eff_e6
+      FROM w GROUP BY source)
+    SELECT source, n_docs, tok_raw, n_families,
+           CAST(eff_e6 // 1000000 AS BIGINT) AS eff_tokens,
+           CAST(1000000 - eff_e6 // tok_raw AS BIGINT) AS discount_ppm,
+           CAST(1000000 - CAST(floor(CAST(sum(eff_e6) OVER () AS DOUBLE)
+             / sum(tok_raw) OVER ()) AS BIGINT) AS BIGINT)
+             AS total_discount_ppm
+    FROM agg ORDER BY source"""
+
   /** q9s: TRAIN/TEST SPLIT LEAKAGE AUDIT — the eval-integrity check a
     * real pipeline runs AFTER splitting (q9r) and near-dup detection:
     * do any near-duplicate document pairs straddle the train/val/test

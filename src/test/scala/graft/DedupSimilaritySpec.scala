@@ -1108,6 +1108,56 @@ class DedupSimilaritySpec extends SparkSpec {
       "contaminated-eval-doc headline diverged from brute force")
   }
 
+  test("qai effective source mass: weights, families and discounts " +
+      "replay from a driver-side union-find over the capped pair graph") {
+    val rows = Dedup.effectiveSourceMass(spark, sfDir).collect()
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Set(text)
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), grams(r.getString(2)),
+        r.getString(2).split(" ", -1).length.toLong))
+    // mirror jaccardPairs: grams with corpus df > 64 dropped BEFORE
+    // pairing, jaccard over the KEPT gram sets
+    val df = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.size)
+    val keptG = docs.map(d => (d._1, d._3.filter(g => df(g) <= 64)))
+      .toMap
+    val parent = scala.collection.mutable.Map(
+      docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (a, b) = (docs(i)._1, docs(j)._1)
+      (ga, gb) = (keptG(a), keptG(b))
+      inter = (ga & gb).size.toLong
+      if inter > 0 &&
+        inter * 1000000L / (ga.size + gb.size - inter) >= 500000L
+    } parent(find(a)) = find(b)
+    val famSize = docs.map(d => find(d._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val in = bySource(src)
+      assert(r.getAs[Long]("n_docs") == in.length.toLong)
+      assert(r.getAs[Long]("tok_raw") == in.map(_._4).sum)
+      assert(r.getAs[Long]("n_families") ==
+        in.map(d => find(d._1)).distinct.length.toLong, s"$src families")
+      val eff = in.map(d => d._4 * (1000000L / famSize(find(d._1)))).sum
+      assert(r.getAs[Long]("eff_tokens") == eff / 1000000L, s"$src eff")
+      assert(r.getAs[Long]("discount_ppm") ==
+        1000000L - eff / in.map(_._4).sum, s"$src discount")
+      // a source with duplicates is worth strictly less than raw
+      assert(r.getAs[Long]("discount_ppm") >= 0L)
+    }
+    assert(rows.map(_.getAs[Long]("discount_ppm")).exists(_ > 0L),
+      "planted near-dups must discount at least one source")
+  }
+
   test("qa0 robust quarantine: planted outlier vector is quarantined, a " +
       "constant dim does not quarantine the corpus, medians replay") {
     import spark.implicits._

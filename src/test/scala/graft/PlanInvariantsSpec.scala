@@ -88,7 +88,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qab_conformal" -> "1-row train-rate and 1-row q-hat aggregates broadcast onto the doc scan",
     "qac_kaplan_meier" -> "1-row study-end aggregate broadcast onto the per-user duration frame",
     "qad_permutation_test" -> "1-row observed-assignment aggregate broadcast onto the 32-row replicate table",
-    "qae_layout_advisor" -> "1-row max-key aggregates broadcast onto the scan + 40-row probe block joined to the 48-row span table (both bounded)")
+    "qae_layout_advisor" -> "1-row max-key aggregates broadcast onto the scan + 40-row probe block joined to the 48-row span table (both bounded)",
+    "qai_effective_mass" -> "q57's 1-row CC fixpoint probe (the rollup rides duplicateComponents machinery)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
