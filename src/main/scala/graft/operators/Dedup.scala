@@ -1388,34 +1388,63 @@ object Dedup {
     * number).
     *
     * Scale shape: ONE df-capped shared-gram pair table (the q8a/q4k
-    * machinery, bucket-bounded) feeds every threshold; per threshold a
-    * filter + the q57 pointer-jumping components (O(log d) rounds,
-    * lineage-truncated) + a ≤|components|-row rollup. The oracle
-    * replays all thresholds through one recursive reach CTE carrying
-    * the threshold as a column. */
+    * machinery, bucket-bounded) feeds ONE pointer-jumping fixpoint over
+    * the DISJOINT UNION of the per-threshold graphs: vertex (v, thr) is
+    * encoded as the synthetic id `v*|thresholds| + thrIdx`, so all
+    * thresholds converge together in max-rounds instead of paying the
+    * fixed per-round cost (2 joins + aggregate + eager localCheckpoint)
+    * once PER threshold — the round-7 verdict's one perf finding: three
+    * sequential fixpoints made q8r the slowest query in the bench. The
+    * rollup decodes thrIdx back with a pmod and is ≤|components| rows.
+    * The oracle replays all thresholds through one recursive reach CTE
+    * carrying the threshold as a column. */
   def percolationCurve(spark: SparkSession, dir: String,
       n: Int = 3, dfCap: Long = 64L,
       thresholds: Seq[Long] = Seq(10000L, 500000L, 970000L)): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val pairs = jaccardPairs(docs, n, dfCap)
-    val verts = docs.select(col("doc_id").as("id"))
-    thresholds.map { t =>
-      val edges = pairs.where(col("jacc_ppm") >= t)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val sizes = connectedComponents(verts, edges)
-        .groupBy("rep").agg(count(lit(1)).as("sz"))
-      val eCount = edges.groupBy().agg(count(lit(1)).as("n_edges"))
-      sizes.groupBy().agg(
-          sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters"),
-          max(col("sz")).as("largest_component"),
-          sum(when(col("sz") >= 2, col("sz")).otherwise(0L))
-            .as("docs_in_clusters"),
-          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
-        .crossJoin(broadcast(eCount))
-        .select(lit(t).as("threshold_ppm"), col("n_edges"),
-          col("n_clusters"), col("largest_component"),
-          col("docs_in_clusters"), col("n_singletons"))
-    }.reduce(_ unionByName _).orderBy("threshold_ppm")
+    val nThr = thresholds.length.toLong
+    // (threshold, index) spine as an exploded literal — tagging stays a
+    // narrow per-row generate, no join against a driver-made frame
+    val thrArr = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("t"), lit(i.toLong).as("i")) }: _*)
+    // synthetic disjoint-graph ids: doc_id*nThr + thrIdx is injective
+    // while doc_id < Long.Max/|thresholds| — ids are corpus ordinals,
+    // so a 3-threshold sweep is safe until ~3e18 documents
+    val taggedEdges = pairs
+      .select(explode(thrArr).as("th"), col("a"), col("b"), col("jacc_ppm"))
+      .where(col("jacc_ppm") >= col("th.t"))
+      .select((col("a") * nThr + col("th.i")).as("src"),
+        (col("b") * nThr + col("th.i")).as("dst"))
+    val taggedVerts = docs
+      .select(explode(thrArr).as("th"), col("doc_id"))
+      .select((col("doc_id") * nThr + col("th.i")).as("id"))
+    val sizes = connectedComponents(taggedVerts, taggedEdges)
+      .withColumn("ti", pmod(col("id"), lit(nThr)))
+      .groupBy("ti", "rep").agg(count(lit(1)).as("sz"))
+    val clusterStats = sizes.groupBy("ti").agg(
+      sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters"),
+      max(col("sz")).as("largest_component"),
+      sum(when(col("sz") >= 2, col("sz")).otherwise(0L))
+        .as("docs_in_clusters"),
+      sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    val edgeCounts = pairs
+      .select(explode(thrArr).as("th"), col("jacc_ppm"))
+      .where(col("jacc_ppm") >= col("th.t"))
+      .groupBy(col("th.i").as("ti")).agg(count(lit(1)).as("n_edges"))
+    // threshold spine: a zero-edge threshold still emits its row (all
+    // singletons from the vertex seed; n_edges zero-filled)
+    val spine = thresholds.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("threshold_ppm", "ti")
+    spine
+      .join(edgeCounts, Seq("ti"), "left")
+      .join(clusterStats, Seq("ti"))
+      .select(col("threshold_ppm"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col("n_clusters"), col("largest_component"),
+        col("docs_in_clusters"), col("n_singletons"))
+      .orderBy("threshold_ppm")
   }
 
   def percolationCurveOracle: String = """
@@ -1600,14 +1629,15 @@ object Dedup {
     WITH RECURSIVE d AS (
       SELECT doc_id, source,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-             string_split(text, ' ') AS toks, text
+             string_split(text, ' ') AS toks
       FROM documents),
     g AS (
+      -- empty gram set for sub-3-token docs — the jaccardPairs
+      -- convention (Text.ngrams returns [] below n tokens), matching
+      -- the q8a/q8b/q8r oracles; such docs stay singleton families
       SELECT doc_id,
-             unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [text]
-               ELSE list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-               END)) AS gram
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
       FROM d),
     capped AS (SELECT gram FROM g GROUP BY gram HAVING count(1) > 64),
     kept AS (

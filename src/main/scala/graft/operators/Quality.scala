@@ -928,7 +928,7 @@ object Quality {
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(sx AS BIGINT) AS sum_pre_cents,
            CAST(sy AS BIGINT) AS sum_post_cents,
-           CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
              / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
              AS BIGINT) AS theta_e6,
            CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -122,9 +122,25 @@ private[sources] class SynthMicroBatchStream(rows: Long, batch: Long)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batch)
 
+  // The engine passes back the limit the source should honor — usually
+  // this source's own default (maxRows(batch)), but AvailableNow wraps
+  // it in a composite and an admission-control source must derive the
+  // cap from the ARGUMENT, not re-read its constructor: ignoring it
+  // over-admits the moment the engine tightens the limit (round-7
+  // advisor finding).
+  private def admitCap(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows        => r.maxRows()
+    case _: ReadAllAvailable   => Long.MaxValue
+    case c: CompositeReadLimit => c.getReadLimits.map(admitCap).min
+    // min-rows (and any future limit kind) carries no row CAP — admit
+    // the source's own batch size, never more than the engine allows
+    case _                     => batch
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SynthOffset].pos
-    SynthOffset(math.min(s + batch, target))
+    val admitted = math.min(admitCap(limit), math.max(0L, target - s))
+    SynthOffset(s + admitted)
   }
   override def reportLatestOffset(): Offset = SynthOffset(target)
 

@@ -1111,9 +1111,12 @@ class DedupSimilaritySpec extends SparkSpec {
   test("qai effective source mass: weights, families and discounts " +
       "replay from a driver-side union-find over the capped pair graph") {
     val rows = Dedup.effectiveSourceMass(spark, sfDir).collect()
+    // empty gram set for sub-3-token docs — Text.ngrams' convention
+    // (what jaccardPairs actually pairs on), matching the oracle; NOT
+    // the q9s replay's [text] fallback, which mirrors Text.trigrams
     def grams(text: String): Set[String] = {
       val toks = text.split(" ", -1)
-      if (toks.length < 3) Set(text)
+      if (toks.length < 3) Set.empty
       else toks.sliding(3).map(_.mkString(" ")).toSet
     }
     val docs = graft.Tables.documents(spark, sfDir)

@@ -73,7 +73,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q8o_interleaving_audit" -> "1-row corpus-total aggregate broadcast onto the |shards|x|sources| mix table",
     "q8p_embedding_health" -> "1-row anisotropy aggregate broadcast onto the |dims|-row (64) stats frame",
     "q8q_corpus_datasheet" -> "four 1-row per-table aggregates broadcast-crossed into the single datasheet row",
-    "q8r_percolation_curve" -> "q57's 1-row fixpoint probe per threshold + 1-row edge-count aggregates broadcast onto 1-row cluster rollups",
+    "q8r_percolation_curve" -> "q57's 1-row fixpoint probe (ONE shared fixpoint over the threshold-tagged disjoint union graph)",
     "q9f_bpe_pairs" -> "1-row pair-universe totals aggregate broadcast onto the topK-row (20) selection (q8g pattern)",
     "q9n_hybrid_rrf" -> "broadcast(1-row query vector) on the vector leg (q61 pattern) + 1-row corpus-stats broadcast on the BM25 leg (q4r pattern)",
     "q9s_split_leakage" -> "1-row contaminated-eval-docs aggregate broadcast onto the fixed 6-row split-pair frame",
