@@ -45,8 +45,9 @@ object Explain {
     "qa7_dsv2_sink",
     // qa8 replays the custom micro-batch stream to completion
     "qa8_streaming_source",
-    // qa9 fits the seeded ALS model in its builder (q72's shape)
-    "qa9_als_serving")
+    // qa9/qaj load (fitting on store miss) the persisted models in
+    // their builders — ModelStore ensure + MLReader.load are eager
+    "qa9_als_serving", "qaj_model_persistence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

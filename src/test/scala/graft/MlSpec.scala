@@ -131,4 +131,38 @@ class MlSpec extends SparkSpec {
         "documented recall floor (2/10, measured min 4/10) violated")
     }
   }
+
+  test("qaj model persistence: MLWriter.save/load round-trips ALS factors " +
+      "bit-exactly; the ModelStore is idempotent and serves loaded models") {
+    // write fidelity on a controlled tiny fit: fitted == loaded, row
+    // for row — the ground truth behind qaj's checksum contract
+    val als = Recommend.fitAls(ratings, rank = 4, maxIter = 3)
+    val dir = graft.Fs.scratch("graft_mlspec_models") +
+      "/als_" + java.util.UUID.randomUUID.toString.take(8)
+    als.write.save(dir)
+    val loaded = org.apache.spark.ml.recommendation.ALSModel.load(dir)
+    assert(loaded.rank == als.rank, "persisted rank must round-trip")
+    def factorRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(factorRows(loaded.userFactors) == factorRows(als.userFactors),
+      "loaded user factors must equal fitted ones bit-for-bit")
+    assert(factorRows(loaded.itemFactors) == factorRows(als.itemFactors),
+      "loaded item factors must equal fitted ones bit-for-bit")
+    // the checksum qaj grades is invariant under that round-trip
+    assert(graft.ml.ModelStore.factorChecksum(loaded.userFactors) ==
+      graft.ml.ModelStore.factorChecksum(als.userFactors))
+    // fixture store: same path on re-ensure (no refit), graded row shape
+    val store = graft.ml.ModelStore.ensure(spark, sfDir)
+    assert(store == graft.ml.ModelStore.ensure(spark, sfDir))
+    val out = graft.ml.Serving.persistedServing(spark, sfDir).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("als_roundtrip_exact"),
+        "loaded ALS factors diverged from the save-time checksum")
+      assert(r.getAs[Boolean]("kmeans_roundtrip_exact"),
+        "loaded KMeans centers diverged from the save-time checksum")
+      assert(r.getAs[Long]("n_recs") == 10L)
+      assert(r.getAs[Int]("rank_loaded") == 10)
+    }
+  }
 }

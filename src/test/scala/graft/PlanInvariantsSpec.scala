@@ -84,6 +84,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q9p_recency_weights" -> "1-row max-timestamp aggregate broadcast onto the event scan",
     "q9v_threshold_sweep" -> "threshold frame (21 rows) range-joined to the <=21-bucket histogram — both sides bounded by the e4 grid",
     "qa9_als_serving" -> "broadcast(8-row probe-user block) + broadcast(nLists-row centroid table) — the q6c/q64 patterns over ALS factors",
+    "qaj_model_persistence" -> "broadcast(8-row probe-user block) over the loaded item factors (qa9's exact-arm shape)",
     "qaa_tail_index" -> "1-row x_(k+1) aggregate + 101-row top block, both broadcast",
     "qab_conformal" -> "1-row train-rate and 1-row q-hat aggregates broadcast onto the doc scan",
     "qac_kaplan_meier" -> "1-row study-end aggregate broadcast onto the per-user duration frame",
