@@ -47,7 +47,10 @@ object Explain {
     "qa8_streaming_source",
     // qa9/qaj load (fitting on store miss) the persisted models in
     // their builders — ModelStore ensure + MLReader.load are eager
-    "qa9_als_serving", "qaj_model_persistence")
+    "qa9_als_serving", "qaj_model_persistence",
+    // qak's builder runs the pushed-limit count and the declined-sum
+    // probe to fold their values into the contract row
+    "qak_agg_pushdown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

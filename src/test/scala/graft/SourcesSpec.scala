@@ -303,6 +303,49 @@ class SourcesSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("qak DSv2 aggregate/limit pushdown: closed-form count/min/max " +
+      "never reach a Spark aggregate; limit caps the span; sums decline") {
+    def synth(rows: Long) = spark.read
+      .format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("parts", "4").load()
+    // complete pushdown: the plan carries the SynthAggScan and NO Spark
+    // aggregate node — the values come from span arithmetic
+    val agg = synth(100000)
+      .where(col("id") >= 1000L && col("id") < 5000L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("agg=count,min,max"),
+      "count/min/max must reach the source")
+    assert(!aggPlan.contains("HashAggregate") &&
+      !aggPlan.contains("SortAggregate"),
+      "complete pushdown must leave no Spark aggregate in the plan")
+    assert(agg.head() == org.apache.spark.sql.Row(4000L, 1000L, 4999L))
+    // a grouped aggregate is declined (group-by can't collapse to the
+    // span closed form) and must still be correct from scanned rows
+    val grouped = synth(100)
+      .groupBy((col("id") % 2).as("p")).agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("HashAggregate"), "group-by must stay in Spark")
+    assert(grouped.collect().map(_.getLong(1)).toSeq == Seq(50L, 50L))
+    // sum over the Lehmer column is declined; value correct post-scan
+    val s = synth(100).agg(sum("value_e6")).head().getLong(0)
+    assert(s == (0L until 100L).map(graft.sources.SynthSource.lehmer).sum)
+    // limit pushdown: the scan caps the span itself — exactly the first
+    // l ids come back, and the plan records the pushed limit
+    val lim = synth(100000).select("id").limit(7)
+    assert(lim.queryExecution.executedPlan.toString.contains("limit=7"),
+      "limit must reach the source")
+    assert(lim.collect().map(_.getLong(0)).sorted.toSeq == (0L until 7L))
+    // limit composes with the pushed range filter
+    val limF = synth(100000).where(col("id") >= 500L).limit(3)
+    assert(limF.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(500L, 501L, 502L))
+    // empty-span aggregate: count 0, null min/max (SQL semantics)
+    val empty = synth(1000).where(col("id") >= 900L && col("id") < 100L)
+      .agg(count(lit(1)), min("id"), max("id")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("qa7 DSv2 sink: per-task commit messages aggregate on the driver; " +
       "task arity follows the write partitioning; stats are exact") {
     import graft.sources.SynthSink
