@@ -50,7 +50,10 @@ object Explain {
     "qa9_als_serving", "qaj_model_persistence",
     // qak's builder runs the pushed-limit count and the declined-sum
     // probe to fold their values into the contract row
-    "qak_agg_pushdown")
+    "qak_agg_pushdown",
+    // qal replays the custom stream through two checkpointed query
+    // lifetimes in its builder
+    "qal_stream_restart")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

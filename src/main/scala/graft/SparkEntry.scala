@@ -292,6 +292,7 @@ object SparkEntry {
     "qai_effective_mass"    -> ((s: SparkSession, d: String) => Dedup.effectiveSourceMass(s, d)),
     "qaj_model_persistence" -> ((s: SparkSession, d: String) => graft.ml.Serving.persistedServing(s, d)),
     "qak_agg_pushdown"      -> ((s: SparkSession, d: String) => graft.sources.SynthSource.aggPushdownScan(s, d)),
+    "qal_stream_restart"    -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingRestartReplay(s, d)),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -833,6 +834,7 @@ object SparkEntry {
     "qai_effective_mass"     -> Dedup.effectiveSourceMassOracle,
     "qaj_model_persistence"  -> graft.ml.Serving.persistedServingOracle,
     "qak_agg_pushdown"       -> graft.sources.SynthSource.aggPushdownScanOracle,
+    "qal_stream_restart"     -> graft.sources.SynthStream.streamingRestartReplayOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

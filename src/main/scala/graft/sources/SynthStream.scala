@@ -90,6 +90,72 @@ object SynthStream {
            CAST(5 AS BIGINT) AS batches_expected,
            true AS drained_in_capped_batches
     FROM g GROUP BY bucket ORDER BY bucket"""
+
+  /** qal: RESTART-REPLAY for the custom source — the q3l checkpoint
+    * doctrine applied to SynthStream (round-7 verdict item 6): qa8
+    * proved admission control within ONE query lifetime; this proves
+    * the offsets a production restart actually rides on. Run 1 drains
+    * the space up to `cut` through a checkpointed Append parquet sink
+    * and terminates (the "crash"); run 2 is a NEW query object over the
+    * SAME checkpoint with more data available (a larger `rows` target —
+    * the source's backfill grew while the job was down). Recovery must
+    * restore the committed offset from the checkpoint via
+    * `deserializeOffset` and resume at exactly `cut`: re-reading from 0
+    * would land duplicate ids in new batch ids (the sink's transaction
+    * log only dedupes REPLAYED batches, not re-emitted data), which the
+    * per-bucket counts and the distinct-id column would hash-fail;
+    * under-reading would miss ids. The per-run `numInputRows` totals
+    * ride as exact contract columns: run 1 = cut, run 2 = rows - cut,
+    * zero overlap. */
+  def streamingRestartReplay(spark: SparkSession, dir: String): DataFrame = {
+    val rows = 20000L; val cut = 12288L; val batch = 4096L
+    val sinkDir = graft.Fs.scratch("graft_synthstream_restart_sink")
+    val ckptDir = graft.Fs.scratch("graft_synthstream_restart_ckpt")
+    graft.Fs.deleteRecursively(sinkDir)
+    graft.Fs.deleteRecursively(ckptDir)
+    // one drain = one query lifetime (a fresh query object per call, so
+    // the second genuinely reconstructs offsets from ckptDir); `target`
+    // plays the role of "how much data exists right now"
+    def drain(target: Long): Long = {
+      val stream = spark.readStream.format("graft.sources.SynthStream")
+        .option("rows", target.toString).option("batch", batch.toString)
+        .load()
+      val q = stream.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination() // AvailableNow self-terminates
+        q.recentProgress.map(_.numInputRows).sum
+      } finally q.stop()
+    }
+    val run1 = drain(cut)  // drains [0, cut), then "crashes"
+    val run2 = drain(rows) // resumes from the checkpointed offset
+    spark.read.parquet(sinkDir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value_e6").as("sum_lehmer"),
+        countDistinct("id").as("n_distinct"))
+      .withColumn("run1_rows", lit(run1))
+      .withColumn("run2_rows", lit(run2))
+      .withColumn("resumed_without_replay",
+        lit(run1 == cut && run2 == rows - cut))
+      .orderBy("bucket")
+  }
+
+  def streamingRestartReplayOracle: String = """
+    WITH g AS (
+      SELECT i AS id,
+             ((i % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+               AS value_e6,
+             'b' || CAST(i % 10 AS VARCHAR) AS bucket
+      FROM (SELECT unnest(range(20000)) AS i))
+    SELECT bucket, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(value_e6) AS BIGINT) AS sum_lehmer,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(12288 AS BIGINT) AS run1_rows,
+           CAST(7712 AS BIGINT) AS run2_rows,
+           true AS resumed_without_replay
+    FROM g GROUP BY bucket ORDER BY bucket"""
 }
 
 private[sources] class SynthStreamTable(rows: Long, batch: Long)

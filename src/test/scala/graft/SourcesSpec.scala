@@ -451,4 +451,26 @@ class SourcesSpec extends SparkSpec {
     assert(res2 == res, "batching must not change the answer")
     assert(nBatches2 == 4L)
   }
+
+  test("qal stream restart: a new query over the same checkpoint resumes " +
+      "at the committed offset — ids exactly [0, rows), no replay, no gap") {
+    val rows = graft.sources.SynthStream
+      .streamingRestartReplay(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("resumed_without_replay"),
+        "per-run numInputRows must split exactly at the cut")
+      assert(r.getAs[Long]("n") == r.getAs[Long]("n_distinct"),
+        "duplicate ids in the sink = offsets were replayed")
+    }
+    assert(rows.map(_.getAs[Long]("run1_rows")).head == 12288L)
+    assert(rows.map(_.getAs[Long]("run2_rows")).head == 7712L)
+    // the sink holds the COMPLETE id space, each id exactly once
+    val sink = spark.read
+      .parquet(graft.Fs.scratch("graft_synthstream_restart_sink"))
+    assert(sink.count() == 20000L)
+    assert(sink.select("id").distinct().count() == 20000L)
+    assert(sink.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(0L, 19999L))
+  }
 }
