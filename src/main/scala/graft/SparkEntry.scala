@@ -293,6 +293,9 @@ object SparkEntry {
     "qaj_model_persistence" -> ((s: SparkSession, d: String) => graft.ml.Serving.persistedServing(s, d)),
     "qak_agg_pushdown"      -> ((s: SparkSession, d: String) => graft.sources.SynthSource.aggPushdownScan(s, d)),
     "qal_stream_restart"    -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingRestartReplay(s, d)),
+    "qam_tvf_token_stats"   -> (graft.functions.GraftExtensions.tvfTokenStats _),
+    "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
+    "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
     // —— similarity search (E-12) + multimodal (E-14) ——
     "q60_embedding_norms"   -> (Similarity.norms _),
@@ -325,7 +328,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for seeded-stochastic /
     * engine-specific-hash queries → driver records rows-only checks. */
-  def oracleSql: Map[String, String] = Map(
+  /** The TVF-surface queries (qam/qan/qao) are the SQL-text twins of
+    * q40/q50/q61 — same operator, same output contract — so they share
+    * those oracles verbatim: one semantics, two entry points. */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "qam_tvf_token_stats" -> oracleBase("q40_token_stats"),
+    "qan_tvf_exact_dedup" -> oracleBase("q50_dedup_exact_key"),
+    "qao_tvf_cosine_topk" -> oracleBase("q61_cosine_topk"))
+
+  private def oracleBase: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

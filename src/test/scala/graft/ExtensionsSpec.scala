@@ -79,4 +79,27 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_synth(100, rand())").collect()
     }
   }
+
+  test("qam/qan/qao operator TVFs: pure-SQL invocation is row-identical " +
+      "to the DataFrame twin, and composes with SQL on top") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(GraftExtensions.tvfTokenStats(spark, sfDir)) ==
+      rows(graft.operators.Text.tokenStats(spark, sfDir)))
+    assert(rows(GraftExtensions.tvfExactDedup(spark, sfDir)) ==
+      rows(graft.operators.Dedup.exactByKey(spark, sfDir)))
+    assert(rows(GraftExtensions.tvfCosineTopK(spark, sfDir)) ==
+      rows(graft.operators.Similarity.bruteForceTopK(spark, sfDir)))
+    // the TVF is a first-class relation: filters/aggregates compose and
+    // the arguments participate (a different k changes the arity)
+    GraftExtensions.registerTableFunctions(spark)
+    val n = spark.sql(
+      s"SELECT count(1) FROM graft_cosine_topk('$sfDir', 0, 3)")
+      .head().getLong(0)
+    assert(n == 3L)
+    // a non-literal directory must be rejected, not silently read
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_token_stats(rand())").collect()
+    }
+  }
 }

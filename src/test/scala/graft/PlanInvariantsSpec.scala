@@ -37,6 +37,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q59_canonical_dedup"  -> "1-row fixpoint probe",
     "q5a_semantic_dedup"   -> "broadcast(first-nLists centroid table), 4 rows",
     "q61_cosine_topk"      -> "broadcast(1-row query vector)",
+    "qao_tvf_cosine_topk"  -> "broadcast(1-row query vector) — q61's plan reached through the TVF",
     "q64_ivf_buckets"      -> "broadcast(first-nLists centroid table), 4 rows",
     "q68_pq_audit"         -> "broadcast(k-row codebook), 8 rows",
     "q6a_pq_adc_topk"      -> "broadcast(codebook + 1-row query)",
