@@ -121,18 +121,44 @@ object Bench {
       System.err.println(
         f"[bench] $name $dt%.2fs (min of ${times.length}: " +
           times.map(t => f"$t%.1f").mkString(",") + ")" + (if (ok) "" else " FAILED"))
-      name -> dt
+      name -> (dt, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${v._1}%.3f" }
       .mkString("{", ",", "}")
     val failedArr = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries (dt == -1.0 marker) must not deflate the aggregate —
     // the total reflects successful measurements only; failures are
     // visible via "failed" + the nonzero exit
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // a failed query must be machine-distinguishable from a fast success:
     // listed in "failed" AND the process exits nonzero
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"failed":$failedArr,"sf":"$sfDir"}""")
+    // full machine-readable artifact (round-7 verdict item 3): the
+    // driver's BENCH_r{N}.json only keeps a truncated stdout tail, so
+    // the per-query history had to be excavated from logs. Bench itself
+    // now writes the complete map — min + every sample per query — to a
+    // committed path; cross-round diffs read THIS, not the tail.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full.json")
+    if (wanted.isEmpty && outPath.nonEmpty) {
+      val body = results.map { case (k, (v, samples)) =>
+        val ss = samples.map(t => f"$t%.3f").mkString("[", ",", "]")
+        f""" "$k": {"min": $v%.3f, "samples": $ss}"""
+      }.mkString(",\n")
+      val doc =
+        f"""{
+           |"sf": "$sfDir",
+           |"reps": $reps,
+           |"total_sec": $total%.3f,
+           |"failed": $failedArr,
+           |"queries": {
+           |$body
+           |}
+           |}""".stripMargin
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), doc)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (failed.result().nonEmpty) sys.exit(1)
   }
