@@ -32,6 +32,24 @@ object Fs {
         catch { case _: java.io.IOException => () })
   }
 
+  /** Input-file identity + parameters → 8-hex store key (the q7c
+    * materialization doctrine, shared by the rec-list store, the
+    * ModelStore and the component store): size + mtime of each input
+    * file — the driver REGENERATES fixtures between rounds, so a path
+    * alone is stale — plus every parameter that shapes the artifact. A
+    * changed fixture or parameter changes the key, so a stale
+    * materialization can never be read. */
+  def inputFingerprint(dir: String, files: Seq[String],
+      params: Seq[Any]): String = {
+    import java.nio.file.{Files, Paths}
+    val inputs = files.map { f =>
+      val p = Paths.get(dir, f)
+      s"$f:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    }
+    val key = (Seq(dir) ++ params ++ inputs).mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(key)}%08x"
+  }
+
   /** Recursive delete that VERIFIES the target is gone. Every caller
     * uses this as a precondition — clearing a sink/checkpoint dir before
     * a streaming run whose results are read back from it — so a silently
