@@ -53,7 +53,10 @@ object Explain {
     "qak_agg_pushdown",
     // qal replays the custom stream through two checkpointed query
     // lifetimes in its builder
-    "qal_stream_restart")
+    "qal_stream_restart",
+    // qap builds (on store miss) and loads the persisted IVF index,
+    // then runs the probe/overlap counts in its builder
+    "qap_persisted_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

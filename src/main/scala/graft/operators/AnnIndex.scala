@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** qap: PERSISTED ANN INDEX — build-once / load-and-query for the q63
+  * IVF machinery, the vector-index analog of qaj's model persistence:
+  * a production similarity service builds the index in a batch job
+  * (coarse quantizer fit + full assignment pass), persists it, and
+  * every query path LOADS it — refitting per query is exactly the cost
+  * qa9 used to pay for ALS. The store (q7c/ModelStore doctrine:
+  * fingerprint-keyed, UUID temp + atomic rename, stale-store GC) holds
+  * the two halves a real IVF index ships:
+  *
+  *   <store>/quantizer/  the seeded KMeans coarse quantizer (MLWriter)
+  *   <store>/lists/      the inverted lists — (vec_id, label,
+  *                       embedding, cent_id) parquet PARTITIONED BY
+  *                       cent_id, so a probe reads only its lists'
+  *                       directories (partition pruning IS the index)
+  *   <store>/meta.json   save-time checksums: assignment identity
+  *                       (bit_xor of xxhash64(vec_id, cent_id)) +
+  *                       center-coordinate hash
+  *
+  * The graded row queries the LOADED index and folds the facts
+  * persistence must preserve: index completeness (list row count =
+  * corpus count, replayed by the oracle), quantizer shape, write
+  * fidelity (loaded checksums = save-time checksums), the q63 recall
+  * contract at nProbe=2, the pruning fact (probed candidates < corpus),
+  * and the qa9 THEOREM column — probing ALL lists is exhaustive: the
+  * loaded assignment partitions the corpus, so all-list probing IS
+  * brute force and its recall@k is exactly k; any other value means the
+  * persisted lists lost or duplicated vectors. */
+object AnnIndex {
+
+  private val StorePrefix = "graft_ann_ivf_v1_"
+  val NLists = 4
+  val Seed = 823L
+
+  /** Assignment-identity checksum: order-independent, exact under the
+    * parquet round-trip (longs + ints only). */
+  private def assignChecksum(lists: DataFrame): Long =
+    Option(lists.agg(expr("bit_xor(xxhash64(vec_id, cent_id))"))
+      .head().getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
+
+  /** Ensure the fingerprint-keyed index exists (fit + assign + save on
+    * miss), return its path. */
+  def ensure(spark: SparkSession, dir: String): String = {
+    val fp = graft.Fs.inputFingerprint(dir,
+      Seq("embeddings.parquet"), Seq(NLists, Seed))
+    val store = s"/tmp/$StorePrefix$fp"
+    if (!Files.exists(Paths.get(store))) {
+      graft.Fs.gcStale(StorePrefix)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          array_to_vector(col("embedding").cast("array<double>"))
+            .as("features"))
+      val model = new KMeans()
+        .setK(NLists).setSeed(Seed).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cent_id")
+        .fit(emb)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("cent_id"))
+      val tmp = s"$store.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      model.write.save(s"$tmp/quantizer")
+      assigned.write.partitionBy("cent_id").parquet(s"$tmp/lists")
+      val meta =
+        s"""{"assign":${assignChecksum(assigned)},
+           |"centers":${graft.ml.ModelStore.centersChecksum(model)}}"""
+          .stripMargin
+      Files.writeString(Paths.get(s"$tmp/meta.json"), meta)
+      try Files.move(Paths.get(tmp), Paths.get(store))
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.Fs.deleteRecursively(tmp) // another JVM won the race
+      }
+    }
+    store
+  }
+
+  private def storedChecksums(store: String): Map[String, Long] =
+    """"([a-z_]+)"\s*:\s*(-?\d+)""".r
+      .findAllMatchIn(Files.readString(Paths.get(s"$store/meta.json")))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  /** The graded query: multi-probe top-k served entirely from the
+    * LOADED index, folded with the persistence + recall contract. */
+  def persistedIvfTopK(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 10, nProbe: Int = 2,
+      minRecall: Double = 0.3): DataFrame = {
+    val store = ensure(spark, dir)
+    val model = KMeansModel.load(s"$store/quantizer")
+    val lists = spark.read.parquet(s"$store/lists").cache()
+    val nIndexed = lists.count()
+    val stored = storedChecksums(store)
+    val roundtripOk = assignChecksum(lists) == stored("assign") &&
+      graft.ml.ModelStore.centersChecksum(model) == stored("centers")
+    // probe-list selection by the quantizer's own metric (squared L2)
+    // against driver-resident model state — the q63 shape; the query
+    // row itself is a bounded 1-row probe
+    val qVec = lists.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    def sqDist(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - qVec(i); s += d * d; i += 1 }
+      s
+    }
+    val ranked = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> sqDist(c.toArray) }
+      .sortBy { case (i, d) => (d, i) }.map(_._1)
+    val query = lists.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"))
+    def probeTopK(lids: Seq[Int]): DataFrame = lists
+      .filter(col("vec_id") =!= queryId &&
+        col("cent_id").isin(lids.map(_.toLong): _*))
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        VectorFunctions.cosineHof(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+    val exact = Similarity.bruteForceTopK(spark, dir, queryId, k)
+      .select(col("vec_id")).cache()
+    def overlap(approx: DataFrame): Long =
+      approx.select(col("vec_id")).join(exact, Seq("vec_id"))
+        .count()
+    val hitsProbe = overlap(probeTopK(ranked.take(nProbe)))
+    val hitsAll = overlap(probeTopK(ranked))
+    val nCand = lists
+      .filter(col("cent_id").isin(ranked.take(nProbe).map(_.toLong): _*))
+      .count()
+    import spark.implicits._
+    Seq((k.toLong, nIndexed, NLists, roundtripOk, hitsAll,
+        hitsProbe >= math.ceil(k * minRecall).toLong, nCand < nIndexed))
+      .toDF("k", "n_indexed", "n_lists", "index_roundtrip_exact",
+        "recall_exhaustive", "recall_ok", "probed_set_pruned")
+  }
+
+  def persistedIvfTopKOracle: String = """
+    WITH t AS (SELECT CAST(count(1) AS BIGINT) AS n FROM embeddings)
+    SELECT CAST(10 AS BIGINT) AS k,
+           t.n AS n_indexed,
+           CAST(4 AS INTEGER) AS n_lists,
+           true AS index_roundtrip_exact,
+           CAST(10 AS BIGINT) AS recall_exhaustive,
+           true AS recall_ok,
+           true AS probed_set_pruned
+    FROM t"""
+}

@@ -1108,6 +1108,35 @@ class DedupSimilaritySpec extends SparkSpec {
       "contaminated-eval-doc headline diverged from brute force")
   }
 
+  test("qap persisted ANN index: build-once/load-and-query round-trips, " +
+      "lists partition the corpus, probes prune partitions") {
+    import graft.operators.AnnIndex
+    val store = AnnIndex.ensure(spark, sfDir)
+    assert(store == AnnIndex.ensure(spark, sfDir), "ensure must be idempotent")
+    // pruning probe FIRST — the graded query caches the lists read, and
+    // a cache hit would swallow the partition filter into an
+    // InMemoryTableScan, hiding the fact under test
+    val freshLists = spark.read.parquet(s"$store/lists")
+    val probeScan = freshLists.filter(col("cent_id") === 0L)
+      .queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(probeScan).isDefined,
+      s"cent_id must prune list directories at the scan; got:\n${probeScan.take(800)}")
+    val r = AnnIndex.persistedIvfTopK(spark, sfDir).collect() match {
+      case Array(row) => row
+      case other => fail(s"expected 1 contract row, got ${other.length}")
+    }
+    assert(r.getAs[Boolean]("index_roundtrip_exact"),
+      "loaded assignment/centers diverged from save-time checksums")
+    assert(r.getAs[Long]("recall_exhaustive") == 10L,
+      "all-list probing over the LOADED lists must be exactly brute force")
+    assert(r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("probed_set_pruned"))
+    assert(r.getAs[Long]("n_indexed") ==
+      graft.Tables.embeddings(spark, sfDir).count(),
+      "the persisted index must cover the whole corpus")
+    // the inverted lists partition the corpus — each vector exactly once
+    assert(freshLists.select("vec_id").distinct().count() == freshLists.count())
+  }
+
   test("qai effective source mass: weights, families and discounts " +
       "replay from a driver-side union-find over the capped pair graph") {
     val rows = Dedup.effectiveSourceMass(spark, sfDir).collect()
