@@ -56,7 +56,12 @@ object Explain {
     "qal_stream_restart",
     // qap builds (on store miss) and loads the persisted IVF index,
     // then runs the probe/overlap counts in its builder
-    "qap_persisted_ann")
+    "qap_persisted_ann",
+    // qaq writes the sharded export in its builder before reading it back
+    "qaq_sorted_export",
+    // qar loads the index, writes the delta segment and runs the
+    // checksum/top-1 probes in its builder
+    "qar_incremental_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -295,6 +295,8 @@ object SparkEntry {
     "qal_stream_restart"    -> ((s: SparkSession, d: String) => graft.sources.SynthStream.streamingRestartReplay(s, d)),
     "qam_tvf_token_stats"   -> (graft.functions.GraftExtensions.tvfTokenStats _),
     "qap_persisted_ann"     -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.persistedIvfTopK(s, d)),
+    "qaq_sorted_export"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.sortedExport(s, d)),
+    "qar_incremental_ann"   -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.incrementalUpdate(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -848,6 +850,8 @@ object SparkEntry {
     "qak_agg_pushdown"       -> graft.sources.SynthSource.aggPushdownScanOracle,
     "qal_stream_restart"     -> graft.sources.SynthStream.streamingRestartReplayOracle,
     "qap_persisted_ann"      -> graft.operators.AnnIndex.persistedIvfTopKOracle,
+    "qaq_sorted_export"      -> graft.sources.Warehouse.sortedExportOracle,
+    "qar_incremental_ann"    -> graft.operators.AnnIndex.incrementalUpdateOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

