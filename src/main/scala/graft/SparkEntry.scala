@@ -297,6 +297,7 @@ object SparkEntry {
     "qap_persisted_ann"     -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.persistedIvfTopK(s, d)),
     "qaq_sorted_export"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.sortedExport(s, d)),
     "qar_incremental_ann"   -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.incrementalUpdate(s, d)),
+    "qas_epoch_shuffle"     -> ((s: SparkSession, d: String) => Curation.epochShuffle(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -852,6 +853,7 @@ object SparkEntry {
     "qap_persisted_ann"      -> graft.operators.AnnIndex.persistedIvfTopKOracle,
     "qaq_sorted_export"      -> graft.sources.Warehouse.sortedExportOracle,
     "qar_incremental_ann"    -> graft.operators.AnnIndex.incrementalUpdateOracle,
+    "qas_epoch_shuffle"      -> Curation.epochShuffleOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

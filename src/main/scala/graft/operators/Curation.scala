@@ -1818,4 +1818,54 @@ object Curation {
            precision_ppm, recall_ppm, f1_ppm,
            row_number() OVER (ORDER BY f1_ppm DESC, t) = 1 AS is_best
     FROM r ORDER BY threshold_e4"""
+
+  /** qas: DETERMINISTIC EPOCH SHUFFLE — the seeded data-order
+    * permutation every training run performs per epoch, and must be
+    * able to REPLAY (resume from step k, audit which examples a
+    * checkpoint saw): each doc gets a Lehmer key from (doc_id, seed),
+    * the corpus is range-sharded on the key (uniform by construction),
+    * and the within-shard position is a window rank — global order =
+    * (shard, pos). The shape is the scale-correct one: a single global
+    * `row_number` would serialize the corpus through one partition (the
+    * WindowExec single-partition trap); sharding first keeps every
+    * window partition-local, which is exactly how distributed loaders
+    * implement epoch shuffles (shard-then-local-shuffle). The graded
+    * rows pin the ENTIRE permutation per shard with the exact integer
+    * checksum Σ(pos·doc_id) — any swap of two positions changes it —
+    * which DuckDB replays from the same arithmetic. */
+  def epochShuffle(spark: SparkSession, dir: String,
+      seed: Long = 7L, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = LehmerM
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val keyed = docs.withColumn("key",
+      expr(s"(((doc_id * 31 + $seed) % $m) * 48271 % $m) * 48271 % $m"))
+      .withColumn("shard", expr(s"cast(key * $shards div $m as int)"))
+    val w = Window.partitionBy("shard").orderBy(col("key"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").as("chars"),
+        sum(col("pos") * col("doc_id")).as("perm_checksum"))
+      .orderBy("shard")
+  }
+
+  def epochShuffleOracle: String = """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             (((doc_id * 31 + 7) % 2147483647) * 48271 % 2147483647)
+               * 48271 % 2147483647 AS key
+      FROM documents),
+    s AS (SELECT doc_id, n_chars, key,
+                 CAST(key * 8 // 2147483647 AS INTEGER) AS shard
+          FROM k),
+    p AS (SELECT shard, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY key, doc_id) AS pos
+          FROM s)
+    SELECT shard, CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum
+    FROM p GROUP BY shard ORDER BY shard"""
 }

@@ -737,4 +737,40 @@ class CurationSpec extends SparkSpec {
         .map(_.getAs[Long]("threshold_e4")).min,
       "tie broken toward the smallest threshold")
   }
+
+  test("qas epoch shuffle: covers the corpus, replays per seed, and " +
+      "different seeds give different permutations") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Curation.epochShuffle(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == docs.length.toLong,
+      "every doc appears exactly once across the shards")
+    assert(rows.map(_.getAs[Long]("chars")).sum == docs.map(_._2).sum)
+    // driver replay of the full permutation at the default seed
+    val m = 2147483647L
+    def key(id: Long, seed: Long): Long =
+      (((id * 31 + seed) % m) * 48271 % m) * 48271 % m
+    val expected = docs.map { case (id, _) => (id, key(id, 7L)) }
+      .groupBy { case (_, k) => (k * 8 / m).toInt }
+      .map { case (shard, in) =>
+        val ordered = in.sortBy { case (id, k) => (k, id) }
+        shard -> ordered.zipWithIndex
+          .map { case ((id, _), i) => (i + 1).toLong * id }.sum
+      }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("perm_checksum") ==
+        expected(r.getAs[Int]("shard")),
+        s"shard ${r.getAs[Int]("shard")}: permutation diverged from replay")
+    }
+    // a different seed is a different epoch order (same coverage)
+    val other = Curation.epochShuffle(spark, sfDir, seed = 8L).collect()
+    assert(other.map(_.getAs[Long]("n_rows")).sum == docs.length.toLong)
+    assert(other.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("perm_checksum")))
+      .toSeq != rows.map(r => (r.getAs[Int]("shard"), r.getAs[Long]("perm_checksum"))).toSeq,
+      "epochs must not repeat the same order")
+    // and the same seed replays bit-for-bit
+    val again = Curation.epochShuffle(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }
