@@ -61,7 +61,9 @@ object Explain {
     "qaq_sorted_export",
     // qar loads the index, writes the delta segment and runs the
     // checksum/top-1 probes in its builder
-    "qar_incremental_ann")
+    "qar_incremental_ann",
+    // qat flips the v2.bucketing session conf around plan construction
+    "qat_spj_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

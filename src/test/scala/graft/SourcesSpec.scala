@@ -452,6 +452,37 @@ class SourcesSpec extends SparkSpec {
     assert(nBatches2 == 4L)
   }
 
+  test("qat storage-partitioned join: reported clustering removes every " +
+      "exchange; disabling v2 bucketing restores the shuffle, same values") {
+    def src(rows: Long) = spark.read
+      .format("graft.sources.SynthClustered")
+      .option("rows", rows.toString).option("groups", "8").load()
+    def shape(): (String, Seq[org.apache.spark.sql.Row]) = {
+      val j = src(4000).groupBy("grp").agg(count(lit(1)).as("n"))
+        .join(src(2000).groupBy("grp").agg(sum("value_e6").as("s")), "grp")
+      (j.queryExecution.executedPlan.toString, j.orderBy("grp").collect().toSeq)
+    }
+    val (spjPlan, spjRows) = graft.SessionConf.withConfs(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true")(shape())
+    assert(!spjPlan.contains("Exchange"),
+      s"SPJ must plan with zero exchanges; got:\n${spjPlan.take(600)}")
+    val (offPlan, offRows) = graft.SessionConf.withConfs(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "false")(shape())
+    assert(offPlan.contains("Exchange"),
+      "negative control: without v2 bucketing the join must shuffle")
+    assert(spjRows == offRows,
+      "storage-partitioned and shuffled plans must agree row-for-row")
+    // the reported clustering is TRUE: every row in partition g carries grp = g
+    val parts = src(1000).select("grp")
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        Iterator.single(idx -> it.map(_.getLong(0)).toSet)
+      }.collect()
+    parts.foreach { case (_, grps) =>
+      assert(grps.size == 1, "a clustered partition must hold one group")
+    }
+    assert(parts.flatMap(_._2).sorted.toSeq == (0L until 8L))
+  }
+
   test("qaq sorted export: one sorted file per shard, globally ordered, " +
       "lossless against the source") {
     val rows = graft.sources.Warehouse.sortedExport(spark, sfDir).collect()
