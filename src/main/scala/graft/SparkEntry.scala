@@ -299,6 +299,7 @@ object SparkEntry {
     "qar_incremental_ann"   -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.incrementalUpdate(s, d)),
     "qas_epoch_shuffle"     -> ((s: SparkSession, d: String) => Curation.epochShuffle(s, d)),
     "qat_spj_join"          -> ((s: SparkSession, d: String) => graft.sources.SynthClustered.spjAudit(s, d)),
+    "qau_dp_release"        -> ((s: SparkSession, d: String) => Quality.dpRelease(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -856,6 +857,7 @@ object SparkEntry {
     "qar_incremental_ann"    -> graft.operators.AnnIndex.incrementalUpdateOracle,
     "qas_epoch_shuffle"      -> Curation.epochShuffleOracle,
     "qat_spj_join"           -> graft.sources.SynthClustered.spjAuditOracle,
+    "qau_dp_release"         -> Quality.dpReleaseOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

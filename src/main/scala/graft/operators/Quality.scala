@@ -2865,4 +2865,112 @@ object Quality {
            CAST(sum(CASE WHEN rank_asc > n_sources - 3 THEN share_ppm
              ELSE 0 END) OVER () AS BIGINT) AS top3_ppm
     FROM sh ORDER BY rank_asc"""
+
+  /** qau: DIFFERENTIALLY-PRIVATE COUNT RELEASE with an ε sweep — the
+    * noisy-histogram release a dataset publishes instead of raw group
+    * counts (Dwork et al. 2006: Laplace mechanism, sensitivity 1 for
+    * add/remove-one counting queries; reference has no privacy surface,
+    * this extends the q8i/q45 privacy family from AUDIT to RELEASE).
+    *
+    * Per (segment, nation) customer-count cell, noise is
+    * Laplace(b = 1/ε) via inverse-CDF on the SAME double-step Lehmer
+    * uniform as [[Curation.hashUniform]] — so the "random" draw is pure
+    * arithmetic on the cell id, reproducible across engines, runs, and
+    * partitionings (a seeded-RNG draw would be partitioning-dependent
+    * and ungradeable). One u per CELL, shared across the ε sweep, so the
+    * error columns are exactly monotone in ε — the privacy/utility
+    * trade-off is visible in the artifact itself, not asserted. Noisy
+    * counts below the release threshold (10) are SUPPRESSED, the
+    * standard small-cell rule layered on the mechanism.
+    *
+    * Scale shape: one hash-agg over `customer` (125 cells at any SF —
+    * the cell space is the cross of two low-cardinality QIs), then a
+    * 3-ε explode over cells and a second tiny agg. Nothing here grows
+    * with row count except the first scan; at 100 TB it is one
+    * map-side-combined count. Output is all-BIGINT (ε scaled to e6,
+    * errors exact integers from rounded releases) — no float hashing
+    * risk beyond the ulp of ln(), which floor(x+0.5) absorbs except on
+    * exact half-integers (measure zero for an irrational noise scale).
+    */
+  def dpRelease(spark: SparkSession, dir: String, tau: Int = 10): DataFrame = {
+    val segIdx = when(col("seg") === "AUTOMOBILE", 0)
+      .when(col("seg") === "BUILDING", 1)
+      .when(col("seg") === "FURNITURE", 2)
+      .when(col("seg") === "HOUSEHOLD", 3)
+      .when(col("seg") === "MACHINERY", 4).otherwise(5)
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n_true"))
+      // +1 keeps gid off 0: Lehmer fixes 0, which would pin u = 0 and
+      // send ln(1 − 2·|u − ½|) to ln(0) = −∞ for that one cell
+      .withColumn("gid", (col("nat").cast("long") * 8 +
+        segIdx.cast("long") + 1))
+      .withColumn("u", Curation.hashUniform(col("gid")))
+    val swept = cells
+      .withColumn("eps", explode(array(lit(0.5), lit(1.0), lit(2.0))))
+      .withColumn("lap", -(lit(1.0) / col("eps")) * signum(col("u") - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .withColumn("released",
+        floor(col("n_true") + col("lap") + 0.5).cast("long"))
+      .withColumn("keep", col("released") >= tau)
+    swept.groupBy((col("eps") * 1000000).cast("long").as("eps_e6"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_released"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("keep"), col("released")).otherwise(0L))
+          .as("released_total"),
+        sum(when(col("keep"), col("n_true")).otherwise(0L))
+          .as("true_total_released"),
+        sum(when(col("keep"), abs(col("released") - col("n_true")))
+          .otherwise(0L)).as("l1_err"),
+        max(when(col("keep"), abs(col("released") - col("n_true"))))
+          .as("max_err"),
+        expr("sum(CASE WHEN keep THEN abs(released - n_true) ELSE 0 END)"
+          + " * 1000000 div nullif(sum(CASE WHEN keep THEN n_true"
+          + " ELSE 0 END), 0)").as("err_ppm"))
+      .orderBy("eps_e6")
+  }
+
+  def dpReleaseOracle: String = """
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(count(1) AS BIGINT) AS n_true,
+             CAST(c_nationkey * 8 + (CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+               WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+               WHEN 'MACHINERY' THEN 4 ELSE 5 END) + 1 AS BIGINT) AS gid
+      FROM customer GROUP BY 1, 2),
+    cu AS (
+      SELECT *,
+             CAST((((gid % 2147483647) * 48271 % 2147483647) * 48271)
+               % 2147483647 AS DOUBLE) / 2147483647 AS u
+      FROM cells),
+    swept AS (
+      SELECT n_true, eps,
+             CAST(floor(n_true
+               + (-(1.0 / eps) * sign(u - 0.5)
+                  * ln(1.0 - 2.0 * abs(u - 0.5)))
+               + 0.5) AS BIGINT) AS released
+      FROM cu CROSS JOIN (SELECT unnest([0.5, 1.0, 2.0]) AS eps)),
+    k AS (SELECT *, released >= 10 AS keep FROM swept)
+    SELECT CAST(eps * 1000000 AS BIGINT) AS eps_e6,
+           CAST(count(1) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_released,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_suppressed,
+           CAST(sum(CASE WHEN keep THEN released ELSE 0 END) AS BIGINT)
+             AS released_total,
+           CAST(sum(CASE WHEN keep THEN n_true ELSE 0 END) AS BIGINT)
+             AS true_total_released,
+           CAST(sum(CASE WHEN keep THEN abs(released - n_true) ELSE 0 END)
+             AS BIGINT) AS l1_err,
+           CAST(max(CASE WHEN keep THEN abs(released - n_true) END)
+             AS BIGINT) AS max_err,
+           CAST(sum(CASE WHEN keep THEN abs(released - n_true) ELSE 0 END)
+             * 1000000
+             // nullif(sum(CASE WHEN keep THEN n_true ELSE 0 END), 0)
+             AS BIGINT) AS err_ppm
+    FROM k GROUP BY 1 ORDER BY eps_e6"""
 }

@@ -1580,4 +1580,54 @@ class QualitySpec extends SparkSpec {
     assert(rows.head.getAs[Long]("gini_ppm") >= 0L
       && rows.head.getAs[Long]("gini_ppm") < 1000000L)
   }
+
+  test("qau DP release: Laplace mechanism replays driver-side; all-cell " +
+      "error is monotone in eps off the shared per-cell uniform") {
+    // tau = 1 at sf0.001 (cells are size ~1, the registered tau = 10
+    // would suppress everything and leave nothing to check)
+    val rows = Quality.dpRelease(spark, sfDir, tau = 1).collect()
+      .map(r => r.getAs[Long]("eps_e6") -> r).toMap
+    assert(rows.keySet == Set(500000L, 1000000L, 2000000L))
+    // driver replay: same cells, same Lehmer uniform, same inverse CDF
+    val segIdx = Map("AUTOMOBILE" -> 0, "BUILDING" -> 1, "FURNITURE" -> 2,
+      "HOUSEHOLD" -> 3, "MACHINERY" -> 4)
+    val cells = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment", "c_nationkey").count().collect()
+      .map { r =>
+        val gid = r.getAs[Int]("c_nationkey").toLong * 8 +
+          segIdx.getOrElse(r.getAs[String]("c_mktsegment"), 5) + 1
+        val m = 2147483647L
+        val u = (gid % m * 48271 % m * 48271 % m).toDouble / m
+        (r.getAs[Long]("count"), u)
+      }
+    def replay(eps: Double): Array[(Long, Long)] = cells.map { case (n, u) =>
+      val lap = -(1.0 / eps) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      (n, math.floor(n + lap + 0.5).toLong)
+    }
+    for ((epsE6, eps) <- Seq(500000L -> 0.5, 1000000L -> 1.0,
+        2000000L -> 2.0)) {
+      val rel = replay(eps)
+      val kept = rel.filter(_._2 >= 1)
+      val r = rows(epsE6)
+      assert(r.getAs[Long]("n_cells") == cells.length.toLong)
+      assert(r.getAs[Long]("n_released") == kept.length.toLong)
+      assert(r.getAs[Long]("n_suppressed") ==
+        (cells.length - kept.length).toLong)
+      assert(r.getAs[Long]("l1_err") ==
+        kept.map { case (n, v) => math.abs(v - n) }.sum)
+      if (kept.nonEmpty)
+        assert(r.getAs[Long]("max_err") ==
+          kept.map { case (n, v) => math.abs(v - n) }.max)
+    }
+    // coupled noise ⇒ per-cell |rounded noise| is non-increasing in eps,
+    // so the ALL-cell error (kept-set churn excluded) must be monotone —
+    // and strictly so somewhere, else the mechanism never perturbed
+    val allErr = Seq(0.5, 1.0, 2.0).map(e =>
+      replay(e).map { case (n, v) => math.abs(v - n) }.sum)
+    assert(allErr(0) >= allErr(1) && allErr(1) >= allErr(2),
+      s"utility must improve with eps: $allErr")
+    assert(allErr(0) > allErr(2), "noise collapsed to a constant")
+    assert(allErr(2) > 0L, "noise collapsed to zero everywhere")
+  }
 }
