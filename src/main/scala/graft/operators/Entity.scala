@@ -83,4 +83,104 @@ object Entity {
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     ORDER BY a_id, b_id"""
+
+  /** qav: UNBLOCKED edit-distance similarity self-join via rarest-q-gram
+    * PREFIX FILTERING (Xiao et al. 2008 ED-Join / Chaudhuri et al. 2006
+    * SSJoin) — the hard sibling of q5c: there, an external key (brand)
+    * bounds the comparison space; here NO natural blocking key exists
+    * and the blocking structure is derived from the strings themselves.
+    *
+    * Guarantee chain (q-gram size q, distance d):
+    *  1. count filter — ED ≤ d destroys at most q·d of the longer
+    *     string's positional q-grams, so the gram BAGS (duplicates
+    *     occurrence-indexed) overlap in ≥ max(|G₁|,|G₂|) − q·d
+    *     elements;
+    *  2. prefix filter — order every bag element by GLOBAL rarity
+    *     (document frequency, ties by value): two bags overlapping that
+    *     much must share an element among each one's q·d + 1 RAREST
+    *     (capped at the whole bag for short strings);
+    *  3. verify — `levenshtein` (codegen'd) on the surviving pairs only.
+    * Strings so short the overlap bound collapses (len ≤ q·d + q − 1)
+    * pair among themselves in a separate length-banded branch — a
+    * finite, alphabet-bounded set at any corpus scale.
+    *
+    * Scale shape: the candidate join is an equi-join on (gram, occ)
+    * restricted to prefix rows — each name contributes q·d + 1 rows,
+    * and rarest-first ordering keeps the per-gram blocks small (a gram
+    * enters prefixes only for names where it is among the rarest, so
+    * stopword-grams never form the n² hot block that naive gram
+    * inverted indexes produce; the q4k df-cap doctrine achieved by
+    * construction instead of by cap). Join runs on DISTINCT names with
+    * multiplicities re-expanded arithmetically at the end — at 100 TB
+    * the distinct-name table is orders of magnitude smaller than the
+    * corpus and the whole pipeline shuffles only it. */
+  def prefixEditJoin(names: DataFrame, q: Int = 2, d: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefixLen = q * d + 1
+    val tinyLen = q * d + q - 1 // below this, the overlap bound can hit 0
+    val grams = names.filter(length(col("name")) >= q)
+      .select(col("name"),
+        posexplode(expr(
+          s"transform(sequence(0, length(name) - $q)," +
+            s" i -> substring(name, i + 1, $q))")))
+      .withColumnsRenamed(Map("col" -> "gram"))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("name", "gram").orderBy("pos")))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("gram", "occ")))
+    val prefix = grams
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("name").orderBy(col("df"), col("gram"), col("occ"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("name"), col("gram"), col("occ"))
+    val mainCand = prefix.join(
+        prefix.select(col("name").as("b_name"), col("gram"), col("occ")),
+        Seq("gram", "occ"))
+      .where(col("name") < col("b_name") &&
+        abs(length(col("name")) - length(col("b_name"))) <= d)
+      .select(col("name").as("a_name"), col("b_name"))
+    val tiny = names.filter(length(col("name")) <= tinyLen)
+      .select(col("name").as("a_name"))
+    val tinyCand = tiny.join(
+        tiny.select(col("a_name").as("b_name")),
+        col("a_name") < col("b_name") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= d)
+    val verified = mainCand.union(tinyCand).distinct()
+      .withColumn("ed", levenshtein(col("a_name"), col("b_name")))
+      .where(col("ed") <= d)
+    val cnts = names.select(col("name"), col("cnt"))
+    verified
+      .join(cnts.withColumnsRenamed(Map("name" -> "a_name", "cnt" -> "a_cnt")),
+        Seq("a_name"))
+      .join(cnts.withColumnsRenamed(Map("name" -> "b_name", "cnt" -> "b_cnt")),
+        Seq("b_name"))
+      .groupBy(col("ed"))
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum(col("a_cnt") * col("b_cnt")).as("n_row_pairs"))
+      .orderBy("ed")
+  }
+
+  /** qav over `part`: distinct p_name values within edit distance 2,
+    * q = 2 grams, pair counts re-expanded by name multiplicity. The
+    * oracle is a genuinely INDEPENDENT algorithm — exhaustive all-pairs
+    * levenshtein over distinct names — so a prefix-filter false negative
+    * fails the hash, not just a spec. */
+  def partEditJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixEditJoin(
+      Tables.part(spark, dir).groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("cnt")))
+
+  def partEditJoinOracle: String = """
+    WITH names AS (
+      SELECT p_name AS name, CAST(count(1) AS BIGINT) AS cnt
+      FROM part GROUP BY 1),
+    p AS (
+      SELECT levenshtein(a.name, b.name) AS ed, a.cnt * b.cnt AS w
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE abs(length(a.name) - length(b.name)) <= 2
+        AND levenshtein(a.name, b.name) <= 2)
+    SELECT CAST(ed AS INTEGER) AS ed,
+           CAST(count(1) AS BIGINT) AS n_name_pairs,
+           CAST(sum(w) AS BIGINT) AS n_row_pairs
+    FROM p GROUP BY 1 ORDER BY ed"""
 }

@@ -1630,4 +1630,55 @@ class QualitySpec extends SparkSpec {
     assert(allErr(0) > allErr(2), "noise collapsed to a constant")
     assert(allErr(2) > 0L, "noise collapsed to zero everywhere")
   }
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def editJoinBrute(names: Seq[(String, Long)], d: Int)
+      : Map[Int, (Long, Long)] =
+    (for {
+      (a, ca) <- names; (b, cb) <- names if a < b
+      if math.abs(a.length - b.length) <= d
+      ed = lev(a, b) if ed <= d
+    } yield (ed, ca * cb))
+      .groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong, ps.map(_._2).sum)).toMap
+
+  test("qav prefix edit join: complete vs brute force on a planted set " +
+      "spanning the tiny branch, and on the sf0.001 part names") {
+    import spark.implicits._
+    // planted: short names (tiny branch), mixed-length pairs, dups
+    val planted = Seq(("cat", 1L), ("cot", 2L), ("ca", 1L), ("c", 3L),
+      ("house", 1L), ("hose", 2L), ("mouse", 1L), ("horse", 1L),
+      ("warehouse", 1L), ("warehouze", 1L), ("wareh0use", 2L),
+      ("ab", 1L), ("ba", 1L), ("abcdef", 1L), ("abcdeg", 1L))
+    val out = Entity.prefixEditJoin(
+        planted.toDF("name", "cnt"), q = 2, d = 2)
+      .collect()
+      .map(r => r.getAs[Int]("ed") ->
+        (r.getAs[Long]("n_name_pairs"), r.getAs[Long]("n_row_pairs"))).toMap
+    val expect = editJoinBrute(planted, 2)
+    assert(out == expect,
+      s"planted mismatch: got $out expected $expect")
+    assert(expect.values.map(_._1).sum >= 8L,
+      "planted set must generate a meaningful pair count")
+    // real fixture: the registered query's input replayed brute-force
+    val names = Tables.part(spark, sfDir).groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("count")).toSeq
+    val real = Entity.partEditJoin(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("ed") ->
+        (r.getAs[Long]("n_name_pairs"), r.getAs[Long]("n_row_pairs"))).toMap
+    assert(real == editJoinBrute(names, 2), "sf0.001 part replay diverged")
+  }
 }
