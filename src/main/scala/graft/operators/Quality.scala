@@ -2973,4 +2973,89 @@ object Quality {
              // nullif(sum(CASE WHEN keep THEN n_true ELSE 0 END), 0)
              AS BIGINT) AS err_ppm
     FROM k GROUP BY 1 ORDER BY eps_e6"""
+
+  /** qaw: CONSISTENT KEYED PSEUDONYMIZATION + referential-integrity
+    * audit — the de-identification step a dataset passes before leaving
+    * its trust boundary (GDPR art. 4(5) pseudonymisation): every
+    * `custkey` on every table is replaced by the SAME deterministic
+    * token so cross-table joins still line up, but the original id
+    * never appears. Completes the privacy family: q45 masks values,
+    * q8i measures re-identification risk, qau releases noisy counts,
+    * this rewrites the join keys themselves.
+    *
+    * Token map = the double-step Lehmer permutation
+    * id ↦ id·48271² mod (2³¹−1): a BIJECTION on [1, m−1] (multiplication
+    * by a unit of the prime field; 0 is a fixed point — the fixture's
+    * custkey 0 keeps token 0 — so the map stays injective on
+    * [0, m−1]), so tokens collide exactly never —
+    * and the audit PROVES it on the data (n_tok = n_cust) rather than
+    * assuming it. Same two-multiply overflow-safe shape as
+    * [[Curation.hashUniform]]; pure arithmetic, so the mapping is
+    * consistent across tables, engines, runs, and partitionings with no
+    * key-vault lookup (the 100 TB failure mode of dictionary-based
+    * tokenization: a billion-row broadcast or a second shuffle per
+    * table).
+    *
+    * Audit shape: per segment, (a) customer count vs distinct-token
+    * count — injectivity; (b) order count + orderkey checksum through
+    * the RAW-key join vs through the TOKEN join — referential integrity
+    * survived the rewrite. Production applies the map once per table
+    * (one narrow codegen'd projection, no shuffle); the raw twin here
+    * is the audit, priced at one extra join. */
+  def pseudonymizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val m = Curation.LehmerM
+    def tok(c: Column): Column =
+      pmod(c.cast("long"), lit(m)) * lit(48271L) % lit(m) * lit(48271L) % lit(m)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        tok(col("c_custkey")).as("tok"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        tok(col("o_custkey")).as("otok"))
+    val custAgg = cust.groupBy("seg").agg(
+      count(lit(1)).as("n_cust"),
+      countDistinct(col("tok")).as("n_tok"),
+      min(col("tok")).as("tok_min"),
+      max(col("tok")).as("tok_max"))
+    val raw = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("seg").agg(
+        count(lit(1)).as("n_orders_raw"),
+        sum(col("o_orderkey")).as("okey_sum_raw"))
+    val viaTok = ord.select(col("otok"), col("o_orderkey"))
+      .join(cust.select(col("tok"), col("seg")), col("otok") === col("tok"))
+      .groupBy("seg").agg(
+        count(lit(1)).as("n_orders_tok"),
+        sum(col("o_orderkey")).as("okey_sum_tok"))
+    custAgg.join(raw, Seq("seg")).join(viaTok, Seq("seg")).orderBy("seg")
+  }
+
+  def pseudonymizeAuditOracle: String = """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             (CAST(c_custkey AS BIGINT) % 2147483647) * 48271
+               % 2147483647 * 48271 % 2147483647 AS tok
+      FROM customer),
+    ord AS (
+      SELECT o_custkey, o_orderkey,
+             (CAST(o_custkey AS BIGINT) % 2147483647) * 48271
+               % 2147483647 * 48271 % 2147483647 AS otok
+      FROM orders),
+    ca AS (
+      SELECT seg, CAST(count(1) AS BIGINT) AS n_cust,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_tok,
+             CAST(min(tok) AS BIGINT) AS tok_min,
+             CAST(max(tok) AS BIGINT) AS tok_max
+      FROM cust GROUP BY seg),
+    raw AS (
+      SELECT seg, CAST(count(1) AS BIGINT) AS n_orders_raw,
+             CAST(sum(o_orderkey) AS BIGINT) AS okey_sum_raw
+      FROM ord JOIN cust ON o_custkey = c_custkey GROUP BY seg),
+    vt AS (
+      SELECT seg, CAST(count(1) AS BIGINT) AS n_orders_tok,
+             CAST(sum(o_orderkey) AS BIGINT) AS okey_sum_tok
+      FROM ord JOIN cust ON otok = tok GROUP BY seg)
+    SELECT ca.seg, n_cust, n_tok, tok_min, tok_max,
+           n_orders_raw, okey_sum_raw, n_orders_tok, okey_sum_tok
+    FROM ca JOIN raw ON ca.seg = raw.seg JOIN vt ON ca.seg = vt.seg
+    ORDER BY ca.seg"""
 }

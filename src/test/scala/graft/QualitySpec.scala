@@ -1681,4 +1681,27 @@ class QualitySpec extends SparkSpec {
         (r.getAs[Long]("n_name_pairs"), r.getAs[Long]("n_row_pairs"))).toMap
     assert(real == editJoinBrute(names, 2), "sf0.001 part replay diverged")
   }
+
+  test("qaw pseudonymize: token map is injective, referential integrity " +
+      "survives the rewrite, and the Lehmer map permutes a planted range") {
+    val rows = Quality.pseudonymizeAudit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tok") == r.getAs[Long]("n_cust"),
+        s"token collision in segment ${r.getAs[String]("seg")}")
+      assert(r.getAs[Long]("n_orders_tok") == r.getAs[Long]("n_orders_raw"),
+        "order count changed through the token join")
+      assert(r.getAs[Long]("okey_sum_tok") == r.getAs[Long]("okey_sum_raw"),
+        "orderkey checksum changed through the token join")
+      assert(r.getAs[Long]("tok_min") >= 0L &&
+        r.getAs[Long]("tok_max") < 2147483647L, "token left the field")
+    }
+    // permutation property on a planted dense range: 50k consecutive ids
+    // must map to 50k distinct tokens (injectivity of id*48271^2 mod p)
+    val m = 2147483647L
+    val distinctToks = spark.range(1, 50001)
+      .selectExpr(s"pmod(id, $m) * 48271 % $m * 48271 % $m AS tok")
+      .distinct().count()
+    assert(distinctToks == 50000L, "Lehmer map is not injective on range")
+  }
 }
