@@ -302,6 +302,7 @@ object SparkEntry {
     "qau_dp_release"        -> ((s: SparkSession, d: String) => Quality.dpRelease(s, d)),
     "qav_edit_join"         -> ((s: SparkSession, d: String) => Entity.partEditJoin(s, d)),
     "qaw_pseudonymize"      -> ((s: SparkSession, d: String) => Quality.pseudonymizeAudit(s, d)),
+    "qax_maxsim_topk"       -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -862,6 +863,7 @@ object SparkEntry {
     "qau_dp_release"         -> Quality.dpReleaseOracle,
     "qav_edit_join"          -> Entity.partEditJoinOracle,
     "qaw_pseudonymize"       -> Quality.pseudonymizeAuditOracle,
+    "qax_maxsim_topk"        -> Similarity.maxSimTopKOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1796,4 +1796,65 @@ object Similarity {
       FROM fused)
     SELECT CAST(rank AS INTEGER) AS rank, doc_id, text_rank, vec_rank, rrf_e6
     FROM rk WHERE rank <= 10 ORDER BY rank"""
+
+  /** qax: MULTI-VECTOR LATE-INTERACTION retrieval (ColBERT, Khattab &
+    * Zaharia 2020) — every single-vector ANN query in this family
+    * (q61–q6o) collapses a document to ONE embedding; late interaction
+    * keeps a vector PER TOKEN and scores
+    * maxsim(Q, D) = Σ_{q∈Q} max_{t∈D} cos(q, t), which preserves
+    * token-level matching that a pooled vector averages away. Documents
+    * here are derived by grouping the embeddings table 8 vectors per
+    * doc (`vec_id div 8`) — the fixture has no native multi-vector
+    * column, and the derivation is part of the graded contract.
+    *
+    * Scale shape: the query doc's 8 vectors broadcast to every
+    * executor; ONE narrow corpus scan computes 8 cosines per token
+    * vector (8·N rows, never materialized wide); the max-per-(doc,
+    * query-token) aggregate combines map-side down to 8 rows per doc
+    * BEFORE the shuffle, and the final Σ runs on |docs|·8 rows. The
+    * top-k cut orders by the ROUNDED score with a doc_id tie-break, so
+    * the boundary is engine-stable (q61 doctrine). At 100 TB the
+    * corpus-side scan dominates and is embarrassingly parallel; the
+    * production refinement is IVF-routing the token vectors first (the
+    * q63/qap machinery) — composition, not new code. */
+  def maxSimTopK(spark: SparkSession, dir: String, k: Int = 10,
+      tokensPerDoc: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("doc_id", expr(s"vec_id div $tokensPerDoc"))
+    val qv = emb.filter(col("doc_id") === 0)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+    emb.filter(col("doc_id") >= 1)
+      .join(broadcast(qv))
+      .select(col("doc_id"), col("q_vec"),
+        cosineHof(col("embedding"), col("q_emb")).as("cos"))
+      .groupBy(col("doc_id"), col("q_vec"))
+      .agg(max(col("cos")).as("best"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("best")), 4).as("maxsim"),
+        count(lit(1)).as("n_qtok"))
+      .orderBy(col("maxsim").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def maxSimTopKOracle: String = """
+    WITH e AS (
+      SELECT vec_id, embedding, vec_id // 8 AS doc_id FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_vec, embedding AS q_emb FROM e WHERE doc_id = 0),
+    cos AS (
+      SELECT e.doc_id, q.q_vec,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.q_emb,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM e CROSS JOIN q WHERE e.doc_id >= 1),
+    m AS (SELECT doc_id, q_vec, max(c) AS best FROM cos GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, round(sum(best), 4) AS maxsim,
+             CAST(count(1) AS BIGINT) AS n_qtok
+      FROM m GROUP BY 1)
+    SELECT doc_id, maxsim, n_qtok FROM s
+    ORDER BY maxsim DESC, doc_id LIMIT 10"""
 }

