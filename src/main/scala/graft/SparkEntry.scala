@@ -154,6 +154,7 @@ object SparkEntry {
     "q3a_stream_stream_join" -> (StreamEvents.streamStreamJoin _),
     "q3g_stream_outer_join" -> (StreamEvents.streamStreamLeftOuterJoin _),
     "q3b_stream_static_join" -> (StreamEvents.streamStaticJoin _),
+    "qay_stream_temporal_join" -> (StreamEvents.streamTemporalJoin _),
     "q3c_foreach_batch"     -> (StreamEvents.foreachBatchPartials _),
     "q3d_transform_with_state" -> (StreamEvents.transformWithStateTotals _),
     "q3e_gap_fill"          -> (StreamEvents.gapFillHourly _),
@@ -864,6 +865,7 @@ object SparkEntry {
     "qav_edit_join"          -> Entity.partEditJoinOracle,
     "qaw_pseudonymize"       -> Quality.pseudonymizeAuditOracle,
     "qax_maxsim_topk"        -> Similarity.maxSimTopKOracle,
+    "qay_stream_temporal_join" -> StreamEvents.streamTemporalJoinOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

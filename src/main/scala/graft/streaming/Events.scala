@@ -1073,6 +1073,87 @@ object Events {
       .orderBy("hour_us", "c_mktsegment")
   }
 
+  /** qay: STREAMING POINT-IN-TIME (temporal) dimension join — q3b joins
+    * the stream against the dimension's CURRENT state; this joins each
+    * event against the SCD2 version VALID AT the event's (era-mapped)
+    * time — the enrichment semantics a replayed or late-arriving stream
+    * actually needs, where "what was this customer's priority THEN" and
+    * "what is it NOW" differ. Batch twin: q2h; dimension build: q2d.
+    *
+    * The fixture's event clock (2024) postdates every dimension version
+    * change, so event time is folded into the dimension era by
+    * deterministic arithmetic (lo + ts µs mod span, bounds collected as
+    * a 2-scalar probe from the dimension — dimension-sized input, the
+    * sanctioned bounded collect) purely so the lookup exercises
+    * HISTORICAL versions, not just `is_current` — otherwise the
+    * temporal predicate would be dead weight the oracle can't grade.
+    *
+    * Plan: the dimension broadcasts (versions ≤ a few per key); the
+    * validity range rides the broadcast hash join on `user_id` as a
+    * join-level residual, exactly the q2h shape, evaluated per
+    * micro-batch with no streaming state — the stateful op remains the
+    * downstream watermark + append window aggregate (q38 finalization
+    * rule). At 100 TB the dim broadcast is the standard SCD2 serving
+    * pattern; a fact-scale dimension would swap to a shuffled join with
+    * the same predicate, no semantic change. The one-version-per-event
+    * SCD2 invariant is emitted as an audit column (batch-replayed, the
+    * q2h `complete` convention), not assumed. */
+  def streamTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sinkDir = graft.Fs.scratch("graft_stream_scd2_sink")
+    val ckptDir = graft.Fs.scratch("graft_stream_scd2_ckpt")
+    deleteRecursively(sinkDir); deleteRecursively(ckptDir)
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val dim = graft.sources.Warehouse.scd2Customers(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("effective_from_us"), col("effective_to_us"))
+    val bounds = dim.agg(min("effective_from_us"), max("effective_from_us"))
+      .head()
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 1L
+    val bdim = broadcast(dim)
+    def mapped(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(lo) + pmod(unix_micros(ts), lit(span))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging).schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(staging)
+    // watermark on the RAW stream before the join (q3b doctrine)
+    val enriched = stream
+      .withWatermark("ts", "1 hour")
+      .withColumn("mapped_us", mapped(col("ts")))
+      .join(bdim, col("user_id") === col("d_custkey") &&
+        col("mapped_us") >= col("effective_from_us") &&
+        col("mapped_us") < col("effective_to_us"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    graft.SessionConf.withShufflePartitions(spark, 8) {
+      val q = enriched.writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    // SCD2 invariant audited on the batch twin of the same join: joined
+    // row count == distinct joined events ⇔ no event hit two versions
+    val bj = graft.Tables.events(spark, dir)
+      .withColumn("mapped_us", mapped(col("ts")))
+      .join(bdim, col("user_id") === col("d_custkey") &&
+        col("mapped_us") >= col("effective_from_us") &&
+        col("mapped_us") < col("effective_to_us"))
+    val audit = bj.agg(
+      (count(lit(1)) === countDistinct(col("event_id")))
+        .as("one_version_per_event"))
+    spark.read.schema(enriched.schema).parquet(sinkDir)
+      .select(
+        unix_micros(col("win.start")).as("hour_us"),
+        col("priority"), col("n"), col("sum_value"))
+      .crossJoin(broadcast(audit))
+      .orderBy("hour_us", "priority")
+  }
+
   /** q3c: `foreachBatch` — the escape hatch that gives a streaming query
     * an arbitrary batch sink, demonstrated as the INCREMENTAL
     * PARTIAL-AGGREGATE pattern: each microbatch appends its per-user
@@ -1357,6 +1438,50 @@ object Events {
            violations = 0 AS pass,
            TRUE AS multi_batch
     FROM rows_ ORDER BY constraint_name"""
+
+  /** qay oracle: q2d's dimension replay + the era fold + the temporal
+    * join, finalized by the q38 watermark-subset rule on the ORIGINAL
+    * event hour. */
+  def streamTemporalJoinOracle: String = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    c AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM o WHERE prev IS NULL OR prev <> o_orderpriority),
+    v AS (
+      SELECT o_custkey AS d_custkey, o_orderpriority AS priority,
+             epoch_us(o_orderdate) AS effective_from_us,
+             coalesce(epoch_us(lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+               CAST(32503680000000000 AS BIGINT)) AS effective_to_us
+      FROM c),
+    b AS (
+      SELECT min(effective_from_us) AS lo,
+             max(effective_from_us) - min(effective_from_us) + 1 AS span
+      FROM v),
+    e AS (
+      SELECT ts, user_id, value, event_id,
+             b.lo + epoch_us(ts) % b.span AS mapped_us
+      FROM events, b),
+    j AS (
+      SELECT e.ts, e.value, e.event_id, v.priority
+      FROM e JOIN v ON e.user_id = v.d_custkey
+        AND e.mapped_us >= v.effective_from_us
+        AND e.mapped_us < v.effective_to_us),
+    m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    audit AS (
+      SELECT count(1) = count(DISTINCT event_id) AS one_version_per_event
+      FROM j)
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, priority,
+           count(1) AS n, round(sum(value), 2) AS sum_value,
+           audit.one_version_per_event
+    FROM j, m, audit
+    GROUP BY hour_us, priority, m.mx, audit.one_version_per_event
+    HAVING hour_us + 3600000000 <= m.mx - 3600000000
+    ORDER BY hour_us, priority"""
 }
 
 /** q3d input/output rows. TOP-LEVEL on purpose: Janino cannot compile

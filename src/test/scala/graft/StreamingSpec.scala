@@ -413,6 +413,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("qay temporal join: streamed point-in-time enrichment equals the " +
+      "batch replay; SCD2 invariant audit holds; historical versions hit") {
+    val out = Events.streamTemporalJoin(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("one_version_per_event")),
+      "an event matched more than one SCD2 version")
+    val streamed = out.map(r => (r.getAs[Long]("hour_us"),
+      r.getAs[String]("priority"), r.getAs[Long]("n"),
+      r.getAs[Double]("sum_value"))).toSet
+    // batch replay of the identical join + q38 finalization rule
+    val dim = graft.sources.Warehouse.scd2Customers(spark, sfDir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("effective_from_us"), col("effective_to_us"))
+    val b = dim.agg(min("effective_from_us"), max("effective_from_us")).head()
+    val lo = b.getLong(0); val span = b.getLong(1) - lo + 1L
+    val maxUs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val joined = Tables.events(spark, sfDir)
+      .withColumn("mapped_us", lit(lo) + pmod(unix_micros(col("ts")), lit(span)))
+      .join(dim, col("user_id") === col("d_custkey") &&
+        col("mapped_us") >= col("effective_from_us") &&
+        col("mapped_us") < col("effective_to_us"))
+    val batch = joined
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("priority"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .filter(col("hour_us") + 3600000000L <= maxUs - 3600000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // the era fold must exercise HISTORICAL versions, not just current
+    val nonCurrent = joined
+      .filter(col("effective_to_us") < graft.sources.Warehouse.Scd2OpenEndUs)
+      .count()
+    assert(nonCurrent > 0L,
+      "temporal predicate never selected a closed version — dead weight")
+  }
+
   test("foreachBatch partial aggregates merge to the batch aggregate") {
     val streamed = Events.foreachBatchPartials(spark, sfDir).collect().map(_.toSeq).toSet
     val batch = Tables.events(spark, sfDir)
