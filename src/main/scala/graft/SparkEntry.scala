@@ -304,6 +304,7 @@ object SparkEntry {
     "qav_edit_join"         -> ((s: SparkSession, d: String) => Entity.partEditJoin(s, d)),
     "qaw_pseudonymize"      -> ((s: SparkSession, d: String) => Quality.pseudonymizeAudit(s, d)),
     "qax_maxsim_topk"       -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
+    "qaz_skipping_manifest" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.skippingManifest(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -866,6 +867,7 @@ object SparkEntry {
     "qaw_pseudonymize"       -> Quality.pseudonymizeAuditOracle,
     "qax_maxsim_topk"        -> Similarity.maxSimTopKOracle,
     "qay_stream_temporal_join" -> StreamEvents.streamTemporalJoinOracle,
+    "qaz_skipping_manifest"  -> graft.sources.Warehouse.skippingManifestOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1000,4 +1000,137 @@ object Warehouse {
            coalesce(lag(max_id) OVER (ORDER BY shard) < min_id, true)
              AS disjoint_after_prev
     FROM g ORDER BY shard"""
+
+  /** qaz: DATA-SKIPPING MANIFEST AUDIT — the quantified payoff of
+    * qaq's sorted layout: a file-level (min, max) manifest (what
+    * parquet footers / Iceberg-style manifests store) is probed with a
+    * fixed predicate set and graded on how many files each predicate
+    * may skip. Point and range probes on the SORT column (`doc_id`)
+    * prune to 1–2 of the 16 files; the same-shaped probes on the
+    * unsorted `n_chars` column overlap every file — the artifact
+    * carries the layout lesson (skip_ppm ≈ 94% vs 0%), it isn't just
+    * asserted in prose. `fp_files` (scanned files with zero hits)
+    * measures the residual cost min/max pruning cannot remove without
+    * finer stats (bloom/zone maps).
+    *
+    * The manifest is built by reading the REAL export back grouped per
+    * shard-file — at 100 TB these are footer reads, not data scans; the
+    * file count stays O(files), never O(rows). Probe bounds are
+    * arithmetic on max(doc_id) (1-row probe, the qaq convention), so
+    * the oracle replays everything: a pruning bug (skipping a file that
+    * held matches) shows up as a hash mismatch in `rows_matched`, a
+    * soundness property, not a perf nicety. */
+  def skippingManifest(spark: SparkSession, dir: String,
+      files: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val mx = docs.agg(max("doc_id")).head().getLong(0) // 1-row probe
+    val outDir = graft.Fs.scratch("graft_skipping_export")
+    graft.Fs.deleteRecursively(outDir)
+    docs
+      .withColumn("shard",
+        expr(s"cast(doc_id * $files div ${mx + 1} as int)"))
+      .repartition(files, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.partitionBy("shard").parquet(outDir)
+    // the manifest: per-file (min, max) for both the sort column and a
+    // representative unsorted column
+    val manifest = spark.read.parquet(outDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        min(col("n_chars")).as("min_ch"), max(col("n_chars")).as("max_ch"))
+    val probes = spark.range(1).select(explode(array(
+      struct(lit(0).as("probe_id"), lit("doc_id").as("col_name"),
+        lit(mx / 7).as("lo"), lit(mx / 7).as("hi")),
+      struct(lit(1).as("probe_id"), lit("doc_id").as("col_name"),
+        lit(5 * mx / 7).as("lo"), lit(5 * mx / 7).as("hi")),
+      struct(lit(2).as("probe_id"), lit("doc_id").as("col_name"),
+        lit(mx / 3).as("lo"), lit(mx / 3 + mx / 16).as("hi")),
+      struct(lit(3).as("probe_id"), lit("doc_id").as("col_name"),
+        lit(9 * mx / 10).as("lo"), lit(mx).as("hi")),
+      struct(lit(4).as("probe_id"), lit("n_chars").as("col_name"),
+        lit(100L).as("lo"), lit(200L).as("hi")),
+      struct(lit(5).as("probe_id"), lit("n_chars").as("col_name"),
+        lit(300L).as("lo"), lit(400L).as("hi")))).as("p"))
+      .select(col("p.*"))
+    val shardOf = expr(s"cast(doc_id * $files div ${mx + 1} as int)")
+    val hits = docs.withColumn("shard", shardOf)
+      .join(broadcast(probes),
+        when(col("col_name") === "doc_id", col("doc_id"))
+          .otherwise(col("n_chars")).between(col("lo"), col("hi")))
+      .groupBy(col("probe_id"), col("shard"))
+      .agg(count(lit(1)).as("n_hit"))
+    val scan = broadcast(probes).crossJoin(manifest)
+      .withColumn("scanned",
+        when(col("col_name") === "doc_id",
+          !(col("hi") < col("min_id") || col("lo") > col("max_id")))
+          .otherwise(!(col("hi") < col("min_ch") || col("lo") > col("max_ch"))))
+    scan.join(hits, Seq("probe_id", "shard"), "left")
+      .groupBy(col("probe_id"), col("col_name"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("files_with_hits"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum(coalesce(col("n_hit"), lit(0L))).as("rows_matched"),
+        expr("(count(1) - sum(CASE WHEN scanned THEN 1 ELSE 0 END))"
+          + " * 1000000 div count(1)").as("skip_ppm"),
+        expr("sum(CASE WHEN scanned THEN 1 ELSE 0 END)"
+          + " - sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)").as("fp_files"))
+      .orderBy("probe_id")
+  }
+
+  def skippingManifestOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    s AS (
+      SELECT CAST(doc_id * 16 // (m.mx + 1) AS INTEGER) AS shard,
+             doc_id, n_chars
+      FROM documents, m),
+    f AS (
+      SELECT shard, CAST(count(1) AS BIGINT) AS n_rows,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             min(n_chars) AS min_ch, max(n_chars) AS max_ch
+      FROM s GROUP BY shard),
+    probes AS (
+      SELECT 0 AS probe_id, 'doc_id' AS col_name,
+             mx // 7 AS lo, mx // 7 AS hi FROM m
+      UNION ALL SELECT 1, 'doc_id', 5 * mx // 7, 5 * mx // 7 FROM m
+      UNION ALL SELECT 2, 'doc_id', mx // 3, mx // 3 + mx // 16 FROM m
+      UNION ALL SELECT 3, 'doc_id', 9 * mx // 10, mx FROM m
+      UNION ALL SELECT 4, 'n_chars', 100, 200 FROM m
+      UNION ALL SELECT 5, 'n_chars', 300, 400 FROM m),
+    sc AS (
+      SELECT p.probe_id, p.col_name, p.lo, p.hi, f.shard, f.n_rows,
+             CASE WHEN p.col_name = 'doc_id'
+                  THEN NOT (p.hi < f.min_id OR p.lo > f.max_id)
+                  ELSE NOT (p.hi < f.min_ch OR p.lo > f.max_ch)
+             END AS scanned
+      FROM probes p CROSS JOIN f),
+    hits AS (
+      SELECT p.probe_id, s.shard, CAST(count(1) AS BIGINT) AS n_hit
+      FROM probes p JOIN s
+        ON (CASE WHEN p.col_name = 'doc_id' THEN s.doc_id
+                 ELSE s.n_chars END) BETWEEN p.lo AND p.hi
+      GROUP BY 1, 2)
+    SELECT sc.probe_id, sc.col_name,
+           CAST(sc.lo AS BIGINT) AS lo, CAST(sc.hi AS BIGINT) AS hi,
+           CAST(count(1) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scanned,
+           CAST(sum(CASE WHEN h.n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_with_hits,
+           CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(coalesce(h.n_hit, 0)) AS BIGINT) AS rows_matched,
+           CAST((count(1) - sum(CASE WHEN scanned THEN 1 ELSE 0 END))
+             * 1000000 // count(1) AS BIGINT) AS skip_ppm,
+           CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END)
+             - sum(CASE WHEN h.n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS fp_files
+    FROM sc LEFT JOIN hits h
+      ON sc.probe_id = h.probe_id AND sc.shard = h.shard
+    GROUP BY 1, 2, 3, 4
+    ORDER BY sc.probe_id"""
 }

@@ -506,6 +506,41 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("qaz skipping manifest: pruning is sound (every matching row lives " +
+      "in a scanned file) and the sort column actually skips") {
+    val rows = graft.sources.Warehouse.skippingManifest(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("probe_id"))
+    assert(rows.length == 6)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      val matched =
+        if (r.getAs[String]("col_name") == "doc_id")
+          docs.count { case (id, _) => id >= lo && id <= hi }
+        else docs.count { case (_, ch) => ch >= lo && ch <= hi }
+      // SOUNDNESS: rows_matched replays exactly — a pruned file holding
+      // a match would make the operator undercount
+      assert(r.getAs[Long]("rows_matched") == matched.toLong,
+        s"probe ${r.getAs[Int]("probe_id")}: matched rows diverged")
+      assert(r.getAs[Long]("files_scanned") >=
+        r.getAs[Long]("files_with_hits"))
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+    }
+    // the layout payoff: sort-column probes skip most files, the
+    // unsorted column skips none
+    val (sorted, unsorted) =
+      rows.partition(_.getAs[String]("col_name") == "doc_id")
+    sorted.foreach(r => assert(r.getAs[Long]("skip_ppm") >= 750000L,
+      "a point/short-range probe on the sort column must prune"))
+    // dominance, not zero: tiny sf0.001 shards can skip occasionally on
+    // the unsorted column by luck, but never approach the sorted column
+    val worstSorted = sorted.map(_.getAs[Long]("skip_ppm")).min
+    unsorted.foreach(r => assert(r.getAs[Long]("skip_ppm") < worstSorted,
+      "unsorted-column pruning should not rival the sort column"))
+  }
+
   test("qal stream restart: a new query over the same checkpoint resumes " +
       "at the committed offset — ids exactly [0, rows), no replay, no gap") {
     val rows = graft.sources.SynthStream
