@@ -305,6 +305,7 @@ object SparkEntry {
     "qaw_pseudonymize"      -> ((s: SparkSession, d: String) => Quality.pseudonymizeAudit(s, d)),
     "qax_maxsim_topk"       -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
     "qaz_skipping_manifest" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.skippingManifest(s, d)),
+    "qb0_jl_projection"     -> ((s: SparkSession, d: String) => Similarity.jlProjectionAudit(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -868,6 +869,7 @@ object SparkEntry {
     "qax_maxsim_topk"        -> Similarity.maxSimTopKOracle,
     "qay_stream_temporal_join" -> StreamEvents.streamTemporalJoinOracle,
     "qaz_skipping_manifest"  -> graft.sources.Warehouse.skippingManifestOracle,
+    "qb0_jl_projection"      -> Similarity.jlProjectionAuditOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

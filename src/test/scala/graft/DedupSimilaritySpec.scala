@@ -1303,4 +1303,39 @@ class DedupSimilaritySpec extends SparkSpec {
         "sum-of-maxes lost to one of its own terms")
     }
   }
+
+  test("qb0 JL projection: ratios replay driver-side and concentrate " +
+      "inside the graded band") {
+    val rows = Similarity.jlProjectionAudit(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("t"))
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("jl_ok")),
+      "distortion left the [0.35, 2.2] band on the fixture corpus")
+    // driver replay of the full arithmetic for the first three pairs
+    val k = 32
+    def sign(i: Int, j: Int): Double =
+      1.0 - 2.0 * (java.lang.Long.bitCount(
+        (i.toLong * k + j + 1) * 2654435761L % 2147483648L) % 2)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 40)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(k)(j =>
+        (0 until 64).foldLeft(0.0)((acc, i) => acc + v(i) * sign(i, j)))
+    (0 until 3).foreach { t =>
+      val (va, vb) = (vecs(2L * t), vecs(2L * t + 1))
+      val (pa, pb) = (proj(va), proj(vb))
+      val d2o = va.zip(vb).map { case (x, y) => (x - y) * (x - y) }.sum
+      val d2p = pa.zip(pb).map { case (x, y) => (x - y) * (x - y) }.sum / k
+      val expect = math.floor(d2p / d2o * 1e6).toLong
+      assert(rows(t).getAs[Long]("pair_ratio_e6") == expect,
+        s"pair $t ratio diverged from the driver replay")
+      val n2a = va.map(x => x * x).sum
+      val expectNa = math.floor(pa.map(x => x * x).sum / k / n2a * 1e6).toLong
+      assert(rows(t).getAs[Long]("norm_a_e6") == expectNa,
+        s"pair $t norm_a diverged")
+    }
+  }
 }
