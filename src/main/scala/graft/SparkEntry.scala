@@ -306,6 +306,7 @@ object SparkEntry {
     "qax_maxsim_topk"       -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
     "qaz_skipping_manifest" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.skippingManifest(s, d)),
     "qb0_jl_projection"     -> ((s: SparkSession, d: String) => Similarity.jlProjectionAudit(s, d)),
+    "qb1_join_cardinality"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.joinCardinalityEstimate(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -870,6 +871,7 @@ object SparkEntry {
     "qay_stream_temporal_join" -> StreamEvents.streamTemporalJoinOracle,
     "qaz_skipping_manifest"  -> graft.sources.Warehouse.skippingManifestOracle,
     "qb0_jl_projection"      -> Similarity.jlProjectionAuditOracle,
+    "qb1_join_cardinality"   -> graft.sources.Warehouse.joinCardinalityEstimateOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

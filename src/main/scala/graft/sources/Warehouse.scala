@@ -1133,4 +1133,161 @@ object Warehouse {
       ON sc.probe_id = h.probe_id AND sc.shard = h.shard
     GROUP BY 1, 2, 3, 4
     ORDER BY sc.probe_id"""
+
+  /** qb1: JOIN-CARDINALITY ESTIMATION AUDIT — the q2s statistics put to
+    * their actual use: before a 100 TB join runs, the planner estimates
+    * its output size from per-column stats, and a bad estimate picks
+    * the wrong strategy (broadcast a side that explodes, under-partition
+    * a shuffle). This operator runs the textbook estimator at two stat
+    * granularities and grades it against the EXACT join size:
+    *
+    *   est = Σ_b cnt_a(b) · cnt_b(b) / max(ndv_a(b), ndv_b(b))
+    *
+    * (containment + uniformity within bucket — the System-R form CBOs
+    * still use) with b ranging over 1 bucket (table-level stats) vs 64
+    * equi-width buckets (histogram stats). Two join shapes: the FK join
+    * orders⋈customer (estimators are near-exact — the audit shows WHY
+    * FK joins are safe to plan blind) and the m:n self-join
+    * lineitem⋈lineitem on l_partkey, where table-level stats drift and
+    * the histogram closes the gap. The exact m:n size is Σ_k c_k² —
+    * computed as that aggregate, never by materializing pairs. The
+    * fixture's natural keys are all near-uniform (measured: the
+    * estimators agree within ~3% everywhere), so a third join runs on
+    * the derived key floor(√l_orderkey) — multiplicity grows linearly
+    * with the key, the shape where the uniformity assumption really
+    * breaks: table-level stats miss by E[c²]/E[c]² ≈ 4/3 while the
+    * 64-bucket histogram is near-uniform within buckets and lands
+    * tight.
+    *
+    * Everything is integer arithmetic over two hash-aggs per side
+    * (count + exact ndv per bucket; at 100 TB the ndv column switches
+    * to the q1l HLL sketch with the same plan shape). err_ppm is the
+    * graded column: the estimator's quality is data, not prose. */
+  def joinCardinalityEstimate(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def bucketStats(df: DataFrame, key: String, mx: Long, nb: Int)
+        : DataFrame =
+      df.select(col(key).cast("long").as("k"))
+        .withColumn("b", expr(s"cast(k * $nb div ${mx + 1} as int)"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("k")).as("ndv"))
+    def estRow(name: String, aDf: DataFrame, aKey: String, bDf: DataFrame,
+        bKey: String, mx: Long, actual: Long): DataFrame = {
+      def one(nb: Int, label: String): DataFrame =
+        bucketStats(aDf, aKey, mx, nb).join(
+            bucketStats(bDf, bKey, mx, nb)
+              .withColumnsRenamed(Map("cnt" -> "b_cnt", "ndv" -> "b_ndv")),
+            Seq("b"))
+          .agg(sum(expr("cnt * b_cnt div greatest(ndv, b_ndv)"))
+            .as("est_rows"))
+          .select(lit(name).as("join_name"), lit(label).as("estimator"),
+            lit(nb).as("n_buckets"), col("est_rows"),
+            lit(actual).as("actual_rows"),
+            (abs(col("est_rows") - actual) * 1000000L / lit(actual))
+              .cast("long").as("err_ppm"))
+      one(1, "table_level").unionAll(one(buckets, s"hist$buckets"))
+    }
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    // 1-row probes (the qaq/qaz convention): key-domain max + exact sizes
+    val mxCust = math.max(
+      orders.agg(max("o_custkey")).head().getLong(0),
+      cust.agg(max("c_custkey")).head().getLong(0))
+    val actualFk = orders.join(cust,
+      col("o_custkey") === col("c_custkey")).count()
+    val mxPart = li.agg(max("l_partkey")).head().getLong(0)
+    val actualMn = li.groupBy("l_partkey").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    estRow("orders_customer", orders, "o_custkey", cust, "c_custkey",
+        mxCust, actualFk)
+      .unionAll(estRow("lineitem_partkey_self", li, "l_partkey", li,
+        "l_partkey", mxPart, actualMn))
+      .unionAll {
+        val sk = li.withColumn("skew_key",
+          expr("cast(floor(sqrt(l_orderkey)) as long)"))
+        val mxSk = sk.agg(max("skew_key")).head().getLong(0)
+        val actualSk = sk.groupBy("skew_key").count()
+          .agg(sum(col("count") * col("count"))).head().getLong(0)
+        estRow("lineitem_sqrtkey_self", sk, "skew_key", sk, "skew_key",
+          mxSk, actualSk)
+      }
+      .orderBy("join_name", "estimator")
+  }
+
+  def joinCardinalityEstimateOracle: String = """
+    WITH mxc AS (
+      SELECT greatest((SELECT max(o_custkey) FROM orders),
+                      (SELECT max(c_custkey) FROM customer)) AS mx),
+    mxp AS (SELECT max(l_partkey) AS mx FROM lineitem),
+    afk AS (
+      SELECT CAST(count(1) AS BIGINT) AS actual
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    amn AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS actual FROM (
+        SELECT count(1) AS c FROM lineitem GROUP BY l_partkey)),
+    fk AS (
+      SELECT nb, sum(a.cnt * b.cnt // greatest(a.ndv, b.ndv)) AS est
+      FROM (SELECT 1 AS nb UNION ALL SELECT 64) n(nb),
+      LATERAL (
+        SELECT CAST(o_custkey * n.nb // (mxc.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT o_custkey) AS ndv
+        FROM orders, mxc GROUP BY 1) a,
+      LATERAL (
+        SELECT CAST(c_custkey * n.nb // (mxc.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT c_custkey) AS ndv
+        FROM customer, mxc GROUP BY 1) b
+      WHERE a.b = b.b GROUP BY nb),
+    mn AS (
+      SELECT nb, sum(a.cnt * b.cnt // greatest(a.ndv, b.ndv)) AS est
+      FROM (SELECT 1 AS nb UNION ALL SELECT 64) n(nb),
+      LATERAL (
+        SELECT CAST(l_partkey * n.nb // (mxp.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT l_partkey) AS ndv
+        FROM lineitem, mxp GROUP BY 1) a,
+      LATERAL (
+        SELECT CAST(l_partkey * n.nb // (mxp.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT l_partkey) AS ndv
+        FROM lineitem, mxp GROUP BY 1) b
+      WHERE a.b = b.b GROUP BY nb),
+    mxs AS (
+      SELECT max(CAST(floor(sqrt(l_orderkey)) AS BIGINT)) AS mx
+      FROM lineitem),
+    ask AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS actual FROM (
+        SELECT count(1) AS c FROM lineitem
+        GROUP BY CAST(floor(sqrt(l_orderkey)) AS BIGINT))),
+    sk AS (
+      SELECT nb, sum(a.cnt * b.cnt // greatest(a.ndv, b.ndv)) AS est
+      FROM (SELECT 1 AS nb UNION ALL SELECT 64) n(nb),
+      LATERAL (
+        SELECT CAST(k * n.nb // (mxs.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT k) AS ndv
+        FROM (SELECT CAST(floor(sqrt(l_orderkey)) AS BIGINT) AS k
+              FROM lineitem), mxs GROUP BY 1) a,
+      LATERAL (
+        SELECT CAST(k * n.nb // (mxs.mx + 1) AS INTEGER) AS b,
+               count(1) AS cnt, count(DISTINCT k) AS ndv
+        FROM (SELECT CAST(floor(sqrt(l_orderkey)) AS BIGINT) AS k
+              FROM lineitem), mxs GROUP BY 1) b
+      WHERE a.b = b.b GROUP BY nb),
+    rows_ AS (
+      SELECT 'orders_customer' AS join_name,
+             CASE WHEN nb = 1 THEN 'table_level' ELSE 'hist64' END
+               AS estimator,
+             nb AS n_buckets, est, afk.actual FROM fk, afk
+      UNION ALL
+      SELECT 'lineitem_partkey_self',
+             CASE WHEN nb = 1 THEN 'table_level' ELSE 'hist64' END,
+             nb, est, amn.actual FROM mn, amn
+      UNION ALL
+      SELECT 'lineitem_sqrtkey_self',
+             CASE WHEN nb = 1 THEN 'table_level' ELSE 'hist64' END,
+             nb, est, ask.actual FROM sk, ask)
+    SELECT join_name, estimator, CAST(n_buckets AS INTEGER) AS n_buckets,
+           CAST(est AS BIGINT) AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CAST(abs(est - actual) * 1000000 // actual AS BIGINT) AS err_ppm
+    FROM rows_ ORDER BY join_name, estimator"""
 }

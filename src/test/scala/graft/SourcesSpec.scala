@@ -541,6 +541,43 @@ class SourcesSpec extends SparkSpec {
       "unsorted-column pruning should not rival the sort column"))
   }
 
+  test("qb1 join cardinality: actuals and table-level estimates replay " +
+      "driver-side; the histogram dominates on the skewed key") {
+    val rows = graft.sources.Warehouse.joinCardinalityEstimate(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("join_name"), r.getAs[String]("estimator"))
+        -> r).toMap
+    assert(rows.size == 6)
+    // exact actuals replayed
+    val li = Tables.lineitem(spark, sfDir)
+    val nO = Tables.orders(spark, sfDir).count()
+    assert(rows(("orders_customer", "table_level"))
+      .getAs[Long]("actual_rows") == nO) // FK: one customer per order
+    val cnts = li.groupBy("l_partkey").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(rows(("lineitem_partkey_self", "hist64"))
+      .getAs[Long]("actual_rows") == cnts.map(c => c * c).sum)
+    // table-level estimator formula replayed on the partkey self-join
+    val n = cnts.sum
+    val ndv = cnts.length.toLong
+    assert(rows(("lineitem_partkey_self", "table_level"))
+      .getAs[Long]("est_rows") == n * n / ndv)
+    // FK join: both estimators exact
+    Seq("table_level", "hist64").foreach(e =>
+      assert(rows(("orders_customer", e)).getAs[Long]("err_ppm") == 0L,
+        s"FK join estimate ($e) must be exact"))
+    // the point of histograms: on the monotone-skew key the histogram
+    // must beat table-level stats by a wide margin
+    val skT = rows(("lineitem_sqrtkey_self", "table_level"))
+      .getAs[Long]("err_ppm")
+    val skH = rows(("lineitem_sqrtkey_self", "hist64"))
+      .getAs[Long]("err_ppm")
+    assert(skT > 100000L,
+      s"skew key should break the uniformity assumption, err=$skT")
+    assert(skH * 10 < skT,
+      s"histogram must close most of the gap: hist=$skH table=$skT")
+  }
+
   test("qal stream restart: a new query over the same checkpoint resumes " +
       "at the committed offset — ids exactly [0, rows), no replay, no gap") {
     val rows = graft.sources.SynthStream
