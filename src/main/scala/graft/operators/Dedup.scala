@@ -1913,4 +1913,211 @@ object Dedup {
            eval_docs_contaminated
     FROM tot CROSS JOIN contaminated
     ORDER BY split_lo, split_hi"""
+
+  /** qb2: BLOOM-FILTER DECONTAMINATION — q49's verbatim n-gram
+    * decontamination re-shaped for the 100 TB regime where even the
+    * eval-gram side is too hot to join against every corpus shard: the
+    * eval set's distinct 5-grams are folded into ONE fixed-size Bloom
+    * bitset (`mBits` bits packed into `mBits/64` longs — a ≤KB-scale
+    * table regardless of corpus size), the bitset is broadcast, and
+    * every training gram is tested with `k` portable hash probes. The
+    * graded row carries BOTH arms — Bloom verdicts and the exact
+    * semi-join ground truth — so the filter's ONE-SIDED error contract
+    * is measured, not assumed: `gram_missed_by_bloom` must be 0 (Bloom
+    * filters have no false negatives), and `gram_fpr_ppm` /
+    * `doc_fpr_ppm` quantify the over-flagging a production pipeline
+    * would pay for skipping the exact join (re-checking only the
+    * Bloom-positive survivors — a |flagged| ≪ |corpus| join).
+    *
+    * Every hash is engine-portable arithmetic (the q43 rolling
+    * fingerprint for gram → 62-bit-safe int, then the q46 double-step
+    * Lehmer permutation with a distinct prime multiplier per probe), so DuckDB replays the ENTIRE
+    * construction — bitset build, probes, verdicts — not just the
+    * counts. `mBits` defaults small (16384) to make the false-positive
+    * arm measurable on the fixture; production would size m/k from the
+    * standard (1−e^{−kn/m})^k curve, which changes constants, not the
+    * plan.
+    *
+    * Plan shape: gram explode → fingerprint (narrow) → k-way probe
+    * explode → groupBy(word) bit_or builds the ≤64-row bitset; the
+    * query side joins that bitset BROADCAST and aggregates twice
+    * (gram verdicts, then doc verdicts). The only wide exchange is the
+    * per-doc aggregate the exact arm needs anyway. */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      n: Int = 5, evalMod: Int = 50, mBits: Int = 16384,
+      k: Int = 3): DataFrame = {
+    // bits pack 62 per long (not 64): shifting 1 into bit 62/63 would
+    // need the sign bit, and DuckDB overflow-checks `1::BIGINT << 63`
+    // — 62-bit words keep every mask positive in BOTH engines
+    val M = graft.operators.Curation.LehmerM
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.ngrams(col("toks"), n))).as("gram"))
+      .withColumn("fp", Text.fingerprint(col("gram")))
+    val evalGrams = docs.filter(col("doc_id") % evalMod === 0)
+      .select("gram", "fp").distinct()
+    val trainGrams = docs.filter(col("doc_id") % evalMod =!= 0)
+
+    // k probe positions per gram: scale fp+1 by a DISTINCT prime per
+    // probe before the Lehmer double-step. Multiplicative seeding
+    // matters: an additive stride (fp + j*c) makes every gram's probe
+    // triple the SAME arithmetic progression, so one colliding probe
+    // drags the others along and k collapses toward 1 (measured: 25x
+    // the theoretical FPR on the fixture); distinct multipliers
+    // decorrelate the probes and the measured FPR lands on the
+    // (1-e^{-kn/m})^k curve
+    require(k <= 3, "probe seeds defined for k <= 3")
+    val seeds = Seq(1L, 7919L, 104729L).take(k)
+    val jArr = array(seeds.map(p => lit(p)): _*)
+    def withPos(df: DataFrame): DataFrame = df
+      .select(col("*"), explode(jArr).as("seed"))
+      .withColumn("pos",
+        pmod((col("fp") + 1L) * col("seed"), lit(M))
+          * lit(48271L) % lit(M) * lit(48271L) % lit(M)
+          % lit(mBits.toLong))
+      .withColumn("word", expr("pos div 62"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 62) AS INT))"))
+
+    val bloom = withPos(evalGrams)
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    val bloomStats = bloom.agg(
+      sum(expr("bit_count(bits)")).cast("long").as("n_bits_set"))
+
+    val gramVerdict = withPos(trainGrams)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("probe_set",
+        coalesce((col("bits").bitwiseAND(col("mask"))) =!= 0L, lit(false)))
+      .groupBy("doc_id", "gram")
+      .agg(min(when(col("probe_set"), 1L).otherwise(0L)).as("all_set"))
+      .withColumn("bloom_hit", col("all_set") === 1L)
+      .join(broadcast(evalGrams.select(col("gram"), lit(true).as("exact_hit"))),
+        Seq("gram"), "left")
+      .na.fill(false, Seq("exact_hit"))
+
+    val gramStats = gramVerdict.agg(
+      count(lit(1)).cast("long").as("n_train_grams"),
+      sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("gram_hits_bloom"),
+      sum(when(col("exact_hit"), 1L).otherwise(0L)).as("gram_hits_exact"),
+      sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+        .as("gram_false_pos"),
+      sum(when(col("exact_hit") && !col("bloom_hit"), 1L).otherwise(0L))
+        .as("gram_missed_by_bloom"))
+
+    val docStats = gramVerdict.groupBy("doc_id").agg(
+        max(when(col("bloom_hit"), 1L).otherwise(0L)).as("doc_bloom"),
+        max(when(col("exact_hit"), 1L).otherwise(0L)).as("doc_exact"))
+      .agg(
+        count(lit(1)).cast("long").as("n_train_docs"),
+        sum("doc_bloom").as("docs_flagged_bloom"),
+        sum("doc_exact").as("docs_flagged_exact"),
+        sum(when(col("doc_bloom") === 1L && col("doc_exact") === 0L, 1L)
+          .otherwise(0L)).as("docs_false_pos"))
+
+    val evalStats = evalGrams.agg(
+      count(lit(1)).cast("long").as("n_eval_grams"))
+
+    bloomStats.crossJoin(evalStats).crossJoin(gramStats).crossJoin(docStats)
+      .select(
+        col("n_eval_grams"), col("n_bits_set"),
+        expr(s"n_bits_set * 1000000 div ${mBits}L").as("fill_ppm"),
+        col("n_train_grams"), col("gram_hits_bloom"), col("gram_hits_exact"),
+        col("gram_false_pos"), col("gram_missed_by_bloom"),
+        expr("CASE WHEN n_train_grams = gram_hits_exact THEN 0 ELSE " +
+          "gram_false_pos * 1000000 div (n_train_grams - gram_hits_exact) END")
+          .as("gram_fpr_ppm"),
+        col("n_train_docs"), col("docs_flagged_bloom"),
+        col("docs_flagged_exact"), col("docs_false_pos"),
+        expr("CASE WHEN n_train_docs = docs_flagged_exact THEN 0 ELSE " +
+          "docs_false_pos * 1000000 div (n_train_docs - docs_flagged_exact) END")
+          .as("doc_fpr_ppm"))
+  }
+
+  /** DuckDB replay of [[bloomDecontaminate]] — the full construction:
+    * same grams (q49's slice convention), same rolling fingerprint
+    * (q43's list_reduce), same Lehmer probe positions, same bit_or
+    * bitset, same two-arm verdicts. */
+  def bloomDecontaminateOracle: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks)-3),
+               i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')))) AS gram
+      FROM t),
+    h AS (
+      SELECT doc_id, gram,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ' '),
+                   tk -> (length(tk) * 1000003 + ascii(tk) * 65599
+                          + ascii(substring(tk, -1, 1)) * 31) % 1000000007)),
+               (acc, hh) -> (acc * 31 + hh) % 1000000007) AS fp
+      FROM g),
+    ev AS (SELECT DISTINCT gram, fp FROM h WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, gram, fp FROM h WHERE doc_id % 50 <> 0),
+    evp AS (
+      SELECT gram,
+             ((fp + 1) * p % 2147483647) * 48271 % 2147483647
+               * 48271 % 2147483647 % 16384 AS pos
+      FROM ev CROSS JOIN (SELECT unnest([1, 7919, 104729]) AS p)),
+    bloom AS (
+      SELECT pos // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+      FROM evp GROUP BY 1),
+    bstat AS (
+      SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set FROM bloom),
+    trp AS (
+      SELECT doc_id, gram,
+             ((fp + 1) * p % 2147483647) * 48271 % 2147483647
+               * 48271 % 2147483647 % 16384 AS pos
+      FROM tr CROSS JOIN (SELECT unnest([1, 7919, 104729]) AS p)),
+    probed AS (
+      SELECT t.doc_id, t.gram,
+             coalesce((b.bits & (CAST(1 AS BIGINT) << CAST(t.pos % 62 AS INT)))
+               <> 0, FALSE) AS probe_set
+      FROM trp t LEFT JOIN bloom b ON t.pos // 62 = b.word),
+    gv AS (
+      SELECT p.doc_id, p.gram,
+             min(CASE WHEN p.probe_set THEN 1 ELSE 0 END) = 1 AS bloom_hit,
+             max(CASE WHEN e.gram IS NULL THEN 0 ELSE 1 END) = 1 AS exact_hit
+      FROM probed p LEFT JOIN ev e ON p.gram = e.gram
+      GROUP BY 1, 2),
+    gstat AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_train_grams,
+             CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS gram_hits_bloom,
+             CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS gram_hits_exact,
+             CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+               AS BIGINT) AS gram_false_pos,
+             CAST(sum(CASE WHEN exact_hit AND NOT bloom_hit THEN 1 ELSE 0 END)
+               AS BIGINT) AS gram_missed_by_bloom
+      FROM gv),
+    dv AS (
+      SELECT doc_id,
+             max(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS doc_bloom,
+             max(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS doc_exact
+      FROM gv GROUP BY 1),
+    dstat AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_train_docs,
+             CAST(sum(doc_bloom) AS BIGINT) AS docs_flagged_bloom,
+             CAST(sum(doc_exact) AS BIGINT) AS docs_flagged_exact,
+             CAST(sum(CASE WHEN doc_bloom = 1 AND doc_exact = 0 THEN 1 ELSE 0
+               END) AS BIGINT) AS docs_false_pos
+      FROM dv),
+    estat AS (SELECT CAST(count(1) AS BIGINT) AS n_eval_grams FROM ev)
+    SELECT n_eval_grams, n_bits_set,
+           n_bits_set * 1000000 // 16384 AS fill_ppm,
+           n_train_grams, gram_hits_bloom, gram_hits_exact,
+           gram_false_pos, gram_missed_by_bloom,
+           CAST(CASE WHEN n_train_grams = gram_hits_exact THEN 0
+             ELSE gram_false_pos * 1000000 // (n_train_grams - gram_hits_exact)
+             END AS BIGINT) AS gram_fpr_ppm,
+           n_train_docs, docs_flagged_bloom, docs_flagged_exact,
+           docs_false_pos,
+           CAST(CASE WHEN n_train_docs = docs_flagged_exact THEN 0
+             ELSE docs_false_pos * 1000000 // (n_train_docs - docs_flagged_exact)
+             END AS BIGINT) AS doc_fpr_ppm
+    FROM bstat CROSS JOIN estat CROSS JOIN gstat CROSS JOIN dstat"""
 }

@@ -1338,4 +1338,30 @@ class DedupSimilaritySpec extends SparkSpec {
         s"pair $t norm_a diverged")
     }
   }
+
+  test("bloomDecontaminate: one-sided error, exact arm agrees with q49") {
+    val r = Dedup.bloomDecontaminate(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // Bloom's defining contract: NO false negatives, ever
+    assert(row.getAs[Long]("gram_missed_by_bloom") == 0L,
+      "a Bloom filter must never miss a genuinely contaminated gram")
+    // verdict containment at both granularities
+    assert(row.getAs[Long]("gram_hits_bloom") >= row.getAs[Long]("gram_hits_exact"))
+    assert(row.getAs[Long]("docs_flagged_bloom") >= row.getAs[Long]("docs_flagged_exact"))
+    assert(row.getAs[Long]("gram_false_pos") ==
+      row.getAs[Long]("gram_hits_bloom") - row.getAs[Long]("gram_hits_exact"))
+    // bitset accounting: can't set more bits than probes inserted, nor m
+    assert(row.getAs[Long]("n_bits_set") <=
+      math.min(16384L, row.getAs[Long]("n_eval_grams") * 3L))
+    assert(row.getAs[Long]("fill_ppm") ==
+      row.getAs[Long]("n_bits_set") * 1000000L / 16384L)
+    // the exact arm IS q49: same grams, same split, independent plan
+    val q49 = Dedup.decontaminate(spark, sfDir).collect()
+    assert(row.getAs[Long]("docs_flagged_exact") == q49.length.toLong,
+      "exact doc flags must match the q49 semi-join replay")
+    assert(row.getAs[Long]("gram_hits_exact") ==
+      q49.map(_.getAs[Long]("n_shared_grams")).sum,
+      "exact gram hits must match q49's per-doc shared-gram totals")
+  }
 }

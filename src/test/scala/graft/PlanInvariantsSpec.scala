@@ -91,7 +91,13 @@ class PlanInvariantsSpec extends SparkSpec {
     "qac_kaplan_meier" -> "1-row study-end aggregate broadcast onto the per-user duration frame",
     "qad_permutation_test" -> "1-row observed-assignment aggregate broadcast onto the 32-row replicate table",
     "qae_layout_advisor" -> "1-row max-key aggregates broadcast onto the scan + 40-row probe block joined to the 48-row span table (both bounded)",
-    "qai_effective_mass" -> "q57's 1-row CC fixpoint probe (the rollup rides duplicateComponents machinery)")
+    "qai_effective_mass" -> "q57's 1-row CC fixpoint probe (the rollup rides duplicateComponents machinery)",
+    "qav_edit_join" -> "tiny-string branch: length<=q*d+q-1 names self-join — an alphabet-bounded set at any corpus scale (the main branch is an equi-join on (gram, occ))",
+    "qax_maxsim_topk" -> "broadcast(8-row query-vector block) — the q6c pattern over token-level vectors",
+    "qay_stream_temporal_join" -> "1-row one-version-per-event audit aggregate broadcast onto the sink readback",
+    "qaz_skipping_manifest" -> "broadcast(literal probe frame, 4 rows) x |shards|-row manifest — both sides bounded by construction",
+    "qb0_jl_projection" -> "1-row jl_ok audit aggregate broadcast onto the 3-row pair frame",
+    "qb2_bloom_decontamination" -> "four 1-row stat aggregates broadcast-crossed into the single graded row (q8q pattern)")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
