@@ -1634,4 +1634,103 @@ object Text {
            CAST(floor(CAST(sum(n * abs(conf_ppm - pos_ppm)) OVER ()
              AS DOUBLE) / sum(n) OVER ()) AS BIGINT) AS ece_ppm
     FROM r ORDER BY bin"""
+
+  /** qb3: INVERTED-INDEX CONJUNCTIVE SEARCH — the keyword-AND query
+    * every retrieval stack answers from a term→postings index, run the
+    * way a cost-based executor would: intersect posting lists
+    * RAREST-FIRST, because the running candidate set can only shrink
+    * and starting from the smallest list bounds every later step by
+    * min(df). The graded rows ARE the execution trace: one row per
+    * intersection step carrying the step's term, its df (posting-list
+    * length), and the cumulative candidate count — so the
+    * monotone-shrink property and the rarest-first payoff (step 1
+    * collapses |corpus| to df_min candidates) are hash-checked, not
+    * asserted. Final answer rides every row as n_results plus a
+    * doc_id-sum checksum of the actual result set.
+    *
+    * Scale shape: the postings build is ONE distinct-explode +
+    * hash aggregate (term, doc_id) — the index table a 100 TB corpus
+    * stores bucketed by term; the query touches ONLY the |q| query
+    * terms' postings via an `isin` pushdown (partition pruning on a
+    * term-bucketed index), never a full-corpus scan per term. The
+    * step spine is |q| rows; ranks come from a |q|-row window (tiny
+    * by construction). The cumulative intersection is ONE step-tagged
+    * aggregate over the ≤ |q|·df_max posting rows — no iterative
+    * driver loop, all |q| prefixes graded in one job. */
+  def invertedIndexQuery(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Seq("dup", "vector", "batch")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nq = queryTerms.length
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .where(col("term").isin(queryTerms.map(_.toString): _*))
+    // |q|-row df frame: LEFT join from the literal query-term spine so
+    // a zero-df term still ranks (and empties every later step)
+    val spine = spark.createDataFrame(
+      queryTerms.map(Tuple1(_))).toDF("term")
+    val dfs = spine.join(
+        postings.groupBy("term").agg(count(lit(1)).as("df")),
+        Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+    // rarest-first rank; the window runs over the |q|-row frame only
+    val ranked = dfs.withColumn("step",
+      row_number().over(Window.orderBy(col("df"), col("term"))))
+    // a doc survives step s iff it holds ALL terms ranked <= s: tag
+    // each posting with its term's rank, fan each out to every step
+    // >= rank (bounded by |q|), and keep (doc, step) groups of size s
+    val stepsArr = array((1 to nq).map(s => lit(s)): _*)
+    val survivors = postings
+      .join(broadcast(ranked.select("term", "step")), Seq("term"))
+      .select(col("doc_id"), explode(stepsArr).as("s"), col("step"))
+      .where(col("step") <= col("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("n_held"))
+      .where(col("n_held") === col("s"))
+    val perStep = survivors.groupBy(col("s").as("step"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val finals = survivors.where(col("s") === nq)
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum("doc_id"), lit(0L)).as("result_checksum"))
+    ranked.join(broadcast(perStep), Seq("step"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .crossJoin(broadcast(finals))
+      .select(col("step").cast("long").as("step"), col("term"), col("df"),
+        col("n_candidates"), col("n_results"), col("result_checksum"))
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of [[invertedIndexQuery]]: same postings, same
+    * (df, term) rarest-first ranks, same cumulative intersection. */
+  def invertedIndexQueryOracle: String = """
+    WITH p AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents),
+    q AS (SELECT unnest(['dup', 'vector', 'batch']) AS term),
+    qp AS (SELECT p.doc_id, p.term FROM p JOIN q USING (term)),
+    dfs AS (
+      SELECT q.term, CAST(count(qp.doc_id) AS BIGINT) AS df
+      FROM q LEFT JOIN qp USING (term) GROUP BY 1),
+    ranked AS (
+      SELECT term, df,
+             CAST(row_number() OVER (ORDER BY df, term) AS BIGINT) AS step
+      FROM dfs),
+    steps AS (SELECT unnest([1, 2, 3]) AS s),
+    surv AS (
+      SELECT qp.doc_id, steps.s
+      FROM qp JOIN ranked USING (term) JOIN steps ON ranked.step <= steps.s
+      GROUP BY 1, 2
+      HAVING count(1) = s),
+    per_step AS (
+      SELECT s AS step, CAST(count(1) AS BIGINT) AS n_candidates
+      FROM surv GROUP BY 1),
+    fin AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_results,
+             CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS result_checksum
+      FROM surv WHERE s = 3)
+    SELECT ranked.step, ranked.term, ranked.df,
+           CAST(coalesce(per_step.n_candidates, 0) AS BIGINT) AS n_candidates,
+           fin.n_results, fin.result_checksum
+    FROM ranked LEFT JOIN per_step USING (step) CROSS JOIN fin
+    ORDER BY step"""
 }

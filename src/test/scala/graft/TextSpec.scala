@@ -678,4 +678,31 @@ class TextSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_total") == nTotal)
     assert(rows.head.getAs[Long]("ece_ppm") == ece, "ECE replay diverged")
   }
+
+  test("invertedIndexQuery: rarest-first trace shrinks monotonically and matches a direct AND scan") {
+    val terms = Seq("dup", "vector", "batch")
+    val rows = Text.invertedIndexQuery(spark, sfDir, terms).collect()
+    assert(rows.length == terms.length)
+    // ranks are rarest-first and the candidate trace can only shrink
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a <= b },
+      "steps must be ordered by ascending df")
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      "adding a conjunct can only shrink the candidate set")
+    // step 1 IS the rarest posting list; the answer rides every row
+    assert(cands.head == dfs.head)
+    assert(rows.map(_.getAs[Long]("n_results")).distinct.toSeq ==
+      Seq(cands.last))
+    // ground truth: a direct contains-all-terms corpus scan
+    val truth = graft.Tables.documents(spark, sfDir)
+      .where(terms.map(t =>
+        org.apache.spark.sql.functions.array_contains(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), t))
+        .reduce(_ && _))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.head.getAs[Long]("n_results") == truth.length.toLong)
+    assert(rows.head.getAs[Long]("result_checksum") == truth.sum)
+  }
 }
