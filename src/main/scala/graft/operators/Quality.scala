@@ -3058,4 +3058,127 @@ object Quality {
            n_orders_raw, okey_sum_raw, n_orders_tok, okey_sum_tok
     FROM ca JOIN raw ON ca.seg = raw.seg JOIN vt ON ca.seg = vt.seg
     ORDER BY ca.seg"""
+
+  /** qb4: RIGHT-TO-BE-FORGOTTEN CASCADE — the deletion-propagation
+    * audit a data-governance pipeline runs when a tombstone list of
+    * subjects must be erased from EVERY table that derives from them:
+    * customers on the list go, their orders go with them, and the
+    * line items of those orders go in turn. One graded row per level
+    * of the FK chain reports before/removed/after row counts, the
+    * erased monetary value, and — the compliance half — an
+    * ORPHAN COUNT after deletion: surviving orders must all still
+    * have a surviving customer and surviving line items a surviving
+    * order (both 0, proving the cascade removed exactly the closure,
+    * no more, no less).
+    *
+    * Cascade membership comes from the tombstone LIST via joins, not
+    * from re-evaluating the tombstone predicate downstream — in
+    * production the list is arbitrary (user requests), and only the
+    * root level knows why a key is on it. Each level is ONE left join
+    * producing a removal flag (removed/after aggregates read the same
+    * frame), so the cascade costs one join per FK edge; the orphan
+    * audits are anti-joins against the surviving parents. Value sums
+    * are per-row integer cents (round at the row, sum as BIGINT) so
+    * the audit is exact and engine-portable — never a float total.
+    * At 100 TB each join keys on the child's FK (shuffle or runtime-
+    * filtered by AQE); nothing here collects or broadcasts the fact
+    * side. */
+  def rtbfCascade(spark: SparkSession, dir: String,
+      tombMod: Long = 97L): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val tomb = cust.where(col("c_custkey") % tombMod === 0L)
+      .select(col("c_custkey").as("tk"))
+    def cents(c: Column): Column =
+      sum(round(c * 100d).cast("long")).as("removed_value_c")
+
+    val custFlag = cust.join(tomb, col("c_custkey") === col("tk"), "left")
+      .withColumn("gone", col("tk").isNotNull)
+    val ordFlag = ord.join(tomb, col("o_custkey") === col("tk"), "left")
+      .withColumn("gone", col("tk").isNotNull)
+    val liFlag = li.join(
+        ordFlag.where(col("gone")).select(col("o_orderkey").as("rk")),
+        col("l_orderkey") === col("rk"), "left")
+      .withColumn("gone", col("rk").isNotNull)
+
+    val ordOrphans = ordFlag.where(!col("gone"))
+      .join(custFlag.where(!col("gone")).select(col("c_custkey").as("ck")),
+        col("o_custkey") === col("ck"), "left_anti")
+      .agg(count(lit(1)).as("orphans_after"))
+    val liOrphans = liFlag.where(!col("gone"))
+      .join(ordFlag.where(!col("gone")).select(col("o_orderkey").as("ok")),
+        col("l_orderkey") === col("ok"), "left_anti")
+      .agg(count(lit(1)).as("orphans_after"))
+
+    def level(flagged: DataFrame, name: String, value: Column,
+        orphans: DataFrame): DataFrame =
+      flagged.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("gone"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("gone"), 0L).otherwise(1L)).as("n_after"),
+          cents(when(col("gone"), value).otherwise(lit(0d))))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("entity"), col("n_before"), col("n_removed"),
+          col("n_after"), col("removed_value_c"), col("orphans_after"))
+
+    val zeroOrphans = spark.range(1).select(lit(0L).as("orphans_after"))
+    level(custFlag, "customer", col("c_acctbal"), zeroOrphans)
+      .unionAll(level(ordFlag, "orders", col("o_totalprice"), ordOrphans))
+      .unionAll(level(liFlag, "lineitem", col("l_extendedprice"), liOrphans))
+      .orderBy("entity")
+  }
+
+  /** DuckDB replay of [[rtbfCascade]]: same tombstone list, same FK
+    * closure, same per-row-cents value accounting, same orphan audit. */
+  def rtbfCascadeOracle: String = """
+    WITH tomb AS (
+      SELECT c_custkey AS tk FROM customer WHERE c_custkey % 97 = 0),
+    cf AS (
+      SELECT c_custkey, c_acctbal, tk IS NOT NULL AS gone
+      FROM customer LEFT JOIN tomb ON c_custkey = tk),
+    ofl AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, tk IS NOT NULL AS gone
+      FROM orders LEFT JOIN tomb ON o_custkey = tk),
+    lf AS (
+      SELECT l.l_orderkey, l.l_extendedprice, r.rk IS NOT NULL AS gone
+      FROM lineitem l LEFT JOIN
+        (SELECT o_orderkey AS rk FROM ofl WHERE gone) r
+        ON l.l_orderkey = r.rk),
+    oo AS (
+      SELECT CAST(count(1) AS BIGINT) AS orphans_after
+      FROM ofl WHERE NOT gone AND o_custkey NOT IN
+        (SELECT c_custkey FROM cf WHERE NOT gone)),
+    lo AS (
+      SELECT CAST(count(1) AS BIGINT) AS orphans_after
+      FROM lf WHERE NOT gone AND l_orderkey NOT IN
+        (SELECT o_orderkey FROM ofl WHERE NOT gone)),
+    lvl AS (
+      SELECT 'customer' AS entity,
+             CAST(count(1) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN gone THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+             CAST(sum(CASE WHEN gone THEN CAST(round(c_acctbal * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS removed_value_c,
+             CAST(0 AS BIGINT) AS orphans_after
+      FROM cf
+      UNION ALL
+      SELECT 'orders',
+             CAST(count(1) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN 0 ELSE 1 END) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN CAST(round(o_totalprice * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT),
+             (SELECT orphans_after FROM oo)
+      FROM ofl
+      UNION ALL
+      SELECT 'lineitem',
+             CAST(count(1) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN 0 ELSE 1 END) AS BIGINT),
+             CAST(sum(CASE WHEN gone THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+               ELSE 0 END) AS BIGINT),
+             (SELECT orphans_after FROM lo)
+      FROM lf)
+    SELECT * FROM lvl ORDER BY entity"""
 }

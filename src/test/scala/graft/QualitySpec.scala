@@ -1704,4 +1704,28 @@ class QualitySpec extends SparkSpec {
       .distinct().count()
     assert(distinctToks == 50000L, "Lehmer map is not injective on range")
   }
+
+  test("rtbfCascade: closure counts replay exactly and no orphans survive") {
+    val rows = Quality.rtbfCascade(spark, sfDir).collect()
+      .map(r => r.getAs[String]("entity") -> r).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_before") ==
+        r.getAs[Long]("n_removed") + r.getAs[Long]("n_after"),
+        s"row conservation broken for ${r.getAs[String]("entity")}")
+      assert(r.getAs[Long]("orphans_after") == 0L,
+        s"cascade left orphans in ${r.getAs[String]("entity")}")
+    }
+    // independent closure replay: tombstones -> their orders -> items
+    val tombs = graft.Tables.customer(spark, sfDir)
+      .where(col("c_custkey") % 97 === 0).select("c_custkey")
+    val tombOrders = graft.Tables.orders(spark, sfDir)
+      .join(tombs, col("o_custkey") === col("c_custkey"), "left_semi")
+    val tombItems = graft.Tables.lineitem(spark, sfDir)
+      .join(tombOrders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(rows("customer").getAs[Long]("n_removed") == tombs.count())
+    assert(rows("orders").getAs[Long]("n_removed") == tombOrders.count())
+    assert(rows("lineitem").getAs[Long]("n_removed") == tombItems.count())
+  }
 }
