@@ -310,6 +310,7 @@ object SparkEntry {
     "qb2_bloom_decontamination" -> ((s: SparkSession, d: String) => Dedup.bloomDecontaminate(s, d)),
     "qb3_inverted_index"    -> ((s: SparkSession, d: String) => Text.invertedIndexQuery(s, d)),
     "qb4_rtbf_cascade"      -> ((s: SparkSession, d: String) => Quality.rtbfCascade(s, d)),
+    "qb5_priority_sample"   -> ((s: SparkSession, d: String) => Curation.prioritySample(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -878,6 +879,7 @@ object SparkEntry {
     "qb2_bloom_decontamination" -> Dedup.bloomDecontaminateOracle,
     "qb3_inverted_index"     -> Text.invertedIndexQueryOracle,
     "qb4_rtbf_cascade"       -> Quality.rtbfCascadeOracle,
+    "qb5_priority_sample"    -> Curation.prioritySampleOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

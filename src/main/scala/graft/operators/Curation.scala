@@ -1868,4 +1868,96 @@ object Curation {
            CAST(sum(n_chars) AS BIGINT) AS chars,
            CAST(sum(pos * doc_id) AS BIGINT) AS perm_checksum
     FROM p GROUP BY shard ORDER BY shard"""
+
+  /** qb5: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007) — the
+    * weighted fixed-size sample whose subset-sum estimator is provably
+    * unbiased: each row draws priority p_i = w_i / u_i (u_i the
+    * deterministic per-row Lehmer uniform), the k highest-priority
+    * rows are kept, τ is the (k+1)-th priority, and any subset's
+    * weight is estimated by Σ max(w_i, τ) over its sampled members —
+    * E[estimate] = Σ w_i exactly, with near-optimal variance among
+    * k-sample schemes. This is how a 100 TB warehouse answers
+    * arbitrary slice totals from a kilobyte sample: the graded rows
+    * estimate per-returnflag revenue from the k=300 sample next to
+    * the exact totals, with the realized error in ppm — the
+    * variance the theorem trades for the 200× data reduction,
+    * measured rather than asserted.
+    *
+    * Scale shape: the only non-narrow steps are TWO distributed
+    * top-(k+1) selections (`orderBy(...).limit(...)` plans as
+    * TakeOrderedAndProject — per-partition heaps merged on the
+    * driver, never a global sort or single-partition window) and the
+    * per-group aggregates. The estimator sums per-row integer cents
+    * AFTER the max(w, τ) clamp, so the graded numbers are exact
+    * integers in both engines — float only inside the (bit-identical
+    * IEEE) priority division. Sampling is replayable because u_i
+    * rides the q46 Lehmer gate on the packed row id, not a session
+    * RNG. */
+  def prioritySample(spark: SparkSession, dir: String,
+      k: Int = 300): DataFrame = {
+    // packed unique row id: l_linenumber <= 7 in TPC-H, and +1 keeps
+    // the id off the Lehmer fixed point at 0
+    val rid = (col("l_orderkey") * 8L + col("l_linenumber") + 1L)
+    val pri = Tables.lineitem(spark, dir)
+      .select(rid.as("rid"), col("l_returnflag"),
+        col("l_extendedprice").as("w"))
+      .withColumn("u",
+        (pmod(col("rid"), lit(LehmerM)) * lit(48271L) % lit(LehmerM)
+          * lit(48271L) % lit(LehmerM) + 1L).cast("double")
+          / lit(LehmerM.toDouble + 1.0))
+      .withColumn("p", col("w") / col("u"))
+    // distributed top-(k+1): per-partition heaps, driver merge
+    val topK1 = pri.orderBy(desc("p"), col("rid")).limit(k + 1)
+    val tau = topK1.agg(min("p").as("tau"))
+    val sample = pri.orderBy(desc("p"), col("rid")).limit(k)
+    val est = sample.crossJoin(broadcast(tau))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(round(greatest(col("w"), col("tau")) * 100d).cast("long"))
+          .as("est_c"))
+    val exact = pri.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("w") * 100d).cast("long")).as("exact_c"))
+    exact.join(est, Seq("l_returnflag"), "left")
+      .na.fill(0L, Seq("n_sampled", "est_c"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_sampled"),
+        col("exact_c"), col("est_c"),
+        expr("abs(est_c - exact_c) * 1000000 div exact_c").as("err_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[prioritySample]]: same packed ids, same
+    * Lehmer uniforms, same priorities, same τ, same cents-clamped
+    * estimator. */
+  def prioritySampleOracle: String = """
+    WITH pri AS (
+      SELECT l_returnflag, l_extendedprice AS w,
+             l_orderkey * 8 + l_linenumber + 1 AS rid,
+             l_extendedprice /
+               (((l_orderkey * 8 + l_linenumber + 1) % 2147483647
+                 * 48271 % 2147483647 * 48271 % 2147483647 + 1)
+                / (2147483647.0 + 1.0)) AS p
+      FROM lineitem),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p DESC, rid) AS rk FROM pri),
+    tau AS (SELECT p AS tau FROM ranked WHERE rk = 301),
+    est AS (
+      SELECT l_returnflag,
+             CAST(count(1) AS BIGINT) AS n_sampled,
+             CAST(sum(CAST(round(greatest(w, tau.tau) * 100) AS BIGINT))
+               AS BIGINT) AS est_c
+      FROM ranked CROSS JOIN tau WHERE rk <= 300 GROUP BY 1),
+    exact AS (
+      SELECT l_returnflag,
+             CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(w * 100) AS BIGINT)) AS BIGINT) AS exact_c
+      FROM pri GROUP BY 1)
+    SELECT exact.l_returnflag, n_rows,
+           CAST(coalesce(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+           exact_c,
+           CAST(coalesce(est.est_c, 0) AS BIGINT) AS est_c,
+           abs(CAST(coalesce(est.est_c, 0) AS BIGINT) - exact_c) * 1000000
+             // exact_c AS err_ppm
+    FROM exact LEFT JOIN est USING (l_returnflag)
+    ORDER BY l_returnflag"""
 }

@@ -773,4 +773,28 @@ class CurationSpec extends SparkSpec {
     val again = Curation.epochShuffle(spark, sfDir).collect()
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
+
+  test("prioritySample: k rows total, estimator lands near the truth") {
+    val rows = Curation.prioritySample(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum == 300L,
+      "the sample is exactly k rows across all slices")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      graft.Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_c") > 0L)
+      assert(r.getAs[Long]("err_ppm") ==
+        math.abs(r.getAs[Long]("est_c") - r.getAs[Long]("exact_c"))
+          * 1000000L / r.getAs[Long]("exact_c"))
+    }
+    // per-slice variance is real (k/3 draws each) but the grand total
+    // pools all k draws: the DLT estimator should land within a few %
+    val est = rows.map(_.getAs[Long]("est_c")).sum
+    val exact = rows.map(_.getAs[Long]("exact_c")).sum
+    assert(math.abs(est - exact) * 100L / exact < 10L,
+      s"grand-total estimate off by more than 10%: est=$est exact=$exact")
+    // determinism: Lehmer uniforms, not a session RNG
+    val again = Curation.prioritySample(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }
