@@ -311,6 +311,7 @@ object SparkEntry {
     "qb3_inverted_index"    -> ((s: SparkSession, d: String) => Text.invertedIndexQuery(s, d)),
     "qb4_rtbf_cascade"      -> ((s: SparkSession, d: String) => Quality.rtbfCascade(s, d)),
     "qb5_priority_sample"   -> ((s: SparkSession, d: String) => Curation.prioritySample(s, d)),
+    "qb6_variant_shred"     -> ((s: SparkSession, d: String) => Relational.variantShred(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -880,6 +881,7 @@ object SparkEntry {
     "qb3_inverted_index"     -> Text.invertedIndexQueryOracle,
     "qb4_rtbf_cascade"       -> Quality.rtbfCascadeOracle,
     "qb5_priority_sample"    -> Curation.prioritySampleOracle,
+    "qb6_variant_shred"      -> Relational.variantShredOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -334,4 +334,26 @@ class RelationalSpec extends SparkSpec {
     assert(observed.queryExecution.analyzed.toString.contains("CollectMetrics"),
       "observe must introduce a CollectMetrics node")
   }
+
+  test("variantShred: paths partition cleanly by payload shape, k round-trips") {
+    val rows = Relational.variantShred(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, r) =>
+      val n = r.getAs[Long]("n")
+      // the contract path survives the variant round trip on EVERY row
+      assert(r.getAs[Long]("n_k_roundtrip") == n,
+        s"$et: k in != k out through the variant")
+      // shape-dependent paths exist exactly where the shape says
+      assert(r.getAs[Long]("n_pos") == (if (et == "click") n else 0L))
+      assert(r.getAs[Long]("n_code") == (if (et == "error") n else 0L))
+      assert(r.getAs[Long]("n_tag_roundtrip") ==
+        (if (et == "click" || et == "error") 0L else n))
+      if (et == "error")
+        assert(r.getAs[Long]("n_fatal") > 0L &&
+          r.getAs[Long]("n_fatal") < n, "fatal must split the error rows")
+    }
+    assert(rows.values.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.events(spark, sfDir).count())
+  }
 }
