@@ -312,6 +312,7 @@ object SparkEntry {
     "qb4_rtbf_cascade"      -> ((s: SparkSession, d: String) => Quality.rtbfCascade(s, d)),
     "qb5_priority_sample"   -> ((s: SparkSession, d: String) => Curation.prioritySample(s, d)),
     "qb6_variant_shred"     -> ((s: SparkSession, d: String) => Relational.variantShred(s, d)),
+    "qb7_markov_attribution" -> ((s: SparkSession, d: String) => TimeSeries.markovAttribution(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -882,6 +883,7 @@ object SparkEntry {
     "qb4_rtbf_cascade"       -> Quality.rtbfCascadeOracle,
     "qb5_priority_sample"    -> Curation.prioritySampleOracle,
     "qb6_variant_shred"      -> Relational.variantShredOracle,
+    "qb7_markov_attribution" -> TimeSeries.markovAttributionOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

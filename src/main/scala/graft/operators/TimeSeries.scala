@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -844,4 +844,211 @@ object TimeSeries {
            CAST(floor(CAST(sum_w_e6 AS DOUBLE) * 1e6 / w_tot + 0.5) AS BIGINT)
              AS w_share_ppm
     FROM s ORDER BY event_type"""
+
+  /** qb7: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    * model-based sibling of q3u's rule-based credit split: user
+    * journeys become paths through a first-order Markov chain over
+    * channel states (start → touches → conv/null, journeys truncated
+    * at the FIRST purchase), and a channel's credit is its REMOVAL
+    * EFFECT — how much the start→conv absorption probability drops
+    * when every transition into that channel is redirected to null.
+    * Unlike last-touch/linear rules this prices a channel by its
+    * position in the whole traffic graph: a channel nothing converts
+    * through directly can still carry attribution by feeding the ones
+    * that do.
+    *
+    * Scale split: journey assembly and transition counting are the
+    * 100 TB part and stay fully distributed (one window over
+    * user-partitioned events, one hash aggregate); what reaches the
+    * driver is the ≤|channels+3|² PROBABILITY MATRIX — enum-bounded
+    * like the R-05 vocabulary, `require`-capped. The absorption
+    * probabilities come from `iters` fixed-point sweeps over that
+    * matrix in EXACT INTEGER arithmetic (probabilities in e6, state
+    * values in e12, floor division each step) so the oracle's
+    * recursive-CTE replay is bit-identical — no float summation-order
+    * hazard. e6·e12 products bound the state count at 9 for 64-bit
+    * safety (`require`d; real channel vocabularies are enum-sized). */
+  def markovAttribution(spark: SparkSession, dir: String,
+      iters: Int = 24): DataFrame = {
+    val E12 = 1000000000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val firstP = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"))).as("fp"))
+    val kept = ev.join(firstP, Seq("user_id"), "left")
+      .where(col("fp").isNull ||
+        col("us") < col("fp.us") ||
+        (col("us") === col("fp.us") && col("event_id") <= col("fp.event_id")))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val seq0 = kept
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+    def toDst(c: Column): Column =
+      when(c === "purchase", lit("conv")).otherwise(c)
+    val fromStart = seq0.where(col("rn") === 1)
+      .select(lit("start").as("src"), toDst(col("event_type")).as("dst"))
+    val mid = seq0.where(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        coalesce(toDst(col("nxt")), lit("null")).as("dst"))
+    val probs = fromStart.unionByName(mid)
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .withColumn("pe6", expr(
+        "cnt * 1000000 div sum(cnt) OVER (PARTITION BY src)"))
+    // enum-bounded driver matrix (R-05 doctrine): channels are event
+    // types, so the collect is |states|^2 rows, require-capped
+    val cells = probs.select("src", "dst", "pe6").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = cells.flatMap(c => Seq(c._1, c._2))
+      .filter(s => s != "start" && s != "conv" && s != "null")
+      .distinct.sorted.toSeq
+    val states = ("start" +: channels) ++ Seq("conv", "null")
+    val m = states.length
+    require(m <= 9, s"e6*e12 fixed point is 64-bit-safe to 9 states, got $m")
+    val idx = states.zipWithIndex.toMap
+    val (startI, convI, nullI) = (idx("start"), idx("conv"), idx("null"))
+    def solve(removed: Option[String]): Long = {
+      val mat = Array.ofDim[Long](m, m)
+      cells.foreach { case (s, d, p) =>
+        val dd = if (removed.contains(d)) nullI else idx(d)
+        mat(idx(s))(dd) += p
+      }
+      var p = Array.tabulate(m)(i => if (i == convI) E12 else 0L)
+      (1 to iters).foreach { _ =>
+        p = Array.tabulate(m) { s =>
+          if (s == convI) E12
+          else if (s == nullI) 0L
+          else {
+            var acc = 0L
+            var d = 0
+            while (d < m) { acc += mat(s)(d) * p(d); d += 1 }
+            acc / 1000000L
+          }
+        }
+      }
+      p(startI)
+    }
+    val base = solve(None)
+    val perChan = channels.map { c =>
+      val prem = solve(Some(c))
+      val re = math.max(0L, base - prem) * 1000000L / math.max(base, 1L)
+      (c, base / 1000000L, prem / 1000000L, re)
+    }
+    val reSum = math.max(perChan.map(_._4).sum, 1L)
+    import spark.implicits._
+    perChan.map { case (c, b, pr, re) =>
+      (c, b, pr, re, re * 1000000L / reSum)
+    }.toDF("channel", "p_base_e6", "p_removed_e6",
+      "removal_effect_ppm", "attribution_ppm")
+      .orderBy("channel")
+  }
+
+  /** DuckDB replay of [[markovAttribution]]: same journeys, same
+    * transition probabilities (e6 floor), same redirect-to-null
+    * removal, same 24 integer fixed-point sweeps via a recursive CTE
+    * carrying the state vector as a list. */
+  def markovAttributionOracle: String = """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    fp AS (
+      SELECT user_id, us AS fus, event_id AS fid FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY us, event_id) AS prn
+        FROM ev WHERE event_type = 'purchase') WHERE prn = 1),
+    kept AS (
+      SELECT e.user_id, e.event_id, e.event_type, e.us
+      FROM ev e LEFT JOIN fp USING (user_id)
+      WHERE fus IS NULL OR e.us < fus
+         OR (e.us = fus AND e.event_id <= fid)),
+    sq AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          AS nxt
+      FROM kept),
+    tr AS (
+      SELECT 'start' AS src,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+               ELSE event_type END AS dst
+      FROM sq WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             coalesce(CASE WHEN nxt = 'purchase' THEN 'conv' ELSE nxt END,
+               'null')
+      FROM sq WHERE event_type <> 'purchase'),
+    probs AS (
+      SELECT src, dst,
+             CAST(count(1) * 1000000 //
+               sum(count(1)) OVER (PARTITION BY src) AS BIGINT) AS pe6
+      FROM tr GROUP BY 1, 2),
+    chan AS (
+      SELECT DISTINCT st FROM (
+        SELECT src AS st FROM probs UNION SELECT dst FROM probs)
+      WHERE st NOT IN ('start', 'conv', 'null')),
+    states AS (
+      SELECT st, CAST(row_number() OVER (ORDER BY k, st) - 1 AS BIGINT)
+        AS sidx
+      FROM (SELECT 'start' AS st, 0 AS k
+            UNION ALL SELECT st, 1 FROM chan
+            UNION ALL SELECT 'conv', 2
+            UNION ALL SELECT 'null', 3)),
+    dims AS (
+      SELECT CAST(count(1) AS BIGINT) AS m,
+             (SELECT sidx FROM states WHERE st = 'start') AS si,
+             (SELECT sidx FROM states WHERE st = 'conv') AS ci,
+             (SELECT sidx FROM states WHERE st = 'null') AS ni
+      FROM states),
+    scen AS (
+      SELECT 'none' AS scen, CAST(NULL AS VARCHAR) AS removed
+      UNION ALL SELECT st, st FROM chan),
+    cells AS (
+      SELECT scen.scen, si.sidx AS s, di.sidx AS d,
+             CAST(sum(pe6) AS BIGINT) AS pe6
+      FROM probs CROSS JOIN scen
+      JOIN states si ON probs.src = si.st
+      JOIN states di ON (CASE WHEN probs.dst = scen.removed THEN 'null'
+                         ELSE probs.dst END) = di.st
+      GROUP BY 1, 2, 3),
+    dense AS (
+      SELECT sc.scen, s.sidx AS s, d.sidx AS d,
+             CAST(coalesce(c.pe6, 0) AS BIGINT) AS pe6
+      FROM scen sc CROSS JOIN states s CROSS JOIN states d
+      LEFT JOIN cells c
+        ON c.scen = sc.scen AND c.s = s.sidx AND c.d = d.sidx),
+    rowsl AS (
+      SELECT scen, s, list(pe6 ORDER BY d) AS rw FROM dense GROUP BY 1, 2),
+    mats AS (
+      SELECT scen, list(rw ORDER BY s) AS mat FROM rowsl GROUP BY 1),
+    it AS (
+      SELECT scen, 0 AS i,
+             list_transform(range(dims.m), x ->
+               CAST(CASE WHEN x = dims.ci THEN 1000000000000
+                 ELSE 0 END AS BIGINT)) AS p
+      FROM mats, dims
+      UNION ALL
+      SELECT it.scen, i + 1,
+             list_transform(range(dims.m), s ->
+               CAST(CASE
+                 WHEN s = dims.ci THEN 1000000000000
+                 WHEN s = dims.ni THEN 0
+                 ELSE list_sum(list_transform(range(dims.m), d ->
+                   mat[s + 1][d + 1] * p[d + 1])) // 1000000
+               END AS BIGINT)) AS p
+      FROM it JOIN mats USING (scen), dims WHERE i < 24),
+    fin AS (
+      SELECT scen, p[dims.si + 1] AS pstart FROM it, dims WHERE i = 24),
+    base AS (SELECT pstart AS b FROM fin WHERE scen = 'none'),
+    res AS (
+      SELECT f.scen AS channel,
+             CAST(b // 1000000 AS BIGINT) AS p_base_e6,
+             CAST(pstart // 1000000 AS BIGINT) AS p_removed_e6,
+             CAST(greatest(b - pstart, 0) * 1000000 // greatest(b, 1)
+               AS BIGINT) AS removal_effect_ppm
+      FROM fin f CROSS JOIN base WHERE f.scen <> 'none')
+    SELECT channel, p_base_e6, p_removed_e6, removal_effect_ppm,
+           CAST(removal_effect_ppm * 1000000 //
+             greatest(sum(removal_effect_ppm) OVER (), 1) AS BIGINT)
+             AS attribution_ppm
+    FROM res ORDER BY channel"""
 }

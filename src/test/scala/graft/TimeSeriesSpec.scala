@@ -370,4 +370,28 @@ class TimeSeriesSpec extends SparkSpec {
           / (ctxN((a, b)).toDouble * labelN(l).toDouble) * 1e6 + 0.5).toLong)
     }
   }
+
+  test("markovAttribution: removal can only hurt, shares form a partition") {
+    val rows = TimeSeries.markovAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val base = rows.head.getAs[Long]("p_base_e6")
+    assert(base > 0L && base <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_base_e6") == base,
+        "base conversion probability must be identical on every row")
+      // redirecting a channel's inbound edges to null removes paths;
+      // it can never create conversion probability
+      assert(r.getAs[Long]("p_removed_e6") <= base,
+        s"${r.getAs[String]("channel")}: removal increased conversion")
+      assert(r.getAs[Long]("removal_effect_ppm") >= 0L)
+      assert(r.getAs[Long]("removal_effect_ppm") <= 1000000L)
+    }
+    // attribution shares partition 1e6 up to one floor loss per channel
+    val attSum = rows.map(_.getAs[Long]("attribution_ppm")).sum
+    assert(attSum <= 1000000L && attSum > 1000000L - rows.length,
+      s"attribution shares must sum to ~1e6, got $attSum")
+    // deterministic: the fixed point is integer arithmetic, no RNG
+    val again = TimeSeries.markovAttribution(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }
