@@ -313,6 +313,7 @@ object SparkEntry {
     "qb5_priority_sample"   -> ((s: SparkSession, d: String) => Curation.prioritySample(s, d)),
     "qb6_variant_shred"     -> ((s: SparkSession, d: String) => Relational.variantShred(s, d)),
     "qb7_markov_attribution" -> ((s: SparkSession, d: String) => TimeSeries.markovAttribution(s, d)),
+    "qb8_encoding_advisor"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.encodingAdvisor(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -884,6 +885,7 @@ object SparkEntry {
     "qb5_priority_sample"    -> Curation.prioritySampleOracle,
     "qb6_variant_shred"      -> Relational.variantShredOracle,
     "qb7_markov_attribution" -> TimeSeries.markovAttributionOracle,
+    "qb8_encoding_advisor"   -> graft.sources.Warehouse.encodingAdvisorOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1290,4 +1290,182 @@ object Warehouse {
            CAST(actual AS BIGINT) AS actual_rows,
            CAST(abs(est - actual) * 1000000 // actual AS BIGINT) AS err_ppm
     FROM rows_ ORDER BY join_name, estimator"""
+
+  /** qb8: ENCODING ADVISOR — the per-column storage-encoding decision
+    * a columnar writer makes at flush time (parquet's
+    * plain / dictionary / run-length choice), modeled from exactly the
+    * statistics that decision needs: row count, NDV, and the GLOBAL
+    * run count in storage order. Size models: plain = n·w;
+    * dict = ndv·w + n·ceil(log2 ndv)/8 (value table + bit-packed
+    * indexes, bit width from the binary-string length so no float
+    * log2 boundary hazard); RLE = runs·(w+4) (value + length per
+    * run). The graded rows carry all three estimates and the argmin
+    * advice — on the fixture the four lineitem columns split three
+    * ways (low-NDV enum → dict/RLE, clustered key → RLE, high-NDV
+    * measure → plain), which is the decision surface the advisor
+    * exists to read.
+    *
+    * The scale problem is the RUN COUNT: runs need consecutive-row
+    * comparison in storage order, and a naive global window is the
+    * single-partition anti-pattern. Here storage order is
+    * (l_orderkey, l_linenumber) with a near-dense orderkey (a gap
+    * just skips that one boundary comparison, identically in both
+    * engines), so the segmented scan is exact and fully parallel: within-segment
+    * changes ride a window PARTITIONED by orderkey, and
+    * cross-boundary changes come from equi-joining each order's
+    * first row to its predecessor's last row on ok = ok−1 (min_by /
+    * max_by per order, a |orders|-sized aggregate) — no global sort,
+    * no single partition. A non-dense key needs a range-partitioned
+    * segmented scan; the join trick is the dense-key specialization. */
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq( // (name, width bytes)
+      ("l_returnflag", 1L), ("l_quantity", 8L),
+      ("l_extendedprice", 8L), ("l_orderkey", 8L))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+    // storage order must be totalized: ordering by ALL profiled
+    // columns makes any residual tie a fully-identical row, whose
+    // position cannot change any adjacent-difference count
+    val ordCols = Seq("l_linenumber", "l_returnflag", "l_quantity",
+      "l_extendedprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy(ordCols.map(col): _*)
+    // within-segment value changes, all columns in one window pass
+    val within = li.select(cols.map { case (c, _) =>
+        when(lag(col(c), 1).over(w).isNotNull &&
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)
+          .as(s"chg_$c")
+      }: _*)
+      .agg(cols.map { case (c, _) =>
+        sum(col(s"chg_$c")).as(s"win_$c") }.head,
+        cols.tail.map { case (c, _) =>
+          sum(col(s"chg_$c")).as(s"win_$c") }: _*)
+    // per-segment first/last, then boundary changes via ok = ok-1 join
+    // first/last row per segment under the SAME total order: the
+    // min/max of the order-key struct, fields extracted after
+    val perOrder = li.groupBy("l_orderkey").agg(
+        min(struct(ordCols.map(col): _*)).as("f"),
+        max(struct(ordCols.map(col): _*)).as("l"))
+      .select(col("l_orderkey") +:
+        (cols.map { case (c, _) =>
+          col(if (c == "l_orderkey") "l_orderkey" else s"f.$c")
+            .as(s"first_$c") } ++
+         cols.map { case (c, _) =>
+          col(if (c == "l_orderkey") "l_orderkey" else s"l.$c")
+            .as(s"last_$c") }): _*)
+    val prev = perOrder.select(
+      (col("l_orderkey") + 1L).as("nk") +:
+      cols.map { case (c, _) => col(s"last_$c").as(s"plast_$c") }: _*)
+    val boundary = perOrder.join(prev, col("l_orderkey") === col("nk"))
+      .agg(cols.map { case (c, _) =>
+        sum(when(col(s"first_$c") =!= col(s"plast_$c"), 1L).otherwise(0L))
+          .as(s"bnd_$c") }.head,
+        cols.tail.map { case (c, _) =>
+          sum(when(col(s"first_$c") =!= col(s"plast_$c"), 1L).otherwise(0L))
+            .as(s"bnd_$c") }: _*)
+    val ndvs = li.agg(
+      count(lit(1)).as("n"),
+      cols.map { case (c, _) => countDistinct(col(c)).as(s"ndv_$c") }: _*)
+    val wide = ndvs.crossJoin(broadcast(within)).crossJoin(broadcast(boundary))
+    val stacked = cols.map { case (c, width) =>
+      wide.select(
+        lit(c).as("column_name"), lit(width).as("width_b"),
+        col("n"), col(s"ndv_$c").as("ndv"),
+        (lit(1L) + col(s"win_$c") + col(s"bnd_$c")).as("n_runs"))
+    }.reduce(_ unionAll _)
+    stacked
+      .withColumn("plain_b", col("n") * col("width_b"))
+      .withColumn("dict_b", col("ndv") * col("width_b") +
+        expr("n * length(bin(ndv - 1)) div 8"))
+      .withColumn("rle_b", col("n_runs") * (col("width_b") + 4L))
+      .withColumn("advised",
+        when(col("plain_b") <= col("dict_b") &&
+          col("plain_b") <= col("rle_b"), "plain")
+        .when(col("dict_b") <= col("rle_b"), "dict")
+        .otherwise("rle"))
+      .select("column_name", "n", "ndv", "n_runs", "plain_b", "dict_b",
+        "rle_b", "advised")
+      .orderBy("column_name")
+  }
+
+  /** DuckDB replay of [[encodingAdvisor]]: same segmented run count
+    * (window within orders + dense-key boundary join), same integer
+    * size models, same argmin tie order. */
+  def encodingAdvisorOracle: String = """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             l_extendedprice
+      FROM lineitem),
+    chg AS (
+      SELECT
+        CASE WHEN lag(l_returnflag) OVER w IS NOT NULL
+          AND lag(l_returnflag) OVER w <> l_returnflag THEN 1 ELSE 0 END AS c_rf,
+        CASE WHEN lag(l_quantity) OVER w IS NOT NULL
+          AND lag(l_quantity) OVER w <> l_quantity THEN 1 ELSE 0 END AS c_qty,
+        CASE WHEN lag(l_extendedprice) OVER w IS NOT NULL
+          AND lag(l_extendedprice) OVER w <> l_extendedprice THEN 1 ELSE 0 END AS c_ep,
+        CASE WHEN lag(l_orderkey) OVER w IS NOT NULL
+          AND lag(l_orderkey) OVER w <> l_orderkey THEN 1 ELSE 0 END AS c_ok
+      FROM li WINDOW w AS (PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_returnflag, l_quantity, l_extendedprice)),
+    within_ AS (
+      SELECT sum(c_rf) AS win_rf, sum(c_qty) AS win_qty,
+             sum(c_ep) AS win_ep, sum(c_ok) AS win_ok
+      FROM chg),
+    po AS (
+      SELECT l_orderkey,
+             min(struct_pack(l_linenumber := l_linenumber,
+               l_returnflag := l_returnflag, l_quantity := l_quantity,
+               l_extendedprice := l_extendedprice)) AS f,
+             max(struct_pack(l_linenumber := l_linenumber,
+               l_returnflag := l_returnflag, l_quantity := l_quantity,
+               l_extendedprice := l_extendedprice)) AS l,
+             l_orderkey AS f_ok, l_orderkey AS l_ok
+      FROM li GROUP BY 1),
+    pox AS (
+      SELECT l_orderkey,
+             f['l_returnflag'] AS f_rf, l['l_returnflag'] AS l_rf,
+             f['l_quantity'] AS f_qty, l['l_quantity'] AS l_qty,
+             f['l_extendedprice'] AS f_ep, l['l_extendedprice'] AS l_ep,
+             f_ok, l_ok
+      FROM po),
+    bnd AS (
+      SELECT
+        sum(CASE WHEN a.f_rf <> b.l_rf THEN 1 ELSE 0 END) AS bnd_rf,
+        sum(CASE WHEN a.f_qty <> b.l_qty THEN 1 ELSE 0 END) AS bnd_qty,
+        sum(CASE WHEN a.f_ep <> b.l_ep THEN 1 ELSE 0 END) AS bnd_ep,
+        sum(CASE WHEN a.f_ok <> b.l_ok THEN 1 ELSE 0 END) AS bnd_ok
+      FROM pox a JOIN pox b ON a.l_orderkey = b.l_orderkey + 1),
+    nd AS (
+      SELECT count(1) AS n,
+             count(DISTINCT l_returnflag) AS ndv_rf,
+             count(DISTINCT l_quantity) AS ndv_qty,
+             count(DISTINCT l_extendedprice) AS ndv_ep,
+             count(DISTINCT l_orderkey) AS ndv_ok
+      FROM li),
+    wide AS (SELECT * FROM nd CROSS JOIN within_ CROSS JOIN bnd),
+    stacked AS (
+      SELECT 'l_returnflag' AS column_name, 1 AS width_b, n, ndv_rf AS ndv,
+             1 + win_rf + bnd_rf AS n_runs FROM wide
+      UNION ALL
+      SELECT 'l_quantity', 8, n, ndv_qty, 1 + win_qty + bnd_qty FROM wide
+      UNION ALL
+      SELECT 'l_extendedprice', 8, n, ndv_ep, 1 + win_ep + bnd_ep FROM wide
+      UNION ALL
+      SELECT 'l_orderkey', 8, n, ndv_ok, 1 + win_ok + bnd_ok FROM wide),
+    est AS (
+      SELECT column_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+             CAST(n_runs AS BIGINT) AS n_runs,
+             CAST(n * width_b AS BIGINT) AS plain_b,
+             CAST(ndv * width_b + n * length(bin(ndv - 1)) // 8 AS BIGINT)
+               AS dict_b,
+             CAST(n_runs * (width_b + 4) AS BIGINT) AS rle_b
+      FROM stacked)
+    SELECT column_name, n, ndv, n_runs, plain_b, dict_b, rle_b,
+           CASE WHEN plain_b <= dict_b AND plain_b <= rle_b THEN 'plain'
+                WHEN dict_b <= rle_b THEN 'dict'
+                ELSE 'rle' END AS advised
+    FROM est ORDER BY column_name"""
 }

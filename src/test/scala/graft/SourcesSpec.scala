@@ -599,4 +599,32 @@ class SourcesSpec extends SparkSpec {
     assert(sink.agg(min("id"), max("id")).head() ==
       org.apache.spark.sql.Row(0L, 19999L))
   }
+
+  test("encodingAdvisor: size models replay and the advice is the argmin") {
+    val rows = graft.sources.Warehouse.encodingAdvisor(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (n, ndv, runs) = (r.getAs[Long]("n"), r.getAs[Long]("ndv"),
+        r.getAs[Long]("n_runs"))
+      // note runs can dip below ndv-1: an orderkey gap skips that
+      // boundary comparison by design (identically in both engines)
+      assert(ndv <= n && runs <= n && runs >= 1L,
+        s"${r.getAs[String]("column_name")}: stat ordering violated")
+      val w = if (r.getAs[String]("column_name") == "l_returnflag") 1L else 8L
+      assert(r.getAs[Long]("plain_b") == n * w)
+      val bits = java.lang.Long.toBinaryString(ndv - 1).length.toLong
+      assert(r.getAs[Long]("dict_b") == ndv * w + n * bits / 8L)
+      assert(r.getAs[Long]("rle_b") == runs * (w + 4L))
+      val best = Seq("plain" -> r.getAs[Long]("plain_b"),
+        "dict" -> r.getAs[Long]("dict_b"), "rle" -> r.getAs[Long]("rle_b"))
+      assert(best.find(_._1 == r.getAs[String]("advised")).get._2 ==
+        best.map(_._2).min, "advice must be the cheapest encoding")
+    }
+    // the fixture exercises the whole decision surface
+    val advice = rows.map(r =>
+      r.getAs[String]("column_name") -> r.getAs[String]("advised")).toMap
+    assert(advice("l_extendedprice") == "plain", "high-NDV measure")
+    assert(advice("l_orderkey") == "rle", "clustered key")
+    assert(advice("l_returnflag") == "dict", "low-NDV enum")
+  }
 }
