@@ -1051,4 +1051,101 @@ object TimeSeries {
              greatest(sum(removal_effect_ppm) OVER (), 1) AS BIGINT)
              AS attribution_ppm
     FROM res ORDER BY channel"""
+
+  /** qb9: EVENT-PATTERN MATCH — the CEP / MATCH_RECOGNIZE shape Spark
+    * has no native operator for (Flink CEP and Trino's
+    * MATCH_RECOGNIZE do): per pattern instance, "CLICK followed by
+    * PURCHASE within `tolUs`, with NO ERROR in between", evaluated for
+    * EVERY click (not first-touch per user — that's q3i's funnel).
+    * Semantics pinned for determinism: the purchase is the FIRST one
+    * strictly after the click inside the tolerance; the match is
+    * clean iff the first in-tolerance error (if any) lands after that
+    * purchase. Graded per day: clicks, matched, clean, and the summed
+    * click→purchase gap over clean matches (integer µs).
+    *
+    * Scale shape: the q3u bucket trick turns both "first X after t
+    * within tol" probes into EQUI joins — each click explodes to its
+    * two covering hour buckets (tol ≤ 1 h, `require`d) and joins
+    * purchases/errors on (user, bucket), so candidate fan-out is
+    * bounded by per-user-per-hour activity, never a full time-range
+    * cross join; per-click firsts are one hash aggregate each. At
+    * 100 TB this is two shuffles on (user, hour) plus the day rollup. */
+  def patternMatch(spark: SparkSession, dir: String,
+      tolUs: Long = 1800000000L): DataFrame =
+    patternMatchOf(Tables.events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"), col("event_id")),
+      tolUs)
+
+  /** Core of qb9 over any (user_id, us, event_type, event_id) frame,
+    * so specs can plant exact sequences around the negative
+    * condition. */
+  def patternMatchOf(ev: DataFrame, tolUs: Long): DataFrame = {
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    require(tolUs <= hourUs, "two-bucket cover needs tol <= 1 hour")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"),
+        col("event_id").as("cid"))
+    val clicksB = clicks.select(col("user_id"), col("c_us"), col("cid"),
+      explode(expr(s"array(c_us div $hourUs, c_us div $hourUs + 1)"))
+        .as("hb"))
+    def firstAfter(events: DataFrame, outCol: String): DataFrame =
+      clicksB.join(events, Seq("user_id", "hb"))
+        .where(col("t_us") > col("c_us") && col("t_us") <= col("c_us") + tolUs)
+        .groupBy("cid").agg(min("t_us").as(outCol))
+    def bucketed(et: String): DataFrame =
+      ev.where(col("event_type") === et)
+        .select(col("user_id"), col("us").as("t_us"),
+          expr(s"us div $hourUs").as("hb"))
+    val fp = firstAfter(bucketed("purchase"), "fp")
+    val fe = firstAfter(bucketed("error"), "fe")
+    clicks
+      .join(fp, Seq("cid"), "left")
+      .join(fe, Seq("cid"), "left")
+      .withColumn("clean",
+        col("fp").isNotNull && (col("fe").isNull || col("fe") > col("fp")))
+      .groupBy(expr(s"c_us div $dayUs").as("day"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        coalesce(sum(when(col("clean"), col("fp") - col("c_us"))), lit(0L))
+          .as("sum_gap_us"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[patternMatch]] — same firsts, same negative
+    * condition, no bucketing needed at oracle scale (bucketing only
+    * prunes candidates; the two-bucket cover is exact for tol ≤ 1 h,
+    * so the results agree by construction). */
+  def patternMatchOracle: String = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),
+    c AS (
+      SELECT user_id, us AS c_us, event_id AS cid
+      FROM ev WHERE event_type = 'click'),
+    fp AS (
+      SELECT cid, min(us) AS fp
+      FROM c JOIN ev USING (user_id)
+      WHERE event_type = 'purchase'
+        AND us > c_us AND us <= c_us + 1800000000
+      GROUP BY 1),
+    fe AS (
+      SELECT cid, min(us) AS fe
+      FROM c JOIN ev USING (user_id)
+      WHERE event_type = 'error'
+        AND us > c_us AND us <= c_us + 1800000000
+      GROUP BY 1),
+    j AS (
+      SELECT c.cid, c.c_us, fp.fp, fe.fe,
+             fp.fp IS NOT NULL AND (fe.fe IS NULL OR fe.fe > fp.fp) AS clean
+      FROM c LEFT JOIN fp USING (cid) LEFT JOIN fe USING (cid))
+    SELECT c_us // 86400000000 AS day,
+           CAST(count(1) AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(coalesce(sum(CASE WHEN clean THEN fp - c_us END), 0)
+             AS BIGINT) AS sum_gap_us
+    FROM j GROUP BY 1 ORDER BY 1"""
 }

@@ -394,4 +394,37 @@ class TimeSeriesSpec extends SparkSpec {
     val again = TimeSeries.markovAttribution(spark, sfDir).collect()
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
+
+  test("patternMatch: invariants hold; planted sequences pin the semantics") {
+    val rows = TimeSeries.patternMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, nm, ncl) = (r.getAs[Long]("n_clicks"),
+        r.getAs[Long]("n_matched"), r.getAs[Long]("n_clean"))
+      assert(ncl <= nm && nm <= nc)
+      assert(r.getAs[Long]("sum_gap_us") <= ncl * 1800000000L,
+        "every clean gap is inside the tolerance")
+    }
+    // planted single-user sequences, tol = 1000 us:
+    //  u1: click, purchase(+500)                    -> clean match
+    //  u2: click, error(+200), purchase(+500)       -> matched, dirty
+    //  u3: click, purchase(+500), error(+700)       -> clean (error after)
+    //  u4: click, purchase(+2000)                   -> no match (late)
+    import spark.implicits._
+    val planted = Seq(
+      (1L, 100L, "click", 1L), (1L, 600L, "purchase", 2L),
+      (2L, 100L, "click", 3L), (2L, 300L, "error", 4L),
+      (2L, 600L, "purchase", 5L),
+      (3L, 100L, "click", 6L), (3L, 600L, "purchase", 7L),
+      (3L, 800L, "error", 8L),
+      (4L, 100L, "click", 9L), (4L, 2100L, "purchase", 10L)
+    ).toDF("user_id", "us", "event_type", "event_id")
+    val out = TimeSeries.patternMatchOf(planted, tolUs = 1000L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_clicks") == 4L)
+    assert(out.head.getAs[Long]("n_matched") == 3L)
+    assert(out.head.getAs[Long]("n_clean") == 2L,
+      "the in-between error must invalidate exactly u2")
+    assert(out.head.getAs[Long]("sum_gap_us") == 1000L, "u1 + u3 gaps")
+  }
 }
