@@ -97,7 +97,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "qay_stream_temporal_join" -> "1-row one-version-per-event audit aggregate broadcast onto the sink readback",
     "qaz_skipping_manifest" -> "broadcast(literal probe frame, 4 rows) x |shards|-row manifest — both sides bounded by construction",
     "qb0_jl_projection" -> "1-row jl_ok audit aggregate broadcast onto the 3-row pair frame",
-    "qb2_bloom_decontamination" -> "four 1-row stat aggregates broadcast-crossed into the single graded row (q8q pattern)")
+    "qb2_bloom_decontamination" -> "four 1-row stat aggregates broadcast-crossed into the single graded row (q8q pattern)",
+    "qb3_inverted_index" -> "1-row final-results aggregate broadcast onto the |query-terms|-row step spine",
+    "qb4_rtbf_cascade" -> "1-row orphan-audit aggregate broadcast onto each level's 1-row count row",
+    "qb5_priority_sample" -> "1-row tau (k+1-th priority) aggregate broadcast onto the k-row sample",
+    "qb8_encoding_advisor" -> "three 1-row stat aggregates (ndv / within-runs / boundary-runs) broadcast-crossed into the 4-row column frame")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
