@@ -315,6 +315,7 @@ object SparkEntry {
     "qb7_markov_attribution" -> ((s: SparkSession, d: String) => TimeSeries.markovAttribution(s, d)),
     "qb8_encoding_advisor"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.encodingAdvisor(s, d)),
     "qb9_pattern_match"     -> ((s: SparkSession, d: String) => TimeSeries.patternMatch(s, d)),
+    "qba_theil_sen"         -> ((s: SparkSession, d: String) => TimeSeries.theilSen(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -888,6 +889,7 @@ object SparkEntry {
     "qb7_markov_attribution" -> TimeSeries.markovAttributionOracle,
     "qb8_encoding_advisor"   -> graft.sources.Warehouse.encodingAdvisorOracle,
     "qb9_pattern_match"      -> TimeSeries.patternMatchOracle,
+    "qba_theil_sen"          -> TimeSeries.theilSenOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

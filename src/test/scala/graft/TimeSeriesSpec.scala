@@ -427,4 +427,31 @@ class TimeSeriesSpec extends SparkSpec {
       "the in-between error must invalidate exactly u2")
     assert(out.head.getAs[Long]("sum_gap_us") == 1000L, "u1 + u3 gaps")
   }
+
+  test("theilSen: robust to a planted corrupted day where OLS is not") {
+    val rows = TimeSeries.theilSen(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("n_pairs") == nd * (nd - 1) / 2,
+        "pair count must be the full days-choose-2")
+    }
+    // planted: flat series n=100 over 11 days, the LAST day spiked to
+    // 2000 (an endpoint spike has maximal OLS leverage; a centered one
+    // would tilt nothing). 10 of 11 days are on the flat line -> the
+    // median pairwise slope is 0; OLS is dragged hard.
+    import spark.implicits._
+    val planted = ((0 to 10).map(d =>
+      ("flat_spike", d.toLong, if (d == 10) 2000L else 100L)) ++
+      (0 to 10).map(d => ("clean_trend", d.toLong, 100L + 7L * d)))
+      .toDF("event_type", "day", "n")
+    val out = TimeSeries.theilSenOf(planted).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("flat_spike").getAs[Long]("theil_sen_e6") == 0L,
+      "the median slope must ignore the single corrupted day")
+    assert(math.abs(out("flat_spike").getAs[Long]("ols_e6")) > 1000000L,
+      "OLS must be visibly dragged by the spike")
+    assert(out("clean_trend").getAs[Long]("theil_sen_e6") == 7000000L)
+    assert(out("clean_trend").getAs[Long]("ols_e6") == 7000000L)
+  }
 }
