@@ -316,6 +316,7 @@ object SparkEntry {
     "qb8_encoding_advisor"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.encodingAdvisor(s, d)),
     "qb9_pattern_match"     -> ((s: SparkSession, d: String) => TimeSeries.patternMatch(s, d)),
     "qba_theil_sen"         -> ((s: SparkSession, d: String) => TimeSeries.theilSen(s, d)),
+    "qbb_column_lineage"    -> ((s: SparkSession, d: String) => graft.plans.ColumnLineage.q03Lineage(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -890,6 +891,7 @@ object SparkEntry {
     "qb8_encoding_advisor"   -> graft.sources.Warehouse.encodingAdvisorOracle,
     "qb9_pattern_match"      -> TimeSeries.patternMatchOracle,
     "qba_theil_sen"          -> TimeSeries.theilSenOracle,
+    "qbb_column_lineage"     -> graft.plans.ColumnLineage.q03LineageOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

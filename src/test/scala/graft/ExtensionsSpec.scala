@@ -102,4 +102,28 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_token_stats(rand())").collect()
     }
   }
+
+  test("columnLineage: cross-table expression unions both sources; passthrough keeps identity") {
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.customer(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+    val df = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_name"),
+        (col("c_acctbal") + col("o_totalprice")).as("exposure"),
+        col("o_orderkey"))
+    val lin = graft.plans.ColumnLineage.lineage(df)
+    assert(lin.contains(("c_name", "customer", "c_name")))
+    assert(lin.contains(("o_orderkey", "orders", "o_orderkey")))
+    // the computed column must union sources from BOTH tables
+    assert(lin.contains(("exposure", "customer", "c_acctbal")))
+    assert(lin.contains(("exposure", "orders", "o_totalprice")))
+    assert(lin.count(_._1 == "exposure") == 2)
+    // chained alias: lineage follows through a second projection
+    val df2 = df.select((col("exposure") * 2).as("double_exposure"))
+    val lin2 = graft.plans.ColumnLineage.lineage(df2)
+    assert(lin2.toSet == Set(
+      ("double_exposure", "customer", "c_acctbal"),
+      ("double_exposure", "orders", "o_totalprice")))
+  }
 }
