@@ -317,6 +317,7 @@ object SparkEntry {
     "qb9_pattern_match"     -> ((s: SparkSession, d: String) => TimeSeries.patternMatch(s, d)),
     "qba_theil_sen"         -> ((s: SparkSession, d: String) => TimeSeries.theilSen(s, d)),
     "qbb_column_lineage"    -> ((s: SparkSession, d: String) => graft.plans.ColumnLineage.q03Lineage(s, d)),
+    "qbc_subplan_reuse"     -> ((s: SparkSession, d: String) => graft.plans.SubplanReuse.workloadAudit(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -892,6 +893,7 @@ object SparkEntry {
     "qb9_pattern_match"      -> TimeSeries.patternMatchOracle,
     "qba_theil_sen"          -> TimeSeries.theilSenOracle,
     "qbb_column_lineage"     -> graft.plans.ColumnLineage.q03LineageOracle,
+    "qbc_subplan_reuse"      -> graft.plans.SubplanReuse.workloadAuditOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

