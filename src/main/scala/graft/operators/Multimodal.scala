@@ -479,4 +479,134 @@ object Multimodal {
            CAST(floor(CAST(s.n_blobs AS DOUBLE) * 1e6 / tot.n_total + 0.5)
              AS BIGINT) AS share_ppm
     FROM s CROSS JOIN tot ORDER BY s.status"""
+
+  /** qbd: VIDEO KEYFRAME EXTRACTION — the temporal leg of the
+    * multimodal surface: a "video" is a SEQUENCE of frame blobs per
+    * document (each a real 8×8 BMP; scene structure planted so frames
+    * within a 4-frame scene differ slightly and frames across a scene
+    * cut differ wholesale), and keyframes are detected the way
+    * shot-boundary pipelines do it: per-frame 64-bit MEAN-THRESHOLD
+    * signature (bit i = pixel i above the frame mean — the pHash core
+    * without the DCT) from the DECODED raster, then the Hamming
+    * distance between CONSECUTIVE frames; a frame opens a new scene
+    * when the distance clears the threshold. Graded per video:
+    * frame/scene/keyframe counts, whether detection recovered exactly
+    * the planted cuts, and the summed cut distance.
+    *
+    * The q65 doctrine end-to-end: pixels are pure arithmetic of
+    * (doc_id, frame, scene), so the DuckDB oracle replays signature
+    * bits and Hamming counts WITHOUT a codec — the Spark side must
+    * decode the real BMPs correctly for the hashes to meet. Signature
+    * packs as two 32-bit halves (BIGINT-safe in both engines; one
+    * 64-bit word would need the sign bit). The threshold comparison
+    * `64·v > Σv` is exact integer arithmetic — no float mean.
+    *
+    * Scale shape: frame explode is a narrow generate; decode+signature
+    * is one mapPartitions codec pass (the family's sanctioned shape);
+    * the temporal diff is a lag window PARTITIONED by video — never a
+    * global sort. Real footage swaps the synthetic encode for demuxed
+    * frames; every stage downstream of the blob column is unchanged. */
+  def keyframes(spark: SparkSession, dir: String,
+      sceneLen: Int = 4, hammingThr: Int = 16): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, dir)
+      .where(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        (lit(8L) + col("doc_id") % 9L).cast("int").as("n_frames"))
+    val frames = vids
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1)")).as("f"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, nf, f) =>
+          val blob = encodeBmp(8, 8, (x, y) =>
+            framePix(id, f, x + 8 * y, sceneLen))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob))
+          require(img != null, s"undecodable frame $f of video $id")
+          val raster = img.getRaster
+          val v = Array.tabulate(64)(i => raster.getSample(i % 8, i / 8, 0))
+          val sum = v.sum
+          var h0 = 0L; var h1 = 0L
+          var i = 0
+          while (i < 64) {
+            if (64L * v(i) > sum) {
+              if (i < 32) h0 |= 1L << i else h1 |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, nf, f, h0, h1)
+        }
+      }
+      .toDF("doc_id", "n_frames", "f", "h0", "h1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("f")
+    frames
+      .withColumn("ph0", lag("h0", 1).over(w))
+      .withColumn("ph1", lag("h1", 1).over(w))
+      .withColumn("hamming", expr(
+        "CASE WHEN ph0 IS NULL THEN NULL " +
+          "ELSE bit_count(h0 ^ ph0) + bit_count(h1 ^ ph1) END"))
+      .withColumn("keyframe",
+        col("hamming").isNull || col("hamming") > hammingThr)
+      .groupBy("doc_id")
+      .agg(
+        first("n_frames").cast("long").as("n_frames"),
+        countDistinct(expr(s"f div $sceneLen")).as("n_scenes"),
+        sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
+        coalesce(sum(when(col("keyframe") && col("hamming").isNotNull,
+          col("hamming"))), lit(0L)).as("sum_cut_hamming"))
+      .withColumn("cuts_recovered", col("n_keyframes") === col("n_scenes"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame pixel formula (pure arithmetic; the oracle replays it):
+    * scene seed shifts wholesale at scene cuts, the `+ f` term drifts
+    * frames slightly within a scene. */
+  def framePix(docId: Long, f: Int, i: Int, sceneLen: Int): Int = {
+    val seed = (docId * 31L + (f / sceneLen) * 17L) % 1009L
+    ((seed * (i + 1) + f) % 256L).toInt
+  }
+
+  /** DuckDB replay of [[keyframes]]: same pixel formula, same exact
+    * integer mean threshold, same consecutive-frame Hamming, no codec. */
+  def keyframesOracle: String = """
+    WITH vids AS (
+      SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 25 = 0),
+    fr AS (
+      SELECT doc_id, n_frames, unnest(range(n_frames)) AS f FROM vids),
+    px AS (
+      SELECT doc_id, n_frames, f, i,
+             ((doc_id * 31 + (f // 4) * 17) % 1009 * (i + 1) + f) % 256 AS v
+      FROM fr CROSS JOIN (SELECT unnest(range(64)) AS i)),
+    sums AS (
+      SELECT doc_id, n_frames, f, sum(v) AS sv FROM px GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT px.doc_id, px.n_frames, px.f, px.i,
+             CASE WHEN 64 * px.v > s.sv THEN 1 ELSE 0 END AS b
+      FROM px JOIN sums s
+        ON px.doc_id = s.doc_id AND px.f = s.f),
+    ham AS (
+      SELECT a.doc_id, a.n_frames, a.f,
+             sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b
+        ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+      GROUP BY 1, 2, 3),
+    kf AS (
+      SELECT fr.doc_id, fr.n_frames, fr.f, ham.hamming,
+             ham.hamming IS NULL OR ham.hamming > 16 AS keyframe
+      FROM fr LEFT JOIN ham
+        ON fr.doc_id = ham.doc_id AND fr.f = ham.f)
+    SELECT doc_id,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT f // 4) AS BIGINT) AS n_scenes,
+           CAST(sum(CASE WHEN keyframe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keyframes,
+           CAST(coalesce(sum(CASE WHEN keyframe AND hamming IS NOT NULL
+             THEN hamming END), 0) AS BIGINT) AS sum_cut_hamming,
+           sum(CASE WHEN keyframe THEN 1 ELSE 0 END)
+             = count(DISTINCT f // 4) AS cuts_recovered
+    FROM kf GROUP BY doc_id ORDER BY doc_id"""
 }

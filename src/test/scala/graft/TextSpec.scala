@@ -705,4 +705,19 @@ class TextSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_results") == truth.length.toLong)
     assert(rows.head.getAs[Long]("result_checksum") == truth.sum)
   }
+
+  test("keyframes: detection recovers exactly the planted scene cuts") {
+    val rows = Multimodal.keyframes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, ns, nk) = (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_scenes"), r.getAs[Long]("n_keyframes"))
+      assert(nf == 8L + r.getAs[Long]("doc_id") % 9L)
+      assert(ns == (nf + 3L) / 4L, "scenes are ceil(frames/4) by construction")
+      assert(r.getAs[Boolean]("cuts_recovered"),
+        s"video ${r.getAs[Long]("doc_id")}: detected $nk keyframes, planted $ns scenes")
+      // every detected cut cleared the threshold; frame 0 contributes 0
+      assert(r.getAs[Long]("sum_cut_hamming") > (nk - 1L) * 16L)
+    }
+  }
 }
