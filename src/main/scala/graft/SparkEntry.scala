@@ -319,6 +319,7 @@ object SparkEntry {
     "qbb_column_lineage"    -> ((s: SparkSession, d: String) => graft.plans.ColumnLineage.q03Lineage(s, d)),
     "qbc_subplan_reuse"     -> ((s: SparkSession, d: String) => graft.plans.SubplanReuse.workloadAudit(s, d)),
     "qbd_keyframes"         -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
+    "qbe_dataset_diff"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.datasetDiff(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -896,6 +897,7 @@ object SparkEntry {
     "qbb_column_lineage"     -> graft.plans.ColumnLineage.q03LineageOracle,
     "qbc_subplan_reuse"      -> graft.plans.SubplanReuse.workloadAuditOracle,
     "qbd_keyframes"          -> Multimodal.keyframesOracle,
+    "qbe_dataset_diff"       -> graft.sources.Warehouse.datasetDiffOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

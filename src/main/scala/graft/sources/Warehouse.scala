@@ -1468,4 +1468,104 @@ object Warehouse {
                 WHEN dict_b <= rle_b THEN 'dict'
                 ELSE 'rle' END AS advised
     FROM est ORDER BY column_name"""
+
+  /** qbe: DATASET DIFF — the semantic two-version comparison a data-CI
+    * gate runs before promoting a new snapshot (the "data diff" that
+    * catches an upstream change silently rewriting a column): rows are
+    * keyed, the versions full-outer join on the key, every row is
+    * classified added / removed / changed / unchanged, and CHANGED
+    * rows are drilled per column — which columns actually moved, and
+    * how many rows each touched. The per-column drill is what turns
+    * "7 rows changed" into "the lang column was rewritten" — the
+    * actionable signal.
+    *
+    * The second version is simulated here with deterministic mutations
+    * of `documents` (deletes at doc_id%37, column edits at %41, inserts
+    * cloned at %53 — the three change classes), so the oracle rebuilds
+    * both versions and replays the classification. On real data the
+    * simulation is replaced by two snapshot reads; everything from the
+    * join down is unchanged. Scale shape: ONE full-outer join on the
+    * key (the versions co-shuffle) and one enum-bounded rollup; the
+    * per-column comparisons are codegen'd null-safe equality, no
+    * per-column joins. */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2 = v1.where(col("doc_id") % 37 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 41 === 0, col("n_chars") + 1L)
+          .otherwise(col("n_chars")))
+      .withColumn("lang",
+        when(col("doc_id") % 41 === 0, lit("xx")).otherwise(col("lang")))
+      .unionByName(
+        v1.where(col("doc_id") % 53 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("source", lit("new")))
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val a = v1.select(col("doc_id") +: (lit(true).as("a_present") +:
+      cols.map(c => col(c).as(s"a_$c"))): _*)
+    val b = v2.select(col("doc_id") +: (lit(true).as("b_present") +:
+      cols.map(c => col(c).as(s"b_$c"))): _*)
+    val j = a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("in_a", coalesce(col("a_present"), lit(false)))
+      .withColumn("in_b", coalesce(col("b_present"), lit(false)))
+    val flagged = cols.foldLeft(j)((df, c) =>
+      df.withColumn(s"chg_$c",
+        col("in_a") && col("in_b") && !(col(s"a_$c") <=> col(s"b_$c"))))
+    flagged
+      .withColumn("status",
+        when(!col("in_a"), "added")
+          .when(!col("in_b"), "removed")
+          .when(cols.map(c => col(s"chg_$c")).reduce(_ || _), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("chg_text"), 1L).otherwise(0L)).as("n_text_changed"),
+        sum(when(col("chg_lang"), 1L).otherwise(0L)).as("n_lang_changed"),
+        sum(when(col("chg_source"), 1L).otherwise(0L)).as("n_source_changed"),
+        sum(when(col("chg_n_chars"), 1L).otherwise(0L)).as("n_chars_changed"))
+      .orderBy("status")
+  }
+
+  /** DuckDB replay of [[datasetDiff]]: same simulated second version,
+    * same full-outer classification, same per-column drill. */
+  def datasetDiffOracle: String = """
+    WITH v1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+    v2 AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 41 = 0 THEN 'xx' ELSE lang END AS lang,
+             source,
+             CASE WHEN doc_id % 41 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 37 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, 'new', n_chars
+      FROM documents WHERE doc_id % 53 = 0),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.doc_id IS NOT NULL AS in_a, b.doc_id IS NOT NULL AS in_b,
+             in_a AND in_b AND a.text IS DISTINCT FROM b.text AS chg_text,
+             in_a AND in_b AND a.lang IS DISTINCT FROM b.lang AS chg_lang,
+             in_a AND in_b AND a.source IS DISTINCT FROM b.source
+               AS chg_source,
+             in_a AND in_b AND a.n_chars IS DISTINCT FROM b.n_chars
+               AS chg_n_chars
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+    st AS (
+      SELECT *,
+             CASE WHEN NOT in_a THEN 'added'
+                  WHEN NOT in_b THEN 'removed'
+                  WHEN chg_text OR chg_lang OR chg_source OR chg_n_chars
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM j)
+    SELECT status, CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN chg_text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_changed,
+           CAST(sum(CASE WHEN chg_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_changed,
+           CAST(sum(CASE WHEN chg_source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_source_changed,
+           CAST(sum(CASE WHEN chg_n_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chars_changed
+    FROM st GROUP BY 1 ORDER BY 1"""
 }

@@ -627,4 +627,30 @@ class SourcesSpec extends SparkSpec {
     assert(advice("l_orderkey") == "rle", "clustered key")
     assert(advice("l_returnflag") == "dict", "low-NDV enum")
   }
+
+  test("datasetDiff: classification replays the planted change classes") {
+    import org.apache.spark.sql.functions._
+    val byStatus = graft.sources.Warehouse.datasetDiff(spark, sfDir)
+      .collect().map(r => r.getAs[String]("status") -> r).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nRemoved = docs.where(col("doc_id") % 37 === 0).count()
+    val nAdded = docs.where(col("doc_id") % 53 === 0).count()
+    val nChanged = docs.where(col("doc_id") % 41 === 0 &&
+      col("doc_id") % 37 =!= 0).count()
+    assert(byStatus("removed").getAs[Long]("n_rows") == nRemoved)
+    assert(byStatus("added").getAs[Long]("n_rows") == nAdded)
+    assert(byStatus("changed").getAs[Long]("n_rows") == nChanged)
+    assert(byStatus("unchanged").getAs[Long]("n_rows") ==
+      docs.count() - nRemoved - nChanged)
+    // the %41 edit touches exactly lang and n_chars, on every changed row
+    val ch = byStatus("changed")
+    assert(ch.getAs[Long]("n_lang_changed") == nChanged)
+    assert(ch.getAs[Long]("n_chars_changed") == nChanged)
+    assert(ch.getAs[Long]("n_text_changed") == 0L)
+    assert(ch.getAs[Long]("n_source_changed") == 0L)
+    // added/removed rows never count toward column drills
+    Seq("added", "removed", "unchanged").foreach { s =>
+      assert(byStatus(s).getAs[Long]("n_lang_changed") == 0L)
+    }
+  }
 }
