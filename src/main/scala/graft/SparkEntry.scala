@@ -320,6 +320,7 @@ object SparkEntry {
     "qbc_subplan_reuse"     -> ((s: SparkSession, d: String) => graft.plans.SubplanReuse.workloadAudit(s, d)),
     "qbd_keyframes"         -> ((s: SparkSession, d: String) => Multimodal.keyframes(s, d)),
     "qbe_dataset_diff"      -> ((s: SparkSession, d: String) => graft.sources.Warehouse.datasetDiff(s, d)),
+    "qbf_xml_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsXmlRoundTrip(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -898,6 +899,7 @@ object SparkEntry {
     "qbc_subplan_reuse"      -> graft.plans.SubplanReuse.workloadAuditOracle,
     "qbd_keyframes"          -> Multimodal.keyframesOracle,
     "qbe_dataset_diff"       -> graft.sources.Warehouse.datasetDiffOracle,
+    "qbf_xml_roundtrip"      -> graft.sources.Warehouse.documentsXmlRoundTripOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

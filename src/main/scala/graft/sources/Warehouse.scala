@@ -1568,4 +1568,55 @@ object Warehouse {
            CAST(sum(CASE WHEN chg_n_chars THEN 1 ELSE 0 END) AS BIGINT)
              AS n_chars_changed
     FROM st GROUP BY 1 ORDER BY 1"""
+
+  /** qbf: XML ROUND-TRIP — the last interchange format the warehouse
+    * surface speaks (parquet q28, JSONL q29, ORC q2b, CSV q2o): write
+    * `documents` through Spark 4's NATIVE xml source (`rowTag`-scoped
+    * row elements, entity-escaped text), read it back with the explicit
+    * schema, and aggregate the re-read rows. XML is where feeds from
+    * legacy enterprise systems still arrive; the graded property is
+    * FIDELITY through the escape/unescape cycle — `text` carries
+    * whitespace and arbitrary characters, and `sum(n_chars)` over the
+    * re-read rows only matches the oracle (which never leaves parquet)
+    * if the writer's entity escaping and the reader's decoding are
+    * exact inverses. Nulls are exercised too: `lang` is blanked for
+    * doc_id%19 rows before the write (the writer OMITS the element,
+    * the reader restores null), and the null count is a graded column.
+    * Scale shape: one narrow write + one scan-side aggregate; XML decode
+    * parallelizes per-file like any text source — at 100 TB you'd land
+    * it once and convert to parquet (q28), never query XML in place. */
+  def documentsXmlRoundTrip(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_docs_xml")): DataFrame = {
+    val src = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text"),
+      when(col("doc_id") % 19 === 0, lit(null)).otherwise(col("lang"))
+        .as("lang"),
+      col("source"), col("n_chars"))
+    src.write.mode("overwrite").format("xml")
+      .option("rowTag", "doc").option("rootTag", "docs").save(path)
+    spark.read.format("xml").option("rowTag", "doc")
+      .schema(src.schema).load(path)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  /** DuckDB replay of [[documentsXmlRoundTrip]] straight off parquet:
+    * equality proves the XML cycle was lossless. */
+  val documentsXmlRoundTripOracle: String = """
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_null,
+           CAST(count(DISTINCT CASE WHEN doc_id % 19 <> 0 THEN lang END)
+             AS BIGINT) AS n_langs
+    FROM documents GROUP BY source ORDER BY source"""
 }

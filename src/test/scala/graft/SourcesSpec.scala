@@ -653,4 +653,26 @@ class SourcesSpec extends SparkSpec {
       assert(byStatus(s).getAs[Long]("n_lang_changed") == 0L)
     }
   }
+
+  test("documentsXmlRoundTrip: escape/unescape cycle is lossless; nulls survive") {
+    import org.apache.spark.sql.functions._
+    val rt = graft.sources.Warehouse.documentsXmlRoundTrip(spark, sfDir,
+      tmpDir("docs_xml"))
+    val docs = graft.Tables.documents(spark, sfDir)
+    val truth = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("sum_text_len"),
+      sum(when(col("doc_id") % 19 === 0, 1L).otherwise(0L)).as("n_lang_null"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val got = rt.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = truth(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == t.getAs[Long]("n_docs"))
+      // text byte-for-byte through entity escaping: lengths sum equal
+      assert(r.getAs[Long]("sum_text_len") == t.getAs[Long]("sum_text_len"))
+      // omitted elements decode back to null, and ONLY the planted ones
+      assert(r.getAs[Long]("n_lang_null") == t.getAs[Long]("n_lang_null"))
+    }
+  }
 }
