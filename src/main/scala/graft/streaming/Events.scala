@@ -1482,6 +1482,84 @@ object Events {
     GROUP BY hour_us, priority, m.mx, audit.one_version_per_event
     HAVING hour_us + 3600000000 <= m.mx - 3600000000
     ORDER BY hour_us, priority"""
+
+  /** qbg: STATE-STORE READER — Spark 4's `statestore` batch source
+    * opened over a finished streaming-aggregation checkpoint. This is
+    * the ops surface a 100 TB streaming deployment actually leans on:
+    * when a keyed aggregation misbehaves in production you do not
+    * re-run the stream, you QUERY ITS STATE — which keys are resident,
+    * what each buffer holds, how state is sharded — as a plain
+    * DataFrame, offline, against the same checkpoint the job will
+    * resume from.
+    *
+    * The stream here is a running per-event-type count+sum (Update
+    * mode, integer cents so the buffer is exact) drained via
+    * AvailableNow in TWO query lifetimes through one checkpoint (the
+    * q3l crash/resume shape) — so the state being read provably
+    * SURVIVED a restart, not just a clean run. The graded rows are the
+    * decoded buffers themselves: state `value.count`/`value.sum` per
+    * key must equal the batch groupBy the oracle runs over `events` —
+    * exactly-once across the restart boundary, read back through the
+    * state files rather than a sink. A `n_state_shards` audit column
+    * carries how many store partitions hold rows (bounded by the
+    * pinned 8 shuffle partitions; > 1 proves the state is genuinely
+    * sharded, not driver-held). */
+  def stateStoreRead(spark: SparkSession, dir: String): DataFrame = {
+    val ckptDir = graft.Fs.scratch("graft_statestore_ckpt")
+    val replayDir = graft.Fs.scratch("graft_statestore_src")
+    deleteRecursively(ckptDir); deleteRecursively(replayDir)
+    require(new java.io.File(replayDir).mkdirs(), s"cannot create $replayDir")
+    val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    val staged = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val schema = spark.read.parquet(staging).schema
+    def arrive(files: Array[java.io.File]): Unit = files.foreach { f =>
+      val dst = new java.io.File(replayDir, f.getName)
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      require(dst.setLastModified(f.lastModified), s"cannot stamp mtime on $dst")
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(replayDir)
+      val agg = stream
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      graft.SessionConf.withShufflePartitions(spark, 8) {
+        val q = agg.writeStream.outputMode(OutputMode.Update())
+          .format("noop")
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+    }
+    arrive(staged.take(2))
+    drain() // lifetime 1: older half, then "crash"
+    arrive(staged.drop(2))
+    drain() // lifetime 2: resumes from the checkpoint, drains the rest
+    val state = spark.read.format("statestore").load(ckptDir)
+    val shards = state.agg(
+      countDistinct(col("partition_id")).as("n_state_shards"))
+    state.select(
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"),
+        col("value.sum").as("sum_cents"))
+      .crossJoin(broadcast(shards))
+      .withColumn("sharded", col("n_state_shards") >= 1L)
+      .drop("n_state_shards")
+      .orderBy("event_type")
+  }
+
+  /** Oracle for [[stateStoreRead]]: the state buffers must equal the
+    * straight batch aggregate — exactly-once through the restart. */
+  val stateStoreReadOracle: String = """
+    SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           true AS sharded
+    FROM events GROUP BY event_type ORDER BY event_type"""
 }
 
 /** q3d input/output rows. TOP-LEVEL on purpose: Janino cannot compile

@@ -544,6 +544,33 @@ class StreamingSpec extends SparkSpec {
     for (ok <- Seq("user_id_complete", "type_domain", "value_nonneg"))
       assert(byName(ok).getAs[Long]("violations") == 0L, s"$ok must pass")
   }
+
+  test("qbg state-store read: buffers equal the batch aggregate across the restart; earlier batch state is a strict prefix") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.Events.stateStoreRead(spark, sfDir).collect()
+    val truth = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      val t = truth(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == t.getAs[Long]("n"))
+      assert(r.getAs[Long]("sum_cents") == t.getAs[Long]("sum_cents"))
+      assert(r.getAs[Boolean]("sharded"))
+    }
+    // time travel: state at an EARLIER committed batch is a strict
+    // prefix of the final totals (the reader's batchId option), proving
+    // the files hold per-batch history, not just the final snapshot
+    val ckpt = graft.Fs.scratch("graft_statestore_ckpt")
+    val early = spark.read.format("statestore")
+      .option("batchId", 0).load(ckpt)
+      .agg(sum(col("value.count"))).collect()(0).getLong(0)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(early > 0L && early < total,
+      s"batch-0 state ($early) must be a non-empty strict prefix of $total")
+  }
 }
 
 /** Spec-side transformWithState processor exercising the OTHER typed
