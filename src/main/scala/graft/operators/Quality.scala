@@ -3181,4 +3181,94 @@ object Quality {
              (SELECT orphans_after FROM lo)
       FROM lf)
     SELECT * FROM lvl ORDER BY entity"""
+
+  /** qbh: SPRT MONITOR — Wald's sequential probability ratio test, the
+    * sequential leg the A/B family (z-test q1w, CUPED q1z, FDR q1x,
+    * permutation qad, DiD qa5) still lacked. Fixed-horizon tests decide
+    * once at the end; a PRODUCTION experiment monitor peeks at every
+    * arriving trial, and SPRT is the design that makes continuous
+    * peeking valid: the cumulative log-likelihood ratio walks between
+    * two pinned boundaries, and crossing either is a decision with
+    * guaranteed error rates (α = β = 0.05 here).
+    *
+    * Each event type is an arm; a trial succeeds when `value` > 10; the
+    * hypotheses are H0: p = 0.80 vs H1: p = 0.84. Increments are PINNED
+    * INTEGER MICROLOGS — ln(p1/p0)·1e6 = 48790 per success,
+    * ln((1-p1)/(1-p0))·1e6 = −223144 per failure, boundaries
+    * ±ln(0.95/0.05)·1e6 = ±2944439 — so the walk is exact Long
+    * arithmetic, bit-identical in any engine (the e6 doctrine: float
+    * logs differ in last-ulp between runtimes; pinned micrologs cannot).
+    * On the fixture the five arms land 2×accept-H1, 2×accept-H0,
+    * 1×still-running — all three monitor states graded.
+    *
+    * Scale shape: the walk is a window cumsum per arm — sequential
+    * WITHIN an arm (that is the semantics of a sequential test) but
+    * embarrassingly parallel ACROSS arms, which is the real cardinality
+    * at 100 TB (thousands of concurrent experiments, each arm's trial
+    * stream a few MB). One scan, one shuffle on the arm key. */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val incS = 48790L; val incF = -223144L; val bound = 2944439L
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("event_id"),
+      (col("value") > 10.0).cast("long").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    val walk = ev
+      .withColumn("inc", when(col("x") === 1L, incS).otherwise(incF))
+      .withColumn("llr", sum("inc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+    // one grouped pass over the walk: totals, the first boundary
+    // crossing (trial index + the llr value THERE, via min_by), and the
+    // final llr (max_by on trial index)
+    walk.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_trials"),
+        sum("x").as("n_success"),
+        min(when(abs(col("llr")) >= bound, col("rn"))).as("cross_rn"),
+        min_by(col("llr"), when(abs(col("llr")) >= bound, col("rn")))
+          .as("cross_llr"),
+        max_by(col("llr"), col("rn")).as("llr_final_e6"))
+      .select(
+        col("event_type"), col("n_trials"), col("n_success"),
+        when(col("cross_rn").isNull, "continue")
+          .when(col("cross_llr") >= bound, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("cross_rn"), lit(0L)).cast("long").as("decision_trial"),
+        coalesce(col("cross_llr"), lit(0L)).as("llr_decision_e6"),
+        col("llr_final_e6"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[sprtMonitor]] — same pinned integer micrologs,
+    * same boundary, window cumsum + arg-min crossing. */
+  val sprtMonitorOracle: String = """
+    WITH t AS (
+      SELECT event_type, event_id,
+             CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS x,
+             CASE WHEN value > 10.0 THEN 48790 ELSE -223144 END AS inc
+      FROM events),
+    wk AS (
+      SELECT event_type, x,
+             sum(inc) OVER (PARTITION BY event_type ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS llr,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+               AS rn
+      FROM t),
+    g AS (
+      SELECT event_type,
+             CAST(count(1) AS BIGINT) AS n_trials,
+             CAST(sum(x) AS BIGINT) AS n_success,
+             min(CASE WHEN abs(llr) >= 2944439 THEN rn END) AS cross_rn,
+             min_by(llr, CASE WHEN abs(llr) >= 2944439 THEN rn END)
+               AS cross_llr,
+             max_by(llr, rn) AS llr_final
+      FROM wk GROUP BY event_type)
+    SELECT event_type, n_trials, n_success,
+           CASE WHEN cross_rn IS NULL THEN 'continue'
+                WHEN cross_llr >= 2944439 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(coalesce(cross_rn, 0) AS BIGINT) AS decision_trial,
+           CAST(coalesce(cross_llr, 0) AS BIGINT) AS llr_decision_e6,
+           CAST(llr_final AS BIGINT) AS llr_final_e6
+    FROM g ORDER BY event_type"""
 }

@@ -1728,4 +1728,40 @@ class QualitySpec extends SparkSpec {
     assert(rows("orders").getAs[Long]("n_removed") == tombOrders.count())
     assert(rows("lineitem").getAs[Long]("n_removed") == tombItems.count())
   }
+
+  test("qbh SPRT monitor: window-cumsum walk equals an exact sequential replay, per arm") {
+    import org.apache.spark.sql.functions._
+    val bound = 2944439L
+    val rows = operators.Quality.sprtMonitor(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.size == 5)
+    // independent truth: the literal sequential procedure, one trial at
+    // a time, in plain Scala (the distributed op must reduce to this)
+    val trials = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), (col("value") > 10.0).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    trials.foreach { case (arm, xs) =>
+      var llr = 0L; var dec = "continue"; var trial = 0L; var llrDec = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        llr += (if (x) 48790L else -223144L)
+        if (dec == "continue" && math.abs(llr) >= bound) {
+          dec = if (llr > 0) "accept_h1" else "accept_h0"
+          trial = i + 1L; llrDec = llr
+        }
+      }
+      val r = rows(arm)
+      assert(r.getAs[Long]("n_trials") == xs.length.toLong)
+      assert(r.getAs[Long]("n_success") == xs.count(identity).toLong)
+      assert(r.getAs[String]("decision") == dec, arm)
+      assert(r.getAs[Long]("decision_trial") == trial, arm)
+      assert(r.getAs[Long]("llr_decision_e6") == llrDec, arm)
+      assert(r.getAs[Long]("llr_final_e6") == llr, arm)
+    }
+    // continues must end inside the bounds (definition of "no crossing")
+    rows.values.filter(_.getAs[String]("decision") == "continue").foreach {
+      r => assert(math.abs(r.getAs[Long]("llr_final_e6")) < bound)
+    }
+  }
 }
