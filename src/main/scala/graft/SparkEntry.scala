@@ -323,6 +323,7 @@ object SparkEntry {
     "qbf_xml_roundtrip"     -> ((s: SparkSession, d: String) => graft.sources.Warehouse.documentsXmlRoundTrip(s, d)),
     "qbg_state_store_read"  -> ((s: SparkSession, d: String) => graft.streaming.Events.stateStoreRead(s, d)),
     "qbh_sprt_monitor"      -> (Quality.sprtMonitor _),
+    "qbj_shapley_attribution" -> ((s: SparkSession, d: String) => TimeSeries.shapleyAttribution(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -904,6 +905,7 @@ object SparkEntry {
     "qbf_xml_roundtrip"      -> graft.sources.Warehouse.documentsXmlRoundTripOracle,
     "qbg_state_store_read"   -> graft.streaming.Events.stateStoreReadOracle,
     "qbh_sprt_monitor"       -> Quality.sprtMonitorOracle,
+    "qbj_shapley_attribution" -> TimeSeries.shapleyAttributionOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1252,4 +1252,134 @@ object TimeSeries {
     SELECT event_type, n_days, n_pairs, theil_sen_e6, ols_e6
     FROM med JOIN ols USING (event_type)
     ORDER BY event_type"""
+
+  /** qbj: EXACT SHAPLEY ATTRIBUTION — the cooperative-game companion to
+    * qb7's Markov removal effect. Each converting user's journey is a
+    * COALITION of touched channels (the 4 non-purchase event types,
+    * truncated at first purchase — qb7's journey convention); the
+    * characteristic function v(S) counts conversions whose whole
+    * coalition fits inside S; a channel's Shapley value is its
+    * marginal contribution averaged over all orderings. With n = 4
+    * channels that average is EXACT — 8 subsets per channel, no
+    * sampling — and kept in integers by scaling by 4! = 24
+    * (`phi24` = 24·φ, the permutation-weighted marginal sum itself).
+    *
+    * Scale shape: ONE grouped scan reduces any event volume to ≤16
+    * (mask, n_conv) rows; everything after — v(S) over the 16 subsets,
+    * the 32 (channel, subset) marginals — is broadcast arithmetic on
+    * enum-bounded frames. This is the Shapley trick at 100 TB: the
+    * game is over CHANNELS, so exponential cost lands on 2^n_channels,
+    * never on rows. The efficiency axiom Σφ = v(N) − v(∅) rides along
+    * as a graded column (`efficiency_ok`). */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val firstP = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"))).as("fp"))
+    // converting users only (v counts conversions): touches strictly
+    // before the first purchase, qb7's tie rule
+    val touches = ev.join(firstP, Seq("user_id"))
+      .where(col("event_type") =!= "purchase" &&
+        (col("us") < col("fp.us") ||
+          (col("us") === col("fp.us") && col("event_id") < col("fp.event_id"))))
+    val masks = firstP.select("user_id").join(touches
+        .groupBy("user_id").agg(
+          (max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+           max(when(col("event_type") === "click", 2L).otherwise(0L)) +
+           max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+           max(when(col("event_type") === "error", 8L).otherwise(0L)))
+            .as("mask")),
+        Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_conv"))
+    // v(S) for all 16 subsets: mask ⊆ S ⇔ mask & (15−S) = 0
+    val subsets = spark.range(16).select(col("id").as("s"))
+    val v = subsets.join(broadcast(masks),
+        col("mask").bitwiseAND(lit(15L) - col("s")) === 0L, "left")
+      .groupBy("s").agg(coalesce(sum("n_conv"), lit(0L)).as("v"))
+      .cache()
+    def pop(c: Column): Column =
+      (c.bitwiseAND(1L) + shiftright(c, 1).bitwiseAND(1L) +
+        shiftright(c, 2).bitwiseAND(1L) + shiftright(c, 3).bitwiseAND(1L))
+    val channels = spark.range(4).select(col("id").as("c"),
+      expr("shiftleft(1L, cast(id as int))").as("bit"))
+    val pairs = channels
+      .join(broadcast(v.as("lo")),
+        col("lo.s").bitwiseAND(col("bit")) === 0L) // S without channel c
+      .join(broadcast(v.as("hi")),
+        col("hi.s") === col("lo.s") + col("bit"))
+      .select(col("c"), col("lo.s").as("s"),
+        (col("hi.v") - col("lo.v")).as("marginal"),
+        // |S|!·(4−|S|−1)! for |S| = 0..3 → 6, 2, 2, 6
+        when(pop(col("lo.s")) === 0L, 6L).when(pop(col("lo.s")) === 1L, 2L)
+          .when(pop(col("lo.s")) === 2L, 2L).otherwise(6L).as("w"))
+    val phi = pairs.groupBy("c")
+      .agg(sum(col("w") * col("marginal")).as("phi24"))
+    val eff = v.where(col("s") === 15L).select(col("v").as("v_full"))
+      .crossJoin(v.where(col("s") === 0L).select(col("v").as("v_empty")))
+      .crossJoin(phi.agg(sum("phi24").as("phi24_total")))
+    phi.crossJoin(broadcast(eff))
+      .select(
+        when(col("c") === 0L, "view").when(col("c") === 1L, "click")
+          .when(col("c") === 2L, "signup").otherwise("error").as("channel"),
+        col("phi24"),
+        (col("phi24") * 1000000L / 24L).cast("long").as("phi_e6"),
+        col("v_full"), col("v_empty"),
+        (col("phi24_total") === (col("v_full") - col("v_empty")) * 24L)
+          .as("efficiency_ok"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB replay of [[shapleyAttribution]]: same masks, same subset
+    * algebra, same 24-scaled exact weights. */
+  def shapleyAttributionOracle: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    fp AS (
+      SELECT user_id, us AS fus, event_id AS fid FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY us, event_id) AS prn
+        FROM ev WHERE event_type = 'purchase') WHERE prn = 1),
+    tch AS (
+      SELECT e.user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) +
+             max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END) +
+             max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) +
+             max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask
+      FROM ev e JOIN fp USING (user_id)
+      WHERE event_type <> 'purchase'
+        AND (us < fus OR (us = fus AND event_id < fid))
+      GROUP BY e.user_id),
+    mk AS (
+      SELECT coalesce(tch.mask, 0) AS mask, count(1) AS n_conv
+      FROM fp LEFT JOIN tch USING (user_id) GROUP BY 1),
+    vs AS (
+      SELECT s.range AS s, coalesce(sum(mk.n_conv), 0) AS v
+      FROM range(0, 16) s LEFT JOIN mk ON (mk.mask & (15 - s.range)) = 0
+      GROUP BY 1),
+    pr AS (
+      SELECT c.range AS c, lo.s AS s, hi.v - lo.v AS marginal,
+             CASE ((lo.s & 1) + ((lo.s >> 1) & 1) + ((lo.s >> 2) & 1)
+                   + ((lo.s >> 3) & 1))
+               WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS w
+      FROM range(0, 4) c
+      JOIN vs lo ON ((lo.s >> c.range) & 1) = 0
+      JOIN vs hi ON hi.s = lo.s + (1 << c.range)),
+    phi AS (
+      SELECT c, CAST(sum(w * marginal) AS BIGINT) AS phi24
+      FROM pr GROUP BY c),
+    eff AS (
+      SELECT (SELECT v FROM vs WHERE s = 15) AS v_full,
+             (SELECT v FROM vs WHERE s = 0) AS v_empty,
+             (SELECT sum(phi24) FROM phi) AS phi24_total)
+    SELECT CASE c WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+           phi24,
+           CAST(phi24 * 1000000 // 24 AS BIGINT) AS phi_e6,
+           CAST(v_full AS BIGINT) AS v_full,
+           CAST(v_empty AS BIGINT) AS v_empty,
+           phi24_total = (v_full - v_empty) * 24 AS efficiency_ok
+    FROM phi CROSS JOIN eff ORDER BY channel"""
 }

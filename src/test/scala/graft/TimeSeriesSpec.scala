@@ -454,4 +454,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("clean_trend").getAs[Long]("theil_sen_e6") == 7000000L)
     assert(out("clean_trend").getAs[Long]("ols_e6") == 7000000L)
   }
+
+  test("qbj Shapley: subset-weighted form equals the literal 24-permutation average; efficiency holds") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.shapleyAttribution(spark, sfDir)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows.size == 4)
+    // independent truth: per-user masks in plain Scala, then Shapley by
+    // its DEFINITION — marginal contribution averaged over all 4! = 24
+    // channel orderings (the operator uses the subset-weight form)
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+      .groupBy(_._1)
+    val chanBit = Map("view" -> 1, "click" -> 2, "signup" -> 4, "error" -> 8)
+    val masks = ev.values.flatMap { evs =>
+      val ps = evs.filter(_._3 == "purchase")
+      if (ps.isEmpty) None
+      else {
+        val fp = ps.minBy(e => (e._4, e._2))
+        val mask = evs.filter(e => e._3 != "purchase" &&
+            (e._4 < fp._4 || (e._4 == fp._4 && e._2 < fp._2)))
+          .map(e => chanBit(e._3)).fold(0)(_ | _)
+        Some(mask)
+      }
+    }.toSeq
+    def v(s: Int): Long = masks.count(m => (m & ~s & 15) == 0).toLong
+    val phi24 = Array.fill(4)(0L)
+    (0 until 4).permutations.foreach { perm =>
+      var s = 0
+      perm.foreach { c => phi24(c) += v(s | (1 << c)) - v(s); s |= (1 << c) }
+    }
+    val names = Array("view", "click", "signup", "error")
+    (0 until 4).foreach { c =>
+      assert(rows(names(c)).getAs[Long]("phi24") == phi24(c), names(c))
+      assert(rows(names(c)).getAs[Boolean]("efficiency_ok"))
+    }
+    assert(phi24.sum == (v(15) - v(0)) * 24L, "efficiency (independent)")
+  }
 }
