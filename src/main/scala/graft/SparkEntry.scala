@@ -324,6 +324,7 @@ object SparkEntry {
     "qbg_state_store_read"  -> ((s: SparkSession, d: String) => graft.streaming.Events.stateStoreRead(s, d)),
     "qbh_sprt_monitor"      -> (Quality.sprtMonitor _),
     "qbj_shapley_attribution" -> ((s: SparkSession, d: String) => TimeSeries.shapleyAttribution(s, d)),
+    "qbk_isotonic_calibration" -> (Quality.isotonicCalibration _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -906,6 +907,7 @@ object SparkEntry {
     "qbg_state_store_read"   -> graft.streaming.Events.stateStoreReadOracle,
     "qbh_sprt_monitor"       -> Quality.sprtMonitorOracle,
     "qbj_shapley_attribution" -> TimeSeries.shapleyAttributionOracle,
+    "qbk_isotonic_calibration" -> Quality.isotonicCalibrationOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -3271,4 +3271,100 @@ object Quality {
            CAST(coalesce(cross_llr, 0) AS BIGINT) AS llr_decision_e6,
            CAST(llr_final AS BIGINT) AS llr_final_e6
     FROM g ORDER BY event_type"""
+
+  /** qbk: ISOTONIC CALIBRATION — weighted PAV over binned model scores,
+    * the monotone-regression calibrator (Zadrozny & Elkan '02) that
+    * turns a ranking score into a probability. q9t grades binned
+    * calibration ERROR; this operator produces the CALIBRATED CURVE
+    * itself, via the minimax identity: the isotonic fit at bin i is
+    *   ŷ(i) = max_{j≤i} min_{k≥i}  Σ_{j..k} y / Σ_{j..k} w
+    * — equivalent to pool-adjacent-violators but expressed as pure
+    * relational algebra (prefix sums + a bounded triangle join) instead
+    * of PAV's sequential merge loop, so it runs distributed with NO
+    * driver iteration and is exact-integer end to end (ratios
+    * floor-scaled to e6 only at the output; floor commutes with
+    * max/min, so scaling the minimax is the minimax of the scaled).
+    *
+    * Score = order revenue (25k-wide bins, capped at 20); outcome =
+    * "order has ≥ 4 items", with deterministic label noise (flipped at
+    * l_orderkey%23) — the sigmoid is monotone in truth, the noise
+    * plants the local violators PAV exists to pool (9 of 20 fixture
+    * bins pool). Scale shape: one grouped scan reduces any row count
+    * to k = 20 bins; the O(k³) triangle is broadcast arithmetic.
+    * Numeric bound: cum_y·1e6 must fit a Long — fine to ~9·10¹²
+    * positive rows per calibration group; beyond that, widen to
+    * DECIMAL(38) (q1e's HUGEINT doctrine). */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val binned = per.select(
+      least(floor(col("rev") / 25000.0), lit(19L)).cast("long").as("bin"),
+      ((col("n_items") >= 4L) =!= (col("l_orderkey") % 23L === 0L))
+        .cast("long").as("y"))
+    val bins = binned.groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("y").as("sy"))
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // inclusive prefix (cw, cy) and exclusive prefix (pw, py): the
+    // pooled block j..k has weight cw(k)−pw(j), positives cy(k)−py(j)
+    val pre = bins.select(
+      col("bin"), col("w"), col("sy"),
+      sum("w").over(wAll).as("cw"), sum("sy").over(wAll).as("cy"))
+      .withColumn("pw", col("cw") - col("w"))
+      .withColumn("py", col("cy") - col("sy"))
+      .cache()
+    val i = pre.select(col("bin").as("i"), col("w"), col("sy"))
+    val j = pre.select(col("bin").as("j"), col("pw"), col("py"))
+    val k = pre.select(col("bin").as("k"), col("cw"), col("cy"))
+    val innerMin = i
+      .join(broadcast(j), col("j") <= col("i"))
+      .join(broadcast(k), col("k") >= col("i"))
+      .withColumn("ratio_e6",
+        expr("(cy - py) * 1000000 div (cw - pw)"))
+      .groupBy("i", "j", "w", "sy")
+      .agg(min("ratio_e6").as("min_k"))
+    innerMin.groupBy("i", "w", "sy")
+      .agg(max("min_k").as("fitted_e6"))
+      .select(
+        col("i").as("bin"), col("w"), col("sy"),
+        expr("sy * 1000000 div w").as("raw_e6"),
+        col("fitted_e6"),
+        (expr("sy * 1000000 div w") =!= col("fitted_e6")).as("pooled"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB replay of [[isotonicCalibration]] — same bins, same planted
+    * noise, same minimax triangle in exact integers. */
+  val isotonicCalibrationOracle: String = """
+    WITH per AS (
+      SELECT l_orderkey, count(1) AS n_items,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY 1),
+    binned AS (
+      SELECT least(CAST(floor(rev / 25000.0) AS BIGINT), 19) AS bin,
+             CASE WHEN (n_items >= 4) <> (l_orderkey % 23 = 0)
+                  THEN 1 ELSE 0 END AS y
+      FROM per),
+    b AS (SELECT bin, count(1) AS w, sum(y) AS sy FROM binned GROUP BY bin),
+    pre AS (
+      SELECT bin, w, sy,
+             sum(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(sy) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cy
+      FROM b),
+    pre2 AS (SELECT *, cw - w AS pw, cy - sy AS py FROM pre),
+    tri AS (
+      SELECT i.bin AS i, j.bin AS j, i.w, i.sy,
+             min((k.cy - j.py) * 1000000 // (k.cw - j.pw)) AS min_k
+      FROM pre2 i
+      JOIN pre2 j ON j.bin <= i.bin
+      JOIN pre2 k ON k.bin >= i.bin
+      GROUP BY 1, 2, 3, 4)
+    SELECT i AS bin, CAST(w AS BIGINT) AS w, CAST(sy AS BIGINT) AS sy,
+           CAST(sy * 1000000 // w AS BIGINT) AS raw_e6,
+           CAST(max(min_k) AS BIGINT) AS fitted_e6,
+           sy * 1000000 // w <> max(min_k) AS pooled
+    FROM tri GROUP BY i, w, sy ORDER BY bin"""
 }

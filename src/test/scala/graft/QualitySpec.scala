@@ -1764,4 +1764,38 @@ class QualitySpec extends SparkSpec {
       r => assert(math.abs(r.getAs[Long]("llr_final_e6")) < bound)
     }
   }
+
+  test("qbk isotonic: minimax triangle equals the sequential PAV merge; fit is monotone") {
+    val rows = operators.Quality.isotonicCalibration(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.length >= 10)
+    // independent truth: the LITERAL pool-adjacent-violators loop over
+    // the same (w, sy) bins, exact rationals via BigInt cross-products
+    case class Blk(var w: Long, var sy: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Blk, Int)] // block, #bins pooled into it
+    rows.foreach { r =>
+      blocks += ((Blk(r.getAs[Long]("w"), r.getAs[Long]("sy")), 1))
+      // merge while the last block's mean < the previous block's mean
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2)._1; val b = blocks.last._1
+        BigInt(b.sy) * a.w < BigInt(a.sy) * b.w
+      }) {
+        val (b, nb) = blocks.remove(blocks.length - 1)
+        val (a, na) = blocks.remove(blocks.length - 1)
+        blocks += ((Blk(a.w + b.w, a.sy + b.sy), na + nb))
+      }
+    }
+    val pavFit = blocks.flatMap { case (b, n) =>
+      Seq.fill(n)(BigInt(b.sy) * 1000000 / b.w) } // floor, non-negative
+    rows.zip(pavFit).foreach { case (r, f) =>
+      assert(BigInt(r.getAs[Long]("fitted_e6")) == f, s"bin ${r.getAs[Long]("bin")}")
+      assert(r.getAs[Boolean]("pooled") ==
+        (r.getAs[Long]("fitted_e6") != r.getAs[Long]("raw_e6")))
+    }
+    // isotonic by construction
+    rows.map(_.getAs[Long]("fitted_e6")).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ =>
+    }
+  }
 }
