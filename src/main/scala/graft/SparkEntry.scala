@@ -325,6 +325,7 @@ object SparkEntry {
     "qbh_sprt_monitor"      -> (Quality.sprtMonitor _),
     "qbj_shapley_attribution" -> ((s: SparkSession, d: String) => TimeSeries.shapleyAttribution(s, d)),
     "qbk_isotonic_calibration" -> (Quality.isotonicCalibration _),
+    "qbl_banding_scurve"    -> (Dedup.bandingScurve _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -908,6 +909,7 @@ object SparkEntry {
     "qbh_sprt_monitor"       -> Quality.sprtMonitorOracle,
     "qbj_shapley_attribution" -> TimeSeries.shapleyAttributionOracle,
     "qbk_isotonic_calibration" -> Quality.isotonicCalibrationOracle,
+    "qbl_banding_scurve"     -> Dedup.bandingScurveOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2120,4 +2120,144 @@ object Dedup {
              ELSE docs_false_pos * 1000000 // (n_train_docs - docs_flagged_exact)
              END AS BIGINT) AS doc_fpr_ppm
     FROM bstat CROSS JOIN estat CROSS JOIN gstat CROSS JOIN dstat"""
+
+  /** Theoretical banded-MinHash catch probability at each 0.1-wide
+    * Jaccard bucket's midpoint, e6-scaled: p = 1 − (1 − m^r)^b with
+    * r = 4 rows/band, b = 4 bands (the q52 configuration). PINNED
+    * literals (not computed at runtime): the theory column must be
+    * bit-identical in every engine. */
+  private val scurveTheoE6 = Seq(
+    25L, 2023L, 15534L, 58687L, 154209L,
+    318779L, 544575L, 781630L, 947798L, 998816L)
+
+  /** The s-curve corpus: `documents` plus a PLANTED MUTATION LADDER —
+    * every doc gets one variant (doc_id + 1000000) with a
+    * deterministic fraction of tokens replaced (3/8/18/35 % by
+    * doc_id%4), spreading true pair Jaccard across the whole curve
+    * (token survival s ≈ (1−q)³ ⇒ J ≈ s/(2−s) ≈ 0.84/0.64/0.38/0.16
+    * at the level centers, smeared ±2 buckets by short-doc
+    * discreteness — which is what fills the in-between buckets).
+    * The replacement gate is PURE ARITHMETIC on (doc_id, position) —
+    * `(doc_id·1000003 + i·7919) mod 100 < q` — precisely so an
+    * external engine can replay the mutated corpus exactly (xxhash
+    * would be Spark-only). Replacement tokens embed doc_id and
+    * position, so they never collide across docs. */
+  def scurveCorpus(docs: DataFrame): DataFrame = {
+    val mutants = docs
+      .withColumn("qpct",
+        when(col("doc_id") % 4 === 0, 3L)
+          .when(col("doc_id") % 4 === 1, 8L)
+          .when(col("doc_id") % 4 === 2, 18L)
+          .otherwise(35L))
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("""array_join(transform(split(text, ' '),
+          (t, i) -> IF((doc_id * 1000003 + i * 7919) % 100 < qpct,
+                       concat('z', doc_id, 'x', i), t)), ' ')""").as("text"))
+    docs.select("doc_id", "text").unionByName(mutants)
+  }
+
+  /** Raw s-curve table — bucket, exact-pair count, banded catch count —
+    * for the probe and the spec; [[bandingScurve]] grades it. */
+  def bandingScurveRaw(docs: DataFrame): DataFrame = {
+    val truth = gramJaccardAllPairs(docs)
+      .select(col("a"), col("b"),
+        least(floor(col("jac") * 10.0), lit(9L)).cast("long").as("jbucket"))
+      .cache()
+    val cands = minhashNearDupPairsOf(docs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        lit(1L).as("caught"))
+    truth.join(cands, Seq("a", "b"), "left")
+      .groupBy("jbucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .orderBy("jbucket")
+  }
+
+  /** qbl: LSH BANDING S-CURVE AUDIT — does the banded index behave like
+    * its THEORY says it should? MinHash banding's entire design rests
+    * on the s-curve p(J) = 1 − (1 − J^r)^b: pairs below the knee are
+    * (cheaply) ignored, pairs above it are (reliably) caught. q52/q53
+    * grade recall at one threshold; this operator grades the WHOLE
+    * CURVE — empirical catch rate per 0.1-wide true-Jaccard bucket
+    * against the pinned theoretical value at the bucket midpoint —
+    * which is the audit that catches a mis-rolled hash family, a wrong
+    * band split, or correlated permutations (all of which preserve
+    * one-threshold recall long before they flatten the curve).
+    *
+    * Graded columns: exact per-bucket pair counts (SQL-replayable from
+    * trigram sets), the pinned theory, and two contract booleans —
+    * `in_band` (empirical within ±15 pp of theory on buckets with ≥ 30
+    * pairs; sparse buckets assert only the coarse side test) and
+    * `knee_ok` (the curve is ~0 below J=0.3 and ≥0.8 above J=0.8 —
+    * the property that makes banding usable as a filter). The catch
+    * counts themselves are hash-family-dependent, so they ride inside
+    * the booleans (the q52 doctrine). Cost: the truth join is the
+    * audit arm, fixture-scale only; production runs just the banded
+    * index. */
+  def bandingScurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = scurveCorpus(Tables.documents(spark, dir))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val raw = bandingScurveRaw(docs)
+    val theo = scurveTheoE6.zipWithIndex
+      .map { case (p, b) => (b.toLong, p) }
+      .foldLeft(lit(0L)) { case (acc, (b, p)) =>
+        when(col("jbucket") === b, p).otherwise(acc) }
+    val g = raw
+      .withColumn("theo_e6", theo)
+      .withColumn("emp_e6", expr("n_caught * 1000000 div n_pairs"))
+    g.select(
+        col("jbucket"), col("n_pairs"), col("theo_e6"),
+        (col("n_pairs") < 30L ||
+          abs(col("emp_e6") - col("theo_e6")) <= 150000L).as("in_band"),
+        // the knee: filter-grade miss rate below J=0.3, catch above 0.8
+        // (sparse buckets assert nothing — a 4-pair bucket is noise)
+        (col("n_pairs") < 30L ||
+          when(col("jbucket") <= 2L, col("emp_e6") <= 100000L)
+            .when(col("jbucket") >= 8L, col("emp_e6") >= 800000L)
+            .otherwise(lit(true))).as("knee_ok"))
+      .orderBy("jbucket")
+  }
+
+  /** Oracle for [[bandingScurve]]: exact bucket populations from the
+    * trigram sets; theory pinned; stochastic legs pinned true. */
+  def bandingScurveOracle: String = """
+    WITH mut AS (
+      SELECT doc_id AS odoc,
+             CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 8
+               WHEN 2 THEN 18 ELSE 35 END AS qpct,
+             string_split(text, ' ') AS toks0
+      FROM documents),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT odoc + 1000000 AS doc_id,
+             array_to_string(list_transform(range(1, len(toks0) + 1),
+               i -> CASE WHEN (odoc * 1000003 + (i - 1) * 7919) % 100
+                              < qpct
+                         THEN 'z' || odoc || 'x' || (i - 1)
+                         ELSE toks0[i] END), ' ') AS text
+      FROM mut),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> list_aggregate(toks[i:i+2], 'string_agg', ' ')))) AS gram
+      FROM t),
+    sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, CAST(count(1) AS BIGINT) AS shared
+      FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2),
+    jb AS (
+      SELECT least(CAST(floor(CAST(shared AS DOUBLE)
+               / (sa.n + sb.n - shared) * 10.0) AS BIGINT), 9) AS jbucket
+      FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id)
+    SELECT jbucket, CAST(count(1) AS BIGINT) AS n_pairs,
+           CAST(CASE jbucket WHEN 0 THEN 25 WHEN 1 THEN 2023
+             WHEN 2 THEN 15534 WHEN 3 THEN 58687 WHEN 4 THEN 154209
+             WHEN 5 THEN 318779 WHEN 6 THEN 544575 WHEN 7 THEN 781630
+             WHEN 8 THEN 947798 ELSE 998816 END AS BIGINT) AS theo_e6,
+           true AS in_band, true AS knee_ok
+    FROM jb GROUP BY jbucket ORDER BY jbucket"""
 }

@@ -1364,4 +1364,44 @@ class DedupSimilaritySpec extends SparkSpec {
       q49.map(_.getAs[Long]("n_shared_grams")).sum,
       "exact gram hits must match q49's per-doc shared-gram totals")
   }
+
+  test("qbl banding s-curve: planted ladder fills every bucket; curve is filter-grade at both ends") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = Dedup.scurveCorpus(docs)
+    // the ladder doubles the corpus: one mutant per doc, ids disjoint
+    assert(corpus.count() == docs.count() * 2)
+    assert(corpus.where(col("doc_id") >= 1000000L).count() == docs.count())
+    // mutation really rewrites text (every mutant differs from its source)
+    val changed = corpus.where(col("doc_id") >= 1000000L)
+      .withColumn("doc_id", col("doc_id") - 1000000L)
+      .join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+      .where(col("text") === col("orig")).count()
+    // a few short docs at q=3% legitimately draw zero replacement
+    // positions; anything beyond a sliver means the gate is broken
+    assert(changed * 20 < docs.count(),
+      s"$changed mutants identical to source — mutation gate broken?")
+    val rows = Dedup.bandingScurve(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("jbucket") -> r).toMap
+    assert(rows.size == 10, "every 0.1 Jaccard bucket must be populated")
+    // theory column is the pinned literal table
+    val theo = Seq(25L, 2023L, 15534L, 58687L, 154209L,
+      318779L, 544575L, 781630L, 947798L, 998816L)
+    (0 until 10).foreach { b =>
+      assert(rows(b.toLong).getAs[Long]("theo_e6") == theo(b))
+      assert(rows(b.toLong).getAs[Boolean]("knee_ok"), s"bucket $b knee")
+    }
+    // the ends of the curve, from the raw counts: banding must IGNORE
+    // the J<0.1 mass (else it is no filter) and CATCH the J>=0.9 pairs
+    val raw = Dedup.bandingScurveRaw(
+      corpus.repartition(spark.sparkContext.defaultParallelism))
+      .collect().map(r => r.getAs[Long]("jbucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_caught"))).toMap
+    val (n0, c0) = raw(0L)
+    assert(n0 > 1000L && c0 * 50 <= n0,
+      s"bucket 0 must be ignored at <=2% ($c0/$n0)")
+    val (n9, c9) = raw(9L)
+    assert(n9 >= 30L && c9 * 10 >= n9 * 9,
+      s"bucket 9 must be caught at >=90% ($c9/$n9)")
+  }
 }
