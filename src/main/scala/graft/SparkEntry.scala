@@ -326,6 +326,7 @@ object SparkEntry {
     "qbj_shapley_attribution" -> ((s: SparkSession, d: String) => TimeSeries.shapleyAttribution(s, d)),
     "qbk_isotonic_calibration" -> (Quality.isotonicCalibration _),
     "qbl_banding_scurve"    -> (Dedup.bandingScurve _),
+    "qbm_cart_quality"      -> ((s: SparkSession, d: String) => graft.ml.Cart.cartQuality(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -910,6 +911,7 @@ object SparkEntry {
     "qbj_shapley_attribution" -> TimeSeries.shapleyAttributionOracle,
     "qbk_isotonic_calibration" -> Quality.isotonicCalibrationOracle,
     "qbl_banding_scurve"     -> Dedup.bandingScurveOracle,
+    "qbm_cart_quality"       -> graft.ml.Cart.cartQualityOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -165,4 +165,39 @@ class MlSpec extends SparkSpec {
       assert(r.getAs[Int]("rank_loaded") == 10)
     }
   }
+
+  test("qbm CART: planted single-feature concept recovers the exact threshold with pure leaves; fixture tree beats baseline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted: disc = tax = 0, noise = 0 (orderkey ≡ 0 mod 17), so
+    // y = (2·qty > 71) = qty ≥ 36 — the unique optimal root is qty@35
+    // and a depth-2 tree separates perfectly
+    val planted = (1 to 50).flatMap(q => Seq.fill(4)(q)).toDF("q")
+      .select(col("q").cast("double").as("l_quantity"),
+        lit(0.0).as("l_discount"), lit(0.0).as("l_tax"),
+        lit(17L).as("l_orderkey"))
+    val tree = graft.ml.Cart.cartQualityOn(planted).collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    assert(tree("root").getAs[String]("feature") == "qty")
+    assert(tree("root").getAs[Long]("thr") == 35L)
+    assert(tree("root").getAs[Long]("posl") == 0L, "left leaf pure negative")
+    assert(tree("root").getAs[Long]("posr") == tree("root").getAs[Long]("nr"),
+      "right side pure positive")
+    tree.values.foreach(r => assert(r.getAs[Long]("train_acc_e6") == 1000000L))
+    // fixture tree: children partition the root sides exactly, and the
+    // learned tree beats the majority baseline by a wide margin
+    val fx = graft.ml.Cart.cartQuality(spark, sfDir).collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    val root = fx("root")
+    assert(fx("L").getAs[Long]("nl") + fx("L").getAs[Long]("nr") ==
+      root.getAs[Long]("nl"))
+    assert(fx("R").getAs[Long]("nl") + fx("R").getAs[Long]("nr") ==
+      root.getAs[Long]("nr"))
+    val n = root.getAs[Long]("nl") + root.getAs[Long]("nr")
+    val pos = root.getAs[Long]("posl") + root.getAs[Long]("posr")
+    val baselineE6 = math.max(pos, n - pos) * 1000000L / n
+    assert(root.getAs[Long]("train_acc_e6") > baselineE6 + 50000L,
+      s"tree must beat majority baseline by >5 pp " +
+        s"(${root.getAs[Long]("train_acc_e6")} vs $baselineE6)")
+  }
 }
