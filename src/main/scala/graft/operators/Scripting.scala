@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** qbi: SQL SCRIPTING — Spark 4's procedural SQL surface
+  * (BEGIN…END, DECLARE, WHILE, SET with scalar subqueries), the entry
+  * point for users who write stored-procedure-style logic instead of
+  * DataFrame code. The script is a data-driven convergence loop: walk
+  * a price threshold upward in 10k steps until the rows above it fall
+  * under 5% of the table — the "find the operating point" procedure
+  * every alerting/tiering pipeline has, written exactly as a DBA
+  * would.
+  *
+  * Execution shape: loop state is three driver-side scalars; every
+  * iteration is ONE distributed scan (the scalar subquery), so a
+  * 100 TB run costs iterations × one aggregate scan — the honest cost
+  * of an irreducible convergence loop. When the loop body is
+  * grid-enumerable (this one is), production should prefer the
+  * closed form the ORACLE uses — one grid×table aggregation instead
+  * of k scans — which is precisely what equality against the oracle
+  * certifies: the procedural script and the set-based rewrite agree. */
+object Scripting {
+
+  def sqlScript(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    val enabled = spark.conf.get("spark.sql.scripting.enabled", "true")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try spark.sql(
+      """BEGIN
+        |  DECLARE k BIGINT = 0;
+        |  DECLARE n_above BIGINT = 0;
+        |  DECLARE n_total BIGINT = 0;
+        |  DECLARE iters BIGINT = 0;
+        |  SET n_total = (SELECT count(1) FROM lineitem);
+        |  SET n_above = n_total;
+        |  WHILE n_above * 20 >= n_total DO
+        |    SET k = k + 10000;
+        |    SET n_above = (SELECT count(1) FROM lineitem
+        |                   WHERE l_extendedprice > k);
+        |    SET iters = iters + 1;
+        |  END WHILE;
+        |  SELECT k AS threshold, n_above, n_total, iters;
+        |END""".stripMargin)
+    finally spark.conf.set("spark.sql.scripting.enabled", enabled)
+  }
+
+  /** Closed-form replay of [[sqlScript]]'s loop: the smallest grid
+    * threshold whose tail falls under 5%, from ONE grid×table
+    * aggregation. `iters` = threshold/10000 because the script walks
+    * the grid from 0 in single steps. */
+  val sqlScriptOracle: String = """
+    WITH t AS (SELECT CAST(count(1) AS BIGINT) AS n_total FROM lineitem),
+    g AS (SELECT (range + 1) * 10000 AS k FROM range(0, 100)),
+    c AS (
+      SELECT g.k,
+             CAST(sum(CASE WHEN l.l_extendedprice > g.k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_above
+      FROM g CROSS JOIN lineitem l GROUP BY g.k),
+    hit AS (
+      SELECT c.k, c.n_above, t.n_total
+      FROM c CROSS JOIN t
+      WHERE c.n_above * 20 < t.n_total
+      ORDER BY c.k LIMIT 1)
+    SELECT CAST(k AS BIGINT) AS threshold, n_above, n_total,
+           CAST(k // 10000 AS BIGINT) AS iters
+    FROM hit"""
+}

@@ -356,4 +356,22 @@ class RelationalSpec extends SparkSpec {
     assert(rows.values.map(_.getAs[Long]("n")).sum ==
       graft.Tables.events(spark, sfDir).count())
   }
+
+  test("qbi SQL script: procedural WHILE loop agrees with the set-based rewrite") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Scripting.sqlScript(spark, sfDir).collect()(0)
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    assert(row.getAs[Long]("n_total") == total)
+    val k = row.getAs[Long]("threshold")
+    // the script's stopping condition, replayed directly: tail at k is
+    // under 5%, tail at the previous grid step is not
+    val above = li.where(col("l_extendedprice") > k).count()
+    assert(row.getAs[Long]("n_above") == above)
+    assert(above * 20 < total, "stop condition must hold at the answer")
+    val abovePrev = li.where(col("l_extendedprice") > (k - 10000)).count()
+    assert(abovePrev * 20 >= total,
+      "the previous grid step must still be above 5% — smallest k")
+    assert(row.getAs[Long]("iters") == k / 10000)
+  }
 }
