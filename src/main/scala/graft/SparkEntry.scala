@@ -328,6 +328,7 @@ object SparkEntry {
     "qbl_banding_scurve"    -> (Dedup.bandingScurve _),
     "qbm_cart_quality"      -> ((s: SparkSession, d: String) => graft.ml.Cart.cartQuality(s, d)),
     "qbi_sql_script"        -> (Scripting.sqlScript _),
+    "qbn_fellegi_sunter"    -> (Entity.fellegiSunter _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -914,6 +915,7 @@ object SparkEntry {
     "qbl_banding_scurve"     -> Dedup.bandingScurveOracle,
     "qbm_cart_quality"       -> graft.ml.Cart.cartQualityOracle,
     "qbi_sql_script"         -> Scripting.sqlScriptOracle,
+    "qbn_fellegi_sunter"     -> Entity.fellegiSunterOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -183,4 +183,107 @@ object Entity {
            CAST(count(1) AS BIGINT) AS n_name_pairs,
            CAST(sum(w) AS BIGINT) AS n_row_pairs
     FROM p GROUP BY 1 ORDER BY ed"""
+
+  /** qbn: FELLEGI–SUNTER PROBABILISTIC LINKAGE — the decision-theoretic
+    * layer on top of q5c's blocked candidate generation. Each candidate
+    * pair gets an agreement vector over the non-blocking fields (name,
+    * balance-in-cents), each field contributes a PINNED log₂ m/u weight
+    * (agree: the field matches given a true link / given a random pair;
+    * disagree: the complements), and the summed score lands each pair
+    * in match / review / non-match by the two FS thresholds. Weights
+    * and thresholds are design-time priors — integer e6 literals here,
+    * so the whole procedure is exactly replayable (no EM, no RNG; the
+    * oracle re-links and must agree row-for-row, hash included).
+    *
+    * The linkage corpus is `customer` against a DETERMINISTICALLY
+    * CORRUPTED copy of itself (the qbl planting doctrine): name mangled
+    * at custkey%3, balance shifted at %5, segment rotated at %7, nation
+    * shifted at %11 — the last two break the BLOCKING key itself, so
+    * the operator also measures what production linkage must always
+    * report: recall lost to blocking, separately from recall lost to
+    * scoring. Scale shape: one equi-join on (nation, segment) — block
+    * sizes ~n/125 — then narrow codegen'd comparisons; no cross join
+    * anywhere. */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir)
+    val b = a.select(
+      (col("c_custkey") + 1000000L).as("b_key"),
+      when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("~")))
+        .otherwise(col("c_name")).as("b_name"),
+      when(col("c_custkey") % 11 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("b_nation"),
+      when(col("c_custkey") % 5 === 0, col("c_acctbal") + 11.11)
+        .otherwise(col("c_acctbal")).as("b_bal"),
+      when(col("c_custkey") % 7 === 0, concat(lit("X"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("b_seg"))
+    val cand = a.join(b,
+      col("c_nationkey") === col("b_nation") &&
+        col("c_mktsegment") === col("b_seg"))
+    val scored = cand
+      .withColumn("name_agree", col("c_name") === col("b_name"))
+      .withColumn("bal_agree",
+        round(col("c_acctbal") * 100) === round(col("b_bal") * 100))
+      // pinned log2(m/u)-style weights, e6: name +16/−1.585, bal +6/−2
+      .withColumn("score_e6",
+        when(col("name_agree"), 16000000L).otherwise(-1585000L) +
+          when(col("bal_agree"), 6000000L).otherwise(-2000000L))
+      .withColumn("decision",
+        when(col("score_e6") >= 14000000L, "match")
+          .when(col("score_e6") >= 4000000L, "review")
+          .otherwise("non_match"))
+      .withColumn("is_true", col("b_key") === col("c_custkey") + 1000000L)
+    val totals = a.agg(count(lit(1)).as("n_records"))
+    scored.groupBy("decision")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(totals))
+      .select(col("decision"), col("n_pairs"), col("n_true"),
+        col("n_records"),
+        // scoring recall: true pairs that survived blocking AND scored
+        // as match, over all true pairs that survived blocking — vs
+        // blocking recall: candidates over all n_records true pairs
+        expr("n_true * 1000000 div n_pairs").as("purity_ppm"))
+      .orderBy("decision")
+  }
+
+  /** DuckDB re-link of [[fellegiSunter]] — same corruption, same
+    * blocking, same pinned weights and thresholds. */
+  val fellegiSunterOracle: String = """
+    WITH b AS (
+      SELECT c_custkey + 1000000 AS b_key,
+             CASE WHEN c_custkey % 3 = 0 THEN c_name || '~'
+                  ELSE c_name END AS b_name,
+             CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS b_nation,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 11.11
+                  ELSE c_acctbal END AS b_bal,
+             CASE WHEN c_custkey % 7 = 0 THEN 'X' || c_mktsegment
+                  ELSE c_mktsegment END AS b_seg
+      FROM customer),
+    cand AS (
+      SELECT a.c_custkey, a.c_name, a.c_acctbal, b.*
+      FROM customer a JOIN b
+        ON a.c_nationkey = b.b_nation AND a.c_mktsegment = b.b_seg),
+    scored AS (
+      SELECT *,
+             (CASE WHEN c_name = b_name THEN 16000000 ELSE -1585000 END +
+              CASE WHEN round(c_acctbal * 100) = round(b_bal * 100)
+                   THEN 6000000 ELSE -2000000 END) AS score_e6,
+             b_key = c_custkey + 1000000 AS is_true
+      FROM cand),
+    dec AS (
+      SELECT CASE WHEN score_e6 >= 14000000 THEN 'match'
+                  WHEN score_e6 >= 4000000 THEN 'review'
+                  ELSE 'non_match' END AS decision,
+             is_true
+      FROM scored),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n_records FROM customer)
+    SELECT decision, CAST(count(1) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           tot.n_records,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) * 1000000
+             // count(1) AS BIGINT) AS purity_ppm
+    FROM dec CROSS JOIN tot
+    GROUP BY decision, tot.n_records ORDER BY decision"""
 }

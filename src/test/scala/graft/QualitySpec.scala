@@ -1765,6 +1765,42 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("qbn Fellegi-Sunter: decision classes recover the planted corruption arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Entity.fellegiSunter(spark, sfDir).collect()
+      .map(r => r.getAs[String]("decision") -> r).toMap
+    val cust = Tables.customer(spark, sfDir)
+    val n = cust.count()
+    // true pairs lost to blocking: segment (%7) or nation (%11) corrupted
+    val blocked = cust.where(
+      col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0).count()
+    val trueCands = rows.values.map(_.getAs[Long]("n_true")).sum
+    assert(trueCands == n - blocked,
+      s"blocking must lose exactly the planted %7/%11 rows ($trueCands vs ${n - blocked})")
+    // match ⇔ name agrees (16e6 dominates either bal outcome ≥ 14e6):
+    // name uncorrupted (!%3), among blocking survivors
+    val matchTrue = cust.where(
+      col("c_custkey") % 3 =!= 0 &&
+        col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 =!= 0).count()
+    assert(rows("match").getAs[Long]("n_true") == matchTrue)
+    // review ⇔ name corrupted but bal intact (−1.585e6 + 6e6 ≥ 4e6)
+    val reviewTrue = cust.where(
+      col("c_custkey") % 3 === 0 && col("c_custkey") % 5 =!= 0 &&
+        col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 =!= 0).count()
+    assert(rows("review").getAs[Long]("n_true") == reviewTrue)
+    // non-match true leakage = BOTH name and bal corrupted (%15)
+    val bothCorr = cust.where(
+      col("c_custkey") % 15 === 0 &&
+        col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 =!= 0).count()
+    assert(rows("non_match").getAs[Long]("n_true") == bothCorr)
+    // names are unique, so a false pair can never name-agree: match pure
+    assert(rows("match").getAs[Long]("purity_ppm") == 1000000L)
+    // the false-pair mass lands in non_match (blocks pair unrelated
+    // customers; none of them can reach the match threshold)
+    assert(rows("non_match").getAs[Long]("n_pairs") >
+      rows("match").getAs[Long]("n_pairs"))
+  }
+
   test("qbk isotonic: minimax triangle equals the sequential PAV merge; fit is monotone") {
     val rows = operators.Quality.isotonicCalibration(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("bin"))
