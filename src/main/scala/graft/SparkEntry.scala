@@ -329,6 +329,8 @@ object SparkEntry {
     "qbm_cart_quality"      -> ((s: SparkSession, d: String) => graft.ml.Cart.cartQuality(s, d)),
     "qbi_sql_script"        -> (Scripting.sqlScript _),
     "qbn_fellegi_sunter"    -> (Entity.fellegiSunter _),
+    "qbo_param_identifier"  -> (Scripting.paramIdentifier _),
+    "qbp_fim_transform"     -> (Text.fimTransform _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -916,6 +918,8 @@ object SparkEntry {
     "qbm_cart_quality"       -> graft.ml.Cart.cartQualityOracle,
     "qbi_sql_script"         -> Scripting.sqlScriptOracle,
     "qbn_fellegi_sunter"     -> Entity.fellegiSunterOracle,
+    "qbo_param_identifier"   -> Scripting.paramIdentifierOracle,
+    "qbp_fim_transform"      -> Text.fimTransformOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -65,4 +65,40 @@ object Scripting {
     SELECT CAST(k AS BIGINT) AS threshold, n_above, n_total,
            CAST(k // 10000 AS BIGINT) AS iters
     FROM hit"""
+
+  /** qbo: PARAMETERIZED SQL + IDENTIFIER — the injection-safe template
+    * surface (SPARK-44140/44180): VALUES bind through named parameter
+    * markers (`:minp`), and table/column NAMES bind through
+    * `IDENTIFIER(:param)` — the only safe way to template "group this
+    * metric by a caller-chosen column over a caller-chosen table",
+    * which every multi-tenant reporting layer does. String-splicing
+    * either one is the classic SQL-injection hole; this query binds
+    * BOTH kinds and the oracle replays the fully-resolved statement.
+    * The plan is identical to the literal query — parameters resolve
+    * at analysis time, so pushdown/pruning are unaffected. */
+  def paramIdentifier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_pq")
+    spark.sql(
+      """SELECT IDENTIFIER(:grp) AS grp_val,
+        |       count(1) AS n,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS total_cents
+        |FROM IDENTIFIER(:tbl)
+        |WHERE o_totalprice > :minp
+        |GROUP BY IDENTIFIER(:grp)
+        |ORDER BY grp_val""".stripMargin,
+      Map("grp" -> "o_orderpriority", "tbl" -> "orders_pq",
+        "minp" -> 100000))
+  }
+
+  /** The resolved statement, replayed literally. */
+  val paramIdentifierOracle: String = """
+    SELECT o_orderpriority AS grp_val,
+           CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    ORDER BY grp_val"""
 }

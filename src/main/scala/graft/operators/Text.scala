@@ -1733,4 +1733,81 @@ object Text {
            fin.n_results, fin.result_checksum
     FROM ranked LEFT JOIN per_step USING (step) CROSS JOIN fin
     ORDER BY step"""
+
+  /** qbp: FILL-IN-THE-MIDDLE TRANSFORM — the FIM data preparation
+    * (Bavarian et al. '22) every code-model pipeline runs: split each
+    * document into (prefix, middle, suffix) at deterministic
+    * hash-derived character offsets, then reorder to PSM
+    * (prefix-suffix-middle) or SPM by doc parity, with sentinel
+    * markers. The graded per-doc rows carry the split geometry
+    * (segment lengths, mode), a reconstruction self-check (the three
+    * segments re-concatenate to the original — FIM must be lossless
+    * or training data silently corrupts), and the first characters of
+    * the middle span (the oracle replays the exact substring
+    * arithmetic). Split fractions are pure doc_id arithmetic —
+    * a ∈ [20,50]%, b ∈ (a+10, a+32]% — so any engine reproduces the
+    * same spans; offsets are 1-based character positions, identical
+    * semantics in Spark and DuckDB `substr`.
+    *
+    * Scale shape: a narrow per-row projection — no shuffle at all
+    * except the output ordering; at 100 TB this runs at scan speed,
+    * which is the point: FIM is applied to entire code corpora. */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("a_pct", lit(20L) + col("doc_id") % 31)
+      .withColumn("b_pct", col("a_pct") + 10L + col("doc_id") % 23)
+      .withColumn("pa", expr("n * a_pct div 100"))
+      .withColumn("pb", expr("n * b_pct div 100"))
+      .withColumn("prefix", expr("substr(text, 1, pa)"))
+      .withColumn("middle", expr("substr(text, pa + 1, pb - pa)"))
+      .withColumn("suffix", expr("substr(text, pb + 1)"))
+      .withColumn("mode",
+        when(col("doc_id") % 2 === 0, "psm").otherwise("spm"))
+    d.select(
+        col("doc_id"), col("mode"),
+        length(col("prefix")).cast("long").as("plen"),
+        length(col("middle")).cast("long").as("mlen"),
+        length(col("suffix")).cast("long").as("slen"),
+        (concat(col("prefix"), col("middle"), col("suffix")) === col("text"))
+          .as("reconstructed_ok"),
+        expr("substr(middle, 1, 12)").as("middle_head"),
+        // the emitted training string, PSM/SPM with sentinels
+        length(when(col("mode") === "psm",
+          concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+            lit("<MID>"), col("middle")))
+          .otherwise(
+            concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
+              lit("<MID>"), col("middle")))).cast("long").as("emitted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[fimTransform]] — same offsets, same substrings. */
+  val fimTransformOracle: String = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             20 + doc_id % 31 AS a_pct,
+             20 + doc_id % 31 + 10 + doc_id % 23 AS b_pct
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, n,
+             n * a_pct // 100 AS pa, n * b_pct // 100 AS pb,
+             CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+      FROM d),
+    seg AS (
+      SELECT doc_id, mode, text,
+             substr(text, 1, CAST(pa AS INTEGER)) AS prefix,
+             substr(text, CAST(pa + 1 AS INTEGER),
+                    CAST(pb - pa AS INTEGER)) AS middle,
+             substr(text, CAST(pb + 1 AS INTEGER)) AS suffix
+      FROM s)
+    SELECT doc_id, mode,
+           CAST(length(prefix) AS BIGINT) AS plen,
+           CAST(length(middle) AS BIGINT) AS mlen,
+           CAST(length(suffix) AS BIGINT) AS slen,
+           prefix || middle || suffix = text AS reconstructed_ok,
+           substr(middle, 1, 12) AS middle_head,
+           CAST(length(prefix) + length(middle) + length(suffix) + 15
+             AS BIGINT) AS emitted_len
+    FROM seg ORDER BY doc_id"""
 }

@@ -101,7 +101,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "qb3_inverted_index" -> "1-row final-results aggregate broadcast onto the |query-terms|-row step spine",
     "qb4_rtbf_cascade" -> "1-row orphan-audit aggregate broadcast onto each level's 1-row count row",
     "qb5_priority_sample" -> "1-row tau (k+1-th priority) aggregate broadcast onto the k-row sample",
-    "qb8_encoding_advisor" -> "three 1-row stat aggregates (ndv / within-runs / boundary-runs) broadcast-crossed into the 4-row column frame")
+    "qb8_encoding_advisor" -> "three 1-row stat aggregates (ndv / within-runs / boundary-runs) broadcast-crossed into the 4-row column frame",
+    "qbg_state_store_read" -> "1-row shard-count aggregate broadcast onto the <=|event-types| state rows",
+    "qbj_shapley_attribution" -> "16-row subset-value table x 4-row channel frame + 1-row efficiency aggregate — all 2^n_channels-bounded",
+    "qbk_isotonic_calibration" -> "<=20-bin prefix frames triangle-joined (j<=i<=k) — O(bins^3) broadcast arithmetic",
+    "qbm_cart_quality" -> "1-row root-split and 1-row accuracy aggregates broadcast onto the scan / 3-row tree",
+    "qbn_fellegi_sunter" -> "1-row record-count aggregate broadcast onto the 3-row decision rollup")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

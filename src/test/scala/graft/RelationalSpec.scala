@@ -374,4 +374,28 @@ class RelationalSpec extends SparkSpec {
       "the previous grid step must still be above 5% — smallest k")
     assert(row.getAs[Long]("iters") == k / 10000)
   }
+
+  test("qbo parameterized SQL: IDENTIFIER and value markers bind; rebinding the column regroups") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Scripting.paramIdentifier(spark, sfDir).collect()
+    val truth = graft.Tables.orders(spark, sfDir)
+      .where(col("o_totalprice") > 100000)
+      .groupBy(col("o_orderpriority").as("grp_val"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("grp_val") -> r.getAs[Long]("n"))
+      .toMap
+    assert(rows.length == truth.size)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n") == truth(r.getAs[String]("grp_val"))))
+    // rebinding :grp to another column must regroup — proves IDENTIFIER
+    // is a live parameter, not a splice that happened to work once
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("orders_pq")
+    val byStatus = spark.sql(
+      """SELECT IDENTIFIER(:grp) AS grp_val, count(1) AS n
+        |FROM orders_pq WHERE o_totalprice > :minp
+        |GROUP BY IDENTIFIER(:grp)""".stripMargin,
+      Map("grp" -> "o_orderstatus", "minp" -> 100000)).collect()
+    assert(byStatus.map(_.getAs[String]("grp_val")).toSet !=
+      rows.map(_.getAs[String]("grp_val")).toSet)
+  }
 }

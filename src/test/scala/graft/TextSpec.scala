@@ -720,4 +720,30 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_cut_hamming") > (nk - 1L) * 16L)
     }
   }
+
+  test("qbp FIM transform: lossless segmentation, parity modes, sentinel accounting") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Text.fimTransform(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val n = docs(r.getAs[Long]("doc_id")).length.toLong
+      val (p, m, s) = (r.getAs[Long]("plen"), r.getAs[Long]("mlen"),
+        r.getAs[Long]("slen"))
+      assert(p + m + s == n, "segments must partition the document")
+      assert(r.getAs[Boolean]("reconstructed_ok"))
+      assert(r.getAs[Long]("emitted_len") == n + 15L,
+        "emitted = original + three 5-char sentinels")
+      assert(m > 0L, "middle span must be non-empty (b_pct > a_pct + 10)")
+      assert(r.getAs[String]("mode") ==
+        (if (r.getAs[Long]("doc_id") % 2 == 0) "psm" else "spm"))
+      val head = r.getAs[String]("middle_head")
+      // middle_head really is the middle span's start at offset plen
+      assert(docs(r.getAs[Long]("doc_id"))
+        .substring(p.toInt, math.min(n, p + math.min(12L, m)).toInt)
+        .startsWith(head.take(3)))
+    }
+  }
 }
