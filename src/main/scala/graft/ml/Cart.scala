@@ -237,4 +237,87 @@ object Cart {
            CAST(nr AS BIGINT) AS nr, CAST(posr AS BIGINT) AS posr,
            train_acc_e6, n_total
     FROM tree CROSS JOIN acc ORDER BY node"""
+
+  /** qbq: FEATURE SCREENING BY EXACT KS SEPARATION — rank every
+    * candidate feature by the Kolmogorov–Smirnov distance between its
+    * positive-class and negative-class distributions, the standard
+    * pre-training screen ("which features carry signal at all?") run
+    * before fitting anything. The KS statistic per feature is
+    * max over values v of |F⁺(v) − F⁻(v)|; fractions never materialize:
+    * the gap is compared as |cumpos·totneg − cumneg·totpos| (one
+    * cross-product per histogram row) and only floor-scaled to e6 at
+    * the output — so the ranking, the argmax cut, and the statistic are
+    * EXACT and engine-independent. Same planted label as qbm, so the
+    * expected ordering is known: qty (weight 2 over range 50) and disc
+    * (weight 5 over range 10) carry ~2× the signal of tax (weight 3
+    *  over range 8), and the screen must find qty ≫ disc > tax.
+    *
+    * Scale shape: one grouped scan to |domain| histogram rows, prefix
+    * sums over each tiny domain, one argmax window. Numeric bound:
+    * cumpos·totneg needs n_pos·n_neg < 9·10¹⁸ — fine to ~3·10⁹ rows,
+    * beyond that scale both counts down by a common 2^k first. */
+  def featureKs(spark: SparkSession, dir: String): DataFrame = {
+    val rows = featureRows(Tables.lineitem(spark, dir))
+    val hist = rows.groupBy("feature", "value")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wCum = Window.partitionBy("feature").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("feature")
+    val gaps = hist
+      .withColumn("cumpos", sum("pos").over(wCum))
+      .withColumn("cumneg", sum(col("n") - col("pos")).over(wCum))
+      .withColumn("totpos", sum("pos").over(wTot))
+      .withColumn("totneg", sum(col("n") - col("pos")).over(wTot))
+      .withColumn("gap_x",
+        abs(col("cumpos") * col("totneg") - col("cumneg") * col("totpos")))
+    val wBest = Window.partitionBy("feature")
+      .orderBy(col("gap_x").desc, col("value"))
+    gaps.withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("feature"), col("value").as("ks_at"),
+        expr("gap_x * 1000000 div (totpos * totneg)").as("ks_e6"),
+        col("totpos").as("n_pos"), col("totneg").as("n_neg"))
+      .orderBy(col("ks_e6").desc, col("feature"))
+  }
+
+  /** DuckDB replay of [[featureKs]] — same histograms, same
+    * cross-product gap, same argmax tie-break. */
+  val featureKsOracle: String = """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax,
+             CASE WHEN CAST(l_quantity AS BIGINT) * 2
+                       + CAST(round(l_discount * 100) AS BIGINT) * 5
+                       - CAST(round(l_tax * 100) AS BIGINT) * 3
+                       + l_orderkey % 17 > 71
+                  THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    fr AS (
+      SELECT 'qty' AS feature, qty AS value, y FROM base
+      UNION ALL SELECT 'disc', disc, y FROM base
+      UNION ALL SELECT 'tax', tax, y FROM base),
+    hist AS (
+      SELECT feature, value, count(1) AS n, sum(y) AS pos
+      FROM fr GROUP BY 1, 2),
+    gaps AS (
+      SELECT feature, value,
+             sum(pos) OVER w AS cumpos,
+             sum(n - pos) OVER w AS cumneg,
+             sum(pos) OVER wt AS totpos,
+             sum(n - pos) OVER wt AS totneg
+      FROM hist
+      WINDOW w AS (PARTITION BY feature ORDER BY value
+                   ROWS UNBOUNDED PRECEDING),
+             wt AS (PARTITION BY feature)),
+    best AS (
+      SELECT *, abs(cumpos * totneg - cumneg * totpos) AS gap_x,
+             row_number() OVER (PARTITION BY feature
+               ORDER BY abs(cumpos * totneg - cumneg * totpos) DESC, value)
+               AS rk
+      FROM gaps)
+    SELECT feature, CAST(value AS BIGINT) AS ks_at,
+           CAST(gap_x * 1000000 // (totpos * totneg) AS BIGINT) AS ks_e6,
+           CAST(totpos AS BIGINT) AS n_pos, CAST(totneg AS BIGINT) AS n_neg
+    FROM best WHERE rk = 1 ORDER BY ks_e6 DESC, feature"""
 }

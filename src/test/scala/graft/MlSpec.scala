@@ -200,4 +200,42 @@ class MlSpec extends SparkSpec {
       s"tree must beat majority baseline by >5 pp " +
         s"(${root.getAs[Long]("train_acc_e6")} vs $baselineE6)")
   }
+
+  test("qbq feature KS: exact scan replay agrees; planted weights order the features") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ml.Cart.featureKs(spark, sfDir).collect()
+      .map(r => r.getAs[String]("feature") -> r).toMap
+    assert(rows.size == 3)
+    // independent truth: literal KS sweep per feature in plain Scala
+    val data = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"), col("l_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getLong(0) * 2 + r.getLong(1) * 5 - r.getLong(2) * 3 +
+          r.getLong(3) % 17 > 71) 1L else 0L))
+    def ks(vals: Seq[(Long, Long)]): (Long, Long) = { // (argmax value, ks_e6)
+      val totP = vals.map(_._2).sum; val totN = vals.size - totP
+      var cp = 0L; var cn = 0L
+      var best = BigInt(-1); var bestAt = 0L
+      vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+        cp += g.map(_._2).sum; cn += g.size - g.map(_._2).sum
+        val gap = (BigInt(cp) * totN - BigInt(cn) * totP).abs
+        if (gap > best) { best = gap; bestAt = v }
+      }
+      (bestAt, (best * 1000000 / (BigInt(totP) * totN)).toLong)
+    }
+    val truth = Map(
+      "qty" -> ks(data.map(d => (d._1, d._4)).toSeq),
+      "disc" -> ks(data.map(d => (d._2, d._4)).toSeq),
+      "tax" -> ks(data.map(d => (d._3, d._4)).toSeq))
+    truth.foreach { case (f, (at, k)) =>
+      assert(rows(f).getAs[Long]("ks_at") == at, s"$f argmax")
+      assert(rows(f).getAs[Long]("ks_e6") == k, s"$f ks")
+    }
+    // planted weights: qty (2×50 range) dominates disc (5×10) over tax (3×8)
+    assert(rows("qty").getAs[Long]("ks_e6") > rows("disc").getAs[Long]("ks_e6"))
+    assert(rows("disc").getAs[Long]("ks_e6") > rows("tax").getAs[Long]("ks_e6"))
+  }
 }
