@@ -332,6 +332,7 @@ object SparkEntry {
     "qbo_param_identifier"  -> (Scripting.paramIdentifier _),
     "qbp_fim_transform"     -> (Text.fimTransform _),
     "qbq_feature_ks"        -> ((s: SparkSession, d: String) => graft.ml.Cart.featureKs(s, d)),
+    "qbr_kneser_ney"        -> (Text.knSmoothing _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -922,6 +923,7 @@ object SparkEntry {
     "qbo_param_identifier"   -> Scripting.paramIdentifierOracle,
     "qbp_fim_transform"      -> Text.fimTransformOracle,
     "qbq_feature_ks"         -> graft.ml.Cart.featureKsOracle,
+    "qbr_kneser_ney"         -> Text.knSmoothingOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1782,6 +1782,113 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** qbr: KNESER–NEY SMOOTHED BIGRAM LM — the interpolated-KN estimate
+    * (the n-gram LM standard; Chen & Goodman '98) with absolute
+    * discount d = 3/4, computed in EXACT QUARTER-INTEGER RATIONALS:
+    * scaling every probability by 4·c(a)·T turns
+    *   p_KN(b|a) = max(c(a,b)−d, 0)/c(a) + d·N₁₊(a,·)/c(a) · N₁₊(·,b)/T
+    * into pure Long arithmetic —
+    *   num = max(4c−3, 0)·T + 3·N₁₊(a,·)·N₁₊(·,b),  den = 4·c(a)·T
+    * — so ranking and e6 output are bit-identical in any engine (the
+    * float-log hazard of naive LM scoring never appears; q9b handles
+    * the log-domain variant, this is the exact-arithmetic one).
+    *
+    * Graded rows: the top-3 KN continuations of the 5 highest-count
+    * context tokens, each context's reserved backoff mass
+    * λ(a) = d·N₁₊(a,·)/c(a), and a per-context `mass_ok` audit — the
+    * exact integer identity Σ_seen(4c−3) = 4c(a) − 3N₁₊(a,·), which
+    * holds iff the bigram/unigram/type counts are mutually consistent
+    * (KN's total mass telescopes to exactly 1 when it does).
+    *
+    * Scale shape: bigram and continuation counts are grouped
+    * aggregates over the pair explode (vocab²-bounded output,
+    * map-side combined); the graded slice joins against a broadcast
+    * 5-row context block. */
+  def knSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val pairs = docs.select(
+      explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab")).cache()
+    val ctx = big.groupBy("a").agg(
+      sum("c_ab").as("c_a"), count(lit(1)).as("n1p_a"))
+    val cont = big.groupBy("b").agg(count(lit(1)).as("n1p_b"))
+    val tt = big.groupBy().agg(count(lit(1)).as("t_types"))
+    val top5 = ctx.orderBy(col("c_a").desc, col("a")).limit(5)
+    val scored = big.join(broadcast(top5), Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(tt))
+      .withColumn("num",
+        greatest(col("c_ab") * 4 - 3, lit(0L)) * col("t_types") +
+          col("n1p_a") * col("n1p_b") * 3)
+      .withColumn("p_e6",
+        expr("num * 1000000 div (4 * c_a * t_types)"))
+    val wRank = Window.partitionBy("a")
+      .orderBy(col("p_e6").desc, col("b"))
+    val audits = scored.groupBy("a")
+      .agg(sum(col("c_ab") * 4 - 3).as("sum_disc"))
+    scored.withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= 3)
+      .join(audits, Seq("a"))
+      .select(
+        col("a").as("context"), col("rk").cast("long").as("rk"),
+        col("b").as("continuation"), col("c_ab"), col("p_e6"),
+        col("c_a"), col("n1p_a"),
+        expr("3 * n1p_a * 1000000 div (4 * c_a)").as("backoff_e6"),
+        (col("sum_disc") === col("c_a") * 4 - col("n1p_a") * 3)
+          .as("mass_ok"))
+      .orderBy("context", "rk")
+  }
+
+  /** DuckDB replay of [[knSmoothing]] — same counts, same quarter-
+    * integer rationals, same tie-breaks. */
+  val knSmoothingOracle: String = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    plist AS (
+      SELECT list_transform(range(1, len(toks)),
+               i -> [toks[i], toks[i + 1]]) AS ps
+      FROM t),
+    pairs AS (
+      SELECT p[1] AS a, p[2] AS b
+      FROM (SELECT unnest(ps) AS p FROM plist)),
+    big AS (SELECT a, b, count(1) AS c_ab FROM pairs GROUP BY 1, 2),
+    ctx AS (
+      SELECT a, sum(c_ab) AS c_a, count(1) AS n1p_a FROM big GROUP BY a),
+    cont AS (SELECT b, count(1) AS n1p_b FROM big GROUP BY b),
+    tt AS (SELECT count(1) AS t_types FROM big),
+    top5 AS (SELECT * FROM ctx ORDER BY c_a DESC, a LIMIT 5),
+    scored AS (
+      SELECT big.a, big.b, big.c_ab, top5.c_a, top5.n1p_a, cont.n1p_b,
+             tt.t_types,
+             (greatest(big.c_ab * 4 - 3, 0) * tt.t_types
+               + top5.n1p_a * cont.n1p_b * 3) AS num
+      FROM big JOIN top5 ON big.a = top5.a
+      JOIN cont ON big.b = cont.b CROSS JOIN tt),
+    pe AS (
+      SELECT *, num * 1000000 // (4 * c_a * t_types) AS p_e6
+      FROM scored),
+    audits AS (
+      SELECT a, sum(c_ab * 4 - 3) AS sum_disc FROM pe GROUP BY a),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY a
+        ORDER BY p_e6 DESC, b) AS rk
+      FROM pe)
+    SELECT r.a AS context, CAST(r.rk AS BIGINT) AS rk,
+           r.b AS continuation, CAST(r.c_ab AS BIGINT) AS c_ab,
+           CAST(r.p_e6 AS BIGINT) AS p_e6,
+           CAST(r.c_a AS BIGINT) AS c_a, CAST(r.n1p_a AS BIGINT) AS n1p_a,
+           CAST(3 * r.n1p_a * 1000000 // (4 * r.c_a) AS BIGINT)
+             AS backoff_e6,
+           au.sum_disc = r.c_a * 4 - r.n1p_a * 3 AS mass_ok
+    FROM ranked r JOIN audits au ON r.a = au.a
+    WHERE r.rk <= 3 ORDER BY context, rk"""
+
   /** DuckDB replay of [[fimTransform]] — same offsets, same substrings. */
   val fimTransformOracle: String = """
     WITH d AS (

@@ -721,6 +721,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("qbr Kneser-Ney: quarter-integer probabilities sum to one; counts audit holds") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Text.knSmoothing(spark, sfDir).collect()
+    assert(rows.length == 15, "5 contexts x top-3 continuations")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("mass_ok"),
+        s"count identity must hold for ${r.getAs[String]("context")}")
+      // discounting: the KN estimate never exceeds the raw MLE, and the
+      // top continuation has positive probability
+      val pE6 = r.getAs[Long]("p_e6")
+      assert(pE6 > 0L)
+      val mleE6 = r.getAs[Long]("c_ab") * 1000000L / r.getAs[Long]("c_a")
+      assert(pE6 <= mleE6 + r.getAs[Long]("backoff_e6"),
+        "KN = discounted MLE + backoff share")
+    }
+    // ranks are 1..3 per context, ordered by p
+    rows.groupBy(_.getAs[String]("context")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(-_.getAs[Long]("p_e6")).toSeq ==
+        sorted.map(-_.getAs[Long]("p_e6")).sorted.toSeq)
+    }
+  }
+
   test("qbp FIM transform: lossless segmentation, parity modes, sentinel accounting") {
     import org.apache.spark.sql.functions._
     val rows = operators.Text.fimTransform(spark, sfDir).collect()
