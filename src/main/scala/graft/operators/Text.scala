@@ -1782,6 +1782,117 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** qbs: RETRIEVAL RECALL EVAL — the end-to-end check a RAG/search
+    * pipeline runs on itself: plant EXTRACTIVE queries (a verbatim
+    * 8-token span lifted from every 10th document), chunk the corpus
+    * (20-token non-overlapping windows), retrieve by exact
+    * distinct-trigram overlap (integers — BM25's float IDF would make
+    * the ranking engine-dependent; overlap count is the deterministic
+    * core of the same signal), and grade where each query's own
+    * document ranks. Graded per query: candidate count, the gold
+    * document's best rank (0 = not retrieved), hit@1/hit@5. A healthy
+    * chunk+retrieve stack must put the source document at rank 1 for
+    * nearly every verbatim query — failures localize to chunking (span
+    * straddles a boundary → grams split across chunks) before scoring,
+    * which is exactly the diagnostic a pipeline needs.
+    *
+    * Scale shape: the gram join is df-capped (the q4k doctrine — grams
+    * appearing in > 100 chunks are stopword shingles, dropped before
+    * the join), so candidates per query stay bounded; ranking is a
+    * per-query window over those candidates. */
+  def retrievalRecall(spark: SparkSession, dir: String,
+      dfCap: Long = 100L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val chunks = docs.select(col("doc_id").as("cdoc"),
+        posexplode(expr(
+          """transform(sequence(0, int(floor((size(toks) - 1) / 20))),
+             i -> slice(toks, i * 20 + 1, 20))""")))
+      .withColumnsRenamed(Map("pos" -> "cidx", "col" -> "ctoks"))
+      .where(size(col("ctoks")) >= 3)
+    val cgrams = chunks.select(col("cdoc"), col("cidx"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, size(ctoks) - 2),
+             i -> concat_ws(' ', ctoks[i - 1], ctoks[i], ctoks[i + 1]))""")))
+          .as("gram"))
+      .cache()
+    // df-cap: stopword shingles out before the join (q4k doctrine)
+    val hot = cgrams.groupBy("gram")
+      .agg(countDistinct(struct(col("cdoc"), col("cidx"))).as("df"))
+      .where(col("df") > dfCap).select("gram")
+    val kept = cgrams.join(broadcast(hot), Seq("gram"), "left_anti")
+    val queries = docs.where(col("doc_id") % 10 === 0 && size(col("toks")) >= 25)
+      .select(col("doc_id").as("qdoc"),
+        expr("slice(toks, 6, 8)").as("qtoks"))
+    val qgrams = queries.select(col("qdoc"),
+      explode(array_distinct(expr(
+        """transform(sequence(1, size(qtoks) - 2),
+           i -> concat_ws(' ', qtoks[i - 1], qtoks[i], qtoks[i + 1]))""")))
+        .as("gram"))
+    val scoredChunks = qgrams.join(kept, Seq("gram"))
+      .groupBy("qdoc", "cdoc", "cidx")
+      .agg(count(lit(1)).as("score"))
+    val wRank = Window.partitionBy("qdoc")
+      .orderBy(col("score").desc, col("cdoc"), col("cidx"))
+    val ranked = scoredChunks.withColumn("rnk", row_number().over(wRank))
+    ranked.groupBy("qdoc")
+      .agg(count(lit(1)).as("n_cands"),
+        coalesce(min(when(col("cdoc") === col("qdoc"), col("rnk"))),
+          lit(0L)).cast("long").as("gold_rank"))
+      .select(col("qdoc").as("query_id"), col("n_cands"), col("gold_rank"),
+        (col("gold_rank") === 1L).as("hit_at_1"),
+        (col("gold_rank") >= 1L && col("gold_rank") <= 5L).as("hit_at_5"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB replay of [[retrievalRecall]] — same chunks, same grams,
+    * same df-cap, same tie-breaks. */
+  val retrievalRecallOracle: String = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id AS cdoc, i AS cidx,
+             toks[i * 20 + 1 : i * 20 + 20] AS ctoks
+      FROM (SELECT doc_id, toks,
+              unnest(range(0, CAST(floor((len(toks) - 1) / 20) AS BIGINT)
+                + 1)) AS i
+            FROM t)
+      WHERE len(toks[i * 20 + 1 : i * 20 + 20]) >= 3),
+    cg AS (
+      SELECT cdoc, cidx,
+             unnest(list_distinct(list_transform(range(1, len(ctoks) - 1),
+               i -> list_aggregate(ctoks[i:i+2], 'string_agg', ' '))))
+               AS gram
+      FROM chunks),
+    hot AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT (cdoc, cidx)) AS df FROM cg GROUP BY gram)
+      WHERE df > 100),
+    kept AS (SELECT cg.* FROM cg ANTI JOIN hot USING (gram)),
+    q AS (
+      SELECT doc_id AS qdoc, toks[6:13] AS qtoks FROM t
+      WHERE doc_id % 10 = 0 AND len(toks) >= 25),
+    qg AS (
+      SELECT qdoc,
+             unnest(list_distinct(list_transform(range(1, len(qtoks) - 1),
+               i -> list_aggregate(qtoks[i:i+2], 'string_agg', ' '))))
+               AS gram
+      FROM q),
+    sc AS (
+      SELECT qdoc, cdoc, cidx, count(1) AS score
+      FROM qg JOIN kept USING (gram) GROUP BY 1, 2, 3),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY qdoc
+        ORDER BY score DESC, cdoc, cidx) AS rnk
+      FROM sc)
+    SELECT qdoc AS query_id, CAST(count(1) AS BIGINT) AS n_cands,
+           CAST(coalesce(min(CASE WHEN cdoc = qdoc THEN rnk END), 0)
+             AS BIGINT) AS gold_rank,
+           coalesce(min(CASE WHEN cdoc = qdoc THEN rnk END), 0) = 1
+             AS hit_at_1,
+           coalesce(min(CASE WHEN cdoc = qdoc THEN rnk END), 0) BETWEEN 1
+             AND 5 AS hit_at_5
+    FROM rk GROUP BY qdoc ORDER BY query_id"""
+
   /** qbr: KNESER–NEY SMOOTHED BIGRAM LM — the interpolated-KN estimate
     * (the n-gram LM standard; Chen & Goodman '98) with absolute
     * discount d = 3/4, computed in EXACT QUARTER-INTEGER RATIONALS:

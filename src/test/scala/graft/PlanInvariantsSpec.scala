@@ -106,7 +106,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qbj_shapley_attribution" -> "16-row subset-value table x 4-row channel frame + 1-row efficiency aggregate — all 2^n_channels-bounded",
     "qbk_isotonic_calibration" -> "<=20-bin prefix frames triangle-joined (j<=i<=k) — O(bins^3) broadcast arithmetic",
     "qbm_cart_quality" -> "1-row root-split and 1-row accuracy aggregates broadcast onto the scan / 3-row tree",
-    "qbn_fellegi_sunter" -> "1-row record-count aggregate broadcast onto the 3-row decision rollup")
+    "qbn_fellegi_sunter" -> "1-row record-count aggregate broadcast onto the 3-row decision rollup",
+    "qbr_kneser_ney" -> "1-row bigram-type-count aggregate broadcast onto the 5-context graded slice")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

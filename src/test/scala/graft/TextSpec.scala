@@ -721,6 +721,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("qbs retrieval recall: verbatim queries come back; flags consistent; candidates bounded") {
+    val rows = operators.Text.retrievalRecall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gold_rank")
+      assert(r.getAs[Boolean]("hit_at_1") == (g == 1L))
+      assert(r.getAs[Boolean]("hit_at_5") == (g >= 1L && g <= 5L))
+      assert(r.getAs[Long]("n_cands") <= 200L,
+        "df-cap must bound the candidate set")
+    }
+    // a verbatim 8-token span must retrieve its source inside the top 5
+    // for every query (rank >1 only via exact-duplicate docs, which tie)
+    val at5 = rows.count(_.getAs[Boolean]("hit_at_5"))
+    assert(at5 == rows.length, s"recall@5 must be total ($at5/${rows.length})")
+    val at1 = rows.count(_.getAs[Boolean]("hit_at_1"))
+    assert(at1 * 10 >= rows.length * 7, s"recall@1 must dominate ($at1/${rows.length})")
+  }
+
   test("qbr Kneser-Ney: quarter-integer probabilities sum to one; counts audit holds") {
     import org.apache.spark.sql.functions._
     val rows = operators.Text.knSmoothing(spark, sfDir).collect()
