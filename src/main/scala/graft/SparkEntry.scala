@@ -334,6 +334,7 @@ object SparkEntry {
     "qbq_feature_ks"        -> ((s: SparkSession, d: String) => graft.ml.Cart.featureKs(s, d)),
     "qbr_kneser_ney"        -> (Text.knSmoothing _),
     "qbs_retrieval_recall"  -> ((s: SparkSession, d: String) => Text.retrievalRecall(s, d)),
+    "qbt_sql_udf"           -> (Scripting.sqlUdf _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -926,6 +927,7 @@ object SparkEntry {
     "qbq_feature_ks"         -> graft.ml.Cart.featureKsOracle,
     "qbr_kneser_ney"         -> Text.knSmoothingOracle,
     "qbs_retrieval_recall"   -> Text.retrievalRecallOracle,
+    "qbt_sql_udf"            -> Scripting.sqlUdfOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** qbi: SQL SCRIPTING — Spark 4's procedural SQL surface
   * (BEGIN…END, DECLARE, WHILE, SET with scalar subqueries), the entry
@@ -101,4 +102,52 @@ object Scripting {
     WHERE o_totalprice > 100000
     GROUP BY o_orderpriority
     ORDER BY grp_val"""
+
+  /** qbt: SQL-DEFINED FUNCTIONS (SPARK-46246, Spark 4) — reusable
+    * logic declared in PURE SQL, no JVM code: a scalar function
+    * (`doc_density`, an e6 chars-per-token score) and a TABLE function
+    * (`src_docs(s)`, a parameterized view over documents). These are
+    * the engine's answer to "let analysts package logic without
+    * shipping jars": the bodies INLINE into the calling plan at
+    * analysis time (they are Catalyst expressions/subqueries, not
+    * black-box UDFs), so codegen, pushdown, and pruning all still
+    * apply — which the oracle certifies by replaying the INLINED
+    * statement. Graded: per-source doc counts, the summed scalar-UDF
+    * score, and a table-UDF scalar subquery riding every row. */
+  def sqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_toks",
+        size(split(col("text"), " ")).cast("long"))
+    docs.createOrReplaceTempView("docs_su")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION doc_density(nc BIGINT, nt BIGINT)
+        |RETURNS BIGINT RETURN nc * 1000000 div greatest(nt, 1)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION src_docs(s STRING)
+        |RETURNS TABLE(doc_id BIGINT, n_chars BIGINT)
+        |RETURN SELECT doc_id, n_chars FROM docs_su WHERE source = s""".stripMargin)
+    spark.sql(
+      """SELECT source,
+        |       count(1) AS n_docs,
+        |       sum(doc_density(n_chars, n_toks)) AS density_sum_e6,
+        |       (SELECT count(1) FROM src_docs('src3')) AS tvf_n_src3
+        |FROM docs_su
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  /** [[sqlUdf]] with both function bodies inlined — what the analyzer
+    * produces; equality proves the SQL-UDF layer is sugar, not
+    * semantics. */
+  val sqlUdfOracle: String = """
+    WITH d AS (
+      SELECT source, n_chars, len(string_split(text, ' ')) AS n_toks
+      FROM documents)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars * 1000000 // greatest(n_toks, 1)) AS BIGINT)
+             AS density_sum_e6,
+           (SELECT CAST(count(1) AS BIGINT) FROM documents
+            WHERE source = 'src3') AS tvf_n_src3
+    FROM d GROUP BY source ORDER BY source"""
 }

@@ -398,4 +398,30 @@ class RelationalSpec extends SparkSpec {
     assert(byStatus.map(_.getAs[String]("grp_val")).toSet !=
       rows.map(_.getAs[String]("grp_val")).toSet)
   }
+
+  test("qbt SQL UDFs: scalar body inlines into the plan; table UDF re-parameterizes") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Scripting.sqlUdf(spark, sfDir)
+    val rows = out.collect()
+    // scalar UDF equals the inlined DataFrame computation
+    val truth = graft.Tables.documents(spark, sfDir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(sum(expr("n_chars * 1000000 div greatest(n_toks, 1)"))
+        .as("density_sum_e6"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("density_sum_e6")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("density_sum_e6") == truth(r.getAs[String]("source"))))
+    // the SQL UDF is SUGAR: no black-box UDF node survives analysis
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "SQL-defined function must inline, not become an opaque UDF")
+    // table UDF re-parameterizes: each source returns its own slice
+    val n5 = spark.sql("SELECT count(1) AS n FROM src_docs('src5')")
+      .collect()(0).getAs[Long]("n")
+    val n5Truth = graft.Tables.documents(spark, sfDir)
+      .where(col("source") === "src5").count()
+    assert(n5 == n5Truth)
+  }
 }
