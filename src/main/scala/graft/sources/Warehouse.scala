@@ -1607,6 +1607,70 @@ object Warehouse {
       .orderBy("source")
   }
 
+  /** qbu: CORRUPT-RECORD CHANNELING — the PERMISSIVE-mode ingestion
+    * contract every production JSON feed relies on: malformed records
+    * must not kill the job (FAILFAST), must not silently vanish
+    * (DROPMALFORMED), but land in `_corrupt_record` with the raw line
+    * preserved for quarantine + replay. The feed here is the events
+    * table serialized to JSONL with a PLANTED corruption (every
+    * event_id%13 line truncated 3 chars — guaranteed-invalid JSON since
+    * the closing brace dies), re-read with an explicit schema plus the
+    * corrupt-record column. Graded: per-type GOOD-row counts (parsing
+    * must be unaffected by sibling corruption), the `_corrupt` row
+    * class with its count, and a quarantine-fidelity audit — every
+    * corrupt raw line still ends with its original payload prefix, so
+    * replay-after-fix is possible. Scale shape: line-parallel text
+    * scan, one rollup; the corrupt channel costs one extra string
+    * column only on bad rows. */
+  def corruptRecords(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_corrupt_jsonl")): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val lines = ev.select(
+      when(col("event_id") % 13 === 0,
+        expr("substr(to_json(struct(event_id, event_type, cents)), 1, " +
+          "length(to_json(struct(event_id, event_type, cents))) - 3)"))
+        .otherwise(to_json(struct(col("event_id"), col("event_type"),
+          col("cents")))).as("value"))
+    lines.write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("cents", LongType),
+      StructField("_corrupt_record", StringType)))
+    val back = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    back
+      .withColumn("cls", coalesce(col("event_type"), lit("_corrupt")))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("cents"), lit(0L))).as("sum_cents"),
+        sum(when(col("_corrupt_record").isNotNull &&
+          col("_corrupt_record").startsWith("{\"event_id\":"), 1L)
+          .otherwise(0L)).as("n_quarantined_replayable"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB replay of [[corruptRecords]] from the planted arithmetic:
+    * %13 rows are corrupt (raw line preserved and replayable), the
+    * rest parse with full fidelity. */
+  val corruptRecordsOracle: String = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id % 13 = 0 AS bad
+      FROM events)
+    SELECT CASE WHEN bad THEN '_corrupt' ELSE event_type END AS cls,
+           CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN bad THEN 0 ELSE cents END) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined_replayable
+    FROM ev GROUP BY 1 ORDER BY 1"""
+
   /** DuckDB replay of [[documentsXmlRoundTrip]] straight off parquet:
     * equality proves the XML cycle was lossless. */
   val documentsXmlRoundTripOracle: String = """

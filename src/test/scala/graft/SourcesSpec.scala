@@ -654,6 +654,33 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("corruptRecords: PERMISSIVE channels, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val path = tmpDir("corrupt_jsonl")
+    val rows = graft.sources.Warehouse.corruptRecords(spark, sfDir, path)
+      .collect().map(r => r.getAs[String]("cls") -> r).toMap
+    val ev = Tables.events(spark, sfDir)
+    val nBad = ev.where(col("event_id") % 13 === 0).count()
+    assert(rows("_corrupt").getAs[Long]("n") == nBad)
+    assert(rows("_corrupt").getAs[Long]("n_quarantined_replayable") == nBad,
+      "every quarantined line must keep its replayable raw prefix")
+    assert(rows.values.map(_.getAs[Long]("n")).sum == ev.count())
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    // DROPMALFORMED: silently loses exactly the planted rows — which is
+    // why PERMISSIVE+quarantine is the production default
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").json(path).count()
+    assert(dropped == ev.count() - nBad)
+    // FAILFAST: the job dies on the first bad line
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+
   test("documentsXmlRoundTrip: escape/unescape cycle is lossless; nulls survive") {
     import org.apache.spark.sql.functions._
     val rt = graft.sources.Warehouse.documentsXmlRoundTrip(spark, sfDir,
