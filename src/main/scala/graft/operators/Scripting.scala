@@ -136,6 +136,62 @@ object Scripting {
         |ORDER BY source""".stripMargin)
   }
 
+  /** qbv: ANSI TRY-FAMILY — Spark 4 runs ANSI mode by default, where
+    * division by zero, integral overflow, bad casts, and out-of-bounds
+    * array access THROW (the silent-null data corruption of legacy
+    * mode is gone). The `try_*` functions are the per-expression
+    * escape hatch: same semantics, but a failing row yields NULL
+    * instead of killing the job — the right tool when a feed is known
+    * dirty in one column and quarantining beats failing. Each hazard
+    * class here is PLANTED with exact arithmetic (÷0 at linenumber=3,
+    * Long.MaxValue overflow except when quantity rounds to 0 — never
+    * on this fixture — a non-numeric cast on the returnflag
+    * letter, index-7 access on a 6-element array), so the graded
+    * null/ok counts are pure modular arithmetic the oracle replays.
+    * SourcesSpec holds the negative control: the un-guarded ANSI
+    * expression throws on the same rows. */
+  def ansiTry(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_linenumber").cast("long").as("ln"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_returnflag").as("prio"))
+    li.select(
+        expr("try_divide(qty, ln - 3)").as("div0"),
+        expr("try_add(9223372036854775807L, qty)").as("ovf"),
+        expr("try_cast(prio AS INT)").as("badcast"),
+        expr("try_element_at(sequence(1L, 6L), 7)").as("oob"))
+      .select(explode(array(
+        struct(lit("div0").as("hazard"), col("div0").isNull.as("is_null")),
+        struct(lit("overflow").as("hazard"), col("ovf").isNull.as("is_null")),
+        struct(lit("badcast").as("hazard"), col("badcast").isNull.as("is_null")),
+        struct(lit("oob_index").as("hazard"), col("oob").isNull.as("is_null"))))
+        .as("h"))
+      .groupBy(col("h.hazard").as("hazard"))
+      .agg(sum(when(col("h.is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(!col("h.is_null"), 1L).otherwise(0L)).as("n_ok"))
+      .orderBy("hazard")
+  }
+
+  /** Planted-arithmetic replay of [[ansiTry]]. */
+  val ansiTryOracle: String = """
+    WITH li AS (
+      SELECT l_linenumber AS ln, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    h AS (
+      SELECT 'div0' AS hazard, ln = 3 AS is_null FROM li
+      UNION ALL
+      SELECT 'overflow', qty > 0 FROM li
+      UNION ALL
+      SELECT 'badcast', true FROM li
+      UNION ALL
+      SELECT 'oob_index', true FROM li)
+    SELECT hazard,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN is_null THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok
+    FROM h GROUP BY hazard ORDER BY hazard"""
+
   /** [[sqlUdf]] with both function bodies inlined — what the analyzer
     * produces; equality proves the SQL-UDF layer is sugar, not
     * semantics. */

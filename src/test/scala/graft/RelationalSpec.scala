@@ -399,6 +399,38 @@ class RelationalSpec extends SparkSpec {
       rows.map(_.getAs[String]("grp_val")).toSet)
   }
 
+  test("qbv ANSI try-family: planted hazards null out; the unguarded ANSI expression throws") {
+    import org.apache.spark.sql.functions._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "Spark 4 sessions must run ANSI mode (the default)")
+    val rows = operators.Scripting.ansiTry(spark, sfDir).collect()
+      .map(r => r.getAs[String]("hazard") -> r).toMap
+    val li = Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    val nLn3 = li.where(col("l_linenumber") === 3).count()
+    assert(rows("div0").getAs[Long]("n_null") == nLn3)
+    assert(rows("div0").getAs[Long]("n_ok") == n - nLn3)
+    // overflow/badcast/oob null on every row of this fixture
+    Seq("overflow", "badcast", "oob_index").foreach { h =>
+      assert(rows(h).getAs[Long]("n_null") == n, h)
+      assert(rows(h).getAs[Long]("n_ok") == 0L, h)
+    }
+    // negative control: without try_, ANSI kills the job on the same
+    // rows (surfaced either wrapped in SparkException or directly as
+    // SparkArithmeticException depending on the execution path)
+    def mustThrow(sql: String, errClass: String): Unit = {
+      val e = intercept[Exception] {
+        li.select(expr(sql)).write.format("noop").mode("overwrite").save()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains(errClass), s"$sql -> $msgs")
+    }
+    mustThrow("l_quantity / (l_linenumber - 3)", "DIVIDE_BY_ZERO")
+    mustThrow("9223372036854775807L + cast(l_quantity AS BIGINT)",
+      "ARITHMETIC_OVERFLOW")
+  }
+
   test("qbt SQL UDFs: scalar body inlines into the plan; table UDF re-parameterizes") {
     import org.apache.spark.sql.functions._
     val out = operators.Scripting.sqlUdf(spark, sfDir)
