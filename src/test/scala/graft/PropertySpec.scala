@@ -163,4 +163,39 @@ class PropertySpec extends SparkSpec {
         s"fwd native=$nativeFwd\nfwd composed=$composedFwd\nleft=$lRows\nright=$rRows")
     }
   }
+
+  test("CART training is invariant under repartitioning, and children partition the root exactly") {
+    // the property sampled-quantile tree learners do NOT have: the
+    // exact histogram method must produce the identical tree whatever
+    // the physical partitioning of the input
+    val rowGen = for {
+      q <- Gen.chooseNum(1L, 12L); d <- Gen.chooseNum(0L, 6L)
+      t <- Gen.chooseNum(0L, 4L); k <- Gen.chooseNum(0L, 200L)
+    } yield (q, d, t, k)
+    val frameGen = Gen.chooseNum(40, 120)
+      .flatMap(n => Gen.listOfN(n, rowGen))
+    forSamples(frameGen, n = 8) { rows =>
+      val df = rows.toDF("q", "d", "t", "k").select(
+        col("q").cast("double").as("l_quantity"),
+        (col("d").cast("double") / 100.0).as("l_discount"),
+        (col("t").cast("double") / 100.0).as("l_tax"),
+        col("k").as("l_orderkey"))
+      def treeOf(in: org.apache.spark.sql.DataFrame) =
+        graft.ml.Cart.cartQualityOn(in).collect().map(r =>
+          (r.getAs[String]("node"), r.getAs[String]("feature"),
+            r.getAs[Long]("thr"), r.getAs[Long]("score_e6"),
+            r.getAs[Long]("nl"), r.getAs[Long]("posl"),
+            r.getAs[Long]("nr"), r.getAs[Long]("posr"),
+            r.getAs[Long]("train_acc_e6"))).sortBy(_._1)
+      val t1 = treeOf(df)
+      val t7 = treeOf(df.repartition(7))
+      assert(t1.toSeq == t7.toSeq,
+        s"tree must not depend on partitioning:\n$t1\nvs\n$t7")
+      val byNode = t1.map(x => x._1 -> x).toMap
+      assert(byNode("L")._5 + byNode("L")._7 == byNode("root")._5)
+      assert(byNode("R")._5 + byNode("R")._7 == byNode("root")._7)
+      assert(byNode("L")._6 + byNode("L")._8 == byNode("root")._6)
+      assert(byNode("R")._6 + byNode("R")._8 == byNode("root")._8)
+    }
+  }
 }
