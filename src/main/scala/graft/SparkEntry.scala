@@ -337,6 +337,7 @@ object SparkEntry {
     "qbt_sql_udf"           -> (Scripting.sqlUdf _),
     "qbu_corrupt_records"   -> ((s: SparkSession, d: String) => graft.sources.Warehouse.corruptRecords(s, d)),
     "qbv_ansi_try"          -> (Scripting.ansiTry _),
+    "qbw_map_hof"           -> (Relational.mapHof _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -932,6 +933,7 @@ object SparkEntry {
     "qbt_sql_udf"            -> Scripting.sqlUdfOracle,
     "qbu_corrupt_records"    -> graft.sources.Warehouse.corruptRecordsOracle,
     "qbv_ansi_try"           -> Scripting.ansiTryOracle,
+    "qbw_map_hof"            -> Relational.mapHofOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

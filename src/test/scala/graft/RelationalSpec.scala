@@ -399,6 +399,30 @@ class RelationalSpec extends SparkSpec {
       rows.map(_.getAs[String]("grp_val")).toSet)
   }
 
+  test("qbw map HOFs: profile pipeline equals grouped HAVING; filter really binds") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.mapHof(spark, sfDir).collect()
+    assert(rows.nonEmpty, "threshold must keep rows at spec scale")
+    val truth = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .where(col("n") >= 14)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(rows.length == truth.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert((r.getAs[Long]("n"), r.getAs[Long]("cents")) == truth(k))
+      assert(r.getAs[Long]("n") >= 14L)
+    }
+    // the filter binds: some pairs were dropped
+    val all = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.length < all, "map_filter must drop sub-threshold entries")
+  }
+
   test("qbv ANSI try-family: planted hazards null out; the unguarded ANSI expression throws") {
     import org.apache.spark.sql.functions._
     assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
