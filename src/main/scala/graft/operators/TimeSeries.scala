@@ -1253,6 +1253,99 @@ object TimeSeries {
     FROM med JOIN ols USING (event_type)
     ORDER BY event_type"""
 
+  /** qbx: POSITION-BASED ATTRIBUTION MODELS — the heuristic family
+    * every marketing stack ships alongside the principled ones (qb7
+    * Markov, qbj Shapley): first-touch, last-touch, linear, and
+    * U-shaped (40/20/40) credit over the same journeys (touches before
+    * first purchase, qb7's convention). All credit shares are INTEGER
+    * e6 per conversion — linear gives each touch floor(1e6/n), U-shaped
+    * gives the bookends 400000 and splits 200000 across the middle —
+    * so totals are exact and the models comparable row-to-row (the
+    * point of running four models: rank stability ACROSS models is the
+    * signal that a channel's credit is real and not an artifact of one
+    * attribution heuristic). One window pass tags each touch with
+    * (position, reverse-position, journey length); the four models are
+    * four arithmetic columns over that tagging, unpivoted — one scan,
+    * one shuffle on user, one on (channel, model). */
+  def attributionModels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val firstP = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"))).as("fp"))
+    val touches = ev.join(firstP, Seq("user_id"))
+      .where(col("event_type") =!= "purchase" &&
+        (col("us") < col("fp.us") ||
+          (col("us") === col("fp.us") && col("event_id") < col("fp.event_id"))))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    val tagged = touches
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", count(lit(1)).over(wAll))
+      .withColumn("first_e6", when(col("rn") === 1, 1000000L).otherwise(0L))
+      .withColumn("last_e6", when(col("rn") === col("nt"), 1000000L)
+        .otherwise(0L))
+      .withColumn("linear_e6", expr("1000000 div nt"))
+      .withColumn("ushape_e6",
+        when(col("nt") === 1, 1000000L)
+          .when(col("nt") === 2, 500000L)
+          .when(col("rn") === 1 || col("rn") === col("nt"), 400000L)
+          .otherwise(expr("200000 div (nt - 2)")))
+    tagged.select(col("event_type").as("channel"),
+        explode(array(
+          struct(lit("first_touch").as("model"), col("first_e6").as("credit")),
+          struct(lit("last_touch").as("model"), col("last_e6").as("credit")),
+          struct(lit("linear").as("model"), col("linear_e6").as("credit")),
+          struct(lit("u_shaped").as("model"), col("ushape_e6").as("credit"))))
+          .as("m"))
+      .groupBy(col("channel"), col("m.model").as("model"))
+      .agg(sum(col("m.credit")).as("credit_e6"),
+        sum(when(col("m.credit") > 0, 1L).otherwise(0L)).as("n_touches_credited"))
+      .orderBy("channel", "model")
+  }
+
+  /** DuckDB replay of [[attributionModels]] — same journey convention,
+    * same integer shares. */
+  val attributionModelsOracle: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    fp AS (
+      SELECT user_id, us AS fus, event_id AS fid FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY us, event_id) AS prn
+        FROM ev WHERE event_type = 'purchase') WHERE prn = 1),
+    tch AS (
+      SELECT e.user_id, e.event_type, e.us, e.event_id
+      FROM ev e JOIN fp USING (user_id)
+      WHERE event_type <> 'purchase'
+        AND (us < fus OR (us = fus AND event_id < fid))),
+    tagged AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS rn,
+             count(1) OVER (PARTITION BY user_id) AS nt
+      FROM tch),
+    m AS (
+      SELECT event_type AS channel, 'first_touch' AS model,
+             CASE WHEN rn = 1 THEN 1000000 ELSE 0 END AS credit FROM tagged
+      UNION ALL
+      SELECT event_type, 'last_touch',
+             CASE WHEN rn = nt THEN 1000000 ELSE 0 END FROM tagged
+      UNION ALL
+      SELECT event_type, 'linear', 1000000 // nt FROM tagged
+      UNION ALL
+      SELECT event_type, 'u_shaped',
+             CASE WHEN nt = 1 THEN 1000000
+                  WHEN nt = 2 THEN 500000
+                  WHEN rn = 1 OR rn = nt THEN 400000
+                  ELSE 200000 // (nt - 2) END FROM tagged)
+    SELECT channel, model,
+           CAST(sum(credit) AS BIGINT) AS credit_e6,
+           CAST(sum(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_touches_credited
+    FROM m GROUP BY channel, model ORDER BY channel, model"""
+
   /** qbj: EXACT SHAPLEY ATTRIBUTION — the cooperative-game companion to
     * qb7's Markov removal effect. Each converting user's journey is a
     * COALITION of touched channels (the 4 non-purchase event types,

@@ -455,6 +455,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("clean_trend").getAs[Long]("ols_e6") == 7000000L)
   }
 
+  test("qbx attribution models: per-model credit conservation across channels") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.attributionModels(spark, sfDir).collect()
+    val byModel = rows.groupBy(_.getAs[String]("model"))
+    assert(byModel.keySet ==
+      Set("first_touch", "last_touch", "linear", "u_shaped"))
+    // journeys = converted users with >=1 pre-purchase touch, plus each
+    // journey's length (for exact floor-loss accounting)
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime)).groupBy(_._1)
+    val lens = ev.values.flatMap { evs =>
+      val ps = evs.filter(_._3 == "purchase")
+      if (ps.isEmpty) None
+      else {
+        val fp = ps.minBy(e => (e._4, e._2))
+        val n = evs.count(e => e._3 != "purchase" &&
+          (e._4 < fp._4 || (e._4 == fp._4 && e._2 < fp._2)))
+        if (n > 0) Some(n.toLong) else None
+      }
+    }.toSeq
+    val j = lens.size.toLong
+    def total(m: String) = byModel(m).map(_.getAs[Long]("credit_e6")).sum
+    // bookend models: exactly one full credit per journey
+    assert(total("first_touch") == j * 1000000L)
+    assert(total("last_touch") == j * 1000000L)
+    // linear: per journey n·floor(1e6/n) — the exact floor loss
+    assert(total("linear") == lens.map(n => n * (1000000L / n)).sum)
+    // u-shaped: closed form per journey length
+    def uTotal(n: Long): Long =
+      if (n == 1) 1000000L else if (n == 2) 1000000L
+      else 800000L + (n - 2) * (200000L / (n - 2))
+    assert(total("u_shaped") == lens.map(uTotal).sum)
+    // credited-touch counts: first/last credit exactly one touch each
+    assert(byModel("first_touch").map(_.getAs[Long]("n_touches_credited")).sum == j)
+    assert(byModel("last_touch").map(_.getAs[Long]("n_touches_credited")).sum == j)
+  }
+
   test("qbj Shapley: subset-weighted form equals the literal 24-permutation average; efficiency holds") {
     import org.apache.spark.sql.functions._
     val rows = operators.TimeSeries.shapleyAttribution(spark, sfDir)
