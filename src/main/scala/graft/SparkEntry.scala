@@ -339,6 +339,7 @@ object SparkEntry {
     "qbv_ansi_try"          -> (Scripting.ansiTry _),
     "qbw_map_hof"           -> (Relational.mapHof _),
     "qbx_attribution_models" -> ((s: SparkSession, d: String) => TimeSeries.attributionModels(s, d)),
+    "qby_voptimal_histogram" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.voptimalHistogram(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -936,6 +937,7 @@ object SparkEntry {
     "qbv_ansi_try"           -> Scripting.ansiTryOracle,
     "qbw_map_hof"            -> Relational.mapHofOracle,
     "qbx_attribution_models" -> TimeSeries.attributionModelsOracle,
+    "qby_voptimal_histogram" -> graft.sources.Warehouse.voptimalHistogramOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

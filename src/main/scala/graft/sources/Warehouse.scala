@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -1606,6 +1607,170 @@ object Warehouse {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("source")
   }
+
+  /** qby: V-OPTIMAL HISTOGRAM — the histogram construction CBOs
+    * actually want (Jagadish et al. '98): bucket boundaries chosen to
+    * MINIMIZE total within-bucket frequency variance, not equi-width
+    * convenience. Search is EXACT: l_quantity has V ≤ 50 distinct
+    * values, so 4 buckets = 3 cut points = C(V−1,3) ≈ 18k candidate
+    * plans — a three-way self-join over the prefix-summed frequency
+    * frame, each plan costed in integers
+    * (cost_e6(seg) = Σf²·1e6 − (Σf)²·1e6 div cnt, floors summed —
+    * deterministic in any engine), argmin with (b1,b2,b3) tie-break.
+    * The graded rows are the 4 winning buckets plus `beats_equiwidth`:
+    * the optimal plan's cost must not exceed the equi-width baseline's
+    * — the property that justifies paying for the search.
+    *
+    * Scale shape: the data reduces to V rows in one grouped scan;
+    * the plan search is V³-bounded broadcast arithmetic, independent
+    * of row count — exactly how an ANALYZE job builds per-column
+    * histograms at 100 TB. */
+  def voptimalHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("f"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = freq
+      .withColumn("i", row_number().over(Window.orderBy("v")))
+      .withColumn("s", sum("f").over(wOrd))
+      .withColumn("q", sum(col("f") * col("f")).over(wOrd))
+      .cache()
+    val tot = pre.groupBy().agg(max("i").as("nv"), max("s").as("st"),
+      max("q").as("qt"))
+    // exact integer cost of the 4 segments cut at (i1, i2, i3): Spark
+    // `div` and DuckDB `//` agree on non-negative Longs (floor); the
+    // Column `/` operator would be DOUBLE division — never use it here
+    val costExpr =
+      """  q1 * 1000000 - s1 * s1 * 1000000 div i1
+        |+ (q2 - q1) * 1000000
+        |  - (s2 - s1) * (s2 - s1) * 1000000 div (i2 - i1)
+        |+ (q3 - q2) * 1000000
+        |  - (s3 - s2) * (s3 - s2) * 1000000 div (i3 - i2)
+        |+ (qt - q3) * 1000000
+        |  - (st - s3) * (st - s3) * 1000000 div (nv - i3)""".stripMargin
+    val b = pre.select(col("i"), col("s"), col("q"))
+    val plans = b.as("b1")
+      .join(broadcast(b.as("b2")), col("b2.i") > col("b1.i"))
+      .join(broadcast(b.as("b3")), col("b3.i") > col("b2.i"))
+      .crossJoin(broadcast(tot))
+      .where(col("b3.i") < col("nv"))
+      .select(col("b1.i").as("i1"), col("b1.s").as("s1"), col("b1.q").as("q1"),
+        col("b2.i").as("i2"), col("b2.s").as("s2"), col("b2.q").as("q2"),
+        col("b3.i").as("i3"), col("b3.s").as("s3"), col("b3.q").as("q3"),
+        col("nv"), col("st"), col("qt"))
+      .withColumn("cost_e6", expr(costExpr))
+      .select(col("i1").as("c1"), col("i2").as("c2"), col("i3").as("c3"),
+        col("cost_e6"))
+    val wBest = Window.orderBy(col("cost_e6"), col("c1"), col("c2"), col("c3"))
+    val best = plans.withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1).drop("rk")
+    // equi-width baseline: cuts at floor(V/4), floor(V/2), floor(3V/4)
+    val ewCost = tot
+      .select(expr("nv div 4").as("e1"), expr("nv div 2").as("e2"),
+        expr("nv * 3 div 4").as("e3"), col("nv"), col("st"), col("qt"))
+      .join(broadcast(pre.select(col("i").as("e1"), col("s").as("s1"),
+        col("q").as("q1"))), "e1")
+      .join(broadcast(pre.select(col("i").as("e2"), col("s").as("s2"),
+        col("q").as("q2"))), "e2")
+      .join(broadcast(pre.select(col("i").as("e3"), col("s").as("s3"),
+        col("q").as("q3"))), "e3")
+      .withColumnRenamed("e1", "i1").withColumnRenamed("e2", "i2")
+      .withColumnRenamed("e3", "i3")
+      .select(expr(costExpr).as("ew_cost_e6"))
+    // the 4 winning buckets as rows, with value ranges from the index
+    val idx2v = pre.select(col("i"), col("v"))
+    val cuts = best.crossJoin(broadcast(tot))
+      .select(explode(array(
+        struct(lit(1L).as("bucket"), lit(0L).as("lo_i"), col("c1").as("hi_i")),
+        struct(lit(2L).as("bucket"), col("c1").as("lo_i"), col("c2").as("hi_i")),
+        struct(lit(3L).as("bucket"), col("c2").as("lo_i"), col("c3").as("hi_i")),
+        struct(lit(4L).as("bucket"), col("c3").as("lo_i"), col("nv").as("hi_i"))))
+        .as("bk"), col("cost_e6"))
+      .select(col("bk.bucket").as("bucket"), col("bk.lo_i").as("lo_i"),
+        col("bk.hi_i").as("hi_i"), col("cost_e6"))
+    cuts
+      .join(broadcast(idx2v.select(col("i").as("hi_i"), col("v").as("hi_v"))),
+        "hi_i")
+      .join(broadcast(pre.select(col("i").as("hi_i2"), col("s").as("s_hi"),
+        col("q").as("q_hi"))), col("hi_i2") === col("hi_i"))
+      .join(broadcast(pre.select(col("i").as("lo_i2"), col("s").as("s_lo"),
+        col("q").as("q_lo"))
+        .unionByName(tot.select(lit(0L).as("lo_i2"), lit(0L).as("s_lo"),
+          lit(0L).as("q_lo")))), col("lo_i2") === col("lo_i"))
+      .crossJoin(broadcast(ewCost))
+      .select(col("bucket"), col("hi_v").as("hi_value"),
+        (col("hi_i") - col("lo_i")).as("n_values"),
+        (col("s_hi") - col("s_lo")).as("freq_sum"),
+        expr("""(q_hi - q_lo) * 1000000
+               - (s_hi - s_lo) * (s_hi - s_lo) * 1000000 div (hi_i - lo_i)""")
+          .as("bucket_cost_e6"),
+        col("cost_e6").as("total_cost_e6"),
+        (col("cost_e6") <= col("ew_cost_e6")).as("beats_equiwidth"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB replay of [[voptimalHistogram]] — same prefix frame, same
+    * 18k-plan enumeration, same integer costs. */
+  val voptimalHistogramOracle: String = """
+    WITH freq AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, count(1) AS f
+      FROM lineitem GROUP BY 1),
+    pre AS (
+      SELECT v, f,
+             row_number() OVER (ORDER BY v) AS i,
+             sum(f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS s,
+             sum(f * f) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS q
+      FROM freq),
+    tot AS (SELECT max(i) AS nv, max(s) AS st, max(q) AS qt FROM pre),
+    plans AS (
+      SELECT b1.i AS c1, b2.i AS c2, b3.i AS c3,
+             (b1.q * 1000000 - b1.s * b1.s * 1000000 // b1.i)
+           + ((b2.q - b1.q) * 1000000
+              - (b2.s - b1.s) * (b2.s - b1.s) * 1000000 // (b2.i - b1.i))
+           + ((b3.q - b2.q) * 1000000
+              - (b3.s - b2.s) * (b3.s - b2.s) * 1000000 // (b3.i - b2.i))
+           + ((tot.qt - b3.q) * 1000000
+              - (tot.st - b3.s) * (tot.st - b3.s) * 1000000
+                // (tot.nv - b3.i)) AS cost_e6
+      FROM pre b1 JOIN pre b2 ON b2.i > b1.i JOIN pre b3 ON b3.i > b2.i
+      CROSS JOIN tot WHERE b3.i < tot.nv),
+    best AS (
+      SELECT * FROM plans ORDER BY cost_e6, c1, c2, c3 LIMIT 1),
+    ewb AS (
+      SELECT nv // 4 AS e1, nv // 2 AS e2, nv * 3 // 4 AS e3, nv, st, qt
+      FROM tot),
+    ewc AS (
+      SELECT (p1.q * 1000000 - p1.s * p1.s * 1000000 // p1.i)
+           + ((p2.q - p1.q) * 1000000
+              - (p2.s - p1.s) * (p2.s - p1.s) * 1000000 // (p2.i - p1.i))
+           + ((p3.q - p2.q) * 1000000
+              - (p3.s - p2.s) * (p3.s - p2.s) * 1000000 // (p3.i - p2.i))
+           + ((ewb.qt - p3.q) * 1000000
+              - (ewb.st - p3.s) * (ewb.st - p3.s) * 1000000
+                // (ewb.nv - p3.i)) AS ew_cost_e6
+      FROM ewb JOIN pre p1 ON p1.i = ewb.e1
+      JOIN pre p2 ON p2.i = ewb.e2 JOIN pre p3 ON p3.i = ewb.e3),
+    cuts AS (
+      SELECT 1 AS bucket, 0 AS lo_i, c1 AS hi_i, cost_e6 FROM best
+      UNION ALL SELECT 2, c1, c2, cost_e6 FROM best
+      UNION ALL SELECT 3, c2, c3, cost_e6 FROM best
+      UNION ALL SELECT 4, c3, (SELECT nv FROM tot), cost_e6 FROM best),
+    lo AS (
+      SELECT i AS lo_i, s AS s_lo, q AS q_lo FROM pre
+      UNION ALL SELECT 0, 0, 0)
+    SELECT CAST(c.bucket AS BIGINT) AS bucket,
+           hi.v AS hi_value,
+           CAST(c.hi_i - c.lo_i AS BIGINT) AS n_values,
+           CAST(hi.s - lo.s_lo AS BIGINT) AS freq_sum,
+           CAST((hi.q - lo.q_lo) * 1000000
+             - (hi.s - lo.s_lo) * (hi.s - lo.s_lo) * 1000000
+               // (c.hi_i - c.lo_i) AS BIGINT)
+             AS bucket_cost_e6,
+           CAST(c.cost_e6 AS BIGINT) AS total_cost_e6,
+           c.cost_e6 <= (SELECT ew_cost_e6 FROM ewc) AS beats_equiwidth
+    FROM cuts c JOIN pre hi ON hi.i = c.hi_i JOIN lo ON lo.lo_i = c.lo_i
+    ORDER BY bucket"""
 
   /** qbu: CORRUPT-RECORD CHANNELING — the PERMISSIVE-mode ingestion
     * contract every production JSON feed relies on: malformed records

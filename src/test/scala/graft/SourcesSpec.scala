@@ -654,6 +654,40 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("voptimalHistogram: engine argmin equals the exhaustive Scala search; optimum beats equi-width") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Warehouse.voptimalHistogram(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.length == 4)
+    // independent truth: literal exhaustive search over every cut plan
+    val freqs = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long")).collect().map(_.getLong(0))
+      .groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) => (v, g.length.toLong) }
+    val nv = freqs.length
+    val s = freqs.scanLeft(0L)(_ + _._2).toArray // s(i) = freq sum of first i
+    val q = freqs.scanLeft(0L)((acc, f) => acc + f._2 * f._2).toArray
+    def segCost(a: Int, b: Int): Long = // values a+1..b (index space)
+      (q(b) - q(a)) * 1000000L -
+        (s(b) - s(a)) * (s(b) - s(a)) * 1000000L / (b - a)
+    var best = Long.MaxValue; var bestCut = (0, 0, 0)
+    for (c1 <- 1 until nv; c2 <- c1 + 1 until nv; c3 <- c2 + 1 until nv) {
+      val cost = segCost(0, c1) + segCost(c1, c2) + segCost(c2, c3) +
+        segCost(c3, nv)
+      if (cost < best) { best = cost; bestCut = (c1, c2, c3) }
+    }
+    assert(rows.map(_.getAs[Long]("total_cost_e6")).distinct.toSeq == Seq(best))
+    val his = rows.map(_.getAs[Long]("hi_value"))
+    assert(his(0) == freqs(bestCut._1 - 1)._1)
+    assert(his(1) == freqs(bestCut._2 - 1)._1)
+    assert(his(2) == freqs(bestCut._3 - 1)._1)
+    assert(his(3) == freqs.last._1)
+    // partition + conservation + the headline property
+    assert(rows.map(_.getAs[Long]("n_values")).sum == nv.toLong)
+    assert(rows.map(_.getAs[Long]("freq_sum")).sum == s(nv))
+    assert(rows.map(_.getAs[Long]("bucket_cost_e6")).sum == best)
+    rows.foreach(r => assert(r.getAs[Boolean]("beats_equiwidth")))
+  }
+
   test("corruptRecords: PERMISSIVE channels, DROPMALFORMED drops, FAILFAST throws") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
