@@ -340,6 +340,7 @@ object SparkEntry {
     "qbw_map_hof"           -> (Relational.mapHof _),
     "qbx_attribution_models" -> ((s: SparkSession, d: String) => TimeSeries.attributionModels(s, d)),
     "qby_voptimal_histogram" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.voptimalHistogram(s, d)),
+    "qbz_state_metrics"     -> ((s: SparkSession, d: String) => graft.streaming.Events.stateMetrics(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -938,6 +939,7 @@ object SparkEntry {
     "qbw_map_hof"            -> Relational.mapHofOracle,
     "qbx_attribution_models" -> TimeSeries.attributionModelsOracle,
     "qby_voptimal_histogram" -> graft.sources.Warehouse.voptimalHistogramOracle,
+    "qbz_state_metrics"      -> graft.streaming.Events.stateMetricsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

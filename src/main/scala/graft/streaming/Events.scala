@@ -1560,6 +1560,95 @@ object Events {
              AS sum_cents,
            true AS sharded
     FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** qbz: STREAMING STATE-SIZE ACCOUNTING — the bounded-state property
+    * graded EXACTLY. A watermarked aggregation's state must hold
+    * precisely the windows the watermark has not yet closed; "state
+    * stays bounded" is usually asserted qualitatively, but with
+    * chronological arrivals at LITERAL week cutoffs the retained-row
+    * count is pure arithmetic: AvailableNow commits one finalizing
+    * batch after the last data batch, so the terminal watermark is the
+    * global max event time − 1 h (ms-floored), and state holds every
+    * (hour-window, type) group whose window END is past it. The
+    * graded row carries the OBSERVED `stateOperators.numRowsTotal` and
+    * watermark from StreamingQueryProgress against that closed form —
+    * the ops check that catches state leaks (watermark not advancing,
+    * eviction broken) long before memory does. Four weekly file
+    * arrivals, `maxFilesPerTrigger=1`, Update mode into noop. */
+  def stateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ckptDir = graft.Fs.scratch("graft_statemetrics_ckpt")
+    val replayDir = graft.Fs.scratch("graft_statemetrics_src")
+    deleteRecursively(ckptDir); deleteRecursively(replayDir)
+    require(new java.io.File(replayDir).mkdirs(), s"cannot create $replayDir")
+    val cuts = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-22", "2024-01-31")
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"))
+    // stage one file per week, mtime-stamped chronologically (the
+    // stageReplayFiles doctrine, but at LITERAL cutoffs so the final
+    // watermark is oracle-computable)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
+      val staging = replayDir + s"_stage$k"
+      ev.where(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(replayDir, f"week-$k%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(1700000000000L + k * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(replayDir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = graft.SessionConf.withShufflePartitions(spark, 8) {
+      val qq = agg.writeStream.outputMode(OutputMode.Update())
+        .format("noop")
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { qq.awaitTermination(); qq } finally qq.stop()
+    }
+    val progress = q.recentProgress.toSeq
+    val lastWithState = progress.reverse
+      .find(p => p.stateOperators.nonEmpty).get
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    val wmUs = java.time.Instant.from(fmt.parse(
+      lastWithState.eventTime.get("watermark"))).toEpochMilli * 1000L
+    val nState = lastWithState.stateOperators(0).numRowsTotal
+    val nDataBatches = progress.count(_.numInputRows > 0).toLong
+    Seq((nState, wmUs, nDataBatches))
+      .toDF("n_state_rows", "watermark_us", "n_data_batches")
+      .select(col("n_state_rows"), col("watermark_us"),
+        (col("n_data_batches") === 4L).as("four_arrivals"))
+  }
+
+  /** Closed-form replay of [[stateMetrics]]: AvailableNow finalizes
+    * with one more commit after the last data batch, so the terminal
+    * watermark is the GLOBAL max event time − 1 h (ms-floored — the
+    * observed semantics, asserted here); state holds every (hour,
+    * type) group whose window end exceeds it. */
+  val stateMetricsOracle: String = """
+    WITH wm AS (
+      -- Spark's event-time stats are millisecond-floored, so the
+      -- watermark is (floor(max_us/1000) - 3600000) ms
+      SELECT (max(epoch_us(ts)) // 1000 - 3600000) * 1000 AS wm_us
+      FROM events),
+    groups AS (
+      SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             event_type
+      FROM events)
+    SELECT CAST((SELECT count(1) FROM groups, wm
+                 WHERE hour_us + 3600000000 > wm_us) AS BIGINT)
+             AS n_state_rows,
+           CAST(wm.wm_us AS BIGINT) AS watermark_us,
+           true AS four_arrivals
+    FROM wm"""
 }
 
 /** q3d input/output rows. TOP-LEVEL on purpose: Janino cannot compile

@@ -545,6 +545,23 @@ class StreamingSpec extends SparkSpec {
       assert(byName(ok).getAs[Long]("violations") == 0L, s"$ok must pass")
   }
 
+  test("qbz state metrics: retained rows equal the closed-form watermark arithmetic") {
+    import org.apache.spark.sql.functions._
+    val row = graft.streaming.Events.stateMetrics(spark, sfDir).collect()(0)
+    assert(row.getAs[Boolean]("four_arrivals"))
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wmUs = (ev.map(_._1).max / 1000L - 3600000L) * 1000L
+    assert(row.getAs[Long]("watermark_us") == wmUs)
+    val retained = ev.map { case (us, t) => (us / 3600000000L, t) }.distinct
+      .count { case (h, _) => h * 3600000000L + 3600000000L > wmUs }
+    assert(row.getAs[Long]("n_state_rows") == retained.toLong)
+    // the bounded-state property itself: watermarked hourly state can
+    // hold at most 2 open hours x |event types|
+    assert(row.getAs[Long]("n_state_rows") <= 2L * 5L)
+  }
+
   test("qbg state-store read: buffers equal the batch aggregate across the restart; earlier batch state is a strict prefix") {
     import org.apache.spark.sql.functions._
     val rows = graft.streaming.Events.stateStoreRead(spark, sfDir).collect()
