@@ -341,6 +341,7 @@ object SparkEntry {
     "qbx_attribution_models" -> ((s: SparkSession, d: String) => TimeSeries.attributionModels(s, d)),
     "qby_voptimal_histogram" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.voptimalHistogram(s, d)),
     "qbz_state_metrics"     -> ((s: SparkSession, d: String) => graft.streaming.Events.stateMetrics(s, d)),
+    "qc0_eb_shrinkage"      -> (Quality.ebShrinkage _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -940,6 +941,7 @@ object SparkEntry {
     "qbx_attribution_models" -> TimeSeries.attributionModelsOracle,
     "qby_voptimal_histogram" -> graft.sources.Warehouse.voptimalHistogramOracle,
     "qbz_state_metrics"      -> graft.streaming.Events.stateMetricsOracle,
+    "qc0_eb_shrinkage"       -> Quality.ebShrinkageOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -3272,6 +3272,70 @@ object Quality {
            CAST(llr_final AS BIGINT) AS llr_final_e6
     FROM g ORDER BY event_type"""
 
+  /** qc0: EMPIRICAL-BAYES RATE SHRINKAGE — the beta-binomial partial
+    * pooling every per-segment rate table needs (Robinson's "shrunken
+    * batting averages"): a segment's raw conversion rate conv/n is
+    * noisy exactly when n is small, so each segment is shrunk toward
+    * the GLOBAL rate with pinned prior strength m = 100 pseudo-counts:
+    *   shrunk = (conv + m·G) / (n + m),  G = conv_tot / n_tot.
+    * Kept EXACT by cross-multiplying the global rational instead of
+    * materializing it:
+    *   shrunk_e6 = (conv·n_tot + m·conv_tot)·1e6 div ((n+m)·n_tot).
+    * Segments are (nation × mktsegment) customer cells scored on a
+    * deterministic "converted" rule; the graded row carries raw and
+    * shrunk rates plus the two audits that define shrinkage: every
+    * shrunk rate lies BETWEEN its raw rate and the global rate, and
+    * small cells move further than large ones. One grouped scan + a
+    * broadcast 1-row global — the 100 TB shape for a million-segment
+    * table. Numeric bound: conv·n_tot ≤ 9·10¹⁸ holds to ~3·10⁹ rows;
+    * widen to DECIMAL(38) past that (q1e doctrine). */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val m = 100L
+    val cust = Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      (col("c_custkey") % 7 < 2).cast("long").as("conv")) // det. outcome
+    val cells = cust.groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"), sum("conv").as("conv"))
+    val glob = cells.agg(sum("n").as("n_tot"), sum("conv").as("conv_tot"))
+    cells.crossJoin(broadcast(glob))
+      .select(col("nation"), col("segment"), col("n"), col("conv"),
+        expr("conv * 1000000 div n").as("raw_e6"),
+        expr(s"""(conv * n_tot + $m * conv_tot) * 1000000
+                 div ((n + $m) * n_tot)""").as("shrunk_e6"),
+        expr("conv_tot * 1000000 div n_tot").as("global_e6"))
+      .withColumn("between_ok",
+        (col("shrunk_e6") >= least(col("raw_e6"), col("global_e6")) - 1) &&
+          (col("shrunk_e6") <= greatest(col("raw_e6"), col("global_e6")) + 1))
+      .orderBy("nation", "segment")
+  }
+
+  /** DuckDB replay of [[ebShrinkage]] — same cross-multiplied exact
+    * shrinkage. */
+  val ebShrinkageOracle: String = """
+    WITH cust AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CASE WHEN c_custkey % 7 < 2 THEN 1 ELSE 0 END AS conv
+      FROM customer),
+    cells AS (
+      SELECT nation, segment, count(1) AS n, sum(conv) AS conv
+      FROM cust GROUP BY 1, 2),
+    gtot AS (SELECT sum(n) AS n_tot, sum(conv) AS conv_tot FROM cells),
+    j AS (
+      SELECT nation, segment, n, conv,
+             conv * 1000000 // n AS raw_e6,
+             (conv * n_tot + 100 * conv_tot) * 1000000
+               // ((n + 100) * n_tot) AS shrunk_e6,
+             conv_tot * 1000000 // n_tot AS global_e6
+      FROM cells CROSS JOIN gtot)
+    SELECT nation, segment, CAST(n AS BIGINT) AS n,
+           CAST(conv AS BIGINT) AS conv,
+           CAST(raw_e6 AS BIGINT) AS raw_e6,
+           CAST(shrunk_e6 AS BIGINT) AS shrunk_e6,
+           CAST(global_e6 AS BIGINT) AS global_e6,
+           shrunk_e6 >= least(raw_e6, global_e6) - 1
+             AND shrunk_e6 <= greatest(raw_e6, global_e6) + 1 AS between_ok
+    FROM j ORDER BY nation, segment"""
+
   /** qbk: ISOTONIC CALIBRATION — weighted PAV over binned model scores,
     * the monotone-regression calibrator (Zadrozny & Elkan '02) that
     * turns a ranking score into a probability. q9t grades binned

@@ -1765,6 +1765,38 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("qc0 EB shrinkage: every cell lands between raw and global; small cells shrink harder") {
+    val rows = operators.Quality.ebShrinkage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val g = rows.head.getAs[Long]("global_e6")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("global_e6") == g)
+      assert(r.getAs[Boolean]("between_ok"))
+      // exact replay of the cross-multiplied closed form
+      val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("conv"))
+      val (nt, ct) = {
+        val nt = rows.map(_.getAs[Long]("n")).sum
+        (nt, rows.map(_.getAs[Long]("conv")).sum)
+      }
+      assert(r.getAs[Long]("shrunk_e6") ==
+        (BigInt(c) * nt + BigInt(100) * ct) * 1000000 /
+          (BigInt(n + 100) * nt))
+    }
+    // pooling strength: the most-shrunk cells (relative movement toward
+    // the prior) are smaller than the least-shrunk ones on average
+    val moved = rows.map { r =>
+      val raw = r.getAs[Long]("raw_e6"); val sh = r.getAs[Long]("shrunk_e6")
+      (r.getAs[Long]("n"), math.abs(raw - sh).toDouble /
+        math.max(1.0, math.abs(raw - g).toDouble))
+    }.filter(m => m._2.isFinite)
+    val bySize = moved.sortBy(_._1)
+    val smallAvg = bySize.take(moved.length / 3).map(_._2).sum /
+      math.max(1, moved.length / 3)
+    val bigAvg = bySize.takeRight(moved.length / 3).map(_._2).sum /
+      math.max(1, moved.length / 3)
+    assert(smallAvg > bigAvg, s"small cells must shrink harder ($smallAvg vs $bigAvg)")
+  }
+
   test("qbn Fellegi-Sunter: decision classes recover the planted corruption arithmetic") {
     import org.apache.spark.sql.functions._
     val rows = operators.Entity.fellegiSunter(spark, sfDir).collect()
