@@ -342,6 +342,7 @@ object SparkEntry {
     "qby_voptimal_histogram" -> ((s: SparkSession, d: String) => graft.sources.Warehouse.voptimalHistogram(s, d)),
     "qbz_state_metrics"     -> ((s: SparkSession, d: String) => graft.streaming.Events.stateMetrics(s, d)),
     "qc0_eb_shrinkage"      -> (Quality.ebShrinkage _),
+    "qc1_bandit_replay"     -> ((s: SparkSession, d: String) => TimeSeries.banditReplay(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -942,6 +943,7 @@ object SparkEntry {
     "qby_voptimal_histogram" -> graft.sources.Warehouse.voptimalHistogramOracle,
     "qbz_state_metrics"      -> graft.streaming.Events.stateMetricsOracle,
     "qc0_eb_shrinkage"       -> Quality.ebShrinkageOracle,
+    "qc1_bandit_replay"      -> TimeSeries.banditReplayOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1253,6 +1253,85 @@ object TimeSeries {
     FROM med JOIN ols USING (event_type)
     ORDER BY event_type"""
 
+  /** qc1: OFFLINE BANDIT REPLAY — the replay estimator (Li et al.
+    * WSDM'11) for evaluating a decision POLICY against logged
+    * interaction data without running it live: walk the log in round
+    * order, keep per-arm running reward stats, let the candidate
+    * policy (greedy-by-empirical-mean, optimistic 1/1 init for
+    * unpulled arms, alphabetical tie-break) pick an arm each round,
+    * and score it ONLY on rounds where its pick matches the logged
+    * arm — an unbiased estimate of the policy's online reward when the
+    * logging policy is uniform. Everything is exact: running means are
+    * compared as cross-multiplied integer fractions (never divided),
+    * so the argmax — and therefore the whole replay — is bit-identical
+    * in any engine. The SQL for both sides is emitted by ONE generator
+    * (only the integer-division token differs), which is itself the
+    * point: the replay is pure relational algebra — conditional
+    * running sums + a deterministic argmax — not a driver loop.
+    *
+    * Scale note: the walk is sequential in round order WITHIN an
+    * experiment (one global window here — the fixture logs one
+    * experiment); production shards the window by experiment exactly
+    * like qbh's arms. */
+  private val banditArms = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Shared SQL body; `intDiv` is "div" (Spark) or "//" (DuckDB). */
+  private def banditReplaySql(table: String, intDiv: String): String = {
+    def num(a: String) = s"(CASE WHEN cnt_$a = 0 THEN 1 ELSE rew_$a END)"
+    def den(a: String) = s"(CASE WHEN cnt_$a = 0 THEN 1 ELSE cnt_$a END)"
+    def ge(x: String, y: String) =
+      s"${num(x)} * ${den(y)} >= ${num(y)} * ${den(x)}"
+    val policy = {
+      val cases = banditArms.init.map { a =>
+        val conds = banditArms.filter(_ != a).map(o => ge(a, o))
+          .mkString("\n             AND ")
+        s"WHEN $conds THEN '$a'"
+      }.mkString("\n        ")
+      s"CASE $cases\n        ELSE '${banditArms.last}' END"
+    }
+    val runCols = banditArms.map { a =>
+      s"""coalesce(sum(CASE WHEN logged = '$a' THEN 1 END)
+         |  OVER wprev, 0) AS cnt_$a,
+         |coalesce(sum(CASE WHEN logged = '$a' THEN reward END)
+         |  OVER wprev, 0) AS rew_$a""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type AS logged,
+       |         CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS reward
+       |  FROM $table),
+       |st AS (
+       |  SELECT *,
+       |$runCols
+       |  FROM base
+       |  WINDOW wprev AS (ORDER BY event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |pol AS (SELECT *, $policy AS policy FROM st),
+       |agg AS (
+       |  SELECT logged AS arm, count(1) AS n_logged,
+       |         sum(CASE WHEN policy = logged THEN 1 ELSE 0 END)
+       |           AS n_matched,
+       |         sum(CASE WHEN policy = logged THEN reward ELSE 0 END)
+       |           AS rew_matched
+       |  FROM pol GROUP BY logged),
+       |ov AS (
+       |  SELECT CAST(sum(rew_matched) * 1000000 $intDiv sum(n_matched)
+       |    AS BIGINT) AS replay_estimate_e6 FROM agg)
+       |SELECT arm, CAST(n_logged AS BIGINT) AS n_logged,
+       |       CAST(n_matched AS BIGINT) AS n_matched,
+       |       CAST(rew_matched AS BIGINT) AS rew_matched,
+       |       CAST(n_matched * 1000000 $intDiv n_logged AS BIGINT)
+       |         AS match_ppm,
+       |       ov.replay_estimate_e6
+       |FROM agg CROSS JOIN ov ORDER BY arm""".stripMargin
+  }
+
+  def banditReplay(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_bandit")
+    spark.sql(banditReplaySql("events_bandit", "div"))
+  }
+
+  def banditReplayOracle: String = banditReplaySql("events", "//")
+
   /** qbx: POSITION-BASED ATTRIBUTION MODELS — the heuristic family
     * every marketing stack ships alongside the principled ones (qb7
     * Markov, qbj Shapley): first-touch, last-touch, linear, and

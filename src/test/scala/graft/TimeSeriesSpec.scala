@@ -455,6 +455,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("clean_trend").getAs[Long]("ols_e6") == 7000000L)
   }
 
+  test("qc1 bandit replay: windowed-SQL replay equals the literal sequential walk") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.banditReplay(spark, sfDir).collect()
+      .map(r => r.getAs[String]("arm") -> r).toMap
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val log = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), (col("value") > 10.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val cnt = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+    val rew = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+    val nMatched = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+    val rMatched = scala.collection.mutable.Map(arms.map(_ -> 0L): _*)
+    log.foreach { case (_, logged, r) =>
+      // greedy argmax over running means, optimistic 1/1 init,
+      // alphabetical tie-break — cross-multiplied, like the SQL
+      val pick = arms.find { a =>
+        arms.filter(_ != a).forall { o =>
+          val (na, da) = if (cnt(a) == 0) (1L, 1L) else (rew(a), cnt(a))
+          val (no, dn) = if (cnt(o) == 0) (1L, 1L) else (rew(o), cnt(o))
+          na * dn >= no * da
+        }
+      }.get
+      if (pick == logged) {
+        nMatched(logged) += 1; if (r) rMatched(logged) += 1
+      }
+      cnt(logged) += 1; if (r) rew(logged) += 1
+    }
+    arms.foreach { a =>
+      assert(rows(a).getAs[Long]("n_logged") == cnt(a), s"$a logged")
+      assert(rows(a).getAs[Long]("n_matched") == nMatched(a), s"$a matched")
+      assert(rows(a).getAs[Long]("rew_matched") == rMatched(a), s"$a reward")
+    }
+    val est = rMatched.values.sum * 1000000L / nMatched.values.sum
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("replay_estimate_e6") == est))
+  }
+
   test("qbx attribution models: per-model credit conservation across channels") {
     import org.apache.spark.sql.functions._
     val rows = operators.TimeSeries.attributionModels(spark, sfDir).collect()
