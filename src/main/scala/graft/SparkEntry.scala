@@ -343,6 +343,7 @@ object SparkEntry {
     "qbz_state_metrics"     -> ((s: SparkSession, d: String) => graft.streaming.Events.stateMetrics(s, d)),
     "qc0_eb_shrinkage"      -> (Quality.ebShrinkage _),
     "qc1_bandit_replay"     -> ((s: SparkSession, d: String) => TimeSeries.banditReplay(s, d)),
+    "qc2_qte"               -> (Quality.quantileTreatmentEffects _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -944,6 +945,7 @@ object SparkEntry {
     "qbz_state_metrics"      -> graft.streaming.Events.stateMetricsOracle,
     "qc0_eb_shrinkage"       -> Quality.ebShrinkageOracle,
     "qc1_bandit_replay"      -> TimeSeries.banditReplayOracle,
+    "qc2_qte"                -> Quality.quantileTreatmentEffectsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -3272,6 +3272,79 @@ object Quality {
            CAST(llr_final AS BIGINT) AS llr_final_e6
     FROM g ORDER BY event_type"""
 
+  /** qc2: QUANTILE TREATMENT EFFECTS — the A/B readout beyond the mean
+    * (means hide distributional damage: a variant can lift the average
+    * while crushing the p10 user). QTE at a pinned quantile grid
+    * {10,25,50,75,90} is computed from EXACT type-1 order statistics —
+    * rank k = ceil(q·n/100) within each variant (row_number over
+    * (cents, event_id) makes the selection total-ordered even through
+    * ties), effect = treated quantile − control quantile, all integer
+    * cents. Complements q1w (mean z-test), q1u (rank test), qa5 (DiD):
+    * this is WHERE in the distribution the effect lives.
+    *
+    * Scale shape: one ranked window per variant + a 5-row broadcast
+    * grid joined on the exact rank. At 100 TB exact global ranks mean
+    * a full sort — run this exact form per segment/day (bounded
+    * partitions), or pair it with the q58 sketch for the approximate
+    * twin (the q1d/q1l doctrine). */
+  def quantileTreatmentEffects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(
+      (col("user_id") % 2).cast("long").as("variant"),
+      round(col("value") * 100).cast("long").as("cents"),
+      col("event_id"))
+    val w = Window.partitionBy("variant").orderBy("cents", "event_id")
+    val ranked = ev.withColumn("rnk", row_number().over(w))
+    val sizes = ev.groupBy("variant").agg(count(lit(1)).as("n"))
+    val grid = Seq(10L, 25L, 50L, 75L, 90L).toDF("q")
+      .crossJoin(broadcast(sizes))
+      // type-1 quantile rank: ceil(q*n/100) in pure integers
+      .withColumn("k", expr("(q * n + 99) div 100"))
+    val at = grid.join(ranked,
+        grid("variant") === ranked("variant") && col("k") === col("rnk"))
+      .select(col("q"), grid("variant").as("variant"), col("n"),
+        col("cents"))
+    val a = at.where(col("variant") === 0)
+      .select(col("q"), col("n").as("n_control"),
+        col("cents").as("control_cents"))
+    val b = at.where(col("variant") === 1)
+      .select(col("q"), col("n").as("n_treated"),
+        col("cents").as("treated_cents"))
+    a.join(b, Seq("q"))
+      .select(col("q"), col("n_control"), col("n_treated"),
+        col("control_cents"), col("treated_cents"),
+        (col("treated_cents") - col("control_cents")).as("qte_cents"))
+      .orderBy("q")
+  }
+
+  /** DuckDB replay of [[quantileTreatmentEffects]] — same type-1 order
+    * statistics, same tie ordering. */
+  val quantileTreatmentEffectsOracle: String = """
+    WITH ev AS (
+      SELECT user_id % 2 AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY variant
+        ORDER BY cents, event_id) AS rnk
+      FROM ev),
+    sizes AS (SELECT variant, count(1) AS n FROM ev GROUP BY variant),
+    grid AS (
+      SELECT q.q, s.variant, s.n, (q.q * s.n + 99) // 100 AS k
+      FROM (SELECT unnest([10, 25, 50, 75, 90]) AS q) q
+      CROSS JOIN sizes s),
+    at_q AS (
+      SELECT g.q, g.variant, g.n, r.cents
+      FROM grid g JOIN ranked r
+        ON g.variant = r.variant AND g.k = r.rnk)
+    SELECT CAST(a.q AS BIGINT) AS q,
+           CAST(a.n AS BIGINT) AS n_control,
+           CAST(b.n AS BIGINT) AS n_treated,
+           a.cents AS control_cents, b.cents AS treated_cents,
+           CAST(b.cents - a.cents AS BIGINT) AS qte_cents
+    FROM at_q a JOIN at_q b ON a.q = b.q AND a.variant = 0 AND b.variant = 1
+    ORDER BY q"""
+
   /** qc0: EMPIRICAL-BAYES RATE SHRINKAGE — the beta-binomial partial
     * pooling every per-segment rate table needs (Robinson's "shrunken
     * batting averages"): a segment's raw conversion rate conv/n is

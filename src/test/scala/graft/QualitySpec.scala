@@ -1765,6 +1765,34 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("qc2 QTE: engine quantiles equal sorted-array selection; monotone in q") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Quality.quantileTreatmentEffects(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("q"))
+    assert(rows.map(_.getAs[Long]("q")).toSeq == Seq(10L, 25L, 50L, 75L, 90L))
+    val byVar = Tables.events(spark, sfDir)
+      .select((col("user_id") % 2).as("v"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q")
+      def sel(v: Long): Long = {
+        val xs = byVar(v); xs(((q * xs.length + 99) / 100 - 1).toInt)
+      }
+      assert(r.getAs[Long]("control_cents") == sel(0L), s"q$q control")
+      assert(r.getAs[Long]("treated_cents") == sel(1L), s"q$q treated")
+      assert(r.getAs[Long]("qte_cents") ==
+        r.getAs[Long]("treated_cents") - r.getAs[Long]("control_cents"))
+    }
+    // quantiles are monotone in q within each variant
+    Seq("control_cents", "treated_cents").foreach { c =>
+      rows.map(_.getAs[Long](c)).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b); case _ =>
+      }
+    }
+  }
+
   test("qc0 EB shrinkage: every cell lands between raw and global; small cells shrink harder") {
     val rows = operators.Quality.ebShrinkage(spark, sfDir).collect()
     assert(rows.nonEmpty)
