@@ -107,7 +107,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "qbk_isotonic_calibration" -> "<=20-bin prefix frames triangle-joined (j<=i<=k) — O(bins^3) broadcast arithmetic",
     "qbm_cart_quality" -> "1-row root-split and 1-row accuracy aggregates broadcast onto the scan / 3-row tree",
     "qbn_fellegi_sunter" -> "1-row record-count aggregate broadcast onto the 3-row decision rollup",
-    "qbr_kneser_ney" -> "1-row bigram-type-count aggregate broadcast onto the 5-context graded slice")
+    "qbr_kneser_ney" -> "1-row bigram-type-count aggregate broadcast onto the 5-context graded slice",
+    "qby_voptimal_histogram" -> "non-equi self-joins over the <=|distinct values| prefix frame (V^3 plan search, data-size independent)",
+    "qc0_eb_shrinkage" -> "1-row global-rate aggregate broadcast onto the <=|nation x segment| cells",
+    "qc1_bandit_replay" -> "1-row replay-estimate aggregate broadcast onto the 5-arm rollup",
+    "qc2_qte" -> "5-row quantile grid x 2-row variant sizes — both literal-bounded")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
