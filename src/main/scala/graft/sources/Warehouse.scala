@@ -1608,6 +1608,54 @@ object Warehouse {
       .orderBy("source")
   }
 
+  /** qc3: FILE METADATA COLUMNS — the `_metadata` hidden struct every
+    * file source exposes (`file_path`, `file_name`, `file_size`,
+    * `file_modification_time`, `row_index`): the provenance layer ops
+    * tooling leans on ("which file did this bad row come from?")
+    * without any pipeline carrying paths by hand. `documents` is
+    * written hive-partitioned on shard = doc_id%4, read back selecting
+    * `_metadata`, and graded per shard: row counts (pure %4
+    * arithmetic), rows-per-file provenance consistency (every row in a
+    * shard maps to exactly ONE data file here — `coalesce(1)` per
+    * partition), positive file sizes, and `row_index` spanning exactly
+    * 0..n−1 within the file (the sum identity n(n−1)/2 — the column
+    * that gives every row a stable file-local identity for
+    * dedup-by-provenance). Metadata columns are populated by the scan
+    * itself — no extra IO at any scale. */
+  def metadataColumns(spark: SparkSession, dir: String,
+      path: String = graft.Fs.scratch("graft_warehouse_meta_shards")): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("shard", (col("doc_id") % 4).cast("long"))
+      // hash-cluster on the partition column: every shard's rows land
+      // in exactly one task, so each partition directory gets one file
+      .repartition(4, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val back = spark.read.parquet(path)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.file_size").as("fsz"),
+        col("_metadata.row_index").as("ri"))
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_files"),
+        min(col("fsz") > 0L).as("sizes_positive"),
+        (min("ri") === 0L &&
+          sum("ri") === count(lit(1)) * (count(lit(1)) - 1) / 2)
+          .as("row_index_complete"))
+      .select(col("shard"), col("n_rows"),
+        (col("n_files") === 1L).as("one_file_per_shard"),
+        col("sizes_positive"), col("row_index_complete"))
+      .orderBy("shard")
+  }
+
+  /** Oracle for [[metadataColumns]]: shard populations are doc_id%4
+    * arithmetic; the metadata facts ride as pinned-true contracts. */
+  val metadataColumnsOracle: String = """
+    SELECT doc_id % 4 AS shard, CAST(count(1) AS BIGINT) AS n_rows,
+           true AS one_file_per_shard, true AS sizes_positive,
+           true AS row_index_complete
+    FROM documents GROUP BY 1 ORDER BY 1"""
+
   /** qby: V-OPTIMAL HISTOGRAM — the histogram construction CBOs
     * actually want (Jagadish et al. '98): bucket boundaries chosen to
     * MINIMIZE total within-bucket frequency variance, not equi-width

@@ -654,6 +654,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("metadataColumns: hidden _metadata struct carries per-file provenance") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("meta_shards")
+    val rows = graft.sources.Warehouse.metadataColumns(spark, sfDir, path)
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(rows.size == 4)
+    val docs = Tables.documents(spark, sfDir)
+    (0L until 4L).foreach { s =>
+      assert(rows(s).getAs[Long]("n_rows") ==
+        docs.where(col("doc_id") % 4 === s).count())
+      assert(rows(s).getAs[Boolean]("one_file_per_shard"))
+      assert(rows(s).getAs[Boolean]("sizes_positive"))
+      assert(rows(s).getAs[Boolean]("row_index_complete"))
+    }
+    // the path column really localizes rows: every row's file_path
+    // contains its own shard directory
+    val mismatches = spark.read.parquet(path)
+      .select(col("shard").cast("long").as("shard"),
+        col("_metadata.file_path").as("fp"))
+      .where(!col("fp").contains(concat(lit("shard="), col("shard"))))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("voptimalHistogram: engine argmin equals the exhaustive Scala search; optimum beats equi-width") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.Warehouse.voptimalHistogram(spark, sfDir)
