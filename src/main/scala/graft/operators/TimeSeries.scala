@@ -1253,6 +1253,130 @@ object TimeSeries {
     FROM med JOIN ols USING (event_type)
     ORDER BY event_type"""
 
+  /** qc5: RUNNING DISTINCT (CUMULATIVE REACH) — `count(DISTINCT) OVER`
+    * does not exist in any SQL engine (distinct state is not
+    * frame-mergeable), and the naive per-day recount is quadratic in
+    * days. The production rewrite: distinct-ness is a property of the
+    * FIRST SIGHTING — reduce each user to their first-seen day (one
+    * grouped scan), then cumulative reach is an ordinary running sum
+    * over days. Graded per day: daily actives, new users, cumulative
+    * reach, plus the returning-user split (active − new) — the DAU /
+    * reach panel every growth dashboard runs, in one scan + one
+    * |days|-row window. */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("day")
+      .agg(countDistinct("user_id").as("n_active"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cumulative_reach", sum("n_new").over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        col("cumulative_reach"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[runningDistinct]] — same first-seen reduction. */
+  val runningDistinctOracle: String = """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    daily AS (
+      SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day),
+    fs AS (
+      SELECT day, count(1) AS n_new FROM (
+        SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+      GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(fs.n_new, 0) AS BIGINT) AS n_new,
+           CAST(d.n_active - coalesce(fs.n_new, 0) AS BIGINT)
+             AS n_returning,
+           CAST(sum(coalesce(fs.n_new, 0)) OVER (ORDER BY d.day
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_reach
+    FROM daily d LEFT JOIN fs USING (day) ORDER BY day"""
+
+  /** qc6: CLAMPED RUNNING BALANCE — the fold that looks impossible in
+    * SQL: b_i = max(0, b_{i−1} + δ_i) (a stock that cannot go
+    * negative) is NON-ASSOCIATIVE, so no window aggregate computes it
+    * directly — the classic justification for dropping to a sequential
+    * mapPartitions. It has a closed form anyway:
+    *   b_i = S_i − min(0, min_{j≤i} S_j)
+    * where S is the ordinary prefix sum — two window passes, fully
+    * distributed, exact integers (proof: subtracting the most negative
+    * prefix ever reached is exactly the total clamping applied so
+    * far — TimeSeriesSpec replays the literal fold against it on every
+    * supplier). Movements: lineitem per supplier ordered by
+    * (shipdate, orderkey, linenumber), odd line numbers receive +qty,
+    * even ship −qty. Graded per supplier (mod-37 sample for row
+    * bounds): final balance, peak, clamp count (= distinct new running
+    * minima below zero), movement count. */
+  def clampedBalance(spark: SparkSession, dir: String): DataFrame = {
+    val mv = Tables.lineitem(spark, dir)
+      .where(col("l_suppkey") % 37 === 0)
+      .select(col("l_suppkey").as("supp"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 2 === 1, col("l_quantity"))
+          .otherwise(-col("l_quantity")).cast("long").as("delta"))
+    val w = Window.partitionBy("supp")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = Window.partitionBy("supp").orderBy(
+      col("l_shipdate").desc, col("l_orderkey").desc,
+      col("l_linenumber").desc)
+    val run = mv
+      .withColumn("s", sum("delta").over(w))
+      .withColumn("low", least(min("s").over(w), lit(0L)))
+      .withColumn("bal", col("s") - col("low"))
+      .withColumn("rn_last", row_number().over(wLast))
+    run.groupBy("supp")
+      .agg(count(lit(1)).as("n_moves"),
+        max(when(col("rn_last") === 1, col("bal"))).as("final_balance"),
+        max("bal").as("peak_balance"),
+        countDistinct(when(col("s") < 0L && col("s") === col("low"),
+          col("s"))).as("n_clamp_levels"))
+      .orderBy("supp")
+  }
+
+  /** DuckDB replay of [[clampedBalance]] — same prefix-min identity. */
+  val clampedBalanceOracle: String = """
+    WITH mv AS (
+      SELECT l_suppkey AS supp, l_shipdate, l_orderkey, l_linenumber,
+             CAST(CASE WHEN l_linenumber % 2 = 1 THEN l_quantity
+                       ELSE -l_quantity END AS BIGINT) AS delta
+      FROM lineitem WHERE l_suppkey % 37 = 0),
+    run0 AS (
+      SELECT supp, l_shipdate, l_orderkey, l_linenumber,
+             sum(delta) OVER w AS s
+      FROM mv
+      WINDOW w AS (PARTITION BY supp
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)),
+    run AS (
+      SELECT *, least(min(s) OVER w2, 0) AS low,
+             row_number() OVER (PARTITION BY supp
+               ORDER BY l_shipdate DESC, l_orderkey DESC,
+                        l_linenumber DESC) AS rn_last
+      FROM run0
+      WINDOW w2 AS (PARTITION BY supp
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING)),
+    bal AS (SELECT *, s - low AS b FROM run)
+    SELECT supp, CAST(count(1) AS BIGINT) AS n_moves,
+           CAST(max(CASE WHEN rn_last = 1 THEN b END)
+             AS BIGINT) AS final_balance,
+           CAST(max(b) AS BIGINT) AS peak_balance,
+           CAST(count(DISTINCT CASE WHEN s < 0 AND s = low THEN s END)
+             AS BIGINT) AS n_clamp_levels
+    FROM bal GROUP BY supp ORDER BY supp"""
+
   /** qc1: OFFLINE BANDIT REPLAY — the replay estimator (Li et al.
     * WSDM'11) for evaluating a decision POLICY against logged
     * interaction data without running it live: walk the log in round

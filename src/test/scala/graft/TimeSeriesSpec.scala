@@ -455,6 +455,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("clean_trend").getAs[Long]("ols_e6") == 7000000L)
   }
 
+  test("qc5 running distinct: first-seen reduction conserves users") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.runningDistinct(spark, sfDir).collect()
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(rows.last.getAs[Long]("cumulative_reach") == totalUsers)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == totalUsers)
+    assert(rows.head.getAs[Long]("n_active") == rows.head.getAs[Long]("n_new"),
+      "on day one every active user is new")
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_new")
+      assert(r.getAs[Long]("cumulative_reach") == cum)
+      assert(r.getAs[Long]("n_returning") >= 0L)
+      assert(r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active") - r.getAs[Long]("n_new"))
+    }
+  }
+
+  test("qc6 clamped balance: prefix-min identity equals the literal sequential fold") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.clampedBalance(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("supp") -> r).toMap
+    assert(rows.nonEmpty)
+    val mv = Tables.lineitem(spark, sfDir)
+      .where(col("l_suppkey") % 37 === 0)
+      .select(col("l_suppkey"), col("l_shipdate").cast("string"),
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") % 2 === 1, col("l_quantity"))
+          .otherwise(-col("l_quantity")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getAs[Number](3).longValue), r.getLong(4)))
+      .groupBy(_._1)
+    mv.foreach { case (supp, ms) =>
+      var bal = 0L; var peak = 0L
+      val clampLevels = scala.collection.mutable.Set.empty[Long]
+      var s = 0L; var low = 0L
+      ms.sortBy(_._2).foreach { case (_, _, d) =>
+        bal = math.max(0L, bal + d) // the literal non-associative fold
+        peak = math.max(peak, bal)
+        s += d; if (s < 0L && s < low) { clampLevels += s }
+        low = math.min(low, s)
+      }
+      val r = rows(supp)
+      assert(r.getAs[Long]("final_balance") == bal, s"supp $supp final")
+      assert(r.getAs[Long]("peak_balance") == peak, s"supp $supp peak")
+      assert(r.getAs[Long]("n_moves") == ms.size.toLong)
+      assert(r.getAs[Long]("n_clamp_levels") == clampLevels.size.toLong,
+        s"supp $supp clamps")
+    }
+  }
+
   test("qc1 bandit replay: windowed-SQL replay equals the literal sequential walk") {
     import org.apache.spark.sql.functions._
     val rows = operators.TimeSeries.banditReplay(spark, sfDir).collect()
