@@ -345,6 +345,7 @@ object SparkEntry {
     "qc1_bandit_replay"     -> ((s: SparkSession, d: String) => TimeSeries.banditReplay(s, d)),
     "qc2_qte"               -> (Quality.quantileTreatmentEffects _),
     "qc3_metadata_columns"  -> ((s: SparkSession, d: String) => graft.sources.Warehouse.metadataColumns(s, d)),
+    "qc4_bitemporal"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.bitemporal(s, d)),
     "qc5_running_distinct"  -> ((s: SparkSession, d: String) => TimeSeries.runningDistinct(s, d)),
     "qc6_clamped_balance"   -> ((s: SparkSession, d: String) => TimeSeries.clampedBalance(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -950,6 +951,7 @@ object SparkEntry {
     "qc1_bandit_replay"      -> TimeSeries.banditReplayOracle,
     "qc2_qte"                -> Quality.quantileTreatmentEffectsOracle,
     "qc3_metadata_columns"   -> graft.sources.Warehouse.metadataColumnsOracle,
+    "qc4_bitemporal"         -> graft.sources.Warehouse.bitemporalOracle,
     "qc5_running_distinct"   -> TimeSeries.runningDistinctOracle,
     "qc6_clamped_balance"    -> TimeSeries.clampedBalanceOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

@@ -1608,6 +1608,95 @@ object Warehouse {
       .orderBy("source")
   }
 
+  /** qc4: BITEMPORAL RESOLUTION — two time axes, not one: q2d/q2h
+    * track VALID time (when a fact was true in the world); an audited
+    * warehouse also tracks TRANSACTION time (when the system learned
+    * it), because "what did we believe on date T about date V?" is the
+    * question every restatement audit, ML-feature backfill check, and
+    * regulatory replay asks. The version store here carries orders
+    * through three transaction batches — the initial load, a
+    * RETROACTIVE price correction (tx 1, same valid_from: we mispriced
+    * all along), and a PROSPECTIVE amendment (tx 2, valid 30 days
+    * after orderdate: the price changes going forward). Resolution is
+    * the standard bitemporal pick: among versions with tx ≤ tx_asof
+    * and valid_from ≤ probe date, take the latest valid_from, then the
+    * latest tx — one window argmax per (key, tx_asof, probe). The
+    * graded 6-row panel (3 transaction beliefs × 2 valid-time probes)
+    * shows exactly which corrections each belief state sees: the
+    * retroactive fix appears from tx 1 at BOTH probes, the amendment
+    * only from tx 2 AND only at the +45d probe. Scale: the version
+    * table is append-only (the audit property); a real query pins one
+    * (tx_asof, probe) — the 6-way cross here is the graded panel, not
+    * the production access path. */
+  def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), to_date(col("o_orderdate")).as("od"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v0 = base.select(col("k"), col("od").as("valid_from"),
+      lit(0L).as("tx"), col("cents"))
+    val v1 = base.where(col("k") % 19 === 0)
+      .select(col("k"), col("od").as("valid_from"), lit(1L).as("tx"),
+        (col("cents") + 1000L).as("cents")) // retroactive +10.00
+    val v2 = base.where(col("k") % 23 === 0)
+      .select(col("k"), date_add(col("od"), 30).as("valid_from"),
+        lit(2L).as("tx"), (col("cents") + 5000L).as("cents")) // prospective
+    val versions = v0.unionByName(v1).unionByName(v2)
+    val panel = Seq((0L, 15), (0L, 45), (1L, 15), (1L, 45), (2L, 15),
+      (2L, 45)).toDF("tx_asof", "probe_days")
+    val resolved = versions.join(broadcast(panel),
+        col("tx") <= col("tx_asof"))
+      .join(base.select(col("k"), col("od")), Seq("k"))
+      .withColumn("probe", expr("date_add(od, probe_days)"))
+      .where(col("valid_from") <= col("probe"))
+    val wPick = Window.partitionBy("k", "tx_asof", "probe_days")
+      .orderBy(col("valid_from").desc, col("tx").desc)
+    resolved.withColumn("rk", row_number().over(wPick))
+      .where(col("rk") === 1)
+      .groupBy("tx_asof", "probe_days")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("sum_cents"),
+        sum(when(col("tx") === 1L, 1L).otherwise(0L)).as("n_from_correction"),
+        sum(when(col("tx") === 2L, 1L).otherwise(0L)).as("n_from_amendment"))
+      .orderBy("tx_asof", "probe_days")
+  }
+
+  /** DuckDB replay of [[bitemporal]] — same version store, same
+    * (valid_from, tx) argmax. */
+  val bitemporalOracle: String = """
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    versions AS (
+      SELECT k, od AS valid_from, 0 AS tx, cents FROM base
+      UNION ALL
+      SELECT k, od, 1, cents + 1000 FROM base WHERE k % 19 = 0
+      UNION ALL
+      SELECT k, od + 30, 2, cents + 5000 FROM base
+      WHERE k % 23 = 0),
+    panel AS (
+      SELECT * FROM (VALUES (0, 15), (0, 45), (1, 15), (1, 45), (2, 15),
+        (2, 45)) AS t(tx_asof, probe_days)),
+    resolved AS (
+      SELECT v.*, p.tx_asof, p.probe_days,
+             row_number() OVER (PARTITION BY v.k, p.tx_asof, p.probe_days
+               ORDER BY v.valid_from DESC, v.tx DESC) AS rk
+      FROM versions v
+      JOIN panel p ON v.tx <= p.tx_asof
+      JOIN base b ON v.k = b.k
+      WHERE v.valid_from <= b.od + p.probe_days)
+    SELECT CAST(tx_asof AS BIGINT) AS tx_asof,
+           CAST(probe_days AS INTEGER) AS probe_days,
+           CAST(count(1) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN tx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_correction,
+           CAST(sum(CASE WHEN tx = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_amendment
+    FROM resolved WHERE rk = 1
+    GROUP BY tx_asof, probe_days ORDER BY tx_asof, probe_days"""
+
   /** qc3: FILE METADATA COLUMNS — the `_metadata` hidden struct every
     * file source exposes (`file_path`, `file_name`, `file_size`,
     * `file_modification_time`, `row_index`): the provenance layer ops

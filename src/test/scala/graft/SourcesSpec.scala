@@ -654,6 +654,40 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("bitemporal: each belief state sees exactly its corrections") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Warehouse.bitemporal(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("tx_asof"), r.getAs[Int]("probe_days")) -> r)
+      .toMap
+    assert(rows.size == 6)
+    val o = Tables.orders(spark, sfDir)
+    val n = o.count()
+    val n19 = o.where(col("o_orderkey") % 19 === 0).count()
+    val n23 = o.where(col("o_orderkey") % 23 === 0).count()
+    val n437 = o.where(col("o_orderkey") % 437 === 0).count()
+    rows.values.foreach(r => assert(r.getAs[Long]("n_orders") == n))
+    // tx 0 sees nothing; probes agree (no amendment is valid yet)
+    assert(rows((0L, 15)).getAs[Long]("n_from_correction") == 0L)
+    assert(rows((0L, 15)).getAs[Long]("sum_cents") ==
+      rows((0L, 45)).getAs[Long]("sum_cents"))
+    // retroactive correction: visible from tx 1 at BOTH probes, worth
+    // exactly +1000 cents per %19 key
+    val base = rows((0L, 15)).getAs[Long]("sum_cents")
+    Seq(15, 45).foreach { p =>
+      assert(rows((1L, p)).getAs[Long]("n_from_correction") == n19)
+      assert(rows((1L, p)).getAs[Long]("sum_cents") == base + 1000L * n19)
+    }
+    // prospective amendment: tx 2 at probe 15 is IDENTICAL to tx 1
+    // (not yet valid); at probe 45 it supersedes, including on the
+    // %437 keys that had the correction
+    assert(rows((2L, 15)).getAs[Long]("sum_cents") ==
+      rows((1L, 15)).getAs[Long]("sum_cents"))
+    assert(rows((2L, 45)).getAs[Long]("n_from_amendment") == n23)
+    assert(rows((2L, 45)).getAs[Long]("n_from_correction") == n19 - n437)
+    assert(rows((2L, 45)).getAs[Long]("sum_cents") ==
+      base + 1000L * n19 + 5000L * n23 - 1000L * n437)
+  }
+
   test("metadataColumns: hidden _metadata struct carries per-file provenance") {
     import org.apache.spark.sql.functions._
     val path = tmpDir("meta_shards")
