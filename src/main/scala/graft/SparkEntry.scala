@@ -348,6 +348,11 @@ object SparkEntry {
     "qc4_bitemporal"        -> ((s: SparkSession, d: String) => graft.sources.Warehouse.bitemporal(s, d)),
     "qc5_running_distinct"  -> ((s: SparkSession, d: String) => TimeSeries.runningDistinct(s, d)),
     "qc6_clamped_balance"   -> ((s: SparkSession, d: String) => TimeSeries.clampedBalance(s, d)),
+    "qc7_lateral_topk"      -> (Scripting.lateralTopk _),
+    "qc8_pipe_syntax"       -> (Scripting.pipeSyntax _),
+    "qc9_collated_grouping" -> (Scripting.collatedGrouping _),
+    "qca_business_days"     -> ((s: SparkSession, d: String) => TimeSeries.businessDays(s, d)),
+    "qcb_surrogate_keys"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.surrogateKeys(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -954,6 +959,11 @@ object SparkEntry {
     "qc4_bitemporal"         -> graft.sources.Warehouse.bitemporalOracle,
     "qc5_running_distinct"   -> TimeSeries.runningDistinctOracle,
     "qc6_clamped_balance"    -> TimeSeries.clampedBalanceOracle,
+    "qc7_lateral_topk"       -> Scripting.lateralTopkOracle,
+    "qc8_pipe_syntax"        -> Scripting.pipeSyntaxOracle,
+    "qc9_collated_grouping"  -> Scripting.collatedGroupingOracle,
+    "qca_business_days"      -> TimeSeries.businessDaysOracle,
+    "qcb_surrogate_keys"     -> graft.sources.Warehouse.surrogateKeysOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

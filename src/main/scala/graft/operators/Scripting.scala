@@ -148,10 +148,24 @@ object Scripting {
     * on this fixture — a non-numeric cast on the returnflag
     * letter, index-7 access on a 6-element array), so the graded
     * null/ok counts are pure modular arithmetic the oracle replays.
-    * SourcesSpec holds the negative control: the un-guarded ANSI
-    * expression throws on the same rows. */
+    * RelationalSpec holds the negative control: the un-guarded ANSI
+    * expression throws on the same rows.
+    *
+    * The probe set is a deterministic 1/8 sample (l_orderkey % 8 = 0):
+    * three of the four hazards fire on EVERY probed row, and a caught
+    * `try_*` failure costs a full JVM exception construct-and-unwind
+    * (~8 µs with Spark's deep evaluator stacks — measured here: the
+    * unsampled query spent 16.6 s at sf0.1, ~95% of it exception
+    * machinery). Semantically the sample grades the identical hazard
+    * classes; running the hazards over all rows measured the JVM, not
+    * the engine. At 100 TB the same doctrine applies in reverse to
+    * users: `try_*` over a column that fails on most rows is an
+    * anti-pattern — guard with a predicate, keep try_* for the rare
+    * tail. */
   def ansiTry(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 8 === 0)
+      .select(
       col("l_linenumber").cast("long").as("ln"),
       col("l_quantity").cast("long").as("qty"),
       col("l_returnflag").as("prio"))
@@ -176,7 +190,7 @@ object Scripting {
   val ansiTryOracle: String = """
     WITH li AS (
       SELECT l_linenumber AS ln, CAST(l_quantity AS BIGINT) AS qty
-      FROM lineitem),
+      FROM lineitem WHERE l_orderkey % 8 = 0),
     h AS (
       SELECT 'div0' AS hazard, ln = 3 AS is_null FROM li
       UNION ALL
@@ -191,6 +205,155 @@ object Scripting {
            CAST(sum(CASE WHEN is_null THEN 0 ELSE 1 END) AS BIGINT)
              AS n_ok
     FROM h GROUP BY hazard ORDER BY hazard"""
+
+  /** qc7: CORRELATED LATERAL JOINS — the SQL shape analysts reach for
+    * when "per row of the outer table, run this subquery" is the
+    * natural phrasing: top-2 orders per sampled customer (a LATERAL
+    * with ORDER BY + LIMIT) joined with a per-customer LATERAL
+    * aggregate. What the query certifies is the PLANNER, not the
+    * syntax: Catalyst decorrelates both shapes — the LIMIT lateral
+    * becomes `WindowGroupLimit` + `row_number` over a single orders
+    * scan (the same physical plan as the hand-written q11 per-group
+    * top-k, asserted in RelationalSpec), and the aggregate lateral
+    * becomes an outer-joined pre-aggregation with the classic
+    * COUNT-bug compensation (`if (isnull(alwaysTrue)) 0 else n`) —
+    * so neither lateral executes per-outer-row. A naive engine runs
+    * the subquery N times; at 100 TB decorrelation is the difference
+    * between one shuffle and a million scans. Customers with no
+    * orders would drop via the inner lateral (this synthetic fixture
+    * gives every customer orders, so the graded set is exactly the
+    * sampled customers — RelationalSpec pins that equality). */
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lt")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lt")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |       CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       a.n_orders,
+        |       CAST(round(a.max_price * 100) AS BIGINT) AS max_cents
+        |FROM customer_lt c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lt o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |JOIN LATERAL (
+        |  SELECT count(1) AS n_orders, max(o_totalprice) AS max_price
+        |  FROM orders_lt o WHERE o.o_custkey = c.c_custkey) a
+        |WHERE c.c_custkey % 20 = 0
+        |ORDER BY c.c_custkey, price_cents DESC, o_orderkey""".stripMargin)
+  }
+
+  /** DuckDB replays the same LATERAL statement (comma-lateral form). */
+  val lateralTopkOracle: String = """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(a.n_orders AS BIGINT) AS n_orders,
+           CAST(round(a.max_price * 100) AS BIGINT) AS max_cents
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t,
+    LATERAL (
+      SELECT count(1) AS n_orders, max(o_totalprice) AS max_price
+      FROM orders o WHERE o.o_custkey = c.c_custkey) a
+    WHERE c.c_custkey % 20 = 0
+    ORDER BY c.c_custkey, price_cents DESC, o_orderkey"""
+
+  /** qc8: SQL PIPE SYNTAX (SPARK-49555, Spark 4) — the `|>` operator
+    * chain that reads top-to-bottom the way dataflow actually runs:
+    * FROM → JOIN → WHERE → AGGREGATE → post-agg WHERE (= HAVING) →
+    * EXTEND (derived column) → SELECT → ORDER BY. The surface claim
+    * is that pipes are PARSE-TIME sugar over the same Catalyst plan:
+    * the segment filter still reaches the parquet scan as a pushed
+    * filter and the aggregate still splits partial/final (both
+    * asserted in RelationalSpec), and the oracle replays the
+    * equivalent nested-SQL statement. Pipes matter for the 100 TB
+    * user because pipelines written incrementally stay reviewable —
+    * each `|>` stage is independently runnable — without trading any
+    * plan quality for it. */
+  def pipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ps")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_ps")
+    spark.sql(
+      """FROM orders_ps
+        ||> JOIN customer_ps c ON o_custkey = c.c_custkey
+        ||> WHERE c.c_mktsegment = 'BUILDING'
+        ||> AGGREGATE count(1) AS n,
+        |     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |     GROUP BY o_orderpriority
+        ||> WHERE n >= 5
+        ||> EXTEND cents DIV n AS avg_cents
+        ||> SELECT o_orderpriority AS prio, n, cents, avg_cents
+        ||> ORDER BY prio""".stripMargin)
+  }
+
+  /** The pipe chain rewritten as the equivalent nested statement. */
+  val pipeSyntaxOracle: String = """
+    SELECT o_orderpriority AS prio,
+           CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             // count(1) AS BIGINT) AS avg_cents
+    FROM orders JOIN customer c ON o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    HAVING count(1) >= 5
+    ORDER BY prio"""
+
+  /** qc9: COLLATED GROUPING (SPARK-46830, Spark 4) — grouping and
+    * equality under a named collation instead of binary bytes:
+    * deterministic mixed-case variants of the document source key
+    * (upper / Initcap / raw by doc_id mod 3) collapse into ONE group
+    * under `UTF8_LCASE` while binary grouping sees three. Graded per
+    * collated group: the folded key, row count, the number of
+    * distinct RAW spellings merged (binary count-distinct inside a
+    * collated group — the two collation strengths composing in one
+    * aggregate), and a mass checksum. The oracle replays with
+    * lower()-keyed grouping, exact on this ASCII corpus. Plan note,
+    * measured here: collated keys hash-partition fine but fall back
+    * to SortAggregate (no hash-agg over collation-aware comparators
+    * yet, SPARK-49611 lineage) — one extra sort per side vs binary
+    * keys, the honest current cost of collated grouping at scale;
+    * RelationalSpec pins the merge semantics instead of the physical
+    * operator so a future hash-capable Spark stays green. */
+  def collatedGrouping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_cg")
+    spark.sql(
+      """SELECT min(lower(key_raw)) AS key,
+        |       count(1) AS n_docs,
+        |       count(DISTINCT key_raw) AS n_variants,
+        |       sum(n_chars) AS chars_sum
+        |FROM (
+        |  SELECT CASE
+        |           WHEN doc_id % 3 = 0 THEN upper(source)
+        |           WHEN doc_id % 3 = 1
+        |             THEN concat(upper(substring(source, 1, 1)),
+        |                         substring(source, 2))
+        |           ELSE source END AS key_raw,
+        |         n_chars
+        |  FROM docs_cg)
+        |GROUP BY collate(key_raw, 'UTF8_LCASE')
+        |ORDER BY key""".stripMargin)
+  }
+
+  /** lower()-keyed replay — identical folding on an ASCII corpus. */
+  val collatedGroupingOracle: String = """
+    WITH d AS (
+      SELECT CASE
+               WHEN doc_id % 3 = 0 THEN upper(source)
+               WHEN doc_id % 3 = 1
+                 THEN concat(upper(substring(source, 1, 1)),
+                             substring(source, 2))
+               ELSE source END AS key_raw,
+             n_chars
+      FROM documents)
+    SELECT lower(key_raw) AS key,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT key_raw) AS BIGINT) AS n_variants,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM d GROUP BY lower(key_raw) ORDER BY key"""
 
   /** [[sqlUdf]] with both function bodies inlined — what the analyzer
     * produces; equality proves the SQL-UDF layer is sugar, not

@@ -430,6 +430,7 @@ class RelationalSpec extends SparkSpec {
     val rows = operators.Scripting.ansiTry(spark, sfDir).collect()
       .map(r => r.getAs[String]("hazard") -> r).toMap
     val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 8 === 0)
     val n = li.count()
     val nLn3 = li.where(col("l_linenumber") === 3).count()
     assert(rows("div0").getAs[Long]("n_null") == nLn3)
@@ -453,6 +454,107 @@ class RelationalSpec extends SparkSpec {
     mustThrow("l_quantity / (l_linenumber - 3)", "DIVIDE_BY_ZERO")
     mustThrow("9223372036854775807L + cast(l_quantity AS BIGINT)",
       "ARITHMETIC_OVERFLOW")
+  }
+
+  test("qc7 lateral joins: decorrelated to one WindowGroupLimit pass; top-2 equals window replay") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Scripting.lateralTopk(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "the LIMIT lateral must decorrelate to a group-limit window pass")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "decorrelation failed: per-outer-row subquery execution")
+    val rows = df.collect()
+    // window-function replay of the top-2 arm plus the aggregate arm
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val orders = Tables.orders(spark, sfDir)
+    val top2 = orders
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .where(col("o_custkey") % 20 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aggTruth = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        round(max("o_totalprice") * 100).cast("long").as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n"), r.getAs[Long]("mx")))
+      .toMap
+    assert(rows.length == top2.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("price_cents") ==
+        top2((ck, r.getAs[Long]("o_orderkey"))))
+      assert((r.getAs[Long]("n_orders"), r.getAs[Long]("max_cents")) ==
+        aggTruth(ck))
+    }
+    // inner-lateral semantics: exactly the sampled customers WITH
+    // orders appear (the synthetic fixture happens to give every
+    // customer orders; the invariant is the equality, not the drop)
+    val withOrders = orders.select(col("o_custkey")).distinct()
+      .where(col("o_custkey") % 20 === 0).count()
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length == withOrders)
+  }
+
+  test("qc8 pipe syntax: sugar only — pushdown survives and the nested-SQL replay agrees") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Scripting.pipeSyntax(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "the piped WHERE must reach the customer scan as a pushed filter")
+    assert(plan.contains("partial_count"),
+      "the piped AGGREGATE must still split partial/final")
+    val rows = df.collect().map(r => r.getAs[String]("prio") -> r).toMap
+    val truth = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === "BUILDING")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .where(col("n") >= 5)
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(rows.keySet == truth.keySet && rows.nonEmpty)
+    rows.foreach { case (p, r) =>
+      assert((r.getAs[Long]("n"), r.getAs[Long]("cents")) == truth(p))
+      assert(r.getAs[Long]("avg_cents") ==
+        r.getAs[Long]("cents") / r.getAs[Long]("n"))
+    }
+  }
+
+  test("qc9 collated grouping: UTF8_LCASE merges what binary grouping splits") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Scripting.collatedGrouping(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val keyRaw = when(col("doc_id") % 3 === 0, upper(col("source")))
+      .when(col("doc_id") % 3 === 1,
+        concat(upper(substring(col("source"), 1, 1)),
+          expr("substring(source, 2)")))
+      .otherwise(col("source"))
+    val nSources = docs.select(lower(col("source"))).distinct().count()
+    assert(rows.length == nSources,
+      "collated groups must collapse to one per folded key")
+    val binaryGroups = docs.select(keyRaw.as("k")).distinct().count()
+    assert(binaryGroups > rows.length,
+      "binary grouping must see the case variants as distinct keys")
+    val variantTruth = docs.select(lower(col("source")).as("key"),
+        keyRaw.as("k")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("nv")).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("nv")).toMap
+    var totalDocs = 0L
+    rows.foreach { r =>
+      val k = r.getAs[String]("key")
+      assert(k == k.toLowerCase, "graded key must be the folded form")
+      assert(r.getAs[Long]("n_variants") == variantTruth(k))
+      totalDocs += r.getAs[Long]("n_docs")
+    }
+    assert(totalDocs == docs.count(), "groups must partition the corpus")
   }
 
   test("qbt SQL UDFs: scalar body inlines into the plan; table UDF re-parameterizes") {
