@@ -1985,4 +1985,78 @@ object Warehouse {
            CAST(count(DISTINCT CASE WHEN doc_id % 19 <> 0 THEN lang END)
              AS BIGINT) AS n_langs
     FROM documents GROUP BY source ORDER BY source"""
+
+  /** qcb: SURROGATE-KEY ASSIGNMENT — the incremental-dimension-load
+    * step every warehouse runs: arrivals get DENSE keys continuing
+    * after the existing maximum, deterministically ordered by the
+    * natural key. The textbook Spark answer — `row_number() OVER
+    * (ORDER BY key)` — funnels ALL arrivals through ONE partition
+    * (an unpartitioned WindowExec), the classic 100 TB bottleneck.
+    * This operator uses the distributed dense-ID pattern instead:
+    * (1) range-bucket arrivals by natural key (fixed-width buckets —
+    * order-preserving by construction), (2) per-bucket local
+    * `row_number` (a partitionBy window — parallel), (3) per-bucket
+    * counts → prefix-sum offsets on the bucket frame (rows = #buckets,
+    * a bounded broadcast), (4) sk = max_existing + offset(bucket) +
+    * local_rank. No global sort, no single-partition fact window.
+    * SourcesSpec proves assignment is IDENTICAL under adversarial
+    * repartitioning and replays the closed form
+    * sk(k) = max_sk + |{new keys < k}| + 1, which is also what the
+    * oracle grades. Existing dim = suppliers with s_suppkey%4 != 0
+    * (sk = rank by key); arrivals = the %4 == 0 cohort. */
+  /** Distributed dense rank-by-key over unique keys: fixed-width
+    * range buckets (order-preserving), parallel per-bucket
+    * `row_number`, prefix-sum bucket offsets. The offset frame has
+    * one row per OCCUPIED bucket — |keys|/width; when that itself
+    * outgrows one partition, the same construction applies to the
+    * bucket frame recursively (O(log_width n) levels — width 64k
+    * covers 4×10⁹ keys in two). One level here. */
+  private[graft] def denseRankByKey(df: DataFrame, key: String,
+      bucketW: Long = 64L): DataFrame = {
+    val local = df
+      .withColumn("b", (col(key) / bucketW).cast("long"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("b").orderBy(key)).cast("long"))
+    val offsets = local.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off")
+    local.join(broadcast(offsets), Seq("b"))
+      .select(col(key), (col("off") + col("lr")).as("rk"))
+  }
+
+  def surrogateKeys(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"))
+    // the pre-existing dimension: keys assigned by an earlier load of
+    // the same procedure (rank by natural key)
+    val dim = denseRankByKey(sup.where(col("s_suppkey") % 4 =!= 0),
+      "s_suppkey").withColumnRenamed("rk", "sk")
+    val maxSk = dim.agg(max("sk").as("max_sk"))
+    val assigned = denseRankByKey(
+        sup.where(col("s_suppkey") % 4 === 0), "s_suppkey")
+      .crossJoin(broadcast(maxSk))
+      .select(col("s_suppkey"), (col("max_sk") + col("rk")).as("sk"),
+        lit("new").as("src"))
+    dim.select(col("s_suppkey"), col("sk"), lit("existing").as("src"))
+      .unionByName(assigned)
+      .orderBy("sk")
+  }
+
+  /** Closed-form replay: sk = rank over existing; arrivals continue
+    * at max + rank-among-arrivals. */
+  val surrogateKeysOracle: String = """
+    WITH ex AS (
+      SELECT s_suppkey,
+             CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS sk
+      FROM supplier WHERE s_suppkey % 4 <> 0),
+    mx AS (SELECT max(sk) AS max_sk FROM ex),
+    nw AS (
+      SELECT s_suppkey,
+             CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS r
+      FROM supplier WHERE s_suppkey % 4 = 0)
+    SELECT s_suppkey, sk, 'existing' AS src FROM ex
+    UNION ALL
+    SELECT nw.s_suppkey, mx.max_sk + nw.r AS sk, 'new' AS src
+    FROM nw CROSS JOIN mx
+    ORDER BY sk"""
 }

@@ -112,7 +112,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qc0_eb_shrinkage" -> "1-row global-rate aggregate broadcast onto the <=|nation x segment| cells",
     "qc1_bandit_replay" -> "1-row replay-estimate aggregate broadcast onto the 5-arm rollup",
     "qc2_qte" -> "5-row quantile grid x 2-row variant sizes — both literal-bounded",
-    "qc4_bitemporal" -> "6-row literal (tx_asof, probe) panel broadcast onto the version store")
+    "qc4_bitemporal" -> "6-row literal (tx_asof, probe) panel broadcast onto the version store",
+    "qcb_surrogate_keys" -> "1-row max-existing-key aggregate broadcast onto the arrivals")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]

@@ -794,4 +794,46 @@ class SourcesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_lang_null") == t.getAs[Long]("n_lang_null"))
     }
   }
+
+  test("qcb surrogate keys: dense, closed-form-exact, stable under repartitioning, no global fact window") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.Warehouse.surrogateKeys(spark, sfDir)
+    // scale shape: every window in the plan is partitioned — the
+    // unpartitioned passes run only on the bounded bucket frame,
+    // which in this plan appear AFTER an aggregation, never over the
+    // fact rows. Assert directly: no WindowExec whose child is the
+    // raw supplier scan without a partition spec.
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("windowspecdefinition(s_suppkey"),
+      "fact rows must never pass through an unpartitioned window " +
+        "(partitioned windows render as windowspecdefinition(b, s_suppkey ...))")
+    val rows = df.collect()
+    val keys = rows.map(_.getAs[Long]("s_suppkey"))
+    val sks = rows.map(_.getAs[Long]("sk"))
+    // dense 1..N, unique
+    assert(sks.sorted.sameElements(1L to rows.length.toLong))
+    // closed form: sk(existing k) = rank among existing; sk(new k) =
+    // max_existing + rank among new — replayed in plain Scala
+    val (ex, nw) = keys.partition(_ % 4 != 0)
+    val exRank = ex.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    val nwRank = nw.sorted.zipWithIndex
+      .map { case (k, i) => k -> (ex.length + i + 1L) }.toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("s_suppkey")
+      val expect = if (k % 4 != 0) exRank(k) else nwRank(k)
+      assert(r.getAs[Long]("sk") == expect, s"key $k")
+      assert(r.getAs[String]("src") ==
+        (if (k % 4 != 0) "existing" else "new"))
+    }
+    // determinism under adversarial partitioning: the rank path gives
+    // the identical assignment when the input arrives pre-shuffled
+    val sup = Tables.supplier(spark, sfDir).select(col("s_suppkey"))
+    val base = graft.sources.Warehouse.denseRankByKey(sup, "s_suppkey")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rk")).toMap
+    val again = graft.sources.Warehouse
+      .denseRankByKey(sup.repartition(7), "s_suppkey")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rk")).toMap
+    assert(again == base, "assignment must not depend on partitioning")
+  }
 }

@@ -623,4 +623,44 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(phi24.sum == (v(15) - v(0)) * 24L, "efficiency (independent)")
   }
+
+  test("qca business days: cumulative-index closed form equals the literal weekday walk") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.TimeSeries.businessDays(spark, sfDir).collect()
+      .map(r => r.getAs[String]("month") -> r).toMap
+    // independent truth: literal signed weekday count per order, in
+    // plain Scala off the raw dates (no calendar index)
+    val j = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(min(to_date(col("l_shipdate"))).as("sd")), Seq("o_orderkey"))
+      .select("od", "sd").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    def walkBd(o: java.time.LocalDate, s: java.time.LocalDate): Long = {
+      val sign = if (s.isBefore(o)) -1L else 1L
+      val (a, b) = if (s.isBefore(o)) (s, o) else (o, s)
+      sign * Iterator.iterate(a.plusDays(1))(_.plusDays(1))
+        .takeWhile(!_.isAfter(b))
+        .count(d => d.getDayOfWeek.getValue <= 5)
+    }
+    val truth = j.groupBy { case (o, _) =>
+      f"${o.getYear}%04d-${o.getMonthValue}%02d"
+    }.map { case (m, ps) =>
+      val bds = ps.map { case (o, s) => walkBd(o, s) }
+      m -> (ps.size.toLong, bds.sum, bds.max,
+        bds.count(_ == 0L).toLong, bds.count(_ < 0L).toLong)
+    }
+    assert(rows.keySet == truth.keySet && rows.nonEmpty)
+    truth.foreach { case (m, (n, sum0, mx, nz, nb)) =>
+      val r = rows(m)
+      assert(r.getAs[Long]("n_orders") == n, s"$m n")
+      assert(r.getAs[Long]("bd_sum") == sum0, s"$m sum")
+      assert(r.getAs[Long]("bd_max") == mx, s"$m max")
+      assert(r.getAs[Long]("n_zero_bd") == nz, s"$m zero")
+      assert(r.getAs[Long]("n_backward") == nb, s"$m backward")
+    }
+    // the fixture's random shipdates must exercise the signed arm
+    assert(truth.values.map(_._5).sum > 0L, "backward latencies present")
+  }
 }
