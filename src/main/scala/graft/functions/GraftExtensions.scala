@@ -164,6 +164,64 @@ object GraftExtensions {
     spark.sql(s"SELECT * FROM graft_cosine_topk('$dir', 0, 10)")
   }
 
+  /** qcc: SQL-CALLABLE TYPED UDAF — the last unregistered custom-code
+    * surface: `functions.udaf` lifts the typed [[graft.functions.SseAggregator]]
+    * (an `Aggregator` with real partial aggregation: reduce = map-side
+    * combine, merge = shuffle combine) into a SQL-callable aggregate,
+    * so an analyst writes `graft_sse(vec, center)` in a GROUP BY with
+    * no JVM code in sight. The same statement also computes the
+    * codegen-expression twin `sum(squared_l2(...))` and grades
+    * `paths_agree` — the qam/qan doctrine (two surfaces, one
+    * operator) applied to aggregation. Arithmetic is EXACT by
+    * construction: vectors are e3-quantized to integer-valued doubles
+    * (`floor(x·1000 + 0.5)`, the house idiom) against a generated
+    * integer center, so every squared diff and every partial sum is
+    * an integer below 2⁵³ — summation order cannot move the result,
+    * which is what lets a float aggregate ride an exact hash oracle. */
+  def sqlUdaf(spark: SparkSession, dir: String): DataFrame = {
+    register(spark) // squared_l2
+    spark.udf.register("graft_sse",
+      org.apache.spark.sql.functions.udaf(graft.functions.SseAggregator))
+    graft.Tables.embeddings(spark, dir).createOrReplaceTempView("emb_ua")
+    spark.sql(
+      """WITH q AS (
+        |  SELECT vec_id % 4 AS b,
+        |         transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+        |                  AS DOUBLE)) AS vq,
+        |         transform(sequence(0, size(embedding) - 1),
+        |           i -> CAST(((vec_id % 4) * 31 + i * 17) % 2001 - 1000
+        |                  AS DOUBLE)) AS c
+        |  FROM emb_ua)
+        |SELECT b, count(1) AS n_vecs,
+        |       CAST(graft_sse(vq, c) AS BIGINT) AS sse_e6,
+        |       CAST(sum(squared_l2(vq, c)) AS BIGINT) AS sse_expr_e6,
+        |       graft_sse(vq, c) = sum(squared_l2(vq, c)) AS paths_agree
+        |FROM q GROUP BY b ORDER BY b""".stripMargin)
+  }
+
+  /** Index-based list replay of [[sqlUdaf]] (the Similarity.scala
+    * range-lambda idiom; 1-based DuckDB lists, 0-based center). */
+  val sqlUdafOracle: String = """
+    WITH q AS (
+      SELECT vec_id % 4 AS b,
+             list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS vq,
+             len(embedding) AS d
+      FROM embeddings),
+    e AS (
+      SELECT b,
+             list_sum(list_transform(range(1, d + 1),
+               i -> (vq[i] - ((b * 31 + (i - 1) * 17) % 2001 - 1000))
+                  * (vq[i] - ((b * 31 + (i - 1) * 17) % 2001 - 1000))))
+               AS sse
+      FROM q)
+    SELECT b, CAST(count(1) AS BIGINT) AS n_vecs,
+           CAST(sum(sse) AS BIGINT) AS sse_e6,
+           CAST(sum(sse) AS BIGINT) AS sse_expr_e6,
+           true AS paths_agree
+    FROM e GROUP BY b ORDER BY b"""
+
   val tvfQueryOracle: String = """
     WITH g AS (
       SELECT i AS id,

@@ -148,4 +148,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(maxSelf == total, "a plan shares all of itself with itself")
     assert(nSelf == total, "every prefix subtree is shared with itself")
   }
+
+  test("qcc SQL UDAF: typed Aggregator rides SQL with real partial aggregation; exact vs expression twin") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.functions.GraftExtensions.sqlUdaf(spark, sfDir)
+    // the ScalaAggregator must split partial/final across the group-by
+    // shuffle like any builtin aggregate (reduce = map-side combine)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_sse") ||
+      plan.contains("partial_sse"), s"no partial UDAF phase in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("paths_agree"),
+        "typed Aggregator and codegen expression must agree exactly")
+      assert(r.getAs[Long]("sse_e6") == r.getAs[Long]("sse_expr_e6"))
+      assert(r.getAs[Long]("sse_e6") > 0L)
+    }
+    // independent truth on one bucket, plain Scala off the raw floats
+    val b0 = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 4 === 0)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 1000 + 0.5)))
+    val truth = b0.map { vq =>
+      vq.zipWithIndex.map { case (v, i) =>
+        val c = (0 * 31 + i * 17) % 2001 - 1000
+        (v - c) * (v - c)
+      }.sum
+    }.sum.toLong
+    assert(rows.find(_.getAs[Long]("b") == 0L).get
+      .getAs[Long]("sse_e6") == truth)
+  }
 }
