@@ -354,6 +354,7 @@ object SparkEntry {
     "qca_business_days"     -> ((s: SparkSession, d: String) => TimeSeries.businessDays(s, d)),
     "qcb_surrogate_keys"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.surrogateKeys(s, d)),
     "qcc_sql_udaf"          -> (graft.functions.GraftExtensions.sqlUdaf _),
+    "qcd_custom_generator"  -> (graft.functions.GraftExtensions.customGenerator _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -966,6 +967,7 @@ object SparkEntry {
     "qca_business_days"      -> TimeSeries.businessDaysOracle,
     "qcb_surrogate_keys"     -> graft.sources.Warehouse.surrogateKeysOracle,
     "qcc_sql_udaf"           -> graft.functions.GraftExtensions.sqlUdafOracle,
+    "qcd_custom_generator"   -> graft.functions.GraftExtensions.customGeneratorOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

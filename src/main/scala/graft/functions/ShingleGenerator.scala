@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst GENERATOR — the one-row→many-rows expression kind
+  * (what `explode`/`posexplode` are), completing the engine's custom
+  * expression taxonomy next to the scalar kind (CosineSimilarity /
+  * SquaredL2Distance, codegen'd) and the aggregate kind (SseAggregator,
+  * typed + SQL-registered): `graft_shingles(text, n)` emits one
+  * `(pos, gram)` row per token n-gram window, directly from the row —
+  * no intermediate gram ARRAY is materialized, which is the point at
+  * 100 TB: `explode(ngrams(...))` builds every document's full gram
+  * array in memory before the generator unrolls it, while a Generator
+  * streams windows out one at a time (the iterator below), so peak
+  * per-row memory is O(n tokens) not O(n grams × gram length).
+  *
+  * Token and window semantics are EXACTLY [[graft.operators.Text.ngrams]]
+  * (split on single space, n−k+1 full windows, no short-document
+  * fallback) — DedupSimilaritySpec pins generator ≡ explode(ngrams)
+  * row-for-row, and qcd grades the generator through SQL `LATERAL
+  * VIEW` against the same DuckDB index-range replay the ngram
+  * operators use. Null/short inputs yield zero rows (generator
+  * contract; LATERAL VIEW OUTER would re-admit them). */
+case class ShingleGenerator(text: Expression, n: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(text, n)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && n.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles(text STRING, n INT), got " +
+        s"(${text.dataType.simpleString}, ${n.dataType.simpleString})")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    val kv = n.eval(input)
+    if (t == null || kv == null) return Iterator.empty
+    val k = kv.asInstanceOf[Int]
+    // split-on-single-space with Java limit -1: identical to Spark SQL
+    // split(text, ' ') (trailing empties preserved), hence to Text.tokens
+    val toks = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (k < 1 || toks.length < k) Iterator.empty
+    else (0 to toks.length - k).iterator.map { i =>
+      InternalRow(i,
+        UTF8String.fromString(toks.slice(i, i + k).mkString(" ")))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ShingleGenerator =
+    copy(text = newChildren(0), n = newChildren(1))
+}

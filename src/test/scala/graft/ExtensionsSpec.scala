@@ -180,4 +180,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.find(_.getAs[Long]("b") == 0L).get
       .getAs[Long]("sse_e6") == truth)
   }
+
+  test("qcd custom generator: graft_shingles ≡ posexplode(ngrams) row-for-row; short/null rows yield none") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("docs_gen_spec")
+    val gen = spark.sql(
+      """SELECT doc_id, pos, gram FROM docs_gen_spec
+        |LATERAL VIEW graft_shingles(text, 3) s AS pos, gram""".stripMargin)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("gram"))).sorted
+    val twin = docs.select(col("doc_id"),
+        posexplode(graft.operators.Text.ngrams(
+          graft.operators.Text.tokens(col("text")), 3)))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("col"))).sorted
+    assert(gen.length == twin.length && gen.nonEmpty)
+    assert(gen.sameElements(twin),
+      "generator must reproduce explode(ngrams) including positions")
+    // generator contract on degenerate rows: empty output, and
+    // LATERAL VIEW OUTER re-admits them as nulls
+    import spark.implicits._
+    Seq(("", 1L), ("one two", 2L), (null: String, 3L)).toDF("text", "id")
+      .createOrReplaceTempView("degens")
+    assert(spark.sql(
+      """SELECT id, pos FROM degens
+        |LATERAL VIEW graft_shingles(text, 3) s AS pos, gram""".stripMargin)
+      .count() == 0L)
+    val outer = spark.sql(
+      """SELECT id, pos FROM degens
+        |LATERAL VIEW OUTER graft_shingles(text, 3) s AS pos, gram""".stripMargin)
+      .collect()
+    assert(outer.length == 3 && outer.forall(_.isNullAt(1)))
+  }
 }
