@@ -355,6 +355,7 @@ object SparkEntry {
     "qcb_surrogate_keys"    -> ((s: SparkSession, d: String) => graft.sources.Warehouse.surrogateKeys(s, d)),
     "qcc_sql_udaf"          -> (graft.functions.GraftExtensions.sqlUdaf _),
     "qcd_custom_generator"  -> (graft.functions.GraftExtensions.customGenerator _),
+    "qce_custom_window"     -> (Relational.customWindowStreak _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -968,6 +969,7 @@ object SparkEntry {
     "qcb_surrogate_keys"     -> graft.sources.Warehouse.surrogateKeysOracle,
     "qcc_sql_udaf"           -> graft.functions.GraftExtensions.sqlUdafOracle,
     "qcd_custom_generator"   -> graft.functions.GraftExtensions.customGeneratorOracle,
+    "qce_custom_window"      -> Relational.customWindowStreakOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Token and window semantics are EXACTLY [[graft.operators.Text.ngrams]]
   * (split on single space, n−k+1 full windows, no short-document
-  * fallback) — DedupSimilaritySpec pins generator ≡ explode(ngrams)
+  * fallback) — ExtensionsSpec pins generator ≡ posexplode(ngrams)
   * row-for-row, and qcd grades the generator through SQL `LATERAL
   * VIEW` against the same DuckDB index-range replay the ngram
   * operators use. Null/short inputs yield zero rows (generator

@@ -1457,4 +1457,66 @@ object Relational {
     GROUP BY user_id, event_type
     HAVING count(1) >= 14
     ORDER BY user_id, event_type"""
+
+  /** qce: CUSTOM WINDOW FUNCTION — [[graft.functions.RunningStreak]]
+    * (an `AggregateWindowFunction`, the same machinery `row_number`
+    * rides) computing the running run-length of high-quantity
+    * shipments per supplier in ONE Window operator. The built-in
+    * route is the gaps-and-islands composition (row_number + running
+    * max of reset positions — two chained Window operators sharing
+    * one sort, and what the oracle replays). Graded per sampled
+    * supplier: row count, longest streak, the full-column streak
+    * checksum (pins every row's value, not just the max), and the
+    * number of maximal runs. ExtensionsSpec additionally proves the
+    * one-pass ≡ two-pass equivalence inside Spark and counts the
+    * physical Window operators (1 vs 2). */
+  def customWindowStreak(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RunningStreak.runningStreak
+    val mv = Tables.lineitem(spark, dir)
+      .where(col("l_suppkey") % 37 === 0)
+      .select(col("l_suppkey").as("supp"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") >= 25).as("f"))
+    mv.withColumn("streak", runningStreak(col("f"), Seq(col("supp")),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("n_rows"),
+        max("streak").as("max_streak"),
+        sum("streak").as("streak_sum"),
+        sum(when(col("streak") === 1L, 1L).otherwise(0L)).as("n_runs"))
+      .orderBy("supp")
+  }
+
+  /** Two-window gaps-and-islands replay of [[customWindowStreak]]:
+    * streak = rn − last reset position. */
+  val customWindowStreakOracle: String = """
+    WITH mv AS (
+      SELECT l_suppkey AS supp, l_shipdate, l_orderkey, l_linenumber,
+             CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS f
+      FROM lineitem WHERE l_suppkey % 37 = 0),
+    r AS (
+      SELECT supp, f,
+             row_number() OVER w AS rn,
+             max(CASE WHEN f = 0 THEN rn_inner END) OVER
+               (PARTITION BY supp ORDER BY l_shipdate, l_orderkey,
+                l_linenumber ROWS UNBOUNDED PRECEDING) AS last_reset
+      FROM (
+        SELECT *, row_number() OVER w AS rn_inner
+        FROM mv
+        WINDOW w AS (PARTITION BY supp ORDER BY l_shipdate, l_orderkey,
+          l_linenumber)) mv2
+      WINDOW w AS (PARTITION BY supp ORDER BY l_shipdate, l_orderkey,
+        l_linenumber)),
+    st AS (
+      SELECT supp,
+             CASE WHEN f = 0 THEN 0
+                  ELSE rn - coalesce(last_reset, 0) END AS streak
+      FROM r)
+    SELECT supp,
+           CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(max(streak) AS BIGINT) AS max_streak,
+           CAST(sum(streak) AS BIGINT) AS streak_sum,
+           CAST(sum(CASE WHEN streak = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_runs
+    FROM st GROUP BY supp ORDER BY supp"""
 }

@@ -216,4 +216,43 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(outer.length == 3 && outer.forall(_.isNullAt(1)))
   }
+
+  test("qce custom window fn: one-pass streak ≡ two-window gaps-and-islands; 1 Window operator vs 2") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.RunningStreak.runningStreak
+    val mv = Tables.lineitem(spark, sfDir)
+      .where(col("l_suppkey") % 37 === 0)
+      .select(col("l_suppkey").as("supp"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") >= 25).as("f"))
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val onePass = mv.withColumn("streak",
+      runningStreak(col("f"), Seq(col("supp")), ord))
+    // built-in composition: rn − last reset position (two windows)
+    val w = Window.partitionBy("supp").orderBy(ord: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twoPass = mv
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("last_reset",
+        max(when(!col("f"), col("rn"))).over(wRun))
+      .withColumn("streak", when(!col("f"), 0L)
+        .otherwise(col("rn") - coalesce(col("last_reset"), lit(0L))))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("supp"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber")) -> r.getAs[Long]("streak")
+    val a = onePass.collect().map(key).toMap
+    val b = twoPass.collect().map(key).toMap
+    assert(a.nonEmpty && a == b,
+      "custom window function must equal the gaps-and-islands composition")
+    // count optimized-plan Window nodes (the executed string under AQE
+    // prints current + initial plans and double-counts)
+    def nWindowOps(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    assert(nWindowOps(onePass) == 1, "custom fn: exactly one window pass")
+    assert(nWindowOps(twoPass) >= 2,
+      "composition needs two window passes (last_reset consumes rn)")
+  }
 }
