@@ -356,6 +356,8 @@ object SparkEntry {
     "qcc_sql_udaf"          -> (graft.functions.GraftExtensions.sqlUdaf _),
     "qcd_custom_generator"  -> (graft.functions.GraftExtensions.customGenerator _),
     "qce_custom_window"     -> (Relational.customWindowStreak _),
+    "qcf_eager_aggregation" -> (Relational.eagerAggregation _),
+    "qcg_hof_dp"            -> (Text.hofMaxSpan _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -970,6 +972,8 @@ object SparkEntry {
     "qcc_sql_udaf"           -> graft.functions.GraftExtensions.sqlUdafOracle,
     "qcd_custom_generator"   -> graft.functions.GraftExtensions.customGeneratorOracle,
     "qce_custom_window"      -> Relational.customWindowStreakOracle,
+    "qcf_eager_aggregation"  -> Relational.eagerAggregationOracle,
+    "qcg_hof_dp"             -> Text.hofMaxSpanOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -1458,6 +1458,56 @@ object Relational {
     HAVING count(1) >= 14
     ORDER BY user_id, event_type"""
 
+  /** qcf: EAGER (pre-join) AGGREGATION — the rewrite Catalyst does
+    * NOT do for you, applied by hand as the engine's doctrine for
+    * fact-to-dimension rollups: `revenue by (nation, priority)` needs
+    * lineitem only at ORDER grain, so lineitem is aggregated to one
+    * row per order BEFORE the join chain. The naive shape joins every
+    * lineitem row through orders⋈customer⋈nation and aggregates last —
+    * shuffling |lineitem| wide rows; the eager shape shuffles
+    * |lineitem| narrow (key, partial-sum) rows once into |orders|
+    * rows, and everything after joins at the 4×-smaller order grain.
+    * Same answer by the associativity of SUM/COUNT over the o_orderkey
+    * partition — which is exactly what the oracle (free to compute the
+    * naive way) certifies, and RelationalSpec pins the plan fact: an
+    * Aggregate sits BELOW the orders join in the optimized plan, plus
+    * result-equality against the naive Spark shape. */
+  def eagerAggregation(spark: SparkSession, dir: String): DataFrame = {
+    val lAgg = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_items"))
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = broadcast(Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name"))
+    lAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderpriority")
+      .agg(sum("rev_cents").as("revenue_cents"),
+        count(lit(1)).as("n_orders"),
+        sum("n_items").as("n_items"))
+      .orderBy("n_name", "o_orderpriority")
+  }
+
+  /** Naive-shape replay of [[eagerAggregation]] — join first,
+    * aggregate once; equality certifies the eager rewrite. */
+  val eagerAggregationOracle: String = """
+    SELECT n_name, o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(1) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, o_orderpriority
+    ORDER BY n_name, o_orderpriority"""
+
   /** qce: CUSTOM WINDOW FUNCTION — [[graft.functions.RunningStreak]]
     * (an `AggregateWindowFunction`, the same machinery `row_number`
     * rides) computing the running run-length of high-quantity

@@ -2028,4 +2028,78 @@ object Text {
            CAST(length(prefix) + length(middle) + length(suffix) + 15
              AS BIGINT) AS emitted_len
     FROM seg ORDER BY doc_id"""
+
+  /** qcg: SEQUENCE DP INSIDE `aggregate()` — Kadane's max-subarray
+    * over per-token scores (score = 2·len − 7, mixed sign: "find the
+    * highest-value contiguous token span" — the salient-passage /
+    * quality-span primitive) run ENTIRELY inside the higher-order
+    * `aggregate` with a STRUCT accumulator `(best, cur)`:
+    * cur' = max(x, cur+x), best' = max(best, cur'). One codegen'd
+    * array pass per row, no explode, no shuffle, no per-token rows —
+    * the pattern for any linear-scan DP (run-length, bracket depth,
+    * decay sums) at 100 TB: per-row state lives in a struct, not in a
+    * window. The oracle replays through the OTHER identity (the qc6
+    * prefix-sum trick): best = max_j (S_j − min(0, min_{i<j} S_i)) via
+    * two windows over unnested positions — the two derivations
+    * agreeing integer-exactly is the strongest check either could
+    * get. Graded per source: doc count, best-span max/sum, docs with
+    * a positive span. */
+  def hofMaxSpan(spark: SparkSession, dir: String): DataFrame = {
+    val scores = transform(tokens(col("text")),
+      t => (length(t) * 2 - 7).cast("long"))
+    val negInf = lit(-1099511627776L) // < any real span sum; exact long
+    val best = aggregate(scores,
+      struct(negInf.as("best"), lit(0L).as("cur")),
+      (acc, x) => {
+        val newCur = greatest(x, acc.getField("cur") + x)
+        struct(greatest(acc.getField("best"), newCur).as("best"),
+          newCur.as("cur"))
+      },
+      acc => acc.getField("best"))
+    Tables.documents(spark, dir)
+      .select(col("source"), best.as("best_span"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max("best_span").as("best_max"),
+        sum("best_span").as("best_sum"),
+        sum(when(col("best_span") > 0, 1L).otherwise(0L))
+          .as("n_positive"))
+      .orderBy("source")
+  }
+
+  /** Prefix-sum-identity replay of [[hofMaxSpan]]:
+    * best_j = S_j − min(0, running min of S before j). */
+  val hofMaxSpanOracle: String = """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents),
+    u AS (
+      SELECT doc_id, source, toks,
+             unnest(range(1, len(toks) + 1)) AS i
+      FROM t),
+    x AS (
+      SELECT doc_id, source, i,
+             CAST(len(toks[i]) * 2 - 7 AS BIGINT) AS s
+      FROM u),
+    p AS (
+      SELECT doc_id, source, i,
+             sum(s) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS ps
+      FROM x),
+    m AS (
+      SELECT doc_id, source, ps,
+             least(0, coalesce(min(ps) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0)) AS minprev
+      FROM p),
+    b AS (
+      SELECT doc_id, source, max(ps - minprev) AS best
+      FROM m GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(max(best) AS BIGINT) AS best_max,
+           CAST(sum(best) AS BIGINT) AS best_sum,
+           CAST(sum(CASE WHEN best > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM b GROUP BY source ORDER BY source"""
 }

@@ -456,6 +456,43 @@ class RelationalSpec extends SparkSpec {
       "ARITHMETIC_OVERFLOW")
   }
 
+  test("qcf eager aggregation: equals the naive join-first shape; an Aggregate sits below the join") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Relational.eagerAggregation(spark, sfDir)
+    // plan fact: some join has an Aggregate in its subtree (the
+    // order-grain rollup runs BEFORE the join, not after)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    assert(joins.exists(_.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty), "the pre-join rollup must sit below a join")
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("n_name"), r.getAs[String]("o_orderpriority")) ->
+        (r.getAs[Long]("revenue_cents"), r.getAs[Long]("n_orders"),
+          r.getAs[Long]("n_items"))).toMap
+    // naive Spark shape: join everything at lineitem grain, aggregate once
+    val naive = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderpriority")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("rev"),
+        countDistinct("o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .collect().map(r =>
+        (r.getAs[String]("n_name"), r.getAs[String]("o_orderpriority")) ->
+          (r.getAs[Long]("rev"), r.getAs[Long]("n_orders"),
+            r.getAs[Long]("n_items"))).toMap
+    assert(rows == naive && rows.nonEmpty,
+      "eager rollup must be answer-equivalent to the naive shape")
+  }
+
   test("qc7 lateral joins: decorrelated to one WindowGroupLimit pass; top-2 equals window replay") {
     import org.apache.spark.sql.functions._
     val df = operators.Scripting.lateralTopk(spark, sfDir)

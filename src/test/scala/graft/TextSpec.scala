@@ -788,4 +788,46 @@ class TextSpec extends SparkSpec {
         .startsWith(head.take(3)))
     }
   }
+
+  test("qcg HOF DP: in-array Kadane equals the literal fold; no explode, no window, no shuffle before the final agg") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Text.hofMaxSpan(spark, sfDir)
+    // plan shape: per-document DP is a projection — the only Exchange
+    // is the final per-source aggregation; no Generate, no Window
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, "DP must not explode the token array")
+    assert(opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "DP must not need a window")
+    val rows = df.collect().map(r => r.getAs[String]("source") -> r).toMap
+    // literal Kadane in plain Scala off the raw text
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def kadane(text: String): Long = {
+      val s = text.split(" ", -1).map(t => t.length.toLong * 2 - 7)
+      var best = Long.MinValue; var cur = 0L
+      s.foreach { x => cur = math.max(x, cur + x); best = math.max(best, cur) }
+      best
+    }
+    val truth = docs.groupBy(_._1).map { case (src, ds) =>
+      val bs = ds.map(d => kadane(d._2))
+      src -> (ds.length.toLong, bs.max, bs.sum, bs.count(_ > 0L).toLong)
+    }
+    assert(rows.keySet == truth.keySet && rows.nonEmpty)
+    truth.foreach { case (src, (n, mx, sm, np)) =>
+      val r = rows(src)
+      assert(r.getAs[Long]("n_docs") == n, src)
+      assert(r.getAs[Long]("best_max") == mx, src)
+      assert(r.getAs[Long]("best_sum") == sm, src)
+      assert(r.getAs[Long]("n_positive") == np, src)
+    }
+    // the fixture must exercise both signs at the token level (resets
+    // actually fire inside the fold; every doc netting positive is fine)
+    val toks = docs.flatMap(_._2.split(" ", -1).map(_.length.toLong * 2 - 7))
+    assert(toks.exists(_ < 0L) && toks.exists(_ > 0L),
+      "need negative and positive token scores for the reset arm")
+  }
 }
