@@ -359,6 +359,7 @@ object SparkEntry {
     "qcf_eager_aggregation" -> (Relational.eagerAggregation _),
     "qcg_hof_dp"            -> (Text.hofMaxSpan _),
     "qch_spatial_grid_join" -> (Spatial.gridRadiusJoin _),
+    "qci_containment_join"  -> (Spatial.containmentJoin _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -976,6 +977,7 @@ object SparkEntry {
     "qcf_eager_aggregation"  -> Relational.eagerAggregationOracle,
     "qcg_hof_dp"             -> Text.hofMaxSpanOracle,
     "qch_spatial_grid_join"  -> Spatial.gridRadiusJoinOracle,
+    "qci_containment_join"   -> Spatial.containmentJoinOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

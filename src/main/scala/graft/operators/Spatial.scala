@@ -103,4 +103,91 @@ object Spatial {
            coalesce(h.min_sqdist, -1) AS min_sqdist
     FROM probes p LEFT JOIN hits h USING (probe_id)
     ORDER BY p.probe_id"""
+
+  /** qci: CONTAINMENT (RANGE-COVER) JOIN — count the points inside
+    * each of many variable-sized rectangles. The radius join's ±1
+    * trick doesn't apply when ranges have different extents; the
+    * general pattern is a FIXED grid pitch G chosen ≥ the max
+    * half-extent, each rectangle exploded to the cells its bounding
+    * box overlaps (≤⌈2·wmax/G+1⌉² = 9 here, bounded by
+    * construction), points keyed to their single home cell, equi-join
+    * on the cell, exact BETWEEN refine. No pair is produced twice —
+    * a point has one home cell and a rectangle covers each cell at
+    * most once — so no post-join distinct is needed. At 100 TB both
+    * sides shuffle by cell key; per-rectangle cost is the covered
+    * cells' population, never a cross product. Empty rectangles stay
+    * in the panel via the left join. Oracle: naive all-pairs BETWEEN. */
+  private[graft] def containJoin(pts: DataFrame, rects: DataFrame,
+      g: Long): DataFrame = {
+    val keyed = pts
+      .withColumn("cx", floor(col("px") / g).cast("long"))
+      .withColumn("cy", floor(col("py") / g).cast("long"))
+    val cover = rects
+      .withColumn("cx", explode(sequence(
+        floor((col("sx") - col("wx")) / g).cast("long"),
+        floor((col("sx") + col("wx")) / g).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor((col("sy") - col("wy")) / g).cast("long"),
+        floor((col("sy") + col("wy")) / g).cast("long"))))
+    val inside = col("px").between(col("sx") - col("wx"),
+        col("sx") + col("wx")) &&
+      col("py").between(col("sy") - col("wy"), col("sy") + col("wy"))
+    val hits = broadcast(cover).join(keyed, Seq("cx", "cy"))
+      .where(inside)
+      .groupBy("rect_id")
+      .agg(count(lit(1)).as("n_inside"),
+        sum("pt_id").as("id_checksum"))
+    rects.select("rect_id").join(hits, Seq("rect_id"), "left")
+      .select(col("rect_id"),
+        coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+      .orderBy("rect_id")
+  }
+
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"))
+    // variable-extent rectangles: centers from two more Lehmer
+    // multipliers, half-extents in [20k, 100k) — pitch G=100k covers
+    // any rectangle with ≤3 cells per axis
+    val rects = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 15 === 0)
+      .select(col("s_suppkey").as("rect_id"),
+        coord(col("s_suppkey"), 69621L).as("sx"),
+        coord(col("s_suppkey"), 40692L).as("sy"),
+        (col("s_suppkey") * 7919L % 80000L + 20000L).as("wx"),
+        (col("s_suppkey") * 104729L % 80000L + 20000L).as("wy"))
+    containJoin(pts, rects, 100000L)
+  }
+
+  /** Naive all-pairs BETWEEN replay of [[containmentJoin]] — the
+    * completeness certificate for the grid cover. */
+  val containmentJoinOracle: String = """
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py
+      FROM customer),
+    rects AS (
+      SELECT s_suppkey AS rect_id,
+             (s_suppkey * 69621) % 2000001 - 1000000 AS sx,
+             (s_suppkey * 40692) % 2000001 - 1000000 AS sy,
+             (s_suppkey * 7919) % 80000 + 20000 AS wx,
+             (s_suppkey * 104729) % 80000 + 20000 AS wy
+      FROM supplier WHERE s_suppkey % 15 = 0),
+    hits AS (
+      SELECT rect_id,
+             CAST(count(1) AS BIGINT) AS n_inside,
+             CAST(sum(pt_id) AS BIGINT) AS id_checksum
+      FROM rects JOIN pts
+        ON px BETWEEN sx - wx AND sx + wx
+       AND py BETWEEN sy - wy AND sy + wy
+      GROUP BY rect_id)
+    SELECT r.rect_id,
+           coalesce(h.n_inside, 0) AS n_inside,
+           coalesce(h.id_checksum, 0) AS id_checksum
+    FROM rects r LEFT JOIN hits h USING (rect_id)
+    ORDER BY r.rect_id"""
 }

@@ -65,4 +65,51 @@ class SpatialSpec extends SparkSpec {
       alone(0).getAs[Long]("n_within") == 0L &&
       alone(0).getAs[Long]("min_sqdist") == -1L)
   }
+
+  test("qci containment join: equals naive all-pairs BETWEEN on the fixture") {
+    val rows = Spatial.containmentJoin(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("rect_id") -> r).toMap
+    val pts = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).map(k =>
+        (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000))
+    val rects = Tables.supplier(spark, sfDir).select("s_suppkey")
+      .collect().map(_.getLong(0)).filter(_ % 15 == 0)
+      .map(k => (k,
+        k * 69621 % 2000001 - 1000000, k * 40692 % 2000001 - 1000000,
+        k * 7919 % 80000 + 20000, k * 104729 % 80000 + 20000))
+    assert(rows.keySet == rects.map(_._1).toSet && rows.nonEmpty)
+    rects.foreach { case (rid, sx, sy, wx, wy) =>
+      val inside = pts.filter { case (_, px, py) =>
+        px >= sx - wx && px <= sx + wx && py >= sy - wy && py <= sy + wy
+      }
+      assert(rows(rid).getAs[Long]("n_inside") == inside.length.toLong, s"r$rid")
+      assert(rows(rid).getAs[Long]("id_checksum") == inside.map(_._1).sum, s"r$rid")
+    }
+  }
+
+  test("qci cover completeness: planted rectangles spanning cell boundaries, inclusive edges, empty panel row") {
+    import spark.implicits._
+    val g = 100L
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 99L, 99L), (3L, 100L, 100L),
+      (4L, -100L, -100L), (5L, 250L, 0L), (6L, -251L, 0L)
+    ).toDF("pt_id", "px", "py")
+    // rect A: center (0,0) extent 100 -> inclusive edges catch 3,4;
+    // spans cells [-1..1]^2 even though g == extent
+    // rect B: center (200,0) extent 50 -> only pt 5 (250 is inclusive)
+    // rect C: center (-500,-500) extent 10 -> empty, stays in panel
+    val rects = Seq(
+      (100L, 0L, 0L, 100L, 100L),
+      (200L, 200L, 0L, 50L, 50L),
+      (300L, -500L, -500L, 10L, 10L)
+    ).toDF("rect_id", "sx", "sy", "wx", "wy")
+    val out = Spatial.containJoin(pts, rects, g).collect()
+      .map(x => x.getAs[Long]("rect_id") -> x).toMap
+    assert(out(100L).getAs[Long]("n_inside") == 4L)
+    assert(out(100L).getAs[Long]("id_checksum") == 1L + 2L + 3L + 4L)
+    assert(out(200L).getAs[Long]("n_inside") == 1L)
+    assert(out(200L).getAs[Long]("id_checksum") == 5L)
+    assert(out(300L).getAs[Long]("n_inside") == 0L)
+    assert(out(300L).getAs[Long]("id_checksum") == 0L)
+  }
 }
