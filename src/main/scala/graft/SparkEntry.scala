@@ -360,6 +360,7 @@ object SparkEntry {
     "qcg_hof_dp"            -> (Text.hofMaxSpan _),
     "qch_spatial_grid_join" -> (Spatial.gridRadiusJoin _),
     "qci_containment_join"  -> (Spatial.containmentJoin _),
+    "qcj_knn_within_radius" -> (Spatial.knnJoin _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -978,6 +979,7 @@ object SparkEntry {
     "qcg_hof_dp"             -> Text.hofMaxSpanOracle,
     "qch_spatial_grid_join"  -> Spatial.gridRadiusJoinOracle,
     "qci_containment_join"   -> Spatial.containmentJoinOracle,
+    "qcj_knn_within_radius"  -> Spatial.knnJoinOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

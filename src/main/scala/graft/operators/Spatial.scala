@@ -32,10 +32,11 @@ object Spatial {
     * a radius search must return, not drop. Oracle: the naive
     * all-pairs distance filter over the same integer coordinates —
     * equality certifies the 3×3 cover is complete. */
-  /** Frame-level core: pts(pt_id, px, py) × probes(probe_id, qx, qy)
-    * → per-probe radius-R panel. Package-visible so SpatialSpec can
-    * plant exact cell-boundary geometries against it. */
-  private[graft] def gridJoin(pts: DataFrame, probes: DataFrame,
+  /** Shared candidate generator: (probe_id, pt_id, sqdist) for every
+    * point within radius r of each probe, via the 3×3 cell cover +
+    * exact refine. Both the aggregate panel ([[gridJoin]]) and the
+    * ranked top-k ([[knnJoin]]) are one operator away from this. */
+  private def radiusCandidates(pts: DataFrame, probes: DataFrame,
       r: Long): DataFrame = {
     val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
       (col("py") - col("qy")) * (col("py") - col("qy"))
@@ -47,12 +48,21 @@ object Spatial {
       .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
       .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
-    val hits = broadcast(cells).join(keyed, Seq("cx", "cy"))
+    broadcast(cells).join(keyed, Seq("cx", "cy"))
       .where(sq <= r * r)
+      .select(col("probe_id"), col("pt_id"), sq.as("sqdist"))
+  }
+
+  /** Frame-level core: pts(pt_id, px, py) × probes(probe_id, qx, qy)
+    * → per-probe radius-R panel. Package-visible so SpatialSpec can
+    * plant exact cell-boundary geometries against it. */
+  private[graft] def gridJoin(pts: DataFrame, probes: DataFrame,
+      r: Long): DataFrame = {
+    val hits = radiusCandidates(pts, probes, r)
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_within"),
         sum("pt_id").as("id_checksum"),
-        min(sq).as("min_sqdist"))
+        min("sqdist").as("min_sqdist"))
     probes.select("probe_id").join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("n_within"), lit(0L)).as("n_within"),
@@ -190,4 +200,71 @@ object Spatial {
            coalesce(h.id_checksum, 0) AS id_checksum
     FROM rects r LEFT JOIN hits h USING (rect_id)
     ORDER BY r.rect_id"""
+
+  /** qcj: k-NEAREST-WITHIN-RADIUS JOIN — the ranked member of the
+    * spatial family: for each probe, the k closest points among those
+    * within radius R, exactly, ties broken by pt_id. Unbounded kNN
+    * cannot be certified from one grid ring (the k-th neighbor may
+    * live arbitrarily far away); the radius-bounded variant is the
+    * form that stays a bounded cell join — which is why production
+    * spatial engines expose exactly this shape. The plan is
+    * [[radiusCandidates]] (3×3 cover + exact refine) followed by a
+    * rank-≤-k filter that Spark executes as WindowGroupLimit: each
+    * shuffle partition keeps only its local top-k per probe BEFORE the
+    * final sort, so the post-join volume is k·probes, not the full
+    * candidate set. Probes with no in-radius neighbor have no rows —
+    * a ranked result's empty set, unlike the count panel's zero row.
+    * Oracle: row_number over the naive all-pairs filter. */
+  private[graft] def knnJoinFrames(pts: DataFrame, probes: DataFrame,
+      r: Long, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sqdist"), col("pt_id"))
+    radiusCandidates(pts, probes, r)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("pt_id"), col("sqdist"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"))
+    val probes = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 10 === 0)
+      .select(col("s_suppkey").as("probe_id"),
+        coord(col("s_suppkey"), 69621L).as("qx"),
+        coord(col("s_suppkey"), 40692L).as("qy"))
+    knnJoinFrames(pts, probes, 200000L, 5)
+  }
+
+  /** Naive all-pairs row_number replay of [[knnJoin]]. */
+  val knnJoinOracle: String = """
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py
+      FROM customer),
+    probes AS (
+      SELECT s_suppkey AS probe_id,
+             (s_suppkey * 69621) % 2000001 - 1000000 AS qx,
+             (s_suppkey * 40692) % 2000001 - 1000000 AS qy
+      FROM supplier WHERE s_suppkey % 10 = 0),
+    cand AS (
+      SELECT probe_id, pt_id,
+             (px - qx) * (px - qx) + (py - qy) * (py - qy) AS sqdist
+      FROM probes JOIN pts
+        ON (px - qx) * (px - qx) + (py - qy) * (py - qy)
+           <= CAST(200000 AS BIGINT) * 200000),
+    ranked AS (
+      SELECT probe_id,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY sqdist, pt_id) AS BIGINT) AS rank,
+             pt_id, CAST(sqdist AS BIGINT) AS sqdist
+      FROM cand)
+    SELECT probe_id, rank, pt_id, sqdist
+    FROM ranked WHERE rank <= 5
+    ORDER BY probe_id, rank"""
 }

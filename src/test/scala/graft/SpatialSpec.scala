@@ -112,4 +112,46 @@ class SpatialSpec extends SparkSpec {
     assert(out(300L).getAs[Long]("n_inside") == 0L)
     assert(out(300L).getAs[Long]("id_checksum") == 0L)
   }
+
+  test("qcj knn-within-radius: equals naive ranked all-pairs on the fixture") {
+    val got = Spatial.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("pt_id"), r.getAs[Long]("sqdist")))
+    val pts = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).map(k =>
+        (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000))
+    val probes = Tables.supplier(spark, sfDir).select("s_suppkey")
+      .collect().map(_.getLong(0)).filter(_ % 10 == 0)
+      .map(k =>
+        (k, k * 69621 % 2000001 - 1000000, k * 40692 % 2000001 - 1000000))
+    val r2 = 200000L * 200000L
+    val want = probes.flatMap { case (pid, qx, qy) =>
+      pts.map { case (id, px, py) =>
+        (id, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .filter(_._2 <= r2)
+        .sortBy { case (id, d) => (d, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, d), i) => (pid, i + 1L, id, d) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("qcj exact ties break by pt_id; rank filter runs as WindowGroupLimit; point scan is pruned") {
+    import spark.implicits._
+    // two points at the SAME distance from the probe -> pt_id order
+    val probes = Seq((1L, 0L, 0L)).toDF("probe_id", "qx", "qy")
+    val pts = Seq(
+      (30L, 3L, 4L), (20L, 4L, 3L), // both sqdist 25 -> 20 before 30
+      (10L, 0L, 1L), (40L, 6L, 8L)  // 1, then 100
+    ).toDF("pt_id", "px", "py")
+    val out = Spatial.knnJoinFrames(pts, probes, 100L, 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("pt_id")))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // plan facts on the registered query
+    val plan = Spatial.knnJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=k must push as WindowGroupLimit, not filter-after-full-sort")
+    assert(!plan.contains("c_name") && !plan.contains("c_acctbal"),
+      "point-side parquet scan must prune to the key column")
+  }
 }
