@@ -1760,4 +1760,65 @@ object TimeSeries {
            CAST(sum(CASE WHEN bd < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_backward
     FROM bd GROUP BY month ORDER BY month"""
+
+  /** qck: TIME-WEIGHTED AVERAGE — the step-function integral the
+    * point-in-time aggregates miss: a sensor/price/gauge `value` HOLDS
+    * from its event until the next one, so the honest mean weights
+    * each reading by how long it was in force, ∫v dt / (tN − t1) —
+    * TWAP in finance, time-weighted gauges in observability. A plain
+    * avg(value) over-counts chatty bursts (many short-lived readings)
+    * exactly when they matter least.
+    *
+    * Exactness doctrine (the q3m lesson): value is cents
+    * (round(v·100) — the fixture carries 2 decimals), time is epoch
+    * MICROS, so the integral Σ v_e2·(t_next − t) is one exact BIGINT
+    * per user and the only division is a final integer `div` at cent
+    * grain. Nothing floats; the row hashes. Magnitude check: cents
+    * ≤ 6e4 × span ≤ months-of-µs ≈ 1e13 → Σ ≤ ~1e18, inside BIGINT
+    * for the fixture's per-user spans; at petabyte spans widen the
+    * product to DECIMAL(38,0) — same plan, wider buffer.
+    *
+    * Plan: one scan → lead() in a per-user window (single shuffle by
+    * user_id) → hash re-aggregate on the SAME key, which AQE executes
+    * without a second exchange. Single-event users have no span and
+    * are excluded by contract (HAVING span > 0). */
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        round(col("value") * 100).cast("long").as("v_e2"))
+      .withColumn("next_us", lead(col("t_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("t_us") - min("t_us")).as("span_us"),
+        sum(when(col("next_us").isNotNull,
+          col("v_e2") * (col("next_us") - col("t_us")))
+          .otherwise(0L)).as("wsum"))
+      .where(col("span_us") > 0)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        expr("wsum div span_us").as("twav_e2"))
+      .orderBy("user_id")
+  }
+
+  /** Step-integral replay of [[timeWeightedValue]]. */
+  val timeWeightedValueOracle: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS v_e2
+      FROM events),
+    s AS (
+      SELECT user_id, t_us, v_e2,
+             lead(t_us) OVER (PARTITION BY user_id
+               ORDER BY t_us, event_id) AS next_us
+      FROM ev),
+    a AS (
+      SELECT user_id, CAST(count(1) AS BIGINT) AS n_events,
+             CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+             CAST(sum(CASE WHEN next_us IS NULL THEN 0
+               ELSE v_e2 * (next_us - t_us) END) AS BIGINT) AS wsum
+      FROM s GROUP BY user_id)
+    SELECT user_id, n_events, span_us,
+           wsum // span_us AS twav_e2
+    FROM a WHERE span_us > 0 ORDER BY user_id"""
 }

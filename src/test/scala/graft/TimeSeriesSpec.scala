@@ -663,4 +663,59 @@ class TimeSeriesSpec extends SparkSpec {
     // the fixture's random shipdates must exercise the signed arm
     assert(truth.values.map(_._5).sum > 0L, "backward latencies present")
   }
+
+  test("qck time-weighted average: equals a driver-side step-integral replay; chatty bursts weigh by duration, not count") {
+    val rows = TimeSeries.timeWeightedValue(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("span_us"),
+          r.getAs[Long]("twav_e2"))).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    ev.foreach { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val span = sorted.last._3 - sorted.head._3
+      if (span > 0) {
+        val wsum: Long = sorted.iterator.zip(sorted.iterator.drop(1))
+          .map { case (a, b) => math.round(a._4 * 100) * (b._3 - a._3) }
+          .foldLeft(0L)(_ + _)
+        val (n, s, t) = rows(uid)
+        assert(n == sorted.length.toLong, s"u$uid n")
+        assert(s == span, s"u$uid span")
+        assert(t == wsum / span, s"u$uid twav")
+      } else assert(!rows.contains(uid), s"u$uid should be excluded")
+    }
+    // planted burst: avg(value) is fooled, the time integral is not —
+    // 9 instant readings of 100.00 then one held at 0.00 for the rest
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val burst = ((0 until 9).map(i =>
+      (1L, i.toLong, t0 + i, 100.0)) :+ (1L, 9L, t0 + 9L, 0.0)) :+
+      (1L, 10L, t0 + 1000009L, 0.0)
+    val df = burst.toDF("user_id", "event_id", "t_us", "v")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(t_us)").as("ts"), col("v").as("value"))
+    df.createOrReplaceTempView("burst_ev")
+    // replay the operator body over the planted frame via the same
+    // window + agg shape (frame-level twin of timeWeightedValue)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t_us", "event_id")
+    val out = df.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t_us"),
+        round(col("value") * 100).cast("long").as("v_e2"))
+      .withColumn("next_us", lead(col("t_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("t_us") - min("t_us")).as("span_us"),
+        sum(when(col("next_us").isNotNull,
+          col("v_e2") * (col("next_us") - col("t_us")))
+          .otherwise(0L)).as("wsum"))
+      .selectExpr("user_id", "wsum div span_us AS twav_e2").collect()
+    // integral: 9 µs at 100.00 + 1,000,000 µs at 0 -> ~0.00, while the
+    // naive avg of readings would be ~81.82
+    assert(out.length == 1 && out(0).getAs[Long]("twav_e2") == 0L)
+  }
 }
