@@ -362,6 +362,7 @@ object SparkEntry {
     "qci_containment_join"  -> (Spatial.containmentJoin _),
     "qcj_knn_within_radius" -> (Spatial.knnJoin _),
     "qck_time_weighted_avg" -> (TimeSeries.timeWeightedValue _),
+    "qcl_grid_dbscan"       -> (Spatial.gridDbscan _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -982,6 +983,7 @@ object SparkEntry {
     "qci_containment_join"   -> Spatial.containmentJoinOracle,
     "qcj_knn_within_radius"  -> Spatial.knnJoinOracle,
     "qck_time_weighted_avg"  -> TimeSeries.timeWeightedValueOracle,
+    "qcl_grid_dbscan"        -> Spatial.gridDbscanOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -267,4 +267,122 @@ object Spatial {
     SELECT probe_id, rank, pt_id, sqdist
     FROM ranked WHERE rank <= 5
     ORDER BY probe_id, rank"""
+
+  /** qcl: GRID DBSCAN — exact density clustering (Ester et al., KDD'96)
+    * as a relational plan: no grid approximation in the RESULT, only in
+    * the candidate generation. Stages, each a bounded shuffle:
+    *   1. eps-neighborhood self-join via the cell cover — the one
+    *      structural difference from [[radiusCandidates]] is that the
+    *      probe side IS the point set, so the cell join shuffles both
+    *      sides by cell key instead of broadcasting (n probes don't
+    *      broadcast). The self-pair (dist 0) is kept: DBSCAN's minPts
+    *      counts the point itself.
+    *   2. core points: |N_eps(p)| ≥ minPts — a hash aggregate.
+    *   3. clusters: connected components over CORE-CORE edges, reusing
+    *      the dedup engine's pointer-jumping fixpoint
+    *      ([[Dedup.connectedComponents]], O(log diameter) rounds);
+    *      cluster id = min core id, deterministic.
+    *   4. border points attach to the min cluster among their core
+    *      neighbors; non-core points NEVER chain through each other
+    *      (the spec plants that trap). Everything else is noise,
+    *      reported as the cluster_id = -1 row.
+    * Pair volume is n·(eps²·density) — fixed eps on a growing corpus
+    * densifies the graph by contract (flagged as such in SCALING.md),
+    * exactly like a fixed LSH band width; at 100 TB you shrink eps or
+    * pre-coarsen, the plan is unchanged. Oracle: naive all-pairs +
+    * recursive-CTE min-label fixpoint — a different algorithm meeting
+    * the same answer. */
+  private[graft] def dbscanFrames(pts: DataFrame, eps: Long,
+      minPts: Int): DataFrame = {
+    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val keyed = pts
+      .withColumn("cx", floor(col("px") / eps).cast("long"))
+      .withColumn("cy", floor(col("py") / eps).cast("long"))
+    val probes = pts.select(col("pt_id").as("probe_id"),
+        col("px").as("qx"), col("py").as("qy"))
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cx", floor(col("qx") / eps).cast("long") + col("dxc"))
+      .withColumn("cy", floor(col("qy") / eps).cast("long") + col("dyc"))
+    val pairs = probes.join(keyed, Seq("cx", "cy"))
+      .where(sq <= eps * eps)
+      .select(col("probe_id").as("src"), col("pt_id").as("dst"))
+      .cache() // consumed 3×: degree, core edges, border attach
+    val core = pairs.groupBy("src").agg(count(lit(1)).as("n_eps"))
+      .where(col("n_eps") >= minPts)
+      .select(col("src").as("id")).cache()
+    val coreEdges = pairs
+      .join(core.select(col("id").as("src")), Seq("src"))
+      .join(core.select(col("id").as("dst")), Seq("dst"))
+      .select("src", "dst")
+    val comp = Dedup.connectedComponents(core, coreEdges)
+    val borderAssign = pairs
+      .join(core, pairs("src") === core("id"), "left_anti")
+      .join(comp.select(col("id").as("dst"), col("rep")), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(min("rep").as("rep"))
+    val assign = comp.select(col("id"), col("rep"), lit(true).as("is_core"))
+      .unionByName(borderAssign.withColumn("is_core", lit(false)))
+    val noise = pts.select(col("pt_id").as("id"))
+      .join(assign.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("rep"), lit(false).as("is_core"))
+    assign.unionByName(noise)
+      .groupBy(col("rep").as("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+        sum("id").as("id_checksum"))
+      .orderBy("cluster_id")
+  }
+
+  def gridDbscan(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"))
+    dbscanFrames(pts, 80000L, 6)
+  }
+
+  /** All-pairs + recursive-CTE min-label replay of [[gridDbscan]]. */
+  val gridDbscanOracle: String = """
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py
+      FROM customer),
+    pairs AS (
+      SELECT a.pt_id AS src, b.pt_id AS dst
+      FROM pts a JOIN pts b
+        ON (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+           <= CAST(80000 AS BIGINT) * 80000),
+    core AS (
+      SELECT src AS id FROM pairs GROUP BY src HAVING count(1) >= 6),
+    cedges AS (
+      SELECT p.src, p.dst FROM pairs p
+      JOIN core c1 ON p.src = c1.id
+      JOIN core c2 ON p.dst = c2.id),
+    lbl(node, label) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.dst, l.label FROM lbl l JOIN cedges e ON e.src = l.node),
+    comp AS (SELECT node AS id, min(label) AS rep FROM lbl GROUP BY node),
+    border AS (
+      SELECT p.src AS id, min(c.rep) AS rep
+      FROM pairs p JOIN comp c ON p.dst = c.id
+      WHERE p.src NOT IN (SELECT id FROM core)
+      GROUP BY p.src),
+    assign AS (
+      SELECT id, rep, true AS is_core FROM comp
+      UNION ALL
+      SELECT id, rep, false FROM border),
+    labeled AS (
+      SELECT id, rep, is_core FROM assign
+      UNION ALL
+      SELECT pt_id, -1, false FROM pts
+      WHERE pt_id NOT IN (SELECT id FROM assign))
+    SELECT rep AS cluster_id,
+           CAST(count(1) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(sum(id) AS BIGINT) AS id_checksum
+    FROM labeled GROUP BY rep ORDER BY rep"""
 }

@@ -154,4 +154,68 @@ class SpatialSpec extends SparkSpec {
     assert(!plan.contains("c_name") && !plan.contains("c_acctbal"),
       "point-side parquet scan must prune to the key column")
   }
+
+  test("qcl grid dbscan: planted two clusters, border attach, border-border NON-chaining, noise row") {
+    import spark.implicits._
+    // eps=100, minPts=4 (self included)
+    val pts = Seq(
+      // cluster A: 4 mutually-close cores (every pair within 100) -> rep 1
+      (1L, 0L, 0L), (2L, 50L, 0L), (3L, 0L, 50L), (4L, 50L, 50L),
+      // border of A: N = {self, core 2 at 90, point 6 at 90} = 3 < 4
+      (5L, 140L, 0L),
+      // the DBSCAN trap: 90 from BORDER 5 but 180 from any core ->
+      // NOISE (border points don't chain), not cluster A
+      (6L, 230L, 0L),
+      // cluster B: 4 mutual cores far away -> rep = 7
+      (7L, 1000L, 1000L), (8L, 1000L, 1060L),
+      (9L, 1060L, 1000L), (10L, 1060L, 1060L),
+      // isolated noise
+      (11L, 5000L, 5000L)
+    ).toDF("pt_id", "px", "py")
+    val out = Spatial.dbscanFrames(pts, 100L, 4).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
+          r.getAs[Long]("id_checksum"))).toMap
+    assert(out.keySet == Set(-1L, 1L, 7L))
+    assert(out(1L) == ((5L, 4L, 1L + 2L + 3L + 4L + 5L)), "cluster A = cores 1-4 + border 5")
+    assert(out(7L) == ((4L, 4L, 7L + 8L + 9L + 10L)), "cluster B = cores 7-10")
+    assert(out(-1L) == ((2L, 0L, 6L + 11L)), "6 must NOT chain through border 5")
+  }
+
+  test("qcl grid dbscan: equals a naive all-pairs + union-find replay on the fixture") {
+    val rows = Spatial.gridDbscan(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
+          r.getAs[Long]("id_checksum"))).toMap
+    val ids = Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0))
+    val xy = ids.map(k =>
+      (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000)).sortBy(_._1)
+    val eps2 = 80000L * 80000L
+    def close(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= eps2
+    val neigh = xy.map(p => p._1 -> xy.filter(q => close(p, q)).map(_._1)).toMap
+    val coreSet = neigh.collect { case (id, ns) if ns.length >= 6 => id }.toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(coreSet.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (c <- coreSet; n <- neigh(c) if coreSet(n)) {
+      val (ra, rb) = (find(c), find(n))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rep = coreSet.map(c => c -> find(c)).toMap
+    val assign = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    coreSet.foreach(c => assign(c) = (rep(c), true))
+    xy.map(_._1).filterNot(coreSet).foreach { id =>
+      val coreNbrs = neigh(id).filter(coreSet)
+      if (coreNbrs.nonEmpty) assign(id) = (coreNbrs.map(rep).min, false)
+    }
+    val want = xy.map(_._1)
+      .map(id => assign.get(id).map { case (r, c) => (r, id, c) }
+        .getOrElse((-1L, id, false)))
+      .groupBy(_._1)
+      .map { case (cid, g) =>
+        cid -> (g.length.toLong, g.count(_._3).toLong, g.map(_._2).sum) }
+    assert(rows == want, s"got=$rows want=$want")
+    assert(rows.nonEmpty)
+  }
 }

@@ -20,6 +20,7 @@ QUADRATIC_BY_CONTRACT = {
     "q7b_cf_hitrate": "rides q7a's pair table",
     "q7c_cf_coverage": "rides q7a's pair table",
     "q7d_ranking_eval": "rides q7a's pair table",
+    "qcl_grid_dbscan": "fixed-eps neighborhood graph densifies with corpus density by definition",
 }
 # threshold: at a 10x data step, a query doing linear work with a real
 # data-dependent term should land well under this; 15 leaves headroom
