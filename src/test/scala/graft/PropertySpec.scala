@@ -198,4 +198,117 @@ class PropertySpec extends SparkSpec {
       assert(byNode("R")._6 + byNode("R")._8 == byNode("root")._8)
     }
   }
+
+  // ---- spatial family: the grid cover must equal the naive all-pairs
+  // answer for ANY geometry, not just the fixture's lattice — random
+  // coordinates in a tight range force cell-boundary and negative-
+  // coordinate cases far denser than the fixture ever does.
+
+  private val spatialPt: Gen[(Long, Long)] =
+    Gen.zip(Gen.chooseNum(-300L, 300L), Gen.chooseNum(-300L, 300L))
+  private def ptsGen(n: Int): Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, n).flatMap(k => Gen.listOfN(k, spatialPt))
+  private val radiusGen: Gen[Long] = Gen.oneOf(50L, 100L, 128L, 250L)
+
+  test("grid radius join equals naive all-pairs for any geometry and radius") {
+    forSamples(Gen.zip(ptsGen(40), ptsGen(6), radiusGen), 10) {
+      case (ps, qs, r) =>
+        val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val probes = qs.zipWithIndex.map { case ((x, y), i) => (100L + i, x, y) }
+        val out = graft.operators.Spatial.gridJoin(
+            pts.toDF("pt_id", "px", "py"),
+            probes.toDF("probe_id", "qx", "qy"), r)
+          .collect().map(w => w.getAs[Long]("probe_id") ->
+            (w.getAs[Long]("n_within"), w.getAs[Long]("id_checksum"),
+              w.getAs[Long]("min_sqdist"))).toMap
+        probes.foreach { case (pid, qx, qy) =>
+          val within = pts.filter { case (_, px, py) =>
+            (px - qx) * (px - qx) + (py - qy) * (py - qy) <= r * r }
+          val expMin = if (within.isEmpty) -1L
+            else within.map { case (_, px, py) =>
+              (px - qx) * (px - qx) + (py - qy) * (py - qy) }.min
+          assert(out(pid) == ((within.length.toLong,
+            within.map(_._1).sum, expMin)), s"r=$r probe=($qx,$qy)")
+        }
+    }
+  }
+
+  test("containment join equals naive BETWEEN for any rectangles with extent <= pitch") {
+    val rectGen = Gen.zip(spatialPt,
+      Gen.chooseNum(1L, 100L), Gen.chooseNum(1L, 100L))
+    forSamples(Gen.zip(ptsGen(40), Gen.chooseNum(1, 5).flatMap(k =>
+      Gen.listOfN(k, rectGen))), 10) { case (ps, rs) =>
+      val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val rects = rs.zipWithIndex.map { case (((sx, sy), wx, wy), i) =>
+        (100L + i, sx, sy, wx, wy) }
+      val out = graft.operators.Spatial.containJoin(
+          pts.toDF("pt_id", "px", "py"),
+          rects.toDF("rect_id", "sx", "sy", "wx", "wy"), 100L)
+        .collect().map(w => w.getAs[Long]("rect_id") ->
+          (w.getAs[Long]("n_inside"), w.getAs[Long]("id_checksum"))).toMap
+      rects.foreach { case (rid, sx, sy, wx, wy) =>
+        val in = pts.filter { case (_, px, py) =>
+          px >= sx - wx && px <= sx + wx && py >= sy - wy && py <= sy + wy }
+        assert(out(rid) == ((in.length.toLong, in.map(_._1).sum)), s"rect $rid")
+      }
+    }
+  }
+
+  test("knn-within-radius equals the naive ranked answer for any geometry, k, radius") {
+    forSamples(Gen.zip(ptsGen(30), ptsGen(4), radiusGen,
+      Gen.chooseNum(1, 6)), 8) { case (ps, qs, r, k) =>
+      val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val probes = qs.zipWithIndex.map { case ((x, y), i) => (100L + i, x, y) }
+      val got = graft.operators.Spatial.knnJoinFrames(
+          pts.toDF("pt_id", "px", "py"),
+          probes.toDF("probe_id", "qx", "qy"), r, k)
+        .collect().map(w => (w.getAs[Long]("probe_id"), w.getAs[Long]("rank"),
+          w.getAs[Long]("pt_id"), w.getAs[Long]("sqdist"))).toSeq
+      val want = probes.flatMap { case (pid, qx, qy) =>
+        pts.map { case (id, px, py) =>
+          (id, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+          .filter(_._2 <= r * r)
+          .sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+          .map { case ((id, d), i) => (pid, i + 1L, id, d) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, s"r=$r k=$k")
+    }
+  }
+
+  test("grid dbscan equals a union-find replay for any geometry, eps, minPts") {
+    forSamples(Gen.zip(ptsGen(30), Gen.oneOf(60L, 100L, 150L),
+      Gen.chooseNum(2, 5)), 6) { case (ps, eps, minPts) =>
+      val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val got = graft.operators.Spatial.dbscanFrames(
+          pts.toDF("pt_id", "px", "py"), eps, minPts)
+        .collect().map(w => w.getAs[Long]("cluster_id") ->
+          (w.getAs[Long]("n_points"), w.getAs[Long]("n_core"),
+            w.getAs[Long]("id_checksum"))).toMap
+      // naive replay: neighborhoods, cores, union-find to min id
+      def close(a: (Long, Long, Long), b: (Long, Long, Long)) =
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= eps * eps
+      val neigh = pts.map(p => p._1 -> pts.filter(q => close(p, q)).map(_._1)).toMap
+      val coreSet = neigh.collect { case (id, ns) if ns.length >= minPts => id }.toSet
+      val parent = scala.collection.mutable.Map(coreSet.toSeq.map(i => i -> i): _*)
+      def find(x: Long): Long = { var c = x; while (parent(c) != c) c = parent(c); c }
+      for (c <- coreSet; n <- neigh(c) if coreSet(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rep = coreSet.map(c => c -> find(c)).toMap
+      val assign = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+      coreSet.foreach(c => assign(c) = (rep(c), true))
+      pts.map(_._1).filterNot(coreSet).foreach { id =>
+        val cn = neigh(id).filter(coreSet)
+        if (cn.nonEmpty) assign(id) = (cn.map(rep).min, false)
+      }
+      val want = pts.map(_._1)
+        .map(id => assign.get(id).map { case (rr, c) => (rr, id, c) }
+          .getOrElse((-1L, id, false)))
+        .groupBy(_._1)
+        .map { case (cid, g) =>
+          cid -> (g.length.toLong, g.count(_._3).toLong, g.map(_._2).sum) }
+      assert(got == want, s"eps=$eps minPts=$minPts pts=$pts")
+    }
+  }
 }
