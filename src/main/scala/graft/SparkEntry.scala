@@ -363,6 +363,7 @@ object SparkEntry {
     "qcj_knn_within_radius" -> (Spatial.knnJoin _),
     "qck_time_weighted_avg" -> (TimeSeries.timeWeightedValue _),
     "qcl_grid_dbscan"       -> (Spatial.gridDbscan _),
+    "qcm_grid_hotspots"     -> (Spatial.gridHotspots _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -984,6 +985,7 @@ object SparkEntry {
     "qcj_knn_within_radius"  -> Spatial.knnJoinOracle,
     "qck_time_weighted_avg"  -> TimeSeries.timeWeightedValueOracle,
     "qcl_grid_dbscan"        -> Spatial.gridDbscanOracle,
+    "qcm_grid_hotspots"      -> Spatial.gridHotspotsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -385,4 +385,70 @@ object Spatial {
              AS n_core,
            CAST(sum(id) AS BIGINT) AS id_checksum
     FROM labeled GROUP BY rep ORDER BY rep"""
+
+  /** qcm: GRID HOTSPOTS — a STENCIL over an aggregated grid: a cell is
+    * a hotspot when its point count strictly exceeds every one of its
+    * 8 neighbors (absent neighbor = 0). This is the relational form of
+    * a convolution/stencil pass, the pattern behind heatmap peaks,
+    * local-maxima NMS, and neighborhood smoothing: aggregate once to
+    * the grid (tiny vs the point set), then EXPLODE each cell's count
+    * TO its 8 neighbor positions and re-aggregate max by target cell —
+    * two shuffles over data that is |cells|, not |points|, and the
+    * stencil radius only changes the explode factor. The dense
+    * alternative (self-join on |Δcx|≤1 ∧ |Δcy|≤1) needs an inequality
+    * join; re-keying by (cx+dx, cy+dy) keeps it a plain hash
+    * equi-join. Strictness makes the answer tie-free and
+    * deterministic: two adjacent equal peaks are BOTH rejected.
+    * Oracle: the inequality self-join, certifying the re-key stencil
+    * against the direct neighborhood definition. */
+  private[graft] def hotspotFrames(pts: DataFrame, g: Long): DataFrame = {
+    val cells = pts
+      .groupBy(floor(col("px") / g).cast("long").as("cx"),
+        floor(col("py") / g).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n"))
+    val nbrMax = cells
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .where(col("dxc") =!= 0L || col("dyc") =!= 0L)
+      .groupBy((col("cx") + col("dxc")).as("cx"),
+        (col("cy") + col("dyc")).as("cy"))
+      .agg(max("n").as("nbr_max"))
+    cells.join(nbrMax, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), col("n"),
+        coalesce(col("nbr_max"), lit(0L)).as("nbr_max"))
+      .where(col("n") > col("nbr_max"))
+      .orderBy("cx", "cy")
+  }
+
+  def gridHotspots(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"))
+    hotspotFrames(pts, 100000L)
+  }
+
+  /** Inequality-self-join replay of [[gridHotspots]] — the direct
+    * neighborhood definition the re-key stencil must reproduce. */
+  val gridHotspotsOracle: String = """
+    WITH pts AS (
+      SELECT (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py
+      FROM customer),
+    cells AS (
+      SELECT CAST(floor(px / 100000.0) AS BIGINT) AS cx,
+             CAST(floor(py / 100000.0) AS BIGINT) AS cy,
+             CAST(count(1) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+    nbr AS (
+      SELECT a.cx, a.cy, max(b.n) AS nbr_max
+      FROM cells a JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND NOT (a.cx = b.cx AND a.cy = b.cy)
+      GROUP BY a.cx, a.cy)
+    SELECT c.cx, c.cy, c.n,
+           coalesce(nbr.nbr_max, 0) AS nbr_max
+    FROM cells c LEFT JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
+    WHERE c.n > coalesce(nbr.nbr_max, 0)
+    ORDER BY c.cx, c.cy"""
 }

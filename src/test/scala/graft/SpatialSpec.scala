@@ -218,4 +218,49 @@ class SpatialSpec extends SparkSpec {
     assert(rows == want, s"got=$rows want=$want")
     assert(rows.nonEmpty)
   }
+
+  test("qcm grid hotspots: planted stencil — strict peaks only, adjacent equal peaks both rejected, isolated cell wins") {
+    import spark.implicits._
+    val g = 100L
+    // cell (0,0): 3 points; its neighbor (1,0): 2 points -> (0,0) is a
+    // strict peak. cells (5,5) and (6,5): 2 points EACH, adjacent ->
+    // neither is strict. cell (20,20): 1 point, isolated -> peak.
+    // negative space: (-3,-3) with 2 pts beats (-2,-3) with 1 -> peak.
+    val pts = Seq(
+      (1L, 10L, 10L), (2L, 20L, 20L), (3L, 30L, 30L),     // (0,0) x3
+      (4L, 110L, 10L), (5L, 120L, 20L),                   // (1,0) x2
+      (6L, 550L, 550L), (7L, 560L, 560L),                 // (5,5) x2
+      (8L, 650L, 550L), (9L, 660L, 560L),                 // (6,5) x2
+      (10L, 2050L, 2050L),                                // (20,20) x1
+      (11L, -250L, -250L), (12L, -260L, -260L),           // (-3,-3) x2
+      (13L, -150L, -250L)                                 // (-2,-3) x1
+    ).toDF("pt_id", "px", "py")
+    val out = Spatial.hotspotFrames(pts, g).collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nbr_max"))).toMap
+    assert(out.keySet == Set((0L, 0L), (20L, 20L), (-3L, -3L)))
+    assert(out((0L, 0L)) == ((3L, 2L)))
+    assert(out((20L, 20L)) == ((1L, 0L)), "isolated cell: nbr_max 0")
+    assert(out((-3L, -3L)) == ((2L, 1L)), "floor cells in negative space")
+  }
+
+  test("qcm grid hotspots: equals the naive neighborhood definition on the fixture") {
+    val rows = Spatial.gridHotspots(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cx"), r.getAs[Long]("cy")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nbr_max"))).toMap
+    val ids = Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0))
+    val cells = ids.map { k =>
+      val px = k * 48271 % 2000001 - 1000000
+      val py = k * 16807 % 2000001 - 1000000
+      (math.floor(px / 100000.0).toLong, math.floor(py / 100000.0).toLong)
+    }.groupBy(identity).map { case (c, g2) => c -> g2.length.toLong }
+    val want = cells.flatMap { case ((cx, cy), n) =>
+      val nbrMax = cells.collect { case ((bx, by), m)
+        if math.abs(bx - cx) <= 1 && math.abs(by - cy) <= 1 &&
+          (bx, by) != ((cx, cy)) => m }
+        .foldLeft(0L)(math.max)
+      if (n > nbrMax) Some((cx, cy) -> (n, nbrMax)) else None
+    }
+    assert(rows == want && rows.nonEmpty)
+  }
 }
