@@ -18,26 +18,28 @@ object Spatial {
   private def coord(key: org.apache.spark.sql.Column, mult: Long) =
     (key * mult) % Span - 1000000L
 
-  /** qch: GRID-BUCKETED RADIUS JOIN — for each probe (sampled
-    * suppliers), count and checksum the customer points within radius
-    * R, via the canonical scale pattern: cell = coord div R, probe
-    * side exploded to its 3×3 neighbor cells (every point within R of
-    * the probe provably lives in one of them: |dx| ≤ R bounds the
-    * cell offset to ±1), equi-join on the cell key, exact
-    * dx²+dy² ≤ R² refine inside the candidates. Cost per probe is the
-    * 9-cell candidate population (≈9·density), independent of n — at
-    * 100 TB the cell join shuffles by cell key and never forms a
-    * cross product. Probes with no neighbors stay in the panel (left
-    * join from the probe side), because "nothing nearby" is an answer
-    * a radius search must return, not drop. Oracle: the naive
-    * all-pairs distance filter over the same integer coordinates —
-    * equality certifies the 3×3 cover is complete. */
+  /** The fixture point set shared by the whole family: customers at
+    * Lehmer-derived integer micro-coordinates. One definition — a
+    * change to the scheme (Span, multipliers, table) changes every
+    * spatial query and its spec together. */
+  private def customerPts(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"))
+
   /** Shared candidate generator: (probe_id, pt_id, sqdist) for every
     * point within radius r of each probe, via the 3×3 cell cover +
-    * exact refine. Both the aggregate panel ([[gridJoin]]) and the
-    * ranked top-k ([[knnJoin]]) are one operator away from this. */
+    * exact refine (every point within r of a probe provably lives in
+    * one of the probe's 9 neighbor cells: |dx| ≤ r bounds the cell
+    * offset to ±1). The aggregate panel ([[gridJoin]]), the ranked
+    * top-k ([[knnJoin]]), and the DBSCAN eps-graph
+    * ([[dbscanFrames]]) are each one operator away from this.
+    * `broadcastProbes` picks the physical join: a bounded probe set
+    * broadcasts; a self-join (probes = the point set, DBSCAN) must
+    * shuffle both sides by cell key instead. */
   private def radiusCandidates(pts: DataFrame, probes: DataFrame,
-      r: Long): DataFrame = {
+      r: Long, broadcastProbes: Boolean = true): DataFrame = {
     val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
       (col("py") - col("qy")) * (col("py") - col("qy"))
     val keyed = pts
@@ -48,7 +50,8 @@ object Spatial {
       .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
       .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
-    broadcast(cells).join(keyed, Seq("cx", "cy"))
+    (if (broadcastProbes) broadcast(cells) else cells)
+      .join(keyed, Seq("cx", "cy"))
       .where(sq <= r * r)
       .select(col("probe_id"), col("pt_id"), sq.as("sqdist"))
   }
@@ -71,11 +74,18 @@ object Spatial {
       .orderBy("probe_id")
   }
 
+  /** qch: GRID-BUCKETED RADIUS JOIN — for each probe (sampled
+    * suppliers), count and checksum the customer points within radius
+    * R. Cost per probe is the 9-cell candidate population
+    * (≈9·density), independent of n — at 100 TB the cell join keys by
+    * cell and never forms a cross product. Probes with no neighbors
+    * stay in the panel (left join from the probe side), because
+    * "nothing nearby" is an answer a radius search must return, not
+    * drop. Oracle: the naive all-pairs distance filter over the same
+    * integer coordinates — equality certifies the 3×3 cover is
+    * complete. */
   def gridRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.customer(spark, dir).select(
-      col("c_custkey").as("pt_id"),
-      coord(col("c_custkey"), 48271L).as("px"),
-      coord(col("c_custkey"), 16807L).as("py"))
+    val pts = customerPts(spark, dir)
     val probes = Tables.supplier(spark, dir)
       .where(col("s_suppkey") % 20 === 0)
       .select(col("s_suppkey").as("probe_id"),
@@ -155,10 +165,7 @@ object Spatial {
   }
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.customer(spark, dir).select(
-      col("c_custkey").as("pt_id"),
-      coord(col("c_custkey"), 48271L).as("px"),
-      coord(col("c_custkey"), 16807L).as("py"))
+    val pts = customerPts(spark, dir)
     // variable-extent rectangles: centers from two more Lehmer
     // multipliers, half-extents in [20k, 100k) — pitch G=100k covers
     // any rectangle with ≤3 cells per axis
@@ -228,10 +235,7 @@ object Spatial {
   }
 
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.customer(spark, dir).select(
-      col("c_custkey").as("pt_id"),
-      coord(col("c_custkey"), 48271L).as("px"),
-      coord(col("c_custkey"), 16807L).as("py"))
+    val pts = customerPts(spark, dir)
     val probes = Tables.supplier(spark, dir)
       .where(col("s_suppkey") % 10 === 0)
       .select(col("s_suppkey").as("probe_id"),
@@ -294,19 +298,9 @@ object Spatial {
     * the same answer. */
   private[graft] def dbscanFrames(pts: DataFrame, eps: Long,
       minPts: Int): DataFrame = {
-    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
-      (col("py") - col("qy")) * (col("py") - col("qy"))
-    val keyed = pts
-      .withColumn("cx", floor(col("px") / eps).cast("long"))
-      .withColumn("cy", floor(col("py") / eps).cast("long"))
     val probes = pts.select(col("pt_id").as("probe_id"),
-        col("px").as("qx"), col("py").as("qy"))
-      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
-      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
-      .withColumn("cx", floor(col("qx") / eps).cast("long") + col("dxc"))
-      .withColumn("cy", floor(col("qy") / eps).cast("long") + col("dyc"))
-    val pairs = probes.join(keyed, Seq("cx", "cy"))
-      .where(sq <= eps * eps)
+      col("px").as("qx"), col("py").as("qy"))
+    val pairs = radiusCandidates(pts, probes, eps, broadcastProbes = false)
       .select(col("probe_id").as("src"), col("pt_id").as("dst"))
       .cache() // consumed 3×: degree, core edges, border attach
     val core = pairs.groupBy("src").agg(count(lit(1)).as("n_eps"))
@@ -317,10 +311,17 @@ object Spatial {
       .join(core.select(col("id").as("dst")), Seq("dst"))
       .select("src", "dst")
     val comp = Dedup.connectedComponents(core, coreEdges)
+    // materialize the last pairs consumer eagerly (CC already ran its
+    // own actions), then release the two caches — otherwise the
+    // n·avg-degree pair table stays pinned in executor storage for the
+    // rest of the session
     val borderAssign = pairs
       .join(core, pairs("src") === core("id"), "left_anti")
       .join(comp.select(col("id").as("dst"), col("rep")), Seq("dst"))
       .groupBy(col("src").as("id")).agg(min("rep").as("rep"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    core.unpersist()
     val assign = comp.select(col("id"), col("rep"), lit(true).as("is_core"))
       .unionByName(borderAssign.withColumn("is_core", lit(false)))
     val noise = pts.select(col("pt_id").as("id"))
@@ -335,10 +336,7 @@ object Spatial {
   }
 
   def gridDbscan(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.customer(spark, dir).select(
-      col("c_custkey").as("pt_id"),
-      coord(col("c_custkey"), 48271L).as("px"),
-      coord(col("c_custkey"), 16807L).as("py"))
+    val pts = customerPts(spark, dir)
     dbscanFrames(pts, 80000L, 6)
   }
 
@@ -421,10 +419,7 @@ object Spatial {
   }
 
   def gridHotspots(spark: SparkSession, dir: String): DataFrame = {
-    val pts = Tables.customer(spark, dir).select(
-      col("c_custkey").as("pt_id"),
-      coord(col("c_custkey"), 48271L).as("px"),
-      coord(col("c_custkey"), 16807L).as("py"))
+    val pts = customerPts(spark, dir)
     hotspotFrames(pts, 100000L)
   }
 
