@@ -364,6 +364,7 @@ object SparkEntry {
     "qck_time_weighted_avg" -> (TimeSeries.timeWeightedValue _),
     "qcl_grid_dbscan"       -> (Spatial.gridDbscan _),
     "qcm_grid_hotspots"     -> (Spatial.gridHotspots _),
+    "qcn_traj_hausdorff"    -> (Spatial.trajectoryHausdorff _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -986,6 +987,7 @@ object SparkEntry {
     "qck_time_weighted_avg"  -> TimeSeries.timeWeightedValueOracle,
     "qcl_grid_dbscan"        -> Spatial.gridDbscanOracle,
     "qcm_grid_hotspots"      -> Spatial.gridHotspotsOracle,
+    "qcn_traj_hausdorff"     -> Spatial.trajectoryHausdorffOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -423,6 +423,130 @@ object Spatial {
     hotspotFrames(pts, 100000L)
   }
 
+  /** qcn: TRAJECTORY TOP-K BY HAUSDORFF DISTANCE — similarity search
+    * where the objects are POINT SEQUENCES (orders as trajectories,
+    * lineitems as ordered waypoints), the 2D analogue of document
+    * near-dup search: for each probe trajectory, the k most similar
+    * others under the exact (squared) Hausdorff metric
+    * H(A,B) = max(max_a min_b d², max_b min_a d²), radius-bounded at
+    * R. The load-bearing identity: radius-bounding makes the
+    * point-level grid hits sufficient for the EXACT answer —
+    * H ≤ R ⟺ every waypoint on both sides is covered by an R-hit,
+    * and for covered waypoints the true nearest counterpart is
+    * among the hits — so the whole metric reduces to one cell-cover
+    * join plus minimax/coverage aggregates, never a per-pair
+    * waypoint cross product. Top-k per probe ranks by (H, candidate
+    * key) through WindowGroupLimit like qcj. The oracle computes
+    * ALL pairs naively and filters H ≤ R² — equality certifies both
+    * the cover and the sufficiency argument. Hausdorff is the
+    * order-free trajectory metric (and lower-bounds Fréchet); all
+    * Long arithmetic, hashable. */
+  private[graft] def trajHausdorffFrames(tp: DataFrame,
+      probeKeys: DataFrame, r: Long, kTop: Int): DataFrame = {
+    // The point-level R-hits are SUFFICIENT for the exact answer — no
+    // per-pair waypoint cross product anywhere:
+    //   h_ab ≤ R ⟺ every probe waypoint has an R-hit on that
+    //   candidate (coverage count = trajectory length), and for such
+    //   pairs each waypoint's true nearest candidate point IS among
+    //   its hits (its min distance ≤ R), so max-of-min over the hits
+    //   is the exact h_ab; symmetrically for h_ba over candidate
+    //   waypoints. A pair the hit set never links has H > R by the
+    //   same equivalence — the "prune" is the predicate itself.
+    // distinct waypoints: the fixture carries duplicate (k, ln) rows,
+    // and a duplicated ln is the SAME waypoint (identical derived
+    // coordinates) — Hausdorff is a set metric, so coverage counts
+    // must compare against the distinct-waypoint cardinality
+    val lens = tp.groupBy("k").agg(countDistinct("ln").as("len"))
+    val keyed = tp
+      .select(col("k").as("ck"), col("ln").as("cln"),
+        col("x").as("px"), col("y").as("py"))
+      .withColumn("cx", floor(col("px") / r).cast("long"))
+      .withColumn("cy", floor(col("py") / r).cast("long"))
+    val probePts = tp.join(probeKeys, Seq("k"))
+      .select(col("k").as("pk"), col("ln").as("pln"),
+        col("x").as("qx"), col("y").as("qy"))
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
+      .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
+    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val hits = broadcast(probePts).join(keyed, Seq("cx", "cy"))
+      .where(sq <= r * r && col("pk") =!= col("ck"))
+      .select(col("pk"), col("ck"), col("pln"), col("cln"), sq.as("d2"))
+    val hab = hits.groupBy("pk", "ck", "pln").agg(min("d2").as("mind"))
+      .groupBy("pk", "ck")
+      .agg(count(lit(1)).as("np"), max("mind").as("h_ab"))
+    val hba = hits.groupBy("pk", "ck", "cln").agg(min("d2").as("mind"))
+      .groupBy("pk", "ck")
+      .agg(count(lit(1)).as("nc"), max("mind").as("h_ba"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("hausdorff_sq"), col("ck"))
+    hab.join(hba, Seq("pk", "ck"))
+      .join(lens.select(col("k").as("pk"), col("len").as("plen")), Seq("pk"))
+      .join(lens.select(col("k").as("ck"), col("len").as("clen")), Seq("ck"))
+      .where(col("np") === col("plen") && col("nc") === col("clen"))
+      .select(col("pk"), col("ck"),
+        greatest(col("h_ab"), col("h_ba")).as("hausdorff_sq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col("pk").as("probe_ord"), col("rank").cast("long").as("rank"),
+        col("ck").as("match_ord"), col("hausdorff_sq"))
+      .orderBy("probe_ord", "rank")
+  }
+
+  def trajectoryHausdorff(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val seed = col("l_orderkey") * 7L + col("l_linenumber")
+    val tp = li.select(col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      (seed * 48271L % Span - 1000000L).as("x"),
+      (seed * 16807L % Span - 1000000L).as("y"))
+    val probeKeys = li.select(col("l_orderkey").as("k")).distinct()
+      .where(col("k") % 997 === 0)
+    trajHausdorffFrames(tp, probeKeys, 100000L, 3)
+  }
+
+  /** All-pairs exact-Hausdorff replay of [[trajectoryHausdorff]] —
+    * the completeness certificate for the point-level prune. */
+  val trajectoryHausdorffOracle: String = """
+    WITH tp AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             ((l_orderkey * 7 + l_linenumber) * 48271) % 2000001
+               - 1000000 AS x,
+             ((l_orderkey * 7 + l_linenumber) * 16807) % 2000001
+               - 1000000 AS y
+      FROM lineitem),
+    probes AS (SELECT * FROM tp WHERE k % 997 = 0),
+    d AS (
+      SELECT p.k AS pk, c.k AS ck, p.ln AS pln, c.ln AS cln,
+             (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2
+      FROM probes p JOIN tp c ON c.k <> p.k),
+    hab AS (
+      SELECT pk, ck, max(mind) AS h_ab FROM (
+        SELECT pk, ck, pln, min(d2) AS mind
+        FROM d GROUP BY pk, ck, pln)
+      GROUP BY pk, ck),
+    hba AS (
+      SELECT pk, ck, max(mind) AS h_ba FROM (
+        SELECT pk, ck, cln, min(d2) AS mind
+        FROM d GROUP BY pk, ck, cln)
+      GROUP BY pk, ck),
+    h AS (
+      SELECT pk, ck,
+             CAST(greatest(h_ab, h_ba) AS BIGINT) AS hausdorff_sq
+      FROM hab JOIN hba USING (pk, ck)
+      WHERE greatest(h_ab, h_ba)
+            <= CAST(100000 AS BIGINT) * 100000),
+    ranked AS (
+      SELECT pk, ck, hausdorff_sq,
+             CAST(row_number() OVER (PARTITION BY pk
+               ORDER BY hausdorff_sq, ck) AS BIGINT) AS rank
+      FROM h)
+    SELECT pk AS probe_ord, rank, ck AS match_ord, hausdorff_sq
+    FROM ranked WHERE rank <= 3
+    ORDER BY probe_ord, rank"""
+
   /** Inequality-self-join replay of [[gridHotspots]] — the direct
     * neighborhood definition the re-key stencil must reproduce. */
   val gridHotspotsOracle: String = """

@@ -311,4 +311,33 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"eps=$eps minPts=$minPts pts=$pts")
     }
   }
+
+  test("trajectory hausdorff top-k equals the naive ranked answer for any trajectory set and radius") {
+    val trajGen = Gen.chooseNum(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 4).flatMap(m =>
+        Gen.listOfN(m, spatialPt))))
+    forSamples(Gen.zip(trajGen, Gen.oneOf(60L, 100L, 150L)), 6) {
+      case (trajs, r) =>
+        val tp = trajs.zipWithIndex.flatMap { case (ws, k) =>
+          ws.zipWithIndex.map { case ((x, y), i) =>
+            (k.toLong, i.toLong + 1, x, y) } }
+        val probes = Seq(Tuple1(0L))
+        val got = graft.operators.Spatial.trajHausdorffFrames(
+            tp.toDF("k", "ln", "x", "y"), probes.toDF("k"), r, 3)
+          .collect().map(w => (w.getAs[Long]("rank"),
+            w.getAs[Long]("match_ord"), w.getAs[Long]("hausdorff_sq"))).toSeq
+        def h(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long =
+          a.map(p => b.map(q => (p._1 - q._1) * (p._1 - q._1) +
+            (p._2 - q._2) * (p._2 - q._2)).min).max
+        val p0 = trajs.head.map(t => (t._1, t._2))
+        val want = trajs.zipWithIndex.drop(1)
+          .map { case (ws, k) =>
+            val c = ws.map(t => (t._1, t._2))
+            (k.toLong, math.max(h(p0, c), h(c, p0))) }
+          .filter(_._2 <= r * r)
+          .sortBy { case (k, hh) => (hh, k) }.take(3).zipWithIndex
+          .map { case ((k, hh), i) => (i + 1L, k, hh) }
+        assert(got == want, s"r=$r trajs=$trajs")
+    }
+  }
 }

@@ -263,4 +263,55 @@ class SpatialSpec extends SparkSpec {
     }
     assert(rows == want && rows.nonEmpty)
   }
+
+  test("qcn trajectory hausdorff: planted geometry — exact H, symmetric max, coverage bound, tie by key") {
+    import spark.implicits._
+    // probe 1: [(0,0),(100,0)]
+    // cand 2: shifted by 10 in y -> H = 100 (both directions)
+    // cand 3: matches probe exactly plus a straggler at (140,0) ->
+    //   h_ab = 0, h_ba = 40^2 = 1600 -> H = 1600 (asymmetry matters)
+    // cand 4: same H as 2 via a -10 shift -> tie broken by key (2 < 4)
+    // cand 5: one waypoint at (0,5), other at (900,0): waypoint
+    //   uncovered at R=100 -> excluded even though h_ab would be 25
+    val tp = Seq(
+      (1L, 1L, 0L, 0L), (1L, 2L, 100L, 0L),
+      (2L, 1L, 0L, 10L), (2L, 2L, 100L, 10L),
+      (3L, 1L, 0L, 0L), (3L, 2L, 100L, 0L), (3L, 3L, 140L, 0L),
+      (4L, 1L, 0L, -10L), (4L, 2L, 100L, -10L),
+      (5L, 1L, 0L, 5L), (5L, 2L, 900L, 0L)
+    ).toDF("k", "ln", "x", "y")
+    val probes = Seq(Tuple1(1L)).toDF("k")
+    val out = Spatial.trajHausdorffFrames(tp, probes, 100L, 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("match_ord"),
+        r.getAs[Long]("hausdorff_sq")))
+    assert(out.toSeq == Seq((1L, 2L, 100L), (2L, 4L, 100L), (3L, 3L, 1600L)))
+  }
+
+  test("qcn trajectory hausdorff: equals the naive all-pairs replay on the fixture") {
+    val got = Spatial.trajectoryHausdorff(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_ord"), r.getAs[Long]("rank"),
+        r.getAs[Long]("match_ord"), r.getAs[Long]("hausdorff_sq"))).toSeq
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val traj = li.groupBy(_._1).map { case (k, g) =>
+      k -> g.map { case (ok, ln) =>
+        val s = ok * 7 + ln
+        (s * 48271 % 2000001 - 1000000, s * 16807 % 2000001 - 1000000)
+      }
+    }
+    val r2 = 100000L * 100000L
+    def h(a: Array[(Long, Long)], b: Array[(Long, Long)]): Long =
+      a.map(p => b.map(q =>
+        (p._1 - q._1) * (p._1 - q._1) + (p._2 - q._2) * (p._2 - q._2)).min).max
+    val want = traj.keys.filter(_ % 997 == 0).toSeq.sorted.flatMap { pk =>
+      traj.keys.filter(_ != pk)
+        .map(ck => (ck, math.max(h(traj(pk).toArray, traj(ck).toArray),
+          h(traj(ck).toArray, traj(pk).toArray))))
+        .filter(_._2 <= r2).toSeq
+        .sortBy { case (ck, hh) => (hh, ck) }.take(3).zipWithIndex
+        .map { case ((ck, hh), i) => (pk, i + 1L, ck, hh) }
+    }
+    assert(got == want && got.nonEmpty)
+  }
 }
