@@ -547,6 +547,149 @@ object Spatial {
     FROM ranked WHERE rank <= 3
     ORDER BY probe_ord, rank"""
 
+  /** qco: FRÉCHET RERANK — the ORDER-AWARE trajectory metric over the
+    * qcn shortlist: discrete Fréchet distance (squared), the minimax
+    * leash over monotone traversals, dF(i,j) = max(d²(i,j),
+    * min(dF(i-1,j), dF(i-1,j-1), dF(i,j-1))). Hausdorff ignores
+    * sequence order; Fréchet is the metric trajectory work actually
+    * ranks by — but it costs a DP per pair, so the scale doctrine is
+    * the q6g rerank shape: shortlist by the cheap bound (qcn's
+    * radius-bounded Hausdorff, which LOWER-bounds Fréchet), then pay
+    * the exact DP only on k·probes pairs. The DP runs INSIDE the
+    * engine's expression layer — nested aggregate() higher-order
+    * functions carrying the DP row as the accumulator (the qcg
+    * in-array-DP doctrine), all Long arithmetic, whole-stage
+    * codegen'd, no UDF. Waypoints are de-duplicated and ln-ordered
+    * (set-of-positions in sequence order; duplicate (k, ln) fixture
+    * rows are the same waypoint). Oracle: a completely different
+    * algorithm — Fréchet ≤ t iff a monotone path exists through DP
+    * cells with d² ≤ t, so a recursive-CTE reachability per candidate
+    * threshold takes min t; equality certifies the HOF DP. The spec
+    * additionally pins the metric law hausdorff_sq ≤ frechet_sq. */
+  private val frechetDp: String = """
+    aggregate(
+      pw,
+      cast(null as array<bigint>),
+      (prev, p) -> aggregate(
+        cw,
+        cast(array() as array<bigint>),
+        (acc, c) -> array_append(acc,
+          greatest(
+            (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y),
+            CASE
+              WHEN prev IS NULL AND size(acc) = 0 THEN cast(0 as bigint)
+              WHEN prev IS NULL THEN element_at(acc, size(acc))
+              WHEN size(acc) = 0 THEN element_at(prev, 1)
+              ELSE least(element_at(prev, size(acc) + 1),
+                         element_at(prev, size(acc)),
+                         element_at(acc, size(acc)))
+            END))),
+      r -> element_at(r, size(cw)))"""
+
+  private[graft] def frechetRerankFrames(tp: DataFrame,
+      probeKeys: DataFrame, r: Long, kTop: Int): DataFrame = {
+    val topk = trajHausdorffFrames(tp, probeKeys, r, kTop)
+      .withColumnRenamed("rank", "rank_h")
+    val trajArr = tp.groupBy("k").agg(array_sort(array_distinct(
+      collect_list(struct(col("ln"), col("x"), col("y"))))).as("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_ord").orderBy(col("frechet_sq"), col("match_ord"))
+    topk
+      .join(trajArr.select(col("k").as("probe_ord"), col("w").as("pw")),
+        Seq("probe_ord"))
+      .join(trajArr.select(col("k").as("match_ord"), col("w").as("cw")),
+        Seq("match_ord"))
+      .withColumn("frechet_sq", expr(frechetDp))
+      .withColumn("rank_f", row_number().over(w).cast("long"))
+      .select(col("probe_ord"), col("rank_h"), col("match_ord"),
+        col("hausdorff_sq"), col("frechet_sq"), col("rank_f"))
+      .orderBy("probe_ord", "rank_h")
+  }
+
+  def trajectoryFrechet(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val seed = col("l_orderkey") * 7L + col("l_linenumber")
+    val tp = li.select(col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"),
+      (seed * 48271L % Span - 1000000L).as("x"),
+      (seed * 16807L % Span - 1000000L).as("y"))
+    val probeKeys = li.select(col("l_orderkey").as("k")).distinct()
+      .where(col("k") % 997 === 0)
+    frechetRerankFrames(tp, probeKeys, 100000L, 3)
+  }
+
+  /** Threshold-reachability replay of [[trajectoryFrechet]]: Fréchet ≤
+    * t iff (m,n) is reachable from (1,1) through cells with d² ≤ t by
+    * monotone steps — min over candidate thresholds (cell values). */
+  val trajectoryFrechetOracle: String = """
+    WITH RECURSIVE tp AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             ((l_orderkey * 7 + l_linenumber) * 48271) % 2000001
+               - 1000000 AS x,
+             ((l_orderkey * 7 + l_linenumber) * 16807) % 2000001
+               - 1000000 AS y
+      FROM lineitem),
+    probes AS (SELECT * FROM tp WHERE k % 997 = 0),
+    d AS (
+      SELECT p.k AS pk, c.k AS ck, p.ln AS pln, c.ln AS cln,
+             (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2
+      FROM probes p JOIN tp c ON c.k <> p.k),
+    hab AS (
+      SELECT pk, ck, max(mind) AS h_ab FROM (
+        SELECT pk, ck, pln, min(d2) AS mind FROM d GROUP BY pk, ck, pln)
+      GROUP BY pk, ck),
+    hba AS (
+      SELECT pk, ck, max(mind) AS h_ba FROM (
+        SELECT pk, ck, cln, min(d2) AS mind FROM d GROUP BY pk, ck, cln)
+      GROUP BY pk, ck),
+    h AS (
+      SELECT pk, ck, CAST(greatest(h_ab, h_ba) AS BIGINT) AS hausdorff_sq
+      FROM hab JOIN hba USING (pk, ck)
+      WHERE greatest(h_ab, h_ba) <= CAST(100000 AS BIGINT) * 100000),
+    topk AS (
+      SELECT pk, ck, hausdorff_sq,
+             CAST(row_number() OVER (PARTITION BY pk
+               ORDER BY hausdorff_sq, ck) AS BIGINT) AS rank_h
+      FROM h QUALIFY rank_h <= 3),
+    pos AS (
+      SELECT k, x, y,
+             row_number() OVER (PARTITION BY k ORDER BY ln) AS i,
+             count(*) OVER (PARTITION BY k) AS m
+      FROM (SELECT DISTINCT k, ln, x, y FROM tp)),
+    cells AS (
+      SELECT t.pk, t.ck, a.i AS pi, b.i AS ci,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+             a.m AS pm, b.m AS cm
+      FROM topk t
+      JOIN pos a ON a.k = t.pk
+      JOIN pos b ON b.k = t.ck),
+    ths AS (SELECT DISTINCT pk, ck, d2 AS t FROM cells),
+    reach(pk, ck, t, pi, ci) AS (
+      SELECT c.pk, c.ck, h2.t, c.pi, c.ci
+      FROM cells c JOIN ths h2 ON h2.pk = c.pk AND h2.ck = c.ck
+      WHERE c.pi = 1 AND c.ci = 1 AND c.d2 <= h2.t
+      UNION
+      SELECT c.pk, c.ck, r.t, c.pi, c.ci
+      FROM reach r JOIN cells c
+        ON c.pk = r.pk AND c.ck = r.ck
+       AND c.pi BETWEEN r.pi AND r.pi + 1
+       AND c.ci BETWEEN r.ci AND r.ci + 1
+       AND NOT (c.pi = r.pi AND c.ci = r.ci)
+      WHERE c.d2 <= r.t),
+    fr AS (
+      SELECT r.pk, r.ck, CAST(min(r.t) AS BIGINT) AS frechet_sq
+      FROM reach r
+      JOIN (SELECT DISTINCT pk, ck, pm, cm FROM cells) mm
+        ON mm.pk = r.pk AND mm.ck = r.ck
+      WHERE r.pi = mm.pm AND r.ci = mm.cm
+      GROUP BY r.pk, r.ck)
+    SELECT t.pk AS probe_ord, t.rank_h, t.ck AS match_ord,
+           t.hausdorff_sq, f.frechet_sq,
+           CAST(row_number() OVER (PARTITION BY t.pk
+             ORDER BY f.frechet_sq, t.ck) AS BIGINT) AS rank_f
+    FROM topk t JOIN fr f ON f.pk = t.pk AND f.ck = t.ck
+    ORDER BY probe_ord, rank_h"""
+
   /** Inequality-self-join replay of [[gridHotspots]] — the direct
     * neighborhood definition the re-key stencil must reproduce. */
   val gridHotspotsOracle: String = """

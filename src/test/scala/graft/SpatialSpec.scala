@@ -314,4 +314,64 @@ class SpatialSpec extends SparkSpec {
     }
     assert(got == want && got.nonEmpty)
   }
+
+  test("qco frechet rerank: planted reversal — Hausdorff 0 but Frechet pays the full leash; rerank flips the order") {
+    import spark.implicits._
+    // probe 1: [(0,0),(100,0)]; cand 2 identical; cand 3 REVERSED
+    // (same point set -> Hausdorff 0, but order-aware Frechet = 100^2);
+    // cand 4 shifted by 10 -> both metrics 100
+    val tp = Seq(
+      (1L, 1L, 0L, 0L), (1L, 2L, 100L, 0L),
+      (2L, 1L, 0L, 0L), (2L, 2L, 100L, 0L),
+      (3L, 1L, 100L, 0L), (3L, 2L, 0L, 0L),
+      (4L, 1L, 0L, 10L), (4L, 2L, 100L, 10L)
+    ).toDF("k", "ln", "x", "y")
+    val probes = Seq(Tuple1(1L)).toDF("k")
+    val out = Spatial.frechetRerankFrames(tp, probes, 150L, 3).collect()
+      .map(r => r.getAs[Long]("match_ord") ->
+        (r.getAs[Long]("hausdorff_sq"), r.getAs[Long]("frechet_sq"),
+          r.getAs[Long]("rank_h"), r.getAs[Long]("rank_f"))).toMap
+    assert(out(2L) == ((0L, 0L, 1L, 1L)), "identical: both metrics 0")
+    assert(out(3L) == ((0L, 10000L, 2L, 3L)),
+      "reversed: Hausdorff blind (0), Frechet pays 100^2, rerank demotes")
+    assert(out(4L) == ((100L, 100L, 3L, 2L)), "shifted: both 100")
+  }
+
+  test("qco frechet rerank: equals a naive DP replay over the fixture shortlist; hausdorff lower-bounds frechet") {
+    val got = Spatial.trajectoryFrechet(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_ord"), r.getAs[Long]("rank_h"),
+        r.getAs[Long]("match_ord"), r.getAs[Long]("hausdorff_sq"),
+        r.getAs[Long]("frechet_sq"), r.getAs[Long]("rank_f"))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, h, f, _) =>
+      assert(h <= f, "hausdorff must lower-bound frechet") }
+    // naive DP over distinct ln-ordered waypoints
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).distinct
+    val traj = li.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(_._2).map { case (ok, ln) =>
+        val s = ok * 7 + ln
+        (s * 48271 % 2000001 - 1000000, s * 16807 % 2000001 - 1000000)
+      }
+    }
+    def frechet(a: Array[(Long, Long)], b: Array[(Long, Long)]): Long = {
+      val dp = Array.ofDim[Long](a.length, b.length)
+      for (i <- a.indices; j <- b.indices) {
+        val d = (a(i)._1 - b(j)._1) * (a(i)._1 - b(j)._1) +
+          (a(i)._2 - b(j)._2) * (a(i)._2 - b(j)._2)
+        val m =
+          if (i == 0 && j == 0) 0L
+          else if (i == 0) dp(0)(j - 1)
+          else if (j == 0) dp(i - 1)(0)
+          else math.min(dp(i - 1)(j), math.min(dp(i - 1)(j - 1), dp(i)(j - 1)))
+        dp(i)(j) = math.max(d, m)
+      }
+      dp(a.length - 1)(b.length - 1)
+    }
+    got.foreach { case (pk, _, ck, _, f, _) =>
+      assert(f == frechet(traj(pk).toArray, traj(ck).toArray),
+        s"frechet mismatch for ($pk,$ck)")
+    }
+  }
 }
