@@ -340,4 +340,40 @@ class PropertySpec extends SparkSpec {
         assert(got == want, s"r=$r trajs=$trajs")
     }
   }
+
+  test("frechet HOF DP equals the naive DP and is lower-bounded by hausdorff for any trajectories") {
+    val trajGen = Gen.chooseNum(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 4).flatMap(m =>
+        Gen.listOfN(m, spatialPt))))
+    def frechet(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long = {
+      val dp = Array.ofDim[Long](a.length, b.length)
+      for (i <- a.indices; j <- b.indices) {
+        val d = (a(i)._1 - b(j)._1) * (a(i)._1 - b(j)._1) +
+          (a(i)._2 - b(j)._2) * (a(i)._2 - b(j)._2)
+        val m =
+          if (i == 0 && j == 0) 0L
+          else if (i == 0) dp(0)(j - 1)
+          else if (j == 0) dp(i - 1)(0)
+          else math.min(dp(i - 1)(j), math.min(dp(i - 1)(j - 1), dp(i)(j - 1)))
+        dp(i)(j) = math.max(d, m)
+      }
+      dp(a.length - 1)(b.length - 1)
+    }
+    forSamples(Gen.zip(trajGen, Gen.oneOf(300L, 600L)), 6) { case (trajs, r) =>
+      // de-dup waypoints per trajectory the way the operator does (set
+      // of ln-ordered positions); synthetic ln = index, all distinct
+      val tp = trajs.zipWithIndex.flatMap { case (ws, k) =>
+        ws.zipWithIndex.map { case ((x, y), i) =>
+          (k.toLong, i.toLong + 1, x, y) } }
+      val got = graft.operators.Spatial.frechetRerankFrames(
+          tp.toDF("k", "ln", "x", "y"), Seq(Tuple1(0L)).toDF("k"), r, 3)
+        .collect().map(w => (w.getAs[Long]("match_ord"),
+          w.getAs[Long]("hausdorff_sq"), w.getAs[Long]("frechet_sq")))
+      got.foreach { case (ck, h, f) =>
+        assert(h <= f, s"law violated for cand $ck")
+        assert(f == frechet(trajs.head.map(t => (t._1, t._2)),
+          trajs(ck.toInt).map(t => (t._1, t._2))), s"DP mismatch cand $ck")
+      }
+    }
+  }
 }
