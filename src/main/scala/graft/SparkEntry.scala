@@ -366,6 +366,7 @@ object SparkEntry {
     "qcm_grid_hotspots"     -> (Spatial.gridHotspots _),
     "qcn_traj_hausdorff"    -> (Spatial.trajectoryHausdorff _),
     "qco_traj_frechet"      -> (Spatial.trajectoryFrechet _),
+    "qcp_spatial_layout"    -> (Spatial.spatialLayout _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -990,6 +991,7 @@ object SparkEntry {
     "qcm_grid_hotspots"      -> Spatial.gridHotspotsOracle,
     "qcn_traj_hausdorff"     -> Spatial.trajectoryHausdorffOracle,
     "qco_traj_frechet"       -> Spatial.trajectoryFrechetOracle,
+    "qcp_spatial_layout"     -> Spatial.spatialLayoutOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -690,6 +690,109 @@ object Spatial {
     FROM topk t JOIN fr f ON f.pk = t.pk AND f.ck = t.ck
     ORDER BY probe_ord, rank_h"""
 
+  /** qcp: CELL-PARTITIONED SPATIAL LAYOUT — the storage leg of the
+    * family: at 100 TB a radius query must not SCAN the planet, it
+    * must read only the partitions its 3×3 cover touches. The points
+    * are laid down `partitionBy(lcx, lcy)` after a `repartition` on
+    * the same keys (one file per non-empty cell, deterministic), and
+    * the radius read joins the probes' exploded cover cells against
+    * the partition COLUMNS — Spark's dynamic partition pruning turns
+    * the broadcast probe side into a partition filter, so the scan
+    * touches only covered cells (plan-asserted: `dynamicpruning`
+    * subquery on the stored scan). The graded row folds the layout
+    * evidence in: `n_cells_read` counts distinct `_metadata.file_path`
+    * among the joined rows — exactly the non-empty cells of the
+    * probe's cover, which the oracle recomputes from the points
+    * themselves. R ≤ the layout pitch keeps the 3×3 cover complete,
+    * so n_within/id_checksum replay the plain radius semantics. */
+  private[graft] def spatialLayoutFrames(pts: DataFrame,
+      probes: DataFrame, g: Long, r: Long, path: String): DataFrame = {
+    require(r <= g, "radius must not exceed the layout pitch (3x3 cover)")
+    pts
+      .withColumn("lcx", floor(col("px") / g).cast("long"))
+      .withColumn("lcy", floor(col("py") / g).cast("long"))
+      .repartition(col("lcx"), col("lcy"))
+      .write.partitionBy("lcx", "lcy").mode("overwrite").parquet(path)
+    val spark = pts.sparkSession
+    val stored = spark.read.parquet(path)
+      .select(col("pt_id"), col("px"), col("py"),
+        col("lcx"), col("lcy"), col("_metadata.file_path").as("fp"))
+    val cover = probes
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("lcx", floor(col("qx") / g).cast("long") + col("dxc"))
+      .withColumn("lcy", floor(col("qy") / g).cast("long") + col("dyc"))
+    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val agg = broadcast(cover).join(stored, Seq("lcx", "lcy"))
+      .groupBy("probe_id")
+      .agg(
+        sum(when(sq <= r * r, 1L).otherwise(0L)).as("n_within"),
+        sum(when(sq <= r * r, col("pt_id")).otherwise(0L)).as("id_checksum"),
+        countDistinct(col("fp")).as("n_cells_read"))
+    probes.select("probe_id").join(agg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"),
+        coalesce(col("n_cells_read"), lit(0L)).as("n_cells_read"))
+      .orderBy("probe_id")
+  }
+
+  def spatialLayout(spark: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 25 === 0)
+      .select(col("s_suppkey").as("probe_id"),
+        coord(col("s_suppkey"), 69621L).as("qx"),
+        coord(col("s_suppkey"), 40692L).as("qy"))
+    spatialLayoutFrames(customerPts(spark, dir), probes, 200000L, 150000L,
+      graft.Fs.scratch("graft_spatial_layout"))
+  }
+
+  /** Point-level replay of [[spatialLayout]]: the radius panel from
+    * all pairs; n_cells_read from the cover cells' occupancy. */
+  val spatialLayoutOracle: String = """
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py
+      FROM customer),
+    probes AS (
+      SELECT s_suppkey AS probe_id,
+             (s_suppkey * 69621) % 2000001 - 1000000 AS qx,
+             (s_suppkey * 40692) % 2000001 - 1000000 AS qy
+      FROM supplier WHERE s_suppkey % 25 = 0),
+    cover AS (
+      SELECT probe_id, qx, qy,
+             CAST(floor(qx / 200000.0) AS BIGINT) + d1.d AS lcx,
+             CAST(floor(qy / 200000.0) AS BIGINT) + d2.d AS lcy
+      FROM probes, (VALUES (-1), (0), (1)) d1(d),
+                   (VALUES (-1), (0), (1)) d2(d)),
+    cand AS (
+      SELECT c.probe_id, c.qx, c.qy, p.pt_id, p.px, p.py,
+             CAST(floor(p.px / 200000.0) AS BIGINT) AS lcx,
+             CAST(floor(p.py / 200000.0) AS BIGINT) AS lcy
+      FROM cover c JOIN pts p
+        ON CAST(floor(p.px / 200000.0) AS BIGINT) = c.lcx
+       AND CAST(floor(p.py / 200000.0) AS BIGINT) = c.lcy),
+    agg AS (
+      SELECT probe_id,
+             CAST(sum(CASE WHEN (px - qx) * (px - qx)
+                    + (py - qy) * (py - qy)
+                    <= CAST(150000 AS BIGINT) * 150000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+             CAST(sum(CASE WHEN (px - qx) * (px - qx)
+                    + (py - qy) * (py - qy)
+                    <= CAST(150000 AS BIGINT) * 150000
+               THEN pt_id ELSE 0 END) AS BIGINT) AS id_checksum,
+             CAST(count(DISTINCT (lcx, lcy)) AS BIGINT) AS n_cells_read
+      FROM cand GROUP BY probe_id)
+    SELECT p.probe_id,
+           coalesce(a.n_within, 0) AS n_within,
+           coalesce(a.id_checksum, 0) AS id_checksum,
+           coalesce(a.n_cells_read, 0) AS n_cells_read
+    FROM probes p LEFT JOIN agg a USING (probe_id)
+    ORDER BY p.probe_id"""
+
   /** Inequality-self-join replay of [[gridHotspots]] — the direct
     * neighborhood definition the re-key stencil must reproduce. */
   val gridHotspotsOracle: String = """

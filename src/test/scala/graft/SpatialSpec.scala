@@ -374,4 +374,38 @@ class SpatialSpec extends SparkSpec {
         s"frechet mismatch for ($pk,$ck)")
     }
   }
+
+  test("qcp spatial layout: pruned read equals naive radius panel; files read = cover-cell occupancy; DPP in plan") {
+    val out = graft.operators.Spatial.spatialLayout(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "partition-column join must carry a dynamic partition pruning filter on the stored scan")
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_within"), r.getAs[Long]("id_checksum"),
+          r.getAs[Long]("n_cells_read"))).toMap
+    val pts = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).map(k =>
+        (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000))
+    val probes = Tables.supplier(spark, sfDir).select("s_suppkey")
+      .collect().map(_.getLong(0)).filter(_ % 25 == 0)
+      .map(k =>
+        (k, k * 69621 % 2000001 - 1000000, k * 40692 % 2000001 - 1000000))
+    assert(rows.keySet == probes.map(_._1).toSet && rows.nonEmpty)
+    val g = 200000L; val r2 = 150000L * 150000L
+    def cell(v: Long) = math.floor(v / g.toDouble).toLong
+    probes.foreach { case (pid, qx, qy) =>
+      val coverCells = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield (cell(qx) + dx, cell(qy) + dy)).toSet
+      val cand = pts.filter { case (_, px, py) =>
+        coverCells((cell(px), cell(py))) }
+      val within = cand.filter { case (_, px, py) =>
+        (px - qx) * (px - qx) + (py - qy) * (py - qy) <= r2 }
+      assert(rows(pid)._1 == within.length.toLong, s"p$pid n_within")
+      assert(rows(pid)._2 == within.map(_._1).sum, s"p$pid checksum")
+      assert(rows(pid)._3 ==
+        cand.map { case (_, px, py) => (cell(px), cell(py)) }.distinct.length.toLong,
+        s"p$pid n_cells_read must equal the cover's occupied-cell count")
+    }
+  }
 }
