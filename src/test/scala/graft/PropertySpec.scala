@@ -376,4 +376,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("grid hotspots equal the direct neighborhood definition for any point set and pitch") {
+    forSamples(Gen.zip(ptsGen(40), Gen.oneOf(50L, 100L, 200L)), 8) {
+      case (ps, g) =>
+        val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val got = graft.operators.Spatial.hotspotFrames(
+            pts.toDF("pt_id", "px", "py"), g)
+          .collect().map(w => (w.getAs[Long]("cx"), w.getAs[Long]("cy")) ->
+            (w.getAs[Long]("n"), w.getAs[Long]("nbr_max"))).toMap
+        def cell(v: Long) = math.floor(v / g.toDouble).toLong
+        val cells = pts.map { case (_, x, y) => (cell(x), cell(y)) }
+          .groupBy(identity).map { case (c, grp) => c -> grp.length.toLong }
+        val want = cells.flatMap { case ((cx, cy), n) =>
+          val nbrMax = cells.collect { case ((bx, by), m)
+            if math.abs(bx - cx) <= 1 && math.abs(by - cy) <= 1 &&
+              (bx, by) != ((cx, cy)) => m }.foldLeft(0L)(math.max)
+          if (n > nbrMax) Some((cx, cy) -> (n, nbrMax)) else None
+        }
+        assert(got == want, s"g=$g")
+    }
+  }
+
+  test("cell-partitioned layout radius read equals the naive panel for any geometry with r <= pitch") {
+    forSamples(Gen.zip(ptsGen(30), ptsGen(4),
+      Gen.oneOf((100L, 100L), (200L, 150L), (150L, 80L))), 3) {
+      case (ps, qs, (g, r)) =>
+        val pts = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val probes = qs.zipWithIndex.map { case ((x, y), i) => (100L + i, x, y) }
+        val path = graft.Fs.scratch(s"graft_prop_layout_${g}_$r")
+        val got = graft.operators.Spatial.spatialLayoutFrames(
+            pts.toDF("pt_id", "px", "py"),
+            probes.toDF("probe_id", "qx", "qy"), g, r, path)
+          .collect().map(w => w.getAs[Long]("probe_id") ->
+            (w.getAs[Long]("n_within"), w.getAs[Long]("id_checksum"),
+              w.getAs[Long]("n_cells_read"))).toMap
+        def cell(v: Long) = math.floor(v / g.toDouble).toLong
+        probes.foreach { case (pid, qx, qy) =>
+          val cover = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+            yield (cell(qx) + dx, cell(qy) + dy)).toSet
+          val cand = pts.filter { case (_, px, py) =>
+            cover((cell(px), cell(py))) }
+          val within = cand.filter { case (_, px, py) =>
+            (px - qx) * (px - qx) + (py - qy) * (py - qy) <= r * r }
+          assert(got(pid) == ((within.length.toLong, within.map(_._1).sum,
+            cand.map { case (_, px, py) => (cell(px), cell(py)) }
+              .distinct.length.toLong)), s"g=$g r=$r probe=($qx,$qy)")
+        }
+    }
+  }
 }
