@@ -367,6 +367,8 @@ object SparkEntry {
     "qcn_traj_hausdorff"    -> (Spatial.trajectoryHausdorff _),
     "qco_traj_frechet"      -> (Spatial.trajectoryFrechet _),
     "qcp_spatial_layout"    -> (Spatial.spatialLayout _),
+    "qcq_spatial_interp"    -> (Spatial.spatialInterpolation _),
+    "qcr_rect_overlaps"     -> (Spatial.rectangleOverlaps _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -992,6 +994,8 @@ object SparkEntry {
     "qcn_traj_hausdorff"     -> Spatial.trajectoryHausdorffOracle,
     "qco_traj_frechet"       -> Spatial.trajectoryFrechetOracle,
     "qcp_spatial_layout"     -> Spatial.spatialLayoutOracle,
+    "qcq_spatial_interp"     -> Spatial.spatialInterpolationOracle,
+    "qcr_rect_overlaps"      -> Spatial.rectangleOverlapsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

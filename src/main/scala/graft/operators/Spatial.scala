@@ -793,6 +793,179 @@ object Spatial {
     FROM probes p LEFT JOIN agg a USING (probe_id)
     ORDER BY p.probe_id"""
 
+  /** qcq: KERNEL-WEIGHTED SPATIAL INTERPOLATION — estimate a field
+    * value at probe locations from in-radius neighbors, IDW-style but
+    * with the LINEAR kernel w = R² − d² so every weight is an exact
+    * integer (true inverse-distance weights are rationals and d→0
+    * diverges; the linear kernel is bounded, integer, and keeps the
+    * whole estimate one `div` away from hashable): interp_e2 =
+    * Σ v_e2·(R²−d²) div Σ(R²−d²). The plan is [[radiusCandidates]]
+    * carrying the neighbor's value — candidate generation is the
+    * family's bounded cell join; the kernel is a projection; the
+    * estimate is one hash aggregate. Probes with no neighbors stay in
+    * the panel with n_neighbors = 0. Magnitude: |v_e2| ≤ 1e6 cents ×
+    * w ≤ 2.5e9 × ≤hundreds of neighbors ≪ BIGINT. */
+  def spatialInterpolation(spark: SparkSession, dir: String): DataFrame = {
+    val r = 50000L
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"),
+      round(col("c_acctbal") * 100).cast("long").as("v_e2"))
+    val probes = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 20 === 0)
+      .select(col("s_suppkey").as("probe_id"),
+        coord(col("s_suppkey"), 69621L).as("qx"),
+        coord(col("s_suppkey"), 40692L).as("qy"))
+    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val keyed = pts
+      .withColumn("cx", floor(col("px") / r).cast("long"))
+      .withColumn("cy", floor(col("py") / r).cast("long"))
+    val cells = probes
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
+      .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
+    val w = lit(r * r) - sq
+    val est = broadcast(cells).join(keyed, Seq("cx", "cy"))
+      .where(sq <= r * r)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(w).as("w_sum"),
+        sum(col("v_e2") * w).as("vw_sum"))
+      .select(col("probe_id"), col("n_neighbors"), col("w_sum"),
+        expr("vw_sum div w_sum").as("interp_e2"))
+    probes.select("probe_id").join(est, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        coalesce(col("interp_e2"), lit(0L)).as("interp_e2"))
+      .orderBy("probe_id")
+  }
+
+  /** Naive all-pairs replay of [[spatialInterpolation]]. */
+  val spatialInterpolationOracle: String = """
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v_e2
+      FROM customer),
+    probes AS (
+      SELECT s_suppkey AS probe_id,
+             (s_suppkey * 69621) % 2000001 - 1000000 AS qx,
+             (s_suppkey * 40692) % 2000001 - 1000000 AS qy
+      FROM supplier WHERE s_suppkey % 20 = 0),
+    est AS (
+      SELECT probe_id,
+             CAST(count(1) AS BIGINT) AS n_neighbors,
+             CAST(sum(CAST(50000 AS BIGINT) * 50000
+               - ((px - qx) * (px - qx) + (py - qy) * (py - qy)))
+               AS BIGINT) AS w_sum,
+             CAST(sum(v_e2 * (CAST(50000 AS BIGINT) * 50000
+               - ((px - qx) * (px - qx) + (py - qy) * (py - qy))))
+               AS BIGINT) AS vw_sum
+      FROM probes JOIN pts
+        ON (px - qx) * (px - qx) + (py - qy) * (py - qy)
+           <= CAST(50000 AS BIGINT) * 50000
+      GROUP BY probe_id)
+    SELECT p.probe_id,
+           coalesce(e.n_neighbors, 0) AS n_neighbors,
+           coalesce(e.w_sum, 0) AS w_sum,
+           coalesce(CAST(e.vw_sum // e.w_sum AS BIGINT), 0) AS interp_e2
+    FROM probes p LEFT JOIN est e USING (probe_id)
+    ORDER BY p.probe_id"""
+
+  /** qcr: RECTANGLE OVERLAP JOIN WITH REFERENCE-POINT DEDUP — the
+    * canonical spatial join (PBSM, Patel & DeWitt SIGMOD'96): both
+    * rectangle sets are exploded to the fixed-pitch cells their boxes
+    * overlap, the cell key equi-joins them, the exact overlap
+    * predicate (|Δcenter| ≤ sum-of-extents per axis, closed) refines —
+    * and because an overlapping pair can share SEVERAL cells, the
+    * REFERENCE POINT rule keeps exactly one copy: each intersection
+    * region's min-corner lies in exactly one cell, and only the join
+    * task holding THAT cell emits the pair. No post-join distinct —
+    * the dedup is a projection-level predicate, which at 100 TB is
+    * the difference between a shuffle over the duplicated pairs and
+    * none. Empty panel rows are kept (a rectangle overlapping nothing
+    * is an answer). Oracle: naive all-pairs overlap filter. */
+  private[graft] def rectOverlapJoin(rectsA: DataFrame, rectsB: DataFrame,
+      g: Long): DataFrame = {
+    def cover(df: DataFrame, tag: String): DataFrame = df
+      .withColumn("cx", explode(sequence(
+        floor((col(s"${tag}x") - col(s"${tag}wx")) / g).cast("long"),
+        floor((col(s"${tag}x") + col(s"${tag}wx")) / g).cast("long"))))
+      .withColumn("cy", explode(sequence(
+        floor((col(s"${tag}y") - col(s"${tag}wy")) / g).cast("long"),
+        floor((col(s"${tag}y") + col(s"${tag}wy")) / g).cast("long"))))
+    val overlap =
+      abs(col("ax") - col("bx")) <= col("awx") + col("bwx") &&
+      abs(col("ay") - col("by")) <= col("awy") + col("bwy")
+    val refX = greatest(col("ax") - col("awx"), col("bx") - col("bwx"))
+    val refY = greatest(col("ay") - col("awy"), col("by") - col("bwy"))
+    val refHere = floor(refX / g).cast("long") === col("cx") &&
+      floor(refY / g).cast("long") === col("cy")
+    val hits = cover(rectsA, "a").join(cover(rectsB, "b"), Seq("cx", "cy"))
+      .where(overlap && refHere)
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlaps"), sum("b_id").as("id_checksum"))
+    rectsA.select("a_id").join(hits, Seq("a_id"), "left")
+      .select(col("a_id"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+        coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+      .orderBy("a_id")
+  }
+
+  def rectangleOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("a_id"),
+        coord(col("s_suppkey"), 69621L).as("ax"),
+        coord(col("s_suppkey"), 40692L).as("ay"),
+        (col("s_suppkey") * 7919L % 80000L + 20000L).as("awx"),
+        (col("s_suppkey") * 104729L % 80000L + 20000L).as("awy"))
+    val b = Tables.part(spark, dir)
+      .where(col("p_partkey") % 11 === 0)
+      .select(col("p_partkey").as("b_id"),
+        coord(col("p_partkey"), 48271L).as("bx"),
+        coord(col("p_partkey"), 16807L).as("by"),
+        (col("p_partkey") * 7919L % 80000L + 20000L).as("bwx"),
+        (col("p_partkey") * 104729L % 80000L + 20000L).as("bwy"))
+    rectOverlapJoin(a, b, 200000L)
+  }
+
+  /** Naive all-pairs replay of [[rectangleOverlaps]] — equality
+    * certifies both the cover and the reference-point dedup. */
+  val rectangleOverlapsOracle: String = """
+    WITH a AS (
+      SELECT s_suppkey AS a_id,
+             (s_suppkey * 69621) % 2000001 - 1000000 AS ax,
+             (s_suppkey * 40692) % 2000001 - 1000000 AS ay,
+             (s_suppkey * 7919) % 80000 + 20000 AS awx,
+             (s_suppkey * 104729) % 80000 + 20000 AS awy
+      FROM supplier WHERE s_suppkey % 7 = 0),
+    b AS (
+      SELECT p_partkey AS b_id,
+             (p_partkey * 48271) % 2000001 - 1000000 AS bx,
+             (p_partkey * 16807) % 2000001 - 1000000 AS by,
+             (p_partkey * 7919) % 80000 + 20000 AS bwx,
+             (p_partkey * 104729) % 80000 + 20000 AS bwy
+      FROM part WHERE p_partkey % 11 = 0),
+    hits AS (
+      SELECT a_id,
+             CAST(count(1) AS BIGINT) AS n_overlaps,
+             CAST(sum(b_id) AS BIGINT) AS id_checksum
+      FROM a JOIN b
+        ON abs(ax - bx) <= awx + bwx
+       AND abs(ay - by) <= awy + bwy
+      GROUP BY a_id)
+    SELECT a.a_id,
+           coalesce(h.n_overlaps, 0) AS n_overlaps,
+           coalesce(h.id_checksum, 0) AS id_checksum
+    FROM a LEFT JOIN hits h USING (a_id)
+    ORDER BY a.a_id"""
+
   /** Inequality-self-join replay of [[gridHotspots]] — the direct
     * neighborhood definition the re-key stencil must reproduce. */
   val gridHotspotsOracle: String = """

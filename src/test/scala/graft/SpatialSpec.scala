@@ -408,4 +408,79 @@ class SpatialSpec extends SparkSpec {
         s"p$pid n_cells_read must equal the cover's occupied-cell count")
     }
   }
+
+  test("qcq spatial interpolation: equals the naive kernel-weighted estimate on the fixture") {
+    val rows = graft.operators.Spatial.spatialInterpolation(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_neighbors"), r.getAs[Long]("w_sum"),
+          r.getAs[Long]("interp_e2"))).toMap
+    val pts = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (k, bal) =>
+        (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000,
+          math.round(bal * 100)) }
+    val probes = Tables.supplier(spark, sfDir).select("s_suppkey")
+      .collect().map(_.getLong(0)).filter(_ % 20 == 0)
+      .map(k =>
+        (k, k * 69621 % 2000001 - 1000000, k * 40692 % 2000001 - 1000000))
+    val r2 = 50000L * 50000L
+    assert(rows.keySet == probes.map(_._1).toSet && rows.nonEmpty)
+    probes.foreach { case (pid, qx, qy) =>
+      val near = pts.flatMap { case (id, px, py, v) =>
+        val d = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        if (d <= r2) Some((id, v, r2 - d)) else None
+      }
+      if (near.isEmpty) assert(rows(pid) == ((0L, 0L, 0L)), s"p$pid empty")
+      else {
+        val wsum = near.map(_._3).sum
+        val vw = near.map(n => n._2 * n._3).sum
+        assert(rows(pid) == ((near.length.toLong, wsum, vw / wsum)), s"p$pid")
+      }
+    }
+  }
+
+  test("qcr rect overlaps: planted multi-cell intersection counted ONCE; touching edges inclusive; empty row kept") {
+    import spark.implicits._
+    val g = 100L
+    // A1 is a wide rectangle spanning several cells; B1 overlaps it in
+    // a region crossing a cell boundary (the naive cell join would
+    // emit the pair 2x without the reference-point rule)
+    val a = Seq(
+      (1L, 100L, 0L, 150L, 30L),  // x in [-50, 250]
+      (2L, 1000L, 1000L, 10L, 10L), // far away, overlaps nothing
+      (3L, 500L, 0L, 50L, 50L)
+    ).toDF("a_id", "ax", "ay", "awx", "awy")
+    val b = Seq(
+      (10L, 120L, 0L, 80L, 20L),   // x in [40, 200]: intersection [40,200] spans cells 0,1,2
+      (11L, 300L, 0L, 50L, 30L),   // touches A1 exactly at x=250 (|300-100| = 150+50) -> IN
+      (12L, 700L, 0L, 149L, 10L),  // touches A3 at x=550? |700-500|=200 > 50+149=199 -> OUT
+      (13L, 600L, 0L, 50L, 40L)    // overlaps A3: |600-500|=100 <= 100 -> IN (touching)
+    ).toDF("b_id", "bx", "by", "bwx", "bwy")
+    val out = graft.operators.Spatial.rectOverlapJoin(a, b, g).collect()
+      .map(r => r.getAs[Long]("a_id") ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("id_checksum"))).toMap
+    assert(out(1L) == ((2L, 10L + 11L)), "multi-cell overlap counted once; edge-touch inclusive")
+    assert(out(2L) == ((0L, 0L)), "empty panel row kept")
+    assert(out(3L) == ((1L, 13L)), "149+50=199 < 200 excluded; 50+50=100 touch included")
+  }
+
+  test("qcr rect overlaps: equals naive all-pairs on the fixture") {
+    val rows = graft.operators.Spatial.rectangleOverlaps(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("a_id") ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("id_checksum"))).toMap
+    def rect(k: Long, mx: Long, my: Long) =
+      (k, k * mx % 2000001 - 1000000, k * my % 2000001 - 1000000,
+        k * 7919 % 80000 + 20000, k * 104729 % 80000 + 20000)
+    val as = Tables.supplier(spark, sfDir).select("s_suppkey").collect()
+      .map(_.getLong(0)).filter(_ % 7 == 0).map(k => rect(k, 69621, 40692))
+    val bs = Tables.part(spark, sfDir).select("p_partkey").collect()
+      .map(_.getLong(0)).filter(_ % 11 == 0).map(k => rect(k, 48271, 16807))
+    assert(rows.keySet == as.map(_._1).toSet && rows.nonEmpty)
+    as.foreach { case (aid, ax, ay, awx, awy) =>
+      val hit = bs.filter { case (_, bx, by, bwx, bwy) =>
+        math.abs(ax - bx) <= awx + bwx && math.abs(ay - by) <= awy + bwy }
+      assert(rows(aid) == ((hit.length.toLong, hit.map(_._1).sum)), s"a$aid")
+    }
+  }
 }
