@@ -425,4 +425,29 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("rect overlap join with reference-point dedup equals naive all-pairs for any rectangles with extent <= pitch") {
+    val rectGen = Gen.zip(spatialPt,
+      Gen.chooseNum(1L, 100L), Gen.chooseNum(1L, 100L))
+    forSamples(Gen.zip(
+      Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, rectGen)),
+      Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, rectGen))), 8) {
+      case (ra, rb) =>
+        val as = ra.zipWithIndex.map { case (((x, y), wx, wy), i) =>
+          (i.toLong, x, y, wx, wy) }
+        val bs = rb.zipWithIndex.map { case (((x, y), wx, wy), i) =>
+          (100L + i, x, y, wx, wy) }
+        val got = graft.operators.Spatial.rectOverlapJoin(
+            as.toDF("a_id", "ax", "ay", "awx", "awy"),
+            bs.toDF("b_id", "bx", "by", "bwx", "bwy"), 100L)
+          .collect().map(w => w.getAs[Long]("a_id") ->
+            (w.getAs[Long]("n_overlaps"), w.getAs[Long]("id_checksum"))).toMap
+        as.foreach { case (aid, ax, ay, awx, awy) =>
+          val hit = bs.filter { case (_, bx, by, bwx, bwy) =>
+            math.abs(ax - bx) <= awx + bwx && math.abs(ay - by) <= awy + bwy }
+          assert(got(aid) == ((hit.length.toLong, hit.map(_._1).sum)),
+            s"a=$aid: multi-cell overlaps must be counted exactly once")
+        }
+    }
+  }
 }
