@@ -369,6 +369,7 @@ object SparkEntry {
     "qcp_spatial_layout"    -> (Spatial.spatialLayout _),
     "qcq_spatial_interp"    -> (Spatial.spatialInterpolation _),
     "qcr_rect_overlaps"     -> (Spatial.rectangleOverlaps _),
+    "qcs_moran_autocorr"    -> (Spatial.moranAutocorrelation _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -996,6 +997,7 @@ object SparkEntry {
     "qcp_spatial_layout"     -> Spatial.spatialLayoutOracle,
     "qcq_spatial_interp"     -> Spatial.spatialInterpolationOracle,
     "qcr_rect_overlaps"      -> Spatial.rectangleOverlapsOracle,
+    "qcs_moran_autocorr"     -> Spatial.moranAutocorrelationOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

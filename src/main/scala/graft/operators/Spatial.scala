@@ -966,6 +966,96 @@ object Spatial {
     FROM a LEFT JOIN hits h USING (a_id)
     ORDER BY a.a_id"""
 
+  /** qcs: MORAN'S I SPATIAL AUTOCORRELATION — the canonical "is the
+    * field clustered in space" statistic: I = (n/W)·Σ_{ij∈nbrs}
+    * z_i z_j / Σ z_i², binary weights w_ij = 1 for pairs within R.
+    * Exactness trick: with z_i = n·v_i − Σv (an INTEGER — the n²
+    * scale factor appears in numerator and denominator and cancels),
+    * every term is exact; the cross-products exceed BIGINT
+    * (|z| ~ n·v ≈ 1e10 → z² ≈ 1e20), so the two z-sums ride
+    * DECIMAL(38,0) — the q1q/q1z doctrine — and are EMITTED AS
+    * STRINGS (the oracle type lint forbids HUGEINT columns; the
+    * decimal's digits are the portable form). The ppm headline is
+    * one truncated integer division at the end. Neighbor pairs come
+    * from the family's cell-cover self-join (shuffled, not broadcast
+    * — the probe side IS the point set); the global moments ride a
+    * broadcast 1-row aggregate (bounded BNLJ, whitelisted). */
+  def moranAutocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val r = 60000L
+    val pts = Tables.customer(spark, dir).select(
+      col("c_custkey").as("pt_id"),
+      coord(col("c_custkey"), 48271L).as("px"),
+      coord(col("c_custkey"), 16807L).as("py"),
+      round(col("c_acctbal") * 100).cast("long").as("v_e2"))
+    val moments = pts.agg(count(lit(1)).as("n"), sum("v_e2").as("s"))
+    val z = pts.crossJoin(broadcast(moments))
+      .select(col("pt_id"), col("px"), col("py"),
+        (col("n") * col("v_e2") - col("s")).cast("decimal(38,0)").as("z"))
+    val probes = z.select(col("pt_id").as("probe_id"),
+      col("px").as("qx"), col("py").as("qy"), col("z").as("zq"))
+    val pairZZ = radiusCandidatesKeep(z, probes, r)
+      .where(col("probe_id") =!= col("pt_id"))
+      .agg(count(lit(1)).as("w_pairs"),
+        sum((col("zq") * col("z")).cast("decimal(38,0)")).as("zz_pair"))
+    val selfZZ = z.agg(count(lit(1)).as("n"),
+      sum((col("z") * col("z")).cast("decimal(38,0)")).as("zz_self"))
+    selfZZ.crossJoin(broadcast(pairZZ))
+      .select(col("n"), col("w_pairs"),
+        col("zz_pair").cast("string").as("zz_pair"),
+        col("zz_self").cast("string").as("zz_self"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * n * zz_pair)
+          div (CAST(w_pairs AS DECIMAL(38,0)) * zz_self) AS BIGINT)""")
+          .as("moran_ppm"))
+  }
+
+  /** Variant of [[radiusCandidates]] that carries the point-side and
+    * probe-side payload columns through the cell join (z values for
+    * Moran), shuffled on the cell key (self-join shape). */
+  private def radiusCandidatesKeep(pts: DataFrame, probes: DataFrame,
+      r: Long): DataFrame = {
+    val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
+      (col("py") - col("qy")) * (col("py") - col("qy"))
+    val keyed = pts
+      .withColumn("cx", floor(col("px") / r).cast("long"))
+      .withColumn("cy", floor(col("py") / r).cast("long"))
+    val cells = probes
+      .withColumn("dxc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dyc", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
+      .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
+    cells.join(keyed, Seq("cx", "cy")).where(sq <= r * r)
+  }
+
+  /** All-pairs HUGEINT replay of [[moranAutocorrelation]]. */
+  val moranAutocorrelationOracle: String = """
+    WITH pts AS (
+      SELECT c_custkey AS pt_id,
+             (c_custkey * 48271) % 2000001 - 1000000 AS px,
+             (c_custkey * 16807) % 2000001 - 1000000 AS py,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v_e2
+      FROM customer),
+    m AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(v_e2) AS BIGINT) AS s FROM pts),
+    z AS (SELECT pt_id, px, py,
+                 CAST(m.n * v_e2 - m.s AS HUGEINT) AS z
+          FROM pts, m),
+    pair AS (
+      SELECT CAST(count(1) AS BIGINT) AS w_pairs,
+             sum(a.z * b.z) AS zz_pair
+      FROM z a JOIN z b
+        ON a.pt_id <> b.pt_id
+       AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+           <= CAST(60000 AS BIGINT) * 60000),
+    slf AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   sum(z * z) AS zz_self FROM z)
+    SELECT slf.n, pair.w_pairs,
+           CAST(pair.zz_pair AS VARCHAR) AS zz_pair,
+           CAST(slf.zz_self AS VARCHAR) AS zz_self,
+           CAST((CAST(1000000 AS HUGEINT) * slf.n * pair.zz_pair)
+             // (CAST(pair.w_pairs AS HUGEINT) * slf.zz_self)
+             AS BIGINT) AS moran_ppm
+    FROM slf, pair"""
+
   /** Inequality-self-join replay of [[gridHotspots]] — the direct
     * neighborhood definition the re-key stencil must reproduce. */
   val gridHotspotsOracle: String = """

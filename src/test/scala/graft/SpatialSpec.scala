@@ -483,4 +483,35 @@ class SpatialSpec extends SparkSpec {
       assert(rows(aid) == ((hit.length.toLong, hit.map(_._1).sum)), s"a$aid")
     }
   }
+
+  test("qcs moran's I: equals a BigInt all-pairs replay on the fixture; scale factor cancels exactly") {
+    val row = graft.operators.Spatial.moranAutocorrelation(spark, sfDir)
+      .collect()
+    assert(row.length == 1)
+    val pts = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map { case (k, bal) =>
+        (k, k * 48271 % 2000001 - 1000000, k * 16807 % 2000001 - 1000000,
+          math.round(bal * 100)) }
+    val n = pts.length.toLong
+    val s = pts.map(_._4).sum
+    val z = pts.map { case (id, px, py, v) =>
+      (id, px, py, BigInt(n) * v - s) }
+    val r2 = 60000L * 60000L
+    var w = 0L; var zzPair = BigInt(0)
+    for (a <- z; b <- z if a._1 != b._1) {
+      val d = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if (d <= r2) { w += 1; zzPair += a._4 * b._4 }
+    }
+    val zzSelf = z.map(p => p._4 * p._4).sum
+    assert(row(0).getAs[Long]("n") == n)
+    assert(row(0).getAs[Long]("w_pairs") == w)
+    assert(row(0).getAs[String]("zz_pair") == zzPair.toString)
+    assert(row(0).getAs[String]("zz_self") == zzSelf.toString)
+    val expPpm = (BigInt(1000000) * n * zzPair) / (BigInt(w) * zzSelf)
+    // BigInt '/' truncates toward zero — the same semantics as Spark's
+    // div and DuckDB's //
+    assert(row(0).getAs[Long]("moran_ppm") == expPpm.toLong)
+  }
 }
