@@ -8,7 +8,13 @@ object Fs {
     * read back, and staging memoization keys on the path) but unique
     * across concurrent JVMs — a spec run and a bench run otherwise share
     * literal /tmp names and delete each other's in-flight sinks and
-    * checkpoints. */
+    * checkpoints.
+    *
+    * CONTRACT: always a LOCAL `/tmp` path — staging code may therefore
+    * use `java.io.File` on scratch paths. Listings of caller-supplied
+    * table paths (which may be HDFS/S3 URIs) must instead go through
+    * [[listDataFiles]], which resolves the path's real filesystem and
+    * fails loudly on a missing directory. */
   private val jvmTag: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .takeWhile(_ != '@')
@@ -48,6 +54,22 @@ object Fs {
     }
     val key = (Seq(dir) ++ params ++ inputs).mkString("|")
     f"${scala.util.hashing.MurmurHash3.stringHash(key)}%08x"
+  }
+
+  /** Filesystem-correct data-file listing for a table directory: goes
+    * through the Hadoop FileSystem resolved FROM the path (so HDFS/S3
+    * URIs list remotely instead of `java.io.File` silently returning
+    * null/empty on them — which would grade a false `files_before = 0`
+    * rather than erroring), and THROWS on a missing directory. Returns
+    * the names of files with the given suffix. */
+  def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, suffix: String = ".parquet"): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(
+        s"listDataFiles: $path does not exist on ${fs.getScheme}")
+    fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.endsWith(suffix))
   }
 
   /** Recursive delete that VERIFIES the target is gone. Every caller

@@ -367,7 +367,7 @@ object SparkEntry {
     "qcn_traj_hausdorff"    -> (Spatial.trajectoryHausdorff _),
     "qco_traj_frechet"      -> (Spatial.trajectoryFrechet _),
     "qcp_spatial_layout"    -> (Spatial.spatialLayout _),
-    "qcq_spatial_interp"    -> (Spatial.spatialInterpolation _),
+    "qcq_spatial_interp"    -> ((s: SparkSession, d: String) => Spatial.spatialInterpolation(s, d)),
     "qcr_rect_overlaps"     -> (Spatial.rectangleOverlaps _),
     "qcs_moran_autocorr"    -> (Spatial.moranAutocorrelation _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),

@@ -133,12 +133,17 @@ object Spatial {
     * construction), points keyed to their single home cell, equi-join
     * on the cell, exact BETWEEN refine. No pair is produced twice —
     * a point has one home cell and a rectangle covers each cell at
-    * most once — so no post-join distinct is needed. At 100 TB both
-    * sides shuffle by cell key; per-rectangle cost is the covered
-    * cells' population, never a cross product. Empty rectangles stay
-    * in the panel via the left join. Oracle: naive all-pairs BETWEEN. */
+    * most once — so no post-join distinct is needed. Per-rectangle
+    * cost is the covered cells' population, never a cross product.
+    * `broadcastProbes` picks the physical join (the
+    * [[radiusCandidates]] convention): the graded query's subsampled
+    * rectangle set broadcasts, but the rectangle side scales with its
+    * source table, so at 100 TB callers pass false and BOTH sides
+    * shuffle by cell key — the hint is never hardcoded past the point
+    * where it could OOM. Empty rectangles stay in the panel via the
+    * left join. Oracle: naive all-pairs BETWEEN. */
   private[graft] def containJoin(pts: DataFrame, rects: DataFrame,
-      g: Long): DataFrame = {
+      g: Long, broadcastProbes: Boolean = true): DataFrame = {
     val keyed = pts
       .withColumn("cx", floor(col("px") / g).cast("long"))
       .withColumn("cy", floor(col("py") / g).cast("long"))
@@ -152,7 +157,8 @@ object Spatial {
     val inside = col("px").between(col("sx") - col("wx"),
         col("sx") + col("wx")) &&
       col("py").between(col("sy") - col("wy"), col("sy") + col("wy"))
-    val hits = broadcast(cover).join(keyed, Seq("cx", "cy"))
+    val hits = (if (broadcastProbes) broadcast(cover) else cover)
+      .join(keyed, Seq("cx", "cy"))
       .where(inside)
       .groupBy("rect_id")
       .agg(count(lit(1)).as("n_inside"),
@@ -442,7 +448,12 @@ object Spatial {
     * order-free trajectory metric (and lower-bounds Fréchet); all
     * Long arithmetic, hashable. */
   private[graft] def trajHausdorffFrames(tp: DataFrame,
-      probeKeys: DataFrame, r: Long, kTop: Int): DataFrame = {
+      probeKeys: DataFrame, r: Long, kTop: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    // broadcastProbes: the graded probe set is a bounded key subsample,
+    // but probe waypoints scale with the trajectory corpus — at 100 TB
+    // pass false so the hit join shuffles both sides by cell key
+    // instead of broadcasting a corpus-sized build side.
     // The point-level R-hits are SUFFICIENT for the exact answer — no
     // per-pair waypoint cross product anywhere:
     //   h_ab ≤ R ⟺ every probe waypoint has an R-hit on that
@@ -471,7 +482,8 @@ object Spatial {
       .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
     val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
       (col("py") - col("qy")) * (col("py") - col("qy"))
-    val hits = broadcast(probePts).join(keyed, Seq("cx", "cy"))
+    val hits = (if (broadcastProbes) broadcast(probePts) else probePts)
+      .join(keyed, Seq("cx", "cy"))
       .where(sq <= r * r && col("pk") =!= col("ck"))
       .select(col("pk"), col("ck"), col("pln"), col("cln"), sq.as("d2"))
     val hab = hits.groupBy("pk", "ck", "pln").agg(min("d2").as("mind"))
@@ -706,8 +718,14 @@ object Spatial {
     * themselves. R ≤ the layout pitch keeps the 3×3 cover complete,
     * so n_within/id_checksum replay the plain radius semantics. */
   private[graft] def spatialLayoutFrames(pts: DataFrame,
-      probes: DataFrame, g: Long, r: Long, path: String): DataFrame = {
+      probes: DataFrame, g: Long, r: Long, path: String,
+      broadcastProbes: Boolean = true): DataFrame = {
     require(r <= g, "radius must not exceed the layout pitch (3x3 cover)")
+    // broadcastProbes: the broadcast is ALSO what feeds dynamic
+    // partition pruning here (the DPP subquery reuses the broadcast
+    // exchange), so the default stays true for bounded probe sets; a
+    // corpus-sized probe side passes false and accepts a full-layout
+    // shuffled cell join in exchange for not OOMing the build side.
     pts
       .withColumn("lcx", floor(col("px") / g).cast("long"))
       .withColumn("lcy", floor(col("py") / g).cast("long"))
@@ -724,7 +742,8 @@ object Spatial {
       .withColumn("lcy", floor(col("qy") / g).cast("long") + col("dyc"))
     val sq = (col("px") - col("qx")) * (col("px") - col("qx")) +
       (col("py") - col("qy")) * (col("py") - col("qy"))
-    val agg = broadcast(cover).join(stored, Seq("lcx", "lcy"))
+    val agg = (if (broadcastProbes) broadcast(cover) else cover)
+      .join(stored, Seq("lcx", "lcy"))
       .groupBy("probe_id")
       .agg(
         sum(when(sq <= r * r, 1L).otherwise(0L)).as("n_within"),
@@ -805,7 +824,11 @@ object Spatial {
     * estimate is one hash aggregate. Probes with no neighbors stay in
     * the panel with n_neighbors = 0. Magnitude: |v_e2| ≤ 1e6 cents ×
     * w ≤ 2.5e9 × ≤hundreds of neighbors ≪ BIGINT. */
-  def spatialInterpolation(spark: SparkSession, dir: String): DataFrame = {
+  def spatialInterpolation(spark: SparkSession, dir: String,
+      broadcastProbes: Boolean = true): DataFrame = {
+    // broadcastProbes: graded probe set is the %20 supplier subsample
+    // (bounded at these SFs); a corpus-scale probe side passes false
+    // and the cell join shuffles both sides instead of broadcasting.
     val r = 50000L
     val pts = Tables.customer(spark, dir).select(
       col("c_custkey").as("pt_id"),
@@ -828,7 +851,8 @@ object Spatial {
       .withColumn("cx", floor(col("qx") / r).cast("long") + col("dxc"))
       .withColumn("cy", floor(col("qy") / r).cast("long") + col("dyc"))
     val w = lit(r * r) - sq
-    val est = broadcast(cells).join(keyed, Seq("cx", "cy"))
+    val est = (if (broadcastProbes) broadcast(cells) else cells)
+      .join(keyed, Seq("cx", "cy"))
       .where(sq <= r * r)
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_neighbors"),

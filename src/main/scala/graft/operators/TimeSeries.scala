@@ -897,8 +897,18 @@ object TimeSeries {
       .withColumn("pe6", expr(
         "cnt * 1000000 div sum(cnt) OVER (PARTITION BY src)"))
     // enum-bounded driver matrix (R-05 doctrine): channels are event
-    // types, so the collect is |states|^2 rows, require-capped
-    val cells = probs.select("src", "dst", "pe6").collect()
+    // types, so the collect is |states|^2 rows. The cap is enforced
+    // BEFORE materialization — collect through limit(cap+1) and fail
+    // on truncation — so a corrupted/unbounded event_type domain trips
+    // the guard at ≤122 driver rows instead of materializing the whole
+    // transition table first (the later require(m <= 9) only guards
+    // the fixed-point arithmetic, not the collect itself).
+    val cellCap = 122 // > 11^2: any legitimate ≤9-state matrix fits
+    val cellRows = probs.select("src", "dst", "pe6").limit(cellCap).collect()
+    require(cellRows.length < cellCap,
+      s"transition table truncated at $cellCap rows — event_type domain " +
+        "is not enum-bounded; refusing to collect it to the driver")
+    val cells = cellRows
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val channels = cells.flatMap(c => Seq(c._1, c._2))
       .filter(s => s != "start" && s != "conv" && s != "null")

@@ -308,10 +308,11 @@ object Warehouse {
     Tables.orders(spark, dir).repartition(64)
       .write.mode("overwrite").parquet(fragmented)
     val nAfter = compact(spark, fragmented, compacted, targetRecordsPerFile = 15000)
-    val filesBefore = new java.io.File(fragmented).listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    val filesAfter = new java.io.File(compacted).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // Hadoop-FS listing (not java.io.File): resolves the path's real
+    // filesystem, so a non-local table URI errors instead of silently
+    // counting 0 files and grading a false layout_ok
+    val filesBefore = graft.Fs.listDataFiles(spark, fragmented).size
+    val filesAfter = graft.Fs.listDataFiles(spark, compacted).size
     spark.read.parquet(compacted)
       .agg(
         count(lit(1)).as("n_rows"),

@@ -1585,6 +1585,21 @@ object Events {
       "2024-01-22", "2024-01-31")
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"))
+    // fixture-span guard: the weekly cuts are literal (the oracle's
+    // closed-form watermark depends on them), but the ORACLE aggregates
+    // ALL rows of events — if the fixture's time span ever grows past
+    // the final cut, rows would be dropped from the stream yet counted
+    // in the closed form, an opaque hash mismatch. Fail loudly instead
+    // (1-row probe, the qaq convention).
+    val span = ev.agg(min("ts"), max("ts")).head()
+    require(!span.isNullAt(0) &&
+      !span.getTimestamp(0).before(
+        java.sql.Timestamp.valueOf(cuts.head + " 00:00:00")) &&
+      span.getTimestamp(1).before(
+        java.sql.Timestamp.valueOf(cuts.last + " 00:00:00")),
+      s"events span [${span.get(0)}, ${span.get(1)}] escapes the literal " +
+        s"weekly cuts [${cuts.head}, ${cuts.last}) — stateMetrics' " +
+        "closed-form oracle would silently diverge; update the cut list")
     // stage one file per week, mtime-stamped chronologically (the
     // stageReplayFiles doctrine, but at LITERAL cutoffs so the final
     // watermark is oracle-computable)
