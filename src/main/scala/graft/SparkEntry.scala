@@ -370,6 +370,10 @@ object SparkEntry {
     "qcq_spatial_interp"    -> ((s: SparkSession, d: String) => Spatial.spatialInterpolation(s, d)),
     "qcr_rect_overlaps"     -> (Spatial.rectangleOverlaps _),
     "qcs_moran_autocorr"    -> (Spatial.moranAutocorrelation _),
+    // —— transactional table layer (snapshot log + optimistic commit) ——
+    "qct_txn_concurrent_merge" -> (graft.sources.TxnTable.txnConcurrentMerge _),
+    "qcu_txn_time_travel"   -> (graft.sources.TxnTable.txnTimeTravel _),
+    "qcv_txn_pruned_read"   -> (graft.sources.TxnTable.txnPrunedRead _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -998,6 +1002,9 @@ object SparkEntry {
     "qcq_spatial_interp"     -> Spatial.spatialInterpolationOracle,
     "qcr_rect_overlaps"      -> Spatial.rectangleOverlapsOracle,
     "qcs_moran_autocorr"     -> Spatial.moranAutocorrelationOracle,
+    "qct_txn_concurrent_merge" -> graft.sources.TxnTable.txnConcurrentMergeOracle,
+    "qcu_txn_time_travel"    -> graft.sources.TxnTable.txnTimeTravelOracle,
+    "qcv_txn_pruned_read"    -> graft.sources.TxnTable.txnPrunedReadOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

