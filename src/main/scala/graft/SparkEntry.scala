@@ -374,6 +374,7 @@ object SparkEntry {
     "qct_txn_concurrent_merge" -> (graft.sources.TxnTable.txnConcurrentMerge _),
     "qcu_txn_time_travel"   -> (graft.sources.TxnTable.txnTimeTravel _),
     "qcv_txn_pruned_read"   -> (graft.sources.TxnTable.txnPrunedRead _),
+    "qcw_batch_replay_idem" -> (graft.sources.SynthStream.batchReplayIdempotence _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1005,6 +1006,7 @@ object SparkEntry {
     "qct_txn_concurrent_merge" -> graft.sources.TxnTable.txnConcurrentMergeOracle,
     "qcu_txn_time_travel"    -> graft.sources.TxnTable.txnTimeTravelOracle,
     "qcv_txn_pruned_read"    -> graft.sources.TxnTable.txnPrunedReadOracle,
+    "qcw_batch_replay_idem"  -> graft.sources.SynthStream.batchReplayIdempotenceOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -156,6 +156,132 @@ object SynthStream {
            CAST(7712 AS BIGINT) AS run2_rows,
            true AS resumed_without_replay
     FROM g GROUP BY bucket ORDER BY bucket"""
+
+  /** qcw: foreachBatch TRANSACTIONAL-SINK IDEMPOTENCE + the
+    * concurrent-writer negative control (round-8 verdict item 4).
+    *
+    * Structured Streaming's contract with an external sink is
+    * at-least-once batch delivery: after a crash between "batch N
+    * executed" and "commits/N written", recovery RE-RUNS batch N with
+    * the SAME batchId, and the sink must deduplicate on that txn id.
+    * Here the sink is a foreachBatch writer with exactly the
+    * production shape: write the batch to an attempt dir, then
+    * publish a put-if-absent marker per batchId (the TxnTable hard
+    * link, i.e. the epoch/txn table every exactly-once sink keeps) —
+    * a re-delivered batchId finds the marker and SKIPS, leaving the
+    * sink byte-identical.
+    *
+    * The re-delivery is STAGED deterministically, not hoped for:
+    * after run 1 drains 4 batches, the newest `commits/N` file is
+    * deleted (exactly the crash window above) and a new query object
+    * resumes from the same checkpoint — the engine re-runs batch 3,
+    * the marker check fires, `n_replayed = 1`, and the per-bucket
+    * aggregate proves no row landed twice (a non-idempotent sink
+    * would double batch 3's 4096 rows and hash-fail).
+    *
+    * The negative control: a SECOND writer started against the SAME
+    * checkpoint root while the first is live must be REJECTED (one
+    * checkpoint = one logical writer — Spark enforces it by query id;
+    * `second_writer_rejected` grades the refusal). At 100 TB these
+    * two properties are what make a streaming pipeline restartable
+    * and exclusively-owned; both are graded, not asserted. */
+  def batchReplayIdempotence(spark: SparkSession, dir: String): DataFrame = {
+    val rows = 16384L; val batch = 4096L
+    val sinkDir = graft.Fs.scratch("graft_replay_idem_sink")
+    val ckptDir = graft.Fs.scratch("graft_replay_idem_ckpt")
+    val ctlCkpt = graft.Fs.scratch("graft_replay_idem_ctl")
+    Seq(sinkDir, ckptDir, ctlCkpt).foreach(graft.Fs.deleteRecursively)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sinkDir))
+    val replayed = new java.util.concurrent.atomic.AtomicLong(0)
+    val executed = new java.util.concurrent.atomic.AtomicLong(0)
+    def marker(id: Long) =
+      java.nio.file.Paths.get(sinkDir, f"batch-$id%04d.committed")
+    val writeBatch: (DataFrame, Long) => Unit = (df, id) => {
+      if (java.nio.file.Files.exists(marker(id))) replayed.incrementAndGet()
+      else {
+        df.write.mode("overwrite").parquet(s"$sinkDir/batch_$id")
+        // put-if-absent publish (another attempt may have raced us)
+        try java.nio.file.Files.createFile(marker(id))
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          replayed.incrementAndGet() }
+        executed.incrementAndGet()
+      }
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.format("graft.sources.SynthStream")
+        .option("rows", rows.toString).option("batch", batch.toString)
+        .load()
+      val q = graft.SessionConf.withShufflePartitions(spark, 8) {
+        stream.writeStream.outputMode(OutputMode.Append())
+          .foreachBatch(writeBatch)
+          .option("checkpointLocation", ckptDir)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    val batchesRun1 = executed.get()
+    // the crash window: batch N executed, its sink txn committed, but
+    // the engine's commits/N ack lost — recovery must re-deliver N
+    val commits = new java.io.File(s"$ckptDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    require(commits.nonEmpty && new java.io.File(
+      s"$ckptDir/commits/${commits.last.getName}").delete(),
+      "could not stage the lost-ack crash window")
+    // the local ChecksumFileSystem keeps a .N.crc sidecar; left behind,
+    // the re-commit's atomic create trips over it and misreports a
+    // concurrent writer
+    new java.io.File(s"$ckptDir/commits/.${commits.last.getName}.crc").delete()
+    run()
+    // negative control: second concurrent writer on one checkpoint root
+    val liveStream = spark.readStream.format("graft.sources.SynthStream")
+      .option("rows", (rows * 1000).toString).option("batch", batch.toString)
+      .load()
+    // by default Spark lets a new run of the same query TAKE OVER
+    // (stopActiveRunOnRestart) — the exclusivity control must pin it
+    // off so the second writer is refused rather than usurping
+    val rejected = graft.SessionConf.withConfs(spark,
+      "spark.sql.streaming.stopActiveRunOnRestart" -> "false") {
+      val qA = liveStream.writeStream.outputMode(OutputMode.Append())
+        .format("noop").option("checkpointLocation", ctlCkpt)
+        .trigger(Trigger.ProcessingTime("60 seconds")).start()
+      try {
+        liveStream.writeStream.outputMode(OutputMode.Append())
+          .format("noop").option("checkpointLocation", ctlCkpt)
+          .trigger(Trigger.ProcessingTime("60 seconds")).start()
+          .stop() // unreachable: the start must throw
+        false
+      } catch { case e: Throwable =>
+        String.valueOf(e.getMessage).contains("already active")
+      } finally qA.stop()
+    }
+    val dirs = (0L until batchesRun1).map(i => s"$sinkDir/batch_$i")
+    spark.read.parquet(dirs: _*)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value_e6").as("sum_lehmer"),
+        countDistinct("id").as("n_distinct"))
+      .withColumn("n_batches", lit(batchesRun1))
+      .withColumn("n_replayed", lit(replayed.get()))
+      .withColumn("replay_skipped", lit(replayed.get() == 1L))
+      .withColumn("second_writer_rejected", lit(rejected))
+      .orderBy("bucket")
+  }
+
+  def batchReplayIdempotenceOracle: String = """
+    WITH g AS (
+      SELECT i AS id,
+             ((i % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+               AS value_e6,
+             'b' || CAST(i % 10 AS VARCHAR) AS bucket
+      FROM (SELECT unnest(range(16384)) AS i))
+    SELECT bucket, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(value_e6) AS BIGINT) AS sum_lehmer,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(4 AS BIGINT) AS n_batches,
+           CAST(1 AS BIGINT) AS n_replayed,
+           true AS replay_skipped,
+           true AS second_writer_rejected
+    FROM g GROUP BY bucket ORDER BY bucket"""
 }
 
 private[sources] class SynthStreamTable(rows: Long, batch: Long)
