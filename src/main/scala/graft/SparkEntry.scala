@@ -375,6 +375,8 @@ object SparkEntry {
     "qcu_txn_time_travel"   -> (graft.sources.TxnTable.txnTimeTravel _),
     "qcv_txn_pruned_read"   -> (graft.sources.TxnTable.txnPrunedRead _),
     "qcw_batch_replay_idem" -> (graft.sources.SynthStream.batchReplayIdempotence _),
+    "qcx_tvf_radius_join"   -> (graft.functions.GraftExtensions.tvfRadiusJoin _),
+    "qcy_tvf_knn_in_radius" -> (graft.functions.GraftExtensions.tvfKnnInRadius _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1007,6 +1009,10 @@ object SparkEntry {
     "qcu_txn_time_travel"    -> graft.sources.TxnTable.txnTimeTravelOracle,
     "qcv_txn_pruned_read"    -> graft.sources.TxnTable.txnPrunedReadOracle,
     "qcw_batch_replay_idem"  -> graft.sources.SynthStream.batchReplayIdempotenceOracle,
+    // the TVF twins are graded by the DataFrame operators' own oracles
+    // (the qam/qan/qao doctrine: two surfaces, one operator)
+    "qcx_tvf_radius_join"    -> Spatial.gridRadiusJoinOracle,
+    "qcy_tvf_knn_in_radius"  -> Spatial.knnJoinOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

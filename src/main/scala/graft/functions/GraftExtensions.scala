@@ -106,6 +106,21 @@ object GraftExtensions {
           litString(a, 0, "graft_cosine_topk"),
           litLong(a, 1, "graft_cosine_topk"),
           litLong(a, 2, "graft_cosine_topk").toInt))),
+    // the 2D family's SQL-text entry path (round-8 verdict item 5):
+    // radius join and kNN-in-radius reachable without DataFrame code,
+    // graded by their DataFrame twins' oracles (qch/qcj)
+    (new FunctionIdentifier("graft_radius_join"),
+      info("graft_radius_join",
+        "graft_radius_join(dir) - per-probe radius panel over the customer point cloud"),
+      operatorPlan("graft_radius_join", 1, (s, a) =>
+        graft.operators.Spatial.gridRadiusJoin(s,
+          litString(a, 0, "graft_radius_join")))),
+    (new FunctionIdentifier("graft_knn_in_radius"),
+      info("graft_knn_in_radius",
+        "graft_knn_in_radius(dir) - ranked k nearest neighbors within the radius per probe"),
+      operatorPlan("graft_knn_in_radius", 1, (s, a) =>
+        graft.operators.Spatial.knnJoin(s,
+          litString(a, 0, "graft_knn_in_radius")))),
     (new FunctionIdentifier("graft_synth"),
       info("graft_synth",
         "graft_synth(lo, hi) - deterministic Lehmer rows for id in [lo, hi)"),
@@ -166,6 +181,15 @@ object GraftExtensions {
   def tvfCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     registerTableFunctions(spark)
     spark.sql(s"SELECT * FROM graft_cosine_topk('$dir', 0, 10)")
+  }
+  /** qcx/qcy: the spatial family through the same seam. */
+  def tvfRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    registerTableFunctions(spark)
+    spark.sql(s"SELECT * FROM graft_radius_join('$dir')")
+  }
+  def tvfKnnInRadius(spark: SparkSession, dir: String): DataFrame = {
+    registerTableFunctions(spark)
+    spark.sql(s"SELECT * FROM graft_knn_in_radius('$dir')")
   }
 
   /** qcc: SQL-CALLABLE TYPED UDAF — the last unregistered custom-code
