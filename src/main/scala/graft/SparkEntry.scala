@@ -377,6 +377,7 @@ object SparkEntry {
     "qcw_batch_replay_idem" -> (graft.sources.SynthStream.batchReplayIdempotence _),
     "qcx_tvf_radius_join"   -> (graft.functions.GraftExtensions.tvfRadiusJoin _),
     "qcy_tvf_knn_in_radius" -> (graft.functions.GraftExtensions.tvfKnnInRadius _),
+    "qcz_ann_compaction"    -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.compactedIndex(s, d)),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1013,6 +1014,7 @@ object SparkEntry {
     // (the qam/qan/qao doctrine: two surfaces, one operator)
     "qcx_tvf_radius_join"    -> Spatial.gridRadiusJoinOracle,
     "qcy_tvf_knn_in_radius"  -> Spatial.knnJoinOracle,
+    "qcz_ann_compaction"     -> graft.operators.AnnIndex.compactedIndexOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -227,4 +227,103 @@ object AnnIndex {
            true AS delta_ids_disjoint,
            true AS twin_is_top1
     FROM t"""
+
+  private val CompactPrefix = "graft_ann_ivf_compact_v1_"
+
+  /** qcz: OFFLINE COMPACTION of the LSM index — the merge qar's
+    * scaladoc promises ("delta segments, merged offline") made real
+    * and graded: base segment ∪ delta segment are rewritten into a
+    * NEW fingerprint-keyed store (base is immutable; compaction mints
+    * a generation, it never mutates), the quantizer is carried over
+    * unchanged, and the serving path loads the COMPACTED artifact —
+    * across JVMs, since the store key is input identity + params, the
+    * daily-pipeline reality where today's serving job reads an index
+    * a prior job compacted.
+    *
+    * Fidelity is an algebraic identity, not an assertion: the
+    * assignment checksum is a bit_xor over (vec_id, cent_id) rows, so
+    * for DISJOINT segments checksum(base ∪ delta) = checksum(base) ⊕
+    * checksum(delta). The graded `compaction_checksum_exact` compares
+    * the checksum RECOMPUTED FROM THE LOADED COMPACTED LISTS against
+    * the ⊕ of the base store's SAVE-TIME meta and the delta frame —
+    * one lost, duplicated, or re-assigned vector anywhere in the
+    * build→persist→compact→load chain breaks the equality. The twin
+    * query (cosine 1.0 by IEEE power-of-two scaling, the q56/qar
+    * construction) then proves the compacted generation actually
+    * serves. */
+  def compactedIndex(spark: SparkSession, dir: String,
+      nNew: Int = 16, idOffset: Long = 1000000L): DataFrame = {
+    val baseStore = ensure(spark, dir)
+    val baseMeta = storedChecksums(baseStore)
+    val model = KMeansModel.load(s"$baseStore/quantizer")
+    def mkDelta(): DataFrame = {
+      val batch = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < nNew)
+        .select((col("vec_id") + idOffset).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .withColumn("features",
+          array_to_vector(col("embedding").cast("array<double>")))
+      model.transform(batch)
+        .withColumnRenamed(model.getPredictionCol, "cent_id")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("cent_id"))
+    }
+    val fp = graft.Fs.inputFingerprint(dir,
+      Seq("embeddings.parquet"), Seq(NLists, Seed, nNew, idOffset))
+    val store = s"/tmp/$CompactPrefix$fp"
+    if (!Files.exists(Paths.get(store))) {
+      graft.Fs.gcStale(CompactPrefix)
+      val tmp = s"$store.tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.parquet(s"$baseStore/lists").unionByName(mkDelta())
+        .repartition(col("cent_id"))
+        .write.partitionBy("cent_id").parquet(s"$tmp/lists")
+      model.write.save(s"$tmp/quantizer")
+      // save-time checksum measured from the WRITTEN files (the qaj
+      // write-fidelity doctrine: record what is on disk, not what was
+      // in memory)
+      val meta =
+        s"""{"assign":${assignChecksum(spark.read.parquet(s"$tmp/lists"))},
+           |"centers":${graft.ml.ModelStore.centersChecksum(model)}}"""
+          .stripMargin
+      Files.writeString(Paths.get(s"$tmp/meta.json"), meta)
+      try Files.move(Paths.get(tmp), Paths.get(store))
+      catch { case _: java.nio.file.FileSystemException =>
+        graft.Fs.deleteRecursively(tmp) // another JVM won the race
+      }
+    }
+    // serve strictly from the LOADED compacted generation
+    val loadedModel = KMeansModel.load(s"$store/quantizer")
+    val loaded = spark.read.parquet(s"$store/lists").cache()
+    val meta = storedChecksums(store)
+    val loadedChecksum = assignChecksum(loaded)
+    val expected = baseMeta("assign") ^ assignChecksum(mkDelta())
+    val nCompacted = loaded.count()
+    val query = loaded.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"))
+    val top1 = loaded.filter(col("vec_id") =!= 0L)
+      .join(broadcast(query))
+      .select(col("vec_id"),
+        VectorFunctions.cosineHof(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(1).head()
+    import spark.implicits._
+    Seq((nCompacted - nNew, nNew.toLong, nCompacted,
+        loadedChecksum == expected && loadedChecksum == meta("assign"),
+        graft.ml.ModelStore.centersChecksum(loadedModel) ==
+          baseMeta("centers"),
+        top1.getLong(0) == idOffset &&
+          math.abs(top1.getDouble(1) - 1.0) < 1e-12))
+      .toDF("n_base", "n_delta", "n_compacted",
+        "compaction_checksum_exact", "quantizer_unchanged", "twin_is_top1")
+  }
+
+  def compactedIndexOracle: String = """
+    WITH t AS (SELECT CAST(count(1) AS BIGINT) AS n FROM embeddings)
+    SELECT t.n AS n_base,
+           CAST(16 AS BIGINT) AS n_delta,
+           t.n + 16 AS n_compacted,
+           true AS compaction_checksum_exact,
+           true AS quantizer_unchanged,
+           true AS twin_is_top1
+    FROM t"""
 }
