@@ -378,6 +378,10 @@ object SparkEntry {
     "qcx_tvf_radius_join"   -> (graft.functions.GraftExtensions.tvfRadiusJoin _),
     "qcy_tvf_knn_in_radius" -> (graft.functions.GraftExtensions.tvfKnnInRadius _),
     "qcz_ann_compaction"    -> ((s: SparkSession, d: String) => graft.operators.AnnIndex.compactedIndex(s, d)),
+    "qd0_txn_optimize"      -> (graft.sources.TxnTable.txnOptimize _),
+    "qd1_txn_vacuum"        -> (graft.sources.TxnTable.txnVacuum _),
+    "qd2_txn_schema_evolution" -> (graft.sources.TxnTable.txnSchemaEvolution _),
+    "qd3_txn_table_changes" -> (graft.sources.TxnTable.txnTableChanges _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1015,6 +1019,10 @@ object SparkEntry {
     "qcx_tvf_radius_join"    -> Spatial.gridRadiusJoinOracle,
     "qcy_tvf_knn_in_radius"  -> Spatial.knnJoinOracle,
     "qcz_ann_compaction"     -> graft.operators.AnnIndex.compactedIndexOracle,
+    "qd0_txn_optimize"       -> graft.sources.TxnTable.txnOptimizeOracle,
+    "qd1_txn_vacuum"         -> graft.sources.TxnTable.txnVacuumOracle,
+    "qd2_txn_schema_evolution" -> graft.sources.TxnTable.txnSchemaEvolutionOracle,
+    "qd3_txn_table_changes"  -> graft.sources.TxnTable.txnTableChangesOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -228,6 +228,63 @@ object TxnTable {
     sys.error(s"transact gave up after $maxRetries conflicts on $root")
   }
 
+  /** OPTIMIZE: rewrite the current snapshot at a new shard count AS A
+    * COMMIT — data identical, fewer files, history intact (the old
+    * version still reads from its own immutable files). The shuffle is
+    * the honest cost of re-clustering (the q2a doctrine), now under
+    * the log so readers never see a half-compacted table. */
+  def optimize(spark: SparkSession, root: String, newShards: Int): Int = {
+    val v = latestVersion(root)
+    val base = readManifest(root, v)
+    val m = writeSnapshot(spark, root, v + 1, "optimize",
+      readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv)
+    require(commit(root, v + 1, m), s"optimize raced on $root")
+    v + 1
+  }
+
+  /** VACUUM: delete data attempt-dirs referenced by NO committed
+    * manifest — the debris of crashed/raced writers. Committed
+    * versions (all of them — time-travel retention is a policy layer
+    * above this) are never touched. `minAgeMs` guards the in-flight
+    * attempt of a LIVE concurrent writer (its dir exists before its
+    * commit): production keeps it ≫ max write duration; the graded
+    * query passes 0 against a writer it knows is dead. Returns the
+    * removed dir count. */
+  def vacuum(root: String, minAgeMs: Long = 3600000L): Int = {
+    val referenced = (0 to latestVersion(root)).flatMap(v =>
+      readManifest(root, v).files.map(_.path.split('/').take(2).mkString("/")))
+      .toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dataDir = new java.io.File(s"$root/data")
+    val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !referenced.contains(s"data/${d.getName}")
+        && d.lastModified() < cutoff)
+    orphans.foreach(d => graft.Fs.deleteRecursively(d.getPath))
+    orphans.length
+  }
+
+  /** CDC from the snapshot log: the row-level diff between two
+    * committed versions, derived purely from their immutable
+    * snapshots (no change capture at write time needed — the q2g
+    * shape, lifted onto the log). One full-outer join on the key:
+    * inserts (no pre-image), deletes (no post-image), updates (both,
+    * value changed). At 100 TB both sides shuffle on the table key
+    * once; with the shard layouts equal the join co-locates. */
+  def changes(spark: SparkSession, root: String, vFrom: Int, vTo: Int,
+      valueCol: String): DataFrame = {
+    val pre = readVersion(spark, root, vFrom).alias("a")
+    val post = readVersion(spark, root, vTo).alias("b")
+    val key = readManifest(root, vTo).keyCol
+    pre.join(post, col(s"a.$key") === col(s"b.$key"), "full_outer")
+      .select(
+        coalesce(col(s"a.$key"), col(s"b.$key")).as("k"),
+        col(s"a.$valueCol").as("pre"), col(s"b.$valueCol").as("post"),
+        when(col(s"a.$key").isNull, "insert")
+          .when(col(s"b.$key").isNull, "delete")
+          .when(col(s"a.$valueCol") =!= col(s"b.$valueCol"), "update")
+          .otherwise("unchanged").as("change_type"))
+  }
+
   // ------------------------------------------------------------------
   // qct: OPTIMISTIC CONCURRENCY, graded end-to-end
   // ------------------------------------------------------------------
@@ -458,4 +515,229 @@ object TxnTable {
            CAST(t.n_total AS BIGINT) AS n_files_total,
            k.n_read < t.n_total AS pruned_strictly
     FROM hits h, kept k, total t"""
+
+  // ------------------------------------------------------------------
+  // qd0–qd3: the table-maintenance lifecycle on the log
+  // ------------------------------------------------------------------
+
+  /** qd0: OPTIMIZE as a commit — a deliberately fragmented table (64
+    * small files, the streaming-ingest layout) is compacted to 8 under
+    * the log. Graded: the file counts BOTH versions' manifests carry,
+    * the aggregate identity across the rewrite (any lost/duplicated
+    * row shifts sum_cents), and history intactness — v0 re-read AFTER
+    * the optimize, from its own immutable files, equals v1's content
+    * (`history_identical`, computed by an order-free full comparison,
+    * not a count). */
+  def txnOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_optimize")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 64)
+    optimize(spark, root, 8)
+    val filesV0 = readManifest(root, 0).files.size.toLong
+    val filesV1 = readManifest(root, 1).files.size.toLong
+    val v0 = readVersion(spark, root, 0)
+    val v1 = readVersion(spark, root, 1)
+    val identical = v0.exceptAll(v1).isEmpty && v1.exceptAll(v0).isEmpty
+    v1.agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").as("sum_cents"),
+        countDistinct("k").as("n_keys"))
+      .withColumn("files_v0", lit(filesV0))
+      .withColumn("files_v1", lit(filesV1))
+      .withColumn("history_identical", lit(identical))
+  }
+
+  val txnOptimizeOracle: String = """
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(64 AS BIGINT) AS files_v0,
+           CAST(8 AS BIGINT) AS files_v1,
+           true AS history_identical
+    FROM orders"""
+
+  /** qd1: VACUUM — a writer is crashed mid-transaction THROUGH THE
+    * REAL CODE PATH (its `beforeCommit` throws after the attempt dir
+    * is fully written, exactly a JVM death between write and commit),
+    * leaving an orphan attempt dir no manifest references. Vacuum
+    * removes precisely that dir: graded `n_orphans_removed` = 1, a
+    * second vacuum finds nothing (idempotent), and both committed
+    * versions still aggregate exactly — vacuum never touches
+    * referenced files. The orphan is backdated past the age gate the
+    * way a real crashed writer's debris would have aged. */
+  def txnVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_vacuum")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    transact(spark, root, "bump",
+      snap => snap.withColumn("cents", col("cents") + 1L))
+    // the crash: attempt written, commit never reached
+    val crashed =
+      try {
+        transact(spark, root, "crashed",
+          snap => snap.withColumn("cents", col("cents") * 2L),
+          beforeCommit = () => throw new RuntimeException("writer died"))
+        false
+      } catch { case e: RuntimeException => e.getMessage == "writer died" }
+    // age the debris past the gate (a real orphan would have)
+    val dataDir = new java.io.File(s"$root/data")
+    val referenced = (0 to latestVersion(root)).flatMap(v =>
+      readManifest(root, v).files.map(_.path.split('/')(1))).toSet
+    dataDir.listFiles().filter(d => !referenced.contains(d.getName))
+      .foreach(d => d.setLastModified(System.currentTimeMillis() - 7200000L))
+    val removed = vacuum(root).toLong
+    val removedAgain = vacuum(root).toLong
+    readVersion(spark, root, 1)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents_v1"))
+      .crossJoin(broadcast(readVersion(spark, root, 0)
+        .agg(sum("cents").as("sum_cents_v0"))))
+      .withColumn("crashed_writer_staged", lit(crashed))
+      .withColumn("n_orphans_removed", lit(removed))
+      .withColumn("vacuum_idempotent", lit(removedAgain == 0L))
+  }
+
+  val txnVacuumOracle: String = """
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             + count(1) AS BIGINT) AS sum_cents_v1,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents_v0,
+           true AS crashed_writer_staged,
+           CAST(1 AS BIGINT) AS n_orphans_removed,
+           true AS vacuum_idempotent
+    FROM orders"""
+
+  /** qd2: SCHEMA EVOLUTION as a COMMIT — the q2e mergeSchema reality
+    * moved where it belongs at scale: the manifest pins each version's
+    * schema, so widening is just a commit whose snapshot carries the
+    * new column, and readers of ANY version get exactly that version's
+    * schema (old files are never rewritten; time travel to v0 yields
+    * the 2-column table, no phantom NULL column). v2 then MERGES on
+    * the evolved schema, proving later commits compose with the wider
+    * shape. Graded per version: column count, rows, cents, and the
+    * channel distribution (v0 reports 0s — the column does not exist
+    * there, not "is NULL there"). */
+  def txnSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_evolve")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    transact(spark, root, "widen", snap => snap.withColumn("channel",
+      when(col("k") % 3 === 0, "web").otherwise("store")))
+    transact(spark, root, "bump_web", snap => snap.withColumn("cents",
+      when(col("channel") === "web", col("cents") + 5L)
+        .otherwise(col("cents"))))
+    val perVersion = (0 to 2).map { v =>
+      val snap = readVersion(spark, root, v)
+      val hasChannel = snap.columns.contains("channel")
+      val webRows =
+        if (hasChannel) sum(when(col("channel") === "web", 1L).otherwise(0L))
+        else lit(0L)
+      snap.agg(
+          count(lit(1)).as("n_rows"),
+          sum("cents").as("sum_cents"),
+          webRows.as("web_rows"))
+        .withColumn("version", lit(v.toLong))
+        .withColumn("n_cols", lit(snap.columns.length.toLong))
+    }
+    perVersion.reduce(_ unionByName _)
+      .select("version", "n_cols", "n_rows", "sum_cents", "web_rows")
+      .orderBy("version")
+  }
+
+  val txnSchemaEvolutionOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey % 3 = 0 AS web
+      FROM orders)
+    SELECT CAST(0 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+           CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS web_rows
+    FROM b
+    UNION ALL
+    SELECT 1, 3, CAST(count(1) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(sum(CASE WHEN web THEN 1 ELSE 0 END) AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT 2, 3, CAST(count(1) AS BIGINT),
+           CAST(sum(cents + CASE WHEN web THEN 5 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN web THEN 1 ELSE 0 END) AS BIGINT)
+    FROM b
+    ORDER BY version"""
+
+  /** qd3: CDC FROM THE LOG — `table_changes(v_from, v_to)` derived
+    * purely from the immutable snapshots (q2g's diff lifted onto the
+    * log: no write-path capture needed, any two committed versions
+    * diff after the fact). Over the qcu-shaped history (merge then
+    * delete), the change classes and their cents deltas are graded
+    * for BOTH hops; `unchanged` rows are counted but carry no delta.
+    * One co-located full-outer join per hop at 100 TB. */
+  def txnTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_changes")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    transact(spark, root, "merge", { snap =>
+      val updated = snap.withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 1000L).otherwise(col("cents")))
+      val inserts = snap.where(col("k") % 101 === 0)
+        .select((-col("k") - 1).as("k"), lit(4200L).as("cents"))
+      updated.unionByName(inserts)
+    })
+    transact(spark, root, "delete",
+      snap => snap.where(!(col("k") % 5 === 0)))
+    def hop(vFrom: Int, vTo: Int): DataFrame =
+      changes(spark, root, vFrom, vTo, "cents")
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("post"), lit(0L)) - coalesce(col("pre"), lit(0L)))
+            .as("cents_delta"))
+        .withColumn("v_from", lit(vFrom.toLong))
+        .withColumn("v_to", lit(vTo.toLong))
+    hop(0, 1).unionByName(hop(1, 2))
+      .select("v_from", "v_to", "change_type", "n", "cents_delta")
+      .orderBy("v_from", "change_type")
+  }
+
+  val txnTableChangesOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    v1 AS (
+      SELECT k, cents + CASE WHEN k % 7 = 0 THEN 1000 ELSE 0 END AS cents
+      FROM b
+      UNION ALL
+      SELECT -k - 1, 4200 FROM b WHERE k % 101 = 0),
+    hop01 AS (
+      SELECT CAST(0 AS BIGINT) AS v_from, CAST(1 AS BIGINT) AS v_to,
+             'insert' AS change_type,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(4200) AS BIGINT) AS cents_delta
+      FROM b WHERE k % 101 = 0
+      UNION ALL
+      SELECT 0, 1, 'update', CAST(count(1) AS BIGINT),
+             CAST(count(1) * 1000 AS BIGINT)
+      FROM b WHERE k % 7 = 0
+      UNION ALL
+      SELECT 0, 1, 'unchanged', CAST(count(1) AS BIGINT), 0
+      FROM b WHERE k % 7 <> 0),
+    hop12 AS (
+      SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'delete',
+             CAST(count(1) AS BIGINT), CAST(-sum(cents) AS BIGINT)
+      FROM v1 WHERE k % 5 = 0
+      UNION ALL
+      SELECT 1, 2, 'unchanged', CAST(count(1) AS BIGINT), 0
+      FROM v1 WHERE k % 5 <> 0)
+    SELECT * FROM hop01 UNION ALL SELECT * FROM hop12
+    ORDER BY v_from, change_type"""
 }

@@ -107,6 +107,74 @@ class TxnTableSpec extends SparkSpec {
     assert(pe.where(col("k") === edge).count() == 1)
   }
 
+  test("optimize compacts files under the log; data and history unchanged") {
+    val (r, df) = mkTable("optimize", n = 4000, shards = 32)
+    val v = TxnTable.optimize(spark, r, 4)
+    assert(v == 1)
+    assert(TxnTable.readManifest(r, 0).files.size == 32)
+    assert(TxnTable.readManifest(r, 1).files.size == 4)
+    val v1 = TxnTable.readVersion(spark, r, 1)
+    assert(v1.exceptAll(df).count() == 0 && df.exceptAll(v1).count() == 0)
+    // v0 still reads from its own immutable files after the rewrite
+    assert(TxnTable.readVersion(spark, r, 0).exceptAll(df).count() == 0)
+  }
+
+  test("vacuum removes only unreferenced attempt dirs, and is idempotent") {
+    val (r, _) = mkTable("vacuum")
+    TxnTable.transact(spark, r, "bump", snap => snap.withColumn("v", col("v") + 1))
+    // crash a writer between data write and commit (the real code path)
+    intercept[RuntimeException] {
+      TxnTable.transact(spark, r, "crash",
+        snap => snap.withColumn("v", col("v") * 2),
+        beforeCommit = () => throw new RuntimeException("died"))
+    }
+    val dataDirs = () =>
+      new java.io.File(s"$r/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs().length == 3, "orphan attempt dir must exist pre-vacuum")
+    // a too-young orphan is protected by the age gate (live-writer guard)
+    assert(TxnTable.vacuum(r) == 0)
+    val referenced = (0 to TxnTable.latestVersion(r)).flatMap(v =>
+      TxnTable.readManifest(r, v).files.map(_.path.split('/')(1))).toSet
+    dataDirs().filter(d => !referenced.contains(d.getName))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(TxnTable.vacuum(r) == 1)
+    assert(TxnTable.vacuum(r) == 0, "second vacuum must find nothing")
+    assert(dataDirs().length == 2)
+    // committed versions untouched
+    assert(TxnTable.readVersion(spark, r, 0).count() == 1000)
+    assert(TxnTable.readVersion(spark, r, 1).count() == 1000)
+  }
+
+  test("changes classifies insert/delete/update/unchanged exactly") {
+    val (r, _) = mkTable("changes", n = 100)
+    TxnTable.transact(spark, r, "mix", { snap =>
+      val kept = snap.where(col("k") =!= 0) // delete k=0
+      val updated = kept.withColumn("v",
+        when(col("k") === 1, col("v") + 100).otherwise(col("v"))) // update k=1
+      updated.unionByName( // insert k=-1
+        spark.range(1).select(lit(-1L).as("k"), lit(7L).as("v")))
+    })
+    val byType = TxnTable.changes(spark, r, 0, 1, "v")
+      .groupBy("change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byType == Map(
+      "insert" -> 1L, "delete" -> 1L, "update" -> 1L, "unchanged" -> 98L),
+      byType.toString)
+  }
+
+  test("schema evolution: each version reads back with its own pinned schema") {
+    val (r, _) = mkTable("evolve")
+    TxnTable.transact(spark, r, "widen",
+      snap => snap.withColumn("w", col("k") % 2))
+    assert(TxnTable.readVersion(spark, r, 0).columns.toSeq == Seq("k", "v"),
+      "time travel to v0 must NOT surface the later column")
+    assert(TxnTable.readVersion(spark, r, 1).columns.toSeq == Seq("k", "v", "w"))
+    // a later commit composes on the evolved schema
+    TxnTable.transact(spark, r, "use_w",
+      snap => snap.withColumn("v", col("v") + col("w")))
+    assert(TxnTable.readVersion(spark, r, 2).columns.toSeq == Seq("k", "v", "w"))
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)

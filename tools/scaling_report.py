@@ -1,13 +1,21 @@
 #!/usr/bin/env python3
-"""Per-query scaling-slope table: sf0.01 vs sf0.1 bench runs.
+"""Per-query scaling-slope table over two or three scale points.
 
-Usage: python3 tools/scaling_report.py <bench_small.json> <bench_big.json>
+Usage:
+  python3 tools/scaling_report.py <bench_sf0.01.json> <bench_sf0.1.json>
+  python3 tools/scaling_report.py <bench_sf0.001.json> <bench_sf0.01.json> <bench_sf0.1.json>
 
-Emits a markdown table of per-query times and the time ratio across the
-10x data-scale step, sorted by ratio descending. A ratio well above the
-data ratio (10x) flags superlinear work; ratios near 1 mean the query is
-dominated by fixed overhead at these scales (fine). The known
-quadratic-by-contract queries are annotated rather than flagged.
+Emits a markdown table of per-query times, the per-decade time ratios,
+and (3-point mode) a curvature column = ratio2/ratio1: how much the
+slope GREW from the first decade to the second. A ratio well above the
+data ratio (10x) flags superlinear work; curvature well above 1 on a
+query whose second-decade ratio is already substantial flags hidden
+acceleration that a single ratio hides (a query can look 8x on one
+decade and be quietly quadratic). Ratios near 1 mean fixed overhead
+dominates at these scales (fine — and why small-end curvature alone is
+NOT flagged: the first decade of a tiny query measures JVM constants,
+not data-dependent work). The known quadratic-by-contract queries are
+annotated rather than flagged.
 """
 import json
 import sys
@@ -26,31 +34,68 @@ QUADRATIC_BY_CONTRACT = {
 # data-dependent term should land well under this; 15 leaves headroom
 # for shuffle-constant amortization differences between the two scales
 FLAG_RATIO = 15.0
+# curvature gate: flag only when the slope more than doubled decade-over-
+# decade AND the final-decade ratio is already substantial (>=5x) AND the
+# large-scale time is big enough (>=1s) that the ratio measures data-
+# dependent work rather than constant-overhead noise.
+FLAG_CURVE = 2.0
+FLAG_CURVE_MIN_R2 = 5.0
+FLAG_CURVE_MIN_BIG_S = 1.0
+# r1 only measures data-dependent slope when the MIDPOINT time is above
+# the per-query JVM/planning floor; below it, t(small)~=t(mid)~=overhead
+# makes r1~=1 and curvature~=r2 — overhead floor, not acceleration.
+FLAG_CURVE_MIN_MID_S = 0.5
 
 
-def main(small_path, big_path):
-    small = json.load(open(small_path))
-    big = json.load(open(big_path))
-    s = {k: v["min"] for k, v in small["queries"].items() if v["min"] >= 0}
-    b = {k: v["min"] for k, v in big["queries"].items() if v["min"] >= 0}
+def load(path):
+    d = json.load(open(path))
+    return (d["sf"].split("/")[-1],
+            {k: v["min"] for k, v in d["queries"].items() if v["min"] >= 0})
+
+
+def main(paths):
+    pts = [load(p) for p in paths]
+    names = [sf for sf, _ in pts]
+    common = sorted(set.intersection(*[set(q) for _, q in pts]))
     rows = []
-    for q in sorted(set(s) & set(b)):
-        ratio = b[q] / max(s[q], 1e-3)
-        rows.append((ratio, q, s[q], b[q]))
+    for q in common:
+        ts = [pt[q] for _, pt in pts]
+        ratios = [ts[i + 1] / max(ts[i], 1e-3) for i in range(len(ts) - 1)]
+        rows.append((ratios[-1], q, ts, ratios))
     rows.sort(reverse=True)
-    flagged = []
-    print(f"| query | {small['sf'].split('/')[-1]} s | "
-          f"{big['sf'].split('/')[-1]} s | ratio | note |")
-    print("|---|---|---|---|---|")
-    for ratio, q, st, bt in rows:
+    flagged, curved = [], []
+    hdr = " | ".join(f"{n} s" for n in names)
+    if len(pts) == 3:
+        print(f"| query | {hdr} | r1 | r2 | curvature | note |")
+        print("|---|---|---|---|---|---|---|")
+    else:
+        print(f"| query | {hdr} | ratio | note |")
+        print("|---|---|---|---|---|")
+    for last_ratio, q, ts, ratios in rows:
         note = QUADRATIC_BY_CONTRACT.get(q, "")
-        if ratio > FLAG_RATIO and q not in QUADRATIC_BY_CONTRACT:
+        if last_ratio > FLAG_RATIO and q not in QUADRATIC_BY_CONTRACT:
             note = "**FLAG: superlinear?**"
             flagged.append(q)
-        print(f"| {q} | {st:.2f} | {bt:.2f} | {ratio:.1f}x | {note} |")
+        tcols = " | ".join(f"{t:.2f}" for t in ts)
+        if len(pts) == 3:
+            r1, r2 = ratios
+            curve = r2 / max(r1, 1e-3)
+            if (q not in QUADRATIC_BY_CONTRACT and curve >= FLAG_CURVE
+                    and r2 >= FLAG_CURVE_MIN_R2
+                    and ts[-1] >= FLAG_CURVE_MIN_BIG_S
+                    and ts[1] >= FLAG_CURVE_MIN_MID_S):
+                note = (note + " " if note else "") + "**FLAG: accelerating**"
+                curved.append(q)
+            print(f"| {q} | {tcols} | {r1:.1f}x | {r2:.1f}x "
+                  f"| {curve:.2f} | {note} |")
+        else:
+            print(f"| {q} | {tcols} | {ratios[0]:.1f}x | {note} |")
     print()
     print(f"flagged: {len(flagged)} ({', '.join(flagged) if flagged else '-'})")
+    if len(pts) == 3:
+        print(f"accelerating: {len(curved)} "
+              f"({', '.join(curved) if curved else '-'})")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1:])
