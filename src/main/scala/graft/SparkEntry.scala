@@ -382,6 +382,8 @@ object SparkEntry {
     "qd1_txn_vacuum"        -> (graft.sources.TxnTable.txnVacuum _),
     "qd2_txn_schema_evolution" -> (graft.sources.TxnTable.txnSchemaEvolution _),
     "qd3_txn_table_changes" -> (graft.sources.TxnTable.txnTableChanges _),
+    "qd4_txn_streaming_ingest" -> (graft.sources.TxnTable.txnStreamingIngest _),
+    "qd5_txn_append_log"    -> (graft.sources.TxnTable.txnAppendLog _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1023,6 +1025,8 @@ object SparkEntry {
     "qd1_txn_vacuum"         -> graft.sources.TxnTable.txnVacuumOracle,
     "qd2_txn_schema_evolution" -> graft.sources.TxnTable.txnSchemaEvolutionOracle,
     "qd3_txn_table_changes"  -> graft.sources.TxnTable.txnTableChangesOracle,
+    "qd4_txn_streaming_ingest" -> graft.sources.TxnTable.txnStreamingIngestOracle,
+    "qd5_txn_append_log"     -> graft.sources.TxnTable.txnAppendLogOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

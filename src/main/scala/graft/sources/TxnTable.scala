@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *   root/data/v{V}-{attempt}/__shard=N/part-*.parquet   immutable data
   *   root/_log/v{V}.json                                 commit log
   *
-  * A manifest is a FULL SNAPSHOT: the complete list of live data files
-  * at that version, each with per-file (n_rows, min_key, max_key)
-  * stats — the qaz skipping manifest made load-bearing ([[prunedRead]]
-  * consults exactly these stats to open a strict subset of files).
+  * A resolved manifest is a FULL SNAPSHOT: the complete list of live
+  * data files at that version, each with per-file (n_rows, min_key,
+  * max_key) stats — the qaz skipping manifest made load-bearing
+  * ([[prunedRead]] consults exactly these stats to open a strict
+  * subset of files).
   *
   * COMMIT = atomic put-if-absent of `_log/v{V}.json`: the manifest is
   * fully written to a temp name, then `Files.createLink` (hard link —
@@ -44,10 +45,12 @@ import org.apache.spark.sql.functions._
   * data scan. On an object store without atomic link semantics the
   * put-if-absent swaps to the store's CAS primitive (S3
   * If-None-Match / DynamoDB conditional put — the documented Delta
-  * approach); the protocol above it is unchanged. A production format
-  * would add delta manifests + periodic checkpoints instead of
-  * full-snapshot manifests; full snapshots keep v1 honest and O(files)
-  * per commit is the same asymptotic class either way.
+  * approach); the protocol above it is unchanged. Rewriting ops
+  * (create/transact/optimize) commit full-snapshot manifests; the
+  * [[append]] ingest path commits O(batch) DELTA manifests with
+  * periodic full checkpoints (see [[Manifest.deltaOf]]), so continuous
+  * ingest never pays O(table) in data OR metadata per batch —
+  * exercised end-to-end by [[txnStreamingIngest]] (qd4).
   *
   * Reference anchor: the reference engine
   * (`MovieLensRecommender.py:13-259`) has no table layer at all — this
@@ -60,9 +63,22 @@ object TxnTable {
   /** One committed version. `layoutDiv`/`shards` pin the shard layout
     * chosen at create time so every later commit re-shards
     * consistently; `schemaDdl` pins the read schema (never inference
-    * at scale — the q2b doctrine). */
+    * at scale — the q2b doctrine).
+    *
+    * `deltaOf` = -1 marks a FULL snapshot manifest (`files` is the
+    * complete live list — also the checkpoint role); `deltaOf` >= 0
+    * marks a DELTA manifest whose on-disk `files` are only the ADDS on
+    * top of version `deltaOf` — O(batch) metadata per append instead
+    * of O(table), the production-format caveat the v1 scaladoc
+    * promised. [[readManifest]] always returns the RESOLVED full list;
+    * [[readManifestRaw]] exposes the on-disk shape. Append-only deltas
+    * never remove files, so resolution is pure concatenation; every
+    * rewriting op (create/transact/optimize) and every
+    * `checkpointEvery`-th append commits full, bounding the resolve
+    * chain the way Delta's `_last_checkpoint` does. */
   final case class Manifest(version: Int, op: String, keyCol: String,
-      schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry])
+      schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
+      deltaOf: Int = -1)
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -74,7 +90,7 @@ object TxnTable {
       .mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${m.op}","key_col":"${m.keyCol}",""" +
       s""""schema":"${m.schemaDdl}","shards":${m.shards},""" +
-      s""""layout_div":${m.layoutDiv},"files":$fs}"""
+      s""""layout_div":${m.layoutDiv},"delta_of":${m.deltaOf},"files":$fs}"""
   }
 
   private val FileRe =
@@ -94,7 +110,8 @@ object TxnTable {
     fieldNum(json, "shards").toInt, fieldNum(json, "layout_div"),
     FileRe.findAllMatchIn(json).map(m => FileEntry(
       m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
-      .toSeq)
+      .toSeq,
+    fieldNum(json, "delta_of").toInt)
 
   /** Highest committed version, or -1 for an empty log. O(versions)
     * listing of tiny JSON names — metadata scale. */
@@ -113,8 +130,26 @@ object TxnTable {
     }
   }
 
-  def readManifest(root: String, version: Int): Manifest =
+  /** The on-disk manifest: a delta's `files` are only its adds. */
+  def readManifestRaw(root: String, version: Int): Manifest =
     parse(Files.readString(logFile(root, version)))
+
+  /** The RESOLVED manifest: a delta chain concatenates its ancestors'
+    * files back to the nearest full snapshot (append-only deltas never
+    * remove). O(chain depth) tiny JSON reads, bounded by the append
+    * path's `checkpointEvery`. */
+  def readManifest(root: String, version: Int): Manifest = {
+    val m = readManifestRaw(root, version)
+    if (m.deltaOf < 0) m
+    else m.copy(files = readManifest(root, m.deltaOf).files ++ m.files)
+  }
+
+  /** Number of manifests a resolution of `version` reads — the graded
+    * evidence that checkpoints bound the log tail. */
+  def resolveDepth(root: String, version: Int): Int = {
+    val m = readManifestRaw(root, version)
+    if (m.deltaOf < 0) 1 else 1 + resolveDepth(root, m.deltaOf)
+  }
 
   /** ATOMIC put-if-absent commit: returns false (and cleans the temp)
     * if `version` was already taken by a concurrent writer — the
@@ -194,11 +229,67 @@ object TxnTable {
     * never surfaces in the logical table. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val m = readManifest(root, version)
-    val paths = m.files.map(f => s"$root/${f.path}")
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      .parquet(paths: _*)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    if (m.files.isEmpty) // a created-empty ingest table before its first append
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(m.files.map(f => s"$root/${f.path}"): _*)
   }
+
+  /** Create version 0 of an EMPTY table with an explicitly pinned
+    * layout — the streaming-ingest shape, where the key range is known
+    * by contract before any row arrives. */
+  def createEmpty(spark: SparkSession, root: String, schemaDdl: String,
+      keyCol: String, shards: Int, layoutDiv: Long): Manifest = {
+    graft.Fs.deleteRecursively(root)
+    val m = Manifest(0, "create_empty", keyCol, schemaDdl, shards, layoutDiv, Nil)
+    require(commit(root, 0, m), s"create raced on fresh root $root")
+    m
+  }
+
+  /** True APPEND commit: writes ONLY the batch's data files (never
+    * rewrites the table — the property that makes continuous ingest
+    * possible at 100 TB) and commits a DELTA manifest carrying just
+    * those adds, except every `checkpointEvery`-th version, which
+    * commits a full snapshot so resolve chains stay bounded. A lost
+    * commit race needs no data rework: the batch files are
+    * version-independent adds, so the retry re-stamps them under the
+    * new version by re-writing the (small) batch only. Returns
+    * (committed version, conflicts). */
+  def append(spark: SparkSession, root: String, df: DataFrame, op: String,
+      checkpointEvery: Int = 4, maxRetries: Int = 5): (Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      require(v >= 0, s"append on uncreated table $root")
+      val base = readManifest(root, v)
+      // align to the table's pinned column order; a mismatched batch
+      // schema fails here loudly rather than as a torn parquet union
+      val batch = df.select(org.apache.spark.sql.types.StructType
+        .fromDDL(base.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
+      val adds = writeSnapshot(spark, root, v + 1, op, batch, base.keyCol,
+        base.shards, base.layoutDiv)
+      // always carry the table's pinned DDL (the batch df's own DDL can
+      // differ in nullability flags and would fork the read schema)
+      val m =
+        if ((v + 1) % checkpointEvery == 0)
+          adds.copy(schemaDdl = base.schemaDdl,
+            files = base.files ++ adds.files, deltaOf = -1)
+        else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v)
+      if (commit(root, v + 1, m)) return (v + 1, conflicts)
+      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
+      graft.Fs.deleteRecursively(s"$root/$attemptDir")
+      conflicts += 1
+    }
+    sys.error(s"append gave up after $maxRetries conflicts on $root")
+  }
+
+  /** Has a commit with this exact `op` (the sink's transaction id)
+    * already landed? O(versions) tiny raw reads — the Delta
+    * txnAppId/txnVersion idempotence ledger, with the op field as the
+    * ledger entry. */
+  def committedOp(root: String, op: String): Boolean =
+    (0 to latestVersion(root)).exists(v => readManifestRaw(root, v).op == op)
 
   /** Optimistic transaction: `mkUpdate` maps the CURRENT snapshot to
     * the full next-version frame (so re-running it against a newer
@@ -740,4 +831,182 @@ object TxnTable {
       FROM v1 WHERE k % 5 <> 0)
     SELECT * FROM hop01 UNION ALL SELECT * FROM hop12
     ORDER BY v_from, change_type"""
+
+  // ------------------------------------------------------------------
+  // qd5: DELTA MANIFESTS + LOG CHECKPOINTS on the append path
+  // ------------------------------------------------------------------
+
+  /** qd5: a 10-append ingest chain (documents, one key-decile per
+    * batch) with `checkpointEvery` = 4. The log shape is part of the
+    * graded contract: 11 versions; exactly 3 FULL manifests (the empty
+    * create + the v4/v8 checkpoints) and 8 deltas; the head resolves
+    * in 3 manifest reads (v10 → v9 → v8-full), NOT 11 — the bounded
+    * log tail that makes O(10⁶)-commit tables readable. Mid-chain time
+    * travel (v5, resolved THROUGH a delta chain across the v4
+    * checkpoint) and a manifest-pruned range probe at the head are
+    * both replayed arithmetically by the oracle from the same
+    * slice/shard formulas, so a wrong resolution (double-counted adds,
+    * a missed checkpoint boundary, stale stats) shifts a graded
+    * column. Appends write only their decile's ~2 shard files — the
+    * O(batch) data AND metadata cost continuous ingest requires. */
+  def txnAppendLog(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_appendlog")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars"))
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    createEmpty(spark, root, docs.schema.toDDL, "k", 16, mx + 1)
+    val sliced = docs.withColumn("slice",
+      expr(s"k * 10 div ${mx + 1}")).cache()
+    sliced.count() // materialize BEFORE the sequential appends reuse it
+    try {
+      (0 until 10).foreach { i =>
+        append(spark, root,
+          sliced.where(col("slice") === i).drop("slice"), f"slice_$i%02d")
+      }
+      val latest = latestVersion(root)
+      val raw = (0 to latest).map(readManifestRaw(root, _))
+      val (probeLo, probeHi) = (mx / 2, mx / 2 + mx / 20)
+      val (pruned, nRead, nTotal) =
+        prunedRead(spark, root, latest, probeLo, probeHi)
+      val hit = col("k").between(probeLo, probeHi)
+      readVersion(spark, root, latest)
+        .agg(count(lit(1)).as("n_rows_latest"),
+          sum("n_chars").as("chars_sum_latest"))
+        .crossJoin(broadcast(pruned.agg(
+          sum(when(hit, 1L).otherwise(0L)).as("probe_rows"),
+          sum(when(hit, col("k")).otherwise(0L)).as("id_checksum"))))
+        .withColumn("n_versions", lit(latest + 1L))
+        .withColumn("n_full_manifests", lit(raw.count(_.deltaOf < 0).toLong))
+        .withColumn("n_delta_manifests", lit(raw.count(_.deltaOf >= 0).toLong))
+        .withColumn("depth_latest", lit(resolveDepth(root, latest).toLong))
+        .withColumn("rows_v5", lit(readVersion(spark, root, 5).count()))
+        .withColumn("n_files_read", lit(nRead.toLong))
+        .withColumn("n_files_total", lit(nTotal.toLong))
+        .withColumn("pruned_strictly", lit(nRead < nTotal))
+    } finally sliced.unpersist()
+  }
+
+  /** Replays the decile/shard file structure, the mid-chain v5 row
+    * count, the head aggregates, and the probe's file-overlap
+    * arithmetic; the log-shape constants (11/3/8/3) are the protocol
+    * contract. */
+  val txnAppendLogOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    d AS (
+      SELECT doc_id, n_chars,
+             doc_id * 10 // (m.mx + 1) AS slice,
+             doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    f AS (
+      SELECT slice, shard, min(doc_id) AS mn, max(doc_id) AS mx2
+      FROM d GROUP BY slice, shard),
+    probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 20 AS hi FROM m),
+    kept AS (
+      SELECT count(1) AS n_read FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n_total FROM f),
+    v5 AS (SELECT count(1) AS n FROM d WHERE slice < 5),
+    hits AS (
+      SELECT CAST(count(1) AS BIGINT) AS probe_rows,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM d, probe WHERE doc_id BETWEEN probe.lo AND probe.hi),
+    tot AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows_latest,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum_latest
+      FROM d)
+    SELECT tot.n_rows_latest, tot.chars_sum_latest,
+           hits.probe_rows, hits.id_checksum,
+           CAST(11 AS BIGINT) AS n_versions,
+           CAST(3 AS BIGINT) AS n_full_manifests,
+           CAST(8 AS BIGINT) AS n_delta_manifests,
+           CAST(3 AS BIGINT) AS depth_latest,
+           CAST(v5.n AS BIGINT) AS rows_v5,
+           CAST(kept.n_read AS BIGINT) AS n_files_read,
+           CAST(total.n_total AS BIGINT) AS n_files_total,
+           kept.n_read < total.n_total AS pruned_strictly
+    FROM tot, hits, v5, kept, total"""
+
+  // ------------------------------------------------------------------
+  // qd4: EXACTLY-ONCE STREAMING INGEST into the transactional table
+  // ------------------------------------------------------------------
+
+  /** qd4: the composition the pieces exist for — qcw's foreachBatch
+    * txn-id idempotence, landing in THIS table format instead of a
+    * marker-file sink: each microbatch [[append]]s under op =
+    * `ingest_batch_<id>` (the Delta txnAppId/txnVersion ledger, with
+    * the manifest op field as the ledger), so a re-delivered batch
+    * (staged here by deleting the engine's last commit ack — the
+    * lost-ack crash window) finds its op already committed and SKIPS:
+    * no duplicate version, no duplicate rows. Appends write ONLY the
+    * batch's files as DELTA manifests; the 4th append lands on the
+    * checkpoint boundary, so the final version resolves in ONE
+    * manifest read (`depth_latest` = 1, graded). The per-bucket
+    * aggregate over the final table replays from the Lehmer closed
+    * form — any duplicated or dropped batch shifts every column. */
+  def txnStreamingIngest(spark: SparkSession, dir: String): DataFrame = {
+    val rows = 16384L; val batch = 4096L
+    val root = graft.Fs.scratch("graft_txn_ingest")
+    val ckptDir = graft.Fs.scratch("graft_txn_ingest_ckpt")
+    graft.Fs.deleteRecursively(ckptDir)
+    createEmpty(spark, root, SynthSource.schema.toDDL, "id", 8, rows)
+    val replayed = new java.util.concurrent.atomic.AtomicLong(0)
+    val writeBatch: (DataFrame, Long) => Unit = (df, id) => {
+      val op = f"ingest_batch_$id%04d"
+      if (committedOp(root, op)) replayed.incrementAndGet()
+      else append(spark, root, df, op)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.format("graft.sources.SynthStream")
+        .option("rows", rows.toString).option("batch", batch.toString)
+        .load()
+      val q = graft.SessionConf.withShufflePartitions(spark, 8) {
+        stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .foreachBatch(writeBatch)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    // the lost-ack crash window: the sink's txn committed, the engine's
+    // ack lost — recovery must re-deliver, and the ledger must dedup
+    val commits = new java.io.File(s"$ckptDir/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    require(commits.nonEmpty && new java.io.File(
+      s"$ckptDir/commits/${commits.last.getName}").delete(),
+      "could not stage the lost-ack crash window")
+    new java.io.File(s"$ckptDir/commits/.${commits.last.getName}.crc").delete()
+    run()
+    val latest = latestVersion(root)
+    readVersion(spark, root, latest)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value_e6").as("sum_lehmer"),
+        countDistinct("id").as("n_distinct"))
+      .withColumn("n_versions", lit(latest + 1L))
+      .withColumn("n_replayed", lit(replayed.get()))
+      .withColumn("depth_latest", lit(resolveDepth(root, latest).toLong))
+      .orderBy("bucket")
+  }
+
+  /** Lehmer closed form per bucket + the protocol constants: 5
+    * versions (create + 4 appends), exactly 1 replayed-and-skipped
+    * batch, resolve depth 1 at the checkpointed head. */
+  val txnStreamingIngestOracle: String = """
+    WITH g AS (
+      SELECT i AS id,
+             ((i % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+               AS value_e6,
+             'b' || CAST(i % 10 AS VARCHAR) AS bucket
+      FROM (SELECT unnest(range(16384)) AS i))
+    SELECT bucket, CAST(count(1) AS BIGINT) AS n,
+           CAST(sum(value_e6) AS BIGINT) AS sum_lehmer,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+           CAST(5 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_replayed,
+           CAST(1 AS BIGINT) AS depth_latest
+    FROM g GROUP BY bucket ORDER BY bucket"""
 }

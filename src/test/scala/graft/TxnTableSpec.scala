@@ -175,6 +175,50 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.readVersion(spark, r, 2).columns.toSeq == Seq("k", "v", "w"))
   }
 
+  test("append commits O(batch) delta manifests with periodic full checkpoints") {
+    val r = root("append")
+    TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 8, 1000L)
+    (0 until 6).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100L)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val (ver, conflicts) = TxnTable.append(spark, r, batch, s"b$i")
+      assert(ver == i + 1 && conflicts == 0)
+    }
+    // raw shape: v0 full (create), v4 full (checkpoint), rest delta
+    (0 to 6).foreach { v =>
+      val raw = TxnTable.readManifestRaw(r, v)
+      if (v == 0 || v == 4) assert(raw.deltaOf == -1, s"v$v must be full")
+      else assert(raw.deltaOf == v - 1, s"v$v must be a delta of ${v - 1}")
+    }
+    // a delta's on-disk files are ONLY its adds; resolution accumulates
+    assert(TxnTable.readManifestRaw(r, 6).files.map(_.nRows).sum == 100)
+    assert(TxnTable.readManifest(r, 6).files.map(_.nRows).sum == 600)
+    // resolve depth bounded by the checkpoint: v6 -> v5 -> v4(full)
+    assert(TxnTable.resolveDepth(r, 6) == 3)
+    assert(TxnTable.resolveDepth(r, 4) == 1)
+    // reads are exact through the chain, mid-chain and at the head
+    assert(TxnTable.readVersion(spark, r, 3).count() == 300)
+    val head = TxnTable.readVersion(spark, r, 6)
+    assert(head.count() == 600)
+    assert(head.agg(sum("v")).head().getLong(0) == (0L until 600L).map(_ * 2).sum)
+    // the committedOp ledger sees every append's txn id, and only those
+    assert((0 until 6).forall(i => TxnTable.committedOp(r, s"b$i")))
+    assert(!TxnTable.committedOp(r, "b6"))
+  }
+
+  test("pruned read through a delta chain uses the appended files' stats") {
+    val r = root("appendprune")
+    TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 8, 800L)
+    (0 until 4).foreach { i =>
+      val batch = spark.range(i * 200L, i * 200L + 200L)
+        .select(col("id").as("k"), lit(1L).as("v"))
+      TxnTable.append(spark, r, batch, s"b$i")
+    }
+    val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 4, 450L, 480L)
+    assert(nRead < nTotal, s"no pruning: $nRead of $nTotal")
+    assert(pruned.where(col("k").between(450, 480)).count() == 31)
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
