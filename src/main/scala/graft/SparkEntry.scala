@@ -384,6 +384,7 @@ object SparkEntry {
     "qd3_txn_table_changes" -> (graft.sources.TxnTable.txnTableChanges _),
     "qd4_txn_streaming_ingest" -> (graft.sources.TxnTable.txnStreamingIngest _),
     "qd5_txn_append_log"    -> (graft.sources.TxnTable.txnAppendLog _),
+    "qd6_txn_zorder"        -> (graft.sources.TxnTable.txnZorder _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1027,6 +1028,7 @@ object SparkEntry {
     "qd3_txn_table_changes"  -> graft.sources.TxnTable.txnTableChangesOracle,
     "qd4_txn_streaming_ingest" -> graft.sources.TxnTable.txnStreamingIngestOracle,
     "qd5_txn_append_log"     -> graft.sources.TxnTable.txnAppendLogOracle,
+    "qd6_txn_zorder"         -> graft.sources.TxnTable.txnZorderOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -57,8 +57,12 @@ import org.apache.spark.sql.functions._
   * is part of the §2.3 extension surface a real pipeline needs. */
 object TxnTable {
 
-  /** One live data file with its skipping stats. */
-  final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long)
+  /** One live data file with its skipping stats. `minK2`/`maxK2` carry
+    * a SECOND column's range when the table is multi-dimensionally
+    * clustered (see [[createZordered]]); the full-range sentinels make
+    * a missing second dimension prune nothing rather than everything. */
+  final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long,
+      minK2: Long = Long.MinValue, maxK2: Long = Long.MaxValue)
 
   /** One committed version. `layoutDiv`/`shards` pin the shard layout
     * chosen at create time so every later commit re-shards
@@ -78,7 +82,7 @@ object TxnTable {
     * chain the way Delta's `_last_checkpoint` does. */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
-      deltaOf: Int = -1)
+      deltaOf: Int = -1, keyCol2: String = "")
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -86,15 +90,18 @@ object TxnTable {
 
   private def toJson(m: Manifest): String = {
     val fs = m.files.map(f =>
-      s"""{"path":"${f.path}","n_rows":${f.nRows},"min_k":${f.minK},"max_k":${f.maxK}}""")
+      s"""{"path":"${f.path}","n_rows":${f.nRows},"min_k":${f.minK},"max_k":${f.maxK},""" +
+        s""""min_k2":${f.minK2},"max_k2":${f.maxK2}}""")
       .mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${m.op}","key_col":"${m.keyCol}",""" +
-      s""""schema":"${m.schemaDdl}","shards":${m.shards},""" +
-      s""""layout_div":${m.layoutDiv},"delta_of":${m.deltaOf},"files":$fs}"""
+      s""""key_col2":"${m.keyCol2}","schema":"${m.schemaDdl}",""" +
+      s""""shards":${m.shards},"layout_div":${m.layoutDiv},""" +
+      s""""delta_of":${m.deltaOf},"files":$fs}"""
   }
 
   private val FileRe =
-    """\{"path":"([^"]+)","n_rows":(\d+),"min_k":(-?\d+),"max_k":(-?\d+)\}""".r
+    ("""\{"path":"([^"]+)","n_rows":(\d+),"min_k":(-?\d+),"max_k":(-?\d+),""" +
+      """"min_k2":(-?\d+),"max_k2":(-?\d+)\}""").r
   // schema DDL contains commas, so string fields parse to the CLOSING
   // QUOTE (DDL never embeds one — identifiers quote with backticks)
   private def fieldStr(json: String, name: String): String =
@@ -109,9 +116,11 @@ object TxnTable {
     fieldStr(json, "key_col"), fieldStr(json, "schema"),
     fieldNum(json, "shards").toInt, fieldNum(json, "layout_div"),
     FileRe.findAllMatchIn(json).map(m => FileEntry(
-      m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong))
+      m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+      m.group(5).toLong, m.group(6).toLong))
       .toSeq,
-    fieldNum(json, "delta_of").toInt)
+    fieldNum(json, "delta_of").toInt,
+    fieldStr(json, "key_col2"))
 
   /** Highest committed version, or -1 for an empty log. O(versions)
     * listing of tiny JSON names — metadata scale. */
@@ -177,7 +186,8 @@ object TxnTable {
     * by the shard count (≤ `shards` + a few for out-of-range keys). */
   private def writeSnapshot(spark: SparkSession, root: String, version: Int,
       op: String, df: DataFrame, keyCol: String, shards: Int,
-      layoutDiv: Long): Manifest = {
+      layoutDiv: Long, keyCol2: String = "",
+      shardExprOverride: Option[org.apache.spark.sql.Column] = None): Manifest = {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/v$version%08d-$attempt"
     val out = s"$root/$sub"
@@ -186,18 +196,22 @@ object TxnTable {
     // edge shards instead of minting unbounded extra files; per-file
     // stats stay sound (they are computed from the rows actually
     // present), the edge files just prune less selectively
-    df.withColumn("__shard",
-        expr(s"greatest(0, least(${shards - 1}, $keyCol * $shards div $layoutDiv))"))
+    val shardExpr = shardExprOverride.getOrElse(
+      expr(s"greatest(0, least(${shards - 1}, $keyCol * $shards div $layoutDiv))"))
+    df.withColumn("__shard", shardExpr)
       .repartition(shards, col("__shard"))
       .sortWithinPartitions(keyCol)
       .write.partitionBy("__shard").parquet(out)
     val back = spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(df.schema.toDDL))
       .parquet(out)
+    val k2 = if (keyCol2.nonEmpty) col(keyCol2) else lit(0L)
     val stats = back
-      .select(col(keyCol).as("k"), col("_metadata.file_path").as("fp"))
+      .select(col(keyCol).as("k"), k2.as("k2"),
+        col("_metadata.file_path").as("fp"))
       .groupBy("fp")
-      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+        min("k2").as("mn2"), max("k2").as("mx2"))
       .collect()
     require(stats.length <= shards,
       s"snapshot wrote ${stats.length} files for $shards shards")
@@ -205,10 +219,14 @@ object TxnTable {
     val files = stats.map { r =>
       val full = r.getString(0).stripPrefix("file:").stripPrefix("//")
       val rel = full.substring(full.indexOf(sub))
-      FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+      if (keyCol2.nonEmpty)
+        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      else FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
-    Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files)
+    Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
+      keyCol2 = keyCol2)
   }
 
   /** Create version 0. `layoutDiv` is pinned from max(key)+1 (1-row
@@ -221,6 +239,57 @@ object TxnTable {
     val m = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
+  }
+
+  /** Bit-interleaved (Morton/Z-order) value of two pre-quantized
+    * coordinates, as PURE INTEGER ARITHMETIC — bit i of v is
+    * `(v div 2^i) % 2` — so the SAME formula evaluates identically in
+    * Spark SQL (`divTok` = "div") and in the DuckDB oracle (`divTok` =
+    * "//"): the layout and its replay can never drift. */
+  def zInterleaveExpr(xq: String, yq: String, bits: Int, divTok: String): String =
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"((($xq) $divTok $p) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((($yq) $divTok $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** Create version 0 clustered on the Z-ORDER of two columns: each
+    * coordinate quantizes to `bits` bits against its max (1-row
+    * probes), the interleaved value's top bits pick the shard, and the
+    * manifest carries BOTH columns' per-file min/max — so a 2D box
+    * probe ([[prunedRead2D]]) skips on both dimensions, where a 1D
+    * range layout must read every file the x-range alone touches.
+    * This is the Delta OPTIMIZE ZORDER BY / Iceberg sort-order idea on
+    * this log: multi-dimensional clustering is pure LAYOUT, consumed
+    * through exactly the same manifest-stats seam as 1D pruning. */
+  def createZordered(spark: SparkSession, root: String, df: DataFrame,
+      xCol: String, yCol: String, bits: Int, shards: Int): Manifest = {
+    graft.Fs.deleteRecursively(root)
+    val r = df.agg(max(col(xCol)), max(col(yCol))).head() // 1-row probe (qaq)
+    val (mxX, mxY) = (r.getLong(0), r.getLong(1))
+    val xq = s"($xCol * ${1L << bits} div ${mxX + 1})"
+    val yq = s"($yCol * ${1L << bits} div ${mxY + 1})"
+    val z = zInterleaveExpr(xq, yq, bits, "div")
+    val shardE = expr(s"(($z) * $shards) div ${1L << (2 * bits)}")
+    val m = writeSnapshot(spark, root, 0, "create_zorder", df, xCol, shards,
+      mxX + 1, keyCol2 = yCol, shardExprOverride = Some(shardE))
+    require(commit(root, 0, m), s"create raced on fresh root $root")
+    m
+  }
+
+  /** 2D manifest-pruned read: keep only files whose key range overlaps
+    * [lo, hi] AND whose second-column range overlaps [lo2, hi2]. On a
+    * 1D layout the second test is vacuous (sentinel full ranges); on a
+    * Z-ordered layout both dimensions prune. */
+  def prunedRead2D(spark: SparkSession, root: String, version: Int,
+      lo: Long, hi: Long, lo2: Long, hi2: Long): (DataFrame, Int, Int) = {
+    val m = readManifest(root, version)
+    val keep = m.files.filter(f => !(hi < f.minK || lo > f.maxK) &&
+      !(hi2 < f.minK2 || lo2 > f.maxK2))
+    val df = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+      .parquet(keep.map(f => s"$root/${f.path}"): _*)
+    (df, keep.size, m.files.size)
   }
 
   /** `VERSION AS OF` read: exactly the manifest's file list, with the
@@ -831,6 +900,91 @@ object TxnTable {
       FROM v1 WHERE k % 5 <> 0)
     SELECT * FROM hop01 UNION ALL SELECT * FROM hop12
     ORDER BY v_from, change_type"""
+
+  // ------------------------------------------------------------------
+  // qd6: Z-ORDER CLUSTERING — 2D skipping through the manifest seam
+  // ------------------------------------------------------------------
+
+  /** qd6: the same documents land in TWO tables — a 1D key-range
+    * layout and a Z-ordered (doc_id × n_chars) layout, 64 files each —
+    * and the same 2D box probe reads both through their manifests. The
+    * 1D table can only skip on the x-range (every file spans the full
+    * n_chars range), the Z-ordered table skips on BOTH, so
+    * `n_files_2d < n_files_1d` (replayed, not asserted). Soundness is
+    * hash-coupled exactly as qcv: the box aggregate is computed FROM
+    * the 2D-pruned scan, so a file wrongly skipped shifts
+    * n_rows/id_checksum/chars_sum. The oracle replays the full layout
+    * arithmetic — quantization, bit interleave (the SAME generated
+    * integer formula, `div` vs `//` being the only dialect change),
+    * shard assignment, per-file stats, overlap tests. */
+  def txnZorder(spark: SparkSession, dir: String): DataFrame = {
+    val root1d = graft.Fs.scratch("graft_txn_z1d")
+    val root2d = graft.Fs.scratch("graft_txn_z2d")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    create(spark, root1d, docs, "k", 64)
+    createZordered(spark, root2d, docs, "k", "c", bits = 8, shards = 64)
+    val r = docs.agg(max("k"), max("c")).head()
+    val (mxK, mxC) = (r.getLong(0), r.getLong(1))
+    val (kLo, kHi) = (mxK / 4, mxK / 4 + mxK / 8)
+    val (cLo, cHi) = (mxC / 3, mxC / 3 + mxC / 10)
+    val (_, n1d, _) = prunedRead2D(spark, root1d, 0, kLo, kHi, cLo, cHi)
+    val (pruned2d, n2d, nTot) = prunedRead2D(spark, root2d, 0, kLo, kHi, cLo, cHi)
+    val hit = col("k").between(kLo, kHi) && col("c").between(cLo, cHi)
+    pruned2d.agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(hit, col("k")).otherwise(0L)).as("id_checksum"),
+        sum(when(hit, col("c")).otherwise(0L)).as("chars_sum"))
+      .withColumn("n_files_1d", lit(n1d.toLong))
+      .withColumn("n_files_2d", lit(n2d.toLong))
+      .withColumn("n_files_total", lit(nTot.toLong))
+      .withColumn("zorder_beats_1d", lit(n2d < n1d))
+  }
+
+  /** Replays quantization, interleave, shard, stats, and both overlap
+    * counts; the interleave SQL below is generated by the same
+    * [[zInterleaveExpr]] the layout used. */
+  val txnZorderOracle: String = {
+    val z = zInterleaveExpr("xq", "yq", 8, "//")
+    s"""
+    WITH m AS (SELECT max(doc_id) AS mxk, max(n_chars) AS mxc FROM documents),
+    q AS (
+      SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c,
+             (doc_id * 256 // (m.mxk + 1)) AS xq,
+             (n_chars * 256 // (m.mxc + 1)) AS yq,
+             (doc_id * 64 // (m.mxk + 1)) AS s1
+      FROM documents, m),
+    z AS (SELECT k, c, s1, (($z) * 64) // 65536 AS s2 FROM q),
+    box AS (
+      SELECT mxk // 4 AS klo, mxk // 4 + mxk // 8 AS khi,
+             mxc // 3 AS clo, mxc // 3 + mxc // 10 AS chi
+      FROM m),
+    f1 AS (SELECT s1, min(k) AS mnk, max(k) AS mxk2 FROM z GROUP BY s1),
+    f2 AS (
+      SELECT s2, min(k) AS mnk, max(k) AS mxk2,
+             min(c) AS mnc, max(c) AS mxc2
+      FROM z GROUP BY s2),
+    k1 AS (
+      SELECT count(1) AS n FROM f1, box
+      WHERE NOT (box.khi < f1.mnk OR box.klo > f1.mxk2)),
+    k2 AS (
+      SELECT count(1) AS n FROM f2, box
+      WHERE NOT (box.khi < f2.mnk OR box.klo > f2.mxk2)
+        AND NOT (box.chi < f2.mnc OR box.clo > f2.mxc2)),
+    t2 AS (SELECT count(1) AS n FROM f2),
+    hits AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(k) AS BIGINT) AS id_checksum,
+             CAST(sum(c) AS BIGINT) AS chars_sum
+      FROM z, box
+      WHERE k BETWEEN box.klo AND box.khi AND c BETWEEN box.clo AND box.chi)
+    SELECT hits.n_rows, hits.id_checksum, hits.chars_sum,
+           CAST(k1.n AS BIGINT) AS n_files_1d,
+           CAST(k2.n AS BIGINT) AS n_files_2d,
+           CAST(t2.n AS BIGINT) AS n_files_total,
+           k2.n < k1.n AS zorder_beats_1d
+    FROM hits, k1, k2, t2"""
+  }
 
   // ------------------------------------------------------------------
   // qd5: DELTA MANIFESTS + LOG CHECKPOINTS on the append path

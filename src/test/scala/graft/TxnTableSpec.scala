@@ -219,6 +219,31 @@ class TxnTableSpec extends SparkSpec {
     assert(pruned.where(col("k").between(450, 480)).count() == 31)
   }
 
+  test("z-order layout prunes a 2D box on both dimensions, losing no row") {
+    val r = root("zorder")
+    // two independent uniform dims: a 2D box is unselective for any 1D
+    // range layout but tight for a z-order layout
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"))
+    TxnTable.createZordered(spark, r, df, "x", "y", bits = 6, shards = 16)
+    val m = TxnTable.readManifest(r, 0)
+    assert(m.keyCol2 == "y")
+    assert(m.files.forall(f => f.minK2 >= 0 && f.maxK2 <= 63))
+    val (pruned, nRead, nTotal) =
+      TxnTable.prunedRead2D(spark, r, 0, 10, 20, 10, 20)
+    assert(nRead < nTotal, s"no 2D pruning: $nRead of $nTotal")
+    val got = pruned
+      .where(col("x").between(10, 20) && col("y").between(10, 20)).count()
+    assert(got == 121, s"2D pruning dropped matches: $got != 121")
+    // on a 1D layout the same call prunes only dimension 1 (sentinels)
+    val r1 = root("zorder1d")
+    TxnTable.create(spark, r1, df, "x", 16)
+    val (p1, n1, _) = TxnTable.prunedRead2D(spark, r1, 0, 10, 20, 10, 20)
+    assert(p1.where(col("x").between(10, 20) && col("y").between(10, 20))
+      .count() == 121)
+    assert(nRead <= n1, s"z-order must not read more than 1D: $nRead vs $n1")
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
