@@ -385,6 +385,7 @@ object SparkEntry {
     "qd4_txn_streaming_ingest" -> (graft.sources.TxnTable.txnStreamingIngest _),
     "qd5_txn_append_log"    -> (graft.sources.TxnTable.txnAppendLog _),
     "qd6_txn_zorder"        -> (graft.sources.TxnTable.txnZorder _),
+    "qd7_tvf_txn_time_travel" -> (graft.sources.TxnTable.tvfTxnTimeTravel _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1029,6 +1030,7 @@ object SparkEntry {
     "qd4_txn_streaming_ingest" -> graft.sources.TxnTable.txnStreamingIngestOracle,
     "qd5_txn_append_log"     -> graft.sources.TxnTable.txnAppendLogOracle,
     "qd6_txn_zorder"         -> graft.sources.TxnTable.txnZorderOracle,
+    "qd7_tvf_txn_time_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -529,8 +529,12 @@ object TxnTable {
     * any in-place mutation, file reuse across versions, or manifest
     * rewrite shifts a historical row and fails the hash. The oracle
     * replays each version's state arithmetically from `orders`. */
-  def txnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_timetravel")
+  /** Stages the canonical 3-version history (create; merge with
+    * updates + surrogate-key inserts; delete) shared by qcu and its
+    * SQL-text twin qd7. */
+  private def stageTimeTravelHistory(spark: SparkSession, dir: String,
+      scratchName: String): String = {
+    val root = graft.Fs.scratch(scratchName)
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
@@ -544,6 +548,11 @@ object TxnTable {
     })
     transact(spark, root, "delete",
       snap => snap.where(!(col("k") % 5 === 0)))
+    root
+  }
+
+  def txnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageTimeTravelHistory(spark, dir, "graft_txn_timetravel")
     val perVersion = (0 to 2).map { v =>
       readVersion(spark, root, v).agg(
         count(lit(1)).as("n_rows"),
@@ -555,6 +564,25 @@ object TxnTable {
     perVersion.reduce(_ unionByName _)
       .select("version", "n_rows", "n_inserted", "sum_cents", "n_keys")
       .orderBy("version")
+  }
+
+  /** qd7: `VERSION AS OF` from SQL TEXT — the same 3-version history
+    * as qcu, but every read goes through the `graft_txn_read(root,
+    * version)` TVF in a single SQL statement: the SQL-only user's
+    * entry path to time travel. Graded by qcu's exact oracle, the
+    * strongest statement that the DataFrame and SQL surfaces are one
+    * operator (the qam/qan/qao doctrine applied to the table layer). */
+  def tvfTxnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageTimeTravelHistory(spark, dir, "graft_txn_tvf_history")
+    graft.functions.GraftExtensions.registerTableFunctions(spark)
+    def one(v: Int) = s"""
+      SELECT CAST($v AS BIGINT) AS version,
+             count(1) AS n_rows,
+             sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS n_inserted,
+             sum(cents) AS sum_cents,
+             count(DISTINCT k) AS n_keys
+      FROM graft_txn_read('$root', $v)"""
+    spark.sql((0 to 2).map(one).mkString("", " UNION ALL ", " ORDER BY version"))
   }
 
   /** v0 = raw cents; v1 = +1000 on mod-7 keys plus mod-101 inserts at
