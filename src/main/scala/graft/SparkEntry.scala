@@ -386,6 +386,8 @@ object SparkEntry {
     "qd5_txn_append_log"    -> (graft.sources.TxnTable.txnAppendLog _),
     "qd6_txn_zorder"        -> (graft.sources.TxnTable.txnZorder _),
     "qd7_tvf_txn_time_travel" -> (graft.sources.TxnTable.tvfTxnTimeTravel _),
+    "qd8_txn_surgical_delete" -> (graft.sources.TxnTable.txnSurgicalDelete _),
+    "qd9_txn_compaction_race" -> (graft.sources.TxnTable.txnCompactionRace _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1031,6 +1033,8 @@ object SparkEntry {
     "qd5_txn_append_log"     -> graft.sources.TxnTable.txnAppendLogOracle,
     "qd6_txn_zorder"         -> graft.sources.TxnTable.txnZorderOracle,
     "qd7_tvf_txn_time_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
+    "qd8_txn_surgical_delete" -> graft.sources.TxnTable.txnSurgicalDeleteOracle,
+    "qd9_txn_compaction_race" -> graft.sources.TxnTable.txnCompactionRaceOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

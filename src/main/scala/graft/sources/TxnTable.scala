@@ -326,7 +326,8 @@ object TxnTable {
     * new version by re-writing the (small) batch only. Returns
     * (committed version, conflicts). */
   def append(spark: SparkSession, root: String, df: DataFrame, op: String,
-      checkpointEvery: Int = 4, maxRetries: Int = 5): (Int, Int) = {
+      checkpointEvery: Int = 4, maxRetries: Int = 5,
+      beforeCommit: () => Unit = () => ()): (Int, Int) = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
       val v = latestVersion(root)
@@ -345,6 +346,7 @@ object TxnTable {
           adds.copy(schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1)
         else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v)
+      beforeCommit()
       if (commit(root, v + 1, m)) return (v + 1, conflicts)
       val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
       graft.Fs.deleteRecursively(s"$root/$attemptDir")
@@ -392,14 +394,62 @@ object TxnTable {
     * COMMIT — data identical, fewer files, history intact (the old
     * version still reads from its own immutable files). The shuffle is
     * the honest cost of re-clustering (the q2a doctrine), now under
-    * the log so readers never see a half-compacted table. */
-  def optimize(spark: SparkSession, root: String, newShards: Int): Int = {
-    val v = latestVersion(root)
-    val base = readManifest(root, v)
-    val m = writeSnapshot(spark, root, v + 1, "optimize",
-      readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv)
-    require(commit(root, v + 1, m), s"optimize raced on $root")
-    v + 1
+    * the log so readers never see a half-compacted table. Loses a
+    * commit race like any writer: the retry re-compacts the NEW head,
+    * so rows a concurrent append landed are carried into the
+    * compaction, never dropped (graded end-to-end by qd9). Returns
+    * (committed version, conflicts). */
+  def optimize(spark: SparkSession, root: String, newShards: Int,
+      beforeCommit: () => Unit = () => (),
+      maxRetries: Int = 5): (Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      val base = readManifest(root, v)
+      val m = writeSnapshot(spark, root, v + 1, "optimize",
+        readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv)
+      beforeCommit()
+      if (commit(root, v + 1, m)) return (v + 1, conflicts)
+      val attemptDir = m.files.head.path.split('/').take(2).mkString("/")
+      graft.Fs.deleteRecursively(s"$root/$attemptDir")
+      conflicts += 1
+    }
+    sys.error(s"optimize gave up after $maxRetries conflicts on $root")
+  }
+
+  /** SURGICAL copy-on-write delete: consult the manifest stats to find
+    * the files whose key range overlaps [lo, hi], rewrite ONLY those
+    * (minus the deleted rows), and carry every untouched file BY PATH
+    * into the new manifest — the Delta/Iceberg copy-on-write contract,
+    * and the property that makes a 0.1%-selective delete on a 100 TB
+    * table cost 0.1% of the table, where [[transact]]'s full-frame
+    * rewrite (the right tool for whole-table updates) would cost all
+    * of it. Returns (version, filesRewritten, filesCarried). */
+  def deleteRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      maxRetries: Int = 5): (Int, Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      val base = readManifest(root, v)
+      val (touched, carried) =
+        base.files.partition(f => !(hi < f.minK || lo > f.maxK))
+      if (touched.isEmpty) { // stats prove a no-op: commit nothing
+        return (v, 0, carried.size)
+      }
+      val remaining = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl))
+        .parquet(touched.map(f => s"$root/${f.path}"): _*)
+        .where(!col(base.keyCol).between(lo, hi))
+      val adds = writeSnapshot(spark, root, v + 1, "delete_range", remaining,
+        base.keyCol, base.shards, base.layoutDiv)
+      val m = adds.copy(schemaDdl = base.schemaDdl,
+        files = carried ++ adds.files, deltaOf = -1)
+      if (commit(root, v + 1, m)) return (v + 1, adds.files.size, carried.size)
+      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
+      graft.Fs.deleteRecursively(s"$root/$attemptDir")
+      conflicts += 1
+    }
+    sys.error(s"deleteRange gave up after $maxRetries conflicts on $root")
   }
 
   /** VACUUM: delete data attempt-dirs referenced by NO committed
@@ -928,6 +978,128 @@ object TxnTable {
       FROM v1 WHERE k % 5 <> 0)
     SELECT * FROM hop01 UNION ALL SELECT * FROM hop12
     ORDER BY v_from, change_type"""
+
+  // ------------------------------------------------------------------
+  // qd8: SURGICAL COPY-ON-WRITE DELETE — cost bounded by the stats
+  // ------------------------------------------------------------------
+
+  /** qd8: a ~3%-selective key-range delete on a 16-file documents
+    * table rewrites ONLY the files whose stats overlap the range and
+    * carries the rest BY PATH: `n_files_rewritten` / `n_files_carried`
+    * are replayed by the oracle from the shard/stat arithmetic, and
+    * `carried_unchanged` asserts (computed over the actual manifests)
+    * that every carried v1 path IS a v0 path — the copy-on-write
+    * contract. The post-delete aggregate comes from the new version's
+    * real scan and v0 re-reads intact, so a delete that leaked into a
+    * carried file, or a rewrite that dropped a boundary row, shifts a
+    * hash-graded column. */
+  def txnSurgicalDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_surgical")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    create(spark, root, docs, "k", 16)
+    val v0Paths = readManifest(root, 0).files.map(_.path).toSet
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 32)
+    val (v1, nRewritten, nCarried) = deleteRange(spark, root, lo, hi)
+    require(v1 == 1, s"delete must commit version 1, got $v1")
+    val carried = readManifest(root, 1).files.map(_.path)
+      .count(v0Paths.contains)
+    readVersion(spark, root, 1)
+      .agg(count(lit(1)).as("n_rows_after"), sum("c").as("chars_sum_after"))
+      .crossJoin(broadcast(readVersion(spark, root, 0)
+        .agg(sum("c").as("chars_sum_v0"))))
+      .withColumn("n_files_rewritten", lit(nRewritten.toLong))
+      .withColumn("n_files_carried", lit(nCarried.toLong))
+      .withColumn("carried_unchanged", lit(carried == nCarried))
+  }
+
+  /** Replays the shard layout, the overlap (= rewritten) count, and
+    * both versions' aggregates; `carried_unchanged` is the Scala-side
+    * manifest-path check (the qd0 history_identical doctrine). */
+  val txnSurgicalDeleteOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 32 AS hi FROM m),
+    s AS (
+      SELECT doc_id, n_chars, doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    f AS (SELECT shard, min(doc_id) AS mn, max(doc_id) AS mx2
+          FROM s GROUP BY shard),
+    touched AS (
+      SELECT count(1) AS n FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n FROM f),
+    after AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows_after,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum_after
+      FROM s, probe WHERE doc_id NOT BETWEEN probe.lo AND probe.hi),
+    v0 AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_sum_v0 FROM s)
+    SELECT after.n_rows_after, after.chars_sum_after, v0.chars_sum_v0,
+           CAST(touched.n AS BIGINT) AS n_files_rewritten,
+           CAST(total.n - touched.n AS BIGINT) AS n_files_carried,
+           true AS carried_unchanged
+    FROM after, v0, touched, total"""
+
+  // ------------------------------------------------------------------
+  // qd9: COMPACTION RACING INGEST — no writer order loses data
+  // ------------------------------------------------------------------
+
+  /** qd9: an [[append]] (500 marker rows) and an [[optimize]] (64→8)
+    * race the same commit from a 2-thread barrier — the maintenance-
+    * vs-ingest race every production table lives with. Exactly one
+    * conflict (graded); the loser rebases on the winner's head, so
+    * BOTH effects land regardless of order: the final version carries
+    * every base row plus all 500 markers (aggregate replayed from
+    * orders) AND is compacted (file count strictly below the 64-file
+    * create, true in either commit order). A compaction that dropped
+    * concurrently-ingested rows — the classic lost-update — shifts
+    * n_rows/appended_rows/sum_cents. */
+  def txnCompactionRace(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_comprace")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 64)
+    val batch = spark.range(500).select(
+      (-col("id") - 1).as("k"), lit(77L).as("cents"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def gate(): () => Unit = {
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      () => if (first.getAndSet(false)) barrier.await()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (ra, rb) =
+      try Await.result(
+        Future(append(spark, root, batch, "ingest", beforeCommit = gate()))
+          .zip(Future(optimize(spark, root, 8, beforeCommit = gate()))),
+        Duration.Inf)
+      finally pool.shutdown()
+    val latest = latestVersion(root)
+    val filesFinal = readManifest(root, latest).files.size
+    readVersion(spark, root, latest)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("appended_rows"),
+        sum("cents").as("sum_cents"))
+      .withColumn("n_versions", lit(latest + 1L))
+      .withColumn("n_conflicts", lit((ra._2 + rb._2).toLong))
+      .withColumn("compacted", lit(filesFinal < 64))
+  }
+
+  /** Serial composition from orders + 500 markers at 77 cents; the
+    * protocol constants (3 versions, exactly 1 conflict) and the
+    * compaction fact are part of the graded contract. */
+  val txnCompactionRaceOracle: String = """
+    SELECT CAST(count(1) + 500 AS BIGINT) AS n_rows,
+           CAST(500 AS BIGINT) AS appended_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             + 500 * 77 AS BIGINT) AS sum_cents,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_conflicts,
+           true AS compacted
+    FROM orders"""
 
   // ------------------------------------------------------------------
   // qd6: Z-ORDER CLUSTERING — 2D skipping through the manifest seam

@@ -109,8 +109,8 @@ class TxnTableSpec extends SparkSpec {
 
   test("optimize compacts files under the log; data and history unchanged") {
     val (r, df) = mkTable("optimize", n = 4000, shards = 32)
-    val v = TxnTable.optimize(spark, r, 4)
-    assert(v == 1)
+    val (v, conflicts) = TxnTable.optimize(spark, r, 4)
+    assert(v == 1 && conflicts == 0)
     assert(TxnTable.readManifest(r, 0).files.size == 32)
     assert(TxnTable.readManifest(r, 1).files.size == 4)
     val v1 = TxnTable.readVersion(spark, r, 1)
@@ -217,6 +217,29 @@ class TxnTableSpec extends SparkSpec {
     val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 4, 450L, 480L)
     assert(nRead < nTotal, s"no pruning: $nRead of $nTotal")
     assert(pruned.where(col("k").between(450, 480)).count() == 31)
+  }
+
+  test("deleteRange rewrites only stat-overlapping files and carries the rest by path") {
+    val (r, df) = mkTable("surgical", n = 1600, shards = 8)
+    val v0Paths = TxnTable.readManifest(r, 0).files.map(_.path).toSet
+    assert(v0Paths.size == 8)
+    // [450, 520] lies inside the 400-599 shard: exactly 1 file touched
+    val (v, nRw, nCar) = TxnTable.deleteRange(spark, r, 450L, 520L)
+    assert(v == 1 && nRw == 1 && nCar == 7, s"got ($v, $nRw, $nCar)")
+    val m1 = TxnTable.readManifest(r, 1)
+    assert(m1.files.map(_.path).count(v0Paths.contains) == 7,
+      "carried files must be the v0 paths, not rewrites")
+    val back = TxnTable.readVersion(spark, r, 1)
+    assert(back.count() == 1600 - 71)
+    // boundary rows of the rewritten files survive exactly
+    assert(back.where(col("k").isin(449L, 521L)).count() == 2)
+    assert(back.where(col("k").between(450, 520)).count() == 0)
+    // v0 reads back intact
+    assert(TxnTable.readVersion(spark, r, 0).count() == 1600)
+    // a range no file's stats overlap is a stats-proven no-op: no commit
+    val (v2, nRw2, nCar2) = TxnTable.deleteRange(spark, r, 5000L, 6000L)
+    assert(v2 == 1 && nRw2 == 0 && nCar2 == m1.files.size)
+    assert(TxnTable.latestVersion(r) == 1)
   }
 
   test("z-order layout prunes a 2D box on both dimensions, losing no row") {
