@@ -388,6 +388,8 @@ object SparkEntry {
     "qd7_tvf_txn_time_travel" -> (graft.sources.TxnTable.tvfTxnTimeTravel _),
     "qd8_txn_surgical_delete" -> (graft.sources.TxnTable.txnSurgicalDelete _),
     "qd9_txn_compaction_race" -> (graft.sources.TxnTable.txnCompactionRace _),
+    "qda_txn_surgical_merge" -> (graft.sources.TxnTable.txnSurgicalMerge _),
+    "qdb_txn_retention"     -> (graft.sources.TxnTable.txnRetention _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1035,6 +1037,8 @@ object SparkEntry {
     "qd7_tvf_txn_time_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
     "qd8_txn_surgical_delete" -> graft.sources.TxnTable.txnSurgicalDeleteOracle,
     "qd9_txn_compaction_race" -> graft.sources.TxnTable.txnCompactionRaceOracle,
+    "qda_txn_surgical_merge" -> graft.sources.TxnTable.txnSurgicalMergeOracle,
+    "qdb_txn_retention"      -> graft.sources.TxnTable.txnRetentionOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

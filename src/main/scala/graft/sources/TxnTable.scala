@@ -122,11 +122,12 @@ object TxnTable {
     fieldNum(json, "delta_of").toInt,
     fieldStr(json, "key_col2"))
 
-  /** Highest committed version, or -1 for an empty log. O(versions)
-    * listing of tiny JSON names — metadata scale. */
-  def latestVersion(root: String): Int = {
+  /** Versions whose manifests exist in the log, ascending — contiguous
+    * from 0 until [[expireVersions]] drops a retention prefix.
+    * O(versions) listing of tiny JSON names — metadata scale. */
+  def versions(root: String): Seq[Int] = {
     val d = Paths.get(logDir(root))
-    if (!Files.exists(d)) -1
+    if (!Files.exists(d)) Nil
     else {
       import scala.jdk.CollectionConverters._
       val s = Files.list(d)
@@ -134,10 +135,14 @@ object TxnTable {
         .map(_.getFileName.toString)
         .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
           n.stripPrefix("v").stripSuffix(".json").toInt }
-        .foldLeft(-1)(math.max)
+        .toSeq.sorted
       finally s.close()
     }
   }
+
+  /** Highest committed version, or -1 for an empty log. */
+  def latestVersion(root: String): Int =
+    versions(root).lastOption.getOrElse(-1)
 
   /** The on-disk manifest: a delta's `files` are only its adds. */
   def readManifestRaw(root: String, version: Int): Manifest =
@@ -360,7 +365,7 @@ object TxnTable {
     * txnAppId/txnVersion idempotence ledger, with the op field as the
     * ledger entry. */
   def committedOp(root: String, op: String): Boolean =
-    (0 to latestVersion(root)).exists(v => readManifestRaw(root, v).op == op)
+    versions(root).exists(v => readManifestRaw(root, v).op == op)
 
   /** Optimistic transaction: `mkUpdate` maps the CURRENT snapshot to
     * the full next-version frame (so re-running it against a newer
@@ -452,6 +457,73 @@ object TxnTable {
     sys.error(s"deleteRange gave up after $maxRetries conflicts on $root")
   }
 
+  /** SURGICAL MERGE (upsert) of a key-clustered source batch — the
+    * backfill shape: only the files whose stats overlap the source's
+    * key range are rewritten; in them, matched keys take the source
+    * row (every non-key column coalesces source-over-target) and
+    * unmatched source keys insert. Untouched files carry by path, so
+    * a narrow-band upsert on a 100 TB table costs the band, not the
+    * table ([[transact]] remains the tool for scattered updates).
+    * Returns (version, filesRewritten, filesCarried). */
+  def mergeRange(spark: SparkSession, root: String, source: DataFrame,
+      maxRetries: Int = 5): (Int, Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      val base = readManifest(root, v)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val b = src.agg(min(col(base.keyCol)), max(col(base.keyCol))).head()
+      val (sLo, sHi) = (b.getLong(0), b.getLong(1)) // 1-row probe (qaq)
+      val (touched, carried) =
+        base.files.partition(f => !(sHi < f.minK || sLo > f.maxK))
+      val target =
+        if (touched.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema)
+          .parquet(touched.map(f => s"$root/${f.path}"): _*)
+      val valueCols = schema.fieldNames.filter(_ != base.keyCol)
+      val merged = target.alias("t")
+        .join(src.alias("s"), Seq(base.keyCol), "full_outer")
+        .select(col(base.keyCol) +:
+          valueCols.map(c =>
+            coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toIndexedSeq: _*)
+      val adds = writeSnapshot(spark, root, v + 1, "merge_range", merged,
+        base.keyCol, base.shards, base.layoutDiv)
+      val m = adds.copy(schemaDdl = base.schemaDdl,
+        files = carried ++ adds.files, deltaOf = -1)
+      if (commit(root, v + 1, m)) return (v + 1, adds.files.size, carried.size)
+      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
+      graft.Fs.deleteRecursively(s"$root/$attemptDir")
+      conflicts += 1
+    }
+    sys.error(s"mergeRange gave up after $maxRetries conflicts on $root")
+  }
+
+  /** RETENTION: drop every version below `keepFrom`. The boundary
+    * version is first CHECKPOINTED (its manifest rewritten as the
+    * semantically-identical resolved full snapshot, so no surviving
+    * delta chain reaches below the cut), then the expired manifests
+    * are deleted; the now-unreferenced data dirs are reclaimed by the
+    * next [[vacuum]]. This is the policy layer the vacuum scaladoc
+    * deferred: time travel keeps exactly [keepFrom, latest]. Returns
+    * the number of manifests dropped. */
+  def expireVersions(root: String, keepFrom: Int): Int = {
+    val vs = versions(root)
+    require(vs.contains(keepFrom), s"keepFrom=$keepFrom not committed")
+    val resolved = readManifest(root, keepFrom).copy(deltaOf = -1)
+    val tmp = Paths.get(logDir(root),
+      s".ckpt-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, toJson(resolved))
+    Files.move(tmp, logFile(root, keepFrom),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val dropped = vs.filter(_ < keepFrom)
+    dropped.foreach(v => Files.delete(logFile(root, v)))
+    dropped.size
+  }
+
   /** VACUUM: delete data attempt-dirs referenced by NO committed
     * manifest — the debris of crashed/raced writers. Committed
     * versions (all of them — time-travel retention is a policy layer
@@ -461,7 +533,7 @@ object TxnTable {
     * query passes 0 against a writer it knows is dead. Returns the
     * removed dir count. */
   def vacuum(root: String, minAgeMs: Long = 3600000L): Int = {
-    val referenced = (0 to latestVersion(root)).flatMap(v =>
+    val referenced = versions(root).flatMap(v =>
       readManifest(root, v).files.map(_.path.split('/').take(2).mkString("/")))
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -824,7 +896,7 @@ object TxnTable {
       } catch { case e: RuntimeException => e.getMessage == "writer died" }
     // age the debris past the gate (a real orphan would have)
     val dataDir = new java.io.File(s"$root/data")
-    val referenced = (0 to latestVersion(root)).flatMap(v =>
+    val referenced = versions(root).flatMap(v =>
       readManifest(root, v).files.map(_.path.split('/')(1))).toSet
     dataDir.listFiles().filter(d => !referenced.contains(d.getName))
       .foreach(d => d.setLastModified(System.currentTimeMillis() - 7200000L))
@@ -1039,6 +1111,133 @@ object TxnTable {
            CAST(total.n - touched.n AS BIGINT) AS n_files_carried,
            true AS carried_unchanged
     FROM after, v0, touched, total"""
+
+  // ------------------------------------------------------------------
+  // qda: SURGICAL MERGE — the backfill upsert priced by its band
+  // ------------------------------------------------------------------
+
+  /** qda: a key-clustered upsert band over the orders table — +1000
+    * cents on every existing key in the band, 4200-cent inserts at the
+    * band's missing keys (o_orderkey is sparse, so the band has real
+    * holes) — lands through [[mergeRange]]: only the band's files
+    * rewrite (count replayed from the shard/stat arithmetic), the rest
+    * carry by path (checked against the real manifests). The final
+    * aggregate replays from orders arithmetic: a lost insert, a
+    * double-applied update, or an update leaking outside the band all
+    * shift sum_cents. Completes the surgical DML triad with qd5's
+    * append and qd8's delete. */
+  def txnSurgicalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_merge_range")
+    val ord = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, ord, "k", 16)
+    val mx = ord.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    val (lo, hi) = (mx / 3, mx / 3 + mx / 32)
+    val existing = ord.where(col("k").between(lo, hi)).cache()
+    val nUpd = existing.count()
+    val nIns = (hi - lo + 1) - nUpd
+    val source = existing
+      .select(col("k"), (col("cents") + 1000L).as("cents"))
+      .unionByName(spark.range(lo, hi + 1).select(col("id").as("k"))
+        .join(existing.select("k"), Seq("k"), "left_anti")
+        .select(col("k"), lit(4200L).as("cents")))
+    val v0Paths = readManifest(root, 0).files.map(_.path).toSet
+    val (v1, nRewritten, nCarried) = mergeRange(spark, root, source)
+    existing.unpersist()
+    require(v1 == 1, s"merge must commit version 1, got $v1")
+    val carried = readManifest(root, 1).files.map(_.path)
+      .count(v0Paths.contains)
+    readVersion(spark, root, 1)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .withColumn("updated_rows", lit(nUpd))
+      .withColumn("inserted_rows", lit(nIns))
+      .withColumn("n_files_rewritten", lit(nRewritten.toLong))
+      .withColumn("n_files_carried", lit(nCarried.toLong))
+      .withColumn("carried_unchanged", lit(carried == nCarried))
+  }
+
+  val txnSurgicalMergeOracle: String = """
+    WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+    probe AS (SELECT mx // 3 AS lo, mx // 3 + mx // 32 AS hi FROM m),
+    b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    s AS (SELECT k, cents, k * 16 // (m.mx + 1) AS shard FROM b, m),
+    f AS (SELECT shard, min(k) AS mn, max(k) AS mx2 FROM s GROUP BY shard),
+    touched AS (
+      SELECT count(1) AS n FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n FROM f),
+    upd AS (SELECT count(1) AS n FROM b, probe WHERE k BETWEEN lo AND hi),
+    ins AS (SELECT (probe.hi - probe.lo + 1) - upd.n AS n FROM probe, upd),
+    agg AS (SELECT count(1) AS nb, sum(cents) AS sb FROM b)
+    SELECT CAST(agg.nb + ins.n AS BIGINT) AS n_rows,
+           CAST(agg.sb + 1000 * upd.n + 4200 * ins.n AS BIGINT) AS sum_cents,
+           CAST(upd.n AS BIGINT) AS updated_rows,
+           CAST(ins.n AS BIGINT) AS inserted_rows,
+           CAST(touched.n AS BIGINT) AS n_files_rewritten,
+           CAST(total.n - touched.n AS BIGINT) AS n_files_carried,
+           true AS carried_unchanged
+    FROM agg, ins, upd, touched, total"""
+
+  // ------------------------------------------------------------------
+  // qdb: RETENTION — expire a version prefix, reclaim its files
+  // ------------------------------------------------------------------
+
+  /** qdb: the retention policy layer on the log — a 3-version history
+    * (create; +1 cent bump; delete keys ≡ 0 mod 3) expires everything
+    * below v2: the boundary manifest checkpoints to its resolved full
+    * form, v0/v1's manifests drop, and a backdated [[vacuum]] reclaims
+    * exactly their two attempt dirs. Graded: drop/reclaim counts, v0
+    * now UNREADABLE (time travel honestly ends at the retention
+    * floor), one data dir left, and v2's aggregate replayed
+    * arithmetically — expiry must not perturb a byte of the kept
+    * version. */
+  def txnRetention(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_retention")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    transact(spark, root, "bump",
+      snap => snap.withColumn("cents", col("cents") + 1L))
+    transact(spark, root, "prune",
+      snap => snap.where(!(col("k") % 3 === 0)))
+    val dropped = expireVersions(root, 2).toLong
+    val v0Unreadable =
+      try { readManifest(root, 0); false }
+      catch { case _: java.nio.file.NoSuchFileException => true }
+    // a real expiry's debris would have aged; backdate it (qd1 doctrine)
+    val dataDir = new java.io.File(s"$root/data")
+    val referenced = versions(root).flatMap(v =>
+      readManifest(root, v).files.map(_.path.split('/')(1))).toSet
+    dataDir.listFiles().filter(d => !referenced.contains(d.getName))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 7200000L))
+    val reclaimed = vacuum(root).toLong
+    val dirsLeft = dataDir.listFiles().count(_.isDirectory).toLong
+    readVersion(spark, root, 2)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .withColumn("manifests_dropped", lit(dropped))
+      .withColumn("v0_unreadable", lit(v0Unreadable))
+      .withColumn("dirs_reclaimed", lit(reclaimed))
+      .withColumn("dirs_left", lit(dirsLeft))
+      .withColumn("latest_version", lit(latestVersion(root).toLong))
+  }
+
+  val txnRetentionOracle: String = """
+    SELECT CAST(sum(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 <> 0
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1
+             ELSE 0 END) AS BIGINT) AS sum_cents,
+           CAST(2 AS BIGINT) AS manifests_dropped,
+           true AS v0_unreadable,
+           CAST(2 AS BIGINT) AS dirs_reclaimed,
+           CAST(1 AS BIGINT) AS dirs_left,
+           CAST(2 AS BIGINT) AS latest_version
+    FROM orders"""
 
   // ------------------------------------------------------------------
   // qd9: COMPACTION RACING INGEST — no writer order loses data

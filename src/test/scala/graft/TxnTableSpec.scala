@@ -242,6 +242,61 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.latestVersion(r) == 1)
   }
 
+  test("mergeRange upserts a clustered band, rewriting only its files") {
+    // sparse even keys so the band has real holes to insert into
+    val r = root("merge")
+    val df = spark.range(800).select(
+      (col("id") * 2).as("k"), (col("id") % 101).as("v"))
+    TxnTable.create(spark, r, df, "k", 8)
+    val v0Paths = TxnTable.readManifest(r, 0).files.map(_.path).toSet
+    // band [400, 499] sits inside one ~200-key shard: updates on the
+    // 50 existing evens, inserts at the 50 odd holes
+    val source = spark.range(400L, 500L, 2)
+      .select(col("id").as("k"), lit(-5L).as("v"))
+      .unionByName(spark.range(401L, 500L, 2)
+        .select(col("id").as("k"), lit(-9L).as("v")))
+    val (v, nRw, nCar) = TxnTable.mergeRange(spark, r, source)
+    assert(v == 1 && nRw == 1 && nCar == 7, s"got ($v, $nRw, $nCar)")
+    assert(TxnTable.readManifest(r, 1).files.map(_.path)
+      .count(v0Paths.contains) == 7)
+    val back = TxnTable.readVersion(spark, r, 1)
+    assert(back.count() == 850)
+    assert(back.where(col("v") === -5L).count() == 50, "matched updates")
+    assert(back.where(col("v") === -9L).count() == 50, "unmatched inserts")
+    // a key outside the band keeps its original value
+    assert(back.where(col("k") === 600L).head().getLong(1) == 300L % 101)
+    // v0 intact
+    assert(TxnTable.readVersion(spark, r, 0).where(col("v") < 0).count() == 0)
+  }
+
+  test("expireVersions checkpoints the boundary and ends time travel at it") {
+    val (r, _) = mkTable("retention")
+    TxnTable.transact(spark, r, "bump", s => s.withColumn("v", col("v") + 1))
+    // make v2 a DELTA so expiry must checkpoint the boundary to survive
+    TxnTable.append(spark, r,
+      spark.range(1000L, 1100L).select(col("id").as("k"), lit(0L).as("v")),
+      "tail", checkpointEvery = 100)
+    assert(TxnTable.readManifestRaw(r, 2).deltaOf == 1)
+    assert(TxnTable.expireVersions(r, 2) == 2)
+    assert(TxnTable.versions(r) == Seq(2))
+    // boundary manifest is now self-contained full
+    assert(TxnTable.readManifestRaw(r, 2).deltaOf == -1)
+    val back = TxnTable.readVersion(spark, r, 2)
+    assert(back.count() == 1100)
+    assert(back.agg(sum("v")).head().getLong(0) ==
+      (0L until 1000L).map(_ * 3 % 101 + 1).sum)
+    intercept[java.nio.file.NoSuchFileException] {
+      TxnTable.readManifest(r, 0)
+    }
+    // vacuum (backdated) reclaims exactly the two expired attempt dirs
+    val dataDir = new java.io.File(s"$r/data")
+    val referenced = TxnTable.readManifest(r, 2).files
+      .map(_.path.split('/')(1)).toSet
+    dataDir.listFiles().filter(d => !referenced.contains(d.getName))
+      .foreach(_.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(TxnTable.vacuum(r) == 1, "v0's dir is unreferenced (v1 bump rewrote all; v2 carries v1+tail)")
+  }
+
   test("z-order layout prunes a 2D box on both dimensions, losing no row") {
     val r = root("zorder")
     // two independent uniform dims: a 2D box is unselective for any 1D
