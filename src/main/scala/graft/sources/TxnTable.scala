@@ -189,10 +189,13 @@ object TxnTable {
     * 100 TB the writer task would emit stats inline (as DSv2 commit
     * messages do in qa7) rather than re-read. The collect is bounded
     * by the shard count (≤ `shards` + a few for out-of-range keys). */
+  /** Returns the manifest candidate AND the attempt subdir (needed for
+    * lost-race cleanup even when the snapshot wrote zero files). */
   private def writeSnapshot(spark: SparkSession, root: String, version: Int,
       op: String, df: DataFrame, keyCol: String, shards: Int,
       layoutDiv: Long, keyCol2: String = "",
-      shardExprOverride: Option[org.apache.spark.sql.Column] = None): Manifest = {
+      shardExprOverride: Option[org.apache.spark.sql.Column] = None)
+      : (Manifest, String) = {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/v$version%08d-$attempt"
     val out = s"$root/$sub"
@@ -230,8 +233,43 @@ object TxnTable {
       else FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
-    Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
-      keyCol2 = keyCol2)
+    (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
+      keyCol2 = keyCol2), sub)
+  }
+
+  /** Shared optimistic-concurrency skeleton for every post-create
+    * writer: `mkAttempt` reads the CURRENT head version and returns
+    * the manifest candidate + its attempt subdir; on a lost commit
+    * race the attempt dir is deleted and the builder re-invoked
+    * against the new head — re-deriving the update from the current
+    * snapshot IS the rebase. Returns (committed version, conflicts). */
+  private def retryCommit(root: String, opName: String, maxRetries: Int,
+      beforeCommit: () => Unit = () => ())(
+      mkAttempt: Int => (Manifest, String)): (Int, Int) = {
+    var conflicts = 0
+    while (conflicts <= maxRetries) {
+      val v = latestVersion(root)
+      require(v >= 0, s"$opName on uncreated table $root")
+      val (m, sub) = mkAttempt(v)
+      beforeCommit()
+      if (commit(root, v + 1, m)) return (v + 1, conflicts)
+      graft.Fs.deleteRecursively(s"$root/$sub")
+      conflicts += 1
+    }
+    sys.error(s"$opName gave up after $maxRetries conflicts on $root")
+  }
+
+  /** Read an explicit file subset with a pinned schema; an empty
+    * subset yields the schema'd EMPTY frame rather than a zero-path
+    * scan error (a pruning probe may legitimately match no file). */
+  private def readFiles(spark: SparkSession, root: String, schemaDdl: String,
+      files: Seq[FileEntry]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Create version 0. `layoutDiv` is pinned from max(key)+1 (1-row
@@ -241,7 +279,7 @@ object TxnTable {
       keyCol: String, shards: Int): Manifest = {
     graft.Fs.deleteRecursively(root)
     val mx = df.agg(max(col(keyCol))).head().getLong(0)
-    val m = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
+    val (m, _) = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
   }
@@ -266,7 +304,11 @@ object TxnTable {
     * range layout must read every file the x-range alone touches.
     * This is the Delta OPTIMIZE ZORDER BY / Iceberg sort-order idea on
     * this log: multi-dimensional clustering is pure LAYOUT, consumed
-    * through exactly the same manifest-stats seam as 1D pruning. */
+    * through exactly the same manifest-stats seam as 1D pruning.
+    * Later commits inherit `keyCol2` through the manifest, so their
+    * files keep carrying BOTH columns' stats (the Delta semantics:
+    * post-write files prune less selectively until the next re-layout,
+    * but the 2D pruning seam never silently degrades to sentinels). */
   def createZordered(spark: SparkSession, root: String, df: DataFrame,
       xCol: String, yCol: String, bits: Int, shards: Int): Manifest = {
     graft.Fs.deleteRecursively(root)
@@ -276,7 +318,7 @@ object TxnTable {
     val yq = s"($yCol * ${1L << bits} div ${mxY + 1})"
     val z = zInterleaveExpr(xq, yq, bits, "div")
     val shardE = expr(s"(($z) * $shards) div ${1L << (2 * bits)}")
-    val m = writeSnapshot(spark, root, 0, "create_zorder", df, xCol, shards,
+    val (m, _) = writeSnapshot(spark, root, 0, "create_zorder", df, xCol, shards,
       mxX + 1, keyCol2 = yCol, shardExprOverride = Some(shardE))
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
@@ -291,10 +333,7 @@ object TxnTable {
     val m = readManifest(root, version)
     val keep = m.files.filter(f => !(hi < f.minK || lo > f.maxK) &&
       !(hi2 < f.minK2 || lo2 > f.maxK2))
-    val df = spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-      .parquet(keep.map(f => s"$root/${f.path}"): _*)
-    (df, keep.size, m.files.size)
+    (readFiles(spark, root, m.schemaDdl, keep), keep.size, m.files.size)
   }
 
   /** `VERSION AS OF` read: exactly the manifest's file list, with the
@@ -303,11 +342,7 @@ object TxnTable {
     * never surfaces in the logical table. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val m = readManifest(root, version)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty) // a created-empty ingest table before its first append
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    readFiles(spark, root, m.schemaDdl, m.files)
   }
 
   /** Create version 0 of an EMPTY table with an explicitly pinned
@@ -332,18 +367,15 @@ object TxnTable {
     * (committed version, conflicts). */
   def append(spark: SparkSession, root: String, df: DataFrame, op: String,
       checkpointEvery: Int = 4, maxRetries: Int = 5,
-      beforeCommit: () => Unit = () => ()): (Int, Int) = {
-    var conflicts = 0
-    while (conflicts <= maxRetries) {
-      val v = latestVersion(root)
-      require(v >= 0, s"append on uncreated table $root")
+      beforeCommit: () => Unit = () => ()): (Int, Int) =
+    retryCommit(root, "append", maxRetries, beforeCommit) { v =>
       val base = readManifest(root, v)
       // align to the table's pinned column order; a mismatched batch
       // schema fails here loudly rather than as a torn parquet union
       val batch = df.select(org.apache.spark.sql.types.StructType
         .fromDDL(base.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
-      val adds = writeSnapshot(spark, root, v + 1, op, batch, base.keyCol,
-        base.shards, base.layoutDiv)
+      val (adds, sub) = writeSnapshot(spark, root, v + 1, op, batch,
+        base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2)
       // always carry the table's pinned DDL (the batch df's own DDL can
       // differ in nullability flags and would fork the read schema)
       val m =
@@ -351,14 +383,8 @@ object TxnTable {
           adds.copy(schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1)
         else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v)
-      beforeCommit()
-      if (commit(root, v + 1, m)) return (v + 1, conflicts)
-      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
-      graft.Fs.deleteRecursively(s"$root/$attemptDir")
-      conflicts += 1
+      (m, sub)
     }
-    sys.error(s"append gave up after $maxRetries conflicts on $root")
-  }
 
   /** Has a commit with this exact `op` (the sink's transaction id)
     * already landed? O(versions) tiny raw reads — the Delta
@@ -376,24 +402,13 @@ object TxnTable {
   def transact(spark: SparkSession, root: String, op: String,
       mkUpdate: DataFrame => DataFrame,
       beforeCommit: () => Unit = () => (),
-      maxRetries: Int = 5): (Int, Int) = {
-    var conflicts = 0
-    while (conflicts <= maxRetries) {
-      val v = latestVersion(root)
-      require(v >= 0, s"transact on uncreated table $root")
+      maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "transact", maxRetries, beforeCommit) { v =>
       val base = readManifest(root, v)
       val next = mkUpdate(readVersion(spark, root, v))
-      val m = writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
-        base.shards, base.layoutDiv)
-      beforeCommit()
-      if (commit(root, v + 1, m)) return (v + 1, conflicts)
-      // lost the race: drop ONLY this attempt's files, rebase, retry
-      val attemptDir = m.files.head.path.split('/').take(2).mkString("/")
-      graft.Fs.deleteRecursively(s"$root/$attemptDir")
-      conflicts += 1
+      writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
+        base.shards, base.layoutDiv, keyCol2 = base.keyCol2)
     }
-    sys.error(s"transact gave up after $maxRetries conflicts on $root")
-  }
 
   /** OPTIMIZE: rewrite the current snapshot at a new shard count AS A
     * COMMIT — data identical, fewer files, history intact (the old
@@ -406,21 +421,13 @@ object TxnTable {
     * (committed version, conflicts). */
   def optimize(spark: SparkSession, root: String, newShards: Int,
       beforeCommit: () => Unit = () => (),
-      maxRetries: Int = 5): (Int, Int) = {
-    var conflicts = 0
-    while (conflicts <= maxRetries) {
-      val v = latestVersion(root)
+      maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "optimize", maxRetries, beforeCommit) { v =>
       val base = readManifest(root, v)
-      val m = writeSnapshot(spark, root, v + 1, "optimize",
-        readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv)
-      beforeCommit()
-      if (commit(root, v + 1, m)) return (v + 1, conflicts)
-      val attemptDir = m.files.head.path.split('/').take(2).mkString("/")
-      graft.Fs.deleteRecursively(s"$root/$attemptDir")
-      conflicts += 1
+      writeSnapshot(spark, root, v + 1, "optimize",
+        readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv,
+        keyCol2 = base.keyCol2)
     }
-    sys.error(s"optimize gave up after $maxRetries conflicts on $root")
-  }
 
   /** SURGICAL copy-on-write delete: consult the manifest stats to find
     * the files whose key range overlaps [lo, hi], rewrite ONLY those
@@ -432,29 +439,24 @@ object TxnTable {
     * of it. Returns (version, filesRewritten, filesCarried). */
   def deleteRange(spark: SparkSession, root: String, lo: Long, hi: Long,
       maxRetries: Int = 5): (Int, Int, Int) = {
-    var conflicts = 0
-    while (conflicts <= maxRetries) {
-      val v = latestVersion(root)
+    val head = readManifest(root, latestVersion(root))
+    if (head.files.forall(f => hi < f.minK || lo > f.maxK))
+      return (head.version, 0, head.files.size) // stats-proven no-op
+    var rewritten = 0; var carriedN = 0
+    val (ver, _) = retryCommit(root, "deleteRange", maxRetries) { v =>
       val base = readManifest(root, v)
       val (touched, carried) =
         base.files.partition(f => !(hi < f.minK || lo > f.maxK))
-      if (touched.isEmpty) { // stats prove a no-op: commit nothing
-        return (v, 0, carried.size)
-      }
-      val remaining = spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl))
-        .parquet(touched.map(f => s"$root/${f.path}"): _*)
+      val remaining = readFiles(spark, root, base.schemaDdl, touched)
         .where(!col(base.keyCol).between(lo, hi))
-      val adds = writeSnapshot(spark, root, v + 1, "delete_range", remaining,
-        base.keyCol, base.shards, base.layoutDiv)
-      val m = adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1)
-      if (commit(root, v + 1, m)) return (v + 1, adds.files.size, carried.size)
-      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
-      graft.Fs.deleteRecursively(s"$root/$attemptDir")
-      conflicts += 1
+      val (adds, sub) = writeSnapshot(spark, root, v + 1, "delete_range",
+        remaining, base.keyCol, base.shards, base.layoutDiv,
+        keyCol2 = base.keyCol2)
+      rewritten = adds.files.size; carriedN = carried.size
+      (adds.copy(schemaDdl = base.schemaDdl,
+        files = carried ++ adds.files, deltaOf = -1), sub)
     }
-    sys.error(s"deleteRange gave up after $maxRetries conflicts on $root")
+    (ver, rewritten, carriedN)
   }
 
   /** SURGICAL MERGE (upsert) of a key-clustered source batch — the
@@ -467,38 +469,35 @@ object TxnTable {
     * Returns (version, filesRewritten, filesCarried). */
   def mergeRange(spark: SparkSession, root: String, source: DataFrame,
       maxRetries: Int = 5): (Int, Int, Int) = {
-    var conflicts = 0
-    while (conflicts <= maxRetries) {
-      val v = latestVersion(root)
+    // the source's key span is retry-invariant: probe it once (and an
+    // empty source is an upsert of nothing — a no-op, not a crash)
+    val head = readManifest(root, latestVersion(root))
+    val src = source.select(org.apache.spark.sql.types.StructType
+      .fromDDL(head.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
+    val b = src.agg(min(col(head.keyCol)), max(col(head.keyCol))).head()
+    if (b.isNullAt(0)) return (head.version, 0, head.files.size)
+    val (sLo, sHi) = (b.getLong(0), b.getLong(1)) // 1-row probe (qaq)
+    var rewritten = 0; var carriedN = 0
+    val (ver, _) = retryCommit(root, "mergeRange", maxRetries) { v =>
       val base = readManifest(root, v)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
-      val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      val b = src.agg(min(col(base.keyCol)), max(col(base.keyCol))).head()
-      val (sLo, sHi) = (b.getLong(0), b.getLong(1)) // 1-row probe (qaq)
       val (touched, carried) =
         base.files.partition(f => !(sHi < f.minK || sLo > f.maxK))
-      val target =
-        if (touched.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema)
-          .parquet(touched.map(f => s"$root/${f.path}"): _*)
-      val valueCols = schema.fieldNames.filter(_ != base.keyCol)
+      val target = readFiles(spark, root, base.schemaDdl, touched)
+      val valueCols = org.apache.spark.sql.types.StructType
+        .fromDDL(base.schemaDdl).fieldNames.filter(_ != base.keyCol)
       val merged = target.alias("t")
         .join(src.alias("s"), Seq(base.keyCol), "full_outer")
         .select(col(base.keyCol) +:
           valueCols.map(c =>
             coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toIndexedSeq: _*)
-      val adds = writeSnapshot(spark, root, v + 1, "merge_range", merged,
-        base.keyCol, base.shards, base.layoutDiv)
-      val m = adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1)
-      if (commit(root, v + 1, m)) return (v + 1, adds.files.size, carried.size)
-      val attemptDir = adds.files.head.path.split('/').take(2).mkString("/")
-      graft.Fs.deleteRecursively(s"$root/$attemptDir")
-      conflicts += 1
+      val (adds, sub) = writeSnapshot(spark, root, v + 1, "merge_range",
+        merged, base.keyCol, base.shards, base.layoutDiv,
+        keyCol2 = base.keyCol2)
+      rewritten = adds.files.size; carriedN = carried.size
+      (adds.copy(schemaDdl = base.schemaDdl,
+        files = carried ++ adds.files, deltaOf = -1), sub)
     }
-    sys.error(s"mergeRange gave up after $maxRetries conflicts on $root")
+    (ver, rewritten, carriedN)
   }
 
   /** RETENTION: drop every version below `keepFrom`. The boundary
@@ -991,20 +990,7 @@ object TxnTable {
     * for BOTH hops; `unchanged` rows are counted but carry no delta.
     * One co-located full-outer join per hop at 100 TB. */
   def txnTableChanges(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_changes")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
-    transact(spark, root, "merge", { snap =>
-      val updated = snap.withColumn("cents",
-        when(col("k") % 7 === 0, col("cents") + 1000L).otherwise(col("cents")))
-      val inserts = snap.where(col("k") % 101 === 0)
-        .select((-col("k") - 1).as("k"), lit(4200L).as("cents"))
-      updated.unionByName(inserts)
-    })
-    transact(spark, root, "delete",
-      snap => snap.where(!(col("k") % 5 === 0)))
+    val root = stageTimeTravelHistory(spark, dir, "graft_txn_changes")
     def hop(vFrom: Int, vTo: Int): DataFrame =
       changes(spark, root, vFrom, vTo, "cents")
         .groupBy("change_type")

@@ -67,7 +67,7 @@ def main(paths):
     hdr = " | ".join(f"{n} s" for n in names)
     if len(pts) == 3:
         print(f"| query | {hdr} | r1 | r2 | curvature | note |")
-        print("|---|---|---|---|---|---|---|")
+        print("|---|---|---|---|---|---|---|---|")
     else:
         print(f"| query | {hdr} | ratio | note |")
         print("|---|---|---|---|---|")
