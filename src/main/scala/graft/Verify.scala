@@ -26,7 +26,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // same cache policy as Bench: keep caches within a query group
     // (q70-q74 share ML lineage), clear at group boundaries so the
-    // dedup/similarity caches don't accumulate over the 57-query run
+    // dedup/similarity caches don't accumulate over the full run
     var prevGroup = ""
     SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
       val group = name.take(2)
