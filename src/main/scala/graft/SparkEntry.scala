@@ -390,6 +390,8 @@ object SparkEntry {
     "qd9_txn_compaction_race" -> (graft.sources.TxnTable.txnCompactionRace _),
     "qda_txn_surgical_merge" -> (graft.sources.TxnTable.txnSurgicalMerge _),
     "qdb_txn_retention"     -> (graft.sources.TxnTable.txnRetention _),
+    "qdc_txn_lagging_producer" -> (graft.sources.TxnTable.txnLaggingProducer _),
+    "qdd_txn_timestamp_travel" -> (graft.sources.TxnTable.txnTimestampTravel _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1039,6 +1041,8 @@ object SparkEntry {
     "qd9_txn_compaction_race" -> graft.sources.TxnTable.txnCompactionRaceOracle,
     "qda_txn_surgical_merge" -> graft.sources.TxnTable.txnSurgicalMergeOracle,
     "qdb_txn_retention"      -> graft.sources.TxnTable.txnRetentionOracle,
+    "qdc_txn_lagging_producer" -> graft.sources.TxnTable.txnLaggingProducerOracle,
+    "qdd_txn_timestamp_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

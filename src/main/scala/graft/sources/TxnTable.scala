@@ -82,7 +82,7 @@ object TxnTable {
     * chain the way Delta's `_last_checkpoint` does. */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
-      deltaOf: Int = -1, keyCol2: String = "")
+      deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L)
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -96,7 +96,7 @@ object TxnTable {
     s"""{"version":${m.version},"op":"${m.op}","key_col":"${m.keyCol}",""" +
       s""""key_col2":"${m.keyCol2}","schema":"${m.schemaDdl}",""" +
       s""""shards":${m.shards},"layout_div":${m.layoutDiv},""" +
-      s""""delta_of":${m.deltaOf},"files":$fs}"""
+      s""""delta_of":${m.deltaOf},"commit_ms":${m.commitMs},"files":$fs}"""
   }
 
   private val FileRe =
@@ -120,7 +120,8 @@ object TxnTable {
       m.group(5).toLong, m.group(6).toLong))
       .toSeq,
     fieldNum(json, "delta_of").toInt,
-    fieldStr(json, "key_col2"))
+    fieldStr(json, "key_col2"),
+    fieldNum(json, "commit_ms"))
 
   /** Versions whose manifests exist in the log, ascending — contiguous
     * from 0 until [[expireVersions]] drops a retention prefix.
@@ -158,6 +159,16 @@ object TxnTable {
     else m.copy(files = readManifest(root, m.deltaOf).files ++ m.files)
   }
 
+  /** `TIMESTAMP AS OF`: the highest version committed at or before
+    * `ts` (commit stamps are monotone along the log because commits
+    * are serialized by the put-if-absent link). The Delta/Iceberg
+    * timestamp-travel read, resolved purely from the log's metadata. */
+  def versionAsOf(root: String, ts: Long): Int = {
+    val vs = versions(root).filter(v => readManifestRaw(root, v).commitMs <= ts)
+    require(vs.nonEmpty, s"no version committed at or before $ts in $root")
+    vs.max
+  }
+
   /** Number of manifests a resolution of `version` reads — the graded
     * evidence that checkpoints bound the log tail. */
   def resolveDepth(root: String, version: Int): Int = {
@@ -174,7 +185,9 @@ object TxnTable {
     Files.createDirectories(Paths.get(logDir(root)))
     val tmp = Paths.get(logDir(root),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.writeString(tmp, toJson(m))
+    // stamp the commit time for TIMESTAMP AS OF ([[versionAsOf]]); the
+    // winner's stamp is the table's commit time by definition
+    Files.writeString(tmp, toJson(m.copy(commitMs = System.currentTimeMillis())))
     try { Files.createLink(logFile(root, version), tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -370,10 +383,30 @@ object TxnTable {
       beforeCommit: () => Unit = () => ()): (Int, Int) =
     retryCommit(root, "append", maxRetries, beforeCommit) { v =>
       val base = readManifest(root, v)
-      // align to the table's pinned column order; a mismatched batch
-      // schema fails here loudly rather than as a torn parquet union
-      val batch = df.select(org.apache.spark.sql.types.StructType
-        .fromDDL(base.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
+      // align to the table's pinned column order. A column the TABLE
+      // has but the batch lacks null-fills if nullable (a producer
+      // lagging a schema widen — the qd2 reality — must keep flowing);
+      // a batch column the table lacks, or a missing NOT NULL column,
+      // still fails loudly rather than as a torn parquet union.
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      val have = df.columns.toSet
+      val unknown = have -- schema.fieldNames
+      require(unknown.isEmpty,
+        s"batch carries columns the table schema lacks: ${unknown.mkString(",")}" +
+          " (widen the table first — schema evolution is a commit)")
+      // the key is structural (it drives the layout and the stats) and
+      // can never be null-filled; a NOT NULL value column can't either
+      // (note Spark's file sources erase NOT NULL on read, so after any
+      // rewrite commit the value columns are nullable — by design here)
+      require(have(base.keyCol),
+        s"batch missing the table key column ${base.keyCol}")
+      val batch = df.select(schema.fields.map { f =>
+        if (have(f.name)) col(f.name)
+        else {
+          require(f.nullable, s"batch missing NOT NULL column ${f.name}")
+          lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq: _*)
       val (adds, sub) = writeSnapshot(spark, root, v + 1, op, batch,
         base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2)
       // always carry the table's pinned DDL (the batch df's own DDL can
@@ -651,15 +684,18 @@ object TxnTable {
     * rewrite shifts a historical row and fails the hash. The oracle
     * replays each version's state arithmetically from `orders`. */
   /** Stages the canonical 3-version history (create; merge with
-    * updates + surrogate-key inserts; delete) shared by qcu and its
-    * SQL-text twin qd7. */
+    * updates + surrogate-key inserts; delete) shared by qcu, its
+    * SQL-text twin qd7, the CDC diff qd3, and the timestamp-travel
+    * qdd. `afterCommit(v)` fires after each version lands (qdd
+    * captures its wall-clock instants there). */
   private def stageTimeTravelHistory(spark: SparkSession, dir: String,
-      scratchName: String): String = {
+      scratchName: String, afterCommit: Int => Unit = _ => ()): String = {
     val root = graft.Fs.scratch(scratchName)
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
     create(spark, root, base, "k", 16)
+    afterCommit(0)
     transact(spark, root, "merge", { snap =>
       val updated = snap.withColumn("cents",
         when(col("k") % 7 === 0, col("cents") + 1000L).otherwise(col("cents")))
@@ -667,8 +703,10 @@ object TxnTable {
         .select((-col("k") - 1).as("k"), lit(4200L).as("cents"))
       updated.unionByName(inserts)
     })
+    afterCommit(1)
     transact(spark, root, "delete",
       snap => snap.where(!(col("k") % 5 === 0)))
+    afterCommit(2)
     root
   }
 
@@ -1036,6 +1074,87 @@ object TxnTable {
       FROM v1 WHERE k % 5 <> 0)
     SELECT * FROM hop01 UNION ALL SELECT * FROM hop12
     ORDER BY v_from, change_type"""
+
+  // ------------------------------------------------------------------
+  // qdc: LAGGING-PRODUCER APPEND — schema-tolerant ingest after a widen
+  // ------------------------------------------------------------------
+
+  /** qdc: the qd2 widen meets the qd4 ingest reality — after the table
+    * gains a nullable `channel` column, a producer still emitting the
+    * OLD two-column shape appends 500 rows, and the missing column
+    * null-fills (a batch with an UNKNOWN column, or missing a NOT NULL
+    * one, still fails loudly — that contract is spec-tested). Graded:
+    * the channel distribution over the final table replays from orders
+    * arithmetic — existing web rows keep 'web', every store row AND
+    * every lagging-producer row reads back NULL, and the aggregate
+    * proves no row was dropped or defaulted. */
+  def txnLaggingProducer(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_lagging")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", 16)
+    // widen: channel is known only for the web segment (nullable)
+    transact(spark, root, "widen", snap => snap.withColumn("channel",
+      when(col("k") % 3 === 0, lit("web"))))
+    // the lagging producer: old 2-column shape, fresh surrogate keys
+    append(spark, root,
+      spark.range(500).select((-col("id") - 1).as("k"), lit(4200L).as("cents")),
+      "old_shape_batch")
+    readVersion(spark, root, latestVersion(root))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").as("sum_cents"),
+        sum(when(col("channel") === "web", 1L).otherwise(0L)).as("web_rows"),
+        sum(when(col("channel").isNull, 1L).otherwise(0L)).as("null_channel_rows"),
+        sum(when(col("k") < 0 && col("channel").isNull, 1L).otherwise(0L))
+          .as("lagging_rows_nulled"))
+      .withColumn("n_versions", lit(latestVersion(root) + 1L))
+  }
+
+  val txnLaggingProducerOracle: String = """
+    SELECT CAST(count(1) + 500 AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             + 500 * 4200 AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS web_rows,
+           CAST(sum(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) + 500
+             AS BIGINT) AS null_channel_rows,
+           CAST(500 AS BIGINT) AS lagging_rows_nulled,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM orders"""
+
+  // ------------------------------------------------------------------
+  // qdd: TIMESTAMP AS OF — time travel by wall clock
+  // ------------------------------------------------------------------
+
+  /** qdd: the qcu history read back by TIMESTAMP instead of version —
+    * a wall-clock instant captured after each commit resolves (via the
+    * commit stamps the log carries) to exactly that commit's version,
+    * asserted with require() so a mis-resolution is a red row, and the
+    * per-version aggregates are graded by qcu's EXACT oracle: the two
+    * time-travel entry paths must be one table. The timestamps
+    * themselves never surface in the output (the row stays
+    * deterministic); only the resolution's correctness does. */
+  def txnTimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ts = Array.fill(3)(0L)
+    val root = stageTimeTravelHistory(spark, dir, "graft_txn_tstravel",
+      afterCommit = { v => ts(v) = System.currentTimeMillis(); Thread.sleep(5) })
+    val resolved = ts.toSeq.map(versionAsOf(root, _))
+    require(resolved == Seq(0, 1, 2),
+      s"TIMESTAMP AS OF resolved $resolved, expected Seq(0, 1, 2)")
+    val perVersion = resolved.map { v =>
+      readVersion(spark, root, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
+        sum("cents").as("sum_cents"),
+        countDistinct("k").as("n_keys"))
+        .withColumn("version", lit(v.toLong))
+    }
+    perVersion.reduce(_ unionByName _)
+      .select("version", "n_rows", "n_inserted", "sum_cents", "n_keys")
+      .orderBy("version")
+  }
 
   // ------------------------------------------------------------------
   // qd8: SURGICAL COPY-ON-WRITE DELETE — cost bounded by the stats

@@ -322,6 +322,43 @@ class TxnTableSpec extends SparkSpec {
     assert(nRead <= n1, s"z-order must not read more than 1D: $nRead vs $n1")
   }
 
+  test("append null-fills nullable columns a lagging batch lacks; unknown/NOT NULL fail loudly") {
+    val (r, _) = mkTable("lagging")
+    TxnTable.transact(spark, r, "widen",
+      snap => snap.withColumn("w", when(col("k") % 2 === 0, lit("even"))))
+    // old-shape batch: w null-fills
+    TxnTable.append(spark, r,
+      spark.range(1000L, 1100L).select(col("id").as("k"), lit(7L).as("v")), "old")
+    val back = TxnTable.readVersion(spark, r, 2)
+    assert(back.where(col("k") >= 1000 && col("w").isNull).count() == 100)
+    assert(back.where(col("w") === "even").count() == 500)
+    // a column the table lacks is rejected
+    val e1 = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, r, spark.range(1)
+        .select(col("id").as("k"), lit(0L).as("v"), lit(1L).as("zz")), "bad")
+    }
+    assert(e1.getMessage.contains("zz"), e1.getMessage)
+    // the key column is structural and can never be null-filled
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, r, spark.range(1).select(col("id").as("v")), "bad2")
+    }
+    assert(e2.getMessage.contains("key column k"), e2.getMessage)
+  }
+
+  test("versionAsOf resolves wall-clock instants to the commits they follow") {
+    val (r, _) = mkTable("tstravel")
+    val t0 = System.currentTimeMillis(); Thread.sleep(5)
+    TxnTable.transact(spark, r, "bump", s => s.withColumn("v", col("v") + 1))
+    val t1 = System.currentTimeMillis(); Thread.sleep(5)
+    TxnTable.transact(spark, r, "bump2", s => s.withColumn("v", col("v") + 1))
+    val t2 = System.currentTimeMillis()
+    assert(TxnTable.versionAsOf(r, t0) == 0)
+    assert(TxnTable.versionAsOf(r, t1) == 1)
+    assert(TxnTable.versionAsOf(r, t2) == 2)
+    // before the table existed: loud error, not version -1
+    intercept[IllegalArgumentException] { TxnTable.versionAsOf(r, t0 - 60000) }
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
