@@ -160,9 +160,10 @@ object TxnTable {
   }
 
   /** `TIMESTAMP AS OF`: the highest version committed at or before
-    * `ts` (commit stamps are monotone along the log because commits
-    * are serialized by the put-if-absent link). The Delta/Iceberg
-    * timestamp-travel read, resolved purely from the log's metadata. */
+    * `ts` (commit stamps are monotone along the log — [[commit]]
+    * clamps each stamp to its predecessor's, so a backwards wall-clock
+    * step cannot invert them). The Delta/Iceberg timestamp-travel
+    * read, resolved purely from the log's metadata. */
   def versionAsOf(root: String, ts: Long): Int = {
     val vs = versions(root).filter(v => readManifestRaw(root, v).commitMs <= ts)
     require(vs.nonEmpty, s"no version committed at or before $ts in $root")
@@ -186,8 +187,14 @@ object TxnTable {
     val tmp = Paths.get(logDir(root),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     // stamp the commit time for TIMESTAMP AS OF ([[versionAsOf]]); the
-    // winner's stamp is the table's commit time by definition
-    Files.writeString(tmp, toJson(m.copy(commitMs = System.currentTimeMillis())))
+    // winner's stamp is the table's commit time by definition. Clamped
+    // to the previous commit's stamp: serialization orders the WRITES,
+    // but only this clamp makes the VALUES monotone when the wall
+    // clock steps backwards (NTP) between commits.
+    val prevMs = versions(root).lastOption
+      .map(v => readManifestRaw(root, v).commitMs).getOrElse(0L)
+    Files.writeString(tmp,
+      toJson(m.copy(commitMs = math.max(System.currentTimeMillis(), prevMs))))
     try { Files.createLink(logFile(root, version), tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
@@ -394,15 +401,30 @@ object TxnTable {
       require(unknown.isEmpty,
         s"batch carries columns the table schema lacks: ${unknown.mkString(",")}" +
           " (widen the table first — schema evolution is a commit)")
-      // the key is structural (it drives the layout and the stats) and
-      // can never be null-filled; a NOT NULL value column can't either
-      // (note Spark's file sources erase NOT NULL on read, so after any
-      // rewrite commit the value columns are nullable — by design here)
+      // the key columns are structural (they drive the layout and the
+      // stats) and can never be null-filled; a NOT NULL value column
+      // can't either (note Spark's file sources erase NOT NULL on
+      // read, so after any rewrite commit the value columns are
+      // nullable — by design here)
       require(have(base.keyCol),
         s"batch missing the table key column ${base.keyCol}")
+      require(base.keyCol2.isEmpty || have(base.keyCol2),
+        s"batch missing the table's second clustering column ${base.keyCol2}")
       val batch = df.select(schema.fields.map { f =>
-        if (have(f.name)) col(f.name)
-        else {
+        if (have(f.name)) {
+          // exact type, or a provably lossless widen (INT batch into a
+          // BIGINT table — the Delta upcast rule); anything else fails
+          // at commit time, not as a torn parquet union at read time
+          val actual = df.schema(f.name).dataType
+          if (actual == f.dataType) col(f.name)
+          else {
+            require(org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(actual, f.dataType),
+              s"batch column ${f.name} type $actual cannot safely widen " +
+                s"to the table's ${f.dataType}")
+            col(f.name).cast(f.dataType).as(f.name)
+          }
+        } else {
           require(f.nullable, s"batch missing NOT NULL column ${f.name}")
           lit(null).cast(f.dataType).as(f.name)
         }
@@ -618,11 +640,7 @@ object TxnTable {
     * (the unprotected interleave this layer exists to prevent) would
     * drop one bump class and shift `sum_cents`. */
   def txnConcurrentMerge(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_concurrent")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_concurrent", 16)
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     def writer(modulo: Int, bump: Long): () => (Int, Int) = () => {
       val first = new java.util.concurrent.atomic.AtomicBoolean(true)
@@ -670,6 +688,19 @@ object TxnTable {
            CAST(1 AS BIGINT) AS n_conflicts
     FROM orders"""
 
+  /** Stages a fresh txn table over orders keyed by o_orderkey with
+    * integer cents — the shared base every protocol query builds its
+    * history on. Returns (root, staged base frame). */
+  private def stageOrdersTable(spark: SparkSession, dir: String,
+      scratchName: String, shards: Int): (String, DataFrame) = {
+    val root = graft.Fs.scratch(scratchName)
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    create(spark, root, base, "k", shards)
+    (root, base)
+  }
+
   // ------------------------------------------------------------------
   // qcu: VERSION AS OF time travel, graded end-to-end
   // ------------------------------------------------------------------
@@ -690,11 +721,7 @@ object TxnTable {
     * captures its wall-clock instants there). */
   private def stageTimeTravelHistory(spark: SparkSession, dir: String,
       scratchName: String, afterCommit: Int => Unit = _ => ()): String = {
-    val root = graft.Fs.scratch(scratchName)
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, _) = stageOrdersTable(spark, dir, scratchName, 16)
     afterCommit(0)
     transact(spark, root, "merge", { snap =>
       val updated = snap.withColumn("cents",
@@ -876,11 +903,7 @@ object TxnTable {
     * (`history_identical`, computed by an order-free full comparison,
     * not a count). */
   def txnOptimize(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_optimize")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 64)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_optimize", 64)
     optimize(spark, root, 8)
     val filesV0 = readManifest(root, 0).files.size.toLong
     val filesV1 = readManifest(root, 1).files.size.toLong
@@ -916,11 +939,7 @@ object TxnTable {
     * referenced files. The orphan is backdated past the age gate the
     * way a real crashed writer's debris would have aged. */
   def txnVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_vacuum")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_vacuum", 16)
     transact(spark, root, "bump",
       snap => snap.withColumn("cents", col("cents") + 1L))
     // the crash: attempt written, commit never reached
@@ -970,11 +989,7 @@ object TxnTable {
     * channel distribution (v0 reports 0s — the column does not exist
     * there, not "is NULL there"). */
   def txnSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_evolve")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_evolve", 16)
     transact(spark, root, "widen", snap => snap.withColumn("channel",
       when(col("k") % 3 === 0, "web").otherwise("store")))
     transact(spark, root, "bump_web", snap => snap.withColumn("cents",
@@ -1089,11 +1104,7 @@ object TxnTable {
     * every lagging-producer row reads back NULL, and the aggregate
     * proves no row was dropped or defaulted. */
   def txnLaggingProducer(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_lagging")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_lagging", 16)
     // widen: channel is known only for the web segment (nullable)
     transact(spark, root, "widen", snap => snap.withColumn("channel",
       when(col("k") % 3 === 0, lit("web"))))
@@ -1232,11 +1243,7 @@ object TxnTable {
     * shift sum_cents. Completes the surgical DML triad with qd5's
     * append and qd8's delete. */
   def txnSurgicalMerge(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_merge_range")
-    val ord = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, ord, "k", 16)
+    val (root, ord) = stageOrdersTable(spark, dir, "graft_txn_merge_range", 16)
     val mx = ord.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
     val (lo, hi) = (mx / 3, mx / 3 + mx / 32)
     val existing = ord.where(col("k").between(lo, hi)).cache()
@@ -1301,11 +1308,7 @@ object TxnTable {
     * arithmetically — expiry must not perturb a byte of the kept
     * version. */
   def txnRetention(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_retention")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 16)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_retention", 16)
     transact(spark, root, "bump",
       snap => snap.withColumn("cents", col("cents") + 1L))
     transact(spark, root, "prune",
@@ -1359,11 +1362,7 @@ object TxnTable {
     * concurrently-ingested rows — the classic lost-update — shifts
     * n_rows/appended_rows/sum_cents. */
   def txnCompactionRace(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.Fs.scratch("graft_txn_comprace")
-    val base = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    create(spark, root, base, "k", 64)
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_comprace", 64)
     val batch = spark.range(500).select(
       (-col("id") - 1).as("k"), lit(77L).as("cents"))
     val barrier = new java.util.concurrent.CyclicBarrier(2)

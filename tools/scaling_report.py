@@ -94,7 +94,10 @@ def main(paths):
                     and r2 >= FLAG_CURVE_MIN_R2
                     and ts[-1] >= FLAG_CURVE_MIN_BIG_S
                     and ts[1] >= FLAG_CURVE_MIN_MID_S):
-                if q in LINEAR_LARGE_CONSTANT:
+                # the exemption's own precondition is CHECKED, not
+                # assumed: if either decade ever turns superlinear, the
+                # annotation no longer applies and the flag fires
+                if q in LINEAR_LARGE_CONSTANT and r1 < 10.0 and r2 < 10.0:
                     note = (note + " " if note else "") + LINEAR_LARGE_CONSTANT[q]
                 else:
                     note = (note + " " if note else "") + "**FLAG: accelerating**"
