@@ -555,6 +555,25 @@ object TxnTable {
     (ver, rewritten, carriedN)
   }
 
+  /** Incremental consumption: the data files version `vTo` has that
+    * version `vFrom` did not — on an append-only table these ARE the
+    * rows added in (vFrom, vTo], resolved purely from the two
+    * manifests (checkpoint full manifests included: the diff is by
+    * path, not by manifest kind). The batch-incremental consumer
+    * pattern (a cursor of the last version processed, each run reads
+    * only the new files) — O(new data) per run, never a rescan. On a
+    * table with rewrites (optimize/delete) a file diff is not a row
+    * diff; use [[changes]] there. */
+  def addsBetween(spark: SparkSession, root: String, vFrom: Int,
+      vTo: Int): DataFrame = {
+    val to = readManifest(root, vTo)
+    val before =
+      if (vFrom < 0) Set.empty[String]
+      else readManifest(root, vFrom).files.map(_.path).toSet
+    readFiles(spark, root, to.schemaDdl,
+      to.files.filterNot(f => before.contains(f.path)))
+  }
+
   /** RETENTION: drop every version below `keepFrom`. The boundary
     * version is first CHECKPOINTED (its manifest rewritten as the
     * semantically-identical resolved full snapshot, so no surviving
@@ -1166,6 +1185,84 @@ object TxnTable {
       .select("version", "n_rows", "n_inserted", "sum_cents", "n_keys")
       .orderBy("version")
   }
+
+  // ------------------------------------------------------------------
+  // qde: INCREMENTAL CONSUMER — a cursor over the log, O(new) per run
+  // ------------------------------------------------------------------
+
+  /** qde: the consumer half of the ingest story — three consumer RUNS
+    * (each a separate "job" holding only a version cursor persisted to
+    * a file between runs) drain a 9-append documents table as it
+    * grows: run 1 sees deciles 0–2, run 2 sees 3–5 (through the v4
+    * full checkpoint — the file diff is by path, so checkpoint
+    * manifests don't re-deliver old files), run 3 sees 6–8. Graded:
+    * each run's row count replays from decile arithmetic, the three
+    * runs SUM to the final table exactly (`exactly_once` — any
+    * re-delivered or skipped file shifts it), and each run reads only
+    * the new files (`rows_rescanned` = 0 by construction, proven by
+    * the per-run counts themselves). */
+  def txnIncrementalConsumer(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_consumer")
+    val cursorPath = Paths.get(graft.Fs.scratch("graft_txn_consumer_cursor"))
+    Files.deleteIfExists(cursorPath)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    createEmpty(spark, root, docs.schema.toDDL, "k", 16, mx + 1)
+    val sliced = docs.withColumn("slice", expr(s"k * 10 div ${mx + 1}")).cache()
+    sliced.count()
+    try {
+      def consume(): (Long, Long) = { // one run of the cursor job
+        val from =
+          if (Files.exists(cursorPath)) Files.readString(cursorPath).toInt
+          else -1
+        val to = latestVersion(root)
+        val r = addsBetween(spark, root, from, to)
+          .agg(count(lit(1)), sum("c")).head()
+        Files.writeString(cursorPath, to.toString)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val runs = (0 until 3).map { batch =>
+        (0 until 3).foreach { i =>
+          val s = batch * 3 + i
+          append(spark, root,
+            sliced.where(col("slice") === s).drop("slice"), f"slice_$s%02d")
+        }
+        consume()
+      }
+      val total = readVersion(spark, root, latestVersion(root))
+        .agg(count(lit(1)), sum("c")).head()
+      spark.createDataFrame(spark.sparkContext.parallelize(
+          runs.zipWithIndex.map { case ((n, cs), i) =>
+            org.apache.spark.sql.Row(i.toLong, n, cs) }, 1),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "run BIGINT, rows_processed BIGINT, chars_processed BIGINT"))
+        .withColumn("total_rows", lit(total.getLong(0)))
+        .withColumn("exactly_once",
+          lit(runs.map(_._1).sum == total.getLong(0) &&
+            runs.map(_._2).sum == total.getLong(1)))
+        .orderBy("run")
+    } finally sliced.unpersist()
+  }
+
+  /** Replays each run's decile-triple counts and the exactly-once sum
+    * (deciles 9 of the key space never appended stay out of both). */
+  val txnIncrementalConsumerOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS c,
+             doc_id * 10 // (m.mx + 1) AS slice
+      FROM documents, m),
+    staged AS (SELECT * FROM d WHERE slice < 9),
+    runs AS (
+      SELECT CAST(slice // 3 AS BIGINT) AS run,
+             CAST(count(1) AS BIGINT) AS rows_processed,
+             CAST(sum(c) AS BIGINT) AS chars_processed
+      FROM staged GROUP BY slice // 3),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n FROM staged)
+    SELECT runs.run, runs.rows_processed, runs.chars_processed,
+           tot.n AS total_rows, true AS exactly_once
+    FROM runs, tot ORDER BY runs.run"""
 
   // ------------------------------------------------------------------
   // qd8: SURGICAL COPY-ON-WRITE DELETE — cost bounded by the stats

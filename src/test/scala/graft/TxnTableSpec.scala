@@ -359,6 +359,26 @@ class TxnTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxnTable.versionAsOf(r, t0 - 60000) }
   }
 
+  test("addsBetween yields exactly the new rows, across checkpoint manifests") {
+    val r = root("adds")
+    TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 8, 600L)
+    (0 until 6).foreach { i =>
+      TxnTable.append(spark, r, spark.range(i * 100L, i * 100L + 100L)
+        .select(col("id").as("k"), lit(i.toLong).as("v")), s"b$i")
+    }
+    // v3 -> v6 crosses the v4 full checkpoint; diff is by path, so the
+    // checkpoint must not re-deliver the older files
+    val mid = TxnTable.addsBetween(spark, r, 3, 6)
+    assert(mid.count() == 300)
+    assert(mid.agg(min("k"), max("k")).head() ===
+      org.apache.spark.sql.Row(300L, 599L))
+    // from before the table's first append: everything
+    assert(TxnTable.addsBetween(spark, r, -1, 6).count() == 600)
+    // a same-version diff is empty (with schema, not a crash)
+    assert(TxnTable.addsBetween(spark, r, 6, 6).columns.toSeq == Seq("k", "v"))
+    assert(TxnTable.addsBetween(spark, r, 6, 6).count() == 0)
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
