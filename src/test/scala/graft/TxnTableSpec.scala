@@ -359,6 +359,19 @@ class TxnTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxnTable.versionAsOf(r, t0 - 60000) }
   }
 
+  test("a pruned read PLANS over exactly the kept files (not just fewer rows)") {
+    val (r, _) = mkTable("planprune", n = 4000, shards = 16)
+    val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 1000L, 1240L)
+    assert(nRead < nTotal)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.isDefined, "pruned read must plan as a file scan")
+    assert(scan.get.relation.location.inputFiles.length == nRead,
+      s"scan lists ${scan.get.relation.location.inputFiles.length} files, " +
+        s"manifest pruning kept $nRead — the file list must BE the pruned list")
+  }
+
   test("addsBetween yields exactly the new rows, across checkpoint manifests") {
     val r = root("adds")
     TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 8, 600L)
