@@ -393,6 +393,7 @@ object SparkEntry {
     "qdc_txn_lagging_producer" -> (graft.sources.TxnTable.txnLaggingProducer _),
     "qdd_txn_timestamp_travel" -> (graft.sources.TxnTable.txnTimestampTravel _),
     "qde_txn_incremental_consumer" -> (graft.sources.TxnTable.txnIncrementalConsumer _),
+    "qdf_txn_check_constraint" -> (graft.sources.TxnTable.txnCheckConstraint _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1045,6 +1046,7 @@ object SparkEntry {
     "qdc_txn_lagging_producer" -> graft.sources.TxnTable.txnLaggingProducerOracle,
     "qdd_txn_timestamp_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
     "qde_txn_incremental_consumer" -> graft.sources.TxnTable.txnIncrementalConsumerOracle,
+    "qdf_txn_check_constraint" -> graft.sources.TxnTable.txnCheckConstraintOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

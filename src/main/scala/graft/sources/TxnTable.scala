@@ -80,9 +80,17 @@ object TxnTable {
     * rewriting op (create/transact/optimize) and every
     * `checkpointEvery`-th append commits full, bounding the resolve
     * chain the way Delta's `_last_checkpoint` does. */
+  /** `checkExpr` (when nonempty) is a SQL boolean every row of every
+    * later commit must satisfy — the Delta CHECK-constraint/invariant
+    * shape, enforced at WRITE time by [[writeSnapshot]] (one pass over
+    * the incoming batch, never a table rescan) so a violating batch is
+    * rejected loudly at commit rather than discovered downstream. The
+    * expression must not contain double quotes (the manifest JSON's
+    * string fields parse to the closing quote). */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
-      deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L)
+      deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L,
+      checkExpr: String = "")
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -96,7 +104,8 @@ object TxnTable {
     s"""{"version":${m.version},"op":"${m.op}","key_col":"${m.keyCol}",""" +
       s""""key_col2":"${m.keyCol2}","schema":"${m.schemaDdl}",""" +
       s""""shards":${m.shards},"layout_div":${m.layoutDiv},""" +
-      s""""delta_of":${m.deltaOf},"commit_ms":${m.commitMs},"files":$fs}"""
+      s""""delta_of":${m.deltaOf},"commit_ms":${m.commitMs},""" +
+      s""""check":"${m.checkExpr}","files":$fs}"""
   }
 
   private val FileRe =
@@ -121,7 +130,8 @@ object TxnTable {
       .toSeq,
     fieldNum(json, "delta_of").toInt,
     fieldStr(json, "key_col2"),
-    fieldNum(json, "commit_ms"))
+    fieldNum(json, "commit_ms"),
+    fieldStr(json, "check"))
 
   /** Versions whose manifests exist in the log, ascending — contiguous
     * from 0 until [[expireVersions]] drops a retention prefix.
@@ -214,8 +224,17 @@ object TxnTable {
   private def writeSnapshot(spark: SparkSession, root: String, version: Int,
       op: String, df: DataFrame, keyCol: String, shards: Int,
       layoutDiv: Long, keyCol2: String = "",
-      shardExprOverride: Option[org.apache.spark.sql.Column] = None)
+      shardExprOverride: Option[org.apache.spark.sql.Column] = None,
+      checkExpr: String = "")
       : (Manifest, String) = {
+    // CHECK constraint: one pass over the INCOMING rows only (never a
+    // table rescan); standard SQL semantics — FALSE violates, NULL
+    // passes. A violating batch is rejected before any file lands.
+    if (checkExpr.nonEmpty) {
+      val bad = df.where(!coalesce(expr(checkExpr), lit(true))).count()
+      require(bad == 0,
+        s"CHECK constraint ($checkExpr) violated by $bad row(s); commit rejected")
+    }
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/v$version%08d-$attempt"
     val out = s"$root/$sub"
@@ -254,8 +273,27 @@ object TxnTable {
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
     (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
-      keyCol2 = keyCol2), sub)
+      keyCol2 = keyCol2, checkExpr = checkExpr), sub)
   }
+
+  /** Add (or replace) the table's CHECK constraint AS A COMMIT: the
+    * current data must already satisfy it (validated once here), and
+    * every later write enforces it on its incoming batch. Dropping =
+    * setting "". */
+  def setCheck(spark: SparkSession, root: String, checkExpr: String,
+      maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "setCheck", maxRetries) { v =>
+      val base = readManifest(root, v)
+      if (checkExpr.nonEmpty) {
+        val bad = readVersion(spark, root, v)
+          .where(!coalesce(expr(checkExpr), lit(true))).count()
+        require(bad == 0,
+          s"existing rows violate CHECK ($checkExpr): $bad row(s)")
+      }
+      // metadata-only commit: same files, new constraint
+      (base.copy(version = v + 1, op = "set_check", deltaOf = -1,
+        checkExpr = checkExpr), "data/__no_attempt__")
+    }
 
   /** Shared optimistic-concurrency skeleton for every post-create
     * writer: `mkAttempt` reads the CURRENT head version and returns
@@ -430,7 +468,8 @@ object TxnTable {
         }
       }.toIndexedSeq: _*)
       val (adds, sub) = writeSnapshot(spark, root, v + 1, op, batch,
-        base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2)
+        base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
+        checkExpr = base.checkExpr)
       // always carry the table's pinned DDL (the batch df's own DDL can
       // differ in nullability flags and would fork the read schema)
       val m =
@@ -462,7 +501,8 @@ object TxnTable {
       val base = readManifest(root, v)
       val next = mkUpdate(readVersion(spark, root, v))
       writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
-        base.shards, base.layoutDiv, keyCol2 = base.keyCol2)
+        base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
+        checkExpr = base.checkExpr)
     }
 
   /** OPTIMIZE: rewrite the current snapshot at a new shard count AS A
@@ -481,7 +521,7 @@ object TxnTable {
       val base = readManifest(root, v)
       writeSnapshot(spark, root, v + 1, "optimize",
         readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv,
-        keyCol2 = base.keyCol2)
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr)
     }
 
   /** SURGICAL copy-on-write delete: consult the manifest stats to find
@@ -506,7 +546,7 @@ object TxnTable {
         .where(!col(base.keyCol).between(lo, hi))
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "delete_range",
         remaining, base.keyCol, base.shards, base.layoutDiv,
-        keyCol2 = base.keyCol2)
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1), sub)
@@ -547,7 +587,7 @@ object TxnTable {
             coalesce(col(s"s.$c"), col(s"t.$c")).as(c)).toIndexedSeq: _*)
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "merge_range",
         merged, base.keyCol, base.shards, base.layoutDiv,
-        keyCol2 = base.keyCol2)
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1), sub)
@@ -1263,6 +1303,54 @@ object TxnTable {
     SELECT runs.run, runs.rows_processed, runs.chars_processed,
            tot.n AS total_rows, true AS exactly_once
     FROM runs, tot ORDER BY runs.run"""
+
+  // ------------------------------------------------------------------
+  // qdf: CHECK CONSTRAINT — the data-quality gate at the table boundary
+  // ------------------------------------------------------------------
+
+  /** qdf: a CHECK constraint lands as a metadata-only commit
+    * (validated once against the existing rows), a conforming batch
+    * appends normally, and a violating batch is REJECTED at commit
+    * time with no version minted and no file landed — the Delta
+    * invariant shape, enforced with one pass over the incoming batch
+    * only. Graded: the final aggregate replays from orders + the good
+    * batch (any leak of the bad batch shifts it), the version count
+    * proves the rejected commit minted nothing, and the constraint
+    * rides the head manifest (later writers keep enforcing it). */
+  def txnCheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = stageOrdersTable(spark, dir, "graft_txn_check", 16)
+    setCheck(spark, root, "cents > 0 AND k IS NOT NULL")
+    append(spark, root, spark.range(500)
+      .select((-col("id") - 1).as("k"), lit(4200L).as("cents")), "good_batch")
+    val rejected =
+      try {
+        append(spark, root, spark.range(10)
+          .select((-col("id") - 1000L).as("k"), lit(-1L).as("cents")), "bad_batch")
+        false
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("CHECK constraint")
+      }
+    val latest = latestVersion(root)
+    readVersion(spark, root, latest)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").as("sum_cents"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("appended_rows"))
+      .withColumn("n_versions", lit(latest + 1L))
+      .withColumn("constraint_active",
+        lit(readManifestRaw(root, latest).checkExpr.nonEmpty))
+      .withColumn("violating_rejected", lit(rejected))
+  }
+
+  val txnCheckConstraintOracle: String = """
+    SELECT CAST(count(1) + 500 AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             + 500 * 4200 AS BIGINT) AS sum_cents,
+           CAST(500 AS BIGINT) AS appended_rows,
+           CAST(3 AS BIGINT) AS n_versions,
+           true AS constraint_active,
+           true AS violating_rejected
+    FROM orders"""
 
   // ------------------------------------------------------------------
   // qd8: SURGICAL COPY-ON-WRITE DELETE — cost bounded by the stats

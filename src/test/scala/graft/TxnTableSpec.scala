@@ -372,6 +372,28 @@ class TxnTableSpec extends SparkSpec {
         s"manifest pruning kept $nRead — the file list must BE the pruned list")
   }
 
+  test("CHECK constraint: set validates existing rows; writers reject violations") {
+    val (r, _) = mkTable("check")
+    // existing data violates a too-strict constraint: set refuses
+    intercept[IllegalArgumentException] {
+      TxnTable.setCheck(spark, r, "v > 1000")
+    }
+    assert(TxnTable.latestVersion(r) == 0, "refused set must mint nothing")
+    TxnTable.setCheck(spark, r, "v >= 0")
+    // conforming write passes; constraint rides the new head manifest
+    TxnTable.transact(spark, r, "bump", s => s.withColumn("v", col("v") + 1))
+    assert(TxnTable.readManifestRaw(r, 2).checkExpr == "v >= 0")
+    // violating write rejected BEFORE any file lands; no version minted
+    intercept[IllegalArgumentException] {
+      TxnTable.transact(spark, r, "bad", s => s.withColumn("v", col("v") - 99999))
+    }
+    assert(TxnTable.latestVersion(r) == 2)
+    // NULL passes (standard SQL CHECK semantics)
+    TxnTable.append(spark, r, spark.range(1)
+      .select(lit(2000L).as("k"), lit(null).cast("long").as("v")), "nullrow")
+    assert(TxnTable.latestVersion(r) == 3)
+  }
+
   test("addsBetween yields exactly the new rows, across checkpoint manifests") {
     val r = root("adds")
     TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 8, 600L)
