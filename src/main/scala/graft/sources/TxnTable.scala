@@ -266,7 +266,11 @@ object TxnTable {
     val files = stats.map { r =>
       val full = r.getString(0).stripPrefix("file:").stripPrefix("//")
       val rel = full.substring(full.indexOf(sub))
-      if (keyCol2.nonEmpty)
+      // an all-null second-column file (a lagging producer's batch on a
+      // 2-col-stats table) gets the full-range sentinels: min/max over
+      // nulls is null, and a null stat must mean "prunes nothing",
+      // never a crash or a file silently skipped
+      if (keyCol2.nonEmpty && !r.isNullAt(4))
         FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))
       else FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))

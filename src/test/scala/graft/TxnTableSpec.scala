@@ -372,6 +372,25 @@ class TxnTableSpec extends SparkSpec {
         s"manifest pruning kept $nRead — the file list must BE the pruned list")
   }
 
+  test("an all-null second-column batch gets sentinel stats, not a crash") {
+    val r = root("nullk2")
+    val df = spark.range(256).select(
+      (col("id") % 16).as("x"), expr("id div 16").as("y"))
+    TxnTable.createZordered(spark, r, df, "x", "y", bits = 4, shards = 4)
+    TxnTable.append(spark, r, spark.range(20)
+      .select((col("id") + 100L).as("x"), lit(null).cast("long").as("y")),
+      "lagging_nulls")
+    val added = TxnTable.readManifest(r, 1).files
+      .filterNot(TxnTable.readManifest(r, 0).files.toSet)
+    assert(added.nonEmpty)
+    assert(added.forall(f =>
+      f.minK2 == Long.MinValue && f.maxK2 == Long.MaxValue),
+      "all-null k2 files must carry prune-nothing sentinels")
+    // a 2D probe keeps the sentinel file: soundness over selectivity
+    val (pruned, _, _) = TxnTable.prunedRead2D(spark, r, 1, 100, 119, 5, 6)
+    assert(pruned.where(col("x").between(100, 119)).count() == 20)
+  }
+
   test("CHECK constraint: set validates existing rows; writers reject violations") {
     val (r, _) = mkTable("check")
     // existing data violates a too-strict constraint: set refuses
