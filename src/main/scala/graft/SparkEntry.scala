@@ -394,6 +394,11 @@ object SparkEntry {
     "qdd_txn_timestamp_travel" -> (graft.sources.TxnTable.txnTimestampTravel _),
     "qde_txn_incremental_consumer" -> (graft.sources.TxnTable.txnIncrementalConsumer _),
     "qdf_txn_check_constraint" -> (graft.sources.TxnTable.txnCheckConstraint _),
+    "qdg_sql_catalog_lifecycle" -> (graft.sources.GraftTxnCatalog.sqlCatalogLifecycle _),
+    "qdh_sql_pushdown_prune" -> (graft.sources.GraftTxnCatalog.sqlPushdownPrune _),
+    "qdi_txn_metadata_bounded" -> (graft.sources.TxnTable.txnMetadataBounded _),
+    "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
+    "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1047,6 +1052,11 @@ object SparkEntry {
     "qdd_txn_timestamp_travel" -> graft.sources.TxnTable.txnTimeTravelOracle,
     "qde_txn_incremental_consumer" -> graft.sources.TxnTable.txnIncrementalConsumerOracle,
     "qdf_txn_check_constraint" -> graft.sources.TxnTable.txnCheckConstraintOracle,
+    "qdg_sql_catalog_lifecycle" -> graft.sources.GraftTxnCatalog.sqlCatalogLifecycleOracle,
+    "qdh_sql_pushdown_prune" -> graft.sources.GraftTxnCatalog.sqlPushdownPruneOracle,
+    "qdi_txn_metadata_bounded" -> graft.sources.TxnTable.txnMetadataBoundedOracle,
+    "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
+    "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

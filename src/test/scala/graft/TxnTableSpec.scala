@@ -433,6 +433,204 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.addsBetween(spark, r, 6, 6).count() == 0)
   }
 
+  // ————— round 10: codec hardening, O(1) metadata, value stats —————
+
+  test("manifest codec round-trips adversarial strings (quotes, backslashes, controls)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val nasty: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)), Gen.const("\""), Gen.const("\\"),
+      Gen.const("\\\""), Gen.const("\n"), Gen.const("\t"),
+      Gen.const("\"version\":9,"), Gen.const("},{\"path\":\"x\""),
+      Gen.const("\"check\":\"v > 1\""), Gen.const("\u0001")))
+      .map(_.mkString)
+    (1 to 60).foreach { i =>
+      val s = nasty.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val m = TxnTable.Manifest(3, s"op_$s", "k", s"k BIGINT,c_$s STRING", 8,
+        100L, Seq(TxnTable.FileEntry(s"data/v3-ab/p.parquet", 10L, 1L, 9L,
+          -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L))),
+        deltaOf = 2, keyCol2 = s, commitMs = 17L, checkExpr = s,
+        statsCols = Seq("t", s), txns = Seq("app" -> 4L, s -> 9L))
+      val back = TxnTable.parse(TxnTable.toJson(m))
+      assert(back == m, s"round-trip drift at seed $i:\n$back\nvs\n$m")
+    }
+  }
+
+  test("a probe that prunes every file yields the schema'd empty frame") {
+    val (r, _) = mkTable("emptyprobe", n = 1000, shards = 8)
+    val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 5000L, 6000L)
+    assert(nRead == 0 && nTotal == 8)
+    assert(pruned.columns.toSeq == Seq("k", "v"))
+    assert(pruned.count() == 0)
+  }
+
+  test("shard layout survives keys near Long.MaxValue (no overflow collapse)") {
+    val r = root("hugekeys")
+    val top = Long.MaxValue - 10
+    val df = spark.range(1000).select(
+      (lit(top) - col("id") * (top / 1000)).as("k"), col("id").as("v"))
+    TxnTable.create(spark, r, df, "k", 8)
+    val m = TxnTable.readManifest(r, 0)
+    assert(m.files.size > 1,
+      s"huge keys collapsed into ${m.files.size} file(s) — multiply overflowed")
+    // pruning at the top of the key domain opens a strict subset
+    val (pruned, nRead, nTotal) =
+      TxnTable.prunedRead(spark, r, 0, top - top / 100, top)
+    assert(nRead < nTotal, s"no pruning at the top: $nRead of $nTotal")
+    val want = df.where(col("k") >= top - top / 100).count()
+    assert(pruned.where(col("k") >= top - top / 100).count() == want)
+  }
+
+  test("CHECK is validated against the rows as WRITTEN; rejected attempt leaves no debris") {
+    val (r, _) = mkTable("checkwritten")
+    TxnTable.setCheck(spark, r, "v >= 0")
+    val dirsBefore =
+      new java.io.File(s"$r/data").listFiles().count(_.isDirectory)
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.append(spark, r, spark.range(5)
+        .select((col("id") + 2000L).as("k"), lit(-1L).as("v")), "bad")
+    }
+    assert(e.getMessage.contains("CHECK constraint"), e.getMessage)
+    assert(new java.io.File(s"$r/data").listFiles().count(_.isDirectory)
+      == dirsBefore, "rejected batch must clean its own attempt dir")
+    assert(TxnTable.latestVersion(r) == 1)
+  }
+
+  test("appendTxn ledger: one head read dedups; distinct appIds coexist; ledger rides rewrites") {
+    val r = root("ledger")
+    TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 4, 1000L)
+    def batch(lo: Long) = spark.range(lo, lo + 50)
+      .select(col("id").as("k"), lit(1L).as("v"))
+    val (v1, _, a1) = TxnTable.appendTxn(spark, r, batch(0), "ingest", 0L)
+    assert(v1 == 1 && a1)
+    val (v2, _, a2) = TxnTable.appendTxn(spark, r, batch(50), "backfill", 10L)
+    assert(v2 == 2 && a2)
+    // re-delivery of either writer's txn: skipped, no version minted
+    assert(!TxnTable.appendTxn(spark, r, batch(0), "ingest", 0L)._3)
+    assert(!TxnTable.appendTxn(spark, r, batch(50), "backfill", 9L)._3)
+    assert(TxnTable.latestVersion(r) == 2)
+    assert(TxnTable.lastTxnVersion(r, "ingest").contains(0L))
+    assert(TxnTable.lastTxnVersion(r, "backfill").contains(10L))
+    assert(TxnTable.lastTxnVersion(r, "nobody").isEmpty)
+    // the ledger survives a full-rewrite commit (optimize) and a
+    // surgical one — every writer carries it forward
+    TxnTable.optimize(spark, r, 2)
+    assert(TxnTable.lastTxnVersion(r, "ingest").contains(0L))
+    TxnTable.deleteRange(spark, r, 0L, 5L)
+    assert(TxnTable.lastTxnVersion(r, "backfill").contains(10L))
+    assert(!TxnTable.appendTxn(spark, r, batch(0), "ingest", 0L)._3)
+    // a NEWER txnVersion from the same appId still applies
+    val (v5, _, a5) = TxnTable.appendTxn(spark, r, batch(100), "ingest", 1L)
+    assert(a5 && v5 == TxnTable.latestVersion(r))
+  }
+
+  test("value-column stats prune a non-key probe; sentinel and pre-stats files stay") {
+    val r = root("valstats")
+    TxnTable.createEmpty(spark, r, "k BIGINT,t BIGINT,v BIGINT", "k", 4, 400L,
+      statsCols = Seq("t"))
+    // three ingest-time bands over the full key range
+    (0 until 3).foreach { i =>
+      TxnTable.append(spark, r, spark.range(400)
+        .select(col("id").as("k"), (lit(i * 100L) + col("id") % 100).as("t"),
+          lit(i.toLong).as("v")), s"band$i")
+    }
+    val (pruned, nRead, nTotal) =
+      TxnTable.prunedReadBy(spark, r, 3, "t", 100L, 199L)
+    assert(nRead < nTotal, s"no value pruning: $nRead of $nTotal")
+    assert(pruned.where(col("t").between(100, 199)).count() == 400)
+    assert(pruned.where(col("v") =!= 1L).count() == 0,
+      "t-band [100,199] is exactly batch 1")
+    // an all-null stats column batch gets sentinels and is never skipped
+    TxnTable.append(spark, r, spark.range(10)
+      .select((col("id") + 1000L).as("k"), lit(null).cast("long").as("t"),
+        lit(9L).as("v")), "nulls")
+    val m = TxnTable.readManifest(r, 4)
+    val nullFiles = m.files.filter(_.vmin.exists(_ == Long.MinValue))
+    assert(nullFiles.nonEmpty, "all-null t files must carry sentinels")
+    val (p2, _, _) = TxnTable.prunedReadBy(spark, r, 4, "t", 100L, 199L)
+    assert(p2.where(col("v") === 9L).count() == 10,
+      "sentinel files must survive every probe")
+    // key and key2 probes route through the same seam
+    val (p3, n3, t3) = TxnTable.prunedReadBy(spark, r, 3, "k", 0L, 50L)
+    assert(n3 < t3 && p3.where(col("k") <= 50).count() == 153)
+    // a column with no stats fails loudly, never silently scans all
+    intercept[IllegalArgumentException] {
+      TxnTable.prunedReadBy(spark, r, 3, "v", 0L, 1L)
+    }
+  }
+
+  test("optimizeZorder re-clusters a committed 1D table; history intact; 2D pruning wins") {
+    val r = root("optz")
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("k"), expr("id div 64").as("c"))
+    TxnTable.create(spark, r, df, "k", 64)
+    val (_, n1d, _) = TxnTable.prunedRead2D(spark, r, 0, 10, 20, 10, 20)
+    val (v, conflicts) = TxnTable.optimizeZorder(spark, r, "c", bits = 6, newShards = 64)
+    assert(v == 1 && conflicts == 0)
+    val m1 = TxnTable.readManifest(r, 1)
+    assert(m1.keyCol2 == "c" && m1.files.forall(f => f.maxK2 <= 63))
+    val (p2, n2d, _) = TxnTable.prunedRead2D(spark, r, 1, 10, 20, 10, 20)
+    assert(n2d < n1d, s"re-layout must out-prune 1D: $n2d vs $n1d")
+    assert(p2.where(col("k").between(10, 20) && col("c").between(10, 20))
+      .count() == 121)
+    // v0 immutable; v1 content identical to v0
+    val v0 = TxnTable.readVersion(spark, r, 0)
+    val v1 = TxnTable.readVersion(spark, r, 1)
+    assert(v0.exceptAll(v1).count() == 0 && v1.exceptAll(v0).count() == 0)
+    // later appends keep carrying both columns' stats
+    TxnTable.append(spark, r, spark.range(10)
+      .select((col("id") + 100L).as("k"), lit(5L).as("c")), "tail")
+    val added = TxnTable.readManifest(r, 2).files
+      .filterNot(m1.files.toSet)
+    assert(added.nonEmpty && added.forall(f => f.minK2 == 5L && f.maxK2 == 5L))
+  }
+
+  test("retention/reader contract: pre-expiry file lists stay readable; boundary content unchanged") {
+    val (r, _) = mkTable("readercontract")
+    TxnTable.append(spark, r, spark.range(1000L, 1100L)
+      .select(col("id").as("k"), lit(0L).as("v")), "d1", checkpointEvery = 100)
+    TxnTable.append(spark, r, spark.range(1100L, 1200L)
+      .select(col("id").as("k"), lit(0L).as("v")), "d2", checkpointEvery = 100)
+    // a reader resolves the head BEFORE expiry (delta chain to v0)
+    val preResolved = TxnTable.readManifest(r, 2)
+    assert(TxnTable.readManifestRaw(r, 2).deltaOf == 1)
+    assert(TxnTable.expireVersions(r, 2) == 2)
+    // (a) its pre-expiry file list still reads — expiry deletes no data
+    val viaOldList = spark.read.parquet(
+      preResolved.files.map(f => s"$r/${f.path}"): _*)
+    assert(viaOldList.count() == 1200)
+    // (b) the checkpointed boundary resolves to the SAME content
+    val post = TxnTable.readManifest(r, 2)
+    assert(post.deltaOf == -1)
+    assert(post.files.map(_.path).sorted == preResolved.files.map(_.path).sorted,
+      "boundary rewrite must be semantically identical")
+    // (c) an expired version fails loudly
+    intercept[java.nio.file.NoSuchFileException] { TxnTable.readManifest(r, 0) }
+    // an already-full boundary skips the in-place rewrite entirely
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$r/_log/v00000002.json"))
+    assert(TxnTable.expireVersions(r, 2) == 0)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$r/_log/v00000002.json")) == before,
+      "full boundary must not be rewritten")
+  }
+
+  test("head pointer: O(1) latestVersion heals a trailing head and falls back without one") {
+    val (r, _) = mkTable("headptr")
+    TxnTable.transact(spark, r, "bump", s => s.withColumn("v", col("v") + 1))
+    val head = java.nio.file.Paths.get(s"$r/_log/_head")
+    assert(java.nio.file.Files.readString(head).trim == "1")
+    // a trailing head (writer died between link and head update) heals
+    java.nio.file.Files.writeString(head, "0")
+    assert(TxnTable.latestVersion(r) == 1)
+    // no head at all: full-listing fallback
+    java.nio.file.Files.delete(head)
+    assert(TxnTable.latestVersion(r) == 1)
+    // corrupt head: fallback, not a crash
+    java.nio.file.Files.writeString(head, "not-a-number")
+    assert(TxnTable.latestVersion(r) == 1)
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
