@@ -397,6 +397,8 @@ object SparkEntry {
     "qdg_sql_catalog_lifecycle" -> (graft.sources.GraftTxnCatalog.sqlCatalogLifecycle _),
     "qdh_sql_pushdown_prune" -> (graft.sources.GraftTxnCatalog.sqlPushdownPrune _),
     "qdi_txn_metadata_bounded" -> (graft.sources.TxnTable.txnMetadataBounded _),
+    "qdl_sql_surgical_delete" -> (graft.sources.GraftTxnCatalog.sqlSurgicalDelete _),
+    "qdm_txn_stream_read"   -> (graft.sources.TxnStream.txnStreamRead _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1055,6 +1057,8 @@ object SparkEntry {
     "qdg_sql_catalog_lifecycle" -> graft.sources.GraftTxnCatalog.sqlCatalogLifecycleOracle,
     "qdh_sql_pushdown_prune" -> graft.sources.GraftTxnCatalog.sqlPushdownPruneOracle,
     "qdi_txn_metadata_bounded" -> graft.sources.TxnTable.txnMetadataBoundedOracle,
+    "qdl_sql_surgical_delete" -> graft.sources.GraftTxnCatalog.sqlSurgicalDeleteOracle,
+    "qdm_txn_stream_read"    -> graft.sources.TxnStream.txnStreamReadOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

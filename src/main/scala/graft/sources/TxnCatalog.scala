@@ -273,6 +273,74 @@ object GraftTxnCatalog {
       .withColumn("filter_pushed", lit(scan.pushedFilters.length == 2))
   }
 
+  /** qdl: SQL `DELETE FROM` lands as the SURGICAL copy-on-write delete
+    * — qd8's operator reached as one SQL statement through
+    * `SupportsDelete`: the key-range predicate collapses to the [lo,
+    * hi] the manifest stats price, only the stat-overlapping files
+    * rewrite (counts computed from the REAL before/after manifests and
+    * replayed by the oracle from the shard arithmetic), untouched
+    * files carry by path, v1 re-reads intact after the delete, and a
+    * NON-key predicate is refused loudly (`canDeleteWhere` false — the
+    * connector never silently full-scans what its stats cannot price),
+    * all graded in the row. */
+  def sqlSurgicalDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    docs.createOrReplaceTempView("docs_sqldel")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_docs_del")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_docs_del (k BIGINT, c BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.sql_docs_del SELECT k, c FROM docs_sqldel")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_docs_del"
+    val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 32)
+    spark.sql(s"DELETE FROM graft.sql_docs_del WHERE k BETWEEN $lo AND $hi")
+    require(TxnTable.latestVersion(root) == 2, "DELETE must commit exactly v2")
+    val m2 = TxnTable.readManifest(root, 2)
+    val carried = m2.files.map(_.path).count(v1Paths.contains)
+    val rewritten = m2.files.size - carried
+    val nonkeyRefused =
+      try {
+        spark.sql("DELETE FROM graft.sql_docs_del WHERE c > 5")
+        false
+      } catch { case _: Exception => true }
+    spark.sql("""
+        SELECT count(1) AS n_rows_after, sum(c) AS chars_sum_after
+        FROM graft.sql_docs_del""")
+      .crossJoin(broadcast(spark.sql(
+        "SELECT sum(c) AS chars_sum_v1 FROM graft.sql_docs_del VERSION AS OF 1")))
+      .withColumn("n_files_rewritten", lit(rewritten.toLong))
+      .withColumn("n_files_carried", lit(carried.toLong))
+      .withColumn("nonkey_refused", lit(nonkeyRefused))
+  }
+
+  /** qd8's shard/overlap arithmetic, through the SQL statement. */
+  val sqlSurgicalDeleteOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 32 AS hi FROM m),
+    s AS (
+      SELECT doc_id, n_chars, doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    f AS (SELECT shard, min(doc_id) AS mn, max(doc_id) AS mx2
+          FROM s GROUP BY shard),
+    touched AS (
+      SELECT count(1) AS n FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n FROM f),
+    after AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows_after,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum_after
+      FROM s, probe WHERE doc_id NOT BETWEEN probe.lo AND probe.hi),
+    v1 AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_sum_v1 FROM s)
+    SELECT after.n_rows_after, after.chars_sum_after, v1.chars_sum_v1,
+           CAST(touched.n AS BIGINT) AS n_files_rewritten,
+           CAST(total.n - touched.n AS BIGINT) AS n_files_carried,
+           true AS nonkey_refused
+    FROM after, v1, touched, total"""
+
   /** qcv's shard/overlap replay, through the SQL connector. */
   val sqlPushdownPruneOracle: String = """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),
@@ -302,16 +370,23 @@ object GraftTxnCatalog {
 /** One loaded table = one resolved SNAPSHOT (per-statement snapshot
   * isolation: the analyzer loads the table once per statement, so a
   * statement reads one consistent version even while writers commit).
-  * A `pinned` table (time travel) refuses writes. */
+  * A `pinned` table (time travel) refuses writes. `DELETE FROM` maps a
+  * key-range predicate onto [[TxnTable.deleteRange]] — the SURGICAL
+  * copy-on-write delete (only stat-overlapping files rewrite, the rest
+  * carry by path), reached as one SQL statement; predicates the stats
+  * cannot price exactly (non-key columns, disjunctions) are REFUSED at
+  * `canDeleteWhere` so Spark errors loudly instead of this layer
+  * guessing. */
 private[sources] class TxnSparkTable(root: String, version: Int,
-    pinned: Boolean) extends Table with SupportsRead with SupportsWrite {
+    pinned: Boolean) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
   private[sources] val manifest: Manifest = TxnTable.readManifest(root, version)
 
   override def name(): String = s"graft_txn.`$root`@v$version"
   override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxnScanBuilder(SparkSession.active, root, manifest)
@@ -320,6 +395,45 @@ private[sources] class TxnSparkTable(root: String, version: Int,
     require(!pinned,
       s"cannot write to time-travel snapshot v$version of $root")
     new TxnWriteBuilder(root)
+  }
+
+  /** A conjunction of range/equality predicates on the KEY column
+    * collapses to one inclusive [lo, hi] — exactly what the manifest
+    * stats price; anything else is not deletable at this layer. An
+    * empty filter set (`DELETE FROM t`) is the full key range. */
+  private def keyBounds(filters: Array[Filter]): Option[(Long, Long)] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _                   => None
+    }
+    filters.foldLeft(Option((Long.MinValue, Long.MaxValue))) {
+      case (None, _) => None
+      case (Some((lo, hi)), f) => f match {
+        case GreaterThanOrEqual(c, v) if c == manifest.keyCol =>
+          num(v).map(x => (math.max(lo, x), hi))
+        case GreaterThan(c, v) if c == manifest.keyCol =>
+          num(v).map(x => (math.max(lo, x + 1), hi))
+        case LessThanOrEqual(c, v) if c == manifest.keyCol =>
+          num(v).map(x => (lo, math.min(hi, x)))
+        case LessThan(c, v) if c == manifest.keyCol =>
+          num(v).map(x => (lo, math.min(hi, x - 1)))
+        case EqualTo(c, v) if c == manifest.keyCol =>
+          num(v).map(x => (math.max(lo, x), math.min(hi, x)))
+        // an unfiltered DELETE arrives as the TRUE predicate
+        case _: org.apache.spark.sql.sources.AlwaysTrue => Some((lo, hi))
+        case _ => None
+      }
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && keyBounds(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (lo, hi) = keyBounds(filters).getOrElse(
+      sys.error(s"DELETE on $root needs a key-range predicate on " +
+        s"${manifest.keyCol} (canDeleteWhere was not consulted?)"))
+    TxnTable.deleteRange(SparkSession.active, root, lo, hi)
   }
 }
 
@@ -418,6 +532,12 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = delegate.toBatch
+  /** `readStream.table(...)`: offsets are the log's versions — see
+    * [[TxnMicroBatchStream]]. Streaming reads take the full schema and
+    * no file pruning (every added file IS the batch). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TxnMicroBatchStream(spark, root, StructType.fromDDL(m.schemaDdl))
   override def description(): String =
     s"GraftTxnScan(v=${m.version}, files_kept=$filesKept/$filesTotal, " +
       s"pushed=[${pushed.mkString(", ")}], cols=${required.fieldNames.mkString(",")})"

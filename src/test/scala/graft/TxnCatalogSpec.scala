@@ -125,6 +125,71 @@ class TxnCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT * FROM graft.spec_ddl") }
   }
 
+  test("DELETE FROM: key-range surgical, no-WHERE truncates, non-key refused") {
+    sql("DROP TABLE IF EXISTS graft.spec_del")
+    sql("""CREATE TABLE graft.spec_del (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='8','layout_div'='1600')""")
+    sql("INSERT INTO graft.spec_del SELECT id, id % 3 FROM range(1600)")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_del"
+    val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
+    sql("DELETE FROM graft.spec_del WHERE k >= 450 AND k <= 520")
+    assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0)
+      == 1600 - 71)
+    // surgical: [450,520] sits inside the 400-599 shard — 1 rewrite, 7 carried
+    val m2 = TxnTable.readManifest(root, 2)
+    assert(m2.files.map(_.path).count(v1Paths.contains) == 7, "7 files carry by path")
+    // history intact through SQL
+    assert(sql("SELECT count(1) FROM graft.spec_del VERSION AS OF 1")
+      .head().getLong(0) == 1600)
+    // equality predicate works (collapses to [x, x])
+    sql("DELETE FROM graft.spec_del WHERE k = 0")
+    assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0)
+      == 1600 - 72)
+    // a non-key predicate is refused loudly, table untouched
+    intercept[Exception] { sql("DELETE FROM graft.spec_del WHERE v = 1") }
+    assert(TxnTable.latestVersion(root) == 3)
+    // DELETE with no WHERE empties the table as one commit
+    sql("DELETE FROM graft.spec_del")
+    assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0) == 0)
+  }
+
+  test("readStream.table: version offsets, exactly-once resume, rewrite refused") {
+    sql("DROP TABLE IF EXISTS graft.spec_stream")
+    sql("""CREATE TABLE graft.spec_stream (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='1000')""")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_stream"
+    val ckpt = graft.Fs.scratch("graft_txnspec_stream_ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Unit = {
+      val consume: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => { got.addAndGet(df.count()); () }
+      val q = spark.readStream.table("graft.spec_stream").writeStream
+        .foreachBatch(consume)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    sql("INSERT INTO graft.spec_stream SELECT id, 0 FROM range(100)")
+    run()
+    assert(got.get() == 100)
+    sql("INSERT INTO graft.spec_stream SELECT id + 100, 0 FROM range(40)")
+    run()
+    assert(got.get() == 140, "resume must deliver ONLY the new append")
+    // an idle run delivers nothing (no empty-batch re-delivery)
+    run()
+    assert(got.get() == 140)
+    // a rewrite between consumed offsets is refused, not re-delivered
+    TxnTable.optimize(spark, root, 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("REWRITE")), chain(e).mkString(" | "))
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
