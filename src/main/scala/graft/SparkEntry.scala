@@ -399,6 +399,7 @@ object SparkEntry {
     "qdi_txn_metadata_bounded" -> (graft.sources.TxnTable.txnMetadataBounded _),
     "qdl_sql_surgical_delete" -> (graft.sources.GraftTxnCatalog.sqlSurgicalDelete _),
     "qdm_txn_stream_read"   -> (graft.sources.TxnStream.txnStreamRead _),
+    "qdn_sql_schema_evolution" -> (graft.sources.GraftTxnCatalog.sqlSchemaEvolution _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1059,6 +1060,7 @@ object SparkEntry {
     "qdi_txn_metadata_bounded" -> graft.sources.TxnTable.txnMetadataBoundedOracle,
     "qdl_sql_surgical_delete" -> graft.sources.GraftTxnCatalog.sqlSurgicalDeleteOracle,
     "qdm_txn_stream_read"    -> graft.sources.TxnStream.txnStreamReadOracle,
+    "qdn_sql_schema_evolution" -> graft.sources.GraftTxnCatalog.sqlSchemaEvolutionOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

@@ -120,9 +120,32 @@ class GraftTxnCatalog extends TableCatalog with SupportsNamespaces {
       pinned = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft_txn schema evolution is a data commit (TxnTable.transact)")
+  /** SQL DDL onto log commits: `ALTER TABLE ... ADD COLUMNS (c T)` is
+    * a METADATA-ONLY widen commit ([[TxnTable.addColumn]] — same
+    * files, wider pinned DDL, old files null-fill at read); `ALTER
+    * TABLE ... SET TBLPROPERTIES ('check'='expr')` installs/replaces
+    * the CHECK constraint ([[TxnTable.setCheck]], validated against
+    * the current rows). Anything else is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val r = root(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft_txn: nested column adds not supported")
+        require(add.isNullable,
+          "graft_txn: a new column must be nullable (existing files null-fill)")
+        TxnTable.addColumn(spark, r, add.fieldNames.head, add.dataType.sql)
+      case set: TableChange.SetProperty if set.property == "check" =>
+        TxnTable.setCheck(spark, r, set.value)
+      case set: TableChange.RemoveProperty if set.property == "check" =>
+        TxnTable.setCheck(spark, r, "")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft_txn: unsupported ALTER ($other) — schema narrowing and " +
+            "renames would orphan the immutable history")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)
@@ -316,6 +339,73 @@ object GraftTxnCatalog {
       .withColumn("n_files_carried", lit(carried.toLong))
       .withColumn("nonkey_refused", lit(nonkeyRefused))
   }
+
+  /** qdn: SQL `ALTER TABLE ADD COLUMNS` as a METADATA-ONLY widen — the
+    * qd2 evolution story upgraded twice over: reached as DDL text, and
+    * costing one manifest write instead of a table rewrite (the Delta
+    * ADD COLUMNS semantics; `widen_metadata_only` asserts from the real
+    * manifests that v2 carries EXACTLY v1's files). History: v1 reads
+    * back 2-column; v2 reads the same rows 3-column with the new column
+    * null-filled by the pinned read schema (never inference, never a
+    * rewrite); v3's INSERT lands new-shape rows, proving later commits
+    * compose on the widened schema. Per-version n_cols/rows/aggregates
+    * replayed from orders arithmetic. */
+  def sqlSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlevo")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_evolve")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_evolve (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.sql_evolve SELECT k, cents FROM orders_sqlevo")
+    spark.sql("ALTER TABLE graft.sql_evolve ADD COLUMNS (bonus BIGINT)")
+    spark.sql("INSERT INTO graft.sql_evolve" +
+      " SELECT -k - 1, 4200, 42 FROM orders_sqlevo WHERE k % 101 = 0")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_evolve"
+    val metadataOnly = TxnTable.readManifest(root, 2).files.map(_.path) ==
+      TxnTable.readManifest(root, 1).files.map(_.path)
+    val perVersion = (1 to 3).map { v =>
+      val snap = spark.sql(s"SELECT * FROM graft.sql_evolve VERSION AS OF $v")
+      val bonusRows =
+        if (snap.columns.contains("bonus"))
+          sum(when(col("bonus").isNotNull, 1L).otherwise(0L))
+        else lit(0L)
+      snap.agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          bonusRows.as("bonus_rows"))
+        .withColumn("version", lit(v.toLong))
+        .withColumn("n_cols", lit(snap.columns.length.toLong))
+    }
+    perVersion.reduce(_ unionByName _)
+      .select("version", "n_cols", "n_rows", "sum_cents", "bonus_rows")
+      .withColumn("widen_metadata_only", lit(metadataOnly))
+      .orderBy("version")
+  }
+
+  val sqlSchemaEvolutionOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    ins AS (SELECT count(1) AS n FROM b WHERE k % 101 = 0)
+    SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+           CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS bonus_rows, true AS widen_metadata_only
+    FROM b
+    UNION ALL
+    SELECT 2, 3, CAST(count(1) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           0, true
+    FROM b
+    UNION ALL
+    SELECT 3, 3, CAST(count(1) + ins.n AS BIGINT),
+           CAST(sum(cents) + 4200 * ins.n AS BIGINT),
+           CAST(ins.n AS BIGINT), true
+    FROM b, ins GROUP BY ins.n
+    ORDER BY version"""
 
   /** qd8's shard/overlap arithmetic, through the SQL statement. */
   val sqlSurgicalDeleteOracle: String = """

@@ -484,6 +484,28 @@ object TxnTable {
         checkExpr = checkExpr), "data/__no_attempt__")
     }
 
+  /** SCHEMA WIDEN as a METADATA-ONLY commit (the Delta ADD COLUMNS
+    * semantics, and the cheaper evolution qd2's data-rewrite widen
+    * bounds from above): the new version carries the SAME files with a
+    * WIDER pinned DDL — existing files simply null-fill the new column
+    * at read time (the read schema is always explicit, never inferred),
+    * so the commit costs one manifest write regardless of table size.
+    * The column must be nullable for exactly that reason. Time travel
+    * semantics are qd2's: versions before the widen read back WITHOUT
+    * the column. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      sqlType: String, maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "addColumn", maxRetries) { v =>
+      val base = readManifest(root, v)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists in $root")
+      val widened = schema.add(name,
+        org.apache.spark.sql.types.DataType.fromDDL(sqlType), nullable = true)
+      (base.copy(version = v + 1, op = s"add_column_$name",
+        schemaDdl = widened.toDDL, deltaOf = -1), "data/__no_attempt__")
+    }
+
   /** Shared optimistic-concurrency skeleton for every post-create
     * writer: `mkAttempt` reads the CURRENT head version and returns
     * the manifest candidate + its attempt subdir; on a lost commit

@@ -190,6 +190,38 @@ class TxnCatalogSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("REWRITE")), chain(e).mkString(" | "))
   }
 
+  test("ALTER TABLE: ADD COLUMNS is metadata-only; SET/UNSET check; narrowing refused") {
+    sql("DROP TABLE IF EXISTS graft.spec_alter")
+    sql("""CREATE TABLE graft.spec_alter (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100')""")
+    sql("INSERT INTO graft.spec_alter SELECT id, id FROM range(100)")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_alter"
+    sql("ALTER TABLE graft.spec_alter ADD COLUMNS (w STRING)")
+    // metadata-only: v2 carries exactly v1's files
+    assert(TxnTable.readManifest(root, 2).files.map(_.path) ==
+      TxnTable.readManifest(root, 1).files.map(_.path))
+    // old files null-fill; new-shape inserts land; v1 stays 2-column
+    assert(sql("SELECT count(1) FROM graft.spec_alter WHERE w IS NULL")
+      .head().getLong(0) == 100)
+    sql("INSERT INTO graft.spec_alter SELECT id + 100, 0, 'x' FROM range(5)")
+    assert(sql("SELECT count(1) FROM graft.spec_alter WHERE w = 'x'")
+      .head().getLong(0) == 5)
+    assert(sql("SELECT * FROM graft.spec_alter VERSION AS OF 1")
+      .columns.toSeq == Seq("k", "v"))
+    // CHECK through SQL DDL, then dropped
+    sql("ALTER TABLE graft.spec_alter SET TBLPROPERTIES ('check'='v >= 0')")
+    intercept[Exception] {
+      sql("INSERT INTO graft.spec_alter SELECT id + 200, -1, 'y' FROM range(1)")
+    }
+    sql("ALTER TABLE graft.spec_alter UNSET TBLPROPERTIES ('check')")
+    sql("INSERT INTO graft.spec_alter SELECT id + 200, -1, 'y' FROM range(1)")
+    // narrowing/renames refused loudly
+    intercept[Exception] { sql("ALTER TABLE graft.spec_alter DROP COLUMN w") }
+    intercept[Exception] {
+      sql("ALTER TABLE graft.spec_alter RENAME COLUMN v TO vv")
+    }
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
