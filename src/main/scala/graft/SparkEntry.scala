@@ -400,6 +400,8 @@ object SparkEntry {
     "qdl_sql_surgical_delete" -> (graft.sources.GraftTxnCatalog.sqlSurgicalDelete _),
     "qdm_txn_stream_read"   -> (graft.sources.TxnStream.txnStreamRead _),
     "qdn_sql_schema_evolution" -> (graft.sources.GraftTxnCatalog.sqlSchemaEvolution _),
+    "qdo_sql_merge_into"    -> (graft.sources.TxnRowLevel.sqlMergeInto _),
+    "qdp_sql_update"        -> (graft.sources.TxnRowLevel.sqlUpdate _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1061,6 +1063,8 @@ object SparkEntry {
     "qdl_sql_surgical_delete" -> graft.sources.GraftTxnCatalog.sqlSurgicalDeleteOracle,
     "qdm_txn_stream_read"    -> graft.sources.TxnStream.txnStreamReadOracle,
     "qdn_sql_schema_evolution" -> graft.sources.GraftTxnCatalog.sqlSchemaEvolutionOracle,
+    "qdo_sql_merge_into"     -> graft.sources.TxnRowLevel.sqlMergeIntoOracle,
+    "qdp_sql_update"         -> graft.sources.TxnRowLevel.sqlUpdateOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

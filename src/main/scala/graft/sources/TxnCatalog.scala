@@ -296,16 +296,19 @@ object GraftTxnCatalog {
       .withColumn("filter_pushed", lit(scan.pushedFilters.length == 2))
   }
 
-  /** qdl: SQL `DELETE FROM` lands as the SURGICAL copy-on-write delete
-    * — qd8's operator reached as one SQL statement through
-    * `SupportsDelete`: the key-range predicate collapses to the [lo,
-    * hi] the manifest stats price, only the stat-overlapping files
-    * rewrite (counts computed from the REAL before/after manifests and
-    * replayed by the oracle from the shard arithmetic), untouched
-    * files carry by path, v1 re-reads intact after the delete, and a
-    * NON-key predicate is refused loudly (`canDeleteWhere` false — the
-    * connector never silently full-scans what its stats cannot price),
-    * all graded in the row. */
+  /** qdl: BOTH SQL `DELETE FROM` price classes graded on one table.
+    * (1) A KEY-range predicate takes the `SupportsDelete` metadata
+    * path and lands as qd8's SURGICAL copy-on-write delete: only the
+    * stat-overlapping files rewrite (counts computed from the REAL
+    * before/after manifests, replayed by the oracle from the shard
+    * arithmetic), untouched files carry by path, v1 re-reads intact.
+    * (2) A NON-key predicate — which the stats cannot price — routes
+    * through the GROUP-BASED row-level rewrite ([[TxnRowLevel]]): a
+    * full copy-on-write replace commit (`nonkey_full_rewrite` asserts
+    * from the manifests that v3 carried NOTHING by path — the honest
+    * cost), with the final aggregate replaying the composition of both
+    * deletes. One statement shape, two execution strategies, both
+    * priced truthfully. */
   def sqlSurgicalDelete(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
     val docs = graft.Tables.documents(spark, dir)
@@ -321,23 +324,27 @@ object GraftTxnCatalog {
     val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
     val (lo, hi) = (mx / 2, mx / 2 + mx / 32)
     spark.sql(s"DELETE FROM graft.sql_docs_del WHERE k BETWEEN $lo AND $hi")
-    require(TxnTable.latestVersion(root) == 2, "DELETE must commit exactly v2")
+    require(TxnTable.latestVersion(root) == 2,
+      "key-range DELETE must commit exactly v2")
     val m2 = TxnTable.readManifest(root, 2)
     val carried = m2.files.map(_.path).count(v1Paths.contains)
     val rewritten = m2.files.size - carried
-    val nonkeyRefused =
-      try {
-        spark.sql("DELETE FROM graft.sql_docs_del WHERE c > 5")
-        false
-      } catch { case _: Exception => true }
+    // the general path: a predicate on a NON-key column
+    spark.sql("DELETE FROM graft.sql_docs_del WHERE c % 10 = 3")
+    require(TxnTable.latestVersion(root) == 3,
+      "non-key DELETE must commit exactly v3")
+    val m3 = TxnTable.readManifest(root, 3)
+    val fullRewrite = !m3.files.map(_.path).exists(m2.files.map(_.path).toSet)
     spark.sql("""
-        SELECT count(1) AS n_rows_after, sum(c) AS chars_sum_after
+        SELECT count(1) AS n_rows_final, sum(c) AS chars_sum_final
         FROM graft.sql_docs_del""")
       .crossJoin(broadcast(spark.sql(
         "SELECT sum(c) AS chars_sum_v1 FROM graft.sql_docs_del VERSION AS OF 1")))
+      .crossJoin(broadcast(spark.sql(
+        "SELECT count(1) AS n_rows_v2 FROM graft.sql_docs_del VERSION AS OF 2")))
       .withColumn("n_files_rewritten", lit(rewritten.toLong))
       .withColumn("n_files_carried", lit(carried.toLong))
-      .withColumn("nonkey_refused", lit(nonkeyRefused))
+      .withColumn("nonkey_full_rewrite", lit(fullRewrite))
   }
 
   /** qdn: SQL `ALTER TABLE ADD COLUMNS` as a METADATA-ONLY widen — the
@@ -407,7 +414,8 @@ object GraftTxnCatalog {
     FROM b, ins GROUP BY ins.n
     ORDER BY version"""
 
-  /** qd8's shard/overlap arithmetic, through the SQL statement. */
+  /** qd8's shard/overlap arithmetic for the surgical hop, plus the
+    * non-key composition, through the SQL statements. */
   val sqlSurgicalDeleteOracle: String = """
     WITH m AS (SELECT max(doc_id) AS mx FROM documents),
     probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 32 AS hi FROM m),
@@ -420,16 +428,22 @@ object GraftTxnCatalog {
       SELECT count(1) AS n FROM f, probe
       WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
     total AS (SELECT count(1) AS n FROM f),
-    after AS (
-      SELECT CAST(count(1) AS BIGINT) AS n_rows_after,
-             CAST(sum(n_chars) AS BIGINT) AS chars_sum_after
+    v2 AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows_v2
       FROM s, probe WHERE doc_id NOT BETWEEN probe.lo AND probe.hi),
+    fin AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows_final,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum_final
+      FROM s, probe
+      WHERE doc_id NOT BETWEEN probe.lo AND probe.hi
+        AND n_chars % 10 <> 3),
     v1 AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_sum_v1 FROM s)
-    SELECT after.n_rows_after, after.chars_sum_after, v1.chars_sum_v1,
+    SELECT fin.n_rows_final, fin.chars_sum_final, v1.chars_sum_v1,
+           v2.n_rows_v2,
            CAST(touched.n AS BIGINT) AS n_files_rewritten,
            CAST(total.n - touched.n AS BIGINT) AS n_files_carried,
-           true AS nonkey_refused
-    FROM after, v1, touched, total"""
+           true AS nonkey_full_rewrite
+    FROM fin, v1, v2, touched, total"""
 
   /** qcv's shard/overlap replay, through the SQL connector. */
   val sqlPushdownPruneOracle: String = """
@@ -469,8 +483,21 @@ object GraftTxnCatalog {
   * guessing. */
 private[sources] class TxnSparkTable(root: String, version: Int,
     pinned: Boolean) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   private[sources] val manifest: Manifest = TxnTable.readManifest(root, version)
+
+  /** General-predicate DML (MERGE INTO / UPDATE / non-key DELETE):
+    * group-based copy-on-write through [[TxnRowLevel.TxnRowLevelOperation]];
+    * key-range DELETEs keep taking the surgical [[SupportsDelete]]
+    * metadata path. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!pinned,
+      s"cannot run DML against time-travel snapshot v$version of $root")
+    () => new TxnRowLevel.TxnRowLevelOperation(root, manifest, info.command())
+  }
 
   override def name(): String = s"graft_txn.`$root`@v$version"
   override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)

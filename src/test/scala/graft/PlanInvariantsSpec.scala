@@ -24,7 +24,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qd1_txn_vacuum"       -> "crossJoin(broadcast(1-row v0-sum aggregate)) folded next to the v1 aggregate",
     "qd5_txn_append_log"   -> "crossJoin(broadcast(1-row probe aggregate)) next to the head aggregate",
     "qd8_txn_surgical_delete" -> "crossJoin(broadcast(1-row v0-sum aggregate)) next to the v1 aggregate",
-    "qdl_sql_surgical_delete" -> "crossJoin(broadcast(1-row VERSION-AS-OF-1 sum aggregate)) next to the head aggregate",
+    "qdl_sql_surgical_delete" -> "crossJoin(broadcast(1-row VERSION-AS-OF sum aggregates)) next to the head aggregate",
+    "qdp_sql_update" -> "crossJoin(broadcast(1-row VERSION-AS-OF-1 sum aggregate)) next to the head aggregate",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",

@@ -125,7 +125,7 @@ class TxnCatalogSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT * FROM graft.spec_ddl") }
   }
 
-  test("DELETE FROM: key-range surgical, no-WHERE truncates, non-key refused") {
+  test("DELETE FROM: key-range surgical; non-key via row-level rewrite; no-WHERE truncates") {
     sql("DROP TABLE IF EXISTS graft.spec_del")
     sql("""CREATE TABLE graft.spec_del (k BIGINT, v BIGINT) USING graft_txn
            TBLPROPERTIES ('key'='k','shards'='8','layout_div'='1600')""")
@@ -145,12 +145,56 @@ class TxnCatalogSpec extends SparkSpec {
     sql("DELETE FROM graft.spec_del WHERE k = 0")
     assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0)
       == 1600 - 72)
-    // a non-key predicate is refused loudly, table untouched
-    intercept[Exception] { sql("DELETE FROM graft.spec_del WHERE v = 1") }
-    assert(TxnTable.latestVersion(root) == 3)
+    // a non-key predicate routes through the row-level rewrite (full
+    // copy-on-write replace): rows gone, one commit, priced honestly
+    sql("DELETE FROM graft.spec_del WHERE v = 1")
+    assert(TxnTable.latestVersion(root) == 4)
+    assert(sql("SELECT count(1) FROM graft.spec_del WHERE v = 1")
+      .head().getLong(0) == 0)
+    assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0) == 1019)
+    // and history is still intact underneath the rewrite
+    assert(sql("SELECT count(1) FROM graft.spec_del VERSION AS OF 1")
+      .head().getLong(0) == 1600)
     // DELETE with no WHERE empties the table as one commit
     sql("DELETE FROM graft.spec_del")
     assert(sql("SELECT count(1) FROM graft.spec_del").head().getLong(0) == 0)
+  }
+
+  test("MERGE INTO and UPDATE: copy-on-write through the stats-inline write path") {
+    sql("DROP TABLE IF EXISTS graft.spec_dml")
+    sql("""CREATE TABLE graft.spec_dml (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='4','layout_div'='1000')""")
+    sql("INSERT INTO graft.spec_dml SELECT id, id FROM range(1000)")
+    sql("UPDATE graft.spec_dml SET v = v + 100 WHERE k % 10 = 0")
+    assert(sql("SELECT sum(v) FROM graft.spec_dml").head().getLong(0)
+      == (0L until 1000L).sum + 100 * 100)
+    sql("""
+      MERGE INTO graft.spec_dml t
+      USING (SELECT id * 2 AS k, -1 AS v FROM range(300, 600)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    // sources k = 600,602,...,1198: 200 matched (600..998 even), 100 inserted
+    assert(sql("SELECT count(1) FROM graft.spec_dml").head().getLong(0) == 1100)
+    assert(sql("SELECT count(1) FROM graft.spec_dml WHERE v = -1")
+      .head().getLong(0) == 300)
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_dml"
+    assert(TxnTable.latestVersion(root) == 3)
+    // manifests carry REAL task-emitted stats: files cover disjoint-ish
+    // ranges and rows sum exactly (no post-write scan built them)
+    val m3 = TxnTable.readManifest(root, 3)
+    assert(m3.files.map(_.nRows).sum == 1100)
+    assert(m3.files.forall(f => f.minK <= f.maxK && f.bytes > 0))
+    // history before the merge is intact
+    assert(sql("SELECT count(1) FROM graft.spec_dml VERSION AS OF 2")
+      .head().getLong(0) == 1000)
+    // MERGE with WHEN MATCHED THEN DELETE also lands (keep rows only)
+    sql("""
+      MERGE INTO graft.spec_dml t
+      USING (SELECT id AS k FROM range(100)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(sql("SELECT count(1) FROM graft.spec_dml").head().getLong(0) == 1000)
   }
 
   test("readStream.table: version offsets, exactly-once resume, rewrite refused") {
