@@ -402,6 +402,8 @@ object SparkEntry {
     "qdn_sql_schema_evolution" -> (graft.sources.GraftTxnCatalog.sqlSchemaEvolution _),
     "qdo_sql_merge_into"    -> (graft.sources.TxnRowLevel.sqlMergeInto _),
     "qdp_sql_update"        -> (graft.sources.TxnRowLevel.sqlUpdate _),
+    "qdq_sql_ctas"          -> (graft.sources.GraftTxnCatalog.sqlCtas _),
+    "qds_sql_metadata_agg"  -> (graft.sources.GraftTxnCatalog.sqlMetadataAgg _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1065,6 +1067,8 @@ object SparkEntry {
     "qdn_sql_schema_evolution" -> graft.sources.GraftTxnCatalog.sqlSchemaEvolutionOracle,
     "qdo_sql_merge_into"     -> graft.sources.TxnRowLevel.sqlMergeIntoOracle,
     "qdp_sql_update"         -> graft.sources.TxnRowLevel.sqlUpdateOracle,
+    "qdq_sql_ctas"           -> graft.sources.GraftTxnCatalog.sqlCtasOracle,
+    "qds_sql_metadata_agg"   -> graft.sources.GraftTxnCatalog.sqlMetadataAggOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

@@ -414,6 +414,153 @@ object GraftTxnCatalog {
     FROM b, ins GROUP BY ins.n
     ORDER BY version"""
 
+  /** qds: the METADATA-ONLY query — `count(*) / min / max` over
+    * stats-carrying columns answered entirely from the manifest (the
+    * Delta/Iceberg "stats-only query" optimization): the connector
+    * claims COMPLETE aggregate pushdown and serves one driver-local
+    * row folded from the per-file stats; Spark plans a
+    * `LocalTableScan` — zero tasks, zero data files opened, over any
+    * table size. Soundness is hash-coupled twice: the pushed answers
+    * ride the oracle (replayed from documents arithmetic over BOTH
+    * inserts — a stale or miscounted manifest stat shifts them), and
+    * `metadata_only` asserts the physical plan really carried no
+    * [[TxnScan]]. A second insert moves min/max and the count across
+    * versions first, so the fold is over a multi-file, multi-commit
+    * manifest, not a fresh single write. The negative control:
+    * `count(DISTINCT k)` — not answerable from stats — must DECLINE
+    * pushdown and plan a real scan (`distinct_scanned`). */
+  def sqlMetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    docs.createOrReplaceTempView("docs_sqlmeta")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_meta")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_meta (k BIGINT, c BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}',
+                     'stats_cols'='c')""")
+    spark.sql("INSERT INTO graft.sql_meta SELECT k, c FROM docs_sqlmeta")
+    spark.sql("INSERT INTO graft.sql_meta" +
+      " SELECT -k - 1, c + 10 FROM docs_sqlmeta WHERE k % 7 = 0")
+    val q = spark.sql("""
+      SELECT count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k,
+             min(c) AS min_c, max(c) AS max_c
+      FROM graft.sql_meta""")
+    def planOf(df: DataFrame) = df.queryExecution.sparkPlan
+    val isLocal = planOf(q).collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.isDefined
+    val noDataScan = planOf(q).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty
+    // negative control: distinct cannot fold from stats — real scan
+    val ctl = spark.sql("SELECT count(DISTINCT k) AS d FROM graft.sql_meta")
+    val ctlScanned = planOf(ctl).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case t: TxnScan => t }.isDefined
+    q.withColumn("metadata_only", lit(isLocal && noDataScan))
+      .withColumn("distinct_scanned", lit(ctlScanned))
+      .crossJoin(broadcast(ctl))
+  }
+
+  val sqlMetadataAggOracle: String = """
+    WITH d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c
+               FROM documents),
+    a AS (SELECT k, c FROM d
+          UNION ALL SELECT -k - 1, c + 10 FROM d WHERE k % 7 = 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS min_k, max(k) AS max_k,
+           min(c) AS min_c, max(c) AS max_c,
+           true AS metadata_only, true AS distinct_scanned,
+           CAST(count(DISTINCT k) AS BIGINT) AS d
+    FROM a"""
+
+  /** qdq: `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS
+    * SELECT` — the remaining DDL gestures of a SQL-native table user.
+    * CTAS runs Spark's non-atomic V2 path (createTable, then the
+    * insert through the same V1Write append seam — v0 create + v1
+    * data = 2 versions), and a deterministic mid-write failure
+    * (`assert_true`) proves Spark's cleanup contract: the half-made
+    * table is DROPPED, not left torn (`failed_ctas_clean`). The
+    * CTAS'd layout is immediately prunable through the connector
+    * (`ctas_pruned`, the qdh evidence off the planned [[TxnScan]]).
+    * RTAS is drop + recreate: the new table starts a FRESH log
+    * (`rtas_versions` = 2 again) — the non-atomic semantics stated
+    * honestly rather than papered over (the atomic swap is a
+    * `StagingTableCatalog`, the documented at-scale upgrade). The
+    * pre-replace CTAS aggregate and the post-replace head aggregate
+    * are BOTH graded, so a leaked old row or lost replace shifts a
+    * hash-checked column. */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlctas")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_ctas")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_ctas USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')
+      AS SELECT k, cents FROM orders_sqlctas WHERE k % 3 = 0""")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_ctas"
+    val vCtas = TxnTable.latestVersion(root)
+    // the CTAS'd layout prunes through the connector (qdh's evidence)
+    val probe = spark.sql(
+      s"SELECT count(1) AS n FROM graft.sql_ctas WHERE k BETWEEN 0 AND ${mx / 64}")
+    val scan = probe.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case t: TxnScan => t }
+      .getOrElse(sys.error("CTAS probe did not plan a GraftTxnScan"))
+    // grade the CTAS content BEFORE the replace erases it (1-row probe)
+    val pre = spark.sql(
+      "SELECT count(1), sum(cents) FROM graft.sql_ctas").head()
+    spark.sql(s"""
+      REPLACE TABLE graft.sql_ctas USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='8', 'layout_div'='${mx + 1}')
+      AS SELECT k, cents + 5 AS cents FROM orders_sqlctas WHERE k % 5 = 0""")
+    val vRtas = TxnTable.latestVersion(root)
+    // a CTAS whose write fails must drop the half-made table
+    spark.sql("DROP TABLE IF EXISTS graft.sql_ctas_fail")
+    val failedClean =
+      try {
+        spark.sql(s"""
+          CREATE TABLE graft.sql_ctas_fail USING graft_txn
+          TBLPROPERTIES ('key'='k', 'shards'='4', 'layout_div'='${mx + 1}')
+          AS SELECT k, CAST(assert_true(k < 0, 'staged CTAS failure') AS BIGINT)
+               AS cents
+          FROM orders_sqlctas""")
+        false // the staged failure did not fire
+      } catch {
+        case _: Exception => !spark.catalog.tableExists("graft.sql_ctas_fail")
+      }
+    spark.sql(
+      "SELECT count(1) AS n_rows, sum(cents) AS sum_cents FROM graft.sql_ctas")
+      .withColumn("ctas_n_rows", lit(pre.getLong(0)))
+      .withColumn("ctas_sum_cents", lit(pre.getLong(1)))
+      .withColumn("ctas_versions", lit(vCtas + 1L))
+      .withColumn("rtas_versions", lit(vRtas + 1L))
+      .withColumn("ctas_pruned", lit(scan.filesKept < scan.filesTotal))
+      .withColumn("failed_ctas_clean", lit(failedClean))
+  }
+
+  val sqlCtasOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    c AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s FROM b WHERE k % 3 = 0),
+    r AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(cents + 5) AS BIGINT) AS s FROM b WHERE k % 5 = 0)
+    SELECT r.n AS n_rows, r.s AS sum_cents,
+           c.n AS ctas_n_rows, c.s AS ctas_sum_cents,
+           CAST(2 AS BIGINT) AS ctas_versions,
+           CAST(2 AS BIGINT) AS rtas_versions,
+           true AS ctas_pruned, true AS failed_ctas_clean
+    FROM c, r"""
+
   /** qd8's shard/overlap arithmetic for the surgical hop, plus the
     * non-key composition, through the SQL statements. */
   val sqlSurgicalDeleteOracle: String = """
@@ -565,13 +712,59 @@ private[sources] class TxnSparkTable(root: String, version: Int,
   * handed to the delegated ParquetScan for row-group skipping. */
 private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
     m: Manifest) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val statCols: Set[String] =
     (Set(m.keyCol) ++ Option(m.keyCol2).filter(_.nonEmpty) ++ m.statsCols)
   private var bounds: Map[String, (Long, Long)] = Map.empty
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = StructType.fromDDL(m.schemaDdl)
+  private var aggFuncs: Seq[(String, String)] = Nil // (func, stat column)
+
+  // METADATA-ONLY AGGREGATES (qds): a bare count(*) / min / max over a
+  // stats-carrying column is answerable from the manifest alone —
+  // count is the sum of per-file row counts, min/max fold the per-file
+  // ranges — IF every file carries an exact range for that column (a
+  // full-range sentinel means "stats unknown for this file", e.g. an
+  // all-null column or a pre-widen file; decline and let Spark scan).
+  // Complete pushdown is claimed, so the whole query plans as a
+  // driver-local row: zero tasks, zero files opened — the Delta/
+  // Iceberg "metadata-only query" shape. Any filter, group-by, or
+  // other aggregate declines (Spark also never offers aggregates here
+  // when a residual filter survives, which ours always do).
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  private def statName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+      statCols(r.fieldNames.head) => Some(r.fieldNames.head)
+    case _ => None
+  }
+  private def exactEverywhere(c: String): Boolean = m.files.forall { f =>
+    val (lo, hi) = TxnScanBuilder.fileRange(m, f, c)
+    !(lo == Long.MinValue && hi == Long.MaxValue)
+  }
+  private def pushableAgg(agg: Aggregation): Boolean =
+    bounds.isEmpty && accepted.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case mn: Min      => statName(mn.column).exists(exactEverywhere)
+        case mx: Max      => statName(mx.column).exists(exactEverywhere)
+        case _            => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    pushableAgg(agg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    pushableAgg(agg) && {
+      aggFuncs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => ("count", "")
+        case mn: Min      => ("min", statName(mn.column).get)
+        case mx: Max      => ("max", statName(mx.column).get)
+      }
+      true
+    }
 
   private def narrow(c: String, lo: Long, hi: Long): Unit = {
     val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -604,21 +797,60 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
     required = requiredSchema
 
   override def build(): Scan = {
-    def range(f: FileEntry, c: String): (Long, Long) =
-      if (c == m.keyCol) (f.minK, f.maxK)
-      else if (c == m.keyCol2) (f.minK2, f.maxK2)
-      else {
-        val i = m.statsCols.indexOf(c)
-        if (i >= 0 && f.vmin.length > i) (f.vmin(i), f.vmax(i))
-        else (Long.MinValue, Long.MaxValue)
-      }
+    if (aggFuncs.nonEmpty) return new TxnLocalAggScan(m, aggFuncs)
     val kept = m.files.filter { f =>
       bounds.forall { case (c, (lo, hi)) =>
-        val (mn, mx) = range(f, c); !(hi < mn || lo > mx)
+        val (mn, mx) = TxnScanBuilder.fileRange(m, f, c)
+        !(hi < mn || lo > mx)
       }
     }
     new TxnScan(spark, root, m, kept, required, accepted)
   }
+}
+
+private[sources] object TxnScanBuilder {
+  /** The per-file stat range for column `c`; full-range sentinels when
+    * the manifest has no stats for it (prunes nothing, folds nothing). */
+  def fileRange(m: Manifest, f: FileEntry, c: String): (Long, Long) =
+    if (c == m.keyCol) (f.minK, f.maxK)
+    else if (c == m.keyCol2) (f.minK2, f.maxK2)
+    else {
+      val i = m.statsCols.indexOf(c)
+      if (i >= 0 && f.vmin.length > i) (f.vmin(i), f.vmax(i))
+      else (Long.MinValue, Long.MaxValue)
+    }
+}
+
+/** qds: the metadata-only aggregate — a [[org.apache.spark.sql.connector.read.LocalScan]]
+  * whose single row folds the manifest's per-file stats on the DRIVER.
+  * Spark plans it as a `LocalTableScan`: no tasks, no shuffle, no data
+  * file opened — the honest physical shape for a query the log already
+  * answers. Output columns follow the pushed aggregate order; min/max
+  * are null on an empty table (SQL aggregate semantics). */
+private[sources] class TxnLocalAggScan(m: Manifest,
+    funcs: Seq[(String, String)])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+    case ((_, _), i)       => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val values: Array[Any] = funcs.toArray.map {
+      case ("count", _) => m.files.map(_.nRows).sum
+      case ("min", c) =>
+        if (m.files.isEmpty) null
+        else Long.box(m.files.map(f => TxnScanBuilder.fileRange(m, f, c)._1).min)
+      case ("max", c) =>
+        if (m.files.isEmpty) null
+        else Long.box(m.files.map(f => TxnScanBuilder.fileRange(m, f, c)._2).max)
+    }
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  }
+  override def description(): String =
+    s"GraftTxnLocalAggScan(v=${m.version}, metadata-only, " +
+      s"agg=${funcs.map { case (f, c) => if (c.isEmpty) f else s"$f($c)" }.mkString(",")})"
 }
 
 /** The pruned scan: Spark's own vectorized `ParquetScan` over EXACTLY

@@ -266,6 +266,65 @@ class TxnCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS creates + loads in one statement; RTAS replaces; failed CTAS drops") {
+    sql("DROP TABLE IF EXISTS graft.spec_ctas")
+    sql("""CREATE TABLE graft.spec_ctas USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='4','layout_div'='100')
+           AS SELECT id AS k, id * 2 AS v FROM range(100)""")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_ctas"
+    assert(TxnTable.latestVersion(root) == 1) // v0 create + v1 data
+    assert(sql("SELECT sum(v) FROM graft.spec_ctas").head().getLong(0) == 9900L)
+    sql("""REPLACE TABLE graft.spec_ctas USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='50')
+           AS SELECT id AS k, id * 3 AS v FROM range(50)""")
+    assert(TxnTable.latestVersion(root) == 1) // fresh log: drop + recreate
+    assert(sql("SELECT sum(v) FROM graft.spec_ctas").head().getLong(0) == 3675L)
+    // a CTAS whose write fails must not leave a half-made table behind
+    sql("DROP TABLE IF EXISTS graft.spec_ctas_fail")
+    intercept[Exception] {
+      sql("""CREATE TABLE graft.spec_ctas_fail USING graft_txn
+             TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100')
+             AS SELECT id AS k,
+                       CAST(assert_true(id < 0, 'boom') AS BIGINT) AS v
+             FROM range(100)""")
+    }
+    assert(!spark.catalog.tableExists("graft.spec_ctas_fail"))
+  }
+
+  test("metadata-only aggregates fold from the manifest; distinct declines") {
+    sql("DROP TABLE IF EXISTS graft.spec_meta")
+    sql("""CREATE TABLE graft.spec_meta (k BIGINT, c BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='4','layout_div'='100',
+                          'stats_cols'='c')""")
+    sql("INSERT INTO graft.spec_meta SELECT id, id + 1000 FROM range(100)")
+    sql("INSERT INTO graft.spec_meta SELECT -id - 1, id FROM range(10)")
+    val q = sql("""SELECT count(*) AS n, min(k) AS mnk, max(k) AS mxk,
+                          min(c) AS mnc, max(c) AS mxc FROM graft.spec_meta""")
+    assert(q.queryExecution.sparkPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.isDefined, "metadata aggregate must plan as a LocalTableScan")
+    assert(q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty, "metadata aggregate must open no data file")
+    assert(q.head() == org.apache.spark.sql.Row(110L, -10L, 99L, 0L, 1099L))
+    // empty table: count 0, min/max null — still metadata-only
+    sql("DROP TABLE IF EXISTS graft.spec_meta_empty")
+    sql("""CREATE TABLE graft.spec_meta_empty (k BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='10')""")
+    val e = sql(
+      "SELECT count(*) AS n, min(k) AS mn FROM graft.spec_meta_empty")
+    assert(e.head() == org.apache.spark.sql.Row(0L, null))
+    // aggregates the stats can't answer plan a REAL scan
+    val ctl = sql("SELECT count(DISTINCT k) FROM graft.spec_meta")
+    assert(ctl.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.nonEmpty, "count(DISTINCT) must decline aggregate pushdown")
+    assert(ctl.head().getLong(0) == 110L)
+    // a WHERE blocks complete pushdown too (residual filters survive)
+    val f = sql("SELECT count(*) FROM graft.spec_meta WHERE k >= 0")
+    assert(f.head().getLong(0) == 100L)
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
