@@ -403,6 +403,7 @@ object SparkEntry {
     "qdo_sql_merge_into"    -> (graft.sources.TxnRowLevel.sqlMergeInto _),
     "qdp_sql_update"        -> (graft.sources.TxnRowLevel.sqlUpdate _),
     "qdq_sql_ctas"          -> (graft.sources.GraftTxnCatalog.sqlCtas _),
+    "qdr_sql_stream_sink"   -> (graft.sources.TxnStreamSink.sqlStreamSink _),
     "qds_sql_metadata_agg"  -> (graft.sources.GraftTxnCatalog.sqlMetadataAgg _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
@@ -1068,6 +1069,7 @@ object SparkEntry {
     "qdo_sql_merge_into"     -> graft.sources.TxnRowLevel.sqlMergeIntoOracle,
     "qdp_sql_update"         -> graft.sources.TxnRowLevel.sqlUpdateOracle,
     "qdq_sql_ctas"           -> graft.sources.GraftTxnCatalog.sqlCtasOracle,
+    "qdr_sql_stream_sink"    -> graft.sources.TxnStreamSink.sqlStreamSinkOracle,
     "qds_sql_metadata_agg"   -> graft.sources.GraftTxnCatalog.sqlMetadataAggOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,

@@ -650,7 +650,8 @@ private[sources] class TxnSparkTable(root: String, version: Int,
   override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxnScanBuilder(SparkSession.active, root, manifest)
@@ -658,7 +659,7 @@ private[sources] class TxnSparkTable(root: String, version: Int,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       s"cannot write to time-travel snapshot v$version of $root")
-    new TxnWriteBuilder(root)
+    new TxnWriteBuilder(root, manifest, info)
   }
 
   /** A conjunction of range/equality predicates on the KEY column
@@ -899,7 +900,8 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   * INSERT OVERWRITE. All table invariants (layout shuffle, stats,
   * CHECK, OCC rebase, the idempotence ledger's carry) apply unchanged
   * because they live in [[TxnTable]], not here. */
-private[sources] class TxnWriteBuilder(root: String)
+private[sources] class TxnWriteBuilder(root: String, manifest: Manifest,
+    info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -914,5 +916,14 @@ private[sources] class TxnWriteBuilder(root: String)
           else TxnTable.append(spark, root, data, op)
         }
       }
+    /** `writeStream.toTable` — the exactly-once epoch-ledgered sink
+      * ([[TxnStreamSink.TxnStreamingWrite]]). Append-only: a streaming
+      * truncate (complete mode) has no transactional meaning here. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "graft_txn streaming write is append-only (no complete mode)")
+      new TxnStreamSink.TxnStreamingWrite(root, manifest, info)
+    }
   }
 }

@@ -675,6 +675,41 @@ object TxnTable {
       case dup: TxnAlreadyCommitted => (dup.version, 0, false)
     }
 
+  /** METADATA-ONLY append commit of pre-written adds — the seam the
+    * distributed writers use (qdr's streaming sink, whose executor
+    * tasks already wrote the files and shipped stats as commit
+    * messages): publishes `files` as a delta (or every
+    * `checkpointEvery`-th, a full checkpoint) under the same
+    * optimistic retry + idempotence-ledger protocol as [[appendTxn]].
+    * Nothing is deleted on a lost race (the adds are version-
+    * independent files; only the tiny manifest re-stamps), and a
+    * ledger-duplicate `txn` publishes NOTHING and returns
+    * applied=false — the caller owns removing its duplicate files.
+    * Returns (version, conflicts, applied). */
+  def commitAdds(root: String, files: Seq[FileEntry], op: String,
+      txn: Option[(String, Long)] = None, checkpointEvery: Int = 4,
+      maxRetries: Int = 5): (Int, Int, Boolean) =
+    try {
+      val (v, c) = retryCommit(root, "commitAdds", maxRetries) { v =>
+        val base = readManifest(root, v)
+        txn.foreach { case (a, tv) =>
+          if (base.txns.exists(t => t._1 == a && t._2 >= tv))
+            throw new TxnAlreadyCommitted(v)
+        }
+        val ledger = bumpTxns(base.txns, txn)
+        val m =
+          if ((v + 1) % checkpointEvery == 0)
+            base.copy(version = v + 1, op = op,
+              files = base.files ++ files, deltaOf = -1, commitMs = 0L,
+              txns = ledger)
+          else
+            base.copy(version = v + 1, op = op, files = files, deltaOf = v,
+              commitMs = 0L, txns = ledger)
+        (m, "data/__no_attempt__")
+      }
+      (v, c, true)
+    } catch { case dup: TxnAlreadyCommitted => (dup.version, 0, false) }
+
   /** True APPEND commit: writes ONLY the batch's data files (never
     * rewrites the table — the property that makes continuous ingest
     * possible at 100 TB) and commits a DELTA manifest carrying just

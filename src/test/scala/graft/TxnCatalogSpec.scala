@@ -325,6 +325,54 @@ class TxnCatalogSpec extends SparkSpec {
     assert(f.head().getLong(0) == 100L)
   }
 
+  test("writeStream.toTable: epoch-ledgered exactly-once sink; CHECK gates epochs") {
+    val ckpt = graft.Fs.scratch("spec_sink_ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    sql("DROP TABLE IF EXISTS graft.spec_sink_src")
+    sql("DROP TABLE IF EXISTS graft.spec_sink_dst")
+    sql("""CREATE TABLE graft.spec_sink_src (k BIGINT, c BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='1000')""")
+    sql("""CREATE TABLE graft.spec_sink_dst (k BIGINT, c BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='1000',
+                          'check'='c >= 0')""")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft.spec_sink_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.spec_sink_dst")
+      try q.awaitTermination() finally q.stop()
+    }
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_sink_dst"
+    sql("INSERT INTO graft.spec_sink_src SELECT id, id FROM range(100)")
+    run() // epoch 0
+    sql("INSERT INTO graft.spec_sink_src SELECT id + 100, id FROM range(50)")
+    run() // epoch 1: exactly the new rows
+    val v = TxnTable.latestVersion(root)
+    assert(sql("SELECT count(1) FROM graft.spec_sink_dst")
+      .head().getLong(0) == 150)
+    assert(TxnTable.lastTxnVersion(root, null).isEmpty) // null appId absent
+    // lost-ack replay: drop the engine's commit marker, rerun — no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(new java.io.File(s"$ckpt/commits/${commits.last.getName}").delete())
+    new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc").delete()
+    run()
+    assert(TxnTable.latestVersion(root) == v, "replayed epoch must not commit")
+    assert(sql("SELECT count(1) FROM graft.spec_sink_dst")
+      .head().getLong(0) == 150)
+    // a violating epoch fails loudly at the sink's CHECK gate
+    sql("INSERT INTO graft.spec_sink_src SELECT id + 200, -1 FROM range(5)")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("CHECK constraint")))
+    assert(TxnTable.latestVersion(root) == v)
+    assert(sql("SELECT count(1) FROM graft.spec_sink_dst")
+      .head().getLong(0) == 150)
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
