@@ -476,6 +476,93 @@ object GraftTxnCatalog {
            CAST(count(DISTINCT k) AS BIGINT) AS d
     FROM a"""
 
+  /** qdt: DYNAMIC FILE PRUNING — partition-DPP generalized to file
+    * granularity through `SupportsRuntimeV2Filtering` (the Delta
+    * "dynamic file pruning" optimization): a fact-dim join where the
+    * dim's WHERE touches only a label column built with a CASE the
+    * optimizer provably cannot invert into key bounds (asserted:
+    * the planned scan carries ZERO statically-pushed filters), so
+    * every skipped fact file is the RUNTIME filter's doing — at
+    * execution the broadcast build side's key set reaches the scan
+    * before partitions are planned, and fact files whose stat range
+    * contains none of the keys never open. Evidence is object-level
+    * off the executed scan (files kept/total), replayed by the oracle
+    * from the shard arithmetic (the hot band's files are exactly the
+    * qcv overlap set); the join aggregates ride the same row, so a
+    * wrongly-skipped file shifts a hash-graded column. At 100 TB this
+    * is the star-join I/O killer: the dimension predicate prunes fact
+    * I/O the fact's WHERE clause never mentioned. */
+  def sqlRuntimeFilePrune(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    docs.createOrReplaceTempView("docs_sqlrt")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.rt_fact")
+    spark.sql(s"""
+      CREATE TABLE graft.rt_fact (k BIGINT, c BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.rt_fact SELECT k, c FROM docs_sqlrt")
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 16)
+    // the label is NOT invertible into key bounds by the optimizer —
+    // only the runtime build side knows which keys are 'hot'
+    spark.sql(s"""
+      CREATE OR REPLACE TEMP VIEW dim_sqlrt AS
+      SELECT k AS dk,
+             CASE WHEN k BETWEEN $lo AND $hi THEN 'hot' ELSE 'cold' END AS seg
+      FROM docs_sqlrt""")
+    val q = spark.sql("""
+      SELECT count(1) AS n_rows, sum(f.c) AS chars_sum, sum(f.k) AS id_checksum
+      FROM graft.rt_fact f JOIN dim_sqlrt d ON f.k = d.dk
+      WHERE d.seg = 'hot'""")
+    // the Scan object is created ONCE at optimization and shared by
+    // every physical planning (including AQE's stages): capture it
+    // pre-execution, execute with collect() — head() would clone the
+    // QueryExecution and fire the runtime filter on a different scan
+    // instance — then read the mutated pruning state off the object
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case t: TxnScan => t }
+      .getOrElse(sys.error("join did not plan a GraftTxnScan"))
+    require(scan.pushedFilters.isEmpty,
+      "the label predicate must not push statically — a pushed filter " +
+        s"would mask the runtime pruning (got ${scan.pushedFilters.mkString(",")})")
+    val row = q.collect()(0) // executes; the runtime filter fires HERE
+    spark.range(1).select(
+      lit(row.getLong(0)).as("n_rows"),
+      lit(row.getLong(1)).as("chars_sum"),
+      lit(row.getLong(2)).as("id_checksum"),
+      lit(scan.filesKept.toLong).as("n_files_kept"),
+      lit(scan.filesTotal.toLong).as("n_files_total"),
+      lit(scan.filesKept < scan.filesTotal).as("runtime_pruned"))
+  }
+
+  /** qcv's shard/overlap replay — the hot band's files are exactly the
+    * stat-overlap set, reached here by the RUNTIME key set. */
+  val sqlRuntimeFilePruneOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 16 AS hi FROM m),
+    s AS (
+      SELECT doc_id, n_chars, doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    f AS (SELECT shard, min(doc_id) AS mn, max(doc_id) AS mx2
+          FROM s GROUP BY shard),
+    kept AS (
+      SELECT count(1) AS n FROM f, probe
+      WHERE NOT (probe.hi < f.mn OR probe.lo > f.mx2)),
+    total AS (SELECT count(1) AS n FROM f),
+    hits AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM s, probe WHERE doc_id BETWEEN probe.lo AND probe.hi)
+    SELECT hits.n_rows, hits.chars_sum, hits.id_checksum,
+           CAST(kept.n AS BIGINT) AS n_files_kept,
+           CAST(total.n AS BIGINT) AS n_files_total,
+           kept.n < total.n AS runtime_pruned
+    FROM hits, kept, total"""
+
   /** qdq: `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS
     * SELECT` — the remaining DDL gestures of a SQL-native table user.
     * CTAS runs Spark's non-atomic V2 path (createTable, then the
@@ -712,7 +799,7 @@ private[sources] class TxnSparkTable(root: String, version: Int,
   * depend on what the connector claims. The accepted filters are ALSO
   * handed to the delegated ParquetScan for row-group skipping. */
 private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
-    m: Manifest) extends ScanBuilder
+    m: Manifest, runtimeFilterable: Boolean = true) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -805,7 +892,7 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
         !(hi < mn || lo > mx)
       }
     }
-    new TxnScan(spark, root, m, kept, required, accepted)
+    new TxnScan(spark, root, m, kept, required, accepted, runtimeFilterable)
   }
 }
 
@@ -859,15 +946,83 @@ private[sources] class TxnLocalAggScan(m: Manifest,
   * files — at 100 TB the swap is a FileIndex serving `FileStatus`
   * straight from the manifest's `bytes`, no filesystem listing; the
   * manifest already carries the sizes). Exposes the pruning evidence
-  * (`filesKept`/`filesTotal`) for the qdh graded row. */
+  * (`filesKept`/`filesTotal`) for the qdh graded row.
+  *
+  * RUNTIME file pruning (qdt, `SupportsRuntimeV2Filtering`): the scan
+  * advertises the stats-carrying columns as filterable, so Spark's
+  * dynamic-pruning rule plants an `IN`-subquery runtime filter on the
+  * fact side of a join — at execution, the build side's key set
+  * arrives HERE before partitions are planned, and files whose stat
+  * range contains none of the keys are skipped. This is partition-DPP
+  * generalized to FILE granularity (what Delta calls dynamic file
+  * pruning): the dimension filter prunes fact I/O the WHERE clause
+  * never mentioned. Sorted-probe per file: O(|keys| log) once on the
+  * driver, never a data read. Exactness is untouched as always — the
+  * join itself re-applies the condition; a wrongly-skipped file would
+  * shift the graded aggregate. */
 private[sources] class TxnScan(spark: SparkSession, root: String,
-    m: Manifest, kept: Seq[FileEntry], required: StructType,
-    val pushedFilters: Array[Filter]) extends Scan {
+    m: Manifest, kept0: Seq[FileEntry], required: StructType,
+    val pushedFilters: Array[Filter], runtimeFilterable: Boolean = true)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private def pushed = pushedFilters
-  val filesKept: Int = kept.size
+  private var kept: Seq[FileEntry] = kept0
+  def filesKept: Int = kept.size
   val filesTotal: Int = m.files.size
 
-  private lazy val delegate = {
+  private val statCols: Seq[String] =
+    (Seq(m.keyCol) ++ Option(m.keyCol2).filter(_.nonEmpty) ++ m.statsCols)
+
+  /** EMPTY for a row-level operation's scan: Spark's runtime GROUP
+    * filtering would otherwise narrow what the ReplaceData plan reads,
+    * and [[TxnRowLevel.TxnBatchWrite]]'s commit contract is "the
+    * messages ARE the new snapshot" — a group-filtered read would
+    * silently drop every untouched file's rows. (The group-filtered
+    * upgrade — carrying skipped files by path from the scan's final
+    * kept set, Iceberg's `_file`-grouped shape — is a distinct write
+    * protocol, not a flag on this one.) */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!runtimeFilterable) Array.empty
+    else statCols
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val colOpt = p.children()(0) match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 && statCols.contains(r.fieldNames.head)
+            => Some(r.fieldNames.head)
+          case _ => None
+        }
+        val vals: Array[Long] = p.children().drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[java.lang.Number] =>
+            l.value.asInstanceOf[java.lang.Number].longValue
+        }.sorted
+        // decode only what we price exactly; anything else is ignored —
+        // runtime filters are an I/O optimization, never a correctness
+        // dependency (the join re-applies the condition)
+        colOpt.filter(_ => vals.length == p.children().length - 1)
+          .foreach { c =>
+            kept = kept.filter { f =>
+              val (mn, mx) = TxnScanBuilder.fileRange(m, f, c)
+              val i = java.util.Arrays.binarySearch(vals, mn)
+              val first = if (i >= 0) i else -i - 1
+              first < vals.length && vals(first) <= mx
+            }
+          }
+      }
+    }
+
+  // a def, not a lazy val: BatchScanExec may force toBatch during
+  // planning (columnar checks) and re-plans partitions AFTER the
+  // runtime filter narrows `kept` — a frozen delegate would silently
+  // ignore the runtime-pruned file list
+  private def delegate = {
     val paths = kept.map(f => new org.apache.hadoop.fs.Path(s"$root/${f.path}"))
     val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark, paths, Map.empty[String, String], Some(required),

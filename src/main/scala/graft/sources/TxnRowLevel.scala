@@ -237,8 +237,12 @@ object TxnRowLevel {
   private[sources] class TxnRowLevelOperation(root: String, base: Manifest,
       command: RowLevelOperation.Command) extends RowLevelOperation {
     override def command(): RowLevelOperation.Command = command
+    // runtimeFilterable = false: the replace write's commit treats the
+    // scan's output as the COMPLETE next snapshot — runtime group
+    // filtering narrowing this read would drop untouched files' rows
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new TxnScanBuilder(SparkSession.active, root, base)
+      new TxnScanBuilder(SparkSession.active, root, base,
+        runtimeFilterable = false)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new TxnReplaceWrite(root, base, info,

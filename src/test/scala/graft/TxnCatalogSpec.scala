@@ -373,6 +373,31 @@ class TxnCatalogSpec extends SparkSpec {
       .head().getLong(0) == 150)
   }
 
+  test("runtime V2 filtering: a dim-side predicate prunes fact FILES at execution") {
+    sql("DROP TABLE IF EXISTS graft.spec_rt")
+    sql("""CREATE TABLE graft.spec_rt (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='8','layout_div'='1000')""")
+    sql("INSERT INTO graft.spec_rt SELECT id, id * 2 FROM range(1000)")
+    // the label is not invertible into key bounds the connector accepts
+    spark.range(1000).selectExpr("id AS dk",
+      "CASE WHEN id BETWEEN 500 AND 560 THEN 'hot' ELSE 'cold' END AS seg")
+      .createOrReplaceTempView("spec_rt_dim")
+    val q = sql("""SELECT count(1) AS n, sum(f.v) AS s
+                   FROM graft.spec_rt f JOIN spec_rt_dim d ON f.k = d.dk
+                   WHERE d.seg = 'hot'""")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst {
+      case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        s
+    }.getOrElse(fail("join did not plan a runtime-filterable scan"))
+    assert(q.collect()(0) == org.apache.spark.sql.Row(61L, 64660L))
+    // keys 500..560 live in file-shards 4 of 8 (125-wide): 1 file kept
+    assert(scan.description().contains("files_kept=1/8"),
+      s"runtime filter must prune files: ${scan.description()}")
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
