@@ -36,15 +36,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * per-batch file index serves straight from the manifest's paths +
   * `bytes` — metadata only. */
 private[sources] class TxnMicroBatchStream(spark: SparkSession, root: String,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class TxnOffset(version: Int) extends Offset {
     override def json(): String = version.toString
   }
 
+  // Trigger.AvailableNow contract: pin the head ONCE at run start and
+  // never report past it — versions committed mid-run are the NEXT
+  // run's work, so the trigger's "process what was available, then
+  // stop" promise is exact (no fallback-to-single-batch warning, no
+  // racing tail-reads)
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TxnTable.latestVersion(root))
+
   override def initialOffset(): Offset = TxnOffset(-1)
   override def deserializeOffset(json: String): Offset = TxnOffset(json.toInt)
-  override def latestOffset(): Offset = TxnOffset(TxnTable.latestVersion(root))
+  override def latestOffset(): Offset = TxnOffset(
+    availableNowCap.getOrElse(TxnTable.latestVersion(root)))
+  // admission control (inherited via SupportsTriggerAvailableNow): no
+  // rate limit — a batch is whatever the log added up to the cap
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
