@@ -799,7 +799,7 @@ private[sources] class TxnSparkTable(root: String, version: Int,
   * depend on what the connector claims. The accepted filters are ALSO
   * handed to the delegated ParquetScan for row-group skipping. */
 private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
-    m: Manifest, runtimeFilterable: Boolean = true) extends ScanBuilder
+    m: Manifest, onBuild: TxnScan => Unit = _ => ()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -892,7 +892,9 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
         !(hi < mn || lo > mx)
       }
     }
-    new TxnScan(spark, root, m, kept, required, accepted, runtimeFilterable)
+    val scan = new TxnScan(spark, root, m, kept, required, accepted)
+    onBuild(scan)
+    scan
   }
 }
 
@@ -962,8 +964,7 @@ private[sources] class TxnLocalAggScan(m: Manifest,
   * shift the graded aggregate. */
 private[sources] class TxnScan(spark: SparkSession, root: String,
     m: Manifest, kept0: Seq[FileEntry], required: StructType,
-    val pushedFilters: Array[Filter], runtimeFilterable: Boolean = true)
-    extends Scan
+    val pushedFilters: Array[Filter]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private def pushed = pushedFilters
   private var kept: Seq[FileEntry] = kept0
@@ -973,18 +974,14 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   private val statCols: Seq[String] =
     (Seq(m.keyCol) ++ Option(m.keyCol2).filter(_.nonEmpty) ++ m.statsCols)
 
-  /** EMPTY for a row-level operation's scan: Spark's runtime GROUP
-    * filtering would otherwise narrow what the ReplaceData plan reads,
-    * and [[TxnRowLevel.TxnBatchWrite]]'s commit contract is "the
-    * messages ARE the new snapshot" — a group-filtered read would
-    * silently drop every untouched file's rows. (The group-filtered
-    * upgrade — carrying skipped files by path from the scan's final
-    * kept set, Iceberg's `_file`-grouped shape — is a distinct write
-    * protocol, not a flag on this one.) */
+  /** The files this scan will (or did) read — a row-level operation's
+    * write prices its carry set from this AFTER execution (the group-
+    * filtered copy-on-write contract, [[TxnRowLevel.TxnBatchWrite]]). */
+  private[sources] def keptPaths: Set[String] = kept.map(_.path).toSet
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (!runtimeFilterable) Array.empty
-    else statCols
+    statCols
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 

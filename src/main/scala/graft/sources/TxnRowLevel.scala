@@ -50,7 +50,8 @@ object TxnRowLevel {
   private[sources] case class StatSlots(key: Int, key2: Int, values: Seq[Int])
 
   private[sources] class TxnReplaceWrite(root: String, base: Manifest,
-      info: LogicalWriteInfo, op: String)
+      info: LogicalWriteInfo, op: String,
+      carriedPaths: () => Seq[String] = () => Nil)
       extends Write with RequiresDistributionAndOrdering {
 
     override def requiredDistribution(): Distribution =
@@ -75,12 +76,13 @@ object TxnRowLevel {
         }
       val slots = StatSlots(slot(base.keyCol), slot(base.keyCol2),
         base.statsCols.map(slot))
-      new TxnBatchWrite(root, base, schema, slots, op)
+      new TxnBatchWrite(root, base, schema, slots, op, carriedPaths)
     }
   }
 
   private[sources] class TxnBatchWrite(root: String, base: Manifest,
-      schema: StructType, slots: StatSlots, op: String) extends BatchWrite {
+      schema: StructType, slots: StatSlots, op: String,
+      carriedPaths: () => Seq[String]) extends BatchWrite {
     private val attempt = java.util.UUID.randomUUID().toString.take(8)
     private val sub = f"data/v${base.version + 1}%08d-$attempt"
 
@@ -89,14 +91,18 @@ object TxnRowLevel {
       new TxnWriterFactory(s"$root/$sub", schema.toDDL, slots)
 
     // runs ONCE on the driver after every task committed: assemble the
-    // manifest FROM the task messages (no post-write scan) and publish
-    // with the same put-if-absent CAS as every other commit
+    // manifest FROM the task messages (no post-write scan), CARRY every
+    // base file the group-filtered scan skipped by path (their rows
+    // never flowed through the write — see TxnRowLevelOperation), and
+    // publish with the same put-if-absent CAS as every other commit
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val files = messages.collect {
+      val rewritten = messages.collect {
         case m: TxnFileCommit if m.nRows > 0 =>
           FileEntry(s"$sub/${m.path}", m.nRows, m.minK, m.maxK,
             m.minK2, m.maxK2, m.bytes, m.vmin, m.vmax)
       }.sortBy(_.path).toSeq
+      val carry = carriedPaths().toSet
+      val files = base.files.filter(f => carry(f.path)) ++ rewritten
       val m = base.copy(version = base.version + 1, op = op,
         schemaDdl = base.schemaDdl, files = files, deltaOf = -1,
         commitMs = 0L)
@@ -233,23 +239,44 @@ object TxnRowLevel {
   }
 
   /** The row-level operation itself: scan = the table's pruning scan
-    * (Spark reads the target through it), write = the replace write. */
+    * (Spark reads the target through it), write = the replace write.
+    *
+    * GROUP-FILTERED copy-on-write (the Iceberg shape): the scan stays
+    * runtime-filterable, so Spark's row-level group-filtering rule
+    * plants a dynamic subquery — the keys the command actually touches
+    * — and files containing none of them are NEVER READ. The write
+    * then must not treat its messages as the whole table: the commit
+    * carries every base file the scan skipped BY PATH (`carriedPaths`
+    * prices the carry from the scan's final kept set, observed AFTER
+    * execution — static and runtime pruning priced identically). A
+    * band-shaped UPDATE thus rewrites O(matching files), not O(table);
+    * a scattered predicate degrades honestly to the full rewrite
+    * (kept = all, carry = none). File-level stats never filter ROWS
+    * (kept files are read whole — matched rows update, unmatched carry
+    * through the write), so correctness never depends on the pruning. */
   private[sources] class TxnRowLevelOperation(root: String, base: Manifest,
       command: RowLevelOperation.Command) extends RowLevelOperation {
+    @volatile private var builtScan: TxnScan = _
     override def command(): RowLevelOperation.Command = command
-    // runtimeFilterable = false: the replace write's commit treats the
-    // scan's output as the COMPLETE next snapshot — runtime group
-    // filtering narrowing this read would drop untouched files' rows
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new TxnScanBuilder(SparkSession.active, root, base,
-        runtimeFilterable = false)
+        onBuild = s => builtScan = s)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new TxnReplaceWrite(root, base, info,
-          s"sql_${command.toString.toLowerCase}")
+          s"sql_${command.toString.toLowerCase}",
+          carriedPaths = () => {
+            val scan = builtScan
+            require(scan != null,
+              s"row-level $command on $root: write committed before the " +
+                "target scan was planned — the carry set is unpriceable")
+            val kept = scan.keptPaths
+            base.files.map(_.path).filterNot(kept)
+          })
       }
     override def description(): String =
-      s"GraftTxnRowLevel($command, copy-on-write, v${base.version})"
+      s"GraftTxnRowLevel($command, group-filtered copy-on-write, " +
+        s"v${base.version})"
   }
 
   // ------------------------------------------------------------------
@@ -362,4 +389,76 @@ object TxnRowLevel {
            CAST(sum(cents) AS BIGINT) AS sum_cents_v1,
            CAST(3 AS BIGINT) AS n_versions
     FROM b, upd GROUP BY upd.n"""
+
+  /** qdu: the GROUP-FILTERED copy-on-write priced end-to-end — a
+    * band-shaped `UPDATE ... WHERE k BETWEEN lo AND hi` where the
+    * condition never reaches the scan statically (no Filter node
+    * exists above a ReplaceData read — asserted: zero pushed filters),
+    * yet the commit rewrites ONLY the band's files: Spark's row-level
+    * runtime group filter computes the touched keys, the scan skips
+    * every file containing none of them, and the write carries the
+    * skipped files BY PATH (paths checked against the REAL v1
+    * manifest, count replayed from the shard-overlap arithmetic — the
+    * qd8 surgical pricing, now reached by the ANSI statement through
+    * the group-filter protocol instead of a bespoke API). The
+    * scattered-predicate degradation stays graded by qdl/qdo/qdp
+    * (kept = all files, carry = none, the honest full rewrite).
+    * History intact: v1 re-reads its original sum after the update. */
+  def sqlGroupFilteredUpdate(spark: SparkSession, dir: String): DataFrame = {
+    GraftTxnCatalog.register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlgf")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_gfupd")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_gfupd (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.sql_gfupd SELECT k, cents FROM orders_sqlgf")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_gfupd"
+    val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 16)
+    spark.sql(
+      s"UPDATE graft.sql_gfupd SET cents = cents + 10 WHERE k BETWEEN $lo AND $hi")
+    require(TxnTable.latestVersion(root) == 2,
+      "group-filtered UPDATE must commit exactly v2")
+    val m2 = TxnTable.readManifest(root, 2)
+    val carried = m2.files.map(_.path).count(v1Paths.contains)
+    val rewrittenNew = m2.files.size - carried
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(cents) AS sum_cents,
+               count(DISTINCT k) AS n_keys
+        FROM graft.sql_gfupd""")
+      .crossJoin(broadcast(spark.sql(
+        "SELECT sum(cents) AS sum_cents_v1 FROM graft.sql_gfupd VERSION AS OF 1")))
+      .withColumn("n_files_carried", lit(carried.toLong))
+      .withColumn("band_files_pruned",
+        lit(carried > 0 && rewrittenNew > 0 &&
+          carried + rewrittenNew == m2.files.size))
+  }
+
+  /** The surgical pricing replay: carried = shards whose key range
+    * misses the band; the update arithmetic over orders. */
+  val sqlGroupFilteredUpdateOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT max(k) AS mx FROM b),
+    probe AS (SELECT mx // 2 AS lo, mx // 2 + mx // 16 AS hi FROM m),
+    s AS (SELECT k, cents, k * 16 // (m.mx + 1) AS shard FROM b, m),
+    f AS (SELECT shard, min(k) AS mn, max(k) AS mx2 FROM s GROUP BY shard),
+    untouched AS (
+      SELECT count(1) AS n FROM f, probe
+      WHERE probe.hi < f.mn OR probe.lo > f.mx2),
+    upd AS (SELECT count(1) AS n FROM s, probe
+            WHERE k BETWEEN probe.lo AND probe.hi)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents) + 10 * upd.n AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+           CAST(sum(cents) AS BIGINT) AS sum_cents_v1,
+           CAST(untouched.n AS BIGINT) AS n_files_carried,
+           true AS band_files_pruned
+    FROM s, upd, untouched GROUP BY upd.n, untouched.n"""
 }

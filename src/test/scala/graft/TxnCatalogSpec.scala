@@ -398,6 +398,31 @@ class TxnCatalogSpec extends SparkSpec {
       s"runtime filter must prune files: ${scan.description()}")
   }
 
+  test("group-filtered UPDATE rewrites only the band's files; scattered degrades whole") {
+    sql("DROP TABLE IF EXISTS graft.spec_gf")
+    sql("""CREATE TABLE graft.spec_gf (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='8','layout_div'='1000')""")
+    sql("INSERT INTO graft.spec_gf SELECT id, id FROM range(1000)")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_gf"
+    val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
+    // band [500, 560] lives in one 125-wide shard: 7 of 8 files carry
+    sql("UPDATE graft.spec_gf SET v = v + 1000000 WHERE k BETWEEN 500 AND 560")
+    val m2 = TxnTable.readManifest(root, 2)
+    assert(m2.files.map(_.path).count(v1Paths.contains) == 7,
+      s"7 untouched files must carry by path, got ${m2.files.map(_.path)}")
+    assert(sql("SELECT sum(v) FROM graft.spec_gf").head().getLong(0) ==
+      999L * 1000 / 2 + 61L * 1000000)
+    assert(sql("SELECT sum(v) FROM graft.spec_gf VERSION AS OF 1")
+      .head().getLong(0) == 999L * 1000 / 2)
+    // a scattered predicate keeps every file: the honest full rewrite
+    sql("UPDATE graft.spec_gf SET v = v + 1 WHERE k % 10 = 3")
+    val m3 = TxnTable.readManifest(root, 3)
+    assert(!m3.files.map(_.path).exists(m2.files.map(_.path).toSet),
+      "a scattered UPDATE must rewrite everything (no stale carry)")
+    assert(sql("SELECT sum(v) FROM graft.spec_gf").head().getLong(0) ==
+      999L * 1000 / 2 + 61L * 1000000 + 100)
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
