@@ -407,6 +407,7 @@ object SparkEntry {
     "qds_sql_metadata_agg"  -> (graft.sources.GraftTxnCatalog.sqlMetadataAgg _),
     "qdt_sql_runtime_prune" -> (graft.sources.GraftTxnCatalog.sqlRuntimeFilePrune _),
     "qdu_sql_group_filtered_update" -> (graft.sources.TxnRowLevel.sqlGroupFilteredUpdate _),
+    "qdv_sql_stats_broadcast" -> (graft.sources.GraftTxnCatalog.sqlStatsBroadcast _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1075,6 +1076,7 @@ object SparkEntry {
     "qds_sql_metadata_agg"   -> graft.sources.GraftTxnCatalog.sqlMetadataAggOracle,
     "qdt_sql_runtime_prune"  -> graft.sources.GraftTxnCatalog.sqlRuntimeFilePruneOracle,
     "qdu_sql_group_filtered_update" -> graft.sources.TxnRowLevel.sqlGroupFilteredUpdateOracle,
+    "qdv_sql_stats_broadcast" -> graft.sources.GraftTxnCatalog.sqlStatsBroadcastOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

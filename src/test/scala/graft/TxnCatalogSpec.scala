@@ -423,6 +423,37 @@ class TxnCatalogSpec extends SparkSpec {
       999L * 1000 / 2 + 61L * 1000000 + 100)
   }
 
+  test("manifest statistics: exact rows/bytes reported; small dim auto-broadcasts") {
+    sql("DROP TABLE IF EXISTS graft.spec_stats")
+    sql("""CREATE TABLE graft.spec_stats (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100')""")
+    sql("INSERT INTO graft.spec_stats SELECT id, id FROM range(100)")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_stats"
+    val m = TxnTable.readManifest(root, 1)
+    val rel = sql("SELECT * FROM graft.spec_stats")
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    assert(rel.stats.rowCount.contains(BigInt(100)))
+    assert(rel.stats.sizeInBytes.toLong == m.files.map(_.bytes).sum)
+    // stats follow the pruned file set: a one-shard probe reports less
+    val pruned = sql("SELECT * FROM graft.spec_stats WHERE k < 10")
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    assert(pruned.stats.rowCount.contains(BigInt(50)),
+      s"pruned stats must count only kept files, got ${pruned.stats.rowCount}")
+    // a joined small dim broadcasts with no hint
+    spark.range(5000).selectExpr("id AS fk", "id AS fv")
+      .createOrReplaceTempView("spec_stats_fact")
+    val j = sql("""SELECT count(1) FROM spec_stats_fact f
+                   JOIN graft.spec_stats d ON f.fk % 100 = d.k""")
+    assert(j.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, "manifest stats must let the small txn dim auto-broadcast")
+    assert(j.head().getLong(0) == 5000L)
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
