@@ -408,6 +408,7 @@ object SparkEntry {
     "qdt_sql_runtime_prune" -> (graft.sources.GraftTxnCatalog.sqlRuntimeFilePrune _),
     "qdu_sql_group_filtered_update" -> (graft.sources.TxnRowLevel.sqlGroupFilteredUpdate _),
     "qdv_sql_stats_broadcast" -> (graft.sources.GraftTxnCatalog.sqlStatsBroadcast _),
+    "qdw_tvf_txn_history"   -> (graft.sources.GraftTxnCatalog.sqlHistory _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1077,6 +1078,7 @@ object SparkEntry {
     "qdt_sql_runtime_prune"  -> graft.sources.GraftTxnCatalog.sqlRuntimeFilePruneOracle,
     "qdu_sql_group_filtered_update" -> graft.sources.TxnRowLevel.sqlGroupFilteredUpdateOracle,
     "qdv_sql_stats_broadcast" -> graft.sources.GraftTxnCatalog.sqlStatsBroadcastOracle,
+    "qdw_tvf_txn_history"    -> graft.sources.GraftTxnCatalog.sqlHistoryOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

@@ -132,6 +132,15 @@ object GraftExtensions {
         graft.sources.TxnTable.readVersion(s,
           litString(a, 0, "graft_txn_read"),
           litLong(a, 1, "graft_txn_read").toInt))),
+    // DESCRIBE HISTORY for the txn table (qdw): one row per committed
+    // version, resolved live totals from manifest stats — audit
+    // surface, metadata only
+    (new FunctionIdentifier("graft_txn_history"),
+      info("graft_txn_history",
+        "graft_txn_history(root) - commit history of a graft transactional table"),
+      operatorPlan("graft_txn_history", 1, (s, a) =>
+        graft.sources.TxnTable.history(s,
+          litString(a, 0, "graft_txn_history")))),
     (new FunctionIdentifier("graft_synth"),
       info("graft_synth",
         "graft_synth(lo, hi) - deterministic Lehmer rows for id in [lo, hi)"),

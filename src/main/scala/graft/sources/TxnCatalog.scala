@@ -563,6 +563,70 @@ object GraftTxnCatalog {
            kept.n < total.n AS runtime_pruned
     FROM hits, kept, total"""
 
+  /** qdw: `DESCRIBE HISTORY` — the table's commit log as a queryable
+    * relation (`graft_txn_history(root)` TVF over
+    * [[TxnTable.history]]): one row per version with the raw
+    * manifest's op and delta shape plus resolved live file/row totals
+    * (exact, from manifest stats — the whole history renders without
+    * touching a data file). The staged history exercises every commit
+    * class: create (v0), two DELTA appends (v1/v2 — `delta_of`
+    * proves the O(batch) metadata shape in the graded rows), a
+    * metadata-only widen (v3 — same files as v2), and an INSERT
+    * OVERWRITE replace (v4). Writer-random op suffixes normalize via
+    * regexp so the row set is deterministic; every n_rows replays
+    * from orders arithmetic. */
+  def sqlHistory(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.functions.GraftExtensions.registerTableFunctions(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlhist")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_hist")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_hist (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.sql_hist" +
+      " SELECT k, cents FROM orders_sqlhist WHERE k % 2 = 0")
+    spark.sql("INSERT INTO graft.sql_hist" +
+      " SELECT k, cents FROM orders_sqlhist WHERE k % 2 <> 0")
+    spark.sql("ALTER TABLE graft.sql_hist ADD COLUMNS (bonus BIGINT)")
+    spark.sql("INSERT OVERWRITE graft.sql_hist" +
+      " SELECT k, cents, 1 FROM orders_sqlhist WHERE k % 101 = 0")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_hist"
+    spark.sql(s"""
+      SELECT version,
+             regexp_replace(op, '_[0-9a-f]{8}$$', '') AS op_kind,
+             delta_of, n_files, n_rows, n_txns
+      FROM graft_txn_history('$root')
+      ORDER BY version""")
+  }
+
+  /** The op/delta/file/row ledger replayed: deltas at v1/v2 (append
+    * metadata is O(batch)), the widen carries v2's files, the
+    * overwrite is a fresh 16-shard full snapshot. */
+  val sqlHistoryOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    ev AS (SELECT CAST(count(1) AS BIGINT) AS n FROM b WHERE k % 2 = 0),
+    al AS (SELECT CAST(count(1) AS BIGINT) AS n FROM b),
+    ow AS (SELECT CAST(count(1) AS BIGINT) AS n FROM b WHERE k % 101 = 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'create_empty' AS op_kind,
+           CAST(-1 AS BIGINT) AS delta_of, CAST(0 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_txns
+    UNION ALL
+    SELECT 1, 'sql_insert', 0, 16, ev.n, 0 FROM ev
+    UNION ALL
+    SELECT 2, 'sql_insert', 1, 32, al.n, 0 FROM al
+    UNION ALL
+    SELECT 3, 'add_column_bonus', -1, 32, al.n, 0 FROM al
+    UNION ALL
+    SELECT 4, 'sql_overwrite', -1, 16, ow.n, 0 FROM ow
+    ORDER BY version"""
+
   /** qdv: PLANNER STATISTICS FROM THE MANIFEST — the connector reports
     * exact (bytes, rows) for the pruned file set
     * (`SupportsReportStatistics`, zero I/O), so Catalyst's join

@@ -675,6 +675,23 @@ object TxnTable {
       case dup: TxnAlreadyCommitted => (dup.version, 0, false)
     }
 
+  /** The table's commit HISTORY as a DataFrame — the `DESCRIBE
+    * HISTORY` observability gesture (qdw), reachable from SQL text via
+    * the `graft_txn_history` TVF. One row per version: the raw
+    * manifest's op and delta shape plus the RESOLVED live-file/row
+    * totals (exact, from manifest stats — never a data scan). Walks
+    * every version by design: this is the audit surface, not a hot
+    * path (the hot paths read one head manifest, qdi). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).map { v =>
+      val raw = readManifestRaw(root, v)
+      val full = readManifest(root, v)
+      (v.toLong, raw.op, raw.deltaOf.toLong, full.files.size.toLong,
+        full.files.map(_.nRows).sum, raw.txns.size.toLong)
+    }.toDF("version", "op", "delta_of", "n_files", "n_rows", "n_txns")
+  }
+
   /** METADATA-ONLY append commit of pre-written adds — the seam the
     * distributed writers use (qdr's streaming sink, whose executor
     * tasks already wrote the files and shipped stats as commit
