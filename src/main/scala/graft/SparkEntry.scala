@@ -409,6 +409,7 @@ object SparkEntry {
     "qdu_sql_group_filtered_update" -> (graft.sources.TxnRowLevel.sqlGroupFilteredUpdate _),
     "qdv_sql_stats_broadcast" -> (graft.sources.GraftTxnCatalog.sqlStatsBroadcast _),
     "qdw_tvf_txn_history"   -> (graft.sources.GraftTxnCatalog.sqlHistory _),
+    "qdx_sql_truncate"      -> (graft.sources.GraftTxnCatalog.sqlTruncate _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1079,6 +1080,7 @@ object SparkEntry {
     "qdu_sql_group_filtered_update" -> graft.sources.TxnRowLevel.sqlGroupFilteredUpdateOracle,
     "qdv_sql_stats_broadcast" -> graft.sources.GraftTxnCatalog.sqlStatsBroadcastOracle,
     "qdw_tvf_txn_history"    -> graft.sources.GraftTxnCatalog.sqlHistoryOracle,
+    "qdx_sql_truncate"       -> graft.sources.GraftTxnCatalog.sqlTruncateOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

@@ -627,6 +627,69 @@ object GraftTxnCatalog {
     SELECT 4, 'sql_overwrite', -1, 16, ow.n, 0 FROM ow
     ORDER BY version"""
 
+  /** qdx: SQL `TRUNCATE TABLE` + `SHOW TBLPROPERTIES` — the last two
+    * DDL observability/lifecycle statements. TRUNCATE is an
+    * empty-snapshot replace COMMIT (v3): the head reads zero rows, the
+    * pre-truncate version re-reads bit-intact (`sum_cents_v2`
+    * hash-graded), later INSERTs compose on the truncated table (v4),
+    * and no data file is deleted here (vacuum policy owns reclaim).
+    * SHOW TBLPROPERTIES renders the manifest's layout/constraint facts
+    * — format, key, shards, CHECK, stats cols, snapshot version — all
+    * folded into the graded row as literals the oracle pins. */
+  def sqlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqltrunc")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_trunc")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_trunc (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}',
+                     'check'='cents >= 0', 'stats_cols'='cents')""")
+    spark.sql("INSERT INTO graft.sql_trunc SELECT k, cents FROM orders_sqltrunc")
+    spark.sql("TRUNCATE TABLE graft.sql_trunc")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_trunc"
+    require(TxnTable.latestVersion(root) == 3,
+      "TRUNCATE must commit exactly v3 (create, check, insert, truncate)")
+    val emptied = spark.sql("SELECT count(1) FROM graft.sql_trunc")
+      .head().getLong(0) // 1-row probe: the head is empty RIGHT HERE
+    spark.sql("INSERT INTO graft.sql_trunc" +
+      " SELECT k, cents FROM orders_sqltrunc WHERE k % 101 = 0")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.sql_trunc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.sql("""
+        SELECT count(1) AS n_rows_final, sum(cents) AS sum_cents_final
+        FROM graft.sql_trunc""")
+      .crossJoin(broadcast(spark.sql(
+        "SELECT sum(cents) AS sum_cents_v2 FROM graft.sql_trunc VERSION AS OF 2")))
+      .withColumn("n_rows_truncated", lit(emptied))
+      .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
+      .withColumn("prop_format", lit(props.getOrElse("format", "?")))
+      .withColumn("prop_key", lit(props.getOrElse("key", "?")))
+      .withColumn("prop_shards", lit(props.getOrElse("shards", "?")))
+      .withColumn("prop_check", lit(props.getOrElse("check", "?")))
+      .withColumn("prop_stats_cols", lit(props.getOrElse("stats_cols", "?")))
+      .withColumn("prop_snapshot", lit(props.getOrElse("snapshot_version", "?")))
+  }
+
+  val sqlTruncateOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    f AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s FROM b WHERE k % 101 = 0)
+    SELECT f.n AS n_rows_final, f.s AS sum_cents_final,
+           CAST(sum(cents) AS BIGINT) AS sum_cents_v2,
+           CAST(0 AS BIGINT) AS n_rows_truncated,
+           CAST(5 AS BIGINT) AS n_versions,
+           'graft_txn' AS prop_format, 'k' AS prop_key,
+           '16' AS prop_shards, 'cents >= 0' AS prop_check,
+           'cents' AS prop_stats_cols, '4' AS prop_snapshot
+    FROM b, f GROUP BY f.n, f.s"""
+
   /** qdv: PLANNER STATISTICS FROM THE MANIFEST — the connector reports
     * exact (bytes, rows) for the pruned file set
     * (`SupportsReportStatistics`, zero I/O), so Catalyst's join
@@ -844,8 +907,38 @@ object GraftTxnCatalog {
 private[sources] class TxnSparkTable(root: String, version: Int,
     pinned: Boolean) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with TruncatableTable {
   private[sources] val manifest: Manifest = TxnTable.readManifest(root, version)
+
+  /** `SHOW TBLPROPERTIES graft.t` — the table's layout/constraint
+    * facts plus the loaded snapshot version, straight off the
+    * manifest. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("format", "graft_txn")
+    m.put("key", manifest.keyCol)
+    m.put("shards", manifest.shards.toString)
+    m.put("layout_div", manifest.layoutDiv.toString)
+    m.put("snapshot_version", manifest.version.toString)
+    if (manifest.keyCol2.nonEmpty) m.put("key2", manifest.keyCol2)
+    if (manifest.checkExpr.nonEmpty) m.put("check", manifest.checkExpr)
+    if (manifest.statsCols.nonEmpty)
+      m.put("stats_cols", manifest.statsCols.mkString(","))
+    m
+  }
+
+  /** SQL `TRUNCATE TABLE` — an empty-snapshot replace COMMIT: history
+    * stays readable (`VERSION AS OF` the pre-truncate version), the
+    * head reads zero rows, data files are reclaimed by vacuum policy
+    * like any other unreferenced version — never deleted here. */
+  override def truncateTable(): Boolean = {
+    require(!pinned,
+      s"cannot truncate time-travel snapshot v$version of $root")
+    val spark = SparkSession.active
+    TxnTable.transact(spark, root, "truncate",
+      cur => cur.limit(0))
+    true
+  }
 
   /** General-predicate DML (MERGE INTO / UPDATE / non-key DELETE):
     * group-based copy-on-write through [[TxnRowLevel.TxnRowLevelOperation]];

@@ -454,6 +454,39 @@ class TxnCatalogSpec extends SparkSpec {
     assert(j.head().getLong(0) == 5000L)
   }
 
+  test("TRUNCATE TABLE empties the head as a commit; SHOW TBLPROPERTIES renders the manifest") {
+    sql("DROP TABLE IF EXISTS graft.spec_trunc")
+    sql("""CREATE TABLE graft.spec_trunc (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100',
+                          'check'='v >= 0')""")
+    sql("INSERT INTO graft.spec_trunc SELECT id, id FROM range(100)")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_trunc"
+    sql("TRUNCATE TABLE graft.spec_trunc")
+    assert(sql("SELECT count(1) FROM graft.spec_trunc").head().getLong(0) == 0)
+    // history intact; later inserts compose; CHECK survives the truncate
+    assert(sql("SELECT sum(v) FROM graft.spec_trunc VERSION AS OF 2")
+      .head().getLong(0) == 4950L)
+    sql("INSERT INTO graft.spec_trunc SELECT id, 1 FROM range(5)")
+    assert(sql("SELECT sum(v) FROM graft.spec_trunc").head().getLong(0) == 5L)
+    intercept[Exception] {
+      sql("INSERT INTO graft.spec_trunc SELECT 90, -1")
+    }
+    val props = sql("SHOW TBLPROPERTIES graft.spec_trunc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("format") == "graft_txn" && props("key") == "k" &&
+      props("check") == "v >= 0" && props("shards") == "2")
+    // a pinned time-travel snapshot refuses TRUNCATE... via the table API
+    intercept[Exception] {
+      new GraftTxnCatalog {
+        initialize("g", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("warehouse", graft.Fs.scratch("graft_txn_catalog_wh"))))
+      }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "spec_trunc"), "1")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TruncatableTable]
+        .truncateTable()
+    }
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
