@@ -410,6 +410,7 @@ object SparkEntry {
     "qdv_sql_stats_broadcast" -> (graft.sources.GraftTxnCatalog.sqlStatsBroadcast _),
     "qdw_tvf_txn_history"   -> (graft.sources.GraftTxnCatalog.sqlHistory _),
     "qdx_sql_truncate"      -> (graft.sources.GraftTxnCatalog.sqlTruncate _),
+    "qdy_txn_dedup_ingest"  -> (graft.sources.TxnTable.txnDedupIngest _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
@@ -1081,6 +1082,7 @@ object SparkEntry {
     "qdv_sql_stats_broadcast" -> graft.sources.GraftTxnCatalog.sqlStatsBroadcastOracle,
     "qdw_tvf_txn_history"    -> graft.sources.GraftTxnCatalog.sqlHistoryOracle,
     "qdx_sql_truncate"       -> graft.sources.GraftTxnCatalog.sqlTruncateOracle,
+    "qdy_txn_dedup_ingest"   -> graft.sources.TxnTable.txnDedupIngestOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,

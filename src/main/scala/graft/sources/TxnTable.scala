@@ -2246,6 +2246,86 @@ object TxnTable {
       .orderBy("bucket")
   }
 
+  /** qdy: DEDUP-AT-INGEST — the training-data pipeline's first-line
+    * dedup composed onto the transactional substrate: four OVERLAPPING
+    * document batches arrive (each re-delivers a tail of its
+    * predecessor — the at-least-once upstream reality), each batch
+    * anti-joins the LIVE table on the document key and appends ONLY
+    * the novel rows under the idempotence ledger. Graded, all replayed
+    * from interval arithmetic: the per-batch appended counts read off
+    * the committed DELTA manifests (b1..b3 are exactly the
+    * non-overlap intervals — a duplicate surviving the anti-join or a
+    * novel row lost to it shifts its batch's count), the final table
+    * (count = DISTINCT covered keys, chars checksum), and the
+    * crash-replay of the last batch (same txn id) appending NOTHING.
+    * At 100 TB: the anti-join is key-columnar (the live side scans
+    * only `k`), each append writes O(novel batch), and the dedup
+    * boundary is transactional — a racing writer rebases, never
+    * double-inserts (the qct/appendTxn protocol under this
+    * composition). */
+  def txnDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_dedup_ingest")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    createEmpty(spark, root, docs.schema.toDDL, "k", 8, mx + 1)
+    // overlapping eighths: [0,3/8], [2/8,5/8], [4/8,7/8], [6/8,mx]
+    val bounds = Seq((0L, mx * 3 / 8), (mx * 2 / 8, mx * 5 / 8),
+      (mx * 4 / 8, mx * 7 / 8), (mx * 6 / 8, mx))
+    val appended = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val slice = docs.where(col("k").between(lo, hi))
+      val live = readVersion(spark, root, latestVersion(root)).select("k")
+      val novel = slice.join(live, Seq("k"), "left_anti")
+      val (v, _, applied) = appendTxn(spark, root, novel, "dedup_ingest", i)
+      require(applied, s"fresh batch $i must append")
+      // the manifest stats ARE the appended count — no recount (a
+      // checkpoint version's raw list is the full table, so diff the
+      // RESOLVED totals across the commit)
+      readManifest(root, v).files.map(_.nRows).sum -
+        readManifest(root, v - 1).files.map(_.nRows).sum
+    }
+    // the lost-ack crash window: the last batch re-delivered whole
+    val lastSlice = docs.where(
+      col("k").between(bounds.last._1, bounds.last._2))
+    val vBefore = latestVersion(root)
+    val (_, _, reApplied) = appendTxn(spark, root, lastSlice,
+      "dedup_ingest", bounds.size - 1)
+    val replayNoop = !reApplied && latestVersion(root) == vBefore
+    readVersion(spark, root, latestVersion(root))
+      .agg(count(lit(1)).as("n_rows"), sum("c").as("chars_sum"),
+        countDistinct("k").as("n_distinct"))
+      .withColumn("b0_appended", lit(appended(0)))
+      .withColumn("b1_appended", lit(appended(1)))
+      .withColumn("b2_appended", lit(appended(2)))
+      .withColumn("b3_appended", lit(appended(3)))
+      .withColumn("n_versions", lit(vBefore + 1L))
+      .withColumn("replay_noop", lit(replayNoop))
+  }
+
+  /** The non-overlap intervals replay the per-batch novel counts. */
+  val txnDedupIngestOracle: String = """
+    WITH d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c
+               FROM documents),
+    m AS (SELECT max(k) AS mx FROM d),
+    agg AS (
+      SELECT CAST(count(1) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS chars_sum,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN k <= m.mx * 3 // 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN k > m.mx * 3 // 8 AND k <= m.mx * 5 // 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN k > m.mx * 5 // 8 AND k <= m.mx * 7 // 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+             CAST(sum(CASE WHEN k > m.mx * 7 // 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b3
+      FROM d, m)
+    SELECT n_rows, chars_sum, n_distinct,
+           b0 AS b0_appended, b1 AS b1_appended,
+           b2 AS b2_appended, b3 AS b3_appended,
+           CAST(5 AS BIGINT) AS n_versions, true AS replay_noop
+    FROM agg"""
+
   // ------------------------------------------------------------------
   // qdi: BOUNDED LOG METADATA — O(1) manifest reads per commit/ingest
   // ------------------------------------------------------------------

@@ -631,6 +631,27 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.latestVersion(r) == 1)
   }
 
+  test("dedup-at-ingest: overlapping batches anti-join the live table; replay no-ops") {
+    val r = graft.Fs.scratch("spec_txn_dedup")
+    TxnTable.createEmpty(spark, r, "k BIGINT,v BIGINT", "k", 2, 100)
+    def slice(lo: Int, hi: Int) =
+      spark.range(lo, hi + 1).selectExpr("id AS k", "id * 2 AS v")
+    def ingest(lo: Int, hi: Int, txn: Long) = {
+      val live = TxnTable.readVersion(spark, r,
+        TxnTable.latestVersion(r)).select("k")
+      TxnTable.appendTxn(spark, r,
+        slice(lo, hi).join(live, Seq("k"), "left_anti"), "ing", txn)
+    }
+    assert(ingest(0, 59, 0)._3)
+    assert(ingest(40, 99, 1)._3) // 40..59 re-delivered, deduped
+    val head = TxnTable.readVersion(spark, r, TxnTable.latestVersion(r))
+    assert(head.count() == 100 &&
+      head.agg(countDistinct("k")).head().getLong(0) == 100)
+    // whole batch 1 re-delivered under the same txn id: nothing lands
+    val (_, _, applied) = TxnTable.appendTxn(spark, r, slice(40, 99), "ing", 1)
+    assert(!applied && TxnTable.latestVersion(r) == 2 && head.count() == 100)
+  }
+
   test("concurrent merge query: serial composition, one conflict, three versions") {
     val row = TxnTable.txnConcurrentMerge(spark, sfDir).head()
     assert(row.getAs[Long]("n_versions") == 3L)
