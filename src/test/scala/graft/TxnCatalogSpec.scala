@@ -487,6 +487,23 @@ class TxnCatalogSpec extends SparkSpec {
     }
   }
 
+  test("DataFrameReader versionAsOf/timestampAsOf options time-travel too") {
+    sql("DROP TABLE IF EXISTS graft.spec_vopt")
+    sql("""CREATE TABLE graft.spec_vopt (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100')""")
+    sql("INSERT INTO graft.spec_vopt SELECT id, id FROM range(50)")
+    sql("INSERT INTO graft.spec_vopt SELECT id + 50, id FROM range(50)")
+    // the third time-travel entry path (after SQL VERSION AS OF and the
+    // TVF): the reader options map onto loadTable(ident, version|ts)
+    assert(spark.read.option("versionAsOf", 1)
+      .table("graft.spec_vopt").count() == 50)
+    assert(spark.read.option("timestampAsOf", "2030-01-01 00:00:00")
+      .table("graft.spec_vopt").count() == 100)
+    // (writing FROM a pinned read into the live table is legal — the
+    // pinned-write refusal is on the pinned TABLE itself, covered by
+    // the VERSION AS OF spec above)
+  }
+
   test("SQL and Scala surfaces are ONE table: API commits visible to SQL and back") {
     sql("DROP TABLE IF EXISTS graft.spec_both")
     sql("""CREATE TABLE graft.spec_both (k BIGINT, v BIGINT) USING graft_txn
