@@ -413,6 +413,9 @@ object SparkEntry {
     "qdy_txn_dedup_ingest"  -> (graft.sources.TxnTable.txnDedupIngest _),
     "qdj_txn_optimize_zorder" -> (graft.sources.TxnTable.txnOptimizeZorder _),
     "qdk_txn_value_stats"   -> (graft.sources.TxnTable.txnValueStats _),
+    "qdz_sql_spj_join"      -> (graft.sources.TxnSpj.sqlSpjJoin _),
+    "qe0_sql_spj_agg"       -> (graft.sources.TxnSpj.sqlSpjAgg _),
+    "qe1_txn_delete_vectors" -> (graft.sources.TxnTable.txnDeleteVectors _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1085,6 +1088,9 @@ object SparkEntry {
     "qdy_txn_dedup_ingest"   -> graft.sources.TxnTable.txnDedupIngestOracle,
     "qdj_txn_optimize_zorder" -> graft.sources.TxnTable.txnOptimizeZorderOracle,
     "qdk_txn_value_stats"    -> graft.sources.TxnTable.txnValueStatsOracle,
+    "qdz_sql_spj_join"       -> graft.sources.TxnSpj.sqlSpjJoinOracle,
+    "qe0_sql_spj_agg"        -> graft.sources.TxnSpj.sqlSpjAggOracle,
+    "qe1_txn_delete_vectors" -> graft.sources.TxnTable.txnDeleteVectorsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

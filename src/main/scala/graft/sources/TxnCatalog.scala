@@ -52,9 +52,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference anchor: the reference (`MovieLensRecommender.py:113-132`)
   * reads raw `.dat` paths — a catalog identity is part of the §2.3
   * extension surface a real lakehouse pipeline needs. */
-class GraftTxnCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTxnCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** STORAGE-PARTITIONED JOIN support (qdz/qe0): the catalog exposes
+    * the table layout's shard function as a V2 function, so Catalyst's
+    * `V2ScanPartitioningAndOrdering` can resolve the
+    * `KeyGroupedPartitioning` a [[TxnScan]] reports into a
+    * `TransformExpression` and `EnsureRequirements` can recognize two
+    * CO-SHARDED tables as already-clustered — a key equi-join (or a
+    * group-by on the key) then runs with ZERO shuffle exchanges, the
+    * bucketed-join shape Spark otherwise reserves for its own bucketed
+    * tables (SPARK-37375's design, implemented against this log).
+    *
+    * The layout parameters are baked into the FUNCTION NAME
+    * (`graft_shard_<shards>_<layoutDiv>`) and its bound
+    * `canonicalName`: Spark compares partition transforms by canonical
+    * name only (literal arguments are NOT compared), so this encoding
+    * makes "compatible" mean exactly "same shard arithmetic" — two
+    * tables with different layouts get different canonical names and
+    * fall back to a correct shuffle, never a silently-wrong
+    * co-partition claim. */
+  private val ShardFnName = """graft_shard_(\d+)_(\d+)""".r
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty // shard functions are minted per layout, not enumerable
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ShardFnName.matches(ident.name)
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name match {
+      case ShardFnName(s, d) if ident.namespace.isEmpty =>
+        new GraftShardFunction(s.toInt, d.toLong)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+          ident)
+    }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -949,6 +983,12 @@ private[sources] class TxnSparkTable(root: String, version: Int,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(!pinned,
       s"cannot run DML against time-travel snapshot v$version of $root")
+    // the group-based rewrite reads kept files RAW and carries the rest
+    // by path — on a merge-on-read snapshot either side would resurrect
+    // vector-deleted rows; purge first (same contract as the scan path)
+    require(manifest.files.forall(_.dvRows == 0),
+      s"$root@v$version carries deletion vectors; run " +
+        "TxnTable.purgeDeletes (OPTIMIZE) before SQL DML")
     () => new TxnRowLevel.TxnRowLevelOperation(root, manifest, info.command())
   }
 
@@ -959,8 +999,16 @@ private[sources] class TxnSparkTable(root: String, version: Int,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the connector's scans read raw parquet; a merge-on-read snapshot
+    // (deletion vectors pending) must refuse loudly rather than serve
+    // deleted rows — purge (TxnTable.purgeDeletes / OPTIMIZE) restores
+    // SQL readability. The Scala read paths apply vectors natively.
+    require(manifest.files.forall(_.dvRows == 0),
+      s"$root@v$version carries deletion vectors; run " +
+        "TxnTable.purgeDeletes (OPTIMIZE) before SQL-scanning it")
     new TxnScanBuilder(SparkSession.active, root, manifest)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
@@ -1185,11 +1233,52 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
     m: Manifest, kept0: Seq[FileEntry], required: StructType,
     val pushedFilters: Array[Filter]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private def pushed = pushedFilters
   private var kept: Seq[FileEntry] = kept0
   def filesKept: Int = kept.size
   val filesTotal: Int = m.files.size
+
+  /** STORAGE-PARTITIONED JOIN (qdz/qe0): when V2 bucketing is enabled
+    * (`spark.sql.sources.v2.bucketing.enabled` — the same opt-in knob
+    * Iceberg's SPJ uses), the scan reports its files as
+    * KEY-GROUPED on the layout's shard function. Each data file was
+    * written into exactly one `__shard=N` directory by
+    * [[TxnTable.writeSnapshot]]'s layout shuffle, so grouping files by
+    * that N and attaching it as the partition key is a zero-I/O
+    * metadata fact. Catalyst then treats two co-sharded tables as
+    * already co-clustered: the key equi-join (and a group-by on the
+    * key) runs with NO shuffle exchange — at 100 TB the difference
+    * between re-shuffling both fact tables and reading them in place.
+    * Off by default so every other plan in the suite is untouched;
+    * when off the scan reports unknown partitioning and delegates to
+    * the splitting ParquetScan batch exactly as before. */
+  private def spjEnabled: Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "true").toBoolean
+
+  /** Key-grouping applies only when EVERY kept file sits under a
+    * `__shard=N` layout directory. Files written outside the layout
+    * (the row-level DML writer's rewrites, the streaming sink's epoch
+    * files) have no shard identity, so such a snapshot honestly
+    * reports unknown partitioning and reads through the splitting
+    * delegate — a fallback, never a crash (and OPTIMIZE restores the
+    * layout and with it the SPJ eligibility). */
+  private def shardedKept: Option[Map[Int, Seq[FileEntry]]] =
+    TxnShardBatch.shardGroupsOpt(kept)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    shardedKept match {
+      case Some(groups) if spjEnabled =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
+            s"graft_shard_${m.shards}_${m.layoutDiv}",
+            org.apache.spark.sql.connector.expressions.Expressions.column(m.keyCol))),
+          groups.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Planner statistics FROM THE MANIFEST (qdv): size = the kept
     * files' on-disk bytes, rows = their exact row counts — zero I/O,
@@ -1275,7 +1364,10 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   }
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch =
+    if (spjEnabled && shardedKept.isDefined)
+      new TxnShardBatch(root, () => kept, () => delegate.toBatch)
+    else delegate.toBatch
   /** `readStream.table(...)`: offsets are the log's versions — see
     * [[TxnMicroBatchStream]]. Streaming reads take the full schema and
     * no file pruning (every added file IS the batch). */
@@ -1319,5 +1411,112 @@ private[sources] class TxnWriteBuilder(root: String, manifest: Manifest,
         "graft_txn streaming write is append-only (no complete mode)")
       new TxnStreamSink.TxnStreamingWrite(root, manifest, info)
     }
+  }
+}
+
+/** The layout's shard arithmetic as a catalog-resolvable V2 function —
+  * the piece that lets Spark PROVE two txn tables are co-clustered.
+  * `bind` accepts exactly one BIGINT argument (the key column);
+  * `produceResult` reproduces [[TxnTable.writeSnapshot]]'s shard
+  * expression bit-for-bit (decimal-widened multiply, clamp into
+  * [0, shards)) so a runtime-shuffled side (`v2.bucketing.shuffle`)
+  * would land rows in exactly the written layout. The canonical name
+  * carries (shards, layoutDiv): Spark's transform compatibility check
+  * compares canonical names, so only genuinely co-sharded tables are
+  * ever treated as co-partitioned. */
+private[sources] class GraftShardFunction(shards: Int, layoutDiv: Long)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+  override def name(): String = s"graft_shard_${shards}_$layoutDiv"
+  override def description(): String =
+    s"graft_txn layout shard: clamp(k * $shards div $layoutDiv, 0, ${shards - 1})"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType,
+      s"graft_shard binds one BIGINT key column, got ${inputType.sql}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = s"graft_shard_${shards}_$layoutDiv"
+      override def canonicalName(): String =
+        s"graft.shard($shards,$layoutDiv)"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val k = input.getLong(0)
+        val raw = (BigInt(k) * shards / layoutDiv).toLong
+        math.max(0L, math.min((shards - 1).toLong, raw)).toInt
+      }
+    }
+  }
+}
+
+/** The key-grouped batch behind SPJ: one input partition PER SHARD,
+  * each carrying all of that shard's live files and its shard id as
+  * the partition key ([[org.apache.spark.sql.connector.read.HasPartitionKey]]).
+  * The shard id is recovered from the `__shard=N` path segment every
+  * data file was written under — a pure metadata fact, zero I/O. Row
+  * reading delegates to the SAME vectorized parquet reader factory the
+  * non-SPJ path uses (the partitions are `FilePartition`s, which is
+  * what that factory consumes), so pushed filters, column pruning and
+  * row-group skipping are identical; only the GROUPING changes.
+  * `kept`/`delegate` are thunks: the runtime filter (qdt) may narrow
+  * the file list after the batch object exists, and partitions must be
+  * planned from the narrowed list. */
+private[sources] class TxnShardBatch(root: String,
+    keptNow: () => Seq[FileEntry],
+    delegateBatch: () => Batch) extends Batch {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    TxnShardBatch.shardGroupsOpt(keptNow())
+      .getOrElse(sys.error("shard batch planned over unsharded files"))
+      .toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((shard, files), idx) =>
+        val pfs = files.map { f =>
+          val abs = new java.io.File(s"$root/${f.path}")
+          // bytes ride the manifest; mtime is irrelevant to the reader
+          val len = if (f.bytes > 0) f.bytes else abs.length()
+          PartitionedFile(InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPath(
+              new org.apache.hadoop.fs.Path(abs.toURI)),
+            0L, len, Array.empty[String], 0L, len)
+        }.toArray
+        new TxnShardBatch.ShardFilePartition(idx, pfs, shard)
+      }.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegateBatch().createReaderFactory()
+}
+
+private[sources] object TxnShardBatch {
+  private val ShardSeg = """__shard=(\d+)""".r
+
+  /** kept files grouped by the shard their path was written under —
+    * None (→ fall back to the splitting delegate) when any file lives
+    * outside the `__shard=` layout or the snapshot is empty. */
+  def shardGroupsOpt(files: Seq[FileEntry])
+      : Option[Map[Int, Seq[FileEntry]]] = {
+    val tagged = files.map(f =>
+      ShardSeg.findFirstMatchIn(f.path).map(_.group(1).toInt) -> f)
+    if (files.isEmpty || tagged.exists(_._1.isEmpty)) None
+    else Some(tagged.groupMap(_._1.get)(_._2))
+  }
+
+  /** A plain `FilePartition` (so the parquet reader factory consumes it
+    * unchanged) that also exposes its shard id as the partition key —
+    * the hook `BatchScanExec` groups on for key-grouped execution. */
+  private[sources] class ShardFilePartition(idx: Int,
+      pfs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      shard: Int)
+      extends org.apache.spark.sql.execution.datasources.FilePartition(idx, pfs)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow(shard)
   }
 }

@@ -69,9 +69,16 @@ object TxnTable {
     * the full-range sentinels mark an all-null column in that file
     * ("prunes nothing", the round-9 qd6 doctrine extended to value
     * columns). */
+  /** `dv`/`dvRows` (when set) attach a DELETION VECTOR to the file —
+    * a tiny position sidecar listing the row indexes deleted from it
+    * (merge-on-read, [[deleteMor]]): `nRows` stays the PHYSICAL row
+    * count, live rows = `nRows - dvRows`, and min/max stats remain
+    * sound for pruning (deletion only shrinks a file's true range —
+    * stale-wide bounds skip nothing they shouldn't). */
   final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long,
       minK2: Long = Long.MinValue, maxK2: Long = Long.MaxValue,
-      bytes: Long = 0L, vmin: Seq[Long] = Nil, vmax: Seq[Long] = Nil)
+      bytes: Long = 0L, vmin: Seq[Long] = Nil, vmax: Seq[Long] = Nil,
+      dv: String = "", dvRows: Long = 0L)
 
   /** One committed version. `layoutDiv`/`shards` pin the shard layout
     * chosen at create time so every later commit re-shards
@@ -165,7 +172,8 @@ object TxnTable {
     val fs = m.files.map(f =>
       s"""{"path":"${esc(f.path)}","n_rows":${f.nRows},"min_k":${f.minK},""" +
         s""""max_k":${f.maxK},"min_k2":${f.minK2},"max_k2":${f.maxK2},""" +
-        s""""bytes":${f.bytes},"vmin":${longs(f.vmin)},"vmax":${longs(f.vmax)}}""")
+        s""""bytes":${f.bytes},"vmin":${longs(f.vmin)},"vmax":${longs(f.vmax)},""" +
+        s""""dv":"${esc(f.dv)}","dv_rows":${f.dvRows}}""")
       .mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${esc(m.op)}","key_col":"${esc(m.keyCol)}",""" +
       s""""key_col2":"${esc(m.keyCol2)}","schema":"${esc(m.schemaDdl)}",""" +
@@ -177,10 +185,12 @@ object TxnTable {
       s""""files":$fs}"""
   }
 
+  // the dv tail is optional so pre-DV manifests keep parsing unchanged
   private val FileRe =
     (s"""\\{"path":"$Str","n_rows":(\\d+),"min_k":(-?\\d+),"max_k":(-?\\d+),""" +
       """"min_k2":(-?\d+),"max_k2":(-?\d+),"bytes":(\d+),""" +
-      """"vmin":\[([-0-9,]*)\],"vmax":\[([-0-9,]*)\]\}""").r
+      """"vmin":\[([-0-9,]*)\],"vmax":\[([-0-9,]*)\]""" +
+      s"""(?:,"dv":"$Str","dv_rows":(\\d+))?\\}""").r
   private val TxnRe = (s"""\\{"app":"$Str","v":(-?\\d+)\\}""").r
   private def fieldStr(json: String, name: String): String =
     unesc((s""""$name":"$Str"""").r.findFirstMatchIn(json)
@@ -210,7 +220,9 @@ object TxnTable {
       FileRe.findAllMatchIn(fileSpan).map(m => FileEntry(
         unesc(m.group(1)), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
-        m.group(7).toLong, parseLongs(m.group(8)), parseLongs(m.group(9))))
+        m.group(7).toLong, parseLongs(m.group(8)), parseLongs(m.group(9)),
+        Option(m.group(10)).map(unesc).getOrElse(""),
+        Option(m.group(11)).map(_.toLong).getOrElse(0L)))
         .toSeq,
       fieldNum(json, "delta_of").toInt,
       fieldStr(json, "key_col2"),
@@ -528,18 +540,65 @@ object TxnTable {
     sys.error(s"$opName gave up after $maxRetries conflicts on $root")
   }
 
-  /** Read an explicit file subset with a pinned schema; an empty
-    * subset yields the schema'd EMPTY frame rather than a zero-path
-    * scan error (a pruning probe may legitimately match no file). */
+  /** Read an explicit file subset with a pinned schema, each file's
+    * DELETION VECTOR applied (merge-on-read, see [[deleteMor]]): clean
+    * files stream through the plain vectorized scan; dv-carrying files
+    * anti-join their position sidecars on (file, row_index). The
+    * sidecar set holds only deleted positions — tiny by construction —
+    * and is BROADCAST, so applying a vector costs one in-memory hash
+    * probe per scanned row of the dv'd files, never a shuffle of the
+    * table. Files without vectors pay exactly the old code path. An
+    * empty subset yields the schema'd EMPTY frame rather than a
+    * zero-path scan error (a pruning probe may legitimately match no
+    * file). */
   private def readFiles(spark: SparkSession, root: String, schemaDdl: String,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-    if (files.isEmpty)
-      spark.createDataFrame(
+    val cols = schema.fieldNames.map(col).toIndexedSeq
+    def plain(fs: Seq[FileEntry]): DataFrame =
+      spark.read.schema(schema).parquet(fs.map(f => s"$root/${f.path}"): _*)
+    val (dvd, clean) = files.partition(_.dvRows > 0)
+    val cleanDf =
+      if (clean.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
+      else plain(clean)
+    if (dvd.isEmpty) return cleanDf
+    val rows = withFilePos(spark, root, schema, dvd)
+    val dv = dvd.map(f => readDvSidecar(spark, root, f))
+      .reduce(_ unionByName _)
+    rows.join(broadcast(dv), Seq("__fp", "__idx"), "left_anti")
+      .select(cols: _*)
+      .unionByName(cleanDf)
   }
+
+  /** The given files' rows tagged with their manifest-relative path
+    * (`__fp`) and per-file row ordinal (`__idx`) — the coordinates a
+    * deletion vector addresses. The relative path is extracted from
+    * `_metadata.file_path` by locating the table root; an unexpected
+    * path form fails LOUDLY (a silent extraction miss would resurrect
+    * deleted rows by failing the anti-join). */
+  private def withFilePos(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[FileEntry]): DataFrame = {
+    require(!root.contains("'"), s"table root must not contain quotes: $root")
+    val needle = s"$root/"
+    spark.read.schema(schema)
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+      .withColumn("__fpraw", col("_metadata.file_path"))
+      .withColumn("__idx", col("_metadata.row_index"))
+      .withColumn("__fp",
+        when(locate(needle, col("__fpraw")) > 0,
+          expr(s"substr(__fpraw, locate('$needle', __fpraw) + ${needle.length})"))
+          .otherwise(raise_error(concat(
+            lit("unexpected file_path form: "), col("__fpraw")))))
+      .drop("__fpraw")
+  }
+
+  /** One file's deletion vector as ((file, position)) rows. */
+  private def readDvSidecar(spark: SparkSession, root: String,
+      f: FileEntry): DataFrame =
+    spark.read.schema("idx BIGINT").parquet(s"$root/${f.dv}")
+      .select(lit(f.path).as("__fp"), col("idx").as("__idx"))
 
   /** Create version 0. `layoutDiv` is pinned from max(key)+1 (1-row
     * probe, the qaq convention) so the shard layout is range-like and
@@ -688,7 +747,8 @@ object TxnTable {
       val raw = readManifestRaw(root, v)
       val full = readManifest(root, v)
       (v.toLong, raw.op, raw.deltaOf.toLong, full.files.size.toLong,
-        full.files.map(_.nRows).sum, raw.txns.size.toLong)
+        // LIVE rows: physical minus deletion-vector positions
+        full.files.map(f => f.nRows - f.dvRows).sum, raw.txns.size.toLong)
     }.toDF("version", "op", "delta_of", "n_files", "n_rows", "n_txns")
   }
 
@@ -915,6 +975,117 @@ object TxnTable {
     (ver, rewritten, carriedN)
   }
 
+  /** Control-flow signal: a merge-on-read delete matched no live row —
+    * no version is minted (a no-op commit would bloat the log). */
+  private final class NothingToDelete(val version: Int)
+      extends RuntimeException
+
+  /** MERGE-ON-READ DELETE — deletion vectors (the Delta DV / Iceberg
+    * position-delete idea, built from scratch on this log): instead of
+    * rewriting every touched file ([[deleteRange]]'s copy-on-write),
+    * the commit writes a tiny POSITION SIDECAR per touched file
+    * listing the row ordinals the predicate killed, and tags the
+    * file's manifest entry with it ([[FileEntry.dv]]/`dvRows`). NO
+    * DATA FILE IS REWRITTEN — at 100 TB this is the difference between
+    * a 1-row delete costing a gigabyte file rewrite and costing a
+    * few-byte sidecar. Readers apply vectors transparently
+    * ([[readFiles]]): an anti-join on (file, row_index) against the
+    * broadcast sidecars, so every read path (readVersion, pruned
+    * reads, CDC, surgical DML's touched-file reads) sees live rows
+    * only. Vectors ACCUMULATE: a second delete anti-joins the existing
+    * positions first (only LIVE matches mint fresh positions) and each
+    * new sidecar is self-contained (old ∪ fresh for that file — no
+    * sidecar chains to resolve at read). Min/max stats stay sound for
+    * pruning (deletion only shrinks a file's true range); `nRows`
+    * stays physical with live = nRows - dvRows, which [[history]] and
+    * the no-op guard use. [[purgeDeletes]] (the OPTIMIZE gesture)
+    * folds vectors back into clean files. The per-file position counts
+    * collect on the driver bounded by the FILE count — manifest scale,
+    * the same bound the manifest itself lives under. Returns (version,
+    * filesTagged, rowsDeleted) — (head, 0, 0) when nothing matched. */
+  def deleteMor(spark: SparkSession, root: String, pred: String,
+      maxRetries: Int = 5): (Int, Int, Long) = {
+    var tagged = 0
+    var deleted = 0L
+    try {
+      val (ver, _) = retryCommit(root, "deleteMor", maxRetries) { v =>
+        val base = readManifest(root, v)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        val sub = f"data/dv-v${v + 1}%08d-$attempt"
+        val rows = withFilePos(spark, root, schema, base.files)
+        val oldDv = base.files.filter(_.dvRows > 0)
+          .map(f => readDvSidecar(spark, root, f))
+          .reduceOption(_ unionByName _)
+        val hits = rows.where(expr(pred)).select("__fp", "__idx")
+        // only LIVE matches mint fresh positions (idempotent re-delete)
+        val fresh = oldDv.fold(hits)(o =>
+          hits.join(broadcast(o), Seq("__fp", "__idx"), "left_anti"))
+        val freshPerFile = fresh.groupBy("__fp").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (freshPerFile.isEmpty) throw new NothingToDelete(v)
+        val touched = base.files.filter(f => freshPerFile.contains(f.path))
+        val fid = touched.map(_.path).sorted.zipWithIndex.toMap
+        import spark.implicits._
+        val fidDf = broadcast(fid.toSeq.toDF("__fp", "__fid"))
+        // each touched file's NEW sidecar = its old positions ∪ fresh
+        val oldTouched = touched.filter(_.dvRows > 0)
+          .map(f => readDvSidecar(spark, root, f))
+          .reduceOption(_ unionByName _)
+        val allPos = oldTouched.fold(fresh)(_ unionByName fresh)
+        allPos.join(fidDf, Seq("__fp"))
+          .select(col("__idx").as("idx"), col("__fid"))
+          .repartition(col("__fid"))
+          .write.partitionBy("__fid").parquet(s"$root/$sub")
+        val files2 = base.files.map { f =>
+          fid.get(f.path) match {
+            case Some(i) => f.copy(dv = s"$sub/__fid=$i",
+              dvRows = f.dvRows + freshPerFile(f.path))
+            case None => f
+          }
+        }
+        tagged = touched.size
+        deleted = freshPerFile.values.sum
+        (base.copy(version = v + 1, op = "delete_mor", files = files2,
+          deltaOf = -1), sub)
+      }
+      (ver, tagged, deleted)
+    } catch {
+      case none: NothingToDelete => (none.version, 0, 0L)
+    }
+  }
+
+  /** PURGE deletion vectors (the `OPTIMIZE` gesture on a merge-on-read
+    * table): rewrite ONLY the dv-carrying files with their vectors
+    * applied; clean files carry by path — so the rewrite cost is
+    * proportional to the deleted-from region, not the table, and the
+    * resulting snapshot is pure copy-on-write again (eligible for the
+    * SQL connector, whose scans read raw parquet). History intact:
+    * pre-purge versions still read their files + vectors. Returns
+    * (version, filesPurged, filesCarried). */
+  def purgeDeletes(spark: SparkSession, root: String, maxRetries: Int = 5)
+      : (Int, Int, Int) = {
+    val head = readManifest(root, latestVersion(root))
+    if (head.files.forall(_.dvRows == 0))
+      return (head.version, 0, head.files.size)
+    var purged = 0
+    var carriedN = 0
+    val (ver, _) = retryCommit(root, "purgeDeletes", maxRetries) { v =>
+      val base = readManifest(root, v)
+      val (dvd, clean) = base.files.partition(_.dvRows > 0)
+      val live = readFiles(spark, root, base.schemaDdl, dvd) // vectors applied
+      val (adds, sub) = writeSnapshot(spark, root, v + 1, "purge_deletes",
+        live, base.keyCol, base.shards, base.layoutDiv,
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
+        statsCols = base.statsCols)
+      purged = dvd.size
+      carriedN = clean.size
+      (adds.copy(schemaDdl = base.schemaDdl, files = clean ++ adds.files,
+        deltaOf = -1, txns = base.txns), sub)
+    }
+    (ver, purged, carriedN)
+  }
+
   /** SURGICAL MERGE (upsert) of a key-clustered source batch — the
     * backfill shape: only the files whose stats overlap the source's
     * key range are rewritten; in them, matched keys take the source
@@ -1029,9 +1200,12 @@ object TxnTable {
     * query passes 0 against a writer it knows is dead. Returns the
     * removed dir count. */
   def vacuum(root: String, minAgeMs: Long = 3600000L): Int = {
-    val referenced = versions(root).flatMap(v =>
-      readManifest(root, v).files.map(_.path.split('/').take(2).mkString("/")))
-      .toSet
+    val referenced = versions(root).flatMap { v =>
+      val fs = readManifest(root, v).files
+      fs.map(_.path.split('/').take(2).mkString("/")) ++
+        // deletion-vector sidecar dirs are live references too
+        fs.filter(_.dv.nonEmpty).map(_.dv.split('/').take(2).mkString("/"))
+    }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = new java.io.File(s"$root/data")
     val orphans = Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -2593,6 +2767,110 @@ object TxnTable {
            CAST(total.n AS BIGINT) AS n_files_total,
            kept.n < total.n AS pruned_strictly
     FROM hits, kept, total"""
+
+  // ------------------------------------------------------------------
+  // qe1: DELETION VECTORS — merge-on-read delete, zero files rewritten
+  // ------------------------------------------------------------------
+
+  /** qe1: the MERGE-ON-READ delete lifecycle graded end-to-end on the
+    * documents table. Two [[deleteMor]] commits — a key band, then a
+    * non-key predicate over the SURVIVORS (vector accumulation: only
+    * live rows mint fresh positions) — tag files with position
+    * sidecars while `paths_unchanged` asserts from the real manifests
+    * that NO data file was rewritten by either delete (the whole point
+    * at 100 TB: a narrow delete costs bytes, not file rewrites). Reads
+    * apply vectors transparently: the head aggregates, the v1
+    * time-travel count (band applied, non-key delete NOT — vectors are
+    * versioned like everything else), and v0 (nothing applied) all
+    * ride the graded row. `hist_live_rows` grades the manifest ledger
+    * arithmetic (nRows - dvRows) against the oracle's replay of the
+    * actual survivors. [[purgeDeletes]] then folds vectors into clean
+    * files — rewriting ONLY the `dv_files` tagged files, carrying the
+    * rest by path — and a re-issued band delete after the purge is a
+    * proven NO-OP (no version minted). Every count and checksum
+    * replays from documents + the qcv shard arithmetic. */
+  def txnDeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_dv")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val m0 = create(spark, root, docs, "k", 16)
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    val (lo, hi) = (mx / 3, mx / 3 + mx / 20)
+    val v0Paths = m0.files.map(_.path).toSet
+    val (v1, tagged1, del1) = deleteMor(spark, root, s"k BETWEEN $lo AND $hi")
+    val (v2, tagged2, del2) = deleteMor(spark, root, "c % 7 = 3")
+    val m2 = readManifest(root, v2)
+    val pathsUnchanged = v1 == 1 && v2 == 2 &&
+      m2.files.map(_.path).toSet == v0Paths
+    val dvFiles = m2.files.count(_.dvRows > 0).toLong
+    val dvRowsTotal = m2.files.map(_.dvRows).sum
+    // the manifest ledger's live-row arithmetic for the head version
+    val histLive = history(spark, root)
+      .where(col("version") === v2.toLong).head().getLong(4)
+    val (v3, purged, carried) = purgeDeletes(spark, root)
+    val purgedClean = readManifest(root, v3).files.forall(_.dvRows == 0)
+    // everything in the band is already gone: a re-delete must be a
+    // no-op that mints NO version
+    val (v4, t4, d4) = deleteMor(spark, root, s"k BETWEEN $lo AND $hi")
+    val noopNoCommit = v4 == v3 && t4 == 0 && d4 == 0L
+    readVersion(spark, root, v3)
+      .agg(count(lit(1)).as("n_rows_head"), sum("c").as("chars_sum_head"))
+      .crossJoin(broadcast(readVersion(spark, root, 0)
+        .agg(sum("c").as("chars_sum_v0"))))
+      .crossJoin(broadcast(readVersion(spark, root, 1)
+        .agg(count(lit(1)).as("n_rows_v1"))))
+      .withColumn("files_tagged_d1", lit(tagged1.toLong))
+      .withColumn("rows_deleted_d1", lit(del1))
+      .withColumn("files_tagged_d2", lit(tagged2.toLong))
+      .withColumn("rows_deleted_d2", lit(del2))
+      .withColumn("dv_files", lit(dvFiles))
+      .withColumn("dv_rows_total", lit(dvRowsTotal))
+      .withColumn("hist_live_rows", lit(histLive))
+      .withColumn("paths_unchanged", lit(pathsUnchanged))
+      .withColumn("n_purged", lit(purged.toLong))
+      .withColumn("n_carried", lit(carried.toLong))
+      .withColumn("purged_clean", lit(purgedClean))
+      .withColumn("noop_no_commit", lit(noopNoCommit))
+      .withColumn("n_versions", lit(v3 + 1L))
+  }
+
+  /** The two delete sets, their shard (=file) covers, and the survivor
+    * aggregates, replayed from documents with the qcv shard grid. */
+  val txnDeleteVectorsOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 3 AS lo, mx // 3 + mx // 20 AS hi FROM m),
+    s AS (
+      SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c,
+             doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    d1 AS (SELECT s.* FROM s, probe WHERE k BETWEEN lo AND hi),
+    d2 AS (SELECT s.* FROM s, probe
+           WHERE k NOT BETWEEN lo AND hi AND c % 7 = 3),
+    live AS (SELECT s.* FROM s, probe
+             WHERE k NOT BETWEEN lo AND hi AND c % 7 <> 3),
+    ft AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n FROM s),
+    f1 AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n FROM d1),
+    f2 AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n FROM d2),
+    fd AS (SELECT CAST(count(DISTINCT shard) AS BIGINT) AS n
+           FROM (SELECT shard FROM d1 UNION ALL SELECT shard FROM d2)),
+    c1 AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d1),
+    c2 AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d2),
+    agg AS (SELECT CAST(count(1) AS BIGINT) AS n_rows_head,
+                   CAST(sum(c) AS BIGINT) AS chars_sum_head FROM live),
+    v0 AS (SELECT CAST(sum(c) AS BIGINT) AS chars_sum_v0 FROM s),
+    v1r AS (SELECT CAST(count(1) AS BIGINT) AS n_rows_v1
+            FROM s, probe WHERE k NOT BETWEEN lo AND hi)
+    SELECT agg.n_rows_head, agg.chars_sum_head, v0.chars_sum_v0,
+           v1r.n_rows_v1,
+           f1.n AS files_tagged_d1, c1.n AS rows_deleted_d1,
+           f2.n AS files_tagged_d2, c2.n AS rows_deleted_d2,
+           fd.n AS dv_files, c1.n + c2.n AS dv_rows_total,
+           agg.n_rows_head AS hist_live_rows,
+           true AS paths_unchanged,
+           fd.n AS n_purged, ft.n - fd.n AS n_carried,
+           true AS purged_clean, true AS noop_no_commit,
+           CAST(4 AS BIGINT) AS n_versions
+    FROM agg, v0, v1r, ft, f1, f2, fd, c1, c2"""
 
   /** Lehmer closed form per bucket + the protocol constants: 5
     * versions (create + 4 appends), exactly 1 replayed-and-skipped

@@ -448,7 +448,8 @@ class TxnTableSpec extends SparkSpec {
       val s = nasty.pureApply(Gen.Parameters.default, Seed(i.toLong))
       val m = TxnTable.Manifest(3, s"op_$s", "k", s"k BIGINT,c_$s STRING", 8,
         100L, Seq(TxnTable.FileEntry(s"data/v3-ab/p.parquet", 10L, 1L, 9L,
-          -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L))),
+          -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L),
+          dv = s"data/dv-v4-cd/__fid=0_$s", dvRows = 3L)),
         deltaOf = 2, keyCol2 = s, commitMs = 17L, checkExpr = s,
         statsCols = Seq("t", s), txns = Seq("app" -> 4L, s -> 9L))
       val back = TxnTable.parse(TxnTable.toJson(m))
