@@ -975,6 +975,29 @@ object TxnTable {
     (ver, rewritten, carriedN)
   }
 
+  /** RESTORE (rollback): re-point the table at an EARLIER committed
+    * snapshot AS A NEW COMMIT — the Delta `RESTORE TABLE ... TO
+    * VERSION AS OF` gesture. Zero data movement: the new manifest
+    * carries the target version's files, schema, constraint and layout
+    * verbatim (deletion vectors included — a restore to a merge-on-read
+    * snapshot restores its vectors too); only the ledger (`txns`) stays
+    * at HEAD, because writer idempotence is about what each writer has
+    * delivered, not what the table currently shows — rolling the
+    * ledger back would let a replayed microbatch double-land after a
+    * restore. History stays append-only: the mistaken commits remain
+    * readable, the restore is itself an auditable commit, and vacuum
+    * keeps every referenced file alive. O(1) metadata; loses a commit
+    * race like any writer. Returns (newVersion, conflicts). */
+  def restore(spark: SparkSession, root: String, toVersion: Int,
+      maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "restore", maxRetries) { v =>
+      require(toVersion <= v, s"cannot restore $root to future v$toVersion")
+      val target = readManifest(root, toVersion)
+      val head = readManifestRaw(root, v)
+      (target.copy(version = v + 1, op = s"restore_v$toVersion",
+        deltaOf = -1, txns = head.txns), "data/__no_attempt__")
+    }
+
   /** Control-flow signal: a merge-on-read delete matched no live row —
     * no version is minted (a no-op commit would bloat the log). */
   private final class NothingToDelete(val version: Int)
@@ -2871,6 +2894,79 @@ object TxnTable {
            true AS purged_clean, true AS noop_no_commit,
            CAST(4 AS BIGINT) AS n_versions
     FROM agg, v0, v1r, ft, f1, f2, fd, c1, c2"""
+
+  // ------------------------------------------------------------------
+  // qe2: RESTORE — rollback as an O(1) append-only commit
+  // ------------------------------------------------------------------
+
+  /** qe2: the RESTORE lifecycle graded end-to-end. A staged mistake —
+    * a band delete (v1) then a txn-ledgered append (v2) — is rolled
+    * back by [[restore]] to v0 as commit v3: the head reads v0's rows
+    * bit-exactly (count + cents checksum replayed from orders),
+    * `restore_metadata_only` asserts from the real manifests that v3
+    * carries EXACTLY v0's files (zero data movement), and the
+    * "mistake" history v1/v2 stays readable (their counts ride the
+    * row — append-only history, never erasure). The ledger survives
+    * the rollback BY DESIGN: re-delivering v2's (appId, txnVersion)
+    * after the restore must SKIP with no version minted
+    * (`replay_skipped_after_restore` — a rolled-back ledger would let
+    * the lost-ack crash window double-land a batch that was
+    * deliberately rolled back). A fresh append then composes on the
+    * restored table (v4), proving the rollback is a normal point in
+    * the log, not a terminal state. */
+  def txnRestore(spark: SparkSession, dir: String): DataFrame = {
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_restore", 16)
+    val mx = base.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 16)
+    deleteRange(spark, root, lo, hi) // v1: the "mistake"
+    val ins = base.where(col("k") % 101 === 0)
+      .select((-col("k") - 1).as("k"), (col("cents") + 3).as("cents"))
+    val (v2, _, applied2) = appendTxn(spark, root, ins, "restorer", 1L)
+    require(v2 == 2 && applied2, s"staging drift: append landed v$v2")
+    val nV1 = readVersion(spark, root, 1).count()
+    val nV2 = readVersion(spark, root, 2).count()
+    val (v3, _) = restore(spark, root, 0)
+    val metadataOnly = readManifest(root, v3).files.map(_.path) ==
+      readManifest(root, 0).files.map(_.path)
+    // the lost-ack replay of the ROLLED-BACK txn must still dedup
+    val (vDup, _, appliedDup) = appendTxn(spark, root, ins, "restorer", 1L)
+    val replaySkipped = !appliedDup && vDup == v3 && latestVersion(root) == v3
+    append(spark, root, ins, "post_restore") // v4: life goes on
+    readVersion(spark, root, latestVersion(root))
+      .agg(count(lit(1)).as("n_rows_final"), sum("cents").as("sum_cents_final"))
+      .crossJoin(broadcast(readVersion(spark, root, v3)
+        .agg(count(lit(1)).as("n_rows_restored"),
+          sum("cents").as("sum_cents_restored"))))
+      .withColumn("n_rows_v1", lit(nV1))
+      .withColumn("n_rows_v2", lit(nV2))
+      .withColumn("restore_metadata_only", lit(metadataOnly))
+      .withColumn("replay_skipped_after_restore", lit(replaySkipped))
+      .withColumn("n_versions", lit(latestVersion(root) + 1L))
+  }
+
+  /** The band/insert arithmetic over orders, plus the protocol
+    * constants (5 versions; booleans all true). */
+  val txnRestoreOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT max(k) AS mx FROM b),
+    probe AS (SELECT mx // 4 AS lo, mx // 4 + mx // 16 AS hi FROM m),
+    ins AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(cents + 3) AS BIGINT) AS s
+            FROM b WHERE k % 101 = 0),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s FROM b),
+    v1 AS (SELECT CAST(count(1) AS BIGINT) AS n
+           FROM b, probe WHERE k NOT BETWEEN lo AND hi)
+    SELECT tot.n + ins.n AS n_rows_final, tot.s + ins.s AS sum_cents_final,
+           tot.n AS n_rows_restored, tot.s AS sum_cents_restored,
+           v1.n AS n_rows_v1, v1.n + ins.n AS n_rows_v2,
+           true AS restore_metadata_only,
+           true AS replay_skipped_after_restore,
+           CAST(5 AS BIGINT) AS n_versions
+    FROM tot, ins, v1"""
 
   /** Lehmer closed form per bucket + the protocol constants: 5
     * versions (create + 4 appends), exactly 1 replayed-and-skipped

@@ -457,6 +457,32 @@ class TxnTableSpec extends SparkSpec {
     }
   }
 
+  test("restore re-points the head at an old snapshot without data movement") {
+    val (r, df) = mkTable("restore")
+    // 0..399: shard 3 (375..499) keeps survivors, so the rewrite
+    // lands a real file (an all-deleted rewrite leaves an empty
+    // attempt dir that vacuum correctly reclaims as debris)
+    TxnTable.deleteRange(spark, r, 0L, 399L) // v1: the mistake
+    TxnTable.transact(spark, r, "bump", _.withColumn("v", col("v") + 1L)) // v2
+    val (v3, _) = TxnTable.restore(spark, r, 0)
+    assert(v3 == 3)
+    assert(TxnTable.readManifest(r, 3).files.map(_.path) ==
+      TxnTable.readManifest(r, 0).files.map(_.path), "restore must be metadata-only")
+    val head = TxnTable.readVersion(spark, r, 3)
+    assert(head.exceptAll(df).count() == 0 && df.exceptAll(head).count() == 0)
+    // the mistake history stays readable
+    assert(TxnTable.readVersion(spark, r, 1).count() == 600)
+    // a restore TO a merge-on-read snapshot restores its vectors
+    TxnTable.deleteMor(spark, r, "k < 100") // v4
+    TxnTable.purgeDeletes(spark, r)         // v5: clean again
+    val (v6, _) = TxnTable.restore(spark, r, 4)
+    assert(TxnTable.readManifest(r, v6).files.exists(_.dvRows > 0))
+    assert(TxnTable.readVersion(spark, r, v6).count() == 900)
+    // vacuum keeps everything the restored head references
+    assert(TxnTable.vacuum(r, minAgeMs = 0L) == 0)
+    assert(TxnTable.readVersion(spark, r, v6).count() == 900)
+  }
+
   test("a probe that prunes every file yields the schema'd empty frame") {
     val (r, _) = mkTable("emptyprobe", n = 1000, shards = 8)
     val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 5000L, 6000L)
