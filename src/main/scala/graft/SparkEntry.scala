@@ -417,6 +417,7 @@ object SparkEntry {
     "qe0_sql_spj_agg"       -> (graft.sources.TxnSpj.sqlSpjAgg _),
     "qe1_txn_delete_vectors" -> (graft.sources.TxnTable.txnDeleteVectors _),
     "qe2_txn_restore"       -> (graft.sources.TxnTable.txnRestore _),
+    "qe3_sql_column_mapping" -> (graft.sources.GraftTxnCatalog.sqlColumnMapping _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1093,6 +1094,7 @@ object SparkEntry {
     "qe0_sql_spj_agg"        -> graft.sources.TxnSpj.sqlSpjAggOracle,
     "qe1_txn_delete_vectors" -> graft.sources.TxnTable.txnDeleteVectorsOracle,
     "qe2_txn_restore"        -> graft.sources.TxnTable.txnRestoreOracle,
+    "qe3_sql_column_mapping" -> graft.sources.GraftTxnCatalog.sqlColumnMappingOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -121,11 +121,25 @@ object TxnTable {
     * parse ([[esc]]/[[unesc]]) — a checkExpr or schema DDL containing
     * a double quote round-trips exactly instead of silently truncating
     * (the round-9 prose constraint, now enforced by the codec). */
+  /** `renames` is the COLUMN MAPPING (the Delta column-mapping idea):
+    * (physical → logical) name pairs for columns renamed after their
+    * files were written. `schemaDdl` stays the PHYSICAL schema (what
+    * the parquet files carry — the file-read contract never changes);
+    * presentation aliases to logical names at the read seam and writes
+    * translate back ([[toPhysical]]/[[toLogical]]). Structural columns
+    * (key, second clustering column, stats columns, CHECK-referenced)
+    * refuse renames — their names are load-bearing in the manifest.
+    * `dropped` tombstones physical names removed by [[dropColumn]]:
+    * old files still carry the bytes, so re-adding the name would
+    * resurrect stale values — [[addColumn]] refuses tombstoned names.
+    * A full-rewrite commit (transact/optimize) writes logical names
+    * physically and so NORMALIZES the mapping away. */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
       deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L,
       checkExpr: String = "", statsCols: Seq[String] = Nil,
-      txns: Seq[(String, Long)] = Nil)
+      txns: Seq[(String, Long)] = Nil,
+      renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil)
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -181,6 +195,9 @@ object TxnTable {
       s""""delta_of":${m.deltaOf},"commit_ms":${m.commitMs},""" +
       s""""check":"${esc(m.checkExpr)}",""" +
       s""""stats_cols":[${m.statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      s""""renames":[${m.renames.map(r =>
+        s"""{"p":"${esc(r._1)}","l":"${esc(r._2)}"}""").mkString(",")}],""" +
+      s""""dropped":[${m.dropped.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""txns":[${m.txns.map(txnJson).mkString(",")}],""" +
       s""""files":$fs}"""
   }
@@ -201,18 +218,37 @@ object TxnTable {
   private def parseLongs(s: String): Seq[Long] =
     if (s.isEmpty) Nil else s.split(',').toSeq.map(_.toLong)
 
+  private val RenRe = (s"""\\{"p":"$Str","l":"$Str"\\}""").r
+
   private[graft] def parse(json: String): Manifest = {
     // sections parse within their own spans so an escaped quote inside
     // a checkExpr can never bleed a files-array entry into a txn entry
     val txnSpan = json.substring(json.indexOf(""""txns":["""),
       json.indexOf(""","files":["""))
     val fileSpan = json.substring(json.indexOf(""","files":["""))
-    val statsSpan = json.substring(json.indexOf(""""stats_cols":["""),
-      json.indexOf(""""txns":["""))
+    // renames/dropped are optional (absent in pre-mapping manifests)
+    val hasMapping = json.contains(""""renames":[""")
+    val statsEnd =
+      if (hasMapping) json.indexOf(""""renames":[""")
+      else json.indexOf(""""txns":[""")
+    val statsSpan = json.substring(json.indexOf(""""stats_cols":["""), statsEnd)
     val statsBody = statsSpan.substring(statsSpan.indexOf('[') + 1,
       statsSpan.lastIndexOf(']'))
     val statsCols = (s""""$Str"""").r.findAllMatchIn(statsBody)
       .map(m => unesc(m.group(1))).toSeq
+    val renames =
+      if (!hasMapping) Nil
+      else RenRe.findAllMatchIn(json.substring(
+          json.indexOf(""""renames":["""), json.indexOf(""""dropped":[""")))
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toSeq
+    val dropped =
+      if (!hasMapping) Nil
+      else {
+        val span = json.substring(json.indexOf(""""dropped":["""),
+          json.indexOf(""""txns":["""))
+        val body = span.substring(span.indexOf('[') + 1, span.lastIndexOf(']'))
+        (s""""$Str"""").r.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
+      }
     Manifest(
       fieldNum(json, "version").toInt, fieldStr(json, "op"),
       fieldStr(json, "key_col"), fieldStr(json, "schema"),
@@ -230,7 +266,8 @@ object TxnTable {
       fieldStr(json, "check"),
       statsCols,
       TxnRe.findAllMatchIn(txnSpan)
-        .map(m => unesc(m.group(1)) -> m.group(2).toLong).toSeq)
+        .map(m => unesc(m.group(1)) -> m.group(2).toLong).toSeq,
+      renames, dropped)
   }
 
   /** Versions whose manifests exist in the log, ascending — contiguous
@@ -486,6 +523,14 @@ object TxnTable {
     retryCommit(root, "setCheck", maxRetries) { v =>
       val base = readManifest(root, v)
       if (checkExpr.nonEmpty) {
+        // CHECK binds to PHYSICAL names at write time; a constraint
+        // over a MAPPED column is ambiguous — refuse until a rewrite
+        // normalizes the mapping (renameColumn refuses the converse)
+        base.renames.foreach { case (p, l) =>
+          require(!mentionsCol(checkExpr, p) && !mentionsCol(checkExpr, l),
+            s"CHECK references renamed column $p→$l; rewrite the table " +
+              "(optimize) to normalize the mapping first")
+        }
         val bad = readVersion(spark, root, v)
           .where(!coalesce(expr(checkExpr), lit(true))).count()
         require(bad == 0,
@@ -510,12 +555,89 @@ object TxnTable {
     retryCommit(root, "addColumn", maxRetries) { v =>
       val base = readManifest(root, v)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
-      require(!schema.fieldNames.contains(name),
+      require(!schema.fieldNames.contains(name) &&
+        !base.renames.exists(_._2 == name),
         s"column $name already exists in $root")
+      // a tombstoned name would resurrect the dropped column's bytes
+      // still present in old files ([[dropColumn]] is metadata-only)
+      require(!base.dropped.contains(name),
+        s"column name $name was dropped and its bytes survive in old " +
+          "files; rewrite the table (optimize) before reusing the name")
       val widened = schema.add(name,
         org.apache.spark.sql.types.DataType.fromDDL(sqlType), nullable = true)
       (base.copy(version = v + 1, op = s"add_column_$name",
         schemaDdl = widened.toDDL, deltaOf = -1), "data/__no_attempt__")
+    }
+
+  /** Does `sqlExpr` mention `name` as a word? Textual and conservative
+    * by design — a false positive refuses loudly, never corrupts. */
+  private def mentionsCol(sqlExpr: String, name: String): Boolean =
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      .findFirstIn(sqlExpr).isDefined
+
+  /** RENAME COLUMN as a METADATA-ONLY commit — the Delta column-mapping
+    * gesture: files keep their physical column name, the manifest's
+    * mapping presents the new LOGICAL name, reads alias on the way out
+    * and writes translate on the way in. O(1) metadata over any table
+    * size; per-version semantics (time travel before the rename shows
+    * the old name). STRUCTURAL columns refuse: the key, the second
+    * clustering column, stats columns and CHECK-referenced columns
+    * have load-bearing names in the manifest; a full rewrite
+    * (optimize/transact) normalizes the mapping away, after which they
+    * could be renamed under their new physical identity. */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+      newName: String, maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "renameColumn", maxRetries) { v =>
+      val base = readManifest(root, v)
+      val p2l = base.renames.toMap
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      val phys = schema.fieldNames
+        .find(p => p2l.getOrElse(p, p) == oldName)
+        .getOrElse(sys.error(s"no column $oldName in $root"))
+      require(phys != base.keyCol && phys != base.keyCol2 &&
+        !base.statsCols.contains(phys),
+        s"cannot rename structural column $oldName (layout key / " +
+          "clustering / stats names are load-bearing in the manifest)")
+      require(base.checkExpr.isEmpty || !mentionsCol(base.checkExpr, phys),
+        s"cannot rename $oldName: the CHECK constraint references it")
+      val taken = schema.fieldNames.toSet ++ base.renames.map(_._2) ++
+        base.dropped
+      require(!taken.contains(newName),
+        s"column name $newName collides with an existing, mapped, or " +
+          s"dropped name in $root")
+      val renames2 = (base.renames.filterNot(_._1 == phys) :+
+        (phys -> newName)).filterNot(r => r._1 == r._2).sortBy(_._1)
+      (base.copy(version = v + 1, op = s"rename_${oldName}_to_$newName",
+        renames = renames2, deltaOf = -1), "data/__no_attempt__")
+    }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the pinned DDL narrows, the
+    * files keep the bytes (the parquet reader projects them away), and
+    * the physical name is TOMBSTONED so [[addColumn]] cannot resurrect
+    * the stale values. Time travel before the drop still reads the
+    * column. Structural columns refuse as in [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "dropColumn", maxRetries) { v =>
+      val base = readManifest(root, v)
+      val p2l = base.renames.toMap
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+      val phys = schema.fieldNames
+        .find(p => p2l.getOrElse(p, p) == name)
+        .getOrElse(sys.error(s"no column $name in $root"))
+      require(phys != base.keyCol && phys != base.keyCol2 &&
+        !base.statsCols.contains(phys),
+        s"cannot drop structural column $name (layout key / clustering " +
+          "/ stats)")
+      require(base.checkExpr.isEmpty || !mentionsCol(base.checkExpr, phys),
+        s"cannot drop $name: the CHECK constraint references it")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == phys))
+      (base.copy(version = v + 1, op = s"drop_column_$name",
+        schemaDdl = narrowed.toDDL,
+        renames = base.renames.filterNot(_._1 == phys),
+        dropped = (base.dropped :+ phys).distinct.sorted,
+        deltaOf = -1), "data/__no_attempt__")
     }
 
   /** Shared optimistic-concurrency skeleton for every post-create
@@ -600,6 +722,37 @@ object TxnTable {
     spark.read.schema("idx BIGINT").parquet(s"$root/${f.dv}")
       .select(lit(f.path).as("__fp"), col("idx").as("__idx"))
 
+  /** Present a physical-schema frame under the manifest's LOGICAL
+    * column names (no-op without a column mapping). Extra columns
+    * (`__fp`-style tags) pass through untouched. */
+  private[sources] def toLogical(m: Manifest, df: DataFrame): DataFrame =
+    if (m.renames.isEmpty) df
+    else {
+      val p2l = m.renames.toMap
+      df.select(df.columns.map(c =>
+        col(c).as(p2l.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
+  /** Translate an incoming logical-named frame back to the PHYSICAL
+    * names the table's files carry (no-op without a mapping). */
+  private[sources] def toPhysical(m: Manifest, df: DataFrame): DataFrame =
+    if (m.renames.isEmpty) df
+    else {
+      val l2p = m.renames.map(_.swap).toMap
+      df.select(df.columns.map(c =>
+        col(c).as(l2p.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
+  /** The manifest's user-facing schema: physical DDL with the column
+    * mapping applied to field names. */
+  private[sources] def logicalSchema(m: Manifest)
+      : org.apache.spark.sql.types.StructType = {
+    val p2l = m.renames.toMap
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl).fields
+        .map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+  }
+
   /** Create version 0. `layoutDiv` is pinned from max(key)+1 (1-row
     * probe, the qaq convention) so the shard layout is range-like and
     * the manifest stats are selective for [[prunedRead]]. */
@@ -661,7 +814,8 @@ object TxnTable {
     val m = readManifest(root, version)
     val keep = m.files.filter(f => !(hi < f.minK || lo > f.maxK) &&
       !(hi2 < f.minK2 || lo2 > f.maxK2))
-    (readFiles(spark, root, m.schemaDdl, keep), keep.size, m.files.size)
+    (toLogical(m, readFiles(spark, root, m.schemaDdl, keep)),
+      keep.size, m.files.size)
   }
 
   /** `VERSION AS OF` read: exactly the manifest's file list, with the
@@ -670,7 +824,7 @@ object TxnTable {
     * never surfaces in the logical table. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val m = readManifest(root, version)
-    readFiles(spark, root, m.schemaDdl, m.files)
+    toLogical(m, readFiles(spark, root, m.schemaDdl, m.files))
   }
 
   /** Create version 0 of an EMPTY table with an explicitly pinned
@@ -807,13 +961,15 @@ object TxnTable {
         if (base.txns.exists(t => t._1 == a && t._2 >= tv))
           throw new TxnAlreadyCommitted(v)
       }
+      // batches arrive under LOGICAL names; files carry physical ones
+      val phys = toPhysical(base, df)
       // align to the table's pinned column order. A column the TABLE
       // has but the batch lacks null-fills if nullable (a producer
       // lagging a schema widen — the qd2 reality — must keep flowing);
       // a batch column the table lacks, or a missing NOT NULL column,
       // still fails loudly rather than as a torn parquet union.
       val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
-      val have = df.columns.toSet
+      val have = phys.columns.toSet
       val unknown = have -- schema.fieldNames
       require(unknown.isEmpty,
         s"batch carries columns the table schema lacks: ${unknown.mkString(",")}" +
@@ -827,12 +983,12 @@ object TxnTable {
         s"batch missing the table key column ${base.keyCol}")
       require(base.keyCol2.isEmpty || have(base.keyCol2),
         s"batch missing the table's second clustering column ${base.keyCol2}")
-      val batch = df.select(schema.fields.map { f =>
+      val batch = phys.select(schema.fields.map { f =>
         if (have(f.name)) {
           // exact type, or a provably lossless widen (INT batch into a
           // BIGINT table — the Delta upcast rule); anything else fails
           // at commit time, not as a torn parquet union at read time
-          val actual = df.schema(f.name).dataType
+          val actual = phys.schema(f.name).dataType
           if (actual == f.dataType) col(f.name)
           else {
             require(org.apache.spark.sql.catalyst.expressions.Cast
@@ -856,8 +1012,10 @@ object TxnTable {
       val m =
         if ((v + 1) % checkpointEvery == 0)
           adds.copy(schemaDdl = base.schemaDdl,
-            files = base.files ++ adds.files, deltaOf = -1, txns = ledger)
-        else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v, txns = ledger)
+            files = base.files ++ adds.files, deltaOf = -1, txns = ledger,
+            renames = base.renames, dropped = base.dropped)
+        else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v, txns = ledger,
+          renames = base.renames, dropped = base.dropped)
       (m, sub)
     }
 
@@ -970,7 +1128,8 @@ object TxnTable {
         statsCols = base.statsCols)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1, txns = base.txns), sub)
+        files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
+        renames = base.renames, dropped = base.dropped), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -1036,7 +1195,9 @@ object TxnTable {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
         val attempt = java.util.UUID.randomUUID().toString.take(8)
         val sub = f"data/dv-v${v + 1}%08d-$attempt"
-        val rows = withFilePos(spark, root, schema, base.files)
+        // the predicate is written against LOGICAL names; the __fp/__idx
+        // tags pass through the aliasing untouched
+        val rows = toLogical(base, withFilePos(spark, root, schema, base.files))
         val oldDv = base.files.filter(_.dvRows > 0)
           .map(f => readDvSidecar(spark, root, f))
           .reduceOption(_ unionByName _)
@@ -1104,7 +1265,8 @@ object TxnTable {
       purged = dvd.size
       carriedN = clean.size
       (adds.copy(schemaDdl = base.schemaDdl, files = clean ++ adds.files,
-        deltaOf = -1, txns = base.txns), sub)
+        deltaOf = -1, txns = base.txns,
+        renames = base.renames, dropped = base.dropped), sub)
     }
     (ver, purged, carriedN)
   }
@@ -1122,8 +1284,9 @@ object TxnTable {
     // the source's key span is retry-invariant: probe it once (and an
     // empty source is an upsert of nothing — a no-op, not a crash)
     val head = readManifest(root, latestVersion(root))
-    val src = source.select(org.apache.spark.sql.types.StructType
-      .fromDDL(head.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
+    val src = toPhysical(head, source)
+      .select(org.apache.spark.sql.types.StructType
+        .fromDDL(head.schemaDdl).fieldNames.map(col).toIndexedSeq: _*)
     val b = src.agg(min(col(head.keyCol)), max(col(head.keyCol))).head()
     if (b.isNullAt(0)) return (head.version, 0, head.files.size)
     val (sLo, sHi) = (b.getLong(0), b.getLong(1)) // 1-row probe (qaq)
@@ -1146,7 +1309,8 @@ object TxnTable {
         statsCols = base.statsCols)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1, txns = base.txns), sub)
+        files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
+        renames = base.renames, dropped = base.dropped), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -1166,8 +1330,8 @@ object TxnTable {
     val before =
       if (vFrom < 0) Set.empty[String]
       else readManifest(root, vFrom).files.map(_.path).toSet
-    readFiles(spark, root, to.schemaDdl,
-      to.files.filterNot(f => before.contains(f.path)))
+    toLogical(to, readFiles(spark, root, to.schemaDdl,
+      to.files.filterNot(f => before.contains(f.path))))
   }
 
   /** RETENTION: drop every version below `keepFrom`. The boundary
@@ -1459,7 +1623,8 @@ object TxnTable {
     val keep = m.files.filter(f => !(hi < f.minK || lo > f.maxK))
     // through readFiles (round-9 advice fix): a probe range that prunes
     // EVERY file yields the schema'd empty frame, not a zero-path error
-    (readFiles(spark, root, m.schemaDdl, keep), keep.size, m.files.size)
+    (toLogical(m, readFiles(spark, root, m.schemaDdl, keep)),
+      keep.size, m.files.size)
   }
 
   /** Manifest-pruned read on ANY stats-carrying column: the table's
@@ -1487,7 +1652,8 @@ object TxnTable {
     val keep = m.files.filter { f =>
       val (mn, mx) = range(f); !(hi < mn || lo > mx)
     }
-    (readFiles(spark, root, m.schemaDdl, keep), keep.size, m.files.size)
+    (toLogical(m, readFiles(spark, root, m.schemaDdl, keep)),
+      keep.size, m.files.size)
   }
 
   /** qcv: the pruned read graded end-to-end over the documents table.

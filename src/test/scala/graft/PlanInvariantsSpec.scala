@@ -31,6 +31,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "qdx_sql_truncate" -> "crossJoin(broadcast(1-row VERSION-AS-OF-2 sum aggregate)) next to the head aggregate",
     "qe1_txn_delete_vectors" -> "crossJoin(broadcast(1-row v0/v1 aggregates)) next to the head aggregate",
     "qe2_txn_restore" -> "crossJoin(broadcast(1-row restored-version aggregate)) next to the head aggregate",
+    "qe3_sql_column_mapping" -> "crossJoin(broadcast(1-row VERSION-AS-OF sum aggregates)) next to the head aggregate",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",

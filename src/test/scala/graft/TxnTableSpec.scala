@@ -451,7 +451,9 @@ class TxnTableSpec extends SparkSpec {
           -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L),
           dv = s"data/dv-v4-cd/__fid=0_$s", dvRows = 3L)),
         deltaOf = 2, keyCol2 = s, commitMs = 17L, checkExpr = s,
-        statsCols = Seq("t", s), txns = Seq("app" -> 4L, s -> 9L))
+        statsCols = Seq("t", s), txns = Seq("app" -> 4L, s -> 9L),
+        renames = Seq(s"p_$s" -> s"l_$s", "cents" -> "amount"),
+        dropped = Seq("note", s))
       val back = TxnTable.parse(TxnTable.toJson(m))
       assert(back == m, s"round-trip drift at seed $i:\n$back\nvs\n$m")
     }
