@@ -1462,7 +1462,8 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
     val l2p = m.renames.map(_.swap).toMap
     val physRequired = StructType(required.fields.map(f =>
       f.copy(name = l2p.getOrElse(f.name, f.name))))
-    val paths = kept.map(f => new org.apache.hadoop.fs.Path(s"$root/${f.path}"))
+    val paths = kept.map(f =>
+      new org.apache.hadoop.fs.Path(TxnTable.resolvePath(root, f.path)))
     val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
       spark, paths, Map.empty[String, String], Some(physRequired),
       org.apache.spark.sql.execution.datasources.NoopCache,
@@ -1593,7 +1594,7 @@ private[sources] class TxnShardBatch(root: String,
       .toSeq.sortBy(_._1).zipWithIndex
       .map { case ((shard, files), idx) =>
         val pfs = files.map { f =>
-          val abs = new java.io.File(s"$root/${f.path}")
+          val abs = new java.io.File(TxnTable.resolvePath(root, f.path))
           // bytes ride the manifest; mtime is irrelevant to the reader
           val len = if (f.bytes > 0) f.bytes else abs.length()
           PartitionedFile(InternalRow.empty,

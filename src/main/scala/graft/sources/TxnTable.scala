@@ -673,12 +673,19 @@ object TxnTable {
     * empty subset yields the schema'd EMPTY frame rather than a
     * zero-path scan error (a pruning probe may legitimately match no
     * file). */
+  /** A manifest path resolved against its table root. Paths are
+    * root-relative (`data/...`) for files the table wrote itself, and
+    * ABSOLUTE for files a [[shallowClone]] references from its source
+    * table — zero-copy sharing, copy-on-write divergence. */
+  private[sources] def resolvePath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
+
   private def readFiles(spark: SparkSession, root: String, schemaDdl: String,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     val cols = schema.fieldNames.map(col).toIndexedSeq
     def plain(fs: Seq[FileEntry]): DataFrame =
-      spark.read.schema(schema).parquet(fs.map(f => s"$root/${f.path}"): _*)
+      spark.read.schema(schema).parquet(fs.map(f => resolvePath(root, f.path)): _*)
     val (dvd, clean) = files.partition(_.dvRows > 0)
     val cleanDf =
       if (clean.isEmpty) spark.createDataFrame(
@@ -693,33 +700,36 @@ object TxnTable {
       .unionByName(cleanDf)
   }
 
-  /** The given files' rows tagged with their manifest-relative path
-    * (`__fp`) and per-file row ordinal (`__idx`) — the coordinates a
-    * deletion vector addresses. The relative path is extracted from
-    * `_metadata.file_path` by locating the table root; an unexpected
-    * path form fails LOUDLY (a silent extraction miss would resurrect
-    * deleted rows by failing the anti-join). */
+  /** The given files' rows tagged with their MANIFEST path (`__fp`)
+    * and per-file row ordinal (`__idx`) — the coordinates a deletion
+    * vector addresses. `_metadata.file_path` arrives as a `file:` URI:
+    * strip the scheme, then strip the table-root prefix when present
+    * (yielding the root-relative manifest form) or keep the absolute
+    * form (a [[shallowClone]]'s externally-referenced file — the
+    * manifest stores exactly that absolute path). */
   private def withFilePos(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       files: Seq[FileEntry]): DataFrame = {
     require(!root.contains("'"), s"table root must not contain quotes: $root")
     val needle = s"$root/"
     spark.read.schema(schema)
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
-      .withColumn("__fpraw", col("_metadata.file_path"))
+      .parquet(files.map(f => resolvePath(root, f.path)): _*)
+      .withColumn("__fpraw",
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "/")
+          .cast("string"))
+      .withColumn("__fpraw", regexp_replace(col("__fpraw"), "^//+", "/"))
       .withColumn("__idx", col("_metadata.row_index"))
       .withColumn("__fp",
-        when(locate(needle, col("__fpraw")) > 0,
-          expr(s"substr(__fpraw, locate('$needle', __fpraw) + ${needle.length})"))
-          .otherwise(raise_error(concat(
-            lit("unexpected file_path form: "), col("__fpraw")))))
+        when(locate(needle, col("__fpraw")) === 1,
+          expr(s"substr(__fpraw, ${needle.length + 1})"))
+          .otherwise(col("__fpraw")))
       .drop("__fpraw")
   }
 
   /** One file's deletion vector as ((file, position)) rows. */
   private def readDvSidecar(spark: SparkSession, root: String,
       f: FileEntry): DataFrame =
-    spark.read.schema("idx BIGINT").parquet(s"$root/${f.dv}")
+    spark.read.schema("idx BIGINT").parquet(resolvePath(root, f.dv))
       .select(lit(f.path).as("__fp"), col("idx").as("__idx"))
 
   /** Present a physical-schema frame under the manifest's LOGICAL
@@ -1156,6 +1166,35 @@ object TxnTable {
       (target.copy(version = v + 1, op = s"restore_v$toVersion",
         deltaOf = -1, txns = head.txns), "data/__no_attempt__")
     }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
+    * gesture): mint a NEW table whose version 0 references the
+    * source's current data files BY ABSOLUTE PATH — one manifest
+    * write, zero data copied, over any table size. The clone then
+    * lives its own life copy-on-write: appends add files under the
+    * clone's root; surgical deletes/merges rewrite only touched files
+    * LOCALLY and keep referencing the rest; the source never observes
+    * any of it (its log and files are only ever READ). The layout,
+    * schema, constraint, stats declarations, column mapping and
+    * deletion vectors all carry over — a clone of a merge-on-read
+    * snapshot reads its vectors.
+    *
+    * Caveats, same as every shallow-clone design: the clone does not
+    * pin the source's files against the SOURCE's own vacuum/retention
+    * (a production deployment pins the referenced snapshot or deep-
+    * copies on a schedule); the clone's writer ledger starts EMPTY
+    * (it is a different table — idempotence scopes per table). */
+  def shallowClone(srcRoot: String, dstRoot: String): Manifest = {
+    val src = readManifest(srcRoot, latestVersion(srcRoot))
+    graft.Fs.deleteRecursively(dstRoot)
+    def abs(p: String) = if (p.isEmpty || p.startsWith("/")) p
+      else s"$srcRoot/$p"
+    val m = src.copy(version = 0, op = s"shallow_clone",
+      files = src.files.map(f => f.copy(path = abs(f.path), dv = abs(f.dv))),
+      deltaOf = -1, txns = Nil)
+    require(commit(dstRoot, 0, m), s"clone raced on fresh root $dstRoot")
+    m
+  }
 
   /** Control-flow signal: a merge-on-read delete matched no live row —
     * no version is minted (a no-op commit would bloat the log). */
@@ -3060,6 +3099,87 @@ object TxnTable {
            true AS purged_clean, true AS noop_no_commit,
            CAST(4 AS BIGINT) AS n_versions
     FROM agg, v0, v1r, ft, f1, f2, fd, c1, c2"""
+
+  // ------------------------------------------------------------------
+  // qe4: SHALLOW CLONE — zero-copy table fork, copy-on-write divergence
+  // ------------------------------------------------------------------
+
+  /** qe4: the zero-copy CLONE lifecycle. A 2-version source (create +
+    * append) is cloned with ONE manifest write — `clone_zero_data`
+    * asserts the clone root holds no data directory at all, and
+    * `all_shared_at_clone` that every v0 entry is an absolute
+    * reference into the source. The clone then DIVERGES copy-on-write:
+    * an append lands files under the clone's own root, and a band
+    * delete rewrites ONLY the touched files locally while untouched
+    * files stay shared (`diverged_locally` asserts the head holds BOTH
+    * kinds). The source is graded as UNTOUCHED by re-reading it AFTER
+    * all clone DML — its aggregates replay from documents arithmetic,
+    * and `src_files_intact` asserts every source manifest path still
+    * resolves on disk. Both heads' aggregates ride the row, so a
+    * clone write that leaked into a shared file would shift the
+    * source hash, and vice versa. */
+  def txnShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.Fs.scratch("graft_txn_clone_src")
+    val dst = graft.Fs.scratch("graft_txn_clone_dst")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    create(spark, src, docs, "k", 16)
+    append(spark, src,
+      docs.where(col("k") % 7 === 0)
+        .select((-col("k") - 1).as("k"), (col("c") + 10).as("c")),
+      "second_batch")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    shallowClone(src, dst)
+    val zeroData = !new java.io.File(s"$dst/data").exists()
+    val allShared = readManifest(dst, 0).files.forall(_.path.startsWith("/"))
+    // diverge: append + band delete, ON THE CLONE ONLY
+    append(spark, dst,
+      docs.where(col("k") % 101 === 0)
+        .select((-col("k") - 1000000L).as("k"), (col("c") + 1).as("c")),
+      "clone_only_batch")
+    val (lo, hi) = (mx / 3, mx / 3 + mx / 20)
+    deleteRange(spark, dst, lo, hi)
+    val headFiles = readManifest(dst, latestVersion(dst)).files
+    val diverged = headFiles.exists(_.path.startsWith("/")) &&
+      headFiles.exists(_.path.startsWith("data/"))
+    val srcIntact = readManifest(src, latestVersion(src)).files
+      .forall(f => new java.io.File(resolvePath(src, f.path)).exists())
+    readVersion(spark, src, latestVersion(src))
+      .agg(count(lit(1)).as("src_n_rows"), sum("c").as("src_chars_sum"))
+      .crossJoin(broadcast(readVersion(spark, dst, latestVersion(dst))
+        .agg(count(lit(1)).as("clone_n_rows"),
+          sum("c").as("clone_chars_sum"))))
+      .withColumn("clone_zero_data", lit(zeroData))
+      .withColumn("all_shared_at_clone", lit(allShared))
+      .withColumn("diverged_locally", lit(diverged))
+      .withColumn("src_files_intact", lit(srcIntact))
+      .withColumn("n_versions_src", lit(latestVersion(src) + 1L))
+      .withColumn("n_versions_clone", lit(latestVersion(dst) + 1L))
+  }
+
+  /** Source and clone head aggregates replayed from documents; the
+    * structural booleans and version counts are protocol constants. */
+  val txnShallowCloneOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    probe AS (SELECT mx // 3 AS lo, mx // 3 + mx // 20 AS hi FROM m),
+    d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c FROM documents),
+    a1 AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                  CAST(sum(c + 10) AS BIGINT) AS s FROM d WHERE k % 7 = 0),
+    a2 AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                  CAST(sum(c + 1) AS BIGINT) AS s FROM d WHERE k % 101 = 0),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s FROM d),
+    del AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s
+            FROM d, probe WHERE k BETWEEN lo AND hi)
+    SELECT tot.n + a1.n AS src_n_rows, tot.s + a1.s AS src_chars_sum,
+           tot.n + a1.n + a2.n - del.n AS clone_n_rows,
+           tot.s + a1.s + a2.s - del.s AS clone_chars_sum,
+           true AS clone_zero_data, true AS all_shared_at_clone,
+           true AS diverged_locally, true AS src_files_intact,
+           CAST(2 AS BIGINT) AS n_versions_src,
+           CAST(3 AS BIGINT) AS n_versions_clone
+    FROM tot, a1, a2, del"""
 
   // ------------------------------------------------------------------
   // qe2: RESTORE — rollback as an O(1) append-only commit

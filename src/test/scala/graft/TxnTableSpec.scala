@@ -485,6 +485,34 @@ class TxnTableSpec extends SparkSpec {
     assert(TxnTable.readVersion(spark, r, v6).count() == 900)
   }
 
+  test("shallow clone shares files zero-copy and diverges copy-on-write") {
+    val (src, df) = mkTable("clonesrc")
+    TxnTable.deleteMor(spark, src, "k % 10 = 9") // clone carries vectors too
+    val dst = root("clonedst")
+    TxnTable.shallowClone(src, dst)
+    assert(!new java.io.File(s"$dst/data").exists(), "clone must copy nothing")
+    val cloneHead = TxnTable.readVersion(spark, dst, 0)
+    assert(cloneHead.count() == 900, "the clone reads the source's vectors")
+    // clone DML never touches the source
+    TxnTable.deleteRange(spark, dst, 0L, 99L)
+    TxnTable.append(spark, dst,
+      df.where(col("k") < 10).select((col("k") + 5000L).as("k"), col("v")),
+      "clone_batch")
+    assert(TxnTable.readVersion(spark, src,
+      TxnTable.latestVersion(src)).count() == 900)
+    assert(TxnTable.readVersion(spark, dst,
+      TxnTable.latestVersion(dst)).count() == 820)
+    // the clone's own vacuum sees only local dirs; shared refs survive
+    assert(TxnTable.vacuum(dst, minAgeMs = 0L) == 0)
+    assert(TxnTable.readVersion(spark, dst,
+      TxnTable.latestVersion(dst)).count() == 820)
+    // pruning works through absolute references
+    val (pruned, kept, total) = TxnTable.prunedRead(spark, dst,
+      TxnTable.latestVersion(dst), 200L, 299L)
+    assert(kept < total && pruned.where(col("k").between(200, 299))
+      .count() == 90)
+  }
+
   test("a probe that prunes every file yields the schema'd empty frame") {
     val (r, _) = mkTable("emptyprobe", n = 1000, shards = 8)
     val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 5000L, 6000L)
