@@ -419,6 +419,7 @@ object SparkEntry {
     "qe2_txn_restore"       -> (graft.sources.TxnTable.txnRestore _),
     "qe3_sql_column_mapping" -> (graft.sources.GraftTxnCatalog.sqlColumnMapping _),
     "qe4_txn_shallow_clone" -> (graft.sources.TxnTable.txnShallowClone _),
+    "qe5_txn_change_feed"   -> (graft.sources.TxnTable.txnChangeFeed _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1097,6 +1098,7 @@ object SparkEntry {
     "qe2_txn_restore"        -> graft.sources.TxnTable.txnRestoreOracle,
     "qe3_sql_column_mapping" -> graft.sources.GraftTxnCatalog.sqlColumnMappingOracle,
     "qe4_txn_shallow_clone"  -> graft.sources.TxnTable.txnShallowCloneOracle,
+    "qe5_txn_change_feed"    -> graft.sources.TxnTable.txnChangeFeedOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -105,7 +105,10 @@ object TxnRowLevel {
       val files = base.files.filter(f => carry(f.path)) ++ rewritten
       val m = base.copy(version = base.version + 1, op = op,
         schemaDdl = base.schemaDdl, files = files, deltaOf = -1,
-        commitMs = 0L)
+        commitMs = 0L,
+        // an arbitrary SQL rewrite: the row-level delta is not recorded
+        // (the change feed refuses this version rather than guessing)
+        cdfKind = "", cdfPath = "", cdfRows = 0L)
       if (!TxnTable.commit(root, base.version + 1, m)) {
         graft.Fs.deleteRecursively(s"$root/$sub")
         throw new java.util.ConcurrentModificationException(

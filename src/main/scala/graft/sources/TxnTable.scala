@@ -134,12 +134,20 @@ object TxnTable {
     * resurrect stale values — [[addColumn]] refuses tombstoned names.
     * A full-rewrite commit (transact/optimize) writes logical names
     * physically and so NORMALIZES the mapping away. */
+  /** CHANGE DATA FEED facts (the Delta CDF idea): `cdfKind` classifies
+    * the commit's row-level delta for [[changeFeed]] — "adds" (an
+    * append: its new files ARE the inserted rows), "files" (a DML
+    * commit that wrote explicit change files at `cdfPath`, `cdfRows`
+    * rows), "none" (provably no logical row change: optimize, purge,
+    * metadata-only DDL), or "" (unknown — pre-CDF manifests and
+    * arbitrary rewrites; the feed refuses loudly rather than guesses). */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
       deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L,
       checkExpr: String = "", statsCols: Seq[String] = Nil,
       txns: Seq[(String, Long)] = Nil,
-      renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil)
+      renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil,
+      cdfKind: String = "", cdfPath: String = "", cdfRows: Long = 0L)
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -198,6 +206,8 @@ object TxnTable {
       s""""renames":[${m.renames.map(r =>
         s"""{"p":"${esc(r._1)}","l":"${esc(r._2)}"}""").mkString(",")}],""" +
       s""""dropped":[${m.dropped.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      s""""cdf_kind":"${esc(m.cdfKind)}","cdf_path":"${esc(m.cdfPath)}",""" +
+      s""""cdf_rows":${m.cdfRows},""" +
       s""""txns":[${m.txns.map(txnJson).mkString(",")}],""" +
       s""""files":$fs}"""
   }
@@ -215,6 +225,15 @@ object TxnTable {
   private def fieldNum(json: String, name: String): Long =
     (s""""$name":(-?\\d+)""").r.findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest missing number $name")).group(1).toLong
+  // optional variants for fields added after v1 of the format (escaped
+  // strings cannot spoof a bare "name":" sequence, so whole-json
+  // search is sound — the same invariant fieldStr relies on)
+  private def fieldStrOpt(json: String, name: String): Option[String] =
+    (s""""$name":"$Str"""").r.findFirstMatchIn(json)
+      .map(m => unesc(m.group(1)))
+  private def fieldNumOpt(json: String, name: String): Option[Long] =
+    (s""""$name":(-?\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
   private def parseLongs(s: String): Seq[Long] =
     if (s.isEmpty) Nil else s.split(',').toSeq.map(_.toLong)
 
@@ -267,7 +286,10 @@ object TxnTable {
       statsCols,
       TxnRe.findAllMatchIn(txnSpan)
         .map(m => unesc(m.group(1)) -> m.group(2).toLong).toSeq,
-      renames, dropped)
+      renames, dropped,
+      fieldStrOpt(json, "cdf_kind").getOrElse(""),
+      fieldStrOpt(json, "cdf_path").getOrElse(""),
+      fieldNumOpt(json, "cdf_rows").getOrElse(0L))
   }
 
   /** Versions whose manifests exist in the log, ascending — contiguous
@@ -538,7 +560,8 @@ object TxnTable {
       }
       // metadata-only commit: same files, new constraint
       (base.copy(version = v + 1, op = "set_check", deltaOf = -1,
-        checkExpr = checkExpr), "data/__no_attempt__")
+        checkExpr = checkExpr, cdfKind = "none", cdfPath = "",
+        cdfRows = 0L), "data/__no_attempt__")
     }
 
   /** SCHEMA WIDEN as a METADATA-ONLY commit (the Delta ADD COLUMNS
@@ -566,7 +589,8 @@ object TxnTable {
       val widened = schema.add(name,
         org.apache.spark.sql.types.DataType.fromDDL(sqlType), nullable = true)
       (base.copy(version = v + 1, op = s"add_column_$name",
-        schemaDdl = widened.toDDL, deltaOf = -1), "data/__no_attempt__")
+        schemaDdl = widened.toDDL, deltaOf = -1, cdfKind = "none",
+        cdfPath = "", cdfRows = 0L), "data/__no_attempt__")
     }
 
   /** Does `sqlExpr` mention `name` as a word? Textual and conservative
@@ -608,7 +632,8 @@ object TxnTable {
       val renames2 = (base.renames.filterNot(_._1 == phys) :+
         (phys -> newName)).filterNot(r => r._1 == r._2).sortBy(_._1)
       (base.copy(version = v + 1, op = s"rename_${oldName}_to_$newName",
-        renames = renames2, deltaOf = -1), "data/__no_attempt__")
+        renames = renames2, deltaOf = -1, cdfKind = "none", cdfPath = "",
+        cdfRows = 0L), "data/__no_attempt__")
     }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the pinned DDL narrows, the
@@ -637,7 +662,8 @@ object TxnTable {
         schemaDdl = narrowed.toDDL,
         renames = base.renames.filterNot(_._1 == phys),
         dropped = (base.dropped :+ phys).distinct.sorted,
-        deltaOf = -1), "data/__no_attempt__")
+        deltaOf = -1, cdfKind = "none", cdfPath = "", cdfRows = 0L),
+        "data/__no_attempt__")
     }
 
   /** Shared optimistic-concurrency skeleton for every post-create
@@ -732,6 +758,18 @@ object TxnTable {
     spark.read.schema("idx BIGINT").parquet(resolvePath(root, f.dv))
       .select(lit(f.path).as("__fp"), col("idx").as("__idx"))
 
+  /** Write a DML commit's CHANGE FILE set under the attempt dir (the
+    * `_cdf` name keeps it invisible to the snapshot read-back — Spark
+    * file listings skip underscore-prefixed children) and return the
+    * row count (a parquet footer fold, no data read). A lost commit
+    * race cleans the attempt dir and the change files with it. */
+  private def writeCdf(spark: SparkSession, root: String, sub: String,
+      changes: DataFrame): Long = {
+    val path = s"$root/$sub/_cdf"
+    changes.write.parquet(path)
+    spark.read.parquet(path).count()
+  }
+
   /** Present a physical-schema frame under the manifest's LOGICAL
     * column names (no-op without a column mapping). Extra columns
     * (`__fp`-style tags) pass through untouched. */
@@ -770,7 +808,8 @@ object TxnTable {
       keyCol: String, shards: Int): Manifest = {
     graft.Fs.deleteRecursively(root)
     val mx = df.agg(max(col(keyCol))).head().getLong(0)
-    val (m, _) = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
+    val (m0, _) = writeSnapshot(spark, root, 0, "create", df, keyCol, shards, mx + 1)
+    val m = m0.copy(cdfKind = "adds")
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
   }
@@ -809,8 +848,9 @@ object TxnTable {
     val yq = s"($yCol * ${1L << bits} div ${mxY + 1})"
     val z = zInterleaveExpr(xq, yq, bits, "div")
     val shardE = expr(s"(($z) * $shards) div ${1L << (2 * bits)}")
-    val (m, _) = writeSnapshot(spark, root, 0, "create_zorder", df, xCol, shards,
-      mxX + 1, keyCol2 = yCol, shardExprOverride = Some(shardE))
+    val (m0, _) = writeSnapshot(spark, root, 0, "create_zorder", df, xCol,
+      shards, mxX + 1, keyCol2 = yCol, shardExprOverride = Some(shardE))
+    val m = m0.copy(cdfKind = "adds")
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
   }
@@ -847,7 +887,7 @@ object TxnTable {
       statsCols: Seq[String] = Nil): Manifest = {
     graft.Fs.deleteRecursively(root)
     val m = Manifest(0, "create_empty", keyCol, schemaDdl, shards, layoutDiv,
-      Nil, statsCols = statsCols)
+      Nil, statsCols = statsCols, cdfKind = "adds")
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
   }
@@ -942,10 +982,11 @@ object TxnTable {
           if ((v + 1) % checkpointEvery == 0)
             base.copy(version = v + 1, op = op,
               files = base.files ++ files, deltaOf = -1, commitMs = 0L,
-              txns = ledger)
+              txns = ledger, cdfKind = "adds", cdfPath = "", cdfRows = 0L)
           else
             base.copy(version = v + 1, op = op, files = files, deltaOf = v,
-              commitMs = 0L, txns = ledger)
+              commitMs = 0L, txns = ledger, cdfKind = "adds", cdfPath = "",
+              cdfRows = 0L)
         (m, "data/__no_attempt__")
       }
       (v, c, true)
@@ -1023,9 +1064,10 @@ object TxnTable {
         if ((v + 1) % checkpointEvery == 0)
           adds.copy(schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1, txns = ledger,
-            renames = base.renames, dropped = base.dropped)
+            renames = base.renames, dropped = base.dropped,
+            cdfKind = "adds")
         else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v, txns = ledger,
-          renames = base.renames, dropped = base.dropped)
+          renames = base.renames, dropped = base.dropped, cdfKind = "adds")
       (m, sub)
     }
 
@@ -1075,7 +1117,7 @@ object TxnTable {
         readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
         statsCols = base.statsCols)
-      (m.copy(txns = base.txns), sub)
+      (m.copy(txns = base.txns, cdfKind = "none"), sub)
     }
 
   /** `OPTIMIZE ZORDER BY` on an EXISTING table (round-9 verdict item
@@ -1109,7 +1151,7 @@ object TxnTable {
         snap, base.keyCol, newShards, base.layoutDiv, keyCol2 = yCol,
         shardExprOverride = Some(shardE), checkExpr = base.checkExpr,
         statsCols = base.statsCols)
-      (m.copy(txns = base.txns), sub)
+      (m.copy(txns = base.txns, cdfKind = "none"), sub)
     }
 
   /** SURGICAL copy-on-write delete: consult the manifest stats to find
@@ -1130,16 +1172,22 @@ object TxnTable {
       val base = readManifest(root, v)
       val (touched, carried) =
         base.files.partition(f => !(hi < f.minK || lo > f.maxK))
-      val remaining = readFiles(spark, root, base.schemaDdl, touched)
-        .where(!col(base.keyCol).between(lo, hi))
+      val touchedRows = readFiles(spark, root, base.schemaDdl, touched)
+      val remaining = touchedRows.where(!col(base.keyCol).between(lo, hi))
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "delete_range",
         remaining, base.keyCol, base.shards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
         statsCols = base.statsCols)
+      // change data feed: the deleted rows, recorded AT WRITE TIME so
+      // reading the feed later costs O(changes), never a snapshot diff
+      val nCdf = writeCdf(spark, root, sub,
+        touchedRows.where(col(base.keyCol).between(lo, hi))
+          .withColumn("_change_type", lit("delete")))
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
-        renames = base.renames, dropped = base.dropped), sub)
+        renames = base.renames, dropped = base.dropped,
+        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -1164,7 +1212,8 @@ object TxnTable {
       val target = readManifest(root, toVersion)
       val head = readManifestRaw(root, v)
       (target.copy(version = v + 1, op = s"restore_v$toVersion",
-        deltaOf = -1, txns = head.txns), "data/__no_attempt__")
+        deltaOf = -1, txns = head.txns, cdfKind = "", cdfPath = "",
+        cdfRows = 0L), "data/__no_attempt__")
     }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
@@ -1191,7 +1240,7 @@ object TxnTable {
       else s"$srcRoot/$p"
     val m = src.copy(version = 0, op = s"shallow_clone",
       files = src.files.map(f => f.copy(path = abs(f.path), dv = abs(f.dv))),
-      deltaOf = -1, txns = Nil)
+      deltaOf = -1, txns = Nil, cdfKind = "adds", cdfPath = "", cdfRows = 0L)
     require(commit(dstRoot, 0, m), s"clone raced on fresh root $dstRoot")
     m
   }
@@ -1267,10 +1316,20 @@ object TxnTable {
             case None => f
           }
         }
+        // change files: the freshly-deleted rows' full images — the
+        // feed reads these, never the table (the `_cdf` name hides
+        // them from the sidecar dir's own listings)
+        val freshFull = oldDv.fold(rows.where(expr(pred)))(o =>
+          rows.where(expr(pred))
+            .join(broadcast(o), Seq("__fp", "__idx"), "left_anti"))
+        val nCdf = writeCdf(spark, root, sub,
+          toPhysical(base, freshFull.drop("__fp", "__idx"))
+            .withColumn("_change_type", lit("delete")))
         tagged = touched.size
         deleted = freshPerFile.values.sum
         (base.copy(version = v + 1, op = "delete_mor", files = files2,
-          deltaOf = -1), sub)
+          deltaOf = -1, cdfKind = "files", cdfPath = s"$sub/_cdf",
+          cdfRows = nCdf), sub)
       }
       (ver, tagged, deleted)
     } catch {
@@ -1305,7 +1364,8 @@ object TxnTable {
       carriedN = clean.size
       (adds.copy(schemaDdl = base.schemaDdl, files = clean ++ adds.files,
         deltaOf = -1, txns = base.txns,
-        renames = base.renames, dropped = base.dropped), sub)
+        renames = base.renames, dropped = base.dropped,
+        cdfKind = "none"), sub)
     }
     (ver, purged, carriedN)
   }
@@ -1346,10 +1406,23 @@ object TxnTable {
         merged, base.keyCol, base.shards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
         statsCols = base.statsCols)
+      // change data feed: matched keys record update pre/post images,
+      // unmatched source keys record inserts — written at commit time
+      val srcKeys = src.select(base.keyCol)
+      val tgtKeys = target.select(base.keyCol)
+      val changes = target.join(srcKeys, Seq(base.keyCol), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(merged.join(tgtKeys, Seq(base.keyCol), "left_semi")
+          .join(srcKeys, Seq(base.keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(merged.join(tgtKeys, Seq(base.keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert")))
+      val nCdf = writeCdf(spark, root, sub, changes)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
-        renames = base.renames, dropped = base.dropped), sub)
+        renames = base.renames, dropped = base.dropped,
+        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -1427,10 +1500,13 @@ object TxnTable {
     * removed dir count. */
   def vacuum(root: String, minAgeMs: Long = 3600000L): Int = {
     val referenced = versions(root).flatMap { v =>
-      val fs = readManifest(root, v).files
+      val m = readManifest(root, v)
+      val fs = m.files
       fs.map(_.path.split('/').take(2).mkString("/")) ++
-        // deletion-vector sidecar dirs are live references too
-        fs.filter(_.dv.nonEmpty).map(_.dv.split('/').take(2).mkString("/"))
+        // deletion-vector sidecars and change files are live refs too
+        fs.filter(_.dv.nonEmpty).map(_.dv.split('/').take(2).mkString("/")) ++
+        Option(m.cdfPath).filter(_.nonEmpty)
+          .map(_.split('/').take(2).mkString("/"))
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = new java.io.File(s"$root/data")
@@ -1461,6 +1537,59 @@ object TxnTable {
           .when(col(s"b.$key").isNull, "delete")
           .when(col(s"a.$valueCol") =!= col(s"b.$valueCol"), "update")
           .otherwise("unchanged").as("change_type"))
+  }
+
+  /** CHANGE DATA FEED: the row-level changes committed in (vFrom, vTo]
+    * — table columns plus `_change_type` (insert / delete /
+    * update_preimage / update_postimage) and `_commit_version` — read
+    * from what each commit RECORDED at write time, never a snapshot
+    * diff: an append serves its own add files as inserts (path diff
+    * against the predecessor — O(manifest)); a DML commit serves its
+    * change files ([[Manifest.cdfPath]]); provably-no-change commits
+    * (optimize, purge, metadata DDL) contribute nothing. So the feed
+    * costs O(changes in range) where [[changes]] costs O(table) per
+    * diff — at 100 TB the difference between streaming a day's deltas
+    * and re-joining two full snapshots. A commit whose row delta was
+    * NOT recorded (an arbitrary transact/overwrite, a restore) refuses
+    * loudly rather than guessing. `vFrom = -1` starts at the initial
+    * load. Column mapping presents each version's own logical names;
+    * ranges spanning a rename null-fill via name union. */
+  def changeFeed(spark: SparkSession, root: String, vFrom: Int,
+      vTo: Int): DataFrame = {
+    require(vFrom >= -1 && vFrom <= vTo,
+      s"bad change-feed range ($vFrom, $vTo]")
+    val frames = ((vFrom + 1) to vTo).flatMap { v =>
+      val raw = readManifestRaw(root, v)
+      val m = readManifest(root, v)
+      val tagged = raw.cdfKind match {
+        case "adds" =>
+          val prevPaths =
+            if (v == 0) Set.empty[String]
+            else readManifest(root, v - 1).files.map(_.path).toSet
+          val adds = m.files.filterNot(f => prevPaths.contains(f.path))
+          Some(toLogical(m, readFiles(spark, root, m.schemaDdl, adds))
+            .withColumn("_change_type", lit("insert")))
+        case "files" =>
+          Some(toLogical(m, spark.read
+            .schema(org.apache.spark.sql.types.StructType
+              .fromDDL(m.schemaDdl).add("_change_type",
+                org.apache.spark.sql.types.StringType))
+            .parquet(resolvePath(root, raw.cdfPath))))
+        case "none" => None
+        case _ => sys.error(s"change feed not recorded for v$v " +
+          s"(op=${raw.op}): an arbitrary rewrite's row delta is unknown")
+      }
+      tagged.map(_.withColumn("_commit_version", lit(v.toLong)))
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val m = readManifest(root, vTo)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          logicalSchema(m)
+            .add("_change_type", org.apache.spark.sql.types.StringType)
+            .add("_commit_version", org.apache.spark.sql.types.LongType))
+      }
   }
 
   // ------------------------------------------------------------------
@@ -3099,6 +3228,88 @@ object TxnTable {
            true AS purged_clean, true AS noop_no_commit,
            CAST(4 AS BIGINT) AS n_versions
     FROM agg, v0, v1r, ft, f1, f2, fd, c1, c2"""
+
+  // ------------------------------------------------------------------
+  // qe5: CHANGE DATA FEED — O(changes) row-level deltas from the log
+  // ------------------------------------------------------------------
+
+  /** qe5: the write-time change feed graded over one staged history
+    * exercising EVERY recorded change class: the initial load (v0,
+    * inserts) and an append (v1, inserts) served straight from add
+    * files; a surgical range delete (v2) and a merge-on-read predicate
+    * delete (v4) served from their delete change files — the mor
+    * deletes RECORD THE UPDATED VALUES (a post-merge row deletes at
+    * its merged image, which the oracle replays); a surgical merge
+    * (v3) recording update pre/post images plus nothing for unmatched
+    * rows; and an OPTIMIZE (v5) that rewrites every file yet
+    * contributes ZERO feed rows (provably content-identical — the
+    * whole point of recording at write time instead of diffing
+    * snapshots). One row per change class: counts, value checksums,
+    * and the number of distinct commits serving the class, all
+    * replayed arithmetically from orders. */
+  def txnChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (root, base) = stageOrdersTable(spark, dir, "graft_txn_cdf", 16)
+    val mx = base.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    append(spark, root,
+      base.where(col("k") % 101 === 0)
+        .select((-col("k") - 1).as("k"), (col("cents") + 3).as("cents")),
+      "cdf_ins") // v1
+    deleteRange(spark, root, mx / 5, mx / 5 + mx / 16) // v2
+    mergeRange(spark, root,
+      base.where(col("k") <= mx / 50 && col("k") % 3 === 0)
+        .select(col("k"), (col("cents") + 1000L).as("cents"))) // v3
+    deleteMor(spark, root, "cents % 10 = 7") // v4
+    optimize(spark, root, 16) // v5: no logical change — zero feed rows
+    changeFeed(spark, root, -1, latestVersion(root))
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+        countDistinct("_commit_version").as("n_commits"))
+      .orderBy("_change_type")
+  }
+
+  /** Every change class replayed from orders arithmetic: the insert
+    * classes fold v0+v1; the delete class folds the v2 band plus the
+    * v4 mor deletes AT THEIR MERGED VALUES; updates fold the v3 band. */
+  val txnChangeFeedOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT max(k) AS mx FROM b),
+    ins AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(coalesce(sum(cents + 3), 0) AS BIGINT) AS s
+            FROM b WHERE k % 101 = 0),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s FROM b),
+    del2 AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                    CAST(coalesce(sum(cents), 0) AS BIGINT) AS s
+             FROM b, m
+             WHERE k BETWEEN m.mx // 5 AND m.mx // 5 + m.mx // 16),
+    mrg AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(coalesce(sum(cents), 0) AS BIGINT) AS s
+            FROM b, m WHERE k <= m.mx // 50 AND k % 3 = 0),
+    morA AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                    CAST(coalesce(sum(cents + CASE
+                      WHEN k <= m.mx // 50 AND k % 3 = 0 THEN 1000
+                      ELSE 0 END), 0) AS BIGINT) AS s
+             FROM b, m
+             WHERE k NOT BETWEEN m.mx // 5 AND m.mx // 5 + m.mx // 16
+               AND cents % 10 = 7),
+    morB AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                    CAST(coalesce(sum(cents + 3), 0) AS BIGINT) AS s
+             FROM b WHERE k % 101 = 0 AND (cents + 3) % 10 = 7)
+    SELECT 'delete' AS _change_type,
+           del2.n + morA.n + morB.n AS n_rows,
+           del2.s + morA.s + morB.s AS cents_sum,
+           CAST(2 AS BIGINT) AS n_commits
+    FROM del2, morA, morB
+    UNION ALL
+    SELECT 'insert', tot.n + ins.n, tot.s + ins.s, 2 FROM tot, ins
+    UNION ALL
+    SELECT 'update_postimage', mrg.n, mrg.s + 1000 * mrg.n, 1 FROM mrg
+    UNION ALL
+    SELECT 'update_preimage', mrg.n, mrg.s, 1 FROM mrg
+    ORDER BY _change_type"""
 
   // ------------------------------------------------------------------
   // qe4: SHALLOW CLONE — zero-copy table fork, copy-on-write divergence

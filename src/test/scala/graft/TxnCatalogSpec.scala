@@ -259,10 +259,16 @@ class TxnCatalogSpec extends SparkSpec {
     }
     sql("ALTER TABLE graft.spec_alter UNSET TBLPROPERTIES ('check')")
     sql("INSERT INTO graft.spec_alter SELECT id + 200, -1, 'y' FROM range(1)")
-    // narrowing/renames refused loudly
-    intercept[Exception] { sql("ALTER TABLE graft.spec_alter DROP COLUMN w") }
+    // renames and drops are metadata-only column-mapping commits
+    // (ColumnMappingSpec owns the deep coverage); structural columns
+    // still refuse
+    sql("ALTER TABLE graft.spec_alter RENAME COLUMN v TO vv")
+    assert(spark.table("graft.spec_alter").columns.toSeq ==
+      Seq("k", "vv", "w"))
+    sql("ALTER TABLE graft.spec_alter DROP COLUMN w")
+    assert(spark.table("graft.spec_alter").columns.toSeq == Seq("k", "vv"))
     intercept[Exception] {
-      sql("ALTER TABLE graft.spec_alter RENAME COLUMN v TO vv")
+      sql("ALTER TABLE graft.spec_alter RENAME COLUMN k TO kk")
     }
   }
 
