@@ -420,6 +420,7 @@ object SparkEntry {
     "qe3_sql_column_mapping" -> (graft.sources.GraftTxnCatalog.sqlColumnMapping _),
     "qe4_txn_shallow_clone" -> (graft.sources.TxnTable.txnShallowClone _),
     "qe5_txn_change_feed"   -> (graft.sources.TxnTable.txnChangeFeed _),
+    "qe6_txn_stream_changes" -> (graft.sources.TxnCdfStream.txnStreamChanges _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1099,6 +1100,7 @@ object SparkEntry {
     "qe3_sql_column_mapping" -> graft.sources.GraftTxnCatalog.sqlColumnMappingOracle,
     "qe4_txn_shallow_clone"  -> graft.sources.TxnTable.txnShallowCloneOracle,
     "qe5_txn_change_feed"    -> graft.sources.TxnTable.txnChangeFeedOracle,
+    "qe6_txn_stream_changes" -> graft.sources.TxnCdfStream.txnStreamChangesOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -141,6 +141,15 @@ object GraftExtensions {
       operatorPlan("graft_txn_history", 1, (s, a) =>
         graft.sources.TxnTable.history(s,
           litString(a, 0, "graft_txn_history")))),
+    (new FunctionIdentifier("graft_txn_changes"),
+      info("graft_txn_changes",
+        "graft_txn_changes(root, vFrom, vTo) - write-time change data feed" +
+          " of a graft transactional table over (vFrom, vTo]"),
+      operatorPlan("graft_txn_changes", 3, (s, a) =>
+        graft.sources.TxnTable.changeFeed(s,
+          litString(a, 0, "graft_txn_changes"),
+          litLong(a, 1, "graft_txn_changes").toInt,
+          litLong(a, 2, "graft_txn_changes").toInt))),
     (new FunctionIdentifier("graft_synth"),
       info("graft_synth",
         "graft_synth(lo, hi) - deterministic Lehmer rows for id in [lo, hi)"),

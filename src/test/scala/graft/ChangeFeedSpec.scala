@@ -79,6 +79,45 @@ class ChangeFeedSpec extends SparkSpec {
     assert(raw.cdfKind == "files" && raw.cdfRows == 100L)
   }
 
+  test("the feed is SQL-reachable as the graft_txn_changes TVF") {
+    val (r, _) = mkTable("tvf")
+    TxnTable.deleteRange(spark, r, 0L, 99L)
+    graft.functions.GraftExtensions.registerTableFunctions(spark)
+    val rows = spark.sql(
+      s"""SELECT _change_type, count(1) AS n
+          FROM graft_txn_changes('$r', -1, 1) GROUP BY 1 ORDER BY 1""")
+      .collect().map(row => row.getString(0) -> row.getLong(1))
+    assert(rows.toSeq == Seq("delete" -> 100L, "insert" -> 1000L))
+  }
+
+  test("the streaming feed composes across a rewrite the adds-stream refuses") {
+    val (r, _) = mkTable("stream")
+    TxnTable.deleteRange(spark, r, 0L, 99L)
+    TxnTable.optimize(spark, r, 4) // rewrite: adds-stream would refuse
+    import spark.implicits._
+    TxnTable.mergeRange(spark, r, Seq((500L, 7L)).toDF("k", "v"))
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Long])
+    val q = spark.readStream.format("graft.sources.TxnCdfSource")
+      .option("root", r).load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.groupBy("_change_type").count().collect().foreach { row =>
+          acc.updateAndGet(m => m.updated(row.getString(0),
+            m.getOrElse(row.getString(0), 0L) + row.getLong(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        graft.Fs.scratch("graft_cdfspec_stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val m = acc.get()
+    assert(m("insert") == 1000L && m("delete") == 100L &&
+      m("update_preimage") == 1L && m("update_postimage") == 1L,
+      s"got $m")
+  }
+
   test("vacuum keeps a referenced change-file dir alive") {
     val (r, _) = mkTable("vacuum", n = 200, shards = 2)
     // delete EVERYTHING in shard 0: the rewrite adds no files, so only
