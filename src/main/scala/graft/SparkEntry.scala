@@ -421,6 +421,8 @@ object SparkEntry {
     "qe4_txn_shallow_clone" -> (graft.sources.TxnTable.txnShallowClone _),
     "qe5_txn_change_feed"   -> (graft.sources.TxnTable.txnChangeFeed _),
     "qe6_txn_stream_changes" -> (graft.sources.TxnCdfStream.txnStreamChanges _),
+    "qe7_txn_append_contention" -> (graft.sources.TxnTable.txnAppendContention _),
+    "qe8_txn_feature_gate"  -> (graft.sources.TxnTable.txnFeatureGate _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1101,6 +1103,8 @@ object SparkEntry {
     "qe4_txn_shallow_clone"  -> graft.sources.TxnTable.txnShallowCloneOracle,
     "qe5_txn_change_feed"    -> graft.sources.TxnTable.txnChangeFeedOracle,
     "qe6_txn_stream_changes" -> graft.sources.TxnCdfStream.txnStreamChangesOracle,
+    "qe7_txn_append_contention" -> graft.sources.TxnTable.txnAppendContentionOracle,
+    "qe8_txn_feature_gate"   -> graft.sources.TxnTable.txnFeatureGateOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -147,7 +147,27 @@ object TxnTable {
       checkExpr: String = "", statsCols: Seq[String] = Nil,
       txns: Seq[(String, Long)] = Nil,
       renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil,
-      cdfKind: String = "", cdfPath: String = "", cdfRows: Long = 0L)
+      cdfKind: String = "", cdfPath: String = "", cdfRows: Long = 0L,
+      features: Seq[String] = Nil)
+
+  /** PROTOCOL FEATURE GATE (the Delta reader-version idea, stamped
+    * per manifest): [[commit]] derives the format features a manifest
+    * actually USES from its own content, and [[readManifestRaw]]
+    * refuses a manifest using a feature this engine build does not
+    * know — a loud, versioned refusal instead of a silent misread
+    * (e.g. a pre-DV reader serving deleted rows). Old manifests carry
+    * no list and gate nothing. */
+  private[graft] val SupportedFeatures: Set[String] = Set(
+    "deletion-vectors", "column-mapping", "change-data-feed",
+    "external-files")
+
+  private def deriveFeatures(m: Manifest): Seq[String] = (
+    (if (m.files.exists(_.dvRows > 0)) Seq("deletion-vectors") else Nil) ++
+      (if (m.renames.nonEmpty || m.dropped.nonEmpty) Seq("column-mapping")
+       else Nil) ++
+      (if (m.cdfKind == "files") Seq("change-data-feed") else Nil) ++
+      (if (m.files.exists(_.path.startsWith("/"))) Seq("external-files")
+       else Nil)).sorted
 
   private def logDir(root: String) = s"$root/_log"
   private def logFile(root: String, v: Int) =
@@ -206,6 +226,7 @@ object TxnTable {
       s""""renames":[${m.renames.map(r =>
         s"""{"p":"${esc(r._1)}","l":"${esc(r._2)}"}""").mkString(",")}],""" +
       s""""dropped":[${m.dropped.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      s""""features":[${m.features.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""cdf_kind":"${esc(m.cdfKind)}","cdf_path":"${esc(m.cdfPath)}",""" +
       s""""cdf_rows":${m.cdfRows},""" +
       s""""txns":[${m.txns.map(txnJson).mkString(",")}],""" +
@@ -263,8 +284,12 @@ object TxnTable {
     val dropped =
       if (!hasMapping) Nil
       else {
-        val span = json.substring(json.indexOf(""""dropped":["""),
-          json.indexOf(""""txns":["""))
+        // the dropped array ends where the NEXT section starts —
+        // features when the manifest carries the feature list, txns in
+        // the interim codec revision without one
+        val fi = json.indexOf(""""features":[""")
+        val end = if (fi >= 0) fi else json.indexOf(""""txns":[""")
+        val span = json.substring(json.indexOf(""""dropped":["""), end)
         val body = span.substring(span.indexOf('[') + 1, span.lastIndexOf(']'))
         (s""""$Str"""").r.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
       }
@@ -289,7 +314,18 @@ object TxnTable {
       renames, dropped,
       fieldStrOpt(json, "cdf_kind").getOrElse(""),
       fieldStrOpt(json, "cdf_path").getOrElse(""),
-      fieldNumOpt(json, "cdf_rows").getOrElse(0L))
+      fieldNumOpt(json, "cdf_rows").getOrElse(0L),
+      {
+        val fi = json.indexOf(""""features":[""")
+        if (fi < 0) Nil
+        else {
+          val span = json.substring(fi, json.indexOf(""""cdf_kind":""""))
+          val body = span.substring(span.indexOf('[') + 1,
+            span.lastIndexOf(']'))
+          (s""""$Str"""").r.findAllMatchIn(body)
+            .map(m => unesc(m.group(1))).toSeq
+        }
+      })
   }
 
   /** Versions whose manifests exist in the log, ascending — contiguous
@@ -342,10 +378,18 @@ object TxnTable {
     }
   }
 
-  /** The on-disk manifest: a delta's `files` are only its adds. */
+  /** The on-disk manifest: a delta's `files` are only its adds. The
+    * protocol feature gate fires HERE — every read path funnels
+    * through this one seam, so an unknown-feature manifest can never
+    * be served partially understood. */
   def readManifestRaw(root: String, version: Int): Manifest = {
     manifestReads.incrementAndGet()
-    parse(Files.readString(logFile(root, version)))
+    val m = parse(Files.readString(logFile(root, version)))
+    val unknown = m.features.filterNot(SupportedFeatures)
+    require(unknown.isEmpty,
+      s"$root v$version uses format features this engine does not " +
+        s"support: ${unknown.mkString(", ")} — upgrade the reader")
+    m
   }
 
   /** The RESOLVED manifest: a delta chain concatenates its ancestors'
@@ -419,8 +463,10 @@ object TxnTable {
       if (version == 0) 0L
       else try readManifestRaw(root, version - 1).commitMs
       catch { case _: java.nio.file.NoSuchFileException => 0L }
-    Files.writeString(tmp,
-      toJson(m.copy(commitMs = math.max(System.currentTimeMillis(), prevMs))))
+    val stamped = m.copy(
+      commitMs = math.max(System.currentTimeMillis(), prevMs),
+      features = deriveFeatures(m))
+    Files.writeString(tmp, toJson(stamped))
     val won =
       try { Files.createLink(logFile(root, version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
@@ -673,7 +719,8 @@ object TxnTable {
     * against the new head — re-deriving the update from the current
     * snapshot IS the rebase. Returns (committed version, conflicts). */
   private def retryCommit(root: String, opName: String, maxRetries: Int,
-      beforeCommit: () => Unit = () => ())(
+      beforeCommit: () => Unit = () => (),
+      cleanupOnLoss: Boolean = true)(
       mkAttempt: Int => (Manifest, String)): (Int, Int) = {
     var conflicts = 0
     while (conflicts <= maxRetries) {
@@ -682,7 +729,9 @@ object TxnTable {
       val (m, sub) = mkAttempt(v)
       beforeCommit()
       if (commit(root, v + 1, m)) return (v + 1, conflicts)
-      graft.Fs.deleteRecursively(s"$root/$sub")
+      // an op that stages version-independent files (append) keeps its
+      // attempt across retries and re-mints only the manifest
+      if (cleanupOnLoss) graft.Fs.deleteRecursively(s"$root/$sub")
       conflicts += 1
     }
     sys.error(s"$opName gave up after $maxRetries conflicts on $root")
@@ -1004,14 +1053,37 @@ object TxnTable {
   def append(spark: SparkSession, root: String, df: DataFrame, op: String,
       checkpointEvery: Int = 4, maxRetries: Int = 5,
       beforeCommit: () => Unit = () => (),
-      txn: Option[(String, Long)] = None): (Int, Int) =
-    retryCommit(root, "append", maxRetries, beforeCommit) { v =>
+      txn: Option[(String, Long)] = None): (Int, Int) = {
+    // CONTENTION-FREE RETRY (qe7): an append's files are
+    // version-independent adds, so a lost commit race re-mints ONLY
+    // the manifest — the batch data writes exactly once. The staged
+    // attempt is reused only while every fact it was written under
+    // (schema, mapping, CHECK, layout, stats declarations) still holds
+    // at the new head; a concurrent DDL/optimize invalidates it and
+    // the batch re-stages against the new facts. A duplicate-txn
+    // detection on retry cleans the staged files before skipping.
+    var staged: Option[(Manifest, String, Manifest)] = None // adds, sub, base
+    def compatible(a: Manifest, b: Manifest): Boolean =
+      a.schemaDdl == b.schemaDdl && a.checkExpr == b.checkExpr &&
+        a.statsCols == b.statsCols && a.renames == b.renames &&
+        a.keyCol == b.keyCol && a.keyCol2 == b.keyCol2 &&
+        a.shards == b.shards && a.layoutDiv == b.layoutDiv
+    def dropStaged(): Unit = {
+      staged.foreach { case (_, sub, _) =>
+        graft.Fs.deleteRecursively(s"$root/$sub") }
+      staged = None
+    }
+    try retryCommit(root, "append", maxRetries, beforeCommit,
+      cleanupOnLoss = false) { v =>
       val base = readManifest(root, v)
       // the ledger dedup, under the CURRENT head (see [[appendTxn]])
       txn.foreach { case (a, tv) =>
-        if (base.txns.exists(t => t._1 == a && t._2 >= tv))
+        if (base.txns.exists(t => t._1 == a && t._2 >= tv)) {
+          dropStaged()
           throw new TxnAlreadyCommitted(v)
+        }
       }
+      staged.filterNot(s => compatible(s._3, base)).foreach(_ => dropStaged())
       // batches arrive under LOGICAL names; files carry physical ones
       val phys = toPhysical(base, df)
       // align to the table's pinned column order. A column the TABLE
@@ -1053,23 +1125,38 @@ object TxnTable {
           lit(null).cast(f.dataType).as(f.name)
         }
       }.toIndexedSeq: _*)
-      val (adds, sub) = writeSnapshot(spark, root, v + 1, op, batch,
-        base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
-        checkExpr = base.checkExpr, statsCols = base.statsCols)
+      val (adds, sub) = staged.map(s => (s._1, s._2)).getOrElse {
+        val w = writeSnapshot(spark, root, v + 1, op, batch,
+          base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
+          checkExpr = base.checkExpr, statsCols = base.statsCols)
+        staged = Some((w._1, w._2, base))
+        w
+      }
       // always carry the table's pinned DDL (the batch df's own DDL can
       // differ in nullability flags and would fork the read schema) and
       // the full idempotence ledger (every raw manifest carries it)
       val ledger = bumpTxns(base.txns, txn)
+      // version re-stamps explicitly: a reused staged attempt was
+      // built for an older target version
       val m =
         if ((v + 1) % checkpointEvery == 0)
-          adds.copy(schemaDdl = base.schemaDdl,
+          adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1, txns = ledger,
             renames = base.renames, dropped = base.dropped,
             cdfKind = "adds")
-        else adds.copy(schemaDdl = base.schemaDdl, deltaOf = v, txns = ledger,
+        else adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
+          deltaOf = v, txns = ledger,
           renames = base.renames, dropped = base.dropped, cdfKind = "adds")
       (m, sub)
     }
+    catch {
+      case e: Throwable =>
+        // terminal failure (or a duplicate-txn skip, already cleaned):
+        // never leak the staged attempt past this call
+        if (!e.isInstanceOf[TxnAlreadyCommitted]) dropStaged()
+        throw e
+    }
+  }
 
   /** Has a commit with this exact `op` (the sink's transaction id)
     * already landed? O(versions) tiny raw reads — the round-9 ledger
@@ -3228,6 +3315,127 @@ object TxnTable {
            true AS purged_clean, true AS noop_no_commit,
            CAST(4 AS BIGINT) AS n_versions
     FROM agg, v0, v1r, ft, f1, f2, fd, c1, c2"""
+
+  // ------------------------------------------------------------------
+  // qe7: CONTENTION-FREE APPEND RETRY — lose the race, keep the files
+  // ------------------------------------------------------------------
+
+  /** qe7: two appends race the same commit slot under a 2-thread
+    * barrier (the qct staging, on the INGEST path): exactly one link
+    * wins, and the loser's retry reuses its already-written files —
+    * re-minting ONLY the manifest, never the data. That is the
+    * contention property continuous ingest needs at scale: N writers
+    * racing a hot table pay N data writes total, not N·retries. The
+    * graded evidence is physical: `n_attempt_dirs` counts the actual
+    * data directories on disk (exactly one per writer — a re-staged
+    * batch would mint a third), `n_orphans` proves vacuum finds no
+    * debris (every written file is referenced), and the row counts /
+    * checksums prove both batches landed exactly once in serial order
+    * (3 versions, exactly 1 conflict). */
+  def txnAppendContention(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_appendrace")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    createEmpty(spark, root, "k BIGINT,c BIGINT", "k", 8, mx + 1)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(side: Int): () => (Int, Int) = () => {
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      append(spark, root, docs.where(col("k") % 2 === side), s"race_$side",
+        beforeCommit = () => if (first.getAndSet(false)) barrier.await())
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (ra, rb) =
+      try Await.result(
+        Future(writer(0)()).zip(Future(writer(1)())), Duration.Inf)
+      finally pool.shutdown()
+    val nDirs = Option(new java.io.File(s"$root/data").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    val orphans = vacuum(root, minAgeMs = 0L)
+    readVersion(spark, root, latestVersion(root))
+      .agg(count(lit(1)).as("n_rows"), countDistinct("k").as("n_keys"),
+        sum("c").as("chars_sum"))
+      .withColumn("n_versions", lit(latestVersion(root) + 1L))
+      .withColumn("n_conflicts", lit((ra._2 + rb._2).toLong))
+      .withColumn("n_attempt_dirs", lit(nDirs.toLong))
+      .withColumn("n_orphans", lit(orphans.toLong))
+  }
+
+  /** Documents arithmetic plus the protocol constants: 3 versions,
+    * exactly 1 conflict, exactly 2 data dirs (one write per writer),
+    * zero vacuum debris. */
+  val txnAppendContentionOracle: String = """
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_sum,
+           CAST(3 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_conflicts,
+           CAST(2 AS BIGINT) AS n_attempt_dirs,
+           CAST(0 AS BIGINT) AS n_orphans
+    FROM documents"""
+
+  // ------------------------------------------------------------------
+  // qe8: PROTOCOL FEATURE GATE — versioned refusal of future formats
+  // ------------------------------------------------------------------
+
+  /** qe8: the format's protocol self-description graded end-to-end.
+    * Commits STAMP the features they actually use — v0 (plain create)
+    * stamps none, the merge-on-read delete stamps
+    * change-data-feed + deletion-vectors, the rename stamps
+    * column-mapping (+ the vectors it still carries) — each read back
+    * off the raw manifests and pinned by the oracle. Then a manifest
+    * "from the future" lands in the log using a feature this engine
+    * does not know (injected through the codec's own writer — the
+    * test seam a newer writer would be): EVERY read path refuses it
+    * loudly by name (`future_refused`) while all CURRENT versions keep
+    * serving (`gate_is_per_manifest`) — the Delta reader-version idea
+    * made per-manifest, so a pre-DV engine can never silently serve
+    * deleted rows. */
+  def txnFeatureGate(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_featgate")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    create(spark, root, docs, "k", 8) // v0
+    deleteMor(spark, root, "c % 5 = 2") // v1: cdf + deletion vectors
+    renameColumn(spark, root, "c", "chars") // v2: + column mapping
+    val feats = (0 to 2).map(v => readManifestRaw(root, v)
+      .features.mkString(","))
+    val hv = latestVersion(root)
+    val future = readManifestRaw(root, hv).copy(version = hv + 1,
+      op = "from_the_future", features = Seq("quantum-compression"))
+    Files.writeString(logFile(root, hv + 1), toJson(future))
+    val refused =
+      try { readManifest(root, hv + 1); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("quantum-compression") }
+    // the gate is per manifest: committed versions keep serving
+    val perManifest =
+      try { readManifest(root, hv); true }
+      catch { case _: Exception => false }
+    Files.delete(logFile(root, hv + 1))
+    readVersion(spark, root, hv)
+      .agg(count(lit(1)).as("n_rows"), sum("chars").as("chars_sum"))
+      .withColumn("features_v0", lit(feats(0)))
+      .withColumn("features_v1", lit(feats(1)))
+      .withColumn("features_v2", lit(feats(2)))
+      .withColumn("future_refused", lit(refused))
+      .withColumn("gate_is_per_manifest", lit(perManifest))
+  }
+
+  /** Documents arithmetic for the surviving rows plus the stamped
+    * feature lists and refusal constants. */
+  val txnFeatureGateOracle: String = """
+    WITH d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c
+               FROM documents)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(c) AS BIGINT) AS chars_sum,
+           '' AS features_v0,
+           'change-data-feed,deletion-vectors' AS features_v1,
+           'column-mapping,deletion-vectors' AS features_v2,
+           true AS future_refused, true AS gate_is_per_manifest
+    FROM d WHERE c % 5 <> 2"""
 
   // ------------------------------------------------------------------
   // qe5: CHANGE DATA FEED — O(changes) row-level deltas from the log

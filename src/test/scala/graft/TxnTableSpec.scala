@@ -453,7 +453,9 @@ class TxnTableSpec extends SparkSpec {
         deltaOf = 2, keyCol2 = s, commitMs = 17L, checkExpr = s,
         statsCols = Seq("t", s), txns = Seq("app" -> 4L, s -> 9L),
         renames = Seq(s"p_$s" -> s"l_$s", "cents" -> "amount"),
-        dropped = Seq("note", s))
+        dropped = Seq("note", s),
+        cdfKind = "files", cdfPath = s"data/v3-ab/_cdf_$s", cdfRows = 2L,
+        features = Seq("deletion-vectors", s"feat_$s"))
       val back = TxnTable.parse(TxnTable.toJson(m))
       assert(back == m, s"round-trip drift at seed $i:\n$back\nvs\n$m")
     }
@@ -511,6 +513,58 @@ class TxnTableSpec extends SparkSpec {
       TxnTable.latestVersion(dst), 200L, 299L)
     assert(kept < total && pruned.where(col("k").between(200, 299))
       .count() == 90)
+  }
+
+  test("a lost append race reuses its staged files; a schema race restages") {
+    val (r, df) = mkTable("appendreuse", n = 500)
+    // plant a competing append inside the contender's pre-commit gap
+    var planted = false
+    TxnTable.append(spark, r,
+      df.where(col("k") < 10).select((col("k") + 1000L).as("k"), col("v")),
+      "contender",
+      beforeCommit = () => if (!planted) {
+        planted = true
+        TxnTable.append(spark, r,
+          df.where(col("k") < 5).select((col("k") + 2000L).as("k"), col("v")),
+          "sneak")
+      })
+    assert(TxnTable.latestVersion(r) == 2)
+    // one data dir per actual write: create + sneak + contender = 3
+    val dirs = Option(new java.io.File(s"$r/data").listFiles())
+      .getOrElse(Array.empty).count(_.isDirectory)
+    assert(dirs == 3, s"the losing append must not rewrite its batch ($dirs dirs)")
+    assert(TxnTable.readVersion(spark, r, 2).count() == 515)
+    assert(TxnTable.vacuum(r, minAgeMs = 0L) == 0)
+    // a concurrent SCHEMA change invalidates the staged attempt: the
+    // retry must restage under the widened schema, not reuse
+    var planted2 = false
+    TxnTable.append(spark, r,
+      df.where(col("k") < 3).select((col("k") + 3000L).as("k"), col("v")),
+      "contender2",
+      beforeCommit = () => if (!planted2) {
+        planted2 = true
+        TxnTable.addColumn(spark, r, "w", "BIGINT")
+      })
+    val head = TxnTable.readVersion(spark, r, TxnTable.latestVersion(r))
+    assert(head.columns.toSeq == Seq("k", "v", "w"))
+    assert(head.where(col("k") >= 3000L).count() == 3)
+    // the abandoned narrow staging was cleaned EAGERLY by the restage
+    assert(TxnTable.vacuum(r, minAgeMs = 0L) == 0)
+  }
+
+  test("feature gate: manifests self-describe; unknown features refuse") {
+    val (r, _) = mkTable("featgate")
+    assert(TxnTable.readManifestRaw(r, 0).features.isEmpty)
+    TxnTable.deleteMor(spark, r, "k = 1")
+    assert(TxnTable.readManifestRaw(r, 1).features ==
+      Seq("change-data-feed", "deletion-vectors"))
+    TxnTable.purgeDeletes(spark, r)
+    assert(TxnTable.readManifestRaw(r, 2).features.isEmpty,
+      "a purged snapshot uses no gated feature")
+    val dst = root("featgate_clone")
+    TxnTable.shallowClone(r, dst)
+    assert(TxnTable.readManifestRaw(dst, 0).features ==
+      Seq("external-files"))
   }
 
   test("a probe that prunes every file yields the schema'd empty frame") {
