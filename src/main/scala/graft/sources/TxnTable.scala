@@ -75,10 +75,17 @@ object TxnTable {
     * count, live rows = `nRows - dvRows`, and min/max stats remain
     * sound for pruning (deletion only shrinks a file's true range —
     * stale-wide bounds skip nothing they shouldn't). */
+  /** `bloom` carries one BLOOM FILTER per declared stats column
+    * (parallel to `vmin`/`vmax`, base64-encoded 1024-bit set, 3
+    * hashes): the file-skipping fact min/max ranges cannot express —
+    * a POINT probe on a scattered high-cardinality column (every
+    * file's range covers the probe, yet only one file holds the
+    * value). ~172 bytes per column per file in the manifest; empty on
+    * pre-bloom files (skips nothing, never wrong). */
   final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long,
       minK2: Long = Long.MinValue, maxK2: Long = Long.MaxValue,
       bytes: Long = 0L, vmin: Seq[Long] = Nil, vmax: Seq[Long] = Nil,
-      dv: String = "", dvRows: Long = 0L)
+      dv: String = "", dvRows: Long = 0L, bloom: Seq[String] = Nil)
 
   /** One committed version. `layoutDiv`/`shards` pin the shard layout
     * chosen at create time so every later commit re-shards
@@ -159,7 +166,32 @@ object TxnTable {
     * no list and gate nothing. */
   private[graft] val SupportedFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "change-data-feed",
-    "external-files")
+    "external-files", "bloom-filters")
+
+  /** Bloom sizing: 64K bits / 3 hashes keeps the false-positive rate
+    * under ~1% up to ~10k distinct values per file; a saturated filter
+    * only degrades to "prunes nothing", never to a wrong skip. */
+  private val BloomBits = 65536
+  private val BloomSeeds = 3
+
+  /** The probe's bit positions — the DRIVER-side twin of the writer's
+    * `pmod(xxhash64(col, seed), bits)` (same Catalyst expression
+    * evaluated on a literal, so writer and prober can never drift). */
+  private def bloomPositions(value: Long): Seq[Int] =
+    (0 until BloomSeeds).map { s =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = XxHash64(Seq(Literal(value), Literal(s.toLong)), 42L)
+        .eval().asInstanceOf[Long]
+      ((h % BloomBits + BloomBits) % BloomBits).toInt
+    }
+
+  private def bloomMightContain(f: FileEntry, i: Int, value: Long): Boolean =
+    if (f.bloom.length <= i) true // pre-bloom file: never skip
+    else {
+      val bits = java.util.BitSet.valueOf(
+        java.util.Base64.getDecoder.decode(f.bloom(i)))
+      bloomPositions(value).forall(bits.get)
+    }
 
   private def deriveFeatures(m: Manifest): Seq[String] = (
     (if (m.files.exists(_.dvRows > 0)) Seq("deletion-vectors") else Nil) ++
@@ -167,6 +199,8 @@ object TxnTable {
        else Nil) ++
       (if (m.cdfKind == "files") Seq("change-data-feed") else Nil) ++
       (if (m.files.exists(_.path.startsWith("/"))) Seq("external-files")
+       else Nil) ++
+      (if (m.files.exists(_.bloom.nonEmpty)) Seq("bloom-filters")
        else Nil)).sorted
 
   private def logDir(root: String) = s"$root/_log"
@@ -215,7 +249,8 @@ object TxnTable {
       s"""{"path":"${esc(f.path)}","n_rows":${f.nRows},"min_k":${f.minK},""" +
         s""""max_k":${f.maxK},"min_k2":${f.minK2},"max_k2":${f.maxK2},""" +
         s""""bytes":${f.bytes},"vmin":${longs(f.vmin)},"vmax":${longs(f.vmax)},""" +
-        s""""dv":"${esc(f.dv)}","dv_rows":${f.dvRows}}""")
+        s""""dv":"${esc(f.dv)}","dv_rows":${f.dvRows},""" +
+        s""""bloom":[${f.bloom.map(b => s""""$b"""").mkString(",")}]}""")
       .mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${esc(m.op)}","key_col":"${esc(m.keyCol)}",""" +
       s""""key_col2":"${esc(m.keyCol2)}","schema":"${esc(m.schemaDdl)}",""" +
@@ -233,12 +268,13 @@ object TxnTable {
       s""""files":$fs}"""
   }
 
-  // the dv tail is optional so pre-DV manifests keep parsing unchanged
+  // the dv and bloom tails are optional so older manifests keep parsing
   private val FileRe =
     (s"""\\{"path":"$Str","n_rows":(\\d+),"min_k":(-?\\d+),"max_k":(-?\\d+),""" +
       """"min_k2":(-?\d+),"max_k2":(-?\d+),"bytes":(\d+),""" +
       """"vmin":\[([-0-9,]*)\],"vmax":\[([-0-9,]*)\]""" +
-      s"""(?:,"dv":"$Str","dv_rows":(\\d+))?\\}""").r
+      s"""(?:,"dv":"$Str","dv_rows":(\\d+))?""" +
+      """(?:,"bloom":\[([A-Za-z0-9+/=",]*)\])?\}""").r
   private val TxnRe = (s"""\\{"app":"$Str","v":(-?\\d+)\\}""").r
   private def fieldStr(json: String, name: String): String =
     unesc((s""""$name":"$Str"""").r.findFirstMatchIn(json)
@@ -302,7 +338,10 @@ object TxnTable {
         m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
         m.group(7).toLong, parseLongs(m.group(8)), parseLongs(m.group(9)),
         Option(m.group(10)).map(unesc).getOrElse(""),
-        Option(m.group(11)).map(_.toLong).getOrElse(0L)))
+        Option(m.group(11)).map(_.toLong).getOrElse(0L),
+        Option(m.group(12)).filter(_.nonEmpty)
+          .map(_.split(',').toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
+          .getOrElse(Nil)))
         .toSeq,
       fieldNum(json, "delta_of").toInt,
       fieldStr(json, "key_col2"),
@@ -546,6 +585,15 @@ object TxnTable {
     val k2 = if (keyCol2.nonEmpty) col(keyCol2) else lit(0L)
     val vAggs = statsCols.indices.flatMap { i =>
       Seq(min(col(s"__v$i")).as(s"vmn$i"), max(col(s"__v$i")).as(s"vmx$i")) }
+    // per-file bloom positions for every stats column (3 hash seeds):
+    // a bounded collect_set of bit indexes per (file, column, seed) —
+    // at 100 TB the writer task would fold the bitset inline like the
+    // other stats; here the sets ride the same bounded stats collect
+    val bAggs = statsCols.indices.flatMap { i =>
+      (0 until BloomSeeds).map { s =>
+        collect_set(when(col(s"__v$i").isNotNull,
+          pmod(xxhash64(col(s"__v$i"), lit(s.toLong)), lit(BloomBits.toLong))
+            .cast("int"))).as(s"bl${i}_$s") } }
     val stats = back
       .select(Seq(col(keyCol).as("k"), k2.as("k2"),
         col("_metadata.file_path").as("fp"),
@@ -555,7 +603,7 @@ object TxnTable {
       .agg(count(lit(1)).as("n"),
         (Seq(min("k").as("mn"), max("k").as("mx"),
           min("k2").as("mn2"), max("k2").as("mx2"),
-          first("fsz").as("bytes")) ++ vAggs): _*)
+          first("fsz").as("bytes")) ++ vAggs ++ bAggs): _*)
       .collect()
     require(stats.length <= shards,
       s"snapshot wrote ${stats.length} files for $shards shards")
@@ -574,8 +622,16 @@ object TxnTable {
         if (r.isNullAt(7 + 2 * i)) Long.MinValue else r.getLong(7 + 2 * i) }
       val vmaxs = statsCols.indices.map { i =>
         if (r.isNullAt(8 + 2 * i)) Long.MaxValue else r.getLong(8 + 2 * i) }
+      val bBase = 7 + 2 * statsCols.size
+      val blooms = statsCols.indices.map { i =>
+        val bits = new java.util.BitSet(BloomBits)
+        (0 until BloomSeeds).foreach { s =>
+          r.getSeq[Int](bBase + BloomSeeds * i + s).foreach(bits.set)
+        }
+        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+      }
       FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), mn2, mx2,
-        r.getLong(6), vmins, vmaxs)
+        r.getLong(6), vmins, vmaxs, bloom = blooms)
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
     (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
@@ -1909,6 +1965,32 @@ object TxnTable {
     }
     (toLogical(m, readFiles(spark, root, m.schemaDdl, keep)),
       keep.size, m.files.size)
+  }
+
+  /** BLOOM-SKIPPED POINT READ on a stats column (qe9): range stats
+    * first, then each surviving file's manifest bloom filter — the
+    * skipping fact min/max cannot express (a scattered high-cardinality
+    * column where every file's range covers the probe yet only one
+    * file holds the value). A bloom pass is advisory (false positives
+    * read a file for nothing); a bloom MISS is definitive (the hash
+    * positions are writer/prober-identical by construction), so
+    * correctness never depends on the filter — a wrongly-skipped file
+    * would be a hash drift, which the graded aggregate would surface.
+    * Returns (rows, bloomKept, rangeKept, total). */
+  def prunedReadByEquals(spark: SparkSession, root: String, version: Int,
+      colName: String, value: Long): (DataFrame, Int, Int, Int) = {
+    val m = readManifest(root, version)
+    val i = m.statsCols.indexOf(colName)
+    require(i >= 0, s"$colName carries no stats (stats=${m.statsCols})")
+    val rangeKept = m.files.filter { f =>
+      val (mn, mx) =
+        if (f.vmin.length > i) (f.vmin(i), f.vmax(i))
+        else (Long.MinValue, Long.MaxValue)
+      value >= mn && value <= mx
+    }
+    val kept = rangeKept.filter(f => bloomMightContain(f, i, value))
+    (toLogical(m, readFiles(spark, root, m.schemaDdl, kept)),
+      kept.size, rangeKept.size, m.files.size)
   }
 
   /** qcv: the pruned read graded end-to-end over the documents table.
@@ -3375,6 +3457,77 @@ object TxnTable {
            CAST(2 AS BIGINT) AS n_attempt_dirs,
            CAST(0 AS BIGINT) AS n_orphans
     FROM documents"""
+
+  // ------------------------------------------------------------------
+  // qe9: BLOOM-FILTER FILE SKIPPING — the point probe min/max can't
+  // ------------------------------------------------------------------
+
+  /** qe9: manifest bloom filters graded on the probe class range stats
+    * are BLIND to. The staged table's `tag` column is deliberately
+    * scattered — tag = (k % 257)·16 + shard, so every file's [min,max]
+    * range covers every probe value (the oracle REPLAYS that min/max
+    * alone keeps ALL files: `n_files_range` = `n_files_total`), yet
+    * each tag value lives in exactly one shard's file. The point probe
+    * ([[prunedReadByEquals]]) then prunes through the per-file blooms
+    * to a strict subset (`bloom_pruned_strictly`) — with the needle's
+    * rows intact: the probe aggregates ride the pruned scan, so a
+    * false NEGATIVE (the only wrong outcome a bloom could cause) would
+    * drop rows and shift the hash. Writer and prober share one hash
+    * definition (the same Catalyst expression), making the miss
+    * decision exact by construction. */
+  def txnBloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_bloom")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    createEmpty(spark, root, "k BIGINT,tag BIGINT,c BIGINT", "k", 16,
+      mx + 1, statsCols = Seq("tag"))
+    append(spark, root,
+      docs.withColumn("tag",
+        expr(s"(k % 257) * 16 + k * 16 div ${mx + 1}")).select("k", "tag", "c"),
+      "bloom_load")
+    val k0 = mx / 2
+    val tag0 = (k0 % 257) * 16 + k0 * 16 / (mx + 1)
+    val (rows, bloomKept, rangeKept, total) =
+      prunedReadByEquals(spark, root, latestVersion(root), "tag", tag0)
+    val hit = col("tag") === tag0
+    rows.agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_rows"),
+        sum(when(hit, col("k")).otherwise(0L)).as("id_checksum"),
+        sum(when(hit, col("c")).otherwise(0L)).as("chars_sum"))
+      .withColumn("n_files_range", lit(rangeKept.toLong))
+      .withColumn("n_files_total", lit(total.toLong))
+      .withColumn("bloom_pruned_strictly", lit(bloomKept < rangeKept))
+      .withColumn("needle_file_kept", lit(bloomKept >= 1))
+  }
+
+  /** The shard/tag grid replayed: every file's tag range covers the
+    * probe (range pruning provably blind), the probe's hits fold from
+    * the same arithmetic. */
+  val txnBloomSkippingOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    d AS (
+      SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c,
+             (doc_id % 257) * 16 + doc_id * 16 // (m.mx + 1) AS tag,
+             doc_id * 16 // (m.mx + 1) AS shard
+      FROM documents, m),
+    probe AS (
+      SELECT ((m.mx // 2) % 257) * 16 + (m.mx // 2) * 16 // (m.mx + 1)
+        AS tag0 FROM m),
+    f AS (SELECT shard, min(tag) AS mnt, max(tag) AS mxt
+          FROM d GROUP BY shard),
+    rk AS (SELECT CAST(count(1) AS BIGINT) AS n FROM f, probe
+           WHERE tag0 BETWEEN mnt AND mxt),
+    tot AS (SELECT CAST(count(1) AS BIGINT) AS n FROM f),
+    hits AS (
+      SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(coalesce(sum(k), 0) AS BIGINT) AS ks,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS cs
+      FROM d, probe WHERE tag = tag0)
+    SELECT hits.n AS n_rows, hits.ks AS id_checksum, hits.cs AS chars_sum,
+           rk.n AS n_files_range, tot.n AS n_files_total,
+           true AS bloom_pruned_strictly, true AS needle_file_kept
+    FROM hits, rk, tot"""
 
   // ------------------------------------------------------------------
   // qe8: PROTOCOL FEATURE GATE — versioned refusal of future formats

@@ -456,6 +456,10 @@ class TxnTableSpec extends SparkSpec {
         dropped = Seq("note", s),
         cdfKind = "files", cdfPath = s"data/v3-ab/_cdf_$s", cdfRows = 2L,
         features = Seq("deletion-vectors", s"feat_$s"))
+        .copy(files = Seq(TxnTable.FileEntry(s"data/v3-ab/p.parquet", 10L,
+          1L, 9L, -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L),
+          dv = s"data/dv-v4-cd/__fid=0_$s", dvRows = 3L,
+          bloom = Seq("AAECq/8=", ""))))
       val back = TxnTable.parse(TxnTable.toJson(m))
       assert(back == m, s"round-trip drift at seed $i:\n$back\nvs\n$m")
     }
