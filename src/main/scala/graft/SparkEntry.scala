@@ -424,6 +424,7 @@ object SparkEntry {
     "qe7_txn_append_contention" -> (graft.sources.TxnTable.txnAppendContention _),
     "qe8_txn_feature_gate"  -> (graft.sources.TxnTable.txnFeatureGate _),
     "qe9_txn_bloom_skipping" -> (graft.sources.TxnTable.txnBloomSkipping _),
+    "qea_txn_identity"      -> (graft.sources.TxnTable.txnIdentity _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1107,6 +1108,7 @@ object SparkEntry {
     "qe7_txn_append_contention" -> graft.sources.TxnTable.txnAppendContentionOracle,
     "qe8_txn_feature_gate"   -> graft.sources.TxnTable.txnFeatureGateOracle,
     "qe9_txn_bloom_skipping" -> graft.sources.TxnTable.txnBloomSkippingOracle,
+    "qea_txn_identity"       -> graft.sources.TxnTable.txnIdentityOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -155,7 +155,7 @@ object TxnTable {
       txns: Seq[(String, Long)] = Nil,
       renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil,
       cdfKind: String = "", cdfPath: String = "", cdfRows: Long = 0L,
-      features: Seq[String] = Nil)
+      features: Seq[String] = Nil, nextId: Long = 0L)
 
   /** PROTOCOL FEATURE GATE (the Delta reader-version idea, stamped
     * per manifest): [[commit]] derives the format features a manifest
@@ -263,7 +263,7 @@ object TxnTable {
       s""""dropped":[${m.dropped.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""features":[${m.features.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""cdf_kind":"${esc(m.cdfKind)}","cdf_path":"${esc(m.cdfPath)}",""" +
-      s""""cdf_rows":${m.cdfRows},""" +
+      s""""cdf_rows":${m.cdfRows},"next_id":${m.nextId},""" +
       s""""txns":[${m.txns.map(txnJson).mkString(",")}],""" +
       s""""files":$fs}"""
   }
@@ -354,7 +354,8 @@ object TxnTable {
       fieldStrOpt(json, "cdf_kind").getOrElse(""),
       fieldStrOpt(json, "cdf_path").getOrElse(""),
       fieldNumOpt(json, "cdf_rows").getOrElse(0L),
-      {
+      nextId = fieldNumOpt(json, "next_id").getOrElse(0L),
+      features = {
         val fi = json.indexOf(""""features":[""")
         if (fi < 0) Nil
         else {
@@ -1199,10 +1200,11 @@ object TxnTable {
           adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1, txns = ledger,
             renames = base.renames, dropped = base.dropped,
-            cdfKind = "adds")
+            cdfKind = "adds", nextId = base.nextId)
         else adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
           deltaOf = v, txns = ledger,
-          renames = base.renames, dropped = base.dropped, cdfKind = "adds")
+          renames = base.renames, dropped = base.dropped, cdfKind = "adds",
+          nextId = base.nextId)
       (m, sub)
     }
     catch {
@@ -1212,6 +1214,80 @@ object TxnTable {
         if (!e.isInstanceOf[TxnAlreadyCommitted]) dropStaged()
         throw e
     }
+  }
+
+  /** IDENTITY-COLUMN APPEND: assign `idCol` monotone, gap-free ids
+    * [watermark, watermark + n) to the batch and commit it — identity
+    * allocation expressed as OPTIMISTIC CONCURRENCY on the manifest's
+    * `nextId` watermark, the same CAS that already serializes commits:
+    * two racing identity appends cannot collide because exactly one
+    * wins the slot and the loser re-derives its ids from the NEW
+    * watermark (the rebase). Assignment is distributed: per-partition
+    * counts prefix-sum into offsets on the driver (bounded by the
+    * partition count), each partition then numbers its own rows — no
+    * global sort, no single-partition window. The watermark is
+    * monotone across every commit class (rewrites carry it, restore
+    * takes the max), so ids burn exactly once forever. Returns
+    * (version, conflicts, firstId, n). */
+  def appendWithIdentity(spark: SparkSession, root: String, df: DataFrame,
+      idCol: String, op: String, checkpointEvery: Int = 4,
+      maxRetries: Int = 5, beforeCommit: () => Unit = () => ())
+      : (Int, Int, Long, Long) = {
+    require(!df.columns.contains(idCol),
+      s"identity column $idCol must not be present in the batch")
+    // the batch pins once: id assignment walks it twice (counts, then
+    // numbering) and a re-derivation on a lost race walks it again
+    val pinned = df.cache()
+    try {
+      var firstId = 0L
+      var total = 0L
+      val (ver, conflicts) = retryCommit(root, "appendWithIdentity",
+        maxRetries, beforeCommit) { v =>
+        val base = readManifest(root, v)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+        require(schema.fieldNames.headOption.contains(idCol) ||
+          schema.fieldNames.contains(idCol),
+          s"table $root has no column $idCol")
+        val rdd = toPhysical(base, pinned).rdd
+        val counts = rdd.mapPartitionsWithIndex((i, it) =>
+          Iterator(i -> it.size.toLong)).collect().toMap
+        val ordered = counts.toSeq.sortBy(_._1)
+        val offs = ordered.map(_._1)
+          .zip(ordered.map(_._2).scanLeft(0L)(_ + _)).toMap
+        val start = base.nextId
+        total = ordered.map(_._2).sum
+        firstId = start
+        val withIds = rdd.mapPartitionsWithIndex { (i, it) =>
+          var next = start + offs(i)
+          it.map { row =>
+            val r = org.apache.spark.sql.Row.fromSeq(next +: row.toSeq)
+            next += 1
+            r
+          }
+        }
+        val idField = schema(idCol)
+        val batchSchema = org.apache.spark.sql.types.StructType(
+          idField +: pinned.schema.fields)
+        val df2 = spark.createDataFrame(withIds, batchSchema)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        val (adds, sub) = writeSnapshot(spark, root, v + 1, op, df2,
+          base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
+          checkExpr = base.checkExpr, statsCols = base.statsCols)
+        val m =
+          if ((v + 1) % checkpointEvery == 0)
+            adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
+              files = base.files ++ adds.files, deltaOf = -1,
+              txns = base.txns, renames = base.renames,
+              dropped = base.dropped, cdfKind = "adds",
+              nextId = start + total)
+          else adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
+            deltaOf = v, txns = base.txns, renames = base.renames,
+            dropped = base.dropped, cdfKind = "adds",
+            nextId = start + total)
+        (m, sub)
+      }
+      (ver, conflicts, firstId, total)
+    } finally pinned.unpersist()
   }
 
   /** Has a commit with this exact `op` (the sink's transaction id)
@@ -1239,7 +1315,7 @@ object TxnTable {
       val (m, sub) = writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
         base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
         checkExpr = base.checkExpr, statsCols = base.statsCols)
-      (m.copy(txns = base.txns), sub)
+      (m.copy(txns = base.txns, nextId = base.nextId), sub)
     }
 
   /** OPTIMIZE: rewrite the current snapshot at a new shard count AS A
@@ -1260,7 +1336,8 @@ object TxnTable {
         readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
         statsCols = base.statsCols)
-      (m.copy(txns = base.txns, cdfKind = "none"), sub)
+      (m.copy(txns = base.txns, cdfKind = "none",
+        nextId = base.nextId), sub)
     }
 
   /** `OPTIMIZE ZORDER BY` on an EXISTING table (round-9 verdict item
@@ -1294,7 +1371,8 @@ object TxnTable {
         snap, base.keyCol, newShards, base.layoutDiv, keyCol2 = yCol,
         shardExprOverride = Some(shardE), checkExpr = base.checkExpr,
         statsCols = base.statsCols)
-      (m.copy(txns = base.txns, cdfKind = "none"), sub)
+      (m.copy(txns = base.txns, cdfKind = "none",
+        nextId = base.nextId), sub)
     }
 
   /** SURGICAL copy-on-write delete: consult the manifest stats to find
@@ -1330,7 +1408,8 @@ object TxnTable {
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
         renames = base.renames, dropped = base.dropped,
-        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf), sub)
+        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf,
+        nextId = base.nextId), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -1356,7 +1435,12 @@ object TxnTable {
       val head = readManifestRaw(root, v)
       (target.copy(version = v + 1, op = s"restore_v$toVersion",
         deltaOf = -1, txns = head.txns, cdfKind = "", cdfPath = "",
-        cdfRows = 0L), "data/__no_attempt__")
+        cdfRows = 0L,
+        // the id watermark is monotone like the ledger: rolled-back
+        // rows vanish but their ids stay burned, so a post-restore
+        // identity append can never collide with a later un-restore
+        nextId = math.max(target.nextId, head.nextId)),
+        "data/__no_attempt__")
     }
 
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE`
@@ -1508,7 +1592,7 @@ object TxnTable {
       (adds.copy(schemaDdl = base.schemaDdl, files = clean ++ adds.files,
         deltaOf = -1, txns = base.txns,
         renames = base.renames, dropped = base.dropped,
-        cdfKind = "none"), sub)
+        cdfKind = "none", nextId = base.nextId), sub)
     }
     (ver, purged, carriedN)
   }
@@ -1565,7 +1649,8 @@ object TxnTable {
       (adds.copy(schemaDdl = base.schemaDdl,
         files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
         renames = base.renames, dropped = base.dropped,
-        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf), sub)
+        cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf,
+        nextId = base.nextId), sub)
     }
     (ver, rewritten, carriedN)
   }
@@ -3457,6 +3542,74 @@ object TxnTable {
            CAST(2 AS BIGINT) AS n_attempt_dirs,
            CAST(0 AS BIGINT) AS n_orphans
     FROM documents"""
+
+  // ------------------------------------------------------------------
+  // qea: IDENTITY ALLOCATION — monotone ids as OCC on the watermark
+  // ------------------------------------------------------------------
+
+  /** qea: transactional identity assignment graded under contention.
+    * Three identity appends land on an id-keyed table — the first
+    * alone, the next two RACING through a 2-thread barrier (exactly
+    * one conflict, the loser re-derives its ids from the winner's
+    * watermark). The graded row proves the allocation is globally
+    * gap-free and collision-free regardless of race order: distinct
+    * ids == rows, min 0, max N-1, and the id checksum equals
+    * N(N-1)/2 — any collision, gap, or double-assignment shifts it.
+    * The manifest watermark itself (`next_id` = N) is graded as data,
+    * and the id-keyed LAYOUT stays selective: a probe on an id band
+    * prunes files (`pruned_strictly`), which is the reason identity
+    * keys matter — monotone ids make every later batch range-disjoint
+    * by construction. */
+  def txnIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.Fs.scratch("graft_txn_identity")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    val n = docs.count()
+    createEmpty(spark, root, "id BIGINT,k BIGINT,c BIGINT", "id", 16, n)
+    appendWithIdentity(spark, root, docs.where(col("k") % 3 === 0),
+      "id", "ident_a")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(side: Int): () => (Int, Int, Long, Long) = () => {
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      appendWithIdentity(spark, root, docs.where(col("k") % 3 === side),
+        "id", s"ident_$side",
+        beforeCommit = () => if (first.getAndSet(false)) barrier.await())
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (ra, rb) =
+      try Await.result(
+        Future(writer(1)()).zip(Future(writer(2)())), Duration.Inf)
+      finally pool.shutdown()
+    val watermark = readManifest(root, latestVersion(root)).nextId
+    val (pruned, kept, total) =
+      prunedRead(spark, root, latestVersion(root), 0L, n / 16)
+    readVersion(spark, root, latestVersion(root))
+      .agg(count(lit(1)).as("n_rows"), countDistinct("id").as("n_ids"),
+        min("id").as("min_id"), max("id").as("max_id"),
+        sum("id").as("id_checksum"), sum("c").as("chars_sum"))
+      .withColumn("n_versions", lit(latestVersion(root) + 1L))
+      .withColumn("n_conflicts", lit((ra._2 + rb._2).toLong))
+      .withColumn("watermark", lit(watermark))
+      .withColumn("pruned_strictly", lit(kept < total))
+  }
+
+  /** N(N-1)/2 arithmetic over the document count plus the protocol
+    * constants (4 versions, exactly 1 conflict, watermark = N). */
+  val txnIdentityOracle: String = """
+    WITH d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c
+               FROM documents),
+    n AS (SELECT CAST(count(1) AS BIGINT) AS n FROM d)
+    SELECT n.n AS n_rows, n.n AS n_ids,
+           CAST(0 AS BIGINT) AS min_id, n.n - 1 AS max_id,
+           n.n * (n.n - 1) // 2 AS id_checksum,
+           (SELECT CAST(sum(c) AS BIGINT) FROM d) AS chars_sum,
+           CAST(4 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_conflicts,
+           n.n AS watermark,
+           true AS pruned_strictly
+    FROM n"""
 
   // ------------------------------------------------------------------
   // qe9: BLOOM-FILTER FILE SKIPPING — the point probe min/max can't

@@ -571,6 +571,29 @@ class TxnTableSpec extends SparkSpec {
       Seq("external-files"))
   }
 
+  test("identity watermark survives rewrites and never rolls back") {
+    val r = root("identity")
+    TxnTable.createEmpty(spark, r, "id BIGINT,v BIGINT", "id", 4, 10000L)
+    import spark.implicits._
+    val (_, _, f1, n1) = TxnTable.appendWithIdentity(spark, r,
+      Seq(10L, 20L, 30L).toDF("v"), "id", "a")
+    assert(f1 == 0L && n1 == 3L)
+    // a plain append and an optimize both carry the watermark
+    TxnTable.append(spark, r, Seq((100L, 1L)).toDF("id", "v"), "plain")
+    TxnTable.optimize(spark, r, 4)
+    val (_, _, f2, n2) = TxnTable.appendWithIdentity(spark, r,
+      Seq(40L, 50L).toDF("v"), "id", "b")
+    assert(f2 == 3L && n2 == 2L, s"watermark lost: next batch began at $f2")
+    // restore never rolls the watermark back
+    TxnTable.restore(spark, r, 0)
+    val (_, _, f3, _) = TxnTable.appendWithIdentity(spark, r,
+      Seq(60L).toDF("v"), "id", "c")
+    assert(f3 == 5L, s"restore must not re-burn ids (got $f3)")
+    val ids = TxnTable.readVersion(spark, r, TxnTable.latestVersion(r))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids sameElements Array(5L), "restored table holds only the new row")
+  }
+
   test("a probe that prunes every file yields the schema'd empty frame") {
     val (r, _) = mkTable("emptyprobe", n = 1000, shards = 8)
     val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 5000L, 6000L)
