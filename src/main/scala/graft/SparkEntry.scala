@@ -425,6 +425,7 @@ object SparkEntry {
     "qe8_txn_feature_gate"  -> (graft.sources.TxnTable.txnFeatureGate _),
     "qe9_txn_bloom_skipping" -> (graft.sources.TxnTable.txnBloomSkipping _),
     "qea_txn_identity"      -> (graft.sources.TxnTable.txnIdentity _),
+    "qeb_sql_metadata_sum"  -> (graft.sources.GraftTxnCatalog.sqlMetadataSum _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1109,6 +1110,7 @@ object SparkEntry {
     "qe8_txn_feature_gate"   -> graft.sources.TxnTable.txnFeatureGateOracle,
     "qe9_txn_bloom_skipping" -> graft.sources.TxnTable.txnBloomSkippingOracle,
     "qea_txn_identity"       -> graft.sources.TxnTable.txnIdentityOracle,
+    "qeb_sql_metadata_sum"   -> graft.sources.GraftTxnCatalog.sqlMetadataSumOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

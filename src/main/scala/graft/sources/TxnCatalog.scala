@@ -520,6 +520,76 @@ object GraftTxnCatalog {
            CAST(count(DISTINCT k) AS BIGINT) AS d
     FROM a"""
 
+  /** qeb: METADATA-ONLY `SUM(col)` / `COUNT(col)` — qds's fold
+    * extended to the aggregates that need per-file SUMS and NON-NULL
+    * COUNTS, which the writer now records exactly for every stats
+    * column (DECIMAL(38) at write; an out-of-Long-range sum stores an
+    * "unknown" sentinel and declines). The staged table folds across
+    * THREE commits, one of which carries NULLs in the stats column —
+    * `c_count < n_rows` and the sum skipping nulls are exactly the
+    * SQL semantics the manifest fold must reproduce, hash-graded. The
+    * whole query plans as a driver-local row (zero tasks, zero files
+    * opened — `metadata_only` asserts no [[TxnScan]] in the plan);
+    * the negative control aggregates the KEY column, which carries
+    * range stats but no sums, and must DECLINE to a real scan
+    * (`key_sum_scanned`) with its result graded too. The builder
+    * checks the Long-range fit of the total against the REAL manifest
+    * before ever claiming pushdown. */
+  def sqlMetadataSum(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    docs.createOrReplaceTempView("docs_sqlmsum")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_metasum")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_metasum (k BIGINT, c BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}',
+                     'stats_cols'='c')""")
+    spark.sql("INSERT INTO graft.sql_metasum SELECT k, c FROM docs_sqlmsum")
+    spark.sql("INSERT INTO graft.sql_metasum" +
+      " SELECT -k - 1, c + 10 FROM docs_sqlmsum WHERE k % 7 = 0")
+    // a null-bearing batch: count(c)/sum(c) must fold SQL null
+    // semantics from the per-file facts, not the row count
+    spark.sql("INSERT INTO graft.sql_metasum" +
+      " SELECT -k - 5000000, CASE WHEN k % 2 = 0 THEN NULL ELSE c END" +
+      " FROM docs_sqlmsum WHERE k % 11 = 0")
+    val q = spark.sql("""
+      SELECT count(*) AS n_rows, count(c) AS c_count, sum(c) AS c_sum,
+             min(c) AS c_min, max(c) AS c_max
+      FROM graft.sql_metasum""")
+    def planOf(df: DataFrame) = df.queryExecution.sparkPlan
+    val metadataOnly = planOf(q).collectFirst {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }.isDefined && planOf(q).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty
+    // the KEY carries ranges but no sums: sum(k) must decline and scan
+    val ctl = spark.sql("SELECT sum(k) AS k_sum FROM graft.sql_metasum")
+    val ctlScanned = planOf(ctl).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case t: TxnScan => t }.isDefined
+    q.withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("key_sum_scanned", lit(ctlScanned))
+      .crossJoin(broadcast(ctl))
+  }
+
+  val sqlMetadataSumOracle: String = """
+    WITH d AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c
+               FROM documents),
+    a AS (SELECT k, c FROM d
+          UNION ALL SELECT -k - 1, c + 10 FROM d WHERE k % 7 = 0
+          UNION ALL SELECT -k - 5000000,
+                           CASE WHEN k % 2 = 0 THEN NULL ELSE c END
+                    FROM d WHERE k % 11 = 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(c) AS BIGINT) AS c_count,
+           CAST(sum(c) AS BIGINT) AS c_sum,
+           min(c) AS c_min, max(c) AS c_max,
+           true AS metadata_only, true AS key_sum_scanned,
+           CAST(sum(k) AS BIGINT) AS k_sum
+    FROM a"""
+
   /** qdt: DYNAMIC FILE PRUNING — partition-DPP generalized to file
     * granularity through `SupportsRuntimeV2Filtering` (the Delta
     * "dynamic file pruning" optimization): a fact-dim join where the
@@ -1194,7 +1264,7 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
   // other aggregate declines (Spark also never offers aggregates here
   // when a residual filter survives, which ours always do).
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
   private def statName(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
     case r: NamedReference if r.fieldNames.length == 1 &&
@@ -1205,6 +1275,18 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
     val (lo, hi) = TxnScanBuilder.fileRange(m, f, c)
     !(lo == Long.MinValue && hi == Long.MaxValue)
   }
+  // SUM/COUNT(col) fold only from declared stats columns whose every
+  // file carries an exact (non-sentinel) count, and — for SUM — whose
+  // total provably fits a Long (qeb; checked HERE, against the real
+  // manifest, before pushdown is ever claimed)
+  private def cntExact(c: String): Boolean = {
+    val i = m.statsCols.indexOf(c)
+    i >= 0 && m.files.forall(f => f.vcnt.length > i && f.vcnt(i) >= 0)
+  }
+  private def sumExact(c: String): Boolean = cntExact(c) && {
+    val i = m.statsCols.indexOf(c)
+    m.files.map(f => BigInt(f.vsum(i))).sum.isValidLong
+  }
   private def pushableAgg(agg: Aggregation): Boolean =
     bounds.isEmpty && accepted.isEmpty &&
       agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
@@ -1212,6 +1294,8 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
         case _: CountStar => true
         case mn: Min      => statName(mn.column).exists(exactEverywhere)
         case mx: Max      => statName(mx.column).exists(exactEverywhere)
+        case s: Sum if !s.isDistinct => statName(s.column).exists(sumExact)
+        case c: Count if !c.isDistinct => statName(c.column).exists(cntExact)
         case _            => false
       }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -1222,6 +1306,8 @@ private[sources] class TxnScanBuilder(spark: SparkSession, root: String,
         case _: CountStar => ("count", "")
         case mn: Min      => ("min", statName(mn.column).get)
         case mx: Max      => ("max", statName(mx.column).get)
+        case s: Sum       => ("sum", statName(s.column).get)
+        case c: Count     => ("countcol", statName(c.column).get)
       }
       true
     }
@@ -1295,10 +1381,12 @@ private[sources] class TxnLocalAggScan(m: Manifest,
   import org.apache.spark.sql.types.{LongType, StructField}
 
   override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
-    case (("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
-    case ((_, _), i)       => StructField(s"agg_$i", LongType, nullable = true)
+    case (("count", _), i)    => StructField(s"agg_$i", LongType, nullable = false)
+    case (("countcol", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+    case ((_, _), i)          => StructField(s"agg_$i", LongType, nullable = true)
   })
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def idx(c: String) = m.statsCols.indexOf(c)
     val values: Array[Any] = funcs.toArray.map {
       case ("count", _) => m.files.map(_.nRows).sum
       case ("min", c) =>
@@ -1307,6 +1395,14 @@ private[sources] class TxnLocalAggScan(m: Manifest,
       case ("max", c) =>
         if (m.files.isEmpty) null
         else Long.box(m.files.map(f => TxnScanBuilder.fileRange(m, f, c)._2).max)
+      case ("countcol", c) =>
+        m.files.map(f => f.vcnt(idx(c))).sum
+      case ("sum", c) =>
+        // SQL sum semantics: null over zero non-null values; the fold
+        // fits a Long by the builder's pre-pushdown check
+        val i = idx(c)
+        if (m.files.map(f => f.vcnt(i)).sum == 0L) null
+        else Long.box(m.files.map(f => f.vsum(i)).sum)
     }
     Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
   }

@@ -82,10 +82,16 @@ object TxnTable {
     * file's range covers the probe, yet only one file holds the
     * value). ~172 bytes per column per file in the manifest; empty on
     * pre-bloom files (skips nothing, never wrong). */
+  /** `vcnt`/`vsum` carry each stats column's per-file NON-NULL count
+    * and exact sum (computed in DECIMAL(38) at write; a sum outside
+    * the Long range stores the vcnt = -1 "unknown" sentinel) — the
+    * facts that let `SUM(col)` / `COUNT(col)` answer METADATA-ONLY
+    * next to qds's count/min/max. */
   final case class FileEntry(path: String, nRows: Long, minK: Long, maxK: Long,
       minK2: Long = Long.MinValue, maxK2: Long = Long.MaxValue,
       bytes: Long = 0L, vmin: Seq[Long] = Nil, vmax: Seq[Long] = Nil,
-      dv: String = "", dvRows: Long = 0L, bloom: Seq[String] = Nil)
+      dv: String = "", dvRows: Long = 0L, bloom: Seq[String] = Nil,
+      vcnt: Seq[Long] = Nil, vsum: Seq[Long] = Nil)
 
   /** One committed version. `layoutDiv`/`shards` pin the shard layout
     * chosen at create time so every later commit re-shards
@@ -250,7 +256,8 @@ object TxnTable {
         s""""max_k":${f.maxK},"min_k2":${f.minK2},"max_k2":${f.maxK2},""" +
         s""""bytes":${f.bytes},"vmin":${longs(f.vmin)},"vmax":${longs(f.vmax)},""" +
         s""""dv":"${esc(f.dv)}","dv_rows":${f.dvRows},""" +
-        s""""bloom":[${f.bloom.map(b => s""""$b"""").mkString(",")}]}""")
+        s""""bloom":[${f.bloom.map(b => s""""$b"""").mkString(",")}],""" +
+        s""""vcnt":${longs(f.vcnt)},"vsum":${longs(f.vsum)}}""")
       .mkString("[", ",", "]")
     s"""{"version":${m.version},"op":"${esc(m.op)}","key_col":"${esc(m.keyCol)}",""" +
       s""""key_col2":"${esc(m.keyCol2)}","schema":"${esc(m.schemaDdl)}",""" +
@@ -274,7 +281,8 @@ object TxnTable {
       """"min_k2":(-?\d+),"max_k2":(-?\d+),"bytes":(\d+),""" +
       """"vmin":\[([-0-9,]*)\],"vmax":\[([-0-9,]*)\]""" +
       s"""(?:,"dv":"$Str","dv_rows":(\\d+))?""" +
-      """(?:,"bloom":\[([A-Za-z0-9+/=",]*)\])?\}""").r
+      """(?:,"bloom":\[([A-Za-z0-9+/=",]*)\])?""" +
+      """(?:,"vcnt":\[([-0-9,]*)\],"vsum":\[([-0-9,]*)\])?\}""").r
   private val TxnRe = (s"""\\{"app":"$Str","v":(-?\\d+)\\}""").r
   private def fieldStr(json: String, name: String): String =
     unesc((s""""$name":"$Str"""").r.findFirstMatchIn(json)
@@ -341,7 +349,9 @@ object TxnTable {
         Option(m.group(11)).map(_.toLong).getOrElse(0L),
         Option(m.group(12)).filter(_.nonEmpty)
           .map(_.split(',').toSeq.map(_.stripPrefix("\"").stripSuffix("\"")))
-          .getOrElse(Nil)))
+          .getOrElse(Nil),
+        parseLongs(Option(m.group(13)).getOrElse("")),
+        parseLongs(Option(m.group(14)).getOrElse(""))))
         .toSeq,
       fieldNum(json, "delta_of").toInt,
       fieldStr(json, "key_col2"),
@@ -585,7 +595,11 @@ object TxnTable {
     }
     val k2 = if (keyCol2.nonEmpty) col(keyCol2) else lit(0L)
     val vAggs = statsCols.indices.flatMap { i =>
-      Seq(min(col(s"__v$i")).as(s"vmn$i"), max(col(s"__v$i")).as(s"vmx$i")) }
+      Seq(min(col(s"__v$i")).as(s"vmn$i"), max(col(s"__v$i")).as(s"vmx$i"),
+        count(col(s"__v$i")).as(s"vct$i"), // non-null count
+        // exact sum in DECIMAL(38): a value outside the Long range at
+        // fold time stores the "unknown" sentinel instead of wrapping
+        sum(col(s"__v$i").cast("decimal(38,0)")).as(s"vsm$i")) }
     // per-file bloom positions for every stats column (3 hash seeds):
     // a bounded collect_set of bit indexes per (file, column, seed) —
     // at 100 TB the writer task would fold the bitset inline like the
@@ -620,10 +634,20 @@ object TxnTable {
         if (keyCol2.nonEmpty && !r.isNullAt(4)) (r.getLong(4), r.getLong(5))
         else (Long.MinValue, Long.MaxValue)
       val vmins = statsCols.indices.map { i =>
-        if (r.isNullAt(7 + 2 * i)) Long.MinValue else r.getLong(7 + 2 * i) }
+        if (r.isNullAt(7 + 4 * i)) Long.MinValue else r.getLong(7 + 4 * i) }
       val vmaxs = statsCols.indices.map { i =>
-        if (r.isNullAt(8 + 2 * i)) Long.MaxValue else r.getLong(8 + 2 * i) }
-      val bBase = 7 + 2 * statsCols.size
+        if (r.isNullAt(8 + 4 * i)) Long.MaxValue else r.getLong(8 + 4 * i) }
+      val vcnts0 = statsCols.indices.map(i => r.getLong(9 + 4 * i))
+      val vsums = statsCols.indices.map { i =>
+        if (r.isNullAt(10 + 4 * i)) BigDecimal(0)
+        else BigDecimal(r.getDecimal(10 + 4 * i)) }
+      // a per-file sum outside the Long range stores the "unknown"
+      // sentinel (vcnt = -1): the metadata-agg path then declines
+      val (vcnts, vsumL) = statsCols.indices.map { i =>
+        if (vsums(i).abs > BigDecimal(Long.MaxValue)) (-1L, 0L)
+        else (vcnts0(i), vsums(i).toLongExact)
+      }.unzip
+      val bBase = 7 + 4 * statsCols.size
       val blooms = statsCols.indices.map { i =>
         val bits = new java.util.BitSet(BloomBits)
         (0 until BloomSeeds).foreach { s =>
@@ -632,7 +656,8 @@ object TxnTable {
         java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
       }
       FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), mn2, mx2,
-        r.getLong(6), vmins, vmaxs, bloom = blooms)
+        r.getLong(6), vmins, vmaxs, bloom = blooms,
+        vcnt = vcnts, vsum = vsumL)
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
     (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,

@@ -33,6 +33,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "qe2_txn_restore" -> "crossJoin(broadcast(1-row restored-version aggregate)) next to the head aggregate",
     "qe3_sql_column_mapping" -> "crossJoin(broadcast(1-row VERSION-AS-OF sum aggregates)) next to the head aggregate",
     "qe4_txn_shallow_clone" -> "crossJoin(broadcast(1-row clone-head aggregate)) next to the source aggregate",
+    "qeb_sql_metadata_sum" -> "crossJoin(broadcast(1-row key-sum negative-control aggregate)) next to the 1-row metadata fold",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",

@@ -331,6 +331,40 @@ class TxnCatalogSpec extends SparkSpec {
     assert(f.head().getLong(0) == 100L)
   }
 
+  test("metadata-only SUM/COUNT(col): null semantics, sentinel declines") {
+    sql("DROP TABLE IF EXISTS graft.spec_msum")
+    sql("""CREATE TABLE graft.spec_msum (k BIGINT, c BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100',
+                          'stats_cols'='c')""")
+    sql("INSERT INTO graft.spec_msum SELECT id, id * 2 FROM range(100)")
+    // an ALL-null batch: min/max get sentinels (decline), but
+    // count(c)/sum(c) carry exact facts (0 non-null) and still fold
+    sql("INSERT INTO graft.spec_msum" +
+      " SELECT -id - 1, CAST(NULL AS BIGINT) FROM range(5)")
+    val q = sql(
+      "SELECT count(*) AS n, count(c) AS nc, sum(c) AS s FROM graft.spec_msum")
+    assert(q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty, "count/sum over exact facts must stay metadata-only")
+    assert(q.head() == org.apache.spark.sql.Row(105L, 100L, 9900L))
+    val mm = sql("SELECT min(c) FROM graft.spec_msum")
+    assert(mm.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.nonEmpty, "a sentinel-carrying file must decline min/max pushdown")
+    assert(mm.head().getLong(0) == 0L)
+    // a sum whose total cannot fit a Long declines BEFORE pushdown
+    sql("DROP TABLE IF EXISTS graft.spec_msum_big")
+    sql("""CREATE TABLE graft.spec_msum_big (k BIGINT, c BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='1','layout_div'='10',
+                          'stats_cols'='c')""")
+    sql(s"INSERT INTO graft.spec_msum_big" +
+      s" SELECT id, ${Long.MaxValue / 2} FROM range(3)")
+    val big = sql("SELECT sum(c) FROM graft.spec_msum_big")
+    assert(big.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.nonEmpty, "an out-of-Long-range total must decline, not wrap")
+  }
+
   test("writeStream.toTable: epoch-ledgered exactly-once sink; CHECK gates epochs") {
     val ckpt = graft.Fs.scratch("spec_sink_ckpt")
     graft.Fs.deleteRecursively(ckpt)
