@@ -426,6 +426,12 @@ object SparkEntry {
     "qe9_txn_bloom_skipping" -> (graft.sources.TxnTable.txnBloomSkipping _),
     "qea_txn_identity"      -> (graft.sources.TxnTable.txnIdentity _),
     "qeb_sql_metadata_sum"  -> (graft.sources.GraftTxnCatalog.sqlMetadataSum _),
+    "qec_sql_mor_read"      -> (graft.sources.GraftTxnCatalog.sqlMorRead _),
+    "qed_sql_mor_dml"       -> (graft.sources.GraftTxnCatalog.sqlMorDml _),
+    "qee_sql_procedures"    -> (graft.sources.GraftTxnCatalog.sqlProcedures _),
+    "qef_sql_typed_stats"   -> (graft.sources.GraftTxnCatalog.sqlTypedStats _),
+    "qeg_sql_mapped_dml"    -> (graft.sources.GraftTxnCatalog.sqlMappedDml _),
+    "qeh_sql_identity_ddl"  -> (graft.sources.GraftTxnCatalog.sqlIdentityDdl _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1111,6 +1117,12 @@ object SparkEntry {
     "qe9_txn_bloom_skipping" -> graft.sources.TxnTable.txnBloomSkippingOracle,
     "qea_txn_identity"       -> graft.sources.TxnTable.txnIdentityOracle,
     "qeb_sql_metadata_sum"   -> graft.sources.GraftTxnCatalog.sqlMetadataSumOracle,
+    "qec_sql_mor_read"       -> graft.sources.GraftTxnCatalog.sqlMorReadOracle,
+    "qed_sql_mor_dml"        -> graft.sources.GraftTxnCatalog.sqlMorDmlOracle,
+    "qee_sql_procedures"     -> graft.sources.GraftTxnCatalog.sqlProceduresOracle,
+    "qef_sql_typed_stats"    -> graft.sources.GraftTxnCatalog.sqlTypedStatsOracle,
+    "qeg_sql_mapped_dml"     -> graft.sources.GraftTxnCatalog.sqlMappedDmlOracle,
+    "qeh_sql_identity_ddl"   -> graft.sources.GraftTxnCatalog.sqlIdentityDdlOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

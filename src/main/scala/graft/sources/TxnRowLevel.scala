@@ -44,10 +44,14 @@ object TxnRowLevel {
       vmin: Seq[Long], vmax: Seq[Long], bytes: Long)
       extends WriterCommitMessage
 
-  /** Long-column stat slots for the task writer: keyCol, keyCol2 (if
-    * any), then statsCols — indices resolved against the write schema
-    * once on the driver. */
-  private[sources] case class StatSlots(key: Int, key2: Int, values: Seq[Int])
+  /** Stat slots for the task writer: keyCol, keyCol2 (if any), then
+    * statsCols — indices resolved against the write schema once on
+    * the driver. `vTypes` parallels `values` with each stats column's
+    * declared type; the task writer folds the same order-preserving
+    * Long encode the batch writer's SQL pass uses, so a row-level
+    * rewrite's bounds land in the identical stat lane. */
+  private[sources] case class StatSlots(key: Int, key2: Int,
+      values: Seq[Int], vTypes: Seq[String] = Nil)
 
   private[sources] class TxnReplaceWrite(root: String, base: Manifest,
       info: LogicalWriteInfo, op: String,
@@ -65,17 +69,36 @@ object TxnRowLevel {
     override def distributionStrictlyRequired(): Boolean = true
 
     override def toBatch: BatchWrite = {
-      val schema = info.schema()
-      def slot(c: String): Int =
+      // the plan's rows arrive under LOGICAL names; the files a
+      // rewrite emits must carry the PHYSICAL names the manifest's
+      // pinned DDL speaks (the column-mapping write translation,
+      // positionally — structural columns refuse renames, so every
+      // stat slot's name is identical in both worlds)
+      val l2p = base.renames.map(_.swap).toMap
+      val schema = StructType(info.schema().fields.map(f =>
+        f.copy(name = l2p.getOrElse(f.name, f.name))))
+      def slot(c: String, t: String): Int =
         if (c.isEmpty) -1
         else {
           val i = schema.fieldIndex(c)
-          require(schema.fields(i).dataType == LongType,
-            s"stats column $c must be BIGINT for inline task stats")
+          val want: org.apache.spark.sql.types.DataType = t match {
+            case "long"      => LongType
+            case "date"      => org.apache.spark.sql.types.DateType
+            case "timestamp" => org.apache.spark.sql.types.TimestampType
+            case "string"    => org.apache.spark.sql.types.StringType
+            case other => sys.error(s"unknown stats type $other for $c")
+          }
+          require(schema.fields(i).dataType == want,
+            s"stats column $c must be $want for inline task stats " +
+              s"(declared type $t), got ${schema.fields(i).dataType}")
           i
         }
-      val slots = StatSlots(slot(base.keyCol), slot(base.keyCol2),
-        base.statsCols.map(slot))
+      val vTypes = base.statsCols.indices.map(i =>
+        if (base.statsTypes.length > i) base.statsTypes(i) else "long")
+      val slots = StatSlots(slot(base.keyCol, "long"),
+        slot(base.keyCol2, "long"),
+        base.statsCols.zip(vTypes).map { case (c, t) => slot(c, t) },
+        vTypes)
       new TxnBatchWrite(root, base, schema, slots, op, carriedPaths)
     }
   }
@@ -192,8 +215,17 @@ object TxnRowLevel {
           mnK2 = math.min(mnK2, k2); mxK2 = math.max(mxK2, k2)
         }
         slots.values.indices.foreach { i =>
-          if (!row.isNullAt(slots.values(i))) {
-            val v = row.getLong(slots.values(i))
+          val si = slots.values(i)
+          if (!row.isNullAt(si)) {
+            // fold the declared type's Long encode — physical layouts:
+            // DATE = Int epoch days, TIMESTAMP = Long epoch micros,
+            // STRING through the shared prefix encode
+            val v = slots.vTypes(i) match {
+              case "date"   => row.getInt(si).toLong
+              case "string" =>
+                TxnTable.encodeStringStat(row.getUTF8String(si).toString)
+              case _        => row.getLong(si) // long & timestamp micros
+            }
             vmn(i) = math.min(vmn(i), v); vmx(i) = math.max(vmx(i), v)
           }
         }

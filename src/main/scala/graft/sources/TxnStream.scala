@@ -89,6 +89,13 @@ private[sources] class TxnMicroBatchStream(spark: SparkSession, root: String,
     var live = before
     (math.max(vFrom + 1, 0) to vTo).foreach { v =>
       val raw = TxnTable.readManifestRaw(root, v)
+      // a merge-on-read delete keeps every path (the append-only guard
+      // below passes) yet CHANGES rows — an adds-only stream cannot
+      // represent it; refuse loudly, the change feed is the tool
+      require(raw.files.forall(_.dvRows == 0),
+        s"streaming read of $root hit deletion vectors at version $v " +
+          s"(op=${raw.op}): merge-on-read deletes are not streamable " +
+          "as appends — consume the change feed, or purge first")
       if (raw.deltaOf < 0 && v > 0) {
         val full = raw.files.map(_.path).toSet
         require(live.subsetOf(full),

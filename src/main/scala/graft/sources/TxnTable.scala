@@ -76,12 +76,14 @@ object TxnTable {
     * sound for pruning (deletion only shrinks a file's true range —
     * stale-wide bounds skip nothing they shouldn't). */
   /** `bloom` carries one BLOOM FILTER per declared stats column
-    * (parallel to `vmin`/`vmax`, base64-encoded 1024-bit set, 3
-    * hashes): the file-skipping fact min/max ranges cannot express —
-    * a POINT probe on a scattered high-cardinality column (every
-    * file's range covers the probe, yet only one file holds the
-    * value). ~172 bytes per column per file in the manifest; empty on
-    * pre-bloom files (skips nothing, never wrong). */
+    * (parallel to `vmin`/`vmax`, a base64-encoded [[BloomBits]]-bit
+    * set — 64K bits, 3 hashes): the file-skipping fact min/max ranges
+    * cannot express — a POINT probe on a scattered high-cardinality
+    * column (every file's range covers the probe, yet only one file
+    * holds the value). Manifest cost: up to ~10.9 KB of base64 per
+    * stats column per file when saturated (BitSet.toByteArray trims
+    * trailing zero words, so sparse filters serialize smaller); empty
+    * on pre-bloom files (skips nothing, never wrong). */
   /** `vcnt`/`vsum` carry each stats column's per-file NON-NULL count
     * and exact sum (computed in DECIMAL(38) at write; a sum outside
     * the Long range stores the vcnt = -1 "unknown" sentinel) — the
@@ -154,6 +156,22 @@ object TxnTable {
     * rows), "none" (provably no logical row change: optimize, purge,
     * metadata-only DDL), or "" (unknown — pre-CDF manifests and
     * arbitrary rewrites; the feed refuses loudly rather than guesses). */
+  /** `statsTypes` (parallel to `statsCols`; empty = all "long") maps
+    * each stats column into the manifest's single Long stat lane by an
+    * ORDER-PRESERVING encode — the Iceberg typed-bounds idea on this
+    * log without forking the codec per type:
+    *   "long"      — identity (the original lane)
+    *   "date"      — epoch days (exact, reversible)
+    *   "timestamp" — epoch micros (exact, reversible)
+    *   "string"    — big-endian first-8-UTF-8-bytes, zero-padded,
+    *                 shifted into signed Long order ([[encodeStringStat]]).
+    *                 Truncation only WIDENS bounds (monotone non-strict,
+    *                 property-tested), so pruning stays sound while a
+    *                 probe beyond the shared 8-byte prefix degrades to
+    *                 "keeps the file" — never a wrong skip.
+    * Encoded bounds serve PRUNING (and blooms, which hash the encoded
+    * Long); only "long" columns remain eligible for metadata-only
+    * MIN/MAX/SUM answers — a truncated string bound is not the value. */
   final case class Manifest(version: Int, op: String, keyCol: String,
       schemaDdl: String, shards: Int, layoutDiv: Long, files: Seq[FileEntry],
       deltaOf: Int = -1, keyCol2: String = "", commitMs: Long = 0L,
@@ -161,7 +179,48 @@ object TxnTable {
       txns: Seq[(String, Long)] = Nil,
       renames: Seq[(String, String)] = Nil, dropped: Seq[String] = Nil,
       cdfKind: String = "", cdfPath: String = "", cdfRows: Long = 0L,
-      features: Seq[String] = Nil, nextId: Long = 0L)
+      features: Seq[String] = Nil, nextId: Long = 0L,
+      statsTypes: Seq[String] = Nil,
+      identityCol: String = "", identityStart: Long = 0L) {
+    /** The declared type of stats column `c` ("long" when undeclared —
+      * every pre-typed-stats manifest). */
+    def statType(c: String): String = {
+      val i = statsCols.indexOf(c)
+      if (i >= 0 && statsTypes.length > i) statsTypes(i) else "long"
+    }
+  }
+
+  private[graft] val StatTypes = Set("long", "string", "date", "timestamp")
+
+  /** The order-preserving string→Long stat encode, driver side: first
+    * 8 UTF-8 bytes big-endian as unsigned, zero-padded, minus 2^63 —
+    * bit-identical to the writer's SQL expression
+    * ([[statSourceExpr]]), so a probe can never drift from the
+    * written bounds. */
+  private[graft] def encodeStringStat(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var u = BigInt(0)
+    (0 until 8).foreach { i =>
+      u = (u << 8) | (if (i < b.length) BigInt(b(i) & 0xff) else BigInt(0))
+    }
+    (u - (BigInt(1) << 63)).toLong
+  }
+
+  /** The column expression whose min/max/bloom facts land in the stat
+    * lane — SQL-expressed so the writer's one stats pass stays a plain
+    * aggregate. The string arm is the exact SQL twin of
+    * [[encodeStringStat]] (rpad hex to 16, unsigned conv, shift). */
+  private[graft] def statSourceExpr(c: String, t: String)
+      : org.apache.spark.sql.Column = t match {
+    case "long"      => col(c)
+    case "date"      => expr(s"unix_date(cast($c as date))").cast("long")
+    case "timestamp" => expr(s"unix_micros($c)")
+    case "string"    => expr(
+      s"cast(conv(rpad(hex(substr(encode($c, 'UTF-8'), 1, 8)), 16, '0')" +
+        s", 16, 10) as decimal(38,0)) - 9223372036854775808")
+      .cast("long")
+    case other => sys.error(s"unknown stats type $other for column $c")
+  }
 
   /** PROTOCOL FEATURE GATE (the Delta reader-version idea, stamped
     * per manifest): [[commit]] derives the format features a manifest
@@ -172,7 +231,7 @@ object TxnTable {
     * no list and gate nothing. */
   private[graft] val SupportedFeatures: Set[String] = Set(
     "deletion-vectors", "column-mapping", "change-data-feed",
-    "external-files", "bloom-filters")
+    "external-files", "bloom-filters", "typed-stats", "identity-columns")
 
   /** Bloom sizing: 64K bits / 3 hashes keeps the false-positive rate
     * under ~1% up to ~10k distinct values per file; a saturated filter
@@ -191,7 +250,7 @@ object TxnTable {
       ((h % BloomBits + BloomBits) % BloomBits).toInt
     }
 
-  private def bloomMightContain(f: FileEntry, i: Int, value: Long): Boolean =
+  private[sources] def bloomMightContain(f: FileEntry, i: Int, value: Long): Boolean =
     if (f.bloom.length <= i) true // pre-bloom file: never skip
     else {
       val bits = java.util.BitSet.valueOf(
@@ -207,6 +266,14 @@ object TxnTable {
       (if (m.files.exists(_.path.startsWith("/"))) Seq("external-files")
        else Nil) ++
       (if (m.files.exists(_.bloom.nonEmpty)) Seq("bloom-filters")
+       else Nil) ++
+      // a pre-typed-stats reader's span parse would silently absorb
+      // the stats_types array into stats_cols — gate, don't misread
+      (if (m.statsTypes.exists(_ != "long")) Seq("typed-stats")
+       else Nil) ++
+      // a pre-identity writer would let explicit ids break the
+      // GENERATED ALWAYS contract — gate the whole table
+      (if (m.identityCol.nonEmpty) Seq("identity-columns")
        else Nil)).sorted
 
   private def logDir(root: String) = s"$root/_log"
@@ -265,12 +332,14 @@ object TxnTable {
       s""""delta_of":${m.deltaOf},"commit_ms":${m.commitMs},""" +
       s""""check":"${esc(m.checkExpr)}",""" +
       s""""stats_cols":[${m.statsCols.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
+      s""""stats_types":[${m.statsTypes.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""renames":[${m.renames.map(r =>
         s"""{"p":"${esc(r._1)}","l":"${esc(r._2)}"}""").mkString(",")}],""" +
       s""""dropped":[${m.dropped.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""features":[${m.features.map(c => s""""${esc(c)}"""").mkString(",")}],""" +
       s""""cdf_kind":"${esc(m.cdfKind)}","cdf_path":"${esc(m.cdfPath)}",""" +
       s""""cdf_rows":${m.cdfRows},"next_id":${m.nextId},""" +
+      s""""identity_col":"${esc(m.identityCol)}","identity_start":${m.identityStart},""" +
       s""""txns":[${m.txns.map(txnJson).mkString(",")}],""" +
       s""""files":$fs}"""
   }
@@ -310,16 +379,27 @@ object TxnTable {
     val txnSpan = json.substring(json.indexOf(""""txns":["""),
       json.indexOf(""","files":["""))
     val fileSpan = json.substring(json.indexOf(""","files":["""))
-    // renames/dropped are optional (absent in pre-mapping manifests)
+    // renames/dropped are optional (absent in pre-mapping manifests),
+    // as is stats_types (absent before typed stats). EVERY section's
+    // span ends at the NEXT section actually present — adding a field
+    // between two sections must update the EARLIER section's
+    // end-marker (the round-10 span hazard, property-tested).
     val hasMapping = json.contains(""""renames":[""")
-    val statsEnd =
+    val hasTypes = json.contains(""""stats_types":[""")
+    val afterStats =
       if (hasMapping) json.indexOf(""""renames":[""")
       else json.indexOf(""""txns":[""")
+    val statsEnd =
+      if (hasTypes) json.indexOf(""""stats_types":[""") else afterStats
+    def strArr(span: String): Seq[String] = {
+      val body = span.substring(span.indexOf('[') + 1, span.lastIndexOf(']'))
+      (s""""$Str"""").r.findAllMatchIn(body).map(m => unesc(m.group(1))).toSeq
+    }
     val statsSpan = json.substring(json.indexOf(""""stats_cols":["""), statsEnd)
-    val statsBody = statsSpan.substring(statsSpan.indexOf('[') + 1,
-      statsSpan.lastIndexOf(']'))
-    val statsCols = (s""""$Str"""").r.findAllMatchIn(statsBody)
-      .map(m => unesc(m.group(1))).toSeq
+    val statsCols = strArr(statsSpan)
+    val statsTypes =
+      if (!hasTypes) Nil
+      else strArr(json.substring(json.indexOf(""""stats_types":["""), afterStats))
     val renames =
       if (!hasMapping) Nil
       else RenRe.findAllMatchIn(json.substring(
@@ -365,6 +445,9 @@ object TxnTable {
       fieldStrOpt(json, "cdf_path").getOrElse(""),
       fieldNumOpt(json, "cdf_rows").getOrElse(0L),
       nextId = fieldNumOpt(json, "next_id").getOrElse(0L),
+      statsTypes = statsTypes,
+      identityCol = fieldStrOpt(json, "identity_col").getOrElse(""),
+      identityStart = fieldNumOpt(json, "identity_start").getOrElse(0L),
       features = {
         val fi = json.indexOf(""""features":[""")
         if (fi < 0) Nil
@@ -552,8 +635,11 @@ object TxnTable {
       op: String, df: DataFrame, keyCol: String, shards: Int,
       layoutDiv: Long, keyCol2: String = "",
       shardExprOverride: Option[org.apache.spark.sql.Column] = None,
-      checkExpr: String = "", statsCols: Seq[String] = Nil)
+      checkExpr: String = "", statsCols: Seq[String] = Nil,
+      statsTypes: Seq[String] = Nil)
       : (Manifest, String) = {
+    def statTypeOf(i: Int): String =
+      if (statsTypes.length > i) statsTypes(i) else "long"
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val sub = f"data/v$version%08d-$attempt"
     val out = s"$root/$sub"
@@ -613,7 +699,8 @@ object TxnTable {
       .select(Seq(col(keyCol).as("k"), k2.as("k2"),
         col("_metadata.file_path").as("fp"),
         col("_metadata.file_size").as("fsz")) ++
-        statsCols.zipWithIndex.map { case (c, i) => col(c).as(s"__v$i") }: _*)
+        statsCols.zipWithIndex.map { case (c, i) =>
+          statSourceExpr(c, statTypeOf(i)).as(s"__v$i") }: _*)
       .groupBy("fp")
       .agg(count(lit(1)).as("n"),
         (Seq(min("k").as("mn"), max("k").as("mx"),
@@ -661,7 +748,8 @@ object TxnTable {
     }.sortBy(_.path).toSeq
     require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
     (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
-      keyCol2 = keyCol2, checkExpr = checkExpr, statsCols = statsCols), sub)
+      keyCol2 = keyCol2, checkExpr = checkExpr, statsCols = statsCols,
+      statsTypes = statsTypes), sub)
   }
 
   /** Add (or replace) the table's CHECK constraint AS A COMMIT: the
@@ -747,13 +835,19 @@ object TxnTable {
         .find(p => p2l.getOrElse(p, p) == oldName)
         .getOrElse(sys.error(s"no column $oldName in $root"))
       require(phys != base.keyCol && phys != base.keyCol2 &&
-        !base.statsCols.contains(phys),
+        !base.statsCols.contains(phys) && phys != base.identityCol,
         s"cannot rename structural column $oldName (layout key / " +
-          "clustering / stats names are load-bearing in the manifest)")
+          "clustering / stats / identity names are load-bearing in the " +
+          "manifest)")
       require(base.checkExpr.isEmpty || !mentionsCol(base.checkExpr, phys),
         s"cannot rename $oldName: the CHECK constraint references it")
-      val taken = schema.fieldNames.toSet ++ base.renames.map(_._2) ++
-        base.dropped
+      // the collision set excludes THIS column's own physical name and
+      // its own current logical alias — renaming a column BACK to its
+      // physical identity (a→b then b→a) is legal and collapses the
+      // mapping entry (the filterNot below); only OTHER columns' names
+      // collide
+      val taken = (schema.fieldNames.toSet - phys) ++
+        base.renames.filterNot(_._1 == phys).map(_._2) ++ base.dropped
       require(!taken.contains(newName),
         s"column name $newName collides with an existing, mapped, or " +
           s"dropped name in $root")
@@ -779,9 +873,9 @@ object TxnTable {
         .find(p => p2l.getOrElse(p, p) == name)
         .getOrElse(sys.error(s"no column $name in $root"))
       require(phys != base.keyCol && phys != base.keyCol2 &&
-        !base.statsCols.contains(phys),
+        !base.statsCols.contains(phys) && phys != base.identityCol,
         s"cannot drop structural column $name (layout key / clustering " +
-          "/ stats)")
+          "/ stats / identity)")
       require(base.checkExpr.isEmpty || !mentionsCol(base.checkExpr, phys),
         s"cannot drop $name: the CHECK constraint references it")
       val narrowed = org.apache.spark.sql.types.StructType(
@@ -883,8 +977,9 @@ object TxnTable {
       .drop("__fpraw")
   }
 
-  /** One file's deletion vector as ((file, position)) rows. */
-  private def readDvSidecar(spark: SparkSession, root: String,
+  /** One file's deletion vector as ((file, position)) rows. Shared
+    * with the SQL connector's DV-applying scan ([[TxnDvBatch]]). */
+  private[sources] def readDvSidecar(spark: SparkSession, root: String,
       f: FileEntry): DataFrame =
     spark.read.schema("idx BIGINT").parquet(resolvePath(root, f.dv))
       .select(lit(f.path).as("__fp"), col("idx").as("__idx"))
@@ -1015,10 +1110,19 @@ object TxnTable {
     * (see [[prunedReadBy]]). */
   def createEmpty(spark: SparkSession, root: String, schemaDdl: String,
       keyCol: String, shards: Int, layoutDiv: Long,
-      statsCols: Seq[String] = Nil): Manifest = {
+      statsCols: Seq[String] = Nil,
+      statsTypes: Seq[String] = Nil,
+      identityCol: String = "", identityStart: Long = 0L): Manifest = {
     graft.Fs.deleteRecursively(root)
+    require(statsTypes.isEmpty || statsTypes.length == statsCols.length,
+      s"stats_types (${statsTypes.length}) must parallel stats_cols " +
+        s"(${statsCols.length})")
+    require(statsTypes.forall(StatTypes),
+      s"unknown stats type in ${statsTypes.mkString(",")} " +
+        s"(supported: ${StatTypes.mkString(",")})")
     val m = Manifest(0, "create_empty", keyCol, schemaDdl, shards, layoutDiv,
-      Nil, statsCols = statsCols, cdfKind = "adds")
+      Nil, statsCols = statsCols, statsTypes = statsTypes, cdfKind = "adds",
+      identityCol = identityCol, identityStart = identityStart)
     require(commit(root, 0, m), s"create raced on fresh root $root")
     m
   }
@@ -1147,7 +1251,8 @@ object TxnTable {
     var staged: Option[(Manifest, String, Manifest)] = None // adds, sub, base
     def compatible(a: Manifest, b: Manifest): Boolean =
       a.schemaDdl == b.schemaDdl && a.checkExpr == b.checkExpr &&
-        a.statsCols == b.statsCols && a.renames == b.renames &&
+        a.statsCols == b.statsCols && a.statsTypes == b.statsTypes &&
+        a.renames == b.renames &&
         a.keyCol == b.keyCol && a.keyCol2 == b.keyCol2 &&
         a.shards == b.shards && a.layoutDiv == b.layoutDiv
     def dropStaged(): Unit = {
@@ -1210,7 +1315,7 @@ object TxnTable {
       val (adds, sub) = staged.map(s => (s._1, s._2)).getOrElse {
         val w = writeSnapshot(spark, root, v + 1, op, batch,
           base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
-          checkExpr = base.checkExpr, statsCols = base.statsCols)
+          checkExpr = base.checkExpr, statsCols = base.statsCols, statsTypes = base.statsTypes)
         staged = Some((w._1, w._2, base))
         w
       }
@@ -1225,11 +1330,15 @@ object TxnTable {
           adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
             files = base.files ++ adds.files, deltaOf = -1, txns = ledger,
             renames = base.renames, dropped = base.dropped,
-            cdfKind = "adds", nextId = base.nextId)
+            cdfKind = "adds", nextId = base.nextId,
+            identityCol = base.identityCol,
+            identityStart = base.identityStart)
         else adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
           deltaOf = v, txns = ledger,
           renames = base.renames, dropped = base.dropped, cdfKind = "adds",
-          nextId = base.nextId)
+          nextId = base.nextId,
+          identityCol = base.identityCol,
+          identityStart = base.identityStart)
       (m, sub)
     }
     catch {
@@ -1260,10 +1369,18 @@ object TxnTable {
       : (Int, Int, Long, Long) = {
     require(!df.columns.contains(idCol),
       s"identity column $idCol must not be present in the batch")
-    // the batch pins once: id assignment walks it twice (counts, then
-    // numbering) and a re-derivation on a lost race walks it again
-    val pinned = df.cache()
-    try {
+    // id assignment walks the batch twice (per-partition counts, then
+    // numbering), and a re-derivation on a lost race walks it again —
+    // so the batch pins as a LOCAL CHECKPOINT, not a cache: a cache
+    // under memory pressure silently recomputes, and a
+    // non-deterministic upstream could then disagree between the two
+    // walks (colliding or gapped ids). The checkpoint truncates
+    // lineage, so a lost block FAILS LOUDLY instead of renumbering —
+    // the same hazard class the CHECK-as-written fix closed for
+    // constraints. Blocks are reclaimed by the ContextCleaner when the
+    // frame goes out of scope.
+    val pinned = df.localCheckpoint()
+    locally {
       var firstId = 0L
       var total = 0L
       val (ver, conflicts) = retryCommit(root, "appendWithIdentity",
@@ -1273,13 +1390,20 @@ object TxnTable {
         require(schema.fieldNames.headOption.contains(idCol) ||
           schema.fieldNames.contains(idCol),
           s"table $root has no column $idCol")
-        val rdd = toPhysical(base, pinned).rdd
+        // capture the PHYSICAL frame once and derive rows AND schema
+        // from it: a batch containing a renamed (column-mapped) column
+        // must number and select under the same physical names the
+        // files carry (the round-10 advice fix)
+        val phys = toPhysical(base, pinned)
+        val rdd = phys.rdd
         val counts = rdd.mapPartitionsWithIndex((i, it) =>
           Iterator(i -> it.size.toLong)).collect().toMap
         val ordered = counts.toSeq.sortBy(_._1)
         val offs = ordered.map(_._1)
           .zip(ordered.map(_._2).scanLeft(0L)(_ + _)).toMap
-        val start = base.nextId
+        // the watermark counts ALLOCATIONS; the table's declared
+        // identity start (qeh DDL) offsets the materialized ids
+        val start = base.identityStart + base.nextId
         total = ordered.map(_._2).sum
         firstId = start
         val withIds = rdd.mapPartitionsWithIndex { (i, it) =>
@@ -1292,27 +1416,27 @@ object TxnTable {
         }
         val idField = schema(idCol)
         val batchSchema = org.apache.spark.sql.types.StructType(
-          idField +: pinned.schema.fields)
+          idField +: phys.schema.fields)
         val df2 = spark.createDataFrame(withIds, batchSchema)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         val (adds, sub) = writeSnapshot(spark, root, v + 1, op, df2,
           base.keyCol, base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
-          checkExpr = base.checkExpr, statsCols = base.statsCols)
+          checkExpr = base.checkExpr, statsCols = base.statsCols, statsTypes = base.statsTypes)
         val m =
           if ((v + 1) % checkpointEvery == 0)
             adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
               files = base.files ++ adds.files, deltaOf = -1,
-              txns = base.txns, renames = base.renames,
+              txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, renames = base.renames,
               dropped = base.dropped, cdfKind = "adds",
-              nextId = start + total)
+              nextId = base.nextId + total)
           else adds.copy(version = v + 1, schemaDdl = base.schemaDdl,
-            deltaOf = v, txns = base.txns, renames = base.renames,
+            deltaOf = v, txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, renames = base.renames,
             dropped = base.dropped, cdfKind = "adds",
-            nextId = start + total)
+            nextId = base.nextId + total)
         (m, sub)
       }
       (ver, conflicts, firstId, total)
-    } finally pinned.unpersist()
+    }
   }
 
   /** Has a commit with this exact `op` (the sink's transaction id)
@@ -1339,8 +1463,8 @@ object TxnTable {
       val next = mkUpdate(readVersion(spark, root, v))
       val (m, sub) = writeSnapshot(spark, root, v + 1, op, next, base.keyCol,
         base.shards, base.layoutDiv, keyCol2 = base.keyCol2,
-        checkExpr = base.checkExpr, statsCols = base.statsCols)
-      (m.copy(txns = base.txns, nextId = base.nextId), sub)
+        checkExpr = base.checkExpr, statsCols = base.statsCols, statsTypes = base.statsTypes)
+      (m.copy(txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, nextId = base.nextId), sub)
     }
 
   /** OPTIMIZE: rewrite the current snapshot at a new shard count AS A
@@ -1360,8 +1484,8 @@ object TxnTable {
       val (m, sub) = writeSnapshot(spark, root, v + 1, "optimize",
         readVersion(spark, root, v), base.keyCol, newShards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
-        statsCols = base.statsCols)
-      (m.copy(txns = base.txns, cdfKind = "none",
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
+      (m.copy(txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, cdfKind = "none",
         nextId = base.nextId), sub)
     }
 
@@ -1395,8 +1519,8 @@ object TxnTable {
       val (m, sub) = writeSnapshot(spark, root, v + 1, "optimize_zorder",
         snap, base.keyCol, newShards, base.layoutDiv, keyCol2 = yCol,
         shardExprOverride = Some(shardE), checkExpr = base.checkExpr,
-        statsCols = base.statsCols)
-      (m.copy(txns = base.txns, cdfKind = "none",
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
+      (m.copy(txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, cdfKind = "none",
         nextId = base.nextId), sub)
     }
 
@@ -1423,7 +1547,7 @@ object TxnTable {
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "delete_range",
         remaining, base.keyCol, base.shards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
-        statsCols = base.statsCols)
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
       // change data feed: the deleted rows, recorded AT WRITE TIME so
       // reading the feed later costs O(changes), never a snapshot diff
       val nCdf = writeCdf(spark, root, sub,
@@ -1431,7 +1555,7 @@ object TxnTable {
           .withColumn("_change_type", lit("delete")))
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
+        files = carried ++ adds.files, deltaOf = -1, txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart,
         renames = base.renames, dropped = base.dropped,
         cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf,
         nextId = base.nextId), sub)
@@ -1611,11 +1735,11 @@ object TxnTable {
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "purge_deletes",
         live, base.keyCol, base.shards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
-        statsCols = base.statsCols)
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
       purged = dvd.size
       carriedN = clean.size
       (adds.copy(schemaDdl = base.schemaDdl, files = clean ++ adds.files,
-        deltaOf = -1, txns = base.txns,
+        deltaOf = -1, txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart,
         renames = base.renames, dropped = base.dropped,
         cdfKind = "none", nextId = base.nextId), sub)
     }
@@ -1657,7 +1781,7 @@ object TxnTable {
       val (adds, sub) = writeSnapshot(spark, root, v + 1, "merge_range",
         merged, base.keyCol, base.shards, base.layoutDiv,
         keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
-        statsCols = base.statsCols)
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
       // change data feed: matched keys record update pre/post images,
       // unmatched source keys record inserts — written at commit time
       val srcKeys = src.select(base.keyCol)
@@ -1672,7 +1796,7 @@ object TxnTable {
       val nCdf = writeCdf(spark, root, sub, changes)
       rewritten = adds.files.size; carriedN = carried.size
       (adds.copy(schemaDdl = base.schemaDdl,
-        files = carried ++ adds.files, deltaOf = -1, txns = base.txns,
+        files = carried ++ adds.files, deltaOf = -1, txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart,
         renames = base.renames, dropped = base.dropped,
         cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf,
         nextId = base.nextId), sub)

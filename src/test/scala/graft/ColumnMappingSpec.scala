@@ -100,7 +100,7 @@ class ColumnMappingSpec extends SparkSpec {
       .where(col("k") === 100L).count() == 0)
   }
 
-  test("SQL reads a renamed table logically; row-level DML refuses") {
+  test("SQL reads a renamed table logically; row-level DML translates") {
     graft.sources.GraftTxnCatalog.register(spark)
     spark.sql("DROP TABLE IF EXISTS graft.cm_sql")
     spark.sql("""
@@ -116,8 +116,78 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.cm_sql SELECT 5000, 42")
     assert(spark.sql("SELECT doubled FROM graft.cm_sql WHERE k = 5000")
       .head().getLong(0) == 42L)
-    val err = intercept[Exception](
-      spark.sql("UPDATE graft.cm_sql SET doubled = 0 WHERE k = 1"))
-    assert(err.getMessage.contains("column mapping"))
+    // UPDATE under the mapping: the rewrite's files must come out
+    // PHYSICALLY named (v), the logical surface still reads doubled
+    spark.sql("UPDATE graft.cm_sql SET doubled = 0 WHERE k = 1")
+    assert(spark.sql("SELECT doubled FROM graft.cm_sql WHERE k = 1")
+      .head().getLong(0) == 0L)
+    val r = graft.Fs.scratch("graft_txn_catalog_wh") + "/cm_sql"
+    val m = TxnTable.readManifest(r, TxnTable.latestVersion(r))
+    assert(m.renames == Seq("v" -> "doubled") &&
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        .fieldNames.contains("v"),
+      "the rewrite must keep the physical identity + the mapping")
+    // non-key DELETE through the mapping
+    spark.sql("DELETE FROM graft.cm_sql WHERE doubled % 100 = 8")
+    assert(spark.sql(
+      "SELECT count(1) FROM graft.cm_sql WHERE doubled % 100 = 8")
+      .head().getLong(0) == 0L)
+  }
+
+  test("rename back to the physical name collapses the mapping entry") {
+    val (r, _) = mkTable("renameback")
+    TxnTable.renameColumn(spark, r, "v", "value")
+    assert(TxnTable.readManifest(r, 1).renames == Seq("v" -> "value"))
+    // the round-10 advice case: b→a where a is the column's own
+    // physical identity must be legal, not a self-collision
+    val (v2, _) = TxnTable.renameColumn(spark, r, "value", "v")
+    assert(TxnTable.readManifest(r, v2).renames.isEmpty,
+      "a rename-back must collapse the mapping, not stack an alias")
+    assert(TxnTable.readVersion(spark, r, v2).columns.toSeq ==
+      Seq("k", "v", "w"))
+    // other columns' names still collide
+    intercept[Exception](TxnTable.renameColumn(spark, r, "v", "w"))
+  }
+
+  test("identity append lands under a column mapping") {
+    val r = root("idmap")
+    TxnTable.createEmpty(spark, r, "id BIGINT,v BIGINT,w BIGINT", "id",
+      4, 10000L)
+    import spark.implicits._
+    TxnTable.appendWithIdentity(spark, r,
+      Seq((10L, 1L), (20L, 2L)).toDF("v", "w"), "id", "pre")
+    TxnTable.renameColumn(spark, r, "v", "value")
+    // the round-10 advice case: the batch arrives under the LOGICAL
+    // name; numbering and the final select must both run under the
+    // PHYSICAL names the files carry
+    val (_, _, first, n) = TxnTable.appendWithIdentity(spark, r,
+      Seq((30L, 3L), (40L, 4L)).toDF("value", "w"), "id", "post")
+    assert(first == 2L && n == 2L)
+    val head = TxnTable.readVersion(spark, r, TxnTable.latestVersion(r))
+    assert(head.columns.toSeq == Seq("id", "value", "w"))
+    assert(head.orderBy("id").select("id", "value").collect().toSeq.map(x =>
+      (x.getLong(0), x.getLong(1))) ==
+      Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L)))
+  }
+
+  test("identity ids stay gap-free over a non-deterministic upstream") {
+    val r = root("idnondet")
+    TxnTable.createEmpty(spark, r, "id BIGINT,v BIGINT", "id", 4, 10000L)
+    // a rand()-valued, repartitioned batch: any silent recompute
+    // between the count walk and the numbering walk would disagree —
+    // the localCheckpoint pin makes both walks read the same blocks
+    val batch = spark.range(500)
+      .select((rand(seed = 0) * 1e9).cast("long").as("v"))
+      .repartition(7)
+      .where(col("v") % 2 === 0)
+    val (_, _, first, n) = TxnTable.appendWithIdentity(spark, r,
+      batch, "id", "nondet")
+    val ids = TxnTable.readVersion(spark, r, TxnTable.latestVersion(r))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == n)
+    assert(ids.headOption.contains(first) &&
+      ids.lastOption.contains(first + n - 1) &&
+      ids.distinct.length == ids.length,
+      s"ids must be gap-free [$first, ${first + n}) — got ${ids.take(10).toSeq}...")
   }
 }

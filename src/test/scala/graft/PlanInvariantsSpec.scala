@@ -34,6 +34,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "qe3_sql_column_mapping" -> "crossJoin(broadcast(1-row VERSION-AS-OF sum aggregates)) next to the head aggregate",
     "qe4_txn_shallow_clone" -> "crossJoin(broadcast(1-row clone-head aggregate)) next to the source aggregate",
     "qeb_sql_metadata_sum" -> "crossJoin(broadcast(1-row key-sum negative-control aggregate)) next to the 1-row metadata fold",
+    "qec_sql_mor_read" -> "crossJoin(broadcast(1-row metadata-count / decline-control / probe / time-travel aggregates)) next to the head aggregate",
+    "qed_sql_mor_dml" -> "crossJoin(broadcast(1-row VERSION AS OF 3 aggregate)) next to the head aggregate",
+    "qef_sql_typed_stats" -> "crossJoin(broadcast(1-row string/range/control probe aggregates)) next to the date-probe aggregate",
+    "qeg_sql_mapped_dml" -> "crossJoin(broadcast(1-row VERSION AS OF 2 aggregate)) next to the head aggregate",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",

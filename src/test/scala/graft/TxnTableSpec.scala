@@ -455,7 +455,10 @@ class TxnTableSpec extends SparkSpec {
         renames = Seq(s"p_$s" -> s"l_$s", "cents" -> "amount"),
         dropped = Seq("note", s),
         cdfKind = "files", cdfPath = s"data/v3-ab/_cdf_$s", cdfRows = 2L,
-        features = Seq("deletion-vectors", s"feat_$s"))
+        features = Seq("deletion-vectors", s"feat_$s"),
+        // the typed-stats field rides between stats_cols and renames —
+        // exactly the span-insertion hazard class this test pins
+        statsTypes = Seq("string", s"typ_$s"))
         .copy(files = Seq(TxnTable.FileEntry(s"data/v3-ab/p.parquet", 10L,
           1L, 9L, -2L, 7L, 4096L, Seq(1L, -5L), Seq(3L, 8L),
           dv = s"data/dv-v4-cd/__fid=0_$s", dvRows = 3L,
@@ -463,6 +466,44 @@ class TxnTableSpec extends SparkSpec {
       val back = TxnTable.parse(TxnTable.toJson(m))
       assert(back == m, s"round-trip drift at seed $i:\n$back\nvs\n$m")
     }
+  }
+
+  test("string stat encode: order-preserving under truncation, SQL twin agrees") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // strings engineered around the 8-byte boundary: shared long
+    // prefixes, multi-byte UTF-8, empties — the cases where a naive
+    // encode breaks monotonicity or drifts from the SQL expression
+    val g: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.alphaNumStr.map(s => "prefix__" + s.take(6)), // 8-byte shared prefix
+      Gen.alphaNumStr.map(s => "präfix€" + s.take(4)),  // multi-byte
+      Gen.const(""), Gen.const("\u00ff\u00fe"), Gen.const("zzzzzzzzz"))
+    val samples = (1 to 120).map(i =>
+      g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    // monotone w.r.t. Spark's string order (unsigned UTF-8 byte-wise)
+    def byteLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (a <- samples; b <- samples if byteLt(a, b))
+      assert(TxnTable.encodeStringStat(a) <= TxnTable.encodeStringStat(b),
+        s"encode not monotone: '$a' < '$b' but enc flips")
+    // the SQL expression the writer folds must agree bit-for-bit with
+    // the driver-side probe encode
+    import spark.implicits._
+    val got = samples.toDF("s")
+      .select(TxnTable.statSourceExpr("s", "string").as("e"))
+      .collect().map(_.getLong(0))
+    val want = samples.map(TxnTable.encodeStringStat)
+    assert(got.toSeq == want.toSeq, "SQL encode drifted from the Scala probe")
   }
 
   test("restore re-points the head at an old snapshot without data movement") {
