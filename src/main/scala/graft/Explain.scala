@@ -63,7 +63,11 @@ object Explain {
     // checksum/top-1 probes in its builder
     "qar_incremental_ann",
     // qat flips the v2.bucketing session conf around plan construction
-    "qat_spj_join")
+    "qat_spj_join",
+    // qei's builder consumes the change feed twice (the option-vs-
+    // Scala equality probe) AND needs the session-construction-time
+    // CdfReadOptionRule — absent in the shared plan-audit session
+    "qei_cdf_read_option")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -336,5 +336,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorSimplification)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // the Delta-conventional readChangeFeed option on graft_txn
+    // catalog tables: swaps the relation to the CDF-schema table
+    ext.injectResolutionRule(_ => graft.sources.CdfReadOptionRule)
   }
 }

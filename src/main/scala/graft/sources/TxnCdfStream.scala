@@ -65,7 +65,8 @@ private[sources] class TxnCdfTable(root: String, outSchema: StructType)
 }
 
 private[sources] class TxnCdfMicroBatchStream(spark: SparkSession,
-    root: String, outSchema: StructType) extends MicroBatchStream
+    root: String, outSchema: StructType,
+    startAt: Option[Int] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   // outSchema = data columns + (_change_type, _commit_version)
@@ -80,7 +81,10 @@ private[sources] class TxnCdfMicroBatchStream(spark: SparkSession,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(TxnTable.latestVersion(root))
 
-  override def initialOffset(): Offset = CdfOffset(-1)
+  // `startingVersion` (the option surface, qe5's binding): the first
+  // batch begins AT that version; absent = the initial load
+  override def initialOffset(): Offset =
+    CdfOffset(startAt.map(_ - 1).getOrElse(-1))
   override def deserializeOffset(json: String): Offset = CdfOffset(json.toInt)
   override def latestOffset(): Offset = CdfOffset(
     availableNowCap.getOrElse(TxnTable.latestVersion(root)))

@@ -631,7 +631,11 @@ object TxnTable {
     * by the shard count (≤ `shards` + a few for out-of-range keys). */
   /** Returns the manifest candidate AND the attempt subdir (needed for
     * lost-race cleanup even when the snapshot wrote zero files). */
-  private def writeSnapshot(spark: SparkSession, root: String, version: Int,
+  /** private[sources]: [[GraftTxnCatalog]]'s STAGED CTAS/RTAS writes
+    * data through this seam and publishes with [[commit]]'s CAS only
+    * at `commitStagedChanges` — the two-phase shape StagingTableCatalog
+    * demands. */
+  private[sources] def writeSnapshot(spark: SparkSession, root: String, version: Int,
       op: String, df: DataFrame, keyCol: String, shards: Int,
       layoutDiv: Long, keyCol2: String = "",
       shardExprOverride: Option[org.apache.spark.sql.Column] = None,

@@ -278,12 +278,27 @@ class TxnCatalogSpec extends SparkSpec {
            TBLPROPERTIES ('key'='k','shards'='4','layout_div'='100')
            AS SELECT id AS k, id * 2 AS v FROM range(100)""")
     val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/spec_ctas"
-    assert(TxnTable.latestVersion(root) == 1) // v0 create + v1 data
+    assert(TxnTable.latestVersion(root) == 0,
+      "staged CTAS publishes ONE atomic commit")
     assert(sql("SELECT sum(v) FROM graft.spec_ctas").head().getLong(0) == 9900L)
     sql("""REPLACE TABLE graft.spec_ctas USING graft_txn
            TBLPROPERTIES ('key'='k','shards'='2','layout_div'='50')
            AS SELECT id AS k, id * 3 AS v FROM range(50)""")
-    assert(TxnTable.latestVersion(root) == 1) // fresh log: drop + recreate
+    assert(TxnTable.latestVersion(root) == 1,
+      "staged RTAS is a COMMIT of the same log, not a fresh one")
+    assert(sql("SELECT sum(v) FROM graft.spec_ctas").head().getLong(0) == 3675L)
+    // the replaced content stays time-travelable
+    assert(sql("SELECT sum(v) FROM graft.spec_ctas VERSION AS OF 0")
+      .head().getLong(0) == 9900L)
+    // a failed RTAS leaves the CURRENT content serving reads
+    intercept[Exception] {
+      sql("""REPLACE TABLE graft.spec_ctas USING graft_txn
+             TBLPROPERTIES ('key'='k','shards'='2','layout_div'='50')
+             AS SELECT id AS k,
+                       CAST(assert_true(id < 0, 'rtas boom') AS BIGINT) AS v
+             FROM range(50)""")
+    }
+    assert(TxnTable.latestVersion(root) == 1)
     assert(sql("SELECT sum(v) FROM graft.spec_ctas").head().getLong(0) == 3675L)
     // a CTAS whose write fails must not leave a half-made table behind
     sql("DROP TABLE IF EXISTS graft.spec_ctas_fail")
