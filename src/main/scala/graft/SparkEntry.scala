@@ -433,6 +433,7 @@ object SparkEntry {
     "qeg_sql_mapped_dml"    -> (graft.sources.GraftTxnCatalog.sqlMappedDml _),
     "qeh_sql_identity_ddl"  -> (graft.sources.GraftTxnCatalog.sqlIdentityDdl _),
     "qei_cdf_read_option"   -> (graft.sources.GraftTxnCatalog.sqlCdfReadOption _),
+    "qej_sql_bloom_skip"    -> (graft.sources.GraftTxnCatalog.sqlBloomSkip _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1125,6 +1126,7 @@ object SparkEntry {
     "qeg_sql_mapped_dml"     -> graft.sources.GraftTxnCatalog.sqlMappedDmlOracle,
     "qeh_sql_identity_ddl"   -> graft.sources.GraftTxnCatalog.sqlIdentityDdlOracle,
     "qei_cdf_read_option"    -> graft.sources.GraftTxnCatalog.sqlCdfReadOptionOracle,
+    "qej_sql_bloom_skip"     -> graft.sources.GraftTxnCatalog.sqlBloomSkipOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

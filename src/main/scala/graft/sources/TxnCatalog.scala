@@ -770,8 +770,11 @@ object GraftTxnCatalog {
     spark.sql("INSERT INTO graft.sql_mor SELECT k, c FROM docs_sqlmor")
     val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_mor"
     val (lo, hi) = (mx / 3, mx / 3 + mx / 20)
-    TxnTable.deleteMor(spark, root, s"k BETWEEN $lo AND $hi")   // v2
-    TxnTable.deleteMor(spark, root, "c % 7 = 3")                // v3
+    // the MoR deletes themselves ride SQL text too (the delete_mor
+    // procedure) — the whole lifecycle is statement-driven
+    spark.sql(
+      s"CALL graft.system.delete_mor('sql_mor', 'k BETWEEN $lo AND $hi')") // v2
+    spark.sql("CALL graft.system.delete_mor('sql_mor', 'c % 7 = 3')")      // v3
     // sum(k) is not metadata-foldable, so this plans the real DV scan
     val q = spark.sql("""
       SELECT count(1) AS n_rows, sum(k) AS id_checksum, sum(c) AS chars_sum
@@ -876,8 +879,9 @@ object GraftTxnCatalog {
     spark.sql("INSERT INTO graft.sql_mor_dml SELECT k, c FROM docs_sqlmdml")
     val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_mor_dml"
     val (lo, hi) = (mx / 3, mx / 3 + mx / 20)
-    TxnTable.deleteMor(spark, root, s"k BETWEEN $lo AND $hi")   // v2
-    TxnTable.deleteMor(spark, root, "c % 7 = 3")                // v3
+    spark.sql(s"CALL graft.system.delete_mor('sql_mor_dml'," +
+      s" 'k BETWEEN $lo AND $hi')")                                    // v2
+    spark.sql("CALL graft.system.delete_mor('sql_mor_dml', 'c % 7 = 3')") // v3
     val m3 = TxnTable.readManifest(root, 3)
     // the scattered delete tags every file with live c%7=3 rows — at
     // small SFs a thin file can legitimately have none, so the grade
@@ -972,7 +976,7 @@ object GraftTxnCatalog {
     spark.sql("INSERT INTO graft.sql_proc SELECT k, c FROM docs_sqlproc")
     val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_proc"
     val opt = spark.sql("CALL graft.system.optimize('sql_proc', 4)").head()
-    TxnTable.deleteMor(spark, root, "c % 7 = 3") // v3 (no SQL MoR-delete by design)
+    spark.sql("CALL graft.system.delete_mor('sql_proc', 'c % 7 = 3')") // v3
     val purge = spark.sql("CALL graft.system.purge_deletes('sql_proc')").head()
     val purgedCount = spark.sql(
       "SELECT count(1) AS n FROM graft.sql_proc").head().getLong(0)
@@ -1844,7 +1848,7 @@ object GraftTxnCatalog {
     val (lo, hi) = (mx / 4, mx / 4 + mx / 16)
     spark.sql(s"DELETE FROM graft.sql_cdf WHERE k BETWEEN $lo AND $hi") // v2
     val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_cdf"
-    TxnTable.deleteMor(spark, root, "c % 7 = 3")                        // v3
+    spark.sql("CALL graft.system.delete_mor('sql_cdf', 'c % 7 = 3')")   // v3
     spark.sql("INSERT INTO graft.sql_cdf" +
       " SELECT -k - 1, c + 10 FROM docs_sqlcdf WHERE k % 9 = 0")        // v4
     val feed2 = spark.read
@@ -1861,11 +1865,24 @@ object GraftTxnCatalog {
     val matches = viaOption.toSeq == viaScala.toSeq
     val fullRows = spark.read.option("readChangeFeed", "true")
       .table("graft.sql_cdf").count()
+    // startingTimestamp binds to the FIRST version committed at or
+    // after it (clamped stamps can collide at millisecond grain, so
+    // the expected start is computed from the real manifests — the
+    // contract is graded, not a possibly-ambiguous version number)
+    val ts = TxnTable.readManifestRaw(root, 2).commitMs
+    val expectedStart = TxnTable.versions(root)
+      .find(v => TxnTable.readManifestRaw(root, v).commitMs >= ts).get
+    val tsRows = spark.read.option("readChangeFeed", "true")
+      .option("startingTimestamp", ts.toString)
+      .table("graft.sql_cdf").count()
+    val tsBinds = tsRows ==
+      TxnTable.changeFeed(spark, root, expectedStart - 1, 4).count()
     feed2.groupBy("_change_type")
       .agg(count(lit(1)).as("n_rows"), sum("c").as("c_sum"),
         countDistinct("_commit_version").as("n_commits"))
       .withColumn("full_feed_rows", lit(fullRows))
       .withColumn("matches_scala", lit(matches))
+      .withColumn("ts_binding_ok", lit(tsBinds))
       .orderBy("_change_type")
   }
 
@@ -1888,12 +1905,84 @@ object GraftTxnCatalog {
           FROM (SELECT * FROM band UNION ALL SELECT * FROM mor))
     SELECT 'delete' AS _change_type, d.n AS n_rows, d.sm AS c_sum,
            CAST(2 AS BIGINT) AS n_commits,
-           tot.n + i4.n + d.n AS full_feed_rows, true AS matches_scala
+           tot.n + i4.n + d.n AS full_feed_rows, true AS matches_scala,
+           true AS ts_binding_ok
     FROM d, tot, i4
     UNION ALL
-    SELECT 'insert', i4.n, i4.sm, 1, tot.n + i4.n + d.n, true
+    SELECT 'insert', i4.n, i4.sm, 1, tot.n + i4.n + d.n, true, true
     FROM d, tot, i4
     ORDER BY _change_type"""
+
+  /** qej: BLOOM-FILTER FILE SKIPPING THROUGH SQL — qe9's capability
+    * at the connector boundary: an equality probe on a SCATTERED
+    * high-cardinality stats column (h = k * 2654435761 mod 1e9+7 —
+    * every file's min/max range covers nearly the whole domain, so
+    * range stats alone keep ~every file) consults the per-file blooms
+    * inside [[TxnScanBuilder.build]] and opens only the file(s) that
+    * might contain the value. Evidence from the real manifest + the
+    * planned scan: `range_keeps_more` (the range-overlap cover is
+    * strictly larger than what the bloom pass kept — the skipping
+    * fact min/max cannot express) and `bloom_pruned`; the probe
+    * aggregate is computed BY the bloom-pruned scan, so a wrong skip
+    * shifts the hash (bloom false positives only ADD files — never
+    * drop one — and the residual filter guards row exactness as
+    * always). */
+  def sqlBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"),
+        (col("doc_id") * 2654435761L % 1000000007L).as("h"))
+    docs.createOrReplaceTempView("docs_sqlbloom")
+    val mx = docs.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_bloom")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_bloom (k BIGINT, h BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}',
+                     'stats_cols'='h')""")
+    spark.sql("INSERT INTO graft.sql_bloom SELECT k, h FROM docs_sqlbloom")
+    // deterministic probe: the h of the smallest key at or above mx/2
+    val kProbe = docs.where(col("k") >= mx / 2).agg(min("k"))
+      .head().getLong(0)
+    val h0 = kProbe * 2654435761L % 1000000007L
+    val q = spark.sql(s"""
+      SELECT count(1) AS n_hits, sum(k) AS k_sum
+      FROM graft.sql_bloom WHERE h = $h0""")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case t: TxnScan => t }
+      .getOrElse(sys.error("bloom probe did not plan a GraftTxnScan"))
+    // the range-only cover, priced from the REAL manifest
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_bloom"
+    val m = TxnTable.readManifest(root, TxnTable.latestVersion(root))
+    val rangeKept = m.files.count { f =>
+      val (lo, hi) = TxnScanBuilder.fileRange(m, f, "h")
+      lo <= h0 && h0 <= hi
+    }
+    q.withColumn("n_files_total", lit(scan.filesTotal.toLong))
+      .withColumn("bloom_pruned", lit(scan.filesKept < scan.filesTotal))
+      .withColumn("range_keeps_more", lit(rangeKept > scan.filesKept))
+      .withColumn("filter_pushed", lit(scan.pushedFilters.length == 1))
+  }
+
+  /** The probe row(s) replayed (hash collisions included); the bloom
+    * facts are graded as strict-improvement booleans — a false
+    * positive only widens the kept set, never skips a holder. */
+  val sqlBloomSkipOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+    s AS (SELECT doc_id AS k,
+                 (doc_id * 2654435761) % 1000000007 AS h
+          FROM documents),
+    kp AS (SELECT min(k) AS k FROM s, m WHERE k >= m.mx // 2),
+    p AS (SELECT (kp.k * 2654435761) % 1000000007 AS h0 FROM kp),
+    grid AS (SELECT CAST(count(DISTINCT doc_id * 16 // (m.mx + 1))
+                    AS BIGINT) AS nf FROM documents, m)
+    SELECT CAST(count(1) AS BIGINT) AS n_hits,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           grid.nf AS n_files_total,
+           true AS bloom_pruned, true AS range_keeps_more,
+           true AS filter_pushed
+    FROM s, p, grid WHERE s.h = p.h0 GROUP BY grid.nf"""
 
   /** qd8's shard/overlap arithmetic for the surgical hop, plus the
     * non-key composition, through the SQL statements. */
@@ -2673,14 +2762,37 @@ object CdfReadOptionRule extends org.apache.spark.sql.catalyst.rules.Rule[
 
   private def wants(o: CaseInsensitiveStringMap): Boolean =
     o.getBoolean("readChangeFeed", false)
+  // 'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC, the Delta convention) or raw
+  // epoch millis
+  private def parseTs(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  /** startingTimestamp = the FIRST version committed at or after it
+    * (Delta semantics); endingTimestamp = the last at or before
+    * ([[TxnTable.versionAsOf]]'s binary search). */
+  private def startVer(root: String, o: CaseInsensitiveStringMap)
+      : Option[Int] =
+    Option(o.get("startingVersion")).map(_.toInt)
+      .orElse(Option(o.get("startingTimestamp")).map { s =>
+        val ms = parseTs(s)
+        TxnTable.versions(root)
+          .find(v => TxnTable.readManifestRaw(root, v).commitMs >= ms)
+          .getOrElse(sys.error(
+            s"no $root commit at or after startingTimestamp $s"))
+      })
+  private def endVer(root: String, o: CaseInsensitiveStringMap)
+      : Option[Int] =
+    Option(o.get("endingVersion")).map(_.toInt)
+      .orElse(Option(o.get("endingTimestamp")).map(s =>
+        TxnTable.versionAsOf(root, parseTs(s))))
   private def cdfTable(t: TxnSparkTable, o: CaseInsensitiveStringMap)
       : TxnCdfOptionTable = {
     require(!t.pinned,
       "readChangeFeed composes with versions via startingVersion/" +
         "endingVersion, not VERSION AS OF")
     new TxnCdfOptionTable(t.root, t.manifest,
-      Option(o.get("startingVersion")).map(_.toInt),
-      Option(o.get("endingVersion")).map(_.toInt))
+      startVer(t.root, o), endVer(t.root, o))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -2838,7 +2950,7 @@ private[sources] object TxnProcedures {
 
   val Namespace: Array[String] = Array("system")
   val names: Array[String] = Array("optimize", "zorder", "vacuum",
-    "restore", "purge_deletes", "expire_versions")
+    "restore", "purge_deletes", "expire_versions", "delete_mor")
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
   private def out(fields: (String, DataType)*): StructType =
@@ -2938,6 +3050,17 @@ private[sources] object TxnProcedures {
         input => {
           val dropped = TxnTable.expireVersions(root(input), input.getInt(1))
           (out("dropped_manifests" -> LongType), Seq(dropped.toLong))
+        }))
+      case "delete_mor" => Some(new Proc("delete_mor",
+        "merge-on-read delete: position sidecars only, zero data-file " +
+          "rewrites (OPTIMIZE/purge_deletes folds them later)",
+        Array(tbl, in("predicate", StringType)),
+        input => {
+          val (v, tagged, rows) = TxnTable.deleteMor(spark, root(input),
+            input.getUTF8String(1).toString)
+          (out("version" -> LongType, "files_tagged" -> LongType,
+            "rows_deleted" -> LongType),
+            Seq(v.toLong, tagged.toLong, rows))
         }))
       case _ => None
     }
