@@ -67,7 +67,11 @@ object Explain {
     // qei's builder consumes the change feed twice (the option-vs-
     // Scala equality probe) AND needs the session-construction-time
     // CdfReadOptionRule — absent in the shared plan-audit session
-    "qei_cdf_read_option")
+    "qei_cdf_read_option",
+    // qek drives the full statement lifecycle (CALLs, CDF option
+    // reads, rename, update) in its builder — eager by construction
+    // and CdfReadOptionRule-dependent like qei
+    "qek_lakehouse_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -434,6 +434,7 @@ object SparkEntry {
     "qeh_sql_identity_ddl"  -> (graft.sources.GraftTxnCatalog.sqlIdentityDdl _),
     "qei_cdf_read_option"   -> (graft.sources.GraftTxnCatalog.sqlCdfReadOption _),
     "qej_sql_bloom_skip"    -> (graft.sources.GraftTxnCatalog.sqlBloomSkip _),
+    "qek_lakehouse_lifecycle" -> (graft.sources.GraftTxnCatalog.sqlLakehouseLifecycle _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1127,6 +1128,7 @@ object SparkEntry {
     "qeh_sql_identity_ddl"   -> graft.sources.GraftTxnCatalog.sqlIdentityDdlOracle,
     "qei_cdf_read_option"    -> graft.sources.GraftTxnCatalog.sqlCdfReadOptionOracle,
     "qej_sql_bloom_skip"     -> graft.sources.GraftTxnCatalog.sqlBloomSkipOracle,
+    "qek_lakehouse_lifecycle" -> graft.sources.GraftTxnCatalog.sqlLakehouseLifecycleOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

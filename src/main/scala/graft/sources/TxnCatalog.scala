@@ -1984,6 +1984,189 @@ object GraftTxnCatalog {
            true AS filter_pushed
     FROM s, p, grid WHERE s.h = p.h0 GROUP BY grid.nf"""
 
+  /** qek: the LAKEHOUSE LIFECYCLE CAPSTONE — every round-11 feature
+    * composed in ONE statement-driven lifecycle on one table, graded
+    * end-to-end (integration is where seams break, so the seams are
+    * exercised against each other, not in isolation):
+    *
+    *   CREATE  identity DDL (GENERATED ALWAYS, START WITH 100) +
+    *           typed stats (date,string), the id is the layout key
+    *   INSERT  one batch per order-year through the identity
+    *           allocator — id ranges per year are contiguous, so the
+    *           year probe's id checksum replays as arithmetic series
+    *           and its file cover replays from pure range arithmetic
+    *   probe   `s = 'Yyyyy'` — typed string bounds + blooms keep
+    *           exactly that year's files
+    *   CALL    delete_mor (MoR sidecars), head read through the
+    *           DV-applying scan, metadata-only COUNT(*) stays exact
+    *   read    the change feed through the OPTION surface
+    *           (startingVersion..endingVersion = the delete commit)
+    *   CALL    purge_deletes, then RENAME COLUMN cents→amount and an
+    *           UPDATE through the mapping (the rewrite translating
+    *           names back to the physical files)
+    *   travel  VERSION AS OF the first insert, after everything
+    *
+    * Every number replays from orders arithmetic + the year/id-range
+    * grid; version numbers derive from the year count. */
+  def sqlLakehouseLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderdate").cast("date").as("d"),
+      concat(lit("Y"), year(col("o_orderdate"))).as("s"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqllife")
+    val years = orders.select(year(col("d")).as("y")).distinct()
+      .orderBy("y").collect().map(_.getInt(0))
+    require(years.length >= 3, s"need >=3 order years, got ${years.length}")
+    val n = orders.count()
+    val start = 100L
+    spark.sql("DROP TABLE IF EXISTS graft.sql_life")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_life (
+        id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH $start INCREMENT BY 1),
+        d DATE, s STRING, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='id', 'shards'='4', 'layout_div'='${start + n}',
+                     'stats_cols'='d,s', 'stats_types'='date,string')""")
+    // three identity batches with contiguous id ranges: the years
+    // before y2, exactly y2, the years after — enough commits to
+    // exercise the allocator and keep the replay pure range arithmetic
+    val y2 = years(1)
+    Seq(s"year(d) < $y2", s"year(d) = $y2", s"year(d) > $y2").foreach { p =>
+      spark.sql("INSERT INTO graft.sql_life (d, s, cents)" +
+        s" SELECT d, s, cents FROM orders_sqllife WHERE $p")
+    }
+    val probe = spark.sql(s"""
+      SELECT count(1) AS probe_rows, sum(cents) AS probe_cents,
+             sum(id) AS probe_id_sum
+      FROM graft.sql_life WHERE s = 'Y$y2'""")
+    val probeScan = probe.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case t: TxnScan => t }
+      .getOrElse(sys.error("year probe did not plan a GraftTxnScan"))
+    val probeRow = probe.head() // one execution; values ride as literals
+    val del = spark.sql(
+      "CALL graft.system.delete_mor('sql_life', 'cents % 10 = 3')").head()
+    val vDel = del.getLong(0)
+    val live = spark.sql(
+      "SELECT count(1) AS live_rows, sum(cents) AS live_cents" +
+        " FROM graft.sql_life").head()
+    val meta = spark.sql("SELECT count(*) FROM graft.sql_life")
+    val metaOnly = meta.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty
+    val metaCount = meta.head().getLong(0)
+    val cdf = spark.read.option("readChangeFeed", "true")
+      .option("startingVersion", vDel.toString)
+      .option("endingVersion", vDel.toString)
+      .table("graft.sql_life")
+      .agg(count(lit(1)), sum("cents"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)))
+      .head()
+    val purge = spark.sql(
+      "CALL graft.system.purge_deletes('sql_life')").head()
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_life"
+    val purgedClean = TxnTable.readManifest(root,
+      TxnTable.latestVersion(root)).files.forall(_.dvRows == 0)
+    spark.sql("ALTER TABLE graft.sql_life RENAME COLUMN cents TO amount")
+    spark.sql(
+      "UPDATE graft.sql_life SET amount = amount + 10 WHERE amount % 7 = 0")
+    val m = TxnTable.readManifest(root, TxnTable.latestVersion(root))
+    val mappingKept = m.renames == Seq("cents" -> "amount")
+    val v1Rows = spark.sql(
+      "SELECT count(1) FROM graft.sql_life VERSION AS OF 1").head().getLong(0)
+    spark.sql("""
+        SELECT count(1) AS n_rows_final, sum(amount) AS amount_sum_final
+        FROM graft.sql_life""")
+      .withColumn("probe_rows", lit(probeRow.getLong(0)))
+      .withColumn("probe_cents", lit(probeRow.getLong(1)))
+      .withColumn("probe_id_sum", lit(probeRow.getLong(2)))
+      .withColumn("live_rows", lit(live.getLong(0)))
+      .withColumn("live_cents", lit(live.getLong(1)))
+      .withColumn("n_rows_v1", lit(v1Rows))
+      .withColumn("probe_files_kept", lit(probeScan.filesKept.toLong))
+      .withColumn("probe_files_total", lit(probeScan.filesTotal.toLong))
+      .withColumn("del_version", lit(vDel))
+      .withColumn("rows_deleted", lit(del.getLong(2)))
+      .withColumn("meta_count_live", lit(metaCount))
+      .withColumn("count_metadata_only", lit(metaOnly))
+      .withColumn("cdf_rows", lit(cdf.getLong(0)))
+      .withColumn("cdf_cents", lit(cdf.getLong(1)))
+      .withColumn("cdf_all_deletes", lit(cdf.getLong(2) == cdf.getLong(0)))
+      .withColumn("purge_version", lit(purge.getLong(0)))
+      .withColumn("purged_clean", lit(purgedClean))
+      .withColumn("mapping_kept", lit(mappingKept))
+      .withColumn("n_versions",
+        lit(TxnTable.latestVersion(root) + 1L))
+  }
+
+  /** The year/id-range grid replay: batch b's ids are the contiguous
+    * [100 + cum(n_before), +n_b), so the year probe's id checksum is
+    * an arithmetic series and its file cover is floor-range
+    * arithmetic over the 4-shard layout; everything else replays from
+    * payload predicates (MoR deletes, the post-rename bump). */
+  val sqlLakehouseLifecycleOracle: String = """
+    WITH b AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             'Y' || year(o_orderdate) AS s,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             year(o_orderdate) AS yr
+      FROM orders),
+    n AS (SELECT CAST(count(1) AS BIGINT) AS total FROM b),
+    y2v AS (SELECT y FROM (
+              SELECT y, row_number() OVER (ORDER BY y) AS rn
+              FROM (SELECT DISTINCT year(o_orderdate) AS y FROM orders) t)
+            WHERE rn = 2),
+    bk AS (SELECT CAST(sum(CASE WHEN yr < y2v.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN yr = y2v.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN yr > y2v.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3
+           FROM b, y2v GROUP BY y2v.y),
+    cover AS (
+      SELECT ((100 + bk.n1 + bk.n2 - 1) * 4 // (100 + n.total))
+               - ((100 + bk.n1) * 4 // (100 + n.total)) + 1 AS kept,
+             (((100 + bk.n1 - 1) * 4 // (100 + n.total))
+               - (100 * 4 // (100 + n.total)) + 1)
+             + (((100 + bk.n1 + bk.n2 - 1) * 4 // (100 + n.total))
+               - ((100 + bk.n1) * 4 // (100 + n.total)) + 1)
+             + (((100 + n.total - 1) * 4 // (100 + n.total))
+               - ((100 + bk.n1 + bk.n2) * 4 // (100 + n.total)) + 1)
+               AS nf,
+             (2 * (100 + bk.n1) + bk.n2 - 1) * bk.n2 // 2 AS pid
+      FROM bk, n),
+    probe AS (
+      SELECT CAST(count(1) AS BIGINT) AS probe_rows,
+             CAST(sum(cents) AS BIGINT) AS probe_cents
+      FROM b, y2v WHERE b.yr = y2v.y),
+    dels AS (SELECT CAST(count(1) AS BIGINT) AS nd,
+                    CAST(coalesce(sum(cents), 0) AS BIGINT) AS sd
+             FROM b WHERE cents % 10 = 3),
+    liv AS (SELECT CAST(count(1) AS BIGINT) AS nl,
+                   CAST(sum(cents) AS BIGINT) AS sl
+            FROM b WHERE cents % 10 <> 3),
+    bump AS (SELECT CAST(count(1) AS BIGINT) AS nb
+             FROM b WHERE cents % 10 <> 3 AND cents % 7 = 0)
+    SELECT liv.nl AS n_rows_final,
+           liv.sl + 10 * bump.nb AS amount_sum_final,
+           liv.nl AS live_rows, liv.sl AS live_cents,
+           probe.probe_rows, probe.probe_cents,
+           CAST(cover.pid AS BIGINT) AS probe_id_sum,
+           bk.n1 AS n_rows_v1,
+           CAST(cover.kept AS BIGINT) AS probe_files_kept,
+           CAST(cover.nf AS BIGINT) AS probe_files_total,
+           CAST(4 AS BIGINT) AS del_version,
+           dels.nd AS rows_deleted,
+           liv.nl AS meta_count_live,
+           true AS count_metadata_only,
+           dels.nd AS cdf_rows, dels.sd AS cdf_cents,
+           true AS cdf_all_deletes,
+           CAST(5 AS BIGINT) AS purge_version,
+           true AS purged_clean, true AS mapping_kept,
+           CAST(8 AS BIGINT) AS n_versions
+    FROM liv, bump, probe, cover, dels, bk"""
+
   /** qd8's shard/overlap arithmetic for the surgical hop, plus the
     * non-key composition, through the SQL statements. */
   val sqlSurgicalDeleteOracle: String = """
@@ -2072,6 +2255,14 @@ private[sources] class TxnSparkTable(private[sources] val root: String,
     if (manifest.checkExpr.nonEmpty) m.put("check", manifest.checkExpr)
     if (manifest.statsCols.nonEmpty)
       m.put("stats_cols", manifest.statsCols.mkString(","))
+    if (manifest.statsTypes.nonEmpty)
+      m.put("stats_types", manifest.statsTypes.mkString(","))
+    if (manifest.identityCol.nonEmpty) {
+      m.put("identity_col", manifest.identityCol)
+      m.put("identity_start", manifest.identityStart.toString)
+    }
+    if (manifest.features.nonEmpty)
+      m.put("format_features", manifest.features.mkString(","))
     m
   }
 
