@@ -71,7 +71,11 @@ object Explain {
     // qek drives the full statement lifecycle (CALLs, CDF option
     // reads, rename, update) in its builder — eager by construction
     // and CdfReadOptionRule-dependent like qei
-    "qek_lakehouse_lifecycle")
+    "qek_lakehouse_lifecycle",
+    // qel flips the v2.bucketing/AQE session confs around plan
+    // construction and executes the join for exchange evidence (the
+    // qat/qdz shape)
+    "qel_spj_mor_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -2670,10 +2670,12 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     shardedKept match {
-      // a merge-on-read snapshot reads through the DV-applying batch,
-      // whose partitions are per-file, not per-shard — report unknown
-      // (honest shuffle fallback; OPTIMIZE restores SPJ eligibility)
-      case Some(groups) if spjEnabled && kept.forall(_.dvRows == 0) =>
+      // merge-on-read snapshots keep their key grouping: the
+      // DV-applying batch's partitions all carry their shard key (one
+      // clean partition per shard + one per dv'd file — Spark groups
+      // same-key partitions), so a co-sharded join survives a MoR
+      // delete without falling back to shuffles
+      case Some(groups) if spjEnabled =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
             s"graft_shard_${m.shards}_${m.layoutDiv}",
@@ -2783,9 +2785,12 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   override def toBatch: Batch =
     if (kept.exists(_.dvRows > 0))
       // merge-on-read: clean files ride the plain delegate, dv'd files
-      // read whole through position-skipping readers — see TxnDvBatch
+      // read whole through position-skipping readers — see TxnDvBatch.
+      // Under SPJ the partitions carry their shard keys so the
+      // reported KeyGroupedPartitioning stays honored.
       new TxnDvBatch(spark, root, () => kept,
-        (fs, fl) => delegateOver(fs, fl).toBatch, pushed)
+        (fs, fl) => delegateOver(fs, fl).toBatch, pushed,
+        sharded = spjEnabled && shardedKept.isDefined)
     else if (spjEnabled && shardedKept.isDefined)
       new TxnShardBatch(root, () => kept, () => delegate.toBatch)
     else delegate.toBatch
@@ -2830,7 +2835,8 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
 private[sources] class TxnDvBatch(spark: SparkSession, root: String,
     keptNow: () => Seq[FileEntry],
     mkBatch: (Seq[FileEntry], Array[Filter]) => Batch,
-    pushed: Array[Filter]) extends Batch {
+    pushed: Array[Filter],
+    sharded: Boolean = false) extends Batch {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.execution.datasources.PartitionedFile
 
@@ -2845,21 +2851,54 @@ private[sources] class TxnDvBatch(spark: SparkSession, root: String,
       .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
   }
 
+  private def pf(f: FileEntry): PartitionedFile = {
+    val abs = new java.io.File(TxnTable.resolvePath(root, f.path))
+    val len = if (f.bytes > 0) f.bytes else abs.length()
+    PartitionedFile(InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPath(
+        new org.apache.hadoop.fs.Path(abs.toURI)),
+      0L, len, Array.empty[String], 0L, len)
+  }
+
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val (dvd, clean) = keptNow().partition(_.dvRows > 0)
-    val cleanParts = mkBatch(clean, pushed).planInputPartitions()
-    val dvParts = dvd.sortBy(_.path).zipWithIndex.map { case (f, i) =>
-      val abs = new java.io.File(TxnTable.resolvePath(root, f.path))
-      val len = if (f.bytes > 0) f.bytes else abs.length()
-      val pf = PartitionedFile(InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPath(
-          new org.apache.hadoop.fs.Path(abs.toURI)),
-        0L, len, Array.empty[String], 0L, len)
-      new TxnDvBatch.DvFilePartition(cleanParts.length + i, Array(pf),
-        posByFile.getOrElse(f.path, Array.empty))
+    if (sharded) {
+      // MERGE-ON-READ UNDER SPJ (the key-grouped variant): every
+      // partition carries its shard as the partition key, so two
+      // co-sharded tables keep their zero-shuffle join even while one
+      // side holds unpurged vectors. Spark groups same-key partitions,
+      // so a shard contributes one clean multi-file partition plus one
+      // whole-file partition per dv'd file (per-file ordinals demand
+      // per-file readers). The whole scan reads row-based — the
+      // documented MoR cost — but at 100 TB that beats re-shuffling
+      // both fact tables by orders of magnitude.
+      var idx = -1
+      val cleanParts = (if (clean.isEmpty)
+        Seq.empty[(Int, Seq[FileEntry])]
+      else TxnShardBatch.shardGroupsOpt(clean)
+        .getOrElse(sys.error("sharded dv batch over unsharded clean files"))
+        .toSeq).sortBy(_._1).map { case (shard, fs) =>
+        idx += 1
+        new TxnShardBatch.ShardFilePartition(idx, fs.map(pf).toArray, shard)
+      }
+      val dvParts = dvd.sortBy(_.path).map { f =>
+        val shard = TxnShardBatch.shardGroupsOpt(Seq(f))
+          .getOrElse(sys.error(s"dv file ${f.path} outside the shard layout"))
+          .head._1
+        idx += 1
+        new TxnDvBatch.DvShardFilePartition(idx, Array(pf(f)),
+          posByFile.getOrElse(f.path, Array.empty), shard)
+      }
+      (cleanParts ++ dvParts).toArray
+    } else {
+      val cleanParts = mkBatch(clean, pushed).planInputPartitions()
+      val dvParts = dvd.sortBy(_.path).zipWithIndex.map { case (f, i) =>
+        new TxnDvBatch.DvFilePartition(cleanParts.length + i, Array(pf(f)),
+          posByFile.getOrElse(f.path, Array.empty))
+      }
+      cleanParts ++ dvParts
     }
-    cleanParts ++ dvParts
   }
 
   override def createReaderFactory()
@@ -2880,6 +2919,18 @@ private[sources] object TxnDvBatch {
       pfs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
       val deleted: Array[Long])
       extends org.apache.spark.sql.execution.datasources.FilePartition(idx, pfs)
+
+  /** The SPJ variant: same reader semantics, plus the shard id as the
+    * partition key so `BatchScanExec` groups it with its shard's clean
+    * partition under `KeyGroupedPartitioning`. */
+  private[sources] class DvShardFilePartition(idx: Int,
+      pfs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      deleted: Array[Long], shard: Int)
+      extends DvFilePartition(idx, pfs, deleted)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow(shard)
+  }
 
   /** Routes dv partitions to a position-skipping row reader over the
     * UNFILTERED delegate; everything else to the filtered delegate.

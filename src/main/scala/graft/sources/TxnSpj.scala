@@ -211,4 +211,73 @@ object TxnSpj {
            true AS agg_zero_shuffle,
            true AS off_shuffled
     FROM g"""
+
+  /** qel: SPJ SURVIVES A MERGE-ON-READ DELETE — the round-11
+    * composition of qdz (co-sharded zero-shuffle joins) with qec's
+    * DV-applying scan: after a `CALL delete_mor` tags the LEFT
+    * table's files with position sidecars, the key equi-join between
+    * the two co-sharded tables STILL plans zero shuffle exchanges —
+    * the MoR batch's partitions all carry their shard key (one clean
+    * partition per shard plus one whole-file partition per dv'd
+    * file, grouped by Spark under the KeyGroupedPartitioning), so at
+    * 100 TB a delete no longer costs the co-located join until the
+    * next OPTIMIZE. Honesty three ways: the exchange count off the
+    * EXECUTED plan, `dv_applied` off the planned left scan (it
+    * really carried dv'd files), and the join arithmetic over the
+    * SURVIVORS replayed from orders — a resurrected row or a
+    * mis-grouped shard shifts the hash. */
+  def sqlSpjMorJoin(spark: SparkSession, dir: String): DataFrame = {
+    GraftTxnCatalog.register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_custkey").cast("long").as("w"))
+    orders.createOrReplaceTempView("orders_spjmor")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    def mk(name: String, valCol: String, ddl: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+      spark.sql(s"""
+        CREATE TABLE graft.$name ($ddl) USING graft_txn
+        TBLPROPERTIES ('key'='k','shards'='16','layout_div'='${mx + 1}')""")
+      spark.sql(s"INSERT INTO graft.$name SELECT k, $valCol FROM orders_spjmor")
+    }
+    mk("spjm_left", "cents", "k BIGINT, cents BIGINT")
+    mk("spjm_right", "w", "k BIGINT, w BIGINT")
+    spark.sql(
+      "CALL graft.system.delete_mor('spjm_left', 'cents % 10 = 3')")
+    withSpj(spark, enabled = true) {
+      val q = spark.sql("""
+        SELECT count(1) AS n_rows, sum(l.cents * r.w) AS weighted
+        FROM graft.spjm_left l JOIN graft.spjm_right r ON l.k = r.k""")
+      val leftScan = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collect { case t: TxnScan => t }
+        .find(_.filesDv > 0)
+        .getOrElse(sys.error("join did not plan a dv-carrying GraftTxnScan"))
+      val row = q.collect()(0)
+      val sh = joinShuffles(q)
+      spark.range(1).select(
+        lit(row.getLong(0)).as("n_rows"),
+        lit(row.getLong(1)).as("weighted"),
+        lit(sh.toLong).as("spj_shuffles"),
+        lit(sh == 0).as("spj_zero_shuffle"),
+        lit(leftScan.filesDv > 0).as("dv_applied"))
+    }
+  }
+
+  /** The survivors' join replayed from orders (k is unique, so the
+    * join is 1:1 over the left's live rows). */
+  val sqlSpjMorJoinOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_custkey AS BIGINT) AS w
+      FROM orders)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents * w) AS BIGINT) AS weighted,
+           CAST(0 AS BIGINT) AS spj_shuffles,
+           true AS spj_zero_shuffle,
+           true AS dv_applied
+    FROM b WHERE cents % 10 <> 3"""
 }
