@@ -436,6 +436,7 @@ object SparkEntry {
     "qej_sql_bloom_skip"    -> (graft.sources.GraftTxnCatalog.sqlBloomSkip _),
     "qek_lakehouse_lifecycle" -> (graft.sources.GraftTxnCatalog.sqlLakehouseLifecycle _),
     "qel_spj_mor_join"      -> (graft.sources.TxnSpj.sqlSpjMorJoin _),
+    "qem_sql_compact"       -> (graft.sources.GraftTxnCatalog.sqlCompact _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1131,6 +1132,7 @@ object SparkEntry {
     "qej_sql_bloom_skip"     -> graft.sources.GraftTxnCatalog.sqlBloomSkipOracle,
     "qek_lakehouse_lifecycle" -> graft.sources.GraftTxnCatalog.sqlLakehouseLifecycleOracle,
     "qel_spj_mor_join"       -> graft.sources.TxnSpj.sqlSpjMorJoinOracle,
+    "qem_sql_compact"        -> graft.sources.GraftTxnCatalog.sqlCompactOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -2167,6 +2167,113 @@ object GraftTxnCatalog {
            CAST(8 AS BIGINT) AS n_versions
     FROM liv, bump, probe, cover, dels, bk"""
 
+  /** qem: INCREMENTAL COMPACTION — `CALL graft.system.compact(t,
+    * max_rows)` rewrites ONLY sub-threshold files (the continuous-
+    * ingest maintenance shape: four micro-appends land 4×shards
+    * small files next to one big batch's files; the compact folds the
+    * smalls into ≤ shards clustered files while every big file
+    * carries BY PATH — a full OPTIMIZE would rewrite the table).
+    * Graded from the real manifests and replayed from the
+    * (slice × shard) group arithmetic: `files_compacted` = the groups
+    * at or below the threshold, `files_carried` = the big batch's
+    * cover (paths verified untouched), `files_after` = carried + the
+    * compacted rows' re-shard cover; content invariants
+    * (count/checksum) and post-compact key-range pruning ride the
+    * same row. */
+  def sqlCompact(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("k"), col("n_chars").cast("long").as("c"))
+    docs.createOrReplaceTempView("docs_sqlcmp")
+    val r0 = docs.agg(max("k"), count(lit(1))).head()
+    val (mx, n) = (r0.getLong(0), r0.getLong(1))
+    spark.sql("DROP TABLE IF EXISTS graft.sql_compact")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_compact (k BIGINT, c BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    // four micro-appends (k%16 = 0..3) + one big batch (the rest)
+    (0 to 3).foreach { i =>
+      spark.sql("INSERT INTO graft.sql_compact" +
+        s" SELECT k, c FROM docs_sqlcmp WHERE k % 16 = $i")
+    }
+    spark.sql("INSERT INTO graft.sql_compact" +
+      " SELECT k, c FROM docs_sqlcmp WHERE k % 16 >= 4")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_compact"
+    val m5 = TxnTable.readManifest(root, 5)
+    val threshold = n / 100 // between a micro-file (~n/256) and a big one
+    val smallPaths = m5.files
+      .filter(f => f.nRows - f.dvRows <= threshold).map(_.path).toSet
+    val cp = spark.sql(
+      s"CALL graft.system.compact('sql_compact', CAST($threshold AS BIGINT))")
+      .head()
+    val m6 = TxnTable.readManifest(root, 6)
+    val carriedIntact = m5.files.filterNot(f => smallPaths(f.path))
+      .map(_.path).toSet.subsetOf(m6.files.map(_.path).toSet)
+    // fewer than two qualifying files is a proven no-op: no version
+    // minted at an impossible threshold
+    val againNoop = spark.sql(
+      s"CALL graft.system.compact('sql_compact', CAST(0 AS BIGINT))")
+      .head().getLong(0) == 6L
+    val probe = spark.sql(s"""
+      SELECT count(1) AS band_rows FROM graft.sql_compact
+      WHERE k BETWEEN 1 AND ${mx / 16}""")
+    val scan = probe.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case t: TxnScan => t }
+      .getOrElse(sys.error("post-compact probe did not plan a GraftTxnScan"))
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(k) AS id_checksum,
+               sum(c) AS chars_sum
+        FROM graft.sql_compact""")
+      .crossJoin(broadcast(probe))
+      .withColumn("compact_version", lit(cp.getLong(0)))
+      .withColumn("files_compacted", lit(cp.getLong(1)))
+      .withColumn("files_carried", lit(cp.getLong(2)))
+      .withColumn("files_after", lit(m6.files.size.toLong))
+      .withColumn("carried_intact", lit(carriedIntact))
+      .withColumn("noop_no_commit", lit(againNoop))
+      .withColumn("pruned_after_compact",
+        lit(scan.filesKept < scan.filesTotal))
+  }
+
+  /** The (slice × shard) group replay: micro-batch groups at or below
+    * total/100 rows compact; the big batch's groups carry; the
+    * compacted rows re-shard into their key cover. */
+  val sqlCompactOracle: String = """
+    WITH m AS (SELECT max(doc_id) AS mx,
+                      CAST(count(1) AS BIGINT) AS total FROM documents),
+    s AS (SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS c,
+                 CASE WHEN doc_id % 16 < 4 THEN doc_id % 16 ELSE 99 END
+                   AS slice,
+                 doc_id * 16 // (m.mx + 1) AS shard
+          FROM documents, m),
+    g AS (SELECT slice, shard, CAST(count(1) AS BIGINT) AS cnt
+          FROM s GROUP BY slice, shard),
+    t AS (SELECT total // 100 AS thr FROM m),
+    comp AS (SELECT CAST(count(1) AS BIGINT) AS n FROM g, t
+             WHERE cnt <= thr),
+    carr AS (SELECT CAST(count(1) AS BIGINT) AS n FROM g, t
+             WHERE cnt > thr),
+    cover AS (SELECT CAST(count(DISTINCT s.shard) AS BIGINT) AS n
+              FROM s, g g2, t
+              WHERE s.slice = g2.slice AND s.shard = g2.shard
+                AND g2.cnt <= t.thr),
+    probe AS (SELECT CAST(count(1) AS BIGINT) AS band_rows
+              FROM s, m WHERE k BETWEEN 1 AND m.mx // 16)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS id_checksum,
+           CAST(sum(c) AS BIGINT) AS chars_sum,
+           probe.band_rows,
+           CAST(6 AS BIGINT) AS compact_version,
+           comp.n AS files_compacted,
+           carr.n AS files_carried,
+           carr.n + cover.n AS files_after,
+           true AS carried_intact, true AS noop_no_commit,
+           true AS pruned_after_compact
+    FROM s, probe, comp, carr, cover
+    GROUP BY probe.band_rows, comp.n, carr.n, cover.n"""
+
   /** qd8's shard/overlap arithmetic for the surgical hop, plus the
     * non-key composition, through the SQL statements. */
   val sqlSurgicalDeleteOracle: String = """
@@ -3192,7 +3299,8 @@ private[sources] object TxnProcedures {
 
   val Namespace: Array[String] = Array("system")
   val names: Array[String] = Array("optimize", "zorder", "vacuum",
-    "restore", "purge_deletes", "expire_versions", "delete_mor")
+    "restore", "purge_deletes", "expire_versions", "delete_mor",
+    "compact")
 
   private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
   private def out(fields: (String, DataType)*): StructType =
@@ -3292,6 +3400,17 @@ private[sources] object TxnProcedures {
         input => {
           val dropped = TxnTable.expireVersions(root(input), input.getInt(1))
           (out("dropped_manifests" -> LongType), Seq(dropped.toLong))
+        }))
+      case "compact" => Some(new Proc("compact",
+        "rewrite only files at or below max_rows live rows; larger " +
+          "files carry by path (incremental bin-packing)",
+        Array(tbl, in("max_rows", LongType)),
+        input => {
+          val (v, comp, carried) = TxnTable.compactSmall(spark,
+            root(input), input.getLong(1))
+          (out("version" -> LongType, "files_compacted" -> LongType,
+            "files_carried" -> LongType),
+            Seq(v.toLong, comp.toLong, carried.toLong))
         }))
       case "delete_mor" => Some(new Proc("delete_mor",
         "merge-on-read delete: position sidecars only, zero data-file " +

@@ -1567,6 +1567,47 @@ object TxnTable {
     (ver, rewritten, carriedN)
   }
 
+  /** INCREMENTAL COMPACTION (the Delta OPTIMIZE-where / bin-packing
+    * idea on this log, row-count-driven so the policy is a manifest
+    * fact): rewrite ONLY the files whose LIVE row count (nRows −
+    * dvRows) is at or below `maxRows`, carrying every larger file by
+    * path — the continuous-ingest maintenance shape, where a day of
+    * small stream epochs / micro-appends compacts into ≤ `shards`
+    * clustered files without touching the big ones (a full
+    * [[optimize]] would rewrite the entire table). Small dv'd files
+    * fold their vectors on the way (the rewrite reads live rows);
+    * big dv'd files keep theirs ([[purgeDeletes]] is the vector
+    * tool). Fewer than TWO qualifying files is a proven no-op — no
+    * version is minted. Returns (version, filesCompacted,
+    * filesCarried). */
+  def compactSmall(spark: SparkSession, root: String, maxRows: Long,
+      maxRetries: Int = 5): (Int, Int, Int) = {
+    val head = readManifest(root, latestVersion(root))
+    if (head.files.count(f => f.nRows - f.dvRows <= maxRows) < 2)
+      return (head.version, 0, head.files.size)
+    var compacted = 0
+    var carriedN = 0
+    val (ver, _) = retryCommit(root, "compactSmall", maxRetries) { v =>
+      val base = readManifest(root, v)
+      val (small, big) =
+        base.files.partition(f => f.nRows - f.dvRows <= maxRows)
+      val live = readFiles(spark, root, base.schemaDdl, small)
+      val (adds, sub) = writeSnapshot(spark, root, v + 1, "compact_small",
+        live, base.keyCol, base.shards, base.layoutDiv,
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
+      compacted = small.size
+      carriedN = big.size
+      (adds.copy(schemaDdl = base.schemaDdl, files = big ++ adds.files,
+        deltaOf = -1, txns = base.txns,
+        renames = base.renames, dropped = base.dropped,
+        cdfKind = "none", nextId = base.nextId,
+        identityCol = base.identityCol,
+        identityStart = base.identityStart), sub)
+    }
+    (ver, compacted, carriedN)
+  }
+
   /** RESTORE (rollback): re-point the table at an EARLIER committed
     * snapshot AS A NEW COMMIT — the Delta `RESTORE TABLE ... TO
     * VERSION AS OF` gesture. Zero data movement: the new manifest

@@ -39,6 +39,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "qef_sql_typed_stats" -> "crossJoin(broadcast(1-row string/range/control probe aggregates)) next to the date-probe aggregate",
     "qeg_sql_mapped_dml" -> "crossJoin(broadcast(1-row VERSION AS OF 2 aggregate)) next to the head aggregate",
     "qek_lakehouse_lifecycle" -> "crossJoin(broadcast(1-row probe/live/time-travel aggregates)) next to the final aggregate (eager-excluded from the sweep; listed for completeness)",
+    "qem_sql_compact" -> "crossJoin(broadcast(1-row post-compact band-probe aggregate)) next to the content-invariant aggregate",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",
