@@ -635,6 +635,34 @@ class TxnTableSpec extends SparkSpec {
     assert(ids sameElements Array(5L), "restored table holds only the new row")
   }
 
+  test("compactSmall rewrites only sub-threshold files; no-op mints nothing") {
+    val r = root("compact")
+    val big = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+    TxnTable.create(spark, r, big, "k", 4) // v0: 4 files of ~250 rows
+    // three micro-appends: 4 shards × 3 batches of tiny files
+    (1 to 3).foreach { i =>
+      TxnTable.append(spark, r,
+        spark.range(1000 + i * 10, 1000 + i * 10 + 8)
+          .select(col("id").as("k"), col("id").as("v")),
+        s"micro_$i", checkpointEvery = 100)
+    }
+    val before = TxnTable.readManifest(r, 3)
+    val bigPaths = before.files.filter(_.nRows > 50).map(_.path).toSet
+    val (v, compacted, carried) = TxnTable.compactSmall(spark, r, 50L)
+    assert(v == 4 && carried == bigPaths.size)
+    assert(compacted == before.files.size - bigPaths.size && compacted >= 3)
+    val after = TxnTable.readManifest(r, 4)
+    assert(bigPaths.subsetOf(after.files.map(_.path).toSet),
+      "big files must carry by path, untouched")
+    assert(after.files.size < before.files.size)
+    // content invariant
+    assert(TxnTable.readVersion(spark, r, 4).agg(sum("k")).head().getLong(0)
+      == TxnTable.readVersion(spark, r, 3).agg(sum("k")).head().getLong(0))
+    // nothing qualifies twice over: a re-compact at an impossible
+    // threshold mints no version
+    assert(TxnTable.compactSmall(spark, r, 0L)._1 == 4)
+  }
+
   test("a probe that prunes every file yields the schema'd empty frame") {
     val (r, _) = mkTable("emptyprobe", n = 1000, shards = 8)
     val (pruned, nRead, nTotal) = TxnTable.prunedRead(spark, r, 0, 5000L, 6000L)
