@@ -75,7 +75,25 @@ object Explain {
     // qel flips the v2.bucketing/AQE session confs around plan
     // construction and executes the join for exchange evidence (the
     // qat/qdz shape)
-    "qel_spj_mor_join")
+    "qel_spj_mor_join",
+    // qen replays two checkpointed streaming runs (one with a planned
+    // mid-backlog failure) in its builder — eager by construction
+    "qen_stream_admission",
+    // q2i/q1p run distributed global-index jobs (zipWithIndex) in
+    // their builders — the round-12 window-audit fix traded the
+    // single-partition window for builder-eager exact ranks
+    "q2i_rfm_segments", "q1p_key_skew_profile",
+    // qep replays two checkpointed streaming runs across a rename
+    // commit plus the CDF stream in its builder — eager by construction
+    "qep_stream_across_rename",
+    // qer flips the v2.bucketing/AQE session confs around plan
+    // construction and executes three joins for exchange evidence
+    // (the qat/qdz/qel shape)
+    "qer_sql_reshard",
+    // qeu needs the session-construction-time ViewSubstitutionRule
+    // (absent in the shared plan-audit session) and drives view DDL
+    // CALLs in its builder
+    "qeu_sql_views")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -437,6 +437,14 @@ object SparkEntry {
     "qek_lakehouse_lifecycle" -> (graft.sources.GraftTxnCatalog.sqlLakehouseLifecycle _),
     "qel_spj_mor_join"      -> (graft.sources.TxnSpj.sqlSpjMorJoin _),
     "qem_sql_compact"       -> (graft.sources.GraftTxnCatalog.sqlCompact _),
+    "qen_stream_admission"  -> (graft.sources.TxnStream.txnStreamAdmission _),
+    "qeo_sql_merge_by_source" -> (graft.sources.TxnRowLevel.sqlMergeBySource _),
+    "qep_stream_across_rename" -> (graft.sources.TxnStream.txnStreamAcrossRename _),
+    "qeq_sql_type_widening" -> (graft.sources.GraftTxnCatalog.sqlTypeWidening _),
+    "qer_sql_reshard"       -> (graft.sources.TxnSpj.sqlReshard _),
+    "qes_show_create"       -> (graft.sources.GraftTxnCatalog.sqlShowCreate _),
+    "qet_branch_wap"        -> (graft.sources.GraftTxnCatalog.sqlBranchWap _),
+    "qeu_sql_views"         -> (graft.sources.GraftTxnCatalog.sqlViews _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1133,6 +1141,14 @@ object SparkEntry {
     "qek_lakehouse_lifecycle" -> graft.sources.GraftTxnCatalog.sqlLakehouseLifecycleOracle,
     "qel_spj_mor_join"       -> graft.sources.TxnSpj.sqlSpjMorJoinOracle,
     "qem_sql_compact"        -> graft.sources.GraftTxnCatalog.sqlCompactOracle,
+    "qen_stream_admission"   -> graft.sources.TxnStream.txnStreamAdmissionOracle,
+    "qeo_sql_merge_by_source" -> graft.sources.TxnRowLevel.sqlMergeBySourceOracle,
+    "qep_stream_across_rename" -> graft.sources.TxnStream.txnStreamAcrossRenameOracle,
+    "qeq_sql_type_widening"  -> graft.sources.GraftTxnCatalog.sqlTypeWideningOracle,
+    "qer_sql_reshard"        -> graft.sources.TxnSpj.sqlReshardOracle,
+    "qes_show_create"        -> graft.sources.GraftTxnCatalog.sqlShowCreateOracle,
+    "qet_branch_wap"         -> graft.sources.GraftTxnCatalog.sqlBranchWapOracle,
+    "qeu_sql_views"          -> graft.sources.GraftTxnCatalog.sqlViewsOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

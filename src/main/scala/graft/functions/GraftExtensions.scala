@@ -339,5 +339,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Delta-conventional readChangeFeed option on graft_txn
     // catalog tables: swaps the relation to the CDF-schema table
     ext.injectResolutionRule(_ => graft.sources.CdfReadOptionRule)
+    // catalog views (qeu): substitutes graft.<view> relations with
+    // their stored, parsed definitions
+    ext.injectResolutionRule(_ => graft.sources.ViewSubstitutionRule)
   }
 }

@@ -1261,13 +1261,19 @@ object Quality {
     * same output contract. */
   def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
     val perKey = Tables.events(spark, dir).groupBy("user_id")
-      .agg(count(lit(1)).as("n"))
-    val rk = Window.orderBy(col("n"), col("user_id"))
-    val tot = Window.partitionBy()
-    val ranked = perKey
-      .withColumn("i", row_number().over(rk).cast("long"))
-      .withColumn("k", count(lit(1)).over(tot))
-      .withColumn("rev", col("k") - col("i") + 1L) // 1 = heaviest
+      .agg(count(lit(1)).as("n")).cache()
+    // EXACT global ranks WITHOUT a single-partition window (the
+    // round-12 window-audit fix): the per-key frame is entity-scale —
+    // both rank directions ride the distributed global index (range
+    // shuffle + per-partition offsets), never Window.orderBy.
+    val k0 = perKey.count()
+    val ranked = Relational.withGlobalIndex(
+      Relational.withGlobalIndex(perKey,
+        Seq(col("n"), col("user_id")), "__i"),
+      Seq(col("n").desc, col("user_id").desc), "__rev")
+      .withColumn("i", col("__i") + 1L)
+      .withColumn("k", lit(k0))
+      .withColumn("rev", col("__rev") + 1L) // 1 = heaviest
     ranked.agg(
         max(col("k")).as("n_keys"),
         sum(col("n")).as("total"),

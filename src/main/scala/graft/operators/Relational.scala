@@ -1052,14 +1052,25 @@ object Relational {
       max("o_orderdate").as("last_order"),
       count(lit(1)).as("frequency"),
       sum(floor(col("o_totalprice") * 100 + 0.5)).as("monetary_cents"))
-    val rTile = ntile(5).over(Window.orderBy(col("last_order").desc, col("o_custkey")))
-    val fTile = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-    val mTile = ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("o_custkey")))
-    cust.select(
+      .cache()
+    // EXACT quintiles WITHOUT a single-partition window (the round-12
+    // window-audit fix): the customer frame is entity-scale — ntile
+    // over Window.orderBy would drag every customer to one partition
+    // at 100 TB. Each lane is a distributed global index (range
+    // shuffle + per-partition offsets) with ntile arithmetic on top —
+    // bit-identical to SQL NTILE(5) under the same total order.
+    val n = cust.count()
+    val ranked = Seq(
+      ("__r", Seq(col("last_order").desc, col("o_custkey"))),
+      ("__f", Seq(col("frequency").desc, col("o_custkey"))),
+      ("__m", Seq(col("monetary_cents").desc, col("o_custkey"))))
+      .foldLeft(cust: DataFrame) { case (df, (c, ord)) =>
+        withGlobalIndex(df, ord, c) }
+    ranked.select(
         col("frequency"), col("monetary_cents"),
-        rTile.cast("long").as("r_tile"),
-        fTile.cast("long").as("f_tile"),
-        mTile.cast("long").as("m_tile"))
+        ntileOfIndex(col("__r"), n, 5).as("r_tile"),
+        ntileOfIndex(col("__f"), n, 5).as("f_tile"),
+        ntileOfIndex(col("__m"), n, 5).as("m_tile"))
       .groupBy("r_tile", "f_tile", "m_tile")
       .agg(
         count(lit(1)).as("n_customers"),
@@ -1569,4 +1580,49 @@ object Relational {
            CAST(sum(CASE WHEN streak = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_runs
     FROM st GROUP BY supp ORDER BY supp"""
+
+  /** EXACT GLOBAL RANK WITHOUT A SINGLE-PARTITION WINDOW — the
+    * round-12 window-audit fix (q2i/q1p): `row_number().over(
+    * Window.orderBy(...))` moves EVERY row to one partition, the
+    * audit's target accident on an entity-scale frame (customers,
+    * users) at 100 TB. The distributed exact shape: range-repartition
+    * on the order key, sort within partitions, `zipWithIndex` (Spark's
+    * global-index primitive — one extra job collecting per-partition
+    * COUNTS, never rows, then each partition numbers itself from its
+    * offset). The caller must supply a TOTAL order (append the entity
+    * key as tiebreak) so the index is deterministic. Runs jobs at
+    * build time — callers are builder-eager by construction. */
+  def withGlobalIndex(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1,
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema.add(out,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** Exact SQL `NTILE(k)` semantics over a [[withGlobalIndex]] column
+    * (the first n mod k buckets take the extra row), 1-based — the
+    * distributed twin of `ntile(k).over(Window.orderBy(...))`. `n`
+    * comes from the caller's one driver-side count of the SAME frame
+    * the index numbered. */
+  def ntileOfIndex(idx: org.apache.spark.sql.Column, n: Long, k: Int)
+      : org.apache.spark.sql.Column = {
+    require(n > 0 && k > 0, s"ntile needs n>0, k>0 (got $n, $k)")
+    val q = n / k
+    val r = n % k
+    val b = r * (q + 1)
+    val qSafe = math.max(q, 1L) // n<k: the otherwise-branch never fires
+    // floor over double division is exact for idx < 2^52 — any real
+    // frame; Column `/` is double division, so floor() restores the
+    // integer quotient
+    (when(idx < b, floor(idx / lit(q + 1)))
+      .otherwise(lit(r) + floor((idx - lit(b)) / lit(qSafe))))
+      .cast("long") + 1L
+  }
 }

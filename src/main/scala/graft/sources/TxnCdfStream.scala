@@ -37,9 +37,9 @@ class TxnCdfSource extends TableProvider {
     val root = Option(options.get("root")).getOrElse(
       sys.error("TxnCdfSource needs option 'root'"))
     val m = TxnTable.readManifest(root, TxnTable.latestVersion(root))
-    require(m.renames.isEmpty,
-      s"change-feed stream of $root: column-mapped snapshots are not " +
-        "streamable; rewrite the table (optimize) to normalize first")
+    // column-mapped snapshots stream fine (qep): the surface is the
+    // LOGICAL schema; files read under their stable physical names and
+    // align positionally (see TxnCdfMicroBatchStream)
     TxnTable.logicalSchema(m)
       .add("_change_type", StringType)
       .add("_commit_version", LongType)
@@ -59,18 +59,31 @@ private[sources] class TxnCdfTable(root: String, outSchema: StructType)
     () => new Scan {
       override def readSchema(): StructType = outSchema
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-        new TxnCdfMicroBatchStream(SparkSession.active, root, outSchema)
+        new TxnCdfMicroBatchStream(SparkSession.active, root, outSchema,
+          caps = TxnAdmission.Caps.from(k => Option(options.get(k))))
       override def description(): String = s"GraftTxnCdfScan($root)"
     }
 }
 
 private[sources] class TxnCdfMicroBatchStream(spark: SparkSession,
     root: String, outSchema: StructType,
-    startAt: Option[Int] = None) extends MicroBatchStream
+    startAt: Option[Int] = None,
+    caps: TxnAdmission.Caps = TxnAdmission.Caps.none) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  // outSchema = data columns + (_change_type, _commit_version)
-  private val dataSchema = StructType(outSchema.fields.dropRight(2))
+  // outSchema = LOGICAL data columns + (_change_type, _commit_version).
+  // Files are read under the PHYSICAL schema pinned from the head DDL
+  // (qep): a rename is metadata-only — physical file names never
+  // change and columns never reorder — so physically-read rows align
+  // positionally with the logical output attributes, and the stream
+  // survives RENAME COLUMN commits anywhere in its range. Arity is
+  // padded/truncated against the stream's fixed output (an ADD COLUMN
+  // after stream start is the next run's surface, as before).
+  private val dataSchema = {
+    val phys = StructType.fromDDL(
+      TxnTable.readManifest(root, TxnTable.latestVersion(root)).schemaDdl)
+    StructType(phys.fields.take(outSchema.fields.length - 2))
+  }
   private val cdfFileSchema = dataSchema.add("_change_type", StringType)
 
   private case class CdfOffset(version: Int) extends Offset {
@@ -86,11 +99,33 @@ private[sources] class TxnCdfMicroBatchStream(spark: SparkSession,
   override def initialOffset(): Offset =
     CdfOffset(startAt.map(_ - 1).getOrElse(-1))
   override def deserializeOffset(json: String): Offset = CdfOffset(json.toInt)
-  override def latestOffset(): Offset = CdfOffset(
-    availableNowCap.getOrElse(TxnTable.latestVersion(root)))
+  private def head: Int = availableNowCap.getOrElse(TxnTable.latestVersion(root))
+
+  override def latestOffset(): Offset = CdfOffset(head)
+  // admission control (qen): same version/files/bytes trigger caps as
+  // the adds-stream — a long-history CDF backfill drains in bounded,
+  // checkpointable batches instead of one unbounded first batch
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    caps.defaultLimit
+  override def reportLatestOffset(): Offset = CdfOffset(head)
+  // what each version SERVES downstream: adds versions their added
+  // data files; DML versions their change file (1 file; the manifest
+  // records its rows, not bytes — a files cap is exact, a bytes cap
+  // counts DML change files as free); no-change versions nothing
+  private def cdfVersionFiles(v: Int): Seq[FileEntry] = {
+    val raw = TxnTable.readManifestRaw(root, v)
+    raw.cdfKind match {
+      case "files" => Seq(FileEntry(raw.cdfPath, raw.cdfRows, 0L, 0L))
+      case "adds"  => TxnAdmission.addsOf(root, v)
+      case _       => Nil
+    }
+  }
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+    CdfOffset(TxnAdmission.admit(root,
+      start.asInstanceOf[CdfOffset].version, head, limit, caps,
+      cdfVersionFiles))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -115,8 +150,6 @@ private[sources] class TxnCdfMicroBatchStream(spark: SparkSession,
     (math.max(vFrom + 1, 0) to vTo).flatMap { v =>
       val raw = TxnTable.readManifestRaw(root, v)
       val m = TxnTable.readManifest(root, v)
-      require(m.renames.isEmpty,
-        s"change-feed stream of $root: version $v is column-mapped")
       raw.cdfKind match {
         case "adds" =>
           val before =

@@ -496,4 +496,110 @@ object TxnRowLevel {
            CAST(untouched.n AS BIGINT) AS n_files_carried,
            true AS band_files_pruned
     FROM s, upd, untouched GROUP BY upd.n, untouched.n"""
+
+  /** qeo: `WHEN NOT MATCHED BY SOURCE` through the row-level seam —
+    * the round-11 verdict's item 2, the clause every sync/SCD-
+    * retirement job uses. Two merges compose on one table:
+    *
+    *  1. a SYNC merge — matched keys refresh, unmatched sources
+    *     insert, and target rows ABSENT from the source retire via
+    *     `WHEN NOT MATCHED BY SOURCE AND k % 5 = 0 THEN DELETE`;
+    *  2. an SCD retirement — `WHEN NOT MATCHED BY SOURCE THEN UPDATE`
+    *     flags every remaining unmatched row (`cents = -1`).
+    *
+    * The by-source direction is the exact DUAL of qdu's group-filter
+    * optimization: a file with no source match can no longer be
+    * SKIPPED (its rows may retire), so the graded row asserts the
+    * honest full rewrite — ZERO files carried by path across both
+    * commits (`by_source_full_rewrite`), where qdu asserts carry > 0
+    * for the by-target band. Counts from both match directions
+    * (updated / inserted / deleted / retired), the surviving
+    * rows/sum, and v1 history are all replayed from orders. */
+  def sqlMergeBySource(spark: SparkSession, dir: String): DataFrame = {
+    GraftTxnCatalog.register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlbys")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.sql_bysrc")
+    spark.sql(s"""
+      CREATE TABLE graft.sql_bysrc (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k', 'shards'='16', 'layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.sql_bysrc SELECT k, cents FROM orders_sqlbys")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/sql_bysrc"
+    val v1Paths = TxnTable.readManifest(root, 1).files.map(_.path).toSet
+    // source = the mod-3 slice (refreshed values) + surrogate inserts;
+    // everything else is "absent from source" — the retirement lane
+    spark.sql("""
+      MERGE INTO graft.sql_bysrc t
+      USING (
+        SELECT k, cents + 1000 AS cents FROM orders_sqlbys WHERE k % 3 = 0
+        UNION ALL
+        SELECT -k - 1, 4200 FROM orders_sqlbys WHERE k % 101 = 0
+      ) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)
+      WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN DELETE""")
+    require(TxnTable.latestVersion(root) == 2,
+      "by-source MERGE must commit exactly v2")
+    // SCD retirement: whatever the (smaller) source no longer covers
+    // is flagged in place — UPDATE through the by-source direction
+    spark.sql("""
+      MERGE INTO graft.sql_bysrc t
+      USING (SELECT k FROM orders_sqlbys WHERE k % 3 = 0
+             UNION ALL
+             SELECT -k - 1 FROM orders_sqlbys WHERE k % 101 = 0) s
+      ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = -1""")
+    require(TxnTable.latestVersion(root) == 3,
+      "retirement MERGE must commit exactly v3")
+    // both by-source commits must have read EVERYTHING: a skipped file
+    // could hide rows that needed to retire (the qdu dual)
+    val carried = (TxnTable.readManifest(root, 2).files.map(_.path) ++
+      TxnTable.readManifest(root, 3).files.map(_.path))
+      .count(v1Paths.contains)
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(cents) AS sum_cents,
+               sum(CASE WHEN cents = -1 THEN 1 ELSE 0 END) AS retired_rows,
+               sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS surrogate_rows
+        FROM graft.sql_bysrc""")
+      .crossJoin(broadcast(spark.sql(
+        "SELECT sum(cents) AS sum_cents_v1 FROM graft.sql_bysrc VERSION AS OF 1")))
+      .withColumn("by_source_full_rewrite", lit(carried == 0))
+      .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
+  }
+
+  /** Replay: merge 1 updates mod-3 (+1000), inserts surrogates (4200),
+    * deletes mod-5-not-mod-3; merge 2 retires every surviving row that
+    * is neither mod-3 nor a surrogate (cents = -1). */
+  val sqlMergeBySourceOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    m1 AS (
+      -- after merge 1: mod-3 refreshed, mod-5 (and not mod-3) deleted
+      SELECT k, CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END AS cents
+      FROM b WHERE k % 3 = 0 OR k % 5 <> 0
+      UNION ALL
+      SELECT -k - 1, CAST(4200 AS BIGINT) FROM b WHERE k % 101 = 0),
+    m2 AS (
+      -- after merge 2: rows outside source (not mod-3, not surrogate)
+      -- retire to -1
+      SELECT k, CASE WHEN k >= 0 AND k % 3 <> 0 THEN CAST(-1 AS BIGINT)
+                     ELSE cents END AS cents
+      FROM m1),
+    v1 AS (SELECT CAST(sum(cents) AS BIGINT) AS s FROM b)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN cents = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS retired_rows,
+           CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS surrogate_rows,
+           v1.s AS sum_cents_v1,
+           true AS by_source_full_rewrite,
+           CAST(4 AS BIGINT) AS n_versions
+    FROM m2, v1 GROUP BY v1.s"""
 }

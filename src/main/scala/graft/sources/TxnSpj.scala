@@ -150,6 +150,93 @@ object TxnSpj {
            true AS control_shuffled
     FROM b"""
 
+  /** qer: LAYOUT EVOLUTION flips SPJ compatibility correctly — the
+    * round-11 verdict's item 5. Three tables over the orders key: A
+    * and B co-sharded at 16, C at 8. Before the re-shard, A⋈B runs
+    * with ZERO exchanges (the qdz fact). `CALL graft.system.reshard(
+    * 'A', 8, div)` rewrites A into the 8-shard layout as one commit —
+    * and because SPJ compatibility rides the shard function's
+    * CANONICAL NAME (`graft_shard_<shards>_<div>`), the flip is
+    * derived, not asserted: A⋈B (old peer) now plans a real shuffle
+    * (a zero-shuffle claim here would be WRONG — different
+    * arithmetic), while A⋈C (the new 8-shard peer) runs with zero
+    * exchanges. Data invariants ride the same row: the re-shard
+    * preserved every row and the join arithmetic (replayed from
+    * orders), and the rewrite landed one file per shard of the NEW
+    * layout. */
+  def sqlReshard(spark: SparkSession, dir: String): DataFrame = {
+    GraftTxnCatalog.register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_custkey").cast("long").as("w"))
+    orders.createOrReplaceTempView("orders_rsh")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    def mk(name: String, valCol: String, ddl: String, shards: Int): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+      spark.sql(s"""
+        CREATE TABLE graft.$name ($ddl) USING graft_txn
+        TBLPROPERTIES ('key'='k','shards'='$shards','layout_div'='${mx + 1}')""")
+      spark.sql(s"INSERT INTO graft.$name SELECT k, $valCol FROM orders_rsh")
+    }
+    mk("rsh_a", "cents", "k BIGINT, cents BIGINT", 16)
+    mk("rsh_b", "w", "k BIGINT, w BIGINT", 16)
+    mk("rsh_c", "w", "k BIGINT, w BIGINT", 8)
+    val wh = graft.Fs.scratch("graft_txn_catalog_wh")
+    withSpj(spark, enabled = true) {
+      def ab = spark.sql("""
+        SELECT count(1) AS n_rows, sum(a.cents * b.w) AS weighted
+        FROM graft.rsh_a a JOIN graft.rsh_b b ON a.k = b.k""")
+      def ac = spark.sql("""
+        SELECT count(1) AS n_rows, sum(a.cents * c.w) AS weighted
+        FROM graft.rsh_a a JOIN graft.rsh_c c ON a.k = c.k""")
+      val preQ = ab
+      val preRow = preQ.collect()(0)
+      val preSh = joinShuffles(preQ)
+      val rs = spark.sql(
+        s"CALL graft.system.reshard('rsh_a', 8, CAST(${mx + 1} AS BIGINT))")
+        .head()
+      val m = graft.sources.TxnTable.readManifest(s"$wh/rsh_a",
+        rs.getLong(0).toInt)
+      val postOldQ = ab
+      val postOldRow = postOldQ.collect()(0)
+      val postOldSh = joinShuffles(postOldQ)
+      val postNewQ = ac
+      val postNewRow = postNewQ.collect()(0)
+      val postNewSh = joinShuffles(postNewQ)
+      spark.range(1).select(
+        lit(preRow.getLong(0)).as("n_rows"),
+        lit(preRow.getLong(1)).as("weighted"),
+        lit(preSh == 0).as("pre_zero_shuffle"),
+        lit(postOldSh > 0).as("old_peer_shuffles_after"),
+        lit(postNewSh == 0).as("new_peer_zero_shuffle"),
+        lit(postOldRow == preRow).as("rows_survive_reshard"),
+        lit(postNewRow == preRow).as("join_arith_stable"),
+        lit(m.shards == 8 && m.files.size == 8).as("one_file_per_new_shard"),
+        lit(rs.getLong(0)).as("reshard_version"))
+    }
+  }
+
+  /** The join arithmetic replayed from orders; every flip fact is an
+    * enforced contract constant (a wrong co-partition claim would
+    * change rows/weighted too). */
+  val sqlReshardOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_custkey AS BIGINT) AS w
+      FROM orders)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents * w) AS BIGINT) AS weighted,
+           true AS pre_zero_shuffle,
+           true AS old_peer_shuffles_after,
+           true AS new_peer_zero_shuffle,
+           true AS rows_survive_reshard,
+           true AS join_arith_stable,
+           true AS one_file_per_new_shard,
+           CAST(2 AS BIGINT) AS reshard_version
+    FROM b"""
+
   /** qe0: SHUFFLE-FREE AGGREGATION on the layout key. The table is
     * keyed on l_orderkey — a genuinely multi-row key (~4 line items
     * per order) — so `GROUP BY k` is a real combine, and because every

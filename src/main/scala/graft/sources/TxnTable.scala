@@ -212,7 +212,9 @@ object TxnTable {
     * [[encodeStringStat]] (rpad hex to 16, unsigned conv, shift). */
   private[graft] def statSourceExpr(c: String, t: String)
       : org.apache.spark.sql.Column = t match {
-    case "long"      => col(c)
+    // cast, don't assume: a narrower integral stats column (INT before
+    // a qeq type-widen) folds into the same Long stat lane exactly
+    case "long"      => col(c).cast("long")
     case "date"      => expr(s"unix_date(cast($c as date))").cast("long")
     case "timestamp" => expr(s"unix_micros($c)")
     case "string"    => expr(
@@ -813,6 +815,64 @@ object TxnTable {
         cdfPath = "", cdfRows = 0L), "data/__no_attempt__")
     }
 
+  /** TYPE WIDENING as a METADATA-ONLY commit (qeq) — the Delta
+    * type-widening gesture: `ALTER COLUMN ... TYPE` re-pins the DDL
+    * with a STRICTLY WIDER type and touches no file; old files keep
+    * their narrow physical type and upcast at read time (Spark 4's
+    * vectorized parquet reader performs the widening promotions
+    * natively — int8/16/32 → wider ints, float → double, decimal
+    * precision/scale-up). Time travel stays exact: a pre-widen
+    * version's pinned schema reads its files under the narrow type.
+    * Unsafe changes (narrowing, cross-family) refuse loudly — the
+    * qdc doctrine. Structural columns refuse: the key/identity lanes
+    * are BIGINT by construction (nothing wider exists), and a stats
+    * column may widen only within the integral long stat lane (its
+    * recorded per-file bounds stay valid Long encodes). */
+  def widenColumnType(spark: SparkSession, root: String, name: String,
+      newTypeDdl: String, maxRetries: Int = 5): (Int, Int) =
+    retryCommit(root, "widenColumn", maxRetries) { v =>
+      import org.apache.spark.sql.types._
+      val base = readManifest(root, v)
+      val p2l = base.renames.toMap
+      val schema = StructType.fromDDL(base.schemaDdl)
+      val phys = schema.fieldNames
+        .find(p => p2l.getOrElse(p, p) == name)
+        .getOrElse(sys.error(s"no column $name in $root"))
+      val from = schema(phys).dataType
+      val to = DataType.fromDDL(newTypeDdl)
+      require(phys != base.keyCol && phys != base.keyCol2 &&
+        phys != base.identityCol,
+        s"cannot retype structural column $name (layout key / " +
+          "clustering / identity lanes are BIGINT by construction)")
+      def widens(f: DataType, t: DataType): Boolean = (f, t) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType)                        => true
+        case (FloatType, DoubleType)                        => true
+        case (fd: DecimalType, td: DecimalType) =>
+          td.scale >= fd.scale &&
+            td.precision - td.scale >= fd.precision - fd.scale &&
+            (td.scale > fd.scale || td.precision > fd.precision)
+        case _ => false
+      }
+      require(widens(from, to),
+        s"unsafe type change ${from.sql} -> ${to.sql} on $name refused: " +
+          "only widening promotions are metadata-only (TINYINT<SMALLINT<" +
+          "INT<BIGINT, FLOAT<DOUBLE, DECIMAL precision/scale-up); a " +
+          "narrowing needs an explicit rewrite")
+      if (base.statsCols.contains(phys)) {
+        val integral = Set[DataType](ByteType, ShortType, IntegerType)
+        require(integral(from) && to == LongType,
+          s"stats column $name may only widen within the integral " +
+            "long stat lane (its per-file bounds are Long encodes)")
+      }
+      val widened = StructType(schema.fields.map(f =>
+        if (f.name == phys) f.copy(dataType = to) else f))
+      (base.copy(version = v + 1, op = s"widen_${name}_${to.simpleString}",
+        schemaDdl = widened.toDDL, deltaOf = -1, cdfKind = "none",
+        cdfPath = "", cdfRows = 0L), "data/__no_attempt__")
+    }
+
   /** Does `sqlExpr` mention `name` as a word? Textual and conservative
     * by design — a false positive refuses loudly, never corrupts. */
   private def mentionsCol(sqlExpr: String, name: String): Boolean =
@@ -1369,7 +1429,8 @@ object TxnTable {
     * (version, conflicts, firstId, n). */
   def appendWithIdentity(spark: SparkSession, root: String, df: DataFrame,
       idCol: String, op: String, checkpointEvery: Int = 4,
-      maxRetries: Int = 5, beforeCommit: () => Unit = () => ())
+      maxRetries: Int = 5, beforeCommit: () => Unit = () => (),
+      pinnedInput: Boolean = false)
       : (Int, Int, Long, Long) = {
     require(!df.columns.contains(idCol),
       s"identity column $idCol must not be present in the batch")
@@ -1381,10 +1442,13 @@ object TxnTable {
     // walks (colliding or gapped ids). The checkpoint truncates
     // lineage, so a lost block FAILS LOUDLY instead of renumbering —
     // the same hazard class the CHECK-as-written fix closed for
-    // constraints. Blocks are reclaimed by the ContextCleaner when the
-    // frame goes out of scope.
-    val pinned = df.localCheckpoint()
-    locally {
+    // constraints. A caller that already materialized its own
+    // localCheckpoint (the SQL identity seam's explicit-value probe)
+    // passes pinnedInput=true so the batch is checkpointed ONCE, and
+    // either way the blocks are released explicitly after the commit
+    // instead of lingering until ContextCleaner GC.
+    val pinned = if (pinnedInput) df else df.localCheckpoint()
+    try {
       var firstId = 0L
       var total = 0L
       val (ver, conflicts) = retryCommit(root, "appendWithIdentity",
@@ -1440,8 +1504,22 @@ object TxnTable {
         (m, sub)
       }
       (ver, conflicts, firstId, total)
-    }
+    } finally unpinCheckpoint(pinned)
   }
+
+  /** Release the storage blocks behind a `localCheckpoint`'d frame (or
+    * a projection over one). `Dataset.unpersist` cannot do this — it
+    * talks to the cache manager, and checkpoint blocks belong to the
+    * underlying RDD — so walk the analyzed plan's leaves and unpersist
+    * the pinned RDDs directly. Safe on non-checkpointed frames (no
+    * LogicalRDD leaf → no-op) and after a failure (unpersist of a
+    * half-materialized RDD just drops whatever landed). */
+  private[sources] def unpinCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Has a commit with this exact `op` (the sink's transaction id)
     * already landed? O(versions) tiny raw reads — the round-9 ledger
@@ -1492,6 +1570,37 @@ object TxnTable {
       (m.copy(txns = base.txns, identityCol = base.identityCol, identityStart = base.identityStart, cdfKind = "none",
         nextId = base.nextId), sub)
     }
+
+  /** LAYOUT EVOLUTION as a commit (qer) — the round-11 verdict's item
+    * 5: re-shard the table into a NEW (shards, layoutDiv) layout, the
+    * gesture a table that grew 100× needs (its create-time shard count
+    * and key-range divisor no longer fit). One rewrite commit through
+    * [[writeSnapshot]]; every later write shuffles into the new
+    * layout because the manifest IS the layout. SPJ compatibility
+    * flips exactly right for free: the shard function's canonical
+    * name carries both parameters (`graft_shard_<shards>_<div>`), so
+    * a formerly co-sharded peer stops matching (falls back to a
+    * correct shuffle) and an m-sharded peer starts matching (zero
+    * exchanges) — compatibility is derived from the real layout,
+    * never asserted. History is ordinary: pre-reshard versions read
+    * their own immutable files. */
+  def reshard(spark: SparkSession, root: String, newShards: Int,
+      newLayoutDiv: Long, beforeCommit: () => Unit = () => (),
+      maxRetries: Int = 5): (Int, Int) = {
+    require(newShards > 0 && newLayoutDiv > 0,
+      s"reshard needs positive layout parameters, got " +
+        s"($newShards, $newLayoutDiv)")
+    retryCommit(root, "reshard", maxRetries, beforeCommit) { v =>
+      val base = readManifest(root, v)
+      val (m, sub) = writeSnapshot(spark, root, v + 1, "reshard",
+        readVersion(spark, root, v), base.keyCol, newShards, newLayoutDiv,
+        keyCol2 = base.keyCol2, checkExpr = base.checkExpr,
+        statsCols = base.statsCols, statsTypes = base.statsTypes)
+      (m.copy(txns = base.txns, identityCol = base.identityCol,
+        identityStart = base.identityStart, cdfKind = "none",
+        nextId = base.nextId), sub)
+    }
+  }
 
   /** `OPTIMIZE ZORDER BY` on an EXISTING table (round-9 verdict item
     * 3): re-cluster the CURRENT snapshot into the 2-D Z-order layout AS
@@ -1664,6 +1773,107 @@ object TxnTable {
       deltaOf = -1, txns = Nil, cdfKind = "adds", cdfPath = "", cdfRows = 0L)
     require(commit(dstRoot, 0, m), s"clone raced on fresh root $dstRoot")
     m
+  }
+
+  // --------------------------------------------------------------
+  // Branches & tags — write-audit-publish (qet, round-11 item 8)
+  // --------------------------------------------------------------
+
+  private def branchRoot(root: String, name: String): String = {
+    require(name.matches("[a-zA-Z0-9_\\-]+"), s"bad ref name '$name'")
+    s"$root/_refs/$name"
+  }
+  private def tagFile(root: String, name: String): java.io.File = {
+    require(name.matches("[a-zA-Z0-9_\\-]+"), s"bad ref name '$name'")
+    new java.io.File(s"$root/_refs/_tags/$name")
+  }
+
+  /** CREATE BRANCH (the Iceberg write-audit-publish gesture): a named
+    * ref cut from the CURRENT main head as an independent sub-log
+    * under `root/_refs/<name>` — a [[shallowClone]] whose base main
+    * version is recorded for the publish-time CAS check. The branch
+    * root IS a full table root: every writer (append, DML, optimize,
+    * identity) runs against it unchanged, and none of it is visible
+    * from main. Returns the branch root. */
+  def createBranch(root: String, name: String): String = {
+    val bRoot = branchRoot(root, name)
+    require(!new java.io.File(s"$bRoot/_log").isDirectory,
+      s"branch $name already exists on $root")
+    val base = latestVersion(root)
+    shallowClone(root, bRoot)
+    val bf = new java.io.File(s"$bRoot/_base")
+    java.nio.file.Files.writeString(bf.toPath, base.toString)
+    bRoot
+  }
+
+  /** The branch's recorded fork point on main. */
+  def branchBase(root: String, name: String): Int =
+    java.nio.file.Files.readString(
+      new java.io.File(s"${branchRoot(root, name)}/_base").toPath).trim.toInt
+
+  /** PUBLISH: graft the audited branch head onto main as ONE manifest
+    * commit through the same put-if-absent CAS as every write — O(1)
+    * metadata, zero data movement (the branch's files are referenced
+    * absolutely, exactly a clone's). The write-audit-publish contract
+    * is enforced, not prosed: if main advanced past the branch's fork
+    * point, the branch head no longer contains those commits and a
+    * publish would SILENTLY DROP them — refused loudly (re-branch and
+    * replay, the Delta ConcurrentModification semantics). A published
+    * branch's directory becomes part of the table (the next OPTIMIZE
+    * re-homes the bytes); an unpublished branch is just a directory —
+    * [[dropBranch]] deletes it and main never knows. */
+  def publishBranch(root: String, name: String): Int = {
+    val bRoot = branchRoot(root, name)
+    val base = branchBase(root, name)
+    val mainHead = latestVersion(root)
+    require(mainHead == base,
+      s"cannot publish branch $name: main advanced v$base -> v$mainHead " +
+        "since the branch was cut; re-branch from the new head and replay")
+    val bHead = readManifest(bRoot, latestVersion(bRoot))
+    def abs(p: String) = if (p.isEmpty || p.startsWith("/")) p
+      else s"$bRoot/$p"
+    val m = bHead.copy(version = mainHead + 1, op = s"publish_$name",
+      files = bHead.files.map(f => f.copy(path = abs(f.path), dv = abs(f.dv))),
+      deltaOf = -1, cdfKind = "none", cdfPath = "", cdfRows = 0L)
+    require(commit(root, mainHead + 1, m),
+      s"publish of branch $name raced with a concurrent main commit; " +
+        "audit still holds — retry the publish")
+    mainHead + 1
+  }
+
+  /** Drop an (unpublished) branch: delete its directory. Refuses after
+    * a publish — main references the branch's files. */
+  def dropBranch(root: String, name: String): Unit = {
+    val published = versions(root)
+      .exists(v => readManifestRaw(root, v).op == s"publish_$name")
+    require(!published,
+      s"branch $name was published; its files are part of the table " +
+        "(optimize re-homes them, then the directory is vacuumable)")
+    graft.Fs.deleteRecursively(branchRoot(root, name))
+  }
+
+  /** TAG: a named, immutable pointer to a committed version — one tiny
+    * file, resolved by [[resolveRef]] for `VERSION AS OF '<name>'`. */
+  def setTag(root: String, name: String, version: Int): Unit = {
+    require(versions(root).contains(version),
+      s"cannot tag $root@v$version: no such committed version")
+    val f = tagFile(root, name)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath, version.toString)
+  }
+
+  /** Resolve a ref name: a tag → its pinned main version (Left), a
+    * branch → its root + head (Right). */
+  def resolveRef(root: String, name: String): Either[Int, (String, Int)] = {
+    val tf = tagFile(root, name)
+    if (tf.isFile)
+      Left(java.nio.file.Files.readString(tf.toPath).trim.toInt)
+    else {
+      val bRoot = branchRoot(root, name)
+      require(new java.io.File(s"$bRoot/_log").isDirectory,
+        s"no tag or branch named '$name' on $root")
+      Right((bRoot, latestVersion(bRoot)))
+    }
   }
 
   /** Control-flow signal: a merge-on-read delete matched no live row —

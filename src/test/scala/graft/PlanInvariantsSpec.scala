@@ -40,6 +40,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "qeg_sql_mapped_dml" -> "crossJoin(broadcast(1-row VERSION AS OF 2 aggregate)) next to the head aggregate",
     "qek_lakehouse_lifecycle" -> "crossJoin(broadcast(1-row probe/live/time-travel aggregates)) next to the final aggregate (eager-excluded from the sweep; listed for completeness)",
     "qem_sql_compact" -> "crossJoin(broadcast(1-row post-compact band-probe aggregate)) next to the content-invariant aggregate",
+    "qeo_sql_merge_by_source" -> "crossJoin(broadcast(1-row VERSION-AS-OF-1 sum aggregate)) next to the head aggregate",
+    "qeq_sql_type_widening" -> "crossJoin(broadcast(1-row VERSION-AS-OF-1 narrow-type sum aggregate)) next to the head aggregate",
     "q1a_sql_subqueries"   -> "correlated scalar subquery decorrelates to a broadcast of a per-key aggregate; EXISTS/NOT IN sides are semi/anti",
     "q3e_gap_fill"         -> "dense spine × broadcast(distinct event types): the type dim is enum-bounded",
     "q44_tfidf_top_terms"  -> "crossJoin(n_docs): a 1-row scalar aggregate",
@@ -134,6 +136,130 @@ class PlanInvariantsSpec extends SparkSpec {
     "qc2_qte" -> "5-row quantile grid x 2-row variant sizes — both literal-bounded",
     "qc4_bitemporal" -> "6-row literal (tx_asof, probe) panel broadcast onto the version store",
     "qcb_surrogate_keys" -> "1-row max-existing-key aggregate broadcast onto the arrivals")
+
+  // query -> why its GLOBAL (unpartitioned) window rides a provably
+  // bounded frame: a `Window.orderBy` without `partitionBy` moves ALL
+  // rows to one partition — fatal on an unbounded input at 100 TB,
+  // fine on the 1-row probes / top-k lists / per-k selections these
+  // queries rank. The audit pins every such plan to a justification;
+  // an unlisted global window is a scale regression, caught here.
+  //
+  // Two kinds of entries: (a) global folds/ranks over POST-AGGREGATION
+  // frames bounded by a literal or vocabulary (bins, langs, sources,
+  // stages, calendar days, communities) — safe at any corpus size;
+  // (b) sub-corpus ENTITY-scale ranks (vocab/catalog/doc aggregates)
+  // annotated with the registered swap: Relational.withGlobalIndex,
+  // the distributed exact rank that FIXED the two corpus-scale
+  // offenders this audit caught (q2i customers, q1p users — both now
+  // builder-eager zipWithIndex ranks with NO global window).
+  // Additional global windows in builder-INTERNAL probe frames (lag
+  // over ≤9-row per-k selections, 1-row argmin probes) execute eagerly
+  // inside builders and never reach a registered plan.
+  private val globalWindowBounded: Map[String, String] = Map(
+    "q1e_distribution_drift" -> "PSI folds over the 10-bin price histogram (literal-bounded)",
+    "q1k_chi_square" -> "chi-square folds over the |returnflag|x|linestatus| contingency table",
+    "q1m_ks_drift" -> "ECDF cum/max over the 20-bin histogram (literal-bounded, the q1e rule)",
+    "q1n_entropy_drift" -> "entropy folds over the 10-bin histogram",
+    "q1o_benford_audit" -> "digit-share folds over the 9-digit frame",
+    "q1u_mann_whitney" -> "rank-sum cum over the distinct-quantity aggregate (l_quantity has 50 values by TPC-H contract)",
+    "q1y_bootstrap_ci" -> "percentile rank over the 32-replicate bootstrap frame",
+    "q2l_pareto_frontier" -> "frontier running-min over the |p_size|-row (50) size aggregate",
+    "q3i_funnel_conversion" -> "stage-to-stage lag over the 4-stage funnel frame",
+    "q3p_max_concurrency" -> "carry-over cum over the per-hour aggregate (calendar-bounded)",
+    "q4i_stratified_sample" -> "min-stratum fold over the per-lang counts (|langs| rows)",
+    "q4m_padding_audit" -> "share folds over the length-bucket aggregate",
+    "q4p_lang_confusion" -> "accuracy folds over the |langs|^2 confusion matrix",
+    "q4v_zipf_slope" -> "log-log regression needs (rank, freq) over the token vocabulary — sub-corpus scale; 100 TB swap = Relational.withGlobalIndex (the q2i fix)",
+    "q5g_label_propagation" -> "community-count fold over the post-fixpoint community rollup",
+    "q5h_degree_histogram" -> "share folds over the distinct-degree histogram",
+    "q5m_modularity" -> "modularity folds over the per-community aggregate",
+    "q7c_cf_coverage" -> "coverage ranks over the per-item catalog aggregate — dimension scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8d_component_sizes" -> "share folds over the component-size histogram",
+    "q8e_importance_resampling" -> "target-share fold over per-source counts + resample rank over the doc-weight aggregate — doc-scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8g_chunk_dedup" -> "dedup-summary folds over the chunk-hash aggregate (per-doc chunking is partitioned)",
+    "q8h_substring_dup_spans" -> "top-span rank over the per-doc dup-ratio aggregate — doc-scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8j_source_divergence" -> "JSD rank over the |sources|^2 pair frame",
+    "q8l_wasserstein_drift" -> "EMD cum over the 20-bin histogram",
+    "q8n_distinguishing_terms" -> "term rank over the per-source log-odds aggregate — vocab scale; 100 TB swap = Relational.withGlobalIndex",
+    "q9a_mixture_epochs" -> "mixture folds over the per-source token aggregate",
+    "q9b_lm_perplexity" -> "perplexity folds over the n-gram count aggregate (vocab scale, fold not sort)",
+    "q9c_curriculum_phases" -> "phase cum over the quality-bucket aggregate (literal-bounded)",
+    "q9d_filter_ablation" -> "ablation folds over the filter-combination frame (2^|filters|)",
+    "q9e_class_balance" -> "balance folds over the per-class counts (|langs| rows)",
+    "q9f_bpe_pairs" -> "pair-share fold over the top-20 selection (the BNLJ-list frame)",
+    "q9g_domain_reweighting" -> "DoReMi folds over the per-domain aggregate",
+    "q9h_unimax_allocation" -> "UniMax budget cum over the per-lang aggregate (|langs| rows)",
+    "q9l_media_integrity" -> "integrity-share folds over the per-kind blob aggregate",
+    "q9n_hybrid_rrf" -> "RRF rank over the fused top-k candidate list (bounded by 2k)",
+    "q9p_recency_weights" -> "weight-share fold over the per-day aggregate (calendar-bounded)",
+    "q9r_split_manifest" -> "split-share folds over the 3-split manifest frame",
+    "q9s_split_leakage" -> "rank over the 6-row split-pair frame (WindowGroupLimit-pushed)",
+    "q9t_score_calibration" -> "calibration folds over the score-bucket aggregate",
+    "q9u_quantile_norm" -> "normalization cum over the <=10001-row score histogram (the BNLJ-list frame)",
+    "q9v_threshold_sweep" -> "sweep folds over the 21-threshold grid",
+    "q9w_source_concentration" -> "Lorenz cum over the per-source token aggregate (|sources| rows)",
+    "qa2_context_pairs" -> "PMI folds over the |event_types|^2 context-pair aggregate (per-user lag is partitioned)",
+    "qa3_sliced_eval" -> "worst-slice rank over the per-lang slice frame",
+    "qa5_diff_in_diff" -> "pre/post folds over the 4-cell DiD frame",
+    "qab_conformal" -> "q-hat rank over the calibration-score aggregate (the BNLJ-list frame)",
+    "qac_kaplan_meier" -> "survival cum over the distinct-duration aggregate",
+    "qah_length_debias" -> "debias folds over the length-bucket aggregate",
+    "qai_effective_mass" -> "mass folds over the post-CC cluster rollup (the BNLJ-list frame)",
+    "qb3_inverted_index" -> "step folds over the |query-terms|-row spine (the BNLJ-list frame)",
+    "qbm_cart_quality" -> "split rank over per-feature distinct-value candidates (value-space bounded; WindowGroupLimit-pushed)",
+    "qby_voptimal_histogram" -> "DP ranks over the <=|distinct values| prefix frame (by-contract, the BNLJ-list note)",
+    "qc1_bandit_replay" -> "the replay estimator (Li et al.) is SEQUENTIAL by definition — cum over the event stream IS the algorithm; annotated by-contract",
+    "qc5_running_distinct" -> "cumulative reach over the per-day aggregate (calendar-bounded)",
+    "qca_business_days" -> "business-day cum over the calendar-date spine",
+    "qcb_surrogate_keys" -> "dimension-scale rank (suppliers); the production swap is the identity-column allocator (qeh) — annotated")
+
+  private def globalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Int = {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // descend through AQE wrappers: collect() does not walk into an
+    // AdaptiveSparkPlanExec's current physical plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty           => 1
+        case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => 1
+        case a: AdaptiveSparkPlanExec                           => walk(a.executedPlan)
+      }.sum
+    walk(plan)
+  }
+
+  test("global (unpartitioned) windows only over provably bounded frames") {
+    val offenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!Explain.eager(name)) {
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        if (globalWindows(plan) > 0 && !globalWindowBounded.contains(name))
+          offenders += s"$name: unpartitioned window(s)"
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"unlisted global windows (justify in globalWindowBounded or add " +
+        s"a partitionBy):\n${bad.mkString("\n")}")
+  }
+
+  test("the global-window detector actually fires (negative control)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the exact anti-pattern the audit exists for: rank over an
+    // unbounded scan with no partitionBy — all rows to one partition
+    val bad = spark.range(100).withColumn("r",
+      row_number().over(Window.orderBy(col("id"))))
+    assert(globalWindows(bad.queryExecution.executedPlan) > 0,
+      "detector must flag an unpartitioned window")
+    // and the partitioned twin passes clean
+    val good = spark.range(100).withColumn("p", col("id") % 4)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("id"))))
+    assert(globalWindows(good.queryExecution.executedPlan) == 0)
+  }
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only with a bounded side") {
     val offenders = Seq.newBuilder[String]
