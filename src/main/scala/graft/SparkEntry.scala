@@ -445,6 +445,7 @@ object SparkEntry {
     "qes_show_create"       -> (graft.sources.GraftTxnCatalog.sqlShowCreate _),
     "qet_branch_wap"        -> (graft.sources.GraftTxnCatalog.sqlBranchWap _),
     "qeu_sql_views"         -> (graft.sources.GraftTxnCatalog.sqlViews _),
+    "qev_sql_branch_write"  -> (graft.sources.GraftTxnCatalog.sqlBranchWrite _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1149,6 +1150,7 @@ object SparkEntry {
     "qes_show_create"        -> graft.sources.GraftTxnCatalog.sqlShowCreateOracle,
     "qet_branch_wap"         -> graft.sources.GraftTxnCatalog.sqlBranchWapOracle,
     "qeu_sql_views"          -> graft.sources.GraftTxnCatalog.sqlViewsOracle,
+    "qev_sql_branch_write"   -> graft.sources.GraftTxnCatalog.sqlBranchWriteOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

@@ -221,9 +221,34 @@ class GraftTxnCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     new java.io.File(s"${root(ident)}/_log").isDirectory
 
+  /** A branch addressed AS A TABLE (qev): `graft.<table>__<branch>`
+    * resolves to the branch's own root — a full live table, so every
+    * SQL statement (INSERT, UPDATE, DELETE, MERGE, CALL) runs against
+    * the branch with main untouched: SQL-only write-audit-publish.
+    * Resolution is derived, never guessed: only when no real table of
+    * that name exists AND the base table has a cut branch of that
+    * name. */
+  private def branchTableRoot(ident: Identifier): Option[String] = {
+    val n = ident.name()
+    val i = n.lastIndexOf("__")
+    if (i <= 0 || tableExists(ident)) None
+    else {
+      val (base, br) = (n.substring(0, i), n.substring(i + 2))
+      val bRoot = s"${root(Identifier.of(ident.namespace(), base))}/_refs/$br"
+      if (new java.io.File(s"$bRoot/_log").isDirectory) Some(bRoot) else None
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      branchTableRoot(ident) match {
+        case Some(bRoot) =>
+          return new TxnSparkTable(bRoot, TxnTable.latestVersion(bRoot),
+            pinned = false)
+        case None =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      }
+    }
     new TxnSparkTable(root(ident), TxnTable.latestVersion(root(ident)),
       pinned = false)
   }
@@ -948,6 +973,92 @@ object GraftTxnCatalog {
            true AS stale_publish_refused,
            CAST(4 AS BIGINT) AS n_versions
     FROM v2, n101, n17"""
+
+  /** qev: SQL-ONLY WRITE-AUDIT-PUBLISH — qet's branch machinery with
+    * the write half in pure SQL: `graft.<table>__<branch>` addresses a
+    * cut branch AS A LIVE TABLE, so INSERT and row-level UPDATE (the
+    * full DML surface — the branch root IS a table root) land on the
+    * branch while main NEVER MOVES (`main_isolated`: head version and
+    * sum probed between the writes). The audit reads both surfaces and
+    * requires them IDENTICAL (`surfaces_agree`: the branch-table read
+    * and the `VERSION AS OF '<branch>'` ref read are the same
+    * snapshot); publish grafts the audited head onto main as one CAS
+    * commit and the published totals replay from orders arithmetic —
+    * insert + update composed on the branch, visible on main only
+    * after publish. */
+  def sqlBranchWrite(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlbw")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.wapq")
+    spark.sql(s"""
+      CREATE TABLE graft.wapq (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k','shards'='8','layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.wapq SELECT k, cents FROM orders_sqlbw")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/wapq"
+    val sumV1 = spark.sql("SELECT sum(cents) FROM graft.wapq")
+      .head().getLong(0)
+    spark.sql("CALL graft.system.branch('wapq', 'fix')")
+    // the write half, all SQL, all on the branch table
+    spark.sql("INSERT INTO graft.wapq__fix" +
+      " SELECT -k - 1, 4200 FROM orders_sqlbw WHERE k % 101 = 0")
+    spark.sql(
+      "UPDATE graft.wapq__fix SET cents = cents + 10 WHERE k % 13 = 0")
+    val mainIsolated = TxnTable.latestVersion(root) == 1 &&
+      spark.sql("SELECT sum(cents) FROM graft.wapq")
+        .head().getLong(0) == sumV1
+    // audit: the branch-table surface and the named-ref surface must
+    // be the same snapshot, and it must hold the constraint
+    val bt = spark.sql(
+      "SELECT count(1), sum(cents) FROM graft.wapq__fix").head()
+    val ref = spark.sql(
+      "SELECT count(1), sum(cents) FROM graft.wapq VERSION AS OF 'fix'")
+      .head()
+    val surfacesAgree = bt == ref
+    val auditPass = spark.sql(
+      "SELECT count(1) FROM graft.wapq__fix WHERE cents < 0")
+      .head().getLong(0) == 0L
+    require(auditPass, "branch audit must pass on this fixture")
+    val pubV = spark.sql("CALL graft.system.publish('wapq', 'fix')")
+      .head().getLong(0)
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(cents) AS sum_cents,
+               sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS surrogate_rows
+        FROM graft.wapq""")
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("surfaces_agree", lit(surfacesAgree))
+      .withColumn("publish_version", lit(pubV))
+      .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
+  }
+
+  /** Replay: insert (4200-surrogates, mod-101) then update (+10 on
+    * mod-13 — including the negative surrogates that happen to be
+    * divisible, both engines' % is dividend-signed) composed on the
+    * branch, published as main v2. */
+  val sqlBranchWriteOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    u AS (
+      SELECT k, cents FROM b
+      UNION ALL
+      SELECT -k - 1, CAST(4200 AS BIGINT) FROM b WHERE k % 101 = 0),
+    f AS (
+      SELECT k, CASE WHEN k % 13 = 0 THEN cents + 10 ELSE cents END AS cents
+      FROM u)
+    SELECT CAST(count(1) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS surrogate_rows,
+           true AS main_isolated,
+           true AS surfaces_agree,
+           CAST(2 AS BIGINT) AS publish_version,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM f"""
 
   /** qeu: CATALOG VIEWS — the last "catalog ergonomics" gap from the
     * round-11 verdict's missing list (after SHOW CREATE TABLE and
