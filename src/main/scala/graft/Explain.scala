@@ -83,6 +83,8 @@ object Explain {
     // their builders — the round-12 window-audit fix traded the
     // single-partition window for builder-eager exact ranks
     "q2i_rfm_segments", "q1p_key_skew_profile",
+    // q7c's popularity rank rides the same distributed global index
+    "q7c_cf_coverage",
     // qep replays two checkpointed streaming runs across a rename
     // commit plus the CDF stream in its builder — eager by construction
     "qep_stream_across_rename",

@@ -352,16 +352,18 @@ object Recsys {
       cut: String = "1997-01-01"): DataFrame = {
     val (_, _, pop, recs) =
       cfRecsPipeline(spark, dir, cap, minCooc, kNbr, kRec, cut)
-    val ranked = pop.withColumn("pop_rank",
-      row_number().over(Window.partitionBy()
-        .orderBy(col("n_item").desc, col("item"))))
+    // every item's popularity rank feeds the mean — a catalog-scale
+    // total rank, so it rides the distributed exact index (the q2i/q1p
+    // window-audit fix), never a single-partition window
+    val ranked = Relational.withGlobalIndex(pop,
+        Seq(col("n_item").desc, col("item")), "__pr")
+      .withColumn("pop_rank", col("__pr") + 1L)
     val recRanked = recs.select(col("u"), col("rec"))
       .join(ranked.select(col("item").as("rec"), col("pop_rank")), "rec")
     val perItem = recRanked.groupBy("rec").agg(count(lit(1)).as("n_recs"))
-    val top10 = perItem
-      .withColumn("rk", row_number().over(Window.partitionBy()
-        .orderBy(col("n_recs").desc, col("rec"))))
-      .where(col("rk") <= 10)
+    // top-10 share needs no rank column at all: distributed
+    // TakeOrderedAndProject under the same total order
+    val top10 = perItem.orderBy(col("n_recs").desc, col("rec")).limit(10)
       .agg(sum(col("n_recs")).as("top10_recs"))
     val catalog = pop.agg(count(lit(1)).as("n_catalog"))
     val totals = recRanked.agg(

@@ -852,10 +852,13 @@ object Text {
     val freq = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-    val ranked = freq
+    // take the head of the vocabulary FIRST (distributed
+    // TakeOrderedAndProject), then rank the bounded topN-row frame —
+    // a global row_number over the full vocabulary would put every
+    // token on one partition (the round-12 window-audit fix)
+    val ranked = freq.orderBy(col("n").desc, col("tok")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n").desc, col("tok"))))
-      .filter(col("rank") <= topN)
       .select(
         floor(log(col("rank").cast("double")) * 1e4 + 0.5).as("x"),
         floor(log(col("n").cast("double")) * 1e4 + 0.5).as("y"))

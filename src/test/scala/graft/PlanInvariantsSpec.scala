@@ -169,18 +169,17 @@ class PlanInvariantsSpec extends SparkSpec {
     "q4i_stratified_sample" -> "min-stratum fold over the per-lang counts (|langs| rows)",
     "q4m_padding_audit" -> "share folds over the length-bucket aggregate",
     "q4p_lang_confusion" -> "accuracy folds over the |langs|^2 confusion matrix",
-    "q4v_zipf_slope" -> "log-log regression needs (rank, freq) over the token vocabulary — sub-corpus scale; 100 TB swap = Relational.withGlobalIndex (the q2i fix)",
+    "q4v_zipf_slope" -> "rank over the topN-row (1000) TakeOrdered head of the vocabulary — bounded by the limit",
     "q5g_label_propagation" -> "community-count fold over the post-fixpoint community rollup",
     "q5h_degree_histogram" -> "share folds over the distinct-degree histogram",
     "q5m_modularity" -> "modularity folds over the per-community aggregate",
-    "q7c_cf_coverage" -> "coverage ranks over the per-item catalog aggregate — dimension scale; 100 TB swap = Relational.withGlobalIndex",
     "q8d_component_sizes" -> "share folds over the component-size histogram",
-    "q8e_importance_resampling" -> "target-share fold over per-source counts + resample rank over the doc-weight aggregate — doc-scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8e_importance_resampling" -> "bucket-share folds over the <=nBuckets frame + rank over the topK-row (20) TakeOrdered head — both bounded",
     "q8g_chunk_dedup" -> "dedup-summary folds over the chunk-hash aggregate (per-doc chunking is partitioned)",
-    "q8h_substring_dup_spans" -> "top-span rank over the per-doc dup-ratio aggregate — doc-scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8h_substring_dup_spans" -> "top-span rank over the per-doc dup-ratio aggregate — doc-scale; the registered swap is Relational.withGlobalIndex (the q7c fix pattern)",
     "q8j_source_divergence" -> "JSD rank over the |sources|^2 pair frame",
     "q8l_wasserstein_drift" -> "EMD cum over the 20-bin histogram",
-    "q8n_distinguishing_terms" -> "term rank over the per-source log-odds aggregate — vocab scale; 100 TB swap = Relational.withGlobalIndex",
+    "q8n_distinguishing_terms" -> "rank over the topK-row (12) TakeOrdered head of the scored terms — bounded by the limit",
     "q9a_mixture_epochs" -> "mixture folds over the per-source token aggregate",
     "q9b_lm_perplexity" -> "perplexity folds over the n-gram count aggregate (vocab scale, fold not sort)",
     "q9c_curriculum_phases" -> "phase cum over the quality-bucket aggregate (literal-bounded)",
