@@ -1841,15 +1841,26 @@ object TxnTable {
     mainHead + 1
   }
 
-  /** Drop an (unpublished) branch: delete its directory. Refuses after
-    * a publish — main references the branch's files. */
+  /** Drop a branch: delete its directory — refused while ANY retained
+    * main manifest still references a file (or deletion-vector
+    * sidecar) under it, derived from the real manifests rather than a
+    * sticky "was ever published" bit. The release path after a
+    * publish is the ordinary lifecycle: OPTIMIZE re-homes the bytes
+    * under main's own data dir, `expire_versions` retires the
+    * manifests that referenced the branch paths, and the drop is then
+    * legal. O(retained versions) metadata reads. */
   def dropBranch(root: String, name: String): Unit = {
-    val published = versions(root)
-      .exists(v => readManifestRaw(root, v).op == s"publish_$name")
-    require(!published,
-      s"branch $name was published; its files are part of the table " +
-        "(optimize re-homes them, then the directory is vacuumable)")
-    graft.Fs.deleteRecursively(branchRoot(root, name))
+    val bRoot = branchRoot(root, name)
+    val prefix = s"$bRoot/"
+    val referencedAt = versions(root).filter { v =>
+      readManifest(root, v).files.exists(f =>
+        f.path.startsWith(prefix) || f.dv.startsWith(prefix))
+    }
+    require(referencedAt.isEmpty,
+      s"branch $name files are referenced by retained main manifest(s) " +
+        s"v${referencedAt.mkString(",v")}: OPTIMIZE re-homes the bytes, " +
+        "expire_versions retires the referencing history, then drop")
+    graft.Fs.deleteRecursively(bRoot)
   }
 
   /** TAG: a named, immutable pointer to a committed version — one tiny

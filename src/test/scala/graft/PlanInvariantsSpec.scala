@@ -176,7 +176,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q8d_component_sizes" -> "share folds over the component-size histogram",
     "q8e_importance_resampling" -> "bucket-share folds over the <=nBuckets frame + rank over the topK-row (20) TakeOrdered head — both bounded",
     "q8g_chunk_dedup" -> "dedup-summary folds over the chunk-hash aggregate (per-doc chunking is partitioned)",
-    "q8h_substring_dup_spans" -> "top-span rank over the per-doc dup-ratio aggregate — doc-scale; the registered swap is Relational.withGlobalIndex (the q7c fix pattern)",
+    "q8h_substring_dup_spans" -> "rank over the topK-row TakeOrdered head of the per-doc dup ratios — bounded by the limit (per-doc span windows are partitioned)",
     "q8j_source_divergence" -> "JSD rank over the |sources|^2 pair frame",
     "q8l_wasserstein_drift" -> "EMD cum over the 20-bin histogram",
     "q8n_distinguishing_terms" -> "rank over the topK-row (12) TakeOrdered head of the scored terms — bounded by the limit",

@@ -82,13 +82,43 @@ class RefsAndEvolutionSpec extends SparkSpec {
       .head().getLong(0) == 120L)
     // a published branch's files belong to the table now
     val e = intercept[Exception] { TxnTable.dropBranch(root, "b1") }
-    assert(e.getMessage.contains("published"), e.getMessage)
-    // tags: bad version refuses; good one resolves
+    assert(e.getMessage.contains("referenced"), e.getMessage)
+    // the release lifecycle: OPTIMIZE re-homes the bytes under main,
+    // but the PUBLISH manifest (v2) still references the branch paths
+    sql("CALL graft.system.optimize('ev_wap', 2)")
+    val e2 = intercept[Exception] { TxnTable.dropBranch(root, "b1") }
+    assert(e2.getMessage.contains("v2"), e2.getMessage)
+    // retiring the referencing history makes the drop legal, and the
+    // table reads on
+    sql("CALL graft.system.expire_versions('ev_wap', 3)")
+    TxnTable.dropBranch(root, "b1")
+    assert(sql("SELECT count(1), sum(v) FROM graft.ev_wap").head()
+      === org.apache.spark.sql.Row(120L, 100L + 40L))
+    // tags: bad or expired versions refuse; a retained one resolves
     intercept[Exception] { TxnTable.setTag(root, "t9", 99) }
-    TxnTable.setTag(root, "t1", 1)
-    assert(sql("SELECT count(1) FROM graft.ev_wap VERSION AS OF 't1'")
-      .head().getLong(0) == 100L)
+    intercept[Exception] { TxnTable.setTag(root, "t1", 1) } // expired above
+    TxnTable.setTag(root, "t3", 3)
+    assert(sql("SELECT count(1) FROM graft.ev_wap VERSION AS OF 't3'")
+      .head().getLong(0) == 120L)
     intercept[Exception] { TxnTable.resolveRef(root, "nope") }
+  }
+
+  test("branch-table addressing: real tables win; missing branches refuse") {
+    sql("DROP TABLE IF EXISTS graft.ev__odd")
+    // a REAL table whose name contains the separator resolves as
+    // itself, never as a branch probe
+    sql("""CREATE TABLE graft.ev__odd (k BIGINT, v BIGINT) USING graft_txn
+           TBLPROPERTIES ('key'='k','shards'='2','layout_div'='100')""")
+    sql("INSERT INTO graft.ev__odd SELECT id, id FROM range(10)")
+    assert(sql("SELECT count(1) FROM graft.ev__odd").head().getLong(0) == 10L)
+    // a branch-table name whose base table exists but branch doesn't
+    intercept[Exception] {
+      sql("SELECT * FROM graft.ev__odd__nope").collect()
+    }
+    // and one whose base doesn't exist either
+    intercept[Exception] {
+      sql("SELECT * FROM graft.no_such__branch").collect()
+    }
   }
 
   test("show_create: 2-column (Z-order) layouts refuse a lossy render") {
