@@ -95,7 +95,11 @@ object Explain {
     // qeu needs the session-construction-time ViewSubstitutionRule
     // (absent in the shared plan-audit session) and drives view DDL
     // CALLs in its builder
-    "qeu_sql_views")
+    "qeu_sql_views",
+    // qex needs the session-construction-time MorDmlRule (the
+    // merge-on-read UPDATE router) and drives the full DML lifecycle
+    // plus its copy-on-write twin in its builder
+    "qex_sql_update_mor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

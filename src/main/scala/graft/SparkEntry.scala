@@ -446,6 +446,9 @@ object SparkEntry {
     "qet_branch_wap"        -> (graft.sources.GraftTxnCatalog.sqlBranchWap _),
     "qeu_sql_views"         -> (graft.sources.GraftTxnCatalog.sqlViews _),
     "qev_sql_branch_write"  -> (graft.sources.GraftTxnCatalog.sqlBranchWrite _),
+    "qew_branch_rebase"     -> (graft.sources.GraftTxnCatalog.sqlBranchRebase _),
+    "qez_branch_maintenance" -> (graft.sources.GraftTxnCatalog.sqlBranchMaintenance _),
+    "qex_sql_update_mor"    -> (graft.sources.MorDml.sqlUpdateMor _),
     "qan_tvf_exact_dedup"   -> (graft.functions.GraftExtensions.tvfExactDedup _),
     "qao_tvf_cosine_topk"   -> (graft.functions.GraftExtensions.tvfCosineTopK _),
     "q9z_curation_pipeline" -> ((s: SparkSession, d: String) => Curation.curationPipeline(s, d)),
@@ -1151,6 +1154,9 @@ object SparkEntry {
     "qet_branch_wap"         -> graft.sources.GraftTxnCatalog.sqlBranchWapOracle,
     "qeu_sql_views"          -> graft.sources.GraftTxnCatalog.sqlViewsOracle,
     "qev_sql_branch_write"   -> graft.sources.GraftTxnCatalog.sqlBranchWriteOracle,
+    "qew_branch_rebase"      -> graft.sources.GraftTxnCatalog.sqlBranchRebaseOracle,
+    "qez_branch_maintenance" -> graft.sources.GraftTxnCatalog.sqlBranchMaintenanceOracle,
+    "qex_sql_update_mor"     -> graft.sources.MorDml.sqlUpdateMorOracle,
     "q9z_curation_pipeline"  -> Curation.curationPipelineOracle,
     "q77_asof_tolerance"    -> TimeJoin.asofClickPurchaseToleranceOracle,
     "q78_asof_nearest"      -> TimeJoin.asofClickPurchaseNearestOracle,

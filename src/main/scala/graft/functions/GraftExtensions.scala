@@ -342,5 +342,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog views (qeu): substitutes graft.<view> relations with
     // their stored, parsed definitions
     ext.injectResolutionRule(_ => graft.sources.ViewSubstitutionRule)
+    // SQL view DDL (qey) + merge-on-read DML routing (qex): standard
+    // CREATE [OR REPLACE] VIEW / DROP VIEW statements on the graft
+    // catalog delegate to the TxnViews store, and narrow graft-table
+    // UPDATEs reroute to deletion vectors + an append priced from the
+    // manifest. A parser wrapper (not a rule) because Spark 4.1's
+    // analyzer claims both statement classes before any injectable
+    // rule runs (ResolveSessionCatalog refuses non-session view DDL;
+    // UpdateTable rewrites to ReplaceData inside resolution); the
+    // wrapper re-uses the delegate's full grammar and only swaps the
+    // parsed node
+    ext.injectParser((_, delegate) =>
+      new graft.sources.GraftSqlDdlParser(delegate))
   }
 }

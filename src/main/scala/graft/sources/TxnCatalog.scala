@@ -921,12 +921,20 @@ object GraftTxnCatalog {
     val failedAuditBlocked = badAuditFails &&
       TxnTable.latestVersion(root) == 2 &&
       spark.sql("SELECT sum(cents) FROM graft.wap_t").head().getLong(0) == sumV2
-    // ---- stale publish: main advances past the fork point ----
+    // ---- conflicting publish: since round 13 a publish REBASES over
+    // concurrent main commits that touched disjoint files (qew grades
+    // that lane), so the refusal lane must be a REAL conflict — main
+    // and the branch both rewrite the same key band's files ----
     spark.sql("CALL graft.system.branch('wap_t', 'late')")
     spark.sql("INSERT INTO graft.wap_t" +
       s" SELECT k + ${2 * (mx + 1)}, CAST(5 AS BIGINT)" +
       " FROM orders_sqlwap WHERE k % 17 = 0")
-    val staleRefused =
+    val (bLo, bHi) = (mx / 5, mx / 5 + mx / 25)
+    spark.sql("UPDATE graft.wap_t SET cents = cents + 2" +
+      s" WHERE k BETWEEN $bLo AND $bHi")
+    spark.sql("UPDATE graft.wap_t__late SET cents = cents + 9" +
+      s" WHERE k BETWEEN $bLo AND $bHi")
+    val conflictRefused =
       try { spark.sql("CALL graft.system.publish('wap_t', 'late')"); false }
       catch { case e: Exception =>
         e.getMessage != null && e.getMessage.contains("re-branch") ||
@@ -944,35 +952,41 @@ object GraftTxnCatalog {
       .withColumn("main_isolated", lit(mainIsolated))
       .withColumn("publish_o1", lit(publishO1))
       .withColumn("failed_audit_blocked", lit(failedAuditBlocked))
-      .withColumn("stale_publish_refused", lit(staleRefused))
+      .withColumn("conflict_publish_refused", lit(conflictRefused))
       .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
   }
 
   /** Replay: published = orders + 4200-surrogates (mod-101) +
     * 7-adjustments (mod-13, shifted); the late main insert adds
-    * 5-rows (mod-17, double-shifted); the tag re-reads the published
-    * sum; every lane fact is an enforced contract constant. */
+    * 5-rows (mod-17, double-shifted) and the main band rewrite adds
+    * +2 per original-key band row; the conflicting branch rewrite is
+    * refused and discarded (no trace in the totals); the tag re-reads
+    * the published sum; every lane fact is an enforced contract
+    * constant. */
   val sqlBranchWapOracle: String = """
     WITH b AS (
       SELECT o_orderkey AS k,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders),
+    m AS (SELECT max(k) AS mx FROM b),
     n101 AS (SELECT count(1) AS n FROM b WHERE k % 101 = 0),
     n13 AS (SELECT count(1) AS n FROM b WHERE k % 13 = 0),
     n17 AS (SELECT count(1) AS n FROM b WHERE k % 17 = 0),
+    nbc AS (SELECT count(1) AS n FROM b, m
+            WHERE k BETWEEN mx // 5 AND mx // 5 + mx // 25),
     v2 AS (SELECT CAST(sum(cents) + 4200 * n101.n + 7 * n13.n AS BIGINT)
              AS s, CAST(count(1) + n101.n + n13.n AS BIGINT) AS r
            FROM b, n101, n13 GROUP BY n101.n, n13.n)
     SELECT CAST(v2.r + n17.n AS BIGINT) AS n_rows,
-           CAST(v2.s + 5 * n17.n AS BIGINT) AS sum_cents,
+           CAST(v2.s + 5 * n17.n + 2 * nbc.n AS BIGINT) AS sum_cents,
            CAST(n101.n AS BIGINT) AS surrogate_rows,
            v2.s AS sum_tag,
            true AS main_isolated,
            true AS publish_o1,
            true AS failed_audit_blocked,
-           true AS stale_publish_refused,
-           CAST(4 AS BIGINT) AS n_versions
-    FROM v2, n101, n17"""
+           true AS conflict_publish_refused,
+           CAST(5 AS BIGINT) AS n_versions
+    FROM v2, n101, n17, nbc"""
 
   /** qev: SQL-ONLY WRITE-AUDIT-PUBLISH — qet's branch machinery with
     * the write half in pure SQL: `graft.<table>__<branch>` addresses a
@@ -1060,6 +1074,231 @@ object GraftTxnCatalog {
            CAST(3 AS BIGINT) AS n_versions
     FROM f"""
 
+  /** qew: REBASE-PUBLISH — the round-12 verdict's #1 item. A publish
+    * no longer demands an unmoved main: when ingest kept committing
+    * while the branch was audited (the exact workload
+    * write-audit-publish exists for), [[TxnTable.publishBranch]]
+    * REBASES the branch's delta onto the new main head iff the two
+    * sides touched disjoint base files — priced entirely from the
+    * three manifests (fork, main head, branch head), zero data
+    * movement. Four lanes, each enforced:
+    *
+    *  1. append ∥ append — branch surrogates publish OVER a concurrent
+    *     main ingest batch; BOTH writes' totals survive
+    *     (`rebased_publish`, the final aggregate hash);
+    *  2. the published version's change feed serves EXACTLY the
+    *     branch's inserted rows (`cdf_publish_inserts` — the publish
+    *     is "adds"-classified when the branch only appended);
+    *  3. rewrite ∥ rewrite of the SAME band — a genuine conflict still
+    *     refuses loudly (`conflict_refused`), the branch is dropped,
+    *     main keeps its own rewrite;
+    *  4. branch DML ∥ main append — a merge-on-read DELETE issued
+    *     through `CALL graft.system.delete_mor('wap_rb__dm', ...)`
+    *     (maintenance procedures resolve branch tables — the round-12
+    *     item 5) rebases its deletion vectors onto the advanced main
+    *     (`dm_rebased`), and the change feed REFUSES the DML-publish
+    *     version loudly instead of silently skipping its row delta
+    *     (`cdf_refuses_dml_publish`). */
+  def sqlBranchRebase(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlrb")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.wap_rb")
+    spark.sql(s"""
+      CREATE TABLE graft.wap_rb (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k','shards'='8','layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.wap_rb SELECT k, cents FROM orders_sqlrb")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/wap_rb"
+    // ---- lane 1: append ∥ append ----
+    spark.sql("CALL graft.system.branch('wap_rb', 'rb')") // fork at v1
+    spark.sql("INSERT INTO graft.wap_rb__rb" +
+      " SELECT -k - 1, CAST(4200 AS BIGINT)" +
+      " FROM orders_sqlrb WHERE k % 101 = 0")
+    spark.sql("INSERT INTO graft.wap_rb" + // main ingest keeps moving
+      s" SELECT k + ${mx + 1}, CAST(5 AS BIGINT)" +
+      " FROM orders_sqlrb WHERE k % 17 = 0") // v2
+    val pubV = spark.sql("CALL graft.system.publish('wap_rb', 'rb')")
+      .head().getLong(0)
+    val rebasedPublish = pubV == 3L
+    // ---- lane 2: the publish version's change feed = the branch adds
+    val cdfPublishInserts = TxnTable.changeFeed(spark, root, 2, 3)
+      .where(col("_change_type") === "insert").count()
+    // ---- lane 3: rewrite ∥ rewrite of the same band still refuses
+    val (lo1, hi1) = (mx / 3, mx / 3 + mx / 20)
+    spark.sql("CALL graft.system.branch('wap_rb', 'cf')") // fork at v3
+    spark.sql("UPDATE graft.wap_rb SET cents = cents + 10" +
+      s" WHERE k BETWEEN $lo1 AND $hi1") // v4 (main rewrite)
+    spark.sql("UPDATE graft.wap_rb__cf SET cents = cents + 99" +
+      s" WHERE k BETWEEN $lo1 AND $hi1") // branch rewrite, same files
+    val conflictRefused =
+      try { spark.sql("CALL graft.system.publish('wap_rb', 'cf')"); false }
+      catch { case e: Exception =>
+        (e.getMessage != null && e.getMessage.contains("re-branch")) ||
+          Option(e.getCause).exists(c => c.getMessage != null &&
+            c.getMessage.contains("re-branch")) }
+    spark.sql("CALL graft.system.drop_branch('wap_rb', 'cf')")
+    // ---- lane 4: branch MoR DELETE ∥ main append ----
+    val (lo2, hi2) = (2 * mx / 3, 2 * mx / 3 + mx / 20)
+    spark.sql("CALL graft.system.branch('wap_rb', 'dm')") // fork at v4
+    spark.sql("CALL graft.system.delete_mor('wap_rb__dm'," +
+      s" 'k BETWEEN $lo2 AND $hi2')") // branch-table maintenance CALL
+    spark.sql("INSERT INTO graft.wap_rb" +
+      s" SELECT k + ${2 * (mx + 1)}, CAST(7 AS BIGINT)" +
+      " FROM orders_sqlrb WHERE k % 19 = 0") // v5 (main append)
+    val pub2 = spark.sql("CALL graft.system.publish('wap_rb', 'dm')")
+      .head().getLong(0)
+    val dmRebased = pub2 == 6L
+    val cdfRefusesDml =
+      try { TxnTable.changeFeed(spark, root, 5, 6).count(); false }
+      catch { case e: Exception => e.getMessage != null &&
+        e.getMessage.contains("change feed not recorded") }
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(cents) AS sum_cents,
+               sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS surrogate_rows
+        FROM graft.wap_rb""")
+      .withColumn("cdf_publish_inserts", lit(cdfPublishInserts))
+      .withColumn("rebased_publish", lit(rebasedPublish))
+      .withColumn("conflict_refused", lit(conflictRefused))
+      .withColumn("dm_rebased", lit(dmRebased))
+      .withColumn("cdf_refuses_dml_publish", lit(cdfRefusesDml))
+      .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
+  }
+
+  /** Replay: orders + surrogates (mod-101, published over the mod-17
+    * ingest) + the main band rewrite (+10), + mod-19 ingest, − the
+    * branch's MoR-deleted band (rebased onto the advanced main); the
+    * conflicting branch's +99 never lands. */
+  val sqlBranchRebaseOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    m AS (SELECT max(k) AS mx FROM b),
+    p AS (SELECT mx // 3 AS lo1, mx // 3 + mx // 20 AS hi1,
+                 (2 * mx) // 3 AS lo2, (2 * mx) // 3 + mx // 20 AS hi2
+          FROM m),
+    n101 AS (SELECT count(1) AS n FROM b WHERE k % 101 = 0),
+    n17 AS (SELECT count(1) AS n FROM b WHERE k % 17 = 0),
+    n19 AS (SELECT count(1) AS n FROM b WHERE k % 19 = 0),
+    nb1 AS (SELECT count(1) AS n FROM b, p WHERE k BETWEEN lo1 AND hi1),
+    d2 AS (SELECT count(1) AS n, coalesce(sum(cents), 0) AS s
+           FROM b, p WHERE k BETWEEN lo2 AND hi2)
+    SELECT CAST(count(1) + n101.n + n17.n + n19.n - d2.n AS BIGINT)
+             AS n_rows,
+           CAST(sum(cents) + 4200 * n101.n + 5 * n17.n + 10 * nb1.n
+             + 7 * n19.n - d2.s AS BIGINT) AS sum_cents,
+           CAST(n101.n AS BIGINT) AS surrogate_rows,
+           CAST(n101.n AS BIGINT) AS cdf_publish_inserts,
+           true AS rebased_publish,
+           true AS conflict_refused,
+           true AS dm_rebased,
+           true AS cdf_refuses_dml_publish,
+           CAST(7 AS BIGINT) AS n_versions
+    FROM b, n101, n17, n19, nb1, d2
+    GROUP BY n101.n, n17.n, n19.n, nb1.n, d2.n, d2.s"""
+
+  /** qez: BRANCH MAINTENANCE — the round-12 verdict's item 5 graded
+    * end-to-end: an audit branch accumulates three fragmented
+    * surrogate appends, `CALL graft.system.compact('wap_mt__fix', n)`
+    * bin-packs them ON THE BRANCH (the procedure seam resolves
+    * `<table>__<branch>` exactly like the catalog's loadTable), main
+    * never observes the maintenance, and the publish that follows is
+    * still one CAS commit whose change feed serves exactly the
+    * surrogate inserts — compaction re-homed the bytes but the
+    * branch's LOGICAL delta (pure adds vs the fork) is unchanged, so
+    * the publish keeps its honest "adds" classification. The compact
+    * threshold derives from the branch's own manifest (the largest
+    * add file's row count — below every carried base file by the
+    * 101×/8-shard construction), so the graded file counts are
+    * SF-invariant: 3 compacted, 8 carried, 9 at head. */
+  def sqlBranchMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val orders = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    orders.createOrReplaceTempView("orders_sqlmt")
+    val mx = orders.agg(max("k")).head().getLong(0) // 1-row probe (qaq)
+    spark.sql("DROP TABLE IF EXISTS graft.wap_mt")
+    spark.sql(s"""
+      CREATE TABLE graft.wap_mt (k BIGINT, cents BIGINT) USING graft_txn
+      TBLPROPERTIES ('key'='k','shards'='8','layout_div'='${mx + 1}')""")
+    spark.sql("INSERT INTO graft.wap_mt SELECT k, cents FROM orders_sqlmt")
+    val root = graft.Fs.scratch("graft_txn_catalog_wh") + "/wap_mt"
+    val sumV1 = spark.sql("SELECT sum(cents) FROM graft.wap_mt")
+      .head().getLong(0)
+    val bRoot = spark.sql("CALL graft.system.branch('wap_mt', 'fix')")
+      .head().getString(0)
+    // three fragmented branch appends (all-negative surrogate keys
+    // clamp into shard 0 — one tiny file each)
+    spark.sql("INSERT INTO graft.wap_mt__fix SELECT -k - 1," +
+      " CAST(11 AS BIGINT) FROM orders_sqlmt WHERE k % 101 = 0")
+    spark.sql("INSERT INTO graft.wap_mt__fix SELECT -k - 5000001," +
+      " CAST(13 AS BIGINT) FROM orders_sqlmt WHERE k % 103 = 0")
+    spark.sql("INSERT INTO graft.wap_mt__fix SELECT -k - 10000001," +
+      " CAST(17 AS BIGINT) FROM orders_sqlmt WHERE k % 107 = 0")
+    val v0Paths = TxnTable.readManifest(bRoot, 0).files.map(_.path).toSet
+    val preHead = TxnTable.readManifest(bRoot, TxnTable.latestVersion(bRoot))
+    val adds = preHead.files.filterNot(f => v0Paths(f.path))
+    val addMax = adds.map(_.nRows).max
+    require(addMax < preHead.files.filter(f => v0Paths(f.path))
+      .map(_.nRows).min,
+      "surrogate files must be strictly smaller than every base file")
+    val cRow = spark.sql(
+      s"CALL graft.system.compact('wap_mt__fix', $addMax)").head()
+    val (compacted, carried) = (cRow.getLong(1), cRow.getLong(2))
+    val nBranchFiles = TxnTable.readManifest(bRoot,
+      TxnTable.latestVersion(bRoot)).files.size.toLong
+    val mainUntouched = TxnTable.latestVersion(root) == 1 &&
+      spark.sql("SELECT sum(cents) FROM graft.wap_mt")
+        .head().getLong(0) == sumV1
+    val auditPass = spark.sql(
+      "SELECT count(1) FROM graft.wap_mt VERSION AS OF 'fix'" +
+        " WHERE cents < 0").head().getLong(0) == 0L
+    require(auditPass, "branch audit must pass on this fixture")
+    val pubV = spark.sql("CALL graft.system.publish('wap_mt', 'fix')")
+      .head().getLong(0)
+    val cdfPublishInserts = TxnTable.changeFeed(spark, root, 1, 2)
+      .where(col("_change_type") === "insert").count()
+    spark.sql("""
+        SELECT count(1) AS n_rows, sum(cents) AS sum_cents,
+               sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS surrogate_rows
+        FROM graft.wap_mt""")
+      .withColumn("files_compacted", lit(compacted))
+      .withColumn("files_carried", lit(carried))
+      .withColumn("n_branch_files", lit(nBranchFiles))
+      .withColumn("main_untouched", lit(mainUntouched))
+      .withColumn("cdf_publish_inserts", lit(cdfPublishInserts))
+      .withColumn("publish_version", lit(pubV))
+      .withColumn("n_versions", lit(TxnTable.latestVersion(root) + 1L))
+  }
+
+  /** Replay: orders + the three surrogate classes; every maintenance
+    * fact is a contract constant (3 compacted, 8 carried, 9 at head,
+    * publish = v2). */
+  val sqlBranchMaintenanceOracle: String = """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    n1 AS (SELECT count(1) AS n FROM b WHERE k % 101 = 0),
+    n2 AS (SELECT count(1) AS n FROM b WHERE k % 103 = 0),
+    n3 AS (SELECT count(1) AS n FROM b WHERE k % 107 = 0)
+    SELECT CAST(count(1) + n1.n + n2.n + n3.n AS BIGINT) AS n_rows,
+           CAST(sum(cents) + 11 * n1.n + 13 * n2.n + 17 * n3.n AS BIGINT)
+             AS sum_cents,
+           CAST(n1.n + n2.n + n3.n AS BIGINT) AS surrogate_rows,
+           CAST(3 AS BIGINT) AS files_compacted,
+           CAST(8 AS BIGINT) AS files_carried,
+           CAST(9 AS BIGINT) AS n_branch_files,
+           true AS main_untouched,
+           CAST(n1.n + n2.n + n3.n AS BIGINT) AS cdf_publish_inserts,
+           CAST(2 AS BIGINT) AS publish_version,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM b, n1, n2, n3 GROUP BY n1.n, n2.n, n3.n"""
+
   /** qeu: CATALOG VIEWS — the last "catalog ergonomics" gap from the
     * round-11 verdict's missing list (after SHOW CREATE TABLE and
     * branches/tags). `CALL graft.system.create_view` stores the SQL
@@ -1090,9 +1329,11 @@ object GraftTxnCatalog {
       CREATE TABLE graft.view_src (k BIGINT, cents BIGINT) USING graft_txn
       TBLPROPERTIES ('key'='k','shards'='8','layout_div'='${mx + 1}')""")
     spark.sql("INSERT INTO graft.view_src SELECT k, cents FROM orders_sqlvw")
-    spark.sql("""CALL graft.system.create_view('rev_by_bucket',
-      'SELECT k % 10 AS bucket, sum(cents) AS s FROM graft.view_src
-       GROUP BY k % 10')""")
+    // standard SQL view DDL (qey/ViewDdlRule) and the CALL surface
+    // drive the SAME store — both exercised here
+    spark.sql("""CREATE VIEW graft.rev_by_bucket AS
+      SELECT k % 10 AS bucket, sum(cents) AS s FROM graft.view_src
+      GROUP BY k % 10""")
     // nested: a view over a view (two substitution rounds)
     spark.sql("""CALL graft.system.create_view('rev_total',
       'SELECT sum(s) AS total, count(1) AS n_buckets
@@ -1116,10 +1357,29 @@ object GraftTxnCatalog {
       CREATE TABLE graft.rev_total (k BIGINT) USING graft_txn
       TBLPROPERTIES ('key'='k','shards'='2','layout_div'='10')"""))
     val selfRefused = refuses(spark.sql(
-      "CALL graft.system.create_view('selfy', 'SELECT * FROM graft.selfy')"))
-    spark.sql("CALL graft.system.drop_view('pinned_v1')")
+      "CALL graft.system.create_view('selfy', 'SELECT * FROM graft.selfy')")) &&
+      refuses(spark.sql( // the standard-text twin refuses too
+        "CREATE VIEW graft.selfy2 AS SELECT * FROM graft.selfy2"))
+    spark.sql("DROP VIEW graft.pinned_v1") // standard DDL, same store
     val droppedGone = refuses(spark.sql(
       "SELECT * FROM graft.pinned_v1").collect())
+    // the full standard-DDL lifecycle: OR REPLACE swaps a definition
+    // in place, IF NOT EXISTS is a silent no-op on an existing name,
+    // DROP IF EXISTS tolerates a ghost, and an UNQUALIFIED reference
+    // in a definition refuses at create (the capture-context rule)
+    spark.sql("""CREATE OR REPLACE VIEW graft.rev_by_bucket AS
+      SELECT k % 10 AS bucket, sum(cents) AS s FROM graft.view_src
+      WHERE k IS NOT NULL GROUP BY k % 10""")
+    val afterReplace = spark.sql(
+      "SELECT sum(s) FROM graft.rev_by_bucket").head().getLong(0)
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.rev_by_bucket AS" +
+      " SELECT 1 AS junk")
+    val afterIfNotExists = spark.sql(
+      "SELECT sum(s) FROM graft.rev_by_bucket").head().getLong(0)
+    val sqlDdl = afterReplace == total1 && afterIfNotExists == total1 &&
+      !refuses(spark.sql("DROP VIEW IF EXISTS graft.ghost_view")) &&
+      refuses(spark.sql(
+        "CREATE VIEW graft.unq AS SELECT * FROM orders_sqlvw"))
     spark.range(1).select(
       lit(total0).as("total_v1"),
       lit(nBuckets).as("n_buckets"),
@@ -1128,7 +1388,8 @@ object GraftTxnCatalog {
       lit(pinned == total0 && total1 > total0).as("pinned_vs_live"),
       lit(tableShadow && viewShadow).as("namespace_guarded"),
       lit(selfRefused).as("self_refused"),
-      lit(droppedGone).as("dropped_gone"))
+      lit(droppedGone).as("dropped_gone"),
+      lit(sqlDdl).as("sql_ddl"))
   }
 
   /** Replay: bucket rollup over orders; the insert adds 4200-rows
@@ -1147,7 +1408,8 @@ object GraftTxnCatalog {
            true AS pinned_vs_live,
            true AS namespace_guarded,
            true AS self_refused,
-           true AS dropped_gone
+           true AS dropped_gone,
+           true AS sql_ddl
     FROM b, n101 GROUP BY n101.n"""
 
   /** Replay: the dst table holds the mod-3 slice with gap-free ids
@@ -1352,6 +1614,13 @@ object GraftTxnCatalog {
     // an unfiltered head read keeps every file; dv'd and clean files
     // coexist (a thin file can have no c%7=3 rows at small SFs)
     val dvScanned = scan.filesDv > 0 && scan.filesKept == scan.filesTotal
+    // round-12 item 7: the MoR scan stays COLUMNAR — clean files ride
+    // the delegate's vectorized batches verbatim and dv'd files serve
+    // them through live-index filtered-vector views, so one sidecar no
+    // longer de-vectorizes the table (plan-object evidence)
+    val scanColumnar = planOf(q).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.exists(_.supportsColumnar)
     // the Scala read path's twin — the two seams must agree bit-exactly
     val twin = TxnTable.readVersion(spark, root, 3)
       .agg(count(lit(1)), sum("k"), sum("c")).head()
@@ -1390,6 +1659,7 @@ object GraftTxnCatalog {
       .withColumn("count_metadata_only", lit(countMetadataOnly))
       .withColumn("decline_scanned", lit(ctlScanned))
       .withColumn("pruned_on_mor", lit(prunedOnMor))
+      .withColumn("scan_columnar", lit(scanColumnar))
   }
 
   /** The survivor replay: both deletes applied in sequence, the probe
@@ -1414,7 +1684,7 @@ object GraftTxnCatalog {
             WHERE k NOT BETWEEN lo AND hi) AS n_rows_v2,
            true AS dv_scanned, true AS sql_matches_scala,
            true AS count_metadata_only, true AS decline_scanned,
-           true AS pruned_on_mor
+           true AS pruned_on_mor, true AS scan_columnar
     FROM live"""
 
   /** qed: SQL ROW-LEVEL DML ON A MERGE-ON-READ SNAPSHOT — the second
@@ -3505,10 +3775,12 @@ private[sources] class TxnScan(spark: SparkSession, root: String,
   * `_metadata.row_index` the sidecar was written against; the
   * residual filters Spark always keeps re-apply above the scan, so
   * pushdown is an I/O optimization lost on dv'd files until purge,
-  * never a correctness fork. Spark refuses mixed row/columnar
-  * partitions in one scan, so a MoR snapshot reads row-based
-  * throughout — the honest, documented cost of unpurged vectors
-  * (OPTIMIZE restores columnar + SPJ). Sidecar positions load ONCE on
+  * never a correctness fork. The read stays COLUMNAR throughout
+  * (round-12 item 7): dv partitions serve the delegate's vectorized
+  * batches through live-index [[TxnDvBatch.FilteredColumnVector]]
+  * views, so one sidecar no longer de-vectorizes the table — the only
+  * residual MoR cost is the lost pushdown on the dv'd files until
+  * purge. Sidecar positions load ONCE on
   * the driver (one job over the tiny sidecars — the same O(deleted
   * rows) bound the Scala path's broadcast carries) and ship inside
   * each file's partition. */
@@ -3550,9 +3822,9 @@ private[sources] class TxnDvBatch(spark: SparkSession, root: String,
       // side holds unpurged vectors. Spark groups same-key partitions,
       // so a shard contributes one clean multi-file partition plus one
       // whole-file partition per dv'd file (per-file ordinals demand
-      // per-file readers). The whole scan reads row-based — the
-      // documented MoR cost — but at 100 TB that beats re-shuffling
-      // both fact tables by orders of magnitude.
+      // per-file readers). The scan stays columnar (the filtered-
+      // vector views) AND keeps its key grouping — at 100 TB the
+      // zero-shuffle join and the vectorized read compose.
       var idx = -1
       val cleanParts = (if (clean.isEmpty)
         Seq.empty[(Int, Seq[FileEntry])]
@@ -3612,13 +3884,31 @@ private[sources] object TxnDvBatch {
       org.apache.spark.sql.catalyst.InternalRow(shard)
   }
 
-  /** Routes dv partitions to a position-skipping row reader over the
+  /** Routes dv partitions to a position-skipping reader over the
     * UNFILTERED delegate; everything else to the filtered delegate.
-    * Columnar reads are off for the whole batch — Spark refuses a
-    * mixed row/columnar partition set, and dv skipping is row-wise. */
+    *
+    * COLUMNAR THROUGHOUT (round-12 verdict item 7 — the "MoR read
+    * cost cliff" removed): Spark refuses a mixed row/columnar
+    * partition set in one scan, and the old answer was to de-vectorize
+    * EVERYTHING the moment one file carried a sidecar. Instead the dv
+    * partitions now stay columnar the way Iceberg's vectorized
+    * position-delete read does: the delegate's vectorized reader
+    * produces its ColumnarBatch unchanged, the deleted ordinals fold
+    * into a per-batch LIVE-INDEX map, and each column is served
+    * through a zero-copy [[FilteredColumnVector]] view (every getter
+    * remaps through the live map — no row materialization, no copy).
+    * Clean partitions keep the delegate's own batches verbatim, so a
+    * snapshot with one dv'd file reads vectorized for ALL files and
+    * whole-stage codegen consumes ColumnarBatch everywhere. The row
+    * path remains for schemas the parquet reader cannot vectorize —
+    * per partition, the factory answers exactly what the delegate
+    * answers, so the batch stays uniform either way. */
   private[sources] class DvReaderFactory(clean: PartitionReaderFactory,
       raw: PartitionReaderFactory) extends PartitionReaderFactory {
-    override def supportColumnarReads(p: InputPartition): Boolean = false
+    override def supportColumnarReads(p: InputPartition): Boolean = p match {
+      case d: DvFilePartition => raw.supportColumnarReads(d)
+      case other              => clean.supportColumnarReads(other)
+    }
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] = p match {
       case d: DvFilePartition =>
@@ -3640,6 +3930,99 @@ private[sources] object TxnDvBatch {
         }
       case other => clean.createReader(other)
     }
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      p match {
+        case d: DvFilePartition =>
+          new DvColumnarReader(raw.createColumnarReader(d), d.deleted)
+        case other => clean.createColumnarReader(other)
+      }
+  }
+
+  /** The vectorized position-skip: batches flow through untouched
+    * except that deleted ordinals (file-absolute, sorted) project out
+    * via a live-index view. An all-deleted batch is skipped entirely.
+    * One monotone cursor over the sidecar — ordinals only grow across
+    * a file's batches. */
+  private[sources] class DvColumnarReader(
+      inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+      deleted: Array[Long])
+      extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    private var base = 0L
+    private var di = 0
+    private var out: ColumnarBatch = _
+    override def next(): Boolean = {
+      while (inner.next()) {
+        val b = inner.get()
+        val n = b.numRows()
+        // fast path: no deletions in this batch's ordinal span
+        if (di >= deleted.length || deleted(di) >= base + n) {
+          base += n
+          out = b
+          return true
+        }
+        val live = new Array[Int](n)
+        var ln = 0
+        var i = 0
+        while (i < n) {
+          val ord = base + i
+          while (di < deleted.length && deleted(di) < ord) di += 1
+          if (di == deleted.length || deleted(di) != ord) {
+            live(ln) = i; ln += 1
+          }
+          i += 1
+        }
+        base += n
+        if (ln > 0) {
+          val map = java.util.Arrays.copyOf(live, ln)
+          val cols = Array.tabulate[ColumnVector](b.numCols())(c =>
+            new FilteredColumnVector(b.column(c), map))
+          out = new ColumnarBatch(cols, ln)
+          return true
+        }
+        // fully-deleted batch: keep draining
+      }
+      false
+    }
+    override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = out
+    override def close(): Unit = inner.close()
+  }
+
+  /** A zero-copy live-row view over a delegate column vector: getter
+    * `i` reads the delegate's `map(i)`. Struct children wrap with the
+    * SAME map (struct fields index by row id); arrays/maps/decimals/
+    * strings delegate after the remap (their payloads live in child
+    * vectors addressed by the delegate's own offsets). `close` is a
+    * no-op — the delegate batch owns the memory (the Iceberg
+    * ColumnVectorWithFilter convention). */
+  private[sources] class FilteredColumnVector(
+      v: org.apache.spark.sql.vectorized.ColumnVector, map: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(v.dataType()) {
+    override def close(): Unit = ()
+    override def hasNull: Boolean = v.hasNull
+    override def numNulls(): Int = v.numNulls()
+    override def isNullAt(i: Int): Boolean = v.isNullAt(map(i))
+    override def getBoolean(i: Int): Boolean = v.getBoolean(map(i))
+    override def getByte(i: Int): Byte = v.getByte(map(i))
+    override def getShort(i: Int): Short = v.getShort(map(i))
+    override def getInt(i: Int): Int = v.getInt(map(i))
+    override def getLong(i: Int): Long = v.getLong(map(i))
+    override def getFloat(i: Int): Float = v.getFloat(map(i))
+    override def getDouble(i: Int): Double = v.getDouble(map(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      v.getArray(map(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      v.getMap(map(i))
+    override def getDecimal(i: Int, precision: Int, scale: Int)
+        : org.apache.spark.sql.types.Decimal =
+      v.getDecimal(map(i), precision, scale)
+    override def getUTF8String(i: Int)
+        : org.apache.spark.unsafe.types.UTF8String = v.getUTF8String(map(i))
+    override def getBinary(i: Int): Array[Byte] = v.getBinary(map(i))
+    override def getChild(ordinal: Int)
+        : org.apache.spark.sql.vectorized.ColumnVector =
+      new FilteredColumnVector(v.getChild(ordinal), map)
   }
 }
 
@@ -3992,9 +4375,22 @@ private[sources] object TxnProcedures {
       require(t.nonEmpty && !t.contains("/") && !t.contains(".."),
         s"bad table name '$t'")
       val r = s"$warehouse/$t"
-      require(new java.io.File(s"$r/_log").isDirectory,
-        s"no graft_txn table '$t' in this catalog")
-      r
+      if (new java.io.File(s"$r/_log").isDirectory) r
+      else {
+        // branch-addressable maintenance (round-12 verdict item 5):
+        // `CALL graft.system.compact('t__fix', ...)` resolves the same
+        // `<table>__<branch>` derivation the catalog's loadTable uses,
+        // so pre-publish branch upkeep (compact/optimize/delete_mor on
+        // the audit branch) runs against the branch's own sub-log and
+        // main never observes it
+        val i = t.lastIndexOf("__")
+        val bRoot =
+          if (i > 0) s"$warehouse/${t.substring(0, i)}/_refs/${t.substring(i + 2)}"
+          else ""
+        require(bRoot.nonEmpty && new java.io.File(s"$bRoot/_log").isDirectory,
+          s"no graft_txn table '$t' in this catalog")
+        bRoot
+      }
     }
     val tbl = in("table", StringType)
     ident.name match {
@@ -4081,7 +4477,11 @@ private[sources] object TxnProcedures {
             input.getUTF8String(1).toString)
           require(!new java.io.File(s"$warehouse/$nm/_log").isDirectory,
             s"a table named $nm already exists")
-          // analyze (never execute) the definition to pin its schema
+          // every reference fully qualified (the capture-context
+          // honesty rule), then analyze (never execute) the
+          // definition to pin its schema — cyclic references refuse
+          // here via the substitution rule's seen-set
+          TxnViews.validate(spark, nm, sqlText)
           val schema = spark.sql(sqlText).schema
           TxnViews.create(warehouse, new org.apache.spark.sql.connector
             .catalog.ViewInfo(

@@ -1811,30 +1811,115 @@ object TxnTable {
     java.nio.file.Files.readString(
       new java.io.File(s"${branchRoot(root, name)}/_base").toPath).trim.toInt
 
+  /** The idempotence-ledger union for a publish: a writer's high-water
+    * mark is the MAX it reached on either side of the fork, so a sink
+    * that delivered to main while the branch was open (or to the
+    * branch itself) can never double-land a replayed microbatch after
+    * the publish. */
+  private def mergeLedgers(a: Seq[(String, Long)],
+      b: Seq[(String, Long)]): Seq[(String, Long)] =
+    (a ++ b).groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+
   /** PUBLISH: graft the audited branch head onto main as ONE manifest
     * commit through the same put-if-absent CAS as every write — O(1)
-    * metadata, zero data movement (the branch's files are referenced
-    * absolutely, exactly a clone's). The write-audit-publish contract
-    * is enforced, not prosed: if main advanced past the branch's fork
-    * point, the branch head no longer contains those commits and a
-    * publish would SILENTLY DROP them — refused loudly (re-branch and
-    * replay, the Delta ConcurrentModification semantics). A published
-    * branch's directory becomes part of the table (the next OPTIMIZE
-    * re-homes the bytes); an unpublished branch is just a directory —
-    * [[dropBranch]] deletes it and main never knows. */
+    * metadata, zero data movement (the branch's adds are referenced
+    * absolutely, exactly a clone's; carried main files keep their
+    * root-relative form). Two shapes, chosen from the manifests alone:
+    *
+    *  - FAST-FORWARD (main still at the fork point): the branch head
+    *    becomes main's next version verbatim.
+    *  - REBASE (main advanced since the cut — the write-audit-publish
+    *    reality, auditing while ingest keeps appending): the branch's
+    *    delta is re-applied onto the NEW main head iff the two sides
+    *    touched DISJOINT base files (removed or re-vectored — the qct
+    *    OCC doctrine, priced purely from the three manifests: fork,
+    *    main head, branch head). Appends on both sides always commute;
+    *    a REAL overlap (both sides rewrote/deleted from the same file)
+    *    refuses loudly — re-branch and replay, the Delta
+    *    ConcurrentModification semantics. Structural divergence
+    *    (schema/layout/constraint/mapping changed on either side since
+    *    the fork) also refuses: data commits rebase, DDL does not.
+    *
+    * The commit carries the UNION of both idempotence ledgers (a
+    * publish must not forget main's pre-fork writer watermarks) and an
+    * honest change-feed classification: a branch that only APPENDED
+    * publishes as `cdfKind = "adds"` (the feed serves exactly the
+    * branch's live added rows); a branch that ran DML publishes with
+    * the unknown marker, so [[changeFeed]] refuses that version loudly
+    * instead of silently skipping grafted changes.
+    *
+    * A published branch's directory becomes part of the table (the
+    * next OPTIMIZE re-homes the bytes); an unpublished branch is just
+    * a directory — [[dropBranch]] deletes it and main never knows. */
   def publishBranch(root: String, name: String): Int = {
     val bRoot = branchRoot(root, name)
     val base = branchBase(root, name)
     val mainHead = latestVersion(root)
-    require(mainHead == base,
-      s"cannot publish branch $name: main advanced v$base -> v$mainHead " +
-        "since the branch was cut; re-branch from the new head and replay")
+    val baseM = readManifest(root, base)
+    val mainM = readManifest(root, mainHead)
+    val mainLedger = readManifestRaw(root, mainHead).txns
     val bHead = readManifest(bRoot, latestVersion(bRoot))
-    def abs(p: String) = if (p.isEmpty || p.startsWith("/")) p
+    // one absolute-path space for the three-way diff; carried files
+    // that live under main's root relativize back on write so the
+    // published manifest's paths match main's own spelling (the
+    // change-feed adds-diff compares by path string)
+    def bAbs(p: String) = if (p.isEmpty || p.startsWith("/")) p
       else s"$bRoot/$p"
-    val m = bHead.copy(version = mainHead + 1, op = s"publish_$name",
-      files = bHead.files.map(f => f.copy(path = abs(f.path), dv = abs(f.dv))),
-      deltaOf = -1, cdfKind = "none", cdfPath = "", cdfRows = 0L)
+    def rel(p: String) = if (p.startsWith(s"$root/")) p.drop(root.length + 1)
+      else p
+    val bFiles = bHead.files.map(f => f.copy(path = bAbs(f.path), dv = bAbs(f.dv)))
+    val baseByPath = baseM.files
+      .map(f => resolvePath(root, f.path) -> f).toMap
+    val bByPath = bFiles.map(f => f.path -> f).toMap
+    val mainByPath = mainM.files
+      .map(f => resolvePath(root, f.path) -> f).toMap
+    // base files the branch removed or re-vectored (its DML footprint)
+    def touchedIn(side: Map[String, FileEntry]): Set[String] =
+      baseByPath.collect { case (p, bf)
+        if !side.contains(p) ||
+          (resolvePath(root, side(p).dv), side(p).dvRows) !=
+            (resolvePath(root, bf.dv), bf.dvRows) => p }.toSet
+    val branchTouched = touchedIn(bByPath)
+    val branchAdds = bFiles.filterNot(f => baseByPath.contains(f.path))
+    val cdfKind = if (branchTouched.isEmpty) "adds" else ""
+    def structural(m: Manifest) = (m.schemaDdl, m.keyCol, m.keyCol2,
+      m.shards, m.layoutDiv, m.checkExpr, m.statsCols, m.statsTypes,
+      m.renames, m.dropped, m.identityCol, m.identityStart)
+    val files =
+      if (mainHead == base) {
+        // fast-forward: the branch head IS the next main snapshot
+        bFiles.map(f => f.copy(path = rel(f.path), dv = rel(f.dv)))
+      } else {
+        require(structural(mainM) == structural(baseM) &&
+          structural(bHead) == structural(baseM),
+          s"cannot publish branch $name: the table's schema/layout/" +
+            "constraint changed since the fork (v" + base + ") — DDL " +
+            "does not rebase; re-branch from the new head and replay")
+        val mainTouched = touchedIn(mainByPath)
+        val overlap = branchTouched intersect mainTouched
+        require(overlap.isEmpty,
+          s"cannot publish branch $name: ${overlap.size} base file(s) " +
+            s"were rewritten or re-vectored on BOTH main (v$base -> " +
+            s"v$mainHead) and the branch — a conflicting publish would " +
+            "lose one side's rows; re-branch from the new head and replay")
+        // rebase: main head minus the branch's removals, the branch's
+        // deletion vectors grafted on, plus the branch's adds — every
+        // element priced from the manifests, zero data movement
+        val rebasedCarry = mainM.files.flatMap { f =>
+          val p = resolvePath(root, f.path)
+          if (!branchTouched(p)) Some(f)
+          else bByPath.get(p).map(bf =>
+            f.copy(dv = rel(bf.dv), dvRows = bf.dvRows))
+        }
+        rebasedCarry ++ branchAdds.map(f =>
+          f.copy(path = rel(f.path), dv = rel(f.dv)))
+      }
+    val m = mainM.copy(version = mainHead + 1, op = s"publish_$name",
+      files = files, deltaOf = -1,
+      txns = mergeLedgers(mainLedger, bHead.txns),
+      nextId = math.max(mainM.nextId, bHead.nextId),
+      cdfKind = cdfKind, cdfPath = "", cdfRows = 0L)
     require(commit(root, mainHead + 1, m),
       s"publish of branch $name raced with a concurrent main commit; " +
         "audit still holds — retry the publish")
@@ -1853,8 +1938,11 @@ object TxnTable {
     val bRoot = branchRoot(root, name)
     val prefix = s"$bRoot/"
     val referencedAt = versions(root).filter { v =>
+      // resolve before comparing: a published manifest stores branch
+      // paths root-relatively (`_refs/<name>/...`), a clone absolutely
       readManifest(root, v).files.exists(f =>
-        f.path.startsWith(prefix) || f.dv.startsWith(prefix))
+        resolvePath(root, f.path).startsWith(prefix) ||
+          (f.dv.nonEmpty && resolvePath(root, f.dv).startsWith(prefix)))
     }
     require(referencedAt.isEmpty,
       s"branch $name files are referenced by retained main manifest(s) " +
@@ -1978,6 +2066,229 @@ object TxnTable {
       case none: NothingToDelete => (none.version, 0, 0L)
     }
   }
+
+  /** Control-flow signal twin of [[NothingToDelete]] for updates. */
+  private final class NothingToUpdate(val version: Int)
+      extends RuntimeException
+
+  /** MERGE-ON-READ UPDATE (the Delta DV-DML / Iceberg position-delete
+    * + data-file shape, qex): a narrow UPDATE lands as ONE commit that
+    * (a) tags each touched file with a deletion vector killing the
+    * matched rows' positions and (b) APPENDS the updated images as new
+    * layout files — NO existing data file is rewritten. At 100 TB this
+    * is the difference between a 0.1%-selective UPDATE costing a few
+    * new files plus byte-sized sidecars and costing a rewrite of every
+    * file the predicate touches ([[TxnRowLevel]]'s group-filtered
+    * copy-on-write, which remains the right shape for WIDE
+    * predicates — the planner chooses, see [[MorDml]]). Candidate
+    * files prune from the manifest ([[morBounds]]); hit positions
+    * anti-join the existing vectors (idempotent re-update of a
+    * half-deleted file mints only live positions, the deleteMor
+    * doctrine); new rows re-shard through [[writeSnapshot]] (CHECK
+    * enforced, stats inline, pruning preserved); the change feed
+    * records full pre/post images. Assignments apply SIMULTANEOUSLY
+    * over the old row (`SET a = b, b = a` swaps). Sidecars, change
+    * files and adds all stage under the ONE attempt dir, so a lost
+    * commit race cleans everything. Returns (version, filesTagged,
+    * rowsUpdated) — (head, 0, 0) when nothing matched. */
+  def updateMor(spark: SparkSession, root: String, pred: String,
+      sets: Seq[(String, String)], maxRetries: Int = 5): (Int, Int, Long) = {
+    var tagged = 0
+    var updated = 0L
+    try {
+      val (ver, _) = retryCommit(root, "updateMor", maxRetries) { v =>
+        val base = readManifest(root, v)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl)
+        val logicalFields = logicalSchema(base).fields
+        val setMap = sets.toMap
+        val unknown = setMap.keySet -- logicalFields.map(_.name)
+        require(unknown.isEmpty,
+          s"updateMor on $root: unknown column(s) ${unknown.mkString(",")}")
+        // manifest-priced candidates: files whose stat ranges overlap
+        // the predicate's extracted bounds (all files when unpriceable)
+        val condExpr = spark.sessionState.sqlParser.parseExpression(pred)
+        val candidates = morBounds(base, condExpr) match {
+          case Some(bs) => base.files.filter(f => bs.forall { case (c, (lo, hi)) =>
+            val (mn, mx) = statRange(base, f, c); !(hi < mn || lo > mx) })
+          case None => base.files
+        }
+        val rows = toLogical(base, withFilePos(spark, root, schema, candidates))
+        val oldDv = candidates.filter(_.dvRows > 0)
+          .map(f => readDvSidecar(spark, root, f))
+          .reduceOption(_ unionByName _)
+        val hits0 = rows.where(expr(pred))
+        // only LIVE rows update (vector-deleted positions are gone)
+        val hits = oldDv.fold(hits0)(o =>
+          hits0.join(broadcast(o), Seq("__fp", "__idx"), "left_anti"))
+          .localCheckpoint() // one pass: positions, images, and counts
+        val freshPerFile = hits.groupBy("__fp").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (freshPerFile.isEmpty) {
+          unpinCheckpoint(hits)
+          throw new NothingToUpdate(v)
+        }
+        try {
+          // the updated images, assignments applied simultaneously,
+          // re-sharded into the table layout as ordinary adds
+          val newRows = hits.select(logicalFields.map { f =>
+            setMap.get(f.name)
+              .map(e => expr(e).cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }.toIndexedSeq: _*)
+          val (addsM, sub) = writeSnapshot(spark, root, v + 1, "update_mor",
+            toPhysical(base, newRows), base.keyCol, base.shards,
+            base.layoutDiv, keyCol2 = base.keyCol2,
+            checkExpr = base.checkExpr, statsCols = base.statsCols,
+            statsTypes = base.statsTypes)
+          // deletion vectors for the old images — the deleteMor shape,
+          // staged UNDER the adds' attempt dir (one cleanup unit)
+          val touched = base.files.filter(f => freshPerFile.contains(f.path))
+          val fid = touched.map(_.path).sorted.zipWithIndex.toMap
+          import spark.implicits._
+          val fidDf = broadcast(fid.toSeq.toDF("__fp", "__fid"))
+          val oldTouched = touched.filter(_.dvRows > 0)
+            .map(f => readDvSidecar(spark, root, f))
+            .reduceOption(_ unionByName _)
+          val freshPos = hits.select("__fp", "__idx")
+          val allPos = oldTouched.fold(freshPos)(_ unionByName freshPos)
+          allPos.join(fidDf, Seq("__fp"))
+            .select(col("__idx").as("idx"), col("__fid"))
+            .repartition(col("__fid"))
+            .write.partitionBy("__fid").parquet(s"$root/$sub/_dv")
+          val nCdf = writeCdf(spark, root, sub,
+            toPhysical(base, hits.drop("__fp", "__idx")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(newRows
+                .withColumn("_change_type", lit("update_postimage")))))
+          val files2 = base.files.map { f =>
+            fid.get(f.path) match {
+              case Some(i) => f.copy(dv = s"$sub/_dv/__fid=$i",
+                dvRows = f.dvRows + freshPerFile(f.path))
+              case None => f
+            }
+          } ++ addsM.files
+          tagged = touched.size
+          updated = freshPerFile.values.sum
+          (addsM.copy(version = v + 1, op = "update_mor",
+            schemaDdl = base.schemaDdl, files = files2, deltaOf = -1,
+            txns = base.txns, renames = base.renames, dropped = base.dropped,
+            cdfKind = "files", cdfPath = s"$sub/_cdf", cdfRows = nCdf,
+            nextId = base.nextId, identityCol = base.identityCol,
+            identityStart = base.identityStart), sub)
+        } finally unpinCheckpoint(hits)
+      }
+      (ver, tagged, updated)
+    } catch {
+      case none: NothingToUpdate => (none.version, 0, 0L)
+    }
+  }
+
+  /** Conjunct-extracted column bounds for merge-on-read DML pricing:
+    * every `col <op> literal` conjunct on the key, second key, or a
+    * long-typed stats column narrows that column's [lo, hi]; anything
+    * else is ignored (sound — the predicate still implies each
+    * extracted bound, so candidate pruning keeps a superset and the
+    * selectivity estimate only grows). None = no priceable conjunct at
+    * all. Accepts resolved AND parsed-unresolved attribute shapes (the
+    * planner rule prices resolved conditions; [[updateMor]] re-prices
+    * its predicate string). Logical names translate through the column
+    * mapping before stats lookup. */
+  private[sources] def morBounds(m: Manifest,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val l2p = m.renames.map(_.swap).toMap
+    def statCol(e: Expression): Option[String] = {
+      val n = e match {
+        case a: AttributeReference => Some(a.name)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 => Some(u.nameParts.head)
+        case _ => None
+      }
+      n.map(x => l2p.getOrElse(x, x)).filter(p =>
+        p == m.keyCol || (p == m.keyCol2 && m.keyCol2.nonEmpty) ||
+          (m.statsCols.contains(p) && m.statType(p) == "long"))
+    }
+    def lng(e: Expression): Option[Long] = e match {
+      case Literal(x: Byte, _)    => Some(x.toLong)
+      case Literal(x: Short, _)   => Some(x.toLong)
+      case Literal(x: Int, _)     => Some(x.toLong)
+      case Literal(x: Long, _)    => Some(x)
+      case Cast(c, _, _, _)       => lng(c)
+      case _ => None
+    }
+    var bs = Map.empty[String, (Long, Long)]
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bs.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bs += c -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(l, r) => // col >= lit | lit >= col
+        for (c <- statCol(l); x <- lng(r)) narrow(c, x, Long.MaxValue)
+        for (c <- statCol(r); x <- lng(l)) narrow(c, Long.MinValue, x)
+      case GreaterThan(l, r) =>
+        for (c <- statCol(l); x <- lng(r)) narrow(c, x + 1, Long.MaxValue)
+        for (c <- statCol(r); x <- lng(l)) narrow(c, Long.MinValue, x - 1)
+      case LessThanOrEqual(l, r) =>
+        for (c <- statCol(l); x <- lng(r)) narrow(c, Long.MinValue, x)
+        for (c <- statCol(r); x <- lng(l)) narrow(c, x, Long.MaxValue)
+      case LessThan(l, r) =>
+        for (c <- statCol(l); x <- lng(r)) narrow(c, Long.MinValue, x - 1)
+        for (c <- statCol(r); x <- lng(l)) narrow(c, x + 1, Long.MaxValue)
+      case EqualTo(l, r) =>
+        for (c <- statCol(l); x <- lng(r)) narrow(c, x, x)
+        for (c <- statCol(r); x <- lng(l)) narrow(c, x, x)
+      case _ => ()
+    }
+    walk(cond)
+    if (bs.isEmpty) None else Some(bs)
+  }
+
+  /** A file's stat range for a PHYSICAL column name (key, second key,
+    * or declared stats column; full-range when the file predates the
+    * declaration). */
+  private def statRange(m: Manifest, f: FileEntry, c: String): (Long, Long) =
+    if (c == m.keyCol) (f.minK, f.maxK)
+    else if (c == m.keyCol2 && m.keyCol2.nonEmpty) (f.minK2, f.maxK2)
+    else {
+      val i = m.statsCols.indexOf(c)
+      if (i >= 0 && f.vmin.length > i) (f.vmin(i), f.vmax(i))
+      else (Long.MinValue, Long.MaxValue)
+    }
+
+  /** Manifest-only selectivity estimate for a conjunctive predicate:
+    * per file, the tightest single-column overlap fraction of the
+    * extracted bounds against the file's stat range (uniform-within-
+    * range interpolation — a planner estimate, never a correctness
+    * input), weighted by live rows. None when no conjunct is
+    * priceable — the caller then keeps copy-on-write, the safe
+    * default. */
+  private[sources] def morSelectivity(m: Manifest,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Double] =
+    morBounds(m, cond).map { bs =>
+      val live = m.files.map(f => f.nRows - f.dvRows)
+      val total = live.sum.toDouble
+      if (total <= 0) 0.0
+      else {
+        val est = m.files.zip(live).map { case (f, n) =>
+          val frac = bs.map { case (c, (lo, hi)) =>
+            val (mn, mx) = statRange(m, f, c)
+            if (hi < mn || lo > mx) 0.0
+            else if (mn == Long.MinValue && mx == Long.MaxValue) 1.0
+            else {
+              val width = (BigDecimal(mx) - BigDecimal(mn) + 1)
+              val ov = (BigDecimal(math.min(hi, mx)) -
+                BigDecimal(math.max(lo, mn)) + 1)
+              (ov / width).toDouble.min(1.0).max(0.0)
+            }
+          }.min
+          n * frac
+        }.sum
+        est / total
+      }
+    }
 
   /** PURGE deletion vectors (the `OPTIMIZE` gesture on a merge-on-read
     * table): rewrite ONLY the dv-carrying files with their vectors

@@ -212,20 +212,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "qca_business_days" -> "business-day cum over the calendar-date spine",
     "qcb_surrogate_keys" -> "dimension-scale rank (suppliers); the production swap is the identity-column allocator (qeh) — annotated")
 
+  // shared with EagerPlanAuditSpec — one detector implementation so
+  // the lazy and eager sweeps can never drift
   private def globalWindows(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Int = {
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    // descend through AQE wrappers: collect() does not walk into an
-    // AdaptiveSparkPlanExec's current physical plan
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
-      p.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty           => 1
-        case g: WindowGroupLimitExec if g.partitionSpec.isEmpty => 1
-        case a: AdaptiveSparkPlanExec                           => walk(a.executedPlan)
-      }.sum
-    walk(plan)
-  }
+      : Int = PlanAudit.globalWindows(plan)
 
   test("global (unpartitioned) windows only over provably bounded frames") {
     val offenders = Seq.newBuilder[String]
