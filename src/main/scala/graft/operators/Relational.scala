@@ -1586,12 +1586,30 @@ object Relational {
     * Window.orderBy(...))` moves EVERY row to one partition, the
     * audit's target accident on an entity-scale frame (customers,
     * users) at 100 TB. The distributed exact shape: range-repartition
-    * on the order key, sort within partitions, `zipWithIndex` (Spark's
-    * global-index primitive — one extra job collecting per-partition
-    * COUNTS, never rows, then each partition numbers itself from its
-    * offset). The caller must supply a TOTAL order (append the entity
-    * key as tiebreak) so the index is deterministic. Runs jobs at
-    * build time — callers are builder-eager by construction. */
+    * on the order key, sort within partitions, then number each
+    * partition from its prefix-offset (one extra job collecting
+    * per-partition COUNTS, never rows).
+    *
+    * WHY THE RDD SEAM IS LOAD-BEARING (round-13 finding — the
+    * round-12 verdict's "Tungsten-native variant" was attempted,
+    * probed, and REJECTED as unsound): any pure-SQL formulation must
+    * evaluate the range-shuffled frame at least twice (once for the
+    * per-partition counts, once for the ranked output), and
+    * `RangePartitioner` seeds its boundary SAMPLING by `rdd.id` — two
+    * physical evaluations of the same logical repartitionByRange can
+    * draw DIFFERENT boundaries, silently double- or zero-assigning
+    * ranks near every boundary. A two-job variant diverges outright;
+    * a single-plan variant (offsets aggregated and broadcast-joined
+    * back, leaning on exchange reuse to pin one evaluation) survives
+    * one layer but breaks when layers nest: the tagged⋈offsets
+    * SELF-join makes DeduplicateRelations re-mint one side's exprIds,
+    * canonical equality fails, AQE reuse stops firing, and the probe
+    * (tools/GlobalIndexProbe, the q2i triple-nest shape) measured
+    * 96,160 distinct ranks over 100,000 rows. `zipWithIndex` is
+    * immune BY CONSTRUCTION: its count job and its compute share the
+    * ONE materialized partitioner instance. The Row round-trip is the
+    * honest price of exactness; Spark itself ships this primitive
+    * only at the RDD level for the same reason. */
   def withGlobalIndex(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
       out: String): DataFrame = {
     val spark = df.sparkSession
