@@ -89,8 +89,9 @@ object Graph {
     * dominate); that mass is redistributed uniformly, so total rank is
     * conserved at exactly 1 every round instead of leaking; (2) the
     * standard contribution join + aggregate; (3) an L1-delta probe
-    * drives termination, with the CC loop's machinery — eager
-    * localCheckpoint per round truncates the lineage that would
+    * drives termination, with the CC loop's machinery — an eager
+    * localCheckpoint every TWO rounds (two unrolled steps per
+    * materialization) truncates the lineage that would
     * otherwise grow 2^rounds, and `require(converged)` fails loudly
     * rather than returning a half-converged ranking. Per-round cost is
     * the same one shuffle join + aggregate as [[pageRank]] plus two
@@ -102,7 +103,15 @@ object Graph {
     val spark = nodes.sparkSession
     val n = knownN.getOrElse(nodes.count())
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val parts = math.min(8, spark.sparkContext.defaultParallelism)
+    // loop partitioning is SCALE-ADAPTIVE (guide §2): sized to the rank
+    // table (~25 B/row; target ~32 MB per loop partition), clamped to
+    // the session's parallelism — a fixed constant is wrong at both
+    // ends (8 partitions of kilobyte frames pay 8 task launches per
+    // stage × ~4 stages × ~57 rounds of pure overhead; at 10^9+ nodes
+    // the same constant would put gigabytes in one task). The iterated
+    // frames stay tiny at fixture scale, so this resolves to 1 there.
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 1300000L)).toInt
     graft.SessionConf.withShufflePartitions(spark, parts) {
       val e = edges.join(outDeg, "src")
         .repartition(parts, col("src")).cache()
@@ -120,25 +129,36 @@ object Graph {
       ids.count()
       var ranks = ids.select(col("id"), col("dang"), lit(1.0 / n).as("pr"))
         .localCheckpoint(true)
-      var it = 0; var done = false
-      while (!done && it < maxIter) {
-        val dm = ranks.where(col("dang")).groupBy()
+      // one power-iteration step as a FRAME TRANSFORM (no action): the
+      // r14 loop materializes TWO steps per localCheckpoint, halving
+      // the per-iteration driver cost (job scheduling + plan analysis
+      // dominated the loop: ~4 jobs × ~60 ms per round over ~57 rounds
+      // at tol=1e-4, while the per-round data is kilobytes). The rank
+      // SEQUENCE is unchanged — only how often it is materialized.
+      def step(r: DataFrame): DataFrame = {
+        val dm = r.where(col("dang")).groupBy()
           .agg(coalesce(sum("pr"), lit(0.0)).as("dmass"))
-        val contribs = e.join(ranks.select(col("id").as("rid"), col("pr")),
+        val contribs = e.join(r.select(col("id").as("rid"), col("pr")),
             col("src") === col("rid"))
           .select(col("dst"), (col("pr") / col("out_deg")).as("c"))
           .groupBy("dst").agg(sum("c").as("in_mass"))
-        val next = ids.join(contribs, col("id") === col("dst"), "left")
+        ids.join(contribs, col("id") === col("dst"), "left")
           .crossJoin(broadcast(dm))
           .select(col("id"), col("dang"),
             (lit(1.0 - damping) / n +
               lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + col("dmass") / n))
               .as("pr"))
-          .localCheckpoint(true)
-        it += 1
+      }
+      var it = 0; var done = false
+      while (!done && it < maxIter) {
+        val next = step(step(ranks)).localCheckpoint(true)
+        it += 2
         // power iteration contracts the error by ~damping per round, so
         // probing every 4th round costs at most 3 redundant (cheap)
-        // rounds while cutting the per-round action count
+        // rounds while cutting the per-round action count. The probe
+        // delta spans the 2 unrolled steps (an upper bound on the
+        // single-step delta at the same point — stopping is only ever
+        // LATER, never on a less-converged iterate).
         if (it % 4 == 0 || it >= maxIter) {
           val delta = next.join(ranks.select(col("id"), col("pr").as("prev")), "id")
             .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)

@@ -899,10 +899,21 @@ object Relational {
     * frame outlives the drop. */
   def joinBucketedColocated(spark: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
+    // r14 (guide §6 small files): repartition by the bucket key BEFORE
+    // the bucketed write. `repartition(n, key)` and the bucket-id
+    // assignment use the same pmod(murmur3(key), n), so each write task
+    // holds exactly one bucket's rows → exactly `buckets` files per
+    // table instead of (scan tasks × buckets); at 100 TB that is the
+    // difference between a healthy layout and a small-file explosion,
+    // and the write parallelizes across buckets instead of riding the
+    // scan's task layout. Table CONTENT is byte-identical (same rows in
+    // the same buckets, sorted by the same sortBy).
     Tables.orders(spark, dir)
+      .repartition(buckets, col("o_orderkey"))
       .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("graft_b_orders")
     Tables.lineitem(spark, dir)
+      .repartition(buckets, col("l_orderkey"))
       .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("graft_b_lineitem")
     try {

@@ -669,22 +669,6 @@ object TxnTable {
     val back = spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(df.schema.toDDL))
       .parquet(out)
-    // CHECK constraint: validated against the rows AS WRITTEN (the
-    // round-9 advice fix — a non-deterministic batch can no longer pass
-    // a pre-write probe yet persist violating rows); standard SQL
-    // semantics — FALSE violates, NULL passes. A violating batch
-    // deletes its own attempt dir and rejects before any manifest
-    // references it, so no file SURVIVES a rejected commit. One pass
-    // over the batch's files only, never a table rescan.
-    if (checkExpr.nonEmpty) {
-      val bad = back.where(!coalesce(expr(checkExpr), lit(true))).count()
-      if (bad != 0) {
-        graft.Fs.deleteRecursively(out)
-        throw new IllegalArgumentException(
-          s"requirement failed: CHECK constraint ($checkExpr) violated by " +
-            s"$bad row(s); commit rejected, attempt cleaned")
-      }
-    }
     val k2 = if (keyCol2.nonEmpty) col(keyCol2) else lit(0L)
     val vAggs = statsCols.indices.flatMap { i =>
       Seq(min(col(s"__v$i")).as(s"vmn$i"), max(col(s"__v$i")).as(s"vmx$i"),
@@ -701,18 +685,41 @@ object TxnTable {
         collect_set(when(col(s"__v$i").isNotNull,
           pmod(xxhash64(col(s"__v$i"), lit(s.toLong)), lit(BloomBits.toLong))
             .cast("int"))).as(s"bl${i}_$s") } }
+    // CHECK constraint: validated against the rows AS WRITTEN (the
+    // round-9 advice fix — a non-deterministic batch can no longer pass
+    // a pre-write probe yet persist violating rows); standard SQL
+    // semantics — FALSE violates, NULL passes. r14: the violation count
+    // rides the SAME read-back pass as the per-file stats (one job per
+    // commit instead of two — at any scale the stats pass must touch
+    // every written row anyway, so the CHECK is free there). A
+    // violating batch deletes its own attempt dir and rejects before
+    // any manifest references it, so no file SURVIVES a rejected
+    // commit.
+    val chkCol =
+      if (checkExpr.isEmpty) lit(0L)
+      else when(!coalesce(expr(checkExpr), lit(true)), 1L).otherwise(0L)
     val stats = back
       .select(Seq(col(keyCol).as("k"), k2.as("k2"),
         col("_metadata.file_path").as("fp"),
-        col("_metadata.file_size").as("fsz")) ++
+        col("_metadata.file_size").as("fsz"), chkCol.as("__chk")) ++
         statsCols.zipWithIndex.map { case (c, i) =>
           statSourceExpr(c, statTypeOf(i)).as(s"__v$i") }: _*)
       .groupBy("fp")
       .agg(count(lit(1)).as("n"),
         (Seq(min("k").as("mn"), max("k").as("mx"),
           min("k2").as("mn2"), max("k2").as("mx2"),
-          first("fsz").as("bytes")) ++ vAggs ++ bAggs): _*)
+          first("fsz").as("bytes")) ++ vAggs ++ bAggs ++
+          Seq(sum("__chk").as("chk_bad"))): _*)
       .collect()
+    if (checkExpr.nonEmpty) {
+      val bad = stats.map(_.getAs[Long]("chk_bad")).sum
+      if (bad != 0) {
+        graft.Fs.deleteRecursively(out)
+        throw new IllegalArgumentException(
+          s"requirement failed: CHECK constraint ($checkExpr) violated by " +
+            s"$bad row(s); commit rejected, attempt cleaned")
+      }
+    }
     require(stats.length <= shards,
       s"snapshot wrote ${stats.length} files for $shards shards")
     val prefix = s"$root/"
@@ -1915,7 +1922,17 @@ object TxnTable {
         rebasedCarry ++ branchAdds.map(f =>
           f.copy(path = rel(f.path), dv = rel(f.dv)))
       }
-    val m = mainM.copy(version = mainHead + 1, op = s"publish_$name",
+    // fast-forward publishes build the manifest from the BRANCH head:
+    // the branch is the only writer since the fork, so its structural
+    // state (schema evolution, re-layout shards, renames, CHECK/stats
+    // changes) IS the next main state — copying from mainM (== baseM
+    // here) silently discarded branch DDL while publishing files
+    // written under the new structure (shard-pruned reads over a
+    // wrong shard count return wrong rows). The rebase arm keeps mainM
+    // as the source; its structural-equality require above guarantees
+    // the two spellings agree there.
+    val srcM = if (mainHead == base) bHead else mainM
+    val m = srcM.copy(version = mainHead + 1, op = s"publish_$name",
       files = files, deltaOf = -1,
       txns = mergeLedgers(mainLedger, bHead.txns),
       nextId = math.max(mainM.nextId, bHead.nextId),

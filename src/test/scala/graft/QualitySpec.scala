@@ -43,7 +43,7 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("n_distinct") == exact(r.getAs[String]("column_name")))
     }
     // the 100 TB claim: an approx-ONLY profile is a single pass with no
-    // EXPAND replication (q1d's exact multi-distinct plans EXPAND×7)
+    // EXPAND replication
     val li = Tables.lineitem(spark, sfDir)
     val approxOnly = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02),
@@ -51,9 +51,19 @@ class QualitySpec extends SparkSpec {
       approx_count_distinct(col("l_returnflag"), 0.02))
     assert(!approxOnly.queryExecution.executedPlan.toString.contains("Expand"),
       "approx-only profile must not replicate the scan")
-    assert(Quality.dataProfile(spark, sfDir)
+    // r14: q1d's per-column union shape must ALSO be Expand-free — a
+    // single-distinct aggregate per column plans the plain two-phase
+    // distinct. The EXPAND cost the union shape avoids is pinned by the
+    // negative control: the same distincts FUSED into one aggregate.
+    assert(!Quality.dataProfile(spark, sfDir)
       .queryExecution.executedPlan.toString.contains("Expand"),
-      "exact multi-distinct is expected to EXPAND — the cost q1l avoids")
+      "per-column exact profile must not EXPAND — that is the r14 shape")
+    val fused = li.agg(
+      countDistinct(col("l_orderkey")),
+      countDistinct(col("l_quantity")),
+      countDistinct(col("l_returnflag")))
+    assert(fused.queryExecution.executedPlan.toString.contains("Expand"),
+      "fused multi-distinct is expected to EXPAND — the cost q1d now avoids")
   }
 
   test("distributionDrift: shares sum to 1 and PSI total is the exact term sum") {
