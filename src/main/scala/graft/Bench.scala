@@ -34,6 +34,25 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
+    // r14 (guide §1 measurement hygiene, documented in
+    // OPTIMIZATION_r14.md): the r13 harness warmed only scan+agg, so
+    // whichever queries ran FIRST absorbed the one-time JVM costs of
+    // the OTHER executor paths — broadcast-exchange machinery, the
+    // sort/exchange pipeline, and the parquet WRITE path (q0b's first
+    // rep measured 8.7 s vs 1.7 s steady-state purely from this).
+    // Exercise each once, untimed; per-query timing methodology is
+    // unchanged.
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val a = spark.range(100000).selectExpr("id", "id % 97 AS k")
+      val b = spark.range(97).selectExpr("id AS k", "id * 2 AS v")
+      a.join(broadcast(b), "k").groupBy("k").count().orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      val wdir = graft.Fs.scratch("graft_bench_warmup")
+      a.limit(10000).repartition(2).write.mode("overwrite").parquet(wdir)
+      spark.read.parquet(wdir).write.format("noop").mode("overwrite").save()
+      graft.Fs.deleteRecursively(wdir)
+    }
     // Caches are kept WITHIN a query group (same "qN" decade prefix) —
     // the ML queries q70-q74 reuse plan-identical cached relations, worth
     // ~3× on the group — but cleared at group boundaries so the dedup/

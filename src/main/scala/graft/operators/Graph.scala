@@ -748,7 +748,13 @@ object Graph {
       .distinct()
       .where(col("src") =!= col("dst"))
       .cache()
+    // r14 (guide §5): the labeling feeds FOUR consumers below (members,
+    // the degree rollup, and both sides of the intra-edge join);
+    // unmaterialized, each consumer re-executed the full 3-round
+    // propagation (4× its joins and shuffles — the dominant cost of the
+    // query at any scale). One eager materialization, four cheap reads.
     val lab = labelPropagation(docs.select(col("doc_id").as("id")), e)
+      .localCheckpoint(true)
     val members = lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
     val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
     val degC = deg.join(lab, deg("src") === lab("id"))

@@ -698,6 +698,23 @@ object TxnTable {
     val chkCol =
       if (checkExpr.isEmpty) lit(0L)
       else when(!coalesce(expr(checkExpr), lit(true)), 1L).otherwise(0L)
+    // r14 fast path (guide §1.2: remove whole passes before tuning
+    // them): with no CHECK expression and no declared stats columns,
+    // everything the manifest needs per file — row count, key min/max,
+    // byte size — is already in the written parquet FOOTERS. Read the
+    // ≤`shards` footers driver-side instead of scheduling a whole-data
+    // read-back job per commit; this is the inline-writer-stats shape
+    // the scaladoc above promises at 100 TB (qa7's DSv2 commit
+    // messages do the same from executor tasks). Footers describe the
+    // rows AS WRITTEN, so the round-9 honesty guarantee is unchanged.
+    // Files with missing/non-INT64/null-bearing key stats fall back to
+    // the read-back pass wholesale.
+    val fastFiles: Option[Seq[FileEntry]] =
+      if (checkExpr.isEmpty && statsCols.isEmpty)
+        footerFileEntries(out, sub, keyCol, keyCol2,
+          spark.sessionState.newHadoopConf())
+      else None
+    val files: Seq[FileEntry] = fastFiles.getOrElse {
     val stats = back
       .select(Seq(col(keyCol).as("k"), k2.as("k2"),
         col("_metadata.file_path").as("fp"),
@@ -720,10 +737,7 @@ object TxnTable {
             s"$bad row(s); commit rejected, attempt cleaned")
       }
     }
-    require(stats.length <= shards,
-      s"snapshot wrote ${stats.length} files for $shards shards")
-    val prefix = s"$root/"
-    val files = stats.map { r =>
+    stats.map { r =>
       val full = r.getString(0).stripPrefix("file:").stripPrefix("//")
       val rel = full.substring(full.indexOf(sub))
       // an all-null stats column in a file (a lagging producer's batch
@@ -759,10 +773,81 @@ object TxnTable {
         r.getLong(6), vmins, vmaxs, bloom = blooms,
         vcnt = vcnts, vsum = vsumL)
     }.sortBy(_.path).toSeq
-    require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $prefix")
+    }
+    require(files.length <= shards,
+      s"snapshot wrote ${files.length} files for $shards shards")
+    require(files.forall(_.path.startsWith("data/")), s"bad rel paths under $root/")
     (Manifest(version, op, keyCol, df.schema.toDDL, shards, layoutDiv, files,
       keyCol2 = keyCol2, checkExpr = checkExpr, statsCols = statsCols,
       statsTypes = statsTypes), sub)
+  }
+
+  /** Per-file manifest stats read from the parquet FOOTERS of a
+    * just-written attempt dir — the zero-Spark-job twin of the
+    * read-back stats pass, usable whenever the manifest needs only
+    * (row count, key min/max, bytes): footer statistics for INT64
+    * columns are exact and are computed by the writer from the rows as
+    * written. Returns None (caller falls back to the read-back pass)
+    * when any file lacks exact non-null INT64 stats for the key
+    * column(s), or when the attempt wrote no files at all. */
+  private def footerFileEntries(out: String, sub: String, keyCol: String,
+      keyCol2: String, hconf: org.apache.hadoop.conf.Configuration)
+      : Option[Seq[FileEntry]] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(out)
+    if (!java.nio.file.Files.isDirectory(base)) return None
+    val parts = {
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toVector
+      finally s.close()
+    }
+    if (parts.isEmpty) return None
+    val entries: Seq[Option[FileEntry]] = parts.map { p =>
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), hconf))
+        catch { case _: java.io.IOException => null }
+      if (reader == null) None
+      else try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        def range(name: String): Option[(Long, Long)] = {
+          val perBlock = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case Some(c) if c.getPrimitiveType.getPrimitiveTypeName ==
+                  org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 =>
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty && st.isNumNullsSet &&
+                    st.getNumNulls == 0 && st.hasNonNullValue)
+                  Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                else None
+              case _ => None
+            }
+          }
+          if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+          else Some((perBlock.flatten.map(_._1).min,
+            perBlock.flatten.map(_._2).max))
+        }
+        for {
+          (mn, mx) <- range(keyCol)
+          (mn2, mx2) <-
+            if (keyCol2.isEmpty) Some((Long.MinValue, Long.MaxValue))
+            else range(keyCol2)
+        } yield {
+          val full = p.toString
+          FileEntry(full.substring(full.indexOf(sub)), n, mn, mx, mn2, mx2,
+            java.nio.file.Files.size(p))
+        }
+      } finally reader.close()
+    }
+    if (entries.exists(_.isEmpty)) None
+    else Some(entries.flatten.sortBy(_.path))
   }
 
   /** Add (or replace) the table's CHECK constraint AS A COMMIT: the
@@ -1064,7 +1149,36 @@ object TxnTable {
       changes: DataFrame): Long = {
     val path = s"$root/$sub/_cdf"
     changes.write.parquet(path)
-    spark.read.parquet(path).count()
+    // r14: the count really IS a footer fold now — the old
+    // `spark.read.parquet(path).count()` spelled the same intent but
+    // paid a schema-inference footer job plus a count job per DML
+    // commit; summing the block row counts driver-side costs neither.
+    parquetRowCount(path, spark.sessionState.newHadoopConf())
+  }
+
+  /** Total row count of a just-written parquet directory from its file
+    * FOOTERS — a driver-side metadata fold (no Spark job, no data
+    * pages). Only used on attempt dirs this writer itself produced. */
+  private def parquetRowCount(dir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Long = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(base)) return 0L
+    val parts = {
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toVector
+      finally s.close()
+    }
+    parts.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), hconf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
   }
 
   /** Present a physical-schema frame under the manifest's LOGICAL

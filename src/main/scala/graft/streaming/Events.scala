@@ -1103,9 +1103,14 @@ object Events {
     val ckptDir = graft.Fs.scratch("graft_stream_scd2_ckpt")
     deleteRecursively(sinkDir); deleteRecursively(ckptDir)
     val staging = stageReplayFiles(spark, dir, nFiles = 4)
+    // r14 (guide §5): the SCD2 dimension (a full window pass over
+    // orders) feeds THREE consumers — the bounds probe, the stream-side
+    // broadcast and the batch-audit broadcast; unmaterialized, each
+    // re-ran the window build. One eager materialization.
     val dim = graft.sources.Warehouse.scd2Customers(spark, dir)
       .select(col("o_custkey").as("d_custkey"), col("priority"),
         col("effective_from_us"), col("effective_to_us"))
+      .localCheckpoint(true)
     val bounds = dim.agg(min("effective_from_us"), max("effective_from_us"))
       .head()
     val lo = bounds.getLong(0)
